@@ -1,0 +1,280 @@
+package graft.core
+
+import java.math.BigInteger
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg partition transforms (reference: `transforms.go:103-1230`),
+  * re-expressed two ways: a pure-Scala `apply` on single values (used by the
+  * metadata planner for partition pruning and by the writer for partition
+  * tuples harvested from data), and a Spark `Column` lowering (used to derive
+  * partition columns for fanout writes, fully codegen'd for the built-in
+  * function paths).
+  *
+  * Correctness-critical details carried over from the spec (not the code) of
+  * the reference:
+  *  - `bucket[N]` hashes the *single-value serialization* of the value with
+  *    murmur3_x86_32 seed 0 (`transforms.go:360-491`): int/long/date/ts(µs)
+  *    as 8-byte little-endian long, string as UTF-8 bytes, decimal as minimal
+  *    two's-complement big-endian unscaled value, fixed/binary raw bytes.
+  *  - time transforms are floor-divisions from the epoch, so pre-1970 values
+  *    floor toward -inf (`transforms.go:826-1230`).
+  *  - `truncate[W]` on ints floors toward -inf: `v - (((v % W) + W) % W)`;
+  *    on strings it takes the first W *codepoints* (`transforms.go:538-667`).
+  */
+sealed trait Transform {
+  def name: String
+  /** Lower to a Spark Column over the source column. */
+  def toColumn(src: Column, srcType: DataType): Column
+  /** Single-value semantics (driver-side partition tuples / pruning). */
+  def apply(v: Any, srcType: DataType): Any
+  def resultType(srcType: DataType): DataType
+  def preservesOrder: Boolean = false
+  override def toString: String = name
+}
+
+object Transforms {
+
+  private val EpochDay = java.time.LocalDate.ofEpochDay(0)
+
+  case object Identity extends Transform {
+    val name = "identity"
+    def toColumn(src: Column, t: DataType): Column = src
+    def apply(v: Any, t: DataType): Any = v
+    def resultType(t: DataType): DataType = t
+    override def preservesOrder = true
+  }
+
+  case object Void extends Transform {
+    val name = "void"
+    def toColumn(src: Column, t: DataType): Column = lit(null)
+    def apply(v: Any, t: DataType): Any = null
+    def resultType(t: DataType): DataType = t
+  }
+
+  /** Years since 1970 (int). */
+  case object Years extends Transform {
+    val name = "year"
+    def toColumn(src: Column, t: DataType): Column = (year(src) - lit(1970)).cast(IntegerType)
+    def apply(v: Any, t: DataType): Any = timeUnits(v, t, Years)
+    def resultType(t: DataType): DataType = IntegerType
+    override def preservesOrder = true
+  }
+
+  /** Months since 1970-01 (int). */
+  case object Months extends Transform {
+    val name = "month"
+    def toColumn(src: Column, t: DataType): Column =
+      ((year(src) - lit(1970)) * lit(12) + (month(src) - lit(1))).cast(IntegerType)
+    def apply(v: Any, t: DataType): Any = timeUnits(v, t, Months)
+    def resultType(t: DataType): DataType = IntegerType
+    override def preservesOrder = true
+  }
+
+  /** Days since 1970-01-01; result is date-typed per spec (int ordinal here). */
+  case object Days extends Transform {
+    val name = "day"
+    def toColumn(src: Column, t: DataType): Column =
+      datediff(src.cast(DateType), lit("1970-01-01").cast(DateType)).cast(IntegerType)
+    def apply(v: Any, t: DataType): Any = timeUnits(v, t, Days)
+    def resultType(t: DataType): DataType = DateType
+    override def preservesOrder = true
+  }
+
+  /** Hours since epoch (int); timestamps only. */
+  case object Hours extends Transform {
+    val name = "hour"
+    def toColumn(src: Column, t: DataType): Column =
+      floor(unix_micros(src.cast(TimestampType)).cast(DoubleType) / lit(3600000000.0d)).cast(IntegerType)
+    def apply(v: Any, t: DataType): Any = timeUnits(v, t, Hours)
+    def resultType(t: DataType): DataType = IntegerType
+    override def preservesOrder = true
+  }
+
+  final case class Bucket(n: Int) extends Transform {
+    require(n > 0, s"bucket n must be > 0, got $n")
+    val name = s"bucket[$n]"
+    def toColumn(src: Column, t: DataType): Column = {
+      val nn = n
+      t match {
+        case IntegerType | LongType | DateType =>
+          val f = udf((v: java.lang.Long) =>
+            if (v == null) null else Int.box(bucketLong(v, nn)))
+          f(src.cast(LongType))
+        case TimestampType | TimestampNTZType =>
+          val f = udf((v: java.lang.Long) =>
+            if (v == null) null else Int.box(bucketLong(v, nn)))
+          f(unix_micros(src))
+        case StringType =>
+          val f = udf((v: String) =>
+            if (v == null) null else Int.box(bucketBytes(v.getBytes(StandardCharsets.UTF_8), nn)))
+          f(src)
+        case BinaryType =>
+          val f = udf((v: Array[Byte]) =>
+            if (v == null) null else Int.box(bucketBytes(v, nn)))
+          f(src)
+        case dt: DecimalType =>
+          val f = udf((v: java.math.BigDecimal) =>
+            if (v == null) null else Int.box(bucketBytes(v.unscaledValue.toByteArray, nn)))
+          f(src.cast(dt))
+        case other => throw new IllegalArgumentException(s"bucket over $other unsupported")
+      }
+    }
+    def apply(v: Any, t: DataType): Any = v match {
+      case null => null
+      case i: Int => bucketLong(i.toLong, n)
+      case l: Long => bucketLong(l, n)
+      case s: String => bucketBytes(s.getBytes(StandardCharsets.UTF_8), n)
+      case b: Array[Byte] => bucketBytes(b, n)
+      case d: java.math.BigDecimal => bucketBytes(d.unscaledValue.toByteArray, n)
+      case d: java.sql.Date => bucketLong(d.toLocalDate.toEpochDay, n)
+      case d: java.time.LocalDate => bucketLong(d.toEpochDay, n)
+      case ts: java.sql.Timestamp =>
+        bucketLong(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000, n)
+      case other => throw new IllegalArgumentException(s"bucket of $other")
+    }
+    def resultType(t: DataType): DataType = IntegerType
+  }
+
+  final case class Truncate(w: Int) extends Transform {
+    require(w > 0, s"truncate width must be > 0, got $w")
+    val name = s"truncate[$w]"
+    def toColumn(src: Column, t: DataType): Column = t match {
+      case IntegerType | LongType =>
+        val ww = lit(w.toLong)
+        (src.cast(LongType) - (((src.cast(LongType) % ww) + ww) % ww)).cast(t)
+      case StringType => substring(src, 1, w)
+      case dt: DecimalType =>
+        val f = udf((v: java.math.BigDecimal) =>
+          if (v == null) null else truncDecimal(v, w))
+        f(src.cast(dt)).cast(dt)
+      case BinaryType =>
+        val f = udf((v: Array[Byte]) => if (v == null) null else v.take(w))
+        f(src)
+      case other => throw new IllegalArgumentException(s"truncate over $other unsupported")
+    }
+    def apply(v: Any, t: DataType): Any = v match {
+      case null => null
+      case i: Int => (i - (((i % w) + w) % w))
+      case l: Long => l - (((l % w) + w) % w)
+      case s: String =>
+        // first w codepoints, not chars
+        val cps = s.codePointCount(0, s.length)
+        if (cps <= w) s else s.substring(0, s.offsetByCodePoints(0, w))
+      case b: Array[Byte] => b.take(w)
+      case d: java.math.BigDecimal => truncDecimal(d, w)
+      case other => throw new IllegalArgumentException(s"truncate of $other")
+    }
+    def resultType(t: DataType): DataType = t
+    override def preservesOrder = true
+  }
+
+  private def truncDecimal(v: java.math.BigDecimal, w: Int): java.math.BigDecimal = {
+    val unscaled = v.unscaledValue
+    val ww = BigInteger.valueOf(w.toLong)
+    val m = unscaled.mod(ww) // BigInteger.mod is always non-negative
+    new java.math.BigDecimal(unscaled.subtract(m), v.scale)
+  }
+
+  private def timeUnits(v: Any, t: DataType, tr: Transform): Any = {
+    if (v == null) return null
+    val micros: Long = v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay * 86400000000L
+      case d: java.time.LocalDate => d.toEpochDay * 86400000000L
+      case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+      case l: Long => l // already µs
+      case i: Int => i.toLong * 86400000000L // date ordinal
+      case other => throw new IllegalArgumentException(s"time transform of $other")
+    }
+    val days = Math.floorDiv(micros, 86400000000L)
+    val date = java.time.LocalDate.ofEpochDay(days)
+    tr match {
+      case Years => date.getYear - 1970
+      case Months => (date.getYear - 1970) * 12 + (date.getMonthValue - 1)
+      case Days => days.toInt
+      case Hours => Math.floorDiv(micros, 3600000000L).toInt
+      case _ => throw new IllegalStateException
+    }
+  }
+
+  /** murmur3_x86_32(seed=0) over the 8-byte little-endian encoding. */
+  def bucketLong(v: Long, n: Int): Int = {
+    val bytes = new Array[Byte](8)
+    var i = 0; var x = v
+    while (i < 8) { bytes(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    bucketBytes(bytes, n)
+  }
+
+  def bucketBytes(bytes: Array[Byte], n: Int): Int =
+    (Murmur3.hash(bytes, 0) & Integer.MAX_VALUE) % n
+
+  def parse(s: String): Transform = s match {
+    case "identity" => Identity
+    case "void" => Void
+    case "year" => Years
+    case "month" => Months
+    case "day" => Days
+    case "hour" => Hours
+    case b if b.startsWith("bucket[") => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
+    case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
+    case other => throw new IllegalArgumentException(s"unknown transform: $other")
+  }
+}
+
+/** Standard murmur3_x86_32 (public algorithm, Austin Appleby). Spark's own
+  * `hash()` uses seed 42 over Spark's internal encoding and is NOT
+  * spec-compatible, hence this standalone implementation.
+  */
+object Murmur3 {
+  def hash(data: Array[Byte], seed: Int): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    val len = data.length
+    var h1 = seed
+    val nblocks = len / 4
+    var i = 0
+    while (i < nblocks) {
+      val base = i * 4
+      var k1 = (data(base) & 0xff) | ((data(base + 1) & 0xff) << 8) |
+        ((data(base + 2) & 0xff) << 16) | ((data(base + 3) & 0xff) << 24)
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    (len & 3) match {
+      case 3 =>
+        k1 ^= (data(tail + 2) & 0xff) << 16
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 2 =>
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 1 =>
+        k1 ^= data(tail) & 0xff
+      case _ =>
+    }
+    if ((len & 3) != 0) {
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= len
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+}

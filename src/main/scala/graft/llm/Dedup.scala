@@ -1,0 +1,191 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Murmur3
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - `exact` is one hash-partitioned shuffle on the key columns — identical
+  *    cost shape to a groupBy; AQE handles skewed keys.
+  *  - `minHashLsh` never materializes the O(n^2) pair space: docs meet only
+  *    inside an LSH band bucket (explode -> shuffle on (band, hash) -> min per
+  *    bucket), so cost is O(n * bands) rows shuffled.
+  *  - `nearDupPairs*` verify candidates with an exact Jaccard join only on
+  *    bucket-collision pairs.
+  */
+object Dedup {
+
+  /** Keep exactly one row per distinct key tuple — the one with the smallest
+    * `tieBreaker` value (deterministic representative selection).
+    */
+  def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tieBreaker).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Character shingles of length k over the lowercased, space-normalized text. */
+  def shingles(text: String, k: Int): Set[Int] = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (t.length < k) Set(Murmur3.hash(t.getBytes("UTF-8"), 0))
+    else (0 to t.length - k).iterator
+      .map(i => Murmur3.hash(t.substring(i, i + k).getBytes("UTF-8"), 0))
+      .toSet
+  }
+
+  /** numPerm minhash values via universal hashing h_i(x) = a_i*x + b_i over a
+    * base murmur3 shingle hash. Deterministic (fixed seed).
+    */
+  def minHashSignature(text: String, k: Int, numPerm: Int): Array[Long] = {
+    val sh = shingles(text, k)
+    val rnd = new java.util.Random(42)
+    val as = Array.fill(numPerm)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numPerm)(rnd.nextLong())
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    for (s <- sh) {
+      val x = s.toLong & 0xffffffffL
+      var i = 0
+      while (i < numPerm) {
+        val h = as(i) * x + bs(i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Estimated Jaccard similarity from two minhash signatures. */
+  def sigSimilarity(a: Array[Long], b: Array[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+  /** Band-bucket LSH clustering: docs sharing any (band, bandHash) bucket get
+    * the same cluster id (min doc id over shared buckets — one union step,
+    * which fully merges exact and very-near duplicate groups; chained
+    * transitive clusters need iterating `lshOnce` to a fixpoint).
+    *
+    * Returns (idCol, cluster_id).
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 5, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0)
+    val rows = numPerm / bands
+    val sigUdf = udf((t: String) =>
+      if (t == null) Array.empty[Long] else minHashSignature(t, shingleK, numPerm))
+    val withSig = df.select(col(idCol), sigUdf(col(textCol)).as("__sig"))
+    // band hash = murmur over the band's row values
+    val bandUdf = udf((sig: Seq[Long]) =>
+      if (sig.isEmpty) Array.empty[Long]
+      else sig.grouped(rows).zipWithIndex.map { case (band, bi) =>
+        val bb = java.nio.ByteBuffer.allocate(band.length * 8)
+        band.foreach(bb.putLong)
+        (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
+      }.toArray)
+    val buckets = withSig
+      .select(col(idCol), explode(bandUdf(col("__sig"))).as("__bucket"))
+    val clusters = buckets
+      .groupBy(col("__bucket"))
+      .agg(min(col(idCol)).as("__bmin"))
+    buckets.join(clusters, "__bucket")
+      .groupBy(col(idCol))
+      .agg(min(col("__bmin")).as("cluster_id"))
+  }
+
+  /** Candidate near-duplicate pairs via LSH, verified with exact shingle
+    * Jaccard >= threshold. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def nearDupPairsMinHash(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, shingleK: Int = 5,
+                          numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0)
+    val rows = numPerm / bands
+    val sigUdf = udf((t: String) =>
+      if (t == null) Array.empty[Long] else minHashSignature(t, shingleK, numPerm))
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      sigUdf(col(textCol)).as("sig"))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      sig.grouped(rows).zipWithIndex.map { case (band, bi) =>
+        val bb = java.nio.ByteBuffer.allocate(band.length * 8)
+        band.foreach(bb.putLong)
+        (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
+      }.toArray)
+    val buckets = withSig.select(col("id"), col("text"),
+      explode(bandUdf(col("sig"))).as("bucket"))
+    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("text").as("text_a"))
+    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("text").as("text_b"))
+    val jacc = udf((x: String, y: String) => {
+      val sa = shingles(x, shingleK); val sb = shingles(y, shingleK)
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      if (union == 0) 1.0 else inter.toDouble / union
+    })
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("jaccard", jacc(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens (weighted by term frequency). */
+  def simHash64(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h1 = Murmur3.hash(tok.getBytes("UTF-8"), 0).toLong & 0xffffffffL
+        val h2 = Murmur3.hash(tok.getBytes("UTF-8"), 31).toLong & 0xffffffffL
+        val h = (h1 << 32) | h2
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** (id, simhash) for every row; near-dups have small hamming distance. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = udf((t: String) => simHash64(t))
+    df.select(col(idCol), f(col(textCol)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: block on 4 x 16-bit sub-bands (any
+    * pair within hamming distance <= 3 shares at least one full band), then
+    * verify the true distance.
+    */
+  def nearDupPairsSimHash(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val f = udf((t: String) => simHash64(t))
+    val sh = df.select(col(idCol).as("id"), f(col(textCol)).as("sh"))
+    val bandU = udf((h: Long) => (0 until 4).map(i =>
+      (i.toLong << 16) | ((h >>> (i * 16)) & 0xffffL)).toArray)
+    val banded = sh.select(col("id"), col("sh"), explode(bandU(col("sh"))).as("band"))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val ham = udf((x: Long, y: Long) => hamming64(x, y))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", ham(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

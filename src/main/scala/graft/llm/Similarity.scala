@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, both deterministic:
+  *  - `bruteForceTopK`: exact cosine top-k. The (small) query set is
+  *    broadcast; the corpus is scanned once; per-key top-k is computed with a
+  *    two-stage aggregation (partial top-k per partition, then merge), so no
+  *    O(|Q|x|C|) row set ever crosses a shuffle boundary un-reduced.
+  *  - `lshTopK`: random-hyperplane LSH bucketing (sign bits of seeded
+  *    Gaussian projections). Queries only meet corpus vectors in their bucket
+  *    (+ optional multi-probe neighbors), the scale path for huge corpora:
+  *    shuffle keys are (bucket), cost O(n) rows.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double arrays (codegen'd, no UDF). */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (qid, rank, cid, cosine).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .select(col("qid"), col("cid"), col("cos"))
+    topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
+      .withColumn("cosine", round(col("cos"), 6))
+      .drop("cos")
+  }
+
+  /** Two-stage distributed top-k: partial top-k inside each input partition
+    * (window keyed by (key, partition id) — no shuffle moves the full pair
+    * set), then a final top-k over <= k rows per (key, partition). Ties
+    * broken by `tie` for determinism.
+    */
+  def topKPerKey(df: DataFrame, key: String, ord: Column, tie: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fin = Window.partitionBy(col(key)).orderBy(ord, tie)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy(col(key), col("__pid")).orderBy(ord, tie)))
+      .filter(col("__prn") <= k)
+      .drop("__pid", "__prn")
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `nbits` x `dim`, seeded. */
+  def hyperplanes(dim: Int, nbits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def signBucket(vec: Seq[Double], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var i = 0
+    while (i < planes.length) {
+      var dot = 0.0
+      val p = planes(i)
+      var j = 0
+      while (j < p.length && j < vec.length) { dot += p(j) * vec(j); j += 1 }
+      if (dot >= 0) bucket |= (1 << i)
+      i += 1
+    }
+    bucket
+  }
+
+  /** LSH-bucketed approximate top-k. Multi-probe: each query also probes the
+    * `probes` buckets at hamming distance 1 with the weakest hyperplane
+    * margins, trading recall for fan-out.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nbits: Int = 8,
+              probes: Int = 3, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val qd = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val cd = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    // dim from schema is unknown until runtime; capture planes lazily per-row
+    val planesBySeed = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+    def planesFor(dim: Int): Array[Array[Double]] = {
+      planesBySeed.computeIfAbsent(dim, d => hyperplanes(d, nbits, seed))
+    }
+    val bucketU = udf((v: Seq[Double]) => signBucket(v, planesFor(v.length)))
+    val probeU = udf((v: Seq[Double]) => {
+      val planes = planesFor(v.length)
+      val base = signBucket(v, planes)
+      val margins = planes.indices.map { i =>
+        var dot = 0.0
+        var j = 0
+        while (j < planes(i).length && j < v.length) { dot += planes(i)(j) * v(j); j += 1 }
+        (math.abs(dot), i)
+      }.sortBy(_._1).take(probes)
+      (base +: margins.map { case (_, i) => base ^ (1 << i) }).distinct.toArray
+    })
+    val cb = cd.withColumn("bucket", bucketU(col("cv")))
+    val qb = qd.withColumn("bucket", explode(probeU(col("qv"))))
+    val pairs = cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .groupBy("qid", "cid").agg(max("cos").as("cos")) // dedup multi-probe hits
+    topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
+      .withColumn("cosine", round(col("cos"), 6))
+      .drop("cos")
+  }
+}

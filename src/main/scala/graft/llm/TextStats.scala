@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * All column-level operators are built from `org.apache.spark.sql.functions`
+  * (whole-stage-codegen'd) where expressible; only langid and the rolling
+  * fingerprint need scalar UDFs.
+  */
+object TextStats {
+
+  /** Whitespace token count (codegen'd, no UDF). */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** BPE-ish subword token estimate: words + standalone punctuation, counting
+    * a long word as ceil(len/4) subword units (rough GPT-style heuristic).
+    */
+  def tokenCountBpeIsh(c: Column): Column = {
+    val words = regexp_extract_all(c, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))
+    coalesce(
+      aggregate(words, lit(0L),
+        (acc, w) => acc + ceil(length(w).cast("double") / lit(4.0)).cast("long")),
+      lit(0L))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit("[\\p{Punct}]"), lit(0))).cast("double") /
+        length(c).cast("double"))
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(c: Column): Column = {
+    val letters = size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0)))
+    when(letters === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit("[A-Z]"), lit(0))).cast("double") /
+        letters.cast("double"))
+  }
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "it", "that", "this", "for", "on", "with", "as")
+
+  /** Fraction of whitespace tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val sw = array(stopwords.map(lit): _*)
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  def meanWordLength(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite [0,1] quality score from length / punctuation / stopword /
+    * word-shape signals — the usual "is this prose" pre-filter for training
+    * corpora. Weights are heuristic; each signal is individually exposed.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(200.0), lit(1.0))
+    val punct = punctRatio(c)
+    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct * 5.0 * 0.5)
+    val sw = stopwordRatio(c)
+    val swScore = when(sw > 0.6, lit(0.5)).otherwise(least(sw * lit(3.0), lit(1.0)))
+    val mwl = meanWordLength(c)
+    val shapeScore = when(mwl < 2.0 || mwl > 12.0, lit(0.2)).otherwise(lit(1.0))
+    round(lenScore * 0.3 + punctScore * 0.2 + swScore * 0.3 + shapeScore * 0.2, 6)
+  }
+
+  // ------------------------------------------------------------ language id
+
+  private val langProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "are"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den", "mit", "von"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "des", "du", "que", "pour", "dans"),
+    "es" -> Set("el", "los", "las", "y", "es", "un", "una", "de", "en", "por", "para", "con"),
+    "it" -> Set("il", "lo", "gli", "e", "di", "che", "un", "una", "per", "sono", "con", "del"),
+    "pt" -> Set("o", "os", "as", "e", "de", "que", "um", "uma", "para", "com", "em", "do"))
+
+  /** Lightweight language id: CJK/Cyrillic/Greek script detection first, then
+    * stopword voting with diacritic tie-breakers for latin-script languages.
+    * Returns ISO-639-1 code or "und".
+    */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.trim.isEmpty) return "und"
+    val cps = text.codePoints().toArray
+    val total = cps.length.max(1)
+    def ratio(pred: Int => Boolean) = cps.count(pred).toDouble / total
+    if (ratio(cp => (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)) > 0.10) {
+      // Han; disambiguate ja via kana
+      if (ratio(cp => (cp >= 0x3040 && cp <= 0x30FF)) > 0.05) return "ja" else return "zh"
+    }
+    if (ratio(cp => cp >= 0x3040 && cp <= 0x30FF) > 0.10) return "ja"
+    if (ratio(cp => cp >= 0xAC00 && cp <= 0xD7AF) > 0.10) return "ko"
+    if (ratio(cp => cp >= 0x0400 && cp <= 0x04FF) > 0.30) return "ru"
+    if (ratio(cp => cp >= 0x0370 && cp <= 0x03FF) > 0.30) return "el"
+    if (ratio(cp => cp >= 0x0600 && cp <= 0x06FF) > 0.30) return "ar"
+    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    val votes = langProfiles.map { case (lang, sw) =>
+      lang -> toks.count(sw.contains).toDouble / toks.length
+    }
+    val diacritics = Map(
+      "de" -> "äöüß", "fr" -> "éèêëàâçîïôœù", "es" -> "áéíóúñ¿¡", "pt" -> "ãõáâêçí")
+    val boosted = votes.map { case (lang, v) =>
+      val d = diacritics.get(lang).map(ds =>
+        text.count(ch => ds.indexOf(ch.toInt) >= 0).toDouble / total).getOrElse(0.0)
+      lang -> (v + d * 5.0)
+    }
+    val (best, score) = boosted.maxBy { case (l, v) => (v, l) }
+    if (score < 0.02) "und" else best
+  }
+
+  def langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => detectLanguage(t))
+
+  // ---------------------------------------------------------- fingerprinting
+
+  /** Polynomial rolling hash over the normalized text (base 1000003 mod
+    * 2^61-1) — a stable whole-document fingerprint.
+    */
+  def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    val M = (1L << 61) - 1
+    val B = 1000003L
+    var h = 0L
+    val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+    var i = 0
+    while (i < t.length) {
+      // (h*B + c) mod M without overflow: use Math.multiplyHigh-free 128-bit via BigInt-free split
+      val hi = Math.multiplyHigh(h, B)
+      val lo = h * B
+      // fold 128-bit (hi,lo) mod 2^61-1: (lo & M) + (lo>>>61 | hi<<3)
+      var folded = (lo & M) + ((lo >>> 61) | (hi << 3))
+      if (folded >= M) folded -= M
+      h = folded + t.charAt(i).toLong
+      if (h >= M) h -= M
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing fingerprint: min k-gram hash per window — a compact sketch for
+    * substring-level dup detection. Returns sorted distinct selected hashes.
+    */
+  def winnow(text: String, k: Int = 8, window: Int = 4): Array[Long] = {
+    if (text == null || text.length < k) return Array(fingerprint64(text))
+    val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (t.length < k) return Array(fingerprint64(t))
+    val grams = (0 to t.length - k).map(i =>
+      graft.core.Murmur3.hash(t.substring(i, i + k).getBytes("UTF-8"), 0).toLong & 0xffffffffL)
+    grams.sliding(window).map(_.min).toArray.distinct.sorted
+  }
+
+  def fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => fingerprint64(t))
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One gate-visible query: a Spark DataFrame program plus (when the semantics
+  * are ANSI-SQL-expressible) an equivalent DuckDB SQL oracle over the same
+  * parquet tables. Numeric results route through exact decimal arithmetic and
+  * are cast to double only at the end, so Spark and DuckDB agree bit-for-bit
+  * regardless of partial-aggregation order.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS): Spark is µs-only, so read ns as long
+      // (SURVEY §1.2) and convert explicitly where needed.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact 2-dp money/ratio arithmetic: the testdata doubles carry <=2dp. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  def d(c: Column): Column = c.cast(DoubleType)
+}

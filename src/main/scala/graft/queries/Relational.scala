@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Transforms
+import Q._
+
+/** Relational query surface over the testdata star schema. Each query pairs a
+  * Spark program with a DuckDB oracle; all double outputs come from exact
+  * decimal arithmetic so both engines agree bit-for-bit.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          d(sum(col("l_quantity"))).as("sum_qty"),
+          d(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          d(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("sum_disc_price"),
+          (d(sum(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q2_join_agg", (s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          d(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"), col("o_year"))
+    }, Some("""
+      SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, CAST(year(o_orderdate) AS INTEGER)
+      ORDER BY c_mktsegment, o_year""")),
+
+    QueryDef("q3_topk", (s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      l.groupBy(col("l_orderkey"))
+        .agg(d(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10""")),
+
+    QueryDef("q4_semijoin", (s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      val keys = l.filter(col("l_quantity") === 50).select(col("l_orderkey")).distinct()
+      o.join(keys, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
+    QueryDef("q5_window", (s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      l.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("price"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }, Some("""
+      SELECT l_suppkey, rn, l_orderkey, l_linenumber, price FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice AS price,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        FROM lineitem) t
+      WHERE rn <= 3
+      ORDER BY l_suppkey, rn""")),
+
+    QueryDef("q6_predicates", (s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      l.filter(
+        col("l_returnflag").isin("A", "N") &&
+          !col("l_quantity").isin(1.0, 2.0, 3.0) &&
+          col("l_shipdate").between(
+            lit("1994-01-01 00:00:00").cast(TimestampType),
+            lit("1996-12-31 23:59:59").cast(TimestampType)) &&
+          col("l_linestatus").isNotNull &&
+          !(col("l_returnflag") === "N" && col("l_linestatus") === "O"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), d(sum(col("l_quantity"))).as("qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_returnflag IN ('A','N')
+        AND l_quantity NOT IN (1,2,3)
+        AND l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        AND l_linestatus IS NOT NULL
+        AND NOT (l_returnflag = 'N' AND l_linestatus = 'O')
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q7_setops", (s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val a = o.select(col("o_custkey").as("k")).distinct()
+      val b = c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k")).distinct()
+      val ex = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+      val in = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      ex.unionByName(in).select(col("op"), col("n")).orderBy(col("op"))
+    }, Some("""
+      SELECT 'except' AS op,
+             (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+               EXCEPT SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0) t1) AS n
+      UNION ALL
+      SELECT 'intersect' AS op,
+             (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+               INTERSECT SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0) t2) AS n
+      ORDER BY op""")),
+
+    // Iceberg time transforms (year/month/day/hour since epoch) as columns,
+    // checked against DuckDB arithmetic — validates graft.core.Transforms.
+    QueryDef("q8_transform_time", (s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val ts = col("l_shipdate")
+      l.select(
+        Transforms.Years.toColumn(ts, TimestampType).as("y"),
+        Transforms.Months.toColumn(ts, TimestampType).as("m"),
+        Transforms.Days.toColumn(ts, TimestampType).as("dd"),
+        Transforms.Hours.toColumn(ts, TimestampType).as("hh"))
+        .groupBy(col("y"), col("m"))
+        .agg(count(lit(1)).as("n"),
+          min(col("dd")).as("min_day"), max(col("dd")).as("max_day"),
+          min(col("hh")).as("min_hour"), max(col("hh")).as("max_hour"))
+        .orderBy(col("y"), col("m"))
+    }, Some("""
+      SELECT CAST(year(l_shipdate) - 1970 AS INTEGER) AS y,
+             CAST((year(l_shipdate) - 1970) * 12 + (month(l_shipdate) - 1) AS INTEGER) AS m,
+             COUNT(*) AS n,
+             CAST(MIN(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS INTEGER) AS min_day,
+             CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS INTEGER) AS max_day,
+             CAST(MIN(floor(epoch_us(l_shipdate) / 3600000000)) AS INTEGER) AS min_hour,
+             CAST(MAX(floor(epoch_us(l_shipdate) / 3600000000)) AS INTEGER) AS max_hour
+      FROM lineitem
+      GROUP BY 1, 2
+      ORDER BY y, m""")),
+
+    QueryDef("q8_transform_trunc", (s, dir) => {
+      val c = tbl(s, dir, "customer")
+      c.select(
+        Transforms.Truncate(1).toColumn(col("c_mktsegment"), StringType).as("seg"),
+        Transforms.Truncate(100).toColumn(col("c_custkey"), LongType).as("kb"))
+        .groupBy(col("seg"), col("kb"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("seg"), col("kb"))
+    }, Some("""
+      SELECT substr(c_mktsegment, 1, 1) AS seg,
+             CAST(c_custkey - (((c_custkey % 100) + 100) % 100) AS BIGINT) AS kb,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2
+      ORDER BY seg, kb""")),
+
+    QueryDef("q9_events_hourly", (s, dir) => {
+      val e = tbl(s, dir, "events")
+        // ns-long -> µs timestamp; integer division keeps full precision
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          d(sum(dec(col("value")))).as("sum_value"),
+          sum(coalesce(
+            expr("try_cast(regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) AS BIGINT)"),
+            lit(0L))).as("sum_k"))
+        .orderBy(col("h"), col("event_type"))
+    }, Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS sum_k
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY h, event_type"""))
+  )
+}

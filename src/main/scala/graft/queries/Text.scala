@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, TextStats}
+import Q._
+
+/** LLM-corpus text operators over the `documents` table. Queries whose
+  * semantics are ANSI-expressible carry DuckDB oracles; sketch-based ops
+  * (minhash/simhash/fingerprint/langid) are covered by unit tests instead and
+  * run as rows-only checks here.
+  *
+  * Several queries run against a doubled corpus (documents UNION documents
+  * with shifted ids) so dedup operators demonstrably remove rows.
+  */
+object Text {
+
+  private def doubled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = tbl(s, dir, "documents")
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("t1_dedup_exact", (s, dir) => {
+      val u = doubled(s, dir)
+      Dedup.exact(u, Seq("text"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, source, n_chars FROM documents),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM u GROUP BY text)
+      SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+      FROM u JOIN keep USING (doc_id)
+      GROUP BY source
+      ORDER BY source""")),
+
+    QueryDef("t2_token_stats", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // whitespace token count via the length-difference identity, which is
+      // exactly expressible in ANSI SQL (single-space-separated corpus)
+      val ntok = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1)).cast("long")
+      docs.select(col("source"), ntok.as("ntok"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("total_tokens"),
+          max(col("ntok")).as("max_tokens"),
+          (d(sum(col("n_chars"))) / count(lit(1))).as("avg_chars"))
+        .orderBy(col("source"))
+    }, Some("""
+      SELECT source,
+             SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS total_tokens,
+             MAX(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS max_tokens,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents
+      GROUP BY source
+      ORDER BY source""")),
+
+    QueryDef("t3_text_quality", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // SQL-expressible quality signals: per-lang punctuation density and
+      // occurrences of the stopword "the" (length-difference trick on both sides)
+      val nThe = ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / lit(3)).cast("long")
+      val nPeriod = (length(col("text")) - length(regexp_replace(col("text"), "\\.", ""))).cast("long")
+      docs.select(col("lang"), nThe.as("n_the"), nPeriod.as("n_period"), col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_the")).as("the_total"),
+          sum(col("n_period")).as("period_total"),
+          (d(sum(col("n_the"))) * 1000.0 / d(sum(col("n_chars")))).as("the_per_kchar"))
+        .orderBy(col("lang"))
+    }, Some("""
+      SELECT lang,
+             SUM(CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)) AS the_total,
+             SUM(CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)) AS period_total,
+             CAST(SUM(CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)) AS DOUBLE) * 1000.0
+               / CAST(SUM(n_chars) AS DOUBLE) AS the_per_kchar
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""")),
+
+    QueryDef("t4_quality_score", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextStats.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextStats.tokenCountBpeIsh(col("text")).as("n_tokens_bpe"),
+        TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    QueryDef("t5_langid", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id"), TextStats.langIdUdf(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    QueryDef("t6_fingerprint", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    QueryDef("t7_minhash_clusters", (s, dir) => {
+      val u = doubled(s, dir)
+      // exact dup pairs (id, id+1M) must land in the same cluster; clusters
+      // therefore have >= 2 members and cluster_id == original doc_id
+      Dedup.minHashLsh(u, "doc_id", "text")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("cluster_id"))
+    }, None),
+
+    QueryDef("t8_simhash", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.simHash(docs, "doc_id", "text").orderBy(col("doc_id"))
+    }, None),
+
+    QueryDef("t9_neardup_pairs", (s, dir) => {
+      val u = doubled(s, dir)
+      Dedup.nearDupPairsMinHash(u, "doc_id", "text", threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    QueryDef("t10_simhash_pairs", (s, dir) => {
+      val u = doubled(s, dir)
+      Dedup.nearDupPairsSimHash(u, "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    QueryDef("mm1_binary_meta", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+      ORDER BY doc_id""")),
+
+    QueryDef("mm2_media_features", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val media = Multimodal.documentsAsMedia(s, docs)
+      Multimodal.extractFeatures(media).toDF().orderBy(col("media_id"))
+    }, None)
+  )
+}
