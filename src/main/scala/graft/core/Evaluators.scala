@@ -1,0 +1,218 @@
+package graft.core
+
+import graft.core.Expr._
+import graft.core.IcebergTypes._
+import graft.format.{DataFile, FieldSummary, ManifestFile, PartitionSpec}
+
+/** Metadata-pruning evaluators — the heart of the reference
+  * (`table/evaluators.go:42-1683`). All are *inclusive*: they answer
+  * "rows might match" and may only false-positive, never false-negative, so
+  * pruning can never change results.
+  */
+object Evaluators {
+
+  /** Project a data-space predicate to partition space ("inclusive
+    * projection", `table/evaluators.go:584-657`). For each partition field
+    * whose source column the predicate references, rewrite through the
+    * transform; un-projectable nodes degrade to AlwaysTrue.
+    *
+    * Order-preserving transforms project comparisons by applying the
+    * transform to the literal and relaxing strictness (x < v => t(x) <=
+    * t(v)); bucket projects only Eq/In.
+    */
+  def inclusiveProjection(schema: IcebergSchema, spec: PartitionSpec)(expr: Expr): Expr = {
+    val bySource: Map[String, Seq[graft.format.PartitionField]] =
+      spec.fields.groupBy(pf => schema.idToField(pf.sourceId).name)
+
+    def project(e: Expr): Expr = e match {
+      case AlwaysTrue => AlwaysTrue
+      case AlwaysFalse => AlwaysFalse
+      case And(l, r) => Expr.and(project(l), project(r))
+      // OR must project both sides or give up: a partial OR projection is not inclusive
+      case Or(l, r) =>
+        val pl = project(l); val pr = project(r)
+        if (pl == AlwaysTrue || pr == AlwaysTrue) AlwaysTrue else Expr.or(pl, pr)
+      case Not(_) => AlwaysTrue // callers rewriteNot first
+      case p @ Predicate(op, ref, lits) =>
+        bySource.get(ref) match {
+          case None => AlwaysTrue // column not partitioned on
+          case Some(pfs) =>
+            pfs.map(pf => projectPredicate(pf, schema, op, lits))
+              .reduceOption(Expr.and).getOrElse(AlwaysTrue)
+        }
+    }
+    project(rewriteNot(expr))
+  }
+
+  private def projectPredicate(pf: graft.format.PartitionField, schema: IcebergSchema,
+      op: Op, lits: Seq[Any]): Expr = {
+    val srcType = schema.idToField(pf.sourceId).fieldType
+    val sparkT = SchemaBridge.toSparkType(srcType)
+    def t(v: Any): Any = pf.transform.apply(v, sparkT)
+    pf.transform match {
+      case Transforms.Void => AlwaysTrue
+      case Transforms.Identity =>
+        Predicate(op, pf.name, lits)
+      case Transforms.Bucket(_) => op match {
+        case Op.Eq => Predicate(Op.Eq, pf.name, lits.map(t))
+        case Op.In => Expr.in(pf.name, lits.map(t))
+        case Op.IsNull | Op.NotNull => Predicate(op, pf.name)
+        case _ => AlwaysTrue
+      }
+      case tr if tr.preservesOrder => op match {
+        case Op.IsNull | Op.NotNull => Predicate(op, pf.name)
+        case Op.Lt => Predicate(Op.LtEq, pf.name, Seq(t(lits.head)))
+        case Op.LtEq => Predicate(Op.LtEq, pf.name, Seq(t(lits.head)))
+        case Op.Gt => Predicate(Op.GtEq, pf.name, Seq(t(lits.head)))
+        case Op.GtEq => Predicate(Op.GtEq, pf.name, Seq(t(lits.head)))
+        case Op.Eq => Predicate(Op.Eq, pf.name, Seq(t(lits.head)))
+        case Op.In => Expr.in(pf.name, lits.map(t))
+        case Op.StartsWith => srcType match {
+          // truncate[w] on strings: prefix-compare in truncated space
+          case StringT => pf.transform match {
+            case Transforms.Truncate(w) =>
+              val s = lits.head.toString
+              if (s.length >= w) Predicate(Op.Eq, pf.name, Seq(s.substring(0, w)))
+              else Predicate(Op.StartsWith, pf.name, Seq(s))
+            case _ => AlwaysTrue
+          }
+          case _ => AlwaysTrue
+        }
+        case _ => AlwaysTrue
+      }
+      case _ => AlwaysTrue
+    }
+  }
+
+  /** Manifest-level pruning (`manifestEvalVisitor`, `table/evaluators.go:42-582`):
+    * evaluates the partition-space predicate against each manifest's
+    * per-partition-field summaries. Returns true iff rows might match.
+    */
+  def manifestMightMatch(schema: IcebergSchema, spec: PartitionSpec,
+      partitionExpr: Expr, manifest: ManifestFile): Boolean = {
+    if (manifest.partitions.isEmpty) return true
+    val partType = spec.partitionType(schema)
+    val byName: Map[String, (FieldSummary, IcebergType)] =
+      spec.fields.zip(manifest.partitions).zip(partType.fields).map {
+        case ((pf, summary), nf) => pf.name -> (summary, nf.fieldType)
+      }.toMap
+
+    def eval(e: Expr): Boolean = e match {
+      case AlwaysTrue => true
+      case AlwaysFalse => false
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r) => eval(l) || eval(r)
+      case Not(c) => true // conservatively might-match; rewriteNot removes these
+      case Predicate(op, ref, lits) =>
+        byName.get(ref) match {
+          case None => true
+          case Some((s, ft)) => predMightMatch(op, lits, ft,
+            lower = s.lowerBound.map(Literals.decode(ft, _)),
+            upper = s.upperBound.map(Literals.decode(ft, _)),
+            mayNull = s.containsNull,
+            mayNan = s.containsNan.getOrElse(true),
+            allNull = !s.lowerBound.isDefined && s.containsNull,
+            allNan = false)
+        }
+    }
+    eval(partitionExpr)
+  }
+
+  /** File-level stats pruning (inclusive metrics evaluator,
+    * `table/evaluators.go:714-1288`). `expr` is in data space; `schema` is
+    * the table schema. Returns true iff the file's rows might match.
+    */
+  def fileMightMatch(schema: IcebergSchema, expr: Expr, f: DataFile): Boolean = {
+    if (f.recordCount == 0) return false
+
+    def eval(e: Expr): Boolean = e match {
+      case AlwaysTrue => true
+      case AlwaysFalse => false
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r) => eval(l) || eval(r)
+      case Not(_) => true
+      case Predicate(op, ref, lits) =>
+        schema.findField(ref) match {
+          case None => true
+          case Some(field) =>
+            val id = field.id
+            val ft = field.fieldType
+            val valueCount = f.valueCounts.get(id)
+            val nullCount = f.nullCounts.get(id)
+            val nanCount = f.nanCounts.get(id)
+            val allNull = (valueCount, nullCount) match {
+              case (Some(v), Some(n)) => v == n
+              case _ => false
+            }
+            val allNan = (valueCount, nanCount) match {
+              case (Some(v), Some(n)) => v == n && v > 0
+              case _ => false
+            }
+            predMightMatch(op, lits, ft,
+              lower = f.lowerBounds.get(id).map(Literals.decode(ft, _)),
+              upper = f.upperBounds.get(id).map(Literals.decode(ft, _)),
+              mayNull = nullCount.forall(_ > 0),
+              mayNan = nanCount.forall(_ > 0),
+              allNull = allNull, allNan = allNan)
+        }
+    }
+    eval(rewriteNot(expr))
+  }
+
+  /** Shared inclusive bound logic. `lower`/`upper` are decoded values (None =
+    * stat missing => unknown => might match).
+    */
+  private def predMightMatch(op: Op, lits: Seq[Any], ft: IcebergType,
+      lower: Option[Any], upper: Option[Any], mayNull: Boolean, mayNan: Boolean,
+      allNull: Boolean, allNan: Boolean): Boolean = {
+    def cmpLower(v: Any): Option[Int] = lower.map(l => Literals.compare(ft, l, v))
+    def cmpUpper(v: Any): Option[Int] = upper.map(u => Literals.compare(ft, u, v))
+    op match {
+      case Op.IsNull => mayNull
+      case Op.NotNull => !allNull
+      case Op.IsNan => mayNan
+      case Op.NotNan => !allNan
+      case _ if allNull => false // value comparisons can't match an all-null column
+      case Op.Lt => cmpLower(lits.head).forall(_ < 0)
+      case Op.LtEq => cmpLower(lits.head).forall(_ <= 0)
+      case Op.Gt => cmpUpper(lits.head).forall(_ > 0)
+      case Op.GtEq => cmpUpper(lits.head).forall(_ >= 0)
+      case Op.Eq =>
+        cmpLower(lits.head).forall(_ <= 0) && cmpUpper(lits.head).forall(_ >= 0)
+      case Op.NotEq => true
+      case Op.In =>
+        lits.exists(v => cmpLower(v).forall(_ <= 0) && cmpUpper(v).forall(_ >= 0))
+      case Op.NotIn => true
+      case Op.StartsWith =>
+        val prefix = lits.head.toString
+        val lowerOk = lower.forall { l =>
+          val ls = l.toString
+          val lt = if (ls.length > prefix.length) ls.substring(0, prefix.length) else ls
+          lt.compareTo(prefix) <= 0
+        }
+        val upperOk = upper.forall { u =>
+          val us = u.toString
+          val ut = if (us.length > prefix.length) us.substring(0, prefix.length) else us
+          ut.compareTo(prefix) >= 0
+        }
+        lowerOk && upperOk
+      case Op.NotStartsWith => true
+    }
+  }
+
+  /** Partition-value filter at file granularity (exact row eval over the
+    * file's partition tuple; `table/scanner.go:480-507`).
+    */
+  def partitionMatches(schema: IcebergSchema, spec: PartitionSpec,
+      partitionExpr: Expr, f: DataFile): Boolean = {
+    if (spec.isUnpartitioned) return true
+    val partType = spec.partitionType(schema)
+    val values: Map[String, Any] = spec.fields.zip(f.partition).map {
+      case (pf, v) => pf.name -> v
+    }.toMap
+    val types: Map[String, IcebergType] = partType.fields.map(nf => nf.name -> nf.fieldType).toMap
+    Expr.evalRow(rewriteNot(partitionExpr),
+      name => types.getOrElse(name, StringT),
+      name => values.getOrElse(name, null))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import IcebergTypes._
+
+/** The predicate algebra (reference `exprs.go`/`predicates.go`): a small AST
+  * used for metadata pruning (manifests + file stats, driver-side) and
+  * lowered 1:1 onto Catalyst `Column`s for the residual row filter — exactly
+  * the reference's split (prune with its own AST, delegate row filtering to
+  * Arrow; here Catalyst).
+  */
+sealed trait Expr {
+  def negate: Expr
+}
+
+object Expr {
+  case object AlwaysTrue extends Expr { def negate = AlwaysFalse }
+  case object AlwaysFalse extends Expr { def negate = AlwaysTrue }
+
+  final case class And(left: Expr, right: Expr) extends Expr {
+    def negate = Or(left.negate, right.negate)
+  }
+  final case class Or(left: Expr, right: Expr) extends Expr {
+    def negate = And(left.negate, right.negate)
+  }
+  final case class Not(child: Expr) extends Expr { def negate = child }
+
+  sealed trait Op
+  object Op {
+    case object IsNull extends Op
+    case object NotNull extends Op
+    case object IsNan extends Op
+    case object NotNan extends Op
+    case object Lt extends Op
+    case object LtEq extends Op
+    case object Gt extends Op
+    case object GtEq extends Op
+    case object Eq extends Op
+    case object NotEq extends Op
+    case object StartsWith extends Op
+    case object NotStartsWith extends Op
+    case object In extends Op
+    case object NotIn extends Op
+
+    def negate(op: Op): Op = op match {
+      case IsNull => NotNull
+      case NotNull => IsNull
+      case IsNan => NotNan
+      case NotNan => IsNan
+      case Lt => GtEq
+      case LtEq => Gt
+      case Gt => LtEq
+      case GtEq => Lt
+      case Eq => NotEq
+      case NotEq => Eq
+      case StartsWith => NotStartsWith
+      case NotStartsWith => StartsWith
+      case In => NotIn
+      case NotIn => In
+    }
+  }
+
+  /** Predicate on a named column (term = identity reference; predicates over
+    * transformed terms arrive pre-projected by the planner).
+    */
+  final case class Predicate(op: Op, ref: String, literals: Seq[Any] = Nil) extends Expr {
+    def negate = Predicate(Op.negate(op), ref, literals)
+    def literal: Any = literals.head
+  }
+
+  // smart constructors mirroring the reference's auto-simplification
+  def and(l: Expr, r: Expr): Expr = (l, r) match {
+    case (AlwaysFalse, _) | (_, AlwaysFalse) => AlwaysFalse
+    case (AlwaysTrue, x) => x
+    case (x, AlwaysTrue) => x
+    case _ => And(l, r)
+  }
+  def or(l: Expr, r: Expr): Expr = (l, r) match {
+    case (AlwaysTrue, _) | (_, AlwaysTrue) => AlwaysTrue
+    case (AlwaysFalse, x) => x
+    case (x, AlwaysFalse) => x
+    case _ => Or(l, r)
+  }
+  def not(e: Expr): Expr = e match {
+    case Not(x) => x // double negation collapses (exprs.go NewNot)
+    case AlwaysTrue => AlwaysFalse
+    case AlwaysFalse => AlwaysTrue
+    case other => Not(other)
+  }
+  def in(ref: String, lits: Seq[Any]): Expr = lits.distinct match {
+    case Nil => AlwaysFalse
+    case Seq(one) => Predicate(Op.Eq, ref, Seq(one))
+    case many => Predicate(Op.In, ref, many)
+  }
+  def notIn(ref: String, lits: Seq[Any]): Expr = lits.distinct match {
+    case Nil => AlwaysTrue
+    case Seq(one) => Predicate(Op.NotEq, ref, Seq(one))
+    case many => Predicate(Op.NotIn, ref, many)
+  }
+
+  def isNull(ref: String): Expr = Predicate(Op.IsNull, ref)
+  def notNull(ref: String): Expr = Predicate(Op.NotNull, ref)
+  def isNan(ref: String): Expr = Predicate(Op.IsNan, ref)
+  def lt(ref: String, v: Any): Expr = Predicate(Op.Lt, ref, Seq(v))
+  def ltEq(ref: String, v: Any): Expr = Predicate(Op.LtEq, ref, Seq(v))
+  def gt(ref: String, v: Any): Expr = Predicate(Op.Gt, ref, Seq(v))
+  def gtEq(ref: String, v: Any): Expr = Predicate(Op.GtEq, ref, Seq(v))
+  def eq(ref: String, v: Any): Expr = Predicate(Op.Eq, ref, Seq(v))
+  def notEq(ref: String, v: Any): Expr = Predicate(Op.NotEq, ref, Seq(v))
+  def startsWith(ref: String, v: String): Expr = Predicate(Op.StartsWith, ref, Seq(v))
+
+  /** Push NOT down via De Morgan / operator negation (reference
+    * `visitors.go:453-481`) — required before running pruning evaluators.
+    */
+  def rewriteNot(e: Expr): Expr = e match {
+    case Not(child) => rewriteNot(child.negate)
+    case And(l, r) => And(rewriteNot(l), rewriteNot(r))
+    case Or(l, r) => Or(rewriteNot(l), rewriteNot(r))
+    case other => other
+  }
+
+  /** Referenced column names (reference `visitors.go:484-531`). */
+  def references(e: Expr): Set[String] = e match {
+    case And(l, r) => references(l) ++ references(r)
+    case Or(l, r) => references(l) ++ references(r)
+    case Not(c) => references(c)
+    case Predicate(_, ref, _) => Set(ref)
+    case _ => Set.empty
+  }
+
+  /** Lower to a Catalyst Column for the residual row filter. */
+  def toColumn(e: Expr): Column = e match {
+    case AlwaysTrue => lit(true)
+    case AlwaysFalse => lit(false)
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r) => toColumn(l) || toColumn(r)
+    case Not(c) => !toColumn(c)
+    case Predicate(op, ref, lits) =>
+      val c = col(ref)
+      op match {
+        case Op.IsNull => c.isNull
+        case Op.NotNull => c.isNotNull
+        case Op.IsNan => isnan(c)
+        case Op.NotNan => !isnan(c)
+        case Op.Lt => c < litVal(lits.head)
+        case Op.LtEq => c <= litVal(lits.head)
+        case Op.Gt => c > litVal(lits.head)
+        case Op.GtEq => c >= litVal(lits.head)
+        case Op.Eq => c === litVal(lits.head)
+        case Op.NotEq => c =!= litVal(lits.head)
+        case Op.StartsWith => c.startsWith(lits.head.toString)
+        case Op.NotStartsWith => !c.startsWith(lits.head.toString)
+        case Op.In => c.isin(lits.map(litValue): _*)
+        case Op.NotIn => !c.isin(lits.map(litValue): _*)
+      }
+  }
+
+  private def litVal(v: Any): Column = lit(litValue(v))
+  private def litValue(v: Any): Any = v match {
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case other => other
+  }
+
+  /** Evaluate against a partition-value row (reference ExpressionEvaluator,
+    * `visitors.go:227-450`): tiny driver-side rows only.
+    */
+  def evalRow(e: Expr, t: String => IcebergType, row: String => Any): Boolean = e match {
+    case AlwaysTrue => true
+    case AlwaysFalse => false
+    case And(l, r) => evalRow(l, t, row) && evalRow(r, t, row)
+    case Or(l, r) => evalRow(l, t, row) || evalRow(r, t, row)
+    case Not(c) => !evalRow(c, t, row)
+    case Predicate(op, ref, lits) =>
+      val v = row(ref)
+      val ft = t(ref)
+      def cmp(x: Any) = Literals.compare(ft, v, x)
+      op match {
+        case Op.IsNull => v == null
+        case Op.NotNull => v != null
+        case Op.IsNan => v != null && dblOf(v).exists(_.isNaN)
+        case Op.NotNan => v != null && !dblOf(v).exists(_.isNaN)
+        case _ if v == null => false
+        case Op.Lt => cmp(lits.head) < 0
+        case Op.LtEq => cmp(lits.head) <= 0
+        case Op.Gt => cmp(lits.head) > 0
+        case Op.GtEq => cmp(lits.head) >= 0
+        case Op.Eq => cmp(lits.head) == 0
+        case Op.NotEq => cmp(lits.head) != 0
+        case Op.StartsWith => v.toString.startsWith(lits.head.toString)
+        case Op.NotStartsWith => !v.toString.startsWith(lits.head.toString)
+        case Op.In => lits.exists(cmp(_) == 0)
+        case Op.NotIn => !lits.exists(cmp(_) == 0)
+      }
+  }
+
+  private def dblOf(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case _ => None
+  }
+}

@@ -1,0 +1,339 @@
+package graft.format
+
+import java.io.{File, OutputStream}
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+import graft.core._
+import graft.core.IcebergTypes._
+
+/** Avro manifest + manifest-list (de)serialization per the Iceberg spec
+  * (reference `manifest.go`, schemas in `internal/avro_schemas.go`). Writes
+  * v2 wire format with spec field-ids so other engines can read our tables.
+  */
+object Manifests {
+
+  // ---------------------------------------------------------- avro schemas
+
+  private def partitionAvroType(t: IcebergType): String = t match {
+    case IntT => "\"int\""
+    case LongT => "\"long\""
+    case StringT => "\"string\""
+    case BooleanT => "\"boolean\""
+    case FloatT => "\"float\""
+    case DoubleT => "\"double\""
+    case DateT => "{\"type\":\"int\",\"logicalType\":\"date\"}"
+    case TimestampT | TimestampTzT => "{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}"
+    case BinaryT | FixedT(_) => "\"bytes\""
+    case DecimalT(p, s) =>
+      s"""{"type":"bytes","logicalType":"decimal","precision":$p,"scale":$s}"""
+    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  }
+
+  /** Avro record schema for the partition tuple of a spec. */
+  def partitionSchemaJson(partType: StructT): String = {
+    val fields = partType.fields.map { f =>
+      s"""{"name":"${f.name.replaceAll("[^A-Za-z0-9_]", "_")}","type":["null",${partitionAvroType(f.fieldType)}],"default":null,"field-id":${f.id}}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"r102","fields":[$fields]}"""
+  }
+
+  private def kvMap(name: String, keyId: Int, valId: Int, valType: String): String =
+    s"""{"type":"array","items":{"type":"record","name":"$name","fields":[
+       {"name":"key","type":"int","field-id":$keyId},
+       {"name":"value","type":"$valType","field-id":$valId}]},"logicalType":"map"}"""
+
+  def manifestEntrySchemaJson(partitionSchema: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","type":$partitionSchema,"field-id":102},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"column_sizes","type":["null",${kvMap("k117_v118", 117, 118, "long")}],"default":null,"field-id":108},
+        {"name":"value_counts","type":["null",${kvMap("k119_v120", 119, 120, "long")}],"default":null,"field-id":109},
+        {"name":"null_value_counts","type":["null",${kvMap("k121_v122", 121, 122, "long")}],"default":null,"field-id":110},
+        {"name":"nan_value_counts","type":["null",${kvMap("k138_v139", 138, 139, "long")}],"default":null,"field-id":137},
+        {"name":"lower_bounds","type":["null",${kvMap("k126_v127", 126, 127, "bytes")}],"default":null,"field-id":125},
+        {"name":"upper_bounds","type":["null",${kvMap("k129_v130", 129, 130, "bytes")}],"default":null,"field-id":128},
+        {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
+        {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+      ]},"field-id":2}
+    ]}"""
+
+  val manifestFileSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_files_count","type":"int","field-id":504},
+      {"name":"existing_files_count","type":"int","field-id":505},
+      {"name":"deleted_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+        {"name":"contains_null","type":"boolean","field-id":509},
+        {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+        {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+        {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      ]},"element-id":508}],"default":null,"field-id":507},
+      {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":519}
+    ]}"""
+
+  // ----------------------------------------------------------------- write
+
+  /** Write one manifest file; returns its length in bytes. */
+  def writeManifest(path: String, entries: Seq[ManifestEntry], schema: IcebergSchema,
+      spec: PartitionSpec, snapshotId: Long, content: Int = ManifestContent.Data): Long = {
+    val partType = spec.partitionType(schema)
+    val avroSchema = new Schema.Parser().parse(
+      manifestEntrySchemaJson(partitionSchemaJson(partType)))
+    val dataFileSchema = avroSchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.setMeta("schema", SchemaJson.schemaToJson(schema))
+    writer.setMeta("schema-id", schema.schemaId.toString)
+    writer.setMeta("partition-spec", specFieldsJson(spec))
+    writer.setMeta("partition-spec-id", spec.specId.toString)
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", if (content == ManifestContent.Data) "data" else "deletes")
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    writer.create(avroSchema, f)
+    entries.foreach { e =>
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("status", e.status)
+      rec.put("snapshot_id", e.snapshotId.map(Long.box).orNull)
+      rec.put("sequence_number", e.dataSequence.map(Long.box).orNull)
+      rec.put("file_sequence_number", e.fileSequence.map(Long.box).orNull)
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", e.file.content)
+      df.put("file_path", e.file.path)
+      df.put("file_format", e.file.format)
+      val part = new GenericData.Record(partSchema)
+      partType.fields.zip(e.file.partition).foreach { case (nf, v) =>
+        part.put(nf.name.replaceAll("[^A-Za-z0-9_]", "_"), partitionAvroValue(nf.fieldType, v))
+      }
+      df.put("partition", part)
+      df.put("record_count", e.file.recordCount)
+      df.put("file_size_in_bytes", e.file.fileSize)
+      df.put("column_sizes", kvArray(avroSchema, "column_sizes", e.file.columnSizes.map { case (k, v) => k -> Long.box(v) }))
+      df.put("value_counts", kvArray(avroSchema, "value_counts", e.file.valueCounts.map { case (k, v) => k -> Long.box(v) }))
+      df.put("null_value_counts", kvArray(avroSchema, "null_value_counts", e.file.nullCounts.map { case (k, v) => k -> Long.box(v) }))
+      df.put("nan_value_counts", kvArray(avroSchema, "nan_value_counts", e.file.nanCounts.map { case (k, v) => k -> Long.box(v) }))
+      df.put("lower_bounds", kvArray(avroSchema, "lower_bounds", e.file.lowerBounds.map { case (k, v) => k -> ByteBuffer.wrap(v) }))
+      df.put("upper_bounds", kvArray(avroSchema, "upper_bounds", e.file.upperBounds.map { case (k, v) => k -> ByteBuffer.wrap(v) }))
+      df.put("key_metadata", null)
+      df.put("split_offsets", if (e.file.splitOffsets.isEmpty) null else e.file.splitOffsets.map(Long.box).asJava)
+      df.put("equality_ids", if (e.file.equalityIds.isEmpty) null else e.file.equalityIds.map(Int.box).asJava)
+      df.put("sort_order_id", e.file.sortOrderId.map(Int.box).orNull)
+      rec.put("data_file", df)
+      writer.append(rec)
+    }
+    writer.close()
+    f.length()
+  }
+
+  private def partitionAvroValue(t: IcebergType, v: Any): Any = (t, v) match {
+    case (_, null) => null
+    case (DecimalT(_, _), bd: java.math.BigDecimal) => ByteBuffer.wrap(bd.unscaledValue.toByteArray)
+    case (BinaryT | FixedT(_), b: Array[Byte]) => ByteBuffer.wrap(b)
+    case (DateT, d: java.sql.Date) => Int.box(d.toLocalDate.toEpochDay.toInt)
+    case (DateT, d: java.time.LocalDate) => Int.box(d.toEpochDay.toInt)
+    case (TimestampT | TimestampTzT, ts: java.sql.Timestamp) =>
+      Long.box(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
+    case _ => v
+  }
+
+  private def kvArray(root: Schema, fieldName: String, m: Map[Int, Any]): Any = {
+    if (m.isEmpty) return null
+    val arrSchema = root.getField("data_file").schema()
+      .getField(fieldName).schema().getTypes.get(1)
+    val itemSchema = arrSchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k)
+      r.put("value", v)
+      arr.add(r)
+    }
+    arr
+  }
+
+  private def specFieldsJson(spec: PartitionSpec): String =
+    spec.fields.map { pf =>
+      s"""{"source-id":${pf.sourceId},"field-id":${pf.fieldId},"name":"${pf.name}","transform":"${TableMetadata.transformName(pf.transform)}"}"""
+    }.mkString("[", ",", "]")
+
+  /** Write the manifest list for a snapshot. */
+  def writeManifestList(path: String, manifests: Seq[ManifestFile],
+      snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long): Unit = {
+    val avroSchema = new Schema.Parser().parse(manifestFileSchemaJson)
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.setMeta("snapshot-id", snapshotId.toString)
+    writer.setMeta("parent-snapshot-id", parentSnapshotId.map(_.toString).getOrElse("null"))
+    writer.setMeta("sequence-number", sequenceNumber.toString)
+    writer.setMeta("format-version", "2")
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    writer.create(avroSchema, f)
+    val partsSchema = avroSchema.getField("partitions").schema().getTypes.get(1)
+    val summarySchema = partsSchema.getElementType
+    manifests.foreach { m =>
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("manifest_path", m.path)
+      rec.put("manifest_length", m.length)
+      rec.put("partition_spec_id", m.specId)
+      rec.put("content", m.content)
+      rec.put("sequence_number", m.sequenceNumber)
+      rec.put("min_sequence_number", m.minSequenceNumber)
+      rec.put("added_snapshot_id", m.addedSnapshotId)
+      rec.put("added_files_count", m.addedFilesCount)
+      rec.put("existing_files_count", m.existingFilesCount)
+      rec.put("deleted_files_count", m.deletedFilesCount)
+      rec.put("added_rows_count", m.addedRowsCount)
+      rec.put("existing_rows_count", m.existingRowsCount)
+      rec.put("deleted_rows_count", m.deletedRowsCount)
+      if (m.partitions.nonEmpty) {
+        val arr = new GenericData.Array[GenericRecord](m.partitions.size, partsSchema)
+        m.partitions.foreach { s =>
+          val r = new GenericData.Record(summarySchema)
+          r.put("contains_null", s.containsNull)
+          r.put("contains_nan", s.containsNan.map(Boolean.box).orNull)
+          r.put("lower_bound", s.lowerBound.map(ByteBuffer.wrap).orNull)
+          r.put("upper_bound", s.upperBound.map(ByteBuffer.wrap).orNull)
+          arr.add(r)
+        }
+        rec.put("partitions", arr)
+      } else rec.put("partitions", null)
+      rec.put("key_metadata", null)
+      writer.append(rec)
+    }
+    writer.close()
+  }
+
+  // ------------------------------------------------------------------ read
+
+  def readManifestList(path: String): Seq[ManifestFile] = {
+    val reader = DataFileReader.openReader(new File(path),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = Seq.newBuilder[ManifestFile]
+      while (reader.hasNext) {
+        val r = reader.next()
+        buf += ManifestFile(
+          path = str(r.get("manifest_path")),
+          length = lng(r.get("manifest_length")),
+          specId = int(r.get("partition_spec_id")),
+          content = Option(r.get("content")).map(int).getOrElse(0),
+          sequenceNumber = Option(r.get("sequence_number")).map(lng).getOrElse(0L),
+          minSequenceNumber = Option(r.get("min_sequence_number")).map(lng).getOrElse(0L),
+          addedSnapshotId = Option(r.get("added_snapshot_id")).map(lng).getOrElse(-1L),
+          addedFilesCount = Option(r.get("added_files_count")).map(int).getOrElse(0),
+          existingFilesCount = Option(r.get("existing_files_count")).map(int).getOrElse(0),
+          deletedFilesCount = Option(r.get("deleted_files_count")).map(int).getOrElse(0),
+          addedRowsCount = Option(r.get("added_rows_count")).map(lng).getOrElse(0L),
+          existingRowsCount = Option(r.get("existing_rows_count")).map(lng).getOrElse(0L),
+          deletedRowsCount = Option(r.get("deleted_rows_count")).map(lng).getOrElse(0L),
+          partitions = Option(r.get("partitions")).map { arr =>
+            arr.asInstanceOf[java.util.List[GenericRecord]].asScala.map { s =>
+              FieldSummary(
+                containsNull = s.get("contains_null").asInstanceOf[Boolean],
+                containsNan = Option(s.get("contains_nan")).map(_.asInstanceOf[Boolean]),
+                lowerBound = Option(s.get("lower_bound")).map(bytes),
+                upperBound = Option(s.get("upper_bound")).map(bytes))
+            }.toSeq
+          }.getOrElse(Nil))
+      }
+      buf.result()
+    } finally reader.close()
+  }
+
+  /** Read manifest entries; partition values surface as Seq aligned with the
+    * manifest's own spec (identified by `spec-id` metadata).
+    */
+  def readManifest(path: String): (Seq[ManifestEntry], Int) = {
+    val reader = new DataFileReader(new File(path),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val specId = Option(reader.getMetaString("partition-spec-id")).map(_.toInt).getOrElse(0)
+      val buf = Seq.newBuilder[ManifestEntry]
+      while (reader.hasNext) {
+        val r = reader.next()
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        val partRec = df.get("partition").asInstanceOf[GenericRecord]
+        val partVals = partRec.getSchema.getFields.asScala.map(f =>
+          avroToValue(partRec.get(f.pos()))).toSeq
+        buf += ManifestEntry(
+          status = int(r.get("status")),
+          snapshotId = Option(r.get("snapshot_id")).map(lng),
+          dataSequence = Option(r.get("sequence_number")).map(lng),
+          fileSequence = Option(r.get("file_sequence_number")).map(lng),
+          file = DataFile(
+            content = Option(df.get("content")).map(int).getOrElse(0),
+            path = str(df.get("file_path")),
+            format = str(df.get("file_format")),
+            partition = partVals,
+            recordCount = lng(df.get("record_count")),
+            fileSize = lng(df.get("file_size_in_bytes")),
+            columnSizes = kvToMap(df.get("column_sizes")).map { case (k, v) => k -> lng(v) },
+            valueCounts = kvToMap(df.get("value_counts")).map { case (k, v) => k -> lng(v) },
+            nullCounts = kvToMap(df.get("null_value_counts")).map { case (k, v) => k -> lng(v) },
+            nanCounts = kvToMap(df.get("nan_value_counts")).map { case (k, v) => k -> lng(v) },
+            lowerBounds = kvToMap(df.get("lower_bounds")).map { case (k, v) => k -> bytes(v) },
+            upperBounds = kvToMap(df.get("upper_bounds")).map { case (k, v) => k -> bytes(v) },
+            splitOffsets = Option(df.get("split_offsets")).map(
+              _.asInstanceOf[java.util.List[Any]].asScala.map(lng).toSeq).getOrElse(Nil),
+            equalityIds = Option(df.get("equality_ids")).map(
+              _.asInstanceOf[java.util.List[Any]].asScala.map(int).toSeq).getOrElse(Nil),
+            sortOrderId = Option(df.get("sort_order_id")).map(int)))
+      }
+      (buf.result(), specId)
+    } finally reader.close()
+  }
+
+  private def avroToValue(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: ByteBuffer => bytes(bb)
+    case other => other
+  }
+
+  private def kvToMap(v: Any): Map[Int, Any] = {
+    if (v == null) return Map.empty
+    v.asInstanceOf[java.util.List[GenericRecord]].asScala.map { r =>
+      int(r.get("key")) -> r.get("value")
+    }.toMap
+  }
+
+  private def str(v: Any): String = v.toString
+  private def int(v: Any): Int = v.asInstanceOf[Number].intValue
+  private def lng(v: Any): Long = v.asInstanceOf[Number].longValue
+  private def bytes(v: Any): Array[Byte] = v match {
+    case bb: ByteBuffer =>
+      val b = new Array[Byte](bb.remaining())
+      bb.duplicate().get(b)
+      b
+    case arr: Array[Byte] => arr
+    case f: org.apache.avro.generic.GenericFixed => f.bytes()
+  }
+}

@@ -1,0 +1,287 @@
+package graft.format
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.core._
+
+/** Table metadata model + JSON wire format (reference `table/metadata.go`,
+  * `table/snapshots.go`). Reads v1/v2, writes v2.
+  */
+final case class SnapshotRef(snapshotId: Long, refType: String, // "branch" | "tag"
+    minSnapshotsToKeep: Option[Int] = None, maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    summary: Map[String, String],
+    schemaId: Option[Int])
+
+final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
+final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: Seq[IcebergSchema],
+    defaultSpecId: Int,
+    partitionSpecs: Seq[PartitionSpec],
+    lastPartitionId: Int,
+    defaultSortOrderId: Int,
+    sortOrders: Seq[SortOrder],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot],
+    snapshotLog: Seq[SnapshotLogEntry],
+    metadataLog: Seq[MetadataLogEntry],
+    refs: Map[String, SnapshotRef]) {
+
+  def schema: IcebergSchema = schemas.find(_.schemaId == currentSchemaId).get
+  def schemaById(id: Int): Option[IcebergSchema] = schemas.find(_.schemaId == id)
+  def spec: PartitionSpec = partitionSpecs.find(_.specId == defaultSpecId).get
+  def specById(id: Int): Option[PartitionSpec] = partitionSpecs.find(_.specId == id)
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+  /** Branch/tag ref -> snapshot. "main" falls back to current. */
+  def snapshotByRef(ref: String): Option[Snapshot] =
+    refs.get(ref).flatMap(r => snapshotById(r.snapshotId))
+      .orElse(if (ref == "main") currentSnapshot else None)
+
+  /** Snapshot current as-of a timestamp (snapshot-log walk,
+    * `table/snapshots.go:427-446`).
+    */
+  def snapshotAsOf(timestampMs: Long): Option[Snapshot] = {
+    val eligible = snapshotLog.filter(_.timestampMs <= timestampMs)
+    eligible.lastOption.flatMap(e => snapshotById(e.snapshotId))
+  }
+}
+
+object TableMetadata {
+
+  def empty(location: String, schema: IcebergSchema, spec: PartitionSpec,
+      sortOrder: SortOrder = SortOrder.Unsorted,
+      properties: Map[String, String] = Map.empty): TableMetadata = {
+    val maxFieldId = if (spec.fields.isEmpty) PartitionSpec.StartFieldId - 1
+      else spec.fields.map(_.fieldId).max
+    TableMetadata(
+      formatVersion = 2,
+      tableUuid = UUID.randomUUID().toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      currentSchemaId = schema.schemaId,
+      schemas = Seq(schema),
+      defaultSpecId = spec.specId,
+      partitionSpecs = Seq(spec),
+      lastPartitionId = maxFieldId,
+      defaultSortOrderId = sortOrder.orderId,
+      sortOrders = Seq(sortOrder),
+      properties = properties,
+      currentSnapshotId = None,
+      snapshots = Nil,
+      snapshotLog = Nil,
+      metadataLog = Nil,
+      refs = Map.empty)
+  }
+
+  private val mapper = new ObjectMapper().enable(SerializationFeature.INDENT_OUTPUT)
+
+  // ------------------------------------------------------------------ write
+
+  def toJson(m: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", m.formatVersion)
+    root.put("table-uuid", m.tableUuid)
+    root.put("location", m.location)
+    root.put("last-sequence-number", m.lastSequenceNumber)
+    root.put("last-updated-ms", m.lastUpdatedMs)
+    root.put("last-column-id", m.lastColumnId)
+    root.put("current-schema-id", m.currentSchemaId)
+    val schemasArr = root.putArray("schemas")
+    m.schemas.foreach(s => schemasArr.add(SchemaJson.schemaToJsonNode(s)))
+    root.put("default-spec-id", m.defaultSpecId)
+    val specsArr = root.putArray("partition-specs")
+    m.partitionSpecs.foreach { spec =>
+      val so = specsArr.addObject()
+      so.put("spec-id", spec.specId)
+      val fa = so.putArray("fields")
+      spec.fields.foreach { pf =>
+        val fo = fa.addObject()
+        fo.put("source-id", pf.sourceId)
+        fo.put("field-id", pf.fieldId)
+        fo.put("name", pf.name)
+        fo.put("transform", transformName(pf.transform))
+      }
+    }
+    root.put("last-partition-id", m.lastPartitionId)
+    root.put("default-sort-order-id", m.defaultSortOrderId)
+    val ordersArr = root.putArray("sort-orders")
+    m.sortOrders.foreach { o =>
+      val oo = ordersArr.addObject()
+      oo.put("order-id", o.orderId)
+      val fa = oo.putArray("fields")
+      o.fields.foreach { sf =>
+        val fo = fa.addObject()
+        fo.put("transform", transformName(sf.transform))
+        fo.put("source-id", sf.sourceId)
+        fo.put("direction", if (sf.ascending) "asc" else "desc")
+        fo.put("null-order", if (sf.nullsFirst) "nulls-first" else "nulls-last")
+      }
+    }
+    val props = root.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId match {
+      case Some(id) => root.put("current-snapshot-id", id)
+      case None => root.put("current-snapshot-id", -1L)
+    }
+    val snapsArr = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val so = snapsArr.addObject()
+      so.put("snapshot-id", s.snapshotId)
+      s.parentSnapshotId.foreach(so.put("parent-snapshot-id", _))
+      so.put("sequence-number", s.sequenceNumber)
+      so.put("timestamp-ms", s.timestampMs)
+      so.put("manifest-list", s.manifestList)
+      val sum = so.putObject("summary")
+      s.summary.foreach { case (k, v) => sum.put(k, v) }
+      s.schemaId.foreach(so.put("schema-id", _))
+    }
+    val slog = root.putArray("snapshot-log")
+    m.snapshotLog.foreach { e =>
+      val eo = slog.addObject()
+      eo.put("snapshot-id", e.snapshotId)
+      eo.put("timestamp-ms", e.timestampMs)
+    }
+    val mlog = root.putArray("metadata-log")
+    m.metadataLog.foreach { e =>
+      val eo = mlog.addObject()
+      eo.put("metadata-file", e.metadataFile)
+      eo.put("timestamp-ms", e.timestampMs)
+    }
+    val refsObj = root.putObject("refs")
+    m.refs.foreach { case (name, r) =>
+      val ro = refsObj.putObject(name)
+      ro.put("snapshot-id", r.snapshotId)
+      ro.put("type", r.refType)
+      r.minSnapshotsToKeep.foreach(ro.put("min-snapshots-to-keep", _))
+      r.maxSnapshotAgeMs.foreach(ro.put("max-snapshot-age-ms", _))
+      r.maxRefAgeMs.foreach(ro.put("max-ref-age-ms", _))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def transformName(t: Transform): String = t match {
+    case Transforms.Identity => "identity"
+    case Transforms.Void => "void"
+    case Transforms.Years => "year"
+    case Transforms.Months => "month"
+    case Transforms.Days => "day"
+    case Transforms.Hours => "hour"
+    case Transforms.Bucket(n) => s"bucket[$n]"
+    case Transforms.Truncate(w) => s"truncate[$w]"
+    case other => other.name
+  }
+
+  // ------------------------------------------------------------------- read
+
+  def fromJson(json: String): TableMetadata = {
+    val n = mapper.readTree(json)
+    val formatVersion = n.get("format-version").asInt
+    val schemas: Seq[IcebergSchema] =
+      if (n.has("schemas")) n.get("schemas").elements().asScala.map(SchemaJson.schemaFromJsonNode).toSeq
+      else Seq(SchemaJson.schemaFromJsonNode(n.get("schema"))) // v1 single schema
+    val currentSchemaId =
+      if (n.has("current-schema-id")) n.get("current-schema-id").asInt
+      else schemas.head.schemaId
+    val specs: Seq[PartitionSpec] =
+      if (n.has("partition-specs"))
+        n.get("partition-specs").elements().asScala.map(specFromJson).toSeq
+      else if (n.has("partition-spec")) // v1 inline fields
+        Seq(PartitionSpec(0, n.get("partition-spec").elements().asScala.map(fieldFromJson).toSeq))
+      else Seq(PartitionSpec.Unpartitioned)
+    val sortOrders: Seq[SortOrder] =
+      if (n.has("sort-orders")) n.get("sort-orders").elements().asScala.map { o =>
+        SortOrder(o.get("order-id").asInt,
+          o.get("fields").elements().asScala.map { f =>
+            SortField(f.get("source-id").asInt, Transforms.parse(f.get("transform").asText),
+              ascending = f.get("direction").asText == "asc",
+              nullsFirst = f.get("null-order").asText == "nulls-first")
+          }.toSeq)
+      }.toSeq else Seq(SortOrder.Unsorted)
+    val snapshots: Seq[Snapshot] =
+      if (n.has("snapshots")) n.get("snapshots").elements().asScala.map { s =>
+        Snapshot(
+          snapshotId = s.get("snapshot-id").asLong,
+          parentSnapshotId = Option(s.get("parent-snapshot-id")).map(_.asLong),
+          sequenceNumber = if (s.has("sequence-number")) s.get("sequence-number").asLong else 0L,
+          timestampMs = s.get("timestamp-ms").asLong,
+          manifestList = s.get("manifest-list").asText,
+          summary = Option(s.get("summary")).map(su =>
+            su.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+            .getOrElse(Map.empty),
+          schemaId = Option(s.get("schema-id")).map(_.asInt))
+      }.toSeq else Nil
+    val currentSnapshotId = Option(n.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+    TableMetadata(
+      formatVersion = formatVersion,
+      tableUuid = Option(n.get("table-uuid")).map(_.asText).getOrElse(UUID.randomUUID().toString),
+      location = n.get("location").asText,
+      lastSequenceNumber = Option(n.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
+      lastUpdatedMs = Option(n.get("last-updated-ms")).map(_.asLong).getOrElse(0L),
+      lastColumnId = Option(n.get("last-column-id")).map(_.asInt)
+        .getOrElse(schemas.map(_.highestFieldId).max),
+      currentSchemaId = currentSchemaId,
+      schemas = schemas,
+      defaultSpecId = Option(n.get("default-spec-id")).map(_.asInt).getOrElse(0),
+      partitionSpecs = specs,
+      lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt).getOrElse(
+        specs.flatMap(_.fields.map(_.fieldId)).foldLeft(PartitionSpec.StartFieldId - 1)(_ max _)),
+      defaultSortOrderId = Option(n.get("default-sort-order-id")).map(_.asInt).getOrElse(0),
+      sortOrders = sortOrders,
+      properties = Option(n.get("properties")).map(p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
+      currentSnapshotId = currentSnapshotId,
+      snapshots = snapshots,
+      snapshotLog = Option(n.get("snapshot-log")).map(_.elements().asScala.map(e =>
+        SnapshotLogEntry(e.get("snapshot-id").asLong, e.get("timestamp-ms").asLong)).toSeq)
+        .getOrElse(Nil),
+      metadataLog = Option(n.get("metadata-log")).map(_.elements().asScala.map(e =>
+        MetadataLogEntry(e.get("metadata-file").asText, e.get("timestamp-ms").asLong)).toSeq)
+        .getOrElse(Nil),
+      refs = Option(n.get("refs")).map(r =>
+        r.properties().asScala.map { e =>
+          val ro = e.getValue
+          e.getKey -> SnapshotRef(ro.get("snapshot-id").asLong, ro.get("type").asText,
+            Option(ro.get("min-snapshots-to-keep")).map(_.asInt),
+            Option(ro.get("max-snapshot-age-ms")).map(_.asLong),
+            Option(ro.get("max-ref-age-ms")).map(_.asLong))
+        }.toMap).getOrElse(Map.empty))
+  }
+
+  private def specFromJson(o: JsonNode): PartitionSpec =
+    PartitionSpec(o.get("spec-id").asInt,
+      o.get("fields").elements().asScala.map(fieldFromJson).toSeq)
+
+  private def fieldFromJson(f: JsonNode): PartitionField =
+    PartitionField(
+      sourceId = f.get("source-id").asInt,
+      fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(PartitionSpec.StartFieldId),
+      name = f.get("name").asText,
+      transform = Transforms.parse(f.get("transform").asText))
+}

@@ -1,0 +1,110 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core._
+import graft.format.DataFileContent
+
+/** Executes a planned scan as a Spark DataFrame (reference read dataflow
+  * `table/arrow_scanner.go` §2.3, re-expressed declaratively):
+  *
+  *  - files are read with the table read-schema carrying `parquet.field.id`
+  *    metadata and `spark.sql.parquet.fieldId.read.enabled`, so per-file
+  *    ID-based column resolution (rename/add/drop between file and table
+  *    schema) happens inside Spark's vectorized reader;
+  *  - positional deletes / DVs become a broadcast left-anti join on
+  *    (file, _metadata.row_index);
+  *  - equality deletes become left-anti joins on the equality-id columns,
+  *    scoped by sequence number (strictly greater) — real shuffling joins,
+  *    never in-memory hash sets, per the 100 TB contract;
+  *  - the residual filter lowers to a Catalyst Column and is pushed into the
+  *    parquet scan (row-group stats + bloom + dictionary pruning for free).
+  */
+object SparkRead {
+
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  }
+
+  def read(spark: SparkSession, scan: Scan): DataFrame = {
+    configure(spark)
+    val tasks = scan.planFiles()
+    val meta = scan.table.metadata
+    val snapSchemaId = scan.snapshot.flatMap(_.schemaId).getOrElse(meta.currentSchemaId)
+    val schema = meta.schemaById(snapSchemaId).getOrElse(meta.schema)
+    val readSchema: StructType = SchemaBridge.toSpark(schema)
+
+    if (tasks.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      return project(applyResidual(empty, scan), scan, schema)
+    }
+
+    // group tasks by identical delete-set so each group is one scan + fixed joins
+    val groups: Seq[(Seq[FileScanTask], (Set[String], Set[String]))] =
+      tasks.groupBy(t => (t.posDeletes.map(_.path).toSet, t.eqDeletes.map(_._1.path).toSet))
+        .toSeq.map { case (k, ts) => (ts, k) }
+
+    val parts = groups.map { case (groupTasks, _) =>
+      var df = spark.read.schema(readSchema)
+        .parquet(groupTasks.map(_.file.path): _*)
+
+      val posDeletes = groupTasks.head.posDeletes
+      val eqDeletes = groupTasks.head.eqDeletes
+      if (posDeletes.nonEmpty || eqDeletes.nonEmpty) {
+        df = df.withColumn("__file", normalizePath(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+      }
+
+      if (posDeletes.nonEmpty) {
+        val delDf = spark.read.parquet(posDeletes.map(_.path): _*)
+          .select(normalizePath(col("file_path")).as("__file"), col("pos").as("__pos"))
+        df = df.join(broadcast(delDf), Seq("__file", "__pos"), "left_anti")
+      }
+
+      // equality deletes: anti-join per distinct equality-id set, scoped by
+      // sequence number (data rows in this group all share applicability
+      // because grouping is by delete-set)
+      eqDeletes.groupBy(_._1.equalityIds).foreach { case (eqIds, dels) =>
+        val keyCols = eqIds.map(id => schema.idToField(id).name)
+        val delDf = spark.read.parquet(dels.map(_._1.path): _*).select(keyCols.map(col): _*)
+        df = df.join(delDf, keyCols, "left_anti")
+      }
+
+      if (posDeletes.nonEmpty || eqDeletes.nonEmpty) df = df.drop("__file", "__pos")
+      df
+    }
+
+    val unioned = parts.reduce(_ unionByName _)
+    project(applyResidual(unioned, scan), scan, schema)
+  }
+
+  private def applyResidual(df: DataFrame, scan: Scan): DataFrame = {
+    val filtered = scan.filter match {
+      case Expr.AlwaysTrue => df
+      case e => df.filter(Expr.toColumn(e))
+    }
+    scan.limit.map(n => filtered.limit(n.toInt)).getOrElse(filtered)
+  }
+
+  private def project(df: DataFrame, scan: Scan, schema: IcebergSchema): DataFrame = {
+    val withDefaults = schema.fields.foldLeft(df) { (d, f) =>
+      f.initialDefault match {
+        case Some(dv) if df.columns.contains(f.name) =>
+          d.withColumn(f.name, coalesce(col(f.name), lit(dv)))
+        case _ => d
+      }
+    }
+    if (scan.selected.isEmpty) withDefaults
+    else withDefaults.select(scan.selected.map(col): _*)
+  }
+
+  /** `_metadata.file_path` is a URI (file:///...); manifests store plain
+    * absolute paths — normalize to compare.
+    */
+  private def normalizePath(c: Column): Column =
+    regexp_replace(c, "^file:/*", "/")
+}

@@ -1,0 +1,449 @@
+package graft.table
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.core.IcebergTypes._
+import graft.format._
+
+/** Write path (reference §2.5): partitioned fanout append, footer-stats
+  * harvesting into `DataFile`s, snapshot production, catalog commit.
+  *
+  * The reference's goroutine fanout (feeder -> partition workers -> rolling
+  * writers) is replaced by Spark's shuffle: `repartition(partitionCols)` +
+  * `write.partitionBy` gives each partition its own writer set, scaling to
+  * any cluster width. Stats come from parquet footers after the write, like
+  * the reference (`table/internal/parquet_files.go:733-1150`).
+  */
+object Writer {
+
+  private val StatsTruncateLen = 16 // write.metadata.metrics default truncate(16)
+
+  /** Append a DataFrame (fast-append snapshot, reference
+    * `table/transaction.go:558-611`). Returns the updated table.
+    */
+  def append(spark: SparkSession, table: Table, df: DataFrame): Table = {
+    val files = writeDataFiles(spark, table, df)
+    commitSnapshot(table, "append", addedFiles = files, removedPaths = Set.empty,
+      addedDeleteFiles = Nil)
+  }
+
+  /** Copy-on-write DELETE WHERE (reference `table/transaction.go:1382-2120`):
+    * classify candidate files with the inclusive evaluator, rewrite the
+    * partially-matching ones without matching rows, drop fully-rewritten
+    * originals.
+    */
+  def deleteWhere(spark: SparkSession, table: Table, filter: Expr): Table = {
+    SparkRead.configure(spark)
+    val candidates = table.newScan.withFilter(filter).planFiles()
+    if (candidates.isEmpty) return table
+    val schema = table.schema
+    val readSchema = SchemaBridge.toSpark(schema)
+    val candidatePaths = candidates.map(_.file.path)
+    // rewrite candidates without the matching rows (one distributed job)
+    val remaining = spark.read.schema(readSchema).parquet(candidatePaths: _*)
+      .filter(!Expr.toColumn(filter))
+    val newFiles = writeDataFiles(spark, table, remaining)
+    commitSnapshot(table, "overwrite", addedFiles = newFiles,
+      removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil)
+  }
+
+  /** Merge-on-read DELETE WHERE: write positional delete files for matching
+    * rows (reference `table/transaction.go:2121-2339`), leaving data files
+    * in place.
+    */
+  def deleteWhereMoR(spark: SparkSession, table: Table, filter: Expr): Table = {
+    SparkRead.configure(spark)
+    val candidates = table.newScan.withFilter(filter).planFiles()
+    if (candidates.isEmpty) return table
+    val schema = table.schema
+    val readSchema = SchemaBridge.toSpark(schema)
+    val matched = spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
+      .filter(Expr.toColumn(filter))
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .orderBy("file_path", "pos")
+    val tmpDir = s"${table.location}/tmp-delete-${UUID.randomUUID()}"
+    matched.coalesce(1).write.parquet(tmpDir)
+    val written = listParquet(tmpDir)
+    val deleteFiles = written.map { src =>
+      val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
+      moveFile(src, target)
+      val (rowCount, size, _, _) = footerBasics(target)
+      DataFile(DataFileContent.PositionDeletes, target, "PARQUET",
+        partition = Seq.fill(table.spec.fields.size)(null),
+        recordCount = rowCount, fileSize = size)
+    }
+    deleteTree(tmpDir)
+    if (deleteFiles.forall(_.recordCount == 0))
+      return table
+    commitSnapshot(table, "delete", addedFiles = Nil, removedPaths = Set.empty,
+      addedDeleteFiles = deleteFiles.filter(_.recordCount > 0))
+  }
+
+  /** Equality-delete write (reference `table/equality_delete_writer.go`):
+    * the delete keys frame must contain exactly the equality columns.
+    */
+  def equalityDelete(spark: SparkSession, table: Table, keys: DataFrame,
+      equalityFieldNames: Seq[String]): Table = {
+    val schema = table.schema
+    val eqIds = equalityFieldNames.map(n => schema.findField(n).getOrElse(
+      throw new IllegalArgumentException(s"no such column $n")).id)
+    eqIds.foreach { id =>
+      schema.idToField(id).fieldType match {
+        case FloatT | DoubleT =>
+          throw new IllegalArgumentException("float/double equality delete fields are invalid")
+        case _ =>
+      }
+    }
+    val tmpDir = s"${table.location}/tmp-eqdelete-${UUID.randomUUID()}"
+    keys.select(equalityFieldNames.map(col): _*).coalesce(1).write.parquet(tmpDir)
+    val deleteFiles = listParquet(tmpDir).map { src =>
+      val target = s"${table.location}/data/eq-delete-${UUID.randomUUID()}.parquet"
+      moveFile(src, target)
+      val (rowCount, size, _, _) = footerBasics(target)
+      DataFile(DataFileContent.EqualityDeletes, target, "PARQUET",
+        partition = Seq.fill(table.spec.fields.size)(null),
+        recordCount = rowCount, fileSize = size, equalityIds = eqIds)
+    }
+    deleteTree(tmpDir)
+    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles.filter(_.recordCount > 0))
+  }
+
+  // --------------------------------------------------------------- internals
+
+  /** Write df as table data files (partition fanout if spec is partitioned),
+    * harvest footer stats, return DataFiles.
+    */
+  def writeDataFiles(spark: SparkSession, table: Table, df: DataFrame): Seq[DataFile] = {
+    SparkRead.configure(spark)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val schema = table.schema
+    val spec = table.spec
+    val sparkSchema = SchemaBridge.toSpark(schema)
+
+    // align input columns to table schema (names + types + field-id metadata)
+    val aligned = df.select(sparkSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+
+    val tmpDir = s"${table.location}/tmp-append-${UUID.randomUUID()}"
+    val partColNames = spec.fields.map(pf => s"__part_${pf.name}")
+
+    if (spec.isUnpartitioned) {
+      aligned.write.parquet(tmpDir)
+    } else {
+      val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
+        case (d, (pf, pcol)) =>
+          val src = schema.idToField(pf.sourceId)
+          d.withColumn(pcol, pf.transform.toColumn(col(src.name),
+            SchemaBridge.toSparkType(src.fieldType)))
+      }
+      // sort-order-aware clustered write: shuffle by partition, sort within
+      val sortCols = table.metadata.sortOrders
+        .find(_.orderId == table.metadata.defaultSortOrderId)
+        .map(_.fields.flatMap { sf =>
+          schema.idToField.get(sf.sourceId).map { f =>
+            val c = sf.transform.toColumn(col(f.name), SchemaBridge.toSparkType(f.fieldType))
+            if (sf.ascending) c.asc else c.desc
+          }
+        }).getOrElse(Nil)
+      withParts
+        .repartition(partColNames.map(col): _*)
+        .sortWithinPartitions((partColNames.map(col) ++ sortCols): _*)
+        .write.partitionBy(partColNames: _*).parquet(tmpDir)
+    }
+
+    val partType = spec.partitionType(schema)
+    val written = listParquet(tmpDir)
+    val files = written.map { src =>
+      // partition values come from the hive-style dirs we just wrote
+      val rel = src.stripPrefix(tmpDir).stripPrefix("/")
+      val dirs = rel.split('/').dropRight(1)
+      val partValues: Seq[Any] = spec.fields.zip(partColNames).zip(partType.fields).map {
+        case ((pf, pcol), nf) =>
+          val seg = dirs.find(_.startsWith(s"$pcol=")).getOrElse(
+            throw new IllegalStateException(s"missing partition dir $pcol in $src"))
+          parsePartitionValue(seg.substring(pcol.length + 1), nf.fieldType)
+      }
+      val partPath = if (spec.isUnpartitioned) ""
+        else spec.partitionToPath(partValues, schema) + "/"
+      val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
+      moveFile(src, target)
+      harvestStats(target, schema, partValues)
+    }
+    deleteTree(tmpDir)
+    files.filter(_.recordCount > 0)
+  }
+
+  private def parsePartitionValue(encoded: String, t: IcebergType): Any = {
+    val s = java.net.URLDecoder.decode(encoded, "UTF-8")
+    if (s == "__HIVE_DEFAULT_PARTITION__" || s == "null") return null
+    t match {
+      case IntT => s.toInt
+      case LongT => s.toLong
+      case StringT => s
+      case BooleanT => s.toBoolean
+      case DateT => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case DecimalT(_, sc) => new java.math.BigDecimal(s).setScale(sc)
+      case DoubleT => s.toDouble
+      case FloatT => s.toFloat
+      case other => s
+    }
+  }
+
+  /** Read a parquet footer into an Iceberg DataFile with per-column stats
+    * (value/null counts, truncated lower/upper bounds), resolving columns to
+    * field ids via the embedded parquet field ids.
+    */
+  def harvestStats(path: String, schema: IcebergSchema, partValues: Seq[Any]): DataFile = {
+    val conf = new Configuration()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val footer = reader.getFooter
+      val msgType = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+
+      // parquet column -> field id (from embedded ids, fallback by name)
+      def fieldIdOf(pathInSchema: Array[String]): Option[Int] = {
+        if (pathInSchema.length != 1) return None // nested stats: skip (round 1)
+        val pf = msgType.getType(Seq(pathInSchema(0)): _*)
+        Option(pf.getId).map(_.intValue)
+          .orElse(schema.findField(pathInSchema(0)).map(_.id))
+      }
+
+      val colSizes = scala.collection.mutable.Map.empty[Int, Long]
+      val valCounts = scala.collection.mutable.Map.empty[Int, Long]
+      val nullCounts = scala.collection.mutable.Map.empty[Int, Long]
+      val lowers = scala.collection.mutable.Map.empty[Int, Any]
+      val uppers = scala.collection.mutable.Map.empty[Int, Any]
+
+      blocks.foreach { block =>
+        block.getColumns.asScala.foreach { chunk =>
+          fieldIdOf(chunk.getPath.toArray).foreach { id =>
+            colSizes(id) = colSizes.getOrElse(id, 0L) + chunk.getTotalSize
+            valCounts(id) = valCounts.getOrElse(id, 0L) + chunk.getValueCount
+            val stats = chunk.getStatistics
+            if (stats != null && stats.isNumNullsSet)
+              nullCounts(id) = nullCounts.getOrElse(id, 0L) + stats.getNumNulls
+            if (stats != null && stats.hasNonNullValue) {
+              val ft = schema.idToField(id).fieldType
+              val mn = statValue(stats.genericGetMin, ft)
+              val mx = statValue(stats.genericGetMax, ft)
+              if (mn != null && (!lowers.contains(id) || Literals.compare(ft, mn, lowers(id)) < 0))
+                lowers(id) = mn
+              if (mx != null && (!uppers.contains(id) || Literals.compare(ft, mx, uppers(id)) > 0))
+                uppers(id) = mx
+            }
+          }
+        }
+      }
+
+      def encodeBound(m: scala.collection.Map[Int, Any], isUpper: Boolean): Map[Int, Array[Byte]] =
+        m.flatMap { case (id, v) =>
+          val ft = schema.idToField(id).fieldType
+          val truncated: Option[Any] = (ft, v) match {
+            case (StringT, s: String) =>
+              if (isUpper) Literals.truncateUpper(s, StatsTruncateLen)
+              else Some(Literals.truncateLower(s, StatsTruncateLen))
+            case _ => Some(v)
+          }
+          truncated.map(t => id -> Literals.encode(ft, t))
+        }.toMap
+
+      DataFile(
+        content = DataFileContent.Data,
+        path = path,
+        format = "PARQUET",
+        partition = partValues,
+        recordCount = rowCount,
+        fileSize = new File(path).length(),
+        columnSizes = colSizes.toMap,
+        valueCounts = valCounts.toMap,
+        nullCounts = nullCounts.toMap,
+        lowerBounds = encodeBound(lowers, isUpper = false),
+        upperBounds = encodeBound(uppers, isUpper = true),
+        splitOffsets = blocks.map(_.getStartingPos).toSeq.sorted)
+    } finally reader.close()
+  }
+
+  /** Parquet statistics value -> the JVM value Literals expects for the
+    * Iceberg type (µs longs for timestamps, day ints for dates, BigDecimal
+    * for decimals, String for UTF-8 binary).
+    */
+  private def statValue(v: Any, ft: IcebergType): Any = (ft, v) match {
+    case (_, null) => null
+    case (StringT, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+    case (BinaryT | FixedT(_), b: org.apache.parquet.io.api.Binary) => b.getBytes
+    case (DecimalT(_, s), b: org.apache.parquet.io.api.Binary) =>
+      new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), s)
+    case (DecimalT(_, s), i: java.lang.Integer) =>
+      java.math.BigDecimal.valueOf(i.longValue, s)
+    case (DecimalT(_, s), l: java.lang.Long) => java.math.BigDecimal.valueOf(l, s)
+    case (_, b: org.apache.parquet.io.api.Binary) => b.getBytes
+    case _ => v
+  }
+
+  private def footerBasics(path: String): (Long, Long, Int, Int) = {
+    val conf = new Configuration()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      (rows, new File(path).length(), reader.getFooter.getBlocks.size(), 0)
+    } finally reader.close()
+  }
+
+  /** Fast-append / overwrite snapshot producer + Hadoop-catalog commit
+    * (reference `table/snapshot_producers.go`, simplified: existing entries
+    * are carried with their original data sequence numbers).
+    */
+  def commitSnapshot(table: Table, operation: String, addedFiles: Seq[DataFile],
+      removedPaths: Set[String], addedDeleteFiles: Seq[DataFile]): Table = {
+    val meta = table.metadata
+    val newSeq = meta.lastSequenceNumber + 1
+    val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
+    val schema = meta.schema
+    val spec = meta.spec
+    val metadataDir = s"${meta.location}/metadata"
+    val partType = spec.partitionType(schema)
+
+    val previousManifests: Seq[ManifestFile] = meta.currentSnapshot
+      .map(s => Manifests.readManifestList(s.manifestList)).getOrElse(Nil)
+
+    var manifests = Seq.newBuilder[ManifestFile]
+
+    // carry forward / filter previous data manifests
+    if (removedPaths.isEmpty) {
+      manifests ++= previousManifests
+    } else {
+      previousManifests.foreach { m =>
+        if (m.content != ManifestContent.Data) { manifests += m }
+        else {
+          val (entries, _) = Manifests.readManifest(m.path)
+          val live = entries.filter(e => e.status != ManifestEntryStatus.Deleted &&
+            !removedPaths.contains(e.file.path))
+          if (live.size == entries.size) manifests += m
+          else if (live.nonEmpty) {
+            val kept = live.map(e => e.copy(status = ManifestEntryStatus.Existing,
+              dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
+            val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
+            val len = Manifests.writeManifest(p, kept, schema, spec, snapshotId)
+            manifests += ManifestFile(p, len, spec.specId, ManifestContent.Data,
+              m.sequenceNumber, kept.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
+              snapshotId, 0, kept.size, entries.size - live.size,
+              0L, kept.map(_.file.recordCount).sum, 0L,
+              partitionSummaries(kept.map(_.file), partType))
+          }
+          // fully-removed manifest: dropped entirely
+        }
+      }
+    }
+
+    if (addedFiles.nonEmpty) {
+      val entries = addedFiles.map(f => ManifestEntry(ManifestEntryStatus.Added,
+        Some(snapshotId), Some(newSeq), Some(newSeq), f))
+      val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
+      val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId)
+      manifests += ManifestFile(p, len, spec.specId, ManifestContent.Data,
+        newSeq, newSeq, snapshotId, entries.size, 0, 0,
+        addedFiles.map(_.recordCount).sum, 0L, 0L,
+        partitionSummaries(addedFiles, partType))
+    }
+
+    if (addedDeleteFiles.nonEmpty) {
+      val entries = addedDeleteFiles.map(f => ManifestEntry(ManifestEntryStatus.Added,
+        Some(snapshotId), Some(newSeq), Some(newSeq), f))
+      val p = s"$metadataDir/${UUID.randomUUID()}-d.avro"
+      val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId,
+        content = ManifestContent.Deletes)
+      manifests += ManifestFile(p, len, spec.specId, ManifestContent.Deletes,
+        newSeq, newSeq, snapshotId, entries.size, 0, 0,
+        addedDeleteFiles.map(_.recordCount).sum, 0L, 0L,
+        partitionSummaries(addedDeleteFiles, partType))
+    }
+
+    val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
+    val allManifests = manifests.result()
+    Manifests.writeManifestList(manifestListPath, allManifests, snapshotId,
+      meta.currentSnapshotId, newSeq)
+
+    val now = System.currentTimeMillis()
+    val summary = Map(
+      "operation" -> operation,
+      "added-data-files" -> addedFiles.size.toString,
+      "added-records" -> addedFiles.map(_.recordCount).sum.toString,
+      "added-delete-files" -> addedDeleteFiles.size.toString,
+      "removed-data-files" -> removedPaths.size.toString,
+      "total-data-files" -> allManifests.filter(_.content == ManifestContent.Data)
+        .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
+    val snap = Snapshot(snapshotId, meta.currentSnapshotId, newSeq, now,
+      manifestListPath, summary, Some(meta.currentSchemaId))
+
+    val updated = meta.copy(
+      lastSequenceNumber = newSeq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = meta.snapshots :+ snap,
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
+      metadataLog = meta.metadataLog :+ MetadataLogEntry(table.metadataPath, now),
+      refs = meta.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+
+    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    table.refresh()
+  }
+
+  def partitionSummaries(files: Seq[DataFile], partType: StructT): Seq[FieldSummary] = {
+    if (partType.fields.isEmpty) return Nil
+    partType.fields.zipWithIndex.map { case (nf, i) =>
+      val values = files.map(_.partition.lift(i).orNull)
+      val nonNull = values.filter(_ != null)
+      val containsNull = values.exists(_ == null)
+      if (nonNull.isEmpty) FieldSummary(containsNull, None, None, None)
+      else {
+        val lower = nonNull.reduce((a, b) => if (Literals.compare(nf.fieldType, a, b) <= 0) a else b)
+        val upper = nonNull.reduce((a, b) => if (Literals.compare(nf.fieldType, a, b) >= 0) a else b)
+        FieldSummary(containsNull, Some(false),
+          Some(Literals.encode(nf.fieldType, lower)),
+          Some(Literals.encode(nf.fieldType, upper)))
+      }
+    }
+  }
+
+  private def listParquet(dir: String): Seq[String] = {
+    val buf = Seq.newBuilder[String]
+    def walk(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+      else if (f.getName.endsWith(".parquet")) buf += f.getAbsolutePath
+    }
+    walk(new File(dir))
+    buf.result()
+  }
+
+  private def moveFile(src: String, target: String): Unit = {
+    val t = Paths.get(target)
+    Files.createDirectories(t.getParent)
+    Files.move(Paths.get(src), t, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new File(dir))
+  }
+}
