@@ -134,6 +134,8 @@ object Transforms {
       case d: java.time.LocalDate => bucketLong(d.toEpochDay, n)
       case ts: java.sql.Timestamp =>
         bucketLong(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000, n)
+      case d: java.time.LocalDateTime =>
+        bucketLong(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000, n)
       case other => throw new IllegalArgumentException(s"bucket of $other")
     }
     def resultType(t: DataType): DataType = IntegerType
@@ -186,6 +188,8 @@ object Transforms {
       case d: java.time.LocalDate => d.toEpochDay * 86400000000L
       case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
       case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
       case l: Long => l // already µs
       case i: Int => i.toLong * 86400000000L // date ordinal
       case other => throw new IllegalArgumentException(s"time transform of $other")

@@ -1,9 +1,292 @@
 package graft.queries
 
-/** Iceberg round-trip queries (write testdata into Iceberg tables, read back
-  * through the scan planner, compare against DuckDB over the raw parquet).
-  * Populated once the format layer lands; empty seq keeps SparkEntry stable.
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+import graft.format.PartitionSpec
+import graft.table.{Evolve, SparkRead, Writer}
+import Q._
+
+/** Iceberg round-trip gate queries: load the testdata parquet into Iceberg
+  * tables through the full write path (partition fanout, footer stats,
+  * manifests, snapshot commit), read back through the scan planner (manifest
+  * pruning -> partition filter -> file metrics -> MoR deletes), and compare
+  * against DuckDB over the raw parquet.
+  *
+  * Shared read-only tables build once per JVM per scale factor; mutation
+  * queries (deletes, evolution) create their own throwaway tables.
+  *
+  * Partition granularity note (100 TB design): lineitem partitions by
+  * month(l_shipdate), not day — at bench scale day-partitioning would
+  * produce thousands of tiny files (the classic over-partitioning failure);
+  * month gives a bounded file count at every SF while still exercising time
+  * transforms + pruning.
   */
 object IcebergQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  private val warehouses = TrieMap.empty[String, HadoopCatalog]
+
+  def catalogFor(spark: SparkSession, dir: String): HadoopCatalog =
+    warehouses.getOrElseUpdate(dir, {
+      val wh = s"/root/repo/target/graft-wh/${UUID.randomUUID()}"
+      val cat = new HadoopCatalog(wh)
+      SparkRead.configure(spark)
+      // lineitem partitioned by month(l_shipdate)
+      locally {
+        val li = tbl(spark, dir, "lineitem")
+        val schema = SchemaBridge.fromSpark(li.schema)
+        val spec = PartitionSpec.builder(schema).add("l_shipdate", Transforms.Months).build()
+        Writer.append(spark, cat.createTable("lineitem", schema, spec), li)
+      }
+      // orders partitioned by bucket(8, o_orderkey)
+      locally {
+        val o = tbl(spark, dir, "orders")
+        val schema = SchemaBridge.fromSpark(o.schema)
+        val spec = PartitionSpec.builder(schema).add("o_orderkey", Transforms.Bucket(8)).build()
+        Writer.append(spark, cat.createTable("orders", schema, spec), o)
+      }
+      // customer partitioned by truncate(1, c_mktsegment)
+      locally {
+        val c = tbl(spark, dir, "customer")
+        val schema = SchemaBridge.fromSpark(c.schema)
+        val spec = PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Truncate(1)).build()
+        Writer.append(spark, cat.createTable("customer", schema, spec), c)
+      }
+      cat
+    })
+
+  private def scanDf(spark: SparkSession, dir: String, table: String): DataFrame =
+    SparkRead.read(spark, catalogFor(spark, dir).loadTable(table).newScan)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // month(ts) partition pruning + metrics pruning + residual pushdown
+    QueryDef("i1_scan_partition_pruned", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("lineitem")
+      val filter = Expr.and(
+        Expr.gtEq("l_shipdate", java.time.LocalDateTime.parse("1995-01-01T00:00:00")),
+        Expr.lt("l_shipdate", java.time.LocalDateTime.parse("1996-01-01T00:00:00")))
+      SparkRead.read(s, t.newScan.withFilter(filter))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // bucket-transform pruning: IN projects to bucket values
+    QueryDef("i2_scan_bucket_pruned", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("orders")
+      val keys: Seq[Any] = Seq(1L, 7L, 33L, 1000L, 4242L)
+      SparkRead.read(s, t.newScan.withFilter(Expr.in("o_orderkey", keys)))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey IN (1, 7, 33, 1000, 4242)
+      ORDER BY o_orderkey""")),
+
+    // truncate-transform partitioning + startsWith pruning
+    QueryDef("i3_scan_truncate_pruned", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("customer")
+      SparkRead.read(s, t.newScan.withFilter(Expr.startsWith("c_mktsegment", "BU")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("c_acctbal")))).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer
+      WHERE c_mktsegment LIKE 'BU%'
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // snapshot isolation: two appends, read first snapshot (time travel)
+    QueryDef("i4_time_travel", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"tt_${UUID.randomUUID().toString.take(8)}"
+      val o = tbl(s, dir, "orders")
+      val schema = SchemaBridge.fromSpark(o.schema)
+      val t0 = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
+      val t1 = Writer.append(s, t0, o.filter(col("o_orderkey") % 2 === 0))
+      val snap1 = t1.metadata.currentSnapshotId.get
+      val t2 = Writer.append(s, t1, o.filter(col("o_orderkey") % 2 =!= 0))
+      SparkRead.read(s, t2.newScan.useSnapshot(snap1))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
+    // copy-on-write delete: partial files rewritten without matching rows
+    QueryDef("i5_cow_delete", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"cow_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
+      val t2 = Writer.deleteWhere(s, t1, Expr.lt("c_acctbal", 0.0))
+      SparkRead.read(s, t2.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("c_acctbal")))).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer
+      WHERE NOT (c_acctbal < 0.0)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // merge-on-read positional delete: data files untouched, anti-join applies
+    QueryDef("i6_mor_pos_delete", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"mor_${UUID.randomUUID().toString.take(8)}"
+      val o = tbl(s, dir, "orders")
+      val schema = SchemaBridge.fromSpark(o.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), o)
+      val t2 = Writer.deleteWhereMoR(s, t1, Expr.eq("o_orderpriority", "1-URGENT"))
+      SparkRead.read(s, t2.newScan)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+
+    // equality delete (strictly-greater sequence applicability)
+    QueryDef("i7_equality_delete", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"eq_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
+      val keys = c.filter(col("c_nationkey") < 5).select("c_custkey")
+      val t2 = Writer.equalityDelete(s, t1, keys, Seq("c_custkey"))
+      SparkRead.read(s, t2.newScan)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
+
+    // schema evolution: add column (nulls via field-id read), rename (same id)
+    QueryDef("i8_schema_evolution", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"evo_${UUID.randomUUID().toString.take(8)}"
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), n)
+      val t2 = Evolve.addColumn(t1, "n_comment", IcebergTypes.StringT)
+      val t3 = Evolve.renameColumn(t2, "n_name", "nation_name")
+      // append one batch in the NEW schema; old files resolve by field id
+      val extra = n.limit(0).sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(99, "ZZZ", 0, "added later")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("nation_name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_comment", org.apache.spark.sql.types.StringType))))
+      val t4 = Writer.append(s, t3, extra)
+      SparkRead.read(s, t4.newScan).orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+             CAST(NULL AS VARCHAR) AS n_comment
+      FROM nation
+      UNION ALL
+      SELECT 99, 'ZZZ', 0, 'added later'
+      ORDER BY n_nationkey""")),
+
+    // partition spec evolution: old files keep old spec, scan spans both
+    QueryDef("i9_spec_evolution", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"spe_${UUID.randomUUID().toString.take(8)}"
+      val o = tbl(s, dir, "orders")
+      val schema = SchemaBridge.fromSpark(o.schema)
+      val t1 = Writer.append(s,
+        cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        o.filter(col("o_orderkey") % 2 === 0))
+      val t2 = Evolve.updateSpec(t1, _.add("o_custkey", Transforms.Bucket(4)))
+      val t3 = Writer.append(s, t2, o.filter(col("o_orderkey") % 2 =!= 0))
+      SparkRead.read(s, t3.newScan.withFilter(Expr.lt("o_custkey", 100L)))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      SELECT o_custkey, COUNT(*) AS n
+      FROM orders
+      WHERE o_custkey < 100
+      GROUP BY o_custkey
+      ORDER BY o_custkey""")),
+
+    // branches & tags: tag the half-loaded state, read through the ref
+    QueryDef("i10_branch_tag", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"ref_${UUID.randomUUID().toString.take(8)}"
+      val r = tbl(s, dir, "part")
+      val schema = SchemaBridge.fromSpark(r.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        r.filter(col("p_size") <= 25))
+      val tag = Evolve.setRef(t1, "size_le_25", t1.metadata.currentSnapshotId.get, "tag")
+      val t2 = Writer.append(s, tag, r.filter(col("p_size") > 25))
+      SparkRead.read(s, t2.newScan.useRef("size_le_25"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("size_sum"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      SELECT p_brand, COUNT(*) AS n, SUM(CAST(p_size AS BIGINT)) AS size_sum
+      FROM part
+      WHERE p_size <= 25
+      GROUP BY p_brand
+      ORDER BY p_brand""")),
+
+    // metadata inspection: snapshots/files tables (rows-only; timestamps vary)
+    QueryDef("i11_snapshots_meta", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("lineitem")
+      val snaps = t.metadata.snapshots.map(sn =>
+        (sn.snapshotId, sn.sequenceNumber, sn.summary.getOrElse("operation", ""),
+          sn.summary.getOrElse("added-data-files", "0").toLong,
+          sn.summary.getOrElse("added-records", "0").toLong))
+      import s.implicits._
+      snaps.toDF("snapshot_id", "sequence_number", "operation", "added_files", "added_records")
+        .orderBy(col("sequence_number"))
+    }, None),
+
+    QueryDef("i12_files_meta", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("lineitem")
+      val files = t.newScan.planFiles().map(task =>
+        (task.file.path, task.file.recordCount, task.file.fileSize,
+          task.file.partition.mkString("/"), task.dataSequence))
+      import s.implicits._
+      files.toDF("path", "record_count", "file_size", "partition", "sequence_number")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("rows"))
+        .orderBy(col("partition"))
+    }, None)
+  )
 }

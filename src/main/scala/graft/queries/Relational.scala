@@ -192,9 +192,11 @@ object Relational {
 
     QueryDef("q9_events_hourly", (s, dir) => {
       val e = tbl(s, dir, "events")
-        // ns-long -> µs timestamp; integer division keeps full precision
+        // ns-long -> µs timestamp; integer division keeps full precision.
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      // date_trunc always yields tz-aware; cast to NTZ to match the naive
+      // parquet timestamps the oracle sees (session tz UTC)
+      e.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
           d(sum(dec(col("value")))).as("sum_value"),

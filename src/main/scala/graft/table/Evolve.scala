@@ -1,0 +1,123 @@
+package graft.table
+
+import graft.core._
+import graft.format._
+
+/** Metadata-only evolution operations (reference `table/update_schema.go`,
+  * `table/update_spec.go`, branch/tag refs): each commits a new metadata
+  * version without a snapshot.
+  */
+object Evolve {
+
+  /** Add an optional column at the end of the schema (new field id). */
+  def addColumn(table: Table, name: String, t: IcebergType,
+      doc: Option[String] = None, initialDefault: Option[Any] = None): Table = {
+    val meta = table.metadata
+    val schema = meta.schema
+    require(schema.findField(name).isEmpty, s"column $name already exists")
+    val newId = meta.lastColumnId + 1
+    val newSchema = IcebergSchema(
+      schema.fields :+ NestedField(newId, name, t, required = false, doc, initialDefault),
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = schema.identifierFieldIds)
+    commitMetadata(table, meta.copy(
+      lastColumnId = newId,
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Rename a column (same field id — files need no rewrite; the field-id
+    * read path resolves old files).
+    */
+  def renameColumn(table: Table, from: String, to: String): Table = {
+    val meta = table.metadata
+    val schema = meta.schema
+    val f = schema.findField(from).getOrElse(
+      throw new IllegalArgumentException(s"no such column $from"))
+    val newSchema = IcebergSchema(
+      schema.fields.map(x => if (x.id == f.id) x.copy(name = to) else x),
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = schema.identifierFieldIds)
+    commitMetadata(table, meta.copy(
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Drop a column (metadata only; data stays, projection omits it). */
+  def dropColumn(table: Table, name: String): Table = {
+    val meta = table.metadata
+    val schema = meta.schema
+    val f = schema.findField(name).getOrElse(
+      throw new IllegalArgumentException(s"no such column $name"))
+    require(!meta.partitionSpecs.exists(_.fields.exists(_.sourceId == f.id)),
+      s"cannot drop partition source column $name")
+    val newSchema = IcebergSchema(schema.fields.filterNot(_.id == f.id),
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = schema.identifierFieldIds.filterNot(_ == f.id))
+    commitMetadata(table, meta.copy(
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Int->long / float->double primitive promotion (`types.go:1106-1147`). */
+  def promoteColumn(table: Table, name: String, to: IcebergType): Table = {
+    val meta = table.metadata
+    val schema = meta.schema
+    val f = schema.findField(name).getOrElse(
+      throw new IllegalArgumentException(s"no such column $name"))
+    require(IcebergTypes.promotable(f.fieldType, to), s"cannot promote ${f.fieldType} to $to")
+    val newSchema = IcebergSchema(
+      schema.fields.map(x => if (x.id == f.id) x.copy(fieldType = to) else x),
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = schema.identifierFieldIds)
+    commitMetadata(table, meta.copy(
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Evolve the default partition spec; existing files keep their spec
+    * (multi-spec scans handled by the planner per manifest).
+    */
+  def updateSpec(table: Table, build: PartitionSpec.Builder => PartitionSpec.Builder): Table = {
+    val meta = table.metadata
+    val newSpecId = meta.partitionSpecs.map(_.specId).max + 1
+    val spec0 = build(PartitionSpec.builder(meta.schema, newSpecId)).build()
+    // re-number field ids above lastPartitionId to keep them unique
+    var nextId = meta.lastPartitionId
+    val fields = spec0.fields.map { pf =>
+      val existing = meta.partitionSpecs.flatMap(_.fields)
+        .find(f => f.sourceId == pf.sourceId && f.transform == pf.transform)
+      existing match {
+        case Some(f) => pf.copy(fieldId = f.fieldId)
+        case None => nextId += 1; pf.copy(fieldId = nextId)
+      }
+    }
+    val spec = spec0.copy(fields = fields)
+    commitMetadata(table, meta.copy(
+      defaultSpecId = spec.specId,
+      partitionSpecs = meta.partitionSpecs :+ spec,
+      lastPartitionId = nextId,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Create or move a branch/tag ref. */
+  def setRef(table: Table, name: String, snapshotId: Long, refType: String): Table = {
+    val meta = table.metadata
+    require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
+    commitMetadata(table, meta.copy(
+      refs = meta.refs.updated(name, SnapshotRef(snapshotId, refType)),
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  def removeRef(table: Table, name: String): Table =
+    commitMetadata(table, table.metadata.copy(refs = table.metadata.refs - name))
+
+  private def commitMetadata(table: Table, updated: TableMetadata): Table = {
+    table.catalog.commit(table.name, table.metadata, updated, table.currentVersion)
+    table.refresh()
+  }
+}
