@@ -70,7 +70,10 @@ object Manifests {
         {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
         {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
         {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
-        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
       ]},"field-id":2}
     ]}"""
 
@@ -146,6 +149,9 @@ object Manifests {
       df.put("split_offsets", if (e.file.splitOffsets.isEmpty) null else e.file.splitOffsets.map(Long.box).asJava)
       df.put("equality_ids", if (e.file.equalityIds.isEmpty) null else e.file.equalityIds.map(Int.box).asJava)
       df.put("sort_order_id", e.file.sortOrderId.map(Int.box).orNull)
+      df.put("referenced_data_file", e.file.referencedDataFile.orNull)
+      df.put("content_offset", e.file.contentOffset.map(Long.box).orNull)
+      df.put("content_size_in_bytes", e.file.contentSize.map(Long.box).orNull)
       rec.put("data_file", df)
       writer.append(rec)
     }
@@ -305,7 +311,10 @@ object Manifests {
               _.asInstanceOf[java.util.List[Any]].asScala.map(lng).toSeq).getOrElse(Nil),
             equalityIds = Option(df.get("equality_ids")).map(
               _.asInstanceOf[java.util.List[Any]].asScala.map(int).toSeq).getOrElse(Nil),
-            sortOrderId = Option(df.get("sort_order_id")).map(int)))
+            sortOrderId = Option(df.get("sort_order_id")).map(int),
+            referencedDataFile = opt(df, "referenced_data_file").map(str),
+            contentOffset = opt(df, "content_offset").map(lng),
+            contentSize = opt(df, "content_size_in_bytes").map(lng)))
       }
       (buf.result(), specId)
     } finally reader.close()
@@ -324,6 +333,10 @@ object Manifests {
       int(r.get("key")) -> r.get("value")
     }.toMap
   }
+
+  /** Field access tolerant of older writer schemas lacking the field. */
+  private def opt(r: GenericRecord, name: String): Option[Any] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
   private def str(v: Any): String = v.toString
   private def int(v: Any): Int = v.asInstanceOf[Number].intValue

@@ -1,0 +1,265 @@
+package graft.format
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.roaringbitmap.RoaringBitmap
+
+/** Puffin file format (public spec: iceberg.apache.org/puffin-spec) +
+  * deletion-vector-v1 blobs (Iceberg v3). Reference: `puffin/puffin.go`,
+  * `table/dv/deletion_vector.go`, `table/dv/roaring_bitmap.go`.
+  *
+  * Layout: [PFA1] [blob]* [PFA1] [footer json] [size int32 LE] [flags] [PFA1]
+  */
+object Puffin {
+
+  private val Magic = Array[Byte]('P', 'F', 'A', '1')
+  private val mapper = new ObjectMapper()
+
+  final case class BlobMetadata(
+      blobType: String,
+      fields: Seq[Int],
+      snapshotId: Long,
+      sequenceNumber: Long,
+      offset: Long,
+      length: Long,
+      properties: Map[String, String])
+
+  /** Write a puffin file; returns blob metadata with final offsets. */
+  def write(path: String, blobs: Seq[(String, Array[Byte], Map[String, String])],
+      fileProperties: Map[String, String] = Map.empty): Seq[BlobMetadata] = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val out = new java.io.FileOutputStream(f)
+    try {
+      out.write(Magic)
+      var offset = 4L
+      val metas = blobs.map { case (blobType, payload, props) =>
+        val m = BlobMetadata(blobType, Nil, -1L, -1L, offset, payload.length.toLong, props)
+        out.write(payload)
+        offset += payload.length
+        m
+      }
+      // footer
+      val footerJson = {
+        val root = mapper.createObjectNode()
+        val arr = root.putArray("blobs")
+        metas.foreach { m =>
+          val o = arr.addObject()
+          o.put("type", m.blobType)
+          val fa = o.putArray("fields")
+          m.fields.foreach(fa.add)
+          o.put("snapshot-id", m.snapshotId)
+          o.put("sequence-number", m.sequenceNumber)
+          o.put("offset", m.offset)
+          o.put("length", m.length)
+          if (m.properties.nonEmpty) {
+            val p = o.putObject("properties")
+            m.properties.foreach { case (k, v) => p.put(k, v) }
+          }
+        }
+        if (fileProperties.nonEmpty) {
+          val p = root.putObject("properties")
+          fileProperties.foreach { case (k, v) => p.put(k, v) }
+        }
+        mapper.writeValueAsBytes(root)
+      }
+      out.write(Magic)
+      out.write(footerJson)
+      val trailer = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      trailer.putInt(footerJson.length)
+      trailer.putInt(0) // flags: uncompressed footer
+      trailer.put(Magic)
+      out.write(trailer.array)
+      metas
+    } finally out.close()
+  }
+
+  def readFooter(path: String): Seq[BlobMetadata] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val len = raf.length()
+      require(len >= 20, s"puffin too short: $len")
+      def magicAt(pos: Long): Boolean = {
+        val b = new Array[Byte](4)
+        raf.seek(pos); raf.readFully(b)
+        java.util.Arrays.equals(b, Magic)
+      }
+      require(magicAt(0), "puffin: bad header magic")
+      require(magicAt(len - 4), "puffin: bad trailing magic")
+      raf.seek(len - 12)
+      val tb = new Array[Byte](8)
+      raf.readFully(tb)
+      val bb = ByteBuffer.wrap(tb).order(ByteOrder.LITTLE_ENDIAN)
+      val footerSize = bb.getInt
+      val flags = bb.getInt
+      require((flags & 1) == 0, "puffin: compressed footer unsupported")
+      val footerStart = len - 12 - footerSize
+      require(magicAt(footerStart - 4), "puffin: bad footer magic")
+      val fj = new Array[Byte](footerSize)
+      raf.seek(footerStart); raf.readFully(fj)
+      val root = mapper.readTree(fj)
+      root.get("blobs").elements().asScala.map { o =>
+        BlobMetadata(
+          blobType = o.get("type").asText,
+          fields = Option(o.get("fields")).map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Nil),
+          snapshotId = Option(o.get("snapshot-id")).map(_.asLong).getOrElse(-1L),
+          sequenceNumber = Option(o.get("sequence-number")).map(_.asLong).getOrElse(-1L),
+          offset = o.get("offset").asLong,
+          length = o.get("length").asLong,
+          properties = Option(o.get("properties")).map(p =>
+            p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+            .getOrElse(Map.empty))
+      }.toSeq
+    } finally raf.close()
+  }
+
+  def readBlob(path: String, meta: BlobMetadata): Array[Byte] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val b = new Array[Byte](meta.length.toInt)
+      raf.seek(meta.offset)
+      raf.readFully(b)
+      b
+    } finally raf.close()
+  }
+}
+
+/** 64-bit position bitmap as a sorted map of 32-bit roaring buckets —
+  * the Iceberg "portable" serialization (reference
+  * `table/dv/roaring_bitmap.go:44-230`).
+  */
+final class PositionBitmap extends Serializable {
+  private val buckets = new java.util.TreeMap[Integer, RoaringBitmap]()
+
+  def set(pos: Long): Unit = {
+    val key = (pos >>> 32).toInt
+    var bm = buckets.get(key)
+    if (bm == null) { bm = new RoaringBitmap(); buckets.put(key, bm) }
+    bm.add(pos.toInt)
+  }
+
+  def contains(pos: Long): Boolean = {
+    val bm = buckets.get((pos >>> 32).toInt)
+    bm != null && bm.contains(pos.toInt)
+  }
+
+  def or(other: PositionBitmap): Unit =
+    other.buckets.forEach { (k, obm) =>
+      val bm = buckets.get(k)
+      if (bm == null) buckets.put(k, obm.clone()) else bm.or(obm)
+    }
+
+  private[format] def addBucket(key: Int, bm: RoaringBitmap): Unit = {
+    val existing = buckets.get(key)
+    if (existing == null) buckets.put(key, bm) else existing.or(bm)
+    ()
+  }
+
+  def cardinality: Long = {
+    var c = 0L
+    buckets.forEach((_, bm) => c += bm.getLongCardinality)
+    c
+  }
+
+  def positionsIterator: Iterator[Long] = {
+    buckets.entrySet().asScala.iterator.flatMap { e =>
+      val hi = e.getKey.toLong << 32
+      val it = e.getValue.iterator()
+      new Iterator[Long] {
+        def hasNext = it.hasNext
+        def next() = hi | (it.next().toLong & 0xffffffffL)
+      }
+    }
+  }
+
+  /** portable: count (8B LE) + per bucket ascending: key (4B LE) + roaring. */
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val nonEmpty = buckets.entrySet().asScala.filter(_.getValue.getCardinality > 0).toSeq
+    val cnt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(nonEmpty.size.toLong)
+    bos.write(cnt.array)
+    nonEmpty.foreach { e =>
+      val kb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(e.getKey)
+      bos.write(kb.array)
+      val bm = e.getValue
+      bm.runOptimize()
+      val dos = new DataOutputStream(bos)
+      bm.serialize(dos)
+      dos.flush()
+    }
+    bos.toByteArray
+  }
+}
+
+object PositionBitmap {
+  def deserialize(bytes: Array[Byte]): PositionBitmap = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val count = bb.getLong
+    val out = new PositionBitmap
+    var i = 0L
+    while (i < count) {
+      val key = bb.getInt
+      val bm = new RoaringBitmap()
+      // RoaringBitmap.deserialize(ByteBuffer) reads the portable format and
+      // leaves the buffer position past the bitmap
+      val dup = bb.slice().order(ByteOrder.LITTLE_ENDIAN)
+      bm.deserialize(dup)
+      val consumed = bm.serializedSizeInBytes()
+      bb.position(bb.position() + consumed)
+      out.addBucket(key, bm)
+      i += 1
+    }
+    out
+  }
+}
+
+/** deletion-vector-v1 blob envelope (reference
+  * `table/dv/deletion_vector.go:30-165`):
+  * length (4B BE, = magic+bitmap) | magic 0x6439D3D1 (4B LE) | portable
+  * bitmap | crc32 (4B BE over magic+bitmap).
+  */
+object DeletionVector {
+  val MagicLE: Int = 0x6439D3D1
+  val BlobType = "deletion-vector-v1"
+
+  def serialize(bitmap: PositionBitmap): Array[Byte] = {
+    val bm = bitmap.serialize()
+    val inner = ByteBuffer.allocate(4 + bm.length).order(ByteOrder.LITTLE_ENDIAN)
+    inner.putInt(MagicLE)
+    inner.put(bm)
+    val innerBytes = inner.array
+    val crc = new CRC32()
+    crc.update(innerBytes)
+    val out = ByteBuffer.allocate(4 + innerBytes.length + 4) // BE by default
+    out.putInt(innerBytes.length)
+    out.put(innerBytes)
+    out.putInt(crc.getValue.toInt)
+    out.array
+  }
+
+  def deserialize(data: Array[Byte], expectedCardinality: Long = -1L): PositionBitmap = {
+    require(data.length >= 12, s"deletion vector too short: ${data.length}")
+    val bb = ByteBuffer.wrap(data) // big-endian
+    val length = bb.getInt
+    require(length == data.length - 8,
+      s"deletion vector length mismatch: $length vs ${data.length - 8}")
+    val magic = ByteBuffer.wrap(data, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(magic == MagicLE, f"bad deletion vector magic 0x$magic%08x")
+    val crc = new CRC32()
+    crc.update(data, 4, data.length - 8)
+    val expected = ByteBuffer.wrap(data, data.length - 4, 4).getInt
+    require(crc.getValue.toInt == expected, "deletion vector CRC mismatch")
+    val bm = PositionBitmap.deserialize(
+      java.util.Arrays.copyOfRange(data, 8, data.length - 4))
+    if (expectedCardinality >= 0)
+      require(bm.cardinality == expectedCardinality,
+        s"cardinality mismatch: ${bm.cardinality} vs $expectedCardinality")
+    bm
+  }
+}

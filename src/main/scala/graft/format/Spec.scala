@@ -89,7 +89,11 @@ final case class DataFile(
     upperBounds: Map[Int, Array[Byte]] = Map.empty,
     splitOffsets: Seq[Long] = Nil,
     equalityIds: Seq[Int] = Nil,
-    sortOrderId: Option[Int] = None)
+    sortOrderId: Option[Int] = None,
+    // v3 deletion-vector fields (content == PositionDeletes, format PUFFIN)
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSize: Option[Long] = None)
 
 object DataFileContent {
   val Data = 0

@@ -98,12 +98,16 @@ object Dedup {
       .agg(min(col("__bmin")).as("cluster_id"))
   }
 
-  /** Candidate near-duplicate pairs via LSH, verified with exact shingle
-    * Jaccard >= threshold. Output: (id_a, id_b, jaccard) with id_a < id_b.
+  /** Candidate near-duplicate pairs via LSH banding, scored by the minhash
+    * signature estimate (64 equality checks per pair — no text re-shingling,
+    * no text shuffle; pair dedup happens on ids alone, signatures are joined
+    * back by id). Set `exactVerify` to rescore survivors with exact shingle
+    * Jaccard (costs one extra text join). Output: (id_a, id_b, jaccard).
     */
   def nearDupPairsMinHash(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleK: Int = 5,
-                          numPerm: Int = 64, bands: Int = 16): DataFrame = {
+                          numPerm: Int = 64, bands: Int = 16,
+                          exactVerify: Boolean = false): DataFrame = {
     require(numPerm % bands == 0)
     val rows = numPerm / bands
     val sigUdf = udf((t: String) =>
@@ -116,23 +120,39 @@ object Dedup {
         band.foreach(bb.putLong)
         (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
       }.toArray)
-    val buckets = withSig.select(col("id"), col("text"),
-      explode(bandUdf(col("sig"))).as("bucket"))
-    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("text").as("text_a"))
-    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("text").as("text_b"))
-    val jacc = udf((x: String, y: String) => {
-      val sa = shingles(x, shingleK); val sb = shingles(y, shingleK)
-      val inter = sa.intersect(sb).size
-      val union = sa.size + sb.size - inter
-      if (union == 0) 1.0 else inter.toDouble / union
-    })
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+    val buckets = withSig.select(col("id"), explode(bandUdf(col("sig"))).as("bucket"))
+    val pairs = buckets.as("a").join(buckets.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several bands
-      .withColumn("jaccard", jacc(col("text_a"), col("text_b")))
+    val sigEst = udf((x: Seq[Long], y: Seq[Long]) => {
+      var same = 0; var i = 0
+      while (i < x.length) { if (x(i) == y(i)) same += 1; i += 1 }
+      same.toDouble / x.length
+    })
+    val sigs = withSig.select(col("id"), col("sig"))
+    val estimated = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("jaccard", sigEst(col("sig_a"), col("sig_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (!exactVerify) estimated.withColumn("jaccard", round(col("jaccard"), 6))
+    else {
+      val texts = withSig.select(col("id"), col("text"))
+      val jacc = udf((x: String, y: String) => {
+        val sa = shingles(x, shingleK); val sb = shingles(y, shingleK)
+        val inter = sa.intersect(sb).size
+        val union = sa.size + sb.size - inter
+        if (union == 0) 1.0 else inter.toDouble / union
+      })
+      estimated.drop("jaccard")
+        .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+        .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+        .withColumn("jaccard", round(jacc(col("text_a"), col("text_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   // ---------------------------------------------------------------- SimHash

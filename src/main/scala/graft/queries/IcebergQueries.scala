@@ -67,6 +67,43 @@ object IcebergQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // explicit write-throughput probe: full append (fanout + stats + commit)
+    QueryDef("i0_append_write", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"wr_${UUID.randomUUID().toString.take(8)}"
+      val l = tbl(s, dir, "lineitem")
+      val schema = SchemaBridge.fromSpark(l.schema)
+      val spec = PartitionSpec.builder(schema)
+        .add("l_returnflag", Transforms.Identity).build()
+      val t1 = Writer.append(s, cat.createTable(name, schema, spec), l)
+      SparkRead.read(s, t1.newScan)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // v3 deletion vectors: MoR delete via puffin DV + bitmap read filter
+    QueryDef("i13_dv_delete", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"dv_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
+      val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+      // second DV on the same files must union with the first
+      val t3 = Writer.deleteWhereDV(s, t2, Expr.eq("c_mktsegment", "HOUSEHOLD"))
+      SparkRead.read(s, t3.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM customer
+      WHERE c_mktsegment NOT IN ('MACHINERY', 'HOUSEHOLD')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
     // month(ts) partition pruning + metrics pruning + residual pushdown
     QueryDef("i1_scan_partition_pruned", (s, dir) => {
       val t = catalogFor(s, dir).loadTable("lineitem")

@@ -43,18 +43,19 @@ object SparkRead {
       return project(applyResidual(empty, scan), scan, schema)
     }
 
-    // group tasks by identical delete-set so each group is one scan + fixed joins
-    val groups: Seq[(Seq[FileScanTask], (Set[String], Set[String]))] =
-      tasks.groupBy(t => (t.posDeletes.map(_.path).toSet, t.eqDeletes.map(_._1.path).toSet))
-        .toSeq.map { case (k, ts) => (ts, k) }
+    // group tasks by identical delete-set so each group is one scan + fixed
+    // joins (DV identity = path + blob offset)
+    val groups: Seq[Seq[FileScanTask]] =
+      tasks.groupBy(t => (t.posDeletes.map(d => (d.path, d.contentOffset)).toSet,
+        t.eqDeletes.map(_._1.path).toSet)).values.toSeq
 
-    val parts = groups.map { case (groupTasks, _) =>
+    val parts = groups.map { groupTasks =>
       var df = spark.read.schema(readSchema)
         .parquet(groupTasks.map(_.file.path): _*)
 
-      val posDeletes = groupTasks.head.posDeletes
+      val (dvDeletes, posDeletes) = groupTasks.head.posDeletes.partition(_.format == "PUFFIN")
       val eqDeletes = groupTasks.head.eqDeletes
-      if (posDeletes.nonEmpty || eqDeletes.nonEmpty) {
+      if (dvDeletes.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty) {
         df = df.withColumn("__file", normalizePath(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
       }
@@ -63,6 +64,21 @@ object SparkRead {
         val delDf = spark.read.parquet(posDeletes.map(_.path): _*)
           .select(normalizePath(col("file_path")).as("__file"), col("pos").as("__pos"))
         df = df.join(broadcast(delDf), Seq("__file", "__pos"), "left_anti")
+      }
+
+      if (dvDeletes.nonEmpty) {
+        // deletion vectors: broadcast (referenced file -> bitmap), keep rows
+        // whose position is not set (reference arrow_scanner.go:533-618)
+        val bitmaps: Map[String, graft.format.PositionBitmap] = dvDeletes.map { d =>
+          val blob = graft.format.Puffin.readBlob(d.path,
+            graft.format.Puffin.BlobMetadata(graft.format.DeletionVector.BlobType,
+              Nil, -1, -1, d.contentOffset.get, d.contentSize.get, Map.empty))
+          d.referencedDataFile.get -> graft.format.DeletionVector.deserialize(blob)
+        }.toMap
+        val bc = spark.sparkContext.broadcast(bitmaps)
+        val keep = udf((file: String, pos: Long) =>
+          bc.value.get(file).forall(bm => !bm.contains(pos)))
+        df = df.filter(keep(col("__file"), col("__pos")))
       }
 
       // equality deletes: anti-join per distinct equality-id set, scoped by

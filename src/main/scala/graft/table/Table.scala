@@ -114,16 +114,21 @@ final case class Scan(
           val dataSeq = e.dataSequence.getOrElse(m.sequenceNumber)
           // pos-deletes apply when delSeq >= dataSeq; eq-deletes strictly >
           // (reference table/scanner.go:555-636), partition-scoped when the
-          // delete spec is partitioned
+          // delete spec is partitioned; a DV references one data file and
+          // supersedes parquet pos-deletes for it
           val pos = posDeleteEntries.collect {
             case (de, delSeq, dSpecId) if delSeq >= dataSeq &&
+              de.file.referencedDataFile.forall(_ == e.file.path) &&
               samePartition(meta, dSpecId, de.file, m.specId, e.file) => de.file
           }
+          val (dvs, parquetPos) = pos.partition(_.format == "PUFFIN")
+          // <=1 DV per data file: keep the newest (commit order == manifest order)
+      val effectivePos = if (dvs.nonEmpty) Seq(dvs.last) else parquetPos
           val eq = eqDeleteEntries.collect {
             case (de, delSeq, dSpecId) if delSeq > dataSeq &&
               samePartition(meta, dSpecId, de.file, m.specId, e.file) => (de.file, delSeq)
           }
-          FileScanTask(e.file, dataSeq, pos, eq, m.specId)
+          FileScanTask(e.file, dataSeq, effectivePos, eq, m.specId)
         }
     }
     tasks

@@ -92,6 +92,62 @@ object Writer {
       addedDeleteFiles = deleteFiles.filter(_.recordCount > 0))
   }
 
+  /** Merge-on-read DELETE WHERE via v3 deletion vectors: one puffin file per
+    * commit holding one DV blob per referenced data file; an existing DV for
+    * a file is unioned in (reference `table/dv/dv_writer.go`, supersedence
+    * `table/scanner.go:529-636`).
+    */
+  def deleteWhereDV(spark: SparkSession, table: Table, filter: Expr): Table = {
+    SparkRead.configure(spark)
+    val candidates = table.newScan.withFilter(filter).planFiles()
+    if (candidates.isEmpty) return table
+    val schema = table.schema
+    val readSchema = SchemaBridge.toSpark(schema)
+    // (file, positions) for matching rows; per-file grouping keeps the
+    // distributed part distributed — only per-file position arrays reach the
+    // driver, bounded by rows-per-file
+    val matched = spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
+      .filter(Expr.toColumn(filter))
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .groupBy(col("file_path"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .collect()
+    if (matched.isEmpty) return table
+
+    val existingDvs: Map[String, DataFile] = candidates
+      .flatMap(t => t.posDeletes.filter(_.format == "PUFFIN"))
+      .flatMap(d => d.referencedDataFile.map(_ -> d)).toMap
+
+    val puffinPath = s"${table.location}/data/dv-${UUID.randomUUID()}.puffin"
+    val blobs = matched.toSeq.map { row =>
+      val file = row.getString(0)
+      val bitmap = new graft.format.PositionBitmap
+      row.getSeq[Long](1).foreach(bitmap.set)
+      existingDvs.get(file).foreach { old =>
+        val bytes = Puffin.readBlob(old.path,
+          Puffin.BlobMetadata(DeletionVector.BlobType, Nil, -1, -1,
+            old.contentOffset.get, old.contentSize.get, Map.empty))
+        bitmap.or(DeletionVector.deserialize(bytes))
+      }
+      (file, bitmap)
+    }
+    val metas = Puffin.write(puffinPath, blobs.map { case (file, bm) =>
+      (DeletionVector.BlobType, DeletionVector.serialize(bm), Map(
+        "referenced-data-file" -> file,
+        "cardinality" -> bm.cardinality.toString))
+    })
+    val deleteFiles = blobs.zip(metas).map { case ((file, bm), meta) =>
+      DataFile(DataFileContent.PositionDeletes, puffinPath, "PUFFIN",
+        partition = Seq.fill(table.spec.fields.size)(null),
+        recordCount = bm.cardinality, fileSize = new File(puffinPath).length(),
+        referencedDataFile = Some(file),
+        contentOffset = Some(meta.offset), contentSize = Some(meta.length))
+    }
+    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles)
+  }
+
   /** Equality-delete write (reference `table/equality_delete_writer.go`):
     * the delete keys frame must contain exactly the equality columns.
     */
