@@ -181,7 +181,9 @@ final class PositionBitmap extends Serializable {
   /** portable: count (8B LE) + per bucket ascending: key (4B LE) + roaring. */
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val nonEmpty = buckets.entrySet().asScala.filter(_.getValue.getCardinality > 0).toSeq
+    // iterator (not the Set wrapper) keeps TreeMap ascending-key order,
+    // which the portable format requires
+    val nonEmpty = buckets.entrySet().iterator().asScala.filter(_.getValue.getCardinality > 0).toSeq
     val cnt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(nonEmpty.size.toLong)
     bos.write(cnt.array)
     nonEmpty.foreach { e =>
@@ -198,13 +200,28 @@ final class PositionBitmap extends Serializable {
 }
 
 object PositionBitmap {
+  /** Max bucket count accepted on read: fail-closed against absurd counts in
+    * malformed input (reference `table/dv/roaring_bitmap.go:38`, derived from
+    * the default max blob size / minimum 8-byte per-bucket footprint).
+    */
+  private val MaxBitmapCount: Long = (8L << 30) / 8
+
   def deserialize(bytes: Array[Byte]): PositionBitmap = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val count = bb.getLong
+    require(count >= 0 && count <= MaxBitmapCount, s"bitmap count $count out of range")
     val out = new PositionBitmap
     var i = 0L
+    var lastKey = -1L
     while (i < count) {
       val key = bb.getInt
+      // Spec: keys are unsigned, bounded by 2^31-1 (Java int), strictly
+      // ascending. Java rejects with "Invalid unsigned key"; Go fails further
+      // down the parse (`table/dv/dv_cross_client_test.go:131-152`). We
+      // fail-closed explicitly.
+      require(key >= 0, s"invalid unsigned key $key")
+      require(key.toLong > lastKey, s"keys must be ascending: $key after $lastKey")
+      lastKey = key.toLong
       val bm = new RoaringBitmap()
       // RoaringBitmap.deserialize(ByteBuffer) reads the portable format and
       // leaves the buffer position past the bitmap
@@ -215,6 +232,7 @@ object PositionBitmap {
       out.addBucket(key, bm)
       i += 1
     }
+    require(!bb.hasRemaining, s"trailing data after bitmaps: ${bb.remaining} bytes")
     out
   }
 }

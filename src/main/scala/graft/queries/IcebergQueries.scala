@@ -167,7 +167,7 @@ object IcebergQueries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
         .orderBy(col("o_orderstatus"))
     }, Some("""
-      SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM orders
       WHERE o_orderkey % 2 = 0
       GROUP BY o_orderstatus
@@ -296,7 +296,7 @@ object IcebergQueries {
         .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("size_sum"))
         .orderBy(col("p_brand"))
     }, Some("""
-      SELECT p_brand, COUNT(*) AS n, SUM(CAST(p_size AS BIGINT)) AS size_sum
+      SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum
       FROM part
       WHERE p_size <= 25
       GROUP BY p_brand

@@ -207,7 +207,7 @@ object Relational {
     }, Some("""
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-             SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS sum_k
+             CAST(SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY 1, 2
       ORDER BY h, event_type"""))

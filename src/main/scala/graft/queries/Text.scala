@@ -33,7 +33,7 @@ object Text {
         UNION ALL
         SELECT doc_id + 1000000, text, source, n_chars FROM documents),
       keep AS (SELECT MIN(doc_id) AS doc_id FROM u GROUP BY text)
-      SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+      SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
       FROM u JOIN keep USING (doc_id)
       GROUP BY source
       ORDER BY source""")),
@@ -51,7 +51,7 @@ object Text {
         .orderBy(col("source"))
     }, Some("""
       SELECT source,
-             SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS total_tokens,
+             CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
              MAX(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS max_tokens,
              CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       FROM documents
@@ -72,8 +72,8 @@ object Text {
         .orderBy(col("lang"))
     }, Some("""
       SELECT lang,
-             SUM(CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)) AS the_total,
-             SUM(CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)) AS period_total,
+             CAST(SUM((length(text) - length(replace(text, 'the', ''))) // 3) AS BIGINT) AS the_total,
+             CAST(SUM(length(text) - length(replace(text, '.', ''))) AS BIGINT) AS period_total,
              CAST(SUM(CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)) AS DOUBLE) * 1000.0
                / CAST(SUM(n_chars) AS DOUBLE) AS the_per_kchar
       FROM documents

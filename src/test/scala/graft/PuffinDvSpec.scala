@@ -84,15 +84,31 @@ class PuffinDvSpec extends AnyFunSuite {
   }
 
   test("golden: java 64-bit roaring fixtures deserialize as portable bitmaps") {
-    for (f <- Seq("64map32bitvals.bin", "64mapempty.bin", "64maphighvals.bin",
-      "64mapspreadvals.bin")) {
+    // expected cardinalities pinned by the reference's own tests
+    // (table/dv/roaring_bitmap_test.go:34-75)
+    val expected = Seq("64map32bitvals.bin" -> 10L, "64mapempty.bin" -> 0L,
+      "64mapspreadvals.bin" -> 100L)
+    for ((f, card) <- expected) {
       val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$refDv/$f"))
       val bm = PositionBitmap.deserialize(bytes)
-      assert(bm.cardinality >= 0, f)
+      assert(bm.cardinality === card, f)
       // round-trip through our serializer must preserve positions
       val back = PositionBitmap.deserialize(bm.serialize())
       assert(back.positionsIterator.toSeq === bm.positionsIterator.toSeq, f)
     }
+    val spread = PositionBitmap.deserialize(
+      Files.readAllBytes(java.nio.file.Paths.get(s"$refDv/64mapspreadvals.bin")))
+    assert(spread.contains((3L << 32) | 7L))
+    assert(spread.contains((9L << 32) | 9L))
+    assert(!spread.contains(10L << 32))
+  }
+
+  test("golden: spec-illegal high-key fixture is rejected (java/go parity)") {
+    // 64maphighvals.bin carries a roaring key past the spec's unsigned-key
+    // bound; Java rejects ("Invalid unsigned key"), Go fails-closed
+    // (table/dv/dv_cross_client_test.go:131-152). We must reject too.
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$refDv/64maphighvals.bin"))
+    intercept[Exception](PositionBitmap.deserialize(bytes))
   }
 
   test("dv union (or) merges buckets") {
