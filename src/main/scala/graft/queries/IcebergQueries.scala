@@ -324,6 +324,38 @@ object IcebergQueries {
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("rows"))
         .orderBy(col("partition"))
-    }, None)
+    }, None),
+
+    // null-keyed equality delete: a delete row whose key is null must delete
+    // null-keyed data rows (iceberg matches null = null; reference canonical
+    // key encoding table/equality_delete_reader.go:352-527)
+    QueryDef("i14_eq_delete_null", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"eqn_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val df = c.select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        col("c_nationkey"))
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), df)
+      import s.implicits._
+      val keys = Seq(Option.empty[String], Some("BUILDING")).toDF("seg")
+      val t2 = Writer.equalityDelete(s, t1, keys, Seq("seg"))
+      SparkRead.read(s, t2.newScan)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }, Some("""
+      WITH t AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+               c_nationkey
+        FROM customer)
+      SELECT c_nationkey, COUNT(*) AS n
+      FROM t
+      WHERE NOT (seg IS NULL OR seg = 'BUILDING')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
   )
 }

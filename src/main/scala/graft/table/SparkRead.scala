@@ -61,33 +61,41 @@ object SparkRead {
       }
 
       if (posDeletes.nonEmpty) {
+        // no broadcast hint: delete sets are unbounded, so let AQE pick the
+        // join strategy from the delete side's actual size at runtime
         val delDf = spark.read.parquet(posDeletes.map(_.path): _*)
           .select(normalizePath(col("file_path")).as("__file"), col("pos").as("__pos"))
-        df = df.join(broadcast(delDf), Seq("__file", "__pos"), "left_anti")
+        df = df.join(delDf, Seq("__file", "__pos"), "left_anti")
       }
 
       if (dvDeletes.nonEmpty) {
-        // deletion vectors: broadcast (referenced file -> bitmap), keep rows
-        // whose position is not set (reference arrow_scanner.go:533-618)
-        val bitmaps: Map[String, graft.format.PositionBitmap] = dvDeletes.map { d =>
-          val blob = graft.format.Puffin.readBlob(d.path,
-            graft.format.Puffin.BlobMetadata(graft.format.DeletionVector.BlobType,
-              Nil, -1, -1, d.contentOffset.get, d.contentSize.get, Map.empty))
-          d.referencedDataFile.get -> graft.format.DeletionVector.deserialize(blob)
-        }.toMap
-        val bc = spark.sparkContext.broadcast(bitmaps)
+        // deletion vectors: broadcast only blob METADATA (file -> puffin
+        // path/offset/length); each executor reads and caches the bitmaps
+        // for the files it scans (reference arrow_scanner.go:533-618 reads
+        // DVs in the per-task pipeline). Driver never holds bitmap bytes.
+        val dvMeta: Map[String, (String, Long, Long)] = dvDeletes.map(d =>
+          d.referencedDataFile.get ->
+            ((d.path, d.contentOffset.get, d.contentSize.get))).toMap
+        val bc = spark.sparkContext.broadcast(dvMeta)
         val keep = udf((file: String, pos: Long) =>
-          bc.value.get(file).forall(bm => !bm.contains(pos)))
+          bc.value.get(file).forall { case (p, off, len) =>
+            !DvCache.get(p, off, len).contains(pos)
+          })
         df = df.filter(keep(col("__file"), col("__pos")))
       }
 
       // equality deletes: anti-join per distinct equality-id set, scoped by
       // sequence number (data rows in this group all share applicability
-      // because grouping is by delete-set)
+      // because grouping is by delete-set). Join keys use null-safe equality:
+      // Iceberg eq-deletes match null = null (reference canonical key
+      // encoding, table/equality_delete_reader.go:352-527), which a plain
+      // equi-join would silently drop.
       eqDeletes.groupBy(_._1.equalityIds).foreach { case (eqIds, dels) =>
         val keyCols = eqIds.map(id => schema.idToField(id).name)
-        val delDf = spark.read.parquet(dels.map(_._1.path): _*).select(keyCols.map(col): _*)
-        df = df.join(delDf, keyCols, "left_anti")
+        val delDf = spark.read.parquet(dels.map(_._1.path): _*)
+          .select(keyCols.map(k => col(k).as(s"__del_$k")): _*)
+        val cond = keyCols.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _)
+        df = df.join(delDf, cond, "left_anti")
       }
 
       if (posDeletes.nonEmpty || eqDeletes.nonEmpty) df = df.drop("__file", "__pos")
@@ -123,4 +131,26 @@ object SparkRead {
     */
   private def normalizePath(c: Column): Column =
     regexp_replace(c, "^file:/*", "/")
+
+  /** Per-JVM (executor-local) cache of deserialized DV bitmaps keyed by
+    * (puffin path, blob offset). Each executor reads only the blobs for the
+    * files its tasks scan, so memory is bounded by the executor's working
+    * set of DVs — never the table's full DV set, which lives nowhere whole.
+    */
+  private[table] object DvCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (String, Long), graft.format.PositionBitmap]()
+
+    def get(path: String, offset: Long, length: Long): graft.format.PositionBitmap = {
+      // crude bound for long-lived JVMs (DV paths are UUID-unique, so stale
+      // entries are dead weight, never wrong): drop everything and re-read
+      if (cache.size > 1024) cache.clear()
+      cache.computeIfAbsent((path, offset), { _ =>
+        val blob = graft.format.Puffin.readBlob(path,
+          graft.format.Puffin.BlobMetadata(graft.format.DeletionVector.BlobType,
+            Nil, -1, -1, offset, length, Map.empty))
+        graft.format.DeletionVector.deserialize(blob)
+      })
+    }
+  }
 }

@@ -68,14 +68,19 @@ object Writer {
     if (candidates.isEmpty) return table
     val schema = table.schema
     val readSchema = SchemaBridge.toSpark(schema)
+    // one writer task per data file (not coalesce(1)): pos-delete files must
+    // be sorted by (file_path, pos), which sortWithinPartitions preserves per
+    // output file while keeping the write fully parallel (reference fanout
+    // position writer `table/position_delta_writer.go`)
     val matched = spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
       .filter(Expr.toColumn(filter))
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
         col("_metadata.row_index").as("pos"))
-      .orderBy("file_path", "pos")
+      .repartition(col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
     val tmpDir = s"${table.location}/tmp-delete-${UUID.randomUUID()}"
-    matched.coalesce(1).write.parquet(tmpDir)
+    matched.write.parquet(tmpDir)
     val written = listParquet(tmpDir)
     val deleteFiles = written.map { src =>
       val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
@@ -103,47 +108,64 @@ object Writer {
     if (candidates.isEmpty) return table
     val schema = table.schema
     val readSchema = SchemaBridge.toSpark(schema)
-    // (file, positions) for matching rows; per-file grouping keeps the
-    // distributed part distributed — only per-file position arrays reach the
-    // driver, bounded by rows-per-file
-    val matched = spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
-      .filter(Expr.toColumn(filter))
-      .select(
-        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
-        col("_metadata.row_index").as("pos"))
-      .groupBy(col("file_path"))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .collect()
-    if (matched.isEmpty) return table
 
-    val existingDvs: Map[String, DataFile] = candidates
+    // existing DV blob locations (metadata only) broadcast to executors so
+    // each task folds the prior bitmap for its files into the new one
+    val existingDvs: Map[String, (String, Long, Long)] = candidates
       .flatMap(t => t.posDeletes.filter(_.format == "PUFFIN"))
-      .flatMap(d => d.referencedDataFile.map(_ -> d)).toMap
+      .flatMap(d => d.referencedDataFile.map(f =>
+        f -> ((d.path, d.contentOffset.get, d.contentSize.get)))).toMap
+    val bcDvs = spark.sparkContext.broadcast(existingDvs)
+    val location = table.location
 
-    val puffinPath = s"${table.location}/data/dv-${UUID.randomUUID()}.puffin"
-    val blobs = matched.toSeq.map { row =>
-      val file = row.getString(0)
-      val bitmap = new graft.format.PositionBitmap
-      row.getSeq[Long](1).foreach(bitmap.set)
-      existingDvs.get(file).foreach { old =>
-        val bytes = Puffin.readBlob(old.path,
-          Puffin.BlobMetadata(DeletionVector.BlobType, Nil, -1, -1,
-            old.contentOffset.get, old.contentSize.get, Map.empty))
-        bitmap.or(DeletionVector.deserialize(bytes))
-      }
-      (file, bitmap)
-    }
-    val metas = Puffin.write(puffinPath, blobs.map { case (file, bm) =>
-      (DeletionVector.BlobType, DeletionVector.serialize(bm), Map(
-        "referenced-data-file" -> file,
-        "cardinality" -> bm.cardinality.toString))
-    })
-    val deleteFiles = blobs.zip(metas).map { case ((file, bm), meta) =>
+    import spark.implicits._
+    // shuffle positions per data file, then each non-empty task writes ONE
+    // puffin file holding the DV blobs for the files it owns — only blob
+    // metadata (path/offset/length/cardinality) returns to the driver,
+    // bounded by data-file count, never by delete row count
+    val blobMeta: Seq[(String, String, Long, Long, Long)] =
+      spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
+        .filter(Expr.toColumn(filter))
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .groupBy(col("file_path"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .as[(String, Seq[Long])]
+        .mapPartitions { it =>
+          val blobs = it.map { case (file, positions) =>
+            val bm = new PositionBitmap
+            positions.foreach(bm.set)
+            bcDvs.value.get(file).foreach { case (p, off, len) =>
+              val bytes = Puffin.readBlob(p, Puffin.BlobMetadata(
+                DeletionVector.BlobType, Nil, -1, -1, off, len, Map.empty))
+              bm.or(DeletionVector.deserialize(bytes))
+            }
+            (file, bm)
+          }.toSeq
+          if (blobs.isEmpty) Iterator.empty
+          else {
+            val puffinPath = s"$location/data/dv-${UUID.randomUUID()}.puffin"
+            val metas = Puffin.write(puffinPath, blobs.map { case (file, bm) =>
+              (DeletionVector.BlobType, DeletionVector.serialize(bm), Map(
+                "referenced-data-file" -> file,
+                "cardinality" -> bm.cardinality.toString))
+            })
+            blobs.zip(metas).iterator.map { case ((file, bm), meta) =>
+              (file, puffinPath, meta.offset, meta.length, bm.cardinality)
+            }
+          }
+        }.collect().toSeq
+    if (blobMeta.isEmpty) return table
+
+    val puffinSizes = blobMeta.map(_._2).distinct
+      .map(p => p -> new File(p).length()).toMap
+    val deleteFiles = blobMeta.map { case (file, puffinPath, off, len, card) =>
       DataFile(DataFileContent.PositionDeletes, puffinPath, "PUFFIN",
         partition = Seq.fill(table.spec.fields.size)(null),
-        recordCount = bm.cardinality, fileSize = new File(puffinPath).length(),
+        recordCount = card, fileSize = puffinSizes(puffinPath),
         referencedDataFile = Some(file),
-        contentOffset = Some(meta.offset), contentSize = Some(meta.length))
+        contentOffset = Some(off), contentSize = Some(len))
     }
     commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles)
   }
@@ -164,7 +186,9 @@ object Writer {
       }
     }
     val tmpDir = s"${table.location}/tmp-eqdelete-${UUID.randomUUID()}"
-    keys.select(equalityFieldNames.map(col): _*).coalesce(1).write.parquet(tmpDir)
+    // distributed write: each task emits its own delete file; all files carry
+    // the same equality-id set so correctness is unaffected by file count
+    keys.select(equalityFieldNames.map(col): _*).write.parquet(tmpDir)
     val deleteFiles = listParquet(tmpDir).map { src =>
       val target = s"${table.location}/data/eq-delete-${UUID.randomUUID()}.parquet"
       moveFile(src, target)
