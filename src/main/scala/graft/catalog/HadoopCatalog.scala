@@ -78,10 +78,13 @@ final class HadoopCatalog(warehouse: String) {
     val tmp = dir.resolve(s".v$version.metadata.json.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, TableMetadata.toJson(meta).getBytes(StandardCharsets.UTF_8))
     try {
-      // ATOMIC_MOVE fails if target exists on POSIX rename? It replaces; use
-      // createLink-style check: create target exclusively first.
-      if (Files.exists(target)) throw new CommitConflict(s"version $version already exists")
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      // link(2) is atomic create-no-replace: exactly one of two racing
+      // committers wins; the loser sees FileAlreadyExists -> CommitConflict.
+      // (POSIX rename() silently replaces, so ATOMIC_MOVE alone can't CAS.)
+      Files.createLink(target, tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflict(s"version $version already exists")
     } finally Files.deleteIfExists(tmp)
     Files.write(Paths.get(hintFile(name)), version.toString.getBytes(StandardCharsets.UTF_8))
     ()

@@ -356,6 +356,31 @@ object IcebergQueries {
       FROM t
       WHERE NOT (seg IS NULL OR seg = 'BUILDING')
       GROUP BY c_nationkey
-      ORDER BY c_nationkey"""))
+      ORDER BY c_nationkey""")),
+
+    // optimistic-concurrency commit: two appends race from the same stale
+    // base; the loser's CommitConflict is retried with a refresh + rebase
+    // (reference retry loop table/table.go:520-980). Both batches must land.
+    QueryDef("i15_concurrent_append", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"cc_${UUID.randomUUID().toString.take(8)}"
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      val t0 = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f1 = Future(Writer.append(s, t0, n.filter(col("n_nationkey") % 2 === 0)))
+      val f2 = Future(Writer.append(s, t0, n.filter(col("n_nationkey") % 2 =!= 0)))
+      Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
+      SparkRead.read(s, cat.loadTable(name).newScan)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey").cast("long")).as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""))
   )
 }

@@ -20,7 +20,16 @@ final class Table(
 
   def refresh(): Table = catalog.loadTable(name)
 
-  def currentVersion: Int = catalog.currentVersion(name).getOrElse(0)
+  /** The catalog version THIS metadata was loaded from — the CAS base for
+    * commits. Derived from metadataPath, never re-read from the catalog: a
+    * hint-file re-read at commit time would race a concurrent committer and
+    * silently build on its version while carrying stale metadata (lost
+    * update). Parsed from `v<N>.metadata.json`.
+    */
+  val currentVersion: Int = {
+    val fn = metadataPath.substring(metadataPath.lastIndexOf('/') + 1)
+    fn.stripPrefix("v").stripSuffix(".metadata.json").toInt
+  }
 }
 
 /** One unit of read work: a data file + the delete artifacts that apply to it

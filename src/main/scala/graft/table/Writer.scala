@@ -55,7 +55,8 @@ object Writer {
       .filter(!Expr.toColumn(filter))
     val newFiles = writeDataFiles(spark, table, remaining)
     commitSnapshot(table, "overwrite", addedFiles = newFiles,
-      removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil)
+      removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil,
+      conflictCheck = Some(ConflictCheck(filter, candidatePaths.toSet)))
   }
 
   /** Merge-on-read DELETE WHERE: write positional delete files for matching
@@ -94,7 +95,8 @@ object Writer {
     if (deleteFiles.forall(_.recordCount == 0))
       return table
     commitSnapshot(table, "delete", addedFiles = Nil, removedPaths = Set.empty,
-      addedDeleteFiles = deleteFiles.filter(_.recordCount > 0))
+      addedDeleteFiles = deleteFiles.filter(_.recordCount > 0),
+      conflictCheck = Some(ConflictCheck(filter, candidates.map(_.file.path).toSet)))
   }
 
   /** Merge-on-read DELETE WHERE via v3 deletion vectors: one puffin file per
@@ -167,7 +169,8 @@ object Writer {
         referencedDataFile = Some(file),
         contentOffset = Some(off), contentSize = Some(len))
     }
-    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles)
+    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles,
+      conflictCheck = Some(ConflictCheck(filter, candidates.map(_.file.path).toSet)))
   }
 
   /** Equality-delete write (reference `table/equality_delete_writer.go`):
@@ -386,11 +389,73 @@ object Writer {
     } finally reader.close()
   }
 
-  /** Fast-append / overwrite snapshot producer + Hadoop-catalog commit
-    * (reference `table/snapshot_producers.go`, simplified: existing entries
-    * are carried with their original data sequence numbers).
+  /** Concurrent-writer conflict scope for a filter-based delete commit: the
+    * filter that selected rows and the files the committer already accounted
+    * for. On rebase, any OTHER live file matching the filter means a
+    * concurrent commit added data this delete should have seen (reference
+    * `table/conflict_validation.go:68-860`, serializable isolation).
+    */
+  final case class ConflictCheck(filter: Expr, candidatePaths: Set[String])
+
+  /** Fast-append / overwrite snapshot producer + Hadoop-catalog commit with
+    * optimistic-concurrency retry (reference retry loop `table/table.go:520-980`,
+    * property defaults `table/properties.go:111-137`): on CommitConflict,
+    * reload the table, re-validate against the new base, rebuild manifests on
+    * top of it, and re-commit with exponential backoff + jitter.
     */
   def commitSnapshot(table: Table, operation: String, addedFiles: Seq[DataFile],
+      removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
+      conflictCheck: Option[ConflictCheck] = None): Table = {
+    val props = table.metadata.properties
+    def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
+    val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
+    val minWait = propLong("commit.retry.min-wait-ms", 100L)
+    val maxWait = propLong("commit.retry.max-wait-ms", 60000L)
+    val deadline = System.currentTimeMillis() + propLong("commit.retry.total-timeout-ms", 1800000L)
+
+    var t = table
+    var attempt = 0
+    while (true) {
+      if (attempt > 0) validateRebase(t, removedPaths, conflictCheck)
+      try return commitSnapshotOnce(t, operation, addedFiles, removedPaths, addedDeleteFiles)
+      catch {
+        case _: graft.catalog.CommitConflict
+            if attempt < maxRetries && System.currentTimeMillis() < deadline =>
+          val backoff = math.min(maxWait, minWait << math.min(attempt, 16))
+          Thread.sleep((backoff * (0.75 + 0.5 * scala.util.Random.nextDouble())).toLong)
+          attempt += 1
+          t = t.refresh()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Rebase-time conflict validation: removed files must still be live (a
+    * concurrent commit deleting them makes this commit's base assumptions
+    * false), and no concurrently-committed file may match a delete filter.
+    * Both are non-retryable — the caller's read-compute-write must re-run.
+    */
+  private def validateRebase(t: Table, removedPaths: Set[String],
+      check: Option[ConflictCheck]): Unit = {
+    if (removedPaths.nonEmpty) {
+      val live = t.newScan.planFiles().map(_.file.path).toSet
+      val missing = removedPaths.filterNot(live.contains)
+      if (missing.nonEmpty)
+        throw new ValidationException(
+          s"cannot commit: ${missing.size} file(s) this commit rewrites were " +
+          s"removed by a concurrent commit, e.g. ${missing.head}")
+    }
+    check.foreach { c =>
+      val matching = t.newScan.withFilter(c.filter).planFiles().map(_.file.path).toSet
+      val added = matching -- c.candidatePaths -- removedPaths
+      if (added.nonEmpty)
+        throw new ValidationException(
+          s"cannot commit: ${added.size} concurrently added file(s) match the " +
+          s"delete filter, e.g. ${added.head}")
+    }
+  }
+
+  private def commitSnapshotOnce(table: Table, operation: String, addedFiles: Seq[DataFile],
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile]): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
@@ -527,3 +592,9 @@ object Writer {
     rm(new File(dir))
   }
 }
+
+/** Non-retryable commit-time conflict: the table changed in a way that
+  * invalidates this commit's base assumptions (reference
+  * `table/conflict_validation.go`).
+  */
+final class ValidationException(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.{CommitConflict, HadoopCatalog}
+import graft.core._
+import graft.format._
+import graft.table.{SparkRead, ValidationException, Writer}
+
+/** Optimistic-concurrency commit protocol: CAS atomicity, retry + rebase,
+  * conflict validation (reference retry `table/table.go:520-980`, validators
+  * `table/conflict_validation.go:68-860`).
+  */
+class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("commit-concurrency")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val warehouse = Files.createTempDirectory("graft-cc").toString
+  private lazy val catalog = new HadoopCatalog(warehouse)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("stale-base commit conflicts at the catalog, succeeds after retry") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_stale", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation.filter(col("n_nationkey") < 10))
+    // commit from the STALE t0 handle: the retry loop must refresh + rebase,
+    // keeping t1's snapshot in history
+    val t2 = Writer.append(spark, t0, nation.filter(col("n_nationkey") >= 10))
+    assert(SparkRead.read(spark, t2.newScan).count() === 25)
+    assert(t2.metadata.snapshots.size === 2)
+    assert(t2.currentVersion === 3) // v1 create, v2 first append, v3 rebased
+    assert(t1.metadata.currentSnapshotId.get ===
+      t2.metadata.currentSnapshot.get.parentSnapshotId.get)
+  }
+
+  test("racing appends both land (one wins CAS, one rebases)") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_race", schema, PartitionSpec.Unpartitioned)
+    val f1 = Future(Writer.append(spark, t0, nation.filter(col("n_nationkey") % 2 === 0)))
+    val f2 = Future(Writer.append(spark, t0, nation.filter(col("n_nationkey") % 2 =!= 0)))
+    Await.result(f1, 2.minutes); Await.result(f2, 2.minutes)
+    val t = catalog.loadTable("cc_race")
+    assert(SparkRead.read(spark, t.newScan).count() === 25)
+    assert(t.metadata.snapshots.size === 2)
+  }
+
+  test("raw catalog CAS rejects a commit against a superseded version") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_cas", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation)
+    intercept[CommitConflict] {
+      catalog.commit("cc_cas", t0.metadata, t0.metadata, t0.currentVersion)
+    }
+    assert(t1.currentVersion === 2)
+  }
+
+  test("concurrent delete of the same rows fails validation, not silently") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_del", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation)
+    // two CoW deletes race from the same base; the rebasing one rewrites
+    // files the winner already removed -> non-retryable ValidationException
+    val winner = Writer.deleteWhere(spark, t1, Expr.lt("n_nationkey", 5))
+    intercept[ValidationException] {
+      Writer.deleteWhere(spark, t1, Expr.lt("n_nationkey", 10))
+    }
+    assert(SparkRead.read(spark, winner.refresh().newScan).count() === 20)
+  }
+
+  test("append concurrent with a delete is allowed (no overlapping files)") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_mix", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation.filter(col("n_nationkey") < 20))
+    val afterDelete = Writer.deleteWhere(spark, t1, Expr.lt("n_nationkey", 5))
+    // stale-base append: file-level rebase is clean (no removed paths)
+    val t2 = Writer.append(spark, t1, nation.filter(col("n_nationkey") >= 20))
+    assert(SparkRead.read(spark, t2.newScan).count() === 20) // 25 - 5 deleted
+    assert(afterDelete.metadata.currentSnapshotId.isDefined)
+  }
+}
