@@ -200,6 +200,99 @@ object Evaluators {
     }
   }
 
+  /** Strict metrics evaluator (`table/evaluators.go:1290-1683`): returns true
+    * iff EVERY row in the file matches the predicate — the dual of
+    * `fileMightMatch`. False negatives are allowed (we fall back to a
+    * rewrite); false positives would drop live rows, so every rule is
+    * conservative. Used to classify fully-matched files in DELETE WHERE for
+    * metadata-only removal (wired as in `table/transaction.go:1767-1860`).
+    *
+    * `expr` must be NOT-rewritten (`rewriteNot`) first.
+    */
+  def fileMustMatch(schema: IcebergSchema, expr: Expr, f: DataFile): Boolean = {
+    // an empty file vacuously matches: dropping it removes nothing
+    if (f.recordCount == 0) return true
+
+    def eval(e: Expr): Boolean = e match {
+      case AlwaysTrue => true
+      case AlwaysFalse => false
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r) => eval(l) || eval(r)
+      case Not(_) => false // conservative; rewriteNot removes these
+      case Predicate(op, ref, lits) =>
+        schema.findField(ref) match {
+          case None => false
+          case Some(field) =>
+            val id = field.id
+            val ft = field.fieldType
+            val valueCount = f.valueCounts.get(id)
+            val nullCount = f.nullCounts.get(id)
+            val nanCount = f.nanCounts.get(id)
+            val allNull = (valueCount, nullCount) match {
+              case (Some(v), Some(n)) => v == n
+              case _ => false
+            }
+            val noNulls = nullCount.contains(0L)
+            val noNans = ft match {
+              case FloatT | DoubleT => nanCount.contains(0L)
+              case _ => true
+            }
+            val lower = f.lowerBounds.get(id).map(Literals.decode(ft, _))
+            val upper = f.upperBounds.get(id).map(Literals.decode(ft, _))
+            def cmpLower(v: Any): Option[Int] = lower.map(l => Literals.compare(ft, l, v))
+            def cmpUpper(v: Any): Option[Int] = upper.map(u => Literals.compare(ft, u, v))
+
+            op match {
+              case Op.IsNull => allNull
+              case Op.NotNull => noNulls
+              case Op.IsNan => (valueCount, nanCount) match {
+                case (Some(v), Some(n)) => v > 0 && v == n
+                case _ => false
+              }
+              case Op.NotNan => noNans
+              // a null (or NaN) row fails every value comparison, so strict
+              // value predicates require provably-no-nulls/nans first
+              case _ if !noNulls || !noNans => false
+              case Op.Lt => cmpUpper(lits.head).exists(_ < 0)
+              case Op.LtEq => cmpUpper(lits.head).exists(_ <= 0)
+              case Op.Gt => cmpLower(lits.head).exists(_ > 0)
+              case Op.GtEq => cmpLower(lits.head).exists(_ >= 0)
+              case Op.Eq =>
+                // all rows equal v iff lower == v == upper
+                cmpLower(lits.head).exists(_ == 0) && cmpUpper(lits.head).exists(_ == 0)
+              case Op.NotEq =>
+                // no row equals v iff v outside [lower, upper]
+                cmpLower(lits.head).exists(_ > 0) || cmpUpper(lits.head).exists(_ < 0)
+              case Op.In =>
+                // single-valued file whose value is in the set
+                (lower, upper) match {
+                  case (Some(l), Some(u)) if Literals.compare(ft, l, u) == 0 =>
+                    lits.exists(v => Literals.compare(ft, l, v) == 0)
+                  case _ => false
+                }
+              case Op.NotIn =>
+                lits.forall(v => cmpLower(v).exists(_ > 0) || cmpUpper(v).exists(_ < 0))
+              case Op.StartsWith => false // bounds are truncated; never provable
+              case Op.NotStartsWith =>
+                // no row can start with prefix iff the whole [lower, upper]
+                // range lies outside the prefix block (compare truncated)
+                val prefix = lits.head.toString
+                def trunc(s: String) =
+                  if (s.length > prefix.length) s.substring(0, prefix.length) else s
+                val upperBelow = upper.exists(u => trunc(u.toString).compareTo(prefix) < 0)
+                val lowerAbove = lower.exists { l =>
+                  val ls = l.toString
+                  // a bound shorter than prefix sorts before it yet rows
+                  // extending it may still start with prefix — require strict
+                  ls.length >= prefix.length && trunc(ls).compareTo(prefix) > 0
+                }
+                upperBelow || lowerAbove
+            }
+        }
+    }
+    eval(expr)
+  }
+
   /** Partition-value filter at file granularity (exact row eval over the
     * file's partition tuple; `table/scanner.go:480-507`).
     */

@@ -381,6 +381,27 @@ object IcebergQueries {
       SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
       FROM nation
       GROUP BY n_regionkey
-      ORDER BY n_regionkey"""))
+      ORDER BY n_regionkey""")),
+
+    // metadata-only delete: a partition-aligned DELETE WHERE must drop the
+    // fully-matching files via the strict evaluator without rewriting a
+    // single file (added-data-files = 0), and still read back correct rows
+    QueryDef("i16_metadata_only_delete", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"meta_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val spec = PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Truncate(1)).build()
+      val t1 = Writer.append(s, cat.createTable(name, schema, spec), c)
+      val t2 = Writer.deleteWhere(s, t1, Expr.eq("c_mktsegment", "BUILDING"))
+      val summary = t2.metadata.currentSnapshot.get.summary
+      val remaining = SparkRead.read(s, t2.newScan).count()
+      import s.implicits._
+      Seq((remaining, summary.getOrElse("added-data-files", "-1").toLong))
+        .toDF("n_rows", "added_files")
+    }, Some("""
+      SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS added_files
+      FROM customer
+      WHERE NOT c_mktsegment = 'BUILDING'"""))
   )
 }

@@ -43,6 +43,19 @@ object SparkRead {
       return project(applyResidual(empty, scan), scan, schema)
     }
 
+    project(applyResidual(readTasks(spark, tasks, schema), scan), scan, schema)
+  }
+
+  /** Read a specific set of scan tasks with their MoR deletes applied — the
+    * shared dataflow behind full scans, CoW rewrites, and compaction (which
+    * must never read raw parquet directly, or already-deleted rows would
+    * resurrect in the rewritten files).
+    */
+  def readTasks(spark: SparkSession, tasks: Seq[FileScanTask],
+      schema: IcebergSchema): DataFrame = {
+    configure(spark)
+    val readSchema: StructType = SchemaBridge.toSpark(schema)
+
     // group tasks by identical delete-set so each group is one scan + fixed
     // joins (DV identity = path + blob offset)
     val groups: Seq[Seq[FileScanTask]] =
@@ -98,12 +111,12 @@ object SparkRead {
         df = df.join(delDf, cond, "left_anti")
       }
 
-      if (posDeletes.nonEmpty || eqDeletes.nonEmpty) df = df.drop("__file", "__pos")
+      if (dvDeletes.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty)
+        df = df.drop("__file", "__pos")
       df
     }
 
-    val unioned = parts.reduce(_ unionByName _)
-    project(applyResidual(unioned, scan), scan, schema)
+    parts.reduce(_ unionByName _)
   }
 
   private def applyResidual(df: DataFrame, scan: Scan): DataFrame = {

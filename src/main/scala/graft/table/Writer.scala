@@ -48,12 +48,20 @@ object Writer {
     val candidates = table.newScan.withFilter(filter).planFiles()
     if (candidates.isEmpty) return table
     val schema = table.schema
-    val readSchema = SchemaBridge.toSpark(schema)
+    // strict classification (reference `table/transaction.go:1767-1860`):
+    // files where EVERY row matches are dropped metadata-only — no read, no
+    // rewrite. Files with MoR deletes attached still qualify: deletes only
+    // remove rows, so "all rows match" covers all live rows too.
+    val strictFilter = Expr.rewriteNot(filter)
+    val (fullMatch, partial) = candidates.partition(t =>
+      Evaluators.fileMustMatch(schema, strictFilter, t.file))
     val candidatePaths = candidates.map(_.file.path)
-    // rewrite candidates without the matching rows (one distributed job)
-    val remaining = spark.read.schema(readSchema).parquet(candidatePaths: _*)
-      .filter(!Expr.toColumn(filter))
-    val newFiles = writeDataFiles(spark, table, remaining)
+    // rewrite only partially-matching candidates, without the matching rows,
+    // reading through the MoR pipeline so already-deleted rows stay deleted
+    val newFiles =
+      if (partial.isEmpty) Nil
+      else writeDataFiles(spark, table,
+        SparkRead.readTasks(spark, partial, schema).filter(!Expr.toColumn(filter)))
     commitSnapshot(table, "overwrite", addedFiles = newFiles,
       removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil,
       conflictCheck = Some(ConflictCheck(filter, candidatePaths.toSet)))
