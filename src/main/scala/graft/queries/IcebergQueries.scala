@@ -402,6 +402,80 @@ object IcebergQueries {
     }, Some("""
       SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS added_files
       FROM customer
-      WHERE NOT c_mktsegment = 'BUILDING'"""))
+      WHERE NOT c_mktsegment = 'BUILDING'""")),
+
+    // compaction: MoR deletes (positional + equality) folded into rewritten
+    // data files; afterwards planFiles must attach zero delete files and the
+    // data must still match the oracle
+    QueryDef("i17_compaction", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"cmp_${UUID.randomUUID().toString.take(8)}"
+      val p = tbl(s, dir, "part")
+      val schema = SchemaBridge.fromSpark(p.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        p.filter(col("p_partkey") % 2 === 0))
+      val t2 = Writer.append(s, t1, p.filter(col("p_partkey") % 2 =!= 0))
+      val t3 = Writer.deleteWhereMoR(s, t2, Expr.lt("p_size", 10))
+      val t4 = Writer.equalityDelete(s, t3,
+        p.filter(col("p_size") >= 40).select("p_partkey"), Seq("p_partkey"))
+      val res = graft.table.Maintenance.rewriteDataFiles(s, t4, rewriteAll = true)
+      val tasks = res.table.newScan.planFiles()
+      val nDeletesAttached = tasks.map(t => t.posDeletes.size + t.eqDeletes.size).sum
+      val nRows = SparkRead.read(s, res.table.newScan).count()
+      import s.implicits._
+      Seq((nRows, nDeletesAttached.toLong)).toDF("n_rows", "n_delete_files")
+    }, Some("""
+      SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_delete_files
+      FROM part
+      WHERE NOT p_size < 10
+        AND p_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size >= 40)""")),
+
+    // snapshot expiry + orphan cleanup: history shrinks to the live snapshot,
+    // unreachable files are deleted, and the table still reads correctly
+    QueryDef("i18_expire_snapshots", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"exp_${UUID.randomUUID().toString.take(8)}"
+      val sup = tbl(s, dir, "supplier")
+      val schema = SchemaBridge.fromSpark(sup.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        sup.filter(col("s_suppkey") % 2 === 0))
+      val t2 = Writer.append(s, t1, sup.filter(col("s_suppkey") % 2 =!= 0))
+      val t3 = Writer.deleteWhere(s, t2, Expr.ltEq("s_suppkey", 5L))
+      val res = graft.table.Maintenance.expireSnapshots(
+        t3, olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+      val orphans = graft.table.Maintenance.removeOrphanFiles(
+        res.table, olderThanMs = System.currentTimeMillis() + 1000)
+      val t4 = res.table
+      val nRows = SparkRead.read(s, t4.newScan).count()
+      import s.implicits._
+      Seq((nRows, t4.metadata.snapshots.size.toLong,
+        (res.expiredSnapshots.size >= 2 && orphans.size >= 0).toString))
+        .toDF("n_rows", "n_snapshots", "expired_ok")
+    }, Some("""
+      SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_snapshots, 'true' AS expired_ok
+      FROM supplier
+      WHERE NOT s_suppkey <= 5""")),
+
+    // manifest rewrite: many small data manifests merge into one; reads are
+    // unchanged and sequence numbers survive the merge
+    QueryDef("i19_rewrite_manifests", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"rm_${UUID.randomUUID().toString.take(8)}"
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      var t = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        n.filter(col("n_nationkey") < 8))
+      t = Writer.append(s, t, n.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16))
+      t = Writer.append(s, t, n.filter(col("n_nationkey") >= 16))
+      val merged = graft.table.Maintenance.rewriteManifests(t, targetCount = 1)
+      val nManifests = graft.format.Manifests
+        .readManifestList(merged.metadata.currentSnapshot.get.manifestList)
+        .count(_.content == graft.format.ManifestContent.Data)
+      val nRows = SparkRead.read(s, merged.newScan).count()
+      import s.implicits._
+      Seq((nRows, nManifests.toLong)).toDF("n_rows", "n_data_manifests")
+    }, Some("""
+      SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_data_manifests
+      FROM nation"""))
   )
 }

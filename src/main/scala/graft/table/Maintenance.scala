@@ -1,0 +1,229 @@
+package graft.table
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core._
+import graft.format._
+
+/** Table maintenance operators (reference §2.6): bin-pack compaction
+  * (`table/compaction/compaction.go:31-380`, `table/rewrite_data_files.go:
+  * 223-600`), snapshot expiry (`table/transaction.go:448-557`), manifest
+  * rewrite (`table/rewrite_manifests.go:42-430`), and orphan-file cleanup
+  * (`table/orphan_cleanup.go:44-1057`), re-expressed over Spark jobs + our
+  * snapshot producer.
+  */
+object Maintenance {
+
+  final case class CompactionResult(
+      table: Table,
+      rewrittenDataFiles: Int,
+      addedDataFiles: Int,
+      removedDeleteFiles: Int)
+
+  /** Bin-pack RewriteDataFiles: group live files by partition, select groups
+    * that are fragmented (≥ minInputFiles below target size) or carry MoR
+    * deletes, rewrite each selected group through the MoR read pipeline
+    * (folding deletes in), and drop delete files whose referenced data files
+    * were all rewritten.
+    *
+    * The rewrite is one distributed job per partition group set — file
+    * bin-packing parallelism comes from Spark's own write tasks, so the
+    * operator scales with cluster width, not file count on the driver.
+    */
+  def rewriteDataFiles(spark: SparkSession, table: Table,
+      targetFileSizeBytes: Long = 0, minInputFiles: Int = 2,
+      rewriteAll: Boolean = false): CompactionResult = {
+    val targetSize =
+      if (targetFileSizeBytes > 0) targetFileSizeBytes
+      else table.metadata.properties.get("write.target-file-size-bytes")
+        .map(_.toLong).getOrElse(512L * 1024 * 1024)
+    val tasks = table.newScan.planFiles()
+    if (tasks.isEmpty) return CompactionResult(table, 0, 0, 0)
+
+    val byPartition = tasks.groupBy(_.file.partition.map(String.valueOf).mkString("/"))
+    val selected = byPartition.values.filter { group =>
+      rewriteAll ||
+        group.exists(t => t.posDeletes.nonEmpty || t.eqDeletes.nonEmpty) ||
+        group.count(_.file.fileSize < targetSize) >= minInputFiles
+    }.flatten.toSeq
+    if (selected.isEmpty) return CompactionResult(table, 0, 0, 0)
+
+    val rewrittenPaths = selected.map(_.file.path).toSet
+
+    // a delete file may be attached to many data files (eq-deletes, parquet
+    // pos-deletes); it can be dropped only when every data file it applies
+    // to is being rewritten — otherwise it must survive for the others
+    val deleteAttachment: Map[(String, Option[Long]), Set[String]] = tasks
+      .flatMap(t => (t.posDeletes.map(d => (d.path, d.contentOffset)) ++
+        t.eqDeletes.map(e => (e._1.path, e._1.contentOffset))).map(_ -> t.file.path))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val droppableDeletes = deleteAttachment.collect {
+      case (key, dataPaths) if dataPaths.subsetOf(rewrittenPaths) => key
+    }.toSet
+
+    val schema = table.schema
+    val compacted = SparkRead.readTasks(spark, selected, schema)
+    val newFiles = Writer.writeDataFiles(spark, table, compacted)
+    val committed = Writer.commitSnapshot(table, "replace",
+      addedFiles = newFiles, removedPaths = rewrittenPaths,
+      addedDeleteFiles = Nil, removedDeleteKeys = droppableDeletes)
+    CompactionResult(committed, selected.size, newFiles.size, droppableDeletes.size)
+  }
+
+  final case class ExpireResult(
+      table: Table,
+      expiredSnapshots: Seq[Long],
+      deletedFiles: Seq[String])
+
+  /** Expire snapshots older than `olderThanMs`, always retaining the last
+    * `retainLast` by timestamp plus every snapshot referenced by a branch or
+    * tag. Files reachable only from expired snapshots (manifest lists,
+    * manifests, data/delete files) are deleted from storage.
+    */
+  def expireSnapshots(table: Table, olderThanMs: Long,
+      retainLast: Int = 1): ExpireResult = {
+    val meta = table.metadata
+    val byTime = meta.snapshots.sortBy(_.timestampMs)
+    val protectedIds: Set[Long] =
+      meta.refs.values.map(_.snapshotId).toSet ++
+      meta.currentSnapshotId.toSet ++
+      byTime.takeRight(retainLast).map(_.snapshotId).toSet
+    val (kept, expired) = meta.snapshots.partition(s =>
+      protectedIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
+    if (expired.isEmpty) return ExpireResult(table, Nil, Nil)
+
+    def reachableFiles(snaps: Seq[Snapshot]): Set[String] = {
+      val out = Set.newBuilder[String]
+      snaps.foreach { s =>
+        out += s.manifestList
+        Manifests.readManifestList(s.manifestList).foreach { m =>
+          out += m.path
+          val (entries, _) = Manifests.readManifest(m.path)
+          entries.foreach(e => out += e.file.path)
+        }
+      }
+      out.result()
+    }
+    val keep = reachableFiles(kept)
+    val candidates = reachableFiles(expired)
+    val toDelete = (candidates -- keep).toSeq.sorted
+
+    val expiredIds = expired.map(_.snapshotId).toSet
+    val updated = meta.copy(
+      snapshots = kept,
+      snapshotLog = meta.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
+      lastUpdatedMs = System.currentTimeMillis())
+    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    toDelete.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    ExpireResult(table.refresh(), expired.map(_.snapshotId), toDelete)
+  }
+
+  /** Merge the current snapshot's data manifests into ~`targetCount` larger
+    * ones (reference `table/rewrite_manifests.go:42-430`). Entries keep their
+    * original data sequence numbers; a new "replace" snapshot points at the
+    * merged list. Delete manifests are carried unchanged.
+    */
+  def rewriteManifests(table: Table, targetCount: Int = 1): Table = {
+    val meta = table.metadata
+    val snap = meta.currentSnapshot.getOrElse(return table)
+    val manifests = Manifests.readManifestList(snap.manifestList)
+    val (dataManifests, deleteManifests) =
+      manifests.partition(_.content == ManifestContent.Data)
+    if (dataManifests.size <= targetCount) return table
+
+    val schema = meta.schema
+    val spec = meta.spec
+    val partType = spec.partitionType(schema)
+    val metadataDir = s"${meta.location}/metadata"
+    val newSeq = meta.lastSequenceNumber + 1
+    val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
+
+    // resolve inherited sequence numbers BEFORE regrouping: a merged
+    // manifest has one sequence number, which must not leak onto entries
+    // that inherited an older one
+    val allEntries: Seq[ManifestEntry] = dataManifests.flatMap { m =>
+      val (entries, _) = Manifests.readManifest(m.path)
+      entries.filter(_.status != ManifestEntryStatus.Deleted).map(e =>
+        e.copy(status = ManifestEntryStatus.Existing,
+          dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
+    }
+    val groups = {
+      val size = math.max(1, math.ceil(allEntries.size.toDouble / targetCount).toInt)
+      allEntries.grouped(size).toSeq
+    }
+    val merged = groups.map { entries =>
+      val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
+      val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId)
+      ManifestFile(p, len, spec.specId, ManifestContent.Data,
+        snap.sequenceNumber, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
+        snapshotId, 0, entries.size, 0,
+        0L, entries.map(_.file.recordCount).sum, 0L,
+        Writer.partitionSummaries(entries.map(_.file), partType))
+    }
+
+    val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
+    Manifests.writeManifestList(manifestListPath, merged ++ deleteManifests,
+      snapshotId, meta.currentSnapshotId, newSeq)
+    val now = System.currentTimeMillis()
+    val summary = Map("operation" -> "replace",
+      "manifests-replaced" -> dataManifests.size.toString,
+      "manifests-created" -> merged.size.toString)
+    val newSnap = Snapshot(snapshotId, meta.currentSnapshotId, newSeq, now,
+      manifestListPath, summary, Some(meta.currentSchemaId))
+    val updated = meta.copy(
+      lastSequenceNumber = newSeq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = meta.snapshots :+ newSnap,
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
+      refs = meta.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    table.refresh()
+  }
+
+  /** List (and optionally delete) files under the table location that no
+    * snapshot references and that are older than `olderThanMs` — the grace
+    * period protects in-flight writes whose commit hasn't landed yet
+    * (reference `table/orphan_cleanup.go:44-1057`).
+    */
+  def removeOrphanFiles(table: Table, olderThanMs: Long,
+      dryRun: Boolean = false): Seq[String] = {
+    val meta = table.metadata
+    val referenced: Set[String] = {
+      val out = Set.newBuilder[String]
+      meta.snapshots.foreach { s =>
+        out += s.manifestList
+        Manifests.readManifestList(s.manifestList).foreach { m =>
+          out += m.path
+          val (entries, _) = Manifests.readManifest(m.path)
+          entries.foreach(e => out += e.file.path)
+        }
+      }
+      meta.metadataLog.foreach(out += _.metadataFile)
+      out.result()
+    }
+
+    val root = new File(meta.location)
+    val all = Seq.newBuilder[String]
+    def walk(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+      else all += f.getAbsolutePath
+    }
+    walk(new File(s"${meta.location}/data"))
+    walk(new File(s"${meta.location}/metadata"))
+
+    val keepSuffixes = Seq("version-hint.text")
+    val orphans = all.result().filter { p =>
+      !referenced.contains(p) &&
+      !p.endsWith(".metadata.json") &&
+      !keepSuffixes.exists(p.endsWith) &&
+      new File(p).lastModified() < olderThanMs
+    }
+    if (!dryRun) orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans
+  }
+}

@@ -413,7 +413,8 @@ object Writer {
     */
   def commitSnapshot(table: Table, operation: String, addedFiles: Seq[DataFile],
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
-      conflictCheck: Option[ConflictCheck] = None): Table = {
+      conflictCheck: Option[ConflictCheck] = None,
+      removedDeleteKeys: Set[(String, Option[Long])] = Set.empty): Table = {
     val props = table.metadata.properties
     def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
     val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
@@ -425,7 +426,8 @@ object Writer {
     var attempt = 0
     while (true) {
       if (attempt > 0) validateRebase(t, removedPaths, conflictCheck)
-      try return commitSnapshotOnce(t, operation, addedFiles, removedPaths, addedDeleteFiles)
+      try return commitSnapshotOnce(t, operation, addedFiles, removedPaths,
+        addedDeleteFiles, removedDeleteKeys)
       catch {
         case _: graft.catalog.CommitConflict
             if attempt < maxRetries && System.currentTimeMillis() < deadline =>
@@ -464,7 +466,8 @@ object Writer {
   }
 
   private def commitSnapshotOnce(table: Table, operation: String, addedFiles: Seq[DataFile],
-      removedPaths: Set[String], addedDeleteFiles: Seq[DataFile]): Table = {
+      removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
+      removedDeleteKeys: Set[(String, Option[Long])] = Set.empty): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -478,23 +481,29 @@ object Writer {
 
     var manifests = Seq.newBuilder[ManifestFile]
 
-    // carry forward / filter previous data manifests
-    if (removedPaths.isEmpty) {
+    // carry forward / filter previous manifests
+    if (removedPaths.isEmpty && removedDeleteKeys.isEmpty) {
       manifests ++= previousManifests
     } else {
       previousManifests.foreach { m =>
-        if (m.content != ManifestContent.Data) { manifests += m }
-        else {
+        val isData = m.content == ManifestContent.Data
+        def keep(e: ManifestEntry): Boolean =
+          if (isData) !removedPaths.contains(e.file.path)
+          else !removedDeleteKeys.contains((e.file.path, e.file.contentOffset))
+        if ((isData && removedPaths.isEmpty) || (!isData && removedDeleteKeys.isEmpty)) {
+          manifests += m
+        } else {
           val (entries, _) = Manifests.readManifest(m.path)
-          val live = entries.filter(e => e.status != ManifestEntryStatus.Deleted &&
-            !removedPaths.contains(e.file.path))
+          val live = entries.filter(e => e.status != ManifestEntryStatus.Deleted && keep(e))
           if (live.size == entries.size) manifests += m
           else if (live.nonEmpty) {
             val kept = live.map(e => e.copy(status = ManifestEntryStatus.Existing,
               dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
-            val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
-            val len = Manifests.writeManifest(p, kept, schema, spec, snapshotId)
-            manifests += ManifestFile(p, len, spec.specId, ManifestContent.Data,
+            val suffix = if (isData) "m" else "d"
+            val p = s"$metadataDir/${UUID.randomUUID()}-$suffix.avro"
+            val len = Manifests.writeManifest(p, kept, schema, spec, snapshotId,
+              content = m.content)
+            manifests += ManifestFile(p, len, spec.specId, m.content,
               m.sequenceNumber, kept.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
               snapshotId, 0, kept.size, entries.size - live.size,
               0L, kept.map(_.file.recordCount).sum, 0L,
