@@ -476,6 +476,62 @@ object IcebergQueries {
       Seq((nRows, nManifests.toLong)).toDF("n_rows", "n_data_manifests")
     }, Some("""
       SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_data_manifests
-      FROM nation"""))
+      FROM nation""")),
+
+    // RowDelta upsert: updates + inserts in ONE snapshot; sequence numbers
+    // make the eq-delete apply only to pre-existing rows, never the batch's
+    // own inserts (reference table/row_delta.go:65-290)
+    QueryDef("i20_upsert", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"ups_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
+      val updated = c.filter(col("c_custkey") <= 100)
+        .withColumn("c_acctbal", lit(999.99))
+      val inserted = c.filter(col("c_custkey") <= 10)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+        .withColumn("c_acctbal", lit(111.11))
+      val t2 = Writer.upsert(s, t1, updated.unionByName(inserted), Seq("c_custkey"))
+      SparkRead.read(s, t2.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("c_acctbal")))).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey, 999.99 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, 111.11, c_mktsegment
+        FROM customer WHERE c_custkey <= 10),
+      merged AS (
+        SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        UNION ALL SELECT * FROM upd)
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM merged
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // add_files import: register the raw (ID-less) testdata parquet without
+    // rewriting it; the name mapping resolves columns, stats still prune,
+    // and a CoW delete over the imported file round-trips correctly
+    QueryDef("i21_add_files", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"imp_${UUID.randomUUID().toString.take(8)}"
+      val p = tbl(s, dir, "part")
+      val schema = SchemaBridge.fromSpark(p.schema)
+      val t0 = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
+      val t1 = Writer.addFiles(s, t0, Seq(s"$dir/part.parquet"))
+      SparkRead.read(s, t1.newScan.withFilter(Expr.gt("p_size", 25)))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("size_sum"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum
+      FROM part
+      WHERE p_size > 25
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
   )
 }

@@ -66,7 +66,7 @@ object Maintenance {
     }.toSet
 
     val schema = table.schema
-    val compacted = SparkRead.readTasks(spark, selected, schema)
+    val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping)
     val newFiles = Writer.writeDataFiles(spark, table, compacted)
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = newFiles, removedPaths = rewrittenPaths,

@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.core._
 import graft.format.DataFileContent
@@ -43,16 +43,24 @@ object SparkRead {
       return project(applyResidual(empty, scan), scan, schema)
     }
 
-    project(applyResidual(readTasks(spark, tasks, schema), scan), scan, schema)
+    project(applyResidual(readTasks(spark, tasks, schema, scan.table.nameMapping),
+      scan), scan, schema)
   }
 
   /** Read a specific set of scan tasks with their MoR deletes applied — the
     * shared dataflow behind full scans, CoW rewrites, and compaction (which
     * must never read raw parquet directly, or already-deleted rows would
     * resurrect in the rewritten files).
+    *
+    * When the table carries a name mapping (add_files import), each group is
+    * split into ID-resolved and name-mapped subgroups: Spark's fieldId
+    * reader hard-fails on ID-less files, so those are read with an
+    * ID-metadata-free schema using the mapping's names, then renamed to the
+    * canonical schema. Tables never imported skip the footer probe entirely.
     */
   def readTasks(spark: SparkSession, tasks: Seq[FileScanTask],
-      schema: IcebergSchema): DataFrame = {
+      schema: IcebergSchema,
+      nameMapping: Option[graft.format.NameMapping] = None): DataFrame = {
     configure(spark)
     val readSchema: StructType = SchemaBridge.toSpark(schema)
 
@@ -62,9 +70,35 @@ object SparkRead {
       tasks.groupBy(t => (t.posDeletes.map(d => (d.path, d.contentOffset)).toSet,
         t.eqDeletes.map(_._1.path).toSet)).values.toSeq
 
-    val parts = groups.map { groupTasks =>
-      var df = spark.read.schema(readSchema)
-        .parquet(groupTasks.map(_.file.path): _*)
+    val parts = groups.flatMap { groupTasks =>
+      val subGroups: Seq[(Seq[FileScanTask], Boolean)] = nameMapping match {
+        case None => Seq((groupTasks, true))
+        case Some(_) =>
+          val (withIds, without) = groupTasks.partition(t => hasFieldIds(t.file.path))
+          Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
+      }
+      subGroups.map { case (sub, idsPresent) => readSubGroup(spark, sub, idsPresent,
+        schema, readSchema, nameMapping) }
+    }
+
+    parts.reduce(_ unionByName _)
+  }
+
+  private def readSubGroup(spark: SparkSession, groupTasks: Seq[FileScanTask],
+      idsPresent: Boolean, schema: IcebergSchema, readSchema: StructType,
+      nameMapping: Option[graft.format.NameMapping]): DataFrame = {
+    {
+      var df =
+        if (idsPresent) spark.read.schema(readSchema).parquet(groupTasks.map(_.file.path): _*)
+        else {
+          val nm = nameMapping.get
+          val mappedSchema = StructType(schema.fields.map(f =>
+            StructField(nm.idToName.getOrElse(f.id, f.name),
+              SchemaBridge.toSparkType(f.fieldType), nullable = true)))
+          spark.read.schema(mappedSchema).parquet(groupTasks.map(_.file.path): _*)
+            .select(schema.fields.map(f =>
+              col(nm.idToName.getOrElse(f.id, f.name)).as(f.name)): _*)
+        }
 
       val (dvDeletes, posDeletes) = groupTasks.head.posDeletes.partition(_.format == "PUFFIN")
       val eqDeletes = groupTasks.head.eqDeletes
@@ -115,9 +149,24 @@ object SparkRead {
         df = df.drop("__file", "__pos")
       df
     }
-
-    parts.reduce(_ unionByName _)
   }
+
+  /** Does the parquet footer embed field IDs? Driver-side probe, cached per
+    * path; only consulted for tables that carry a name mapping.
+    */
+  private val fieldIdProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def hasFieldIds(path: String): Boolean =
+    fieldIdProbe.computeIfAbsent(path, { p =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val fields = reader.getFooter.getFileMetaData.getSchema.getFields
+        !fields.isEmpty && fields.get(0).getId != null
+      } finally reader.close()
+    })
 
   private def applyResidual(df: DataFrame, scan: Scan): DataFrame = {
     val filtered = scan.filter match {

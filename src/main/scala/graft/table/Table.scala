@@ -18,6 +18,10 @@ final class Table(
 
   def newScan: Scan = Scan(this)
 
+  /** Name mapping for ID-less imported files, if add_files ever ran. */
+  def nameMapping: Option[NameMapping] =
+    metadata.properties.get(NameMapping.PropertyKey).map(NameMapping.fromJson)
+
   def refresh(): Table = catalog.loadTable(name)
 
   /** The catalog version THIS metadata was loaded from — the CAS base for

@@ -61,7 +61,8 @@ object Writer {
     val newFiles =
       if (partial.isEmpty) Nil
       else writeDataFiles(spark, table,
-        SparkRead.readTasks(spark, partial, schema).filter(!Expr.toColumn(filter)))
+        SparkRead.readTasks(spark, partial, schema, table.nameMapping)
+          .filter(!Expr.toColumn(filter)))
     commitSnapshot(table, "overwrite", addedFiles = newFiles,
       removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil,
       conflictCheck = Some(ConflictCheck(filter, candidatePaths.toSet)))
@@ -210,6 +211,65 @@ object Writer {
     }
     deleteTree(tmpDir)
     commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles.filter(_.recordCount > 0))
+  }
+
+  /** RowDelta (reference `table/row_delta.go:65-290`): inserts + equality
+    * deletes committed atomically in ONE snapshot. Sequence-number semantics
+    * do the merge: the delete and data files share the new sequence number,
+    * and eq-deletes apply only strictly-older data (delSeq > dataSeq), so
+    * the batch's own inserts are never deleted by its own keys.
+    */
+  def rowDelta(spark: SparkSession, table: Table, addRows: DataFrame,
+      deleteKeys: DataFrame, equalityFieldNames: Seq[String]): Table = {
+    val schema = table.schema
+    val eqIds = equalityFieldNames.map(n => schema.findField(n).getOrElse(
+      throw new IllegalArgumentException(s"no such column $n")).id)
+    val dataFiles = writeDataFiles(spark, table, addRows)
+
+    val tmpDir = s"${table.location}/tmp-eqdelete-${UUID.randomUUID()}"
+    deleteKeys.select(equalityFieldNames.map(col): _*).write.parquet(tmpDir)
+    val deleteFiles = listParquet(tmpDir).map { src =>
+      val target = s"${table.location}/data/eq-delete-${UUID.randomUUID()}.parquet"
+      moveFile(src, target)
+      val (rowCount, size, _, _) = footerBasics(target)
+      DataFile(DataFileContent.EqualityDeletes, target, "PARQUET",
+        partition = Seq.fill(table.spec.fields.size)(null),
+        recordCount = rowCount, fileSize = size, equalityIds = eqIds)
+    }
+    deleteTree(tmpDir)
+    val op =
+      if (deleteFiles.exists(_.recordCount > 0)) "overwrite" else "append"
+    commitSnapshot(table, op, dataFiles, Set.empty,
+      deleteFiles.filter(_.recordCount > 0))
+  }
+
+  /** MERGE-shaped upsert: each key in `updates` replaces any existing row
+    * with that key; keys not present insert. One atomic snapshot.
+    */
+  def upsert(spark: SparkSession, table: Table, updates: DataFrame,
+      keyCols: Seq[String]): Table =
+    rowDelta(spark, table, updates, updates.select(keyCols.map(col): _*), keyCols)
+
+  /** AddFiles import (reference `table/transaction.go` AddFiles +
+    * `name_mapping.go:29-510`): register existing parquet files in the table
+    * WITHOUT rewriting them. Stats are harvested from footers (field-id
+    * resolution falls back to schema names for ID-less files); a name
+    * mapping is recorded so the read path can resolve ID-less columns by
+    * name. Unpartitioned tables with flat schemas only.
+    */
+  def addFiles(spark: SparkSession, table: Table, paths: Seq[String]): Table = {
+    require(table.spec.isUnpartitioned, "addFiles supports unpartitioned tables")
+    val schema = table.schema
+    require(schema.fields.forall(f => f.fieldType match {
+      case _: IcebergTypes.StructT | _: IcebergTypes.ListT | _: IcebergTypes.MapT => false
+      case _ => true
+    }), "addFiles supports flat schemas only")
+    val files = paths.map(p => harvestStats(p, schema, partValues = Nil))
+    val mappingProp = table.metadata.properties.get(NameMapping.PropertyKey)
+      .map(_ => Map.empty[String, String])
+      .getOrElse(Map(NameMapping.PropertyKey -> NameMapping.fromSchema(schema).toJson))
+    commitSnapshot(table, "append", files, Set.empty, Nil,
+      extraProperties = mappingProp)
   }
 
   // --------------------------------------------------------------- internals
@@ -414,7 +474,8 @@ object Writer {
   def commitSnapshot(table: Table, operation: String, addedFiles: Seq[DataFile],
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
       conflictCheck: Option[ConflictCheck] = None,
-      removedDeleteKeys: Set[(String, Option[Long])] = Set.empty): Table = {
+      removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
+      extraProperties: Map[String, String] = Map.empty): Table = {
     val props = table.metadata.properties
     def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
     val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
@@ -427,7 +488,7 @@ object Writer {
     while (true) {
       if (attempt > 0) validateRebase(t, removedPaths, conflictCheck)
       try return commitSnapshotOnce(t, operation, addedFiles, removedPaths,
-        addedDeleteFiles, removedDeleteKeys)
+        addedDeleteFiles, removedDeleteKeys, extraProperties)
       catch {
         case _: graft.catalog.CommitConflict
             if attempt < maxRetries && System.currentTimeMillis() < deadline =>
@@ -467,7 +528,8 @@ object Writer {
 
   private def commitSnapshotOnce(table: Table, operation: String, addedFiles: Seq[DataFile],
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
-      removedDeleteKeys: Set[(String, Option[Long])] = Set.empty): Table = {
+      removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
+      extraProperties: Map[String, String] = Map.empty): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -555,6 +617,7 @@ object Writer {
       manifestListPath, summary, Some(meta.currentSchemaId))
 
     val updated = meta.copy(
+      properties = meta.properties ++ extraProperties,
       lastSequenceNumber = newSeq,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapshotId),
