@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the Iceberg `bucket[N]` transform:
+  * murmur3_x86_32(seed 0) over the spec single-value serialization
+  * (reference `transforms.go:360-491`), `(hash & MaxInt) % N`.
+  *
+  * A codegen'd static call — unlike a ScalaUDF there is no
+  * encoder boxing and the expression stays inside whole-stage codegen, so
+  * partitioned writes and bucket-pruned reads pay a plain function call per
+  * row. Spark's own `hash()` is murmur3 seed 42 over Spark's internal row
+  * encoding and is NOT spec-compatible.
+  *
+  * Input must be pre-normalized by the caller: integers/dates/timestamps as
+  * LongType (µs for timestamps), strings as StringType, binary/fixed as
+  * BinaryType, decimals as DecimalType.
+  */
+final case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"bucket n must be > 0, got $n")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = s"iceberg_bucket_$n"
+
+  override protected def nullSafeEval(input: Any): Any = child.dataType match {
+    case LongType => BucketUtil.bucketLong(input.asInstanceOf[Long], n)
+    case StringType => BucketUtil.bucketUtf8(input.asInstanceOf[UTF8String], n)
+    case BinaryType => BucketUtil.bucketBinary(input.asInstanceOf[Array[Byte]], n)
+    case _: DecimalType => BucketUtil.bucketDecimal(input.asInstanceOf[Decimal], n)
+    case other => throw new IllegalStateException(s"bucket over $other unsupported")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = child.dataType match {
+      case LongType => "bucketLong"
+      case StringType => "bucketUtf8"
+      case BinaryType => "bucketBinary"
+      case _: DecimalType => "bucketDecimal"
+      case other => throw new IllegalStateException(s"bucket over $other unsupported")
+    }
+    defineCodeGen(ctx, ev, c => s"graft.core.BucketUtil.$fn($c, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IcebergBucket =
+    copy(child = newChild)
+}
+
+/** Static hash entry points callable from generated Java code. */
+object BucketUtil {
+  def bucketLong(v: Long, n: Int): Int = Transforms.bucketLong(v, n)
+  def bucketUtf8(v: UTF8String, n: Int): Int = Transforms.bucketBytes(v.getBytes, n)
+  def bucketBinary(v: Array[Byte], n: Int): Int = Transforms.bucketBytes(v, n)
+  def bucketDecimal(v: Decimal, n: Int): Int =
+    Transforms.bucketBytes(v.toJavaBigDecimal.unscaledValue.toByteArray, n)
+}

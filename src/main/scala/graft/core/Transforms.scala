@@ -98,28 +98,14 @@ object Transforms {
     require(n > 0, s"bucket n must be > 0, got $n")
     val name = s"bucket[$n]"
     def toColumn(src: Column, t: DataType): Column = {
-      val nn = n
+      import org.apache.spark.sql.graft.ColumnBridge
+      def bucketed(c: Column): Column =
+        ColumnBridge.column(IcebergBucket(ColumnBridge.expression(c), n))
       t match {
-        case IntegerType | LongType | DateType =>
-          val f = udf((v: java.lang.Long) =>
-            if (v == null) null else Int.box(bucketLong(v, nn)))
-          f(src.cast(LongType))
-        case TimestampType | TimestampNTZType =>
-          val f = udf((v: java.lang.Long) =>
-            if (v == null) null else Int.box(bucketLong(v, nn)))
-          f(unix_micros(src))
-        case StringType =>
-          val f = udf((v: String) =>
-            if (v == null) null else Int.box(bucketBytes(v.getBytes(StandardCharsets.UTF_8), nn)))
-          f(src)
-        case BinaryType =>
-          val f = udf((v: Array[Byte]) =>
-            if (v == null) null else Int.box(bucketBytes(v, nn)))
-          f(src)
-        case dt: DecimalType =>
-          val f = udf((v: java.math.BigDecimal) =>
-            if (v == null) null else Int.box(bucketBytes(v.unscaledValue.toByteArray, nn)))
-          f(src.cast(dt))
+        case IntegerType | LongType | DateType => bucketed(src.cast(LongType))
+        case TimestampType | TimestampNTZType => bucketed(unix_micros(src))
+        case StringType | BinaryType => bucketed(src)
+        case dt: DecimalType => bucketed(src.cast(dt))
         case other => throw new IllegalArgumentException(s"bucket over $other unsupported")
       }
     }
@@ -216,6 +202,20 @@ object Transforms {
   def bucketBytes(bytes: Array[Byte], n: Int): Int =
     (Murmur3.hash(bytes, 0) & Integer.MAX_VALUE) % n
 
+  /** Forward-compat passthrough (reference `transforms.go:253-310`): a
+    * transform this engine doesn't know. Reads are permissive — partition
+    * values surface as strings and predicates never project onto the field —
+    * but writing through it is an error.
+    */
+  final case class Unknown(raw: String) extends Transform {
+    val name = raw
+    def toColumn(src: Column, t: DataType): Column =
+      throw new UnsupportedOperationException(s"cannot write with unknown transform $raw")
+    def apply(v: Any, t: DataType): Any =
+      throw new UnsupportedOperationException(s"cannot apply unknown transform $raw")
+    def resultType(t: DataType): DataType = StringType
+  }
+
   def parse(s: String): Transform = s match {
     case "identity" => Identity
     case "void" => Void
@@ -225,7 +225,7 @@ object Transforms {
     case "hour" => Hours
     case b if b.startsWith("bucket[") => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
     case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
-    case other => throw new IllegalArgumentException(s"unknown transform: $other")
+    case other => Unknown(other)
   }
 }
 

@@ -291,8 +291,19 @@ object Writer {
     val tmpDir = s"${table.location}/tmp-append-${UUID.randomUUID()}"
     val partColNames = spec.fields.map(pf => s"__part_${pf.name}")
 
+    // rolling target-file-size (reference `table/rolling_data_writer.go:
+    // 320-760`): Spark's writer rolls on record count, so derive the count
+    // from the schema's per-row width estimate. In-memory width overshoots
+    // parquet's encoded width, so this errs toward files under target —
+    // the safe side (never a 10x-over-target file from one fat task).
+    val targetBytes = table.metadata.properties
+      .get("write.target-file-size-bytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val estRowBytes = math.max(16, sparkSchema.defaultSize)
+    val maxRecords = math.max(1L, targetBytes / estRowBytes)
+
     if (spec.isUnpartitioned) {
-      aligned.write.parquet(tmpDir)
+      aligned.write.option("maxRecordsPerFile", maxRecords).parquet(tmpDir)
     } else {
       val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
         case (d, (pf, pcol)) =>
@@ -309,10 +320,18 @@ object Writer {
             if (sf.ascending) c.asc else c.desc
           }
         }).getOrElse(Nil)
+      // fanout-skew fix (reference fanout writer `table/partitioned_fanout_
+      // writer.go:41-654`): hash-repartitioning on partition values collapses
+      // parallelism to #distinct values and melts on skew. The AQE REBALANCE
+      // shuffle splits oversized partitions by size (hot values span many
+      // tasks) and merges tiny ones — one shuffle, no sampling pass — while
+      // partitionBy still routes rows to the right directory.
       withParts
-        .repartition(partColNames.map(col): _*)
+        .hint("rebalance", partColNames.map(col): _*)
         .sortWithinPartitions((partColNames.map(col) ++ sortCols): _*)
-        .write.partitionBy(partColNames: _*).parquet(tmpDir)
+        .write.partitionBy(partColNames: _*)
+        .option("maxRecordsPerFile", maxRecords)
+        .parquet(tmpDir)
     }
 
     val partType = spec.partitionType(schema)
