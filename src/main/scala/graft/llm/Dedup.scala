@@ -41,14 +41,24 @@ object Dedup {
       .toSet
   }
 
+  /** Universal-hash coefficients, deterministic (fixed seed) and cached per
+    * numPerm: regenerating them per ROW inside the signature UDF was pure
+    * wasted CPU on the hot path.
+    */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefficients(numPerm: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(numPerm, { n =>
+      val rnd = new java.util.Random(42)
+      (Array.fill(n)(rnd.nextLong() | 1L), Array.fill(n)(rnd.nextLong()))
+    })
+
   /** numPerm minhash values via universal hashing h_i(x) = a_i*x + b_i over a
     * base murmur3 shingle hash. Deterministic (fixed seed).
     */
   def minHashSignature(text: String, k: Int, numPerm: Int): Array[Long] = {
     val sh = shingles(text, k)
-    val rnd = new java.util.Random(42)
-    val as = Array.fill(numPerm)(rnd.nextLong() | 1L)
-    val bs = Array.fill(numPerm)(rnd.nextLong())
+    val (as, bs) = coefficients(numPerm)
     val sig = Array.fill(numPerm)(Long.MaxValue)
     for (s <- sh) {
       val x = s.toLong & 0xffffffffL
@@ -66,15 +76,18 @@ object Dedup {
   def sigSimilarity(a: Array[Long], b: Array[Long]): Double =
     a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
 
-  /** Band-bucket LSH clustering: docs sharing any (band, bandHash) bucket get
-    * the same cluster id (min doc id over shared buckets — one union step,
-    * which fully merges exact and very-near duplicate groups; chained
-    * transitive clusters need iterating `lshOnce` to a fixpoint).
+  /** Band-bucket LSH clustering via min-label propagation to a fixpoint:
+    * docs sharing any (band, bandHash) bucket end up in the same cluster,
+    * and chained near-dup groups (a~b, b~c, no a-bucket shared with c)
+    * converge through iteration — distributed connected components on the
+    * doc-bucket bipartite graph, 2 shuffles per round, O(graph diameter)
+    * rounds (near-dup chains are shallow in practice).
     *
     * Returns (idCol, cluster_id).
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 5, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+                 shingleK: Int = 5, numPerm: Int = 64, bands: Int = 16,
+                 maxIters: Int = 10): DataFrame = {
     require(numPerm % bands == 0)
     val rows = numPerm / bands
     val sigUdf = udf((t: String) =>
@@ -88,14 +101,50 @@ object Dedup {
         band.foreach(bb.putLong)
         (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
       }.toArray)
+    // signatures are the expensive part — materialize buckets once and reuse
+    // across propagation rounds
     val buckets = withSig
       .select(col(idCol), explode(bandUdf(col("__sig"))).as("__bucket"))
-    val clusters = buckets
-      .groupBy(col("__bucket"))
-      .agg(min(col(idCol)).as("__bmin"))
-    buckets.join(clusters, "__bucket")
+      .persist()
+
+    def labelSum(l: DataFrame): Long =
+      Option(l.agg(sum(col("cluster_id"))).first().get(0))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+
+    // localCheckpoint (not persist): truncates the logical plan each round,
+    // keeping analyzer/optimizer cost flat — nested join-agg lineage over N
+    // rounds otherwise makes planning itself quadratic in N
+    var labels = buckets
+      .join(buckets.groupBy(col("__bucket")).agg(min(col(idCol)).as("__bmin")), "__bucket")
       .groupBy(col(idCol))
       .agg(min(col("__bmin")).as("cluster_id"))
+      .localCheckpoint()
+    // min-propagation labels only ever decrease, so the label sum strictly
+    // decreases until the fixpoint — a scalar convergence check, no join
+    var prevSum = labelSum(labels)
+    var iter = 1
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val bucketMin = buckets.join(labels, idCol)
+        .groupBy(col("__bucket")).agg(min(col("cluster_id")).as("__bmin"))
+      val propagated = buckets.join(bucketMin, "__bucket")
+        .groupBy(col(idCol))
+        .agg(min(col("__bmin")).as("cluster_id"))
+      // pointer jump: adopt the representative's own (smaller-or-equal)
+      // label, turning linear chain convergence into logarithmic
+      val reps = propagated.select(col(idCol).as("cluster_id"),
+        col("cluster_id").as("__jump"))
+      val next = propagated.join(reps, Seq("cluster_id"), "left")
+        .select(col(idCol),
+          coalesce(col("__jump"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      labels = next
+      prevSum = s
+      iter += 1
+    }
+    labels
   }
 
   /** Candidate near-duplicate pairs via LSH banding, scored by the minhash
@@ -107,7 +156,8 @@ object Dedup {
   def nearDupPairsMinHash(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleK: Int = 5,
                           numPerm: Int = 64, bands: Int = 16,
-                          exactVerify: Boolean = false): DataFrame = {
+                          exactVerify: Boolean = false,
+                          maxBucketSize: Int = 256): DataFrame = {
     require(numPerm % bands == 0)
     val rows = numPerm / bands
     val sigUdf = udf((t: String) =>
@@ -120,7 +170,9 @@ object Dedup {
         band.foreach(bb.putLong)
         (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
       }.toArray)
-    val buckets = withSig.select(col("id"), explode(bandUdf(col("sig"))).as("bucket"))
+    val buckets = capBuckets(
+      withSig.select(col("id"), explode(bandUdf(col("sig"))).as("bucket")),
+      "bucket", "id", maxBucketSize)
     val pairs = buckets.as("a").join(buckets.as("b"), col("a.bucket") === col("b.bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -153,6 +205,20 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
+  }
+
+  /** Self-join bucket guard: a degenerate bucket (boilerplate text hashing
+    * identically for thousands of docs) turns the bucket self-join quadratic.
+    * Keep only the first `maxSize` members per bucket (deterministic by id) —
+    * a true near-dup group that large still pairs through its retained
+    * members, and the pair explosion is bounded at maxSize² per bucket.
+    */
+  private def capBuckets(buckets: DataFrame, bucketCol: String, idCol: String,
+                         maxSize: Int): DataFrame = {
+    val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol).asc)
+    buckets.withColumn("__brn", row_number().over(w))
+      .filter(col("__brn") <= maxSize)
+      .drop("__brn")
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -192,12 +258,14 @@ object Dedup {
     * verify the true distance.
     */
   def nearDupPairsSimHash(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     val f = udf((t: String) => simHash64(t))
     val sh = df.select(col(idCol).as("id"), f(col(textCol)).as("sh"))
     val bandU = udf((h: Long) => (0 until 4).map(i =>
       (i.toLong << 16) | ((h >>> (i * 16)) & 0xffffL)).toArray)
-    val banded = sh.select(col("id"), col("sh"), explode(bandU(col("sh"))).as("band"))
+    val banded = capBuckets(
+      sh.select(col("id"), col("sh"), explode(bandU(col("sh"))).as("band")),
+      "band", "id", maxBucketSize)
     val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     val ham = udf((x: Long, y: Long) => hamming64(x, y))

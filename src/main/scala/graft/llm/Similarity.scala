@@ -107,7 +107,9 @@ object Similarity {
     })
     val cb = cd.withColumn("bucket", bucketU(col("cv")))
     val qb = qd.withColumn("bucket", explode(probeU(col("qv"))))
-    val pairs = cb.join(broadcast(qb), Seq("bucket"))
+    // no broadcast hint: the query side may be the whole corpus (self near-
+    // dup search), so let AQE choose from its runtime size
+    val pairs = cb.join(qb, Seq("bucket"))
       .withColumn("cos", cosineCol(col("qv"), col("cv")))
       .select(col("qid"), col("cid"), col("cos"))
       .groupBy("qid", "cid").agg(max("cos").as("cos")) // dedup multi-probe hits

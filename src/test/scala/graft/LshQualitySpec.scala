@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.{Dedup, Similarity}
+
+/** Quality gates for the approximate operators: LSH must actually find what
+  * brute force finds (recall), and the clustering fixpoint must merge
+  * chained near-dup groups a single union pass misses.
+  */
+class LshQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic synthetic corpus: 40 base docs, each with 2 near variants
+  private def corpus = {
+    import spark.implicits._
+    val words = Seq("spark", "query", "engine", "table", "scan", "filter",
+      "join", "shuffle", "column", "vector", "batch", "codegen", "metric",
+      "plan", "task", "stage", "node", "rack", "disk", "cache")
+    val docs = (0 until 40).flatMap { i =>
+      val base = (0 until 30).map(j => words((i * 7 + j * 3) % words.size)).mkString(" ")
+      Seq(
+        (i * 10L, base),
+        (i * 10L + 1, base + " extra"),
+        (i * 10L + 2, base.replaceFirst(words(i % words.size), "changed")))
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH pair recall >= 0.9 vs brute-force at jaccard >= 0.7") {
+    import spark.implicits._
+    val df = corpus.cache()
+    val rows = df.as[(Long, String)].collect()
+    // brute-force ground truth on exact shingle jaccard
+    val truth = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      sa = Dedup.shingles(ta, 5); sb = Dedup.shingles(tb, 5)
+      inter = sa.intersect(sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.7
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "ground truth must be non-trivial")
+
+    val found = Dedup.nearDupPairsMinHash(df, "doc_id", "text",
+        threshold = 0.6, exactVerify = true)
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("lsh ANN recall >= 0.8 of brute-force top-5 neighbors") {
+    import spark.implicits._
+    // clustered vectors: 8 centers, 12 points each, small jitter
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 96).map { i =>
+      val c = i % 8
+      val center = Array.tabulate(16)(d => math.sin(c * 16 + d).toFloat * 5f)
+      (i.toLong, center.map(v => v + rnd.nextGaussian().toFloat * 0.1f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, df, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, df, 5, nbits = 6, probes = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall $recall")
+  }
+
+  test("cluster fixpoint merges chained near-dups one pass misses") {
+    import spark.implicits._
+    // chain a~b, b~c where a and c share little: long shared core with
+    // disjoint halves replaced
+    val core = (0 until 60).map(i => s"w$i").mkString(" ")
+    val a = core + " " + (0 until 30).map(i => s"alpha$i").mkString(" ")
+    val b = core + " " + (0 until 15).map(i => s"alpha$i").mkString(" ") +
+      " " + (0 until 15).map(i => s"beta$i").mkString(" ")
+    val c = core + " " + (0 until 30).map(i => s"beta$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val clusters = Dedup.minHashLsh(df, "doc_id", "text")
+      .select("cluster_id").distinct().count()
+    // all three chained docs must converge into one cluster
+    assert(clusters === 1L, s"expected 1 cluster, got $clusters")
+  }
+}
