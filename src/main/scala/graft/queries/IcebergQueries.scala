@@ -532,6 +532,45 @@ object IcebergQueries {
       FROM part
       WHERE p_size > 25
       GROUP BY p_brand
-      ORDER BY p_brand"""))
+      ORDER BY p_brand""")),
+
+    // incremental read: only rows appended in (snap1, snap3] surface —
+    // snapshot-ancestry walk + added-entry filtering
+    // (reference table/snapshot_ancestry.go:37-150)
+    QueryDef("i22_incremental_read", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"inc_${UUID.randomUUID().toString.take(8)}"
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        n.filter(col("n_nationkey") < 8))
+      val snap1 = t1.metadata.currentSnapshotId.get
+      val t2 = Writer.append(s, t1, n.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16))
+      val t3 = Writer.append(s, t2, n.filter(col("n_nationkey") >= 16))
+      val snap3 = t3.metadata.currentSnapshotId.get
+      graft.table.Incremental.readAppends(s, t3, snap1, snap3)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey").cast("long")).as("key_sum"))
+        .orderBy(col("n_regionkey"))
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation
+      WHERE n_nationkey >= 8
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey""")),
+
+    // partitions metadata table: per-partition file/record rollup on the
+    // month(l_shipdate)-partitioned lineitem table vs a DuckDB group-by
+    QueryDef("i23_partitions_meta", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("lineitem")
+      graft.table.Inspect.partitions(s, t)
+        .select(col("partition").cast("int").as("month_ord"), col("record_count"))
+        .orderBy(col("month_ord"))
+    }, Some("""
+      SELECT CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS INT) AS month_ord,
+             COUNT(*) AS record_count
+      FROM lineitem
+      GROUP BY month_ord
+      ORDER BY month_ord"""))
   )
 }

@@ -1,0 +1,108 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.format._
+
+/** Metadata tables as a first-class API (reference `table/inspect.go:44-310`):
+  * each returns a small driver-built DataFrame over the table's metadata —
+  * snapshots, history, manifests, entries, files, partitions, refs.
+  */
+object Inspect {
+
+  def snapshots(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.metadata.snapshots.map(s =>
+      (s.timestampMs, s.snapshotId, s.parentSnapshotId, s.sequenceNumber,
+        s.summary.getOrElse("operation", ""), s.manifestList))
+      .toDF("committed_at_ms", "snapshot_id", "parent_id", "sequence_number",
+        "operation", "manifest_list")
+  }
+
+  /** Snapshot log with the is-current-ancestor flag (reference
+    * `table/inspect.go:87` / `snapshot_ancestry.go:37-150`).
+    */
+  def history(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    val ancestorIds = ancestorsOfCurrent(table).map(_.snapshotId).toSet
+    table.metadata.snapshotLog.map(e =>
+      (e.timestampMs, e.snapshotId,
+        table.metadata.snapshotById(e.snapshotId).flatMap(_.parentSnapshotId),
+        ancestorIds.contains(e.snapshotId)))
+      .toDF("made_current_at_ms", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  def manifests(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    currentManifests(table).map(m =>
+      (m.path, m.length, m.specId, m.content, m.sequenceNumber,
+        m.addedSnapshotId, m.addedFilesCount, m.existingFilesCount,
+        m.deletedFilesCount, m.addedRowsCount, m.existingRowsCount))
+      .toDF("path", "length", "partition_spec_id", "content", "sequence_number",
+        "added_snapshot_id", "added_files_count", "existing_files_count",
+        "deleted_files_count", "added_rows_count", "existing_rows_count")
+  }
+
+  def entries(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    currentManifests(table).flatMap { m =>
+      val (es, _) = Manifests.readManifest(m.path)
+      es.map(e => (e.status, e.snapshotId, e.dataSequence.getOrElse(m.sequenceNumber),
+        e.file.content, e.file.path, e.file.recordCount, e.file.fileSize))
+    }.toDF("status", "snapshot_id", "sequence_number", "content", "file_path",
+      "record_count", "file_size_in_bytes")
+  }
+
+  def files(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.newScan.planFiles().map { t =>
+      (t.file.content, t.file.path, t.file.format,
+        t.file.partition.map(String.valueOf).mkString("/"),
+        t.file.recordCount, t.file.fileSize, t.dataSequence,
+        t.posDeletes.size + t.eqDeletes.size)
+    }.toDF("content", "file_path", "file_format", "partition", "record_count",
+      "file_size_in_bytes", "sequence_number", "delete_file_count")
+  }
+
+  /** Per-partition rollup over live data files (reference inspect.partitions). */
+  def partitions(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.newScan.planFiles()
+      .groupBy(t => (t.specId, t.file.partition.map(String.valueOf).mkString("/")))
+      .map { case ((specId, part), ts) =>
+        (part, specId, ts.size.toLong, ts.map(_.file.recordCount).sum,
+          ts.map(_.file.fileSize).sum)
+      }.toSeq
+      .toDF("partition", "spec_id", "file_count", "record_count", "total_size_in_bytes")
+  }
+
+  def refs(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.metadata.refs.toSeq.map { case (name, r) =>
+      (name, r.refType, r.snapshotId)
+    }.toDF("name", "type", "snapshot_id")
+  }
+
+  /** Reverse-chronological ancestors of the current snapshot (reference
+    * `table/snapshot_ancestry.go:37-150`); cycle-safe.
+    */
+  def ancestorsOfCurrent(table: Table): Seq[Snapshot] =
+    table.metadata.currentSnapshotId.map(id => ancestorsOf(table, id)).getOrElse(Nil)
+
+  def ancestorsOf(table: Table, snapshotId: Long): Seq[Snapshot] = {
+    val out = Seq.newBuilder[Snapshot]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var cur: Option[Long] = Some(snapshotId)
+    while (cur.isDefined && seen.add(cur.get)) {
+      table.metadata.snapshotById(cur.get) match {
+        case Some(s) => out += s; cur = s.parentSnapshotId
+        case None => cur = None
+      }
+    }
+    out.result()
+  }
+
+  private def currentManifests(table: Table): Seq[ManifestFile] =
+    table.metadata.currentSnapshot
+      .map(s => Manifests.readManifestList(s.manifestList)).getOrElse(Nil)
+}
