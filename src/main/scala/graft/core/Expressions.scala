@@ -130,6 +130,46 @@ object Expr {
     case _ => Set.empty
   }
 
+  /** Referenced field IDs against a schema (reference `visitors.go:484-531`
+    * works in IDs; names resolve here through the same bind).
+    */
+  def referencedFieldIds(e: Expr, schema: IcebergSchema,
+      caseSensitive: Boolean = true): Set[Int] =
+    references(e).flatMap(n => schema.findField(n, caseSensitive).map(_.id))
+
+  /** Bind predicate references to canonical schema names (reference
+    * `BindExpr`, `visitors.go:188-225`): with caseSensitive=false a ref
+    * written in any case resolves to the schema's spelling. Unknown refs are
+    * left as-is — downstream evaluators treat them as might-match.
+    */
+  def bindNames(e: Expr, schema: IcebergSchema, caseSensitive: Boolean): Expr = e match {
+    case And(l, r) => And(bindNames(l, schema, caseSensitive), bindNames(r, schema, caseSensitive))
+    case Or(l, r) => Or(bindNames(l, schema, caseSensitive), bindNames(r, schema, caseSensitive))
+    case Not(c) => Not(bindNames(c, schema, caseSensitive))
+    case p @ Predicate(op, ref, lits) =>
+      schema.findField(ref, caseSensitive).map(f => Predicate(op, f.name, lits)).getOrElse(p)
+    case other => other
+  }
+
+  /** Redact literal values for log/error strings (reference
+    * `SanitizeExpression`, `visitors.go:616-697`): shape survives, payloads
+    * don't leak.
+    */
+  def sanitize(e: Expr): String = e match {
+    case AlwaysTrue => "true"
+    case AlwaysFalse => "false"
+    case And(l, r) => s"(${sanitize(l)} AND ${sanitize(r)})"
+    case Or(l, r) => s"(${sanitize(l)} OR ${sanitize(r)})"
+    case Not(c) => s"NOT ${sanitize(c)}"
+    case Predicate(op, ref, lits) =>
+      val masked = lits.map {
+        case _: String => "(hash-redacted)"
+        case _: Int | _: Long | _: Double | _: Float | _: java.math.BigDecimal => "(number)"
+        case _ => "(value)"
+      }
+      if (masked.isEmpty) s"$op($ref)" else s"$op($ref, ${masked.mkString(", ")})"
+  }
+
   /** Lower to a Catalyst Column for the residual row filter. */
   def toColumn(e: Expr): Column = e match {
     case AlwaysTrue => lit(true)

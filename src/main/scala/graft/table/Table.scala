@@ -77,22 +77,32 @@ final case class Scan(
   /** Plan files: manifest-list fetch, manifest pruning (partition summaries),
     * per-entry partition + metrics pruning, delete matching
     * (reference `table/scanner.go:640-950`). Driver-side only.
+    *
+    * Scale shape: manifests are read CONCURRENTLY (driver thread pool via
+    * parallel collections, like the reference's errgroup fan-out), and
+    * delete matching is indexed — DVs and file-referenced pos-deletes by
+    * referenced path, partition-scoped deletes by partition key, global
+    * deletes pre-sorted by sequence number with binary-searched suffixes —
+    * so cost is O(files·log(deletes)), not O(files·deletes).
     */
-  def planFiles(): Seq[FileScanTask] = {
-    val snap = snapshot.getOrElse(return Nil)
+  def planFiles(): Seq[FileScanTask] = planFilesWithMetrics()._1
+
+  def planFilesWithMetrics(): (Seq[FileScanTask], ScanMetrics) = {
+    val snap = snapshot.getOrElse(return (Nil, ScanMetrics()))
     val meta = table.metadata
     val schema = meta.schemaById(snap.schemaId.getOrElse(meta.currentSchemaId))
       .getOrElse(meta.schema)
-    val boundFilter = Expr.rewriteNot(filter)
+    val boundFilter = Expr.bindNames(Expr.rewriteNot(filter), schema, caseSensitive)
 
     val manifests = Manifests.readManifestList(snap.manifestList)
 
-    // partition-space filters per spec id, built lazily
-    val partExprCache = scala.collection.mutable.Map.empty[Int, Expr]
-    def partExpr(specId: Int): Expr = partExprCache.getOrElseUpdate(specId, {
+    // partition-space filters per spec id, built eagerly (cheap, avoids
+    // synchronizing a cache across the parallel manifest scan)
+    val partExprBySpec: Map[Int, Expr] = manifests.map(_.specId).distinct.map { specId =>
       val spec = meta.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
-      Evaluators.inclusiveProjection(schema, spec)(boundFilter)
-    })
+      specId -> Evaluators.inclusiveProjection(schema, spec)(boundFilter)
+    }.toMap
+    def partExpr(specId: Int): Expr = partExprBySpec(specId)
 
     // 1. manifest pruning via partition field summaries
     val (dataManifests, deleteManifests) = manifests.partition(_.content == ManifestContent.Data)
@@ -102,61 +112,175 @@ final case class Scan(
     }
     val liveDataManifests = dataManifests.filter(keepManifest)
 
-    // 2. collect delete entries (all of them; small) with resolved sequences
+    // 2. delete entry indexes (delete metadata is small relative to data)
     val deleteEntries: Seq[(ManifestEntry, Long, Int)] = deleteManifests.flatMap { m =>
       val (entries, specId) = Manifests.readManifest(m.path)
       entries.filter(_.status != ManifestEntryStatus.Deleted).map { e =>
         (e, e.dataSequence.getOrElse(m.sequenceNumber), specId)
       }
     }
-    val posDeleteEntries = deleteEntries.filter(_._1.file.content == DataFileContent.PositionDeletes)
-    val eqDeleteEntries = deleteEntries.filter(_._1.file.content == DataFileContent.EqualityDeletes)
+    val idx = DeleteIndex.build(meta, deleteEntries)
 
-    // 3. per-entry pruning + delete matching (manifests could be read in
-    //    parallel here; at 100 TB this is a driver thread pool, not Spark)
-    val tasks = liveDataManifests.flatMap { m =>
+    // 3. per-manifest pruning + delete matching, manifests in parallel
+    import scala.collection.parallel.CollectionConverters._
+    val perManifest = liveDataManifests.par.map { m =>
       val spec = meta.specById(m.specId).getOrElse(PartitionSpec.Unpartitioned)
       val pExpr = partExpr(m.specId)
       val (entries, _) = Manifests.readManifest(m.path)
-      entries
+      val live = entries
         .filter(_.status != ManifestEntryStatus.Deleted)
         .filter(e => e.file.content == DataFileContent.Data)
+      val matched = live
         .filter(e => Evaluators.partitionMatches(schema, spec, pExpr, e.file))
         .filter(e => Evaluators.fileMightMatch(schema, boundFilter, e.file))
         .map { e =>
           val dataSeq = e.dataSequence.getOrElse(m.sequenceNumber)
-          // pos-deletes apply when delSeq >= dataSeq; eq-deletes strictly >
-          // (reference table/scanner.go:555-636), partition-scoped when the
-          // delete spec is partitioned; a DV references one data file and
-          // supersedes parquet pos-deletes for it
-          val pos = posDeleteEntries.collect {
-            case (de, delSeq, dSpecId) if delSeq >= dataSeq &&
-              de.file.referencedDataFile.forall(_ == e.file.path) &&
-              samePartition(meta, dSpecId, de.file, m.specId, e.file) => de.file
-          }
-          val (dvs, parquetPos) = pos.partition(_.format == "PUFFIN")
-          // <=1 DV per data file: keep the newest (commit order == manifest order)
-      val effectivePos = if (dvs.nonEmpty) Seq(dvs.last) else parquetPos
-          val eq = eqDeleteEntries.collect {
-            case (de, delSeq, dSpecId) if delSeq > dataSeq &&
-              samePartition(meta, dSpecId, de.file, m.specId, e.file) => (de.file, delSeq)
-          }
-          FileScanTask(e.file, dataSeq, effectivePos, eq, m.specId)
+          val (pos, eq) = idx.deletesFor(e.file, dataSeq, m.specId)
+          FileScanTask(e.file, dataSeq, pos, eq, m.specId)
         }
-    }
-    tasks
+      (matched, live.size)
+    }.seq
+    val tasks = perManifest.flatMap(_._1)
+    val totalEntries = perManifest.map(_._2).sum
+    (tasks, ScanMetrics(
+      totalManifests = dataManifests.size,
+      skippedManifests = dataManifests.size - liveDataManifests.size,
+      totalDataFiles = totalEntries,
+      skippedDataFiles = totalEntries - tasks.size,
+      resultDataFiles = tasks.size,
+      posDeleteFiles = tasks.map(_.posDeletes.size).sum,
+      eqDeleteFiles = tasks.map(_.eqDeletes.size).sum))
   }
 
-  private def samePartition(meta: TableMetadata, deleteSpecId: Int, deleteFile: DataFile,
-      dataSpecId: Int, dataFile: DataFile): Boolean = {
+}
+
+/** Scan planning counters (reference scan metrics report,
+  * `table/scanner.go` reporter wiring). Surfaced by `planFilesWithMetrics`.
+  */
+final case class ScanMetrics(
+    totalManifests: Int = 0,
+    skippedManifests: Int = 0,
+    totalDataFiles: Int = 0,
+    skippedDataFiles: Int = 0,
+    resultDataFiles: Int = 0,
+    posDeleteFiles: Int = 0,
+    eqDeleteFiles: Int = 0)
+
+/** Indexed delete↔data matching (sequence rules reference
+  * `table/scanner.go:529-636`): pos-deletes apply when delSeq >= dataSeq,
+  * eq-deletes strictly delSeq > dataSeq, both scoped to the data file's
+  * partition when the delete spec is partitioned; a file-referenced delete
+  * applies only to its file; the newest DV supersedes parquet pos-deletes.
+  *
+  * Global (unpartitioned, unreferenced) delete lists are pre-sorted by
+  * sequence so a binary-searched suffix replaces the former linear scan per
+  * data file — the reference sorts + binary-searches the same way
+  * (`table/scanner.go:744-800`).
+  */
+private[table] final class DeleteIndex(
+    meta: TableMetadata,
+    refDeletes: Map[String, Seq[(Long, graft.format.DataFile, Int, Int)]],
+    posGlobal: IndexedSeq[(Long, graft.format.DataFile)],
+    posByPart: Map[(Int, Seq[Any]), IndexedSeq[(Long, graft.format.DataFile)]],
+    eqGlobal: IndexedSeq[(Long, graft.format.DataFile)],
+    eqByPart: Map[(Int, Seq[Any]), IndexedSeq[(Long, graft.format.DataFile)]]) {
+
+  import DeleteIndex.{norm, seqSuffix}
+
+  def deletesFor(file: graft.format.DataFile, dataSeq: Long,
+      dataSpecId: Int): (Seq[graft.format.DataFile], Seq[(graft.format.DataFile, Long)]) = {
+    val partKey = (dataSpecId, file.partition.map(norm))
+
+    // file-referenced deletes (DVs + referenced parquet pos-deletes), in
+    // original commit order so "newest DV" stays well-defined
+    val ref = refDeletes.getOrElse(file.path, Nil)
+      .filter { case (delSeq, df, dSpecId, _) =>
+        delSeq >= dataSeq && samePartition(dSpecId, df, dataSpecId, file)
+      }
+    val (dvs, refParquet) = ref.partition(_._2.format == "PUFFIN")
+
+    val pos: Seq[graft.format.DataFile] =
+      if (dvs.nonEmpty) Seq(dvs.maxBy(_._4)._2)
+      else refParquet.map(_._2) ++
+        seqSuffix(posGlobal, dataSeq, strict = false).map(_._2) ++
+        posByPart.get(partKey).map(seqSuffix(_, dataSeq, strict = false).map(_._2))
+          .getOrElse(Nil)
+
+    val eq: Seq[(graft.format.DataFile, Long)] =
+      seqSuffix(eqGlobal, dataSeq, strict = true).map(t => (t._2, t._1)) ++
+      eqByPart.get(partKey).map(seqSuffix(_, dataSeq, strict = true).map(t => (t._2, t._1)))
+        .getOrElse(Nil)
+    (pos, eq)
+  }
+
+  private def samePartition(deleteSpecId: Int, deleteFile: graft.format.DataFile,
+      dataSpecId: Int, dataFile: graft.format.DataFile): Boolean = {
     val dspec = meta.specById(deleteSpecId).getOrElse(PartitionSpec.Unpartitioned)
-    if (dspec.isUnpartitioned) true // global delete
+    if (dspec.isUnpartitioned) true
     else deleteSpecId == dataSpecId &&
       deleteFile.partition.map(norm) == dataFile.partition.map(norm)
   }
+}
 
-  private def norm(v: Any): Any = v match {
+private[table] object DeleteIndex {
+
+  def build(meta: TableMetadata,
+      deleteEntries: Seq[(ManifestEntry, Long, Int)]): DeleteIndex = {
+    val refs = Map.newBuilder[String, Seq[(Long, DataFile, Int, Int)]]
+    val refAcc = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, DataFile, Int, Int)]]
+    val posG = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFile)]
+    val posP = scala.collection.mutable.Map
+      .empty[(Int, Seq[Any]), scala.collection.mutable.ArrayBuffer[(Long, DataFile)]]
+    val eqG = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFile)]
+    val eqP = scala.collection.mutable.Map
+      .empty[(Int, Seq[Any]), scala.collection.mutable.ArrayBuffer[(Long, DataFile)]]
+
+    deleteEntries.zipWithIndex.foreach { case ((e, delSeq, specId), ord) =>
+      val f = e.file
+      val isPos = f.content == DataFileContent.PositionDeletes
+      f.referencedDataFile match {
+        case Some(ref) if isPos =>
+          refAcc.getOrElseUpdate(ref, scala.collection.mutable.ArrayBuffer.empty)
+            .append((delSeq, f, specId, ord))
+        case _ =>
+          val spec = meta.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
+          val target =
+            if (isPos) { if (spec.isUnpartitioned) posG else
+              posP.getOrElseUpdate((specId, f.partition.map(norm)),
+                scala.collection.mutable.ArrayBuffer.empty) }
+            else { if (spec.isUnpartitioned) eqG else
+              eqP.getOrElseUpdate((specId, f.partition.map(norm)),
+                scala.collection.mutable.ArrayBuffer.empty) }
+          target.append((delSeq, f))
+      }
+    }
+    refAcc.foreach { case (k, v) => refs += k -> v.toSeq }
+    new DeleteIndex(meta,
+      refs.result(),
+      posG.sortBy(_._1).toIndexedSeq,
+      posP.map { case (k, v) => k -> v.sortBy(_._1).toIndexedSeq }.toMap,
+      eqG.sortBy(_._1).toIndexedSeq,
+      eqP.map { case (k, v) => k -> v.sortBy(_._1).toIndexedSeq }.toMap)
+  }
+
+  def norm(v: Any): Any = v match {
     case i: Int => i.toLong
     case other => other
+  }
+
+  /** Binary-searched suffix of a seq-ascending array: entries with
+    * seq >= min (or > min when strict).
+    */
+  def seqSuffix(arr: IndexedSeq[(Long, DataFile)], min: Long,
+      strict: Boolean): IndexedSeq[(Long, DataFile)] = {
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val s = arr(mid)._1
+      if (s > min || (!strict && s == min)) hi = mid else lo = mid + 1
+    }
+    arr.drop(lo)
   }
 }
