@@ -71,6 +71,7 @@ object Manifests {
         {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
         {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
         {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+        {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
         {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
         {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
         {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
@@ -149,6 +150,7 @@ object Manifests {
       df.put("split_offsets", if (e.file.splitOffsets.isEmpty) null else e.file.splitOffsets.map(Long.box).asJava)
       df.put("equality_ids", if (e.file.equalityIds.isEmpty) null else e.file.equalityIds.map(Int.box).asJava)
       df.put("sort_order_id", e.file.sortOrderId.map(Int.box).orNull)
+      df.put("first_row_id", e.file.firstRowId.map(Long.box).orNull)
       df.put("referenced_data_file", e.file.referencedDataFile.orNull)
       df.put("content_offset", e.file.contentOffset.map(Long.box).orNull)
       df.put("content_size_in_bytes", e.file.contentSize.map(Long.box).orNull)
@@ -312,6 +314,7 @@ object Manifests {
             equalityIds = Option(df.get("equality_ids")).map(
               _.asInstanceOf[java.util.List[Any]].asScala.map(int).toSeq).getOrElse(Nil),
             sortOrderId = Option(df.get("sort_order_id")).map(int),
+            firstRowId = opt(df, "first_row_id").map(lng),
             referencedDataFile = opt(df, "referenced_data_file").map(str),
             contentOffset = opt(df, "content_offset").map(lng),
             contentSize = opt(df, "content_size_in_bytes").map(lng)))

@@ -33,6 +33,7 @@ final case class TableMetadata(
     tableUuid: String,
     location: String,
     lastSequenceNumber: Long,
+    nextRowId: Long,
     lastUpdatedMs: Long,
     lastColumnId: Int,
     currentSchemaId: Int,
@@ -83,6 +84,7 @@ object TableMetadata {
       tableUuid = UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,
+      nextRowId = 0L,
       lastUpdatedMs = System.currentTimeMillis(),
       lastColumnId = schema.highestFieldId,
       currentSchemaId = schema.schemaId,
@@ -110,6 +112,7 @@ object TableMetadata {
     root.put("table-uuid", m.tableUuid)
     root.put("location", m.location)
     root.put("last-sequence-number", m.lastSequenceNumber)
+    root.put("next-row-id", m.nextRowId)
     root.put("last-updated-ms", m.lastUpdatedMs)
     root.put("last-column-id", m.lastColumnId)
     root.put("current-schema-id", m.currentSchemaId)
@@ -243,6 +246,7 @@ object TableMetadata {
       tableUuid = Option(n.get("table-uuid")).map(_.asText).getOrElse(UUID.randomUUID().toString),
       location = n.get("location").asText,
       lastSequenceNumber = Option(n.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
+      nextRowId = Option(n.get("next-row-id")).map(_.asLong).getOrElse(0L),
       lastUpdatedMs = Option(n.get("last-updated-ms")).map(_.asLong).getOrElse(0L),
       lastColumnId = Option(n.get("last-column-id")).map(_.asInt)
         .getOrElse(schemas.map(_.highestFieldId).max),

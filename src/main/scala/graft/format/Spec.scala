@@ -93,7 +93,9 @@ final case class DataFile(
     // v3 deletion-vector fields (content == PositionDeletes, format PUFFIN)
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSize: Option[Long] = None)
+    contentSize: Option[Long] = None,
+    // v3 row lineage: first _row_id assigned to this file's rows at commit
+    firstRowId: Option[Long] = None)
 
 object DataFileContent {
   val Data = 0

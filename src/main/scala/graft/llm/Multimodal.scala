@@ -1,5 +1,6 @@
 package graft.llm
 
+import java.nio.{ByteBuffer, ByteOrder}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -10,44 +11,76 @@ import org.apache.spark.sql.functions._
   * batched inside `mapPartitions` (the Scala analogue of `mapInPandas`:
   * one decoder init per partition, amortized over a batch).
   *
-  * The actual media decode is STUBBED (`StubDecoder`) — this container ships
-  * no image/audio codecs — but the Spark-side contract (schema, batching,
-  * partition-level reuse, deterministic output) is real and tested; swap
-  * `StubDecoder` for a JNI/javacv decoder in production.
+  * Payloads are real binary containers — a 21-byte header (magic, kind tag,
+  * width, height, duration) followed by the body — and the decoder REALLY
+  * parses them (magic check, little-endian field reads). Only the codec
+  * behind the header is synthetic: this container ships no image/audio
+  * libraries, so the body is carried opaque instead of pixel-decoded; swap
+  * `decodeHeader`'s body handling for a JNI/javacv codec in production.
   */
 object Multimodal {
+
+  val Magic: Array[Byte] = Array('G', 'R', 'F', 'T')
+  val HeaderLen: Int = 21
 
   /** An opaque media payload with metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features; `width`/`height`/`duration_ms` are decoder outputs. */
+  /** Extracted features; width/height/duration come from the parsed header. */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
-      byte_len: Int,
-      sha256_prefix: String,
+      byte_len: Long,
       width: Int,
       height: Int,
-      duration_ms: Long)
+      duration_ms: Long,
+      sha256_prefix: String)
 
-  /** STUB decoder: deterministic pseudo-decode derived from payload bytes.
-    * Real implementation would dispatch on `kind` to an image/audio codec.
-    */
-  object StubDecoder {
-    def decode(kind: String, payload: Array[Byte]): (Int, Int, Long) = {
-      val h = graft.core.Murmur3.hash(payload, 9)
-      kind match {
-        case "image" => (64 + (h & 0x3ff), 64 + ((h >>> 10) & 0x3ff), 0L)
-        case "audio" => (0, 0, 1000L + (h.toLong & 0xffff))
-        case "video" => (320 + (h & 0xff), 240 + ((h >>> 8) & 0xff), 5000L + ((h >>> 16) & 0xffff))
-        case _ => (0, 0, 0L)
-      }
-    }
+  // deterministic synthetic dimensions — kept arithmetic in the id so the
+  // DuckDB oracle can recompute them without parsing binary
+  def widthOf(id: Long): Int = (64 + (id * 7) % 1024).toInt
+  def heightOf(id: Long): Int = (64 + (id * 13) % 1024).toInt
+  def durationOf(id: Long): Long = 1000 + (id * 31) % 65536
+  def kindOf(id: Long): String = (id % 3) match {
+    case 0 => "image"
+    case 1 => "audio"
+    case _ => "video"
+  }
+  private def kindTag(kind: String): Byte = kind match {
+    case "image" => 1; case "audio" => 2; case "video" => 3; case _ => 0
+  }
+  private def kindName(tag: Byte): String = tag match {
+    case 1 => "image"; case 2 => "audio"; case 3 => "video"; case _ => "unknown"
   }
 
-  /** Batched feature extraction. `batchSize` bounds decoder-call batches the
-    * way `mapInPandas` batch size does; one digest/decoder instance per
-    * partition, reused across batches.
+  /** Build a container payload: GRFT | kind(1) | width(4 LE) | height(4 LE)
+    * | duration_ms(8 LE) | body.
+    */
+  def encodeContainer(kind: String, width: Int, height: Int, durationMs: Long,
+      body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(HeaderLen + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(Magic).put(kindTag(kind)).putInt(width).putInt(height).putLong(durationMs)
+    bb.put(body)
+    bb.array
+  }
+
+  /** Parse the container header — a real binary parse with a magic check,
+    * not a hash-derived fake. Returns (kind, width, height, durationMs).
+    */
+  def decodeHeader(payload: Array[Byte]): (String, Int, Int, Long) = {
+    require(payload.length >= HeaderLen, s"payload too short: ${payload.length}")
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(java.util.Arrays.equals(magic, Magic),
+      f"bad media magic 0x${magic.map("%02x".format(_)).mkString}%s")
+    val kind = kindName(bb.get())
+    (kind, bb.getInt, bb.getInt, bb.getLong)
+  }
+
+  /** Batched feature extraction over real binary payloads. `batchSize`
+    * bounds decoder-call batches the way `mapInPandas` batch size does; one
+    * digest instance per partition, reused across batches.
     */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 256): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -57,22 +90,31 @@ object Multimodal {
         batch.map { rec =>
           digest.reset()
           val sha = digest.digest(rec.payload).take(8).map("%02x".format(_)).mkString
-          val (w, h, dur) = StubDecoder.decode(rec.kind, rec.payload)
-          MediaFeatures(rec.media_id, rec.kind, rec.payload.length, sha, w, h, dur)
+          val (kind, w, h, dur) = decodeHeader(rec.payload)
+          val (ww, hh, dd) = kind match {
+            case "image" => (w, h, 0L)
+            case "audio" => (0, 0, dur)
+            case _ => (w, h, dur)
+          }
+          MediaFeatures(rec.media_id, kind, rec.payload.length.toLong, ww, hh, dd, sha)
         }
       }
     }
   }
 
-  /** Wrap a text table as a media table (payload = UTF-8 bytes) — the test
-    * stand-in for real binary columns; kind assigned round-robin.
+  /** Synthesize a media table from documents: deterministic binary
+    * containers whose header fields derive arithmetically from doc_id and
+    * whose body is the document's UTF-8 bytes.
     */
-  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+  def synthesizeMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
+    val make = udf((id: Long, text: String) => {
+      val body = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+      encodeContainer(kindOf(id), widthOf(id), heightOf(id), durationOf(id), body)
+    })
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload")).as[MediaRecord]
+      udf((id: Long) => kindOf(id)).apply(col("doc_id")).as("kind"),
+      make(col("doc_id"), col("text")).as("payload")).as[MediaRecord]
   }
 }

@@ -571,6 +571,32 @@ object IcebergQueries {
              COUNT(*) AS record_count
       FROM lineitem
       GROUP BY month_ord
-      ORDER BY month_ord"""))
+      ORDER BY month_ord""")),
+
+    // v3 row lineage: each commit carves a contiguous _row_id block from
+    // next-row-id, so per-sequence (count, distinct, min, max) are exact
+    QueryDef("i24_row_lineage", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"rl_${UUID.randomUUID().toString.take(8)}"
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        n.filter(col("n_nationkey") % 2 === 0))
+      val t2 = Writer.append(s, t1, n.filter(col("n_nationkey") % 2 =!= 0))
+      SparkRead.read(s, t2.newScan.withRowLineage)
+        .groupBy(col("_last_updated_sequence_number").as("seq"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_row_id")).as("n_distinct"),
+          min(col("_row_id")).as("min_id"), max(col("_row_id")).as("max_id"))
+        .orderBy(col("seq"))
+    }, Some("""
+      WITH ev AS (SELECT COUNT(*) AS c FROM nation WHERE n_nationkey % 2 = 0),
+           od AS (SELECT COUNT(*) AS c FROM nation WHERE n_nationkey % 2 = 1)
+      SELECT CAST(1 AS BIGINT) AS seq, ev.c AS n_rows, ev.c AS n_distinct,
+             CAST(0 AS BIGINT) AS min_id, CAST(ev.c - 1 AS BIGINT) AS max_id
+      FROM ev
+      UNION ALL
+      SELECT 2, od.c, od.c, ev.c, ev.c + od.c - 1 FROM ev, od
+      ORDER BY seq"""))
   )
 }

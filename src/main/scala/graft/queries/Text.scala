@@ -139,10 +139,37 @@ object Text {
       FROM documents
       ORDER BY doc_id""")),
 
+    // real binary containers round-tripped through an Iceberg binary column:
+    // synthesize GRFT-container payloads, append to an Iceberg table, scan
+    // back, parse headers in batched mapPartitions. Every output column is
+    // arithmetic in doc_id / text length, so DuckDB checks the full hash.
     QueryDef("mm2_media_features", (s, dir) => {
+      import graft.core.SchemaBridge
+      import graft.format.PartitionSpec
+      import graft.table.{SparkRead, Writer}
+      val cat = IcebergQueries.catalogFor(s, dir)
+      val name = s"mm_${java.util.UUID.randomUUID().toString.take(8)}"
       val docs = tbl(s, dir, "documents")
-      val media = Multimodal.documentsAsMedia(s, docs)
-      Multimodal.extractFeatures(media).toDF().orderBy(col("media_id"))
-    }, None)
+      val media = Multimodal.synthesizeMedia(s, docs).toDF()
+      val schema = SchemaBridge.fromSpark(media.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), media)
+      import s.implicits._
+      val back = SparkRead.read(s, t1.newScan).as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(back).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("duration_ms"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(21 + octet_length(encode(text)) AS BIGINT) AS byte_len,
+             CASE WHEN doc_id % 3 = 1 THEN 0
+                  ELSE CAST(64 + (doc_id * 7) % 1024 AS INT) END AS width,
+             CASE WHEN doc_id % 3 = 1 THEN 0
+                  ELSE CAST(64 + (doc_id * 13) % 1024 AS INT) END AS height,
+             CASE WHEN doc_id % 3 = 0 THEN 0
+                  ELSE CAST(1000 + (doc_id * 31) % 65536 AS BIGINT) END AS duration_ms
+      FROM documents
+      ORDER BY media_id"""))
   )
 }

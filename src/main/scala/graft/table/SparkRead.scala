@@ -43,7 +43,8 @@ object SparkRead {
       return project(applyResidual(empty, scan), scan, schema)
     }
 
-    project(applyResidual(readTasks(spark, tasks, schema, scan.table.nameMapping),
+    project(applyResidual(
+      readTasks(spark, tasks, schema, scan.table.nameMapping, scan.rowLineage),
       scan), scan, schema)
   }
 
@@ -60,7 +61,8 @@ object SparkRead {
     */
   def readTasks(spark: SparkSession, tasks: Seq[FileScanTask],
       schema: IcebergSchema,
-      nameMapping: Option[graft.format.NameMapping] = None): DataFrame = {
+      nameMapping: Option[graft.format.NameMapping] = None,
+      rowLineage: Boolean = false): DataFrame = {
     configure(spark)
     val readSchema: StructType = SchemaBridge.toSpark(schema)
 
@@ -78,7 +80,7 @@ object SparkRead {
           Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
       }
       subGroups.map { case (sub, idsPresent) => readSubGroup(spark, sub, idsPresent,
-        schema, readSchema, nameMapping) }
+        schema, readSchema, nameMapping, rowLineage) }
     }
 
     parts.reduce(_ unionByName _)
@@ -86,7 +88,8 @@ object SparkRead {
 
   private def readSubGroup(spark: SparkSession, groupTasks: Seq[FileScanTask],
       idsPresent: Boolean, schema: IcebergSchema, readSchema: StructType,
-      nameMapping: Option[graft.format.NameMapping]): DataFrame = {
+      nameMapping: Option[graft.format.NameMapping],
+      rowLineage: Boolean = false): DataFrame = {
     {
       var df =
         if (idsPresent) spark.read.schema(readSchema).parquet(groupTasks.map(_.file.path): _*)
@@ -102,7 +105,9 @@ object SparkRead {
 
       val (dvDeletes, posDeletes) = groupTasks.head.posDeletes.partition(_.format == "PUFFIN")
       val eqDeletes = groupTasks.head.eqDeletes
-      if (dvDeletes.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty) {
+      val needsPos =
+        dvDeletes.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty || rowLineage
+      if (needsPos) {
         df = df.withColumn("__file", normalizePath(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
       }
@@ -145,8 +150,23 @@ object SparkRead {
         df = df.join(delDf, cond, "left_anti")
       }
 
-      if (dvDeletes.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty)
-        df = df.drop("__file", "__pos")
+      if (rowLineage) {
+        // v3 lineage synthesis (reference table/arrow_scanner.go:896-984):
+        // _row_id = file first_row_id + position, _last_updated_sequence_
+        // number = data sequence. Broadcast metadata map, evaluated after
+        // deletes so surviving rows keep their original positions.
+        val lm: Map[String, (Long, Long)] = groupTasks.flatMap(t =>
+          t.file.firstRowId.map(fr => t.file.path -> ((fr, t.dataSequence)))).toMap
+        val bc = spark.sparkContext.broadcast(lm)
+        val rowIdU = udf((f: String, pos: Long) =>
+          bc.value.get(f).map(v => Long.box(v._1 + pos)).orNull)
+        val seqU = udf((f: String) =>
+          bc.value.get(f).map(v => Long.box(v._2)).orNull)
+        df = df.withColumn("_row_id", rowIdU(col("__file"), col("__pos")))
+          .withColumn("_last_updated_sequence_number", seqU(col("__file")))
+      }
+
+      if (needsPos) df = df.drop("__file", "__pos")
       df
     }
   }

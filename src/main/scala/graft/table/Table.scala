@@ -55,7 +55,8 @@ final case class Scan(
     asOfTimestampMs: Option[Long] = None,
     ref: Option[String] = None,
     limit: Option[Long] = None,
-    caseSensitive: Boolean = true) {
+    caseSensitive: Boolean = true,
+    rowLineage: Boolean = false) {
 
   def withFilter(e: Expr): Scan = copy(filter = e)
   def select(cols: String*): Scan = copy(selected = cols)
@@ -63,6 +64,11 @@ final case class Scan(
   def asOf(tsMs: Long): Scan = copy(asOfTimestampMs = Some(tsMs))
   def useRef(r: String): Scan = copy(ref = Some(r))
   def withLimit(n: Long): Scan = copy(limit = Some(n))
+  /** Surface v3 lineage columns `_row_id` and
+    * `_last_updated_sequence_number` (reference `metadata_columns.go:40-128`,
+    * synthesis `table/arrow_scanner.go:896-984`).
+    */
+  def withRowLineage: Scan = copy(rowLineage = true)
 
   /** Snapshot resolution: explicit id > as-of timestamp > ref > current. */
   def snapshot: Option[Snapshot] = {

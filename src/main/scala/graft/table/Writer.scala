@@ -595,15 +595,27 @@ object Writer {
       }
     }
 
-    if (addedFiles.nonEmpty) {
-      val entries = addedFiles.map(f => ManifestEntry(ManifestEntryStatus.Added,
+    // v3 row lineage: every added data file gets a contiguous first_row_id
+    // block carved from metadata next-row-id (spec field 142); readers
+    // synthesize _row_id = first_row_id + position
+    var rowIdCursor = meta.nextRowId
+    val addedWithLineage = addedFiles.map { f =>
+      if (f.content == DataFileContent.Data) {
+        val assigned = f.copy(firstRowId = Some(rowIdCursor))
+        rowIdCursor += f.recordCount
+        assigned
+      } else f
+    }
+
+    if (addedWithLineage.nonEmpty) {
+      val entries = addedWithLineage.map(f => ManifestEntry(ManifestEntryStatus.Added,
         Some(snapshotId), Some(newSeq), Some(newSeq), f))
       val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
       val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId)
       manifests += ManifestFile(p, len, spec.specId, ManifestContent.Data,
         newSeq, newSeq, snapshotId, entries.size, 0, 0,
-        addedFiles.map(_.recordCount).sum, 0L, 0L,
-        partitionSummaries(addedFiles, partType))
+        addedWithLineage.map(_.recordCount).sum, 0L, 0L,
+        partitionSummaries(addedWithLineage, partType))
     }
 
     if (addedDeleteFiles.nonEmpty) {
@@ -638,6 +650,7 @@ object Writer {
     val updated = meta.copy(
       properties = meta.properties ++ extraProperties,
       lastSequenceNumber = newSeq,
+      nextRowId = rowIdCursor,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapshotId),
       snapshots = meta.snapshots :+ snap,
