@@ -54,9 +54,20 @@ final class HadoopCatalog(warehouse: String) {
 
   def currentVersion(name: String): Option[Int] = {
     val hint = Paths.get(hintFile(name))
-    if (Files.exists(hint))
-      Some(new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt)
-    else None
+    val fromHint =
+      if (!Files.exists(hint)) None
+      else new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim
+        .toIntOption // empty/torn read during a concurrent hint replace
+    // the hint is advisory (reference hadoop catalog semantics): fall back
+    // to listing vN.metadata.json files for the true max version
+    fromHint.orElse {
+      val dir = new File(metadataDir(name))
+      val versions = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .map(_.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+        .flatMap(n => n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption)
+      versions.maxOption
+    }
   }
 
   /** CAS commit: vN file must not exist yet (rename-no-replace). Returns
@@ -86,7 +97,12 @@ final class HadoopCatalog(warehouse: String) {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflict(s"version $version already exists")
     } finally Files.deleteIfExists(tmp)
-    Files.write(Paths.get(hintFile(name)), version.toString.getBytes(StandardCharsets.UTF_8))
+    // atomic hint replace: a plain truncating write lets concurrent readers
+    // observe an empty file mid-update
+    val hintTmp = dir.resolve(s".hint.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(hintTmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(hintTmp, Paths.get(hintFile(name)),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 }

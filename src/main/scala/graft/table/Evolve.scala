@@ -7,6 +7,13 @@ import graft.format._
   * `table/update_spec.go`, branch/tag refs): each commits a new metadata
   * version without a snapshot.
   */
+sealed trait ColumnPosition
+object ColumnPosition {
+  case object First extends ColumnPosition
+  final case class Before(anchor: String) extends ColumnPosition
+  final case class After(anchor: String) extends ColumnPosition
+}
+
 object Evolve {
 
   /** Add an optional column at the end of the schema (new field id). */
@@ -101,6 +108,104 @@ object Evolve {
       defaultSpecId = spec.specId,
       partitionSpecs = meta.partitionSpecs :+ spec,
       lastPartitionId = nextId,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Move a column before/after another or to first position (same ids —
+    * order is presentational; reference update_schema MoveFirst/Before/After).
+    */
+  def moveColumn(table: Table, name: String, position: ColumnPosition): Table = {
+    val meta = table.metadata
+    val schema = meta.schema
+    val f = schema.findField(name).getOrElse(
+      throw new IllegalArgumentException(s"no such column $name"))
+    val without = schema.fields.filterNot(_.id == f.id)
+    val reordered = position match {
+      case ColumnPosition.First => f +: without
+      case ColumnPosition.Before(anchor) =>
+        val a = schema.findField(anchor).getOrElse(
+          throw new IllegalArgumentException(s"no such column $anchor"))
+        val i = without.indexWhere(_.id == a.id)
+        (without.take(i) :+ f) ++ without.drop(i)
+      case ColumnPosition.After(anchor) =>
+        val a = schema.findField(anchor).getOrElse(
+          throw new IllegalArgumentException(s"no such column $anchor"))
+        val i = without.indexWhere(_.id == a.id)
+        (without.take(i + 1) :+ f) ++ without.drop(i + 1)
+    }
+    val newSchema = IcebergSchema(reordered,
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = schema.identifierFieldIds)
+    commitMetadata(table, meta.copy(
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Set the identifier (natural-key) field ids; fields must exist and be
+    * required per the spec's row-identity rules.
+    */
+  def setIdentifierFields(table: Table, names: Seq[String]): Table = {
+    val meta = table.metadata
+    val schema = meta.schema
+    val ids = names.map(n => schema.findField(n).getOrElse(
+      throw new IllegalArgumentException(s"no such column $n")).id)
+    val newSchema = IcebergSchema(schema.fields,
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = ids)
+    commitMetadata(table, meta.copy(
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Union an incoming Spark-derived schema by NAME (reference
+    * UnionByNameWith): new names become new optional columns with fresh ids;
+    * existing names must be promotion-compatible; nothing is dropped.
+    */
+  def unionByName(table: Table, incoming: IcebergSchema): Table = {
+    var t = table
+    incoming.fields.foreach { in =>
+      t.metadata.schema.findField(in.name) match {
+        case None =>
+          t = addColumn(t, in.name, in.fieldType)
+        case Some(cur) if cur.fieldType == in.fieldType => // already compatible
+        case Some(cur) if IcebergTypes.promotable(cur.fieldType, in.fieldType) =>
+          t = promoteColumn(t, in.name, in.fieldType)
+        case Some(cur) =>
+          throw new IllegalArgumentException(
+            s"incompatible types for ${in.name}: ${cur.fieldType} vs ${in.fieldType}")
+      }
+    }
+    t
+  }
+
+  /** Remove partition fields from the default spec by name: v2 semantics
+    * drop the field (a new spec id); existing files keep their old spec
+    * (reference update_spec RemoveField — v1 would void the transform).
+    */
+  def removeSpecFields(table: Table, names: Seq[String]): Table = {
+    val meta = table.metadata
+    val spec = meta.spec
+    val remaining = spec.fields.filterNot(f => names.contains(f.name))
+    require(remaining.size != spec.fields.size || names.isEmpty,
+      s"no matching partition fields among $names")
+    val newSpecId = meta.partitionSpecs.map(_.specId).max + 1
+    val newSpec = spec.copy(specId = newSpecId, fields = remaining)
+    commitMetadata(table, meta.copy(
+      defaultSpecId = newSpecId,
+      partitionSpecs = meta.partitionSpecs :+ newSpec,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Replace the default sort order (write-side clustering hint). */
+  def replaceSortOrder(table: Table, fields: Seq[SortField]): Table = {
+    val meta = table.metadata
+    val newOrderId = (meta.sortOrders.map(_.orderId) :+ 0).max + 1
+    val order = SortOrder(newOrderId, fields)
+    commitMetadata(table, meta.copy(
+      defaultSortOrderId = newOrderId,
+      sortOrders = meta.sortOrders :+ order,
       lastUpdatedMs = System.currentTimeMillis()))
   }
 

@@ -33,7 +33,14 @@ object SparkRead {
     configure(spark)
     val tasks = scan.planFiles()
     val meta = scan.table.metadata
-    val snapSchemaId = scan.snapshot.flatMap(_.schemaId).getOrElse(meta.currentSchemaId)
+    // current-snapshot scans use the CURRENT table schema (metadata-only
+    // evolution has no snapshot to re-pin it); only explicit time travel
+    // (snapshot id / as-of / ref) pins the snapshot's schema
+    val timeTravel =
+      scan.snapshotId.isDefined || scan.asOfTimestampMs.isDefined || scan.ref.isDefined
+    val snapSchemaId =
+      if (timeTravel) scan.snapshot.flatMap(_.schemaId).getOrElse(meta.currentSchemaId)
+      else meta.currentSchemaId
     val schema = meta.schemaById(snapSchemaId).getOrElse(meta.schema)
     val readSchema: StructType = SchemaBridge.toSpark(schema)
 
