@@ -1,0 +1,51 @@
+package graft.catalog
+
+import graft.core.IcebergSchema
+import graft.format.{PartitionSpec, SortOrder, TableMetadata}
+import graft.table.Table
+
+/** Catalog abstraction (reference `catalog/catalog.go` interface): concrete
+  * implementations provide storage + CAS; everything above (scan planning,
+  * writes, maintenance) is catalog-agnostic.
+  */
+trait Catalog {
+  def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
+      sortOrder: SortOrder = SortOrder.Unsorted,
+      properties: Map[String, String] = Map.empty): Table
+  def loadTable(name: String): Table
+  def dropTable(name: String): Unit
+  def tableExists(name: String): Boolean
+  def listTables(): Seq[String]
+  def currentVersion(name: String): Option[Int]
+  /** CAS commit of new metadata against the expected version; throws
+    * CommitConflict on a lost race.
+    */
+  def commit(name: String, base: TableMetadata, updated: TableMetadata,
+      expectedVersion: Int): String
+}
+
+/** URI-scheme registry (reference `catalog/registry.go`): `hadoop:<path>`
+  * (or a bare path) resolves to a filesystem catalog; new schemes register
+  * a factory.
+  */
+object Catalogs {
+  private val factories =
+    new java.util.concurrent.ConcurrentHashMap[String, String => Catalog]()
+
+  register("hadoop", path => new HadoopCatalog(path))
+
+  def register(scheme: String, factory: String => Catalog): Unit = {
+    factories.put(scheme, factory)
+    ()
+  }
+
+  def load(uri: String): Catalog = {
+    val (scheme, rest) = uri.split(":", 2) match {
+      case Array(s, r) if factories.containsKey(s) => (s, r)
+      case _ => ("hadoop", uri) // bare path = filesystem catalog
+    }
+    Option(factories.get(scheme)).getOrElse(
+      throw new IllegalArgumentException(s"no catalog registered for scheme $scheme"))
+      .apply(rest.stripPrefix("//"))
+  }
+}

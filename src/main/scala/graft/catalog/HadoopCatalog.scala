@@ -16,7 +16,7 @@ import graft.table.Table
   * Local-FS java.nio implementation; on HDFS/S3A the same protocol runs over
   * `org.apache.hadoop.fs.FileSystem` (rename-no-replace / conditional put).
   */
-final class HadoopCatalog(warehouse: String) {
+final class HadoopCatalog(warehouse: String) extends Catalog {
 
   private def tableDir(name: String): String = s"$warehouse/$name"
   private def metadataDir(name: String): String = s"${tableDir(name)}/metadata"
@@ -25,6 +25,13 @@ final class HadoopCatalog(warehouse: String) {
     s"${metadataDir(name)}/v$v.metadata.json"
 
   def tableExists(name: String): Boolean = Files.exists(Paths.get(hintFile(name)))
+
+  def listTables(): Seq[String] = {
+    val dir = new File(warehouse)
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && Files.exists(Paths.get(hintFile(f.getName))))
+      .map(_.getName).sorted
+  }
 
   def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
       sortOrder: SortOrder = SortOrder.Unsorted,

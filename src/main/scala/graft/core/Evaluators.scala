@@ -40,6 +40,19 @@ object Evaluators {
             pfs.map(pf => projectPredicate(pf, schema, op, lits))
               .reduceOption(Expr.and).getOrElse(AlwaysTrue)
         }
+      // transform predicate: literals are already in partition space when a
+      // partition field applies the SAME transform to the same source
+      case TransformPredicate(op, tr, ref, _, lits) =>
+        bySource.get(ref).toSeq.flatten.filter(_.transform == tr) match {
+          case Nil => AlwaysTrue
+          case pfs if tr.preservesOrder =>
+            pfs.map(pf => Predicate(op, pf.name, lits)).reduce(Expr.and)
+          case pfs => op match { // bucket-like: equality ops only
+            case Op.Eq | Op.In | Op.IsNull | Op.NotNull =>
+              pfs.map(pf => Predicate(op, pf.name, lits)).reduce(Expr.and)
+            case _ => AlwaysTrue
+          }
+        }
     }
     project(rewriteNot(expr))
   }
@@ -114,6 +127,7 @@ object Evaluators {
             allNull = !s.lowerBound.isDefined && s.containsNull,
             allNan = false)
         }
+      case _: TransformPredicate => true // projected before manifest eval
     }
     eval(partitionExpr)
   }
@@ -155,8 +169,50 @@ object Evaluators {
               mayNan = nanCount.forall(_ > 0),
               allNull = allNull, allNan = allNan)
         }
+      // transform predicate over file bounds: order-preserving transforms
+      // map [lower, upper] to [t(lower), t(upper)] (monotone), so the same
+      // range rules apply in transform space; anything unprojectable stays
+      // might-match
+      case TransformPredicate(op, tr, ref, srcType, lits) =>
+        if (!tr.preservesOrder) true
+        else schema.findField(ref) match {
+          case None => true
+          case Some(field) =>
+            val id = field.id
+            val ft = field.fieldType
+            val bounds = scala.util.Try {
+              (f.lowerBounds.get(id).map(b => tr.apply(Literals.decode(ft, b), srcType)),
+                f.upperBounds.get(id).map(b => tr.apply(Literals.decode(ft, b), srcType)))
+            }
+            bounds.toOption.forall { case (lo, up) =>
+              transformedMightMatch(op, lits, lo, up)
+            }
+        }
     }
     eval(rewriteNot(expr))
+  }
+
+  /** Range rules over transform-space values (numbers or strings). */
+  private def transformedMightMatch(op: Op, lits: Seq[Any],
+      lower: Option[Any], upper: Option[Any]): Boolean = {
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0 // incomparable -> unknown -> might match
+    }
+    def cmpLower(v: Any) = lower.map(cmp(_, v))
+    def cmpUpper(v: Any) = upper.map(cmp(_, v))
+    op match {
+      case Op.Lt => cmpLower(lits.head).forall(_ < 0)
+      case Op.LtEq => cmpLower(lits.head).forall(_ <= 0)
+      case Op.Gt => cmpUpper(lits.head).forall(_ > 0)
+      case Op.GtEq => cmpUpper(lits.head).forall(_ >= 0)
+      case Op.Eq =>
+        cmpLower(lits.head).forall(_ <= 0) && cmpUpper(lits.head).forall(_ >= 0)
+      case Op.In =>
+        lits.exists(v => cmpLower(v).forall(_ <= 0) && cmpUpper(v).forall(_ >= 0))
+      case _ => true
+    }
   }
 
   /** Shared inclusive bound logic. `lower`/`upper` are decoded values (None =
@@ -219,6 +275,7 @@ object Evaluators {
       case And(l, r) => eval(l) && eval(r)
       case Or(l, r) => eval(l) || eval(r)
       case Not(_) => false // conservative; rewriteNot removes these
+      case _: TransformPredicate => false // strict transform proof not attempted
       case Predicate(op, ref, lits) =>
         schema.findField(ref) match {
           case None => false

@@ -70,6 +70,17 @@ object Expr {
     def literal: Any = literals.head
   }
 
+  /** Predicate over a TRANSFORMED term, e.g. `month(l_shipdate) = 326`
+    * (reference BoundTransform, `exprs.go:1063-1137`). Literals live in
+    * transform space. `sourceType` is the Spark type of the source column —
+    * needed to lower the transform onto a Catalyst Column.
+    */
+  final case class TransformPredicate(op: Op, transform: Transform, ref: String,
+      sourceType: org.apache.spark.sql.types.DataType,
+      literals: Seq[Any] = Nil) extends Expr {
+    def negate = TransformPredicate(Op.negate(op), transform, ref, sourceType, literals)
+  }
+
   // smart constructors mirroring the reference's auto-simplification
   def and(l: Expr, r: Expr): Expr = (l, r) match {
     case (AlwaysFalse, _) | (_, AlwaysFalse) => AlwaysFalse
@@ -127,6 +138,7 @@ object Expr {
     case Or(l, r) => references(l) ++ references(r)
     case Not(c) => references(c)
     case Predicate(_, ref, _) => Set(ref)
+    case TransformPredicate(_, _, ref, _, _) => Set(ref)
     case _ => Set.empty
   }
 
@@ -148,6 +160,8 @@ object Expr {
     case Not(c) => Not(bindNames(c, schema, caseSensitive))
     case p @ Predicate(op, ref, lits) =>
       schema.findField(ref, caseSensitive).map(f => Predicate(op, f.name, lits)).getOrElse(p)
+    case tp @ TransformPredicate(_, _, ref, _, _) =>
+      schema.findField(ref, caseSensitive).map(f => tp.copy(ref = f.name)).getOrElse(tp)
     case other => other
   }
 
@@ -168,6 +182,8 @@ object Expr {
         case _ => "(value)"
       }
       if (masked.isEmpty) s"$op($ref)" else s"$op($ref, ${masked.mkString(", ")})"
+    case TransformPredicate(op, tr, ref, _, lits) =>
+      s"$op(${tr.name}($ref)${if (lits.isEmpty) "" else ", " + lits.map(_ => "(value)").mkString(", ")})"
   }
 
   /** Lower to a Catalyst Column for the residual row filter. */
@@ -177,24 +193,26 @@ object Expr {
     case And(l, r) => toColumn(l) && toColumn(r)
     case Or(l, r) => toColumn(l) || toColumn(r)
     case Not(c) => !toColumn(c)
-    case Predicate(op, ref, lits) =>
-      val c = col(ref)
-      op match {
-        case Op.IsNull => c.isNull
-        case Op.NotNull => c.isNotNull
-        case Op.IsNan => isnan(c)
-        case Op.NotNan => !isnan(c)
-        case Op.Lt => c < litVal(lits.head)
-        case Op.LtEq => c <= litVal(lits.head)
-        case Op.Gt => c > litVal(lits.head)
-        case Op.GtEq => c >= litVal(lits.head)
-        case Op.Eq => c === litVal(lits.head)
-        case Op.NotEq => c =!= litVal(lits.head)
-        case Op.StartsWith => c.startsWith(lits.head.toString)
-        case Op.NotStartsWith => !c.startsWith(lits.head.toString)
-        case Op.In => c.isin(lits.map(litValue): _*)
-        case Op.NotIn => !c.isin(lits.map(litValue): _*)
-      }
+    case Predicate(op, ref, lits) => opColumn(op, col(ref), lits)
+    case TransformPredicate(op, tr, ref, srcType, lits) =>
+      opColumn(op, tr.toColumn(col(ref), srcType), lits)
+  }
+
+  private def opColumn(op: Op, c: Column, lits: Seq[Any]): Column = op match {
+    case Op.IsNull => c.isNull
+    case Op.NotNull => c.isNotNull
+    case Op.IsNan => isnan(c)
+    case Op.NotNan => !isnan(c)
+    case Op.Lt => c < litVal(lits.head)
+    case Op.LtEq => c <= litVal(lits.head)
+    case Op.Gt => c > litVal(lits.head)
+    case Op.GtEq => c >= litVal(lits.head)
+    case Op.Eq => c === litVal(lits.head)
+    case Op.NotEq => c =!= litVal(lits.head)
+    case Op.StartsWith => c.startsWith(lits.head.toString)
+    case Op.NotStartsWith => !c.startsWith(lits.head.toString)
+    case Op.In => c.isin(lits.map(litValue): _*)
+    case Op.NotIn => !c.isin(lits.map(litValue): _*)
   }
 
   private def litVal(v: Any): Column = lit(litValue(v))
@@ -234,6 +252,7 @@ object Expr {
         case Op.In => lits.exists(cmp(_) == 0)
         case Op.NotIn => !lits.exists(cmp(_) == 0)
       }
+    case _: TransformPredicate => true // projected away before row eval; inclusive
   }
 
   private def dblOf(v: Any): Option[Double] = v match {

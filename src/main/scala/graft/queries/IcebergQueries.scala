@@ -597,6 +597,46 @@ object IcebergQueries {
       FROM ev
       UNION ALL
       SELECT 2, od.c, od.c, ev.c, ev.c + od.c - 1 FROM ev, od
-      ORDER BY seq"""))
+      ORDER BY seq""")),
+
+    // BoundTransform predicate: month(l_shipdate) = <ordinal> prunes to one
+    // partition at the manifest level AND filters rows in transform space
+    // (reference exprs.go:1063-1137)
+    QueryDef("i25_transform_predicate", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("lineitem")
+      val ord = (1997 - 1970) * 12 + 2 // month ordinal for 1997-03
+      val pred = Expr.TransformPredicate(Expr.Op.Eq, Transforms.Months, "l_shipdate",
+        org.apache.spark.sql.types.DateType, Seq(ord))
+      SparkRead.read(s, t.newScan.withFilter(pred))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), d(sum(col("l_quantity"))).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 3
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // positional-delete scan mode: the delete artifacts themselves scan as
+    // rows; with both parquet pos-deletes and a DV in play the union must
+    // cover every deleted row exactly once
+    QueryDef("i26_pos_delete_scan", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"pds_${UUID.randomUUID().toString.take(8)}"
+      val p = tbl(s, dir, "part")
+      val schema = SchemaBridge.fromSpark(p.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        p.filter(col("p_partkey") % 2 === 0))
+      val t2 = Writer.append(s, t1, p.filter(col("p_partkey") % 2 =!= 0))
+      val t3 = Writer.deleteWhereMoR(s, t2, Expr.lt("p_size", 10))
+      val t4 = Writer.deleteWhereDV(s, t3, Expr.gt("p_size", 45))
+      val dels = SparkRead.readPositionDeletes(s, t4.newScan)
+      import s.implicits._
+      Seq(dels.count()).toDF("n_deleted")
+    }, Some("""
+      SELECT COUNT(*) AS n_deleted
+      FROM part
+      WHERE p_size < 10 OR p_size > 45"""))
   )
 }

@@ -178,6 +178,45 @@ object SparkRead {
     }
   }
 
+  /** Positional-delete scan mode (reference `table/arrow_scanner.go:
+    * 1214-1287`): scan the DELETE artifacts themselves as rows of
+    * (file_path, pos, delete_file_path). Parquet pos-deletes read
+    * distributed; DV bitmaps expand on executors via the blob cache.
+    */
+  def readPositionDeletes(spark: SparkSession, scan: Scan): DataFrame = {
+    configure(spark)
+    val tasks = scan.planFiles()
+    val all = tasks.flatMap(_.posDeletes).distinctBy(d => (d.path, d.contentOffset))
+    val (dvs, parquets) = all.partition(_.format == "PUFFIN")
+
+    import spark.implicits._
+    // a data file with a DV has its parquet pos-deletes superseded — rows a
+    // shared parquet delete file holds for DV'd files must not double-count
+    val dvSuperseded = tasks
+      .filter(_.posDeletes.exists(_.format == "PUFFIN")).map(_.file.path).distinct
+    val parquetDf =
+      if (parquets.isEmpty) None
+      else {
+        var df = spark.read.parquet(parquets.map(_.path).distinct: _*)
+          .select(normalizePath(col("file_path")).as("file_path"), col("pos"),
+            normalizePath(col("_metadata.file_path")).as("delete_file_path"))
+        if (dvSuperseded.nonEmpty)
+          df = df.join(dvSuperseded.toDF("file_path"), Seq("file_path"), "left_anti")
+        Some(df)
+      }
+    val dvDf =
+      if (dvs.isEmpty) None
+      else Some(dvs.map(d => (d.referencedDataFile.get, d.path,
+          d.contentOffset.get, d.contentSize.get)).toDF("ref", "puffin", "off", "len")
+        .repartition(col("puffin"), col("off"))
+        .as[(String, String, Long, Long)]
+        .flatMap { case (ref, puffin, off, len) =>
+          DvCache.get(puffin, off, len).positionsIterator.map(p => (ref, p, puffin))
+        }.toDF("file_path", "pos", "delete_file_path"))
+    (parquetDf ++ dvDf).reduceOption(_ unionByName _).getOrElse(
+      Seq.empty[(String, Long, String)].toDF("file_path", "pos", "delete_file_path"))
+  }
+
   /** Does the parquet footer embed field IDs? Driver-side probe, cached per
     * path; only consulted for tables that carry a name mapping.
     */

@@ -10,7 +10,7 @@ final class Table(
     val name: String,
     val metadata: TableMetadata,
     val metadataPath: String,
-    val catalog: graft.catalog.HadoopCatalog) {
+    val catalog: graft.catalog.Catalog) {
 
   def schema: IcebergSchema = metadata.schema
   def spec: PartitionSpec = metadata.spec

@@ -130,16 +130,34 @@ object Writer {
     val location = table.location
 
     import spark.implicits._
+    // a DV SUPERSEDES parquet pos-deletes for its file at read time
+    // (table/scanner.go:529-636), so the spec requires the writer to fold
+    // every existing applicable pos-delete position into the new DV — else
+    // previously-deleted rows resurrect the moment the DV lands
+    val newMatches = spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
+      .filter(Expr.toColumn(filter))
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val parquetDeletePaths = candidates
+      .flatMap(_.posDeletes.filter(_.format == "PARQUET")).map(_.path).distinct
+    val withExisting =
+      if (parquetDeletePaths.isEmpty) newMatches
+      else {
+        val candDf = candidates.map(_.file.path).toDF("file_path")
+        val existing = spark.read.parquet(parquetDeletePaths: _*)
+          .select(regexp_replace(col("file_path"), "^file:/*", "/").as("file_path"),
+            col("pos"))
+          .join(candDf, Seq("file_path"), "left_semi")
+        newMatches.unionByName(existing) // duplicates collapse in the bitmap
+      }
+
     // shuffle positions per data file, then each non-empty task writes ONE
     // puffin file holding the DV blobs for the files it owns — only blob
     // metadata (path/offset/length/cardinality) returns to the driver,
     // bounded by data-file count, never by delete row count
     val blobMeta: Seq[(String, String, Long, Long, Long)] =
-      spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
-        .filter(Expr.toColumn(filter))
-        .select(
-          regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
-          col("_metadata.row_index").as("pos"))
+      withExisting
         .groupBy(col("file_path"))
         .agg(sort_array(collect_list(col("pos"))).as("positions"))
         .as[(String, Seq[Long])]
@@ -283,6 +301,7 @@ object Writer {
     val schema = table.schema
     val spec = table.spec
     val sparkSchema = SchemaBridge.toSpark(schema)
+    checkWriteCompat(schema, df)
 
     // align input columns to table schema (names + types + field-id metadata)
     val aligned = df.select(sparkSchema.fields.map(f =>
@@ -354,6 +373,43 @@ object Writer {
     }
     deleteTree(tmpDir)
     files.filter(_.recordCount > 0)
+  }
+
+  /** Write-side schema compatibility (reference metadata compat check /
+    * arrow_utils schema validation): every table column must be present in
+    * the incoming frame, no unknown columns may sneak in (a silent blind
+    * cast would drop them), and incoming types must equal or safely promote
+    * to the table types.
+    */
+  private def checkWriteCompat(schema: IcebergSchema, df: DataFrame): Unit = {
+    val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val tableNames = schema.fields.map(_.name).toSet
+    val missing = schema.fields.filterNot(f => incoming.contains(f.name))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"write schema is missing table column(s): ${missing.map(_.name).mkString(", ")}")
+    val unknown = incoming.keys.filterNot(tableNames.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"write schema has column(s) not in the table: ${unknown.mkString(", ")}")
+    schema.fields.foreach { f =>
+      val in = incoming(f.name)
+      val expected = SchemaBridge.toSparkType(f.fieldType)
+      val ok = in == expected || ((in, expected) match {
+        // the write-side mirror of the spec's promotion rules
+        case (org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType) => true
+        case (org.apache.spark.sql.types.FloatType,
+              org.apache.spark.sql.types.DoubleType) => true
+        case (a: org.apache.spark.sql.types.DecimalType,
+              b: org.apache.spark.sql.types.DecimalType) =>
+          a.scale == b.scale && a.precision <= b.precision
+        case _ => false
+      })
+      if (!ok)
+        throw new IllegalArgumentException(
+          s"incompatible write type for ${f.name}: $in cannot become $expected")
+    }
   }
 
   private def parsePartitionValue(encoded: String, t: IcebergType): Any = {

@@ -132,4 +132,22 @@ class IcebergRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     val some = t.newScan.withFilter(Expr.ltEq("n_nationkey", 5)).planFiles()
     assert(some.nonEmpty)
   }
+
+  test("DV over existing parquet pos-deletes folds them in (no resurrection)") {
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val schema = SchemaBridge.fromSpark(part.schema)
+    val t0 = catalog.createTable("mixed_del", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, part)
+    val t2 = Writer.deleteWhereMoR(spark, t1, Expr.lt("p_size", 10))
+    val afterMor = SparkRead.read(spark, t2.newScan).count()
+    val t3 = Writer.deleteWhereDV(spark, t2, Expr.gt("p_size", 45))
+    val back = SparkRead.read(spark, t3.newScan)
+    // rows removed by the PARQUET deletes must stay deleted after the DV
+    // supersedes them (spec: the DV writer folds prior positions in)
+    assert(back.filter(org.apache.spark.sql.functions.col("p_size") < 10).count() === 0)
+    assert(back.filter(org.apache.spark.sql.functions.col("p_size") > 45).count() === 0)
+    val expected = part.filter("p_size >= 10 AND p_size <= 45").count()
+    assert(back.count() === expected)
+    assert(afterMor > expected) // the MoR step really did less
+  }
 }
