@@ -26,6 +26,14 @@ final case class Snapshot(
     schemaId: Option[Int])
 
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
+
+/** Spec statistics-file entry (v2+ `statistics` metadata list). */
+final case class StatsBlobMetadata(blobType: String, snapshotId: Long,
+    sequenceNumber: Long, fields: Seq[Int], properties: Map[String, String])
+final case class StatisticsFile(snapshotId: Long, path: String,
+    fileSizeInBytes: Long, blobMetadata: Seq[StatsBlobMetadata])
+final case class PartitionStatisticsFile(snapshotId: Long, path: String,
+    fileSizeInBytes: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
 
 final case class TableMetadata(
@@ -48,7 +56,9 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[SnapshotLogEntry],
     metadataLog: Seq[MetadataLogEntry],
-    refs: Map[String, SnapshotRef]) {
+    refs: Map[String, SnapshotRef],
+    statistics: Seq[StatisticsFile] = Nil,
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil) {
 
   def schema: IcebergSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): Option[IcebergSchema] = schemas.find(_.schemaId == id)
@@ -186,6 +196,36 @@ object TableMetadata {
       r.maxSnapshotAgeMs.foreach(ro.put("max-snapshot-age-ms", _))
       r.maxRefAgeMs.foreach(ro.put("max-ref-age-ms", _))
     }
+    if (m.statistics.nonEmpty) {
+      val sa = root.putArray("statistics")
+      m.statistics.foreach { st =>
+        val so = sa.addObject()
+        so.put("snapshot-id", st.snapshotId)
+        so.put("statistics-path", st.path)
+        so.put("file-size-in-bytes", st.fileSizeInBytes)
+        so.put("file-footer-size-in-bytes", 0L)
+        val ba = so.putArray("blob-metadata")
+        st.blobMetadata.foreach { b =>
+          val bo = ba.addObject()
+          bo.put("type", b.blobType)
+          bo.put("snapshot-id", b.snapshotId)
+          bo.put("sequence-number", b.sequenceNumber)
+          val fa = bo.putArray("fields")
+          b.fields.foreach(fa.add)
+          val po = bo.putObject("properties")
+          b.properties.foreach { case (k, v) => po.put(k, v) }
+        }
+      }
+    }
+    if (m.partitionStatistics.nonEmpty) {
+      val pa = root.putArray("partition-statistics")
+      m.partitionStatistics.foreach { st =>
+        val po = pa.addObject()
+        po.put("snapshot-id", st.snapshotId)
+        po.put("statistics-path", st.path)
+        po.put("file-size-in-bytes", st.fileSizeInBytes)
+      }
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -275,7 +315,25 @@ object TableMetadata {
             Option(ro.get("min-snapshots-to-keep")).map(_.asInt),
             Option(ro.get("max-snapshot-age-ms")).map(_.asLong),
             Option(ro.get("max-ref-age-ms")).map(_.asLong))
-        }.toMap).getOrElse(Map.empty))
+        }.toMap).getOrElse(Map.empty),
+      statistics = Option(n.get("statistics")).map(_.elements().asScala.map { st =>
+        StatisticsFile(
+          st.get("snapshot-id").asLong,
+          st.get("statistics-path").asText,
+          st.get("file-size-in-bytes").asLong,
+          Option(st.get("blob-metadata")).map(_.elements().asScala.map { b =>
+            StatsBlobMetadata(b.get("type").asText, b.get("snapshot-id").asLong,
+              b.get("sequence-number").asLong,
+              Option(b.get("fields")).map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Nil),
+              Option(b.get("properties")).map(p =>
+                p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+                .getOrElse(Map.empty))
+          }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      partitionStatistics = Option(n.get("partition-statistics")).map(_.elements().asScala.map { st =>
+        PartitionStatisticsFile(st.get("snapshot-id").asLong,
+          st.get("statistics-path").asText, st.get("file-size-in-bytes").asLong)
+      }.toSeq).getOrElse(Nil))
   }
 
   private def specFromJson(o: JsonNode): PartitionSpec =

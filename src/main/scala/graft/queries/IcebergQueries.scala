@@ -637,6 +637,28 @@ object IcebergQueries {
     }, Some("""
       SELECT COUNT(*) AS n_deleted
       FROM part
-      WHERE p_size < 10 OR p_size > 45"""))
+      WHERE p_size < 10 OR p_size > 45""")),
+
+    // NDV statistics: KMV sketches persisted to a Puffin statistics file
+    // and registered in metadata; low-cardinality columns are exact, high-
+    // cardinality estimates must land within 5% (deterministic sketch)
+    QueryDef("i27_ndv_stats", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"ndv_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
+      val t2 = graft.table.Analyze.computeNdv(s, t1, Seq("c_custkey", "c_mktsegment"))
+      val ndv = graft.table.Analyze.ndvFor(t2)
+      val custId = t2.schema.findField("c_custkey").get.id
+      val mktId = t2.schema.findField("c_mktsegment").get.id
+      val trueCust = c.select(countDistinct(col("c_custkey"))).first().getLong(0)
+      val ok = math.abs(ndv(custId).toDouble - trueCust) / trueCust <= 0.05
+      import s.implicits._
+      Seq((ok.toString, ndv(mktId))).toDF("custkey_ndv_ok", "mktsegment_ndv")
+    }, Some("""
+      SELECT 'true' AS custkey_ndv_ok,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS mktsegment_ndv
+      FROM customer"""))
   )
 }
