@@ -33,6 +33,7 @@ object Evaluators {
         val pl = project(l); val pr = project(r)
         if (pl == AlwaysTrue || pr == AlwaysTrue) AlwaysTrue else Expr.or(pl, pr)
       case Not(_) => AlwaysTrue // callers rewriteNot first
+      case _: BBoxPredicate => AlwaysTrue // geo never projects to partitions here
       case p @ Predicate(op, ref, lits) =>
         bySource.get(ref) match {
           case None => AlwaysTrue // column not partitioned on
@@ -128,6 +129,7 @@ object Evaluators {
             allNan = false)
         }
       case _: TransformPredicate => true // projected before manifest eval
+      case _: BBoxPredicate => true
     }
     eval(partitionExpr)
   }
@@ -145,6 +147,7 @@ object Evaluators {
       case And(l, r) => eval(l) && eval(r)
       case Or(l, r) => eval(l) || eval(r)
       case Not(_) => true
+      case _: BBoxPredicate => true // no geo bounds harvested from footers
       case Predicate(op, ref, lits) =>
         schema.findField(ref) match {
           case None => true
@@ -276,6 +279,7 @@ object Evaluators {
       case Or(l, r) => eval(l) || eval(r)
       case Not(_) => false // conservative; rewriteNot removes these
       case _: TransformPredicate => false // strict transform proof not attempted
+      case _: BBoxPredicate => false
       case Predicate(op, ref, lits) =>
         schema.findField(ref) match {
           case None => false

@@ -81,6 +81,19 @@ object Expr {
     def negate = TransformPredicate(Op.negate(op), transform, ref, sourceType, literals)
   }
 
+  /** v3 geospatial bounding-box predicate over a WKB geometry column
+    * (reference `exprs.go:1160-1300`): keep rows whose geometry envelope
+    * intersects (or, negated, does not intersect) the query box.
+    */
+  final case class BBoxPredicate(intersects: Boolean, ref: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double) extends Expr {
+    def negate = copy(intersects = !intersects)
+  }
+
+  def bboxIntersects(ref: String, xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Expr =
+    BBoxPredicate(intersects = true, ref, xmin, ymin, xmax, ymax)
+
   // smart constructors mirroring the reference's auto-simplification
   def and(l: Expr, r: Expr): Expr = (l, r) match {
     case (AlwaysFalse, _) | (_, AlwaysFalse) => AlwaysFalse
@@ -139,6 +152,7 @@ object Expr {
     case Not(c) => references(c)
     case Predicate(_, ref, _) => Set(ref)
     case TransformPredicate(_, _, ref, _, _) => Set(ref)
+    case BBoxPredicate(_, ref, _, _, _, _) => Set(ref)
     case _ => Set.empty
   }
 
@@ -162,6 +176,8 @@ object Expr {
       schema.findField(ref, caseSensitive).map(f => Predicate(op, f.name, lits)).getOrElse(p)
     case tp @ TransformPredicate(_, _, ref, _, _) =>
       schema.findField(ref, caseSensitive).map(f => tp.copy(ref = f.name)).getOrElse(tp)
+    case bp @ BBoxPredicate(_, ref, _, _, _, _) =>
+      schema.findField(ref, caseSensitive).map(f => bp.copy(ref = f.name)).getOrElse(bp)
     case other => other
   }
 
@@ -184,6 +200,8 @@ object Expr {
       if (masked.isEmpty) s"$op($ref)" else s"$op($ref, ${masked.mkString(", ")})"
     case TransformPredicate(op, tr, ref, _, lits) =>
       s"$op(${tr.name}($ref)${if (lits.isEmpty) "" else ", " + lits.map(_ => "(value)").mkString(", ")})"
+    case BBoxPredicate(in, ref, _, _, _, _) =>
+      s"${if (in) "" else "NOT "}bbox_intersects($ref, (box))"
   }
 
   /** Lower to a Catalyst Column for the residual row filter. */
@@ -196,6 +214,9 @@ object Expr {
     case Predicate(op, ref, lits) => opColumn(op, col(ref), lits)
     case TransformPredicate(op, tr, ref, srcType, lits) =>
       opColumn(op, tr.toColumn(col(ref), srcType), lits)
+    case BBoxPredicate(wants, ref, xmin, ymin, xmax, ymax) =>
+      val f = udf((wkb: Array[Byte]) => Geo.intersects(wkb, xmin, ymin, xmax, ymax))
+      if (wants) f(col(ref)) else !f(col(ref))
   }
 
   private def opColumn(op: Op, c: Column, lits: Seq[Any]): Column = op match {
@@ -253,6 +274,7 @@ object Expr {
         case Op.NotIn => !lits.exists(cmp(_) == 0)
       }
     case _: TransformPredicate => true // projected away before row eval; inclusive
+    case _: BBoxPredicate => true // no partition projection for geo (yet)
   }
 
   private def dblOf(v: Any): Option[Double] = v match {

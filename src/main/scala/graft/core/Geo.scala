@@ -1,0 +1,88 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal WKB geometry support for the v3 geo surface (reference
+  * `table/internal/geo_codec.go:1-563`): point encode/decode (both byte
+  * orders on read, little-endian on write) and bbox intersection — enough
+  * for `BBoxIntersects` row filtering over a WKB binary column. Full
+  * geometry kinds (linestring/polygon/multi*) decode to their coordinate
+  * envelope.
+  */
+object Geo {
+
+  val PointType = 1
+  val LineStringType = 2
+  val PolygonType = 3
+
+  /** WKB point, little-endian. */
+  def encodePoint(x: Double, y: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte) // LE marker
+    bb.putInt(PointType)
+    bb.putDouble(x)
+    bb.putDouble(y)
+    bb.array
+  }
+
+  /** Envelope (xmin, ymin, xmax, ymax) of a WKB geometry; None on
+    * non-geometry bytes (fail-open for filtering: caller decides).
+    */
+  def envelope(wkb: Array[Byte]): Option[(Double, Double, Double, Double)] = {
+    if (wkb == null || wkb.length < 5) return None
+    try {
+      val order = if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      val bb = ByteBuffer.wrap(wkb, 1, wkb.length - 1).order(order)
+      val geomType = bb.getInt & 0xffff // mask Z/M/SRID flag variants
+      geomType match {
+        case PointType =>
+          val x = bb.getDouble; val y = bb.getDouble
+          Some((x, y, x, y))
+        case LineStringType =>
+          val n = bb.getInt
+          envelopeOfCoords(bb, n)
+        case PolygonType =>
+          val rings = bb.getInt
+          var env: Option[(Double, Double, Double, Double)] = None
+          var r = 0
+          while (r < rings) {
+            val n = bb.getInt
+            env = merge(env, envelopeOfCoords(bb, n))
+            r += 1
+          }
+          env
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def envelopeOfCoords(bb: ByteBuffer, n: Int): Option[(Double, Double, Double, Double)] = {
+    if (n <= 0) return None
+    var xmin = Double.MaxValue; var ymin = Double.MaxValue
+    var xmax = Double.MinValue; var ymax = Double.MinValue
+    var i = 0
+    while (i < n) {
+      val x = bb.getDouble; val y = bb.getDouble
+      if (x < xmin) xmin = x; if (x > xmax) xmax = x
+      if (y < ymin) ymin = y; if (y > ymax) ymax = y
+      i += 1
+    }
+    Some((xmin, ymin, xmax, ymax))
+  }
+
+  private def merge(a: Option[(Double, Double, Double, Double)],
+      b: Option[(Double, Double, Double, Double)]) = (a, b) match {
+    case (Some((ax0, ay0, ax1, ay1)), Some((bx0, by0, bx1, by1))) =>
+      Some((math.min(ax0, bx0), math.min(ay0, by0),
+        math.max(ax1, bx1), math.max(ay1, by1)))
+    case (x, None) => x
+    case (None, y) => y
+  }
+
+  /** Does the geometry's envelope intersect the query bbox? */
+  def intersects(wkb: Array[Byte], xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Boolean =
+    envelope(wkb).exists { case (gx0, gy0, gx1, gy1) =>
+      gx1 >= xmin && gx0 <= xmax && gy1 >= ymin && gy0 <= ymax
+    }
+}

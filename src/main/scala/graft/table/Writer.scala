@@ -550,7 +550,8 @@ object Writer {
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
       conflictCheck: Option[ConflictCheck] = None,
       removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
-      extraProperties: Map[String, String] = Map.empty): Table = {
+      extraProperties: Map[String, String] = Map.empty,
+      extraSummary: Map[String, String] = Map.empty): Table = {
     val props = table.metadata.properties
     def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
     val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
@@ -563,7 +564,7 @@ object Writer {
     while (true) {
       if (attempt > 0) validateRebase(t, removedPaths, conflictCheck)
       try return commitSnapshotOnce(t, operation, addedFiles, removedPaths,
-        addedDeleteFiles, removedDeleteKeys, extraProperties)
+        addedDeleteFiles, removedDeleteKeys, extraProperties, extraSummary)
       catch {
         case _: graft.catalog.CommitConflict
             if attempt < maxRetries && System.currentTimeMillis() < deadline =>
@@ -604,7 +605,8 @@ object Writer {
   private def commitSnapshotOnce(table: Table, operation: String, addedFiles: Seq[DataFile],
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
       removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
-      extraProperties: Map[String, String] = Map.empty): Table = {
+      extraProperties: Map[String, String] = Map.empty,
+      extraSummary: Map[String, String] = Map.empty): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -699,7 +701,7 @@ object Writer {
       "added-delete-files" -> addedDeleteFiles.size.toString,
       "removed-data-files" -> removedPaths.size.toString,
       "total-data-files" -> allManifests.filter(_.content == ManifestContent.Data)
-        .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString)
+        .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString) ++ extraSummary
     val snap = Snapshot(snapshotId, meta.currentSnapshotId, newSeq, now,
       manifestListPath, summary, Some(meta.currentSchemaId))
 

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.core._
+import graft.format.PartitionSpec
+import graft.table.{SparkRead, Writer}
+
+/** WKB codec + BBoxIntersects predicate over an Iceberg binary column. */
+class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("wkb point round trip and envelope") {
+    val wkb = Geo.encodePoint(12.5, -3.25)
+    assert(Geo.envelope(wkb) === Some((12.5, -3.25, 12.5, -3.25)))
+    // big-endian point reads too
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte); be.putInt(1); be.putDouble(1.0); be.putDouble(2.0)
+    assert(Geo.envelope(be.array) === Some((1.0, 2.0, 1.0, 2.0)))
+    assert(Geo.envelope(Array[Byte](9, 9, 9)) === None)
+  }
+
+  test("bbox intersection semantics (touching edges count)") {
+    val p = Geo.encodePoint(5.0, 5.0)
+    assert(Geo.intersects(p, 0, 0, 5, 5))
+    assert(Geo.intersects(p, 5, 5, 10, 10))
+    assert(!Geo.intersects(p, 6, 6, 10, 10))
+  }
+
+  test("BBoxIntersects filters an Iceberg table's WKB column") {
+    import spark.implicits._
+    val cat = new HadoopCatalog(Files.createTempDirectory("graft-geo").toString)
+    // 100 points on a 10x10 grid
+    val pts = (0 until 100).map(i => (i.toLong, Geo.encodePoint(i % 10, i / 10)))
+    val df = pts.toDF("id", "geom")
+    val t1 = Writer.append(spark,
+      cat.createTable("geo_t", SchemaBridge.fromSpark(df.schema), PartitionSpec.Unpartitioned), df)
+    val hits = SparkRead.read(spark,
+        t1.newScan.withFilter(Expr.bboxIntersects("geom", 2, 3, 4, 5)))
+      .select("id").as[Long].collect().toSet
+    val expected = pts.collect {
+      case (id, _) if (id % 10) >= 2 && (id % 10) <= 4 && (id / 10) >= 3 && (id / 10) <= 5 => id
+    }.toSet
+    assert(hits === expected)
+    // negation
+    val misses = SparkRead.read(spark,
+        t1.newScan.withFilter(Expr.not(Expr.bboxIntersects("geom", 2, 3, 4, 5))))
+      .count()
+    assert(misses === 100 - expected.size)
+  }
+}
