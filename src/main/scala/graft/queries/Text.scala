@@ -82,24 +82,25 @@ object Text {
 
     QueryDef("t4_quality_score", (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      docs.select(col("doc_id"),
+      // sort BEFORE the projection: orderBy-after would evaluate the
+      // expensive signal columns twice (range-sampling pass + final)
+      docs.orderBy(col("doc_id")).select(col("doc_id"),
         TextStats.tokenCountWs(col("text")).as("n_tokens_ws"),
         TextStats.tokenCountBpeIsh(col("text")).as("n_tokens_bpe"),
         TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
         TextStats.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
     }, None),
 
     QueryDef("t5_langid", (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      docs.select(col("doc_id"), TextStats.langIdUdf(col("text")).as("pred_lang"))
-        .orderBy(col("doc_id"))
+      docs.orderBy(col("doc_id"))
+        .select(col("doc_id"), TextStats.langIdUdf(col("text")).as("pred_lang"))
     }, None),
 
     QueryDef("t6_fingerprint", (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      docs.select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fingerprint"))
-        .orderBy(col("doc_id"))
+      docs.orderBy(col("doc_id"))
+        .select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fingerprint"))
     }, None),
 
     QueryDef("t7_minhash_clusters", (s, dir) => {
@@ -114,7 +115,7 @@ object Text {
 
     QueryDef("t8_simhash", (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      Dedup.simHash(docs, "doc_id", "text").orderBy(col("doc_id"))
+      Dedup.simHash(docs.orderBy(col("doc_id")), "doc_id", "text")
     }, None),
 
     QueryDef("t9_neardup_pairs", (s, dir) => {
