@@ -53,21 +53,67 @@ object Dedup {
       (Array.fill(n)(rnd.nextLong() | 1L), Array.fill(n)(rnd.nextLong()))
     })
 
-  /** numPerm minhash values via universal hashing h_i(x) = a_i*x + b_i over a
-    * base murmur3 shingle hash. Deterministic (fixed seed).
+  /** Single-pass whitespace collapse + lowercase (the allocation-free
+    * equivalent of `toLowerCase.replaceAll("\\s+", " ").trim`).
+    */
+  private def normalizeWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevSpace = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!prevSpace) { sb.append(' '); prevSpace = true }
+      } else { sb.append(Character.toLowerCase(c)); prevSpace = false }
+      i += 1
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  /** murmur3-style finalizer to avalanche the rolling hash. */
+  private def fmix(h0: Int): Int = {
+    var h = h0
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  /** numPerm minhash values via universal hashing h_i(x) = a_i*x + b_i over
+    * shingle hashes. The shingle hash is a k-char ROLLING polynomial hash
+    * (avalanched): O(1) per window slide, zero allocation on the hot path —
+    * and no shingle-set dedup, because duplicate shingles cannot change a
+    * min. Deterministic (fixed seed).
     */
   def minHashSignature(text: String, k: Int, numPerm: Int): Array[Long] = {
-    val sh = shingles(text, k)
     val (as, bs) = coefficients(numPerm)
     val sig = Array.fill(numPerm)(Long.MaxValue)
-    for (s <- sh) {
-      val x = s.toLong & 0xffffffffL
+    val t = normalizeWs(if (text == null) "" else text)
+
+    def update(h: Int): Unit = {
+      val x = h.toLong & 0xffffffffL
       var i = 0
       while (i < numPerm) {
-        val h = as(i) * x + bs(i)
-        if (h < sig(i)) sig(i) = h
+        val v = as(i) * x + bs(i)
+        if (v < sig(i)) sig(i) = v
         i += 1
       }
+    }
+
+    if (t.length < k) { update(Murmur3.hash(t.getBytes("UTF-8"), 0)); return sig }
+    val B = 31
+    var powK = 1 // B^(k-1)
+    var j = 0
+    while (j < k - 1) { powK *= B; j += 1 }
+    var h = 0
+    var i = 0
+    while (i < k) { h = h * B + t.charAt(i); i += 1 }
+    update(fmix(h))
+    while (i < t.length) {
+      h = (h - t.charAt(i - k) * powK) * B + t.charAt(i)
+      update(fmix(h))
+      i += 1
     }
     sig
   }
@@ -162,8 +208,10 @@ object Dedup {
     val rows = numPerm / bands
     val sigUdf = udf((t: String) =>
       if (t == null) Array.empty[Long] else minHashSignature(t, shingleK, numPerm))
+    // materialized once: the signature UDF is the expensive stage, and the
+    // bucket self-join + signature joins would otherwise recompute it 3-4x
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      sigUdf(col(textCol)).as("sig"))
+      sigUdf(col(textCol)).as("sig")).persist()
     val bandUdf = udf((sig: Seq[Long]) =>
       sig.grouped(rows).zipWithIndex.map { case (band, bi) =>
         val bb = java.nio.ByteBuffer.allocate(band.length * 8)
@@ -260,7 +308,7 @@ object Dedup {
   def nearDupPairsSimHash(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     val f = udf((t: String) => simHash64(t))
-    val sh = df.select(col(idCol).as("id"), f(col(textCol)).as("sh"))
+    val sh = df.select(col(idCol).as("id"), f(col(textCol)).as("sh")).persist()
     val bandU = udf((h: Long) => (0 until 4).map(i =>
       (i.toLong << 16) | ((h >>> (i * 16)) & 0xffffL)).toArray)
     val banded = capBuckets(
