@@ -33,6 +33,8 @@ object IcebergTypes {
   case object StringT extends IcebergType { val typeName = "string" }
   case object UuidT extends IcebergType { val typeName = "uuid" }
   case object BinaryT extends IcebergType { val typeName = "binary" }
+  /** v3 semi-structured variant (`types.go:915-926`); Spark 4 VariantType. */
+  case object VariantT extends IcebergType { val typeName = "variant" }
   case object UnknownT extends IcebergType { val typeName = "unknown" }
   final case class FixedT(len: Int) extends IcebergType { val typeName = s"fixed[$len]" }
   final case class DecimalT(precision: Int, scale: Int) extends IcebergType {
@@ -140,6 +142,7 @@ object SchemaBridge {
     case IcebergTypes.StringT => StringType
     case IcebergTypes.UuidT => StringType
     case IcebergTypes.BinaryT => BinaryType
+    case IcebergTypes.VariantT => org.apache.spark.sql.types.VariantType
     case IcebergTypes.FixedT(_) => BinaryType
     case IcebergTypes.DecimalT(p, s) => DecimalType(p, s)
     case IcebergTypes.UnknownT => NullType
@@ -175,6 +178,7 @@ object SchemaBridge {
       case TimestampNTZType => IcebergTypes.TimestampT
       case StringType => IcebergTypes.StringT
       case BinaryType => IcebergTypes.BinaryT
+      case org.apache.spark.sql.types.VariantType => IcebergTypes.VariantT
       case d: DecimalType => IcebergTypes.DecimalT(d.precision, d.scale)
       case s: StructType =>
         val ids = s.fields.map(_ => alloc())
@@ -289,6 +293,7 @@ object SchemaJson {
     case "string" => IcebergTypes.StringT
     case "uuid" => IcebergTypes.UuidT
     case "binary" => IcebergTypes.BinaryT
+    case "variant" => IcebergTypes.VariantT
     case "unknown" => IcebergTypes.UnknownT
     case DecimalRe(p, sc) => IcebergTypes.DecimalT(p.toInt, sc.toInt)
     case FixedRe(l) => IcebergTypes.FixedT(l.toInt)

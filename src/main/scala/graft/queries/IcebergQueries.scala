@@ -659,6 +659,28 @@ object IcebergQueries {
     }, Some("""
       SELECT 'true' AS custkey_ndv_ok,
              CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS mktsegment_ndv
-      FROM customer"""))
+      FROM customer""")),
+
+    // v3 variant column: JSON event properties parsed to Spark VariantType,
+    // round-tripped through an Iceberg table, queried with typed
+    // variant_get extraction vs DuckDB's JSON functions
+    QueryDef("i28_variant", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"var_${UUID.randomUUID().toString.take(8)}"
+      val e = tbl(s, dir, "events")
+      val df = e.select(col("event_type"), parse_json(col("props")).as("props"))
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), df)
+      SparkRead.read(s, t1.newScan)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(variant_get(col("props"), "$.k", "long"), lit(0L))).as("sum_k"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
   )
 }
