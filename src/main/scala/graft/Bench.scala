@@ -32,9 +32,14 @@ object Bench {
       // noop sink, not count(): count() lets Catalyst prune deterministic
       // projection columns (UDF features, hashes), understating query cost.
       // The noop writer consumes every output column.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}"); false
+        }
+      // -1 sentinel: a failed query must be visible in the JSON, not look
+      // like a fast success
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -110,8 +110,13 @@ final class MetaObjects(warehouse: String) {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflict(s"view ${v.name} version ${expectedVersion + 1} exists")
     } finally Files.deleteIfExists(tmp)
-    Files.copy(target, dir.resolve("view.json"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // atomic pointer update: a plain copy truncates view.json mid-replace
+    // and a concurrent loadView would read torn JSON
+    val ptrTmp = dir.resolve(s".ptr.${java.util.UUID.randomUUID()}.tmp")
+    Files.copy(target, ptrTmp)
+    Files.move(ptrTmp, dir.resolve("view.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 

@@ -33,21 +33,35 @@ object Geo {
     try {
       val order = if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
       val bb = ByteBuffer.wrap(wkb, 1, wkb.length - 1).order(order)
-      val geomType = bb.getInt & 0xffff // mask Z/M/SRID flag variants
+      val rawType = bb.getInt
+      // EWKB/ISO flags: the masked-off dimensions still occupy bytes, so
+      // they must be consumed — not just ignored — or every later read is
+      // misaligned and the envelope is silently garbage
+      val hasSrid = (rawType & 0x20000000) != 0
+      val flagZ = (rawType & 0x80000000) != 0
+      val flagM = (rawType & 0x40000000) != 0
+      val base = rawType & 0x0fffffff // strip EWKB flag bits
+      val isoBlock = base / 1000 // ISO offsets: 1000 = Z, 2000 = M, 3000 = ZM
+      val dims = 2 +
+        (if (flagZ || isoBlock == 1 || isoBlock == 3) 1 else 0) +
+        (if (flagM || isoBlock == 2 || isoBlock == 3) 1 else 0)
+      if (hasSrid) bb.getInt // consume SRID
+      val geomType = base % 1000
       geomType match {
         case PointType =>
           val x = bb.getDouble; val y = bb.getDouble
+          skipDims(bb, dims - 2)
           Some((x, y, x, y))
         case LineStringType =>
           val n = bb.getInt
-          envelopeOfCoords(bb, n)
+          envelopeOfCoords(bb, n, dims)
         case PolygonType =>
           val rings = bb.getInt
           var env: Option[(Double, Double, Double, Double)] = None
           var r = 0
           while (r < rings) {
             val n = bb.getInt
-            env = merge(env, envelopeOfCoords(bb, n))
+            env = merge(env, envelopeOfCoords(bb, n, dims))
             r += 1
           }
           env
@@ -56,13 +70,20 @@ object Geo {
     } catch { case _: Exception => None }
   }
 
-  private def envelopeOfCoords(bb: ByteBuffer, n: Int): Option[(Double, Double, Double, Double)] = {
+  private def skipDims(bb: ByteBuffer, n: Int): Unit = {
+    var i = 0
+    while (i < n) { bb.getDouble; i += 1 }
+  }
+
+  private def envelopeOfCoords(bb: ByteBuffer, n: Int,
+      dims: Int): Option[(Double, Double, Double, Double)] = {
     if (n <= 0) return None
     var xmin = Double.MaxValue; var ymin = Double.MaxValue
     var xmax = Double.MinValue; var ymax = Double.MinValue
     var i = 0
     while (i < n) {
       val x = bb.getDouble; val y = bb.getDouble
+      skipDims(bb, dims - 2)
       if (x < xmin) xmin = x; if (x > xmax) xmax = x
       if (y < ymin) ymin = y; if (y > ymax) ymax = y
       i += 1

@@ -190,6 +190,9 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    // labels is an EAGER localCheckpoint — buckets (and the signature UDF
+    // behind it) are fully consumed, so release the cached blocks now
+    buckets.unpersist()
     labels
   }
 

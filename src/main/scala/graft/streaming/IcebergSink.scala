@@ -25,26 +25,38 @@ import graft.table.{Inspect, Table, Writer}
 object IcebergSink {
 
   val BatchIdSummaryKey = "streaming-batch-id"
+  val QueryIdSummaryKey = "streaming-query-id"
 
   def append(catalog: Catalog, tableName: String): (DataFrame, Long) => Unit =
     (batch, batchId) => appendBatch(catalog, tableName, batch, batchId)
 
   def appendBatch(catalog: Catalog, tableName: String, batch: DataFrame,
       batchId: Long): Unit = {
-    val table = catalog.loadTable(tableName)
-    if (lastCommittedBatch(table).exists(_ >= batchId)) return // replay
     val spark = batch.sparkSession
+    // the STREAMING QUERY id (stable across restarts of the same checkpoint,
+    // fresh for a new checkpoint) scopes idempotence: without it, a brand-new
+    // query whose batch ids restart at 0 would silently drop its first
+    // batches against an old high-water mark
+    val queryId = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("default")
+    val table = catalog.loadTable(tableName)
+    if (lastCommittedBatch(table, queryId).exists(_ >= batchId)) return // replay
     val files = Writer.writeDataFiles(spark, table, batch)
     if (files.isEmpty) return
     Writer.commitSnapshot(table, "append", addedFiles = files,
       removedPaths = Set.empty, addedDeleteFiles = Nil,
-      extraSummary = Map(BatchIdSummaryKey -> batchId.toString))
+      extraSummary = Map(BatchIdSummaryKey -> batchId.toString,
+        QueryIdSummaryKey -> queryId))
     ()
   }
 
-  /** Highest streaming batch id committed on the current ancestry. */
-  def lastCommittedBatch(table: Table): Option[Long] =
+  /** Highest batch id THIS query committed on the current ancestry. */
+  def lastCommittedBatch(table: Table, queryId: String): Option[Long] =
     Inspect.ancestorsOfCurrent(table)
+      .filter(_.summary.get(QueryIdSummaryKey).contains(queryId))
       .flatMap(_.summary.get(BatchIdSummaryKey).flatMap(_.toLongOption))
       .maxOption
+
+  def lastCommittedBatch(table: Table): Option[Long] =
+    lastCommittedBatch(table, "default")
 }

@@ -24,6 +24,10 @@ object Incremental {
     require(ancestors.exists(_.snapshotId == fromSnapshotId),
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
     val range = ancestors.takeWhile(_.snapshotId != fromSnapshotId)
+      // incremental-APPEND contract: overwrite/replace snapshots (CoW
+      // deletes, compaction) re-add pre-existing rows as new files; those
+      // are not appends and must not surface in a CDC feed
+      .filter(_.summary.get("operation").contains("append"))
 
     range.flatMap { s =>
       Manifests.readManifestList(s.manifestList)

@@ -33,6 +33,12 @@ object Maintenance {
     * The rewrite is one distributed job per partition group set — file
     * bin-packing parallelism comes from Spark's own write tasks, so the
     * operator scales with cluster width, not file count on the driver.
+    *
+    * Known limitation: rewritten files receive fresh first_row_id blocks,
+    * so v3 `_row_id` values are NOT stable across compaction (preserving
+    * them requires materializing the lineage column into rewritten files,
+    * as the reference's arrow path does). Consumers needing stable row ids
+    * should pin a snapshot.
     */
   def rewriteDataFiles(spark: SparkSession, table: Table,
       targetFileSizeBytes: Long = 0, minInputFiles: Int = 2,
@@ -136,33 +142,36 @@ object Maintenance {
     if (dataManifests.size <= targetCount) return table
 
     val schema = meta.schema
-    val spec = meta.spec
-    val partType = spec.partitionType(schema)
     val metadataDir = s"${meta.location}/metadata"
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
 
-    // resolve inherited sequence numbers BEFORE regrouping: a merged
-    // manifest has one sequence number, which must not leak onto entries
-    // that inherited an older one
-    val allEntries: Seq[ManifestEntry] = dataManifests.flatMap { m =>
-      val (entries, _) = Manifests.readManifest(m.path)
-      entries.filter(_.status != ManifestEntryStatus.Deleted).map(e =>
-        e.copy(status = ManifestEntryStatus.Existing,
-          dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
-    }
-    val groups = {
+    // resolve inherited sequence numbers BEFORE regrouping, and keep each
+    // entry with its manifest's SPEC: merging specs would garble partition
+    // tuples on spec-evolved tables
+    val entriesBySpec: Map[Int, Seq[ManifestEntry]] = dataManifests
+      .groupBy(_.specId)
+      .map { case (specId, ms) =>
+        specId -> ms.flatMap { m =>
+          val (entries, _) = Manifests.readManifest(m.path)
+          entries.filter(_.status != ManifestEntryStatus.Deleted).map(e =>
+            e.copy(status = ManifestEntryStatus.Existing,
+              dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
+        }
+      }
+    val merged = entriesBySpec.toSeq.sortBy(_._1).flatMap { case (specId, allEntries) =>
+      val mSpec = meta.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
+      val partType = mSpec.partitionType(schema)
       val size = math.max(1, math.ceil(allEntries.size.toDouble / targetCount).toInt)
-      allEntries.grouped(size).toSeq
-    }
-    val merged = groups.map { entries =>
-      val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
-      val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId)
-      ManifestFile(p, len, spec.specId, ManifestContent.Data,
-        snap.sequenceNumber, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
-        snapshotId, 0, entries.size, 0,
-        0L, entries.map(_.file.recordCount).sum, 0L,
-        Writer.partitionSummaries(entries.map(_.file), partType))
+      allEntries.grouped(size).toSeq.map { entries =>
+        val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
+        val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId)
+        ManifestFile(p, len, specId, ManifestContent.Data,
+          snap.sequenceNumber, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
+          snapshotId, 0, entries.size, 0,
+          0L, entries.map(_.file.recordCount).sum, 0L,
+          Writer.partitionSummaries(entries.map(_.file), partType))
+      }
     }
 
     val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
@@ -204,6 +213,9 @@ object Maintenance {
         }
       }
       meta.metadataLog.foreach(out += _.metadataFile)
+      // registered statistics artifacts are referenced, not orphans
+      meta.statistics.foreach(out += _.path)
+      meta.partitionStatistics.foreach(out += _.path)
       out.result()
     }
 

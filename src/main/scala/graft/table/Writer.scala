@@ -638,15 +638,20 @@ object Writer {
           else if (live.nonEmpty) {
             val kept = live.map(e => e.copy(status = ManifestEntryStatus.Existing,
               dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
+            // rewrite with the manifest's OWN spec: after spec evolution a
+            // current-spec rewrite would zip-truncate/garble old partition
+            // tuples and mislabel the spec id, corrupting pruning + delete
+            // matching for the surviving files
+            val mSpec = meta.specById(m.specId).getOrElse(spec)
             val suffix = if (isData) "m" else "d"
             val p = s"$metadataDir/${UUID.randomUUID()}-$suffix.avro"
-            val len = Manifests.writeManifest(p, kept, schema, spec, snapshotId,
+            val len = Manifests.writeManifest(p, kept, schema, mSpec, snapshotId,
               content = m.content)
-            manifests += ManifestFile(p, len, spec.specId, m.content,
+            manifests += ManifestFile(p, len, m.specId, m.content,
               m.sequenceNumber, kept.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
               snapshotId, 0, kept.size, entries.size - live.size,
               0L, kept.map(_.file.recordCount).sum, 0L,
-              partitionSummaries(kept.map(_.file), partType))
+              partitionSummaries(kept.map(_.file), mSpec.partitionType(schema)))
           }
           // fully-removed manifest: dropped entirely
         }

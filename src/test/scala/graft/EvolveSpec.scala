@@ -85,6 +85,27 @@ class EvolveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkRead.read(spark, t3.newScan).count() === 50)
   }
 
+  test("delete after spec evolution keeps old-spec partition tuples intact") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val spec = PartitionSpec.builder(schema).add("n_regionkey", Transforms.Identity).build()
+    val t1 = Writer.append(spark, catalog.createTable("ev_cf", schema, spec), nation)
+    val t2 = Evolve.removeSpecFields(t1, Seq(t1.spec.fields.head.name))
+    val t3 = Writer.append(spark, t2,
+      nation.withColumn("n_nationkey", col("n_nationkey") + lit(100)))
+    // partial CoW delete removes rows from OLD-spec files -> carry-forward
+    // rewrite of the old manifest must keep its spec id + partition values
+    val t4 = Writer.deleteWhere(spark, t3, Expr.in("n_nationkey", Seq(1, 101)))
+    assert(SparkRead.read(spark, t4.newScan).count() === 48)
+    val tasks = t4.newScan.planFiles()
+    val oldSpecTasks = tasks.filter(_.specId == t1.spec.specId)
+    assert(oldSpecTasks.nonEmpty)
+    assert(oldSpecTasks.forall(_.file.partition.size === 1)) // tuple intact
+    // partition pruning on the old spec still works after the rewrite
+    val pruned = t4.newScan.withFilter(Expr.eq("n_regionkey", 0)).planFiles()
+    assert(pruned.size < tasks.size)
+  }
+
   test("replace sort order becomes the write-side clustering") {
     val t1 = freshNation("ev_sort")
     val keyId = t1.schema.findField("n_name").get.id

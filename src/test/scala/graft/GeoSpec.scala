@@ -33,6 +33,19 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Geo.envelope(Array[Byte](9, 9, 9)) === None)
   }
 
+  test("ewkb srid and z/m flags consume their bytes") {
+    // EWKB point with SRID flag: 0x20000001, srid=4326
+    val bb = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(0x20000001); bb.putInt(4326)
+    bb.putDouble(7.0); bb.putDouble(8.0)
+    assert(Geo.envelope(bb.array) === Some((7.0, 8.0, 7.0, 8.0)))
+    // ISO PointZ (type 1001): three doubles, envelope uses x/y only
+    val bz = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bz.put(1.toByte); bz.putInt(1001)
+    bz.putDouble(1.0); bz.putDouble(2.0); bz.putDouble(99.0)
+    assert(Geo.envelope(bz.array) === Some((1.0, 2.0, 1.0, 2.0)))
+  }
+
   test("bbox intersection semantics (touching edges count)") {
     val p = Geo.encodePoint(5.0, 5.0)
     assert(Geo.intersects(p, 0, 0, 5, 5))

@@ -86,6 +86,21 @@ class MetaObjectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Inspect.refs(spark, t2).filter(col("name") === "main").count() === 1)
   }
 
+  test("incremental read surfaces appends only, never rewrites") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t1 = Writer.append(spark,
+      catalog.createTable("inc_rw", schema, PartitionSpec.Unpartitioned),
+      nation.filter(col("n_nationkey") < 10))
+    val from = t1.metadata.currentSnapshotId.get
+    val t2 = Writer.append(spark, t1, nation.filter(col("n_nationkey") >= 10))
+    // CoW delete rewrites t1's files — those re-added rows are NOT appends
+    val t3 = Writer.deleteWhere(spark, t2, Expr.eq("n_nationkey", 3))
+    val inc = Incremental.readAppends(spark, t3, from,
+      t3.metadata.currentSnapshotId.get)
+    assert(inc.count() === 15) // only the second append's rows
+  }
+
   test("incremental read rejects a non-ancestor base") {
     val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)

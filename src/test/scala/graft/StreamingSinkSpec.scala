@@ -51,7 +51,11 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = catalog.loadTable("stream_t")
     assert(SparkRead.read(spark, t.newScan).count() === 3)
     assert(t.metadata.snapshots.size === 2) // one per non-empty microbatch
-    assert(IcebergSink.lastCommittedBatch(t).contains(1L))
+    assert(t.metadata.currentSnapshot.get.summary
+      .get(IcebergSink.BatchIdSummaryKey).contains("1"))
+    // and the query id is the real streaming query's, not the fallback
+    assert(t.metadata.currentSnapshot.get.summary
+      .get(IcebergSink.QueryIdSummaryKey).exists(_ != "default"))
   }
 
   test("replayed batch ids are skipped (exactly-once)") {
