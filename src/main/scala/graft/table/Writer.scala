@@ -355,7 +355,11 @@ object Writer {
 
     val partType = spec.partitionType(schema)
     val written = listParquet(tmpDir)
-    val files = written.map { src =>
+    // footer-stat harvesting reads one footer per file — IO-bound and
+    // independent, so run it on the driver pool (serial, this was a visible
+    // slice of every append; at real file counts it would dominate)
+    import scala.collection.parallel.CollectionConverters._
+    val files = written.par.map { src =>
       // partition values come from the hive-style dirs we just wrote
       val rel = src.stripPrefix(tmpDir).stripPrefix("/")
       val dirs = rel.split('/').dropRight(1)
@@ -370,7 +374,7 @@ object Writer {
       val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
       moveFile(src, target)
       harvestStats(target, schema, partValues)
-    }
+    }.seq
     deleteTree(tmpDir)
     files.filter(_.recordCount > 0)
   }
