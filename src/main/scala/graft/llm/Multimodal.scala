@@ -102,6 +102,67 @@ object Multimodal {
     }
   }
 
+  /** Resize image/video payloads to fit within (maxW, maxH), preserving
+    * aspect ratio. Header arithmetic and body handling are real; the pixel
+    * resampling itself is the STUB part (no image codec in this container):
+    * the body is carried through with a deterministic proportional
+    * truncation standing in for re-encoded pixels. Audio passes through.
+    */
+  def resize(ds: Dataset[MediaRecord], maxW: Int, maxH: Int,
+      batchSize: Int = 256): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (kind, w, h, dur) = decodeHeader(rec.payload)
+          if (kind == "audio" || (w <= maxW && h <= maxH)) rec
+          else {
+            val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+            val nw = math.max(1, (w * scale).toInt)
+            val nh = math.max(1, (h * scale).toInt)
+            val body = rec.payload.drop(HeaderLen)
+            // STUB resample: proportionally truncated body in place of
+            // re-encoded pixels; swap for a real codec in production
+            val newBody = body.take(math.max(1, (body.length * scale * scale).toInt))
+            rec.copy(payload = encodeContainer(kind, nw, nh, dur, newBody))
+          }
+        }
+      }
+    }
+  }
+
+  /** Sampled "frame" record from a video payload. */
+  case class MediaFrame(media_id: Long, frame_index: Int, offset_ms: Long,
+      frame: Array[Byte])
+
+  /** Sample up to `maxFrames` evenly-spaced frames from each video payload.
+    * Frame extraction = evenly-spaced body slices (the deterministic stand-in
+    * for a real demuxer); offsets derive from the container's duration.
+    * Non-video rows produce no frames.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], maxFrames: Int,
+      batchSize: Int = 256): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          val (kind, _, _, dur) = decodeHeader(rec.payload)
+          if (kind != "video") Nil
+          else {
+            val body = rec.payload.drop(HeaderLen)
+            val n = math.min(maxFrames, math.max(1, body.length))
+            val sliceLen = math.max(1, body.length / n)
+            (0 until n).map { i =>
+              val off = i * sliceLen
+              MediaFrame(rec.media_id, i, dur * i / n,
+                body.slice(off, math.min(body.length, off + sliceLen)))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Synthesize a media table from documents: deterministic binary
     * containers whose header fields derive arithmetically from doc_id and
     * whose body is the document's UTF-8 bytes.

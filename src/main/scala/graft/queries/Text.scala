@@ -171,6 +171,40 @@ object Text {
              CASE WHEN doc_id % 3 = 0 THEN 0
                   ELSE CAST(1000 + (doc_id * 31) % 65536 AS BIGINT) END AS duration_ms
       FROM documents
-      ORDER BY media_id"""))
+      ORDER BY media_id""")),
+
+    // resize + frame-sample over the container format: resized dims must fit
+    // the bound, and every video yields exactly maxFrames sampled frames
+    QueryDef("mm3_resize_frames", (s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val media = Multimodal.synthesizeMedia(s, docs)
+      val resized = Multimodal.resize(media, 256, 256)
+      // audio headers carry synthetic dims that resize (correctly) ignores —
+      // the bound applies to visual kinds only
+      val fits = udf((kind: String, p: Array[Byte]) => {
+        val (_, w, h, _) = Multimodal.decodeHeader(p)
+        kind == "audio" || (w <= 256 && h <= 256)
+      })
+      val perKind = resized.toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          min(fits(col("kind"), col("payload")).cast("string")).as("within_bounds"))
+      val frames = Multimodal.sampleFrames(media, maxFrames = 4).toDF()
+        .join(media.toDF().select(col("media_id"), col("kind")), "media_id")
+        .groupBy(col("kind")).agg(count(lit(1)).as("n_frames"))
+      perKind.join(frames, Seq("kind"), "left")
+        .select(col("kind"), col("n"), col("within_bounds"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"))
+        .orderBy(col("kind"))
+    }, Some("""
+      WITH kinds AS (
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        FROM documents)
+      SELECT kind, COUNT(*) AS n, 'true' AS within_bounds,
+             CAST(CASE WHEN kind = 'video' THEN COUNT(*) * 4 ELSE 0 END AS BIGINT) AS n_frames
+      FROM kinds
+      GROUP BY kind
+      ORDER BY kind"""))
   )
 }
