@@ -113,10 +113,12 @@ final class MetaObjects(warehouse: String) {
     // atomic pointer update: a plain copy truncates view.json mid-replace
     // and a concurrent loadView would read torn JSON
     val ptrTmp = dir.resolve(s".ptr.${java.util.UUID.randomUUID()}.tmp")
-    Files.copy(target, ptrTmp)
-    Files.move(ptrTmp, dir.resolve("view.json"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.copy(target, ptrTmp)
+      Files.move(ptrTmp, dir.resolve("view.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(ptrTmp)
     ()
   }
 

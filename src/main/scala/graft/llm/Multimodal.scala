@@ -108,24 +108,23 @@ object Multimodal {
     * the body is carried through with a deterministic proportional
     * truncation standing in for re-encoded pixels. Audio passes through.
     */
-  def resize(ds: Dataset[MediaRecord], maxW: Int, maxH: Int,
-      batchSize: Int = 256): Dataset[MediaRecord] = {
+  def resize(ds: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
+    // no per-batch state to amortize (unlike extractFeatures' digest), so a
+    // plain per-row map is the honest shape
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { rec =>
-          val (kind, w, h, dur) = decodeHeader(rec.payload)
-          if (kind == "audio" || (w <= maxW && h <= maxH)) rec
-          else {
-            val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
-            val nw = math.max(1, (w * scale).toInt)
-            val nh = math.max(1, (h * scale).toInt)
-            val body = rec.payload.drop(HeaderLen)
-            // STUB resample: proportionally truncated body in place of
-            // re-encoded pixels; swap for a real codec in production
-            val newBody = body.take(math.max(1, (body.length * scale * scale).toInt))
-            rec.copy(payload = encodeContainer(kind, nw, nh, dur, newBody))
-          }
+      it.map { rec =>
+        val (kind, w, h, dur) = decodeHeader(rec.payload)
+        if (kind == "audio" || (w <= maxW && h <= maxH)) rec
+        else {
+          val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+          val nw = math.max(1, (w * scale).toInt)
+          val nh = math.max(1, (h * scale).toInt)
+          val body = rec.payload.drop(HeaderLen)
+          // STUB resample: proportionally truncated body in place of
+          // re-encoded pixels; swap for a real codec in production
+          val newBody = body.take(math.max(1, (body.length * scale * scale).toInt))
+          rec.copy(payload = encodeContainer(kind, nw, nh, dur, newBody))
         }
       }
     }
@@ -140,23 +139,20 @@ object Multimodal {
     * for a real demuxer); offsets derive from the container's duration.
     * Non-video rows produce no frames.
     */
-  def sampleFrames(ds: Dataset[MediaRecord], maxFrames: Int,
-      batchSize: Int = 256): Dataset[MediaFrame] = {
+  def sampleFrames(ds: Dataset[MediaRecord], maxFrames: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { rec =>
-          val (kind, _, _, dur) = decodeHeader(rec.payload)
-          if (kind != "video") Nil
-          else {
-            val body = rec.payload.drop(HeaderLen)
-            val n = math.min(maxFrames, math.max(1, body.length))
-            val sliceLen = math.max(1, body.length / n)
-            (0 until n).map { i =>
-              val off = i * sliceLen
-              MediaFrame(rec.media_id, i, dur * i / n,
-                body.slice(off, math.min(body.length, off + sliceLen)))
-            }
+      it.flatMap { rec =>
+        val (kind, _, _, dur) = decodeHeader(rec.payload)
+        if (kind != "video") Nil
+        else {
+          val body = rec.payload.drop(HeaderLen)
+          val n = math.min(maxFrames, math.max(1, body.length))
+          val sliceLen = math.max(1, body.length / n)
+          (0 until n).map { i =>
+            val off = i * sliceLen
+            MediaFrame(rec.media_id, i, dur * i / n,
+              body.slice(off, math.min(body.length, off + sliceLen)))
           }
         }
       }

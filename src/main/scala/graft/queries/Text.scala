@@ -199,10 +199,12 @@ object Text {
         .orderBy(col("kind"))
     }, Some("""
       WITH kinds AS (
-        SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS body_len
         FROM documents)
       SELECT kind, COUNT(*) AS n, 'true' AS within_bounds,
-             CAST(CASE WHEN kind = 'video' THEN COUNT(*) * 4 ELSE 0 END AS BIGINT) AS n_frames
+             CAST(CASE WHEN kind = 'video'
+                  THEN SUM(LEAST(4, GREATEST(1, body_len))) ELSE 0 END AS BIGINT) AS n_frames
       FROM kinds
       GROUP BY kind
       ORDER BY kind"""))

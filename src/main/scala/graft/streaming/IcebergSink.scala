@@ -50,13 +50,14 @@ object IcebergSink {
     ()
   }
 
-  /** Highest batch id THIS query committed on the current ancestry. */
+  /** Highest batch id THIS query committed on the current ancestry.
+    * Snapshots written before query-id scoping existed (batch id but no
+    * query id in the summary) count for every query — the conservative
+    * reading that keeps exactly-once across the upgrade.
+    */
   def lastCommittedBatch(table: Table, queryId: String): Option[Long] =
     Inspect.ancestorsOfCurrent(table)
-      .filter(_.summary.get(QueryIdSummaryKey).contains(queryId))
+      .filter(_.summary.get(QueryIdSummaryKey).forall(_ == queryId))
       .flatMap(_.summary.get(BatchIdSummaryKey).flatMap(_.toLongOption))
       .maxOption
-
-  def lastCommittedBatch(table: Table): Option[Long] =
-    lastCommittedBatch(table, "default")
 }

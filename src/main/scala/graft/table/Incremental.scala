@@ -24,10 +24,16 @@ object Incremental {
     require(ancestors.exists(_.snapshotId == fromSnapshotId),
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
     val range = ancestors.takeWhile(_.snapshotId != fromSnapshotId)
-      // incremental-APPEND contract: overwrite/replace snapshots (CoW
-      // deletes, compaction) re-add pre-existing rows as new files; those
-      // are not appends and must not surface in a CDC feed
-      .filter(_.summary.get("operation").contains("append"))
+      // incremental-APPEND contract: snapshots that REMOVED data files
+      // (CoW deletes, compaction) re-add pre-existing rows as new files —
+      // not appends. Snapshots that only added files (fast-append, and
+      // rowDelta upserts whose op is "overwrite" but removed nothing)
+      // contribute genuinely new rows.
+      .filter { s =>
+        val op = s.summary.get("operation")
+        val removed = s.summary.get("removed-data-files").flatMap(_.toLongOption).getOrElse(0L)
+        op.contains("append") || (op.contains("overwrite") && removed == 0L)
+      }
 
     range.flatMap { s =>
       Manifests.readManifestList(s.manifestList)

@@ -139,7 +139,11 @@ object Maintenance {
     val manifests = Manifests.readManifestList(snap.manifestList)
     val (dataManifests, deleteManifests) =
       manifests.partition(_.content == ManifestContent.Data)
-    if (dataManifests.size <= targetCount) return table
+    // specs cannot merge with each other, so the best achievable count is
+    // max(targetCount, #specs): without this guard a spec-evolved table
+    // already at its minimum would churn a new replace snapshot forever
+    val minAchievable = math.max(targetCount, dataManifests.map(_.specId).distinct.size)
+    if (dataManifests.size <= minAchievable) return table
 
     val schema = meta.schema
     val metadataDir = s"${meta.location}/metadata"
@@ -159,10 +163,12 @@ object Maintenance {
               dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
         }
       }
+    // distribute targetCount across specs (each spec needs >= 1 manifest)
+    val perSpecTarget = math.max(1, targetCount / entriesBySpec.size)
     val merged = entriesBySpec.toSeq.sortBy(_._1).flatMap { case (specId, allEntries) =>
       val mSpec = meta.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
       val partType = mSpec.partitionType(schema)
-      val size = math.max(1, math.ceil(allEntries.size.toDouble / targetCount).toInt)
+      val size = math.max(1, math.ceil(allEntries.size.toDouble / perSpecTarget).toInt)
       allEntries.grouped(size).toSeq.map { entries =>
         val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
         val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId)
