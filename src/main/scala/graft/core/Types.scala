@@ -153,8 +153,15 @@ object SchemaBridge {
   }
 
   def toSparkField(f: NestedField): StructField = {
-    val meta = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong).build()
-    StructField(f.name, toSparkType(f.fieldType), nullable = !f.required, metadata = meta)
+    val mb = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong)
+    // Spark-typeless iceberg types ride with a tag so the reverse bridge and
+    // downstream tools can recover the logical type
+    f.fieldType match {
+      case IcebergTypes.TimeT => mb.putString("graft.type", "time")
+      case _ =>
+    }
+    StructField(f.name, toSparkType(f.fieldType), nullable = !f.required,
+      metadata = mb.build())
   }
 
   def toSpark(s: IcebergSchema): StructType = StructType(s.fields.map(toSparkField))
