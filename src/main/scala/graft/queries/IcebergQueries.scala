@@ -104,6 +104,38 @@ object IcebergQueries {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""")),
 
+    // DV scale shape: a table of >=20 data files, each with its own DV blob,
+    // must still plan O(1) parquet scans (DVs apply via the broadcast
+    // per-file metadata filter, never by splitting the scan per file) and
+    // stay hash-correct
+    QueryDef("i29_dv_many_files", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"dvm_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s,
+        cat.createTable(name, schema, PartitionSpec.Unpartitioned), c.repartition(24))
+      val t2 = Writer.deleteWhereDV(s, t1, Expr.lt("c_acctbal", 5000.0))
+      val tasks = t2.newScan.planFiles()
+      val nDataFiles = tasks.size
+      val nDvs = tasks.flatMap(_.posDeletes.filter(_.format == "PUFFIN"))
+        .distinctBy(d => (d.path, d.contentOffset)).size
+      val df = SparkRead.read(s, t2.newScan)
+      // every parquet relation in the logical plan (data + any delete scans);
+      // the contract is O(1), not O(files)
+      val nScans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.size
+      val nRows = df.count()
+      import s.implicits._
+      Seq((nRows, (nDataFiles >= 20).toString, (nDvs >= 20).toString, nScans.toLong))
+        .toDF("n_rows", "many_files", "many_dvs", "n_scans")
+    }, Some("""
+      SELECT COUNT(*) AS n_rows, 'true' AS many_files, 'true' AS many_dvs,
+             CAST(1 AS BIGINT) AS n_scans
+      FROM customer
+      WHERE NOT c_acctbal < 5000.0""")),
+
     // month(ts) partition pruning + metrics pruning + residual pushdown
     QueryDef("i1_scan_partition_pruned", (s, dir) => {
       val t = catalogFor(s, dir).loadTable("lineitem")

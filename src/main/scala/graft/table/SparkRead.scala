@@ -73,10 +73,15 @@ object SparkRead {
     configure(spark)
     val readSchema: StructType = SchemaBridge.toSpark(schema)
 
-    // group tasks by identical delete-set so each group is one scan + fixed
-    // joins (DV identity = path + blob offset)
+    // group tasks by identical (parquet pos-delete set, eq-delete set). DVs
+    // are deliberately NOT part of the key: v3 gives each data file its own
+    // DV blob, so keying on DV identity would degenerate to one scan per
+    // data file (plan size O(files)). Instead DVs apply inside the group via
+    // a broadcast per-file metadata map (reference arrow_scanner.go:533-618
+    // applies DVs per-file inside one pipeline, never per-plan).
     val groups: Seq[Seq[FileScanTask]] =
-      tasks.groupBy(t => (t.posDeletes.map(d => (d.path, d.contentOffset)).toSet,
+      tasks.groupBy(t => (
+        t.posDeletes.filter(_.format != "PUFFIN").map(d => (d.path, d.contentOffset)).toSet,
         t.eqDeletes.map(_._1.path).toSet)).values.toSeq
 
     val parts = groups.flatMap { groupTasks =>
@@ -110,7 +115,11 @@ object SparkRead {
               col(nm.idToName.getOrElse(f.id, f.name)).as(f.name)): _*)
         }
 
-      val (dvDeletes, posDeletes) = groupTasks.head.posDeletes.partition(_.format == "PUFFIN")
+      // DVs span the whole group (one blob per data file); parquet
+      // pos-deletes are identical across the group by construction of the key
+      val dvDeletes = groupTasks.flatMap(_.posDeletes.filter(_.format == "PUFFIN"))
+        .distinctBy(d => (d.path, d.contentOffset))
+      val posDeletes = groupTasks.head.posDeletes.filter(_.format != "PUFFIN")
       val eqDeletes = groupTasks.head.eqDeletes
       val needsPos =
         dvDeletes.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty || rowLineage

@@ -133,6 +133,26 @@ class IcebergRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(some.nonEmpty)
   }
 
+  test("DV across many files plans O(1) scans, not one per file") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val schema = SchemaBridge.fromSpark(cust.schema)
+    val t0 = catalog.createTable("dv_many", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, cust.repartition(24))
+    assert(t1.newScan.planFiles().size >= 20)
+    val t2 = Writer.deleteWhereDV(spark, t1, Expr.lt("c_acctbal", 5000.0))
+    val tasks = t2.newScan.planFiles()
+    val nDvs = tasks.flatMap(_.posDeletes.filter(_.format == "PUFFIN"))
+      .distinctBy(d => (d.path, d.contentOffset)).size
+    assert(nDvs >= 10, s"expected many per-file DV blobs, got $nDvs")
+    val df = SparkRead.read(spark, t2.newScan)
+    val nScans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.size
+    assert(nScans === 1, s"DV table must plan one scan, got $nScans")
+    val expected = cust.filter("c_acctbal >= 5000.0").count()
+    assert(df.count() === expected)
+  }
+
   test("DV over existing parquet pos-deletes folds them in (no resurrection)") {
     val part = spark.read.parquet(s"$sf/part.parquet")
     val schema = SchemaBridge.fromSpark(part.schema)
