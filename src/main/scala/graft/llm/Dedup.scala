@@ -197,10 +197,14 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs via LSH banding, scored by the minhash
-    * signature estimate (64 equality checks per pair — no text re-shingling,
-    * no text shuffle; pair dedup happens on ids alone, signatures are joined
-    * back by id). Set `exactVerify` to rescore survivors with exact shingle
-    * Jaccard (costs one extra text join). Output: (id_a, id_b, jaccard).
+    * signature estimate (64 equality checks per pair — no text re-shingling).
+    * Signatures ride along the band rows into the self-join, so the estimate
+    * computes directly on the join output and per-pair dedup folds into the
+    * final aggregation — two fewer shuffle joins than scoring after an
+    * id-level distinct, at the cost of numPerm longs per band row in the
+    * bucket shuffle (0.5 KB/row; cheap next to the text itself). Set
+    * `exactVerify` to rescore survivors with exact shingle Jaccard (costs one
+    * extra text join). Output: (id_a, id_b, jaccard).
     */
   def nearDupPairsMinHash(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleK: Int = 5,
@@ -212,8 +216,8 @@ object Dedup {
     val sigUdf = udf((t: String) =>
       if (t == null) Array.empty[Long] else minHashSignature(t, shingleK, numPerm))
     // materialized once: the signature UDF is the expensive stage, and the
-    // bucket self-join + signature joins would otherwise recompute it 3-4x
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+    // cap pre-count + bucket self-join would otherwise recompute it
+    val withSig = df.select(col(idCol).as("id"),
       sigUdf(col(textCol)).as("sig")).persist()
     val bandUdf = udf((sig: Seq[Long]) =>
       sig.grouped(rows).zipWithIndex.map { case (band, bi) =>
@@ -222,27 +226,22 @@ object Dedup {
         (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
       }.toArray)
     val buckets = capBuckets(
-      withSig.select(col("id"), explode(bandUdf(col("sig"))).as("bucket")),
+      withSig.select(col("id"), col("sig"), explode(bandUdf(col("sig"))).as("bucket")),
       "bucket", "id", maxBucketSize)
-    val pairs = buckets.as("a").join(buckets.as("b"), col("a.bucket") === col("b.bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // a pair may collide in several bands
     val sigEst = udf((x: Seq[Long], y: Seq[Long]) => {
       var same = 0; var i = 0
       while (i < x.length) { if (x(i) == y(i)) same += 1; i += 1 }
       same.toDouble / x.length
     })
-    val sigs = withSig.select(col("id"), col("sig"))
-    val estimated = pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("jaccard", sigEst(col("sig_a"), col("sig_b")))
+    val estimated = buckets.as("a").join(buckets.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("jaccard", sigEst(col("a.sig"), col("b.sig")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("jaccard")).as("jaccard")) // a pair may collide in several bands
     if (!exactVerify) estimated.withColumn("jaccard", round(col("jaccard"), 6))
     else {
-      val texts = withSig.select(col("id"), col("text"))
+      val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
       val jacc = udf((x: String, y: String) => {
         val sa = shingles(x, shingleK); val sb = shingles(y, shingleK)
         val inter = sa.intersect(sb).size
@@ -260,16 +259,27 @@ object Dedup {
 
   /** Self-join bucket guard: a degenerate bucket (boilerplate text hashing
     * identically for thousands of docs) turns the bucket self-join quadratic.
-    * Keep only the first `maxSize` members per bucket (deterministic by id) —
-    * a true near-dup group that large still pairs through its retained
-    * members, and the pair explosion is bounded at maxSize² per bucket.
+    * Buckets at or under `maxSize` pass through untouched; oversized ones are
+    * thinned by a deterministic hash sample targeting ~maxSize survivors — a
+    * true near-dup group that large still pairs through its retained members,
+    * and the pair explosion stays ~maxSize² per bucket. Unlike a row_number
+    * window (full sort of every bucket just to guard the rare hot ones), this
+    * costs one partial-aggregated count plus a join against the tiny set of
+    * hot buckets, which AQE broadcasts.
     */
   private def capBuckets(buckets: DataFrame, bucketCol: String, idCol: String,
                          maxSize: Int): DataFrame = {
-    val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol).asc)
-    buckets.withColumn("__brn", row_number().over(w))
-      .filter(col("__brn") <= maxSize)
-      .drop("__brn")
+    val hot = buckets.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxSize)
+    buckets.join(hot, Seq(bucketCol), "left")
+      .filter(col("__bn").isNull ||
+        pmod(xxhash64(col(bucketCol), col(idCol)), lit(1000000L)) * col("__bn") <
+          lit(maxSize.toLong * 1000000L))
+      .drop("__bn")
+      // hash-partition the capped output on the bucket key: the downstream
+      // self-join then reuses ONE exchange for both sides (the partitioning
+      // the old window cap provided implicitly) instead of shuffling twice
+      .repartition(col(bucketCol))
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -136,6 +136,33 @@ object IcebergQueries {
       FROM customer
       WHERE NOT c_acctbal < 5000.0""")),
 
+    // identity partition on a TIMESTAMP source: the manifest must carry a
+    // typed (µs-long) partition value — not a stringified one — so partition
+    // pruning and the partition-value filter work; ScanMetrics proves files
+    // were actually skipped
+    QueryDef("i30_identity_ts_partition", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"idts_${UUID.randomUUID().toString.take(8)}"
+      val o = tbl(s, dir, "orders")
+        .withColumn("o_month", date_trunc("month", col("o_orderdate")).cast("timestamp_ntz"))
+      val schema = SchemaBridge.fromSpark(o.schema)
+      val spec = PartitionSpec.builder(schema).add("o_month", Transforms.Identity).build()
+      val t1 = Writer.append(s, cat.createTable(name, schema, spec), o)
+      val filter = Expr.eq("o_month", java.time.LocalDateTime.parse("1995-06-01T00:00:00"))
+      val (_, metrics) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
+      SparkRead.read(s, t1.newScan.withFilter(filter))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pruned_ok", lit(pruned.toString))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n, 'true' AS pruned_ok
+      FROM orders
+      WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1995-06-01 00:00:00'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
     // month(ts) partition pruning + metrics pruning + residual pushdown
     QueryDef("i1_scan_partition_pruned", (s, dir) => {
       val t = catalogFor(s, dir).loadTable("lineitem")

@@ -41,12 +41,20 @@ object Relational {
       val c = tbl(s, dir, "customer")
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // pre-aggregate lineitem to one revenue row per order BEFORE joining:
+      // shrinks the join input ~4x and turns countDistinct(o_orderkey) into
+      // a plain count (each order contributes exactly one row), eliminating
+      // the expand. Decimal sum-of-sums equals the flat sum exactly.
+      // No broadcast hint: the customer dimension grows with scale, so a
+      // hard hint would pin a broadcast AQE could no longer undo at 100x.
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("ord_rev"))
+      perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("o_year"))
         .agg(
-          d(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          d(sum(col("ord_rev"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"), col("o_year"))
     }, Some("""
       SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -155,16 +155,18 @@ object Writer {
     // shuffle positions per data file, then each non-empty task writes ONE
     // puffin file holding the DV blobs for the files it owns — only blob
     // metadata (path/offset/length/cardinality) returns to the driver,
-    // bounded by data-file count, never by delete row count
+    // bounded by data-file count, never by delete row count. Positions fold
+    // incrementally into roaring bitmaps via a typed Aggregator (map-side
+    // partial build, reduce-side OR-merge): a 10M-row delete never
+    // materializes a 10M-element position array in any task's heap
+    // (reference streams the same way, table/dv/dv_writer.go).
     val blobMeta: Seq[(String, String, Long, Long, Long)] =
-      withExisting
-        .groupBy(col("file_path"))
-        .agg(sort_array(collect_list(col("pos"))).as("positions"))
-        .as[(String, Seq[Long])]
+      withExisting.as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(PositionBitmapAgg.toColumn.name("bitmap"))
         .mapPartitions { it =>
-          val blobs = it.map { case (file, positions) =>
-            val bm = new PositionBitmap
-            positions.foreach(bm.set)
+          val blobs = it.map { case (file, bitmapBytes) =>
+            val bm = PositionBitmap.deserialize(bitmapBytes)
             bcDvs.value.get(file).foreach { case (p, off, len) =>
               val bytes = Puffin.readBlob(p, Puffin.BlobMetadata(
                 DeletionVector.BlobType, Nil, -1, -1, off, len, Map.empty))
@@ -288,6 +290,23 @@ object Writer {
       .getOrElse(Map(NameMapping.PropertyKey -> NameMapping.fromSchema(schema).toJson))
     commitSnapshot(table, "append", files, Set.empty, Nil,
       extraProperties = mappingProp)
+  }
+
+  /** Incremental (pos -> roaring bitmap) accumulation for the DV writer:
+    * each input row sets one bit in the partial buffer, buffers OR-merge
+    * across partitions, and only the compact serialized bitmap crosses the
+    * shuffle — never a materialized position array.
+    */
+  private object PositionBitmapAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(String, Long), PositionBitmap, Array[Byte]] {
+    def zero: PositionBitmap = new PositionBitmap
+    def reduce(b: PositionBitmap, row: (String, Long)): PositionBitmap = { b.set(row._2); b }
+    def merge(a: PositionBitmap, b: PositionBitmap): PositionBitmap = { a.or(b); a }
+    def finish(b: PositionBitmap): Array[Byte] = b.serialize()
+    def bufferEncoder: org.apache.spark.sql.Encoder[PositionBitmap] =
+      org.apache.spark.sql.Encoders.javaSerialization[PositionBitmap]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
   }
 
   // --------------------------------------------------------------- internals
@@ -428,7 +447,21 @@ object Writer {
       case DecimalT(_, sc) => new java.math.BigDecimal(s).setScale(sc)
       case DoubleT => s.toDouble
       case FloatT => s.toFloat
-      case other => s
+      case TimestampT | TimestampTzT =>
+        // identity partition dirs for timestamp columns come from Spark as
+        // "yyyy-MM-dd HH:mm:ss[.ffffff]" in the UTC session tz; the iceberg
+        // partition value is µs since epoch
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      // ns timestamps and time-of-day travel as long columns (Spark has no
+      // native type), so their dir value is already the long
+      case TimestampNsT | TimestampTzNsT | TimeT => s.toLong
+      case UuidT => java.util.UUID.fromString(s).toString
+      // a silent string fallback here would corrupt manifests: pruning and
+      // partition-scoped delete matching would compare strings against typed
+      // literals — fail loudly instead
+      case other => throw new IllegalArgumentException(
+        s"unsupported identity partition value type $other (value '$s')")
     }
   }
 
