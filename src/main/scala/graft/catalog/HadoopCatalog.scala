@@ -1,22 +1,24 @@
 package graft.catalog
 
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import graft.core.IcebergSchema
 import graft.format._
+import graft.io.FileIO
 import graft.table.Table
 
 /** Filesystem catalog following the Hadoop-catalog layout (reference
   * `catalog/hadoop/hadoop.go`): `<table>/metadata/v<N>.metadata.json` plus
-  * `version-hint.text`, committed by write-temp + atomic rename-no-replace —
-  * the CAS that gives optimistic concurrency on a filesystem.
+  * `version-hint.text`, committed by atomic create-no-replace — the CAS that
+  * gives optimistic concurrency on a filesystem.
   *
-  * Local-FS java.nio implementation; on HDFS/S3A the same protocol runs over
-  * `org.apache.hadoop.fs.FileSystem` (rename-no-replace / conditional put).
+  * All IO routes through [[graft.io.FileIO]] (Hadoop FileSystem), so the
+  * same protocol runs over file://, hdfs://, or an object store with
+  * conditional put.
   */
-final class HadoopCatalog(warehouse: String) extends Catalog {
+final class HadoopCatalog(warehouseRaw: String) extends Catalog {
+
+  // file:-scheme and plain spellings of the same storage must produce
+  // identical recorded paths (delete matching and DV keys compare strings)
+  private val warehouse: String = FileIO.canonical(warehouseRaw)
 
   private def tableDir(name: String): String = s"$warehouse/$name"
   private def metadataDir(name: String): String = s"${tableDir(name)}/metadata"
@@ -24,14 +26,10 @@ final class HadoopCatalog(warehouse: String) extends Catalog {
   private def metadataFile(name: String, v: Int): String =
     s"${metadataDir(name)}/v$v.metadata.json"
 
-  def tableExists(name: String): Boolean = Files.exists(Paths.get(hintFile(name)))
+  def tableExists(name: String): Boolean = FileIO.exists(hintFile(name))
 
-  def listTables(): Seq[String] = {
-    val dir = new File(warehouse)
-    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && Files.exists(Paths.get(hintFile(f.getName))))
-      .map(_.getName).sorted
-  }
+  def listTables(): Seq[String] =
+    FileIO.listDirNames(warehouse).filter(n => FileIO.exists(hintFile(n))).sorted
 
   def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
       sortOrder: SortOrder = SortOrder.Unsorted,
@@ -46,38 +44,32 @@ final class HadoopCatalog(warehouse: String) extends Catalog {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
     val path = metadataFile(name, v)
-    val meta = TableMetadata.fromJson(
-      new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8))
+    val meta = TableMetadata.fromJson(FileIO.readString(path))
     new Table(name, meta, path, this)
   }
 
   def dropTable(name: String): Unit = {
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new File(tableDir(name)))
+    FileIO.deleteTree(tableDir(name))
+    ()
   }
 
   def currentVersion(name: String): Option[Int] = {
-    val hint = Paths.get(hintFile(name))
     val fromHint =
-      if (!Files.exists(hint)) None
-      else new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim
+      if (!FileIO.exists(hintFile(name))) None
+      else FileIO.readString(hintFile(name)).trim
         .toIntOption // empty/torn read during a concurrent hint replace
     // the hint is advisory (reference hadoop catalog semantics): fall back
     // to listing vN.metadata.json files for the true max version
     fromHint.orElse {
-      val dir = new File(metadataDir(name))
-      val versions = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .map(_.getName)
+      FileIO.listFilesRecursive(metadataDir(name))
+        .map(f => f.path.substring(f.path.lastIndexOf('/') + 1))
         .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
         .flatMap(n => n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption)
-      versions.maxOption
+        .maxOption
     }
   }
 
-  /** CAS commit: vN file must not exist yet (rename-no-replace). Returns
+  /** CAS commit: vN file must not exist yet (create-no-replace). Returns
     * the new metadata path. Throws CommitConflict on a lost race.
     */
   def commit(name: String, base: TableMetadata, updated: TableMetadata,
@@ -90,27 +82,17 @@ final class HadoopCatalog(warehouse: String) extends Catalog {
   }
 
   private def commitVersion(name: String, version: Int, meta: TableMetadata): Unit = {
-    val dir = Paths.get(metadataDir(name))
-    Files.createDirectories(dir)
-    val target = Paths.get(metadataFile(name, version))
-    val tmp = dir.resolve(s".v$version.metadata.json.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, TableMetadata.toJson(meta).getBytes(StandardCharsets.UTF_8))
-    try {
-      // link(2) is atomic create-no-replace: exactly one of two racing
-      // committers wins; the loser sees FileAlreadyExists -> CommitConflict.
-      // (POSIX rename() silently replaces, so ATOMIC_MOVE alone can't CAS.)
-      Files.createLink(target, tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+    val bytes = TableMetadata.toJson(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try FileIO.createNoReplace(metadataFile(name, version), bytes)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new CommitConflict(s"version $version already exists")
-    } finally Files.deleteIfExists(tmp)
+    }
     // atomic hint replace: a plain truncating write lets concurrent readers
     // observe an empty file mid-update
-    val hintTmp = dir.resolve(s".hint.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(hintTmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(hintTmp, Paths.get(hintFile(name)),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    ()
+    FileIO.replaceAtomic(hintFile(name),
+      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 

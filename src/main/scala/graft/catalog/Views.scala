@@ -1,7 +1,8 @@
 package graft.catalog
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+
+import graft.io.FileIO
 
 import scala.jdk.CollectionConverters._
 
@@ -54,12 +55,12 @@ final class MetaObjects(warehouse: String) {
   }
 
   def viewExists(name: String): Boolean =
-    Files.exists(Paths.get(s"${viewDir(name)}/view.json"))
+    FileIO.exists(s"${viewDir(name)}/view.json")
 
   def loadView(name: String): ViewMetadata = {
-    val p = Paths.get(s"${viewDir(name)}/view.json")
-    require(Files.exists(p), s"no such view: $name")
-    val root = mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    val p = s"${viewDir(name)}/view.json"
+    require(FileIO.exists(p), s"no such view: $name")
+    val root = mapper.readTree(FileIO.readString(p))
     ViewMetadata(
       root.get("name").asText, root.get("location").asText,
       root.get("versions").elements().asScala.map(v => ViewVersion(
@@ -72,17 +73,12 @@ final class MetaObjects(warehouse: String) {
   }
 
   def dropView(name: String): Unit = {
-    val dir = new java.io.File(viewDir(name))
-    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-    dir.delete()
+    FileIO.deleteTree(viewDir(name))
     ()
   }
 
-  def listViews(): Seq[String] = {
-    val dir = new java.io.File(s"$warehouse/_views")
-    Option(dir.listFiles()).map(_.filter(_.isDirectory).map(_.getName).toSeq.sorted)
-      .getOrElse(Nil)
-  }
+  def listViews(): Seq[String] =
+    FileIO.listDirNames(s"$warehouse/_views").sorted
 
   private def writeView(v: ViewMetadata, expectedVersion: Int): Unit = {
     val root = mapper.createObjectNode()
@@ -99,26 +95,18 @@ final class MetaObjects(warehouse: String) {
     }
     val props = root.putObject("properties")
     v.properties.foreach { case (k, vv) => props.put(k, vv) }
-    val dir = Paths.get(viewDir(v.name))
-    Files.createDirectories(dir)
-    // CAS via link(2), same protocol as table commits
-    val target = dir.resolve(s"v${expectedVersion + 1}.view.json")
-    val tmp = dir.resolve(s".view.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(target, tmp)
+    val bytes = mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8)
+    // CAS via create-no-replace, same protocol as table commits
+    val target = s"${viewDir(v.name)}/v${expectedVersion + 1}.view.json"
+    try FileIO.createNoReplace(target, bytes)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new CommitConflict(s"view ${v.name} version ${expectedVersion + 1} exists")
-    } finally Files.deleteIfExists(tmp)
-    // atomic pointer update: a plain copy truncates view.json mid-replace
-    // and a concurrent loadView would read torn JSON
-    val ptrTmp = dir.resolve(s".ptr.${java.util.UUID.randomUUID()}.tmp")
-    try {
-      Files.copy(target, ptrTmp)
-      Files.move(ptrTmp, dir.resolve("view.json"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } finally Files.deleteIfExists(ptrTmp)
+    }
+    // atomic pointer update: a plain truncating write would let a concurrent
+    // loadView read torn JSON
+    FileIO.replaceAtomic(s"${viewDir(v.name)}/view.json", bytes)
     ()
   }
 
@@ -137,18 +125,17 @@ final class MetaObjects(warehouse: String) {
     udf.parameters.foreach { case (n, t) =>
       val o = ps.addObject(); o.put("name", n); o.put("type", t); ()
     }
-    val p = Paths.get(udfPath(udf.name))
-    Files.createDirectories(p.getParent)
-    Files.write(p, mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    FileIO.write(udfPath(udf.name),
+      mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
     ()
   }
 
-  def functionExists(name: String): Boolean = Files.exists(Paths.get(udfPath(name)))
+  def functionExists(name: String): Boolean = FileIO.exists(udfPath(name))
 
   def loadFunction(name: String): UdfDef = {
-    val p = Paths.get(udfPath(name))
-    require(Files.exists(p), s"no such function: $name")
-    val root = mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    val p = udfPath(name)
+    require(FileIO.exists(p), s"no such function: $name")
+    val root = mapper.readTree(FileIO.readString(p))
     UdfDef(
       root.get("name").asText, root.get("return-type").asText,
       root.get("definition").asText,
@@ -158,13 +145,12 @@ final class MetaObjects(warehouse: String) {
   }
 
   def dropFunction(name: String): Unit = {
-    Files.deleteIfExists(Paths.get(udfPath(name)))
+    FileIO.delete(udfPath(name))
     ()
   }
 
-  def listFunctions(): Seq[String] = {
-    val dir = new java.io.File(s"$warehouse/_udfs")
-    Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".json"))
-      .map(_.getName.stripSuffix(".json")).toSeq.sorted).getOrElse(Nil)
-  }
+  def listFunctions(): Seq[String] =
+    FileIO.listFilesRecursive(s"$warehouse/_udfs")
+      .map(f => f.path.substring(f.path.lastIndexOf('/') + 1))
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
 }

@@ -1,6 +1,6 @@
 package graft.format
 
-import java.io.{File, OutputStream}
+import java.io.OutputStream
 import java.nio.ByteBuffer
 
 import scala.jdk.CollectionConverters._
@@ -120,9 +120,7 @@ object Manifests {
     writer.setMeta("partition-spec-id", spec.specId.toString)
     writer.setMeta("format-version", "2")
     writer.setMeta("content", if (content == ManifestContent.Data) "data" else "deletes")
-    val f = new File(path)
-    f.getParentFile.mkdirs()
-    writer.create(avroSchema, f)
+    writer.create(avroSchema, graft.io.FileIO.create(path))
     entries.foreach { e =>
       val rec = new GenericData.Record(avroSchema)
       rec.put("status", e.status)
@@ -158,7 +156,7 @@ object Manifests {
       writer.append(rec)
     }
     writer.close()
-    f.length()
+    graft.io.FileIO.size(path)
   }
 
   private def partitionAvroValue(t: IcebergType, v: Any): Any = (t, v) match {
@@ -201,9 +199,7 @@ object Manifests {
     writer.setMeta("parent-snapshot-id", parentSnapshotId.map(_.toString).getOrElse("null"))
     writer.setMeta("sequence-number", sequenceNumber.toString)
     writer.setMeta("format-version", "2")
-    val f = new File(path)
-    f.getParentFile.mkdirs()
-    writer.create(avroSchema, f)
+    writer.create(avroSchema, graft.io.FileIO.create(path))
     val partsSchema = avroSchema.getField("partitions").schema().getTypes.get(1)
     val summarySchema = partsSchema.getElementType
     manifests.foreach { m =>
@@ -242,7 +238,7 @@ object Manifests {
   // ------------------------------------------------------------------ read
 
   def readManifestList(path: String): Seq[ManifestFile] = {
-    val reader = DataFileReader.openReader(new File(path),
+    val reader = DataFileReader.openReader(new graft.io.FileIO.SeekableHadoopInput(path),
       new GenericDatumReader[GenericRecord]())
     try {
       val buf = Seq.newBuilder[ManifestFile]
@@ -280,7 +276,7 @@ object Manifests {
     * manifest's own spec (identified by `spec-id` metadata).
     */
   def readManifest(path: String): (Seq[ManifestEntry], Int) = {
-    val reader = new DataFileReader(new File(path),
+    val reader = new DataFileReader(new graft.io.FileIO.SeekableHadoopInput(path),
       new GenericDatumReader[GenericRecord]())
     try {
       val specId = Option(reader.getMetaString("partition-spec-id")).map(_.toInt).getOrElse(0)

@@ -1,6 +1,6 @@
 package graft.format
 
-import java.io.{ByteArrayOutputStream, DataOutputStream, RandomAccessFile}
+import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import java.util.zip.CRC32
@@ -33,9 +33,7 @@ object Puffin {
   /** Write a puffin file; returns blob metadata with final offsets. */
   def write(path: String, blobs: Seq[(String, Array[Byte], Map[String, String])],
       fileProperties: Map[String, String] = Map.empty): Seq[BlobMetadata] = {
-    val f = new java.io.File(path)
-    f.getParentFile.mkdirs()
-    val out = new java.io.FileOutputStream(f)
+    val out = graft.io.FileIO.create(path)
     try {
       out.write(Magic)
       var offset = 4L
@@ -81,20 +79,19 @@ object Puffin {
   }
 
   def readFooter(path: String): Seq[BlobMetadata] = {
-    val raf = new RandomAccessFile(path, "r")
+    val len = graft.io.FileIO.size(path)
+    require(len >= 20, s"puffin too short: $len")
+    val in = graft.io.FileIO.open(path)
     try {
-      val len = raf.length()
-      require(len >= 20, s"puffin too short: $len")
       def magicAt(pos: Long): Boolean = {
         val b = new Array[Byte](4)
-        raf.seek(pos); raf.readFully(b)
+        in.readFully(pos, b)
         java.util.Arrays.equals(b, Magic)
       }
       require(magicAt(0), "puffin: bad header magic")
       require(magicAt(len - 4), "puffin: bad trailing magic")
-      raf.seek(len - 12)
       val tb = new Array[Byte](8)
-      raf.readFully(tb)
+      in.readFully(len - 12, tb)
       val bb = ByteBuffer.wrap(tb).order(ByteOrder.LITTLE_ENDIAN)
       val footerSize = bb.getInt
       val flags = bb.getInt
@@ -102,7 +99,7 @@ object Puffin {
       val footerStart = len - 12 - footerSize
       require(magicAt(footerStart - 4), "puffin: bad footer magic")
       val fj = new Array[Byte](footerSize)
-      raf.seek(footerStart); raf.readFully(fj)
+      in.readFully(footerStart, fj)
       val root = mapper.readTree(fj)
       root.get("blobs").elements().asScala.map { o =>
         BlobMetadata(
@@ -116,18 +113,11 @@ object Puffin {
             p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
             .getOrElse(Map.empty))
       }.toSeq
-    } finally raf.close()
+    } finally in.close()
   }
 
-  def readBlob(path: String, meta: BlobMetadata): Array[Byte] = {
-    val raf = new RandomAccessFile(path, "r")
-    try {
-      val b = new Array[Byte](meta.length.toInt)
-      raf.seek(meta.offset)
-      raf.readFully(b)
-      b
-    } finally raf.close()
-  }
+  def readBlob(path: String, meta: BlobMetadata): Array[Byte] =
+    graft.io.FileIO.readRange(path, meta.offset, meta.length.toInt)
 }
 
 /** 64-bit position bitmap as a sorted map of 32-bit roaring buckets —

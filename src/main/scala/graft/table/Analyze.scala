@@ -1,6 +1,5 @@
 package graft.table
 
-import java.io.File
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.UUID
 
@@ -67,7 +66,7 @@ object Analyze {
     val metas = Puffin.write(path, blobs.map { case (fieldId, bytes, ndv) =>
       (NdvBlobType, bytes, Map("ndv" -> ndv.toString, "field-id" -> fieldId.toString))
     })
-    val statsFile = StatisticsFile(snap.snapshotId, path, new File(path).length(),
+    val statsFile = StatisticsFile(snap.snapshotId, path, graft.io.FileIO.size(path),
       blobs.zip(metas).map { case ((fieldId, _, ndv), _) =>
         StatsBlobMetadata(NdvBlobType, snap.snapshotId, snap.sequenceNumber,
           Seq(fieldId), Map("ndv" -> ndv.toString))
@@ -100,11 +99,12 @@ object Analyze {
     val rollup: DataFrame = Inspect.partitions(spark, table)
     val dir = s"${meta.location}/metadata/partition-stats-${UUID.randomUUID()}"
     rollup.coalesce(1).write.parquet(dir)
-    val file = new File(dir).listFiles().find(_.getName.endsWith(".parquet")).get
+    val file = graft.io.FileIO.listFilesRecursive(dir)
+      .find(_.path.endsWith(".parquet")).get
     val updated = meta.copy(
       partitionStatistics = meta.partitionStatistics
         .filterNot(_.snapshotId == snap.snapshotId) :+
-        PartitionStatisticsFile(snap.snapshotId, file.getAbsolutePath, file.length()),
+        PartitionStatisticsFile(snap.snapshotId, file.path, file.size),
       lastUpdatedMs = System.currentTimeMillis())
     table.catalog.commit(table.name, meta, updated, table.currentVersion)
     table.refresh()

@@ -1,7 +1,5 @@
 package graft.table
 
-import java.io.File
-import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import org.apache.spark.sql.SparkSession
@@ -102,17 +100,16 @@ object Maintenance {
       protectedIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
     if (expired.isEmpty) return ExpireResult(table, Nil, Nil)
 
+    // manifest reads are independent per snapshot — IO-bound driver work,
+    // parallelized like the reference's worker pool (orphan_cleanup.go)
     def reachableFiles(snaps: Seq[Snapshot]): Set[String] = {
-      val out = Set.newBuilder[String]
-      snaps.foreach { s =>
-        out += s.manifestList
-        Manifests.readManifestList(s.manifestList).foreach { m =>
-          out += m.path
+      import scala.collection.parallel.CollectionConverters._
+      snaps.par.flatMap { s =>
+        Seq(s.manifestList) ++ Manifests.readManifestList(s.manifestList).flatMap { m =>
           val (entries, _) = Manifests.readManifest(m.path)
-          entries.foreach(e => out += e.file.path)
+          m.path +: entries.map(_.file.path)
         }
-      }
-      out.result()
+      }.seq.toSet
     }
     val keep = reachableFiles(kept)
     val candidates = reachableFiles(expired)
@@ -124,7 +121,7 @@ object Maintenance {
       snapshotLog = meta.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
       lastUpdatedMs = System.currentTimeMillis())
     table.catalog.commit(table.name, meta, updated, table.currentVersion)
-    toDelete.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    graft.io.FileIO.deleteAll(toDelete)
     ExpireResult(table.refresh(), expired.map(_.snapshotId), toDelete)
   }
 
@@ -209,39 +206,32 @@ object Maintenance {
       dryRun: Boolean = false): Seq[String] = {
     val meta = table.metadata
     val referenced: Set[String] = {
-      val out = Set.newBuilder[String]
-      meta.snapshots.foreach { s =>
-        out += s.manifestList
-        Manifests.readManifestList(s.manifestList).foreach { m =>
-          out += m.path
+      import scala.collection.parallel.CollectionConverters._
+      val fromSnaps = meta.snapshots.par.flatMap { s =>
+        Seq(s.manifestList) ++ Manifests.readManifestList(s.manifestList).flatMap { m =>
           val (entries, _) = Manifests.readManifest(m.path)
-          entries.foreach(e => out += e.file.path)
+          m.path +: entries.map(_.file.path)
         }
-      }
-      meta.metadataLog.foreach(out += _.metadataFile)
-      // registered statistics artifacts are referenced, not orphans
-      meta.statistics.foreach(out += _.path)
-      meta.partitionStatistics.foreach(out += _.path)
-      out.result()
+      }.seq.toSet
+      fromSnaps ++
+        meta.metadataLog.map(_.metadataFile) ++
+        // registered statistics artifacts are referenced, not orphans
+        meta.statistics.map(_.path) ++
+        meta.partitionStatistics.map(_.path)
     }
 
-    val root = new File(meta.location)
-    val all = Seq.newBuilder[String]
-    def walk(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
-      else all += f.getAbsolutePath
-    }
-    walk(new File(s"${meta.location}/data"))
-    walk(new File(s"${meta.location}/metadata"))
+    val all =
+      graft.io.FileIO.listFilesRecursive(s"${meta.location}/data") ++
+      graft.io.FileIO.listFilesRecursive(s"${meta.location}/metadata")
 
     val keepSuffixes = Seq("version-hint.text")
-    val orphans = all.result().filter { p =>
-      !referenced.contains(p) &&
-      !p.endsWith(".metadata.json") &&
-      !keepSuffixes.exists(p.endsWith) &&
-      new File(p).lastModified() < olderThanMs
-    }
-    if (!dryRun) orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    val orphans = all.filter { f =>
+      !referenced.contains(f.path) &&
+      !f.path.endsWith(".metadata.json") &&
+      !keepSuffixes.exists(f.path.endsWith) &&
+      f.mtime < olderThanMs
+    }.map(_.path)
+    if (!dryRun) graft.io.FileIO.deleteAll(orphans)
     orphans
   }
 }

@@ -1,7 +1,5 @@
 package graft.table
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -190,7 +188,7 @@ object Writer {
     if (blobMeta.isEmpty) return table
 
     val puffinSizes = blobMeta.map(_._2).distinct
-      .map(p => p -> new File(p).length()).toMap
+      .map(p => p -> graft.io.FileIO.size(p)).toMap
     val deleteFiles = blobMeta.map { case (file, puffinPath, off, len, card) =>
       DataFile(DataFileContent.PositionDeletes, puffinPath, "PUFFIN",
         partition = Seq.fill(table.spec.fields.size)(null),
@@ -532,7 +530,7 @@ object Writer {
         format = "PARQUET",
         partition = partValues,
         recordCount = rowCount,
-        fileSize = new File(path).length(),
+        fileSize = graft.io.FileIO.size(path),
         columnSizes = colSizes.toMap,
         valueCounts = valCounts.toMap,
         nullCounts = nullCounts.toMap,
@@ -565,7 +563,7 @@ object Writer {
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
     try {
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      (rows, new File(path).length(), reader.getFooter.getBlocks.size(), 0)
+      (rows, graft.io.FileIO.size(path), reader.getFooter.getBlocks.size(), 0)
     } finally reader.close()
   }
 
@@ -779,29 +777,15 @@ object Writer {
     }
   }
 
-  private def listParquet(dir: String): Seq[String] = {
-    val buf = Seq.newBuilder[String]
-    def walk(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
-      else if (f.getName.endsWith(".parquet")) buf += f.getAbsolutePath
-    }
-    walk(new File(dir))
-    buf.result()
-  }
+  private def listParquet(dir: String): Seq[String] =
+    graft.io.FileIO.listFilesRecursive(dir).map(_.path).filter(_.endsWith(".parquet"))
 
-  private def moveFile(src: String, target: String): Unit = {
-    val t = Paths.get(target)
-    Files.createDirectories(t.getParent)
-    Files.move(Paths.get(src), t, StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  private def moveFile(src: String, target: String): Unit =
+    graft.io.FileIO.move(src, target)
 
   private def deleteTree(dir: String): Unit = {
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new File(dir))
+    graft.io.FileIO.deleteTree(dir)
+    ()
   }
 }
 
