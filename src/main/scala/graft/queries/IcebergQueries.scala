@@ -136,6 +136,34 @@ object IcebergQueries {
       FROM customer
       WHERE NOT c_acctbal < 5000.0""")),
 
+    // merge-append bin-packing: 20 small appends with
+    // min-count-to-merge=4 must end with a BOUNDED data-manifest count (not
+    // 20), while every appended row still reads back
+    QueryDef("i31_merge_append", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"ma_${UUID.randomUUID().toString.take(8)}"
+      val sup = tbl(s, dir, "supplier")
+      val schema = SchemaBridge.fromSpark(sup.schema)
+      var t = cat.createTable(name, schema, PartitionSpec.Unpartitioned,
+        properties = Map("commit.manifest.min-count-to-merge" -> "4"))
+      (0 until 20).foreach { i =>
+        t = Writer.append(s, t, sup.filter(col("s_suppkey") % 20 === i))
+      }
+      val nManifests = graft.format.Manifests
+        .readManifestList(t.metadata.currentSnapshot.get.manifestList)
+        .count(_.content == graft.format.ManifestContent.Data)
+      SparkRead.read(s, t.newScan)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey").cast("long")).as("key_sum"))
+        .withColumn("bounded", lit((nManifests <= 4).toString))
+        .orderBy(col("s_nationkey"))
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+             'true' AS bounded
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""")),
+
     // identity partition on a TIMESTAMP source: the manifest must carry a
     // typed (µs-long) partition value — not a stringified one — so partition
     // pruning and the partition-value filter work; ScanMetrics proves files

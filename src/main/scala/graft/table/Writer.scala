@@ -729,7 +729,8 @@ object Writer {
     }
 
     val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
-    val allManifests = manifests.result()
+    val allManifests = mergeAppendManifests(meta, manifests.result(), snapshotId,
+      newSeq, metadataDir)
     Manifests.writeManifestList(manifestListPath, allManifests, snapshotId,
       meta.currentSnapshotId, newSeq)
 
@@ -758,6 +759,66 @@ object Writer {
 
     table.catalog.commit(table.name, meta, updated, table.currentVersion)
     table.refresh()
+  }
+
+  /** Commit-time manifest bin-packing (reference
+    * `table/snapshot_producers.go:359-527`): without it every append adds one
+    * manifest forever and scan planning degrades linearly with commit count.
+    * When the small-data-manifest population reaches
+    * `commit.manifest.min-count-to-merge`, small manifests (under
+    * `commit.manifest.target-size-bytes`) bin-pack per spec into merged
+    * manifests; large ones and delete manifests carry through untouched.
+    * Entries keep resolved sequence numbers, so delete applicability and
+    * time-travel semantics are unchanged.
+    */
+  private def mergeAppendManifests(meta: TableMetadata, all: Seq[ManifestFile],
+      snapshotId: Long, newSeq: Long, metadataDir: String): Seq[ManifestFile] = {
+    val props = meta.properties
+    val enabled = props.getOrElse("commit.manifest-merge.enabled", "true").toBoolean
+    val minCount = props.get("commit.manifest.min-count-to-merge").map(_.toInt).getOrElse(100)
+    val targetSize = props.get("commit.manifest.target-size-bytes").map(_.toLong)
+      .getOrElse(8L * 1024 * 1024)
+    if (!enabled) return all
+    val (dataM, deleteM) = all.partition(_.content == ManifestContent.Data)
+    val (small, large) = dataM.partition(_.length < targetSize)
+    if (small.size < minCount) return all
+
+    val schema = meta.schema
+    val merged = small.groupBy(_.specId).toSeq.sortBy(_._1).flatMap { case (specId, ms) =>
+      val mSpec = meta.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
+      val partType = mSpec.partitionType(schema)
+      // greedy size-based bins: pack manifests until the bin reaches target
+      val bins = Seq.newBuilder[Seq[ManifestFile]]
+      var bin = Seq.newBuilder[ManifestFile]
+      var binSize = 0L
+      ms.foreach { m =>
+        if (binSize > 0 && binSize + m.length > targetSize) {
+          bins += bin.result(); bin = Seq.newBuilder; binSize = 0L
+        }
+        bin += m; binSize += m.length
+      }
+      val lastBin = bin.result()
+      if (lastBin.nonEmpty) bins += lastBin
+      bins.result().map { group =>
+        if (group.size == 1) group.head
+        else {
+          val entries = group.flatMap { m =>
+            val (es, _) = Manifests.readManifest(m.path)
+            es.filter(_.status != ManifestEntryStatus.Deleted).map(e =>
+              e.copy(status = ManifestEntryStatus.Existing,
+                dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
+          }
+          val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
+          val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId)
+          ManifestFile(p, len, specId, ManifestContent.Data,
+            newSeq, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
+            snapshotId, 0, entries.size, 0,
+            0L, entries.map(_.file.recordCount).sum, 0L,
+            partitionSummaries(entries.map(_.file), partType))
+        }
+      }
+    }
+    large ++ merged ++ deleteM
   }
 
   def partitionSummaries(files: Seq[DataFile], partType: StructT): Seq[FieldSummary] = {
