@@ -127,6 +127,7 @@ object Expr {
   def isNull(ref: String): Expr = Predicate(Op.IsNull, ref)
   def notNull(ref: String): Expr = Predicate(Op.NotNull, ref)
   def isNan(ref: String): Expr = Predicate(Op.IsNan, ref)
+  def notNan(ref: String): Expr = Predicate(Op.NotNan, ref)
   def lt(ref: String, v: Any): Expr = Predicate(Op.Lt, ref, Seq(v))
   def ltEq(ref: String, v: Any): Expr = Predicate(Op.LtEq, ref, Seq(v))
   def gt(ref: String, v: Any): Expr = Predicate(Op.Gt, ref, Seq(v))
@@ -173,11 +174,13 @@ object Expr {
     case Or(l, r) => Or(bindNames(l, schema, caseSensitive), bindNames(r, schema, caseSensitive))
     case Not(c) => Not(bindNames(c, schema, caseSensitive))
     case p @ Predicate(op, ref, lits) =>
-      schema.findField(ref, caseSensitive).map(f => Predicate(op, f.name, lits)).getOrElse(p)
+      // canonical dotted spelling, NOT the leaf field name — "info.nk" must
+      // stay addressable after binding
+      schema.resolveName(ref, caseSensitive).map(n => Predicate(op, n, lits)).getOrElse(p)
     case tp @ TransformPredicate(_, _, ref, _, _) =>
-      schema.findField(ref, caseSensitive).map(f => tp.copy(ref = f.name)).getOrElse(tp)
+      schema.resolveName(ref, caseSensitive).map(n => tp.copy(ref = n)).getOrElse(tp)
     case bp @ BBoxPredicate(_, ref, _, _, _, _) =>
-      schema.findField(ref, caseSensitive).map(f => bp.copy(ref = f.name)).getOrElse(bp)
+      schema.resolveName(ref, caseSensitive).map(n => bp.copy(ref = n)).getOrElse(bp)
     case other => other
   }
 

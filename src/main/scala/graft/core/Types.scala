@@ -103,8 +103,43 @@ final case class IcebergSchema(
     b.result()
   }
 
-  lazy val nameToId: Map[String, Int] = fields.map(f => f.name -> f.id).toMap
-  lazy val nameToIdLower: Map[String, Int] = fields.map(f => f.name.toLowerCase -> f.id).toMap
+  /** Top-level AND dotted nested names (iceberg path naming: `a.b`, list
+    * elements as `arr.element`, map sides as `m.key`/`m.value`) so
+    * predicates and stats can address nested fields.
+    */
+  lazy val nameToId: Map[String, Int] = {
+    val b = Map.newBuilder[String, Int]
+    def walk(prefix: String, f: NestedField): Unit = {
+      val full = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      b += full -> f.id
+      f.fieldType match {
+        case IcebergTypes.StructT(fs) => fs.foreach(walk(full, _))
+        case IcebergTypes.ListT(eid, et, ereq) =>
+          walk(full, NestedField(eid, "element", et, ereq))
+        case IcebergTypes.MapT(kid, kt, vid, vt, vreq) =>
+          walk(full, NestedField(kid, "key", kt, required = true))
+          walk(full, NestedField(vid, "value", vt, vreq))
+        case _ =>
+      }
+    }
+    fields.foreach(walk("", _))
+    b.result()
+  }
+  lazy val nameToIdLower: Map[String, Int] =
+    nameToId.map { case (k, v) => k.toLowerCase -> v }
+
+  /** Canonical (dotted-path) spelling per field id — the inverse of
+    * `nameToId`, which visits each field exactly once.
+    */
+  lazy val idToName: Map[Int, String] = nameToId.map(_.swap)
+
+  /** Resolve a possibly-nested, possibly-case-insensitive reference to its
+    * canonical dotted spelling.
+    */
+  def resolveName(name: String, caseSensitive: Boolean = true): Option[String] = {
+    val id = if (caseSensitive) nameToId.get(name) else nameToIdLower.get(name.toLowerCase)
+    id.flatMap(idToName.get)
+  }
 
   def findField(name: String, caseSensitive: Boolean = true): Option[NestedField] = {
     val id = if (caseSensitive) nameToId.get(name) else nameToIdLower.get(name.toLowerCase)

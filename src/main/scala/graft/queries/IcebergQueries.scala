@@ -164,6 +164,63 @@ object IcebergQueries {
       GROUP BY s_nationkey
       ORDER BY s_nationkey""")),
 
+    // nested-column stats: footer bounds for struct-nested fields must reach
+    // the manifest, so a predicate on `info.nk` prunes files (ScanMetrics
+    // skippedDataFiles > 0) and the residual pushes into the scan
+    QueryDef("i32_nested_stats", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"nst_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val df = c.select(col("c_custkey"),
+          struct(col("c_acctbal").as("bal"), col("c_nationkey").as("nk")).as("info"))
+        .repartitionByRange(8, col("info.nk"))
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), df)
+      val filter = Expr.eq("info.nk", 3)
+      val (_, metrics) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
+      val res = SparkRead.read(s, t1.newScan.withFilter(filter))
+      import s.implicits._
+      Seq((res.count(),
+        res.agg(d(sum(dec(col("info.bal"))))).first().getDouble(0),
+        pruned.toString)).toDF("n_rows", "bal_sum", "pruned_ok")
+    }, Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS pruned_ok
+      FROM customer
+      WHERE c_nationkey = 3""")),
+
+    // nan_value_counts: with the nan-counts pass enabled, all-NaN files are
+    // skipped for a NotNaN predicate and the recorded counts sum to the true
+    // NaN population
+    QueryDef("i33_nan_stats", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"nan_${UUID.randomUUID().toString.take(8)}"
+      val p = tbl(s, dir, "part")
+      val nanRows = p.filter(col("p_partkey") % 7 === 0)
+        .withColumn("price", lit(Double.NaN)).repartition(2)
+      val okRows = p.filter(col("p_partkey") % 7 =!= 0)
+        .withColumn("price", col("p_retailprice")).repartition(6)
+      val df = nanRows.unionByName(okRows).select(col("p_partkey"), col("price"))
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned,
+        properties = Map("write.metadata.metrics.nan-counts.enabled" -> "true")), df)
+      val priceId = t1.schema.findField("price").get.id
+      val recordedNans = t1.newScan.planFiles()
+        .map(_.file.nanCounts.getOrElse(priceId, 0L)).sum
+      val filter = Expr.notNan("price")
+      val (_, metrics) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
+      val res = SparkRead.read(s, t1.newScan.withFilter(filter))
+      import s.implicits._
+      Seq((res.count(), recordedNans, pruned.toString))
+        .toDF("n_rows", "n_nans", "pruned_ok")
+    }, Some("""
+      SELECT (SELECT COUNT(*) FROM part WHERE p_partkey % 7 <> 0) AS n_rows,
+             (SELECT COUNT(*) FROM part WHERE p_partkey % 7 = 0) AS n_nans,
+             'true' AS pruned_ok""")),
+
     // identity partition on a TIMESTAMP source: the manifest must carry a
     // typed (µs-long) partition value — not a stringified one — so partition
     // pruning and the partition-value filter work; ScanMetrics proves files

@@ -393,7 +393,52 @@ object Writer {
       harvestStats(target, schema, partValues)
     }.seq
     deleteTree(tmpDir)
-    files.filter(_.recordCount > 0)
+    withNanCounts(spark, table, schema, files.filter(_.recordCount > 0))
+  }
+
+  /** Optional pass recording `nan_value_counts` for float/double columns
+    * (property `write.metadata.metrics.nan-counts.enabled`, default false):
+    * parquet footers cannot express NaN counts (the reference collects them
+    * inline in its own writer, `table/internal/parquet_files.go:733-1150`),
+    * so Spark-written files need one narrow column scan. Only the floating
+    * columns are read (column pruning) and one row per file returns to the
+    * driver, so cost is bounded by file count, not row count.
+    */
+  private def withNanCounts(spark: SparkSession, table: Table,
+      schema: IcebergSchema, files: Seq[DataFile]): Seq[DataFile] = {
+    val enabled = table.metadata.properties
+      .getOrElse("write.metadata.metrics.nan-counts.enabled", "false").toBoolean
+    if (!enabled || files.isEmpty) return files
+    val fd = floatDoubleFields(schema)
+    if (fd.isEmpty) return files
+    val aggs = fd.map { case (n, id) =>
+      sum(when(isnan(col(n)), 1L).otherwise(0L)).as(s"__nan_$id") }
+    val rows = spark.read.schema(SchemaBridge.toSpark(schema))
+      .parquet(files.map(_.path): _*)
+      .groupBy(regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byFile: Map[String, Map[Int, Long]] = rows.map { r =>
+      r.getString(0) -> fd.zipWithIndex.map { case ((_, id), i) => id -> r.getLong(i + 1) }.toMap
+    }.toMap
+    files.map(f => f.copy(nanCounts = byFile.getOrElse(f.path, Map.empty)))
+  }
+
+  /** Float/double columns addressable by Column path: top-level and
+    * struct-nested (list/map elements aren't `col()`-addressable).
+    */
+  private def floatDoubleFields(schema: IcebergSchema): Seq[(String, Int)] = {
+    val b = Seq.newBuilder[(String, Int)]
+    def walk(prefix: String, f: NestedField): Unit = {
+      val full = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.fieldType match {
+        case FloatT | DoubleT => b += full -> f.id
+        case IcebergTypes.StructT(fs) => fs.foreach(walk(full, _))
+        case _ =>
+      }
+    }
+    schema.fields.foreach(walk("", _))
+    b.result()
   }
 
   /** Write-side schema compatibility (reference metadata compat check /
@@ -413,9 +458,22 @@ object Writer {
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"write schema has column(s) not in the table: ${unknown.mkString(", ")}")
+    // compare types with nested field-id METADATA stripped: the table-side
+    // types carry parquet.field.id on nested struct fields, which incoming
+    // frames legitimately lack
+    def stripMeta(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(st.fields.map(f =>
+            org.apache.spark.sql.types.StructField(f.name, stripMeta(f.dataType), f.nullable)))
+        case at: org.apache.spark.sql.types.ArrayType => at.copy(elementType = stripMeta(at.elementType))
+        case mt: org.apache.spark.sql.types.MapType =>
+          mt.copy(keyType = stripMeta(mt.keyType), valueType = stripMeta(mt.valueType))
+        case other => other
+      }
     schema.fields.foreach { f =>
-      val in = incoming(f.name)
-      val expected = SchemaBridge.toSparkType(f.fieldType)
+      val in = stripMeta(incoming(f.name))
+      val expected = stripMeta(SchemaBridge.toSparkType(f.fieldType))
       val ok = in == expected || ((in, expected) match {
         // the write-side mirror of the spec's promotion rules
         case (org.apache.spark.sql.types.IntegerType,
@@ -477,12 +535,15 @@ object Writer {
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
 
-      // parquet column -> field id (from embedded ids, fallback by name)
+      // parquet column -> field id: the leaf's embedded id when present,
+      // else the schema's dotted-path name (struct nesting; list/map
+      // internal parquet paths — "list"/"element"/"key_value" — don't match
+      // iceberg naming and stay unstatted, same as the reference's
+      // non-leaf-addressable columns)
       def fieldIdOf(pathInSchema: Array[String]): Option[Int] = {
-        if (pathInSchema.length != 1) return None // nested stats: skip (round 1)
-        val pf = msgType.getType(Seq(pathInSchema(0)): _*)
-        Option(pf.getId).map(_.intValue)
-          .orElse(schema.findField(pathInSchema(0)).map(_.id))
+        val leaf = msgType.getType(pathInSchema.toIndexedSeq: _*)
+        Option(leaf.getId).map(_.intValue)
+          .orElse(schema.findField(pathInSchema.mkString(".")).map(_.id))
       }
 
       val colSizes = scala.collection.mutable.Map.empty[Int, Long]
