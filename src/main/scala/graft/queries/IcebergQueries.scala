@@ -164,6 +164,41 @@ object IcebergQueries {
       GROUP BY s_nationkey
       ORDER BY s_nationkey""")),
 
+    // partitioned add_files import: a hive-layout directory of ID-less
+    // parquet (partition column only in the dir name) registers without
+    // rewrite; partition values parse typed from the path, the read fills
+    // the hive-omitted column from the directory, and pruning works
+    QueryDef("i34_add_files_partitioned", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"imp2_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val tmp = s"/root/repo/target/hive-import-${UUID.randomUUID().toString.take(8)}"
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+      try c.write.partitionBy("c_mktsegment").parquet(tmp)
+      finally s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val spec = PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build()
+      val t0 = cat.createTable(name, schema, spec)
+      val paths = graft.io.FileIO.listFilesRecursive(tmp)
+        .map(_.path).filter(_.endsWith(".parquet"))
+      val t1 = Writer.addFiles(s, t0, paths)
+      val filter = Expr.eq("c_mktsegment", "BUILDING")
+      val (_, metrics) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
+      SparkRead.read(s, t1.newScan.withFilter(filter))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("c_acctbal")))).as("bal"))
+        .withColumn("pruned_ok", lit(pruned.toString))
+        .orderBy(col("c_nationkey"))
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+             'true' AS pruned_ok
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
+
     // nested-column stats: footer bounds for struct-nested fields must reach
     // the manifest, so a predicate on `info.nk` prunes files (ScanMetrics
     // skippedDataFiles > 0) and the residual pushes into the scan

@@ -70,7 +70,8 @@ object Maintenance {
     }.toSet
 
     val schema = table.schema
-    val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping)
+    val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping,
+      specById = table.metadata.specById)
     val newFiles = Writer.writeDataFiles(spark, table, compacted)
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = newFiles, removedPaths = rewrittenPaths,

@@ -51,7 +51,8 @@ object SparkRead {
     }
 
     project(applyResidual(
-      readTasks(spark, tasks, schema, scan.table.nameMapping, scan.rowLineage),
+      readTasks(spark, tasks, schema, scan.table.nameMapping, scan.rowLineage,
+        scan.table.metadata.specById),
       scan), scan, schema)
   }
 
@@ -69,7 +70,8 @@ object SparkRead {
   def readTasks(spark: SparkSession, tasks: Seq[FileScanTask],
       schema: IcebergSchema,
       nameMapping: Option[graft.format.NameMapping] = None,
-      rowLineage: Boolean = false): DataFrame = {
+      rowLineage: Boolean = false,
+      specById: Int => Option[graft.format.PartitionSpec] = _ => None): DataFrame = {
     configure(spark)
     val readSchema: StructType = SchemaBridge.toSpark(schema)
 
@@ -92,7 +94,7 @@ object SparkRead {
           Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
       }
       subGroups.map { case (sub, idsPresent) => readSubGroup(spark, sub, idsPresent,
-        schema, readSchema, nameMapping, rowLineage) }
+        schema, readSchema, nameMapping, rowLineage, specById) }
     }
 
     parts.reduce(_ unionByName _)
@@ -101,7 +103,8 @@ object SparkRead {
   private def readSubGroup(spark: SparkSession, groupTasks: Seq[FileScanTask],
       idsPresent: Boolean, schema: IcebergSchema, readSchema: StructType,
       nameMapping: Option[graft.format.NameMapping],
-      rowLineage: Boolean = false): DataFrame = {
+      rowLineage: Boolean = false,
+      specById: Int => Option[graft.format.PartitionSpec] = _ => None): DataFrame = {
     {
       var df =
         if (idsPresent) spark.read.schema(readSchema).parquet(groupTasks.map(_.file.path): _*)
@@ -110,9 +113,26 @@ object SparkRead {
           val mappedSchema = StructType(schema.fields.map(f =>
             StructField(nm.idToName.getOrElse(f.id, f.name),
               SchemaBridge.toSparkType(f.fieldType), nullable = true)))
-          spark.read.schema(mappedSchema).parquet(groupTasks.map(_.file.path): _*)
-            .select(schema.fields.map(f =>
-              col(nm.idToName.getOrElse(f.id, f.name)).as(f.name)): _*)
+          var raw = spark.read.schema(mappedSchema).parquet(groupTasks.map(_.file.path): _*)
+          // hive-imported files omit identity partition source columns (the
+          // value lives in the directory name): fill from the path segment,
+          // distributed, O(1) plan size (iceberg constants-map semantics;
+          // reference arrow scanner injects partition constants per file).
+          // nullif guards the hive null sentinel; coalesce keeps real values
+          // for files that do carry the column.
+          val identSources: Seq[(String, org.apache.spark.sql.types.DataType)] =
+            groupTasks.map(_.specId).distinct.flatMap(specById(_).toSeq)
+              .flatMap(_.fields.filter(_.transform == graft.core.Transforms.Identity))
+              .flatMap(pf => schema.idToField.get(pf.sourceId)).distinct
+              .map(f => (nm.idToName.getOrElse(f.id, f.name),
+                SchemaBridge.toSparkType(f.fieldType)))
+          raw = identSources.foldLeft(raw) { case (d, (mappedName, st)) =>
+            d.withColumn(mappedName, coalesce(col(mappedName),
+              expr(s"try_cast(nullif(url_decode(regexp_extract(_metadata.file_path, " +
+                s"'/${mappedName}=([^/]+)', 1)), '__HIVE_DEFAULT_PARTITION__') AS ${st.sql})")))
+          }
+          raw.select(schema.fields.map(f =>
+            col(nm.idToName.getOrElse(f.id, f.name)).as(f.name)): _*)
         }
 
       // DVs span the whole group (one blob per data file); parquet

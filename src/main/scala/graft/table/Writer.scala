@@ -59,7 +59,8 @@ object Writer {
     val newFiles =
       if (partial.isEmpty) Nil
       else writeDataFiles(spark, table,
-        SparkRead.readTasks(spark, partial, schema, table.nameMapping)
+        SparkRead.readTasks(spark, partial, schema, table.nameMapping,
+          specById = table.metadata.specById)
           .filter(!Expr.toColumn(filter)))
     commitSnapshot(table, "overwrite", addedFiles = newFiles,
       removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil,
@@ -271,18 +272,37 @@ object Writer {
   /** AddFiles import (reference `table/transaction.go` AddFiles +
     * `name_mapping.go:29-510`): register existing parquet files in the table
     * WITHOUT rewriting them. Stats are harvested from footers (field-id
-    * resolution falls back to schema names for ID-less files); a name
-    * mapping is recorded so the read path can resolve ID-less columns by
-    * name. Unpartitioned tables with flat schemas only.
+    * resolution falls back to schema names — including nested dotted paths —
+    * for ID-less files); a nested name mapping is recorded so the read path
+    * resolves ID-less columns by name. Identity-partitioned tables import
+    * hive-style directories: partition values parse from `<col>=<value>`
+    * path segments (typed, like the fanout writer's own dirs); hive layout
+    * omits the partition column from the files, so the read path fills it
+    * from the directory value.
     */
   def addFiles(spark: SparkSession, table: Table, paths: Seq[String]): Table = {
-    require(table.spec.isUnpartitioned, "addFiles supports unpartitioned tables")
+    val spec = table.spec
+    require(spec.isUnpartitioned ||
+      spec.fields.forall(_.transform == Transforms.Identity),
+      "addFiles supports unpartitioned or identity-partitioned tables")
     val schema = table.schema
-    require(schema.fields.forall(f => f.fieldType match {
-      case _: IcebergTypes.StructT | _: IcebergTypes.ListT | _: IcebergTypes.MapT => false
-      case _ => true
-    }), "addFiles supports flat schemas only")
-    val files = paths.map(p => harvestStats(p, schema, partValues = Nil))
+    val partType = spec.partitionType(schema)
+    import scala.collection.parallel.CollectionConverters._
+    val files = paths.par.map { p =>
+      val partValues: Seq[Any] =
+        if (spec.isUnpartitioned) Nil
+        else {
+          val dirs = p.split('/').dropRight(1)
+          spec.fields.zip(partType.fields).map { case (pf, nf) =>
+            val srcName = schema.idToField(pf.sourceId).name
+            val seg = dirs.find(_.startsWith(s"$srcName=")).getOrElse(
+              throw new IllegalArgumentException(
+                s"no hive partition segment '$srcName=' in $p"))
+            parsePartitionValue(seg.substring(srcName.length + 1), nf.fieldType)
+          }
+        }
+      harvestStats(p, schema, partValues)
+    }.seq
     val mappingProp = table.metadata.properties.get(NameMapping.PropertyKey)
       .map(_ => Map.empty[String, String])
       .getOrElse(Map(NameMapping.PropertyKey -> NameMapping.fromSchema(schema).toJson))
