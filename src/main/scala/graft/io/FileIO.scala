@@ -101,8 +101,16 @@ object FileIO {
     */
   def createNoReplace(path: String, bytes: Array[Byte]): Unit = {
     val canon = canonical(path)
-    if (!canon.contains(":/")) {
-      val target = java.nio.file.Paths.get(canon)
+    // decide local-vs-remote by the RESOLVED filesystem, not by string
+    // inspection: a scheme-less path with fs.defaultFS=hdfs:// must CAS on
+    // HDFS, or the commit protocol silently splits across two filesystems
+    val resolved = fs(canon)
+    val isLocal = resolved.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      resolved.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+      resolved.getUri.getScheme == "file"
+    if (isLocal) {
+      val target = java.nio.file.Paths.get(
+        if (canon.contains(":/")) p(canon).toUri.getPath else canon)
       java.nio.file.Files.createDirectories(target.getParent)
       val tmp = target.getParent.resolve(s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
       java.nio.file.Files.write(tmp, bytes)

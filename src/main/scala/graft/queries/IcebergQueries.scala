@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.catalog.HadoopCatalog
 import graft.core._
 import graft.format.PartitionSpec
-import graft.table.{Evolve, SparkRead, Writer}
+import graft.table.{Evolve, Incremental, SparkRead, Writer}
 import Q._
 
 /** Iceberg round-trip gate queries: load the testdata parquet into Iceberg
@@ -152,14 +152,25 @@ object IcebergQueries {
       val nManifests = graft.format.Manifests
         .readManifestList(t.metadata.currentSnapshot.get.manifestList)
         .count(_.content == graft.format.ManifestContent.Data)
+      // a merging commit must still expose its OWN appended files as Added
+      // (reference `snapshot_producers.go` keeps ADDED for the current
+      // snapshot) — otherwise incremental/CDC reads silently under-read
+      val snaps = t.metadata.snapshots
+      val incr = Incremental.readAppends(s, t,
+        snaps(snaps.size - 2).snapshotId, snaps.last.snapshotId)
+      val expected = sup.filter(col("s_suppkey") % 20 === 19)
+      def keySum(df: DataFrame): Long = // null-safe: empty group sums to 0
+        df.agg(coalesce(sum(col("s_suppkey").cast("long")), lit(0L))).head.getLong(0)
+      val incrOk = incr.count() == expected.count() && keySum(incr) == keySum(expected)
       SparkRead.read(s, t.newScan)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), sum(col("s_suppkey").cast("long")).as("key_sum"))
         .withColumn("bounded", lit((nManifests <= 4).toString))
+        .withColumn("incr_ok", lit(incrOk.toString))
         .orderBy(col("s_nationkey"))
     }, Some("""
       SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
-             'true' AS bounded
+             'true' AS bounded, 'true' AS incr_ok
       FROM supplier
       GROUP BY s_nationkey
       ORDER BY s_nationkey""")),

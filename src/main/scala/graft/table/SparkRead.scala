@@ -127,9 +127,18 @@ object SparkRead {
               .map(f => (nm.idToName.getOrElse(f.id, f.name),
                 SchemaBridge.toSparkType(f.fieldType)))
           raw = identSources.foldLeft(raw) { case (d, (mappedName, st)) =>
-            d.withColumn(mappedName, coalesce(col(mappedName),
-              expr(s"try_cast(nullif(url_decode(regexp_extract(_metadata.file_path, " +
-                s"'/${mappedName}=([^/]+)', 1)), '__HIVE_DEFAULT_PARTITION__') AS ${st.sql})")))
+            // Column APIs, not string SQL: regex-quote the name (it may carry
+            // metacharacters) and nullif the no-match '' before decoding so a
+            // genuinely absent segment yields NULL, not ''.
+            val seg = regexp_extract(col("_metadata.file_path"),
+              "/" + java.util.regex.Pattern.quote(mappedName) + "=([^/]+)", 1)
+            // Hive's escapePathName only %XX-encodes (literal '+' is legal);
+            // protect '+' before url_decode so it survives rather than
+            // becoming a space (URLDecoder form semantics)
+            val decoded = nullif(
+              url_decode(regexp_replace(nullif(seg, lit("")), "\\+", "%2B")),
+              lit("__HIVE_DEFAULT_PARTITION__"))
+            d.withColumn(mappedName, coalesce(d.col(s"`$mappedName`"), decoded.try_cast(st)))
           }
           raw.select(schema.fields.map(f =>
             col(nm.idToName.getOrElse(f.id, f.name)).as(f.name)): _*)

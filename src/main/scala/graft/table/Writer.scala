@@ -511,8 +511,27 @@ object Writer {
     }
   }
 
+  /** Decode ONLY %XX escapes (Hive `unescapePathName` semantics).
+    * URLDecoder's form decoding would also map literal '+' to space — Hive's
+    * escapePathName never encodes '+', so that mapping corrupts string
+    * partition values containing '+'.
+    */
+  private def unescapeHivePath(encoded: String): String = {
+    if (!encoded.contains('%')) return encoded
+    val sb = new java.lang.StringBuilder(encoded.length)
+    var i = 0
+    while (i < encoded.length) {
+      val c = encoded.charAt(i)
+      if (c == '%' && i + 2 < encoded.length) {
+        val hex = Integer.parseInt(encoded.substring(i + 1, i + 3), 16)
+        sb.append(hex.toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def parsePartitionValue(encoded: String, t: IcebergType): Any = {
-    val s = java.net.URLDecoder.decode(encoded, "UTF-8")
+    val s = unescapeHivePath(encoded)
     if (s == "__HIVE_DEFAULT_PARTITION__" || s == "null") return null
     t match {
       case IntT => s.toInt
@@ -880,22 +899,37 @@ object Writer {
       }
       val lastBin = bin.result()
       if (lastBin.nonEmpty) bins += lastBin
-      bins.result().map { group =>
-        if (group.size == 1) group.head
+      bins.result().flatMap { group =>
+        if (group.size == 1) Some(group.head)
         else {
-          val entries = group.flatMap { m =>
+          // Parallel reads, mirroring the reference's worker pool
+          // (`table/snapshot_producers.go:359-527`).
+          import scala.collection.parallel.CollectionConverters._
+          val entries = group.par.map { m =>
             val (es, _) = Manifests.readManifest(m.path)
-            es.filter(_.status != ManifestEntryStatus.Deleted).map(e =>
-              e.copy(status = ManifestEntryStatus.Existing,
-                dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
+            // Entries appended by THIS commit keep status Added so that
+            // incremental/CDC reads (Incremental.appendsBetween) still see
+            // them (reference `snapshot_producers.go` createManifest keeps
+            // ADDED when snapshotID == current); older entries flip to
+            // Existing with their sequence number resolved.
+            es.filter(_.status != ManifestEntryStatus.Deleted).map { e =>
+              val seq = Some(e.dataSequence.getOrElse(m.sequenceNumber))
+              if (e.snapshotId.contains(snapshotId)) e.copy(dataSequence = seq)
+              else e.copy(status = ManifestEntryStatus.Existing, dataSequence = seq)
+            }
+          }.seq.flatten
+          if (entries.isEmpty) None // all-filtered bin: nothing to write
+          else {
+            val (added, existing) =
+              entries.partition(_.status == ManifestEntryStatus.Added)
+            val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
+            val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId)
+            Some(ManifestFile(p, len, specId, ManifestContent.Data,
+              newSeq, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
+              snapshotId, added.size, existing.size, 0,
+              added.map(_.file.recordCount).sum, existing.map(_.file.recordCount).sum, 0L,
+              partitionSummaries(entries.map(_.file), partType)))
           }
-          val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
-          val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId)
-          ManifestFile(p, len, specId, ManifestContent.Data,
-            newSeq, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
-            snapshotId, 0, entries.size, 0,
-            0L, entries.map(_.file.recordCount).sum, 0L,
-            partitionSummaries(entries.map(_.file), partType))
         }
       }
     }
