@@ -492,29 +492,44 @@ object IcebergQueries {
       GROUP BY p_brand
       ORDER BY p_brand""")),
 
-    // metadata inspection: snapshots/files tables (rows-only; timestamps vary)
+    // metadata inspection, oracle-pinned: the shared lineitem table is built
+    // by exactly one append, so snapshot count / operation / sequence are
+    // constants and added-records must equal the table's row count
     QueryDef("i11_snapshots_meta", (s, dir) => {
       val t = catalogFor(s, dir).loadTable("lineitem")
-      val snaps = t.metadata.snapshots.map(sn =>
-        (sn.snapshotId, sn.sequenceNumber, sn.summary.getOrElse("operation", ""),
-          sn.summary.getOrElse("added-data-files", "0").toLong,
-          sn.summary.getOrElse("added-records", "0").toLong))
+      val snaps = t.metadata.snapshots
+      val last = snaps.last
       import s.implicits._
-      snaps.toDF("snapshot_id", "sequence_number", "operation", "added_files", "added_records")
-        .orderBy(col("sequence_number"))
-    }, None),
+      Seq((snaps.size.toLong,
+        last.summary.getOrElse("operation", ""),
+        last.summary.getOrElse("added-records", "0").toLong,
+        (last.sequenceNumber == 1L && last.summary.getOrElse("added-data-files", "0").toLong >= 1L).toString))
+        .toDF("n_snapshots", "operation", "added_records", "seq_ok")
+    }, Some("""
+      SELECT CAST(1 AS BIGINT) AS n_snapshots, 'append' AS operation,
+             CAST(COUNT(*) AS BIGINT) AS added_records, 'true' AS seq_ok
+      FROM lineitem""")),
 
+    // files metadata vs the data itself: manifest record counts per month
+    // partition must reconcile exactly with COUNT(*) grouped by the same
+    // transform computed from the raw parquet
     QueryDef("i12_files_meta", (s, dir) => {
       val t = catalogFor(s, dir).loadTable("lineitem")
       val files = t.newScan.planFiles().map(task =>
-        (task.file.path, task.file.recordCount, task.file.fileSize,
-          task.file.partition.mkString("/"), task.dataSequence))
+        (task.file.partition.head.asInstanceOf[Number].intValue,
+          task.file.recordCount, task.file.fileSize))
       import s.implicits._
-      files.toDF("path", "record_count", "file_size", "partition", "sequence_number")
-        .groupBy(col("partition"))
-        .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("rows"))
-        .orderBy(col("partition"))
-    }, None),
+      files.toDF("part_month", "record_count", "file_size")
+        .groupBy(col("part_month"))
+        .agg(sum(col("record_count")).as("n_rows"),
+          (count(lit(1)) >= 1 && sum(col("file_size")) > 0).cast("string").as("files_ok"))
+        .orderBy(col("part_month"))
+    }, Some("""
+      SELECT CAST((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1 AS INT) AS part_month,
+             CAST(COUNT(*) AS BIGINT) AS n_rows, 'true' AS files_ok
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1""")),
 
     // null-keyed equality delete: a delete row whose key is null must delete
     // null-keyed data rows (iceberg matches null = null; reference canonical

@@ -37,16 +37,34 @@ object SimilarityQueries {
       FROM r WHERE rank <= 5
       ORDER BY qid, rank""")),
 
+    // ANN quality gate: recall@5 vs the exact brute-force top-k, computed
+    // in-query and pinned by the oracle. These embeddings are unstructured
+    // (near-orthogonal random vectors), so 16 buckets with 6 probed is the
+    // honest recall/fan-out point (~0.55 here; pinned at 0.35 with margin);
+    // each query must also find itself at rank 1 (it shares its own bucket).
     QueryDef("s3_ann_lsh", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      Similarity.lshTopK(queries, emb, k = 5, nbits = 8, probes = 3)
-        .orderBy(col("qid"), col("rank"))
-    }, None),
+      val ann = Similarity.lshTopK(queries, emb, k = 5, nbits = 4, probes = 5)
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      val hits = ann.select(col("qid"), col("cid"))
+        .intersect(exact.select(col("qid"), col("cid"))).count()
+      val total = exact.count()
+      val nq = queries.count()
+      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
+      import s.implicits._
+      Seq((nq, (hits.toDouble / total >= 0.35).toString, selfOk.toString))
+        .toDF("n_queries", "recall_ok", "self_ok")
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 'true' AS recall_ok,
+             'true' AS self_ok
+      FROM embeddings WHERE vec_id < 20""")),
 
+    // embedding-cosine near-dup over a doubled corpus: every duplicated
+    // vector's top-1 must be its exact twin at cosine 1.0 — identical vectors
+    // share an LSH bucket by construction, so the oracle pins the full rows
     QueryDef("s4_embedding_neardup", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      // embedding-cosine near-dup: doubled corpus -> exact dups at cos ~ 1
       val u = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
       val top = Similarity.lshTopK(
         u.filter(col("vec_id") >= 1000000L), u.filter(col("vec_id") < 1000000L),
@@ -54,6 +72,8 @@ object SimilarityQueries {
       top.filter(col("cosine") > 0.999)
         .select(col("qid"), col("cid"), col("cosine"))
         .orderBy(col("qid"))
-    }, None)
+    }, Some("""
+      SELECT vec_id + 1000000 AS qid, vec_id AS cid, 1.0 AS cosine
+      FROM embeddings ORDER BY qid"""))
   )
 }

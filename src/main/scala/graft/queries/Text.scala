@@ -80,6 +80,8 @@ object Text {
       GROUP BY lang
       ORDER BY lang""")),
 
+    // every signal mirrored in DuckDB list/regex SQL; ratios are single IEEE
+    // divisions of integer counts, so the float compare is exact
     QueryDef("t4_quality_score", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       // sort BEFORE the projection: orderBy-after would evaluate the
@@ -89,46 +91,148 @@ object Text {
         TextStats.tokenCountBpeIsh(col("text")).as("n_tokens_bpe"),
         TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
         TextStats.qualityScore(col("text")).as("quality"))
-    }, None),
+    }, Some("""
+      WITH sig AS (
+        SELECT doc_id, text, trim(text) AS tt,
+          CASE WHEN length(trim(text)) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], t))) AS DOUBLE)
+                    / len(string_split_regex(lower(trim(text)), '\s+')) END AS stopword_ratio,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text) END AS punct,
+          CASE WHEN length(trim(text)) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+                    / len(string_split_regex(trim(text), '\s+')) END AS mwl
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN length(tt) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(len(string_split_regex(tt, '\s+')) AS BIGINT) END AS n_tokens_ws,
+        CAST(coalesce(list_sum(list_transform(
+            regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'),
+            w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpe,
+        stopword_ratio,
+        round(
+          least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3 +
+          (CASE WHEN punct > 0.2 THEN 0.0 ELSE 1.0 - punct * 5.0 * 0.5 END) * 0.2 +
+          (CASE WHEN stopword_ratio > 0.6 THEN 0.5 ELSE least(stopword_ratio * 3.0, 1.0) END) * 0.3 +
+          (CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 0.2 ELSE 1.0 END) * 0.2, 6) AS quality
+      FROM sig
+      ORDER BY doc_id""")),
 
+    // the corpus is ASCII, so detectLanguage reduces to its stopword-voting
+    // path — fully replicated in DuckDB list SQL (votes sorted (v, lang),
+    // max wins, < 0.02 -> 'und'), giving the UDF a per-row oracle
     QueryDef("t5_langid", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.orderBy(col("doc_id"))
         .select(col("doc_id"), TextStats.langIdUdf(col("text")).as("pred_lang"))
-    }, None),
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        FROM documents),
+      v AS (
+        SELECT doc_id, toks,
+          list_sort([
+            {'v': CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it','was','for','with','are'], t))) AS DOUBLE) / len(toks) END, 'l': 'en'},
+            {'v': CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','den','mit','von'], t))) AS DOUBLE) / len(toks) END, 'l': 'de'},
+            {'v': CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','des','du','que','pour','dans'], t))) AS DOUBLE) / len(toks) END, 'l': 'fr'},
+            {'v': CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(['el','los','las','y','es','un','una','de','en','por','para','con'], t))) AS DOUBLE) / len(toks) END, 'l': 'es'},
+            {'v': CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(['il','lo','gli','e','di','che','un','una','per','sono','con','del'], t))) AS DOUBLE) / len(toks) END, 'l': 'it'},
+            {'v': CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(['o','os','as','e','de','que','um','uma','para','com','em','do'], t))) AS DOUBLE) / len(toks) END, 'l': 'pt'}
+          ]) AS votes
+        FROM t)
+      SELECT doc_id,
+        CASE WHEN len(toks) = 0 OR votes[-1].v < 0.02 THEN 'und' ELSE votes[-1].l END AS pred_lang
+      FROM v
+      ORDER BY doc_id""")),
 
+    // polynomial rolling hash mod 2^61-1, replayed in DuckDB via HUGEINT
+    // list_reduce over the normalized text's codepoints — exact per-row
     QueryDef("t6_fingerprint", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.orderBy(col("doc_id"))
         .select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fingerprint"))
-    }, None),
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, length(nt) + 1), i -> CAST(unicode(nt[i]) AS HUGEINT))),
+          (h, c) -> (h * 1000003 + c) % 2305843009213693951) AS BIGINT) AS fingerprint
+      FROM t
+      ORDER BY doc_id""")),
 
+    // exact-dup pairs (id, id+1M) must land in the same cluster, and since
+    // twins always travel together every cluster has even size — both pinned
+    // per-row by the oracle
     QueryDef("t7_minhash_clusters", (s, dir) => {
       val u = doubled(s, dir)
-      // exact dup pairs (id, id+1M) must land in the same cluster; clusters
-      // therefore have >= 2 members and cluster_id == original doc_id
-      Dedup.minHashLsh(u, "doc_id", "text")
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("members"))
-        .orderBy(col("cluster_id"))
-    }, None),
+      val cl = Dedup.minHashLsh(u, "doc_id", "text")
+      val a = cl.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id"), col("cluster_id").as("ca"))
+      val b = cl.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"), col("cluster_id").as("cb"))
+      val odd = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+        .filter(col("m") % 2 =!= 0).count()
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          (col("ca") === col("cb")).cast("string").as("twin_same_cluster"),
+          lit((odd == 0L).toString).as("even_sizes"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'true' AS twin_same_cluster, 'true' AS even_sizes
+      FROM documents ORDER BY doc_id""")),
 
+    // identical text must simhash identically (per-row twin check over the
+    // doubled corpus); bit-count sanity pinned alongside
     QueryDef("t8_simhash", (s, dir) => {
-      val docs = tbl(s, dir, "documents")
-      Dedup.simHash(docs.orderBy(col("doc_id")), "doc_id", "text")
-    }, None),
+      val u = doubled(s, dir)
+      val sh = Dedup.simHash(u, "doc_id", "text")
+      val a = sh.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id"), col("simhash").as("ha"))
+      val b = sh.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"), col("simhash").as("hb"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          (col("ha") === col("hb")).cast("string").as("twin_equal"),
+          (col("ha") =!= 0L).cast("string").as("nonzero"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'true' AS twin_equal, 'true' AS nonzero
+      FROM documents ORDER BY doc_id""")),
 
+    // recall gate: every identical-text pair must surface from the banded
+    // candidate pipeline with estimated jaccard exactly 1.0
     QueryDef("t9_neardup_pairs", (s, dir) => {
       val u = doubled(s, dir)
-      Dedup.nearDupPairsMinHash(u, "doc_id", "text", threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))
-    }, None),
+      val pairs = Dedup.nearDupPairsMinHash(u, "doc_id", "text", threshold = 0.8)
+      val twins = pairs
+        .filter(col("id_b") === col("id_a") + 1000000L && col("jaccard") === 1.0)
+        .select(col("id_a").as("doc_id"), lit(true).as("f"))
+      u.filter(col("doc_id") < 1000000L).select(col("doc_id"))
+        .join(twins, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("f"), lit(false)).cast("string").as("twin_pair_found"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'true' AS twin_pair_found FROM documents ORDER BY doc_id""")),
 
     QueryDef("t10_simhash_pairs", (s, dir) => {
       val u = doubled(s, dir)
-      Dedup.nearDupPairsSimHash(u, "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    }, None),
+      val pairs = Dedup.nearDupPairsSimHash(u, "doc_id", "text", maxHamming = 3)
+      val twins = pairs
+        .filter(col("id_b") === col("id_a") + 1000000L && col("hamming") === 0)
+        .select(col("id_a").as("doc_id"), lit(true).as("f"))
+      u.filter(col("doc_id") < 1000000L).select(col("doc_id"))
+        .join(twins, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("f"), lit(false)).cast("string").as("twin_pair_found"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'true' AS twin_pair_found FROM documents ORDER BY doc_id""")),
 
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
