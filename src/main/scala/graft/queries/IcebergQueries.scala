@@ -210,6 +210,42 @@ object IcebergQueries {
       GROUP BY c_nationkey
       ORDER BY c_nationkey""")),
 
+    // zero-driver-footer-probe planning: scanning a >=1k-file ID-less import
+    // must not open a single footer on the driver — presence is seeded by the
+    // addFiles harvest, and a fresh driver (cache cleared here) resolves the
+    // misses with ONE distributed probe job
+    QueryDef("i35_import_probe", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"imp3_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val tmp = s"/root/repo/target/probe-import-${UUID.randomUUID().toString.take(8)}"
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+      try c.repartition(1024).write.parquet(tmp)
+      finally s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t0 = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
+      val paths = graft.io.FileIO.listFilesRecursive(tmp)
+        .map(_.path).filter(_.endsWith(".parquet"))
+      val t1 = Writer.addFiles(s, t0, paths)
+      SparkRead.clearFieldIdCache() // simulate a fresh driver
+      SparkRead.driverFooterProbes.set(0)
+      val df = SparkRead.read(s, t1.newScan) // plans eagerly -> probe runs here
+      val zeroProbes = SparkRead.driverFooterProbes.get() == 0L
+      df.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey").cast("long")).as("key_sum"))
+        .withColumn("no_driver_probe", lit(zeroProbes.toString))
+        // empty round-robin partitions write no file, so a tiny SF can't
+        // produce 1024 files — the bar is 1k files or one per row
+        .withColumn("many_files",
+          lit((paths.size >= math.min(1000L, c.count())).toString))
+        .orderBy(col("c_nationkey"))
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             'true' AS no_driver_probe, 'true' AS many_files
+      FROM customer
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
+
     // nested-column stats: footer bounds for struct-nested fields must reach
     // the manifest, so a predicate on `info.nk` prunes files (ScanMetrics
     // skippedDataFiles > 0) and the residual pushes into the scan

@@ -86,11 +86,19 @@ object SparkRead {
         t.posDeletes.filter(_.format != "PUFFIN").map(d => (d.path, d.contentOffset)).toSet,
         t.eqDeletes.map(_._1.path).toSet)).values.toSeq
 
+    // ID-presence for name-mapped tables resolves ONCE for the whole task
+    // set (cache hits + one distributed probe job for misses) — never a
+    // serial per-file footer read on the driver
+    val presence: Map[String, Boolean] = nameMapping match {
+      case None => Map.empty
+      case Some(_) => fieldIdPresence(spark, tasks.map(_.file.path).distinct)
+    }
+
     val parts = groups.flatMap { groupTasks =>
       val subGroups: Seq[(Seq[FileScanTask], Boolean)] = nameMapping match {
         case None => Seq((groupTasks, true))
         case Some(_) =>
-          val (withIds, without) = groupTasks.partition(t => hasFieldIds(t.file.path))
+          val (withIds, without) = groupTasks.partition(t => presence(t.file.path))
           Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
       }
       subGroups.map { case (sub, idsPresent) => readSubGroup(spark, sub, idsPresent,
@@ -255,22 +263,51 @@ object SparkRead {
       Seq.empty[(String, Long, String)].toDF("file_path", "pos", "delete_file_path"))
   }
 
-  /** Does the parquet footer embed field IDs? Driver-side probe, cached per
-    * path; only consulted for tables that carry a name mapping.
+  /** Does the parquet footer embed field IDs? Per-JVM cache, seeded at
+    * `addFiles` time (the import harvest reads every footer anyway) and
+    * back-filled by a DISTRIBUTED probe job for paths a fresh driver has
+    * never seen — the first scan of a 100k-file imported table must not do
+    * 100k serial footer reads on the driver.
     */
   private val fieldIdProbe =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def hasFieldIds(path: String): Boolean =
-    fieldIdProbe.computeIfAbsent(path, { p =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p), conf))
-      try {
-        val fields = reader.getFooter.getFileMetaData.getSchema.getFields
-        !fields.isEmpty && fields.get(0).getId != null
-      } finally reader.close()
-    })
+
+  /** Footer opens executed on the driver during scan planning (gate i35
+    * asserts this stays 0); executor-side probe opens don't count.
+    */
+  private[graft] val driverFooterProbes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def seedFieldIdPresence(path: String, hasIds: Boolean): Unit = {
+    fieldIdProbe.put(path, java.lang.Boolean.valueOf(hasIds)); ()
+  }
+
+  private[graft] def clearFieldIdCache(): Unit = fieldIdProbe.clear()
+
+  private[table] def probeFooterHasIds(path: String): Boolean = {
+    if (org.apache.spark.TaskContext.get() == null) driverFooterProbes.incrementAndGet()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val fields = reader.getFooter.getFileMetaData.getSchema.getFields
+      !fields.isEmpty && fields.get(0).getId != null
+    } finally reader.close()
+  }
+
+  private def fieldIdPresence(spark: SparkSession,
+      paths: Seq[String]): Map[String, Boolean] = {
+    val canon = paths.map(p => p -> graft.io.FileIO.canonical(p)).toMap
+    val misses = paths.filterNot(p => fieldIdProbe.containsKey(canon(p)))
+    if (misses.nonEmpty) {
+      spark.sparkContext
+        .parallelize(misses, math.max(1, math.min(misses.size, 64)))
+        .map(p => (p, probeFooterHasIds(p)))
+        .collect()
+        .foreach { case (p, b) => seedFieldIdPresence(canon(p), b) }
+    }
+    paths.map(p => p -> fieldIdProbe.get(canon(p)).booleanValue).toMap
+  }
 
   private def applyResidual(df: DataFrame, scan: Scan): DataFrame = {
     val filtered = scan.filter match {

@@ -574,6 +574,12 @@ object Writer {
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
 
+      // this footer read already knows whether the file embeds field IDs —
+      // seed the scan planner's per-JVM presence cache so the first scan of
+      // an imported table never re-probes footers (serially or otherwise)
+      SparkRead.seedFieldIdPresence(graft.io.FileIO.canonical(path),
+        !msgType.getFields.isEmpty && msgType.getFields.get(0).getId != null)
+
       // parquet column -> field id: the leaf's embedded id when present,
       // else the schema's dotted-path name (struct nesting; list/map
       // internal parquet paths — "list"/"element"/"key_value" — don't match
