@@ -22,6 +22,12 @@ final class Table(
   def nameMapping: Option[NameMapping] =
     metadata.properties.get(NameMapping.PropertyKey).map(NameMapping.fromJson)
 
+  /** Metrics reporter named by `metrics-reporter-impl` (nop when unset;
+    * unknown names fail loudly — reference `metrics/registry.go:95-117`).
+    */
+  lazy val reporter: graft.metrics.Reporter =
+    graft.metrics.Registry.fromProperties(metadata.properties)
+
   def refresh(): Table = catalog.loadTable(name)
 
   /** The catalog version THIS metadata was loaded from — the CAS base for
@@ -94,6 +100,7 @@ final case class Scan(
   def planFiles(): Seq[FileScanTask] = planFilesWithMetrics()._1
 
   def planFilesWithMetrics(): (Seq[FileScanTask], ScanMetrics) = {
+    val planStart = System.nanoTime()
     val snap = snapshot.getOrElse(return (Nil, ScanMetrics()))
     val meta = table.metadata
     val schema = meta.schemaById(snap.schemaId.getOrElse(meta.currentSchemaId))
@@ -148,14 +155,49 @@ final case class Scan(
     }.seq
     val tasks = perManifest.flatMap(_._1)
     val totalEntries = perManifest.map(_._2).sum
-    (tasks, ScanMetrics(
+    val metrics = ScanMetrics(
       totalManifests = dataManifests.size,
       skippedManifests = dataManifests.size - liveDataManifests.size,
       totalDataFiles = totalEntries,
       skippedDataFiles = totalEntries - tasks.size,
       resultDataFiles = tasks.size,
       posDeleteFiles = tasks.map(_.posDeletes.size).sum,
-      eqDeleteFiles = tasks.map(_.eqDeletes.size).sum))
+      eqDeleteFiles = tasks.map(_.eqDeletes.size).sum)
+    emitScanReport(snap, schema, metrics, System.nanoTime() - planStart)
+    (tasks, metrics)
+  }
+
+  /** Emit a spec ScanReport after planning (reference
+    * `metrics/scan_report.go:33-80`); never fails the scan.
+    */
+  private def emitScanReport(snap: Snapshot, schema: IcebergSchema,
+      m: ScanMetrics, elapsedNanos: Long): Unit = {
+    try {
+      val rep = table.reporter
+      if (rep eq graft.metrics.NopReporter) return
+      import graft.metrics.{CounterResult, ScanMetricsResult, ScanReport, TimerResult}
+      val projected =
+        if (selected.isEmpty) schema.fields
+        else schema.fields.filter(f => selected.contains(f.name))
+      def cnt(n: Long) = Some(CounterResult.count(n))
+      graft.metrics.Reporter.safe(rep, ScanReport(
+        tableName = table.name,
+        snapshotId = snap.snapshotId,
+        schemaId = snap.schemaId.getOrElse(table.metadata.currentSchemaId),
+        projectedFieldIds = projected.map(_.id),
+        projectedFieldNames = projected.map(_.name),
+        filterJson = graft.core.ExprJson.toJson(filter),
+        metrics = ScanMetricsResult(
+          totalPlanningDuration = Some(TimerResult.nanos(1, elapsedNanos)),
+          resultDataFiles = cnt(m.resultDataFiles.toLong),
+          resultDeleteFiles = cnt((m.posDeleteFiles + m.eqDeleteFiles).toLong),
+          totalDataManifests = cnt(m.totalManifests.toLong),
+          scannedDataManifests = cnt((m.totalManifests - m.skippedManifests).toLong),
+          skippedDataManifests = cnt(m.skippedManifests.toLong),
+          skippedDataFiles = cnt(m.skippedDataFiles.toLong),
+          equalityDeleteFiles = cnt(m.eqDeleteFiles.toLong),
+          positionalDeleteFiles = cnt(m.posDeleteFiles.toLong))))
+    } catch { case _: Exception => () }
   }
 
 }

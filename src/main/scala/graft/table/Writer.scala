@@ -700,13 +700,19 @@ object Writer {
     val maxWait = propLong("commit.retry.max-wait-ms", 60000L)
     val deadline = System.currentTimeMillis() + propLong("commit.retry.total-timeout-ms", 1800000L)
 
+    val t0 = System.nanoTime()
     var t = table
     var attempt = 0
     while (true) {
       if (attempt > 0) validateRebase(t, removedPaths, conflictCheck)
-      try return commitSnapshotOnce(t, operation, addedFiles, removedPaths,
-        addedDeleteFiles, removedDeleteKeys, extraProperties, extraSummary)
-      catch {
+      val acc = new CommitAccumulator
+      try {
+        val committed = commitSnapshotOnce(t, operation, addedFiles, removedPaths,
+          addedDeleteFiles, removedDeleteKeys, extraProperties, extraSummary, acc)
+        emitCommitReport(committed, operation, addedFiles, addedDeleteFiles,
+          acc, attempt + 1, System.nanoTime() - t0)
+        return committed
+      } catch {
         case _: graft.catalog.CommitConflict
             if attempt < maxRetries && System.currentTimeMillis() < deadline =>
           val backoff = math.min(maxWait, minWait << math.min(attempt, 16))
@@ -716,6 +722,60 @@ object Writer {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Per-commit observability deltas gathered while manifests are built. */
+  private final class CommitAccumulator {
+    val removedData = Seq.newBuilder[DataFile]
+    val removedDeletes = Seq.newBuilder[DataFile]
+    var entriesProcessed = 0L
+  }
+
+  /** Emit a spec CommitReport to the table's configured reporter (reference
+    * `metrics/commit_report.go:29-110`). The commit has already succeeded —
+    * reporting failures must never surface to the committer.
+    */
+  private def emitCommitReport(t: Table, operation: String,
+      addedFiles: Seq[DataFile], addedDeleteFiles: Seq[DataFile],
+      acc: CommitAccumulator, attempts: Int, elapsedNanos: Long): Unit = {
+    try {
+      val rep = t.reporter
+      if (rep eq graft.metrics.NopReporter) return
+      import graft.metrics.{CommitMetricsResult, CommitReport, CounterResult, TimerResult}
+      val snap = t.metadata.currentSnapshot.get
+      val all = Manifests.readManifestList(snap.manifestList)
+      val (dataM, delM) = all.partition(_.content == ManifestContent.Data)
+      val removedData = acc.removedData.result()
+      val removedDel = acc.removedDeletes.result()
+      val addedEq = addedDeleteFiles.filter(_.content == DataFileContent.EqualityDeletes)
+      val addedDv = addedDeleteFiles.filter(_.format == "PUFFIN")
+      val addedPos = addedDeleteFiles.filter(f =>
+        f.content == DataFileContent.PositionDeletes && f.format != "PUFFIN")
+      def cnt(n: Long) = Some(CounterResult.count(n))
+      val metrics = CommitMetricsResult(
+        totalDuration = Some(TimerResult.nanos(1, elapsedNanos)),
+        attempts = cnt(attempts.toLong),
+        addedDataFiles = cnt(addedFiles.size.toLong),
+        removedDataFiles = cnt(removedData.size.toLong),
+        totalDataFiles = cnt(dataM.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum),
+        addedDeleteFiles = cnt(addedDeleteFiles.size.toLong),
+        removedDeleteFiles = cnt(removedDel.size.toLong),
+        totalDeleteFiles = cnt(delM.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum),
+        addedEqualityDeleteFiles = cnt(addedEq.size.toLong),
+        addedPositionalDeleteFiles = cnt(addedPos.size.toLong),
+        addedDVs = cnt(addedDv.size.toLong),
+        removedDVs = cnt(removedDel.count(_.format == "PUFFIN").toLong),
+        addedRecords = cnt(addedFiles.map(_.recordCount).sum),
+        removedRecords = cnt(removedData.map(_.recordCount).sum),
+        totalRecords = cnt(dataM.map(m => m.addedRowsCount + m.existingRowsCount).sum),
+        addedFilesSizeBytes = Some(CounterResult.bytes(addedFiles.map(_.fileSize).sum)),
+        removedFilesSizeBytes = Some(CounterResult.bytes(removedData.map(_.fileSize).sum)),
+        manifestsCreated = cnt(all.count(_.addedSnapshotId == snap.snapshotId).toLong),
+        manifestsKept = cnt(all.count(_.addedSnapshotId != snap.snapshotId).toLong),
+        manifestEntriesProcessed = Some(CounterResult.count(acc.entriesProcessed)))
+      graft.metrics.Reporter.safe(rep, CommitReport(
+        t.name, snap.snapshotId, snap.sequenceNumber, operation, metrics))
+    } catch { case _: Exception => () }
   }
 
   /** Rebase-time conflict validation: removed files must still be live (a
@@ -747,7 +807,8 @@ object Writer {
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],
       removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
       extraProperties: Map[String, String] = Map.empty,
-      extraSummary: Map[String, String] = Map.empty): Table = {
+      extraSummary: Map[String, String] = Map.empty,
+      acc: CommitAccumulator = new CommitAccumulator): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -774,7 +835,11 @@ object Writer {
           manifests += m
         } else {
           val (entries, _) = Manifests.readManifest(m.path)
+          acc.entriesProcessed += entries.size
           val live = entries.filter(e => e.status != ManifestEntryStatus.Deleted && keep(e))
+          val dropped = entries.filter(e => e.status != ManifestEntryStatus.Deleted && !keep(e))
+          if (isData) acc.removedData ++= dropped.map(_.file)
+          else acc.removedDeletes ++= dropped.map(_.file)
           if (live.size == entries.size) manifests += m
           else if (live.nonEmpty) {
             val kept = live.map(e => e.copy(status = ManifestEntryStatus.Existing,
@@ -836,7 +901,7 @@ object Writer {
 
     val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
     val allManifests = mergeAppendManifests(meta, manifests.result(), snapshotId,
-      newSeq, metadataDir)
+      newSeq, metadataDir, acc)
     Manifests.writeManifestList(manifestListPath, allManifests, snapshotId,
       meta.currentSnapshotId, newSeq)
 
@@ -878,7 +943,8 @@ object Writer {
     * time-travel semantics are unchanged.
     */
   private def mergeAppendManifests(meta: TableMetadata, all: Seq[ManifestFile],
-      snapshotId: Long, newSeq: Long, metadataDir: String): Seq[ManifestFile] = {
+      snapshotId: Long, newSeq: Long, metadataDir: String,
+      acc: CommitAccumulator = new CommitAccumulator): Seq[ManifestFile] = {
     val props = meta.properties
     val enabled = props.getOrElse("commit.manifest-merge.enabled", "true").toBoolean
     val minCount = props.get("commit.manifest.min-count-to-merge").map(_.toInt).getOrElse(100)
@@ -924,6 +990,7 @@ object Writer {
               else e.copy(status = ManifestEntryStatus.Existing, dataSequence = seq)
             }
           }.seq.flatten
+          acc.entriesProcessed += entries.size
           if (entries.isEmpty) None // all-filtered bin: nothing to write
           else {
             val (added, existing) =
