@@ -210,6 +210,37 @@ object IcebergQueries {
       GROUP BY c_nationkey
       ORDER BY c_nationkey""")),
 
+    // conflict-validation matrix: a compaction racing a MoR DV delete must
+    // never lose the delete — the stale compaction either rebases correctly
+    // or raises ValidationException, and the deleted rows stay deleted
+    QueryDef("i36_conflict_rewrite", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"cfl_${UUID.randomUUID().toString.take(8)}"
+      val sup = tbl(s, dir, "supplier")
+      val schema = SchemaBridge.fromSpark(sup.schema)
+      var t = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
+      (0 until 4).foreach { i =>
+        t = Writer.append(s, t, sup.filter(col("s_suppkey") % 4 === i))
+      }
+      val staleForCompaction = t
+      // the MoR delete wins the race
+      Writer.deleteWhereDV(s, t, Expr.lt("s_suppkey", 5))
+      val conflicted =
+        try {
+          graft.table.Maintenance.rewriteDataFiles(s, staleForCompaction,
+            rewriteAll = true)
+          false
+        } catch { case _: graft.table.ValidationException => true }
+      val t2 = cat.loadTable(name)
+      SparkRead.read(s, t2.newScan)
+        .agg(count(lit(1)).as("n_live"), sum(col("s_suppkey").cast("long")).as("key_sum"))
+        .withColumn("conflict_detected", lit(conflicted.toString))
+    }, Some("""
+      SELECT COUNT(*) AS n_live, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+             'true' AS conflict_detected
+      FROM supplier
+      WHERE NOT s_suppkey < 5""")),
+
     // zero-driver-footer-probe planning: scanning a >=1k-file ID-less import
     // must not open a single footer on the driver — presence is seeded by the
     // addFiles harvest, and a fresh driver (cache cleared here) resolves the

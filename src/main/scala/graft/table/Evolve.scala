@@ -221,6 +221,20 @@ object Evolve {
   def removeRef(table: Table, name: String): Table =
     commitMetadata(table, table.metadata.copy(refs = table.metadata.refs - name))
 
+  /** Set/overwrite table properties (reference `table/transaction.go`
+    * SetProperties).
+    */
+  def setProperties(table: Table, props: Map[String, String]): Table =
+    commitMetadata(table, table.metadata.copy(
+      properties = table.metadata.properties ++ props,
+      lastUpdatedMs = System.currentTimeMillis()))
+
+  /** Remove table properties by key. */
+  def removeProperties(table: Table, keys: Seq[String]): Table =
+    commitMetadata(table, table.metadata.copy(
+      properties = table.metadata.properties -- keys,
+      lastUpdatedMs = System.currentTimeMillis()))
+
   private def commitMetadata(table: Table, updated: TableMetadata): Table = {
     table.catalog.commit(table.name, table.metadata, updated, table.currentVersion)
     table.refresh()

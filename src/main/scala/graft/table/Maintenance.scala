@@ -75,7 +75,11 @@ object Maintenance {
     val newFiles = Writer.writeDataFiles(spark, table, compacted)
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = newFiles, removedPaths = rewrittenPaths,
-      addedDeleteFiles = Nil, removedDeleteKeys = droppableDeletes)
+      addedDeleteFiles = Nil, removedDeleteKeys = droppableDeletes,
+      // a concurrent MoR delete landing on the files being compacted would
+      // be dropped with them — rebase must refuse instead of losing it
+      conflictCheck = Some(Writer.ConflictCheck(
+        rewrittenFiles = selected.map(t => (t.file, t.specId)))))
     CompactionResult(committed, selected.size, newFiles.size, droppableDeletes.size)
   }
 

@@ -64,7 +64,9 @@ object Writer {
           .filter(!Expr.toColumn(filter)))
     commitSnapshot(table, "overwrite", addedFiles = newFiles,
       removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil,
-      conflictCheck = Some(ConflictCheck(filter, candidatePaths.toSet)))
+      conflictCheck = Some(ConflictCheck(filter = filter,
+        candidatePaths = candidatePaths.toSet,
+        rewrittenFiles = candidates.map(t => (t.file, t.specId)))))
   }
 
   /** Merge-on-read DELETE WHERE: write positional delete files for matching
@@ -104,7 +106,9 @@ object Writer {
       return table
     commitSnapshot(table, "delete", addedFiles = Nil, removedPaths = Set.empty,
       addedDeleteFiles = deleteFiles.filter(_.recordCount > 0),
-      conflictCheck = Some(ConflictCheck(filter, candidates.map(_.file.path).toSet)))
+      conflictCheck = Some(ConflictCheck(filter = filter,
+        candidatePaths = candidates.map(_.file.path).toSet,
+        referencedDataFiles = candidates.map(_.file.path).toSet)))
   }
 
   /** Merge-on-read DELETE WHERE via v3 deletion vectors: one puffin file per
@@ -198,7 +202,9 @@ object Writer {
         contentOffset = Some(off), contentSize = Some(len))
     }
     commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles,
-      conflictCheck = Some(ConflictCheck(filter, candidates.map(_.file.path).toSet)))
+      conflictCheck = Some(ConflictCheck(filter = filter,
+        candidatePaths = candidates.map(_.file.path).toSet,
+        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet)))
   }
 
   /** Equality-delete write (reference `table/equality_delete_writer.go`):
@@ -229,7 +235,10 @@ object Writer {
         recordCount = rowCount, fileSize = size, equalityIds = eqIds)
     }
     deleteTree(tmpDir)
-    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles.filter(_.recordCount > 0))
+    // eq-deletes here are globally scoped (null partition tuple), so under
+    // serializable any concurrent data add conflicts
+    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles.filter(_.recordCount > 0),
+      conflictCheck = Some(ConflictCheck(eqDeleteScope = Some(Nil))))
   }
 
   /** RowDelta (reference `table/row_delta.go:65-290`): inserts + equality
@@ -258,8 +267,13 @@ object Writer {
     deleteTree(tmpDir)
     val op =
       if (deleteFiles.exists(_.recordCount > 0)) "overwrite" else "append"
+    val check =
+      if (deleteFiles.exists(_.recordCount > 0))
+        Some(ConflictCheck(eqDeleteScope = Some(Nil),
+          isolationKey = "write.update.isolation-level"))
+      else None
     commitSnapshot(table, op, dataFiles, Set.empty,
-      deleteFiles.filter(_.recordCount > 0))
+      deleteFiles.filter(_.recordCount > 0), conflictCheck = check)
   }
 
   /** MERGE-shaped upsert: each key in `updates` replaces any existing row
@@ -673,13 +687,39 @@ object Writer {
     } finally reader.close()
   }
 
-  /** Concurrent-writer conflict scope for a filter-based delete commit: the
-    * filter that selected rows and the files the committer already accounted
-    * for. On rebase, any OTHER live file matching the filter means a
-    * concurrent commit added data this delete should have seen (reference
-    * `table/conflict_validation.go:68-860`, serializable isolation).
+  /** Concurrent-writer conflict scope (reference
+    * `table/conflict_validation.go:68-860`). Each populated field arms one
+    * validator, run against the refreshed head on every rebase:
+    *
+    *  - `filter`/`candidatePaths` — serializable only: a concurrent commit
+    *    added data matching this commit's delete/overwrite filter
+    *    (`validateAddedDataFilesMatchingFilter`).
+    *  - `referencedDataFiles` — always: a pos-delete/DV commit references
+    *    data files that must still be live at the head; a concurrent
+    *    compaction/overwrite rewriting them would orphan the delete
+    *    (`validateDataFilesExist`).
+    *  - `rewrittenFiles` — always: a rewrite (compaction, CoW delete) must
+    *    fail if a CONCURRENT commit added delete files targeting the files
+    *    being rewritten — committing would drop those deletes and resurrect
+    *    rows (`validateNoNewDeletesForRewrittenFiles`): pos/DV deletes
+    *    conflict on referenced path or partition overlap, eq-deletes
+    *    conservatively always.
+    *  - `eqDeleteScope` — serializable only: a concurrent commit added data
+    *    into partitions an eq-delete covers; `Some(Nil)` means
+    *    global/unpartitioned scope, where ANY concurrent data add conflicts
+    *    (`validateNoConflictingDataFilesInPartitions`).
+    *
+    * `isolationKey` names the table property holding the isolation level for
+    * this operation (`write.delete.isolation-level` /
+    * `write.update.isolation-level`), default serializable.
     */
-  final case class ConflictCheck(filter: Expr, candidatePaths: Set[String])
+  final case class ConflictCheck(
+      filter: Expr = Expr.AlwaysTrue,
+      candidatePaths: Set[String] = Set.empty,
+      referencedDataFiles: Set[String] = Set.empty,
+      rewrittenFiles: Seq[(DataFile, Int)] = Nil,
+      eqDeleteScope: Option[Seq[(Int, Seq[Any])]] = None,
+      isolationKey: String = "write.delete.isolation-level")
 
   /** Fast-append / overwrite snapshot producer + Hadoop-catalog commit with
     * optimistic-concurrency retry (reference retry loop `table/table.go:520-980`,
@@ -704,7 +744,7 @@ object Writer {
     var t = table
     var attempt = 0
     while (true) {
-      if (attempt > 0) validateRebase(t, removedPaths, conflictCheck)
+      if (attempt > 0) validateRebase(table, t, removedPaths, conflictCheck)
       val acc = new CommitAccumulator
       try {
         val committed = commitSnapshotOnce(t, operation, addedFiles, removedPaths,
@@ -778,15 +818,15 @@ object Writer {
     } catch { case _: Exception => () }
   }
 
-  /** Rebase-time conflict validation: removed files must still be live (a
-    * concurrent commit deleting them makes this commit's base assumptions
-    * false), and no concurrently-committed file may match a delete filter.
-    * Both are non-retryable — the caller's read-compute-write must re-run.
+  /** Rebase-time conflict validation against the refreshed head (reference
+    * `table/conflict_validation.go:68-860`, used `table/transaction.go:
+    * 2395-2520`). All failures are non-retryable `ValidationException`s —
+    * the caller's read-compute-write must re-run.
     */
-  private def validateRebase(t: Table, removedPaths: Set[String],
+  private def validateRebase(base: Table, t: Table, removedPaths: Set[String],
       check: Option[ConflictCheck]): Unit = {
+    lazy val live = t.newScan.planFiles().map(_.file.path).toSet
     if (removedPaths.nonEmpty) {
-      val live = t.newScan.planFiles().map(_.file.path).toSet
       val missing = removedPaths.filterNot(live.contains)
       if (missing.nonEmpty)
         throw new ValidationException(
@@ -794,14 +834,100 @@ object Writer {
           s"removed by a concurrent commit, e.g. ${missing.head}")
     }
     check.foreach { c =>
-      val matching = t.newScan.withFilter(c.filter).planFiles().map(_.file.path).toSet
-      val added = matching -- c.candidatePaths -- removedPaths
-      if (added.nonEmpty)
-        throw new ValidationException(
-          s"cannot commit: ${added.size} concurrently added file(s) match the " +
-          s"delete filter, e.g. ${added.head}")
+      val serializable = t.metadata.properties
+        .getOrElse(c.isolationKey, "serializable") match {
+        case "serializable" => true
+        case "snapshot" => false
+        case other => throw new IllegalArgumentException(
+          s"invalid isolation level '$other' (${c.isolationKey})")
+      }
+
+      // data-files-exist: a pos-delete/DV commit is orphaned if a concurrent
+      // commit rewrote any file it references — its positions would silently
+      // stop applying to the moved rows
+      if (c.referencedDataFiles.nonEmpty) {
+        val gone = c.referencedDataFiles.filterNot(live.contains)
+        if (gone.nonEmpty)
+          throw new ValidationException(
+            s"cannot commit: ${gone.size} data file(s) referenced by this " +
+            s"delete were rewritten by a concurrent commit, e.g. ${gone.head}")
+      }
+      // serializable: no concurrently-added data may match the delete filter
+      if (serializable && c.filter != Expr.AlwaysTrue) {
+        val matching = t.newScan.withFilter(c.filter).planFiles().map(_.file.path).toSet
+        val added = matching -- c.candidatePaths -- removedPaths
+        if (added.nonEmpty)
+          throw new ValidationException(
+            s"cannot commit: ${added.size} concurrently added file(s) match " +
+            s"the delete filter, e.g. ${added.head}")
+      }
+
+      val concurrent = concurrentSnapshotsSince(base, t)
+      if (concurrent.nonEmpty) {
+        // no-new-deletes-for-rewritten-files: committing this rewrite would
+        // drop the old files the concurrent deletes target, resurrecting rows
+        if (c.rewrittenFiles.nonEmpty) {
+          val rewrittenPaths = c.rewrittenFiles.map(_._1.path).toSet
+          val rewrittenParts = c.rewrittenFiles
+            .map { case (f, specId) => (specId, f.partition.map(DeleteIndex.norm)) }.toSet
+          addedEntriesIn(concurrent, ManifestContent.Deletes).foreach { case (snap, e, specId) =>
+            val df = e.file
+            val conflict = df.content match {
+              case DataFileContent.EqualityDeletes => true // predicate may cover any file
+              case _ => df.referencedDataFile match {
+                case Some(ref) => rewrittenPaths.contains(ref)
+                case None => rewrittenParts.contains(
+                  (specId, df.partition.map(DeleteIndex.norm)))
+              }
+            }
+            if (conflict)
+              throw new ValidationException(
+                s"cannot commit rewrite: concurrent snapshot ${snap.snapshotId} " +
+                s"added delete file ${df.path} targeting rewritten data")
+          }
+        }
+
+        // serializable eq-delete scope: concurrent adds into the partitions
+        // an equality delete covers would escape the delete
+        if (serializable) c.eqDeleteScope.foreach { scope =>
+          val scopeSet = scope.map { case (sid, p) => (sid, p.map(DeleteIndex.norm)) }.toSet
+          addedEntriesIn(concurrent, ManifestContent.Data).foreach { case (snap, e, specId) =>
+            val inScope = scope.isEmpty /* global/unpartitioned */ ||
+              scopeSet.contains((specId, e.file.partition.map(DeleteIndex.norm)))
+            if (inScope)
+              throw new ValidationException(
+                s"cannot commit equality delete: concurrent snapshot " +
+                s"${snap.snapshotId} added data file ${e.file.path} in its scope")
+          }
+        }
+      }
     }
   }
+
+  /** Snapshots committed after `base`'s head along the current lineage. */
+  private def concurrentSnapshotsSince(base: Table, cur: Table): Seq[Snapshot] = {
+    val baseId = base.metadata.currentSnapshotId
+    cur.metadata.currentSnapshotId.map { headId =>
+      Inspect.ancestorsOf(cur, headId)
+        .takeWhile(s => !baseId.contains(s.snapshotId))
+    }.getOrElse(Nil)
+  }
+
+  /** Entries with status Added attributable to the given snapshots (mirrors
+    * the reference's `forEachAddedEntry`, skipping inherited entries).
+    */
+  private def addedEntriesIn(snaps: Seq[Snapshot],
+      content: Int): Seq[(Snapshot, ManifestEntry, Int)] =
+    snaps.flatMap { s =>
+      Manifests.readManifestList(s.manifestList)
+        .filter(m => m.content == content && m.addedSnapshotId == s.snapshotId)
+        .flatMap { m =>
+          val (entries, specId) = Manifests.readManifest(m.path)
+          entries.filter(e => e.status == ManifestEntryStatus.Added &&
+              e.snapshotId.contains(s.snapshotId))
+            .map(e => (s, e, specId))
+        }
+    }
 
   private def commitSnapshotOnce(table: Table, operation: String, addedFiles: Seq[DataFile],
       removedPaths: Set[String], addedDeleteFiles: Seq[DataFile],

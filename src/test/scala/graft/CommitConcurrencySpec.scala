@@ -99,4 +99,62 @@ class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkRead.read(spark, t2.newScan).count() === 20) // 25 - 5 deleted
     assert(afterDelete.metadata.currentSnapshotId.isDefined)
   }
+
+  test("pos-delete whose referenced files were concurrently compacted fails") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    var t = catalog.createTable("cc_dfe", schema, PartitionSpec.Unpartitioned)
+    (0 until 3).foreach { i =>
+      t = Writer.append(spark, t, nation.filter(col("n_nationkey") % 3 === i))
+    }
+    val staleDeleteBase = t
+    // compaction wins: all referenced data files are rewritten
+    graft.table.Maintenance.rewriteDataFiles(spark, t, rewriteAll = true)
+    // data-files-exist: the pos-delete would orphan against moved rows
+    intercept[ValidationException] {
+      Writer.deleteWhereMoR(spark, staleDeleteBase, Expr.lt("n_nationkey", 5))
+    }
+    val head = catalog.loadTable("cc_dfe")
+    assert(SparkRead.read(spark, head.newScan).count() === 25) // delete rejected
+  }
+
+  test("compaction racing a MoR DV delete never loses the delete") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    var t = catalog.createTable("cc_rwd", schema, PartitionSpec.Unpartitioned)
+    (0 until 3).foreach { i =>
+      t = Writer.append(spark, t, nation.filter(col("n_nationkey") % 3 === i))
+    }
+    val staleCompactionBase = t
+    Writer.deleteWhereDV(spark, t, Expr.lt("n_nationkey", 5))
+    // deletes-for-rewritten-files: dropping the old files would drop the DV
+    intercept[ValidationException] {
+      graft.table.Maintenance.rewriteDataFiles(spark, staleCompactionBase,
+        rewriteAll = true)
+    }
+    val head = catalog.loadTable("cc_rwd")
+    assert(SparkRead.read(spark, head.newScan).count() === 20) // delete intact
+  }
+
+  test("eq-delete vs concurrent append: serializable rejects, snapshot allows") {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_eqiso", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation.filter(col("n_nationkey") < 20))
+    // concurrent append lands first; the eq-delete's base is stale
+    Writer.append(spark, t1, nation.filter(col("n_nationkey") >= 20))
+    val keys = Seq(1, 2).toDF("n_nationkey")
+    intercept[ValidationException] {
+      Writer.equalityDelete(spark, t1, keys, Seq("n_nationkey"))
+    }
+    // snapshot isolation: concurrent adds into the delete scope are allowed
+    val t2 = catalog.loadTable("cc_eqiso")
+    val relaxed = graft.table.Evolve.setProperties(t2,
+      Map("write.delete.isolation-level" -> "snapshot"))
+    val stale2 = relaxed
+    Writer.append(spark, relaxed, nation.filter(col("n_nationkey") < 2))
+    val done = Writer.equalityDelete(spark, stale2, keys, Seq("n_nationkey"))
+    assert(done.metadata.currentSnapshotId.isDefined)
+  }
 }
