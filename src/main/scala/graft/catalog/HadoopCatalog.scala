@@ -14,7 +14,7 @@ import graft.table.Table
   * same protocol runs over file://, hdfs://, or an object store with
   * conditional put.
   */
-final class HadoopCatalog(warehouseRaw: String) extends Catalog {
+final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
 
   // file:-scheme and plain spellings of the same storage must produce
   // identical recorded paths (delete matching and DV keys compare strings)
@@ -79,6 +79,50 @@ final class HadoopCatalog(warehouseRaw: String) extends Catalog {
       throw new CommitConflict(s"expected version $expectedVersion but found $cur")
     commitVersion(name, expectedVersion + 1, updated)
     metadataFile(name, expectedVersion + 1)
+  }
+
+  /** All-or-nothing commit across tables: reserve every table's next
+    * version file by create-no-replace FIRST (readers resolve through the
+    * version hint, so reserved-but-unpublished files are invisible), then
+    * publish all hints. A lost CAS on any table deletes the already-reserved
+    * files and raises CommitConflict with nothing applied.
+    *
+    * The unpublishable window (crash between reserve and publish) leaves
+    * orphan vN files that the next committer's CAS surfaces as a conflict —
+    * the same failure surface as the reference's single-table Hadoop commit,
+    * extended across the set.
+    */
+  def commitTransaction(commits: Seq[StagedCommit]): Unit = {
+    require(commits.map(_.name).distinct.size == commits.size,
+      "duplicate table in multi-table transaction")
+    // cheap pre-validation: every CAS base must still be current
+    commits.foreach { c =>
+      val cur = currentVersion(c.name).getOrElse(0)
+      if (cur != c.expectedVersion)
+        throw new CommitConflict(
+          s"${c.name}: expected version ${c.expectedVersion} but found $cur")
+    }
+    val placed = Seq.newBuilder[String]
+    try {
+      commits.foreach { c =>
+        val path = metadataFile(c.name, c.expectedVersion + 1)
+        FileIO.createNoReplace(path,
+          TableMetadata.toJson(c.updated).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        placed += path
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        placed.result().foreach { p =>
+          try { FileIO.delete(p); () } catch { case _: Exception => () }
+        }
+        throw new CommitConflict(
+          "multi-table transaction lost a concurrent race; all reservations rolled back")
+    }
+    commits.foreach { c =>
+      FileIO.replaceAtomic(hintFile(c.name),
+        (c.expectedVersion + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   private def commitVersion(name: String, version: Int, meta: TableMetadata): Unit = {

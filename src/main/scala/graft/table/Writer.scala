@@ -362,15 +362,20 @@ object Writer {
     val partColNames = spec.fields.map(pf => s"__part_${pf.name}")
 
     // rolling target-file-size (reference `table/rolling_data_writer.go:
-    // 320-760`): Spark's writer rolls on record count, so derive the count
-    // from the schema's per-row width estimate. In-memory width overshoots
-    // parquet's encoded width, so this errs toward files under target —
-    // the safe side (never a 10x-over-target file from one fat task).
+    // 320-760` rolls on the writer's actual byte count): Spark's sink only
+    // rolls on record count, so the count is CALIBRATED from the observed
+    // encoded bytes/row of this table's previous writes (measured from the
+    // same footers the stats harvest reads — no extra IO). The first write
+    // of a fresh table falls back to the schema's in-memory width, which
+    // overshoots parquet's encoded width and so errs toward files under
+    // target — the safe side; steady-state appends then land on target.
     val targetBytes = table.metadata.properties
       .get("write.target-file-size-bytes").map(_.toLong)
       .getOrElse(512L * 1024 * 1024)
-    val estRowBytes = math.max(16, sparkSchema.defaultSize)
-    val maxRecords = math.max(1L, targetBytes / estRowBytes)
+    val estRowBytes: Double = Option(observedRowBytes.get(table.location))
+      .map(_.doubleValue)
+      .getOrElse(math.max(16, sparkSchema.defaultSize).toDouble)
+    val maxRecords = math.max(1L, (targetBytes / estRowBytes).toLong)
 
     if (spec.isUnpartitioned) {
       aligned.write.option("maxRecordsPerFile", maxRecords).parquet(tmpDir)
@@ -427,8 +432,19 @@ object Writer {
       harvestStats(target, schema, partValues)
     }.seq
     deleteTree(tmpDir)
-    withNanCounts(spark, table, schema, files.filter(_.recordCount > 0))
+    val out = withNanCounts(spark, table, schema, files.filter(_.recordCount > 0))
+    // feed the rolling calibration with this write's actual encoded width
+    val (rows, bytes) = (out.map(_.recordCount).sum, out.map(_.fileSize).sum)
+    if (rows > 0) observedRowBytes.put(table.location,
+      java.lang.Double.valueOf(bytes.toDouble / rows))
+    out
   }
+
+  /** Observed encoded bytes/row per table location (per-JVM), feeding the
+    * byte-calibrated rolling writer.
+    */
+  private val observedRowBytes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
   /** Optional pass recording `nan_value_counts` for float/double columns
     * (property `write.metadata.metrics.nan-counts.enabled`, default false):

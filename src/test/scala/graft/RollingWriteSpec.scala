@@ -41,4 +41,43 @@ class RollingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.forall(_.fileSize < target * 4),
       s"oversized file: ${files.map(_.fileSize).max}")
   }
+
+  test("calibrated rolling lands files within 10% of target on skewed widths") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(Files.createTempDirectory("graft-rollb").toString)
+    // skewed row widths: 10B .. ~1KB payloads, high-entropy so the encoded
+    // width tracks the logical width (dictionary can't collapse them),
+    // interleaved so any row range mixes widths
+    val rnd = new scala.util.Random(11)
+    def payload(i: Int): String = {
+      val len = if (i % 10 == 0) 1000 else 10 + (i % 7) * 40
+      val sb = new StringBuilder(len)
+      (0 until len).foreach(_ => sb.append((33 + rnd.nextInt(94)).toChar))
+      sb.toString
+    }
+    val df = (0 until 60000).map(i => (i.toLong, payload(i))).toDF("id", "body")
+      .coalesce(1)
+    val schema = SchemaBridge.fromSpark(df.schema)
+    val target = 512L * 1024
+    val t0 = catalog.createTable("rollb", schema, PartitionSpec.Unpartitioned,
+      properties = Map("write.target-file-size-bytes" -> target.toString))
+    // first append calibrates (schema-estimate sizing, under target)
+    val t1 = Writer.append(spark, t0, df)
+    // second append rolls on the OBSERVED encoded bytes/row
+    val t2 = Writer.append(spark, t1, df)
+    val snap = t2.metadata.currentSnapshot.get
+    val secondAppend = graft.format.Manifests.readManifestList(snap.manifestList)
+      .filter(_.addedSnapshotId == snap.snapshotId)
+      .flatMap(m => graft.format.Manifests.readManifest(m.path)._1)
+      .filter(e => e.snapshotId.contains(snap.snapshotId))
+      .map(_.file)
+    assert(secondAppend.size >= 3, s"expected rolled files, got ${secondAppend.size}")
+    // every full file (all but the last remainder) within +/-10% of target
+    val full = secondAppend.sortBy(-_.fileSize).dropRight(1)
+    full.foreach { f =>
+      val ratio = f.fileSize.toDouble / target
+      assert(ratio > 0.9 && ratio < 1.1,
+        s"file ${f.path} is ${f.fileSize}B = ${ratio}x of target")
+    }
+  }
 }
