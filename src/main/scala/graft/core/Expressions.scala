@@ -136,6 +136,37 @@ object Expr {
   def notEq(ref: String, v: Any): Expr = Predicate(Op.NotEq, ref, Seq(v))
   def startsWith(ref: String, v: String): Expr = Predicate(Op.StartsWith, ref, Seq(v))
 
+  /** Literal placeholder substituted by [[sanitize]]; carries no information
+    * about the original value (reference `visitors.go:600-612`).
+    */
+  val SanitizedLiteralMask = "(redacted)"
+
+  /** Copy of `e` with every predicate literal replaced by an opaque
+    * placeholder, preserving boolean structure, column references, and
+    * operations (reference `SanitizeExpression`, `visitors.go:616-697`):
+    * lets a filter appear in error strings, logs, or a ScanReport shipped
+    * somewhere untrusted without leaking the values a user scanned with.
+    * Set predicates keep their arity with DISTINCT masks (a collapsed set
+    * would misrepresent IN as EQ); unary predicates have no literal and pass
+    * through; bbox coordinate boxes collapse to always-true.
+    */
+  def sanitize(e: Expr): Expr = e match {
+    case And(l, r) => And(sanitize(l), sanitize(r))
+    case Or(l, r) => Or(sanitize(l), sanitize(r))
+    case Not(c) => Not(sanitize(c))
+    case Predicate(op, ref, lits) => Predicate(op, ref, maskLits(lits))
+    case TransformPredicate(op, t, ref, st, lits) =>
+      TransformPredicate(op, t, ref, st, maskLits(lits))
+    case _: BBoxPredicate => AlwaysTrue
+    case other => other
+  }
+
+  private def maskLits(lits: Seq[Any]): Seq[Any] = lits match {
+    case Nil => Nil
+    case Seq(_) => Seq(SanitizedLiteralMask)
+    case many => many.indices.map(i => s"$SanitizedLiteralMask-${i + 1}")
+  }
+
   /** Push NOT down via De Morgan / operator negation (reference
     * `visitors.go:453-481`) — required before running pruning evaluators.
     */
@@ -186,14 +217,15 @@ object Expr {
 
   /** Redact literal values for log/error strings (reference
     * `SanitizeExpression`, `visitors.go:616-697`): shape survives, payloads
-    * don't leak.
+    * don't leak. Type-shaped masks aid debugging ("(hash-redacted)" for
+    * strings, "(number)" for numerics) without revealing values.
     */
-  def sanitize(e: Expr): String = e match {
+  def sanitizedString(e: Expr): String = e match {
     case AlwaysTrue => "true"
     case AlwaysFalse => "false"
-    case And(l, r) => s"(${sanitize(l)} AND ${sanitize(r)})"
-    case Or(l, r) => s"(${sanitize(l)} OR ${sanitize(r)})"
-    case Not(c) => s"NOT ${sanitize(c)}"
+    case And(l, r) => s"(${sanitizedString(l)} AND ${sanitizedString(r)})"
+    case Or(l, r) => s"(${sanitizedString(l)} OR ${sanitizedString(r)})"
+    case Not(c) => s"NOT ${sanitizedString(c)}"
     case Predicate(op, ref, lits) =>
       val masked = lits.map {
         case _: String => "(hash-redacted)"

@@ -341,19 +341,30 @@ object SparkRead {
     * set of DVs — never the table's full DV set, which lives nowhere whole.
     */
   private[table] object DvCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      (String, Long), graft.format.PositionBitmap]()
+    // access-ordered LRU, size-bounded: a long compaction over a DV-heavy
+    // table evicts only the coldest bitmaps instead of thrashing the whole
+    // cache (entries are immutable — eviction is re-read cost, never wrong)
+    private val MaxEntries = 1024
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), graft.format.PositionBitmap](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), graft.format.PositionBitmap]): Boolean =
+          size() > MaxEntries
+      })
 
     def get(path: String, offset: Long, length: Long): graft.format.PositionBitmap = {
-      // crude bound for long-lived JVMs (DV paths are UUID-unique, so stale
-      // entries are dead weight, never wrong): drop everything and re-read
-      if (cache.size > 1024) cache.clear()
-      cache.computeIfAbsent((path, offset), { _ =>
-        val blob = graft.format.Puffin.readBlob(path,
-          graft.format.Puffin.BlobMetadata(graft.format.DeletionVector.BlobType,
-            Nil, -1, -1, offset, length, Map.empty))
-        graft.format.DeletionVector.deserialize(blob)
-      })
+      val key = (path, offset)
+      val hit = cache.get(key)
+      if (hit != null) return hit
+      // deserialization runs outside the lock; a racing double-read of the
+      // same immutable blob is harmless
+      val blob = graft.format.Puffin.readBlob(path,
+        graft.format.Puffin.BlobMetadata(graft.format.DeletionVector.BlobType,
+          Nil, -1, -1, offset, length, Map.empty))
+      val bm = graft.format.DeletionVector.deserialize(blob)
+      cache.put(key, bm)
+      bm
     }
   }
 }

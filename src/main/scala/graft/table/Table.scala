@@ -186,7 +186,9 @@ final case class Scan(
         schemaId = snap.schemaId.getOrElse(table.metadata.currentSchemaId),
         projectedFieldIds = projected.map(_.id),
         projectedFieldNames = projected.map(_.name),
-        filterJson = graft.core.ExprJson.toJson(filter),
+        // sanitized (reference `scan_metrics.go:122`): the report may ship
+        // to an untrusted sink; the user's literal values must not leak
+        filterJson = graft.core.ExprJson.toJson(graft.core.Expr.sanitize(filter)),
         metrics = ScanMetricsResult(
           totalPlanningDuration = Some(TimerResult.nanos(1, elapsedNanos)),
           resultDataFiles = cnt(m.resultDataFiles.toLong),

@@ -875,7 +875,8 @@ object Writer {
         if (added.nonEmpty)
           throw new ValidationException(
             s"cannot commit: ${added.size} concurrently added file(s) match " +
-            s"the delete filter, e.g. ${added.head}")
+            s"the delete filter ${Expr.sanitizedString(c.filter)}, " +
+            s"e.g. ${added.head}")
       }
 
       val concurrent = concurrentSnapshotsSince(base, t)

@@ -54,4 +54,31 @@ class ExprJsonSpec extends AnyFunSuite {
     assert(roundTrip(e) === e)
     assert(roundTrip(Expr.not(e).negate.negate) === Not(e).negate.negate)
   }
+
+  test("sanitize masks literals, keeps structure/refs/arity, serializes") {
+    val e = Expr.and(
+      Expr.eq("ssn", "123-45-6789"),
+      Expr.or(Expr.in("region", Seq("EU", "US", "APAC")), Expr.isNull("email")))
+    val s = Expr.sanitize(e)
+    val json = ExprJson.toJson(s)
+    assert(!json.contains("123-45-6789") && !json.contains("EU") && !json.contains("APAC"))
+    assert(json.contains("ssn") && json.contains("region") && json.contains("email"))
+    // IN keeps its arity with distinct masks — never collapses to EQ
+    s match {
+      case And(Predicate(Op.Eq, "ssn", Seq(m)),
+          Or(Predicate(Op.In, "region", masks), Predicate(Op.IsNull, "email", _))) =>
+        assert(m === Expr.SanitizedLiteralMask)
+        assert(masks.size === 3 && masks.distinct.size === 3)
+      case other => fail(s"unexpected shape: $other")
+    }
+    // bbox query boxes collapse to always-true (no wire form, nothing leaks)
+    assert(Expr.sanitize(Expr.bboxIntersects("g", 1, 2, 3, 4)) === Expr.AlwaysTrue)
+  }
+
+  test("sanitizedString redacts sensitive literals in error text") {
+    val msg = Expr.sanitizedString(Expr.eq("api_key", "sk-super-secret"))
+    assert(msg.contains("(hash-redacted)"))
+    assert(!msg.contains("sk-super-secret"))
+    assert(Expr.sanitizedString(Expr.lt("balance", 100)).contains("(number)"))
+  }
 }
