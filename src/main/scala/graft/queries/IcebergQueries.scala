@@ -953,6 +953,47 @@ object IcebergQueries {
              CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY event_type
+      ORDER BY event_type""")),
+
+    // spec variant SHREDDED layout: the table property makes the writer emit
+    // the typed_value shredded form (asserted against the physical parquet
+    // footer), and the scan reconstructs it hash-identical to the
+    // unshredded twin (same oracle as i28)
+    QueryDef("i37_variant_shredded", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"vsh_${UUID.randomUUID().toString.take(8)}"
+      val e = tbl(s, dir, "events")
+      val df = e.select(col("event_type"), parse_json(col("props")).as("props"))
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned,
+        properties = Map("write.variant.shredding.enabled" -> "true")), df)
+      // physical-layout check: the variant column group must carry a
+      // typed_value child (the spec's shredded form), not just value+metadata
+      val firstFile = t1.newScan.planFiles().head.file.path
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(firstFile),
+          new org.apache.hadoop.conf.Configuration()))
+      val shredded =
+        try {
+          import scala.jdk.CollectionConverters._
+          val props = reader.getFooter.getFileMetaData.getSchema
+            .getType(Seq("props"): _*)
+          !props.isPrimitive && props.asGroupType.getFields.asScala
+            .exists(_.getName == "typed_value")
+        } finally reader.close()
+      SparkRead.read(s, t1.newScan)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(variant_get(col("props"), "$.k", "long"), lit(0L))).as("sum_k"))
+        .withColumn("shredded", lit(shredded.toString))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
+             'true' AS shredded
+      FROM events
+      GROUP BY event_type
       ORDER BY event_type"""))
   )
 }

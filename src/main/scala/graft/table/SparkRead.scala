@@ -27,6 +27,10 @@ object SparkRead {
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // shredded-layout variant interop: files written with the spec's
+    // typed_value shredding (by us or another engine) must reconstruct into
+    // VariantType transparently (default true; pinned for robustness)
+    spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
   }
 
   def read(spark: SparkSession, scan: Scan): DataFrame = {

@@ -377,7 +377,7 @@ object Writer {
       .getOrElse(math.max(16, sparkSchema.defaultSize).toDouble)
     val maxRecords = math.max(1L, (targetBytes / estRowBytes).toLong)
 
-    if (spec.isUnpartitioned) {
+    def writeAligned(): Unit = if (spec.isUnpartitioned) {
       aligned.write.option("maxRecordsPerFile", maxRecords).parquet(tmpDir)
     } else {
       val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
@@ -407,6 +407,27 @@ object Writer {
         .write.partitionBy(partColNames: _*)
         .option("maxRecordsPerFile", maxRecords)
         .parquet(tmpDir)
+    }
+
+    // spec variant shredding (reference `table/internal/variant_shredding.go`,
+    // writer `variant_shredding_writer.go`): Spark's parquet writer emits the
+    // shredded typed_value layout natively with an inferred shredding schema
+    // — ON by default, per table property `write.variant.shredding.enabled`
+    // (false forces the plain value+metadata layout). Readers — ours via
+    // allowReadingShredded, or any spec-compliant engine — reconstruct the
+    // variant; variant_get pushdown then reads typed columns directly.
+    val shredVariant = table.metadata.properties
+      .getOrElse("write.variant.shredding.enabled", "true").toBoolean
+    val prevShred = spark.conf.getOption("spark.sql.variant.writeShredding.enabled")
+    val prevInfer = spark.conf.getOption("spark.sql.variant.inferShreddingSchema")
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", shredVariant.toString)
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", shredVariant.toString)
+    try writeAligned()
+    finally {
+      prevShred.fold(spark.conf.unset("spark.sql.variant.writeShredding.enabled"))(
+        v => spark.conf.set("spark.sql.variant.writeShredding.enabled", v))
+      prevInfer.fold(spark.conf.unset("spark.sql.variant.inferShreddingSchema"))(
+        v => spark.conf.set("spark.sql.variant.inferShreddingSchema", v))
     }
 
     val partType = spec.partitionType(schema)

@@ -54,4 +54,44 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reloaded = cat.loadTable("var_t")
     assert(reloaded.schema.findField("props").get.fieldType === IcebergTypes.VariantT)
   }
+
+  test("shredded layout reads identical to its unshredded twin") {
+    import spark.implicits._
+    val cat = new HadoopCatalog(Files.createTempDirectory("graft-vsh").toString)
+    val df = (0 until 200).map { i =>
+      (i.toLong, s"""{"k":$i,"kind":"t${i % 3}","nested":{"x":${i * 0.5}},"odd":${i % 2 == 1}}""")
+    }.toDF("id", "j").select(col("id"), parse_json(col("j")).as("props"))
+    val schema = SchemaBridge.fromSpark(df.schema)
+
+    // shredding is ON by default; "false" forces the plain layout twin
+    val plain = Writer.append(spark,
+      cat.createTable("vsh_plain", schema, PartitionSpec.Unpartitioned,
+        properties = Map("write.variant.shredding.enabled" -> "false")), df)
+    val shred = Writer.append(spark,
+      cat.createTable("vsh_shred", schema, PartitionSpec.Unpartitioned,
+        properties = Map("write.variant.shredding.enabled" -> "true")), df)
+
+    // physical layouts differ: the shredded file carries typed_value
+    import scala.jdk.CollectionConverters._
+    def hasTypedValue(t: graft.table.Table): Boolean = {
+      val p = t.newScan.planFiles().head.file.path
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.conf.Configuration()))
+      try {
+        val props = r.getFooter.getFileMetaData.getSchema.getType(Seq("props"): _*)
+        !props.isPrimitive &&
+          props.asGroupType.getFields.asScala.exists(_.getName == "typed_value")
+      } finally r.close()
+    }
+    assert(!hasTypedValue(plain), "twin table must be unshredded")
+    assert(hasTypedValue(shred), "shredding property must produce typed_value layout")
+
+    // logical contents identical: canonical JSON of every row matches
+    def contents(t: graft.table.Table): Seq[(Long, String)] =
+      SparkRead.read(spark, t.newScan)
+        .select(col("id"), to_json(col("props")).as("j"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(contents(shred) === contents(plain))
+  }
 }
