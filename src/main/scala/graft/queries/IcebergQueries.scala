@@ -994,6 +994,40 @@ object IcebergQueries {
              'true' AS shredded
       FROM events
       GROUP BY event_type
-      ORDER BY event_type"""))
+      ORDER BY event_type""")),
+
+    // scan-task transport codec (reference codec/file_scan_task.go): plan a
+    // MoR table carrying BOTH a deletion vector and equality deletes, ship
+    // every task through encode→decode, and read from the DECODED tasks —
+    // the result must hash-match the oracle, proving the payload carries the
+    // full delete context a remote worker needs
+    QueryDef("i38_task_codec", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"tc_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
+      val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+      val keys = c.filter(col("c_nationkey") < 5).select("c_custkey")
+      val t3 = Writer.equalityDelete(s, t2, keys, Seq("c_custkey"))
+      val tasks = t3.newScan.planFiles()
+      val decoded = tasks.map { t =>
+        val spec = t3.metadata.specById(t.specId).getOrElse(PartitionSpec.Unpartitioned)
+        val bytes = graft.codec.TaskCodec.encode(t, spec, t3.schema, version = 3)
+        graft.codec.TaskCodec.decode(bytes, spec, t3.schema, version = 3)._1
+      }
+      val carried = decoded.exists(t =>
+        t.posDeletes.exists(_.format == "PUFFIN") && t.eqDeletes.nonEmpty)
+      SparkRead.readTasks(s, decoded, t3.schema, specById = t3.metadata.specById)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("codec_mor", lit(carried.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS codec_mor
+      FROM customer
+      WHERE c_mktsegment <> 'MACHINERY' AND c_nationkey >= 5
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
   )
 }
