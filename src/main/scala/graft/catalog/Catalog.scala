@@ -33,6 +33,7 @@ object Catalogs {
     new java.util.concurrent.ConcurrentHashMap[String, String => Catalog]()
 
   register("hadoop", path => new HadoopCatalog(path))
+  register("sql", rest => SqlCatalog.fromUri(rest))
 
   def register(scheme: String, factory: String => Catalog): Unit = {
     factories.put(scheme, factory)

@@ -1028,6 +1028,38 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY' AND c_nationkey >= 5
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // JDBC (SQL) catalog: the full write path (append -> DV delete ->
+    // concurrent-loser commit) through a Derby-backed catalog whose CAS is a
+    // conditional UPDATE on iceberg_tables, then a read that must match the
+    // oracle — proving the catalog layer is interchangeable under the same
+    // table format
+    QueryDef("i39_sql_catalog", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/sql_${UUID.randomUUID().toString.take(8)}"
+      val db = s"memory:gate_${UUID.randomUUID().toString.take(8)}"
+      val cat = new graft.catalog.SqlCatalog(s"jdbc:derby:$db;create=true", wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = cat.createTable("cust", schema, PartitionSpec.Unpartitioned)
+      val t2 = Writer.append(s, t1, c)
+      val t3 = Writer.deleteWhereDV(s, t2, Expr.eq("c_mktsegment", "MACHINERY"))
+      // a stale CAS base must LOSE (conditional-UPDATE row count = 0); raw
+      // catalog commit, NOT Writer, which would legitimately rebase-and-win
+      val stale = try {
+        cat.commit("cust", t2.metadata, t2.metadata, expectedVersion = t2.currentVersion)
+        false
+      } catch { case _: graft.catalog.CommitConflict => true }
+      SparkRead.read(s, cat.loadTable("cust").newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("stale_lost", lit(stale.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS stale_lost
+      FROM customer
+      WHERE c_mktsegment <> 'MACHINERY'
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
   )
 }
