@@ -1060,6 +1060,36 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // REST catalog + remote scan planning: append and DV-delete commit over
+    // HTTP as requirements+updates (never whole metadata), then the SERVER
+    // plans the scan and ships codec task payloads the local engine
+    // executes — the remote-planned read must hash-match the oracle
+    QueryDef("i40_rest_catalog", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/rest_${UUID.randomUUID().toString.take(8)}"
+      val server = new graft.rest.RestCatalogServer(new graft.catalog.HadoopCatalog(wh)).start()
+      try {
+        val client = new graft.rest.RestCatalog(server.uri)
+        val c = tbl(s, dir, "customer")
+        val schema = SchemaBridge.fromSpark(c.schema)
+        val t1 = Writer.append(s,
+          client.createTable("cust", schema, PartitionSpec.Unpartitioned), c)
+        val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+        val (tasks, planSchema) = client.planScan("cust")
+        val remotePlanned = tasks.nonEmpty &&
+          tasks.exists(_.posDeletes.exists(_.format == "PUFFIN"))
+        SparkRead.readTasks(s, tasks, planSchema, specById = t2.metadata.specById)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("remote_planned", lit(remotePlanned.toString))
+          .orderBy(col("c_mktsegment"))
+      } finally server.stop()
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS remote_planned
+      FROM customer
+      WHERE c_mktsegment <> 'MACHINERY'
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
   )
 }

@@ -1,0 +1,212 @@
+package graft.rest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.catalog.{Catalog, Catalogs, CommitConflict}
+import graft.core.{ExprJson, IcebergSchema, SchemaJson}
+import graft.format.{PartitionSpec, SortOrder, TableMetadata}
+import graft.table.{FileScanTask, Table}
+
+/** REST catalog client (reference `catalog/rest/rest.go`): tables load and
+  * commit over HTTP against any Iceberg-REST-spec server. A commit never
+  * ships whole metadata — [[MetadataUpdate.diff]] turns (base, updated) into
+  * the spec's requirements+updates, the server validates the requirements
+  * against ITS current metadata and applies the updates, and HTTP 409 maps
+  * to [[CommitConflict]] so the standard retry/rebase loop in the writer
+  * works unchanged over REST.
+  *
+  * `planScan` is the remote-planning path (reference
+  * `catalog/rest/scan_planning.go`): the server plans, tasks travel as
+  * [[graft.codec.TaskCodec]] payloads, and the local engine executes them.
+  *
+  * Registered in the scheme registry as `rest:<http-uri>`.
+  */
+final class RestCatalog(baseUriRaw: String) extends Catalog {
+
+  private val baseUri = baseUriRaw.stripSuffix("/")
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  /** Path prefix advertised by GET /v1/config (`overrides.prefix`). */
+  private lazy val prefix: String = {
+    val cfg = request("GET", s"$baseUri/v1/config", None)
+    if (cfg.statusCode() != 200) ""
+    else Option(mapper.readTree(cfg.body()).get("overrides"))
+      .flatMap(o => Option(o.get("prefix"))).map(p => s"${p.asText()}/").getOrElse("")
+  }
+
+  private def tablesUri(ns: String): String = s"$baseUri/v1/${prefix}namespaces/$ns/tables"
+
+  private def split(name: String): (String, String) = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) ("default", name) else (name.substring(0, i), name.substring(i + 1))
+  }
+
+  // ---- Catalog -----------------------------------------------------------
+
+  def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
+      sortOrder: SortOrder = SortOrder.Unsorted,
+      properties: Map[String, String] = Map.empty): Table = {
+    val (ns, tbl) = split(name)
+    ensureNamespace(ns)
+    val o = mapper.createObjectNode()
+    o.put("name", tbl)
+    o.set[ObjectNode]("schema", SchemaJson.schemaToJsonNode(schema))
+    o.set[ObjectNode]("partition-spec", UpdateJson.specToNode(spec))
+    o.set[ObjectNode]("write-order", UpdateJson.sortOrderToNode(sortOrder))
+    val po = o.putObject("properties")
+    properties.foreach { case (k, v) => po.put(k, v) }
+    val resp = request("POST", tablesUri(ns), Some(o))
+    if (resp.statusCode() != 200)
+      throw new IllegalArgumentException(s"createTable $name: ${errMsg(resp)}")
+    tableFrom(name, resp)
+  }
+
+  def loadTable(name: String): Table = {
+    val (ns, tbl) = split(name)
+    val resp = request("GET", s"${tablesUri(ns)}/$tbl", None)
+    if (resp.statusCode() == 404)
+      throw new IllegalArgumentException(s"no such table: $name")
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(s"loadTable $name: ${errMsg(resp)}")
+    tableFrom(name, resp)
+  }
+
+  def dropTable(name: String): Unit = {
+    val (ns, tbl) = split(name)
+    request("DELETE", s"${tablesUri(ns)}/$tbl", None)
+    ()
+  }
+
+  def tableExists(name: String): Boolean = {
+    val (ns, tbl) = split(name)
+    request("HEAD", s"${tablesUri(ns)}/$tbl", None).statusCode() == 204
+  }
+
+  def listTables(): Seq[String] = {
+    val nsResp = request("GET", s"$baseUri/v1/${prefix}namespaces", None)
+    if (nsResp.statusCode() != 200) return Nil
+    val namespaces = mapper.readTree(nsResp.body()).get("namespaces").elements().asScala
+      .map(_.elements().asScala.map(_.asText()).mkString(".")).toSeq
+    namespaces.flatMap { ns =>
+      val r = request("GET", tablesUri(ns), None)
+      if (r.statusCode() != 200) Nil
+      else mapper.readTree(r.body()).get("identifiers").elements().asScala.map { id =>
+        val n = id.get("namespace").elements().asScala.map(_.asText()).mkString(".")
+        if (n == "default") id.get("name").asText() else s"$n.${id.get("name").asText()}"
+      }.toSeq
+    }.sorted
+  }
+
+  def currentVersion(name: String): Option[Int] =
+    if (!tableExists(name)) None
+    else {
+      val path = loadTable(name).metadataPath
+      val fn = path.substring(path.lastIndexOf('/') + 1)
+      fn.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+    }
+
+  def commit(name: String, base: TableMetadata, updated: TableMetadata,
+      expectedVersion: Int): String = {
+    val (ns, tbl) = split(name)
+    val (reqs, ups) = MetadataUpdate.diff(base, updated)
+    val o = mapper.createObjectNode()
+    val ido = o.putObject("identifier")
+    val na = ido.putArray("namespace"); na.add(ns)
+    ido.put("name", tbl)
+    val ra = o.putArray("requirements")
+    reqs.foreach(r => ra.add(UpdateJson.requirementToNode(r)))
+    val ua = o.putArray("updates")
+    ups.foreach(u => ua.add(UpdateJson.updateToNode(u)))
+    val resp = request("POST", s"${tablesUri(ns)}/$tbl", Some(o))
+    resp.statusCode() match {
+      case 200 => mapper.readTree(resp.body()).get("metadata-location").asText()
+      case 409 => throw new CommitConflict(errMsg(resp))
+      case _ => throw new IllegalStateException(s"commit $name: ${errMsg(resp)}")
+    }
+  }
+
+  // ---- remote scan planning ----------------------------------------------
+
+  /** Plan on the server; decode the returned codec payloads into local
+    * tasks. Returns the tasks plus the schema they were planned under.
+    */
+  def planScan(name: String, filter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
+      snapshotId: Option[Long] = None,
+      select: Seq[String] = Nil): (Seq[FileScanTask], IcebergSchema) = {
+    val (ns, tbl) = split(name)
+    val t = loadTable(name)
+    val o = mapper.createObjectNode()
+    if (filter != graft.core.Expr.AlwaysTrue)
+      o.set[JsonNode]("filter", mapper.readTree(ExprJson.toJson(filter)))
+    snapshotId.foreach(o.put("snapshot-id", _))
+    if (select.nonEmpty) { val a = o.putArray("select"); select.foreach(a.add) }
+    val resp = request("POST", s"${tablesUri(ns)}/$tbl/plan", Some(o))
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(s"planScan $name: ${errMsg(resp)}")
+    val body = mapper.readTree(resp.body())
+    val version = body.get("format-version").asInt()
+    val schemaId = body.get("schema-id").asInt()
+    val schema = t.metadata.schemaById(schemaId).getOrElse(t.schema)
+    val dec = java.util.Base64.getDecoder
+    val tasks = body.get("plan-tasks").elements().asScala.map { to =>
+      val specId = to.get("spec-id").asInt()
+      val spec = t.metadata.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
+      graft.codec.TaskCodec.decode(dec.decode(to.get("task").asText()), spec, schema, version)._1
+    }.toSeq
+    (tasks, schema)
+  }
+
+  // ---- plumbing ----------------------------------------------------------
+
+  private def ensureNamespace(ns: String): Unit = {
+    val r = request("GET", s"$baseUri/v1/${prefix}namespaces/$ns", None)
+    if (r.statusCode() == 404) {
+      val o = mapper.createObjectNode()
+      val a = o.putArray("namespace"); a.add(ns)
+      o.putObject("properties")
+      request("POST", s"$baseUri/v1/${prefix}namespaces", Some(o))
+      ()
+    }
+  }
+
+  private def request(method: String, uri: String,
+      body: Option[JsonNode]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(uri))
+      .header("Content-Type", "application/json")
+    val req = (method, body) match {
+      case ("GET", _) => b.GET()
+      case ("DELETE", _) => b.DELETE()
+      case ("HEAD", _) => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case (m, Some(n)) => b.method(m,
+        HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(n), StandardCharsets.UTF_8))
+      case (m, None) => b.method(m, HttpRequest.BodyPublishers.noBody())
+    }
+    http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def errMsg(resp: HttpResponse[String]): String =
+    try {
+      val e = mapper.readTree(resp.body()).get("error")
+      s"${e.get("type").asText()}: ${e.get("message").asText()}"
+    } catch { case _: Exception => s"HTTP ${resp.statusCode()}" }
+
+  private def tableFrom(name: String, resp: HttpResponse[String]): Table = {
+    val body = mapper.readTree(resp.body())
+    val path = body.get("metadata-location").asText()
+    val meta = TableMetadata.fromJson(body.get("metadata").toString)
+    new Table(name, meta, path, this)
+  }
+}
+
+object RestCatalog {
+  def fromUri(rest: String): RestCatalog = new RestCatalog(
+    if (rest.startsWith("http")) rest else s"http:$rest")
+}

@@ -1,0 +1,308 @@
+package graft.rest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.catalog.{Catalog, CommitConflict, SqlCatalog}
+import graft.core.SchemaJson
+import graft.format.{PartitionSpec, SortOrder, TableMetadata}
+
+/** Iceberg-REST-spec catalog server over any backing [[Catalog]] (reference
+  * consumes this protocol in `catalog/rest/rest.go`; the endpoint shapes are
+  * the public REST spec). Commits arrive as requirements+updates, are
+  * validated and applied against the backing catalog's CURRENT metadata
+  * under a per-table lock, and race through the backing CAS — so a REST
+  * server in front of a Hadoop or SQL catalog keeps exactly that catalog's
+  * concurrency story.
+  *
+  * Also serves POST `.../tables/{t}/plan`: server-side scan planning that
+  * returns [[graft.codec.TaskCodec]] payloads (reference
+  * `catalog/rest/scan_planning.go` — tasks planned remotely, executed
+  * locally).
+  */
+final class RestCatalogServer(backing: Catalog, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val commitLocks = new ConcurrentHashMap[String, Object]()
+  // namespace properties when the backing catalog has none (Hadoop)
+  private val nsProps = new ConcurrentHashMap[String, Map[String, String]]()
+
+  def boundPort: Int = server.getAddress.getPort
+  def uri: String = s"http://127.0.0.1:$boundPort"
+
+  // daemon threads + explicit shutdown: HttpServer.stop() does NOT stop a
+  // user-supplied executor, and a lingering non-daemon pool pins the JVM
+  private val pool = Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "rest-catalog-server")
+    t.setDaemon(true)
+    t
+  })
+
+  def start(): RestCatalogServer = {
+    server.createContext("/v1/", handle _)
+    server.setExecutor(pool)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
+
+  // ---- routing -----------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    try route(ex)
+    catch {
+      case e: CommitConflict => sendError(ex, 409, "CommitFailedException", e.getMessage)
+      case e: NoSuchElementException => sendError(ex, 404, "NoSuchTableException", e.getMessage)
+      case e: IllegalArgumentException => sendError(ex, 400, "BadRequestException", e.getMessage)
+      case e: Exception => sendError(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
+    } finally ex.close()
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val segs = ex.getRequestURI.getPath.stripPrefix("/v1/").split("/").filter(_.nonEmpty).toList
+    (method, segs) match {
+      case ("GET", List("config")) =>
+        val o = mapper.createObjectNode()
+        o.putObject("defaults"); o.putObject("overrides")
+        sendJson(ex, 200, o)
+      case ("GET", List("namespaces")) => listNamespaces(ex)
+      case ("POST", List("namespaces")) => createNamespace(ex)
+      case ("GET", List("namespaces", ns)) => getNamespace(ex, ns)
+      case ("DELETE", List("namespaces", ns)) => dropNamespace(ex, ns)
+      case ("POST", List("namespaces", ns, "properties")) => updateNamespace(ex, ns)
+      case ("GET", List("namespaces", ns, "tables")) => listTables(ex, ns)
+      case ("POST", List("namespaces", ns, "tables")) => createTable(ex, ns)
+      case ("GET", List("namespaces", ns, "tables", t)) => loadTable(ex, ns, t)
+      case ("HEAD", List("namespaces", ns, "tables", t)) =>
+        if (backing.tableExists(fullName(ns, t))) { ex.sendResponseHeaders(204, -1) }
+        else ex.sendResponseHeaders(404, -1)
+      case ("POST", List("namespaces", ns, "tables", t)) => commitTable(ex, ns, t)
+      case ("DELETE", List("namespaces", ns, "tables", t)) =>
+        backing.dropTable(fullName(ns, t)); ex.sendResponseHeaders(204, -1)
+      case ("POST", List("namespaces", ns, "tables", t, "plan")) => planScan(ex, ns, t)
+      case _ => sendError(ex, 404, "NotFound", s"$method /${segs.mkString("/")}")
+    }
+  }
+
+  private def fullName(ns: String, table: String): String =
+    if (ns == "default") table else s"$ns.$table"
+
+  // ---- namespaces --------------------------------------------------------
+
+  private def listNamespaces(ex: HttpExchange): Unit = {
+    val names = backing match {
+      case sq: SqlCatalog => sq.listNamespaces()
+      case _ =>
+        (nsProps.keys.asScala.toSeq ++ backing.listTables().map(t =>
+          if (t.contains('.')) t.substring(0, t.lastIndexOf('.')) else "default")).distinct.sorted
+    }
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("namespaces")
+    names.foreach { n => val a = arr.addArray(); a.add(n); () }
+    sendJson(ex, 200, o)
+  }
+
+  private def createNamespace(ex: HttpExchange): Unit = {
+    val body = readJson(ex)
+    val ns = body.get("namespace").elements().asScala.map(_.asText()).mkString(".")
+    val props = Option(body.get("properties")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    backing match {
+      case sq: SqlCatalog => sq.createNamespace(ns, props)
+      case _ => nsProps.put(ns, props)
+    }
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("namespace"); arr.add(ns)
+    val po = o.putObject("properties"); props.foreach { case (k, v) => po.put(k, v) }
+    sendJson(ex, 200, o)
+  }
+
+  private def getNamespace(ex: HttpExchange, ns: String): Unit = {
+    val props = backing match {
+      case sq: SqlCatalog =>
+        if (!sq.namespaceExists(ns)) throw new NoSuchElementException(s"no such namespace: $ns")
+        sq.loadNamespaceProperties(ns)
+      case _ => Option(nsProps.get(ns))
+        .getOrElse(throw new NoSuchElementException(s"no such namespace: $ns"))
+    }
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("namespace"); arr.add(ns)
+    val po = o.putObject("properties"); props.foreach { case (k, v) => po.put(k, v) }
+    sendJson(ex, 200, o)
+  }
+
+  private def dropNamespace(ex: HttpExchange, ns: String): Unit = {
+    backing match {
+      case sq: SqlCatalog => sq.dropNamespace(ns)
+      case _ => nsProps.remove(ns)
+    }
+    ex.sendResponseHeaders(204, -1)
+  }
+
+  private def updateNamespace(ex: HttpExchange, ns: String): Unit = {
+    val body = readJson(ex)
+    val removals = Option(body.get("removals"))
+      .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+    val updates = Option(body.get("updates")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    backing match {
+      case sq: SqlCatalog => sq.updateNamespaceProperties(ns, removals, updates)
+      case _ => nsProps.compute(ns, (_, old) =>
+        (Option(old).getOrElse(Map.empty) -- removals) ++ updates)
+    }
+    val o = mapper.createObjectNode()
+    val rem = o.putArray("removed"); removals.foreach(rem.add)
+    val upd = o.putArray("updated"); updates.keys.foreach(upd.add)
+    o.putArray("missing")
+    sendJson(ex, 200, o)
+  }
+
+  // ---- tables ------------------------------------------------------------
+
+  private def listTables(ex: HttpExchange, ns: String): Unit = {
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("identifiers")
+    backing.listTables()
+      .map(t => if (t.contains('.'))
+        (t.substring(0, t.lastIndexOf('.')), t.substring(t.lastIndexOf('.') + 1))
+      else ("default", t))
+      .filter(_._1 == ns)
+      .foreach { case (n, t) =>
+        val io = arr.addObject()
+        val na = io.putArray("namespace"); na.add(n)
+        io.put("name", t)
+      }
+    sendJson(ex, 200, o)
+  }
+
+  private def createTable(ex: HttpExchange, ns: String): Unit = {
+    val body = readJson(ex)
+    val name = body.get("name").asText()
+    val schema = SchemaJson.schemaFromJsonNode(body.get("schema"))
+    val spec = Option(body.get("partition-spec")).filterNot(_.isNull)
+      .map(UpdateJson.specFromNode).getOrElse(PartitionSpec.Unpartitioned)
+    val order = Option(body.get("write-order")).filterNot(_.isNull)
+      .map(UpdateJson.sortOrderFromNode).getOrElse(SortOrder.Unsorted)
+    val props = Option(body.get("properties")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    val t = backing.createTable(fullName(ns, name), schema, spec, order, props)
+    sendJson(ex, 200, loadResult(t.metadataPath, t.metadata))
+  }
+
+  private def loadTable(ex: HttpExchange, ns: String, name: String): Unit = {
+    val full = fullName(ns, name)
+    if (!backing.tableExists(full)) throw new NoSuchElementException(s"no such table: $full")
+    val t = backing.loadTable(full)
+    sendJson(ex, 200, loadResult(t.metadataPath, t.metadata))
+  }
+
+  /** The commit endpoint: requirements validate against CURRENT metadata,
+    * updates apply to it, and the result commits through the backing CAS.
+    * The per-table lock serializes REST-level commits; a racing non-REST
+    * writer still loses (or wins) at the backing CAS.
+    */
+  private def commitTable(ex: HttpExchange, ns: String, name: String): Unit = {
+    val full = fullName(ns, name)
+    val body = readJson(ex)
+    val reqs = Option(body.get("requirements"))
+      .map(_.elements().asScala.map(UpdateJson.requirementFromNode).toSeq).getOrElse(Nil)
+    val ups = Option(body.get("updates"))
+      .map(_.elements().asScala.map(UpdateJson.updateFromNode).toSeq).getOrElse(Nil)
+
+    val lock = commitLocks.computeIfAbsent(full, _ => new Object)
+    lock.synchronized {
+      val exists = backing.tableExists(full)
+      val current = if (exists) Some(backing.loadTable(full)) else None
+      reqs.foreach { r =>
+        Requirement.check(r, current.map(_.metadata)).foreach(msg =>
+          throw new CommitConflict(s"requirement failed: $msg"))
+      }
+      val t = current.getOrElse(throw new NoSuchElementException(s"no such table: $full"))
+      val applied0 = ups.foldLeft(t.metadata)(MetadataUpdate.apply)
+      val applied = applied0.copy(
+        lastUpdatedMs = math.max(applied0.lastUpdatedMs, System.currentTimeMillis()),
+        metadataLog = applied0.metadataLog :+
+          graft.format.MetadataLogEntry(t.metadataPath, System.currentTimeMillis()))
+      val newPath = backing.commit(full, t.metadata, applied, t.currentVersion)
+      sendJson(ex, 200, loadResult(newPath, applied))
+    }
+  }
+
+  /** Remote scan planning: plan on the server, ship codec payloads. */
+  private def planScan(ex: HttpExchange, ns: String, name: String): Unit = {
+    val full = fullName(ns, name)
+    if (!backing.tableExists(full)) throw new NoSuchElementException(s"no such table: $full")
+    val t = backing.loadTable(full)
+    val body = readJson(ex)
+    var scan = t.newScan
+    Option(body.get("snapshot-id")).filterNot(_.isNull)
+      .foreach(n => scan = scan.useSnapshot(n.asLong()))
+    Option(body.get("filter")).filterNot(_.isNull).foreach { f =>
+      scan = scan.withFilter(graft.core.ExprJson.fromJson(f.toString, Some(t.schema)))
+    }
+    Option(body.get("select")).filterNot(_.isNull).foreach { sel =>
+      val cols = sel.elements().asScala.map(_.asText()).toSeq
+      if (cols.nonEmpty) scan = scan.select(cols: _*)
+    }
+    val tasks = scan.planFiles()
+    val schemaId = scan.snapshot.flatMap(_.schemaId).getOrElse(t.metadata.currentSchemaId)
+    val schema = t.metadata.schemaById(schemaId).getOrElse(t.schema)
+    val o = mapper.createObjectNode()
+    o.put("format-version", t.metadata.formatVersion)
+    o.put("schema-id", schemaId)
+    val arr = o.putArray("plan-tasks")
+    val enc = java.util.Base64.getEncoder
+    tasks.foreach { task =>
+      val spec = t.metadata.specById(task.specId).getOrElse(PartitionSpec.Unpartitioned)
+      val bytes = graft.codec.TaskCodec.encode(task, spec, schema,
+        t.metadata.formatVersion, residual = scan.filter)
+      val to = arr.addObject()
+      to.put("spec-id", task.specId)
+      to.put("task", enc.encodeToString(bytes))
+    }
+    sendJson(ex, 200, o)
+  }
+
+  private def loadResult(path: String, meta: TableMetadata): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", path)
+    o.set[ObjectNode]("metadata", mapper.readTree(TableMetadata.toJson(meta)).asInstanceOf[ObjectNode])
+    o
+  }
+
+  // ---- plumbing ----------------------------------------------------------
+
+  private def readJson(ex: HttpExchange): JsonNode = {
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) mapper.createObjectNode()
+    else mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  private def sendJson(ex: HttpExchange, code: Int, node: JsonNode): Unit = {
+    val out = mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, out.length)
+    ex.getResponseBody.write(out)
+  }
+
+  private def sendError(ex: HttpExchange, code: Int, errType: String, msg: String): Unit = {
+    val o = mapper.createObjectNode()
+    val e = o.putObject("error")
+    e.put("message", msg); e.put("type", errType); e.put("code", code)
+    try sendJson(ex, code, o) catch { case _: Exception => () }
+  }
+}

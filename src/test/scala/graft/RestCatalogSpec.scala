@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.{Catalogs, CommitConflict, HadoopCatalog, SqlCatalog}
+import graft.core._
+import graft.format._
+import graft.rest.{MetadataUpdate, Requirement, RestCatalog, RestCatalogServer}
+import graft.table.{SparkRead, Writer}
+
+/** REST catalog protocol (reference `catalog/rest/rest.go`,
+  * `scan_planning.go`): requirements+updates commits over HTTP, 409 →
+  * CommitConflict → writer retry, and remote scan planning through the task
+  * codec. Server and client are both ours; the wire shapes are the public
+  * REST spec.
+  */
+class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("rest-catalog")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val warehouse = Files.createTempDirectory("graft-rest").toString
+  private lazy val backing = new HadoopCatalog(warehouse)
+  private lazy val server = new RestCatalogServer(backing).start()
+  private lazy val client = new RestCatalog(server.uri)
+
+  override def afterAll(): Unit = {
+    server.stop()
+    spark.stop()
+  }
+
+  test("create / load / exists / list / drop over HTTP") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t = client.createTable("smoke", schema, PartitionSpec.Unpartitioned)
+    assert(t.currentVersion === 1)
+    assert(client.tableExists("smoke"))
+    assert(client.listTables().contains("smoke"))
+    val loaded = client.loadTable("smoke")
+    assert(loaded.schema.fields.map(_.name) === schema.fields.map(_.name))
+    client.dropTable("smoke")
+    assert(!client.tableExists("smoke"))
+  }
+
+  test("full write path commits through requirements+updates") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = client.createTable("wr", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation)
+    assert(t1.metadata.snapshots.size === 1)
+    assert(SparkRead.read(spark, t1.newScan).count() === 25)
+    // the backing catalog sees the SAME committed state (the REST layer is
+    // a protocol, not a fork)
+    assert(backing.loadTable("wr").metadata.currentSnapshotId ===
+      t1.metadata.currentSnapshotId)
+    // row lineage cursor travelled through the add-snapshot extension
+    assert(t1.metadata.nextRowId === 25)
+    // MoR delete over REST too
+    val t2 = Writer.deleteWhereDV(spark, t1, Expr.lt("n_nationkey", 5))
+    assert(SparkRead.read(spark, t2.newScan).count() === 20)
+  }
+
+  test("stale handle: 409 surfaces as CommitConflict, writer retry rebases") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = client.createTable("race", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation.filter(col("n_nationkey") < 10))
+    // raw stale commit (no retry loop) must 409 -> CommitConflict
+    intercept[CommitConflict] {
+      client.commit("race", t0.metadata,
+        t0.metadata.copy(properties = Map("sneak" -> "1")), expectedVersion = 1)
+    }
+    // Writer from the stale handle retries through the same 409 and rebases
+    val t2 = Writer.append(spark, t0, nation.filter(col("n_nationkey") >= 10))
+    assert(SparkRead.read(spark, t2.newScan).count() === 25)
+    assert(t2.metadata.snapshots.size === 2)
+  }
+
+  test("remote scan planning ships codec tasks that read identically") {
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val schema = SchemaBridge.fromSpark(customer.schema)
+    val t0 = client.createTable("plan", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, customer)
+    val t2 = Writer.deleteWhereDV(spark, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+
+    val (tasks, planSchema) = client.planScan("plan")
+    assert(tasks.nonEmpty)
+    assert(tasks.exists(_.posDeletes.exists(_.format == "PUFFIN")))
+    val viaRest = SparkRead.readTasks(spark, tasks, planSchema,
+      specById = t2.metadata.specById).count()
+    val direct = SparkRead.read(spark, t2.newScan).count()
+    assert(viaRest === direct)
+
+    // filtered remote plan: server-side pruning applies the filter
+    val (filtered, _) = client.planScan("plan", Expr.eq("c_mktsegment", "BUILDING"))
+    assert(filtered.size <= tasks.size)
+  }
+
+  test("schema evolution travels as add-schema + set-current-schema") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = client.createTable("evo", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation)
+    val t2 = graft.table.Evolve.addColumn(t1, "note", IcebergTypes.StringT)
+    assert(t2.schema.findField("note").isDefined)
+    // reconstruction on the server kept both schemas and moved the pointer
+    val reloaded = client.loadTable("evo")
+    assert(reloaded.metadata.schemas.size === 2)
+    assert(reloaded.schema.findField("note").isDefined)
+    assert(SparkRead.read(spark, reloaded.newScan).count() === 25)
+  }
+
+  test("diff/apply round-trip reconstructs semantic metadata") {
+    val base = TableMetadata.empty("/tmp/t", IcebergSchema(Seq(
+      NestedField(1, "id", IcebergTypes.LongT, required = true))),
+      PartitionSpec.Unpartitioned)
+    val snap = Snapshot(99L, None, 1L, 12345L, "/tmp/t/metadata/snap-99.avro",
+      Map("operation" -> "append"), Some(0))
+    val updated = base.copy(
+      lastSequenceNumber = 1L,
+      nextRowId = 42L,
+      currentSnapshotId = Some(99L),
+      snapshots = Seq(snap),
+      snapshotLog = Seq(SnapshotLogEntry(99L, 12345L)),
+      properties = Map("k" -> "v"),
+      refs = Map("main" -> SnapshotRef(99L, "branch")))
+    val (reqs, ups) = MetadataUpdate.diff(base, updated)
+    assert(reqs.contains(Requirement.AssertTableUuid(base.tableUuid)))
+    assert(reqs.contains(Requirement.AssertRefSnapshotId("main", None)))
+    val applied = ups.foldLeft(base)(MetadataUpdate.apply)
+    assert(applied.snapshots === updated.snapshots)
+    assert(applied.currentSnapshotId === Some(99L))
+    assert(applied.lastSequenceNumber === 1L)
+    assert(applied.nextRowId === 42L)
+    assert(applied.properties.get("k") === Some("v"))
+    assert(applied.refs === updated.refs)
+    assert(applied.snapshotLog === updated.snapshotLog)
+  }
+
+  test("requirements reject the right states") {
+    val meta = TableMetadata.empty("/tmp/t", IcebergSchema(Seq(
+      NestedField(1, "id", IcebergTypes.LongT, required = true))),
+      PartitionSpec.Unpartitioned)
+    import Requirement._
+    assert(check(AssertTableUuid(meta.tableUuid), Some(meta)).isEmpty)
+    assert(check(AssertTableUuid("other"), Some(meta)).isDefined)
+    assert(check(AssertRefSnapshotId("main", None), Some(meta)).isEmpty)
+    assert(check(AssertRefSnapshotId("main", Some(1L)), Some(meta)).isDefined)
+    assert(check(AssertCreate, None).isEmpty)
+    assert(check(AssertCreate, Some(meta)).isDefined)
+    assert(check(AssertCurrentSchemaId(0), Some(meta)).isEmpty)
+    assert(check(AssertCurrentSchemaId(7), Some(meta)).isDefined)
+  }
+
+  test("scheme registry resolves rest:<uri>, sql-backed server serves namespaces") {
+    val cat = Catalogs.load(s"rest:${server.uri}")
+    assert(cat.isInstanceOf[RestCatalog])
+
+    // REST over the SQL catalog: namespace endpoints delegate to the db
+    val db = s"memory:rest_${java.util.UUID.randomUUID().toString.take(8)}"
+    val wh = Files.createTempDirectory("rest-sql").toString
+    val sqlBack = new SqlCatalog(s"jdbc:derby:$db;create=true", wh)
+    val srv2 = new RestCatalogServer(sqlBack).start()
+    try {
+      val c2 = new RestCatalog(srv2.uri)
+      val schema = IcebergSchema(Seq(NestedField(1, "id", IcebergTypes.LongT, required = true)))
+      c2.createTable("raw.t1", schema, PartitionSpec.Unpartitioned)
+      assert(sqlBack.namespaceExists("raw"))
+      assert(c2.listTables() === Seq("raw.t1"))
+    } finally srv2.stop()
+  }
+}
