@@ -210,17 +210,18 @@ object SparkRead {
       if (rowLineage) {
         // v3 lineage synthesis (reference table/arrow_scanner.go:896-984):
         // _row_id = file first_row_id + position, _last_updated_sequence_
-        // number = data sequence. Broadcast metadata map, evaluated after
-        // deletes so surviving rows keep their original positions.
-        val lm: Map[String, (Long, Long)] = groupTasks.flatMap(t =>
-          t.file.firstRowId.map(fr => t.file.path -> ((fr, t.dataSequence)))).toMap
-        val bc = spark.sparkContext.broadcast(lm)
-        val rowIdU = udf((f: String, pos: Long) =>
-          bc.value.get(f).map(v => Long.box(v._1 + pos)).orNull)
-        val seqU = udf((f: String) =>
-          bc.value.get(f).map(v => Long.box(v._2)).orNull)
-        df = df.withColumn("_row_id", rowIdU(col("__file"), col("__pos")))
-          .withColumn("_last_updated_sequence_number", seqU(col("__file")))
+        // number = data sequence. A broadcast JOIN against the per-file
+        // lineage frame (bounded: one row per scanned file) instead of a
+        // Scala UDF keeps the stage inside whole-stage codegen; evaluated
+        // after deletes so surviving rows keep their original positions.
+        import spark.implicits._
+        val lm = groupTasks.flatMap(t =>
+          t.file.firstRowId.map(fr => (t.file.path, fr, t.dataSequence)))
+        val lmDf = broadcast(lm.toDF("__lineage_file", "__first_row_id", "__lineage_seq"))
+        df = df.join(lmDf, col("__file") === col("__lineage_file"), "left")
+          .withColumn("_row_id", col("__first_row_id") + col("__pos"))
+          .withColumn("_last_updated_sequence_number", col("__lineage_seq"))
+          .drop("__lineage_file", "__first_row_id", "__lineage_seq")
       }
 
       if (needsPos) df = df.drop("__file", "__pos")
