@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.catalog.HadoopCatalog
 import graft.core._
 import graft.format.PartitionSpec
-import graft.table.{Evolve, Incremental, SparkRead, Writer}
+import graft.table.{Evolve, Incremental, Inspect, SparkRead, Writer}
 import Q._
 
 /** Iceberg round-trip gate queries: load the testdata parquet into Iceberg
@@ -1089,6 +1089,50 @@ object IcebergQueries {
       SELECT c_mktsegment, COUNT(*) AS n, 'true' AS remote_planned
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // Structured Streaming pipeline (SURVEY §2.8): Iceberg SOURCE (snapshot-
+    // ancestry micro-batches) -> Iceberg SINK (idempotent batch-id commits),
+    // two AvailableNow runs over a growing source table sharing one
+    // checkpoint. Run 2 must deliver ONLY the delta snapshot — any initial
+    // re-read or missed append breaks the count against the oracle.
+    QueryDef("i41_streaming_pipeline", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/stream_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val half1 = c.filter(col("c_custkey") % 2 === 0)
+      val half2 = c.filter(col("c_custkey") % 2 =!= 0)
+      Writer.append(s, cat.createTable("src", schema, PartitionSpec.Unpartitioned), half1)
+      cat.createTable("dst", schema, PartitionSpec.Unpartitioned)
+      val ckpt = s"$wh/_ckpt"
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", "src").load()
+          .writeStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", "dst")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // batch 0: full initial snapshot
+      Writer.append(s, cat.loadTable("src"), half2)
+      runOnce() // batch 1: the appended delta only
+      val dst = cat.loadTable("dst")
+      val incremental = dst.metadata.snapshots.size == 2 &&
+        Inspect.ancestorsOfCurrent(dst)
+          .flatMap(_.summary.get(graft.streaming.IcebergSink.BatchIdSummaryKey))
+          .sorted == Seq("0", "1")
+      SparkRead.read(s, dst.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("incremental", lit(incremental.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS incremental
+      FROM customer
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
   )
