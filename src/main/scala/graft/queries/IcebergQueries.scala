@@ -1134,6 +1134,45 @@ object IcebergQueries {
       SELECT c_mktsegment, COUNT(*) AS n, 'true' AS incremental
       FROM customer
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // parquet modular encryption (reference encryption/): data files written
+    // under a table master key via the in-memory KMS, read back through the
+    // engine (decrypts transparently, MoR delete included) — and the footer
+    // must be OPAQUE to a reader without KMS access, proving bytes at rest
+    // are actually encrypted rather than just flagged
+    QueryDef("i42_encryption", (s, dir) => {
+      import graft.encryption.{KmsRegistry, ParquetEncryption}
+      val kek = java.util.Base64.getEncoder.encodeToString(
+        Array.tabulate[Byte](16)(_.toByte))
+      s.conf.set(KmsRegistry.KmsTypeProp, "memory")
+      s.conf.set(KmsRegistry.MemoryKeysProp, s"gate-key:$kek")
+      val wh = s"/root/repo/target/graft-wh/enc_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable("cust", schema,
+        PartitionSpec.Unpartitioned,
+        properties = Map(ParquetEncryption.KeyIdProp -> "gate-key")), c)
+      val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+      val dataFile = t2.newScan.planFiles().head.file.path
+      val opaque = try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(dataFile),
+            new org.apache.hadoop.conf.Configuration()))
+        try { r.getFooter; false } finally r.close()
+      } catch { case _: Exception => true }
+      SparkRead.read(s, t2.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("opaque", lit(opaque.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS opaque
+      FROM customer
+      WHERE c_mktsegment <> 'MACHINERY'
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
   )
 }

@@ -31,6 +31,8 @@ object SparkRead {
     // typed_value shredding (by us or another engine) must reconstruct into
     // VariantType transparently (default true; pinned for robustness)
     spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
+    // KMS reachability for encrypted tables (no-op when none configured)
+    graft.encryption.ParquetEncryption.configureSession(spark)
   }
 
   def read(spark: SparkSession, scan: Scan): DataFrame = {
@@ -290,10 +292,7 @@ object SparkRead {
 
   private[table] def probeFooterHasIds(path: String): Boolean = {
     if (org.apache.spark.TaskContext.get() == null) driverFooterProbes.incrementAndGet()
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), conf))
+    val reader = graft.encryption.ParquetEncryption.openFooterReader(path)
     try {
       val fields = reader.getFooter.getFileMetaData.getSchema.getFields
       !fields.isEmpty && fields.get(0).getId != null

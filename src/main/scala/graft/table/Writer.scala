@@ -91,7 +91,7 @@ object Writer {
       .repartition(col("file_path"))
       .sortWithinPartitions("file_path", "pos")
     val tmpDir = s"${table.location}/tmp-delete-${UUID.randomUUID()}"
-    matched.write.parquet(tmpDir)
+    matched.write.options(encryptionOptions(spark, table)).parquet(tmpDir)
     val written = listParquet(tmpDir)
     val deleteFiles = written.map { src =>
       val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
@@ -225,7 +225,8 @@ object Writer {
     val tmpDir = s"${table.location}/tmp-eqdelete-${UUID.randomUUID()}"
     // distributed write: each task emits its own delete file; all files carry
     // the same equality-id set so correctness is unaffected by file count
-    keys.select(equalityFieldNames.map(col): _*).write.parquet(tmpDir)
+    keys.select(equalityFieldNames.map(col): _*).write
+      .options(encryptionOptions(spark, table)).parquet(tmpDir)
     val deleteFiles = listParquet(tmpDir).map { src =>
       val target = s"${table.location}/data/eq-delete-${UUID.randomUUID()}.parquet"
       moveFile(src, target)
@@ -255,7 +256,8 @@ object Writer {
     val dataFiles = writeDataFiles(spark, table, addRows)
 
     val tmpDir = s"${table.location}/tmp-eqdelete-${UUID.randomUUID()}"
-    deleteKeys.select(equalityFieldNames.map(col): _*).write.parquet(tmpDir)
+    deleteKeys.select(equalityFieldNames.map(col): _*).write
+      .options(encryptionOptions(spark, table)).parquet(tmpDir)
     val deleteFiles = listParquet(tmpDir).map { src =>
       val target = s"${table.location}/data/eq-delete-${UUID.randomUUID()}.parquet"
       moveFile(src, target)
@@ -346,6 +348,13 @@ object Writer {
   /** Write df as table data files (partition fanout if spec is partitioned),
     * harvest footer stats, return DataFiles.
     */
+  /** Parquet modular-encryption writer options for tables carrying
+    * `encryption.key-id`; empty (plaintext) otherwise. Applied per-write so
+    * encryption stays table-scoped.
+    */
+  private def encryptionOptions(spark: SparkSession, table: Table): Map[String, String] =
+    graft.encryption.ParquetEncryption.writeOptions(spark, table.metadata.properties)
+
   def writeDataFiles(spark: SparkSession, table: Table, df: DataFrame): Seq[DataFile] = {
     SparkRead.configure(spark)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -378,7 +387,8 @@ object Writer {
     val maxRecords = math.max(1L, (targetBytes / estRowBytes).toLong)
 
     def writeAligned(): Unit = if (spec.isUnpartitioned) {
-      aligned.write.option("maxRecordsPerFile", maxRecords).parquet(tmpDir)
+      aligned.write.option("maxRecordsPerFile", maxRecords)
+        .options(encryptionOptions(spark, table)).parquet(tmpDir)
     } else {
       val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
         case (d, (pf, pcol)) =>
@@ -406,6 +416,7 @@ object Writer {
         .sortWithinPartitions((partColNames.map(col) ++ sortCols): _*)
         .write.partitionBy(partColNames: _*)
         .option("maxRecordsPerFile", maxRecords)
+        .options(encryptionOptions(spark, table))
         .parquet(tmpDir)
     }
 
@@ -616,9 +627,7 @@ object Writer {
     * field ids via the embedded parquet field ids.
     */
   def harvestStats(path: String, schema: IcebergSchema, partValues: Seq[Any]): DataFile = {
-    val conf = new Configuration()
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    val reader = graft.encryption.ParquetEncryption.openFooterReader(path)
     try {
       val footer = reader.getFooter
       val msgType = footer.getFileMetaData.getSchema
@@ -715,9 +724,7 @@ object Writer {
   }
 
   private def footerBasics(path: String): (Long, Long, Int, Int) = {
-    val conf = new Configuration()
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    val reader = graft.encryption.ParquetEncryption.openFooterReader(path)
     try {
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       (rows, graft.io.FileIO.size(path), reader.getFooter.getBlocks.size(), 0)
