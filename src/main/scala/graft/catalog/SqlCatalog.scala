@@ -192,23 +192,30 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
   def commitTransaction(commits: Seq[StagedCommit]): Unit = {
     require(commits.map(_.name).distinct.size == commits.size,
       "duplicate table in multi-table transaction")
-    val staged = commits.map(c => c -> stageMetadataFile(c.name, c.updated, c.expectedVersion))
-    val ok = withConn { conn =>
-      conn.setAutoCommit(false)
-      try {
-        val allWon = staged.forall { case (c, newPath) =>
-          casUpdate(conn, c.name, c.expectedVersion, newPath) == 1
-        }
-        if (allWon) { conn.commit(); true } else { conn.rollback(); false }
-      } catch { case e: Throwable => conn.rollback(); throw e }
+    // Stage incrementally and remove EVERY staged file on ANY failure —
+    // staging midway, a DB error, or a lost CAS. The DB pointer never
+    // advanced in those cases, so an orphaned create-no-replace file would
+    // make all future commits of that table at that version conflict
+    // permanently (retry/rebase cannot recover a poisoned version slot).
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(StagedCommit, String)]
+    def cleanup(): Unit = staged.foreach { case (_, p) =>
+      try { FileIO.delete(p); () } catch { case _: Exception => () }
     }
-    if (!ok) {
-      staged.foreach { case (_, p) =>
-        try { FileIO.delete(p); () } catch { case _: Exception => () }
+    try {
+      commits.foreach(c =>
+        staged += c -> stageMetadataFile(c.name, c.updated, c.expectedVersion))
+      val ok = withConn { conn =>
+        conn.setAutoCommit(false)
+        try {
+          val allWon = staged.forall { case (c, newPath) =>
+            casUpdate(conn, c.name, c.expectedVersion, newPath) == 1
+          }
+          if (allWon) { conn.commit(); true } else { conn.rollback(); false }
+        } catch { case e: Throwable => conn.rollback(); throw e }
       }
-      throw new CommitConflict(
+      if (!ok) throw new CommitConflict(
         "multi-table transaction lost a concurrent race; nothing was applied")
-    }
+    } catch { case e: Throwable => cleanup(); throw e }
   }
 
   private def stageMetadataFile(name: String, updated: TableMetadata,

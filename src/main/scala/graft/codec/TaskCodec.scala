@@ -72,11 +72,11 @@ object TaskCodec {
     o.put("spec-id", spec.specId)
     o.set[ObjectNode]("file", fileNode(task.file, partType))
     val (dvs, parquetPos) = task.posDeletes.partition(_.format == "PUFFIN")
-    o.set[ArrayNode]("delete-files", filesNode(parquetPos, partType))
-    o.set[ArrayNode]("deletion-vector-files", filesNode(dvs, partType))
+    o.set[ArrayNode]("delete-files", filesNode(parquetPos, partType, spec.specId))
+    o.set[ArrayNode]("deletion-vector-files", filesNode(dvs, partType, spec.specId))
     val eq = mapper.createArrayNode()
     task.eqDeletes.foreach { case (f, seq) =>
-      checkSpec(f, partType)
+      checkSpec(f, partType, spec.specId)
       val e = mapper.createObjectNode()
       e.put("sequence-number", seq)
       e.set[ObjectNode]("file", fileNode(f, partType))
@@ -110,11 +110,11 @@ object TaskCodec {
     if (length < 0) throw new IllegalArgumentException(s"length must be non-negative: $length")
 
     val partType = spec.partitionType(schema)
-    val file = fileFromNode(o.get("file"), partType)
-    val parquetPos = filesFromNode(o.get("delete-files"), partType)
-    val dvs = filesFromNode(o.get("deletion-vector-files"), partType)
+    val file = fileFromNode(o.get("file"), partType, sid)
+    val parquetPos = filesFromNode(o.get("delete-files"), partType, sid)
+    val dvs = filesFromNode(o.get("deletion-vector-files"), partType, sid)
     val eq = o.get("equality-delete-files").elements().asScala.map { e =>
-      (fileFromNode(e.get("file"), partType), e.get("sequence-number").asLong())
+      (fileFromNode(e.get("file"), partType, sid), e.get("sequence-number").asLong())
     }.toSeq
     val residual =
       if (o.has("residual")) ExprJson.fromJson(o.get("residual").toString, Some(schema))
@@ -128,26 +128,38 @@ object TaskCodec {
     if (version < MinVersion || version > MaxVersion)
       throw new IllegalArgumentException(s"unsupported format version $version")
 
-  /** The codec's analogue of the reference's per-file SpecID check
-    * (`file_scan_task.go:274-287`): our DataFile carries no spec id, so the
-    * invariant checked is that the partition tuple has the codec spec's arity
-    * — a file written under a different spec would mis-map its values.
-    * Unpartitioned delete files (global deletes) always pass.
+  /** The reference's per-file SpecID check (`file_scan_task.go:274-287`):
+    * a carried file tagged with a different spec id is rejected outright —
+    * its partition literals would otherwise encode/decode under the wrong
+    * field types and transforms silently. Files without provenance (built
+    * in-memory, never round-tripped through a manifest) fall back to the
+    * arity invariant. Unpartitioned delete files (global deletes) always
+    * pass the arity check.
     */
-  private def checkSpec(f: DataFile, partType: StructT): Unit =
+  private def checkSpec(f: DataFile, partType: StructT, codecSpecId: Int): Unit = {
+    // empty partition tuples (global deletes) have no literals to mis-decode,
+    // and legitimately ride along from the unpartitioned spec
+    if (f.partition.nonEmpty)
+      f.specId.filter(_ != codecSpecId).foreach(sid =>
+        throw new IllegalArgumentException(
+          s"file ${f.path} was written under spec $sid but the codec spec is " +
+            s"$codecSpecId (partition evolution requires per-spec grouping)"))
     if (f.partition.nonEmpty && f.partition.size != partType.fields.size)
       throw new IllegalArgumentException(
         s"file ${f.path} partition arity ${f.partition.size} does not match " +
           s"codec spec arity ${partType.fields.size}")
+  }
 
-  private def filesNode(files: Seq[DataFile], partType: StructT): ArrayNode = {
+  private def filesNode(files: Seq[DataFile], partType: StructT,
+      codecSpecId: Int): ArrayNode = {
     val a = mapper.createArrayNode()
-    files.foreach { f => checkSpec(f, partType); a.add(fileNode(f, partType)) }
+    files.foreach { f => checkSpec(f, partType, codecSpecId); a.add(fileNode(f, partType)) }
     a
   }
 
-  private def filesFromNode(node: JsonNode, partType: StructT): Seq[DataFile] =
-    node.elements().asScala.map(fileFromNode(_, partType)).toSeq
+  private def filesFromNode(node: JsonNode, partType: StructT,
+      codecSpecId: Int): Seq[DataFile] =
+    node.elements().asScala.map(fileFromNode(_, partType, codecSpecId)).toSeq
 
   private def fileNode(f: DataFile, partType: StructT): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -182,7 +194,8 @@ object TaskCodec {
     o
   }
 
-  private def fileFromNode(o: JsonNode, partType: StructT): DataFile = {
+  private def fileFromNode(o: JsonNode, partType: StructT,
+      codecSpecId: Int): DataFile = {
     val part = o.get("partition").elements().asScala.zipWithIndex.map {
       case (n, i) =>
         if (n.isNull) null
@@ -211,7 +224,8 @@ object TaskCodec {
       contentOffset = if (o.has("content-offset")) Some(o.get("content-offset").asLong()) else None,
       contentSize = if (o.has("content-size-in-bytes"))
         Some(o.get("content-size-in-bytes").asLong()) else None,
-      firstRowId = if (o.has("first-row-id")) Some(o.get("first-row-id").asLong()) else None)
+      firstRowId = if (o.has("first-row-id")) Some(o.get("first-row-id").asLong()) else None,
+      specId = Some(codecSpecId))
   }
 
   private def longMap(o: ObjectNode, name: String, m: Map[Int, Long]): Unit =

@@ -55,6 +55,12 @@ final class StandardEncryptionManager(
 
   require(AesGcm.validKeyLength(dekLength), s"bad DEK length $dekLength")
 
+  // The envelope is built and parsed with a real JSON mapper: string
+  // interpolation + regex would write metadata for a keyId containing a
+  // quote/backslash that decrypt() could never parse back — the encrypted
+  // data would be permanently unreadable.
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   override def encrypt(keyId: String, plaintext: Array[Byte]): (Array[Byte], Array[Byte]) = {
     require(keyId.nonEmpty, "StandardEncryptionManager requires a key ID")
     val (dek, wrapped) =
@@ -64,20 +70,24 @@ final class StandardEncryptionManager(
         new java.security.SecureRandom().nextBytes(d)
         (d, kms.wrapKey(keyId, d))
       }
-    val meta = s"""{"key-id":"$keyId","wrapped-dek":"${
-      Base64.getEncoder.encodeToString(wrapped)}"}"""
-    (AesGcm.seal(dek, plaintext), meta.getBytes(StandardCharsets.UTF_8))
+    val node = mapper.createObjectNode()
+    node.put("key-id", keyId)
+    node.put("wrapped-dek", Base64.getEncoder.encodeToString(wrapped))
+    (AesGcm.seal(dek, plaintext),
+      mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
   }
 
-  private val MetaP =
-    """\{"key-id":"([^"]*)","wrapped-dek":"([^"]*)"\}""".r
-
-  override def decrypt(keyMetadata: Array[Byte], ciphertext: Array[Byte]): Array[Byte] =
-    new String(keyMetadata, StandardCharsets.UTF_8) match {
-      case MetaP(keyId, wrappedB64) =>
-        val dek = kms.unwrapKey(keyId, Base64.getDecoder.decode(wrappedB64))
-        AesGcm.open(dek, ciphertext)
-      case other =>
-        throw new IllegalArgumentException(s"malformed key metadata: $other")
-    }
+  override def decrypt(keyMetadata: Array[Byte], ciphertext: Array[Byte]): Array[Byte] = {
+    val node =
+      try mapper.readTree(new String(keyMetadata, StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"malformed key metadata", e)
+      }
+    val keyId = Option(node.get("key-id")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("key metadata missing key-id"))
+    val wrappedB64 = Option(node.get("wrapped-dek")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("key metadata missing wrapped-dek"))
+    val dek = kms.unwrapKey(keyId, Base64.getDecoder.decode(wrappedB64))
+    AesGcm.open(dek, ciphertext)
+  }
 }

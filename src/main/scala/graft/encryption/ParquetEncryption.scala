@@ -25,7 +25,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetEncryption {
 
-  /** Table property naming the master (KEK) key id. */
+  /** Table property naming the master (KEK) key id. Tables carrying this
+    * property also write their manifests WITHOUT value bounds
+    * (`Writer.harvestStats(omitBounds)`): modular encryption protects data
+    * files only, and plaintext min/max in manifests would leak every
+    * column's value range at rest.
+    */
   val KeyIdProp = "encryption.key-id"
 
   private val FactoryClassProp = "parquet.crypto.factory.class"
@@ -81,6 +86,18 @@ object ParquetEncryption {
       opts.foreach { case (k, v) => hc.set(k, v) }
       driverConf.set(Some(opts))
     }
+  }
+
+  /** Undo [[configureSession]]: drop KMS reachability from the shared
+    * hadoop conf and the driver-side conf snapshot. Gates/tests that enable
+    * encryption session-wide must call this when done — leaked crypto state
+    * in a long-lived JVM can mask or manufacture failures in later queries.
+    */
+  def restoreSession(spark: SparkSession): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq(KmsRegistry.KmsTypeProp, KmsRegistry.MemoryKeysProp,
+      FactoryClassProp, KmsClientClassProp).foreach(hc.unset)
+    driverConf.set(None)
   }
 
   /** Last-seen KMS conf for driver-side bare `Configuration` builders

@@ -313,7 +313,8 @@ object Manifests {
             firstRowId = opt(df, "first_row_id").map(lng),
             referencedDataFile = opt(df, "referenced_data_file").map(str),
             contentOffset = opt(df, "content_offset").map(lng),
-            contentSize = opt(df, "content_size_in_bytes").map(lng)))
+            contentSize = opt(df, "content_size_in_bytes").map(lng),
+            specId = Some(specId)))
       }
       (buf.result(), specId)
     } finally reader.close()

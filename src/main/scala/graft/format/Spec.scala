@@ -95,7 +95,12 @@ final case class DataFile(
     contentOffset: Option[Long] = None,
     contentSize: Option[Long] = None,
     // v3 row lineage: first _row_id assigned to this file's rows at commit
-    firstRowId: Option[Long] = None)
+    firstRowId: Option[Long] = None,
+    // provenance, not manifest payload: the spec this file's partition tuple
+    // was written under (tagged from the manifest header on read) — lets the
+    // task codec reject a file whose literals would decode under the wrong
+    // transforms (reference file_scan_task.go:274-287 per-file SpecID check)
+    specId: Option[Int] = None)
 
 object DataFileContent {
   val Data = 0

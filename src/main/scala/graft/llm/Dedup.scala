@@ -225,9 +225,18 @@ object Dedup {
         band.foreach(bb.putLong)
         (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
       }.toArray)
+    // Eagerly materialize the capped buckets, then release the signature
+    // frame: the returned pair frame is lazy, so a persist left behind here
+    // would pin its blocks in the CacheManager for the session's lifetime
+    // (a real leak in a long-lived curation pipeline). localCheckpoint blocks
+    // are GC-tracked — they're freed once the caller drops the result —
+    // and the checkpoint preserves the bucket hash-partitioning, so the
+    // self-join below still reuses one exchange for both sides.
     val buckets = capBuckets(
       withSig.select(col("id"), col("sig"), explode(bandUdf(col("sig"))).as("bucket")),
       "bucket", "id", maxBucketSize)
+      .localCheckpoint()
+    withSig.unpersist()
     val sigEst = udf((x: Seq[Long], y: Seq[Long]) => {
       var same = 0; var i = 0
       while (i < x.length) { if (x(i) == y(i)) same += 1; i += 1 }
@@ -324,9 +333,13 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), f(col(textCol)).as("sh")).persist()
     val bandU = udf((h: Long) => (0 until 4).map(i =>
       (i.toLong << 16) | ((h >>> (i * 16)) & 0xffffL)).toArray)
+    // Same eager-materialize + release pattern as nearDupPairsMinHash: the
+    // simhash frame must not stay persisted past this call (session leak).
     val banded = capBuckets(
       sh.select(col("id"), col("sh"), explode(bandU(col("sh"))).as("band")),
       "band", "id", maxBucketSize)
+      .localCheckpoint()
+    sh.unpersist()
     val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     val ham = udf((x: Long, y: Long) => hamming64(x, y))

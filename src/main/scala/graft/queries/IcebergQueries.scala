@@ -84,7 +84,7 @@ object IcebergQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // v3 deletion vectors: MoR delete via puffin DV + bitmap read filter
-    QueryDef("i13_dv_delete", (s, dir) => {
+    QueryDef.staged("i13_dv_delete", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"dv_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -93,7 +93,7 @@ object IcebergQueries {
       val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
       // second DV on the same files must union with the first
       val t3 = Writer.deleteWhereDV(s, t2, Expr.eq("c_mktsegment", "HOUSEHOLD"))
-      SparkRead.read(s, t3.newScan)
+      () => SparkRead.read(s, t3.newScan)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))
@@ -108,7 +108,7 @@ object IcebergQueries {
     // must still plan O(1) parquet scans (DVs apply via the broadcast
     // per-file metadata filter, never by splitting the scan per file) and
     // stay hash-correct
-    QueryDef("i29_dv_many_files", (s, dir) => {
+    QueryDef.staged("i29_dv_many_files", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"dvm_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -126,10 +126,12 @@ object IcebergQueries {
       val nScans = df.queryExecution.optimizedPlan.collect {
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
       }.size
-      val nRows = df.count()
       import s.implicits._
-      Seq((nRows, (nDataFiles >= 20).toString, (nDvs >= 20).toString, nScans.toLong))
-        .toDF("n_rows", "many_files", "many_dvs", "n_scans")
+      () => {
+        val nRows = df.count()
+        Seq((nRows, (nDataFiles >= 20).toString, (nDvs >= 20).toString, nScans.toLong))
+          .toDF("n_rows", "many_files", "many_dvs", "n_scans")
+      }
     }, Some("""
       SELECT COUNT(*) AS n_rows, 'true' AS many_files, 'true' AS many_dvs,
              CAST(1 AS BIGINT) AS n_scans
@@ -139,7 +141,7 @@ object IcebergQueries {
     // merge-append bin-packing: 20 small appends with
     // min-count-to-merge=4 must end with a BOUNDED data-manifest count (not
     // 20), while every appended row still reads back
-    QueryDef("i31_merge_append", (s, dir) => {
+    QueryDef.staged("i31_merge_append", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"ma_${UUID.randomUUID().toString.take(8)}"
       val sup = tbl(s, dir, "supplier")
@@ -162,7 +164,7 @@ object IcebergQueries {
       def keySum(df: DataFrame): Long = // null-safe: empty group sums to 0
         df.agg(coalesce(sum(col("s_suppkey").cast("long")), lit(0L))).head.getLong(0)
       val incrOk = incr.count() == expected.count() && keySum(incr) == keySum(expected)
-      SparkRead.read(s, t.newScan)
+      () => SparkRead.read(s, t.newScan)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), sum(col("s_suppkey").cast("long")).as("key_sum"))
         .withColumn("bounded", lit((nManifests <= 4).toString))
@@ -179,7 +181,7 @@ object IcebergQueries {
     // parquet (partition column only in the dir name) registers without
     // rewrite; partition values parse typed from the path, the read fills
     // the hive-omitted column from the directory, and pruning works
-    QueryDef("i34_add_files_partitioned", (s, dir) => {
+    QueryDef.staged("i34_add_files_partitioned", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"imp2_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -196,7 +198,7 @@ object IcebergQueries {
       val filter = Expr.eq("c_mktsegment", "BUILDING")
       val (_, metrics) = t1.newScan.withFilter(filter).planFilesWithMetrics()
       val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
-      SparkRead.read(s, t1.newScan.withFilter(filter))
+      () => SparkRead.read(s, t1.newScan.withFilter(filter))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"), d(sum(dec(col("c_acctbal")))).as("bal"))
         .withColumn("pruned_ok", lit(pruned.toString))
@@ -213,7 +215,7 @@ object IcebergQueries {
     // conflict-validation matrix: a compaction racing a MoR DV delete must
     // never lose the delete — the stale compaction either rebases correctly
     // or raises ValidationException, and the deleted rows stay deleted
-    QueryDef("i36_conflict_rewrite", (s, dir) => {
+    QueryDef.staged("i36_conflict_rewrite", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"cfl_${UUID.randomUUID().toString.take(8)}"
       val sup = tbl(s, dir, "supplier")
@@ -232,7 +234,7 @@ object IcebergQueries {
           false
         } catch { case _: graft.table.ValidationException => true }
       val t2 = cat.loadTable(name)
-      SparkRead.read(s, t2.newScan)
+      () => SparkRead.read(s, t2.newScan)
         .agg(count(lit(1)).as("n_live"), sum(col("s_suppkey").cast("long")).as("key_sum"))
         .withColumn("conflict_detected", lit(conflicted.toString))
     }, Some("""
@@ -245,7 +247,7 @@ object IcebergQueries {
     // must not open a single footer on the driver — presence is seeded by the
     // addFiles harvest, and a fresh driver (cache cleared here) resolves the
     // misses with ONE distributed probe job
-    QueryDef("i35_import_probe", (s, dir) => {
+    QueryDef.staged("i35_import_probe", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"imp3_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -262,7 +264,7 @@ object IcebergQueries {
       SparkRead.driverFooterProbes.set(0)
       val df = SparkRead.read(s, t1.newScan) // plans eagerly -> probe runs here
       val zeroProbes = SparkRead.driverFooterProbes.get() == 0L
-      df.groupBy(col("c_nationkey"))
+      () => df.groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"), sum(col("c_custkey").cast("long")).as("key_sum"))
         .withColumn("no_driver_probe", lit(zeroProbes.toString))
         // empty round-robin partitions write no file, so a tiny SF can't
@@ -280,7 +282,7 @@ object IcebergQueries {
     // nested-column stats: footer bounds for struct-nested fields must reach
     // the manifest, so a predicate on `info.nk` prunes files (ScanMetrics
     // skippedDataFiles > 0) and the residual pushes into the scan
-    QueryDef("i32_nested_stats", (s, dir) => {
+    QueryDef.staged("i32_nested_stats", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"nst_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -294,7 +296,7 @@ object IcebergQueries {
       val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
       val res = SparkRead.read(s, t1.newScan.withFilter(filter))
       import s.implicits._
-      Seq((res.count(),
+      () => Seq((res.count(),
         res.agg(d(sum(dec(col("info.bal"))))).first().getDouble(0),
         pruned.toString)).toDF("n_rows", "bal_sum", "pruned_ok")
     }, Some("""
@@ -307,7 +309,7 @@ object IcebergQueries {
     // nan_value_counts: with the nan-counts pass enabled, all-NaN files are
     // skipped for a NotNaN predicate and the recorded counts sum to the true
     // NaN population
-    QueryDef("i33_nan_stats", (s, dir) => {
+    QueryDef.staged("i33_nan_stats", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"nan_${UUID.randomUUID().toString.take(8)}"
       val p = tbl(s, dir, "part")
@@ -327,7 +329,7 @@ object IcebergQueries {
       val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
       val res = SparkRead.read(s, t1.newScan.withFilter(filter))
       import s.implicits._
-      Seq((res.count(), recordedNans, pruned.toString))
+      () => Seq((res.count(), recordedNans, pruned.toString))
         .toDF("n_rows", "n_nans", "pruned_ok")
     }, Some("""
       SELECT (SELECT COUNT(*) FROM part WHERE p_partkey % 7 <> 0) AS n_rows,
@@ -338,7 +340,7 @@ object IcebergQueries {
     // typed (µs-long) partition value — not a stringified one — so partition
     // pruning and the partition-value filter work; ScanMetrics proves files
     // were actually skipped
-    QueryDef("i30_identity_ts_partition", (s, dir) => {
+    QueryDef.staged("i30_identity_ts_partition", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"idts_${UUID.randomUUID().toString.take(8)}"
       val o = tbl(s, dir, "orders")
@@ -349,7 +351,7 @@ object IcebergQueries {
       val filter = Expr.eq("o_month", java.time.LocalDateTime.parse("1995-06-01T00:00:00"))
       val (_, metrics) = t1.newScan.withFilter(filter).planFilesWithMetrics()
       val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
-      SparkRead.read(s, t1.newScan.withFilter(filter))
+      () => SparkRead.read(s, t1.newScan.withFilter(filter))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
         .withColumn("pruned_ok", lit(pruned.toString))
@@ -410,7 +412,7 @@ object IcebergQueries {
       ORDER BY c_mktsegment""")),
 
     // snapshot isolation: two appends, read first snapshot (time travel)
-    QueryDef("i4_time_travel", (s, dir) => {
+    QueryDef.staged("i4_time_travel", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"tt_${UUID.randomUUID().toString.take(8)}"
       val o = tbl(s, dir, "orders")
@@ -419,7 +421,7 @@ object IcebergQueries {
       val t1 = Writer.append(s, t0, o.filter(col("o_orderkey") % 2 === 0))
       val snap1 = t1.metadata.currentSnapshotId.get
       val t2 = Writer.append(s, t1, o.filter(col("o_orderkey") % 2 =!= 0))
-      SparkRead.read(s, t2.newScan.useSnapshot(snap1))
+      () => SparkRead.read(s, t2.newScan.useSnapshot(snap1))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
         .orderBy(col("o_orderstatus"))
@@ -431,14 +433,14 @@ object IcebergQueries {
       ORDER BY o_orderstatus""")),
 
     // copy-on-write delete: partial files rewritten without matching rows
-    QueryDef("i5_cow_delete", (s, dir) => {
+    QueryDef.staged("i5_cow_delete", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"cow_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
       val schema = SchemaBridge.fromSpark(c.schema)
       val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
       val t2 = Writer.deleteWhere(s, t1, Expr.lt("c_acctbal", 0.0))
-      SparkRead.read(s, t2.newScan)
+      () => SparkRead.read(s, t2.newScan)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), d(sum(dec(col("c_acctbal")))).as("bal"))
         .orderBy(col("c_mktsegment"))
@@ -451,14 +453,14 @@ object IcebergQueries {
       ORDER BY c_mktsegment""")),
 
     // merge-on-read positional delete: data files untouched, anti-join applies
-    QueryDef("i6_mor_pos_delete", (s, dir) => {
+    QueryDef.staged("i6_mor_pos_delete", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"mor_${UUID.randomUUID().toString.take(8)}"
       val o = tbl(s, dir, "orders")
       val schema = SchemaBridge.fromSpark(o.schema)
       val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), o)
       val t2 = Writer.deleteWhereMoR(s, t1, Expr.eq("o_orderpriority", "1-URGENT"))
-      SparkRead.read(s, t2.newScan)
+      () => SparkRead.read(s, t2.newScan)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
@@ -470,7 +472,7 @@ object IcebergQueries {
       ORDER BY o_orderpriority""")),
 
     // equality delete (strictly-greater sequence applicability)
-    QueryDef("i7_equality_delete", (s, dir) => {
+    QueryDef.staged("i7_equality_delete", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"eq_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -478,7 +480,7 @@ object IcebergQueries {
       val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), c)
       val keys = c.filter(col("c_nationkey") < 5).select("c_custkey")
       val t2 = Writer.equalityDelete(s, t1, keys, Seq("c_custkey"))
-      SparkRead.read(s, t2.newScan)
+      () => SparkRead.read(s, t2.newScan)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_nationkey"))
@@ -490,7 +492,7 @@ object IcebergQueries {
       ORDER BY c_nationkey""")),
 
     // schema evolution: add column (nulls via field-id read), rename (same id)
-    QueryDef("i8_schema_evolution", (s, dir) => {
+    QueryDef.staged("i8_schema_evolution", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"evo_${UUID.randomUUID().toString.take(8)}"
       val n = tbl(s, dir, "nation")
@@ -507,7 +509,7 @@ object IcebergQueries {
           org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("n_comment", org.apache.spark.sql.types.StringType))))
       val t4 = Writer.append(s, t3, extra)
-      SparkRead.read(s, t4.newScan).orderBy(col("n_nationkey"))
+      () => SparkRead.read(s, t4.newScan).orderBy(col("n_nationkey"))
     }, Some("""
       SELECT n_nationkey, n_name AS nation_name, n_regionkey,
              CAST(NULL AS VARCHAR) AS n_comment
@@ -517,7 +519,7 @@ object IcebergQueries {
       ORDER BY n_nationkey""")),
 
     // partition spec evolution: old files keep old spec, scan spans both
-    QueryDef("i9_spec_evolution", (s, dir) => {
+    QueryDef.staged("i9_spec_evolution", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"spe_${UUID.randomUUID().toString.take(8)}"
       val o = tbl(s, dir, "orders")
@@ -527,7 +529,7 @@ object IcebergQueries {
         o.filter(col("o_orderkey") % 2 === 0))
       val t2 = Evolve.updateSpec(t1, _.add("o_custkey", Transforms.Bucket(4)))
       val t3 = Writer.append(s, t2, o.filter(col("o_orderkey") % 2 =!= 0))
-      SparkRead.read(s, t3.newScan.withFilter(Expr.lt("o_custkey", 100L)))
+      () => SparkRead.read(s, t3.newScan.withFilter(Expr.lt("o_custkey", 100L)))
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_custkey"))
@@ -539,7 +541,7 @@ object IcebergQueries {
       ORDER BY o_custkey""")),
 
     // branches & tags: tag the half-loaded state, read through the ref
-    QueryDef("i10_branch_tag", (s, dir) => {
+    QueryDef.staged("i10_branch_tag", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"ref_${UUID.randomUUID().toString.take(8)}"
       val r = tbl(s, dir, "part")
@@ -548,7 +550,7 @@ object IcebergQueries {
         r.filter(col("p_size") <= 25))
       val tag = Evolve.setRef(t1, "size_le_25", t1.metadata.currentSnapshotId.get, "tag")
       val t2 = Writer.append(s, tag, r.filter(col("p_size") > 25))
-      SparkRead.read(s, t2.newScan.useRef("size_le_25"))
+      () => SparkRead.read(s, t2.newScan.useRef("size_le_25"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("size_sum"))
         .orderBy(col("p_brand"))
@@ -601,7 +603,7 @@ object IcebergQueries {
     // null-keyed equality delete: a delete row whose key is null must delete
     // null-keyed data rows (iceberg matches null = null; reference canonical
     // key encoding table/equality_delete_reader.go:352-527)
-    QueryDef("i14_eq_delete_null", (s, dir) => {
+    QueryDef.staged("i14_eq_delete_null", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"eqn_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -614,7 +616,7 @@ object IcebergQueries {
       import s.implicits._
       val keys = Seq(Option.empty[String], Some("BUILDING")).toDF("seg")
       val t2 = Writer.equalityDelete(s, t1, keys, Seq("seg"))
-      SparkRead.read(s, t2.newScan)
+      () => SparkRead.read(s, t2.newScan)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_nationkey"))
@@ -633,7 +635,7 @@ object IcebergQueries {
     // optimistic-concurrency commit: two appends race from the same stale
     // base; the loser's CommitConflict is retried with a refresh + rebase
     // (reference retry loop table/table.go:520-980). Both batches must land.
-    QueryDef("i15_concurrent_append", (s, dir) => {
+    QueryDef.staged("i15_concurrent_append", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"cc_${UUID.randomUUID().toString.take(8)}"
       val n = tbl(s, dir, "nation")
@@ -645,7 +647,7 @@ object IcebergQueries {
       val f1 = Future(Writer.append(s, t0, n.filter(col("n_nationkey") % 2 === 0)))
       val f2 = Future(Writer.append(s, t0, n.filter(col("n_nationkey") % 2 =!= 0)))
       Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
-      SparkRead.read(s, cat.loadTable(name).newScan)
+      () => SparkRead.read(s, cat.loadTable(name).newScan)
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey").cast("long")).as("key_sum"))
         .orderBy(col("n_regionkey"))
@@ -658,7 +660,7 @@ object IcebergQueries {
     // metadata-only delete: a partition-aligned DELETE WHERE must drop the
     // fully-matching files via the strict evaluator without rewriting a
     // single file (added-data-files = 0), and still read back correct rows
-    QueryDef("i16_metadata_only_delete", (s, dir) => {
+    QueryDef.staged("i16_metadata_only_delete", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"meta_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -667,10 +669,12 @@ object IcebergQueries {
       val t1 = Writer.append(s, cat.createTable(name, schema, spec), c)
       val t2 = Writer.deleteWhere(s, t1, Expr.eq("c_mktsegment", "BUILDING"))
       val summary = t2.metadata.currentSnapshot.get.summary
-      val remaining = SparkRead.read(s, t2.newScan).count()
       import s.implicits._
-      Seq((remaining, summary.getOrElse("added-data-files", "-1").toLong))
-        .toDF("n_rows", "added_files")
+      () => {
+        val remaining = SparkRead.read(s, t2.newScan).count()
+        Seq((remaining, summary.getOrElse("added-data-files", "-1").toLong))
+          .toDF("n_rows", "added_files")
+      }
     }, Some("""
       SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS added_files
       FROM customer
@@ -679,7 +683,7 @@ object IcebergQueries {
     // compaction: MoR deletes (positional + equality) folded into rewritten
     // data files; afterwards planFiles must attach zero delete files and the
     // data must still match the oracle
-    QueryDef("i17_compaction", (s, dir) => {
+    QueryDef.staged("i17_compaction", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"cmp_${UUID.randomUUID().toString.take(8)}"
       val p = tbl(s, dir, "part")
@@ -693,9 +697,11 @@ object IcebergQueries {
       val res = graft.table.Maintenance.rewriteDataFiles(s, t4, rewriteAll = true)
       val tasks = res.table.newScan.planFiles()
       val nDeletesAttached = tasks.map(t => t.posDeletes.size + t.eqDeletes.size).sum
-      val nRows = SparkRead.read(s, res.table.newScan).count()
       import s.implicits._
-      Seq((nRows, nDeletesAttached.toLong)).toDF("n_rows", "n_delete_files")
+      () => {
+        val nRows = SparkRead.read(s, res.table.newScan).count()
+        Seq((nRows, nDeletesAttached.toLong)).toDF("n_rows", "n_delete_files")
+      }
     }, Some("""
       SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_delete_files
       FROM part
@@ -704,7 +710,7 @@ object IcebergQueries {
 
     // snapshot expiry + orphan cleanup: history shrinks to the live snapshot,
     // unreachable files are deleted, and the table still reads correctly
-    QueryDef("i18_expire_snapshots", (s, dir) => {
+    QueryDef.staged("i18_expire_snapshots", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"exp_${UUID.randomUUID().toString.take(8)}"
       val sup = tbl(s, dir, "supplier")
@@ -718,11 +724,13 @@ object IcebergQueries {
       val orphans = graft.table.Maintenance.removeOrphanFiles(
         res.table, olderThanMs = System.currentTimeMillis() + 1000)
       val t4 = res.table
-      val nRows = SparkRead.read(s, t4.newScan).count()
       import s.implicits._
-      Seq((nRows, t4.metadata.snapshots.size.toLong,
-        (res.expiredSnapshots.size >= 2 && orphans.size >= 0).toString))
-        .toDF("n_rows", "n_snapshots", "expired_ok")
+      () => {
+        val nRows = SparkRead.read(s, t4.newScan).count()
+        Seq((nRows, t4.metadata.snapshots.size.toLong,
+          (res.expiredSnapshots.size >= 2 && orphans.size >= 0).toString))
+          .toDF("n_rows", "n_snapshots", "expired_ok")
+      }
     }, Some("""
       SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_snapshots, 'true' AS expired_ok
       FROM supplier
@@ -730,7 +738,7 @@ object IcebergQueries {
 
     // manifest rewrite: many small data manifests merge into one; reads are
     // unchanged and sequence numbers survive the merge
-    QueryDef("i19_rewrite_manifests", (s, dir) => {
+    QueryDef.staged("i19_rewrite_manifests", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"rm_${UUID.randomUUID().toString.take(8)}"
       val n = tbl(s, dir, "nation")
@@ -743,9 +751,11 @@ object IcebergQueries {
       val nManifests = graft.format.Manifests
         .readManifestList(merged.metadata.currentSnapshot.get.manifestList)
         .count(_.content == graft.format.ManifestContent.Data)
-      val nRows = SparkRead.read(s, merged.newScan).count()
       import s.implicits._
-      Seq((nRows, nManifests.toLong)).toDF("n_rows", "n_data_manifests")
+      () => {
+        val nRows = SparkRead.read(s, merged.newScan).count()
+        Seq((nRows, nManifests.toLong)).toDF("n_rows", "n_data_manifests")
+      }
     }, Some("""
       SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_data_manifests
       FROM nation""")),
@@ -753,7 +763,7 @@ object IcebergQueries {
     // RowDelta upsert: updates + inserts in ONE snapshot; sequence numbers
     // make the eq-delete apply only to pre-existing rows, never the batch's
     // own inserts (reference table/row_delta.go:65-290)
-    QueryDef("i20_upsert", (s, dir) => {
+    QueryDef.staged("i20_upsert", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"ups_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -765,7 +775,7 @@ object IcebergQueries {
         .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
         .withColumn("c_acctbal", lit(111.11))
       val t2 = Writer.upsert(s, t1, updated.unionByName(inserted), Seq("c_custkey"))
-      SparkRead.read(s, t2.newScan)
+      () => SparkRead.read(s, t2.newScan)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), d(sum(dec(col("c_acctbal")))).as("bal"))
         .orderBy(col("c_mktsegment"))
@@ -788,14 +798,14 @@ object IcebergQueries {
     // add_files import: register the raw (ID-less) testdata parquet without
     // rewriting it; the name mapping resolves columns, stats still prune,
     // and a CoW delete over the imported file round-trips correctly
-    QueryDef("i21_add_files", (s, dir) => {
+    QueryDef.staged("i21_add_files", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"imp_${UUID.randomUUID().toString.take(8)}"
       val p = tbl(s, dir, "part")
       val schema = SchemaBridge.fromSpark(p.schema)
       val t0 = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
       val t1 = Writer.addFiles(s, t0, Seq(s"$dir/part.parquet"))
-      SparkRead.read(s, t1.newScan.withFilter(Expr.gt("p_size", 25)))
+      () => SparkRead.read(s, t1.newScan.withFilter(Expr.gt("p_size", 25)))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("size_sum"))
         .orderBy(col("p_brand"))
@@ -809,7 +819,7 @@ object IcebergQueries {
     // incremental read: only rows appended in (snap1, snap3] surface —
     // snapshot-ancestry walk + added-entry filtering
     // (reference table/snapshot_ancestry.go:37-150)
-    QueryDef("i22_incremental_read", (s, dir) => {
+    QueryDef.staged("i22_incremental_read", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"inc_${UUID.randomUUID().toString.take(8)}"
       val n = tbl(s, dir, "nation")
@@ -820,7 +830,7 @@ object IcebergQueries {
       val t2 = Writer.append(s, t1, n.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16))
       val t3 = Writer.append(s, t2, n.filter(col("n_nationkey") >= 16))
       val snap3 = t3.metadata.currentSnapshotId.get
-      graft.table.Incremental.readAppends(s, t3, snap1, snap3)
+      () => graft.table.Incremental.readAppends(s, t3, snap1, snap3)
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey").cast("long")).as("key_sum"))
         .orderBy(col("n_regionkey"))
@@ -847,7 +857,7 @@ object IcebergQueries {
 
     // v3 row lineage: each commit carves a contiguous _row_id block from
     // next-row-id, so per-sequence (count, distinct, min, max) are exact
-    QueryDef("i24_row_lineage", (s, dir) => {
+    QueryDef.staged("i24_row_lineage", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"rl_${UUID.randomUUID().toString.take(8)}"
       val n = tbl(s, dir, "nation")
@@ -855,7 +865,7 @@ object IcebergQueries {
       val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
         n.filter(col("n_nationkey") % 2 === 0))
       val t2 = Writer.append(s, t1, n.filter(col("n_nationkey") % 2 =!= 0))
-      SparkRead.read(s, t2.newScan.withRowLineage)
+      () => SparkRead.read(s, t2.newScan.withRowLineage)
         .groupBy(col("_last_updated_sequence_number").as("seq"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("_row_id")).as("n_distinct"),
@@ -893,7 +903,7 @@ object IcebergQueries {
     // positional-delete scan mode: the delete artifacts themselves scan as
     // rows; with both parquet pos-deletes and a DV in play the union must
     // cover every deleted row exactly once
-    QueryDef("i26_pos_delete_scan", (s, dir) => {
+    QueryDef.staged("i26_pos_delete_scan", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"pds_${UUID.randomUUID().toString.take(8)}"
       val p = tbl(s, dir, "part")
@@ -903,9 +913,11 @@ object IcebergQueries {
       val t2 = Writer.append(s, t1, p.filter(col("p_partkey") % 2 =!= 0))
       val t3 = Writer.deleteWhereMoR(s, t2, Expr.lt("p_size", 10))
       val t4 = Writer.deleteWhereDV(s, t3, Expr.gt("p_size", 45))
-      val dels = SparkRead.readPositionDeletes(s, t4.newScan)
       import s.implicits._
-      Seq(dels.count()).toDF("n_deleted")
+      () => {
+        val dels = SparkRead.readPositionDeletes(s, t4.newScan)
+        Seq(dels.count()).toDF("n_deleted")
+      }
     }, Some("""
       SELECT COUNT(*) AS n_deleted
       FROM part
@@ -914,7 +926,7 @@ object IcebergQueries {
     // NDV statistics: KMV sketches persisted to a Puffin statistics file
     // and registered in metadata; low-cardinality columns are exact, high-
     // cardinality estimates must land within 5% (deterministic sketch)
-    QueryDef("i27_ndv_stats", (s, dir) => {
+    QueryDef.staged("i27_ndv_stats", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"ndv_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -927,7 +939,7 @@ object IcebergQueries {
       val trueCust = c.select(countDistinct(col("c_custkey"))).first().getLong(0)
       val ok = math.abs(ndv(custId).toDouble - trueCust) / trueCust <= 0.05
       import s.implicits._
-      Seq((ok.toString, ndv(mktId))).toDF("custkey_ndv_ok", "mktsegment_ndv")
+      () => Seq((ok.toString, ndv(mktId))).toDF("custkey_ndv_ok", "mktsegment_ndv")
     }, Some("""
       SELECT 'true' AS custkey_ndv_ok,
              CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS mktsegment_ndv
@@ -936,14 +948,14 @@ object IcebergQueries {
     // v3 variant column: JSON event properties parsed to Spark VariantType,
     // round-tripped through an Iceberg table, queried with typed
     // variant_get extraction vs DuckDB's JSON functions
-    QueryDef("i28_variant", (s, dir) => {
+    QueryDef.staged("i28_variant", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"var_${UUID.randomUUID().toString.take(8)}"
       val e = tbl(s, dir, "events")
       val df = e.select(col("event_type"), parse_json(col("props")).as("props"))
       val schema = SchemaBridge.fromSpark(df.schema)
       val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned), df)
-      SparkRead.read(s, t1.newScan)
+      () => SparkRead.read(s, t1.newScan)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(coalesce(variant_get(col("props"), "$.k", "long"), lit(0L))).as("sum_k"))
@@ -959,7 +971,7 @@ object IcebergQueries {
     // the typed_value shredded form (asserted against the physical parquet
     // footer), and the scan reconstructs it hash-identical to the
     // unshredded twin (same oracle as i28)
-    QueryDef("i37_variant_shredded", (s, dir) => {
+    QueryDef.staged("i37_variant_shredded", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"vsh_${UUID.randomUUID().toString.take(8)}"
       val e = tbl(s, dir, "events")
@@ -982,7 +994,7 @@ object IcebergQueries {
           !props.isPrimitive && props.asGroupType.getFields.asScala
             .exists(_.getName == "typed_value")
         } finally reader.close()
-      SparkRead.read(s, t1.newScan)
+      () => SparkRead.read(s, t1.newScan)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(coalesce(variant_get(col("props"), "$.k", "long"), lit(0L))).as("sum_k"))
@@ -1001,7 +1013,7 @@ object IcebergQueries {
     // every task through encode→decode, and read from the DECODED tasks —
     // the result must hash-match the oracle, proving the payload carries the
     // full delete context a remote worker needs
-    QueryDef("i38_task_codec", (s, dir) => {
+    QueryDef.staged("i38_task_codec", (s, dir) => {
       val cat = catalogFor(s, dir)
       val name = s"tc_${UUID.randomUUID().toString.take(8)}"
       val c = tbl(s, dir, "customer")
@@ -1018,7 +1030,7 @@ object IcebergQueries {
       }
       val carried = decoded.exists(t =>
         t.posDeletes.exists(_.format == "PUFFIN") && t.eqDeletes.nonEmpty)
-      SparkRead.readTasks(s, decoded, t3.schema, specById = t3.metadata.specById)
+      () => SparkRead.readTasks(s, decoded, t3.schema, specById = t3.metadata.specById)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .withColumn("codec_mor", lit(carried.toString))
@@ -1035,7 +1047,7 @@ object IcebergQueries {
     // conditional UPDATE on iceberg_tables, then a read that must match the
     // oracle — proving the catalog layer is interchangeable under the same
     // table format
-    QueryDef("i39_sql_catalog", (s, dir) => {
+    QueryDef.staged("i39_sql_catalog", (s, dir) => {
       val wh = s"/root/repo/target/graft-wh/sql_${UUID.randomUUID().toString.take(8)}"
       val db = s"memory:gate_${UUID.randomUUID().toString.take(8)}"
       val cat = new graft.catalog.SqlCatalog(s"jdbc:derby:$db;create=true", wh)
@@ -1050,7 +1062,7 @@ object IcebergQueries {
         cat.commit("cust", t2.metadata, t2.metadata, expectedVersion = t2.currentVersion)
         false
       } catch { case _: graft.catalog.CommitConflict => true }
-      SparkRead.read(s, cat.loadTable("cust").newScan)
+      () => SparkRead.read(s, cat.loadTable("cust").newScan)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .withColumn("stale_lost", lit(stale.toString))
@@ -1066,25 +1078,28 @@ object IcebergQueries {
     // HTTP as requirements+updates (never whole metadata), then the SERVER
     // plans the scan and ships codec task payloads the local engine
     // executes — the remote-planned read must hash-match the oracle
-    QueryDef("i40_rest_catalog", (s, dir) => {
+    QueryDef.staged("i40_rest_catalog", (s, dir) => {
       val wh = s"/root/repo/target/graft-wh/rest_${UUID.randomUUID().toString.take(8)}"
       val server = new graft.rest.RestCatalogServer(new graft.catalog.HadoopCatalog(wh)).start()
-      try {
-        val client = new graft.rest.RestCatalog(server.uri)
-        val c = tbl(s, dir, "customer")
-        val schema = SchemaBridge.fromSpark(c.schema)
-        val t1 = Writer.append(s,
-          client.createTable("cust", schema, PartitionSpec.Unpartitioned), c)
-        val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
-        val (tasks, planSchema) = client.planScan("cust")
-        val remotePlanned = tasks.nonEmpty &&
-          tasks.exists(_.posDeletes.exists(_.format == "PUFFIN"))
-        SparkRead.readTasks(s, tasks, planSchema, specById = t2.metadata.specById)
-          .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("remote_planned", lit(remotePlanned.toString))
-          .orderBy(col("c_mktsegment"))
-      } finally server.stop()
+      val (tasks, planSchema, specById, remotePlanned) =
+        try {
+          val client = new graft.rest.RestCatalog(server.uri)
+          val c = tbl(s, dir, "customer")
+          val schema = SchemaBridge.fromSpark(c.schema)
+          val t1 = Writer.append(s,
+            client.createTable("cust", schema, PartitionSpec.Unpartitioned), c)
+          val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+          val (tasks, planSchema) = client.planScan("cust")
+          val remotePlanned = tasks.nonEmpty &&
+            tasks.exists(_.posDeletes.exists(_.format == "PUFFIN"))
+          (tasks, planSchema, t2.metadata.specById _, remotePlanned)
+        } finally server.stop()
+      // the decoded tasks are self-contained — the read needs no live server
+      () => SparkRead.readTasks(s, tasks, planSchema, specById = specById)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("remote_planned", lit(remotePlanned.toString))
+        .orderBy(col("c_mktsegment"))
     }, Some("""
       SELECT c_mktsegment, COUNT(*) AS n, 'true' AS remote_planned
       FROM customer
@@ -1097,7 +1112,7 @@ object IcebergQueries {
     // two AvailableNow runs over a growing source table sharing one
     // checkpoint. Run 2 must deliver ONLY the delta snapshot — any initial
     // re-read or missed append breaks the count against the oracle.
-    QueryDef("i41_streaming_pipeline", (s, dir) => {
+    QueryDef.staged("i41_streaming_pipeline", (s, dir) => {
       val wh = s"/root/repo/target/graft-wh/stream_${UUID.randomUUID().toString.take(8)}"
       val cat = new HadoopCatalog(wh)
       val c = tbl(s, dir, "customer")
@@ -1125,7 +1140,7 @@ object IcebergQueries {
         Inspect.ancestorsOfCurrent(dst)
           .flatMap(_.summary.get(graft.streaming.IcebergSink.BatchIdSummaryKey))
           .sorted == Seq("0", "1")
-      SparkRead.read(s, dst.newScan)
+      () => SparkRead.read(s, dst.newScan)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .withColumn("incremental", lit(incremental.toString))
@@ -1141,33 +1156,45 @@ object IcebergQueries {
     // engine (decrypts transparently, MoR delete included) — and the footer
     // must be OPAQUE to a reader without KMS access, proving bytes at rest
     // are actually encrypted rather than just flagged
-    QueryDef("i42_encryption", (s, dir) => {
+    QueryDef.staged("i42_encryption", (s, dir) => {
       import graft.encryption.{KmsRegistry, ParquetEncryption}
       val kek = java.util.Base64.getEncoder.encodeToString(
         Array.tabulate[Byte](16)(_.toByte))
+      // KMS state is session-wide; restore it before returning so later
+      // queries in the same JVM never run against leaked crypto conf. The
+      // result is eagerly materialized (localCheckpoint) first — its blocks
+      // no longer need decryption config to be consumed.
       s.conf.set(KmsRegistry.KmsTypeProp, "memory")
       s.conf.set(KmsRegistry.MemoryKeysProp, s"gate-key:$kek")
-      val wh = s"/root/repo/target/graft-wh/enc_${UUID.randomUUID().toString.take(8)}"
-      val cat = new HadoopCatalog(wh)
-      val c = tbl(s, dir, "customer")
-      val schema = SchemaBridge.fromSpark(c.schema)
-      val t1 = Writer.append(s, cat.createTable("cust", schema,
-        PartitionSpec.Unpartitioned,
-        properties = Map(ParquetEncryption.KeyIdProp -> "gate-key")), c)
-      val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
-      val dataFile = t2.newScan.planFiles().head.file.path
-      val opaque = try {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(dataFile),
-            new org.apache.hadoop.conf.Configuration()))
-        try { r.getFooter; false } finally r.close()
-      } catch { case _: Exception => true }
-      SparkRead.read(s, t2.newScan)
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("opaque", lit(opaque.toString))
-        .orderBy(col("c_mktsegment"))
+      val out = try {
+        val wh = s"/root/repo/target/graft-wh/enc_${UUID.randomUUID().toString.take(8)}"
+        val cat = new HadoopCatalog(wh)
+        val c = tbl(s, dir, "customer")
+        val schema = SchemaBridge.fromSpark(c.schema)
+        val t1 = Writer.append(s, cat.createTable("cust", schema,
+          PartitionSpec.Unpartitioned,
+          properties = Map(ParquetEncryption.KeyIdProp -> "gate-key")), c)
+        val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+        val dataFile = t2.newScan.planFiles().head.file.path
+        val opaque = try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(dataFile),
+              new org.apache.hadoop.conf.Configuration()))
+          try { r.getFooter; false } finally r.close()
+        } catch { case _: Exception => true }
+        SparkRead.read(s, t2.newScan)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("opaque", lit(opaque.toString))
+          .orderBy(col("c_mktsegment"))
+          .localCheckpoint()
+      } finally {
+        s.conf.unset(KmsRegistry.KmsTypeProp)
+        s.conf.unset(KmsRegistry.MemoryKeysProp)
+        ParquetEncryption.restoreSession(s)
+      }
+      () => out
     }, Some("""
       SELECT c_mktsegment, COUNT(*) AS n, 'true' AS opaque
       FROM customer

@@ -12,7 +12,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    stagedFn: Option[(SparkSession, String) => () => DataFrame] = None)
+
+object QueryDef {
+  /** Two-phase gate: `prep` builds the fixture (throwaway tables, embedded
+    * services, checkpoints) and returns the query as a thunk. Bench runs
+    * `prep` untimed and times only the thunk + its evaluation, so fixture
+    * ETL no longer pollutes the perf signal; correctness paths are
+    * unchanged — `fn` runs both phases.
+    */
+  def staged(name: String,
+             prep: (SparkSession, String) => () => DataFrame,
+             oracle: Option[String]): QueryDef =
+    QueryDef(name, (s, d) => prep(s, d)(), oracle, Some(prep))
+}
 
 object Q {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {

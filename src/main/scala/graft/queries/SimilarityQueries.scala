@@ -45,13 +45,18 @@ object SimilarityQueries {
     QueryDef("s3_ann_lsh", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      val ann = Similarity.lshTopK(queries, emb, k = 5, nbits = 4, probes = 5)
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      // Both top-k frames feed two eager counts each; persist so the LSH and
+      // brute-force pipelines run once, and release before returning (all
+      // actions complete inside this builder).
+      val ann = Similarity.lshTopK(queries, emb, k = 5, nbits = 4, probes = 5).persist()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
       val hits = ann.select(col("qid"), col("cid"))
         .intersect(exact.select(col("qid"), col("cid"))).count()
       val total = exact.count()
       val nq = queries.count()
       val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
+      ann.unpersist()
+      exact.unpersist()
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.35).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")

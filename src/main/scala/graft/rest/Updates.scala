@@ -171,8 +171,6 @@ object MetadataUpdate {
     val req = Seq.newBuilder[Requirement]
     val up = Seq.newBuilder[MetadataUpdate]
     req += AssertTableUuid(base.tableUuid)
-    req += AssertRefSnapshotId("main",
-      base.refs.get("main").map(_.snapshotId).orElse(base.currentSnapshotId))
 
     if (updated.formatVersion != base.formatVersion)
       up += UpgradeFormatVersion(updated.formatVersion)
@@ -239,7 +237,23 @@ object MetadataUpdate {
       .filterNot(id => updated.partitionStatistics.exists(_.snapshotId == id))
       .foreach(id => up += RemovePartitionStatistics(id))
 
-    (req.result(), up.result())
+    // Pin the main branch head ONLY when this commit moves it: a property-
+    // or stats-only commit pinned to main would conflict spuriously with a
+    // concurrent snapshot commit — two writers changing disjoint state must
+    // both win (the file's contract, and REST-spec practice).
+    val updates = up.result()
+    val movesMain = updates.exists {
+      case _: MetadataUpdate.AddSnapshot => true
+      case _: MetadataUpdate.RemoveSnapshots => true
+      case MetadataUpdate.SetSnapshotRef("main", _) => true
+      case MetadataUpdate.RemoveSnapshotRef("main") => true
+      case _ => false
+    }
+    if (movesMain)
+      req += AssertRefSnapshotId("main",
+        base.refs.get("main").map(_.snapshotId).orElse(base.currentSnapshotId))
+
+    (req.result(), updates)
   }
 }
 

@@ -317,7 +317,9 @@ object Writer {
             parsePartitionValue(seg.substring(srcName.length + 1), nf.fieldType)
           }
         }
-      harvestStats(p, schema, partValues)
+      harvestStats(p, schema, partValues,
+        omitBounds = table.metadata.properties
+          .contains(graft.encryption.ParquetEncryption.KeyIdProp))
     }.seq
     val mappingProp = table.metadata.properties.get(NameMapping.PropertyKey)
       .map(_ => Map.empty[String, String])
@@ -461,7 +463,9 @@ object Writer {
         else spec.partitionToPath(partValues, schema) + "/"
       val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
       moveFile(src, target)
-      harvestStats(target, schema, partValues)
+      harvestStats(target, schema, partValues,
+        omitBounds = table.metadata.properties
+          .contains(graft.encryption.ParquetEncryption.KeyIdProp))
     }.seq
     deleteTree(tmpDir)
     val out = withNanCounts(spark, table, schema, files.filter(_.recordCount > 0))
@@ -625,8 +629,15 @@ object Writer {
   /** Read a parquet footer into an Iceberg DataFile with per-column stats
     * (value/null counts, truncated lower/upper bounds), resolving columns to
     * field ids via the embedded parquet field ids.
+    *
+    * `omitBounds` drops lower/upper value bounds from the manifest entry:
+    * for encrypted tables parquet modular encryption protects data files
+    * only, so plaintext min/max values in manifests would leak every
+    * column's value range at rest. The cost is file-level value pruning on
+    * such tables (counts still prune nulls/NaNs); correctness is unaffected.
     */
-  def harvestStats(path: String, schema: IcebergSchema, partValues: Seq[Any]): DataFile = {
+  def harvestStats(path: String, schema: IcebergSchema, partValues: Seq[Any],
+      omitBounds: Boolean = false): DataFile = {
     val reader = graft.encryption.ParquetEncryption.openFooterReader(path)
     try {
       val footer = reader.getFooter
@@ -700,8 +711,8 @@ object Writer {
         columnSizes = colSizes.toMap,
         valueCounts = valCounts.toMap,
         nullCounts = nullCounts.toMap,
-        lowerBounds = encodeBound(lowers, isUpper = false),
-        upperBounds = encodeBound(uppers, isUpper = true),
+        lowerBounds = if (omitBounds) Map.empty else encodeBound(lowers, isUpper = false),
+        upperBounds = if (omitBounds) Map.empty else encodeBound(uppers, isUpper = true),
         splitOffsets = blocks.map(_.getStartingPos).toSeq.sorted)
     } finally reader.close()
   }

@@ -79,6 +79,20 @@ class LshQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"ANN recall $recall")
   }
 
+  test("nearDupPairs operators leave no persisted blocks behind") {
+    // The pair operators persist their signature frames internally; a persist
+    // that survives the call pins blocks in the CacheManager for the session
+    // lifetime — exactly what a long-lived 100 TB curation pipeline cannot
+    // afford. localCheckpoint blocks are GC-tracked and don't register here.
+    spark.catalog.clearCache()
+    val df = corpus
+    Dedup.nearDupPairsMinHash(df, "doc_id", "text", threshold = 0.6).count()
+    Dedup.nearDupPairsSimHash(df, "doc_id", "text").count()
+    Dedup.minHashLsh(df, "doc_id", "text").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator leaked persisted blocks into the session CacheManager")
+  }
+
   test("cluster fixpoint merges chained near-dups one pass misses") {
     import spark.implicits._
     // chain a~b, b~c where a and c share little: long shared core with

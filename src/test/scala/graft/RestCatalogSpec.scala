@@ -76,15 +76,33 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = SchemaBridge.fromSpark(nation.schema)
     val t0 = client.createTable("race", schema, PartitionSpec.Unpartitioned)
     val t1 = Writer.append(spark, t0, nation.filter(col("n_nationkey") < 10))
-    // raw stale commit (no retry loop) must 409 -> CommitConflict
+    // disjoint state: a property-only commit from a STALE base must win
+    // (it does not pin main) and must not clobber the concurrent snapshot
+    client.commit("race", t0.metadata,
+      t0.metadata.copy(properties = Map("sneak" -> "1")), expectedVersion = 1)
+    val merged = client.loadTable("race")
+    assert(merged.metadata.properties("sneak") === "1")
+    assert(merged.metadata.currentSnapshotId === t1.metadata.currentSnapshotId)
+    // move main past t1's head
+    val t2 = Writer.append(spark, merged, nation.filter(col("n_nationkey") >= 10))
+    assert(t2.metadata.currentSnapshotId !== t1.metadata.currentSnapshotId)
+    // a stale commit that MOVES main pins the branch head and must 409
+    val snapA = t1.metadata.currentSnapshot.get
+    val fake = snapA.copy(snapshotId = snapA.snapshotId + 999,
+      sequenceNumber = snapA.sequenceNumber + 1)
     intercept[CommitConflict] {
-      client.commit("race", t0.metadata,
-        t0.metadata.copy(properties = Map("sneak" -> "1")), expectedVersion = 1)
+      client.commit("race", t1.metadata,
+        t1.metadata.copy(
+          snapshots = t1.metadata.snapshots :+ fake,
+          currentSnapshotId = Some(fake.snapshotId)),
+        expectedVersion = t1.currentVersion)
     }
-    // Writer from the stale handle retries through the same 409 and rebases
-    val t2 = Writer.append(spark, t0, nation.filter(col("n_nationkey") >= 10))
-    assert(SparkRead.read(spark, t2.newScan).count() === 25)
-    assert(t2.metadata.snapshots.size === 2)
+    // Writer from the stale t1 handle retries through the same 409, rebases
+    // onto head B, and lands its rows on top
+    val t3 = Writer.append(spark, t1, nation.filter(col("n_nationkey") < 10))
+    assert(SparkRead.read(spark, t3.newScan).count() === 35)
+    assert(t3.metadata.snapshots.size === 3)
+    assert(t3.metadata.properties("sneak") === "1")
   }
 
   test("remote scan planning ships codec tasks that read identically") {

@@ -114,6 +114,14 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(cat.currentVersion("txa") === Some(2))
     assert(cat.loadTable("txa").metadata.properties("k") === "a")
     assert(cat.loadTable("txb").metadata.properties("k") === "sneak")
+    // and the aborted transaction must not poison A's next version slot:
+    // the sneak commit made staging txb's v3 throw mid-loop, so txa's
+    // already-staged v3 file must have been cleaned up — a plain retry of
+    // txa at version 2 has to succeed
+    val a3 = cat.loadTable("txa")
+    cat.commit("txa", a3.metadata, bumpProps(a3.metadata, "k", "retry"), 2)
+    assert(cat.currentVersion("txa") === Some(3))
+    assert(cat.loadTable("txa").metadata.properties("k") === "retry")
   }
 
   test("MultiTableTransaction runs against SqlCatalog") {

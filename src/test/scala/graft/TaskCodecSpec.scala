@@ -99,6 +99,17 @@ class TaskCodecSpec extends AnyFunSuite {
     val badEq = eqDel.copy(partition = Seq(1L))
     intercept[IllegalArgumentException](
       TaskCodec.encode(task.copy(eqDeletes = Seq((badEq, 9L))), spec, schema, 3))
+    // a carried file TAGGED with a different spec id is rejected even when
+    // the partition arity happens to match (reference per-file SpecID check,
+    // file_scan_task.go:274-287) — its literals would decode under the
+    // wrong transforms silently
+    val wrongSpec = eqDel.copy(specId = Some(7))
+    intercept[IllegalArgumentException](
+      TaskCodec.encode(task.copy(eqDeletes = Seq((wrongSpec, 9L))), spec, schema, 3))
+    // an unpartitioned global delete from another spec has no literals to
+    // mis-decode and must pass
+    val globalFromOtherSpec = eqDel.copy(partition = Nil, specId = Some(0))
+    TaskCodec.encode(task.copy(eqDeletes = Seq((globalFromOtherSpec, 9L))), spec, schema, 3)
   }
 
   test("scan range validated against manifest-recorded file size on encode") {
