@@ -147,10 +147,40 @@ object Evaluators {
       case And(l, r) => eval(l) && eval(r)
       case Or(l, r) => eval(l) || eval(r)
       case Not(_) => true
-      case _: BBoxPredicate => true // no geo bounds harvested from footers
+      // bbox-vs-file-bounds (reference `table/evaluators.go:1253-1289`): geo
+      // bounds are envelope points harvested from the WKB at write time.
+      // Only intersects prunes — bounds intersecting the box can't prove
+      // every row is outside it, so not-intersects stays might-match.
+      case BBoxPredicate(wants, ref, qx0, qy0, qx1, qy1) =>
+        if (!wants) true
+        else schema.findField(ref) match {
+          case Some(field) => field.fieldType match {
+            // geography bounds are geodesic and may wrap the antimeridian
+            // (lower_x > upper_x); planar XY intersection would mis-prune
+            case IcebergTypes.GeographyT(_, _) => true
+            case IcebergTypes.GeometryT(_) =>
+              val id = field.id
+              val allNull = (f.valueCounts.get(id), f.nullCounts.get(id)) match {
+                case (Some(v), Some(n)) => v == n
+                case _ => false
+              }
+              if (allNull) false // no geometry can intersect anything
+              else (for {
+                lo <- f.lowerBounds.get(id).flatMap(Geo.decodeBoundXY)
+                hi <- f.upperBounds.get(id).flatMap(Geo.decodeBoundXY)
+                // inverted bounds (trust-on-read): unusable, don't prune
+                if lo._1 <= hi._1 && lo._2 <= hi._2
+              } yield Geo.bboxIntersectsXY(lo._1, lo._2, hi._1, hi._2,
+                qx0, qy0, qx1, qy1)).getOrElse(true)
+            case _ => true
+          }
+          case None => true
+        }
       case Predicate(op, ref, lits) =>
         schema.findField(ref) match {
           case None => true
+          case Some(field) if IcebergTypes.isGeo(field.fieldType) =>
+            true // geo has no ordering; value predicates can't use envelope bounds
           case Some(field) =>
             val id = field.id
             val ft = field.fieldType

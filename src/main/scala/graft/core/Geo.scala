@@ -100,6 +100,35 @@ object Geo {
     case (None, y) => y
   }
 
+  /** Iceberg geospatial single-value bound: concatenated little-endian
+    * float64 coordinates — 16 bytes XY (we never emit Z/M). Reference:
+    * `table/internal/geo_codec.go` encodeGeoBound/decodeGeoBound.
+    */
+  def encodeBound(x: Double, y: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(x); bb.putDouble(y)
+    bb.array
+  }
+
+  /** Decode a bound's planar XY; accepts 16 (XY) / 24 (XYZ) / 32 (XYZM/XYM)
+    * byte layouts — x,y are always the first two doubles. None on malformed
+    * or NaN bounds (unusable for pruning → caller must not prune).
+    */
+  def decodeBoundXY(bytes: Array[Byte]): Option[(Double, Double)] = {
+    if (bytes == null || !(bytes.length == 16 || bytes.length == 24 || bytes.length == 32))
+      return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val x = bb.getDouble; val y = bb.getDouble
+    if (x.isNaN || y.isNaN) None else Some((x, y))
+  }
+
+  /** Planar bbox intersection over closed intervals (touching counts):
+    * inclusive pruning must keep any file that might contain a match.
+    */
+  def bboxIntersectsXY(aMinX: Double, aMinY: Double, aMaxX: Double, aMaxY: Double,
+      bMinX: Double, bMinY: Double, bMaxX: Double, bMaxY: Double): Boolean =
+    aMinX <= bMaxX && aMaxX >= bMinX && aMinY <= bMaxY && aMaxY >= bMinY
+
   /** Does the geometry's envelope intersect the query bbox? */
   def intersects(wkb: Array[Byte], xmin: Double, ymin: Double,
       xmax: Double, ymax: Double): Boolean =

@@ -29,7 +29,8 @@ object Literals {
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         .putDouble(v.asInstanceOf[Double]).array
     case StringT => v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
-    case BinaryT | FixedT(_) => v.asInstanceOf[Array[Byte]]
+    // geo bounds are pre-encoded envelope points (see Geo.encodeBound) — raw passthrough
+    case BinaryT | FixedT(_) | GeometryT(_) | GeographyT(_, _) => v.asInstanceOf[Array[Byte]]
     case UuidT =>
       val u = v match {
         case u: java.util.UUID => u
@@ -64,7 +65,7 @@ object Literals {
           ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toDouble
         else ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble
       case StringT => new String(bytes, StandardCharsets.UTF_8)
-      case BinaryT | FixedT(_) => bytes
+      case BinaryT | FixedT(_) | GeometryT(_) | GeographyT(_, _) => bytes
       case UuidT =>
         val bb = ByteBuffer.wrap(bytes)
         new java.util.UUID(bb.getLong, bb.getLong).toString

@@ -37,6 +37,31 @@ object IcebergTypes {
   case object VariantT extends IcebergType { val typeName = "variant" }
   case object UnknownT extends IcebergType { val typeName = "unknown" }
   final case class FixedT(len: Int) extends IcebergType { val typeName = s"fixed[$len]" }
+
+  /** v3 geospatial types (`types.go:928-1067`): WKB-encoded columns with a
+    * CRS parameter; geography additionally carries an edge-interpolation
+    * algorithm. Values have no ordering — bounds are geo envelopes, not
+    * byte-comparable min/max.
+    */
+  final case class GeometryT(crs: String = GeoDefaults.Crs) extends IcebergType {
+    val typeName = if (crs == GeoDefaults.Crs) "geometry" else s"geometry($crs)"
+  }
+  final case class GeographyT(crs: String = GeoDefaults.Crs,
+      algorithm: String = GeoDefaults.Algorithm) extends IcebergType {
+    val typeName =
+      if (crs == GeoDefaults.Crs && algorithm == GeoDefaults.Algorithm) "geography"
+      else if (algorithm == GeoDefaults.Algorithm) s"geography($crs)"
+      else s"geography($crs, $algorithm)"
+  }
+  object GeoDefaults {
+    val Crs = "OGC:CRS84"
+    val Algorithm = "spherical"
+  }
+
+  def isGeo(t: IcebergType): Boolean = t match {
+    case _: GeometryT | _: GeographyT => true
+    case _ => false
+  }
   final case class DecimalT(precision: Int, scale: Int) extends IcebergType {
     val typeName = s"decimal($precision, $scale)"
   }
@@ -179,6 +204,7 @@ object SchemaBridge {
     case IcebergTypes.BinaryT => BinaryType
     case IcebergTypes.VariantT => org.apache.spark.sql.types.VariantType
     case IcebergTypes.FixedT(_) => BinaryType
+    case IcebergTypes.GeometryT(_) | IcebergTypes.GeographyT(_, _) => BinaryType // WKB
     case IcebergTypes.DecimalT(p, s) => DecimalType(p, s)
     case IcebergTypes.UnknownT => NullType
     case IcebergTypes.StructT(fields) => StructType(fields.map(toSparkField))
@@ -193,6 +219,8 @@ object SchemaBridge {
     // downstream tools can recover the logical type
     f.fieldType match {
       case IcebergTypes.TimeT => mb.putString("graft.type", "time")
+      case g: IcebergTypes.GeometryT => mb.putString("graft.type", g.typeName)
+      case g: IcebergTypes.GeographyT => mb.putString("graft.type", g.typeName)
       case _ =>
     }
     StructField(f.name, toSparkType(f.fieldType), nullable = !f.required,
@@ -319,6 +347,9 @@ object SchemaJson {
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[\s*(\d+)\s*\]""".r
+  private val GeometryRe = """geometry\(\s*([^)]+?)\s*\)""".r
+  private val GeographyRe1 = """geography\(\s*([^,)]+?)\s*\)""".r
+  private val GeographyRe2 = """geography\(\s*([^,)]+?)\s*,\s*([^)]+?)\s*\)""".r
 
   def primitiveFromString(s: String): IcebergType = s match {
     case "boolean" => IcebergTypes.BooleanT
@@ -339,6 +370,11 @@ object SchemaJson {
     case "unknown" => IcebergTypes.UnknownT
     case DecimalRe(p, sc) => IcebergTypes.DecimalT(p.toInt, sc.toInt)
     case FixedRe(l) => IcebergTypes.FixedT(l.toInt)
+    case "geometry" => IcebergTypes.GeometryT()
+    case "geography" => IcebergTypes.GeographyT()
+    case GeometryRe(crs) => IcebergTypes.GeometryT(crs)
+    case GeographyRe2(crs, algo) => IcebergTypes.GeographyT(crs, algo)
+    case GeographyRe1(crs) => IcebergTypes.GeographyT(crs)
     case other => throw new IllegalArgumentException(s"unknown primitive type: $other")
   }
 

@@ -1200,6 +1200,48 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""))
+      ORDER BY c_mktsegment""")),
+
+    // v3 geometry end-to-end: WKB points land in parity-pure files with
+    // disjoint planar envelopes; the write path harvests envelope bounds
+    // into the manifest (Writer.withGeoBounds), BBoxIntersects prunes the
+    // out-of-box files (ScanMetrics proves it), and every surviving row's
+    // WKB decodes back to its (x, y) point
+    QueryDef.staged("i43_geo_bbox", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"geo_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val pointUdf = udf((x: Double, y: Double) => Geo.encodePoint(x, y))
+      // two spatial regions split by custkey parity: x in [0,10) for even,
+      // [100,110) for odd — parity-pure files get disjoint x envelopes
+      val df = c.select(col("c_custkey"),
+          (lit(100.0) * (col("c_custkey") % 2) + (col("c_custkey") % 10)).cast("double").as("x"),
+          (col("c_custkey") % 7).cast("double").as("y"))
+        .withColumn("geom", pointUdf(col("x"), col("y")))
+      val schema0 = SchemaBridge.fromSpark(df.schema)
+      val schema = schema0.copy(fields = schema0.fields.map(f =>
+        if (f.name == "geom") f.copy(fieldType = IcebergTypes.GeometryT()) else f))
+      // one append per parity region: region files carry disjoint x envelopes
+      val t0 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        df.filter(col("c_custkey") % 2 === 0))
+      val t1 = Writer.append(s, t0, df.filter(col("c_custkey") % 2 === 1))
+      val filter = Expr.bboxIntersects("geom", 99.0, -1.0, 1000.0, 1000.0)
+      val (_, metrics) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
+      val res = SparkRead.read(s, t1.newScan.withFilter(filter))
+      val envOk = udf((wkb: Array[Byte], x: Double, y: Double) =>
+        Geo.envelope(wkb).contains((x, y, x, y)))
+      () => res.agg(
+          count(lit(1)).as("n_rows"),
+          d(sum(dec(col("x")))).as("x_sum"),
+          sum(when(envOk(col("geom"), col("x"), col("y")), 1L).otherwise(0L)).as("n_roundtrip"))
+        .withColumn("pruned_ok", lit(pruned.toString))
+    }, Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(100.0*(c_custkey%2) + (c_custkey%10) AS DECIMAL(18,2))) AS DOUBLE) AS x_sum,
+             COUNT(*) AS n_roundtrip,
+             'true' AS pruned_ok
+      FROM customer
+      WHERE (c_custkey % 2) = 1"""))
   )
 }

@@ -468,7 +468,10 @@ object Writer {
           .contains(graft.encryption.ParquetEncryption.KeyIdProp))
     }.seq
     deleteTree(tmpDir)
-    val out = withNanCounts(spark, table, schema, files.filter(_.recordCount > 0))
+    val out0 = withNanCounts(spark, table, schema, files.filter(_.recordCount > 0))
+    val out = if (table.metadata.properties
+        .contains(graft.encryption.ParquetEncryption.KeyIdProp)) out0 // bounds omitted at rest
+      else withGeoBounds(spark, schema, out0)
     // feed the rolling calibration with this write's actual encoded width
     val (rows, bytes) = (out.map(_.recordCount).sum, out.map(_.fileSize).sum)
     if (rows > 0) observedRowBytes.put(table.location,
@@ -508,6 +511,52 @@ object Writer {
       r.getString(0) -> fd.zipWithIndex.map { case ((_, id), i) => id -> r.getLong(i + 1) }.toMap
     }.toMap
     files.map(f => f.copy(nanCounts = byFile.getOrElse(f.path, Map.empty)))
+  }
+
+  /** Geo envelope bounds for top-level geometry columns (reference computes
+    * them inline in its writer, `table/internal/parquet_files.go:514-600` +
+    * `geo_codec.go` accumulator; Spark's parquet writer can't, so one narrow
+    * per-file column scan — same shape as the NaN-counts pass). Geography
+    * columns emit no bounds: geodesic envelopes may wrap the antimeridian
+    * and planar min/max would mis-prune. Nested geo columns are skipped,
+    * matching the reference (its TODO #992).
+    */
+  private def withGeoBounds(spark: SparkSession, schema: IcebergSchema,
+      files: Seq[DataFile]): Seq[DataFile] = {
+    val geoCols = schema.fields.collect {
+      case f if f.fieldType.isInstanceOf[IcebergTypes.GeometryT] => (f.name, f.id)
+    }
+    if (geoCols.isEmpty || files.isEmpty) return files
+    val envUdf = udf((wkb: Array[Byte]) =>
+      graft.core.Geo.envelope(wkb).map { case (x0, y0, x1, y1) => (x0, y0, x1, y1) })
+    val withEnv = geoCols.foldLeft(
+      spark.read.schema(SchemaBridge.toSpark(schema)).parquet(files.map(_.path): _*)
+        .select(col("_metadata.file_path") +: geoCols.map(c => col(c._1)): _*)) {
+      case (d, (n, id)) => d.withColumn(s"__env_$id", envUdf(col(n)))
+    }
+    val aggs = geoCols.flatMap { case (_, id) => Seq(
+      min(col(s"__env_$id._1")).as(s"__x0_$id"), min(col(s"__env_$id._2")).as(s"__y0_$id"),
+      max(col(s"__env_$id._3")).as(s"__x1_$id"), max(col(s"__env_$id._4")).as(s"__y1_$id")) }
+    val rows = withEnv
+      .groupBy(regexp_replace(col("file_path"), "^file:/*", "/").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byFile: Map[String, Map[Int, (Array[Byte], Array[Byte])]] = rows.map { r =>
+      r.getString(0) -> geoCols.zipWithIndex.flatMap { case ((_, id), i) =>
+        val base = 1 + i * 4
+        if (r.isNullAt(base)) None // all-null column in this file: no bounds
+        else Some(id -> (graft.core.Geo.encodeBound(r.getDouble(base), r.getDouble(base + 1)),
+          graft.core.Geo.encodeBound(r.getDouble(base + 2), r.getDouble(base + 3))))
+      }.toMap
+    }.toMap
+    files.map { f =>
+      byFile.getOrElse(f.path, Map.empty) match {
+        case m if m.isEmpty => f
+        case m => f.copy(
+          lowerBounds = f.lowerBounds ++ m.map { case (id, (lo, _)) => id -> lo },
+          upperBounds = f.upperBounds ++ m.map { case (id, (_, hi)) => id -> hi })
+      }
+    }
   }
 
   /** Float/double columns addressable by Column path: top-level and
@@ -676,7 +725,10 @@ object Writer {
             val stats = chunk.getStatistics
             if (stats != null && stats.isNumNullsSet)
               nullCounts(id) = nullCounts.getOrElse(id, 0L) + stats.getNumNulls
-            if (stats != null && stats.hasNonNullValue) {
+            if (stats != null && stats.hasNonNullValue &&
+                !IcebergTypes.isGeo(schema.idToField(id).fieldType)) {
+              // geo columns: parquet byte-array min/max over WKB are
+              // meaningless — real envelope bounds come from withGeoBounds
               val ft = schema.idToField(id).fieldType
               val mn = statValue(stats.genericGetMin, ft)
               val mx = statValue(stats.genericGetMax, ft)

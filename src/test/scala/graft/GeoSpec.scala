@@ -53,6 +53,61 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Geo.intersects(p, 6, 6, 10, 10))
   }
 
+  test("geo bound codec: 16-byte XY round trip, Z/M layouts, NaN rejected") {
+    val b = Geo.encodeBound(-12.5, 33.25)
+    assert(b.length === 16)
+    assert(Geo.decodeBoundXY(b) === Some((-12.5, 33.25)))
+    // 24-byte XYZ and 32-byte XYZM: x/y are always the first two doubles
+    val xyz = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xyz.putDouble(1.0); xyz.putDouble(2.0); xyz.putDouble(9.0)
+    assert(Geo.decodeBoundXY(xyz.array) === Some((1.0, 2.0)))
+    assert(Geo.decodeBoundXY(Geo.encodeBound(Double.NaN, 1.0)) === None)
+    assert(Geo.decodeBoundXY(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("geometry/geography type JSON wire strings") {
+    import IcebergTypes._
+    assert(SchemaJson.primitiveFromString("geometry") === GeometryT())
+    assert(SchemaJson.primitiveFromString("geometry(EPSG:3857)") === GeometryT("EPSG:3857"))
+    assert(SchemaJson.primitiveFromString("geography") === GeographyT())
+    assert(SchemaJson.primitiveFromString("geography(EPSG:4326, karney)") ===
+      GeographyT("EPSG:4326", "karney"))
+    // round trip through typeName
+    for (t <- Seq(GeometryT(), GeometryT("EPSG:3857"), GeographyT(),
+        GeographyT("EPSG:4326", "karney")))
+      assert(SchemaJson.primitiveFromString(t.typeName) === t)
+  }
+
+  test("geometry envelope bounds reach the manifest and prune files") {
+    import spark.implicits._
+    val cat = new HadoopCatalog(Files.createTempDirectory("graft-geo2").toString)
+    // two spatially disjoint clusters, forced into separate files
+    val far = (0 until 50).map(i => (i.toLong, Geo.encodePoint(1000.0 + i, 1000.0)))
+      .toDF("id", "geom").repartition(1)
+    val near = (50 until 100).map(i => (i.toLong, Geo.encodePoint(i.toDouble, 0.0)))
+      .toDF("id", "geom").repartition(1)
+    val schema0 = SchemaBridge.fromSpark(far.schema)
+    val schema = schema0.copy(fields = schema0.fields.map(f =>
+      if (f.name == "geom") f.copy(fieldType = IcebergTypes.GeometryT()) else f))
+    val t0 = Writer.append(spark,
+      cat.createTable("geo_b", schema, PartitionSpec.Unpartitioned), far)
+    val t1 = Writer.append(spark, t0, near)
+    // bounds harvested: every data file carries a decodable 16-byte envelope
+    val files = t1.newScan.planFiles().map(_.file)
+    val geomId = t1.schema.findField("geom").get.id
+    assert(files.size >= 2)
+    assert(files.forall(f => f.lowerBounds.get(geomId).flatMap(Geo.decodeBoundXY).isDefined))
+    // a box over the near cluster prunes the far file(s)
+    val (tasks, m) = t1.newScan
+      .withFilter(Expr.bboxIntersects("geom", 0, -10, 200, 10)).planFilesWithMetrics()
+    assert(m.skippedDataFiles > 0, s"expected file skips, got $m")
+    assert(tasks.nonEmpty)
+    val ids = SparkRead.read(spark,
+        t1.newScan.withFilter(Expr.bboxIntersects("geom", 0, -10, 200, 10)))
+      .select("id").as[Long].collect().toSet
+    assert(ids === (50L until 100L).toSet)
+  }
+
   test("BBoxIntersects filters an Iceberg table's WKB column") {
     import spark.implicits._
     val cat = new HadoopCatalog(Files.createTempDirectory("graft-geo").toString)
