@@ -180,7 +180,19 @@ object Evaluators {
         schema.findField(ref) match {
           case None => true
           case Some(field) if IcebergTypes.isGeo(field.fieldType) =>
-            true // geo has no ordering; value predicates can't use envelope bounds
+            // geo has no ordering; envelope bounds can't serve value
+            // predicates, but null counts still prune IsNull/NotNull
+            // (reference containsNullsOnly path)
+            val id = field.id
+            val geoAllNull = (f.valueCounts.get(id), f.nullCounts.get(id)) match {
+              case (Some(v), Some(n)) => v == n
+              case _ => false
+            }
+            op match {
+              case Op.IsNull => f.nullCounts.get(id).forall(_ > 0)
+              case Op.NotNull => !geoAllNull
+              case _ => true
+            }
           case Some(field) =>
             val id = field.id
             val ft = field.fieldType
@@ -313,6 +325,19 @@ object Evaluators {
       case Predicate(op, ref, lits) =>
         schema.findField(ref) match {
           case None => false
+          case Some(field) if IcebergTypes.isGeo(field.fieldType) =>
+            // geo bounds are envelopes with no total order: value compares
+            // through Literals.compare would throw, and strict proofs need
+            // ordering. Only the null predicates are provable from counts.
+            val id = field.id
+            op match {
+              case Op.IsNull => (f.valueCounts.get(id), f.nullCounts.get(id)) match {
+                case (Some(v), Some(n)) => v == n
+                case _ => false
+              }
+              case Op.NotNull => f.nullCounts.get(id).contains(0L)
+              case _ => false
+            }
           case Some(field) =>
             val id = field.id
             val ft = field.fieldType

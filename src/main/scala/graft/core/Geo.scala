@@ -51,7 +51,9 @@ object Geo {
         case PointType =>
           val x = bb.getDouble; val y = bb.getDouble
           skipDims(bb, dims - 2)
-          Some((x, y, x, y))
+          // NaN vertices carry no envelope information (reference
+          // geo_codec.go update() skips them); a NaN point has no bounds
+          if (x.isNaN || y.isNaN) None else Some((x, y, x, y))
         case LineStringType =>
           val n = bb.getInt
           envelopeOfCoords(bb, n, dims)
@@ -81,14 +83,21 @@ object Geo {
     var xmin = Double.MaxValue; var ymin = Double.MaxValue
     var xmax = Double.MinValue; var ymax = Double.MinValue
     var i = 0
+    var finite = 0
     while (i < n) {
       val x = bb.getDouble; val y = bb.getDouble
       skipDims(bb, dims - 2)
-      if (x < xmin) xmin = x; if (x > xmax) xmax = x
-      if (y < ymin) ymin = y; if (y > ymax) ymax = y
+      // skip NaN vertices so one bad coordinate can't poison the file
+      // bound (reference geo_codec.go accumulator skips NaN and still
+      // emits finite bounds)
+      if (!x.isNaN && !y.isNaN) {
+        if (x < xmin) xmin = x; if (x > xmax) xmax = x
+        if (y < ymin) ymin = y; if (y > ymax) ymax = y
+        finite += 1
+      }
       i += 1
     }
-    Some((xmin, ymin, xmax, ymax))
+    if (finite == 0) None else Some((xmin, ymin, xmax, ymax))
   }
 
   private def merge(a: Option[(Double, Double, Double, Double)],

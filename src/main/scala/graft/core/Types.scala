@@ -56,6 +56,29 @@ object IcebergTypes {
   object GeoDefaults {
     val Crs = "OGC:CRS84"
     val Algorithm = "spherical"
+    /** The five spec edge-interpolation algorithms (reference
+      * `types.go:981-990` toGeoArrowEdgeInterpolation).
+      */
+    val Algorithms: Set[String] = Set("spherical", "vincenty", "thomas", "andoyer", "karney")
+
+    /** Trim and reject empty, as GeometryTypeOf/GeographyTypeOf do
+      * (`types.go:937-947,997-1008`). The default-CRS collapse is structural
+      * here: the stored string equals [[Crs]] so equality and typeName
+      * already normalize.
+      */
+    def normCrs(crs: String): String = {
+      val t = crs.trim
+      if (t.isEmpty) throw new IllegalArgumentException("invalid CRS: (empty string)")
+      t
+    }
+
+    /** Trim + lowercase + validate against the five spec algorithms. */
+    def normAlgorithm(a: String): String = {
+      val t = a.trim.toLowerCase
+      if (!Algorithms.contains(t))
+        throw new IllegalArgumentException(s"invalid edge interpolation algorithm: $a")
+      t
+    }
   }
 
   def isGeo(t: IcebergType): Boolean = t match {
@@ -372,9 +395,13 @@ object SchemaJson {
     case FixedRe(l) => IcebergTypes.FixedT(l.toInt)
     case "geometry" => IcebergTypes.GeometryT()
     case "geography" => IcebergTypes.GeographyT()
-    case GeometryRe(crs) => IcebergTypes.GeometryT(crs)
-    case GeographyRe2(crs, algo) => IcebergTypes.GeographyT(crs, algo)
-    case GeographyRe1(crs) => IcebergTypes.GeographyT(crs)
+    case GeometryRe(crs) =>
+      IcebergTypes.GeometryT(IcebergTypes.GeoDefaults.normCrs(crs))
+    case GeographyRe2(crs, algo) =>
+      IcebergTypes.GeographyT(IcebergTypes.GeoDefaults.normCrs(crs),
+        IcebergTypes.GeoDefaults.normAlgorithm(algo))
+    case GeographyRe1(crs) =>
+      IcebergTypes.GeographyT(IcebergTypes.GeoDefaults.normCrs(crs))
     case other => throw new IllegalArgumentException(s"unknown primitive type: $other")
   }
 

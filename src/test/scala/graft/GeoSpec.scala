@@ -78,6 +78,33 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(SchemaJson.primitiveFromString(t.typeName) === t)
   }
 
+  test("geography algorithm is normalized and validated (types.go:981-1020)") {
+    import IcebergTypes._
+    // mixed case normalizes to lowercase, equal to the canonical form
+    assert(SchemaJson.primitiveFromString("geography(EPSG:4326, Karney)") ===
+      GeographyT("EPSG:4326", "karney"))
+    // default CRS collapses to the default type
+    assert(SchemaJson.primitiveFromString("geometry(OGC:CRS84)") === GeometryT())
+    assert(SchemaJson.primitiveFromString("geography(OGC:CRS84, SPHERICAL)") === GeographyT())
+    // invalid algorithms are rejected, not silently accepted
+    intercept[IllegalArgumentException] {
+      SchemaJson.primitiveFromString("geography(EPSG:4326, euclidean)")
+    }
+  }
+
+  test("NaN vertices are skipped when computing envelopes") {
+    // linestring with one NaN vertex: bounds come from the finite ones
+    val bb = java.nio.ByteBuffer.allocate(9 + 4 + 3 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(Geo.LineStringType); bb.putInt(3)
+    bb.putDouble(1.0); bb.putDouble(2.0)
+    bb.putDouble(Double.NaN); bb.putDouble(50.0)
+    bb.putDouble(3.0); bb.putDouble(4.0)
+    assert(Geo.envelope(bb.array) === Some((1.0, 2.0, 3.0, 4.0)))
+    // an all-NaN geometry has no envelope at all
+    assert(Geo.envelope(Geo.encodePoint(Double.NaN, Double.NaN)) === None)
+  }
+
   test("geometry envelope bounds reach the manifest and prune files") {
     import spark.implicits._
     val cat = new HadoopCatalog(Files.createTempDirectory("graft-geo2").toString)

@@ -90,4 +90,28 @@ class StrictEvaluatorSpec extends AnyFunSuite {
     val range = file(lower = Map(1 -> 5L), upper = Map(1 -> 7L), nullCounts = Map(1 -> 0L))
     assert(!must(Expr.in("id", Seq(5L, 6L, 7L)), range))
   }
+
+  test("geo columns: value predicates never strict-match, null predicates use counts") {
+    val geoSchema = IcebergSchema(Seq(
+      NestedField(1, "id", LongT, required = true),
+      NestedField(4, "geom", GeometryT(), required = false)))
+    // file carries envelope bounds — an ordering compare on them would throw
+    val env = Geo.encodeBound(0.0, 0.0)
+    val f = DataFile(DataFileContent.Data, "/g.parquet", "PARQUET", Nil, 10, 1024,
+      valueCounts = Map(4 -> 10L), nullCounts = Map(4 -> 0L),
+      lowerBounds = Map(4 -> env), upperBounds = Map(4 -> env))
+    // must not throw, must not claim a strict match
+    assert(!Evaluators.fileMustMatch(geoSchema, Expr.eq("geom", env), f))
+    assert(!Evaluators.fileMustMatch(geoSchema, Expr.lt("geom", env), f))
+    // null predicates remain provable from counts
+    assert(Evaluators.fileMustMatch(geoSchema, Expr.notNull("geom"), f))
+    val allNull = DataFile(DataFileContent.Data, "/g2.parquet", "PARQUET", Nil, 10, 1024,
+      valueCounts = Map(4 -> 10L), nullCounts = Map(4 -> 10L))
+    assert(Evaluators.fileMustMatch(geoSchema, Expr.isNull("geom"), allNull))
+    assert(!Evaluators.fileMustMatch(geoSchema, Expr.notNull("geom"), allNull))
+    // inclusive side: IsNull/NotNull prune from counts on geo too
+    assert(!Evaluators.fileMightMatch(geoSchema, Expr.isNull("geom"), f))
+    assert(!Evaluators.fileMightMatch(geoSchema, Expr.notNull("geom"), allNull))
+    assert(Evaluators.fileMightMatch(geoSchema, Expr.eq("geom", env), f))
+  }
 }
