@@ -50,7 +50,8 @@ object Transforms {
 
   case object Void extends Transform {
     val name = "void"
-    def toColumn(src: Column, t: DataType): Column = lit(null)
+    // typed null: partitionBy rejects untyped NullType partition columns
+    def toColumn(src: Column, t: DataType): Column = lit(null).cast(t)
     def apply(v: Any, t: DataType): Any = null
     def resultType(t: DataType): DataType = t
   }

@@ -25,6 +25,9 @@ final case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
       case Transforms.Bucket(_) => IntT
       case Transforms.Truncate(_) => srcT
       case Transforms.Years | Transforms.Months | Transforms.Hours | Transforms.Days => IntT
+      // forward-compat: unknown transforms surface their partition values
+      // as strings (reference `transforms.go:253-310` permissive reads)
+      case Transforms.Unknown(_) => StringT
       case _ => IntT
     }
 

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.HadoopCatalog
 import graft.core._
-import graft.format.PartitionSpec
+import graft.format.{PartitionSpec, SortField, SortOrder}
+import graft.io.FileIO
 import graft.table.{Evolve, Incremental, Inspect, SparkRead, Writer}
 import Q._
 
@@ -1242,6 +1243,167 @@ object IcebergQueries {
              COUNT(*) AS n_roundtrip,
              'true' AS pruned_ok
       FROM customer
-      WHERE (c_custkey % 2) = 1"""))
+      WHERE (c_custkey % 2) = 1""")),
+
+    // global scan limit (reference `table/scanner.go` limit cases): the
+    // limited read returns exactly min(n, |table|) rows and every one of
+    // them is a real table row (anti-join against the full scan is empty)
+    QueryDef.staged("i44_limit", (s, dir) => {
+      val t = catalogFor(s, dir).loadTable("customer")
+      // pin the nondeterministic row choice before comparing (limit picks
+      // arbitrary rows; the checks below are choice-independent)
+      val limited = SparkRead.read(s, t.newScan.withLimit(10)).localCheckpoint()
+      val full = SparkRead.read(s, t.newScan).select("c_custkey")
+      val outside = limited.select("c_custkey").join(full, Seq("c_custkey"), "left_anti")
+      () => limited.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(outside.agg(count(lit(1)).as("n_outside")))
+    }, Some("""
+      SELECT LEAST(CAST(10 AS BIGINT), COUNT(*)) AS n_rows,
+             CAST(0 AS BIGINT) AS n_outside
+      FROM customer""")),
+
+    // sort orders end-to-end (reference `table/sorting.go:32-476`): a table
+    // with a declared sort order range-clusters on append, so per-file
+    // [min,max] ranges of the sort key never overlap — which is what lets
+    // file metrics prune range predicates (asserted via ScanMetrics)
+    QueryDef.staged("i45_sort_order", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"srt_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val acct = schema.findField("c_acctbal").get
+      val order = SortOrder(1, Seq(
+        SortField(acct.id, Transforms.Identity, ascending = true, nullsFirst = true)))
+      // small target file size forces several files so monotonicity is real
+      val t1 = Writer.append(s, cat.createTable(name, schema,
+        PartitionSpec.Unpartitioned, sortOrder = order,
+        properties = Map("write.target-file-size-bytes" -> "8192")), c)
+      val files = t1.newScan.planFiles().map(_.file)
+      val ranges = files.flatMap { f =>
+        for {
+          lo <- f.lowerBounds.get(acct.id).map(Literals.decode(acct.fieldType, _))
+          hi <- f.upperBounds.get(acct.id).map(Literals.decode(acct.fieldType, _))
+        } yield (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+      }.sortBy(_._1)
+      val monotone = files.size >= 2 && ranges.size == files.size &&
+        ranges.zip(ranges.drop(1)).forall { case ((_, u1), (l2, _)) => l2 >= u1 }
+      val filter = Expr.lt("c_acctbal", 1000.0)
+      val (_, m) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = m.skippedDataFiles > 0 && m.resultDataFiles > 0
+      () => SparkRead.read(s, t1.newScan.withFilter(filter))
+        .agg(count(lit(1)).as("n_rows"), d(sum(dec(col("c_acctbal")))).as("bal_sum"))
+        .withColumn("monotone_ok", lit(monotone.toString))
+        .withColumn("pruned_ok", lit(pruned.toString))
+    }, Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS monotone_ok, 'true' AS pruned_ok
+      FROM customer WHERE c_acctbal < 1000.0""")),
+
+    // clustered write (reference `table/clustered_writer.go:47-230`): the
+    // rebalance-shuffled fanout routes each partition's rows to one open
+    // writer, so a small append yields exactly one file per partition value
+    QueryDef.staged("i46_clustered_write", (s, dir) => {
+      import s.implicits._
+      val cat = catalogFor(s, dir)
+      val name = s"clw_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val spec = PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build()
+      val t1 = Writer.append(s, cat.createTable(name, schema, spec), c)
+      val perPart = t1.newScan.planFiles()
+        .map(_.file.partition.head.asInstanceOf[String])
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val fileCounts = perPart.toDF("seg", "n_files")
+      () => SparkRead.read(s, t1.newScan)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .join(fileCounts, col("c_mktsegment") === col("seg"))
+        .select(col("c_mktsegment"), col("n"), col("n_files"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, CAST(1 AS BIGINT) AS n_files
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // void transform via v1-style spec evolution: the voided field stays in
+    // the spec, new files land in the null partition, and predicates on the
+    // voided source column still answer correctly over both generations
+    QueryDef.staged("i47_void_spec", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"void_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val spec = PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build()
+      val t1 = Writer.append(s, cat.createTable(name, schema, spec), c)
+      val t2 = Evolve.voidSpecFields(t1, Seq("c_mktsegment"))
+      val t3 = Writer.append(s, t2, c)
+      val tasks = t3.newScan.planFiles()
+      val newFiles = tasks.filter(_.specId == t3.spec.specId)
+      val voidOk = newFiles.nonEmpty && newFiles.size < tasks.size &&
+        newFiles.forall(_.file.partition.head == null)
+      val q = t3.newScan.withFilter(Expr.eq("c_mktsegment", "BUILDING"))
+      () => SparkRead.read(s, q)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("void_ok", lit(voidOk.toString))
+    }, Some("""
+      SELECT 2 * COUNT(*) AS n, 'true' AS void_ok
+      FROM customer WHERE c_mktsegment = 'BUILDING'""")),
+
+    // unknown-transform passthrough (reference `transforms.go:253-310`): a
+    // spec rewritten by a future engine with a transform we don't know must
+    // stay readable — values surface as strings, predicates never project
+    // onto the field, and row results are unchanged
+    QueryDef.staged("i48_unknown_transform", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/unk_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val spec = PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Truncate(1)).build()
+      Writer.append(s, cat.createTable("cust", schema, spec), c)
+      // simulate a newer writer: swap the transform name in the metadata
+      // JSON for one this engine has never heard of
+      val v = cat.currentVersion("cust").get
+      val metaDir = s"$wh/cust/metadata"
+      val txt = FileIO.readString(s"$metaDir/v$v.metadata.json")
+      FileIO.writeString(s"$metaDir/v${v + 1}.metadata.json",
+        txt.replace("truncate[1]", "zorder[1]"))
+      FileIO.replaceAtomic(s"$metaDir/version-hint.text",
+        (v + 1).toString.getBytes("UTF-8"))
+      val t2 = cat.loadTable("cust")
+      val unknownOk = t2.spec.fields.head.transform.isInstanceOf[Transforms.Unknown]
+      val filter = Expr.eq("c_mktsegment", "BUILDING")
+      val tasks = t2.newScan.withFilter(filter).planFiles()
+      val valsOk = tasks.nonEmpty && tasks.forall(_.file.partition.head.isInstanceOf[String])
+      () => SparkRead.read(s, t2.newScan.withFilter(filter))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("unknown_ok", lit(unknownOk.toString))
+        .withColumn("vals_ok", lit(valsOk.toString))
+    }, Some("""
+      SELECT COUNT(*) AS n, 'true' AS unknown_ok, 'true' AS vals_ok
+      FROM customer WHERE c_mktsegment = 'BUILDING'""")),
+
+    // CLI smoke (reference `cmd/iceberg/main.go:225-960`): list/describe/
+    // snapshots run against a real warehouse and print what they should
+    QueryDef.staged("i49_cli", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/cli_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val r = tbl(s, dir, "region")
+      Writer.append(s, cat.createTable("region_cli",
+        SchemaBridge.fromSpark(r.schema), PartitionSpec.Unpartitioned), r)
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.Cli.main(Array(wh, "list"))
+        graft.Cli.main(Array(wh, "describe", "region_cli"))
+        graft.Cli.main(Array(wh, "snapshots", "region_cli"))
+      }
+      val out = buf.toString("UTF-8")
+      val listed = out.contains("region_cli")
+      val described = out.contains("format-version") && out.contains("partition-spec")
+      () => SparkRead.read(s, cat.loadTable("region_cli").newScan)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("listed", lit(listed.toString))
+        .withColumn("described", lit(described.toString))
+    }, Some("""
+      SELECT COUNT(*) AS n, 'true' AS listed, 'true' AS described
+      FROM region"""))
   )
 }

@@ -198,6 +198,26 @@ object Evolve {
       lastUpdatedMs = System.currentTimeMillis()))
   }
 
+  /** v1-style partition-field removal: keep the field (ids and positions
+    * stay stable for old manifests) but replace its transform with void, so
+    * new writes put every row in the null partition (reference update_spec
+    * RemoveField v1 semantics — v2 drops the field, see
+    * [[removeSpecFields]]).
+    */
+  def voidSpecFields(table: Table, names: Seq[String]): Table = {
+    val meta = table.metadata
+    val spec = meta.spec
+    require(names.forall(n => spec.fields.exists(_.name == n)),
+      s"no matching partition fields among $names")
+    val newSpecId = meta.partitionSpecs.map(_.specId).max + 1
+    val newSpec = spec.copy(specId = newSpecId, fields = spec.fields.map(f =>
+      if (names.contains(f.name)) f.copy(transform = Transforms.Void) else f))
+    commitMetadata(table, meta.copy(
+      defaultSpecId = newSpecId,
+      partitionSpecs = meta.partitionSpecs :+ newSpec,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
   /** Replace the default sort order (write-side clustering hint). */
   def replaceSortOrder(table: Table, fields: Seq[SortField]): Table = {
     val meta = table.metadata

@@ -388,8 +388,28 @@ object Writer {
       .getOrElse(math.max(16, sparkSchema.defaultSize).toDouble)
     val maxRecords = math.max(1L, (targetBytes / estRowBytes).toLong)
 
+    // sort-order-aware clustered write (reference `table/sorting.go:32-476`
+    // + `clustered_writer.go`): order-by columns from the table's default
+    // sort order, applied in both write branches below
+    val sortCols = table.metadata.sortOrders
+      .find(_.orderId == table.metadata.defaultSortOrderId)
+      .map(_.fields.flatMap { sf =>
+        schema.idToField.get(sf.sourceId).map { f =>
+          val c = sf.transform.toColumn(col(f.name), SchemaBridge.toSparkType(f.fieldType))
+          if (sf.ascending) c.asc else c.desc
+        }
+      }).getOrElse(Nil)
+
     def writeAligned(): Unit = if (spec.isUnpartitioned) {
-      aligned.write.option("maxRecordsPerFile", maxRecords)
+      // a declared sort order turns the append into a range-clustered write:
+      // repartitionByRange gives globally non-overlapping per-file ranges of
+      // the sort key, so file min/max stats prune range predicates — the
+      // whole point of a sort order at 100 TB. Equal keys land in one range
+      // partition, so file bounds never interleave.
+      val clustered =
+        if (sortCols.isEmpty) aligned
+        else aligned.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+      clustered.write.option("maxRecordsPerFile", maxRecords)
         .options(encryptionOptions(spark, table)).parquet(tmpDir)
     } else {
       val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
@@ -398,15 +418,6 @@ object Writer {
           d.withColumn(pcol, pf.transform.toColumn(col(src.name),
             SchemaBridge.toSparkType(src.fieldType)))
       }
-      // sort-order-aware clustered write: shuffle by partition, sort within
-      val sortCols = table.metadata.sortOrders
-        .find(_.orderId == table.metadata.defaultSortOrderId)
-        .map(_.fields.flatMap { sf =>
-          schema.idToField.get(sf.sourceId).map { f =>
-            val c = sf.transform.toColumn(col(f.name), SchemaBridge.toSparkType(f.fieldType))
-            if (sf.ascending) c.asc else c.desc
-          }
-        }).getOrElse(Nil)
       // fanout-skew fix (reference fanout writer `table/partitioned_fanout_
       // writer.go:41-654`): hash-repartitioning on partition values collapses
       // parallelism to #distinct values and melts on skew. The AQE REBALANCE
