@@ -30,17 +30,35 @@ object Puffin {
       length: Long,
       properties: Map[String, String])
 
+  /** A blob to write: spec metadata plus payload. DV blobs require
+    * snapshotId/sequenceNumber −1; stats blobs carry the real snapshot and
+    * sketched field ids (reference `puffin/puffin.go:54-80`).
+    */
+  final case class BlobSpec(
+      blobType: String,
+      payload: Array[Byte],
+      properties: Map[String, String] = Map.empty,
+      fields: Seq[Int] = Nil,
+      snapshotId: Long = -1L,
+      sequenceNumber: Long = -1L)
+
   /** Write a puffin file; returns blob metadata with final offsets. */
   def write(path: String, blobs: Seq[(String, Array[Byte], Map[String, String])],
+      fileProperties: Map[String, String] = Map.empty): Seq[BlobMetadata] =
+    writeBlobs(path,
+      blobs.map { case (t, b, p) => BlobSpec(t, b, p) }, fileProperties)
+
+  def writeBlobs(path: String, blobs: Seq[BlobSpec],
       fileProperties: Map[String, String] = Map.empty): Seq[BlobMetadata] = {
     val out = graft.io.FileIO.create(path)
     try {
       out.write(Magic)
       var offset = 4L
-      val metas = blobs.map { case (blobType, payload, props) =>
-        val m = BlobMetadata(blobType, Nil, -1L, -1L, offset, payload.length.toLong, props)
-        out.write(payload)
-        offset += payload.length
+      val metas = blobs.map { b =>
+        val m = BlobMetadata(b.blobType, b.fields, b.snapshotId, b.sequenceNumber,
+          offset, b.payload.length.toLong, b.properties)
+        out.write(b.payload)
+        offset += b.payload.length
         m
       }
       // footer

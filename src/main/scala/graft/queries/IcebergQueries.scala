@@ -939,10 +939,25 @@ object IcebergQueries {
       val mktId = t2.schema.findField("c_mktsegment").get.id
       val trueCust = c.select(countDistinct(col("c_custkey"))).first().getLong(0)
       val ok = math.abs(ndv(custId).toDouble - trueCust) / trueCust <= 0.05
+      // wire interop: the stats file must hold spec-type blobs whose bytes
+      // heapify as genuine DataSketches compact theta sketches, and the
+      // independent re-parse must reproduce the recorded estimates
+      val stats = t2.metadata.statistics
+        .find(st => t2.metadata.currentSnapshotId.contains(st.snapshotId)).get
+      val footers = graft.format.Puffin.readFooter(stats.path)
+      val wireOk = footers.nonEmpty && footers.forall { bm =>
+        bm.blobType == "apache-datasketches-theta-v1" && {
+          val bytes = graft.format.Puffin.readBlob(stats.path, bm)
+          val sk = org.apache.datasketches.theta.CompactSketch.heapify(
+            org.apache.datasketches.memory.Memory.wrap(bytes))
+          bm.properties.get("ndv").contains(math.round(sk.getEstimate).toString)
+        }
+      }
       import s.implicits._
-      () => Seq((ok.toString, ndv(mktId))).toDF("custkey_ndv_ok", "mktsegment_ndv")
+      () => Seq((ok.toString, wireOk.toString, ndv(mktId)))
+        .toDF("custkey_ndv_ok", "theta_wire_ok", "mktsegment_ndv")
     }, Some("""
-      SELECT 'true' AS custkey_ndv_ok,
+      SELECT 'true' AS custkey_ndv_ok, 'true' AS theta_wire_ok,
              CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS mktsegment_ndv
       FROM customer""")),
 

@@ -3,27 +3,59 @@ package graft.table
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, UpdateSketch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.format._
 
 /** Table statistics operators (reference partition stats + Puffin
-  * ndv/theta blobs, `table/` stats wiring; SURVEY §2 row 68): column NDV
-  * sketches persisted to a Puffin statistics file registered in table
+  * ndv/theta blobs, `table/statistics.go:26-100`; SURVEY §2 row 68): column
+  * NDV sketches persisted to a Puffin statistics file registered in table
   * metadata, and a per-partition rollup parquet registered as the
   * partition-statistics file.
   *
-  * The NDV sketch is KMV (k-minimum-values over xxhash64): the k smallest
-  * distinct hashes are computed fully distributed (global TakeOrdered of a
-  * distinct hash column — bounded by k rows on the driver), deterministic,
-  * and mergeable. Blob type "graft-kmv-v1"; the classic DataSketches theta
-  * estimator (k-1)/fraction(kth) gives the estimate stored in the blob
-  * properties under "ndv".
+  * NDV blobs are spec-format serialized compact theta sketches
+  * (`apache-datasketches-theta-v1`, reference `puffin/puffin.go:54-80`),
+  * built fully distributed by Spark's native `theta_sketch_agg` (partial
+  * sketches per partition, merged by union — one pass, no row collect) and
+  * readable by any engine carrying the Apache DataSketches library.
+  * Pre-round-7 `graft-kmv-v1` blobs remain readable (dual-read).
   */
 object Analyze {
 
-  val NdvBlobType = "graft-kmv-v1"
+  val NdvBlobType = "apache-datasketches-theta-v1"
+  val LegacyKmvBlobType = "graft-kmv-v1"
+
+  /** lg(nominal entries) for new sketches: 2^12 = 4096 entries ≈ 1.6%
+    * relative error — the DataSketches default.
+    */
+  val DefaultLgK = 12
+
+  /** theta_sketch_agg input domain: pass the supported types through
+    * unchanged (hash-compatible with other engines' sketches over the same
+    * values); anything else falls back to its string form — NDV stays
+    * correct, only cross-engine merge compatibility narrows.
+    */
+  private def sketchInput(dt: DataType, c: Column): Column = dt match {
+    case IntegerType | LongType | StringType | BinaryType => c
+    case _ => c.cast(StringType)
+  }
+
+  /** NDV from a serialized blob of either wire format. */
+  def ndvFromBlob(blobType: String, bytes: Array[Byte]): Long = blobType match {
+    case NdvBlobType =>
+      math.round(CompactSketch.heapify(Memory.wrap(bytes)).getEstimate)
+    case LegacyKmvBlobType =>
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val n = bb.getInt
+      val smallest = Array.fill(n)(bb.getLong)
+      kmvEstimate(smallest, math.max(n, 1))
+    case other =>
+      throw new IllegalArgumentException(s"unknown NDV blob type: $other")
+  }
 
   /** KMV estimate from the k smallest distinct 64-bit hashes. */
   def kmvEstimate(smallest: Array[Long], k: Int): Long = {
@@ -48,23 +80,28 @@ object Analyze {
       throw new IllegalStateException("no snapshot to analyze"))
     val df = SparkRead.read(spark, table.newScan)
 
-    val blobs = columns.map { c =>
+    val lgK = 31 - Integer.numberOfLeadingZeros(math.max(16, k))
+    // one distributed aggregate computes every column's sketch: per-task
+    // partial sketches, union-merged — only the compact sketch bytes (≤ 8·2^lgK
+    // per column) reach the driver
+    val aggs = columns.map { c =>
+      theta_sketch_agg(sketchInput(df.schema(c).dataType, col(c)), lgK).as(s"__sk_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val blobs = columns.zipWithIndex.map { case (c, i) =>
       val fieldId = table.schema.findField(c).getOrElse(
         throw new IllegalArgumentException(s"no such column $c")).id
-      // distinct-hash TakeOrdered: at most k rows reach the driver
-      val smallest = df.select(xxhash64(col(c)).as("h")).where(col(c).isNotNull)
-        .distinct().orderBy(col("h")).limit(k)
-        .collect().map(_.getLong(0))
-      val ndv = kmvEstimate(smallest, k)
-      val bb = ByteBuffer.allocate(4 + smallest.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(smallest.length)
-      smallest.foreach(bb.putLong)
-      (fieldId, bb.array, ndv)
+      val bytes = Option(row.getAs[Array[Byte]](i)).getOrElse(
+        UpdateSketch.builder().build().compact().toByteArray)
+      val ndv = ndvFromBlob(NdvBlobType, bytes)
+      (fieldId, bytes, ndv)
     }
 
     val path = s"${meta.location}/metadata/stats-${UUID.randomUUID()}.puffin"
-    val metas = Puffin.write(path, blobs.map { case (fieldId, bytes, ndv) =>
-      (NdvBlobType, bytes, Map("ndv" -> ndv.toString, "field-id" -> fieldId.toString))
+    val metas = Puffin.writeBlobs(path, blobs.map { case (fieldId, bytes, ndv) =>
+      Puffin.BlobSpec(NdvBlobType, bytes, Map("ndv" -> ndv.toString),
+        fields = Seq(fieldId),
+        snapshotId = snap.snapshotId, sequenceNumber = snap.sequenceNumber)
     })
     val statsFile = StatisticsFile(snap.snapshotId, path, graft.io.FileIO.size(path),
       blobs.zip(metas).map { case ((fieldId, _, ndv), _) =>
@@ -84,7 +121,7 @@ object Analyze {
     table.metadata.statistics
       .filter(st => snapId.contains(st.snapshotId))
       .flatMap(_.blobMetadata)
-      .filter(_.blobType == NdvBlobType)
+      .filter(b => b.blobType == NdvBlobType || b.blobType == LegacyKmvBlobType)
       .flatMap(b => b.fields.headOption.zip(b.properties.get("ndv").map(_.toLong)))
       .toMap
   }
