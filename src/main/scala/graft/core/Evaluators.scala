@@ -34,6 +34,7 @@ object Evaluators {
         if (pl == AlwaysTrue || pr == AlwaysTrue) AlwaysTrue else Expr.or(pl, pr)
       case Not(_) => AlwaysTrue // callers rewriteNot first
       case _: BBoxPredicate => AlwaysTrue // geo never projects to partitions here
+      case _: VariantPredicate => AlwaysTrue // variants are never partition sources
       case p @ Predicate(op, ref, lits) =>
         bySource.get(ref) match {
           case None => AlwaysTrue // column not partitioned on
@@ -130,6 +131,7 @@ object Evaluators {
         }
       case _: TransformPredicate => true // projected before manifest eval
       case _: BBoxPredicate => true
+      case _: VariantPredicate => true
     }
     eval(partitionExpr)
   }
@@ -214,6 +216,36 @@ object Evaluators {
               mayNan = nanCount.forall(_ > 0),
               allNull = allNull, allNan = allNan)
         }
+      // variant_get($.k) over the file's shredded typed_value bounds
+      // (reference harvests them in `table/internal/parquet_files.go:
+      // 1194-1330`; pruning is the read-side dual): the variant column's
+      // lower/upper manifest bounds hold a spec bounds OBJECT keyed by
+      // normalized path. A recorded path prunes with the standard range
+      // rules; a missing path or cross-type bound stays might-match
+      // (untyped residuals invalidate bounds at write time).
+      case VariantPredicate(op, ref, path, vt, lits) =>
+        schema.findField(ref) match {
+          case Some(field) if field.fieldType == VariantT =>
+            val norm = VariantBounds.normalizePath(path)
+            // compare in a widened domain so int/long and float/double
+            // shredded leaves and literals meet on equal footing
+            val cmpT = vt match {
+              case IntT => LongT; case FloatT => DoubleT; case t => t
+            }
+            def widen(x: Any): Any = x match {
+              case i: Int => i.toLong
+              case fl: Float => fl.toDouble
+              case other => other
+            }
+            val lower = f.lowerBounds.get(field.id)
+              .flatMap(VariantBounds.get(_, norm)).flatMap(coerce(vt, _))
+            val upper = f.upperBounds.get(field.id)
+              .flatMap(VariantBounds.get(_, norm)).flatMap(coerce(vt, _))
+            if (lower.isEmpty && upper.isEmpty) true
+            else predMightMatch(op, lits.map(widen), cmpT, lower, upper,
+              mayNull = true, mayNan = true, allNull = false, allNan = false)
+          case _ => true
+        }
       // transform predicate over file bounds: order-preserving transforms
       // map [lower, upper] to [t(lower), t(upper)] (monotone), so the same
       // range rules apply in transform space; anything unprojectable stays
@@ -258,6 +290,19 @@ object Evaluators {
         lits.exists(v => cmpLower(v).forall(_ <= 0) && cmpUpper(v).forall(_ >= 0))
       case _ => true
     }
+  }
+
+  /** Coerce a decoded variant bound (Long/Double/String/Boolean from the
+    * bounds object) into the predicate's comparison domain; None on a
+    * cross-type bound (unknown → might match).
+    */
+  private def coerce(vt: IcebergType, v: Any): Option[Any] = (vt, v) match {
+    case (IntT | LongT, l: Long) => Some(l)
+    case (FloatT | DoubleT, d: Double) => Some(d)
+    case (FloatT | DoubleT, l: Long) => Some(l.toDouble)
+    case (StringT, s: String) => Some(s)
+    case (BooleanT, b: Boolean) => Some(b)
+    case _ => None
   }
 
   /** Shared inclusive bound logic. `lower`/`upper` are decoded values (None =
@@ -322,6 +367,7 @@ object Evaluators {
       case Not(_) => false // conservative; rewriteNot removes these
       case _: TransformPredicate => false // strict transform proof not attempted
       case _: BBoxPredicate => false
+      case _: VariantPredicate => false // bounds can't prove every row matches
       case Predicate(op, ref, lits) =>
         schema.findField(ref) match {
           case None => false

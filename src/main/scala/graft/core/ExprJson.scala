@@ -62,6 +62,15 @@ object ExprJson {
       val vs = o.putArray("values")
       Seq(bp.xmin, bp.ymin, bp.xmax, bp.ymax).foreach(vs.add)
       o
+    case VariantPredicate(op, ref, path, vt, lits) =>
+      predicateNode(op, { o =>
+        val t = o.putObject("term")
+        t.put("type", "variant-get")
+        t.put("term", ref)
+        t.put("path", path)
+        t.put("value-type", vt.typeName)
+        ()
+      }, lits)
   }
 
   private def predicateNode(op: Op, setTerm: ObjectNode => Unit, lits: Seq[Any]): JsonNode = {
@@ -116,6 +125,9 @@ object ExprJson {
         }
         val term = n.get("term")
         if (term.isTextual) Predicate(op, term.asText, lits)
+        else if (Option(term.get("type")).exists(_.asText == "variant-get"))
+          VariantPredicate(op, term.get("term").asText, term.get("path").asText,
+            SchemaJson.primitiveFromString(term.get("value-type").asText), lits)
         else {
           val tr = Transforms.parse(term.get("transform").asText)
           val ref = term.get("term").asText

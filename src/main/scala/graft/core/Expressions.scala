@@ -81,6 +81,22 @@ object Expr {
     def negate = TransformPredicate(Op.negate(op), transform, ref, sourceType, literals)
   }
 
+  /** Predicate over a typed path extracted from a variant column, e.g.
+    * `variant_get(props, '$.qty', 'long') >= 5`. `path` is the user's
+    * dotted form (`$.qty`) — evaluators normalize it to the spec's
+    * `$['qty']` when probing file bounds (reference
+    * `table/internal/variant_bounds.go`); `valueType` is the shredded
+    * leaf's primitive type and the residual filter's cast target.
+    */
+  final case class VariantPredicate(op: Op, ref: String, path: String,
+      valueType: IcebergType, literals: Seq[Any] = Nil) extends Expr {
+    def negate = VariantPredicate(Op.negate(op), ref, path, valueType, literals)
+  }
+
+  def variantPredicate(op: Op, ref: String, path: String,
+      valueType: IcebergType, v: Any): Expr =
+    VariantPredicate(op, ref, path, valueType, Seq(v))
+
   /** v3 geospatial bounding-box predicate over a WKB geometry column
     * (reference `exprs.go:1160-1300`): keep rows whose geometry envelope
     * intersects (or, negated, does not intersect) the query box.
@@ -157,6 +173,7 @@ object Expr {
     case Predicate(op, ref, lits) => Predicate(op, ref, maskLits(lits))
     case TransformPredicate(op, t, ref, st, lits) =>
       TransformPredicate(op, t, ref, st, maskLits(lits))
+    case vp: VariantPredicate => vp.copy(literals = maskLits(vp.literals))
     case _: BBoxPredicate => AlwaysTrue
     case other => other
   }
@@ -185,6 +202,7 @@ object Expr {
     case Predicate(_, ref, _) => Set(ref)
     case TransformPredicate(_, _, ref, _, _) => Set(ref)
     case BBoxPredicate(_, ref, _, _, _, _) => Set(ref)
+    case VariantPredicate(_, ref, _, _, _) => Set(ref)
     case _ => Set.empty
   }
 
@@ -212,6 +230,8 @@ object Expr {
       schema.resolveName(ref, caseSensitive).map(n => tp.copy(ref = n)).getOrElse(tp)
     case bp @ BBoxPredicate(_, ref, _, _, _, _) =>
       schema.resolveName(ref, caseSensitive).map(n => bp.copy(ref = n)).getOrElse(bp)
+    case vp @ VariantPredicate(_, ref, _, _, _) =>
+      schema.resolveName(ref, caseSensitive).map(n => vp.copy(ref = n)).getOrElse(vp)
     case other => other
   }
 
@@ -237,6 +257,8 @@ object Expr {
       s"$op(${tr.name}($ref)${if (lits.isEmpty) "" else ", " + lits.map(_ => "(value)").mkString(", ")})"
     case BBoxPredicate(in, ref, _, _, _, _) =>
       s"${if (in) "" else "NOT "}bbox_intersects($ref, (box))"
+    case VariantPredicate(op, ref, path, _, lits) =>
+      s"$op(variant_get($ref, $path)${if (lits.isEmpty) "" else ", " + lits.map(_ => "(value)").mkString(", ")})"
   }
 
   /** Lower to a Catalyst Column for the residual row filter. */
@@ -252,6 +274,19 @@ object Expr {
     case BBoxPredicate(wants, ref, xmin, ymin, xmax, ymax) =>
       val f = udf((wkb: Array[Byte]) => Geo.intersects(wkb, xmin, ymin, xmax, ymax))
       if (wants) f(col(ref)) else !f(col(ref))
+    case VariantPredicate(op, ref, path, vt, lits) =>
+      opColumn(op, variant_get(col(ref), path, variantCastName(vt)), lits)
+  }
+
+  private def variantCastName(t: IcebergType): String = t match {
+    case IntT => "int"
+    case LongT => "long"
+    case FloatT => "float"
+    case DoubleT => "double"
+    case BooleanT => "boolean"
+    case StringT => "string"
+    case other => throw new IllegalArgumentException(
+      s"variant predicate on unsupported leaf type $other")
   }
 
   private def opColumn(op: Op, c: Column, lits: Seq[Any]): Column = op match {
@@ -310,6 +345,7 @@ object Expr {
       }
     case _: TransformPredicate => true // projected away before row eval; inclusive
     case _: BBoxPredicate => true // no partition projection for geo (yet)
+    case _: VariantPredicate => true // variants are never partition sources
   }
 
   private def dblOf(v: Any): Option[Double] = v match {

@@ -1396,6 +1396,34 @@ object IcebergQueries {
       SELECT COUNT(*) AS n, 'true' AS unknown_ok, 'true' AS vals_ok
       FROM customer WHERE c_mktsegment = 'BUILDING'""")),
 
+    // shredded variant typed_value bounds → file pruning: two appends with
+    // disjoint $.qty ranges produce per-file spec bounds objects (reference
+    // `table/internal/variant_bounds.go`); a variant_get range predicate
+    // must skip the out-of-range file(s) and still answer exactly
+    QueryDef.staged("i50_variant_bounds_prune", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"vbp_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val mid = c.agg(max(col("c_custkey"))).head.getLong(0) / 2
+      val df = c.select(col("c_custkey"),
+        parse_json(concat(lit("{\"qty\": "), col("c_custkey"), lit("}"))).as("props"))
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val t0 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        df.filter(col("c_custkey") <= mid))
+      val t1 = Writer.append(s, t0, df.filter(col("c_custkey") > mid))
+      val filter = Expr.variantPredicate(Expr.Op.Gt, "props", "$.qty",
+        IcebergTypes.LongT, mid)
+      val (_, m) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = m.skippedDataFiles > 0 && m.resultDataFiles > 0
+      () => SparkRead.read(s, t1.newScan.withFilter(filter))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))
+        .withColumn("pruned_ok", lit(pruned.toString))
+    }, Some("""
+      SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             'true' AS pruned_ok
+      FROM customer
+      WHERE c_custkey > (SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) FROM customer)""")),
+
     // CLI smoke (reference `cmd/iceberg/main.go:225-960`): list/describe/
     // snapshots run against a real warehouse and print what they should
     QueryDef.staged("i49_cli", (s, dir) => {

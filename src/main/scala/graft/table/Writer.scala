@@ -764,6 +764,14 @@ object Writer {
           truncated.map(t => id -> Literals.encode(ft, t))
         }.toMap
 
+      // shredded variant typed_value bounds → spec bounds objects keyed by
+      // the variant column's field id (reference collectVariantBounds,
+      // `table/internal/parquet_files.go:1194-1330`)
+      val variantBounds: Map[Int, (Array[Byte], Array[Byte])] =
+        schema.fields.filter(_.fieldType == VariantT).flatMap { nf =>
+          harvestVariantBounds(msgType, blocks.toSeq, nf.name).map(nf.id -> _)
+        }.toMap
+
       DataFile(
         content = DataFileContent.Data,
         path = path,
@@ -774,10 +782,134 @@ object Writer {
         columnSizes = colSizes.toMap,
         valueCounts = valCounts.toMap,
         nullCounts = nullCounts.toMap,
-        lowerBounds = if (omitBounds) Map.empty else encodeBound(lowers, isUpper = false),
-        upperBounds = if (omitBounds) Map.empty else encodeBound(uppers, isUpper = true),
+        lowerBounds = if (omitBounds) Map.empty
+          else encodeBound(lowers, isUpper = false) ++
+            variantBounds.map { case (id, (lo, _)) => id -> lo },
+        upperBounds = if (omitBounds) Map.empty
+          else encodeBound(uppers, isUpper = true) ++
+            variantBounds.map { case (id, (_, hi)) => id -> hi },
         splitOffsets = blocks.map(_.getStartingPos).toSeq.sorted)
     } finally reader.close()
+  }
+
+  /** Harvest spec "Bounds for Variant" objects for one shredded variant
+    * column from the parquet footer (reference `collectVariantBounds`,
+    * `table/internal/parquet_files.go:1194-1330`): each depth-1 object field
+    * whose `typed_value` leaf is a primitive with usable chunk stats — and
+    * whose sibling `value` residual is provably all-null — contributes a
+    * `$['field']` entry to the lower/upper bounds objects. Any chunk
+    * missing stats, or a residual that may hold values, invalidates that
+    * field (conservative: the reference additionally accepts all-variant-
+    * null residuals). Nested objects/arrays are skipped, as in the
+    * reference.
+    */
+  private def harvestVariantBounds(
+      msgType: org.apache.parquet.schema.MessageType,
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      colName: String): Option[(Array[Byte], Array[Byte])] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val typedGroup = try {
+      val vg = msgType.getType(Seq(colName): _*).asGroupType()
+      if (!vg.containsField("typed_value")) return None
+      val tv = vg.getType("typed_value")
+      if (tv.isPrimitive) return None
+      tv.asGroupType()
+    } catch { case _: Exception => return None }
+
+    final case class LeafState(name: String, hasResidual: Boolean) {
+      var invalid = false
+      var lo: Any = null
+      var hi: Any = null
+    }
+    val leaves = typedGroup.getFields.asScala.flatMap { f =>
+      if (f.isPrimitive) None
+      else {
+        val g = f.asGroupType()
+        if (g.containsField("typed_value") && g.getType("typed_value").isPrimitive)
+          Some(LeafState(f.getName, g.containsField("value")))
+        else None // nested object/array: no bound (reference skips too)
+      }
+    }
+    if (leaves.isEmpty) return None
+
+    // decoded chunk-stat value in the bound codec's domain, or null when
+    // the physical type can't carry a variant bound
+    def statVal(leaf: String, v: Any): Any = {
+      val pt = typedGroup.getType(leaf).asGroupType().getType("typed_value").asPrimitiveType()
+      (pt.getPrimitiveTypeName, v) match {
+        case (INT64, l: java.lang.Long) => l.longValue
+        case (INT32, i: java.lang.Integer) => i.longValue
+        case (DOUBLE, d: java.lang.Double) => d.doubleValue
+        case (FLOAT, f: java.lang.Float) => f.doubleValue
+        case (BOOLEAN, b: java.lang.Boolean) => b.booleanValue
+        case (BINARY, b: org.apache.parquet.io.api.Binary)
+            if pt.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType() => b.toStringUsingUTF8
+        case _ => null
+      }
+    }
+    def cmpVB(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case _ => 0
+    }
+
+    blocks.foreach { block =>
+      val byPath = block.getColumns.asScala
+        .map(c => c.getPath.toArray.mkString(".") -> c).toMap
+      leaves.foreach { leaf =>
+        if (!leaf.invalid) {
+          val base = s"$colName.typed_value.${leaf.name}"
+          // residual sibling must be provably all-null in every row group
+          if (leaf.hasResidual) byPath.get(s"$base.value").foreach { rc =>
+            val st = rc.getStatistics
+            if (st == null || !st.isNumNullsSet || st.getNumNulls != rc.getValueCount)
+              leaf.invalid = true
+          }
+          byPath.get(s"$base.typed_value") match {
+            case None => leaf.invalid = true
+            case Some(tc) =>
+              val st = tc.getStatistics
+              if (st == null) leaf.invalid = true
+              else if (st.hasNonNullValue) {
+                val mn = statVal(leaf.name, st.genericGetMin)
+                val mx = statVal(leaf.name, st.genericGetMax)
+                if (mn == null || mx == null) leaf.invalid = true
+                else {
+                  if (leaf.lo == null || cmpVB(mn, leaf.lo) < 0) leaf.lo = mn
+                  if (leaf.hi == null || cmpVB(mx, leaf.hi) > 0) leaf.hi = mx
+                }
+              } else if (!st.isNumNullsSet || st.getNumNulls != tc.getValueCount)
+                leaf.invalid = true // values present but no min/max
+          }
+        }
+      }
+    }
+
+    // NaN bounds are useless for pruning (the reference drops them too)
+    def usable(v: Any): Boolean = v match {
+      case d: Double => !d.isNaN
+      case _ => true
+    }
+    val good = leaves.filter(l => !l.invalid && l.lo != null && l.hi != null &&
+      usable(l.lo) && usable(l.hi)).sortBy(_.name)
+    if (good.isEmpty) return None
+
+    def entries(useLower: Boolean): Seq[(String, Any)] = good.flatMap { l =>
+      val path = graft.core.VariantBounds.pathFor(l.name)
+      val v = if (useLower) l.lo else l.hi
+      v match {
+        case s: String =>
+          if (useLower) Some(path -> Literals.truncateLower(s, StatsTruncateLen))
+          else Literals.truncateUpper(s, StatsTruncateLen).map(path -> _)
+        case other => Some(path -> other)
+      }
+    }.toSeq
+    Some((graft.core.VariantBounds.encode(entries(useLower = true)),
+      graft.core.VariantBounds.encode(entries(useLower = false))))
   }
 
   /** Parquet statistics value -> the JVM value Literals expects for the
