@@ -1096,28 +1096,53 @@ object IcebergQueries {
     // executes — the remote-planned read must hash-match the oracle
     QueryDef.staged("i40_rest_catalog", (s, dir) => {
       val wh = s"/root/repo/target/graft-wh/rest_${UUID.randomUUID().toString.take(8)}"
-      val server = new graft.rest.RestCatalogServer(new graft.catalog.HadoopCatalog(wh)).start()
-      val (tasks, planSchema, specById, remotePlanned) =
+      // OAuth2-protected server: every call below carries a bearer token
+      // from the client-credentials flow
+      val server = new graft.rest.RestCatalogServer(
+        new graft.catalog.HadoopCatalog(wh),
+        credentials = Map("gate" -> "gate-secret")).start()
+      val (tasks, planSchema, specById, remotePlanned, authOk, txnOk) =
         try {
-          val client = new graft.rest.RestCatalog(server.uri)
+          val anon = new graft.rest.RestCatalog(server.uri)
+          val authRejected =
+            try { anon.loadTable("nope"); false }
+            catch {
+              case _: IllegalStateException => true // 401 surfaced
+              case _: IllegalArgumentException => false // 404 = served without auth
+            }
+          val client = new graft.rest.RestCatalog(server.uri,
+            Some(("gate", "gate-secret")))
           val c = tbl(s, dir, "customer")
           val schema = SchemaBridge.fromSpark(c.schema)
           val t1 = Writer.append(s,
             client.createTable("cust", schema, PartitionSpec.Unpartitioned), c)
           val t2 = Writer.deleteWhereDV(s, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+          // spec transactions endpoint: a 2-table append commits atomically
+          client.createTable("tx1", schema, PartitionSpec.Unpartitioned)
+          client.createTable("tx2", schema, PartitionSpec.Unpartitioned)
+          val txn = new graft.catalog.MultiTableTransaction(client)
+          txn.run(client.loadTable("tx1"))(t => Writer.append(s, t, c.limit(10)))
+          txn.run(client.loadTable("tx2"))(t => Writer.append(s, t, c.limit(10)))
+          txn.commit()
+          val txnOk = client.loadTable("tx1").currentVersion == 2 &&
+            client.loadTable("tx2").currentVersion == 2
           val (tasks, planSchema) = client.planScan("cust")
           val remotePlanned = tasks.nonEmpty &&
             tasks.exists(_.posDeletes.exists(_.format == "PUFFIN"))
-          (tasks, planSchema, t2.metadata.specById _, remotePlanned)
+          (tasks, planSchema, t2.metadata.specById _, remotePlanned,
+            authRejected, txnOk)
         } finally server.stop()
       // the decoded tasks are self-contained — the read needs no live server
       () => SparkRead.readTasks(s, tasks, planSchema, specById = specById)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .withColumn("remote_planned", lit(remotePlanned.toString))
+        .withColumn("auth_ok", lit(authOk.toString))
+        .withColumn("txn_ok", lit(txnOk.toString))
         .orderBy(col("c_mktsegment"))
     }, Some("""
-      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS remote_planned
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS remote_planned,
+             'true' AS auth_ok, 'true' AS txn_ok
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
       GROUP BY c_mktsegment

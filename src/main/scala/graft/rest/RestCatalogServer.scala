@@ -26,14 +26,29 @@ import graft.format.{PartitionSpec, SortOrder, TableMetadata}
   * returns [[graft.codec.TaskCodec]] payloads (reference
   * `catalog/rest/scan_planning.go` — tasks planned remotely, executed
   * locally).
+  *
+  * With `credentials` set, the server speaks the spec's OAuth2
+  * client-credentials flow (reference auth surface in
+  * `catalog/rest/rest.go`): `POST /v1/oauth/tokens` (form-encoded) issues
+  * short-lived bearer tokens and every other endpoint answers 401 without a
+  * live one.
+  *
+  * `POST /v1/transactions/commit` is the spec's multi-table commit
+  * (reference `catalog/rest/rest.go` commitTransaction): every table's
+  * requirements validate, then all staged updates commit atomically through
+  * the backing [[graft.catalog.TransactionalCatalog]].
   */
-final class RestCatalogServer(backing: Catalog, port: Int = 0) {
+final class RestCatalogServer(backing: Catalog, port: Int = 0,
+    credentials: Map[String, String] = Map.empty,
+    tokenTtlMs: Long = 3600 * 1000L) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val commitLocks = new ConcurrentHashMap[String, Object]()
   // namespace properties when the backing catalog has none (Hadoop)
   private val nsProps = new ConcurrentHashMap[String, Map[String, String]]()
+  // live bearer tokens -> expiry epoch ms
+  private val tokens = new ConcurrentHashMap[String, java.lang.Long]()
 
   def boundPort: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$boundPort"
@@ -74,11 +89,15 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0) {
   private def route(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     val segs = ex.getRequestURI.getPath.stripPrefix("/v1/").split("/").filter(_.nonEmpty).toList
+    if (segs == List("oauth", "tokens")) return issueToken(ex)
+    if (credentials.nonEmpty && !authorized(ex))
+      return sendError(ex, 401, "NotAuthorizedException", "missing or expired bearer token")
     (method, segs) match {
       case ("GET", List("config")) =>
         val o = mapper.createObjectNode()
         o.putObject("defaults"); o.putObject("overrides")
         sendJson(ex, 200, o)
+      case ("POST", List("transactions", "commit")) => commitTransaction(ex)
       case ("GET", List("namespaces")) => listNamespaces(ex)
       case ("POST", List("namespaces")) => createNamespace(ex)
       case ("GET", List("namespaces", ns)) => getNamespace(ex, ns)
@@ -100,6 +119,113 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0) {
 
   private def fullName(ns: String, table: String): String =
     if (ns == "default") table else s"$ns.$table"
+
+  // ---- OAuth2 client-credentials flow ------------------------------------
+
+  /** `POST /v1/oauth/tokens`: form-encoded client_credentials grant → a
+    * short-lived opaque bearer token (spec TokenResponse shape).
+    */
+  private def issueToken(ex: HttpExchange): Unit = {
+    if (credentials.isEmpty)
+      return sendError(ex, 400, "BadRequestException", "auth is not enabled")
+    val form = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    if (!form.get("grant_type").contains("client_credentials")) {
+      val o = mapper.createObjectNode()
+      o.put("error", "unsupported_grant_type")
+      return sendJson(ex, 400, o)
+    }
+    val ok = (for {
+      id <- form.get("client_id")
+      secret <- form.get("client_secret")
+    } yield credentials.get(id).contains(secret)).getOrElse(false)
+    if (!ok) {
+      val o = mapper.createObjectNode()
+      o.put("error", "invalid_client")
+      o.put("error_description", "bad client credentials")
+      return sendJson(ex, 401, o)
+    }
+    val tok = java.util.UUID.randomUUID().toString.replace("-", "")
+    tokens.put(tok, System.currentTimeMillis() + tokenTtlMs)
+    val o = mapper.createObjectNode()
+    o.put("access_token", tok)
+    o.put("token_type", "bearer")
+    o.put("expires_in", tokenTtlMs / 1000)
+    sendJson(ex, 200, o)
+  }
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!header.startsWith("Bearer ")) return false
+    val tok = header.stripPrefix("Bearer ").trim
+    Option(tokens.get(tok)) match {
+      case Some(exp) if exp > System.currentTimeMillis() => true
+      case Some(_) => tokens.remove(tok); false // expired
+      case None => false
+    }
+  }
+
+  // ---- multi-table transaction -------------------------------------------
+
+  /** `POST /v1/transactions/commit`: validate every change's requirements
+    * against current metadata, apply its updates, then commit the whole set
+    * through the backing catalog's atomic multi-table CAS. Any conflict —
+    * requirement or CAS — leaves every table untouched (409).
+    */
+  private def commitTransaction(ex: HttpExchange): Unit = {
+    val tc = backing match {
+      case t: graft.catalog.TransactionalCatalog => t
+      case _ => throw new IllegalArgumentException(
+        "backing catalog does not support multi-table transactions")
+    }
+    val body = readJson(ex)
+    val changes = Option(body.get("table-changes"))
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+    if (changes.isEmpty)
+      throw new IllegalArgumentException("empty table-changes")
+
+    // deterministic lock order prevents deadlock between racing transactions
+    val parsed = changes.map { ch =>
+      val ido = ch.get("identifier")
+      val ns = ido.get("namespace").elements().asScala.map(_.asText()).mkString(".")
+      val full = fullName(if (ns.isEmpty) "default" else ns, ido.get("name").asText())
+      val reqs = Option(ch.get("requirements"))
+        .map(_.elements().asScala.map(UpdateJson.requirementFromNode).toSeq).getOrElse(Nil)
+      val ups = Option(ch.get("updates"))
+        .map(_.elements().asScala.map(UpdateJson.updateFromNode).toSeq).getOrElse(Nil)
+      (full, reqs, ups)
+    }
+    require(parsed.map(_._1).distinct.size == parsed.size,
+      "duplicate table in transaction")
+    val locks = parsed.map(_._1).sorted.map(n => commitLocks.computeIfAbsent(n, _ => new Object))
+
+    def withLocks(ls: Seq[Object])(body: => Unit): Unit = ls match {
+      case Seq() => body
+      case l +: rest => l.synchronized(withLocks(rest)(body))
+    }
+    withLocks(locks) {
+      val staged = parsed.map { case (full, reqs, ups) =>
+        if (!backing.tableExists(full))
+          throw new NoSuchElementException(s"no such table: $full")
+        val t = backing.loadTable(full)
+        reqs.foreach { r =>
+          Requirement.check(r, Some(t.metadata)).foreach(msg =>
+            throw new CommitConflict(s"requirement failed for $full: $msg"))
+        }
+        val applied0 = ups.foldLeft(t.metadata)(MetadataUpdate.apply)
+        val applied = applied0.copy(
+          lastUpdatedMs = math.max(applied0.lastUpdatedMs, System.currentTimeMillis()),
+          metadataLog = applied0.metadataLog :+
+            graft.format.MetadataLogEntry(t.metadataPath, System.currentTimeMillis()))
+        graft.catalog.StagedCommit(full, t.metadata, applied, t.currentVersion)
+      }
+      tc.commitTransaction(staged)
+      ex.sendResponseHeaders(204, -1)
+    }
+  }
 
   // ---- namespaces --------------------------------------------------------
 

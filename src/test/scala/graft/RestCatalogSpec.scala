@@ -181,6 +181,63 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(check(AssertCurrentSchemaId(7), Some(meta)).isDefined)
   }
 
+  test("oauth2: 401 without token, client-credentials flow, refresh on expiry") {
+    val wh = Files.createTempDirectory("graft-rest-auth").toString
+    // 300ms tokens force the expiry-refresh path below
+    val srv = new RestCatalogServer(new HadoopCatalog(wh),
+      credentials = Map("svc" -> "s3cret"), tokenTtlMs = 300).start()
+    try {
+      val schema = IcebergSchema(Seq(NestedField(1, "id", IcebergTypes.LongT, required = true)))
+      // no credential: every catalog call is rejected
+      val anon = new RestCatalog(srv.uri)
+      assert(!anon.tableExists("t"))
+      intercept[IllegalArgumentException] {
+        anon.createTable("t", schema, PartitionSpec.Unpartitioned)
+      }
+      // wrong secret: the token endpoint itself rejects
+      val bad = new RestCatalog(srv.uri, Some(("svc", "wrong")))
+      intercept[IllegalStateException] { bad.listTables() }
+      // correct credential: full round trip
+      val ok = new RestCatalog(srv.uri, Some(("svc", "s3cret")))
+      ok.createTable("t", schema, PartitionSpec.Unpartitioned)
+      assert(ok.tableExists("t"))
+      // let the token expire; next call must refresh transparently
+      Thread.sleep(500)
+      assert(ok.listTables() === Seq("t"))
+      // userinfo URI form carries the credential through the registry
+      val viaUri = RestCatalog.fromUri(
+        srv.uri.replace("http://", s"http://svc:s3cret@"))
+      assert(viaUri.tableExists("t"))
+    } finally srv.stop()
+  }
+
+  test("multi-table transaction over REST: atomic commit, conflict rolls back") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val a = client.createTable("txa", schema, PartitionSpec.Unpartitioned)
+    val b = client.createTable("txb", schema, PartitionSpec.Unpartitioned)
+
+    // happy path: both tables advance atomically through one HTTP commit
+    val txn = new graft.catalog.MultiTableTransaction(client)
+    txn.run(client.loadTable("txa"))(t => Writer.append(spark, t, nation))
+    txn.run(client.loadTable("txb"))(t => Writer.append(spark, t, nation))
+    txn.commit()
+    assert(client.loadTable("txa").currentVersion === 2)
+    assert(client.loadTable("txb").currentVersion === 2)
+    assert(SparkRead.read(spark, client.loadTable("txb").newScan).count() === nation.count())
+
+    // conflict on B: an out-of-band append after staging moves B's main
+    // ref, so B's assert-ref-snapshot-id requirement fails server-side and
+    // the whole transaction must leave A untouched
+    val txn2 = new graft.catalog.MultiTableTransaction(client)
+    txn2.run(client.loadTable("txa"))(t => Writer.append(spark, t, nation))
+    txn2.run(client.loadTable("txb"))(t => Writer.append(spark, t, nation))
+    Writer.append(spark, client.loadTable("txb"), nation)
+    intercept[CommitConflict] { txn2.commit() }
+    assert(client.loadTable("txa").currentVersion === 2, "A must be unchanged")
+    assert(client.loadTable("txb").currentVersion === 3) // only the injected commit
+  }
+
   test("scheme registry resolves rest:<uri>, sql-backed server serves namespaces") {
     val cat = Catalogs.load(s"rest:${server.uri}")
     assert(cat.isInstanceOf[RestCatalog])
