@@ -63,7 +63,8 @@ object Evaluators {
       op: Op, lits: Seq[Any]): Expr = {
     val srcType = schema.idToField(pf.sourceId).fieldType
     val sparkT = SchemaBridge.toSparkType(srcType)
-    def t(v: Any): Any = pf.transform.apply(v, sparkT)
+    def t(v: Any): Any =
+      pf.transform.apply(Transforms.valueFor(pf.transform, v, srcType), sparkT)
     pf.transform match {
       case Transforms.Void => AlwaysTrue
       case Transforms.Identity =>
@@ -258,8 +259,9 @@ object Evaluators {
             val id = field.id
             val ft = field.fieldType
             val bounds = scala.util.Try {
-              (f.lowerBounds.get(id).map(b => tr.apply(Literals.decode(ft, b), srcType)),
-                f.upperBounds.get(id).map(b => tr.apply(Literals.decode(ft, b), srcType)))
+              def ap(b: Array[Byte]) =
+                tr.apply(Transforms.valueFor(tr, Literals.decode(ft, b), ft), srcType)
+              (f.lowerBounds.get(id).map(ap), f.upperBounds.get(id).map(ap))
             }
             bounds.toOption.forall { case (lo, up) =>
               transformedMightMatch(op, lits, lo, up)

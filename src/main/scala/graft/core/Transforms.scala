@@ -192,6 +192,31 @@ object Transforms {
     }
   }
 
+  /** Time transforms speak the µs convention; v3 ns-timestamp columns
+    * surface in Spark as raw ns longs (SchemaBridge tags them), so their
+    * source column floor-divides to µs before the transform (reference
+    * downcast rules, `table/arrow_utils.go:487-506`). Other transforms
+    * (identity, bucket) keep the raw ns domain.
+    */
+  def sourceFor(tr: Transform, c: Column, it: IcebergType): (Column, DataType) =
+    (tr, it) match {
+      case (Years | Months | Days | Hours,
+          IcebergTypes.TimestampNsT | IcebergTypes.TimestampTzNsT) =>
+        // (c - pmod(c, 1000)) is exactly divisible: integral div stays exact
+        // where a double round trip would lose low bits at ns magnitudes
+        (timestamp_micros(((c - pmod(c, lit(1000L))) / lit(1000L)).cast(LongType)),
+          TimestampType)
+      case _ => (c, SchemaBridge.toSparkType(it))
+    }
+
+  /** Driver-side dual of [[sourceFor]] for literal/bound projection. */
+  def valueFor(tr: Transform, v: Any, it: IcebergType): Any = (tr, it, v) match {
+    case (Years | Months | Days | Hours,
+        IcebergTypes.TimestampNsT | IcebergTypes.TimestampTzNsT, l: Long) =>
+      Math.floorDiv(l, 1000L)
+    case _ => v
+  }
+
   /** murmur3_x86_32(seed=0) over the 8-byte little-endian encoding. */
   def bucketLong(v: Long, n: Int): Int = {
     val bytes = new Array[Byte](8)

@@ -1449,6 +1449,51 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey > (SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) FROM customer)""")),
 
+    // v3 timestamp_ns + time end-to-end (reference downcast rules
+    // `table/arrow_utils.go:487-506`): ns-timestamps write through a
+    // day(ts) partition spec (time transforms floor-divide ns→µs), TIME
+    // carries as tagged µs-since-midnight longs, manifest bounds hold raw
+    // ns, and an ns range predicate prunes day partitions
+    QueryDef.staged("i51_timestamp_ns_time", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"nst_${UUID.randomUUID().toString.take(8)}"
+      val e = tbl(s, dir, "events") // ts: TIMESTAMP(NANOS) read as ns long
+      val micro = expr("(ts - pmod(ts, 1000)) div 1000")
+      val df = e.select(col("event_id"), col("ts"),
+        pmod(micro, lit(86400000000L)).as("tod"))
+      val schema0 = SchemaBridge.fromSpark(df.schema)
+      val schema = schema0.copy(fields = schema0.fields.map(f =>
+        if (f.name == "ts") f.copy(fieldType = IcebergTypes.TimestampNsT)
+        else if (f.name == "tod") f.copy(fieldType = IcebergTypes.TimeT) else f))
+      val spec = PartitionSpec.builder(schema).add("ts", Transforms.Days).build()
+      val t1 = Writer.append(s, cat.createTable(name, schema, spec), df)
+      // midpoint-day cutoff: the ns range predicate must skip earlier days
+      val r = df.agg(min(col("ts")), max(col("ts"))).head
+      val dayNs = 86400000000000L
+      val cut = ((Math.floorDiv(r.getLong(0), dayNs) +
+        Math.floorDiv(r.getLong(1), dayNs)) / 2) * dayNs
+      val filter = Expr.gtEq("ts", cut)
+      val (_, m) = t1.newScan.withFilter(filter).planFilesWithMetrics()
+      val pruned = m.skippedDataFiles > 0 && m.resultDataFiles > 0
+      // DuckDB truncates parquet ns→µs on read, so the pinned minimum is
+      // compared in µs (the day-multiple cut keeps row membership identical)
+      () => SparkRead.read(s, t1.newScan.withFilter(filter))
+        .agg(count(lit(1)).as("n"),
+          min(expr("(ts - pmod(ts, 1000)) div 1000")).as("min_us"),
+          sum(col("tod")).as("tod_sum"))
+        .withColumn("pruned_ok", lit(pruned.toString))
+    }, Some("""
+      WITH c AS (SELECT ((MIN(epoch_ns(ts)) // 86400000000000) +
+                         (MAX(epoch_ns(ts)) // 86400000000000)) // 2
+                        * 86400000000000 AS cut
+                 FROM events)
+      SELECT COUNT(*) AS n,
+             CAST(MIN(epoch_ns(ts)) // 1000 AS BIGINT) AS min_us,
+             CAST(SUM((epoch_ns(ts) // 1000) % 86400000000) AS BIGINT) AS tod_sum,
+             'true' AS pruned_ok
+      FROM events, c
+      WHERE epoch_ns(ts) >= c.cut""")),
+
     // CLI smoke (reference `cmd/iceberg/main.go:225-960`): list/describe/
     // snapshots run against a real warehouse and print what they should
     QueryDef.staged("i49_cli", (s, dir) => {

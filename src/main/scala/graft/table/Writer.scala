@@ -395,7 +395,8 @@ object Writer {
       .find(_.orderId == table.metadata.defaultSortOrderId)
       .map(_.fields.flatMap { sf =>
         schema.idToField.get(sf.sourceId).map { f =>
-          val c = sf.transform.toColumn(col(f.name), SchemaBridge.toSparkType(f.fieldType))
+          val (srcCol, srcT) = Transforms.sourceFor(sf.transform, col(f.name), f.fieldType)
+          val c = sf.transform.toColumn(srcCol, srcT)
           if (sf.ascending) c.asc else c.desc
         }
       }).getOrElse(Nil)
@@ -415,8 +416,8 @@ object Writer {
       val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
         case (d, (pf, pcol)) =>
           val src = schema.idToField(pf.sourceId)
-          d.withColumn(pcol, pf.transform.toColumn(col(src.name),
-            SchemaBridge.toSparkType(src.fieldType)))
+          val (srcCol, srcT) = Transforms.sourceFor(pf.transform, col(src.name), src.fieldType)
+          d.withColumn(pcol, pf.transform.toColumn(srcCol, srcT))
       }
       // fanout-skew fix (reference fanout writer `table/partitioned_fanout_
       // writer.go:41-654`): hash-repartitioning on partition values collapses
