@@ -401,6 +401,32 @@ object Writer {
         }
       }).getOrElse(Nil)
 
+    // inline NaN/geo stats (reference collects them in its writer,
+    // `table/internal/parquet_files.go:733-1150`): the stats-collecting
+    // parquet format streams per-file NaN counts and geometry envelopes into
+    // an accumulator DURING the write, so a geo/NaN append reads its input
+    // exactly once — no second pass over fresh files
+    val nanStatCols: Seq[(String, Int)] =
+      if (table.metadata.properties
+          .getOrElse("write.metadata.metrics.nan-counts.enabled", "false").toBoolean)
+        floatDoubleFields(schema)
+      else Nil
+    val geoStatCols: Seq[(String, Int)] = schema.fields.collect {
+      case f if f.fieldType.isInstanceOf[IcebergTypes.GeometryT] => (f.name, f.id)
+    }
+    val statsJob: Option[String] =
+      if (nanStatCols.nonEmpty || geoStatCols.nonEmpty)
+        Some(graft.sources.StatsParquetFormat.register(spark))
+      else None
+    def parquetSink(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      statsJob match {
+        case Some(id) => w.format(classOf[graft.sources.StatsParquetFormat].getName)
+          .option("graft.stats.job", id)
+          .option("graft.stats.nan", nanStatCols.map { case (n, i) => s"$n:$i" }.mkString(";"))
+          .option("graft.stats.geo", geoStatCols.map { case (n, i) => s"$n:$i" }.mkString(";"))
+        case None => w.format("parquet")
+      }
+
     def writeAligned(): Unit = if (spec.isUnpartitioned) {
       // a declared sort order turns the append into a range-clustered write:
       // repartitionByRange gives globally non-overlapping per-file ranges of
@@ -410,8 +436,8 @@ object Writer {
       val clustered =
         if (sortCols.isEmpty) aligned
         else aligned.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-      clustered.write.option("maxRecordsPerFile", maxRecords)
-        .options(encryptionOptions(spark, table)).parquet(tmpDir)
+      parquetSink(clustered.write.option("maxRecordsPerFile", maxRecords)
+        .options(encryptionOptions(spark, table))).save(tmpDir)
     } else {
       val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
         case (d, (pf, pcol)) =>
@@ -425,13 +451,12 @@ object Writer {
       // shuffle splits oversized partitions by size (hot values span many
       // tasks) and merges tiny ones — one shuffle, no sampling pass — while
       // partitionBy still routes rows to the right directory.
-      withParts
+      parquetSink(withParts
         .hint("rebalance", partColNames.map(col): _*)
         .sortWithinPartitions((partColNames.map(col) ++ sortCols): _*)
         .write.partitionBy(partColNames: _*)
         .option("maxRecordsPerFile", maxRecords)
-        .options(encryptionOptions(spark, table))
-        .parquet(tmpDir)
+        .options(encryptionOptions(spark, table))).save(tmpDir)
     }
 
     // spec variant shredding (reference `table/internal/variant_shredding.go`,
@@ -457,6 +482,10 @@ object Writer {
 
     val partType = spec.partitionType(schema)
     val written = listParquet(tmpDir)
+    val inlineStats: Map[String, graft.sources.WriteFileStats] =
+      statsJob.map(graft.sources.StatsParquetFormat.drain).getOrElse(Map.empty)
+    val omitBounds = table.metadata.properties
+      .contains(graft.encryption.ParquetEncryption.KeyIdProp)
     // footer-stat harvesting reads one footer per file — IO-bound and
     // independent, so run it on the driver pool (serial, this was a visible
     // slice of every append; at real file counts it would dominate)
@@ -475,15 +504,22 @@ object Writer {
         else spec.partitionToPath(partValues, schema) + "/"
       val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
       moveFile(src, target)
-      harvestStats(target, schema, partValues,
-        omitBounds = table.metadata.properties
-          .contains(graft.encryption.ParquetEncryption.KeyIdProp))
+      val base = harvestStats(target, schema, partValues, omitBounds = omitBounds)
+      // fold in the stats collected inline during the write
+      inlineStats.get(src.substring(src.lastIndexOf('/') + 1)) match {
+        case None => base
+        case Some(ws) =>
+          val withNan = base.copy(nanCounts = ws.nanCounts)
+          if (omitBounds) withNan // encrypted tables omit plaintext bounds
+          else withNan.copy(
+            lowerBounds = withNan.lowerBounds ++ ws.geoBounds.map {
+              case (id, (x0, y0, _, _)) => id -> Geo.encodeBound(x0, y0) },
+            upperBounds = withNan.upperBounds ++ ws.geoBounds.map {
+              case (id, (_, _, x1, y1)) => id -> Geo.encodeBound(x1, y1) })
+      }
     }.seq
     deleteTree(tmpDir)
-    val out0 = withNanCounts(spark, table, schema, files.filter(_.recordCount > 0))
-    val out = if (table.metadata.properties
-        .contains(graft.encryption.ParquetEncryption.KeyIdProp)) out0 // bounds omitted at rest
-      else withGeoBounds(spark, schema, out0)
+    val out = files.filter(_.recordCount > 0)
     // feed the rolling calibration with this write's actual encoded width
     val (rows, bytes) = (out.map(_.recordCount).sum, out.map(_.fileSize).sum)
     if (rows > 0) observedRowBytes.put(table.location,
@@ -496,80 +532,6 @@ object Writer {
     */
   private val observedRowBytes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-
-  /** Optional pass recording `nan_value_counts` for float/double columns
-    * (property `write.metadata.metrics.nan-counts.enabled`, default false):
-    * parquet footers cannot express NaN counts (the reference collects them
-    * inline in its own writer, `table/internal/parquet_files.go:733-1150`),
-    * so Spark-written files need one narrow column scan. Only the floating
-    * columns are read (column pruning) and one row per file returns to the
-    * driver, so cost is bounded by file count, not row count.
-    */
-  private def withNanCounts(spark: SparkSession, table: Table,
-      schema: IcebergSchema, files: Seq[DataFile]): Seq[DataFile] = {
-    val enabled = table.metadata.properties
-      .getOrElse("write.metadata.metrics.nan-counts.enabled", "false").toBoolean
-    if (!enabled || files.isEmpty) return files
-    val fd = floatDoubleFields(schema)
-    if (fd.isEmpty) return files
-    val aggs = fd.map { case (n, id) =>
-      sum(when(isnan(col(n)), 1L).otherwise(0L)).as(s"__nan_$id") }
-    val rows = spark.read.schema(SchemaBridge.toSpark(schema))
-      .parquet(files.map(_.path): _*)
-      .groupBy(regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val byFile: Map[String, Map[Int, Long]] = rows.map { r =>
-      r.getString(0) -> fd.zipWithIndex.map { case ((_, id), i) => id -> r.getLong(i + 1) }.toMap
-    }.toMap
-    files.map(f => f.copy(nanCounts = byFile.getOrElse(f.path, Map.empty)))
-  }
-
-  /** Geo envelope bounds for top-level geometry columns (reference computes
-    * them inline in its writer, `table/internal/parquet_files.go:514-600` +
-    * `geo_codec.go` accumulator; Spark's parquet writer can't, so one narrow
-    * per-file column scan — same shape as the NaN-counts pass). Geography
-    * columns emit no bounds: geodesic envelopes may wrap the antimeridian
-    * and planar min/max would mis-prune. Nested geo columns are skipped,
-    * matching the reference (its TODO #992).
-    */
-  private def withGeoBounds(spark: SparkSession, schema: IcebergSchema,
-      files: Seq[DataFile]): Seq[DataFile] = {
-    val geoCols = schema.fields.collect {
-      case f if f.fieldType.isInstanceOf[IcebergTypes.GeometryT] => (f.name, f.id)
-    }
-    if (geoCols.isEmpty || files.isEmpty) return files
-    val envUdf = udf((wkb: Array[Byte]) =>
-      graft.core.Geo.envelope(wkb).map { case (x0, y0, x1, y1) => (x0, y0, x1, y1) })
-    val withEnv = geoCols.foldLeft(
-      spark.read.schema(SchemaBridge.toSpark(schema)).parquet(files.map(_.path): _*)
-        .select(col("_metadata.file_path") +: geoCols.map(c => col(c._1)): _*)) {
-      case (d, (n, id)) => d.withColumn(s"__env_$id", envUdf(col(n)))
-    }
-    val aggs = geoCols.flatMap { case (_, id) => Seq(
-      min(col(s"__env_$id._1")).as(s"__x0_$id"), min(col(s"__env_$id._2")).as(s"__y0_$id"),
-      max(col(s"__env_$id._3")).as(s"__x1_$id"), max(col(s"__env_$id._4")).as(s"__y1_$id")) }
-    val rows = withEnv
-      .groupBy(regexp_replace(col("file_path"), "^file:/*", "/").as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val byFile: Map[String, Map[Int, (Array[Byte], Array[Byte])]] = rows.map { r =>
-      r.getString(0) -> geoCols.zipWithIndex.flatMap { case ((_, id), i) =>
-        val base = 1 + i * 4
-        if (r.isNullAt(base)) None // all-null column in this file: no bounds
-        else Some(id -> (graft.core.Geo.encodeBound(r.getDouble(base), r.getDouble(base + 1)),
-          graft.core.Geo.encodeBound(r.getDouble(base + 2), r.getDouble(base + 3))))
-      }.toMap
-    }.toMap
-    files.map { f =>
-      byFile.getOrElse(f.path, Map.empty) match {
-        case m if m.isEmpty => f
-        case m => f.copy(
-          lowerBounds = f.lowerBounds ++ m.map { case (id, (lo, _)) => id -> lo },
-          upperBounds = f.upperBounds ++ m.map { case (id, (_, hi)) => id -> hi })
-      }
-    }
-  }
 
   /** Float/double columns addressable by Column path: top-level and
     * struct-nested (list/map elements aren't `col()`-addressable).
@@ -740,7 +702,8 @@ object Writer {
             if (stats != null && stats.hasNonNullValue &&
                 !IcebergTypes.isGeo(schema.idToField(id).fieldType)) {
               // geo columns: parquet byte-array min/max over WKB are
-              // meaningless — real envelope bounds come from withGeoBounds
+              // meaningless — real envelope bounds collect inline during
+              // the write (StatsParquetFormat)
               val ft = schema.idToField(id).fieldType
               val mn = statValue(stats.genericGetMin, ft)
               val mx = statValue(stats.genericGetMax, ft)
