@@ -27,11 +27,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Queries-side row cap for the exact path: the broadcast query set must
+    * stay driver/executor-memory sized; beyond this, O(|Q|·|C|) is a misuse
+    * and [[lshTopK]] is the scale path.
+    */
+  val BruteForceMaxQueries: Long = 100000L
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (qid, rank, cid, cosine).
+    *
+    * The documented EXACT path: cost is O(|Q|·|C|) with the query side
+    * broadcast. Guarded — a query set larger than
+    * [[BruteForceMaxQueries]] is rejected so the all-pairs plan can't be
+    * reached by accident; use [[lshTopK]] for large query sets.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nq = queries.limit((BruteForceMaxQueries + 1).toInt).count()
+    require(nq <= BruteForceMaxQueries,
+      s"bruteForceTopK: query side has > $BruteForceMaxQueries rows; " +
+        "this exact path is O(|Q|*|C|) — use lshTopK for large query sets")
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     val pairs = c.crossJoin(broadcast(q))

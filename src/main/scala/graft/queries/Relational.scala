@@ -47,6 +47,9 @@ object Relational {
       // the expand. Decimal sum-of-sums equals the flat sum exactly.
       // No broadcast hint: the customer dimension grows with scale, so a
       // hard hint would pin a broadcast AQE could no longer undo at 100x.
+      // (Round-7 plan audit: AQE broadcasts both orders and customer at
+      // bench scale; the round-6 bench delta was the noop sink consuming
+      // previously-pruned columns, not a join-order change.)
       val perOrder = l.groupBy(col("l_orderkey"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("ord_rev"))
       perOrder.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -108,4 +108,16 @@ class LshQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // all three chained docs must converge into one cluster
     assert(clusters === 1L, s"expected 1 cluster, got $clusters")
   }
+
+  test("bruteForceTopK rejects an oversized query side (lshTopK is the scale path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val huge = spark.range(graft.llm.Similarity.BruteForceMaxQueries + 1)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.bruteForceTopK(huge, corpus, 5)
+    }
+    assert(e.getMessage.contains("lshTopK"))
+  }
 }
