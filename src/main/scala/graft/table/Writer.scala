@@ -27,6 +27,55 @@ object Writer {
 
   private val StatsTruncateLen = 16 // write.metadata.metrics default truncate(16)
 
+  /** Per-column metrics mode (reference `table/internal/utils.go:365-412`
+    * MatchMetricsMode + `arrow_utils.go:1634-1650` resolution):
+    * `write.metadata.metrics.default` sets the table default (truncate(16)
+    * when unset) and `write.metadata.metrics.column.<dotted.name>` overrides
+    * per column. Unlike the reference we keep full/truncated bounds for
+    * struct-nested columns rather than downgrading them to counts — nested
+    * bounds are spec-legal and this engine prunes on them (i32).
+    */
+  private[graft] sealed trait MetricsMode
+  private[graft] object MetricsMode {
+    case object NoMetrics extends MetricsMode
+    case object Counts extends MetricsMode
+    case object Full extends MetricsMode
+    final case class Trunc(len: Int) extends MetricsMode
+    private val TruncRe = """truncate\((\d+)\)""".r
+
+    def parse(s: String): MetricsMode = s.trim.toLowerCase match {
+      case "none" => NoMetrics
+      case "counts" => Counts
+      case "full" => Full
+      case TruncRe(n) if n.toInt > 0 => Trunc(n.toInt)
+      case other => throw new IllegalArgumentException(s"unsupported metrics mode: $other")
+    }
+
+    /** Resolver over table properties, keyed by field id. */
+    def resolver(schema: IcebergSchema, props: Map[String, String]): Int => MetricsMode = {
+      val default = props.get("write.metadata.metrics.default")
+        .map(parse).getOrElse(Trunc(StatsTruncateLen))
+      val names = dottedNames(schema)
+      id => names.get(id)
+        .flatMap(n => props.get(s"write.metadata.metrics.column.$n"))
+        .map(parse).getOrElse(default)
+    }
+
+    private def dottedNames(schema: IcebergSchema): Map[Int, String] = {
+      val b = Map.newBuilder[Int, String]
+      def walk(prefix: String, f: NestedField): Unit = {
+        val full = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        b += f.id -> full
+        f.fieldType match {
+          case IcebergTypes.StructT(fs) => fs.foreach(walk(full, _))
+          case _ => () // list/map internals aren't metrics-configurable
+        }
+      }
+      schema.fields.foreach(walk("", _))
+      b.result()
+    }
+  }
+
   /** Append a DataFrame (fast-append snapshot, reference
     * `table/transaction.go:558-611`). Returns the updated table.
     */
@@ -319,7 +368,8 @@ object Writer {
         }
       harvestStats(p, schema, partValues,
         omitBounds = table.metadata.properties
-          .contains(graft.encryption.ParquetEncryption.KeyIdProp))
+          .contains(graft.encryption.ParquetEncryption.KeyIdProp),
+        props = table.metadata.properties)
     }.seq
     val mappingProp = table.metadata.properties.get(NameMapping.PropertyKey)
       .map(_ => Map.empty[String, String])
@@ -473,6 +523,12 @@ object Writer {
     spark.conf.set("spark.sql.variant.writeShredding.enabled", shredVariant.toString)
     spark.conf.set("spark.sql.variant.inferShreddingSchema", shredVariant.toString)
     try writeAligned()
+    catch { case e: Throwable =>
+      // release the stats accumulator registration on a failed write so a
+      // long-lived session can't pile up dead entries
+      statsJob.foreach(graft.sources.StatsParquetFormat.drain)
+      throw e
+    }
     finally {
       prevShred.fold(spark.conf.unset("spark.sql.variant.writeShredding.enabled"))(
         v => spark.conf.set("spark.sql.variant.writeShredding.enabled", v))
@@ -504,7 +560,8 @@ object Writer {
         else spec.partitionToPath(partValues, schema) + "/"
       val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
       moveFile(src, target)
-      val base = harvestStats(target, schema, partValues, omitBounds = omitBounds)
+      val base = harvestStats(target, schema, partValues, omitBounds = omitBounds,
+        props = table.metadata.properties)
       // fold in the stats collected inline during the write
       inlineStats.get(src.substring(src.lastIndexOf('/') + 1)) match {
         case None => base
@@ -660,7 +717,8 @@ object Writer {
     * such tables (counts still prune nulls/NaNs); correctness is unaffected.
     */
   def harvestStats(path: String, schema: IcebergSchema, partValues: Seq[Any],
-      omitBounds: Boolean = false): DataFile = {
+      omitBounds: Boolean = false,
+      props: Map[String, String] = Map.empty): DataFile = {
     val reader = graft.encryption.ParquetEncryption.openFooterReader(path)
     try {
       val footer = reader.getFooter
@@ -691,26 +749,32 @@ object Writer {
       val lowers = scala.collection.mutable.Map.empty[Int, Any]
       val uppers = scala.collection.mutable.Map.empty[Int, Any]
 
+      val modeFor = MetricsMode.resolver(schema, props)
+
       blocks.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
           fieldIdOf(chunk.getPath.toArray).foreach { id =>
-            colSizes(id) = colSizes.getOrElse(id, 0L) + chunk.getTotalSize
-            valCounts(id) = valCounts.getOrElse(id, 0L) + chunk.getValueCount
-            val stats = chunk.getStatistics
-            if (stats != null && stats.isNumNullsSet)
-              nullCounts(id) = nullCounts.getOrElse(id, 0L) + stats.getNumNulls
-            if (stats != null && stats.hasNonNullValue &&
-                !IcebergTypes.isGeo(schema.idToField(id).fieldType)) {
-              // geo columns: parquet byte-array min/max over WKB are
-              // meaningless — real envelope bounds collect inline during
-              // the write (StatsParquetFormat)
-              val ft = schema.idToField(id).fieldType
-              val mn = statValue(stats.genericGetMin, ft)
-              val mx = statValue(stats.genericGetMax, ft)
-              if (mn != null && (!lowers.contains(id) || Literals.compare(ft, mn, lowers(id)) < 0))
-                lowers(id) = mn
-              if (mx != null && (!uppers.contains(id) || Literals.compare(ft, mx, uppers(id)) > 0))
-                uppers(id) = mx
+            val mode = modeFor(id)
+            if (mode != MetricsMode.NoMetrics) {
+              colSizes(id) = colSizes.getOrElse(id, 0L) + chunk.getTotalSize
+              valCounts(id) = valCounts.getOrElse(id, 0L) + chunk.getValueCount
+              val stats = chunk.getStatistics
+              if (stats != null && stats.isNumNullsSet)
+                nullCounts(id) = nullCounts.getOrElse(id, 0L) + stats.getNumNulls
+              if (mode != MetricsMode.Counts &&
+                  stats != null && stats.hasNonNullValue &&
+                  !IcebergTypes.isGeo(schema.idToField(id).fieldType)) {
+                // geo columns: parquet byte-array min/max over WKB are
+                // meaningless — real envelope bounds collect inline during
+                // the write (StatsParquetFormat)
+                val ft = schema.idToField(id).fieldType
+                val mn = statValue(stats.genericGetMin, ft)
+                val mx = statValue(stats.genericGetMax, ft)
+                if (mn != null && (!lowers.contains(id) || Literals.compare(ft, mn, lowers(id)) < 0))
+                  lowers(id) = mn
+                if (mx != null && (!uppers.contains(id) || Literals.compare(ft, mx, uppers(id)) > 0))
+                  uppers(id) = mx
+              }
             }
           }
         }
@@ -719,10 +783,16 @@ object Writer {
       def encodeBound(m: scala.collection.Map[Int, Any], isUpper: Boolean): Map[Int, Array[Byte]] =
         m.flatMap { case (id, v) =>
           val ft = schema.idToField(id).fieldType
+          // truncation applies to strings only; truncate-mode on other
+          // types means full bounds (reference rule)
+          val truncLen = modeFor(id) match {
+            case MetricsMode.Trunc(n) => n
+            case _ => 0 // full (none/counts never reach here)
+          }
           val truncated: Option[Any] = (ft, v) match {
-            case (StringT, s: String) =>
-              if (isUpper) Literals.truncateUpper(s, StatsTruncateLen)
-              else Some(Literals.truncateLower(s, StatsTruncateLen))
+            case (StringT, s: String) if truncLen > 0 =>
+              if (isUpper) Literals.truncateUpper(s, truncLen)
+              else Some(Literals.truncateLower(s, truncLen))
             case _ => Some(v)
           }
           truncated.map(t => id -> Literals.encode(ft, t))
@@ -730,10 +800,16 @@ object Writer {
 
       // shredded variant typed_value bounds → spec bounds objects keyed by
       // the variant column's field id (reference collectVariantBounds,
-      // `table/internal/parquet_files.go:1194-1330`)
+      // `table/internal/parquet_files.go:1194-1330`); the parent variant
+      // column's metrics mode gates the whole bounds object
       val variantBounds: Map[Int, (Array[Byte], Array[Byte])] =
         schema.fields.filter(_.fieldType == VariantT).flatMap { nf =>
-          harvestVariantBounds(msgType, blocks.toSeq, nf.name).map(nf.id -> _)
+          modeFor(nf.id) match {
+            case MetricsMode.NoMetrics | MetricsMode.Counts => None
+            case m =>
+              val len = m match { case MetricsMode.Trunc(n) => n; case _ => 0 }
+              harvestVariantBounds(msgType, blocks.toSeq, nf.name, len).map(nf.id -> _)
+          }
         }.toMap
 
       DataFile(
@@ -770,7 +846,8 @@ object Writer {
   private def harvestVariantBounds(
       msgType: org.apache.parquet.schema.MessageType,
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
-      colName: String): Option[(Array[Byte], Array[Byte])] = {
+      colName: String,
+      truncLen: Int): Option[(Array[Byte], Array[Byte])] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val typedGroup = try {
@@ -866,9 +943,9 @@ object Writer {
       val path = graft.core.VariantBounds.pathFor(l.name)
       val v = if (useLower) l.lo else l.hi
       v match {
-        case s: String =>
-          if (useLower) Some(path -> Literals.truncateLower(s, StatsTruncateLen))
-          else Literals.truncateUpper(s, StatsTruncateLen).map(path -> _)
+        case s: String if truncLen > 0 =>
+          if (useLower) Some(path -> Literals.truncateLower(s, truncLen))
+          else Literals.truncateUpper(s, truncLen).map(path -> _)
         case other => Some(path -> other)
       }
     }.toSeq

@@ -99,4 +99,22 @@ class TransformsSpec extends AnyFunSuite {
     assert(Transforms.parse("day") === Days)
     assert(Transforms.parse("identity") === Identity)
   }
+
+  test("ns-timestamp sources floor-divide to µs for time transforms only") {
+    import graft.core.IcebergTypes._
+    val dayNs = 86400000000000L
+    // 1970-01-02T00:00:00.000000500 ns -> day 1
+    assert(Transforms.valueFor(Days, dayNs + 500L, TimestampNsT) === 86400000000L)
+    assert(Days.apply(Transforms.valueFor(Days, dayNs + 500L, TimestampNsT),
+      org.apache.spark.sql.types.TimestampType) === 1)
+    // pre-1970 floors toward -inf: 500ns before epoch is day -1, hour -1
+    assert(Transforms.valueFor(Hours, -500L, TimestampTzNsT) === -1L)
+    assert(Days.apply(Transforms.valueFor(Days, -500L, TimestampNsT),
+      org.apache.spark.sql.types.TimestampType) === -1)
+    // identity/bucket keep the raw ns domain
+    assert(Transforms.valueFor(Identity, dayNs + 500L, TimestampNsT) === dayNs + 500L)
+    assert(Transforms.valueFor(Bucket(8), dayNs + 500L, TimestampNsT) === dayNs + 500L)
+    // µs timestamps pass through unchanged
+    assert(Transforms.valueFor(Days, 123L, TimestampT) === 123L)
+  }
 }
