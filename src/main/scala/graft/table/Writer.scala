@@ -407,6 +407,41 @@ object Writer {
   private def encryptionOptions(spark: SparkSession, table: Table): Map[String, String] =
     graft.encryption.ParquetEncryption.writeOptions(spark, table.metadata.properties)
 
+  /** Map the spec's `write.parquet.*` table properties onto the parquet-mr
+    * writer keys Spark forwards from DataFrameWriter options (reference
+    * `table/internal/parquet_files.go:280-400`): compression codec,
+    * row-group/page/dictionary sizes, dictionary on/off (table + per
+    * column), bloom filters per column + size cap. Per-column suffixes
+    * address the PARQUET column path, as in the reference.
+    */
+  private[table] def parquetWriteOptions(props: Map[String, String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    props.get("write.parquet.compression-codec")
+      .foreach(c => out += "compression" -> c.toLowerCase)
+    props.get("write.parquet.row-group-size-bytes")
+      .foreach(v => out += "parquet.block.size" -> v)
+    props.get("write.parquet.page-size-bytes")
+      .foreach(v => out += "parquet.page.size" -> v)
+    props.get("write.parquet.page-row-limit")
+      .foreach(v => out += "parquet.page.row.count.limit" -> v)
+    props.get("write.parquet.dict-size-bytes")
+      .foreach(v => out += "parquet.dictionary.page.size" -> v)
+    props.get("parquet.enable.dictionary")
+      .foreach(v => out += "parquet.enable.dictionary" -> v)
+    props.get("write.parquet.bloom-filter-max-bytes")
+      .foreach(v => out += "parquet.bloom.filter.max.bytes" -> v)
+    val bloomPrefix = "write.parquet.bloom-filter-enabled.column."
+    val dictPrefix = "write.parquet.dict-encoding-enabled.column."
+    props.foreach {
+      case (k, v) if k.startsWith(bloomPrefix) && k.length > bloomPrefix.length =>
+        out += s"parquet.bloom.filter.enabled#${k.stripPrefix(bloomPrefix)}" -> v
+      case (k, v) if k.startsWith(dictPrefix) && k.length > dictPrefix.length =>
+        out += s"parquet.enable.dictionary#${k.stripPrefix(dictPrefix)}" -> v
+      case _ => ()
+    }
+    out.result()
+  }
+
   def writeDataFiles(spark: SparkSession, table: Table, df: DataFrame): Seq[DataFile] = {
     SparkRead.configure(spark)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -487,7 +522,8 @@ object Writer {
         if (sortCols.isEmpty) aligned
         else aligned.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
       parquetSink(clustered.write.option("maxRecordsPerFile", maxRecords)
-        .options(encryptionOptions(spark, table))).save(tmpDir)
+        .options(encryptionOptions(spark, table))
+        .options(parquetWriteOptions(table.metadata.properties))).save(tmpDir)
     } else {
       val withParts = spec.fields.zip(partColNames).foldLeft(aligned) {
         case (d, (pf, pcol)) =>
@@ -506,7 +542,8 @@ object Writer {
         .sortWithinPartitions((partColNames.map(col) ++ sortCols): _*)
         .write.partitionBy(partColNames: _*)
         .option("maxRecordsPerFile", maxRecords)
-        .options(encryptionOptions(spark, table))).save(tmpDir)
+        .options(encryptionOptions(spark, table))
+        .options(parquetWriteOptions(table.metadata.properties))).save(tmpDir)
     }
 
     // spec variant shredding (reference `table/internal/variant_shredding.go`,

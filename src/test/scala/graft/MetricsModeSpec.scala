@@ -65,6 +65,31 @@ class MetricsModeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f.lowerBounds.contains(id("id")))
   }
 
+  test("write.parquet.* properties reach the parquet writer") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val cat = new HadoopCatalog(Files.createTempDirectory("graft-pq").toString)
+    val df = (0 until 5000).map(i => (i.toLong, s"name-$i")).toDF("id", "name").coalesce(1)
+    val schema = SchemaBridge.fromSpark(df.schema)
+    val t1 = Writer.append(spark, cat.createTable("pq", schema,
+      PartitionSpec.Unpartitioned,
+      properties = Map(
+        "write.parquet.compression-codec" -> "gzip",
+        "write.parquet.bloom-filter-enabled.column.id" -> "true")), df)
+    val path = t1.newScan.planFiles().map(_.file.path).head
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val chunks = r.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val idChunk = chunks.find(_.getPath.toArray.mkString(".") == "id").get
+      val nameChunk = chunks.find(_.getPath.toArray.mkString(".") == "name").get
+      assert(idChunk.getCodec.name().equalsIgnoreCase("gzip"))
+      assert(idChunk.getBloomFilterOffset > 0, "bloom filter missing for id")
+      assert(nameChunk.getBloomFilterOffset <= 0, "bloom filter unexpectedly on name")
+    } finally r.close()
+  }
+
   test("mode parsing matches the reference surface") {
     import Writer.MetricsMode
     assert(MetricsMode.parse(" Truncate(8) ") === MetricsMode.Trunc(8))
