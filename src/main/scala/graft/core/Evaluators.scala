@@ -271,14 +271,18 @@ object Evaluators {
     eval(rewriteNot(expr))
   }
 
+  /** Transform-space comparison (numbers or strings); None = incomparable. */
+  private def cmpTransformed(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) => Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
   /** Range rules over transform-space values (numbers or strings). */
   private def transformedMightMatch(op: Op, lits: Seq[Any],
       lower: Option[Any], upper: Option[Any]): Boolean = {
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
-      case (x: String, y: String) => x.compareTo(y)
-      case _ => 0 // incomparable -> unknown -> might match
-    }
+    def cmp(a: Any, b: Any): Int =
+      cmpTransformed(a, b).getOrElse(0) // incomparable -> unknown -> might match
     def cmpLower(v: Any) = lower.map(cmp(_, v))
     def cmpUpper(v: Any) = upper.map(cmp(_, v))
     op match {
@@ -291,6 +295,33 @@ object Evaluators {
       case Op.In =>
         lits.exists(v => cmpLower(v).forall(_ <= 0) && cmpUpper(v).forall(_ >= 0))
       case _ => true
+    }
+  }
+
+  /** Strict dual of [[transformedMightMatch]]: true iff the whole
+    * transform-space range [t(lower), t(upper)] satisfies the predicate —
+    * incomparable values prove nothing (false), never something.
+    */
+  private def transformedMustMatch(op: Op, lits: Seq[Any],
+      lower: Option[Any], upper: Option[Any]): Boolean = {
+    def cmpLower(v: Any): Option[Int] = lower.flatMap(cmpTransformed(_, v))
+    def cmpUpper(v: Any): Option[Int] = upper.flatMap(cmpTransformed(_, v))
+    op match {
+      case Op.Lt => cmpUpper(lits.head).exists(_ < 0)
+      case Op.LtEq => cmpUpper(lits.head).exists(_ <= 0)
+      case Op.Gt => cmpLower(lits.head).exists(_ > 0)
+      case Op.GtEq => cmpLower(lits.head).exists(_ >= 0)
+      case Op.Eq =>
+        cmpLower(lits.head).exists(_ == 0) && cmpUpper(lits.head).exists(_ == 0)
+      case Op.NotEq =>
+        cmpLower(lits.head).exists(_ > 0) || cmpUpper(lits.head).exists(_ < 0)
+      case Op.In =>
+        // single-valued transform range whose value is in the set
+        (for { l <- lower; u <- upper; c <- cmpTransformed(l, u) } yield
+          c == 0 && lits.exists(v => cmpTransformed(l, v).contains(0))).getOrElse(false)
+      case Op.NotIn =>
+        lits.forall(v => cmpLower(v).exists(_ > 0) || cmpUpper(v).exists(_ < 0))
+      case _ => false
     }
   }
 
@@ -367,7 +398,33 @@ object Evaluators {
       case And(l, r) => eval(l) && eval(r)
       case Or(l, r) => eval(l) || eval(r)
       case Not(_) => false // conservative; rewriteNot removes these
-      case _: TransformPredicate => false // strict transform proof not attempted
+      // strict proof over transform-space bounds: an order-preserving
+      // transform maps [lower, upper] onto [t(lower), t(upper)], so the file
+      // fully matches when that whole range satisfies the predicate — the
+      // proof behind metadata-only deletes on partition boundaries
+      // (DELETE WHERE day(ts) = d drops whole files without a rewrite)
+      case TransformPredicate(op, tr, ref, srcType, lits) =>
+        if (!tr.preservesOrder) false
+        else schema.findField(ref) match {
+          case None => false
+          case Some(field) =>
+            val id = field.id
+            val ft = field.fieldType
+            val noNulls = f.nullCounts.get(id).contains(0L)
+            val noNans = ft match {
+              case FloatT | DoubleT => f.nanCounts.get(id).contains(0L)
+              case _ => true
+            }
+            // a null/NaN row fails every transform-space comparison
+            if (!noNulls || !noNans) false
+            else scala.util.Try {
+              def ap(b: Array[Byte]) =
+                tr.apply(Transforms.valueFor(tr, Literals.decode(ft, b), ft), srcType)
+              (f.lowerBounds.get(id).map(ap), f.upperBounds.get(id).map(ap))
+            }.toOption.exists { case (lo, up) =>
+              transformedMustMatch(op, lits, lo, up)
+            }
+        }
       case _: BBoxPredicate => false
       case _: VariantPredicate => false // bounds can't prove every row matches
       case Predicate(op, ref, lits) =>

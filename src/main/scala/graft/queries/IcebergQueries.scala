@@ -1494,6 +1494,42 @@ object IcebergQueries {
       FROM events, c
       WHERE epoch_ns(ts) >= c.cut""")),
 
+    // the canonical 100 TB retention delete: DELETE WHERE day(ts) < cutoff
+    // over a day-partitioned ns-timestamp table must be METADATA-ONLY —
+    // the strict evaluator proves whole-file matches through transform-
+    // space bounds, so old partitions drop without reading or rewriting a
+    // single data file (added-data-files stays 0)
+    QueryDef.staged("i52_retention_delete", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"ret_${UUID.randomUUID().toString.take(8)}"
+      val e = tbl(s, dir, "events")
+      val df = e.select(col("event_id"), col("ts"))
+      val schema0 = SchemaBridge.fromSpark(df.schema)
+      val schema = schema0.copy(fields = schema0.fields.map(f =>
+        if (f.name == "ts") f.copy(fieldType = IcebergTypes.TimestampNsT) else f))
+      val spec = PartitionSpec.builder(schema).add("ts", Transforms.Days).build()
+      val t1 = Writer.append(s, cat.createTable(name, schema, spec), df)
+      val r = df.agg(min(col("ts")), max(col("ts"))).head
+      val dayNs = 86400000000000L
+      val cutDay = ((Math.floorDiv(r.getLong(0), dayNs) +
+        Math.floorDiv(r.getLong(1), dayNs)) / 2).toInt
+      val t2 = Writer.deleteWhere(s, t1, Expr.TransformPredicate(Expr.Op.Lt,
+        Transforms.Days, "ts", org.apache.spark.sql.types.TimestampType, Seq(cutDay)))
+      val summary = t2.metadata.currentSnapshot.get.summary
+      val metadataOnly = summary.getOrElse("added-data-files", "0").toLong == 0 &&
+        summary.getOrElse("deleted-data-files", "0").toLong > 0
+      () => SparkRead.read(s, t2.newScan)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .withColumn("metadata_only", lit(metadataOnly.toString))
+    }, Some("""
+      WITH c AS (SELECT ((MIN(epoch_ns(ts)) // 86400000000000) +
+                         (MAX(epoch_ns(ts)) // 86400000000000)) // 2 AS cutday
+                 FROM events)
+      SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             'true' AS metadata_only
+      FROM events, c
+      WHERE epoch_ns(ts) // 86400000000000 >= c.cutday""")),
+
     // CLI smoke (reference `cmd/iceberg/main.go:225-960`): list/describe/
     // snapshots run against a real warehouse and print what they should
     QueryDef.staged("i49_cli", (s, dir) => {

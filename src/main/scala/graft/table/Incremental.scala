@@ -31,7 +31,10 @@ object Incremental {
       // contribute genuinely new rows.
       .filter { s =>
         val op = s.summary.get("operation")
-        val removed = s.summary.get("removed-data-files").flatMap(_.toLongOption).getOrElse(0L)
+        // spec key; pre-round-7 snapshots wrote "removed-data-files"
+        val removed = s.summary.get("deleted-data-files")
+          .orElse(s.summary.get("removed-data-files"))
+          .flatMap(_.toLongOption).getOrElse(0L)
         op.contains("append") || (op.contains("overwrite") && removed == 0L)
       }
 

@@ -1366,7 +1366,8 @@ object Writer {
       "added-data-files" -> addedFiles.size.toString,
       "added-records" -> addedFiles.map(_.recordCount).sum.toString,
       "added-delete-files" -> addedDeleteFiles.size.toString,
-      "removed-data-files" -> removedPaths.size.toString,
+      // spec summary key (reference `table/snapshots.go:72`)
+      "deleted-data-files" -> removedPaths.size.toString,
       "total-data-files" -> allManifests.filter(_.content == ManifestContent.Data)
         .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString) ++ extraSummary
     val snap = Snapshot(snapshotId, meta.currentSnapshotId, newSeq, now,

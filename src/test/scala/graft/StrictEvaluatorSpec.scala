@@ -91,6 +91,39 @@ class StrictEvaluatorSpec extends AnyFunSuite {
     assert(!must(Expr.in("id", Seq(5L, 6L, 7L)), range))
   }
 
+  test("transform predicates strict-match when the whole bound range satisfies them") {
+    // day(ts): µs timestamps 1970-01-05T06:00 .. 1970-01-05T18:00 — all day 4
+    val tsSchema = IcebergSchema(Seq(
+      NestedField(1, "id", LongT, required = true),
+      NestedField(5, "ts", TimestampT, required = false)))
+    val day4lo = 4L * 86400000000L + 6L * 3600000000L
+    val day4hi = 4L * 86400000000L + 18L * 3600000000L
+    def tsFile(nulls: Long) = DataFile(DataFileContent.Data, "/t.parquet", "PARQUET",
+      Nil, 100, 1024,
+      valueCounts = Map(5 -> 100L), nullCounts = Map(5 -> nulls),
+      lowerBounds = Map(5 -> Literals.encode(TimestampT, day4lo)),
+      upperBounds = Map(5 -> Literals.encode(TimestampT, day4hi)))
+    import org.apache.spark.sql.types.TimestampType
+    def tp(op: Expr.Op, lit: Any) =
+      Expr.TransformPredicate(op, Transforms.Days, "ts", TimestampType, Seq(lit))
+    val f = tsFile(nulls = 0L)
+    // the whole file is day 4: eq(4) and lt(5) are proven, eq(5)/lt(4) are not
+    assert(Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.Eq, 4), f))
+    assert(Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.Lt, 5), f))
+    assert(Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.GtEq, 4), f))
+    assert(Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.NotEq, 9), f))
+    assert(Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.In, 4), f))
+    assert(!Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.Eq, 5), f))
+    assert(!Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.Lt, 4), f))
+    assert(!Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.NotEq, 4), f))
+    // nulls block every strict transform proof
+    assert(!Evaluators.fileMustMatch(tsSchema, tp(Expr.Op.Eq, 4), tsFile(nulls = 1L)))
+    // non-order-preserving transforms never strict-match
+    assert(!Evaluators.fileMustMatch(tsSchema,
+      Expr.TransformPredicate(Expr.Op.Eq, Transforms.Bucket(8), "ts",
+        TimestampType, Seq(3)), f))
+  }
+
   test("geo columns: value predicates never strict-match, null predicates use counts") {
     val geoSchema = IcebergSchema(Seq(
       NestedField(1, "id", LongT, required = true),
