@@ -1361,15 +1361,27 @@ object Writer {
       meta.currentSnapshotId, newSeq)
 
     val now = System.currentTimeMillis()
+    // spec summary keys (reference `table/snapshots.go:61-88`); removed
+    // files/records come from the manifest entries actually dropped above
+    val removedData = acc.removedData.result()
+    val dataManifests = allManifests.filter(_.content == ManifestContent.Data)
+    val deleteManifests = allManifests.filter(_.content == ManifestContent.Deletes)
     val summary = Map(
       "operation" -> operation,
       "added-data-files" -> addedFiles.size.toString,
       "added-records" -> addedFiles.map(_.recordCount).sum.toString,
+      "added-files-size" -> addedFiles.map(_.fileSize).sum.toString,
       "added-delete-files" -> addedDeleteFiles.size.toString,
-      // spec summary key (reference `table/snapshots.go:72`)
       "deleted-data-files" -> removedPaths.size.toString,
-      "total-data-files" -> allManifests.filter(_.content == ManifestContent.Data)
-        .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString) ++ extraSummary
+      "deleted-records" -> removedData.map(_.recordCount).sum.toString,
+      "removed-files-size" -> removedData.map(_.fileSize).sum.toString,
+      "removed-delete-files" -> acc.removedDeletes.result().size.toString,
+      "total-data-files" -> dataManifests
+        .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
+      "total-delete-files" -> deleteManifests
+        .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
+      "total-records" -> dataManifests
+        .map(m => m.addedRowsCount + m.existingRowsCount).sum.toString) ++ extraSummary
     val snap = Snapshot(snapshotId, meta.currentSnapshotId, newSeq, now,
       manifestListPath, summary, Some(meta.currentSchemaId))
 
