@@ -30,6 +30,24 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Exact n-gram Jaccard similarity between two string columns — distinct
+    * character n-grams, |∩| / |∪|. Pure codegen'd array ops (no UDF), so it
+    * rescales to rescoring billions of LSH candidate pairs. n=1 matches
+    * DuckDB's `jaccard()` exactly (the oracle for t11).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    def grams(c: Column): Column =
+      when(length(c) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))))
+    val ga = grams(a)
+    val gb = grams(b)
+    val uni = size(array_union(ga, gb))
+    when(uni === 0, lit(0.0))
+      .otherwise(size(array_intersect(ga, gb)).cast("double") / uni.cast("double"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Character shingles of length k over the lowercased, space-normalized text. */

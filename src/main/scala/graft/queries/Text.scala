@@ -234,6 +234,21 @@ object Text {
     }, Some("""
       SELECT doc_id, 'true' AS twin_pair_found FROM documents ORDER BY doc_id""")),
 
+    // exact n-gram Jaccard scoring (the rescore step behind near-dup
+    // verification), pinned value-for-value against DuckDB's jaccard()
+    // over a deterministic consecutive-id pair set
+    QueryDef("t11_ngram_jaccard", (s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
+      d.join(b, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(Dedup.ngramJaccard(col("text"), col("text_b"), 1), 6).as("jac"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT a.doc_id, ROUND(jaccard(a.text, b.text), 6) AS jac
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY a.doc_id""")),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),

@@ -109,6 +109,26 @@ class LshQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters === 1L, s"expected 1 cluster, got $clusters")
   }
 
+  test("ngramJaccard: bigram + unigram vectors, short and empty strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("hello", "help"), // unigram: {h,e,l,o} vs {h,e,l,p} = 3/5
+      ("abab", "baba"), // bigram: {ab,ba} vs {ba,ab} = 1.0
+      ("abc", "xyz"), // disjoint = 0.0
+      ("a", "ab"), // shorter than bigram: {} vs {ab} = 0.0
+      ("", "")) // both empty = 0.0
+      .toDF("a", "b")
+    val r = df.select(
+      graft.llm.Dedup.ngramJaccard(col("a"), col("b"), 1).as("j1"),
+      graft.llm.Dedup.ngramJaccard(col("a"), col("b"), 2).as("j2")).collect()
+    assert(r(0).getDouble(0) === 0.6)
+    assert(r(1).getDouble(1) === 1.0)
+    assert(r(2).getDouble(0) === 0.0 && r(2).getDouble(1) === 0.0)
+    assert(r(3).getDouble(1) === 0.0)
+    assert(r(4).getDouble(0) === 0.0)
+  }
+
   test("bruteForceTopK rejects an oversized query side (lshTopK is the scale path)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
