@@ -37,10 +37,17 @@ object Dedup {
     */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    def grams(c: Column): Column =
+    // one-pass split into a char array — substr(i, n) per index would
+    // re-walk the UTF-8 bytes from the start each call (O(len²) per row)
+    def grams(c: Column): Column = {
+      val chars = split(c, "")
+      val g =
+        if (n == 1) chars
+        else transform(sequence(lit(1), size(chars) - (n - 1)),
+          i => concat_ws("", slice(chars, i, lit(n))))
       when(length(c) < n, array().cast("array<string>"))
-        .otherwise(array_distinct(
-          transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n)))))
+        .otherwise(array_distinct(g))
+    }
     val ga = grams(a)
     val gb = grams(b)
     val uni = size(array_union(ga, gb))

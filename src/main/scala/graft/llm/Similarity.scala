@@ -132,4 +132,81 @@ object Similarity {
       .withColumn("cosine", round(col("cos"), 6))
       .drop("cos")
   }
+
+  // ------------------------------------------------------------------- IVF
+
+  /** Spherical k-means on a driver-side sample: normalize, assign by max
+    * dot, mean + renormalize. Deterministic (seeded init over the ordered
+    * sample). Returns unit-norm centroids.
+    */
+  def trainCentroids(sample: Array[Array[Double]], nlist: Int,
+      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty centroid training sample")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val data = sample.map(normalize)
+    val rnd = new java.util.Random(seed)
+    var centroids = Array.tabulate(math.min(nlist, data.length))(i =>
+      data(if (i == 0) 0 else rnd.nextInt(data.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](data(0).length))
+      val counts = new Array[Int](centroids.length)
+      data.foreach { v =>
+        val c = nearestCentroids(v, centroids, 1).head
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i) // empty list keeps its centroid
+        else normalize(sums(i))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Indices of the `n` centroids with the largest dot product. */
+  def nearestCentroids(v: Seq[Double], centroids: Array[Array[Double]],
+      n: Int): Array[Int] = {
+    val scored = centroids.indices.map { i =>
+      val c = centroids(i)
+      var dot = 0.0
+      var j = 0
+      while (j < c.length && j < v.length) { dot += c(j) * v(j); j += 1 }
+      (-dot, i)
+    }.sorted
+    scored.take(math.min(n, centroids.length)).map(_._2).toArray
+  }
+
+  /** IVF (inverted-file) approximate top-k — the centroid-bucketed ANN
+    * scale path: coarse centroids train on a bounded deterministic sample
+    * (TakeOrdered — never a full sort), every corpus vector joins its
+    * nearest centroid's list in one map, queries probe the `nprobe`
+    * nearest lists and rescore exactly inside them. Average per-query cost
+    * is |corpus| · nprobe / nlist instead of |corpus|.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, sampleSize: Int = 10000, iters: Int = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L): DataFrame = {
+    val cd = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val qd = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    // TakeOrderedAndProject: bounded, deterministic, no global sort
+    val sample = cd.sort(col("cid")).limit(sampleSize)
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = trainCentroids(sample, nlist, iters, seed)
+    val assignU = udf((v: Seq[Double]) => nearestCentroids(v, centroids, 1).head)
+    val probeU = udf((v: Seq[Double]) => nearestCentroids(v, centroids, nprobe))
+    val cb = cd.withColumn("list", assignU(col("cv")))
+    val qb = qd.withColumn("list", explode(probeU(col("qv"))))
+    val pairs = cb.join(qb, Seq("list"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .select(col("qid"), col("cid"), col("cos"))
+      .groupBy("qid", "cid").agg(max("cos").as("cos"))
+    topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
+      .withColumn("cosine", round(col("cos"), 6))
+      .drop("cos")
+  }
 }

@@ -65,6 +65,30 @@ object SimilarityQueries {
              'true' AS self_ok
       FROM embeddings WHERE vec_id < 20""")),
 
+    // IVF ANN quality gate (the second scale path next to LSH): coarse
+    // centroids + nprobe lists; recall@5 vs brute force pinned, and every
+    // query finds itself at rank 1 (its own list is always probed first)
+    QueryDef("s5_ann_ivf", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfTopK(queries, emb, k = 5,
+        nlist = 8, nprobe = 4).persist()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
+      val hits = ann.select(col("qid"), col("cid"))
+        .intersect(exact.select(col("qid"), col("cid"))).count()
+      val total = exact.count()
+      val nq = queries.count()
+      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
+      ann.unpersist()
+      exact.unpersist()
+      import s.implicits._
+      Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
+        .toDF("n_queries", "recall_ok", "self_ok")
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 'true' AS recall_ok,
+             'true' AS self_ok
+      FROM embeddings WHERE vec_id < 20""")),
+
     // embedding-cosine near-dup over a doubled corpus: every duplicated
     // vector's top-1 must be its exact twin at cosine 1.0 — identical vectors
     // share an LSH bucket by construction, so the oracle pins the full rows
