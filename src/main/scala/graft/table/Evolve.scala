@@ -230,11 +230,17 @@ object Evolve {
   }
 
   /** Create or move a branch/tag ref. */
-  def setRef(table: Table, name: String, snapshotId: Long, refType: String): Table = {
+  def setRef(table: Table, name: String, snapshotId: Long, refType: String,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Table = {
     val meta = table.metadata
     require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
+    require(refType == "branch" || (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+      "tags only support max-ref-age-ms retention (reference metadata.go ref validate)")
     commitMetadata(table, meta.copy(
-      refs = meta.refs.updated(name, SnapshotRef(snapshotId, refType)),
+      refs = meta.refs.updated(name, SnapshotRef(snapshotId, refType,
+        minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs)),
       lastUpdatedMs = System.currentTimeMillis()))
   }
 

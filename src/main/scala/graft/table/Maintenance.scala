@@ -103,7 +103,56 @@ object Maintenance {
       byTime.takeRight(retainLast).map(_.snapshotId).toSet
     val (kept, expired) = meta.snapshots.partition(s =>
       protectedIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
-    if (expired.isEmpty) return ExpireResult(table, Nil, Nil)
+    expireCore(table, kept, expired, meta.refs)
+  }
+
+  /** Property/ref-driven expiry (Iceberg retention semantics; ref fields
+    * per reference `table/metadata.go:855-925`): refs other than main age
+    * out via their max-ref-age-ms; each surviving branch protects its
+    * latest min-snapshots-to-keep ancestors plus all ancestors younger
+    * than max-snapshot-age-ms (ref overrides, table `history.expire.*`
+    * defaults); everything else expires once older than the default age.
+    */
+  def expireSnapshotsByPolicy(table: Table,
+      nowMs: Long = System.currentTimeMillis()): ExpireResult = {
+    val meta = table.metadata
+    val props = meta.properties
+    val defaultMaxAge = props.get("history.expire.max-snapshot-age-ms")
+      .map(_.toLong).getOrElse(5L * 24 * 3600 * 1000)
+    val defaultMinKeep = props.get("history.expire.min-snapshots-to-keep")
+      .map(_.toInt).getOrElse(1)
+
+    val liveRefs = meta.refs.filter { case (name, r) =>
+      name == "main" || r.maxRefAgeMs.forall { age =>
+        val refTs = meta.snapshotById(r.snapshotId).map(_.timestampMs).getOrElse(nowMs)
+        nowMs - refTs < age
+      }
+    }
+    def ancestry(id: Long): Seq[Snapshot] =
+      Iterator.iterate(meta.snapshotById(id))(
+        _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+        .takeWhile(_.isDefined).map(_.get).toSeq
+    val protectedIds: Set[Long] = liveRefs.flatMap { case (_, r) =>
+      if (r.refType == "tag") Seq(r.snapshotId)
+      else {
+        val chain = ancestry(r.snapshotId)
+        val minKeep = r.minSnapshotsToKeep.getOrElse(defaultMinKeep)
+        val maxAge = r.maxSnapshotAgeMs.getOrElse(defaultMaxAge)
+        (chain.take(minKeep) ++ chain.filter(s => nowMs - s.timestampMs < maxAge))
+          .map(_.snapshotId)
+      }
+    }.toSet ++ meta.currentSnapshotId
+    val (kept, expired) = meta.snapshots.partition(s =>
+      protectedIds.contains(s.snapshotId) || nowMs - s.timestampMs < defaultMaxAge)
+    expireCore(table, kept, expired, liveRefs)
+  }
+
+  private def expireCore(table: Table, kept: Seq[Snapshot],
+      expired: Seq[Snapshot],
+      liveRefs: Map[String, graft.format.SnapshotRef]): ExpireResult = {
+    val meta = table.metadata
+    if (expired.isEmpty && liveRefs == meta.refs)
+      return ExpireResult(table, Nil, Nil)
 
     // manifest reads are independent per snapshot — IO-bound driver work,
     // parallelized like the reference's worker pool (orphan_cleanup.go)
@@ -123,6 +172,7 @@ object Maintenance {
     val expiredIds = expired.map(_.snapshotId).toSet
     val updated = meta.copy(
       snapshots = kept,
+      refs = liveRefs,
       snapshotLog = meta.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
       lastUpdatedMs = System.currentTimeMillis())
     table.catalog.commit(table.name, meta, updated, table.currentVersion)
