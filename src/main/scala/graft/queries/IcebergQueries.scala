@@ -1530,6 +1530,36 @@ object IcebergQueries {
       FROM events, c
       WHERE epoch_ns(ts) // 86400000000000 >= c.cutday""")),
 
+    // retention-policy expiry: an aged-out tag disappears, a branch keeps
+    // its min-snapshots-to-keep ancestry, everything unprotected expires —
+    // and the surviving table still reads exactly
+    QueryDef.staged("i53_retention_expiry", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"rexp_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      var t = cat.createTable(name, schema, PartitionSpec.Unpartitioned,
+        properties = Map("history.expire.max-snapshot-age-ms" -> "5000"))
+      t = Writer.append(s, t, c.filter(col("c_custkey") % 3 === 0)) // s1
+      val s1 = t.metadata.currentSnapshotId.get
+      t = Writer.append(s, t, c.filter(col("c_custkey") % 3 === 1)) // s2
+      t = Writer.append(s, t, c.filter(col("c_custkey") % 3 === 2)) // s3
+      val s3 = t.metadata.currentSnapshotId.get
+      t = Evolve.setRef(t, "stale-tag", s1, "tag", maxRefAgeMs = Some(1L))
+      t = Evolve.setRef(t, "dev", s3, "branch", minSnapshotsToKeep = Some(2))
+      val res = graft.table.Maintenance.expireSnapshotsByPolicy(t,
+        nowMs = System.currentTimeMillis() + 60000)
+      val meta = res.table.metadata
+      val policyOk = !meta.refs.contains("stale-tag") &&
+        meta.refs.contains("dev") &&
+        res.expiredSnapshots == Seq(s1) &&
+        meta.snapshots.size == 2
+      () => SparkRead.read(s, res.table.newScan)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("policy_ok", lit(policyOk.toString))
+    }, Some("""
+      SELECT COUNT(*) AS n, 'true' AS policy_ok FROM customer""")),
+
     // CLI smoke (reference `cmd/iceberg/main.go:225-960`): list/describe/
     // snapshots run against a real warehouse and print what they should
     QueryDef.staged("i49_cli", (s, dir) => {
