@@ -1,14 +1,50 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Perf gate: times every SparkEntry query at SPARK_GRAFT_SF_DIR and prints
   * ONE JSON line. Shared read-only Iceberg fixtures are built before the
-  * timed loop (table loading is ETL, measured separately by the
-  * i0_append_write entry inside the loop); a warm-up query absorbs JVM +
-  * codegen startup so per-query numbers reflect steady state.
+  * timed loop; staged gates build their fixture (throwaway tables, embedded
+  * services, OAuth handshakes, REST commits) UNTIMED and only the returned
+  * query thunk is measured.
+  *
+  * Queries marked `repeatable` (pure reads with no commit side effects) run
+  * TWICE: rep 1 = cold (includes whole-stage-codegen compilation and
+  * whatever GC/code-cache state earlier gates left behind), rep 2 = steady.
+  * `queries` carries the steady numbers — the round-over-round trend signal
+  * — and `queries_cold` the first-run numbers, so a regression in either
+  * startup cost or steady-state cost stays visible without one masking the
+  * other. Non-repeatable gates run once (their single number appears in
+  * both maps).
   */
 object Bench {
+
+  /** Per-query scale telemetry, accumulated from task-end events while one
+    * query runs (queries execute sequentially, so attribution is exact up
+    * to listener-bus latency — see the drain below).
+    */
+  private final class TaskTelemetry extends SparkListener {
+    val shuffleWrite = new AtomicLong(0)
+    val peakExecMem = new AtomicLong(0)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakExecMem.getAndUpdate(x => math.max(x, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); peakExecMem.set(0) }
+  }
+
+  // queries whose 100 TB story rests on shuffle shape — emit measured
+  // shuffle volume and peak per-task execution memory for these so scale
+  // claims are argued from numbers, not just plans
+  private val TelemetryQueries =
+    Set("q2_join_agg", "t7_minhash_clusters", "t9_neardup_pairs", "s5_ann_ivf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +56,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telemetry = new TaskTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
 
     // warm-up: JVM/codegen + build shared iceberg fixtures outside the loop
     try {
@@ -27,35 +65,55 @@ object Bench {
       graft.queries.IcebergQueries.catalogFor(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
+    // noop sink, not count(): count() lets Catalyst prune deterministic
+    // projection columns (UDF features, hashes), understating query cost.
+    // The noop writer consumes every output column.
+    def timed(run: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      run().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val telemetryOut = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val results = SparkEntry.all.sortBy(_.name).map { qd =>
       val name = qd.name
       try {
-        // staged gates build their fixture (throwaway tables, embedded
-        // services) UNTIMED — the timed region is the query itself, so the
-        // suite total reflects query work, not fixture ETL
         val run: () => org.apache.spark.sql.DataFrame = qd.stagedFn match {
           case Some(prep) => prep(spark, sfDir)
           case None       => () => qd.fn(spark, sfDir)
         }
-        val t0 = System.nanoTime()
-        // noop sink, not count(): count() lets Catalyst prune deterministic
-        // projection columns (UDF features, hashes), understating query
-        // cost. The noop writer consumes every output column.
-        run().write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val wantTelemetry = TelemetryQueries.contains(name)
+        val cold = timed(run)
+        if (wantTelemetry) {
+          // task-end events are async; give the listener bus a moment to
+          // drain the cold rep's stragglers before the counters reset
+          Thread.sleep(500)
+          telemetry.reset()
+        }
+        val steady = if (qd.repeatable) timed(run) else cold
+        if (wantTelemetry) {
+          Thread.sleep(500)
+          telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)
+        }
+        (name, cold, steady)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name: ${e.getMessage}")
         // -1 sentinel: a failed query must be visible in the JSON, not look
         // like a fast success
-        name -> -1.0
+        (name, -1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, st) => s"\"" + k + "\":" + st }
       .mkString("{", ",", "}")
+    val qsCold = results.map { case (k, c, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val tele = telemetryOut.map { case (k, (sh, pm)) =>
+      s"\"" + k + "\":{\"shuffle_bytes_written\":" + sh + ",\"peak_task_exec_mem_bytes\":" + pm + "}"
+    }.mkString("{", ",", "}")
     // failed queries carry -1 markers; only successes count toward total,
     // so a crash can never read as a speedup
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"telemetry":$tele,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line where a file reader
     // can find it even if stdout gets wrapped by the build tool

@@ -1088,7 +1088,7 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""")),
+      ORDER BY c_mktsegment"""), repeatable = true), // thunk is a pure read; handshakes/commits are all in prep
 
     // REST catalog + remote scan planning: append and DV-delete commit over
     // HTTP as requirements+updates (never whole metadata), then the SERVER
@@ -1146,7 +1146,7 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""")),
+      ORDER BY c_mktsegment"""), repeatable = true), // thunk is a pure read; handshakes/commits are all in prep
 
     // Structured Streaming pipeline (SURVEY §2.8): Iceberg SOURCE (snapshot-
     // ancestry micro-batches) -> Iceberg SINK (idempotent batch-id commits),
@@ -1190,7 +1190,7 @@ object IcebergQueries {
       SELECT c_mktsegment, COUNT(*) AS n, 'true' AS incremental
       FROM customer
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""")),
+      ORDER BY c_mktsegment"""), repeatable = true), // thunk is a pure read; handshakes/commits are all in prep
 
     // parquet modular encryption (reference encryption/): data files written
     // under a table master key via the in-memory KMS, read back through the

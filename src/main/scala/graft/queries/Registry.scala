@@ -13,7 +13,11 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    stagedFn: Option[(SparkSession, String) => () => DataFrame] = None)
+    stagedFn: Option[(SparkSession, String) => () => DataFrame] = None,
+    // true = the query (or staged thunk) is a pure read with no commit /
+    // fixture side effects, so Bench may evaluate it more than once to
+    // separate cold (first-run codegen/GC) cost from steady-state cost
+    repeatable: Boolean = false)
 
 object QueryDef {
   /** Two-phase gate: `prep` builds the fixture (throwaway tables, embedded
@@ -24,8 +28,9 @@ object QueryDef {
     */
   def staged(name: String,
              prep: (SparkSession, String) => () => DataFrame,
-             oracle: Option[String]): QueryDef =
-    QueryDef(name, (s, d) => prep(s, d)(), oracle, Some(prep))
+             oracle: Option[String],
+             repeatable: Boolean = false): QueryDef =
+    QueryDef(name, (s, d) => prep(s, d)(), oracle, Some(prep), repeatable)
 }
 
 object Q {

@@ -104,5 +104,5 @@ object SimilarityQueries {
     }, Some("""
       SELECT vec_id + 1000000 AS qid, vec_id AS cid, 1.0 AS cosine
       FROM embeddings ORDER BY qid"""))
-  )
+  ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

@@ -327,5 +327,5 @@ object Text {
       FROM kinds
       GROUP BY kind
       ORDER BY kind"""))
-  )
+  ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
