@@ -206,12 +206,39 @@ object Expr {
     case _ => Set.empty
   }
 
-  /** Referenced field IDs against a schema (reference `visitors.go:484-531`
-    * works in IDs; names resolve here through the same bind).
+  /** Field IDs referenced by any term of a bound expression (reference
+    * `ExtractFieldIDs`, `visitors.go:482-531`): a structural ID-set fold —
+    * And/Or union, Not passes its child through, AlwaysTrue/False contribute
+    * nothing — where every predicate node yields the leaf field its term is
+    * bound to, including transform terms (`bucket(16, x)` references `x`),
+    * bbox geometry refs, and variant roots (`variant_get(v, $.k)` references
+    * `v`; shredded subfields have no schema IDs of their own).
+    *
+    * An unresolvable reference is an ERROR, mirroring the reference's
+    * unbound panic: silently dropping an ID would shrink the
+    * projection-union a residual filter needs and starve it of columns at
+    * execution time. The message carries only the sanitized expression —
+    * error strings travel (logs, REST error bodies), literals must not.
     */
-  def referencedFieldIds(e: Expr, schema: IcebergSchema,
-      caseSensitive: Boolean = true): Set[Int] =
-    references(e).flatMap(n => schema.findField(n, caseSensitive).map(_.id))
+  def extractFieldIds(e: Expr, schema: IcebergSchema,
+      caseSensitive: Boolean = true): Set[Int] = {
+    def leafId(ref: String): Set[Int] =
+      Set(schema.findField(ref, caseSensitive).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot extract field ids: unbound reference '$ref' in ${sanitizedString(e)}")).id)
+    e match {
+      case AlwaysTrue | AlwaysFalse => Set.empty
+      case And(l, r) => extractFieldIds(l, schema, caseSensitive) ++
+        extractFieldIds(r, schema, caseSensitive)
+      case Or(l, r) => extractFieldIds(l, schema, caseSensitive) ++
+        extractFieldIds(r, schema, caseSensitive)
+      case Not(c) => extractFieldIds(c, schema, caseSensitive)
+      case Predicate(_, ref, _) => leafId(ref)
+      case TransformPredicate(_, _, ref, _, _) => leafId(ref)
+      case BBoxPredicate(_, ref, _, _, _, _) => leafId(ref)
+      case VariantPredicate(_, ref, _, _, _) => leafId(ref)
+    }
+  }
 
   /** Bind predicate references to canonical schema names (reference
     * `BindExpr`, `visitors.go:188-225`): with caseSensitive=false a ref

@@ -106,6 +106,11 @@ final case class Scan(
     val schema = meta.schemaById(snap.schemaId.getOrElse(meta.currentSchemaId))
       .getOrElse(meta.schema)
     val boundFilter = Expr.bindNames(Expr.rewriteNot(filter), schema, caseSensitive)
+    // fail fast on references no schema field satisfies (reference
+    // ExtractFieldIDs' unbound panic, visitors.go:524-526): a typo'd column
+    // must error at plan time, not degrade to a might-match that silently
+    // scans the whole table
+    Expr.extractFieldIds(boundFilter, schema, caseSensitive)
 
     val manifests = Manifests.readManifestList(snap.manifestList)
 
