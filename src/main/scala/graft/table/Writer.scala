@@ -259,18 +259,30 @@ object Writer {
   /** Equality-delete write (reference `table/equality_delete_writer.go`):
     * the delete keys frame must contain exactly the equality columns.
     */
+  /** Resolve + validate equality-delete key fields (reference
+    * `table/equality_delete_writer.go:60-83`): float/double keys are
+    * rejected at the writer because NaN != NaN under IEEE comparison, so a
+    * NaN key could never match the row it was meant to delete — a
+    * silent-corruption class, not a style choice. Shared by every path
+    * that emits equality-delete files.
+    */
+  private def resolveEqualityIds(schema: graft.core.IcebergSchema,
+      equalityFieldNames: Seq[String]): Seq[Int] =
+    equalityFieldNames.map { n =>
+      val f = schema.findField(n).getOrElse(
+        throw new IllegalArgumentException(s"no such column $n"))
+      f.fieldType match {
+        case FloatT | DoubleT => throw new IllegalArgumentException(
+          s"equality field ${f.id} ($n) has unsupported floating-point type " +
+            s"${f.fieldType.typeName}: floating-point columns cannot be equality delete keys")
+        case _ => f.id
+      }
+    }
+
   def equalityDelete(spark: SparkSession, table: Table, keys: DataFrame,
       equalityFieldNames: Seq[String]): Table = {
     val schema = table.schema
-    val eqIds = equalityFieldNames.map(n => schema.findField(n).getOrElse(
-      throw new IllegalArgumentException(s"no such column $n")).id)
-    eqIds.foreach { id =>
-      schema.idToField(id).fieldType match {
-        case FloatT | DoubleT =>
-          throw new IllegalArgumentException("float/double equality delete fields are invalid")
-        case _ =>
-      }
-    }
+    val eqIds = resolveEqualityIds(schema, equalityFieldNames)
     val tmpDir = s"${table.location}/tmp-eqdelete-${UUID.randomUUID()}"
     // distributed write: each task emits its own delete file; all files carry
     // the same equality-id set so correctness is unaffected by file count
@@ -300,8 +312,7 @@ object Writer {
   def rowDelta(spark: SparkSession, table: Table, addRows: DataFrame,
       deleteKeys: DataFrame, equalityFieldNames: Seq[String]): Table = {
     val schema = table.schema
-    val eqIds = equalityFieldNames.map(n => schema.findField(n).getOrElse(
-      throw new IllegalArgumentException(s"no such column $n")).id)
+    val eqIds = resolveEqualityIds(schema, equalityFieldNames)
     val dataFiles = writeDataFiles(spark, table, addRows)
 
     val tmpDir = s"${table.location}/tmp-eqdelete-${UUID.randomUUID()}"

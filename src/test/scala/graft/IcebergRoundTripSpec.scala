@@ -99,6 +99,26 @@ class IcebergRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === expected)
   }
 
+  test("equality delete rejects float/double key fields") {
+    // reference equality_delete_writer.go:60-83: NaN != NaN, so a float key
+    // can silently fail to match the row it should delete — reject at write
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val schema = SchemaBridge.fromSpark(cust.schema)
+    val t0 = catalog.createTable("cust_eq_float", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, cust)
+    val keys = cust.select("c_acctbal") // double column
+    val exEq = intercept[IllegalArgumentException] {
+      Writer.equalityDelete(spark, t1, keys, Seq("c_acctbal"))
+    }
+    assert(exEq.getMessage.contains("floating-point"))
+    val exRd = intercept[IllegalArgumentException] {
+      Writer.rowDelta(spark, t1, cust.limit(1), keys, Seq("c_acctbal"))
+    }
+    assert(exRd.getMessage.contains("floating-point"))
+    // the failed writes must not have committed anything
+    assert(catalog.loadTable("cust_eq_float").metadata.snapshots.size === 1)
+  }
+
   test("time travel across appends") {
     val region = spark.read.parquet(s"$sf/region.parquet")
     val schema = SchemaBridge.fromSpark(region.schema)
