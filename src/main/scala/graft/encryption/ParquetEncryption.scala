@@ -107,8 +107,14 @@ object ParquetEncryption {
   private val driverConf =
     new java.util.concurrent.atomic.AtomicReference[Option[Map[String, String]]](None)
 
-  def newHadoopConf(): Configuration = {
-    val conf = new Configuration()
+  def newHadoopConf(): Configuration = newHadoopConf("")
+
+  /** Path-aware variant: starts from [[graft.io.FileIO.confFor]] so footer
+    * reads over credential-gated storage see the same vended-credential
+    * overlay FileIO's own ops do.
+    */
+  def newHadoopConf(path: String): Configuration = {
+    val conf = new Configuration(graft.io.FileIO.confFor(path))
     driverConf.get().foreach(_.foreach { case (k, v) => conf.set(k, v) })
     conf
   }
@@ -119,7 +125,7 @@ object ParquetEncryption {
     * through `HadoopReadOptions` to engage it.
     */
   def openFooterReader(path: String): org.apache.parquet.hadoop.ParquetFileReader = {
-    val conf = newHadoopConf()
+    val conf = newHadoopConf(path)
     val p = new org.apache.hadoop.fs.Path(path)
     org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf),

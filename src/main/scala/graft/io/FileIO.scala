@@ -23,6 +23,47 @@ object FileIO {
 
   private def p(path: String): Path = new Path(path)
 
+  // vended storage credentials (reference `catalog/rest/vended_creds.go`):
+  // prefix-scoped config overlays applied when building a FileSystem for a
+  // matching path. Registered by whoever received the credentials (a REST
+  // client after planScan, an executor from broadcast task state) — the
+  // overlay is JVM-local by design, exactly like ambient Hadoop credentials.
+  private val credOverlays =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  def registerCredentials(prefix: String, config: Map[String, String]): Unit = {
+    credOverlays.put(prefix, config)
+    ()
+  }
+
+  def unregisterCredentials(prefix: String): Unit = {
+    credOverlays.remove(prefix)
+    ()
+  }
+
+  private def overlayFor(path: String): Option[(String, Map[String, String])] = {
+    if (credOverlays.isEmpty) return None
+    import scala.jdk.CollectionConverters._
+    // canonical spellings on both sides: a prefix registered as
+    // `scheme://` must match a path rendered `scheme:/p`
+    val cp = canonical(path)
+    credOverlays.asScala.filter { case (pre, _) => cp.startsWith(canonical(pre)) }
+      .toSeq.sortBy(-_._1.length).headOption
+  }
+
+  /** Hadoop configuration for a path: the shared base conf, or a copy
+    * carrying the longest-prefix vended-credential overlay when one is
+    * registered. Footer readers and other direct Hadoop users go through
+    * this so vended credentials apply everywhere FileIO's own ops do.
+    */
+  def confFor(path: String): Configuration = overlayFor(path) match {
+    case None => conf
+    case Some((_, cfg)) =>
+      val copy = new Configuration(conf)
+      cfg.foreach { case (k, v) => copy.set(k, v) }
+      copy
+  }
+
   // private instances (not the JVM-shared FileSystem cache) so we can turn
   // off client-side .crc sibling files — they double the small-file op count
   // on every manifest/puffin write — without affecting Spark's own IO
@@ -30,9 +71,13 @@ object FileIO {
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
   def fs(path: String): FileSystem = {
     val uri = p(path).toUri
-    val key = s"${Option(uri.getScheme).getOrElse("default")}://${Option(uri.getAuthority).getOrElse("")}"
+    val overlay = overlayFor(path)
+    // cache key carries the overlay's identity so re-vended (refreshed)
+    // credentials build a fresh FileSystem instead of reviving a stale one
+    val key = s"${Option(uri.getScheme).getOrElse("default")}://${Option(uri.getAuthority).getOrElse("")}" +
+      overlay.map { case (pre, cfg) => s"#$pre#${cfg.hashCode}" }.getOrElse("")
     fsCache.computeIfAbsent(key, { _ =>
-      val f = FileSystem.newInstance(uri, conf)
+      val f = FileSystem.newInstance(uri, confFor(path))
       f.setWriteChecksum(false)
       f.setVerifyChecksum(false)
       f
@@ -42,11 +87,15 @@ object FileIO {
   /** `file:`-scheme URIs and plain absolute paths name the same storage;
     * fold them to one spelling so path equality holds everywhere paths are
     * compared (delete↔data matching, DV keys, Spark's `_metadata.file_path`
-    * normalization). Non-file schemes pass through untouched.
+    * normalization). For other schemes the empty-authority renderings
+    * `scheme:///p` and `scheme:/p` also name the same object (Hadoop Path
+    * prints the single-slash form, URI concatenation produces the triple) —
+    * fold to single-slash. URIs with a real authority (`s3a://bucket/p`)
+    * pass through untouched: the authority is part of the name.
     */
   def canonical(path: String): String =
     if (path.startsWith("file:")) "/" + path.stripPrefix("file:").dropWhile(_ == '/')
-    else path
+    else path.replaceFirst("^([A-Za-z][A-Za-z0-9+.-]*):(///+|//$)", "$1:/")
 
   def exists(path: String): Boolean = fs(path).exists(p(path))
 

@@ -182,6 +182,81 @@ object Wire {
     case s: ScanReport => mapper.writeValueAsString(scanNode(s))
   }
 
+  /** Parse a wire-form report (the REST reportMetrics request body). The
+    * discriminator chooses the shape; unknown types are an error so a
+    * malformed report surfaces at the endpoint instead of being dropped.
+    */
+  def fromJson(s: String): MetricsReport = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val root = mapper.readTree(s)
+    def counterOf(m: JsonNode, key: String): Option[CounterResult] =
+      Option(m.get(key)).map(n => CounterResult(n.get("unit").asText(), n.get("value").asLong()))
+    def timerOf(m: JsonNode, key: String): Option[TimerResult] =
+      Option(m.get(key)).map(n => TimerResult(n.get("time-unit").asText(),
+        n.get("count").asLong(), n.get("total-duration").asLong()))
+    def metadataOf(n: JsonNode): Map[String, String] =
+      Option(n.get("metadata")).map { md =>
+        import scala.jdk.CollectionConverters._
+        md.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+    root.get("report-type").asText() match {
+      case "scan-report" =>
+        val m = root.get("metrics")
+        import scala.jdk.CollectionConverters._
+        ScanReport(
+          tableName = root.get("table-name").asText(),
+          snapshotId = root.get("snapshot-id").asLong(),
+          schemaId = root.get("schema-id").asInt(),
+          projectedFieldIds = Option(root.get("projected-field-ids"))
+            .map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Nil),
+          projectedFieldNames = Option(root.get("projected-field-names"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+          filterJson = Option(root.get("filter")).map(_.toString).getOrElse(""),
+          metrics = ScanMetricsResult(
+            totalPlanningDuration = timerOf(m, "total-planning-duration"),
+            resultDataFiles = counterOf(m, "result-data-files"),
+            resultDeleteFiles = counterOf(m, "result-delete-files"),
+            totalDataManifests = counterOf(m, "total-data-manifests"),
+            scannedDataManifests = counterOf(m, "scanned-data-manifests"),
+            skippedDataManifests = counterOf(m, "skipped-data-manifests"),
+            skippedDataFiles = counterOf(m, "skipped-data-files"),
+            equalityDeleteFiles = counterOf(m, "equality-delete-files"),
+            positionalDeleteFiles = counterOf(m, "positional-delete-files")),
+          metadata = metadataOf(root))
+      case "commit-report" =>
+        val m = root.get("metrics")
+        CommitReport(
+          tableName = root.get("table-name").asText(),
+          snapshotId = root.get("snapshot-id").asLong(),
+          sequenceNumber = root.get("sequence-number").asLong(),
+          operation = root.get("operation").asText(),
+          metrics = CommitMetricsResult(
+            totalDuration = timerOf(m, "total-duration"),
+            attempts = counterOf(m, "attempts"),
+            addedDataFiles = counterOf(m, "added-data-files"),
+            removedDataFiles = counterOf(m, "removed-data-files"),
+            totalDataFiles = counterOf(m, "total-data-files"),
+            addedDeleteFiles = counterOf(m, "added-delete-files"),
+            removedDeleteFiles = counterOf(m, "removed-delete-files"),
+            totalDeleteFiles = counterOf(m, "total-delete-files"),
+            addedEqualityDeleteFiles = counterOf(m, "added-equality-delete-files"),
+            addedPositionalDeleteFiles = counterOf(m, "added-positional-delete-files"),
+            addedDVs = counterOf(m, "added-dvs"),
+            removedDVs = counterOf(m, "removed-dvs"),
+            addedRecords = counterOf(m, "added-records"),
+            removedRecords = counterOf(m, "removed-records"),
+            totalRecords = counterOf(m, "total-records"),
+            addedFilesSizeBytes = counterOf(m, "added-files-size-bytes"),
+            removedFilesSizeBytes = counterOf(m, "removed-files-size-bytes"),
+            totalFilesSizeBytes = counterOf(m, "total-files-size-bytes"),
+            manifestsCreated = counterOf(m, "manifests-created"),
+            manifestsKept = counterOf(m, "manifests-kept"),
+            manifestEntriesProcessed = counterOf(m, "manifest-entries-processed")),
+          metadata = metadataOf(root))
+      case other => throw new IllegalArgumentException(s"unknown report-type '$other'")
+    }
+  }
+
   private def commitNode(c: CommitReport): ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("report-type", "commit-report")

@@ -1090,18 +1090,44 @@ object IcebergQueries {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true), // thunk is a pure read; handshakes/commits are all in prep
 
-    // REST catalog + remote scan planning: append and DV-delete commit over
-    // HTTP as requirements+updates (never whole metadata), then the SERVER
-    // plans the scan and ships codec task payloads the local engine
-    // executes — the remote-planned read must hash-match the oracle
+    // REST catalog + remote scan planning over CREDENTIAL-GATED storage:
+    // the whole warehouse lives behind the gated:// scheme (an in-process
+    // stand-in for a locked-down object store — reads fail without a token
+    // the store recognizes). Appends and the DV-delete commit over HTTP as
+    // requirements+updates (never whole metadata), the SERVER plans the scan
+    // and ships codec task payloads PLUS plan-scoped storage credentials
+    // (reference catalog/rest/scan_planning.go:305-345,442-450); the gate
+    // asserts the executor read FAILS without the vended credentials and
+    // hash-matches the oracle with them. A scan report also round-trips
+    // through the spec reportMetrics endpoint.
     QueryDef.staged("i40_rest_catalog", (s, dir) => {
+      import graft.io.{FileIO, GatedFileSystem, StorageCredential}
       val wh = s"/root/repo/target/graft-wh/rest_${UUID.randomUUID().toString.take(8)}"
+      val gatedWh = s"gated://$wh"
+      // the catalog SERVER owns storage identity: a long-lived token in its
+      // FileIO overlay (metadata, manifests, puffin); clients get only what
+      // planScan vends
+      val serverToken = GatedFileSystem.issueToken(ttlMs = 3600 * 1000L)
+      FileIO.registerCredentials("gated://",
+        GatedFileSystem.implOptions + (GatedFileSystem.TokenKey -> serverToken))
+      // fixture writes go through Spark with the server's identity; the
+      // token comes OFF the session conf before the timed read, so the only
+      // path to the data afterwards is a vended credential
+      val hc = s.sparkContext.hadoopConfiguration
+      GatedFileSystem.implOptions.foreach { case (k, v) => hc.set(k, v) }
+      hc.set(GatedFileSystem.TokenKey, serverToken)
+      // vendor: fresh short-lived, prefix-scoped credentials per plan
+      val vendor = (loc: String) => Seq(StorageCredential(prefix = "gated://",
+        config = GatedFileSystem.implOptions +
+          (GatedFileSystem.TokenKey -> GatedFileSystem.issueToken(ttlMs = 600 * 1000L)) +
+          ("expiration-time" -> (System.currentTimeMillis() + 600 * 1000L).toString)))
       // OAuth2-protected server: every call below carries a bearer token
       // from the client-credentials flow
       val server = new graft.rest.RestCatalogServer(
-        new graft.catalog.HadoopCatalog(wh),
-        credentials = Map("gate" -> "gate-secret")).start()
-      val (tasks, planSchema, specById, remotePlanned, authOk, txnOk) =
+        new graft.catalog.HadoopCatalog(gatedWh),
+        credentials = Map("gate" -> "gate-secret"),
+        vendCredentials = Some(vendor)).start()
+      val (tasks, planSchema, specById, ioOpts, remotePlanned, authOk, txnOk, metricsOk) =
         try {
           val anon = new graft.rest.RestCatalog(server.uri)
           val authRejected =
@@ -1126,23 +1152,51 @@ object IcebergQueries {
           txn.commit()
           val txnOk = client.loadTable("tx1").currentVersion == 2 &&
             client.loadTable("tx2").currentVersion == 2
-          val (tasks, planSchema) = client.planScan("cust")
-          val remotePlanned = tasks.nonEmpty &&
-            tasks.exists(_.posDeletes.exists(_.format == "PUFFIN"))
-          (tasks, planSchema, t2.metadata.specById _, remotePlanned,
-            authRejected, txnOk)
+          val planned = client.planScan("cust")
+          val remotePlanned = planned.tasks.nonEmpty &&
+            planned.tasks.exists(_.posDeletes.exists(_.format == "PUFFIN"))
+          // spec reportMetrics: a scan report round-trips the wire form and
+          // the server parses it back field-for-field
+          val report = graft.metrics.ScanReport("cust", 1L, 0, Seq(1), Seq("c_custkey"),
+            filterJson = "", metrics = graft.metrics.ScanMetricsResult(
+              resultDataFiles = Some(graft.metrics.CounterResult.count(planned.tasks.size.toLong))))
+          val metricsOk = client.reportMetrics("cust", report) &&
+            server.receivedMetricsReports.exists {
+              case (tn, r: graft.metrics.ScanReport) =>
+                tn == "cust" && r.metrics.resultDataFiles.exists(_.value == planned.tasks.size.toLong)
+              case _ => false
+            }
+          (planned.tasks, planned.schema, t2.metadata.specById _,
+            planned.credentials.ioOptions(), remotePlanned, authRejected, txnOk, metricsOk)
         } finally server.stop()
-      // the decoded tasks are self-contained — the read needs no live server
-      () => SparkRead.readTasks(s, tasks, planSchema, specById = specById)
+      // strip the fixture's storage identity: from here on the gated store
+      // only honors the vended credentials
+      hc.unset(GatedFileSystem.TokenKey)
+      GatedFileSystem.revoke(serverToken)
+      FileIO.unregisterCredentials("gated://")
+      // without the vended credentials the executor read must be DENIED —
+      // this is the whole point of credential vending
+      val deniedWithoutCreds =
+        try {
+          SparkRead.readTasks(s, tasks, planSchema, specById = specById).count()
+          false
+        } catch { case _: Throwable => true }
+      // the decoded tasks are self-contained — the read needs no live
+      // server, only the plan-scoped credentials
+      () => SparkRead.readTasks(s, tasks, planSchema, specById = specById,
+          ioOptions = ioOpts)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .withColumn("remote_planned", lit(remotePlanned.toString))
         .withColumn("auth_ok", lit(authOk.toString))
         .withColumn("txn_ok", lit(txnOk.toString))
+        .withColumn("cred_gated", lit(deniedWithoutCreds.toString))
+        .withColumn("metrics_rt", lit(metricsOk.toString))
         .orderBy(col("c_mktsegment"))
     }, Some("""
       SELECT c_mktsegment, COUNT(*) AS n, 'true' AS remote_planned,
-             'true' AS auth_ok, 'true' AS txn_ok
+             'true' AS auth_ok, 'true' AS txn_ok, 'true' AS cred_gated,
+             'true' AS metrics_rt
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
       GROUP BY c_mktsegment

@@ -176,11 +176,14 @@ final class RestCatalog(baseUriRaw: String,
   // ---- remote scan planning ----------------------------------------------
 
   /** Plan on the server; decode the returned codec payloads into local
-    * tasks. Returns the tasks plus the schema they were planned under.
+    * tasks. Returns the tasks, the schema they were planned under, and any
+    * plan-scoped storage credentials the server vended — the executors that
+    * run the tasks apply those to open the files (reference
+    * `catalog/rest/scan_planning.go:245,305-345`).
     */
   def planScan(name: String, filter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
       snapshotId: Option[Long] = None,
-      select: Seq[String] = Nil): (Seq[FileScanTask], IcebergSchema) = {
+      select: Seq[String] = Nil): PlannedScan = {
     val (ns, tbl) = split(name)
     val t = loadTable(name)
     val o = mapper.createObjectNode()
@@ -201,7 +204,38 @@ final class RestCatalog(baseUriRaw: String,
       val spec = t.metadata.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
       graft.codec.TaskCodec.decode(dec.decode(to.get("task").asText()), spec, schema, version)._1
     }.toSeq
-    (tasks, schema)
+    PlannedScan(tasks, schema,
+      new graft.io.PlanScopedCredentials(credentialsFrom(body), t.metadata.location))
+  }
+
+  /** `GET .../tables/{t}/credentials` (spec loadCredentials): fresh
+    * table-scoped storage credentials, the renewal path behind
+    * [[graft.io.TableCredentials]] (reference `catalog/rest/rest.go:1153-1179`).
+    */
+  def loadCredentials(name: String): Seq[graft.io.StorageCredential] = {
+    val (ns, tbl) = split(name)
+    val resp = request("GET", s"${tablesUri(ns)}/$tbl/credentials", None)
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(s"loadCredentials $name: ${errMsg(resp)}")
+    credentialsFrom(mapper.readTree(resp.body()))
+  }
+
+  private def credentialsFrom(body: JsonNode): Seq[graft.io.StorageCredential] =
+    Option(body.get("storage-credentials")).map(_.elements().asScala.map { c =>
+      graft.io.StorageCredential(c.get("prefix").asText(),
+        c.get("config").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+    }.toSeq).getOrElse(Nil)
+
+  /** `POST .../tables/{t}/metrics` (spec reportMetrics): ship a scan/commit
+    * report in the wire form. Fire-and-forget per the reporter contract —
+    * a failure must never break the operation it observed.
+    */
+  def reportMetrics(name: String, report: graft.metrics.MetricsReport): Boolean = {
+    val (ns, tbl) = split(name)
+    try {
+      val node = mapper.readTree(graft.metrics.Wire.toJson(report))
+      request("POST", s"${tablesUri(ns)}/$tbl/metrics", Some(node)).statusCode() == 204
+    } catch { case _: Exception => false }
   }
 
   // ---- plumbing ----------------------------------------------------------
@@ -274,6 +308,14 @@ final class RestCatalog(baseUriRaw: String,
     new Table(name, meta, path, this)
   }
 }
+
+/** A server-planned scan: decoded tasks, the schema they were planned
+  * under, and the plan-scoped storage credentials vended alongside.
+  */
+final case class PlannedScan(
+    tasks: Seq[FileScanTask],
+    schema: IcebergSchema,
+    credentials: graft.io.PlanScopedCredentials)
 
 object RestCatalog {
   def fromUri(rest: String): RestCatalog = {

@@ -40,7 +40,15 @@ import graft.format.{PartitionSpec, SortOrder, TableMetadata}
   */
 final class RestCatalogServer(backing: Catalog, port: Int = 0,
     credentials: Map[String, String] = Map.empty,
-    tokenTtlMs: Long = 3600 * 1000L) {
+    tokenTtlMs: Long = 3600 * 1000L,
+    /** Vendor of storage credentials scoped to a table's location (reference
+      * access-delegation vending, `catalog/rest/scan_planning.go:442-450`):
+      * the SERVER owns storage identity; scan plans and the
+      * `GET .../credentials` endpoint hand short-lived, prefix-scoped
+      * credentials to readers. None = no vending (storage is open or the
+      * client has ambient access).
+      */
+    vendCredentials: Option[String => Seq[graft.io.StorageCredential]] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -113,6 +121,10 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       case ("DELETE", List("namespaces", ns, "tables", t)) =>
         backing.dropTable(fullName(ns, t)); ex.sendResponseHeaders(204, -1)
       case ("POST", List("namespaces", ns, "tables", t, "plan")) => planScan(ex, ns, t)
+      case ("GET", List("namespaces", ns, "tables", t, "credentials")) =>
+        loadCredentials(ex, ns, t)
+      case ("POST", List("namespaces", ns, "tables", t, "metrics")) =>
+        receiveMetrics(ex, ns, t)
       case _ => sendError(ex, 404, "NotFound", s"$method /${segs.mkString("/")}")
     }
   }
@@ -400,7 +412,58 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       to.put("spec-id", task.specId)
       to.put("task", enc.encodeToString(bytes))
     }
+    // plan-scoped storage credentials ride on the completed plan (reference
+    // `catalog/rest/scan_planning.go:442-450`): the executors that run these
+    // tasks need to open the files, and the server is who has storage access
+    vendCredentials.foreach(v => credentialsNode(o, v(t.metadata.location)))
     sendJson(ex, 200, o)
+  }
+
+  /** `GET .../tables/{t}/credentials` (spec loadCredentials): table-scoped
+    * storage credentials a reader re-fetches when its vended set expires
+    * (reference `catalog/rest/rest.go:1153-1179`).
+    */
+  private def loadCredentials(ex: HttpExchange, ns: String, name: String): Unit = {
+    val full = fullName(ns, name)
+    if (!backing.tableExists(full)) throw new NoSuchElementException(s"no such table: $full")
+    val v = vendCredentials.getOrElse(
+      throw new IllegalArgumentException("credential vending is not enabled"))
+    val o = mapper.createObjectNode()
+    credentialsNode(o, v(backing.loadTable(full).metadata.location))
+    sendJson(ex, 200, o)
+  }
+
+  private def credentialsNode(o: ObjectNode,
+      creds: Seq[graft.io.StorageCredential]): Unit = {
+    val arr = o.putArray("storage-credentials")
+    creds.foreach { c =>
+      val co = arr.addObject()
+      co.put("prefix", c.prefix)
+      val cfg = co.putObject("config")
+      c.config.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+    }
+  }
+
+  // received metrics reports, newest last (spec reportMetrics endpoint is
+  // fire-and-forget; the buffer exists so gates can assert the round-trip)
+  private val metricsReports =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, graft.metrics.MetricsReport)]()
+
+  def receivedMetricsReports: Seq[(String, graft.metrics.MetricsReport)] = {
+    import scala.jdk.CollectionConverters._
+    metricsReports.iterator().asScala.toSeq
+  }
+
+  /** `POST .../tables/{t}/metrics` (spec reportMetrics): accept a scan or
+    * commit report in the wire form and acknowledge with 204. The body is
+    * parsed — not just buffered — so a malformed report fails loudly here
+    * instead of rotting in a log.
+    */
+  private def receiveMetrics(ex: HttpExchange, ns: String, name: String): Unit = {
+    val full = fullName(ns, name)
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    metricsReports.add(full -> graft.metrics.Wire.fromJson(body))
+    ex.sendResponseHeaders(204, -1)
   }
 
   private def loadResult(path: String, meta: TableMetadata): ObjectNode = {

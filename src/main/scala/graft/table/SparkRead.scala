@@ -73,11 +73,21 @@ object SparkRead {
     * ID-metadata-free schema using the mapping's names, then renamed to the
     * canonical schema. Tables never imported skip the footer probe entirely.
     */
+  /** `ioOptions` are per-scan storage options (typically REST-vended plan
+    * credentials resolved through [[graft.io.PlanScopedCredentials]]): they
+    * ride as Spark read options, which file sources fold into the scan's
+    * Hadoop configuration, so credentials reach the executor-side readers
+    * without mutating session state — two concurrent scans with different
+    * vended credentials never collide. Puffin DV blobs are opened through
+    * [[graft.io.FileIO]], which applies the same credentials via its
+    * prefix-scoped overlay registry.
+    */
   def readTasks(spark: SparkSession, tasks: Seq[FileScanTask],
       schema: IcebergSchema,
       nameMapping: Option[graft.format.NameMapping] = None,
       rowLineage: Boolean = false,
-      specById: Int => Option[graft.format.PartitionSpec] = _ => None): DataFrame = {
+      specById: Int => Option[graft.format.PartitionSpec] = _ => None,
+      ioOptions: Map[String, String] = Map.empty): DataFrame = {
     configure(spark)
     val readSchema: StructType = SchemaBridge.toSpark(schema)
 
@@ -108,7 +118,7 @@ object SparkRead {
           Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
       }
       subGroups.map { case (sub, idsPresent) => readSubGroup(spark, sub, idsPresent,
-        schema, readSchema, nameMapping, rowLineage, specById) }
+        schema, readSchema, nameMapping, rowLineage, specById, ioOptions) }
     }
 
     parts.reduce(_ unionByName _)
@@ -118,16 +128,19 @@ object SparkRead {
       idsPresent: Boolean, schema: IcebergSchema, readSchema: StructType,
       nameMapping: Option[graft.format.NameMapping],
       rowLineage: Boolean = false,
-      specById: Int => Option[graft.format.PartitionSpec] = _ => None): DataFrame = {
+      specById: Int => Option[graft.format.PartitionSpec] = _ => None,
+      ioOptions: Map[String, String] = Map.empty): DataFrame = {
     {
       var df =
-        if (idsPresent) spark.read.schema(readSchema).parquet(groupTasks.map(_.file.path): _*)
+        if (idsPresent) spark.read.options(ioOptions).schema(readSchema)
+          .parquet(groupTasks.map(_.file.path): _*)
         else {
           val nm = nameMapping.get
           val mappedSchema = StructType(schema.fields.map(f =>
             StructField(nm.idToName.getOrElse(f.id, f.name),
               SchemaBridge.toSparkType(f.fieldType), nullable = true)))
-          var raw = spark.read.schema(mappedSchema).parquet(groupTasks.map(_.file.path): _*)
+          var raw = spark.read.options(ioOptions).schema(mappedSchema)
+            .parquet(groupTasks.map(_.file.path): _*)
           // hive-imported files omit identity partition source columns (the
           // value lives in the directory name): fill from the path segment,
           // distributed, O(1) plan size (iceberg constants-map semantics;
@@ -174,7 +187,7 @@ object SparkRead {
       if (posDeletes.nonEmpty) {
         // no broadcast hint: delete sets are unbounded, so let AQE pick the
         // join strategy from the delete side's actual size at runtime
-        val delDf = spark.read.parquet(posDeletes.map(_.path): _*)
+        val delDf = spark.read.options(ioOptions).parquet(posDeletes.map(_.path): _*)
           .select(normalizePath(col("file_path")).as("__file"), col("pos").as("__pos"))
         df = df.join(delDf, Seq("__file", "__pos"), "left_anti")
       }
@@ -185,12 +198,14 @@ object SparkRead {
         // for the files it scans (reference arrow_scanner.go:533-618 reads
         // DVs in the per-task pipeline). Driver never holds bitmap bytes.
         val dvMeta: Map[String, (String, Long, Long)] = dvDeletes.map(d =>
-          d.referencedDataFile.get ->
+          graft.io.FileIO.canonical(d.referencedDataFile.get) ->
             ((d.path, d.contentOffset.get, d.contentSize.get))).toMap
         val bc = spark.sparkContext.broadcast(dvMeta)
+        val opts = ioOptions // serialized with the closure: executors need
+        // the vended credentials to open puffin blobs, not just data files
         val keep = udf((file: String, pos: Long) =>
           bc.value.get(file).forall { case (p, off, len) =>
-            !DvCache.get(p, off, len).contains(pos)
+            !DvCache.get(p, off, len, opts).contains(pos)
           })
         df = df.filter(keep(col("__file"), col("__pos")))
       }
@@ -203,7 +218,7 @@ object SparkRead {
       // equi-join would silently drop.
       eqDeletes.groupBy(_._1.equalityIds).foreach { case (eqIds, dels) =>
         val keyCols = eqIds.map(id => schema.idToField(id).name)
-        val delDf = spark.read.parquet(dels.map(_._1.path): _*)
+        val delDf = spark.read.options(ioOptions).parquet(dels.map(_._1.path): _*)
           .select(keyCols.map(k => col(k).as(s"__del_$k")): _*)
         val cond = keyCols.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _)
         df = df.join(delDf, cond, "left_anti")
@@ -246,7 +261,8 @@ object SparkRead {
     // a data file with a DV has its parquet pos-deletes superseded — rows a
     // shared parquet delete file holds for DV'd files must not double-count
     val dvSuperseded = tasks
-      .filter(_.posDeletes.exists(_.format == "PUFFIN")).map(_.file.path).distinct
+      .filter(_.posDeletes.exists(_.format == "PUFFIN"))
+      .map(t => graft.io.FileIO.canonical(t.file.path)).distinct
     val parquetDf =
       if (parquets.isEmpty) None
       else {
@@ -334,10 +350,14 @@ object SparkRead {
   }
 
   /** `_metadata.file_path` is a URI (file:///...); manifests store plain
-    * absolute paths — normalize to compare.
+    * absolute paths — normalize to compare. Empty-authority URIs of other
+    * schemes fold to the single-slash form, the column twin of
+    * [[graft.io.FileIO.canonical]].
     */
   private def normalizePath(c: Column): Column =
-    regexp_replace(c, "^file:/*", "/")
+    regexp_replace(
+      regexp_replace(c, "^file:/*", "/"),
+      "^([A-Za-z][A-Za-z0-9+.-]*):///+", "$1:/")
 
   /** Per-JVM (executor-local) cache of deserialized DV bitmaps keyed by
     * (puffin path, blob offset). Each executor reads only the blobs for the
@@ -357,10 +377,17 @@ object SparkRead {
           size() > MaxEntries
       })
 
-    def get(path: String, offset: Long, length: Long): graft.format.PositionBitmap = {
+    def get(path: String, offset: Long, length: Long,
+        credentials: Map[String, String] = Map.empty): graft.format.PositionBitmap = {
       val key = (path, offset)
       val hit = cache.get(key)
       if (hit != null) return hit
+      // cold path only: register vended credentials for this blob's prefix
+      // so FileIO's FileSystem build sees them (executor JVMs have no other
+      // channel to plan-scoped credentials)
+      if (credentials.nonEmpty)
+        graft.io.FileIO.registerCredentials(
+          path.substring(0, path.lastIndexOf('/') + 1), credentials)
       // deserialization runs outside the lock; a racing double-read of the
       // same immutable blob is harmless
       val blob = graft.format.Puffin.readBlob(path,

@@ -248,7 +248,7 @@ private[table] final class DeleteIndex(
 
     // file-referenced deletes (DVs + referenced parquet pos-deletes), in
     // original commit order so "newest DV" stays well-defined
-    val ref = refDeletes.getOrElse(file.path, Nil)
+    val ref = refDeletes.getOrElse(graft.io.FileIO.canonical(file.path), Nil)
       .filter { case (delSeq, df, dSpecId, _) =>
         delSeq >= dataSeq && samePartition(dSpecId, df, dataSpecId, file)
       }
@@ -296,7 +296,11 @@ private[table] object DeleteIndex {
       val isPos = f.content == DataFileContent.PositionDeletes
       f.referencedDataFile match {
         case Some(ref) if isPos =>
-          refAcc.getOrElseUpdate(ref, scala.collection.mutable.ArrayBuffer.empty)
+          // canonical spelling: the reference may have been recorded from
+          // Spark's _metadata (single-slash URI) while the data file path
+          // came from location concatenation (triple-slash)
+          refAcc.getOrElseUpdate(graft.io.FileIO.canonical(ref),
+              scala.collection.mutable.ArrayBuffer.empty)
             .append((delSeq, f, specId, ord))
         case _ =>
           val spec = meta.specById(specId).getOrElse(PartitionSpec.Unpartitioned)

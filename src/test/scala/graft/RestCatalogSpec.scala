@@ -10,7 +10,7 @@ import org.scalatest.BeforeAndAfterAll
 import graft.catalog.{Catalogs, CommitConflict, HadoopCatalog, SqlCatalog}
 import graft.core._
 import graft.format._
-import graft.rest.{MetadataUpdate, Requirement, RestCatalog, RestCatalogServer}
+import graft.rest.{MetadataUpdate, PlannedScan, Requirement, RestCatalog, RestCatalogServer}
 import graft.table.{SparkRead, Writer}
 
 /** REST catalog protocol (reference `catalog/rest/rest.go`,
@@ -112,7 +112,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t1 = Writer.append(spark, t0, customer)
     val t2 = Writer.deleteWhereDV(spark, t1, Expr.eq("c_mktsegment", "MACHINERY"))
 
-    val (tasks, planSchema) = client.planScan("plan")
+    val PlannedScan(tasks, planSchema, _) = client.planScan("plan")
     assert(tasks.nonEmpty)
     assert(tasks.exists(_.posDeletes.exists(_.format == "PUFFIN")))
     val viaRest = SparkRead.readTasks(spark, tasks, planSchema,
@@ -121,7 +121,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaRest === direct)
 
     // filtered remote plan: server-side pruning applies the filter
-    val (filtered, _) = client.planScan("plan", Expr.eq("c_mktsegment", "BUILDING"))
+    val filtered = client.planScan("plan", Expr.eq("c_mktsegment", "BUILDING")).tasks
     assert(filtered.size <= tasks.size)
   }
 
