@@ -142,6 +142,17 @@ final class GatedFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = GatedFileSystem.Scheme
   override def getUri: java.net.URI = java.net.URI.create(s"${GatedFileSystem.Scheme}:///")
 
+  /** Accept any authority (object-store semantics: the authority names a
+    * bucket/endpoint; this stand-in maps them all to local disk). The
+    * default check would reject `gated://host/p` against the
+    * authority-less FS URI.
+    */
+  override def checkPath(path: Path): Unit = {
+    val scheme = path.toUri.getScheme
+    if (scheme != null && scheme != GatedFileSystem.Scheme)
+      throw new IllegalArgumentException(s"Wrong FS scheme: $path, expected ${GatedFileSystem.Scheme}")
+  }
+
   private def check(): Unit = {
     val tok = getConf.get(GatedFileSystem.TokenKey)
     if (tok == null || !GatedFileSystem.valid(tok))
@@ -152,21 +163,31 @@ final class GatedFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   /** RawLocalFileSystem statuses load permissions LAZILY via `new
     * File(uri)`, which rejects any scheme but `file` — copy into a plain
     * FileStatus with permissions pre-resolved (an object-store-style FS has
-    * no POSIX permissions anyway).
+    * no POSIX permissions anyway). `as` preserves the CALLER's path
+    * spelling: re-qualifying against the authority-less FS URI would drop a
+    * `gated://host/...` authority and make listings disagree with the
+    * requested roots.
     */
-  private def eager(st: FileStatus): FileStatus = new FileStatus(
+  private def eager(st: FileStatus, as: Path): FileStatus = new FileStatus(
     st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
     st.getModificationTime, st.getAccessTime,
     if (st.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
-    "graft", "graft", st.getPath)
+    "graft", "graft", as)
 
   override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
     check(); super.open(f, bufferSize)
   }
   override def listStatus(f: Path): Array[FileStatus] = {
-    check(); super.listStatus(f).map(eager)
+    check()
+    val qf = f.makeQualified(getUri, getWorkingDirectory)
+    super.listStatus(f).map { st =>
+      // listStatus(file) yields the file itself; listStatus(dir) children
+      val p = if (st.getPath.toUri.getPath == qf.toUri.getPath) qf
+        else new Path(qf, st.getPath.getName)
+      eager(st, p)
+    }
   }
   override def getFileStatus(f: Path): FileStatus = {
-    check(); eager(super.getFileStatus(f))
+    check(); eager(super.getFileStatus(f), f.makeQualified(getUri, getWorkingDirectory))
   }
 }

@@ -12,7 +12,7 @@ import graft.catalog.HadoopCatalog
 import graft.core._
 import graft.format.{PartitionSpec, SortField, SortOrder}
 import graft.io.FileIO
-import graft.table.{Evolve, Incremental, Inspect, SparkRead, Writer}
+import graft.table.{Evolve, Incremental, Inspect, Maintenance, SparkRead, Writer}
 import Q._
 
 /** Iceberg round-trip gate queries: load the testdata parquet into Iceberg
@@ -1637,6 +1637,65 @@ object IcebergQueries {
         .withColumn("described", lit(described.toString))
     }, Some("""
       SELECT COUNT(*) AS n, 'true' AS listed, 'true' AS described
-      FROM region"""))
+      FROM region""")),
+
+    // orphan-cleanup prefix-mismatch modes (reference
+    // table/orphan_cleanup.go:40-60,920-955): a table migrated to a
+    // different authority spelling of the same storage. ERROR must refuse
+    // to guess, DELETE must list the mismatched live data as orphans
+    // (dry-run), IGNORE must delete only true junk and leave the data
+    // readable — the read afterwards hash-matches the oracle
+    QueryDef.staged("i54_orphan_prefix", (s, dir) => {
+      import graft.io.{FileIO, GatedFileSystem}
+      val wh = s"/root/repo/target/graft-wh/orph_${UUID.randomUUID().toString.take(8)}"
+      val tok = GatedFileSystem.issueToken(3600 * 1000L)
+      val creds = GatedFileSystem.implOptions + (GatedFileSystem.TokenKey -> tok)
+      FileIO.registerCredentials("gated://", creds)
+      val hc = s.sparkContext.hadoopConfiguration
+      creds.foreach { case (k, v) => hc.set(k, v) }
+      val (tasks, schema, errored, deleteLists, ignoreKept) =
+        try {
+          val cat = new HadoopCatalog(s"gated://ha$wh")
+          val c = tbl(s, dir, "customer").filter(col("c_custkey") <= 100)
+          val schema = SchemaBridge.fromSpark(c.schema)
+          val t = Writer.append(s,
+            cat.createTable("cust", schema, PartitionSpec.Unpartitioned), c)
+          val junk = s"$wh/cust/data/junk-not-referenced.bin"
+          java.nio.file.Files.write(java.nio.file.Paths.get(junk), Array[Byte](1, 2, 3))
+          val horizon = System.currentTimeMillis() + 600 * 1000L
+          // same storage, new authority spelling; referenced files keep the old
+          val migrated = new graft.table.Table(t.name,
+            t.metadata.copy(location = s"gated://hb$wh/cust"), t.metadataPath, cat)
+          val errored =
+            try { Maintenance.removeOrphanFiles(migrated, horizon, dryRun = true); false }
+            catch { case e: IllegalStateException => e.getMessage.contains("prefix mismatch") }
+          val deleteLists = Maintenance.removeOrphanFiles(migrated, horizon,
+            dryRun = true, prefixMismatchMode = Maintenance.PrefixMismatchMode.Delete)
+            .exists(_.endsWith(".parquet"))
+          val ignored = Maintenance.removeOrphanFiles(migrated, horizon,
+            prefixMismatchMode = Maintenance.PrefixMismatchMode.Ignore)
+          val ignoreKept = ignored.forall(!_.endsWith(".parquet")) &&
+            ignored.exists(_.endsWith("junk-not-referenced.bin")) &&
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(junk))
+          (t.newScan.planFiles(), t.schema, errored, deleteLists, ignoreKept)
+        } finally {
+          // planning is done; the timed read carries credentials explicitly
+          hc.unset(GatedFileSystem.TokenKey)
+          FileIO.unregisterCredentials("gated://")
+        }
+      () => SparkRead.readTasks(s, tasks, schema, ioOptions = creds)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mode_error", lit(errored.toString))
+        .withColumn("mode_delete_lists", lit(deleteLists.toString))
+        .withColumn("mode_ignore_keeps", lit(ignoreKept.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS mode_error,
+             'true' AS mode_delete_lists, 'true' AS mode_ignore_keeps
+      FROM customer
+      WHERE c_custkey <= 100
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

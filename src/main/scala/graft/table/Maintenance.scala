@@ -252,13 +252,62 @@ object Maintenance {
     table.refresh()
   }
 
+  /** How to treat a listed file whose path-only component matches a
+    * referenced file but whose URI scheme/authority differs (reference
+    * `table/orphan_cleanup.go:40-60`): a table migrated between equivalent
+    * spellings of the same storage (`s3://` vs `s3a://`, regional endpoint
+    * vs bare bucket) would otherwise over-delete (treat live data as
+    * orphan) or under-delete.
+    */
+  sealed trait PrefixMismatchMode
+  object PrefixMismatchMode {
+    /** Fail the cleanup — the safest default: a mismatch means the caller's
+      * equivalence config is incomplete, and guessing either way risks data.
+      */
+    case object Error extends PrefixMismatchMode
+    /** Keep mismatched files (never consider them orphans). */
+    case object Ignore extends PrefixMismatchMode
+    /** Treat mismatched files as orphans. Dangerous by design; the caller
+      * asserts the other prefix cannot hold live data.
+      */
+    case object Delete extends PrefixMismatchMode
+  }
+
+  /** (scheme, authority, path-only) with equivalence maps applied. Keys in
+    * `equalSchemes`/`equalAuthorities` may be comma-separated lists mapping
+    * to one canonical spelling (reference `orphan_cleanup.go:838-915`,
+    * mirroring Iceberg-Java's equalSchemes/equalAuthorities).
+    */
+  private def splitUri(p: String, equalSchemes: Map[String, String],
+      equalAuthorities: Map[String, String]): (String, String, String) = {
+    def applyEq(v: String, eq: Map[String, String]): String =
+      eq.collectFirst {
+        case (ks, canon) if ks.split(",").map(_.trim).contains(v) => canon
+      }.getOrElse(v)
+    val c = graft.io.FileIO.canonical(p)
+    val u = try new java.net.URI(c) catch { case _: Exception => null }
+    if (u == null || u.getScheme == null) ("", "", c)
+    else (applyEq(u.getScheme, equalSchemes),
+      applyEq(Option(u.getAuthority).getOrElse(""), equalAuthorities),
+      Option(u.getPath).getOrElse(""))
+  }
+
   /** List (and optionally delete) files under the table location that no
     * snapshot references and that are older than `olderThanMs` — the grace
     * period protects in-flight writes whose commit hasn't landed yet
     * (reference `table/orphan_cleanup.go:44-1057`).
+    *
+    * Membership is decided per URI component, not raw strings: a listed
+    * file whose path-only component matches a referenced file but whose
+    * scheme/authority differs (after `equalSchemes`/`equalAuthorities`
+    * normalization) is handled per `prefixMismatchMode` — error (default),
+    * ignore (keep), or delete.
     */
   def removeOrphanFiles(table: Table, olderThanMs: Long,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false,
+      prefixMismatchMode: PrefixMismatchMode = PrefixMismatchMode.Error,
+      equalSchemes: Map[String, String] = Map.empty,
+      equalAuthorities: Map[String, String] = Map.empty): Seq[String] = {
     val meta = table.metadata
     val referenced: Set[String] = {
       import scala.collection.parallel.CollectionConverters._
@@ -274,17 +323,43 @@ object Maintenance {
         meta.statistics.map(_.path) ++
         meta.partitionStatistics.map(_.path)
     }
+    def split(p: String) = splitUri(p, equalSchemes, equalAuthorities)
+    val referencedCanon: Set[String] = referenced.map(graft.io.FileIO.canonical)
+    // path-only index: the candidates a mismatched listing entry may
+    // actually be (reference newReferencedFileIndex, orphan_cleanup.go:607)
+    val byPathKey: Map[String, Seq[(String, String, String)]] =
+      referenced.toSeq.map(split).groupBy(_._3)
 
     val all =
       graft.io.FileIO.listFilesRecursive(s"${meta.location}/data") ++
       graft.io.FileIO.listFilesRecursive(s"${meta.location}/metadata")
 
     val keepSuffixes = Seq("version-hint.text")
+    def isOrphan(path: String): Boolean = {
+      if (referencedCanon.contains(graft.io.FileIO.canonical(path))) return false
+      val (fScheme, fAuth, fKey) = split(path)
+      val sameKey = byPathKey.getOrElse(fKey, Nil)
+      if (sameKey.isEmpty) return true // referenced nowhere under any prefix
+      val exactUnderEquivalence = sameKey.exists { case (rScheme, rAuth, _) =>
+        rScheme == fScheme && rAuth == fAuth
+      }
+      if (exactUnderEquivalence) return false
+      prefixMismatchMode match {
+        case PrefixMismatchMode.Error =>
+          val (rScheme, rAuth, _) = sameKey.head
+          throw new IllegalStateException(
+            s"orphan cleanup: prefix mismatch for $path (scheme=$fScheme, authority=$fAuth) " +
+              s"vs referenced (scheme=$rScheme, authority=$rAuth); configure equalSchemes/" +
+              s"equalAuthorities or choose an explicit PrefixMismatchMode")
+        case PrefixMismatchMode.Ignore => false
+        case PrefixMismatchMode.Delete => true
+      }
+    }
     val orphans = all.filter { f =>
-      !referenced.contains(f.path) &&
       !f.path.endsWith(".metadata.json") &&
       !keepSuffixes.exists(f.path.endsWith) &&
-      f.mtime < olderThanMs
+      f.mtime < olderThanMs &&
+      isOrphan(f.path)
     }.map(_.path)
     if (!dryRun) graft.io.FileIO.deleteAll(orphans)
     orphans
