@@ -222,22 +222,23 @@ object Expr {
     */
   def extractFieldIds(e: Expr, schema: IcebergSchema,
       caseSensitive: Boolean = true): Set[Int] = {
+    // the error cites the WHOLE (sanitized) filter, not just the offending
+    // leaf — the caller sees the filter's shape without any literal leaking
     def leafId(ref: String): Set[Int] =
       Set(schema.findField(ref, caseSensitive).getOrElse(
         throw new IllegalArgumentException(
           s"cannot extract field ids: unbound reference '$ref' in ${sanitizedString(e)}")).id)
-    e match {
+    def walk(x: Expr): Set[Int] = x match {
       case AlwaysTrue | AlwaysFalse => Set.empty
-      case And(l, r) => extractFieldIds(l, schema, caseSensitive) ++
-        extractFieldIds(r, schema, caseSensitive)
-      case Or(l, r) => extractFieldIds(l, schema, caseSensitive) ++
-        extractFieldIds(r, schema, caseSensitive)
-      case Not(c) => extractFieldIds(c, schema, caseSensitive)
+      case And(l, r) => walk(l) ++ walk(r)
+      case Or(l, r) => walk(l) ++ walk(r)
+      case Not(c) => walk(c)
       case Predicate(_, ref, _) => leafId(ref)
       case TransformPredicate(_, _, ref, _, _) => leafId(ref)
       case BBoxPredicate(_, ref, _, _, _, _) => leafId(ref)
       case VariantPredicate(_, ref, _, _, _) => leafId(ref)
     }
+    walk(e)
   }
 
   /** Bind predicate references to canonical schema names (reference

@@ -1696,6 +1696,101 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey <= 100
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // rolling writer (reference table/rolling_data_writer.go:320-760): the
+    // byte-calibrated roll must land files NEAR write.target-file-size-bytes
+    // once calibrated. Append 1 calibrates (files err small — the safe
+    // side); append 2 must split into multiple files, none above 2.5x
+    // target and all but the remainder at least 0.3x target. The doubled
+    // read hash-matches the oracle.
+    QueryDef.staged("i55_rolling_write", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/roll_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val target = 24L * 1024
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+      val schema = SchemaBridge.fromSpark(li.schema)
+      val t0 = cat.createTable("li_roll", schema, PartitionSpec.Unpartitioned,
+        properties = Map("write.target-file-size-bytes" -> target.toString))
+      val t1 = Writer.append(s, t0, li) // calibration write
+      val firstFiles = t1.newScan.planFiles().map(_.file.path).toSet
+      val t2 = Writer.append(s, t1, li) // calibrated write: rolls on target
+      val second = t2.newScan.planFiles().map(_.file)
+        .filterNot(f => firstFiles.contains(f.path))
+      val sizes = second.map(_.fileSize).sorted
+      val rolled = sizes.size >= 2 &&
+        sizes.forall(_ <= (target * 2.5).toLong) &&
+        // every file except the remainder carries a meaningful fraction of
+        // target — rolling that produced a spray of tiny files is a bug
+        sizes.drop(1).forall(_ >= (target * 0.3).toLong)
+      () => SparkRead.read(s, t2.newScan)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rolled_on_target", lit(rolled.toString))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, CAST(2 * COUNT(*) AS BIGINT) AS n,
+             'true' AS rolled_on_target
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""), repeatable = true),
+
+    // write-side schema compatibility (reference metadata compat check,
+    // arrow_utils schema validation) + sanitized error strings: a widening
+    // write (double into a long column) must be REJECTED naming the column,
+    // a spec-legal promotion (int into long) must succeed, and a plan-time
+    // filter error must carry only the SANITIZED expression — the user's
+    // literal must not leak into an error string that travels to logs
+    QueryDef.staged("i56_write_compat", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/compat_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val schema = SchemaBridge.fromSpark(c.schema) // c_custkey: long
+      val t0 = cat.createTable("cust_compat", schema, PartitionSpec.Unpartitioned)
+      val widenRejected =
+        try {
+          Writer.append(s, t0,
+            c.withColumn("c_custkey", col("c_custkey").cast("double")))
+          false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("incompatible write type") &&
+              e.getMessage.contains("c_custkey")
+        }
+      // a rejected write must leave NO snapshot and NO stray data files
+      val nothingCommitted = cat.loadTable("cust_compat").metadata.snapshots.isEmpty
+      // int -> long is a spec promotion; the write must succeed
+      val t1 = Writer.append(s, cat.loadTable("cust_compat"),
+        c.withColumn("c_custkey", col("c_custkey").cast("int")))
+      val sanitized =
+        try {
+          t1.newScan.withFilter(Expr.and(
+            Expr.eq("c_mktsegment", "SECRET-LITERAL"),
+            Expr.eq("no_such_col", 42L))).planFiles()
+          false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("no_such_col") &&
+              e.getMessage.contains("hash-redacted") &&
+              !e.getMessage.contains("SECRET-LITERAL")
+        }
+      () => SparkRead.read(s, t1.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), d(sum(col("c_custkey"))).as("key_sum"))
+        .withColumn("widen_rejected", lit(widenRejected.toString))
+        .withColumn("nothing_committed", lit(nothingCommitted.toString))
+        .withColumn("sanitized_error", lit(sanitized.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(c_custkey) AS DOUBLE) AS key_sum,
+             'true' AS widen_rejected, 'true' AS nothing_committed,
+             'true' AS sanitized_error
+      FROM customer
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }
