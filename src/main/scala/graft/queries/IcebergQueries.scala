@@ -1707,7 +1707,7 @@ object IcebergQueries {
     QueryDef.staged("i55_rolling_write", (s, dir) => {
       val wh = s"/root/repo/target/graft-wh/roll_${UUID.randomUUID().toString.take(8)}"
       val cat = new HadoopCatalog(wh)
-      val target = 24L * 1024
+      val target = 64L * 1024
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
           col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
@@ -1789,6 +1789,49 @@ object IcebergQueries {
              CAST(SUM(c_custkey) AS DOUBLE) AS key_sum,
              'true' AS widen_rejected, 'true' AS nothing_committed,
              'true' AS sanitized_error
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // views + UDF declarations (reference view/view.go:35-57,
+    // view/metadata.go, udf/udf.go:29-60): versioned SQL-text objects in
+    // the catalog. The gate stores a view, REPLACES it (version 2 becomes
+    // current, version 1 stays addressable), evaluates the current SQL over
+    // the engine's own table read, and round-trips a UDF declaration — the
+    // reference never evaluates UDFs, and neither do we
+    QueryDef.staged("i57_views_udfs", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/views_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val metaObjects = new graft.catalog.MetaObjects(wh)
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val t = Writer.append(s, cat.createTable("cust",
+        SchemaBridge.fromSpark(c.schema), PartitionSpec.Unpartitioned), c)
+      metaObjects.createView("seg_counts",
+        "SELECT c_mktsegment, COUNT(*) AS n FROM cust_src GROUP BY c_mktsegment")
+      // replace: v2 current, v1 still addressable (time travel for views)
+      metaObjects.replaceView("seg_counts",
+        "SELECT c_mktsegment, COUNT(*) AS n FROM cust_src " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+      val view = metaObjects.loadView("seg_counts")
+      val versioned = view.currentVersionId == 2 && view.versions.size == 2 &&
+        view.versions.exists(v => v.versionId == 1 && !v.sql.contains("ORDER BY")) &&
+        metaObjects.listViews() == Seq("seg_counts")
+      val udf = graft.catalog.UdfDef("taxed", "double", "x * 1.1",
+        parameters = Seq(("x", "double")), comment = Some("adds tax"))
+      metaObjects.createFunction(udf)
+      val udfOk = metaObjects.loadFunction("taxed") == udf &&
+        metaObjects.listFunctions() == Seq("taxed") && {
+          metaObjects.dropFunction("taxed")
+          !metaObjects.functionExists("taxed")
+        }
+      // the view body references the engine's own read of the table
+      SparkRead.read(s, t.newScan).createOrReplaceTempView("cust_src")
+      () => s.sql(view.currentVersion.sql)
+        .withColumn("view_versioned", lit(versioned.toString))
+        .withColumn("udf_roundtrip", lit(udfOk.toString))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS view_versioned,
+             'true' AS udf_roundtrip
       FROM customer
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
