@@ -1160,12 +1160,26 @@ object IcebergQueries {
           val report = graft.metrics.ScanReport("cust", 1L, 0, Seq(1), Seq("c_custkey"),
             filterJson = "", metrics = graft.metrics.ScanMetricsResult(
               resultDataFiles = Some(graft.metrics.CounterResult.count(planned.tasks.size.toLong))))
-          val metricsOk = client.reportMetrics("cust", report) &&
+          val manualRt = client.reportMetrics("cust", report) &&
             server.receivedMetricsReports.exists {
               case (tn, r: graft.metrics.ScanReport) =>
                 tn == "cust" && r.metrics.resultDataFiles.exists(_.value == planned.tasks.size.toLong)
               case _ => false
             }
+          // REST-loaded tables ship reports AUTOMATICALLY: the appends above
+          // posted commit reports, and a client-side plan posts a scan report
+          client.loadTable("cust").newScan.planFiles()
+          val autoShipped =
+            server.receivedMetricsReports.exists {
+              case (tn, r: graft.metrics.CommitReport) =>
+                tn == "cust" && r.operation == "append"
+              case _ => false
+            } && server.receivedMetricsReports.exists {
+              case (tn, r: graft.metrics.ScanReport) =>
+                tn == "cust" && r.metrics.totalPlanningDuration.isDefined
+              case _ => false
+            }
+          val metricsOk = manualRt && autoShipped
           (planned.tasks, planned.schema, t2.metadata.specById _,
             planned.credentials.ioOptions(), remotePlanned, authRejected, txnOk, metricsOk)
         } finally server.stop()

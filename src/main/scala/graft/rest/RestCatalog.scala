@@ -305,7 +305,16 @@ final class RestCatalog(baseUriRaw: String,
     val body = mapper.readTree(resp.body())
     val path = body.get("metadata-location").asText()
     val meta = TableMetadata.fromJson(body.get("metadata").toString)
-    new Table(name, meta, path, this)
+    // REST-loaded tables ship scan/commit reports to the catalog's metrics
+    // endpoint automatically (reference tableFromResponse wires r.reporter,
+    // rest.go:1118-1152); reportMetrics already swallows failures per the
+    // reporter contract
+    val restReporter = new graft.metrics.Reporter {
+      def report(r: graft.metrics.MetricsReport): Unit = {
+        reportMetrics(name, r); ()
+      }
+    }
+    new Table(name, meta, path, this, catalogReporter = restReporter)
   }
 }
 

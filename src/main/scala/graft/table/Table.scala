@@ -10,7 +10,13 @@ final class Table(
     val name: String,
     val metadata: TableMetadata,
     val metadataPath: String,
-    val catalog: graft.catalog.Catalog) {
+    val catalog: graft.catalog.Catalog,
+    /** Catalog-injected reporter (reference `tableFromResponse`,
+      * `catalog/rest/rest.go:1118-1152`): a REST catalog wires tables to
+      * ship scan/commit reports back to its metrics endpoint. Nop for
+      * catalogs with no metrics sink.
+      */
+    val catalogReporter: graft.metrics.Reporter = graft.metrics.NopReporter) {
 
   def schema: IcebergSchema = metadata.schema
   def spec: PartitionSpec = metadata.spec
@@ -22,11 +28,18 @@ final class Table(
   def nameMapping: Option[NameMapping] =
     metadata.properties.get(NameMapping.PropertyKey).map(NameMapping.fromJson)
 
-  /** Metrics reporter named by `metrics-reporter-impl` (nop when unset;
-    * unknown names fail loudly — reference `metrics/registry.go:95-117`).
+  /** Metrics reporter: the property-named one (`metrics-reporter-impl`,
+    * nop when unset; unknown names fail loudly — reference
+    * `metrics/registry.go:95-117`) combined with the catalog-injected one.
     */
-  lazy val reporter: graft.metrics.Reporter =
-    graft.metrics.Registry.fromProperties(metadata.properties)
+  lazy val reporter: graft.metrics.Reporter = {
+    val fromProps = graft.metrics.Registry.fromProperties(metadata.properties)
+    (catalogReporter, fromProps) match {
+      case (graft.metrics.NopReporter, p) => p
+      case (c, graft.metrics.NopReporter) => c
+      case (c, p) => graft.metrics.Reporter.combine(c, p)
+    }
+  }
 
   def refresh(): Table = catalog.loadTable(name)
 
