@@ -314,7 +314,16 @@ final class RestCatalog(baseUriRaw: String,
         reportMetrics(name, r); ()
       }
     }
-    new Table(name, meta, path, this, catalogReporter = restReporter)
+    // table-scoped vended credentials: applied lazily by the table's IO,
+    // renewed through the credentials endpoint on expiry (reference
+    // vendedCredentialRefresher, catalog/rest/vended_creds.go:88-160)
+    val vended = credentialsFrom(body)
+    val tableCreds =
+      if (vended.isEmpty) None
+      else Some(new graft.io.TableCredentials(vended, meta.location,
+        fetch = () => loadCredentials(name)))
+    new Table(name, meta, path, this, catalogReporter = restReporter,
+      ioCredentials = tableCreds)
   }
 }
 

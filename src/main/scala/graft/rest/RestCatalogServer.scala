@@ -470,6 +470,10 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     val o = mapper.createObjectNode()
     o.put("metadata-location", path)
     o.set[ObjectNode]("metadata", mapper.readTree(TableMetadata.toJson(meta)).asInstanceOf[ObjectNode])
+    // table-scoped storage credentials ride on load/create/commit responses
+    // (reference rest.go:1380-1395): the client's table IO applies them
+    // lazily and re-fetches through GET .../credentials on expiry
+    vendCredentials.foreach(v => credentialsNode(o, v(meta.location)))
     o
   }
 

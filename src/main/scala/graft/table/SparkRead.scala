@@ -37,6 +37,9 @@ object SparkRead {
 
   def read(spark: SparkSession, scan: Scan): DataFrame = {
     configure(spark)
+    // vended table credentials (REST catalogs): resolved fresh here, then
+    // threaded to every distributed read as per-scan options
+    val ioOptions = scan.table.refreshIoCredentials()
     val tasks = scan.planFiles()
     val meta = scan.table.metadata
     // current-snapshot scans use the CURRENT table schema (metadata-only
@@ -58,7 +61,7 @@ object SparkRead {
 
     project(applyResidual(
       readTasks(spark, tasks, schema, scan.table.nameMapping, scan.rowLineage,
-        scan.table.metadata.specById),
+        scan.table.metadata.specById, ioOptions),
       scan), scan, schema)
   }
 

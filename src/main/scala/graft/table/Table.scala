@@ -16,7 +16,12 @@ final class Table(
       * ship scan/commit reports back to its metrics endpoint. Nop for
       * catalogs with no metrics sink.
       */
-    val catalogReporter: graft.metrics.Reporter = graft.metrics.NopReporter) {
+    val catalogReporter: graft.metrics.Reporter = graft.metrics.NopReporter,
+    /** Catalog-vended storage credentials for this table's location, if
+      * any — applied lazily at scan time, renewed on expiry (reference
+      * `vendedCredentialRefresher`).
+      */
+    val ioCredentials: Option[graft.io.TableCredentials] = None) {
 
   def schema: IcebergSchema = metadata.schema
   def spec: PartitionSpec = metadata.spec
@@ -42,6 +47,21 @@ final class Table(
   }
 
   def refresh(): Table = catalog.loadTable(name)
+
+  /** Resolve the vended credentials (re-fetching through the catalog if
+    * expired) and register them with FileIO for this table's location, so
+    * metadata/manifest/puffin reads see them. Returns the resolved config
+    * for per-scan reader options; empty without vending. Called at the top
+    * of every plan — the "lazily applies, expiry is re-fetch" contract.
+    */
+  def refreshIoCredentials(): Map[String, String] = ioCredentials match {
+    case None => Map.empty
+    case Some(tc) =>
+      val opts = tc.ioOptions()
+      if (opts.nonEmpty)
+        graft.io.FileIO.registerCredentials(metadata.location, opts)
+      opts
+  }
 
   /** The catalog version THIS metadata was loaded from — the CAS base for
     * commits. Derived from metadataPath, never re-read from the catalog: a
@@ -114,6 +134,9 @@ final case class Scan(
 
   def planFilesWithMetrics(): (Seq[FileScanTask], ScanMetrics) = {
     val planStart = System.nanoTime()
+    // vended table credentials apply lazily, at first real use — manifest
+    // reads below need them
+    table.refreshIoCredentials()
     val snap = snapshot.getOrElse(return (Nil, ScanMetrics()))
     val meta = table.metadata
     val schema = meta.schemaById(snap.schemaId.getOrElse(meta.currentSchemaId))

@@ -468,6 +468,11 @@ object Writer {
     val tmpDir = s"${table.location}/tmp-append-${UUID.randomUUID()}"
     val partColNames = spec.fields.map(pf => s"__part_${pf.name}")
 
+    // vended table credentials (REST catalogs): resolve + register for the
+    // FileIO side (footer harvest, moves) and thread into the Spark write
+    // as per-relation options for the executor-side writers
+    val ioOpts = table.refreshIoCredentials()
+
     // rolling target-file-size (reference `table/rolling_data_writer.go:
     // 320-760` rolls on the writer's actual byte count): Spark's sink only
     // rolls on record count, so the count is CALIBRATED from the observed
@@ -533,6 +538,7 @@ object Writer {
         if (sortCols.isEmpty) aligned
         else aligned.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
       parquetSink(clustered.write.option("maxRecordsPerFile", maxRecords)
+        .options(ioOpts)
         .options(encryptionOptions(spark, table))
         .options(parquetWriteOptions(table.metadata.properties))).save(tmpDir)
     } else {
@@ -553,6 +559,7 @@ object Writer {
         .sortWithinPartitions((partColNames.map(col) ++ sortCols): _*)
         .write.partitionBy(partColNames: _*)
         .option("maxRecordsPerFile", maxRecords)
+        .options(ioOpts)
         .options(encryptionOptions(spark, table))
         .options(parquetWriteOptions(table.metadata.properties))).save(tmpDir)
     }

@@ -255,4 +255,51 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c2.listTables() === Seq("raw.t1"))
     } finally srv2.stop()
   }
+
+  test("loadTable vends table-scoped credentials that the table IO applies lazily") {
+    import graft.io.{FileIO, GatedFileSystem, StorageCredential}
+    val gwh = java.nio.file.Files.createTempDirectory("rest-vend").toString
+    // the server owns storage; table build happens under its identity
+    val serverTok = GatedFileSystem.issueToken(3600 * 1000L)
+    val serverCreds = GatedFileSystem.implOptions + (GatedFileSystem.TokenKey -> serverTok)
+    FileIO.registerCredentials("gated://", serverCreds)
+    val hc = spark.sparkContext.hadoopConfiguration
+    serverCreds.foreach { case (k, v) => hc.set(k, v) }
+    var fetches = 0
+    val vendor = (loc: String) => {
+      fetches += 1
+      Seq(StorageCredential("gated://", GatedFileSystem.implOptions +
+        (GatedFileSystem.TokenKey -> GatedFileSystem.issueToken(600 * 1000L)) +
+        ("expiration-time" -> (System.currentTimeMillis() + 600 * 1000L).toString)))
+    }
+    val srv = new RestCatalogServer(new HadoopCatalog(s"gated://$gwh"),
+      vendCredentials = Some(vendor)).start()
+    try {
+      val c = new RestCatalog(srv.uri)
+      val nation = spark.read.parquet(s"$sf/nation.parquet")
+      val t0 = c.createTable("vend", SchemaBridge.fromSpark(nation.schema),
+        PartitionSpec.Unpartitioned)
+      Writer.append(spark, t0, nation)
+      val t = c.loadTable("vend")
+      assert(t.ioCredentials.isDefined)
+      // strip every ambient credential: only the vended set remains
+      hc.unset(GatedFileSystem.TokenKey)
+      FileIO.unregisterCredentials("gated://")
+      GatedFileSystem.revoke(serverTok)
+      assert(SparkRead.read(spark, t.newScan).count() === 25)
+      assert(fetches >= 1)
+      // client-side WRITE under vended credentials only
+      val t2 = Writer.append(spark, t,
+        spark.read.parquet(s"$sf/nation.parquet"))
+      assert(SparkRead.read(spark, t2.newScan).count() === 50)
+      // without vending, the same read is denied at the manifests
+      val bare = new graft.table.Table(t.name, t.metadata, t.metadataPath, c)
+      FileIO.unregisterCredentials(t.metadata.location) // drop what refresh registered
+      intercept[Exception](SparkRead.read(spark, bare.newScan).count())
+    } finally {
+      srv.stop()
+      FileIO.unregisterCredentials("gated://")
+      hc.unset(GatedFileSystem.TokenKey)
+    }
+  }
 }
