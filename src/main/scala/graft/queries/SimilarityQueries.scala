@@ -103,6 +103,54 @@ object SimilarityQueries {
         .orderBy(col("qid"))
     }, Some("""
       SELECT vec_id + 1000000 AS qid, vec_id AS cid, 1.0 AS cosine
-      FROM embeddings ORDER BY qid"""))
+      FROM embeddings ORDER BY qid""")),
+
+    // kNN label agreement (quality probe for labeled embedding sets):
+    // leave-one-out 5-NN majority vote per vector, agreement vs its own
+    // label aggregated per class. The self-match always ranks 1 at cosine
+    // 1.0, so top-6-then-drop-self is exactly top-5 excluding self; ties in
+    // the vote break deterministically (highest count, then lowest label)
+    QueryDef("s6_knn_agreement", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = tbl(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val top = Similarity.bruteForceTopK(emb, emb, k = 6)
+        .filter(col("qid") =!= col("cid"))
+      val votes = top
+        .join(lbl.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "qlabel"), "qid")
+        .join(lbl.withColumnRenamed("vec_id", "cid").withColumnRenamed("label", "nlabel"), "cid")
+        .groupBy(col("qid"), col("qlabel"), col("nlabel"))
+        .agg(count(lit(1)).as("c"))
+      val pred = votes
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nlabel").asc)))
+        .filter(col("vr") === 1)
+      pred.groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L)).as("n_agree"))
+        .orderBy(col("label"))
+    }, Some("""
+      WITH p AS (
+        SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid, b.label AS nlabel,
+               (SELECT SUM(x * y) FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) z) /
+               (sqrt((SELECT SUM(x * x) FROM (SELECT UNNEST(a.embedding) AS x) za)) *
+                sqrt((SELECT SUM(y * y) FROM (SELECT UNNEST(b.embedding) AS y) zb))) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id <> b.vec_id),
+      r AS (
+        SELECT qid, qlabel, cid, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+        FROM p),
+      votes AS (
+        SELECT qid, qlabel, nlabel, COUNT(*) AS c FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT qid, qlabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel ASC) AS vr
+        FROM votes)
+      SELECT qlabel AS label, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM pred WHERE vr = 1
+      GROUP BY qlabel
+      ORDER BY label"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

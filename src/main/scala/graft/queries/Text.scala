@@ -249,6 +249,24 @@ object Text {
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       ORDER BY a.doc_id""")),
 
+    // stratified sampling (curation staple: "give me exactly k docs per
+    // language × source"): deterministic LCG order so the oracle draws the
+    // IDENTICAL sample; salted two-phase rank so no stratum ever serializes
+    // through one task at 100 TB (see Sampling.stratifiedTopK)
+    QueryDef("t12_stratified_sample", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.llm.Sampling.stratifiedTopK(docs, Seq("lang", "source"), "doc_id", k = 5)
+        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("source"), col("doc_id"))
+    }, Some("""
+      SELECT lang, source, doc_id, n_chars FROM (
+        SELECT lang, source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 5
+      ORDER BY lang, source, doc_id""")),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),
