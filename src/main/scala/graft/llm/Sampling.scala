@@ -20,25 +20,19 @@ object Sampling {
 
   /** Exact k-per-stratum sample.
     *
-    * Scale shape: a single `row_number` window serializes each stratum
-    * through one task's sort, and corpus strata are huge and few (a handful
-    * of languages × sources over 100 TB). The rank instead runs TWICE over
-    * salted sub-strata: phase 1 ranks within (stratum, salt) — `salts`×
-    * the parallelism, each sub-stratum a spillable sort — and keeps at most
-    * k·salts survivors per stratum; phase 2 ranks only those survivors, so
-    * its window input is bounded by k·salts·|strata| regardless of corpus
-    * size. Exact because the global k smallest of a stratum are each the
-    * smallest within their own salt bucket.
+    * Scale shape: `row_number <= k` compiles to a Partial/Final
+    * `WindowGroupLimit` pair (Spark's rank-limit pushdown): every map task
+    * keeps only its own k smallest per stratum BEFORE the exchange, so the
+    * shuffle carries at most k·tasks·|strata| rows no matter how large the
+    * corpus — the 100 TB stratum never travels, let alone sorts, whole.
+    * (Verified in the formatted plan: WindowGroupLimit Partial → Exchange →
+    * WindowGroupLimit Final; no manual salting needed.)
     */
   def stratifiedTopK(df: DataFrame, strata: Seq[String], idCol: String,
-      k: Int, salts: Int = 16): DataFrame = {
-    val order = Seq(lcg(col(idCol)).asc, col(idCol).asc)
-    val w1 = Window
-      .partitionBy(strata.map(col) :+ pmod(col(idCol), lit(salts.toLong)): _*)
-      .orderBy(order: _*)
-    val w2 = Window.partitionBy(strata.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rk1", row_number().over(w1)).filter(col("__rk1") <= k)
-      .withColumn("__rk", row_number().over(w2)).filter(col("__rk") <= k)
-      .drop("__rk1", "__rk")
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(lcg(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .drop("__rk")
   }
 }
