@@ -14,7 +14,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: Cli <warehouse> list | (describe|snapshots|files|partitions|read) <table> [n]")
+        "usage: Cli <warehouse> list | (describe|snapshots|files|partitions|read) <table> [n] | drop <table> [--purge]")
       sys.exit(2)
     }
     val warehouse = args(0)
@@ -51,6 +51,17 @@ object Cli {
       case "read" =>
         val n = if (args.length > 3) args(3).toInt else 20
         graft.table.SparkRead.read(spark, cat.loadTable(args(2)).newScan).show(n, truncate = false)
+      case "drop" =>
+        // --purge physically deletes the table's files first (reference
+        // PurgeFiles semantics, gc.enabled respected); plain drop only
+        // unregisters from the catalog
+        val name = args(2)
+        if (args.length > 3 && args(3) == "--purge") {
+          val purged = graft.table.Maintenance.purgeFiles(cat.loadTable(name))
+          println(s"purged ${purged.size} files")
+        }
+        cat.dropTable(name)
+        println(s"dropped $name")
       case other =>
         System.err.println(s"unknown command: $other")
         sys.exit(2)

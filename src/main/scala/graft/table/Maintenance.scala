@@ -292,6 +292,50 @@ object Maintenance {
       Option(u.getPath).getOrElse(""))
   }
 
+  /** Every file the table's metadata references, with data/delete files
+    * separated from metadata artifacts (reference `getReferencedFiles`,
+    * `table/orphan_cleanup.go:409-470`): the distinction lets purge respect
+    * `gc.enabled`, which protects data files but never metadata.
+    */
+  private def referencedFiles(table: Table): (Set[String], Set[String]) = {
+    val meta = table.metadata
+    import scala.collection.parallel.CollectionConverters._
+    val perSnap = meta.snapshots.par.map { s =>
+      val manifests = Manifests.readManifestList(s.manifestList)
+      val data = manifests.flatMap(m => Manifests.readManifest(m.path)._1.map(_.file.path))
+      (Seq(s.manifestList) ++ manifests.map(_.path), data)
+    }.seq
+    val metaFiles = perSnap.flatMap(_._1).toSet ++
+      meta.metadataLog.map(_.metadataFile) ++
+      Seq(table.metadataPath, s"${meta.location}/metadata/version-hint.text") ++
+      meta.statistics.map(_.path) ++
+      meta.partitionStatistics.map(_.path)
+    (perSnap.flatMap(_._2).toSet, metaFiles)
+  }
+
+  /** Physically delete a table's files for a drop-with-purge (reference
+    * `PurgeFiles`, `table/orphan_cleanup.go:957-1057`): the walk of the
+    * table location UNIONED with every referenced file — imported
+    * (`addFiles`) data can live outside the location root and must still
+    * go. `gc.enabled=false` protects data files (referenced-but-unwalked
+    * branched data would be unrecoverable) and deletes only metadata.
+    * Best-effort like the reference: individual misses never abort the
+    * drop, or the catalog ends up out of sync with storage.
+    */
+  def purgeFiles(table: Table): Seq[String] = {
+    val gcEnabled =
+      table.metadata.properties.getOrElse("gc.enabled", "true").toBoolean
+    val (dataRefs, metaRefs) = referencedFiles(table)
+    val walked: Seq[String] =
+      if (gcEnabled)
+        graft.io.FileIO.listFilesRecursive(table.metadata.location).map(_.path)
+      else Nil
+    val targets = (walked ++ metaRefs ++ (if (gcEnabled) dataRefs else Nil))
+      .map(graft.io.FileIO.canonical).distinct.sorted
+    graft.io.FileIO.deleteAll(targets)
+    targets
+  }
+
   /** List (and optionally delete) files under the table location that no
     * snapshot references and that are older than `olderThanMs` — the grace
     * period protects in-flight writes whose commit hasn't landed yet
@@ -309,19 +353,10 @@ object Maintenance {
       equalSchemes: Map[String, String] = Map.empty,
       equalAuthorities: Map[String, String] = Map.empty): Seq[String] = {
     val meta = table.metadata
+    // registered statistics artifacts are referenced, not orphans
     val referenced: Set[String] = {
-      import scala.collection.parallel.CollectionConverters._
-      val fromSnaps = meta.snapshots.par.flatMap { s =>
-        Seq(s.manifestList) ++ Manifests.readManifestList(s.manifestList).flatMap { m =>
-          val (entries, _) = Manifests.readManifest(m.path)
-          m.path +: entries.map(_.file.path)
-        }
-      }.seq.toSet
-      fromSnaps ++
-        meta.metadataLog.map(_.metadataFile) ++
-        // registered statistics artifacts are referenced, not orphans
-        meta.statistics.map(_.path) ++
-        meta.partitionStatistics.map(_.path)
+      val (dataRefs, metaRefs) = referencedFiles(table)
+      dataRefs ++ metaRefs
     }
     def split(p: String) = splitUri(p, equalSchemes, equalAuthorities)
     val referencedCanon: Set[String] = referenced.map(graft.io.FileIO.canonical)
