@@ -251,8 +251,9 @@ object Text {
 
     // stratified sampling (curation staple: "give me exactly k docs per
     // language × source"): deterministic LCG order so the oracle draws the
-    // IDENTICAL sample; salted two-phase rank so no stratum ever serializes
-    // through one task at 100 TB (see Sampling.stratifiedTopK)
+    // IDENTICAL sample; row_number<=k compiles to Partial/Final
+    // WindowGroupLimit so no stratum ever travels whole (see
+    // Sampling.stratifiedTopK)
     QueryDef("t12_stratified_sample", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       graft.llm.Sampling.stratifiedTopK(docs, Seq("lang", "source"), "doc_id", k = 5)
@@ -266,6 +267,51 @@ object Text {
         FROM documents) t
       WHERE rk <= 5
       ORDER BY lang, source, doc_id""")),
+
+    // benchmark decontamination (training-data hygiene: drop corpus docs
+    // that share any word 8-gram with an eval/benchmark set): explode
+    // benchmark grams (tiny side, broadcast), semi-join the corpus grams
+    // against them, report per-source contamination. At 100 TB the corpus
+    // side streams through the broadcast semi-join — no shuffle of the
+    // exploded grams; in production the gram strings would hash to longs
+    // first, which changes bytes moved but not this plan shape
+    QueryDef("t13_decontaminate", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      def grams(n: Int) = expr(
+        s"""transform(sequence(1, greatest(0, size(split(text, ' ')) - ${n - 1})),
+            i -> array_join(slice(split(text, ' '), i, $n), ' '))""")
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(explode(grams(8)).as("gram")).distinct()
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val contaminated = corpus
+        .select(col("doc_id"), explode(grams(8)).as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      corpus
+        .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+      bg AS (
+        SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, greatest(0, len(words) - 7))) AS t(i)
+        WHERE doc_id < 20),
+      cg AS (
+        SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, greatest(0, len(words) - 7))) AS t(i)
+        WHERE doc_id >= 20),
+      hits AS (
+        SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bg))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      FROM documents
+      WHERE doc_id >= 20
+      GROUP BY source
+      ORDER BY source""")),
 
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
