@@ -1848,6 +1848,72 @@ object IcebergQueries {
              'true' AS udf_roundtrip
       FROM customer
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // rollback-to-snapshot + format-version upgrade (reference
+    // `table/transaction.go:326-351` RollbackToSnapshot, `table/metadata.go:
+    // 766-800` SetFormatVersion, `cmd/iceberg/upgrade_rollback.go`): roll
+    // main back to an ancestor — intermediate snapshots stay addressable by
+    // id (no history loss), non-ancestor targets are rejected — then walk
+    // the format version 2→3 with downgrade and >max rejected
+    QueryDef.staged("i58_rollback_upgrade", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/rb_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val a = c.filter(col("c_custkey") <= 100)
+      val b = c.filter(col("c_custkey") > 100 && col("c_custkey") <= 200)
+      val schema = SchemaBridge.fromSpark(a.schema)
+      val t1 = Writer.append(s, cat.createTable("cust_rb", schema,
+        PartitionSpec.Unpartitioned), a)
+      val snapA = t1.metadata.currentSnapshotId.get
+      val t2 = Writer.append(s, t1, b)
+      val snapB = t2.metadata.currentSnapshotId.get
+      // a target that is not an ancestor of current must be rejected
+      val nonAncestorRejected =
+        try { Evolve.rollbackTo(t2, snapB + 7919); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("not an ancestor") }
+      val t3 = Evolve.rollbackTo(t2, snapA)
+      // rollback moves main but RETAINS the rolled-past snapshot: it stays
+      // readable by explicit id (reference keeps it until expiry)
+      val retained = t3.metadata.snapshotById(snapB).isDefined &&
+        SparkRead.read(s, t3.newScan.useSnapshot(snapB)).count() == a.count() + b.count()
+      val logGrew = t3.metadata.snapshotLog.count(_.snapshotId == snapA) == 2 &&
+        t3.metadata.refs("main").snapshotId == snapA
+      // format version: 2 -> 3 commits, downgrade and >max are rejected,
+      // same-version is a no-op commit-wise
+      val t4 = Evolve.upgradeFormatVersion(t3, 3)
+      val versionBefore = t4.currentVersion
+      val upgradeOk = t4.metadata.formatVersion == 3 &&
+        Evolve.upgradeFormatVersion(t4, 3).currentVersion == versionBefore
+      val downgradeRejected =
+        try { Evolve.upgradeFormatVersion(t4, 2); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("downgrading") }
+      val overMaxRejected =
+        try { Evolve.upgradeFormatVersion(t4, 4); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("unsupported format version") }
+      // the timed read sees ONLY batch A — main is rolled back
+      () => SparkRead.read(s, t4.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), d(sum(col("c_custkey"))).as("key_sum"))
+        .withColumn("non_ancestor_rejected", lit(nonAncestorRejected.toString))
+        .withColumn("snapshots_retained", lit(retained.toString))
+        .withColumn("main_moved", lit(logGrew.toString))
+        .withColumn("upgrade_ok", lit(upgradeOk.toString))
+        .withColumn("downgrade_rejected", lit(downgradeRejected.toString))
+        .withColumn("over_max_rejected", lit(overMaxRejected.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(c_custkey) AS DOUBLE) AS key_sum,
+             'true' AS non_ancestor_rejected, 'true' AS snapshots_retained,
+             'true' AS main_moved, 'true' AS upgrade_ok,
+             'true' AS downgrade_rejected, 'true' AS over_max_rejected
+      FROM customer
+      WHERE c_custkey <= 100
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

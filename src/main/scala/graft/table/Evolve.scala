@@ -261,6 +261,53 @@ object Evolve {
       properties = table.metadata.properties -- keys,
       lastUpdatedMs = System.currentTimeMillis()))
 
+  /** Roll the main branch back to an ancestor snapshot (reference
+    * `table/transaction.go:326-351` RollbackToSnapshot).
+    *
+    * The target must be an ancestor of the current snapshot; intermediate
+    * snapshots stay in the metadata (they remain reachable by id / refs
+    * until expired), only the main ref and current-snapshot pointer move.
+    * The CAS commit on the base metadata version subsumes the reference's
+    * AssertRefSnapshotID requirement: a concurrent main-branch commit
+    * changes the metadata version and the rollback retries/fails there.
+    */
+  def rollbackTo(table: Table, snapshotId: Long): Table = {
+    val meta = table.metadata
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot rollback: table has no current snapshot"))
+    if (current.snapshotId == snapshotId) return table
+    require(
+      Inspect.ancestorsOf(table, current.snapshotId).exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId is not an ancestor of current snapshot ${current.snapshotId}")
+    val now = System.currentTimeMillis()
+    val mainRef = meta.refs.get("main") match {
+      case Some(r) => r.copy(snapshotId = snapshotId)
+      case None    => SnapshotRef(snapshotId, "branch", None, None, None)
+    }
+    commitMetadata(table, meta.copy(
+      currentSnapshotId = Some(snapshotId),
+      refs = meta.refs.updated("main", mainRef),
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
+      lastUpdatedMs = now))
+  }
+
+  /** Upgrade the table format version (reference `table/metadata.go:766-800`
+    * SetFormatVersion): downgrades rejected, max supported version 3,
+    * same-version is a no-op. The v2→v3 row-id seed (`nextRowID`) and the
+    * v1→v2 sequence number are always-present fields in our metadata model,
+    * so no backfill is needed beyond the version bump.
+    */
+  def upgradeFormatVersion(table: Table, version: Int): Table = {
+    val meta = table.metadata
+    require(version >= meta.formatVersion,
+      s"downgrading format version from ${meta.formatVersion} to $version is not allowed")
+    require(version <= 3, s"unsupported format version: $version (max 3)")
+    if (version == meta.formatVersion) table
+    else commitMetadata(table, meta.copy(
+      formatVersion = version,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
   private def commitMetadata(table: Table, updated: TableMetadata): Table = {
     table.catalog.commit(table.name, table.metadata, updated, table.currentVersion)
     table.refresh()

@@ -117,4 +117,46 @@ class EvolveSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t3 = Writer.append(spark, t2, nation.limit(5))
     assert(SparkRead.read(spark, t3.newScan).count() === 30)
   }
+
+  test("rollbackTo moves main to an ancestor and retains rolled-past snapshots") {
+    val t1 = freshNation("ev_rollback")
+    val snapA = t1.metadata.currentSnapshotId.get
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val t2 = Writer.append(spark, t1, nation.limit(5))
+    val snapB = t2.metadata.currentSnapshotId.get
+
+    // non-ancestor target rejected (reference transaction.go:343-346)
+    val err = intercept[IllegalArgumentException](Evolve.rollbackTo(t2, snapB + 1))
+    assert(err.getMessage.contains("not an ancestor"))
+
+    val t3 = Evolve.rollbackTo(t2, snapA)
+    assert(t3.metadata.currentSnapshotId === Some(snapA))
+    assert(t3.metadata.refs("main").snapshotId === snapA)
+    assert(SparkRead.read(spark, t3.newScan).count() === 25)
+    // snapB stays addressable by id until expired
+    assert(t3.metadata.snapshotById(snapB).isDefined)
+    assert(SparkRead.read(spark, t3.newScan.useSnapshot(snapB)).count() === 30)
+    // rollback appends to the snapshot log rather than rewriting history
+    assert(t3.metadata.snapshotLog.last.snapshotId === snapA)
+    // same-target rollback is a no-op (no new metadata version)
+    val v = t3.currentVersion
+    assert(Evolve.rollbackTo(t3, snapA).currentVersion === v)
+  }
+
+  test("upgradeFormatVersion bumps 2->3, rejects downgrade and >max") {
+    val t1 = freshNation("ev_upgrade")
+    assert(t1.metadata.formatVersion === 2)
+    val t2 = Evolve.upgradeFormatVersion(t1, 3)
+    assert(t2.metadata.formatVersion === 3)
+    // no-op on same version: metadata version unchanged
+    assert(Evolve.upgradeFormatVersion(t2, 3).currentVersion === t2.currentVersion)
+    assert(intercept[IllegalArgumentException](
+      Evolve.upgradeFormatVersion(t2, 2)).getMessage.contains("downgrading"))
+    assert(intercept[IllegalArgumentException](
+      Evolve.upgradeFormatVersion(t2, 4)).getMessage.contains("unsupported"))
+    // the upgraded table still reads and accepts writes
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val t3 = Writer.append(spark, t2, nation.limit(3))
+    assert(SparkRead.read(spark, t3.newScan).count() === 28)
+  }
 }
