@@ -163,4 +163,67 @@ object TextStats {
 
   def fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => fingerprint64(t))
+
+  /** Gopher-style word-repetition quality signals (Rae et al. 2021 §A1.1:
+    * duplicate-fraction and top-n-gram-coverage filters), computed per
+    * document from pure array expressions — no UDF, no shuffle, O(doc)
+    * per row (the top-frequency scan is O(distinct·words) on short-doc
+    * corpora; both factors are bounded by document length, so the operator
+    * is embarrassingly parallel at 100 TB).
+    *
+    * Adds integer-valued signal columns so downstream aggregation can stay
+    * in exact arithmetic; callers derive fractions at the end:
+    *   - `n_words`, `n_distinct_words`: duplicate-word fraction
+    *   - `top_word_freq`: top-unigram coverage
+    *   - `n_bigrams`, `n_distinct_bigrams`: duplicate-bigram fraction
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val total = size(words)
+    // most-frequent-word count: for each distinct word, count occurrences
+    val topFreq = array_max(transform(array_distinct(words),
+      w => size(filter(words, x => x === w))))
+    // word bigrams: pair element i of the head slice with word i+1
+    // (transform's lambda index is 0-based, element_at is 1-based)
+    val bigrams = transform(slice(words, lit(1), total - 1),
+      (w, i) => concat_ws(" ", w, element_at(words, i + 2)))
+    docs
+      .withColumn("n_words", total.cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(words)).cast("long"))
+      .withColumn("top_word_freq", topFreq.cast("long"))
+      .withColumn("n_bigrams", size(bigrams).cast("long"))
+      .withColumn("n_distinct_bigrams", size(array_distinct(bigrams)).cast("long"))
+  }
+
+  /** Corpus TF-IDF keyword extraction: the top-k terms per document, ranked
+    * by term frequency with document frequency (rarity) and term text as
+    * exact integer/string tie-breaks — no floating-point IDF, so results
+    * are deterministic and oracle-comparable.
+    *
+    * Shape at 100 TB: tokenize+explode is map-side; TF is one shuffle on
+    * (doc, word) with partial aggregation. The TF set is localCheckpointed
+    * because both the DF aggregation and the join consume it — without the
+    * checkpoint Spark re-runs the whole tokenize+TF subtree for the DF side
+    * (verified: AQE does NOT reuse the exchange here), doubling the corpus
+    * scan. DF then reduces the checkpointed set to the vocabulary (tiny),
+    * which AQE broadcasts back onto TF — a window `count over (partition by
+    * word)` would avoid the join but piles every occurrence of a stopword
+    * into one partition (unbounded skew); the two-level aggregate keeps
+    * map-side partials. The final top-k is a per-document window with
+    * WindowGroupLimit pushdown, so only k rows per doc survive the sort.
+    */
+  def topTfIdfTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    val tf = tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(dfreq, "word")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("word").as("term"), col("tf"), col("df"), col("rank"))
+  }
 }

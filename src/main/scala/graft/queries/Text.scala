@@ -313,6 +313,69 @@ object Text {
       GROUP BY source
       ORDER BY source""")),
 
+    // Gopher-style repetition filters (duplicate-word/bigram fraction,
+    // top-unigram coverage): per-doc signals are pure array expressions;
+    // aggregation sums exact integers per source and divides once at the
+    // end, so Spark and DuckDB agree bit-for-bit. `n_repetitive` counts
+    // docs whose top word covers >10% of the text — the integer-compare
+    // form (topFreq*10 > nWords) keeps the threshold exact too.
+    QueryDef("t14_repetition", (s, dir) => {
+      val sig = TextStats.repetitionSignals(tbl(s, dir, "documents"))
+      sig.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (d(sum(col("n_words") - col("n_distinct_words"))) / d(sum(col("n_words"))))
+            .as("dup_word_frac"),
+          (d(sum(col("top_word_freq"))) / d(sum(col("n_words"))))
+            .as("top_word_frac"),
+          (d(sum(col("n_bigrams") - col("n_distinct_bigrams"))) / d(sum(col("n_bigrams"))))
+            .as("dup_bigram_frac"),
+          sum(when(col("top_word_freq") * 10 > col("n_words"), 1L).otherwise(0L))
+            .as("n_repetitive"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH sig AS (
+        SELECT source,
+          string_split(text, ' ') AS w,
+          len(string_split(text, ' ')) AS total,
+          len(list_distinct(string_split(text, ' '))) AS dn,
+          list_max(list_transform(list_distinct(string_split(text, ' ')),
+            x -> len(list_filter(string_split(text, ' '), y -> y = x)))) AS topf
+        FROM documents),
+      big AS (
+        SELECT source, total, dn, topf,
+          list_transform(w[1:len(w)-1], (x, i) -> x || ' ' || w[i+1]) AS bg
+        FROM sig)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(total - dn) AS DOUBLE) / CAST(SUM(total) AS DOUBLE) AS dup_word_frac,
+        CAST(SUM(topf) AS DOUBLE) / CAST(SUM(total) AS DOUBLE) AS top_word_frac,
+        CAST(SUM(len(bg) - len(list_distinct(bg))) AS DOUBLE)
+          / CAST(SUM(len(bg)) AS DOUBLE) AS dup_bigram_frac,
+        CAST(SUM(CASE WHEN topf * 10 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      FROM big
+      GROUP BY source
+      ORDER BY source""")),
+
+    // corpus TF-IDF keyword extraction: top term per document ranked by
+    // (tf desc, df asc, term asc) — exact integer/string ordering, no
+    // floating-point IDF, so the full per-doc result hash-matches DuckDB
+    QueryDef("t15_tfidf_terms", (s, dir) => {
+      TextStats.topTfIdfTerms(tbl(s, dir, "documents"), k = 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+      dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      ranked AS (
+        SELECT doc_id, word, tf.tf, dfr.df,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tf.tf DESC, dfr.df ASC, word ASC) AS rn
+        FROM tf JOIN dfr USING (word))
+      SELECT doc_id, word AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      FROM ranked WHERE rn = 1
+      ORDER BY doc_id""")),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),

@@ -18,7 +18,17 @@ object ExplainQuery {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"===== $name =====")
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.explain("formatted")
+      if (sys.env.contains("SPARK_GRAFT_EXEC")) {
+        // execute, then re-explain: AQE only shows runtime decisions
+        // (broadcast conversion, exchange reuse, skew splits) in the FINAL
+        // plan — the pre-execution plan can both hide reuse and overstate
+        // shuffles
+        df.write.format("noop").mode("overwrite").save()
+        println(s"----- $name (final adaptive plan) -----")
+        df.explain("formatted")
+      }
     }
     spark.stop()
   }

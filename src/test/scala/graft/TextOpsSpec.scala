@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.TextStats
+
+/** Edge cases for the DataFrame-level text operators (the happy path is
+  * oracle-gated in t14/t15): degenerate documents and deterministic
+  * tie-breaking.
+  */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("repetitionSignals handles single-word and fully-repeated docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "only"),                    // one word, zero bigrams
+      (2L, "spam spam spam spam"),     // fully repeated
+      (3L, "a b c d")                  // no repetition
+    ).toDF("doc_id", "text")
+    val sig = TextStats.repetitionSignals(df)
+      .select("doc_id", "n_words", "n_distinct_words", "top_word_freq",
+        "n_bigrams", "n_distinct_bigrams")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(sig(1L).getLong(1) === 1 && sig(1L).getLong(3) === 1)
+    assert(sig(1L).getLong(4) === 0) // no bigrams from a single word
+    assert(sig(2L).getLong(2) === 1 && sig(2L).getLong(3) === 4) // 1 distinct, top=4
+    assert(sig(2L).getLong(5) === 1) // "spam spam" x3 -> 1 distinct bigram
+    assert(sig(3L).getLong(1) === sig(3L).getLong(2)) // all distinct
+    assert(sig(3L).getLong(4) === 3 && sig(3L).getLong(5) === 3)
+  }
+
+  test("topTfIdfTerms breaks tf ties by rarity then term text") {
+    import spark.implicits._
+    // "rare" and "word" both appear twice in doc 1; "word" is in both docs
+    // (df=2) while "rare" is only in doc 1 (df=1) -> rarity wins
+    val df = Seq(
+      (1L, "rare word rare word filler"),
+      (2L, "word other things here")
+    ).toDF("doc_id", "text")
+    val top = TextStats.topTfIdfTerms(df, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "rare")
+    // doc 2: all tf=1, all df=1 except "word" (df=2) -> lexicographic
+    // smallest among the rarest: "here"
+    assert(top(2L) === "here")
+  }
+}
