@@ -54,4 +54,28 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // smallest among the rarest: "here"
     assert(top(2L) === "here")
   }
+
+  test("packByTokenBudget: bins respect the boundary-crossing rule and shards partition cleanly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => (i, "s", 10L + i % 7)).toDF("doc_id", "source", "ntok")
+    val packed = graft.llm.Packing.packByTokenBudget(
+      docs, budget = 100L, tokens = col("ntok"))
+      .select("doc_id", "pack_bin", "pack_tokens").collect()
+    assert(packed.length === 200) // every doc assigned
+    // per-bin fill: >= budget only via the one straddling doc; a bin never
+    // exceeds budget + max doc tokens
+    val byBin = packed.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byBin.values.forall(_ <= 100L + 16L))
+    // every bin except the last is filled past... at least to budget - maxdoc
+    val bins = byBin.toSeq.sortBy(_._1)
+    assert(bins.dropRight(1).forall(_._2 >= 100L - 16L))
+    // sharded: packing stays deterministic and bins never span shards
+    val sharded = graft.llm.Packing.packByTokenBudget(
+      docs, budget = 100L, tokens = col("ntok"), shards = 4)
+      .select("doc_id", "pack_shard", "pack_bin").collect()
+    assert(sharded.map(_.getLong(0)).toSet.size === 200)
+    val shardsSeen = sharded.map(_.getLong(1)).toSet
+    assert(shardsSeen.subsetOf(Set(0L, 1L, 2L, 3L)) && shardsSeen.size > 1)
+  }
 }
