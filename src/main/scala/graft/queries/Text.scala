@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, TextStats}
+import graft.llm.{Dedup, Multimodal, Packing, TextStats}
 import Q._
 
 /** LLM-corpus text operators over the `documents` table. Queries whose
@@ -375,6 +375,124 @@ object Text {
       SELECT doc_id, word AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
       FROM ranked WHERE rn = 1
       ORDER BY doc_id""")),
+
+    // token-budget sequence packing (training context-window assembly):
+    // boundary-crossing prefix-sum packing into 512-token bins per source;
+    // all outputs are exact integers, so the full per-source bin stats
+    // hash-match the oracle
+    QueryDef("t16_pack_tokens", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ntok = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1))
+      Packing.packByTokenBudget(docs, budget = 512L, tokens = ntok)
+        .groupBy(col("source"), col("pack_bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pack_tokens")).as("bin_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("bin_tokens")).as("total_tokens"),
+          max(col("bin_tokens")).as("max_bin_tokens"),
+          min(col("bin_tokens")).as("min_bin_tokens"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ntok
+        FROM documents),
+      cum AS (
+        SELECT source, doc_id, ntok,
+          SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d),
+      bins AS (
+        SELECT source, (cum - ntok) // 512 AS bin,
+               COUNT(*) AS n_docs, SUM(ntok) AS bin_tokens
+        FROM cum GROUP BY source, bin)
+      SELECT source, COUNT(*) AS n_bins,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+        CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+        CAST(MIN(bin_tokens) AS BIGINT) AS min_bin_tokens
+      FROM bins
+      GROUP BY source
+      ORDER BY source""")),
+
+    // flagship end-to-end curation pipeline: the library's operators
+    // composed the way a training-data job actually runs them —
+    // quality filter → exact dedup (doubled corpus) → benchmark
+    // decontamination → stratified sample → token-budget packing. Every
+    // stage is the same code path as its standalone gate (t1/t12/t13/t16),
+    // and the whole composition still hash-matches DuckDB end to end.
+    QueryDef("t17_curation_pipeline", (s, dir) => {
+      val ntok = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1))
+      // 1. quality gate: keep mid-length docs (30..90 whitespace tokens)
+      val quality = doubled(s, dir)
+        .withColumn("ntok", ntok.cast("long"))
+        .filter(col("ntok") >= 30 && col("ntok") <= 90)
+      // 2. exact dedup folds the doubled corpus back to originals
+      val deduped = Dedup.exact(quality, Seq("text"), "doc_id")
+      // 3. decontaminate vs the benchmark slice (doc_id < 20): any doc
+      // sharing a word 8-gram is dropped — including the bench docs
+      def grams8 = expr(
+        """transform(sequence(1, greatest(0, size(split(text, ' ')) - 7)),
+            i -> array_join(slice(split(text, ' '), i, 8), ' '))""")
+      val bench = tbl(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(explode(grams8).as("gram")).distinct()
+      val contaminated = deduped
+        .select(col("doc_id"), explode(grams8).as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. deterministic stratified sample: 10 docs per source
+      val sampled = graft.llm.Sampling.stratifiedTopK(clean, Seq("source"), "doc_id", k = 10)
+      // 5. pack the sample into 256-token training bins
+      Packing.packByTokenBudget(sampled, budget = 256L, tokens = col("ntok"))
+        .groupBy(col("source"), col("pack_bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pack_tokens")).as("bin_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("bin_tokens")).as("total_tokens"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT doc_id + 1000000, text, source FROM documents),
+      q AS (
+        SELECT doc_id, text, source,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ntok
+        FROM u
+        WHERE length(text) - length(replace(text, ' ', '')) + 1 BETWEEN 30 AND 90),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+      dd AS (SELECT q.doc_id, q.text, q.source, q.ntok FROM q JOIN keep USING (doc_id)),
+      w AS (SELECT doc_id, source, ntok, string_split(text, ' ') AS words FROM dd),
+      bw AS (SELECT string_split(text, ' ') AS words FROM documents WHERE doc_id < 20),
+      bg AS (SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS gram
+             FROM bw, UNNEST(generate_series(1, greatest(0, len(words) - 7))) AS t(i)),
+      hits AS (SELECT DISTINCT doc_id
+               FROM w, UNNEST(generate_series(1, greatest(0, len(words) - 7))) AS t(i)
+               WHERE array_to_string(words[i:i+7], ' ') IN (SELECT gram FROM bg)),
+      clean AS (SELECT doc_id, source, ntok FROM w
+                WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+      samp AS (
+        SELECT source, doc_id, ntok FROM (
+          SELECT source, doc_id, ntok,
+            row_number() OVER (PARTITION BY source
+              ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+          FROM clean) t WHERE rk <= 10),
+      cum AS (
+        SELECT source, doc_id, ntok,
+          SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM samp),
+      bins AS (
+        SELECT source, (cum - ntok) // 256 AS bin,
+               COUNT(*) AS n_docs, SUM(ntok) AS bin_tokens
+        FROM cum GROUP BY source, bin)
+      SELECT source, COUNT(*) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens
+      FROM bins
+      GROUP BY source
+      ORDER BY source""")),
 
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
