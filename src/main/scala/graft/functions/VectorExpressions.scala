@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst dot product over two numeric arrays (float or double
+  * elements, mixed allowed), accumulated in double.
+  *
+  * This is the hot inner loop of every similarity operator (s2/s4/s5/s6
+  * compute O(pairs·dim) of it). The higher-order-function formulation
+  * (`aggregate(zip_with(...))`) is evaluated interpreted, one closure call
+  * per element; this expression compiles to a tight scalar loop inside
+  * whole-stage codegen — same IEEE result (sequential left-to-right double
+  * accumulation), ~two orders of magnitude less per-element overhead, and
+  * float inputs are read directly instead of materializing a casted copy
+  * of each array.
+  *
+  * Vectors are expected dense and non-null per element (embedding columns);
+  * mismatched lengths dot the common prefix.
+  */
+final case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot_product needs array<float|double> children, got $other")
+  }
+  private lazy val lFloat = elemIsFloat(left)
+  private lazy val rFloat = elemIsFloat(right)
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val gx = if (lFloat) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
+      val gy = if (rFloat) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      s"""
+        |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |double acc = 0.0;
+        |for (int i = 0; i < n; i++) { acc += $gx * $gy; }
+        |${ev.value} = acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the vector expressions. */
+object VectorFunctions {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Euclidean norm; one codegen'd pass. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+}

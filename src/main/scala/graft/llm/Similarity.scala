@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double arrays (codegen'd, no UDF). */
+  /** Cosine similarity between two float/double arrays via the native
+    * [[graft.functions.DotProduct]] expression — a codegen'd scalar loop,
+    * not interpreted higher-order functions (identical IEEE result:
+    * sequential double accumulation). Prefer precomputing each side's norm
+    * once when the same vector meets many partners (see bruteForceTopK).
+    */
   def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    import graft.functions.VectorFunctions.{dot, norm}
+    dot(a, b) / (norm(a) * norm(b))
   }
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -47,10 +50,16 @@ object Similarity {
     require(nq <= BruteForceMaxQueries,
       s"bruteForceTopK: query side has > $BruteForceMaxQueries rows; " +
         "this exact path is O(|Q|*|C|) — use lshTopK for large query sets")
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    import graft.functions.VectorFunctions.{dot, norm}
+    // norms are computed ONCE per row on each side (|Q| + |C| passes), not
+    // per pair (|Q|·|C| passes); float arrays feed the dot product directly
+    // — no casted copy of every vector
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val pairs = c.crossJoin(broadcast(q))
-      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("qid"), col("cid"), col("cos"))
     topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
       .withColumn("cosine", round(col("cos"), 6))
