@@ -35,4 +35,28 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Domain-mixture resampling: replicate or thin each document according
+    * to a per-row rate (the "epochs" column of a training-mixture spec —
+    * e.g. Wikipedia ×2.5, CommonCrawl ×0.5). A rate of 2.5 emits 2 copies
+    * of every doc plus a 3rd for a deterministic half of them; 0.5 keeps a
+    * deterministic half. The fractional part is decided by the same
+    * engine-portable LCG as [[stratifiedTopK]], against 1000 buckets, so
+    * rates are honored to 1/1000 and a SQL oracle reproduces the exact
+    * row set. Use binary-exact rates (k/1000 with exact double
+    * representation) to keep the bucket compare engine-identical.
+    *
+    * Scale shape: pure map-side — a filter plus a bounded `sequence`
+    * explode; no shuffle, no state. `epoch_copy` (1-based) disambiguates
+    * replicas downstream.
+    */
+  def weightedResample(df: DataFrame, rate: Column, idCol: String): DataFrame = {
+    val copies = (floor(rate).cast("long") +
+      when(pmod(lcg(col(idCol)), lit(1000L)) < ((rate - floor(rate)) * 1000).cast("long"),
+        1L).otherwise(0L)).as("n_copies")
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch_copy", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
 }

@@ -494,6 +494,46 @@ object Text {
       GROUP BY source
       ORDER BY source""")),
 
+    // domain-mixture resampling (training mixture weights, e.g. wiki ×2.5,
+    // crawl ×0.5): whole copies plus an LCG-decided extra for the
+    // fractional part, exploded map-side — no shuffle. Even-numbered
+    // sources upsample 2.5×, odd downsample 0.5×; row counts, unique-doc
+    // counts and token totals are exact integers for the hash compare
+    QueryDef("t18_mixture_resample", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ntok = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1))
+      val rate = when(substring(col("source"), 4, 10).cast("int") % 2 === 0, lit(2.5))
+        .otherwise(lit(0.5))
+      graft.llm.Sampling.weightedResample(
+          docs.withColumn("ntok", ntok.cast("long")), rate, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_unique"),
+          sum(col("ntok")).as("total_tokens"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH rated AS (
+        SELECT doc_id, source,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ntok,
+          CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 2.5 ELSE 0.5 END AS rate
+        FROM documents),
+      copied AS (
+        SELECT doc_id, source, ntok,
+          CAST(floor(rate) AS BIGINT) +
+            CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 1000
+                   < CAST((rate - floor(rate)) * 1000 AS BIGINT)
+              THEN 1 ELSE 0 END AS n
+        FROM rated),
+      exploded AS (
+        SELECT doc_id, source, ntok, UNNEST(generate_series(1, n)) AS epoch_copy
+        FROM copied WHERE n > 0)
+      SELECT source, COUNT(*) AS n_rows,
+        COUNT(DISTINCT doc_id) AS n_unique,
+        CAST(SUM(ntok) AS BIGINT) AS total_tokens
+      FROM exploded
+      GROUP BY source
+      ORDER BY source""")),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),

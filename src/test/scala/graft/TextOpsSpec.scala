@@ -78,4 +78,24 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shardsSeen = sharded.map(_.getLong(1)).toSet
     assert(shardsSeen.subsetOf(Set(0L, 1L, 2L, 3L)) && shardsSeen.size > 1)
   }
+
+  test("weightedResample honors whole and fractional rates deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 1000L).map(i => (i, "s")).toDF("doc_id", "source")
+    // rate 3.0: exactly 3 copies of everything
+    val exact = graft.llm.Sampling.weightedResample(docs, lit(3.0), "doc_id")
+    assert(exact.count() === 3000)
+    assert(exact.groupBy("doc_id").count().filter(col("count") =!= 3).count() === 0)
+    // rate 0.25: a fixed ~quarter survives, exactly once each
+    val thin = graft.llm.Sampling.weightedResample(docs, lit(0.25), "doc_id")
+    val n = thin.count()
+    assert(n > 150 && n < 350, s"expected ~250 rows, got $n")
+    // deterministic: same input -> same row set
+    val again = graft.llm.Sampling.weightedResample(docs, lit(0.25), "doc_id")
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      thin.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // rate 0: empty, no crash from sequence(1, 0)
+    assert(graft.llm.Sampling.weightedResample(docs, lit(0.0), "doc_id").count() === 0)
+  }
 }
