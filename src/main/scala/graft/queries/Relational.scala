@@ -221,6 +221,75 @@ object Relational {
              CAST(SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY 1, 2
-      ORDER BY h, event_type"""))
+      ORDER BY h, event_type""")),
+
+    // as-of join (clicks enriched with the user's latest prior purchase):
+    // one shuffle on user_id, forward-fill window — no per-row range probe.
+    // DuckDB's native ASOF JOIN is the oracle, so the operator's semantics
+    // (<= match, left-outer, latest-wins) are checked against an
+    // independent implementation, not our own definition
+    QueryDef("q10_asof_join", (s, dir) => {
+      val e = tbl(s, dir, "events") // ts read as ns-long
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Events.asofJoin(clicks, purchases, "user_id", "ts", Seq("value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("value_asof")).as("n_matched"),
+          d(sum(dec(coalesce(col("value_asof"), lit(0.0))))).as("sum_prior_purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH clicks AS (
+        SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS tns
+        FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS tns, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, COUNT(*) AS n_clicks, COUNT(p.value) AS n_matched,
+        CAST(SUM(CAST(COALESCE(p.value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_prior_purchase
+      FROM clicks c
+      ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.tns >= p.tns
+      GROUP BY c.user_id
+      ORDER BY c.user_id""")),
+
+    // gap sessionization (30-minute inactivity breaks a session): lag to
+    // flag starts + running sum to number them, both windows on one
+    // exchange+sort of user_id
+    QueryDef("q11_sessionize", (s, dir) => {
+      val e = tbl(s, dir, "events").select(col("user_id"), col("ts"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      graft.operators.Events.sessionize(e, "user_id", "ts", gapNs)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("ts")) - min(col("ts"))) / lit(1000000000L)).cast("long").as("dur_s"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("dur_s")).as("max_dur_s"),
+          sum(col("dur_s")).as("total_dur_s"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS tns FROM events),
+      lagged AS (
+        SELECT user_id, tns,
+          CASE WHEN LAG(tns) OVER (PARTITION BY user_id ORDER BY tns) IS NULL
+               OR tns - LAG(tns) OVER (PARTITION BY user_id ORDER BY tns) > 1800000000000
+          THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+      sess AS (
+        SELECT user_id, tns,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM lagged),
+      per AS (
+        SELECT user_id, sess_id, COUNT(*) AS n_events,
+               (MAX(tns) - MIN(tns)) // 1000000000 AS dur_s
+        FROM sess GROUP BY user_id, sess_id)
+      SELECT COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
+        CAST(MAX(dur_s) AS BIGINT) AS max_dur_s,
+        CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
+      FROM per"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

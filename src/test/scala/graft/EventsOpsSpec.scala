@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Events
+
+/** Edge semantics for the event-stream operators (happy path is oracle-gated
+  * in q10/q11 against DuckDB's native ASOF JOIN).
+  */
+class EventsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("asofJoin: <= match, same-instant wins, no-prior stays null, latest wins") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, "c1"), (1L, 50L, "c0"), (1L, 10L, "cEarly"), (2L, 5L, "cOther"))
+      .toDF("user", "t", "name")
+    val buys = Seq((1L, 50L, 7.0), (1L, 90L, 9.0), (3L, 1L, 99.0))
+      .toDF("user", "t", "price")
+    val out = Events.asofJoin(clicks, buys, "user", "t", Seq("price"))
+      .select("name", "price_asof").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("c1") === Some(9.0))     // latest prior (90 < 100), not 50
+    assert(out("c0") === Some(7.0))     // same instant matches (<=)
+    assert(out("cEarly") === None)      // nothing at or before t=10
+    assert(out("cOther") === None)      // user 2 has no purchases at all
+  }
+
+  test("sessionize: gap splits, equal timestamps share a session, ids dense per key") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 10L), (1L, 10L), (1L, 200L), (2L, 0L), (2L, 500L))
+      .toDF("user", "t")
+    val out = Events.sessionize(df, "user", "t", gap = 100L)
+      .select("user", "t", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 0L)) === 1 && out((1L, 10L)) === 1)
+    assert(out((1L, 200L)) === 2)          // 190 > 100 gap
+    assert(out((2L, 0L)) === 1 && out((2L, 500L)) === 2) // per-key numbering
+  }
+}
