@@ -534,6 +534,58 @@ object Text {
       GROUP BY source
       ORDER BY source""")),
 
+    // stateful STREAMING dedup: documents flow through the Iceberg source →
+    // streaming dropDuplicates (64-bit content-hash state) → Iceberg sink,
+    // in two separate AvailableNow runs sharing one checkpoint. Run 2
+    // replays the whole corpus with shifted ids; the state store restored
+    // from the checkpoint must drop every row — the sink commits no second
+    // snapshot — while the streaming progress proves the rows were actually
+    // ingested, not skipped
+    QueryDef.staged("t19_stream_dedup", (s, dir) => {
+      import graft.catalog.HadoopCatalog
+      import graft.core.SchemaBridge
+      import graft.format.PartitionSpec
+      import graft.table.{SparkRead, Writer}
+      val wh = s"/root/repo/target/graft-wh/sdd_${java.util.UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val docs = tbl(s, dir, "documents")
+      val n = docs.count()
+      val schema = SchemaBridge.fromSpark(docs.schema)
+      Writer.append(s, cat.createTable("src", schema, PartitionSpec.Unpartitioned), docs)
+      cat.createTable("dst", schema, PartitionSpec.Unpartitioned)
+      val ckpt = s"$wh/_ckpt"
+      def runOnce(): Long = {
+        val q = s.readStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", "src").load()
+          .transform(df => graft.streaming.StreamingDedup.dedupByHash(df, Seq("text")))
+          .writeStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", "dst")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      val in1 = runOnce()
+      Writer.append(s, cat.loadTable("src"),
+        docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val in2 = runOnce()
+      val dst = cat.loadTable("dst")
+      val stateRestored = in1 == n && in2 == n &&
+        dst.metadata.snapshots.size == 1
+      () => SparkRead.read(s, dst.newScan)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .withColumn("state_restored", lit(stateRestored.toString))
+        .orderBy(col("source"))
+    }, Some("""
+      SELECT source, COUNT(*) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+             'true' AS state_restored
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""), repeatable = true),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),
