@@ -180,9 +180,20 @@ object TextStats {
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), " ")
     val total = size(words)
-    // most-frequent-word count: for each distinct word, count occurrences
-    val topFreq = array_max(transform(array_distinct(words),
-      w => size(filter(words, x => x === w))))
+    // most-frequent-word count: sort (native), then one linear pass that
+    // tracks the longest equal-run with a struct accumulator. O(n log n)
+    // per doc — the transform/filter formulation is O(distinct·n), which
+    // is quadratic on long documents and would not survive 10k-word docs
+    val sorted = array_sort(words)
+    val topFreq = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     // word bigrams: pair element i of the head slice with word i+1
     // (transform's lambda index is 0-based, element_at is 1-based)
     val bigrams = transform(slice(words, lit(1), total - 1),
