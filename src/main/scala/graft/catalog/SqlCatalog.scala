@@ -236,16 +236,33 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
   private def casUpdate(c: Connection, name: String, expectedVersion: Int,
       newPath: String): Int = {
     val (ns, tbl) = split(name)
-    val ps = c.prepareStatement(
-      """UPDATE iceberg_tables
-         SET metadata_location = ?, previous_metadata_location = ?
-         WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
-           AND metadata_location = ?""")
-    val expectedPath = metadataFile(name, expectedVersion)
-    ps.setString(1, newPath); ps.setString(2, expectedPath)
-    ps.setString(3, catalogName); ps.setString(4, ns); ps.setString(5, tbl)
-    ps.setString(6, expectedPath)
-    ps.executeUpdate()
+    // The expected CURRENT location is whatever the catalog row actually
+    // holds (as long as its version number matches) — NOT a path derived
+    // from the table name: renamed and registered tables keep their
+    // metadata under the ORIGINAL directory (catalog identity != storage
+    // location), and deriving the path from the name would make every
+    // commit of such a table a phantom conflict. A racing commit between
+    // this read and the UPDATE still loses: the conditional UPDATE matches
+    // zero rows once the location moved.
+    val sel = c.prepareStatement(
+      """SELECT metadata_location FROM iceberg_tables
+         WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""")
+    sel.setString(1, catalogName); sel.setString(2, ns); sel.setString(3, tbl)
+    val rs = sel.executeQuery()
+    val currentLoc = if (rs.next()) Option(rs.getString(1)) else None
+    currentLoc.filter(loc => versionOf(loc).contains(expectedVersion)) match {
+      case None => 0
+      case Some(loc) =>
+        val ps = c.prepareStatement(
+          """UPDATE iceberg_tables
+             SET metadata_location = ?, previous_metadata_location = ?
+             WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
+               AND metadata_location = ?""")
+        ps.setString(1, newPath); ps.setString(2, loc)
+        ps.setString(3, catalogName); ps.setString(4, ns); ps.setString(5, tbl)
+        ps.setString(6, loc)
+        ps.executeUpdate()
+    }
   }
 
   private def currentLocation(name: String): Option[String] = withConn { c =>
@@ -261,6 +278,65 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
   private def isDuplicateKey(e: SQLException): Boolean =
     e.getSQLState == "23505" || // Derby/Postgres/H2 unique violation
       Option(e.getSQLState).exists(_.startsWith("23"))
+
+  /** Atomic rename (reference `catalog/sql/sql.go:1096-1170` RenameTable):
+    * nothing moves in storage — only the catalog row's identity changes,
+    * inside one database transaction with the destination-absence and
+    * source-existence checks. The metadata `location` keeps pointing at the
+    * original table directory, exactly as in the reference: rename changes
+    * the catalog identity, not where the data lives.
+    */
+  def renameTable(from: String, to: String): Table = {
+    val (fns, ftbl) = split(from)
+    val (tns, ttbl) = split(to)
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        val probe = c.prepareStatement(
+          """SELECT 1 FROM iceberg_tables
+             WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""")
+        probe.setString(1, catalogName); probe.setString(2, tns); probe.setString(3, ttbl)
+        if (probe.executeQuery().next())
+          throw new IllegalArgumentException(s"table $to already exists")
+        val up = c.prepareStatement(
+          """UPDATE iceberg_tables SET table_namespace = ?, table_name = ?
+             WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""")
+        up.setString(1, tns); up.setString(2, ttbl)
+        up.setString(3, catalogName); up.setString(4, fns); up.setString(5, ftbl)
+        if (up.executeUpdate() != 1)
+          throw new IllegalArgumentException(s"no such table: $from")
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+    loadTable(to)
+  }
+
+  /** Register an EXISTING metadata file under a new table name (reference
+    * `catalog/rest/rest.go:1564-1610` RegisterTable, spec
+    * `POST /v1/{prefix}/namespaces/{ns}/register`): no metadata rewrite —
+    * the catalog row simply points at the given location. The file must
+    * parse as table metadata; registering over an existing name fails.
+    * Registering the same location under two names makes two independent
+    * catalog pointers that share history up to now and diverge on their
+    * next commits.
+    */
+  def registerTable(name: String, metadataLocation: String): Table = {
+    val meta = TableMetadata.fromJson(FileIO.readString(metadataLocation))
+    val (ns, tbl) = split(name)
+    val inserted = withConn { c =>
+      val ps = c.prepareStatement(
+        """INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name,
+           metadata_location, previous_metadata_location, iceberg_type)
+           VALUES (?, ?, ?, ?, NULL, 'TABLE')""")
+      ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, tbl)
+      ps.setString(4, metadataLocation)
+      try { ps.executeUpdate(); true }
+      catch { case e: SQLException if isDuplicateKey(e) => false }
+    }
+    if (!inserted)
+      throw new IllegalArgumentException(s"table $name already exists")
+    new Table(name, meta, metadataLocation, this)
+  }
 
   // ---- namespaces (reference sql.go namespace-properties model) ----------
 

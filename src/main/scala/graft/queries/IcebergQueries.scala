@@ -1914,6 +1914,48 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey <= 100
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // rename + register (reference `catalog/sql/sql.go:1096-1170`
+    // RenameTable, `catalog/rest/rest.go:1564-1610` RegisterTable): rename
+    // moves ONLY the catalog identity — metadata stays under the original
+    // directory and commits under the new name keep working (the CAS
+    // compares the recorded location, not a name-derived path); register
+    // points a second name at the same metadata file, and the two pointers
+    // diverge on their next commits
+    QueryDef.staged("i59_rename_register", (s, dir) => {
+      val db = s"memory:rr_${UUID.randomUUID().toString.take(8)}"
+      val wh = s"/root/repo/target/graft-wh/rr_${UUID.randomUUID().toString.take(8)}"
+      val cat = new graft.catalog.SqlCatalog(s"jdbc:derby:$db;create=true", wh)
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .filter(col("c_custkey") <= 100)
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable("cust_a", schema,
+        PartitionSpec.Unpartitioned), c)
+      val renamed = cat.renameTable("cust_a", "cust_b")
+      val identityMoved = !cat.tableExists("cust_a") &&
+        renamed.metadata.tableUuid == t1.metadata.tableUuid &&
+        renamed.metadataPath.contains("/cust_a/") // storage did NOT move
+      // register the CURRENT metadata under a third name, THEN append to
+      // cust_b: the registered pointer must keep seeing only the old rows
+      cat.registerTable("cust_c", renamed.metadataPath)
+      val t2 = Writer.append(s, cat.loadTable("cust_b"), c)
+      val nB = SparkRead.read(s, t2.newScan).count()
+      val nC = SparkRead.read(s, cat.loadTable("cust_c").newScan).count()
+      val diverged = nB == 2 * nC
+      () => SparkRead.read(s, cat.loadTable("cust_b").newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("identity_moved", lit(identityMoved.toString))
+        .withColumn("pointers_diverged", lit(diverged.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, 2 * COUNT(*) AS n, 'true' AS identity_moved,
+             'true' AS pointers_diverged
+      FROM customer
+      WHERE c_custkey <= 100
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

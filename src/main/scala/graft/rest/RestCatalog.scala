@@ -100,6 +100,39 @@ final class RestCatalog(baseUriRaw: String,
     request("HEAD", s"${tablesUri(ns)}/$tbl", None).statusCode() == 204
   }
 
+  /** Spec `POST /v1/tables/rename`; returns the table under its new
+    * identity (reference `RenameTable` loads after the 204).
+    */
+  def renameTable(from: String, to: String): Table = {
+    val (fns, ftbl) = split(from)
+    val (tns, ttbl) = split(to)
+    val o = mapper.createObjectNode()
+    val so = o.putObject("source")
+    so.putArray("namespace").add(fns); so.put("name", ftbl)
+    val dn = o.putObject("destination")
+    dn.putArray("namespace").add(tns); dn.put("name", ttbl)
+    val resp = request("POST", s"$baseUri/v1/${prefix}tables/rename", Some(o))
+    if (resp.statusCode() != 204 && resp.statusCode() != 200)
+      throw new IllegalArgumentException(s"renameTable $from -> $to: ${errMsg(resp)}")
+    loadTable(to)
+  }
+
+  /** Spec `POST /v1/namespaces/{ns}/register`: register an existing
+    * metadata file as a new table (reference `rest.go:1564-1610`).
+    */
+  def registerTable(name: String, metadataLocation: String): Table = {
+    val (ns, tbl) = split(name)
+    ensureNamespace(ns)
+    val o = mapper.createObjectNode()
+    o.put("name", tbl)
+    o.put("metadata-location", metadataLocation)
+    val resp = request("POST",
+      s"$baseUri/v1/${prefix}namespaces/$ns/register", Some(o))
+    if (resp.statusCode() != 200)
+      throw new IllegalArgumentException(s"registerTable $name: ${errMsg(resp)}")
+    tableFrom(name, resp)
+  }
+
   def listTables(): Seq[String] = {
     val nsResp = request("GET", s"$baseUri/v1/${prefix}namespaces", None)
     if (nsResp.statusCode() != 200) return Nil

@@ -106,6 +106,8 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         o.putObject("defaults"); o.putObject("overrides")
         sendJson(ex, 200, o)
       case ("POST", List("transactions", "commit")) => commitTransaction(ex)
+      case ("POST", List("tables", "rename")) => renameTable(ex)
+      case ("POST", List("namespaces", ns, "register")) => registerTable(ex, ns)
       case ("GET", List("namespaces")) => listNamespaces(ex)
       case ("POST", List("namespaces")) => createNamespace(ex)
       case ("GET", List("namespaces", ns)) => getNamespace(ex, ns)
@@ -346,6 +348,44 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     if (!backing.tableExists(full)) throw new NoSuchElementException(s"no such table: $full")
     val t = backing.loadTable(full)
     sendJson(ex, 200, loadResult(t.metadataPath, t.metadata))
+  }
+
+  /** Spec `POST /v1/tables/rename` (reference `catalog/rest/endpoints.go:
+    * 104`): body carries source/destination identifiers; 204 on success.
+    * Only catalogs whose identity is a mutable pointer support it.
+    */
+  private def renameTable(ex: HttpExchange): Unit = {
+    val body = readJson(ex)
+    def ident(n: com.fasterxml.jackson.databind.JsonNode): String = {
+      val ns = n.get("namespace").elements().asScala.map(_.asText()).mkString(".")
+      fullName(if (ns.isEmpty) "default" else ns, n.get("name").asText())
+    }
+    backing match {
+      case sq: graft.catalog.SqlCatalog =>
+        sq.renameTable(ident(body.get("source")), ident(body.get("destination")))
+        ex.sendResponseHeaders(204, -1)
+      case _ =>
+        sendError(ex, 400, "BadRequestException",
+          "backing catalog does not support rename")
+    }
+  }
+
+  /** Spec `POST /v1/namespaces/{ns}/register` (reference
+    * `catalog/rest/rest.go:1564-1610`): points a new catalog entry at an
+    * existing metadata file, no rewrite; responds like loadTable.
+    */
+  private def registerTable(ex: HttpExchange, ns: String): Unit = {
+    val body = readJson(ex)
+    val full = fullName(ns, body.get("name").asText())
+    val loc = body.get("metadata-location").asText()
+    backing match {
+      case sq: graft.catalog.SqlCatalog =>
+        val t = sq.registerTable(full, loc)
+        sendJson(ex, 200, loadResult(t.metadataPath, t.metadata))
+      case _ =>
+        sendError(ex, 400, "BadRequestException",
+          "backing catalog does not support register")
+    }
   }
 
   /** The commit endpoint: requirements validate against CURRENT metadata,

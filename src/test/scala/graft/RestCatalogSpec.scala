@@ -256,6 +256,29 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv2.stop()
   }
 
+  test("rename and register travel the spec endpoints against a SQL backing") {
+    val db = s"memory:rr_${java.util.UUID.randomUUID().toString.take(8)}"
+    val wh = Files.createTempDirectory("rest-rr").toString
+    val sqlBack = new SqlCatalog(s"jdbc:derby:$db;create=true", wh)
+    val srv = new RestCatalogServer(sqlBack).start()
+    try {
+      val c = new RestCatalog(srv.uri)
+      val schema = IcebergSchema(Seq(NestedField(1, "id", IcebergTypes.LongT, required = true)))
+      val t = c.createTable("a", schema, PartitionSpec.Unpartitioned)
+      // POST /v1/tables/rename: identity moves, uuid stays
+      val renamed = c.renameTable("a", "b")
+      assert(renamed.metadata.tableUuid === t.metadata.tableUuid)
+      assert(!c.tableExists("a") && c.tableExists("b"))
+      // POST /v1/namespaces/{ns}/register: second pointer at the same file
+      val reg = c.registerTable("c", renamed.metadataPath)
+      assert(reg.metadata.tableUuid === t.metadata.tableUuid)
+      assert(c.loadTable("c").metadataPath === renamed.metadataPath)
+      intercept[IllegalArgumentException](c.renameTable("b", "c")) // dest exists
+    } finally srv.stop()
+    // a path-identity backing must REJECT rename, not mangle directories
+    intercept[IllegalArgumentException](client.renameTable("nope_src", "nope_dst"))
+  }
+
   test("loadTable vends table-scoped credentials that the table IO applies lazily") {
     import graft.io.{FileIO, GatedFileSystem, StorageCredential}
     val gwh = java.nio.file.Files.createTempDirectory("rest-vend").toString

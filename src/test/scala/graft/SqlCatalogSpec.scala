@@ -173,4 +173,43 @@ class SqlCatalogSpec extends AnyFunSuite {
     cat.createTable("u", schema, PartitionSpec.Unpartitioned)
     assert(cat.tableExists("u"))
   }
+
+  test("renameTable moves the catalog identity; storage and commits keep working") {
+    val cat = newCatalog()
+    val t = cat.createTable("ra", schema, PartitionSpec.Unpartitioned)
+    cat.commit("ra", t.metadata, bumpProps(t.metadata, "step", "1"), expectedVersion = 1)
+    val renamed = cat.renameTable("ra", "rb")
+    assert(renamed.metadata.properties("step") === "1")
+    assert(!cat.tableExists("ra") && cat.tableExists("rb"))
+    assert(cat.listTables() === Seq("rb"))
+    // the metadata location still lives under the ORIGINAL directory
+    assert(renamed.metadataPath.contains("/ra/"))
+    // a commit under the NEW identity must succeed — the CAS compares the
+    // actual recorded location, not a name-derived path
+    cat.commit("rb", renamed.metadata, bumpProps(renamed.metadata, "step", "2"),
+      expectedVersion = renamed.currentVersion)
+    assert(cat.loadTable("rb").metadata.properties("step") === "2")
+    // error paths: missing source, existing destination
+    intercept[IllegalArgumentException](cat.renameTable("ra", "rc"))
+    cat.createTable("rc", schema, PartitionSpec.Unpartitioned)
+    intercept[IllegalArgumentException](cat.renameTable("rb", "rc"))
+  }
+
+  test("registerTable points a new name at existing metadata; pointers diverge") {
+    val cat = newCatalog()
+    val t = cat.createTable("src_t", schema, PartitionSpec.Unpartitioned)
+    val reg = cat.registerTable("reg_t", t.metadataPath)
+    assert(reg.metadata.tableUuid === t.metadata.tableUuid)
+    assert(cat.loadTable("reg_t").metadataPath === t.metadataPath)
+    // registering over an existing name fails; bogus location fails to parse
+    intercept[IllegalArgumentException](cat.registerTable("reg_t", t.metadataPath))
+    intercept[Exception](cat.registerTable("reg2", "/no/such/file.metadata.json"))
+    // each pointer commits independently from the shared history
+    cat.commit("reg_t", reg.metadata, bumpProps(reg.metadata, "who", "reg"),
+      expectedVersion = reg.currentVersion)
+    cat.commit("src_t", t.metadata, bumpProps(t.metadata, "who", "src"),
+      expectedVersion = t.currentVersion)
+    assert(cat.loadTable("reg_t").metadata.properties("who") === "reg")
+    assert(cat.loadTable("src_t").metadata.properties("who") === "src")
+  }
 }
