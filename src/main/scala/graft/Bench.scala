@@ -45,6 +45,49 @@ object Bench {
   private val TelemetryQueries =
     Set("q2_join_agg", "t7_minhash_clusters", "t9_neardup_pairs", "s5_ann_ivf")
 
+  /** Other live Spark/sbt/scala JVMs on the box, excluding this process,
+    * its ancestors (the sbt shell that forked us) and its descendants.
+    * Any such JVM competes for the same local[N] cores and silently
+    * inflates timings (round 8 shipped an 8×-overstated number this way),
+    * so their presence taints the run — the JSON carries the verdict
+    * rather than trusting the operator to remember.
+    */
+  private def foreignJvms(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val self = ProcessHandle.current()
+      val ancestors = scala.collection.mutable.Set[Long](self.pid)
+      var p = self.parent()
+      while (p.isPresent) { ancestors += p.get.pid; p = p.get.parent() }
+      def isDescendant(h: ProcessHandle): Boolean = {
+        var q = h.parent()
+        while (q.isPresent) {
+          if (q.get.pid == self.pid) return true
+          q = q.get.parent()
+        }
+        false
+      }
+      val pat = java.util.regex.Pattern.compile(
+        "(?i)(sbt-launch|xsbt\\.boot|org\\.apache\\.spark|SparkSubmit|sbt\\.ForkMain|scala\\.tools)")
+      ProcessHandle.allProcesses().iterator().asScala.flatMap { h =>
+        val cmd = h.info().commandLine()
+          .orElse(h.info().command().orElse(""))
+        if (!ancestors.contains(h.pid) && !isDescendant(h) &&
+            cmd.contains("java") && pat.matcher(cmd).find())
+          Some(s"${h.pid}: ${cmd.take(160)}")
+        else None
+      }.toSeq
+    } catch { case _: Throwable => Seq.empty } // scan failure ≠ tainted
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,6 +101,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val telemetry = new TaskTelemetry
     spark.sparkContext.addSparkListener(telemetry)
+
+    // contamination scan #1: a foreign Spark/sbt JVM alive at startup
+    val taintAtStart = foreignJvms()
+    if (taintAtStart.nonEmpty)
+      System.err.println(s"[bench] WARNING: run is TAINTED — live foreign JVMs: ${taintAtStart.mkString("; ")}")
 
     // warm-up: JVM/codegen + build shared iceberg fixtures outside the loop
     try {
@@ -113,7 +161,12 @@ object Bench {
     // failed queries carry -1 markers; only successes count toward total,
     // so a crash can never read as a speedup
     val total = results.map(_._3).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"telemetry":$tele,"sf":"$sfDir"}"""
+    // contamination scan #2: a foreign JVM may have appeared mid-run;
+    // tainted if EITHER scan saw one
+    val taintAtEnd = foreignJvms()
+    val taintedBy = (taintAtStart ++ taintAtEnd).distinct
+    val taintJson = taintedBy.map(jsonStr).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","tainted":${taintedBy.nonEmpty},"tainted_by":$taintJson,"queries":$qs,"queries_cold":$qsCold,"telemetry":$tele,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for the driver: also drop the line where a file reader
     // can find it even if stdout gets wrapped by the build tool

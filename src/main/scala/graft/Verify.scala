@@ -6,9 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: only run queries whose name contains the substring
+    // optional third arg: only run queries whose name contains any of the
+    // comma-separated substrings
     val nameFilter: String => Boolean =
-      if (args.length > 2) _.contains(args(2)) else _ => true
+      if (args.length > 2) {
+        val subs = args(2).split(',').map(_.trim).filter(_.nonEmpty)
+        name => subs.exists(name.contains)
+      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

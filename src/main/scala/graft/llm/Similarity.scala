@@ -142,6 +142,37 @@ object Similarity {
       .drop("cos")
   }
 
+  /** Per-label kNN agreement from ANY (qid, cid) top-k frame — leave-one-out
+    * majority vote per query, agreement vs the query's own label aggregated
+    * per class. Output: (label, n, n_agree).
+    *
+    * Decoupled from the neighbor search on purpose: feed it
+    * [[bruteForceTopK]] for an exact probe on a small labeled set, or
+    * [[ivfTopK]]/[[lshTopK]] for the 100 TB path — the aggregation itself is
+    * two shuffle joins on (qid)/(cid) plus a <=k-row-per-query vote window,
+    * so it scales with whatever produced the top-k frame. Self-matches
+    * (qid == cid) are dropped here, so passing top-(k+1) from a self-search
+    * yields exactly k voting neighbors. Vote ties break deterministically
+    * (highest count, then lowest label).
+    */
+  def knnLabelAgreement(topK: DataFrame, labels: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = labels.select(col(idCol), col(labelCol))
+    val votes = topK.filter(col("qid") =!= col("cid"))
+      .join(lbl.withColumnRenamed(idCol, "qid").withColumnRenamed(labelCol, "qlabel"), "qid")
+      .join(lbl.withColumnRenamed(idCol, "cid").withColumnRenamed(labelCol, "nlabel"), "cid")
+      .groupBy(col("qid"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("c"))
+    val pred = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nlabel").asc)))
+      .filter(col("vr") === 1)
+    pred.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L)).as("n_agree"))
+  }
+
   // ------------------------------------------------------------------- IVF
 
   /** Spherical k-means on a driver-side sample: normalize, assign by max

@@ -16,32 +16,41 @@ object Events {
     * `right.time <= left.time` for the same key (classic trades←quotes /
     * clicks←purchases enrichment).
     *
-    * Implementation: tag both sides, union by name, and forward-fill the
-    * right side's values with `last(_, ignoreNulls)` over one
+    * Implementation: tag both sides, union by name, and forward-fill ONE
+    * struct of the right side's values with `last(_, ignoreNulls)` over one
     * (key, time)-ordered window — a single shuffle on `key`, linear scan
-    * per partition. At equal timestamps the right row sorts first, so a
-    * same-instant right row IS matched (`<=` semantics, like ASOF JOIN in
-    * SQL engines). Rows on the left with no prior right row keep nulls
-    * (left-outer semantics).
+    * per partition. Filling a single struct (not each value column
+    * independently) guarantees every emitted column comes from the SAME
+    * right row and that a null value IN the matched row is preserved as
+    * null rather than back-filled from an older row. At equal timestamps
+    * the right row sorts first, so a same-instant right row IS matched
+    * (`<=` semantics, like ASOF JOIN in SQL engines). Rows on the left with
+    * no prior right row keep nulls (left-outer semantics).
+    *
+    * Determinism under duplicate (key, time) right rows: the window's final
+    * sort key is the value struct itself, so the GREATEST `rightVals` tuple
+    * (field-by-field comparison, nulls smallest) wins — the result is a
+    * pure function of the data, never of partition order. `rightVals`
+    * types must therefore be orderable (no maps).
     *
     * `rightVals` columns are emitted with `suffix` appended; all other
     * right-side columns are dropped.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightVals: Seq[String], suffix: String = "_asof"): DataFrame = {
-    val filled = rightVals.map(v => v + suffix)
     val l = left.withColumn("__side", lit(1))
-    val r = right.select((Seq(col(key), col(time)) ++
-        rightVals.map(v => col(v).as(v + suffix))): _*)
+    val r = right.select(col(key), col(time),
+        struct(rightVals.map(v => col(v).as(v + suffix)): _*).as("__rv"))
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(col(time).asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ffilled = filled.foldLeft(u) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    val filledDf = u.withColumn("__f", last(col("__rv"), ignoreNulls = true).over(w))
+    val out = rightVals.foldLeft(filledDf.filter(col("__side") === 1)) {
+      (df, v) => df.withColumn(v + suffix, col("__f").getField(v + suffix))
     }
-    ffilled.filter(col("__side") === 1).drop("__side")
+    out.drop("__side", "__rv", "__f")
   }
 
   /** Gap-based sessionization: a new session starts when the gap to the

@@ -290,6 +290,52 @@ object Relational {
       SELECT COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
         CAST(MAX(dur_s) AS BIGINT) AS max_dur_s,
         CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
-      FROM per"""))
+      FROM per""")),
+
+    // asofJoin determinism hardening: the real events data has no duplicate
+    // (user_id, ts) purchases and no null values (verified), so this gate
+    // SYNTHESIZES both — a same-timestamp duplicate with a larger value
+    // (the greatest-tuple tie-break must win) and a 1ns-later NULL-valued
+    // row (a matched row's null must be preserved, not back-filled from an
+    // older row). The oracle spells the same semantics out explicitly with
+    // a ROW_NUMBER window, independent of our window formulation.
+    QueryDef("q12_asof_ties", (s, dir) => {
+      val e = tbl(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val base = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = base
+        .unionByName(base.withColumn("value", col("value") + lit(100.0)))
+        .unionByName(base.withColumn("ts", col("ts") + lit(1L))
+          .withColumn("value", lit(null).cast(DoubleType)))
+      graft.operators.Events.asofJoin(clicks, purchases, "user_id", "ts", Seq("value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("value_asof")).as("n_matched"),
+          d(sum(dec(coalesce(col("value_asof"), lit(0.0))))).as("sum_prior_purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH clicks AS (
+        SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS tns
+        FROM events WHERE event_type = 'click'),
+      base AS (
+        SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS tns, value
+        FROM events WHERE event_type = 'purchase'),
+      purchases AS (
+        SELECT user_id, tns, value FROM base
+        UNION ALL SELECT user_id, tns, value + 100 FROM base
+        UNION ALL SELECT user_id, tns + 1, NULL FROM base),
+      matched AS (
+        SELECT c.event_id, c.user_id, p.value,
+          ROW_NUMBER() OVER (PARTITION BY c.event_id
+            ORDER BY p.tns DESC, p.value DESC NULLS LAST) AS rn
+        FROM clicks c LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.tns <= c.tns)
+      SELECT user_id, COUNT(*) AS n_clicks, COUNT(value) AS n_matched,
+        CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_prior_purchase
+      FROM matched WHERE rn = 1
+      GROUP BY user_id
+      ORDER BY user_id"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

@@ -111,23 +111,27 @@ object SimilarityQueries {
     // 1.0, so top-6-then-drop-self is exactly top-5 excluding self; ties in
     // the vote break deterministically (highest count, then lowest label)
     QueryDef("s6_knn_agreement", (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = tbl(s, dir, "embeddings")
-      val lbl = emb.select(col("vec_id"), col("label"))
-      val top = Similarity.bruteForceTopK(emb, emb, k = 6)
-        .filter(col("qid") =!= col("cid"))
-      val votes = top
-        .join(lbl.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "qlabel"), "qid")
-        .join(lbl.withColumnRenamed("vec_id", "cid").withColumnRenamed("label", "nlabel"), "cid")
-        .groupBy(col("qid"), col("qlabel"), col("nlabel"))
-        .agg(count(lit(1)).as("c"))
-      val pred = votes
-        .withColumn("vr", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nlabel").asc)))
-        .filter(col("vr") === 1)
-      pred.groupBy(col("qlabel").as("label"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L)).as("n_agree"))
+      // exact variant: brute-force top-k feeds the shared agreement
+      // aggregation; this is the oracle-checked probe (bounded by the
+      // brute-force query-side guard — NOT the scale path)
+      val exactAgg = Similarity.knnLabelAgreement(
+        Similarity.bruteForceTopK(emb, emb, k = 6), emb).persist()
+      val rows = exactAgg.orderBy(col("label")).collect()
+      val eTot = exactAgg.agg(sum(col("n")), sum(col("n_agree"))).collect()(0)
+      exactAgg.unpersist()
+      // scale variant: the SAME aggregation over IVF (centroid-bucketed)
+      // top-k — no all-pairs anywhere; agreement must land within 0.15 of
+      // exact, proving the operator composes with the ANN paths at scale
+      val ivfTot = Similarity.knnLabelAgreement(
+        Similarity.ivfTopK(emb, emb, k = 6, nlist = 8, nprobe = 4), emb)
+        .agg(sum(col("n")), sum(col("n_agree"))).collect()(0)
+      val exactRate = eTot.getLong(1).toDouble / eTot.getLong(0)
+      val ivfRate = ivfTot.getLong(1).toDouble / ivfTot.getLong(0)
+      val ivfOk = (math.abs(ivfRate - exactRate) <= 0.15).toString
+      import s.implicits._
+      rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), ivfOk))
+        .toDF("label", "n", "n_agree", "ivf_ok")
         .orderBy(col("label"))
     }, Some("""
       WITH p AS (
@@ -148,7 +152,8 @@ object SimilarityQueries {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel ASC) AS vr
         FROM votes)
       SELECT qlabel AS label, COUNT(*) AS n,
-             CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+             CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             'true' AS ivf_ok
       FROM pred WHERE vr = 1
       GROUP BY qlabel
       ORDER BY label"""))

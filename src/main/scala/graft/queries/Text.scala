@@ -586,6 +586,96 @@ object Text {
       GROUP BY source
       ORDER BY source"""), repeatable = true),
 
+    // streaming tumbling-window aggregation through StreamWindows.tumblingAgg:
+    // the events table flows through a file stream in THREE AvailableNow runs
+    // sharing one checkpoint — first half by time, second half, then a
+    // far-future "__flush" sentinel whose watermark advance closes every real
+    // window. One parquet file per run = one data batch per run, so no
+    // intra-run late drops are possible. Asserted along the way: run 1 emits
+    // only windows behind its watermark (append discipline), run 2 withholds
+    // the still-open final window while MERGING run-1 state (the boundary
+    // window spans both runs — checkpoint restore proven by the oracle hash),
+    // and the flush run closes the tail. Oracle: plain batch hourly agg.
+    QueryDef.staged("t20_stream_windows", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/root/repo/target/graft-wh/swin_${java.util.UUID.randomUUID().toString.take(8)}"
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      // ns→µs with integer division (a double roundtrip would lose precision
+      // at 1.7e18 ns); DuckDB's TIMESTAMP_NS→TIMESTAMP cast truncates the
+      // same way for positive epochs
+      val e = tbl(s, dir, "events").select(col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("t"), col("value"))
+      val bounds = e.agg(min(unix_micros(col("t"))), max(unix_micros(col("t")))).collect()(0)
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val cutTs = timestamp_micros(lit(minUs + (maxUs - minUs) / 2))
+      val schema = e.schema
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1") // one run file = one batch; a batch emits with the watermark its PREDECESSOR batch advanced to
+          .parquet(inDir)
+          .transform(df => graft.streaming.StreamWindows.tumblingAgg(
+            df, "t", "10 minutes", "1 hour", Seq("event_type"))(
+            count(lit(1)).as("n"),
+            d(sum(dec(coalesce(col("value"), lit(0.0))))).as("sum_value")))
+          // NB: do NOT filter the __flush sentinel here — a grouping-column
+          // filter gets pushed below the EventTimeWatermark operator, so the
+          // sentinel would never advance the watermark; it is dropped at
+          // read-back instead
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def outWindows(): Array[(Long, Long)] = // (window_end epoch s, rows)
+        try s.read.parquet(outDir)
+          .groupBy(col("window_end").cast("timestamp").cast("long").as("we"))
+          .agg(count(lit(1)).as("c")).collect().map(r => (r.getLong(0), r.getLong(1)))
+        catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
+      e.filter(col("t") < cutTs).coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      val w1 = outWindows()
+      val wm1 = { // watermark after run 1: max first-half event time - 10 min
+        val m = e.filter(col("t") < cutTs).agg(max(unix_micros(col("t")))).collect()(0).getLong(0)
+        m / 1000000L - 600L
+      }
+      val r1AppendOk = w1.nonEmpty && w1.forall(_._1 <= wm1)
+      e.filter(col("t") >= cutTs).coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      val w2 = outWindows()
+      val wm2 = maxUs / 1000000L - 600L
+      // the window containing the max event time always ends after wm2, so
+      // append mode must still be withholding it here
+      val openWithheld = w2.length > w1.length && w2.forall(_._1 <= wm2)
+      // two sentinel FILES (= two batches): the first advances the watermark
+      // past every real window end; the second's batch then emits them
+      Seq(7200L, 14400L).foreach { off =>
+        s.range(1).select(lit("__flush").as("event_type"),
+            timestamp_micros(lit(maxUs + off * 1000000L)).as("t"),
+            lit(null).cast("double").as("value"))
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      runOnce()
+      () => s.read.parquet(outDir)
+        .filter(col("event_type") =!= "__flush")
+        .select(col("event_type"),
+          col("window_start").cast("timestamp").cast("long").as("ws"),
+          col("n"), col("sum_value"))
+        .withColumn("r1_append_ok", lit(r1AppendOk.toString))
+        .withColumn("open_withheld", lit(openWithheld.toString))
+        .orderBy(col("event_type"), col("ws"))
+    }, Some("""
+      WITH e AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events)
+      SELECT event_type,
+        CAST(epoch(time_bucket(INTERVAL '1 hour', t)) AS BIGINT) AS ws,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        'true' AS r1_append_ok, 'true' AS open_withheld
+      FROM e
+      GROUP BY 1, 2
+      ORDER BY event_type, ws"""), repeatable = true),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),

@@ -35,6 +35,25 @@ class EventsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("cOther") === None)      // user 2 has no purchases at all
   }
 
+  test("asofJoin: duplicate (key,time) right rows tie-break to the greatest tuple; " +
+      "a null in the matched row is preserved, not back-filled") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, "late"), (1L, 60L, "mid")).toDF("user", "t", "name")
+    // two purchases at the SAME (user, t=50): greatest (price, tag) tuple must
+    // win deterministically; the t=80 row has a NULL price that must survive
+    // (the pre-fix bug pulled price from t=50 while tag came from t=80)
+    val buys = Seq(
+      (1L, 50L, Some(3.0), "a"), (1L, 50L, Some(8.0), "b"),
+      (1L, 80L, None: Option[Double], "later"))
+      .toDF("user", "t", "price", "tag")
+    val out = Events.asofJoin(clicks, buys, "user", "t", Seq("price", "tag"))
+      .select("name", "price_asof", "tag_asof").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getString(2))).toMap
+    assert(out("mid") === ((Some(8.0), "b")))    // greatest tuple at the tie
+    assert(out("late") === ((None, "later")))    // matched row's null preserved; both cols same row
+  }
+
   test("sessionize: gap splits, equal timestamps share a session, ids dense per key") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 10L), (1L, 10L), (1L, 200L), (2L, 0L), (2L, 500L))
