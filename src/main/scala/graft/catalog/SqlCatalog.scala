@@ -292,6 +292,19 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
     withConn { c =>
       c.setAutoCommit(false)
       try {
+        // destination namespace must exist (reference sql.go RenameTable
+        // checks it) — otherwise the renamed table lands invisible to
+        // namespace-scoped listings. Probed INSIDE the transaction, with
+        // listNamespaces' semantics (marker row or any table in it).
+        val nsProbe = c.prepareStatement(
+          """SELECT 1 FROM iceberg_namespace_properties
+             WHERE catalog_name = ? AND namespace = ?
+             UNION SELECT 1 FROM iceberg_tables
+             WHERE catalog_name = ? AND table_namespace = ?""")
+        nsProbe.setString(1, catalogName); nsProbe.setString(2, tns)
+        nsProbe.setString(3, catalogName); nsProbe.setString(4, tns)
+        if (!nsProbe.executeQuery().next())
+          throw new NoSuchElementException(s"no such namespace: $tns")
         val probe = c.prepareStatement(
           """SELECT 1 FROM iceberg_tables
              WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""")
@@ -321,8 +334,18 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
     * next commits.
     */
   def registerTable(name: String, metadataLocation: String): Table = {
+    // validate EVERYTHING the loaded Table will need BEFORE touching the
+    // database: a post-insert failure (e.g. Table.currentVersion choking on
+    // an unparseable filename) would leave a poisoned catalog row that
+    // retries hit as 'already exists' and loadTable crashes on
+    if (versionOf(metadataLocation).isEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported metadata file name: $metadataLocation " +
+          "(this catalog requires v<N>.metadata.json versioned locations)")
     val meta = TableMetadata.fromJson(FileIO.readString(metadataLocation))
     val (ns, tbl) = split(name)
+    if (!namespaceExists(ns) && !listNamespaces().contains(ns))
+      throw new NoSuchElementException(s"no such namespace: $ns")
     val inserted = withConn { c =>
       val ps = c.prepareStatement(
         """INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name,

@@ -55,13 +55,21 @@ final case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val gx = if (lFloat) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val gy = if (rFloat) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // freshName: with non-nullable children the snippet is inlined
+      // UNSCOPED into the whole-stage function, so two DotProducts in one
+      // plan (cosine = dot + two norms) would otherwise declare duplicate
+      // locals and janino-fail back to interpreted eval. The for-loop
+      // index is block-scoped and safe.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val gx = if (lFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val gy = if (rFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-        |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-        |double acc = 0.0;
-        |for (int i = 0; i < n; i++) { acc += $gx * $gy; }
-        |${ev.value} = acc;
+        |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) { $acc += $gx * $gy; }
+        |${ev.value} = $acc;
       """.stripMargin
     })
 

@@ -212,11 +212,16 @@ object TextStats {
     * are deterministic and oracle-comparable.
     *
     * Shape at 100 TB: tokenize+explode is map-side; TF is one shuffle on
-    * (doc, word) with partial aggregation. The TF set is localCheckpointed
-    * because both the DF aggregation and the join consume it — without the
-    * checkpoint Spark re-runs the whole tokenize+TF subtree for the DF side
+    * (doc, word) with partial aggregation. The TF set is persisted
+    * DISK_ONLY because both the DF aggregation and the join consume it —
+    * without it Spark re-runs the whole tokenize+TF subtree for the DF side
     * (verified: AQE does NOT reuse the exchange here), doubling the corpus
-    * scan. DF then reduces the checkpointed set to the vocabulary (tiny),
+    * scan. DISK_ONLY, not localCheckpoint/MEMORY_AND_DISK: the TF set is
+    * corpus-scale, and pinning it in executor storage memory would evict
+    * shuffle/execution pages at 100 TB — local-disk blocks cost one
+    * sequential write+read and zero memory pressure, the same trade
+    * shuffle spill files make. DF then reduces the persisted set to the
+    * vocabulary (tiny),
     * which AQE broadcasts back onto TF — a window `count over (partition by
     * word)` would avoid the join but piles every occurrence of a stopword
     * into one partition (unbounded skew); the two-level aggregate keeps
@@ -228,7 +233,7 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
     val tf = tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("word").asc)

@@ -122,7 +122,8 @@ final class RestCatalog(baseUriRaw: String,
     */
   def registerTable(name: String, metadataLocation: String): Table = {
     val (ns, tbl) = split(name)
-    ensureNamespace(ns)
+    // no implicit ensureNamespace: registering into a missing namespace
+    // must surface the server's 404, not silently create the namespace
     val o = mapper.createObjectNode()
     o.put("name", tbl)
     o.put("metadata-location", metadataLocation)

@@ -274,6 +274,11 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(reg.metadata.tableUuid === t.metadata.tableUuid)
       assert(c.loadTable("c").metadataPath === renamed.metadataPath)
       intercept[IllegalArgumentException](c.renameTable("b", "c")) // dest exists
+      // register into a namespace the server doesn't know: the client no
+      // longer auto-creates it, so the server's 404 surfaces
+      val missing = intercept[IllegalArgumentException](
+        c.registerTable("ghostns.x", renamed.metadataPath))
+      assert(missing.getMessage.contains("ghostns"))
     } finally srv.stop()
     // a path-identity backing must REJECT rename, not mangle directories
     intercept[IllegalArgumentException](client.renameTable("nope_src", "nope_dst"))

@@ -212,4 +212,33 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(cat.loadTable("reg_t").metadata.properties("who") === "reg")
     assert(cat.loadTable("src_t").metadata.properties("who") === "src")
   }
+
+  test("registerTable rejects unversioned metadata names BEFORE inserting the row") {
+    val cat = newCatalog()
+    val t = cat.createTable("vr_src", schema, PartitionSpec.Unpartitioned)
+    // Apache-convention filename (reference table/locations.go:79): parseable
+    // metadata, but not this catalog's v<N> scheme — must fail up front
+    val apacheStyle = Files.createTempDirectory("reg-apache")
+      .resolve("00003-deadbeef-1234.metadata.json")
+    Files.copy(java.nio.file.Paths.get(t.metadataPath), apacheStyle)
+    val e = intercept[IllegalArgumentException](
+      cat.registerTable("vr_reg", apacheStyle.toString))
+    assert(e.getMessage.contains("unsupported metadata file name"))
+    // the catalog row was NEVER inserted: the same name registers cleanly
+    // with a valid location (a poisoned row would fail 'already exists')
+    val reg = cat.registerTable("vr_reg", t.metadataPath)
+    assert(reg.metadata.tableUuid === t.metadata.tableUuid)
+  }
+
+  test("rename and register demand an existing destination namespace") {
+    val cat = newCatalog()
+    cat.createTable("nst", schema, PartitionSpec.Unpartitioned)
+    val t = cat.loadTable("nst")
+    intercept[NoSuchElementException](cat.renameTable("nst", "ghost.nst2"))
+    assert(cat.tableExists("nst")) // rename rolled back
+    intercept[NoSuchElementException](cat.registerTable("ghost.reg", t.metadataPath))
+    cat.createNamespace("ghost")
+    assert(cat.renameTable("nst", "ghost.nst2").metadata.tableUuid === t.metadata.tableUuid)
+    assert(cat.registerTable("ghost.reg", t.metadataPath) != null)
+  }
 }
