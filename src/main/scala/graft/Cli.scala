@@ -2,24 +2,61 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.catalog.Catalogs
-import graft.table.Inspect
+import graft.catalog.{CatalogConfig, Catalogs}
+import graft.table.{Evolve, Inspect, Maintenance}
 
-/** Minimal table CLI (reference `cmd/iceberg`): list / describe / snapshots /
-  * files / partitions / read against a warehouse path.
+/** Table CLI (reference `cmd/iceberg/main.go:225-960`): catalog listing and
+  * inspection plus the maintenance verbs — branch/tag, expire, compact,
+  * rollback, upgrade, rename, register, drop[--purge].
   *
-  * Usage: graft.Cli <warehouse> <command> [table] [n]
+  * The first argument selects the catalog: either a registry URI
+  * (`hadoop:/wh`, `sql:jdbc:…|/wh`, `rest:http://…`) or `--catalog <name>`
+  * resolved through the config file (`$GRAFT_CONFIG`, else
+  * `~/.graft-spark.yaml`, else `--config <path>`), mirroring the
+  * reference's named-catalog flow (`config/config.go`,
+  * `catalog/registry.go`).
   */
 object Cli {
+
+  private val usage =
+    """usage: Cli (<warehouse-uri> | --catalog <name> [--config <path>]) <command> ...
+      |  list
+      |  describe|snapshots|files|partitions <table>
+      |  read <table> [n]
+      |  branch|tag <table> <ref-name> [snapshot-id]   (default: current snapshot)
+      |  rollback <table> <snapshot-id>
+      |  upgrade <table> <format-version>
+      |  expire <table> <older-than-ms> [retain-last]
+      |  compact <table>
+      |  rename <from> <to>
+      |  register <table> <metadata-location>
+      |  drop <table> [--purge]""".stripMargin
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println(
-        "usage: Cli <warehouse> list | (describe|snapshots|files|partitions|read) <table> [n] | drop <table> [--purge]")
-      sys.exit(2)
+    // ---- catalog selection -------------------------------------------------
+    var rest = args.toList
+    val cat = rest match {
+      case "--catalog" :: name :: tail =>
+        val (cfgPath, tail2) = tail match {
+          case "--config" :: p :: t => (Some(p), t)
+          case t                    => (None, t)
+        }
+        rest = tail2
+        CatalogConfig.load(cfgPath).resolve(Some(name)) match {
+          case Some(nc) => nc.open()
+          case None =>
+            System.err.println(s"catalog '$name' not found in config")
+            sys.exit(2)
+        }
+      case uri :: tail =>
+        rest = tail
+        Catalogs.load(uri)
+      case Nil =>
+        System.err.println(usage)
+        sys.exit(2)
     }
-    val warehouse = args(0)
-    val command = args(1)
-    val cat = Catalogs.load(warehouse)
+    if (rest.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val command :: cargs = rest: @unchecked
 
     lazy val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -32,7 +69,7 @@ object Cli {
       case "list" =>
         cat.listTables().foreach(println)
       case "describe" =>
-        val t = cat.loadTable(args(2))
+        val t = cat.loadTable(cargs(0))
         println(s"table: ${t.name}")
         println(s"location: ${t.location}")
         println(s"format-version: ${t.metadata.formatVersion}")
@@ -41,29 +78,88 @@ object Cli {
         t.schema.fields.foreach(f =>
           println(s"  ${f.id}: ${f.name}: ${if (f.required) "required" else "optional"} ${f.fieldType}"))
         println(s"partition-spec: ${t.spec.fields.map(f => s"${f.name}=${f.transform.name}").mkString(", ")}")
+        println(s"refs: ${t.metadata.refs.map { case (n, r) => s"$n=${r.snapshotId}(${r.refType})" }.mkString(", ")}")
         println(s"properties: ${t.metadata.properties}")
       case "snapshots" =>
-        Inspect.snapshots(spark, cat.loadTable(args(2))).show(100, truncate = false)
+        Inspect.snapshots(spark, cat.loadTable(cargs(0))).show(100, truncate = false)
       case "files" =>
-        Inspect.files(spark, cat.loadTable(args(2))).show(100, truncate = false)
+        Inspect.files(spark, cat.loadTable(cargs(0))).show(100, truncate = false)
       case "partitions" =>
-        Inspect.partitions(spark, cat.loadTable(args(2))).show(100, truncate = false)
+        Inspect.partitions(spark, cat.loadTable(cargs(0))).show(100, truncate = false)
       case "read" =>
-        val n = if (args.length > 3) args(3).toInt else 20
-        graft.table.SparkRead.read(spark, cat.loadTable(args(2)).newScan).show(n, truncate = false)
+        val n = if (cargs.length > 1) cargs(1).toInt else 20
+        graft.table.SparkRead.read(spark, cat.loadTable(cargs(0)).newScan).show(n, truncate = false)
+
+      // ---- refs ------------------------------------------------------------
+      case "branch" | "tag" =>
+        val t = cat.loadTable(cargs(0))
+        val snap = if (cargs.length > 2) cargs(2).toLong
+          else t.metadata.currentSnapshotId.getOrElse {
+            System.err.println(s"${t.name} has no current snapshot"); sys.exit(2)
+          }
+        Evolve.setRef(t, cargs(1), snap, refType = command)
+        println(s"$command ${cargs(1)} -> $snap")
+
+      // ---- history surgery -------------------------------------------------
+      case "rollback" =>
+        val t = Evolve.rollbackTo(cat.loadTable(cargs(0)), cargs(1).toLong)
+        println(s"rolled back ${t.name} to snapshot ${cargs(1)}")
+      case "upgrade" =>
+        val t = Evolve.upgradeFormatVersion(cat.loadTable(cargs(0)), cargs(1).toInt)
+        println(s"${t.name} format-version: ${t.metadata.formatVersion}")
+
+      // ---- maintenance -----------------------------------------------------
+      case "expire" =>
+        val retain = if (cargs.length > 2) cargs(2).toInt else 1
+        val res = Maintenance.expireSnapshots(cat.loadTable(cargs(0)),
+          olderThanMs = cargs(1).toLong, retainLast = retain)
+        println(s"expired ${res.expiredSnapshots.size} snapshots, " +
+          s"deleted ${res.deletedFiles.size} files")
+      case "compact" =>
+        val res = Maintenance.rewriteDataFiles(spark, cat.loadTable(cargs(0)))
+        println(s"compacted ${res.rewrittenDataFiles} data files into " +
+          s"${res.addedDataFiles}, removed ${res.removedDeleteFiles} delete files")
+
+      // ---- catalog identity ------------------------------------------------
+      case "rename" =>
+        cat match {
+          case sc: graft.catalog.SqlCatalog => sc.renameTable(cargs(0), cargs(1))
+          case rc: graft.rest.RestCatalog   => rc.renameTable(cargs(0), cargs(1))
+          case _ =>
+            System.err.println("this catalog does not support rename (path-identity storage)")
+            sys.exit(2)
+        }
+        println(s"renamed ${cargs(0)} -> ${cargs(1)}")
+      case "register" =>
+        cat match {
+          case sc: graft.catalog.SqlCatalog => sc.registerTable(cargs(0), cargs(1))
+          case rc: graft.rest.RestCatalog   => rc.registerTable(cargs(0), cargs(1))
+          case _ =>
+            System.err.println("this catalog does not support register")
+            sys.exit(2)
+        }
+        println(s"registered ${cargs(0)} at ${cargs(1)}")
+
       case "drop" =>
         // --purge physically deletes the table's files first (reference
-        // PurgeFiles semantics, gc.enabled respected); plain drop only
-        // unregisters from the catalog
-        val name = args(2)
-        if (args.length > 3 && args(3) == "--purge") {
-          val purged = graft.table.Maintenance.purgeFiles(cat.loadTable(name))
-          println(s"purged ${purged.size} files")
+        // PurgeFiles semantics, gc.enabled respected). On a path-identity
+        // catalog the directory IS the identity, so purge routes through
+        // purgeTable, which keeps the data dir when gc.enabled=false;
+        // row-identity catalogs just drop their pointer afterwards.
+        val name = cargs(0)
+        val purge = cargs.length > 1 && cargs(1) == "--purge"
+        (purge, cat) match {
+          case (true, hc: graft.catalog.HadoopCatalog) =>
+            println(s"purged ${hc.purgeTable(name).size} files")
+          case (true, _) =>
+            println(s"purged ${Maintenance.purgeFiles(cat.loadTable(name)).size} files")
+            cat.dropTable(name)
+          case (false, _) =>
+            cat.dropTable(name)
         }
-        cat.dropTable(name)
         println(s"dropped $name")
       case other =>
-        System.err.println(s"unknown command: $other")
+        System.err.println(s"unknown command: $other\n$usage")
         sys.exit(2)
     }
   }

@@ -53,6 +53,20 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     ()
   }
 
+  /** Drop with purge (reference `catalog/hadoop/hadoop.go:901-921`
+    * PurgeTable): purge the referenced-file union FIRST (the walk must run
+    * before the directory root goes), then remove the directory — but only
+    * the metadata directory when `gc.enabled=false`, so referenced data
+    * files survive the drop as the property promises.
+    */
+  def purgeTable(name: String): Seq[String] = {
+    val t = loadTable(name)
+    val purged = graft.table.Maintenance.purgeFiles(t)
+    val gcEnabled = t.metadata.properties.getOrElse("gc.enabled", "true").toBoolean
+    FileIO.deleteTree(if (gcEnabled) tableDir(name) else s"${tableDir(name)}/metadata")
+    purged
+  }
+
   def currentVersion(name: String): Option[Int] = {
     val fromHint =
       if (!FileIO.exists(hintFile(name))) None

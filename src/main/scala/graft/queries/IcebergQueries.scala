@@ -1628,30 +1628,64 @@ object IcebergQueries {
     }, Some("""
       SELECT COUNT(*) AS n, 'true' AS policy_ok FROM customer""")),
 
-    // CLI smoke (reference `cmd/iceberg/main.go:225-960`): list/describe/
-    // snapshots run against a real warehouse and print what they should
+    // CLI scripted session (reference `cmd/iceberg/main.go:225-960`): a
+    // SQL-catalog warehouse driven END-TO-END through the CLI — list,
+    // describe, snapshots, branch, tag, rollback, upgrade, expire, compact,
+    // rename, register, read, drop — with the output of each verb asserted,
+    // plus named-catalog resolution through a config file (--catalog).
     QueryDef.staged("i49_cli", (s, dir) => {
-      val wh = s"/root/repo/target/graft-wh/cli_${UUID.randomUUID().toString.take(8)}"
-      val cat = new HadoopCatalog(wh)
+      val id = UUID.randomUUID().toString.take(8)
+      val wh = s"/root/repo/target/graft-wh/cli_$id"
+      val uri = s"sql:jdbc:derby:memory:cli_$id;create=true|$wh"
+      val cat = graft.catalog.Catalogs.load(uri)
       val r = tbl(s, dir, "region")
-      Writer.append(s, cat.createTable("region_cli",
+      val t1 = Writer.append(s, cat.createTable("region_cli",
         SchemaBridge.fromSpark(r.schema), PartitionSpec.Unpartitioned), r)
-      val buf = new java.io.ByteArrayOutputStream()
-      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
-        graft.Cli.main(Array(wh, "list"))
-        graft.Cli.main(Array(wh, "describe", "region_cli"))
-        graft.Cli.main(Array(wh, "snapshots", "region_cli"))
+      val s1 = t1.metadata.currentSnapshotId.get
+      Writer.append(s, cat.loadTable("region_cli"), r) // second snapshot to roll back over
+      val cfg = java.nio.file.Paths.get(s"$wh.yaml")
+      java.nio.file.Files.createDirectories(cfg.getParent)
+      java.nio.file.Files.writeString(cfg,
+        s"""default-catalog: main
+           |catalog:
+           |  main:
+           |    uri: $uri
+           |""".stripMargin)
+      def run(a: String*): String = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          graft.Cli.main(a.toArray)
+        }
+        buf.toString("UTF-8")
       }
-      val out = buf.toString("UTF-8")
-      val listed = out.contains("region_cli")
-      val described = out.contains("format-version") && out.contains("partition-spec")
-      () => SparkRead.read(s, cat.loadTable("region_cli").newScan)
+      val checks = Seq(
+        run(uri, "list").contains("region_cli"),
+        run("--catalog", "main", "--config", cfg.toString, "list").contains("region_cli"),
+        run(uri, "describe", "region_cli").contains("format-version"),
+        run(uri, "snapshots", "region_cli").contains(s1.toString),
+        run(uri, "branch", "region_cli", "dev").contains("branch dev ->"),
+        run(uri, "tag", "region_cli", "v1").contains("tag v1 ->"),
+        run(uri, "rollback", "region_cli", s1.toString).contains("rolled back"),
+        run(uri, "upgrade", "region_cli", "3").contains("format-version: 3"),
+        run(uri, "expire", "region_cli",
+          (System.currentTimeMillis() + 60000).toString).contains("expired"),
+        run(uri, "compact", "region_cli").contains("compacted"),
+        run(uri, "rename", "region_cli", "region_ren")
+          .contains("renamed region_cli -> region_ren"),
+        run(uri, "register", "region_reg",
+          cat.loadTable("region_ren").metadataPath).contains("registered"),
+        run(uri, "read", "region_ren", "3").contains("AFRICA"),
+        { run(uri, "drop", "region_reg"); !cat.tableExists("region_reg") },
+        // rollback actually took effect: back to the single-append row count
+        SparkRead.read(s, cat.loadTable("region_ren").newScan).count() == r.count())
+      val verbsOk = checks.forall(identity)
+      if (!verbsOk) System.err.println(
+        s"[i49] failing checks: ${checks.zipWithIndex.filterNot(_._1).map(_._2).mkString(",")}")
+      () => SparkRead.read(s, cat.loadTable("region_ren").newScan)
         .agg(count(lit(1)).as("n"))
-        .withColumn("listed", lit(listed.toString))
-        .withColumn("described", lit(described.toString))
+        .withColumn("verbs_ok", lit(verbsOk.toString))
     }, Some("""
-      SELECT COUNT(*) AS n, 'true' AS listed, 'true' AS described
-      FROM region""")),
+      SELECT COUNT(*) AS n, 'true' AS verbs_ok FROM region""")),
 
     // orphan-cleanup prefix-mismatch modes (reference
     // table/orphan_cleanup.go:40-60,920-955): a table migrated to a
@@ -1953,6 +1987,60 @@ object IcebergQueries {
     }, Some("""
       SELECT c_mktsegment, 2 * COUNT(*) AS n, 'true' AS identity_moved,
              'true' AS pointers_diverged
+      FROM customer
+      WHERE c_custkey <= 100
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // drop-with-purge honoring gc.enabled (reference PurgeFiles,
+    // `table/orphan_cleanup.go:957-1057`), driven through the CLI verb:
+    // a purged table's data AND metadata vanish from storage; with
+    // gc.enabled=false only metadata goes — referenced data files survive
+    // (branched/imported data would be unrecoverable) — and both catalog
+    // rows are gone. A third untouched table in the same warehouse is the
+    // oracle-checked read afterwards.
+    QueryDef.staged("i60_drop_purge", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/dp_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .filter(col("c_custkey") <= 100)
+      val schema = SchemaBridge.fromSpark(c.schema)
+      def dataFiles(name: String): Seq[String] =
+        cat.loadTable(name).newScan.planFiles().map(_.file.path)
+      Writer.append(s, cat.createTable("purged", schema,
+        PartitionSpec.Unpartitioned), c)
+      Writer.append(s, cat.createTable("kept_meta", schema,
+        PartitionSpec.Unpartitioned, properties = Map("gc.enabled" -> "false")), c)
+      val t3 = Writer.append(s, cat.createTable("survivor", schema,
+        PartitionSpec.Unpartitioned), c)
+      val purgedData = dataFiles("purged")
+      val keptData = dataFiles("kept_meta")
+      def exists(p: String) =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(
+          p.stripPrefix("file:")))
+      def run(a: String*): Unit = {
+        val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+        Console.withOut(sink)(graft.Cli.main(a.toArray))
+      }
+      run(wh, "drop", "purged", "--purge")
+      run(wh, "drop", "kept_meta", "--purge")
+      val purgeOk = purgedData.nonEmpty && purgedData.forall(!exists(_)) &&
+        graft.io.FileIO.listFilesRecursive(s"$wh/purged").isEmpty &&
+        !cat.tableExists("purged")
+      val gcRespected = keptData.nonEmpty && keptData.forall(exists) &&
+        graft.io.FileIO.listFilesRecursive(s"$wh/kept_meta")
+          .forall(f => !f.path.contains("/metadata/")) &&
+        !cat.tableExists("kept_meta")
+      () => SparkRead.read(s, t3.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("purge_ok", lit(purgeOk.toString))
+        .withColumn("gc_respected", lit(gcRespected.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS purge_ok,
+             'true' AS gc_respected
       FROM customer
       WHERE c_custkey <= 100
       GROUP BY c_mktsegment
