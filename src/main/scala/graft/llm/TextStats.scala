@@ -12,6 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** PII redaction patterns, applied in order (email before phone so a
+    * user@host never half-matches; SSN before phone so xxx-xx-xxxx is not
+    * eaten as a phone). RE2-compatible on purpose — no backreferences or
+    * lookaround — so engines with either regex dialect (Java here, RE2 in
+    * the DuckDB oracle) replace identically; both use leftmost-first
+    * matching, so ties resolve the same way too.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "(\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Redact emails, SSNs, phone numbers and IPv4 addresses with typed
+    * markers — the standard scrub a training corpus gets before release.
+    * A chain of `regexp_replace` calls: pure codegen'd map work, no UDF, no
+    * shuffle; at 100 TB this runs at scan speed alongside the other
+    * per-document operators.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** Count of typed redaction markers in an already-redacted text. */
+  def redactionCount(redacted: Column): Column =
+    size(regexp_extract_all(redacted, lit("<(EMAIL|SSN|PHONE|IP)>"), lit(0))).cast("long")
+
   /** Whitespace token count (codegen'd, no UDF). */
   def tokenCountWs(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))

@@ -676,6 +676,46 @@ object Text {
       GROUP BY 1, 2
       ORDER BY event_type, ws"""), repeatable = true),
 
+    // PII redaction over the corpus: the documents text is augmented with
+    // deterministically synthesized PII (email, IPv4, SSN, phone derived
+    // from doc_id) because the clean corpus has none, then scrubbed by the
+    // regexp_replace chain. The oracle re-runs the SAME patterns under
+    // DuckDB's RE2 — the patterns are deliberately dialect-portable — and
+    // the driver hash-compares every redacted document verbatim.
+    QueryDef("t21_pii_redact", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" call +1 (555) 123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" end")).as("a"))
+      aug.select(col("doc_id"), TextStats.redactPii(col("a")).as("redacted"))
+        .withColumn("n_pii", TextStats.redactionCount(col("redacted")))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH aug AS (
+        SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+          '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+          ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' call +1 (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' end' AS a
+        FROM documents),
+      red AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+            '(\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        FROM aug)
+      SELECT doc_id, redacted,
+        CAST(len(regexp_extract_all(redacted, '<(EMAIL|SSN|PHONE|IP)>')) AS BIGINT) AS n_pii
+      FROM red
+      ORDER BY doc_id""")),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),

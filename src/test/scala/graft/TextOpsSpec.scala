@@ -20,6 +20,24 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("redactPii scrubs emails, SSNs, phones, IPs with typed markers; clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "mail me at jo.ann+x@corp.example.org today"),
+      (2L, "ssn is 123-45-6789, host 192.168.0.1"),
+      (3L, "call +1 (555) 123-4567 or 555-123-4567 now"),
+      (4L, "nothing sensitive here, just v2.0 and 7 items")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.redactPii(col("text")).as("r"))
+      .withColumn("n", TextStats.redactionCount(col("r")))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("mail me at <EMAIL> today", 1L)))
+    assert(out(2L) === (("ssn is <SSN>, host <IP>", 2L)))
+    assert(out(3L) === (("call <PHONE> or <PHONE> now", 2L)))
+    assert(out(4L) === (("nothing sensitive here, just v2.0 and 7 items", 0L)))
+  }
+
   test("repetitionSignals handles single-word and fully-repeated docs") {
     import spark.implicits._
     val df = Seq(
