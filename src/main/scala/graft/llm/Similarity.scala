@@ -61,9 +61,30 @@ object Similarity {
     val pairs = c.crossJoin(broadcast(q))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("qid"), col("cid"), col("cos"))
-    topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
-      .withColumn("cosine", round(col("cos"), 6))
-      .drop("cos")
+    finishTopK(pairs, k)
+  }
+
+  /** Shared top-k finisher over a scored (qid, cid, cos) pair set. With
+    * long ids it runs the bounded [[graft.functions.TopKByScore]] aggregate:
+    * map-side partial top-k means only k entries per (query, map task)
+    * cross the shuffle — for brute-force scoring that turns a |Q|·|C|-row
+    * exchange+sort into a |Q|·k·P one. Other id types fall back to the
+    * two-stage window rank. Both orders are (cos desc, cid asc), so results
+    * are identical and tie-stable.
+    */
+  private def finishTopK(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ranked = pairs.schema("cid").dataType match {
+      case LongType =>
+        pairs.groupBy(col("qid"))
+          .agg(graft.functions.TopKFunctions.topKByScore(col("cos"), col("cid"), k).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), col("col.cid").as("cid"), col("col.cos").as("cos"),
+            (col("pos") + 1).cast("int").as("rank"))
+      case _ =>
+        topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
+    }
+    ranked.withColumn("cosine", round(col("cos"), 6)).drop("cos")
   }
 
   /** Two-stage distributed top-k: partial top-k inside each input partition
@@ -137,9 +158,7 @@ object Similarity {
       .withColumn("cos", cosineCol(col("qv"), col("cv")))
       .select(col("qid"), col("cid"), col("cos"))
       .groupBy("qid", "cid").agg(max("cos").as("cos")) // dedup multi-probe hits
-    topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
-      .withColumn("cosine", round(col("cos"), 6))
-      .drop("cos")
+    finishTopK(pairs, k)
   }
 
   /** Per-label kNN agreement from ANY (qid, cid) top-k frame — leave-one-out
@@ -245,8 +264,6 @@ object Similarity {
       .withColumn("cos", cosineCol(col("qv"), col("cv")))
       .select(col("qid"), col("cid"), col("cos"))
       .groupBy("qid", "cid").agg(max("cos").as("cos"))
-    topKPerKey(pairs, "qid", col("cos").desc, col("cid").asc, k)
-      .withColumn("cosine", round(col("cos"), 6))
-      .drop("cos")
+    finishTopK(pairs, k)
   }
 }
