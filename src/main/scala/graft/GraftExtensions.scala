@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.core.IcebergBucket
+import graft.functions.{DotProduct, TopKByScore}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so plain `spark.sql` users get
@@ -15,8 +16,12 @@ import graft.core.IcebergBucket
   * Enable with:
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   *
-  * SQL: `iceberg_bucket(n, col)` — col pre-normalized per the transform
-  * contract (long/string/binary/decimal).
+  * SQL surface:
+  *  - `iceberg_bucket(n, col)` — col pre-normalized per the transform
+  *    contract (long/string/binary/decimal)
+  *  - `dot_product(a, b)` — codegen'd float/double array dot product
+  *  - `top_k_by_score(score, id, k)` — bounded exact top-k aggregate,
+  *    (score desc, id asc), only k entries per map task cross the shuffle
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -28,6 +33,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(Literal(n: Int, IntegerType), child) => IcebergBucket(child, n)
         case _ => throw new IllegalArgumentException(
           "usage: iceberg_bucket(<int literal n>, col)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("usage: dot_product(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      (children: Seq[Expression]) => children match {
+        case Seq(score, id, Literal(k: Int, IntegerType)) =>
+          TopKByScore(score, id, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "usage: top_k_by_score(score, id, <int literal k>)")
       }))
   }
 }

@@ -27,6 +27,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .apply("iceberg", org.apache.spark.sql.types.StringType))
   }
 
+  test("dot_product and top_k_by_score are callable from plain SQL") {
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .first().getDouble(0)
+    assert(d === 32.0)
+    val rows = spark.sql(
+      """SELECT q, top_k_by_score(s, id, 2) AS top FROM VALUES
+         (1, 0.9d, 10L), (1, 0.7d, 11L), (1, 0.95d, 12L), (2, 0.5d, 20L)
+         AS t(q, s, id) GROUP BY q ORDER BY q""").collect()
+    val top1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(top1.map(r => (r.getLong(0), r.getDouble(1))) === Seq((12L, 0.95), (10L, 0.9)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).length === 1)
+  }
+
   test("bad arity/shape yields a clear error") {
     val e = intercept[Exception](spark.sql("SELECT iceberg_bucket('x', 1)").collect())
     assert(e.getMessage.contains("iceberg_bucket"))
