@@ -716,6 +716,87 @@ object Text {
       FROM red
       ORDER BY doc_id""")),
 
+    // streaming sessionization with CUSTOM state (flatMapGroupsWithState +
+    // event-time timeouts): the t20 harness (file stream, one file per
+    // batch, two-run time split + sentinel flush on one checkpoint) driving
+    // StreamSessions instead of the built-in window agg. Sessions close
+    // exactly once when the watermark passes end+gap — timeouts wake idle
+    // keys — and the global session stats must hash-match the batch
+    // sessionization oracle in the same ms time domain. Sentinel keys are
+    // negative and dropped at read-back.
+    QueryDef.staged("t22_stream_sessions", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/root/repo/target/graft-wh/ssess_${java.util.UUID.randomUUID().toString.take(8)}"
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val gapMs = 30L * 60 * 1000
+      val e = tbl(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("t"))
+      val bounds = e.agg(min(unix_micros(col("t"))), max(unix_micros(col("t")))).collect()(0)
+      val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val cutTs = timestamp_micros(lit(minUs + (maxUs - minUs) / 2))
+      val schema = e.schema
+      def runOnce(): Unit = {
+        val q = graft.streaming.StreamSessions.sessionize(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+              .parquet(inDir).withWatermark("t", "10 minutes"),
+            "user_id", "t", gapMs)
+          .toDF()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      e.filter(col("t") < cutTs).coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      e.filter(col("t") >= cutTs).coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      // only sessions older than watermark-gap may be out so far; the tail
+      // sessions (touching the final 40 min of data) must still be open
+      val openWithheld =
+        try s.read.parquet(outDir).agg(max(col("end_ms"))).collect()(0).getLong(0) <
+          maxUs / 1000L - gapMs
+        catch { case _: Throwable => false }
+      Seq(7200L, 14400L).zipWithIndex.foreach { case (off, i) =>
+        s.range(1).select(lit(-1L - i).as("user_id"),
+            timestamp_micros(lit(maxUs + off * 1000000L)).as("t"))
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      runOnce()
+      // sessions are emitted exactly once (late rows can never reach a
+      // closed session), so the rows aggregate directly — no defensive
+      // re-merge that would mask a double emission
+      () => s.read.parquet(outDir)
+        .filter(col("key") >= 0)
+        .groupBy()
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(expr("(end_ms - start_ms) div 1000")).as("max_dur_s"),
+          sum(expr("(end_ms - start_ms) div 1000")).as("total_dur_s"))
+        .withColumn("open_withheld", lit(openWithheld.toString))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
+      lagged AS (
+        SELECT user_id, tms,
+          CASE WHEN LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+               OR tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) > 1800000
+          THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+      sess AS (
+        SELECT user_id, tms,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM lagged),
+      per AS (
+        SELECT user_id, sid, COUNT(*) AS n, MIN(tms) AS s, MAX(tms) AS en
+        FROM sess GROUP BY user_id, sid)
+      SELECT COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+        CAST(MAX((en - s) // 1000) AS BIGINT) AS max_dur_s,
+        CAST(SUM((en - s) // 1000) AS BIGINT) AS total_dur_s,
+        'true' AS open_withheld
+      FROM per"""), repeatable = true),
+
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),
