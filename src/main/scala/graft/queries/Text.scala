@@ -573,18 +573,19 @@ object Text {
       val dst = cat.loadTable("dst")
       val stateRestored = in1 == n && in2 == n &&
         dst.metadata.snapshots.size == 1
+      // aggregate GLOBALLY, not per source: duplicate texts can span
+      // sources (sf0.1 has 8 such pairs), and first-seen-wins dedup makes
+      // the per-source attribution partition-order dependent — the total
+      // kept count and kept chars are dedup-invariant (equal texts have
+      // equal n_chars)
       () => SparkRead.read(s, dst.newScan)
-        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
         .withColumn("state_restored", lit(stateRestored.toString))
-        .orderBy(col("source"))
     }, Some("""
-      SELECT source, COUNT(*) AS n_kept,
-             CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+      WITH k AS (SELECT text, MIN(n_chars) AS nc FROM documents GROUP BY text)
+      SELECT COUNT(*) AS n_kept, CAST(SUM(nc) AS BIGINT) AS chars_kept,
              'true' AS state_restored
-      FROM documents
-      GROUP BY source
-      ORDER BY source"""), repeatable = true),
+      FROM k"""), repeatable = true),
 
     // streaming tumbling-window aggregation through StreamWindows.tumblingAgg:
     // the events table flows through a file stream in THREE AvailableNow runs
