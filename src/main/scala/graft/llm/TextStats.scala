@@ -268,4 +268,36 @@ object TextStats {
       .filter(col("rank") <= k)
       .select(col(idCol), col("word").as("term"), col("tf"), col("df"), col("rank"))
   }
+
+  /** Frequency-ranked top-N vocabulary (ties broken by word asc, so the
+    * cutoff is deterministic). The corpus-scale cost is the token explode +
+    * one word shuffle with map-side partial counts; the distinct-word table
+    * that reaches the rank window is vocabulary-sized (thousands, not
+    * corpus-sized), so the single-partition row_number sort is trivial —
+    * the standard tokenizer-training word count.
+    */
+  def topVocab(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    cnt.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word").asc)))
+      .filter(col("rank") <= n)
+  }
+
+  /** Per-group out-of-vocabulary token rate against a `topVocab` frame. The
+    * vocabulary is broadcast (it is N rows by construction), so the corpus
+    * side never shuffles for the membership test — the only exchange is the
+    * final per-group aggregation.
+    */
+  def oovStats(docs: DataFrame, vocab: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    docs.select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(vocab.select(col("word"), lit(1).as("__in_vocab"))),
+        Seq("word"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("total_tokens"), 6))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.Similarity
+import graft.llm.{Quantize, Similarity}
 import Q._
 
 /** Similarity search over the `embeddings` table (array<float> x 64). The
@@ -156,6 +156,32 @@ object SimilarityQueries {
              'true' AS ivf_ok
       FROM pred WHERE vr = 1
       GROUP BY qlabel
-      ORDER BY label"""))
+      ORDER BY label""")),
+
+    // symmetric int8 quantization: both engines compute round(x*127/max|x|)
+    // in identical double arithmetic with half-away-from-zero rounding, so
+    // the code sums are integer-exact — every element of every vector is
+    // pinned, not just aggregates of a float tolerance
+    QueryDef("s7_int8_quant", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = Quantize.int8Codes(col("embedding"))
+      emb.select(col("vec_id"),
+          aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(q, lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"),
+          size(filter(q, x => abs(x) === 127)).cast("long").as("n_sat"),
+          round(Quantize.maxAbs(col("embedding")), 6).as("max_abs"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+      m AS (SELECT vec_id, MAX(abs(CAST(x AS DOUBLE))) AS ma FROM e GROUP BY vec_id),
+      q AS (SELECT e.vec_id, ma,
+              CASE WHEN ma = 0 THEN 0
+                   ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / ma) AS INTEGER) END AS qi
+            FROM e JOIN m USING (vec_id))
+      SELECT vec_id, CAST(SUM(qi) AS BIGINT) AS q_sum,
+             CAST(SUM(abs(qi)) AS BIGINT) AS q_abs_sum,
+             CAST(SUM(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+             round(MAX(ma), 6) AS max_abs
+      FROM q GROUP BY vec_id ORDER BY vec_id"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Packing, TextStats}
+import graft.llm.{Chunking, Dedup, Multimodal, Packing, TextStats}
 import Q._
 
 /** LLM-corpus text operators over the `documents` table. Queries whose
@@ -797,6 +797,49 @@ object Text {
         CAST(SUM((en - s) // 1000) AS BIGINT) AS total_dur_s,
         'true' AS open_withheld
       FROM per"""), repeatable = true),
+
+    // sliding-window chunking (window 32, stride 24): per-source chunk
+    // counts and token/char sums are overlap-sensitive, so the boundary
+    // math — including the partial final window — is fully pinned
+    QueryDef("t23_chunk_overlap", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Chunking.chunkByTokens(docs, "text", window = 32, stride = 24, keep = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("chunk_tokens"),
+          sum(length(col("chunk_text")).cast("long")).as("chunk_chars"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      n AS (SELECT source, toks, len(toks) AS nt,
+              CASE WHEN len(toks) <= 32 THEN 1
+                   ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+            FROM t),
+      x AS (SELECT source, toks, unnest(range(nc)) AS i FROM n),
+      c AS (SELECT source, array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk FROM x)
+      SELECT source, COUNT(*) AS n_chunks,
+             CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS chunk_tokens,
+             CAST(SUM(length(chunk)) AS BIGINT) AS chunk_chars
+      FROM c GROUP BY source ORDER BY source""")),
+
+    // tokenizer-style vocabulary build (top-10 words by frequency, word-asc
+    // tie-break) + per-source out-of-vocabulary rate via broadcast membership
+    QueryDef("t24_vocab_oov", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = TextStats.topVocab(docs, "text", n = 10)
+      TextStats.oovStats(docs, vocab, "text", "source")
+        .orderBy(col("source"))
+    }, Some("""
+      WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+      cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+      v AS (SELECT word FROM (
+              SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS r FROM cnt)
+            WHERE r <= 10)
+      SELECT source, COUNT(*) AS total_tokens,
+             CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+             round(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+      FROM w LEFT JOIN v ON w.word = v.word
+      GROUP BY source ORDER BY source""")),
 
     QueryDef("mm1_binary_meta", (s, dir) => {
       val docs = tbl(s, dir, "documents")
