@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Quantize, Similarity}
+import graft.llm.{Clustering, Quantize, Similarity}
 import Q._
 
 /** Similarity search over the `embeddings` table (array<float> x 64). The
@@ -182,6 +182,72 @@ object SimilarityQueries {
              CAST(SUM(abs(qi)) AS BIGINT) AS q_abs_sum,
              CAST(SUM(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
              round(MAX(ma), 6) AS max_abs
-      FROM q GROUP BY vec_id ORDER BY vec_id"""))
+      FROM q GROUP BY vec_id ORDER BY vec_id""")),
+
+    // deterministic Lloyd's k-means (smallest-id init, per-iteration 6dp
+    // centroid rounding): DuckDB re-runs the SAME two iterations from the
+    // same seeds, and integer id-sums pin every assignment exactly
+    QueryDef("s8_kmeans_clusters", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Clustering.kMeans(emb, k = 4, iters = 2)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+        .orderBy(col("cluster"))
+    }, Some(s"""
+      WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+      ${kmeansOracleCtes(4, 2)}
+      SELECT cl AS cluster, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM aF GROUP BY cl ORDER BY cluster""")),
+
+    // SemDeDup over a doubled corpus (500 exact duplicates + natural
+    // near-dups above tau=0.35): within-cluster pruning keeps the
+    // smallest-id representative of each similarity neighborhood
+    QueryDef("s9_semantic_dedup", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val u = emb.unionByName(
+        emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      val kept = Clustering.semanticDedup(Clustering.kMeans(u, k = 4, iters = 2), tau = 0.35)
+      kept.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+        .orderBy(col("cluster"))
+    }, Some(s"""
+      WITH u AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+      v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM u),
+      ${kmeansOracleCtes(4, 2)},
+      drop AS (SELECT DISTINCT y.vec_id AS j
+        FROM aF x JOIN aF y ON x.cl = y.cl AND x.vec_id < y.vec_id
+        WHERE list_sum(list_transform(generate_series(1, 64), ii -> x.ve[ii] * y.ve[ii])) /
+              (sqrt(list_sum(list_transform(x.ve, e -> e * e))) *
+               sqrt(list_sum(list_transform(y.ve, e -> e * e)))) > 0.35),
+      kept AS (SELECT * FROM aF WHERE vec_id NOT IN (SELECT j FROM drop))
+      SELECT cl AS cluster, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM kept GROUP BY cl ORDER BY cluster"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
+
+  /** DuckDB replica of [[graft.llm.Clustering.kMeans]] (dim=64, 6dp centroid
+    * rounding) as a CTE chain over `v(vec_id, ve)`: c0 = smallest-id seeds,
+    * a{t}/c{t} = assign + rounded-mean update per iteration, aF = final
+    * assignment. The rounding makes both engines' centroids decimal-equal
+    * (±1 ULP of the same decimal), so assignments — integer facts — match
+    * exactly even though partial-sum order differs.
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    def assign(name: String, cents: String): String = s"""$name AS (SELECT vec_id, ve, cl FROM (
+        SELECT v2.vec_id, v2.ve, c.cl,
+          ROW_NUMBER() OVER (PARTITION BY v2.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64), ii -> (v2.ve[ii] - c.ce[ii]) * (v2.ve[ii] - c.ce[ii]))) ASC,
+            c.cl ASC) AS rk
+        FROM v v2 CROSS JOIN $cents c) rr WHERE rk = 1)"""
+    val init = s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, ve AS ce
+        FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT $k) init),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS i)"""
+    val steps = (1 to iters).flatMap { t =>
+      Seq(assign(s"a$t", s"c${t - 1}"),
+        s"""c$t AS (SELECT cl, list(m ORDER BY i) AS ce FROM (
+        SELECT cl, i, round(avg(ve[i]), 6) AS m FROM a$t, dims GROUP BY cl, i) mm GROUP BY cl)""")
+    }
+    (init +: steps :+ assign("aF", s"c$iters")).mkString(",\n      ")
+  }
 }

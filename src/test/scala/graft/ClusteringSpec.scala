@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.Clustering
+
+/** Edge cases for k-means / semantic dedup (the happy path is oracle-gated
+  * in s8/s9): separable clusters converge, ties break to the lower cluster
+  * index, exact duplicates always collapse to the smallest id.
+  */
+class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("kMeans separates two obvious groups regardless of seed quality") {
+    import spark.implicits._
+    // ids 0,1 seed the clusters; both seeds sit in group A, but one Lloyd
+    // iteration pulls centroid 1 to group B's mass
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.2f, 0.1f)), (2L, Seq(0.1f, 0.05f)),
+      (3L, Seq(5.0f, 5.0f)), (4L, Seq(5.2f, 5.1f)), (5L, Seq(5.1f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kMeans(df, k = 2, iters = 2)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(out(0L), out(1L), out(2L)).size === 1)
+    assert(Set(out(3L), out(4L), out(5L)).size === 1)
+    assert(out(0L) !== out(3L))
+  }
+
+  test("kMeans with iters=0 assigns against the raw seeds, ties to lower cluster") {
+    import spark.implicits._
+    // equidistant point from both seeds -> cluster 0 by tie-break
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kMeans(df, k = 2, iters = 0)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 0, 1L -> 1, 2L -> 0))
+  }
+
+  test("semanticDedup keeps the smallest id of an exact-duplicate set and spares distinct vectors") {
+    import spark.implicits._
+    val v = Seq(1.0f, 0.0f, 0.0f)
+    val w = Seq(0.0f, 1.0f, 0.0f)
+    val df = Seq((10L, v), (20L, v), (30L, v), (40L, w))
+      .toDF("vec_id", "embedding")
+    val kept = Clustering.semanticDedup(
+        Clustering.kMeans(df, k = 1, iters = 1), tau = 0.9)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 40L))
+  }
+}
