@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CCNet/KenLM-style statistical language-model scoring for corpus quality
+  * filtering: train an add-one-smoothed bigram model ON the corpus itself
+  * and score each document by its mean log P(w_i | w_{i-1}). Documents far
+  * below the corpus mean are boilerplate/garbage candidates; far above are
+  * degenerate repetition — the classic perplexity-bucket signal, without an
+  * external model artifact.
+  *
+  * Scale shape: bigram extraction is map-side array work (slice + zip +
+  * explode); the count model is two shuffled aggregations with map-side
+  * partials (bigram and unigram-context tables); scoring joins the bigram
+  * stream back to both tables on their natural keys — at corpus scale these
+  * are shuffle joins on (w1, w2)/(w1), with AQE free to broadcast when a
+  * model table is small. The vocabulary size is the only driver-side value
+  * (one long).
+  */
+object LmScore {
+
+  /** Per-document mean bigram log-probability.
+    * Output: `keep` columns + (n_bigrams, avg_lp). Documents with fewer
+    * than 2 tokens produce no bigrams and are absent from the result — the
+    * model cannot score them.
+    */
+  def bigramDocScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", keep: Seq[String] = Seq("source")): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("w1"),
+      slice(toks, lit(2), size(toks) - 1).as("w2"))
+    val big = docs
+      .select((col(idCol) +: keep.map(col)) :+ explode(pairs).as("bg"): _*)
+      .select((col(idCol) +: keep.map(col)) :+
+        col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val vocab = docs.select(explode(toks).as("w")).agg(countDistinct(col("w")))
+      .head().getLong(0)
+    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp", log((col("n12") + lit(1.0)) / (col("n1") + lit(vocab.toDouble))))
+      .groupBy((col(idCol) +: keep.map(col)): _*)
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_lp"))
+  }
+}

@@ -23,13 +23,20 @@ object Quantize {
   /** int8 codes as array<int>. Max-abs scaling bounds codes to [-127, 127]
     * by construction, so no clamp branch is needed; all-zero vectors map to
     * all-zero codes instead of dividing by zero.
+    *
+    * Pass a precomputed `maxAbs` column (projected ONCE in its own select)
+    * when the codes feed several downstream expressions: higher-order
+    * functions evaluate interpreted, and inlining the max under the lambda
+    * makes every element re-scan the vector — O(dim²) per row, ~10× on the
+    * s7 gate.
     */
-  def int8Codes(vec: Column): Column = {
-    val ma = maxAbs(vec)
+  def int8CodesWithMax(vec: Column, maxAbsVal: Column): Column =
     transform(vec, x =>
-      when(ma === 0.0, lit(0))
-        .otherwise(round(x.cast("double") * lit(127.0) / ma).cast("int")))
-  }
+      when(maxAbsVal === 0.0, lit(0))
+        .otherwise(round(x.cast("double") * lit(127.0) / maxAbsVal).cast("int")))
+
+  /** Convenience single-expression form for one-shot use. */
+  def int8Codes(vec: Column): Column = int8CodesWithMax(vec, maxAbs(vec))
 
   /** Per-element reconstruction `q * max|x| / 127` for quality probes. */
   def dequantize(codes: Column, maxAbsVal: Column): Column =

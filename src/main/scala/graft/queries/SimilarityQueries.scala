@@ -164,12 +164,18 @@ object SimilarityQueries {
     // pinned, not just aggregates of a float tolerance
     QueryDef("s7_int8_quant", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val q = Quantize.int8Codes(col("embedding"))
-      emb.select(col("vec_id"),
-          aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-          aggregate(q, lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"),
-          size(filter(q, x => abs(x) === 127)).cast("long").as("n_sat"),
-          round(Quantize.maxAbs(col("embedding")), 6).as("max_abs"))
+      // stage max-abs, then codes, then the aggregates: each interpreted
+      // HOF input is computed once per row (CollapseProject keeps expensive
+      // multiply-referenced projections staged, it does not re-inline them)
+      emb.select(col("vec_id"), col("embedding"),
+          Quantize.maxAbs(col("embedding")).as("__ma"))
+        .select(col("vec_id"), col("__ma"),
+          Quantize.int8CodesWithMax(col("embedding"), col("__ma")).as("__q"))
+        .select(col("vec_id"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"),
+          size(filter(col("__q"), x => abs(x) === 127)).cast("long").as("n_sat"),
+          round(col("__ma"), 6).as("max_abs"))
         .orderBy(col("vec_id"))
     }, Some("""
       WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),

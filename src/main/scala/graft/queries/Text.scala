@@ -277,9 +277,9 @@ object Text {
     // first, which changes bytes moved but not this plan shape
     QueryDef("t13_decontaminate", (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      def grams(n: Int) = expr(
-        s"""transform(sequence(1, greatest(0, size(split(text, ' ')) - ${n - 1})),
-            i -> array_join(slice(split(text, ' '), i, $n), ' '))""")
+      // guarded helper: under-n-token docs yield an empty gram array
+      // (sequence(1,0) in Spark is the DESCENDING [1,0], not empty)
+      def grams(n: Int) = graft.llm.Decontaminate.wordNgrams(col("text"), n)
       val bench = docs.filter(col("doc_id") < 20)
         .select(explode(grams(8)).as("gram")).distinct()
       val corpus = docs.filter(col("doc_id") >= 20)
@@ -432,9 +432,7 @@ object Text {
       val deduped = Dedup.exact(quality, Seq("text"), "doc_id")
       // 3. decontaminate vs the benchmark slice (doc_id < 20): any doc
       // sharing a word 8-gram is dropped — including the bench docs
-      def grams8 = expr(
-        """transform(sequence(1, greatest(0, size(split(text, ' ')) - 7)),
-            i -> array_join(slice(split(text, ' '), i, 8), ' '))""")
+      def grams8 = graft.llm.Decontaminate.wordNgrams(col("text"), 8)
       val bench = tbl(s, dir, "documents").filter(col("doc_id") < 20)
         .select(explode(grams8).as("gram")).distinct()
       val contaminated = deduped
@@ -797,6 +795,77 @@ object Text {
         CAST(SUM((en - s) // 1000) AS BIGINT) AS total_dur_s,
         'true' AS open_withheld
       FROM per"""), repeatable = true),
+
+    // corpus-self-trained bigram LM quality scoring (add-one smoothing):
+    // integer bigram counts pin the model exactly; per-doc mean log-probs
+    // round to 4dp, far above the ~1e-13 noise from libm ln ULPs and
+    // partial-sum order, so both engines land on identical decimals
+    QueryDef("t26_bigram_lm", (s, dir) => {
+      import graft.llm.LmScore
+      val docs = tbl(s, dir, "documents")
+      LmScore.bigramDocScore(docs)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("total_bigrams"),
+          round(avg(col("avg_lp")), 4).as("mean_lp"),
+          round(min(col("avg_lp")), 4).as("min_lp"),
+          round(max(col("avg_lp")), 4).as("max_lp"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+      big AS (
+        SELECT doc_id, source, words[i] AS w1, words[i+1] AS w2
+        FROM w, UNNEST(generate_series(1, len(words) - 1)) AS t(i)),
+      c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+      c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+      vocab AS (SELECT COUNT(DISTINCT words[i]) AS v
+        FROM w, UNNEST(generate_series(1, len(words))) AS t(i)),
+      scored AS (
+        SELECT b.doc_id, b.source,
+               ln((c12.n12 + 1.0) / (c1.n1 + vocab.v)) AS lp
+        FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab),
+      perdoc AS (
+        SELECT doc_id, source, COUNT(*) AS nb, AVG(lp) AS avg_lp
+        FROM scored GROUP BY doc_id, source)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS total_bigrams,
+             round(AVG(avg_lp), 4) AS mean_lp,
+             round(MIN(avg_lp), 4) AS min_lp, round(MAX(avg_lp), 4) AS max_lp
+      FROM perdoc GROUP BY source ORDER BY source""")),
+
+    // Bloom-prefiltered decontamination: same answer as t13 (the oracle IS
+    // t13's SQL) through the 100 TB plan — a broadcast Bloom sketch kills
+    // ~99% of clean corpus grams map-side before the exact confirmation
+    // semi-join, so the exchange carries survivors, not the corpus
+    QueryDef("t25_decontaminate_bloom", (s, dir) => {
+      import graft.llm.Decontaminate
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 20)
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val hits = Decontaminate.contaminatedIds(corpus, bench, n = 8)
+      corpus.join(hits.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+      bg AS (
+        SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, greatest(0, len(words) - 7))) AS t(i)
+        WHERE doc_id < 20),
+      cg AS (
+        SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, greatest(0, len(words) - 7))) AS t(i)
+        WHERE doc_id >= 20),
+      hits AS (
+        SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bg))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      FROM documents
+      WHERE doc_id >= 20
+      GROUP BY source
+      ORDER BY source""")),
 
     // sliding-window chunking (window 32, stride 24): per-source chunk
     // counts and token/char sums are overlap-sensitive, so the boundary

@@ -20,6 +20,22 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("bigramDocScore matches the hand-computed add-one model; 1-token docs are unscored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b a b", "s1"),
+      (2L, "x", "s1") // no bigrams: absent from output
+    ).toDF("doc_id", "text", "source")
+    val out = graft.llm.LmScore.bigramDocScore(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(2) === 3L)
+    // corpus: bigrams ab,ba,ab; c12(ab)=2, c12(ba)=1; c1(a)=2, c1(b)=1; V=3 (a,b,x)
+    val expected = (2.0 * math.log(3.0 / 5.0) + math.log(2.0 / 4.0)) / 3.0
+    assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+  }
+
   test("redactPii scrubs emails, SSNs, phones, IPs with typed markers; clean text untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
