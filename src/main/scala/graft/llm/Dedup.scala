@@ -375,4 +375,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Duplicated-span coverage (exact-substring dedup statistics, the
+    * Lee-et-al "Deduplicating Training Data" shape): for every document,
+    * how many token positions fall inside at least one word n-gram that
+    * occurs `minCount`-or-more times across the whole corpus. The coverage
+    * counts drive span-removal / doc-drop policy decisions; emitting counts
+    * (not rewritten text) keeps the operator engine-portable and oracle-able.
+    *
+    * 100 TB shape: the n-gram explode is map-side (pure array expressions,
+    * no UDF); the only corpus-scale exchange is the gram-frequency count
+    * with map-side partials. Only grams that prove duplicated join back —
+    * the overwhelmingly-unique tail never re-shuffles — and the final
+    * per-doc position distinct+count is bounded by document length.
+    *
+    * Output: (idCol, n_tokens, covered_tokens), one row per input document;
+    * covered_tokens = 0 for documents with no duplicated span.
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol),
+      posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("start", "gram")))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select(col("gram"))
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("covered_tokens"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+  }
 }

@@ -41,4 +41,85 @@ object Quantize {
   /** Per-element reconstruction `q * max|x| / 127` for quality probes. */
   def dequantize(codes: Column, maxAbsVal: Column): Column =
     transform(codes, q => q.cast("double") * maxAbsVal / lit(127.0))
+
+  // -------------------------------------------------------- product quant
+
+  /** Per-subspace L2 k-means codebooks (classic product quantization) on a
+    * bounded driver-side sample: the dim-length vector splits into `m`
+    * subvectors of dim/m, each subspace trains `ksub` centroids. Seeded
+    * init over the ordered sample keeps the codebooks deterministic.
+    * Returns m × ksub × (dim/m).
+    */
+  def trainPqCodebooks(sample: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val rnd = new java.util.Random(seed + j)
+      var cents = Array.tabulate(math.min(ksub, sub.length))(i =>
+        sub(if (i == 0) 0 else rnd.nextInt(sub.length)).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Int](cents.length)
+        sub.foreach { v =>
+          val c = nearestCode(v, cents)
+          var t = 0
+          while (t < dsub) { sums(c)(t) += v(t); t += 1 }
+          counts(c) += 1
+        }
+        cents = cents.indices.map { i =>
+          if (counts(i) == 0) cents(i)
+          else { val a = sums(i); var t = 0; while (t < dsub) { a(t) /= counts(i); t += 1 }; a }
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** Index of the L2-nearest centroid (ties by lowest index). */
+  def nearestCode(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i); var d = 0.0; var t = 0
+      while (t < c.length) { val e = v(t) - c(t); d += e * e; t += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** PQ codes for one (unit-normalized) vector: m centroid indices. */
+  def pqEncode(v: Array[Double], codebooks: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    Array.tabulate(m)(j =>
+      nearestCode(java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub), codebooks(j)))
+  }
+
+  /** Asymmetric-distance (ADC) lookup table for one normalized query:
+    * flat m·ksub array of dot(query_sub_j, codebook_j(c)). The approximate
+    * cosine of a coded corpus vector is then m lookups + adds.
+    */
+  def adcTable(q: Array[Double], codebooks: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val cb = codebooks(j)(c); var d = 0.0; var t = 0
+        while (t < dsub) { d += q(j * dsub + t) * cb(t); t += 1 }
+        lut(j * ksub + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
 }

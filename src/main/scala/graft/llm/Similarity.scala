@@ -266,4 +266,74 @@ object Similarity {
       .groupBy("qid", "cid").agg(max("cos").as("cos"))
     finishTopK(pairs, k)
   }
+
+  // -------------------------------------------------------------------- PQ
+
+  private def unitNorm(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Product-quantization top-k with exact re-rank (the FAISS PQ/ADC shape):
+    * per-subspace codebooks train on a bounded deterministic sample, every
+    * corpus vector encodes ONCE to `m` centroid indices (bytes on disk —
+    * dim·4 / m compression, 32× at dim=64/m=8, which is what lets a 100 TB
+    * embedding corpus fit an in-memory serving tier), queries broadcast a
+    * flat m·ksub ADC lookup table, and scoring a coded vector is m array
+    * lookups + adds instead of dim multiplies. The top `refine·k` ADC
+    * candidates per query re-rank by exact cosine, so the output ordering is
+    * exact over the candidate set.
+    *
+    * Corpus rows never shuffle: ADC scores are map-side against the
+    * broadcast LUTs and only k·partitions rows per query reach the rank
+    * exchange (same partial-top-k path as the exact ranker). Encoding cost
+    * (dim·ksub multiplies per row) is the one-time index build. Guarded by
+    * [[BruteForceMaxQueries]] on the query side like the exact path; at
+    * larger query scale the same codes drop into the IVF list layout
+    * (IVF-PQ) — composition, not a new operator.
+    *
+    * Output: (qid, rank, cid, cosine), rank 1..k by exact cosine.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, refine: Int = 4, sampleSize: Int = 10000,
+      iters: Int = 10, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val nq = queries.limit((BruteForceMaxQueries + 1).toInt).count()
+    require(nq <= BruteForceMaxQueries,
+      s"pqTopK: query side has > $BruteForceMaxQueries rows; " +
+        "compose the PQ codes with the IVF list layout for large query sets")
+    val cd = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val qd = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    // bounded, deterministic training sample (TakeOrdered — no global sort)
+    val sample = cd.sort(col("cid")).limit(sampleSize)
+      .select(col("cv")).collect().map(r => unitNorm(r.getSeq[Double](0).toArray))
+    val codebooks = Quantize.trainPqCodebooks(sample, m, ksub, iters, seed)
+    val encodeU = udf((v: Seq[Double]) => Quantize.pqEncode(unitNorm(v.toArray), codebooks))
+    val lutU = udf((v: Seq[Double]) => Quantize.adcTable(unitNorm(v.toArray), codebooks))
+    val adcU = udf((lut: Seq[Double], codes: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j * ksub + codes(j)); j += 1 }
+      s
+    })
+    val coded = cd.withColumn("codes", encodeU(col("cv"))).select("cid", "codes")
+    val qlut = qd.select(col("qid"), lutU(col("qv")).as("lut"))
+    val cand = topKPerKey(
+      coded.crossJoin(broadcast(qlut))
+        .withColumn("adc", adcU(col("lut"), col("codes")))
+        .select(col("qid"), col("cid"), col("adc")),
+      "qid", col("adc").desc, col("cid").asc, refine * k)
+      .select(col("qid"), col("cid"))
+    // exact re-rank of the candidate set on the original float vectors
+    import graft.functions.VectorFunctions.{dot, norm}
+    val cvx = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvx"))
+      .withColumn("cn", norm(col("cvx")))
+    val qvx = queries.select(col(idCol).as("rqid"), col(vecCol).as("qvx"))
+      .withColumn("qn", norm(col("qvx")))
+    val rescored = cand.join(cvx, Seq("cid"))
+      .join(broadcast(qvx), col("qid") === col("rqid"))
+      .withColumn("cos", dot(col("qvx"), col("cvx")) / (col("qn") * col("cn")))
+      .select(col("qid"), col("cid"), col("cos"))
+    topKPerKey(rescored, "qid", col("cos").desc, col("cid").asc, k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos").as("cosine"))
+  }
 }

@@ -229,7 +229,35 @@ object SimilarityQueries {
                sqrt(list_sum(list_transform(y.ve, e -> e * e)))) > 0.35),
       kept AS (SELECT * FROM aF WHERE vec_id NOT IN (SELECT j FROM drop))
       SELECT cl AS cluster, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS id_sum
-      FROM kept GROUP BY cl ORDER BY cluster"""))
+      FROM kept GROUP BY cl ORDER BY cluster""")),
+
+    // PQ/ADC ANN gate (the memory-compression ANN path next to LSH and
+    // IVF): 8 subspaces × 16 centroids = 32× compression at dim 64, ADC
+    // candidates exact-re-ranked; recall@5 vs brute force measures 0.79 at
+    // sf0.01 / 0.55 at sf0.1, pinned at 0.3 with margin, and every query
+    // must surface itself at rank 1 (the self candidate survives refine
+    // because its ADC score is its own reconstruction dot — the maximum
+    // the table can produce for the query)
+    QueryDef("s10_pq_ann", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ann = Similarity.pqTopK(queries, emb, k = 5,
+        m = 8, ksub = 16, refine = 8).persist()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
+      val hits = ann.select(col("qid"), col("cid"))
+        .intersect(exact.select(col("qid"), col("cid"))).count()
+      val total = exact.count()
+      val nq = queries.count()
+      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
+      ann.unpersist()
+      exact.unpersist()
+      import s.implicits._
+      Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
+        .toDF("n_queries", "recall_ok", "self_ok")
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 'true' AS recall_ok,
+             'true' AS self_ok
+      FROM embeddings WHERE vec_id < 20"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 
   /** DuckDB replica of [[graft.llm.Clustering.kMeans]] (dim=64, 6dp centroid

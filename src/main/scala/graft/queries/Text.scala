@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Dedup, Multimodal, Packing, TextStats}
+import graft.llm.{Chunking, Dedup, Multimodal, Packing, Retrieval, TextStats}
 import Q._
 
 /** LLM-corpus text operators over the `documents` table. Queries whose
@@ -21,6 +21,69 @@ object Text {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Okapi BM25 top-5 per query (k1=1.25, b=0.75 — dyadic constants, so
+    // both engines fold identical doubles). Per-doc term contributions sum
+    // by a term-ordered left fold on BOTH sides, pinning the double bits;
+    // scores round to 4dp in the output only
+    QueryDef("t27_bm25", (s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val queries = Seq(
+        (1, "join hash filter"),
+        (2, "customer order query"),
+        (3, "vector window sort")).toDF("qid", "qtext")
+      Retrieval.bm25TopK(docs, queries, k = 5)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      st AS (SELECT (SELECT COUNT(*) FROM dl) AS n_docs, (SELECT AVG(dl) FROM dl) AS avgdl),
+      q(qid, qtext) AS (VALUES (1, 'join hash filter'), (2, 'customer order query'), (3, 'vector window sort')),
+      qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS word FROM q),
+      dfx AS (SELECT word, COUNT(*) AS df FROM tf WHERE word IN (SELECT word FROM qt) GROUP BY word),
+      c AS (SELECT qt.qid, tf.doc_id, qt.word,
+              ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+              tf.tf * 2.25 / (tf.tf + 1.25 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+            FROM qt JOIN tf USING (word) JOIN dfx USING (word)
+                 JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+      sc AS (SELECT qid, doc_id, list_sum(list(contrib ORDER BY word)) AS score
+             FROM c GROUP BY qid, doc_id),
+      r AS (SELECT qid, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT qid, CAST(rank AS INT) AS rank, doc_id, round(score, 4) AS score
+      FROM r WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // duplicated-span coverage (exact-substring dedup statistics): token
+    // positions covered by any 8-gram occurring >= 2 times corpus-wide,
+    // aggregated per source — integer-exact on both engines
+    QueryDef("t28_dup_spans", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 8, minCount = 2)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("covered_tokens")).as("dup_tokens"),
+          sum(when(col("covered_tokens") > 0, 1L).otherwise(0L)).as("docs_with_dup"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, i AS start, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM w, UNNEST(generate_series(1, greatest(0, len(toks) - 7))) AS t(i)),
+      d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      cov AS (SELECT DISTINCT doc_id, start + off AS pos
+              FROM g JOIN d USING (gram), UNNEST(generate_series(0, 7)) AS o(off)),
+      per AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+             CAST(SUM(COALESCE(per.covered, 0)) AS BIGINT) AS dup_tokens,
+             CAST(SUM(CASE WHEN per.covered IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup
+      FROM w LEFT JOIN per USING (doc_id)
+      GROUP BY source ORDER BY source""")),
+
     QueryDef("t1_dedup_exact", (s, dir) => {
       val u = doubled(s, dir)
       Dedup.exact(u, Seq("text"), "doc_id")
