@@ -336,4 +336,33 @@ object Similarity {
     topKPerKey(rescored, "qid", col("cos").desc, col("cid").asc, k)
       .select(col("qid"), col("rank"), col("cid"), col("cos").as("cosine"))
   }
+
+  /** Reciprocal-rank fusion of several (qid, cid, rank) top-k frames —
+    * the standard score-free ensemble for hybrid retrieval (ANN + ANN, or
+    * lexical + dense): fused(q, c) = Σ_r 1/(rrfK + rank_r(q, c)) over the
+    * rankers that surfaced the candidate. Rank-based, so rankers with
+    * incomparable score scales fuse without calibration.
+    *
+    * Contributions sum by a ranker-tag-ordered left fold (not a plain
+    * `sum`), so the double result is partition-order independent; ties
+    * break by cid. Cost: one union + one (qid, cid) aggregation over
+    * frames that are already k-bounded per query — nothing corpus-scale.
+    *
+    * Output: (qid, rank, cid, rrf), rank 1..k by fused score.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(col("qid"), col("cid"), lit(tag).as("__rk"),
+        (lit(1.0) / (col("rank") + lit(rrfK))).as("__s"))
+    }
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("cid"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__rk"), col("__s")))),
+        lit(0.0), (acc, x) => acc + x.getField("__s")).as("rrf"))
+    topKPerKey(fused, "qid", col("rrf").desc, col("cid").asc, k)
+      .select(col("qid"), col("rank"), col("cid"), col("rrf"))
+  }
 }

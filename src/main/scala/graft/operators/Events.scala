@@ -72,4 +72,83 @@ object Events {
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  /** Ordered-funnel stage per key (view→click→purchase-style conversion):
+    * stage 1 anchors at the key's EARLIEST `steps(0)` event; stage i>1 is
+    * the earliest `steps(i)` event at-or-after the stage-(i-1) event and
+    * within `window` (time units) of the anchor. Greedy earliest-match —
+    * the classic product-analytics definition, and the one a min-time
+    * chain reproduces in SQL. `steps` must be distinct event types (one
+    * event advances at most one stage).
+    *
+    * One shuffle on `key`; each key's events fold in (time, type) order as
+    * a sorted-array aggregate, so cost is O(events-per-key) map work after
+    * the exchange and the result is independent of partition order. The
+    * per-key array is session/user-sized — bounded in any real event log —
+    * not corpus-sized.
+    *
+    * Output: (key, stage, anchor_time, convert_time) — stage in 0..steps
+    * .length, convert_time = the final step's time when the funnel
+    * completed, else null.
+    */
+  def funnelStage(events: DataFrame, key: String, time: String,
+      typeCol: String, steps: Seq[String], window: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnelStage: steps must be non-empty distinct event types")
+    val n = steps.size
+    // Same-instant events must fold in STEP order (view before click before
+    // purchase), not lexicographic type order — that is what makes the
+    // greedy single pass equivalent to the per-stage min-time chain when a
+    // later step shares the earlier step's timestamp (>= match).
+    val stepIdx = steps.indices.foldLeft(lit(n)) { (acc, i) =>
+      when(col(typeCol) === steps(i), lit(i)).otherwise(acc)
+    }
+    val sorted = array_sort(collect_list(
+      struct(col(time).as("t"), stepIdx.as("si"), col(typeCol).as("et"))))
+    def fold(st: Column, ev: Column): Column = {
+      val t = ev.getField("t")
+      val et = ev.getField("et")
+      // which stage (0-based) does this event fill? -1 = none. Stage order
+      // in the when-chain means one event advances at most one stage.
+      val matched = steps.indices.foldLeft(lit(-1)) { (acc, i) =>
+        val eligible =
+          if (i == 0) element_at(st, 1).isNull && (et === steps(0))
+          else element_at(st, i).isNotNull && element_at(st, i + 1).isNull &&
+            (et === steps(i)) && (t >= element_at(st, i)) &&
+            (t <= element_at(st, 1) + lit(window))
+        when(acc === -1 && eligible, lit(i)).otherwise(acc)
+      }
+      transform(st, (x, idx) => when(idx === matched, t).otherwise(x))
+    }
+    val init = array_repeat(lit(null).cast("long"), n)
+    events.groupBy(col(key))
+      .agg(aggregate(sorted, init, fold).as("__st"))
+      .select(col(key),
+        size(filter(col("__st"), x => x.isNotNull)).as("stage"),
+        element_at(col("__st"), 1).as("anchor_time"),
+        element_at(col("__st"), n).as("convert_time"))
+  }
+
+  /** Weekly cohort retention: cohort = the key's first-event week, and for
+    * every (cohort week, week offset) the count of distinct keys active in
+    * that week. Weeks are epoch-anchored `time div weekUnit` buckets —
+    * pure integer arithmetic, so any engine reproduces the exact counts.
+    *
+    * Two key-partitioned exchanges (first-event min, then the distinct
+    * (key, offset) count), both with map-side partials — no week explode,
+    * no windows.
+    */
+  def cohortRetention(events: DataFrame, key: String, time: String,
+      weekUnit: Long): DataFrame = {
+    val first = events.groupBy(col(key)).agg(min(col(time)).as("__first"))
+    // `div`, not `/`: ns epochs exceed 2^53, so a double-routed division
+    // could floor the wrong side of a week boundary
+    events.join(first, Seq(key))
+      .select(col(key),
+        expr(s"__first div ${weekUnit}L").as("cohort_week"),
+        (expr(s"$time div ${weekUnit}L") - expr(s"__first div ${weekUnit}L")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -336,6 +336,70 @@ object Relational {
         CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_prior_purchase
       FROM matched WHERE rn = 1
       GROUP BY user_id
-      ORDER BY user_id"""))
+      ORDER BY user_id""")),
+
+    // ordered funnel view→click→purchase within 7 days of the first view:
+    // one shuffle per-user sorted fold; the oracle is the independent
+    // greedy min-time chain (same semantics, different formulation).
+    // conv_s is integer ns→s division per user before summing — exact
+    QueryDef("q13_funnel", (s, dir) => {
+      val e = tbl(s, dir, "events") // ts as ns-long
+      val weekNs = 7L * 24 * 3600 * 1000000000L
+      graft.operators.Events.funnelStage(e, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), weekNs)
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("convert_time").isNotNull,
+            expr("(convert_time - anchor_time) div 1000000000")).otherwise(0L))
+            .as("conv_s"))
+        .orderBy(col("stage"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS tns FROM events),
+      s1 AS (SELECT user_id, MIN(tns) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.tns) AS t2
+             FROM e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.tns >= s1.t1
+               AND e.tns <= s1.t1 + 604800000000000
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.tns) AS t3
+             FROM e JOIN s1 ON e.user_id = s1.user_id
+                    JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.tns >= s2.t2
+               AND e.tns <= s1.t1 + 604800000000000
+             GROUP BY e.user_id),
+      u AS (SELECT DISTINCT user_id FROM e),
+      st AS (SELECT u.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+               CASE WHEN s3.user_id IS NOT NULL THEN (s3.t3 - s1.t1) // 1000000000
+                    ELSE 0 END AS conv_s
+             FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+                    LEFT JOIN s2 ON u.user_id = s2.user_id
+                    LEFT JOIN s3 ON u.user_id = s3.user_id)
+      SELECT stage, COUNT(*) AS n_users, CAST(SUM(conv_s) AS BIGINT) AS conv_s
+      FROM st GROUP BY stage ORDER BY stage""")),
+
+    // cohort retention over purchase activity in 3-day epoch-anchored
+    // buckets (cohort = first-purchase bucket): purchases are sparse per
+    // user, so the counts genuinely decay across offsets and split across
+    // several cohorts — unlike all-event weekly buckets, where this data's
+    // every user is active in every bucket and the gate would pin nothing
+    QueryDef("q14_retention", (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.operators.Events.cohortRetention(e, "user_id", "ts", 259200000000000L)
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }, Some("""
+      WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS tns
+                 FROM events WHERE event_type = 'purchase'),
+      f AS (SELECT user_id, MIN(tns) AS first_tns FROM e GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id,
+              f.first_tns // 259200000000000 AS cohort_week,
+              e.tns // 259200000000000 - f.first_tns // 259200000000000 AS week_offset
+            FROM e JOIN f ON e.user_id = f.user_id)
+      SELECT cohort_week, week_offset, COUNT(*) AS n_active
+      FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

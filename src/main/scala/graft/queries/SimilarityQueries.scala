@@ -257,6 +257,33 @@ object SimilarityQueries {
     }, Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 'true' AS recall_ok,
              'true' AS self_ok
+      FROM embeddings WHERE vec_id < 20""")),
+
+    // reciprocal-rank fusion of the two bucketed ANN paths (LSH + IVF,
+    // k=10 each, fused to top-5): the ensemble's recall@5 vs brute force
+    // must match-or-beat the WEAKER member's pin (it unions candidate
+    // sets), and every query still ranks itself first — self is rank 1 in
+    // both members, giving the maximum possible fused score
+    QueryDef("s11_rrf_fusion", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val lsh = Similarity.lshTopK(queries, emb, k = 10, nbits = 4, probes = 5)
+      val ivf = Similarity.ivfTopK(queries, emb, k = 10, nlist = 8, nprobe = 4)
+      val fusedAll = Similarity.rrfFuse(Seq("lsh" -> lsh, "ivf" -> ivf), k = 5).persist()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
+      val hits = fusedAll.select(col("qid"), col("cid"))
+        .intersect(exact.select(col("qid"), col("cid"))).count()
+      val total = exact.count()
+      val nq = queries.count()
+      val selfOk = fusedAll.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
+      fusedAll.unpersist()
+      exact.unpersist()
+      import s.implicits._
+      Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
+        .toDF("n_queries", "recall_ok", "self_ok")
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 'true' AS recall_ok,
+             'true' AS self_ok
       FROM embeddings WHERE vec_id < 20"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 

@@ -65,4 +65,40 @@ class EventsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((1L, 200L)) === 2)          // 190 > 100 gap
     assert(out((2L, 0L)) === 1 && out((2L, 500L)) === 2) // per-key numbering
   }
+
+  test("funnelStage: greedy anchor, window cutoff, ordering, and one-stage-per-event") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: full funnel, click at the anchor instant (>= allows it)
+      (1L, 10L, "view"), (1L, 10L, "click"), (1L, 30L, "buy"),
+      // u2: buy BEFORE the click → stage stops at click
+      (2L, 10L, "view"), (2L, 15L, "buy"), (2L, 20L, "click"),
+      // u3: click outside the window of the FIRST view (greedy anchor at 10,
+      // window 50 → click at 100 ineligible even though view at 90 would fit)
+      (3L, 10L, "view"), (3L, 90L, "view"), (3L, 100L, "click"),
+      // u4: no anchor event at all
+      (4L, 10L, "click"), (4L, 20L, "buy"))
+      .toDF("user", "t", "et")
+    val out = Events.funnelStage(e, "user", "t", "et",
+        Seq("view", "click", "buy"), window = 50L)
+      .select("user", "stage", "anchor_time", "convert_time").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) === ((3, 10L, 30L)))
+    assert(out(2L) === ((2, 10L, -1L))) // buy at 15 can't fill stage 3 before click
+    assert(out(3L) === ((1, 10L, -1L))) // greedy: anchor is the FIRST view
+    assert(out(4L) === ((0, -1L, -1L)))
+  }
+
+  test("cohortRetention: integer week buckets, distinct within bucket, cohort from min") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 5L), (1L, 6L), (1L, 25L),   // cohort 0; buckets 0 and 2; dup in bucket 0
+      (2L, 12L), (2L, 22L))            // cohort 1; buckets 1 and 2 → offsets 0, 1
+      .toDF("user", "t")
+    val out = Events.cohortRetention(e, "user", "t", weekUnit = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
 }
