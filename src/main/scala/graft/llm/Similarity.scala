@@ -365,4 +365,39 @@ object Similarity {
     topKPerKey(fused, "qid", col("rrf").desc, col("cid").asc, k)
       .select(col("qid"), col("rank"), col("cid"), col("rrf"))
   }
+
+  /** Matryoshka (MRL-style) two-stage retrieval: score candidates on the
+    * FIRST `dims` dimensions of the embedding (matryoshka-trained models
+    * front-load information, so a prefix is a usable coarse embedding),
+    * keep `k * overfetch` per query, then re-rank those candidates with the
+    * exact full-dimension cosine and emit the top k.
+    *
+    * Stage 1 moves `dims/D` of the vector bytes through the scoring path —
+    * at 100 TB that is the difference between shuffling the full corpus'
+    * vectors and a prefix slice; stage 2 touches only |Q|·k·overfetch rows,
+    * joined back to the corpus by id (AQE broadcasts the candidate side).
+    * Recall is governed by `overfetch` exactly like PQ's re-rank
+    * ([[pqTopK]]); `candidates` defaults to the exact truncated scorer but
+    * accepts any (qid, cid) generator (ivf/lsh over sliced vectors) for
+    * corpus-scale stage 1.
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dims: Int, overfetch: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims > 0 && overfetch > 0, "dims and overfetch must be positive")
+    def truncated(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val cand = bruteForceTopK(truncated(queries), truncated(corpus),
+        k * overfetch, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    import graft.functions.VectorFunctions.{dot, norm}
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val rescored = cand.join(c, "cid").join(broadcast(q), "qid")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("qid"), col("cid"), col("cos"))
+    finishTopK(rescored, k)
+  }
 }

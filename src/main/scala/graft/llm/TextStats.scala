@@ -271,18 +271,19 @@ object TextStats {
 
   /** Frequency-ranked top-N vocabulary (ties broken by word asc, so the
     * cutoff is deterministic). The corpus-scale cost is the token explode +
-    * one word shuffle with map-side partial counts; the distinct-word table
-    * that reaches the rank window is vocabulary-sized (thousands, not
-    * corpus-sized), so the single-partition row_number sort is trivial —
-    * the standard tokenizer-training word count.
+    * one word shuffle with map-side partial counts. The global top-N is a
+    * `sort.limit(n)` — Spark plans it as TakeOrderedAndProject (a bounded
+    * n-row heap per partition, then one n·partitions merge), so the
+    * web-scale distinct-word table never collapses into a single-partition
+    * window sort; only the n surviving rows see the rank window.
     */
   def topVocab(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnt = docs.select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(n)
     cnt.withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("word").asc)))
-      .filter(col("rank") <= n)
   }
 
   /** Per-group out-of-vocabulary token rate against a `topVocab` frame. The

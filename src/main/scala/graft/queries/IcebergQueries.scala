@@ -2044,6 +2044,38 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey <= 100
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // row-level changelog between snapshots (Incremental.changelogBetween):
+    // the history is append → CoW delete → append, so a manifest-add walk
+    // would wrongly re-emit every row the CoW rewrite carried over; the
+    // resolved-row-set diff must surface EXACTLY the 5 deleted and 5
+    // appended nation rows, which the oracle reconstructs independently.
+    QueryDef.staged("i61_changelog", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"chg_${UUID.randomUUID().toString.take(8)}"
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      val t1 = Writer.append(s,
+        cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        n.filter(col("n_nationkey") < 20))
+      val snap1 = t1.metadata.currentSnapshotId.get
+      val t2 = Writer.deleteWhere(s, t1, Expr.lt("n_nationkey", 5L))
+      val t3 = Writer.append(s, t2, n.filter(col("n_nationkey") >= 20))
+      val snap3 = t3.metadata.currentSnapshotId.get
+      () => graft.table.Incremental.changelogBetween(s, t3, snap1, snap3)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"))
+        .orderBy(col("change_type"))
+    }, Some("""
+      WITH ch AS (
+        SELECT 'DELETE' AS change_type, n_nationkey FROM nation WHERE n_nationkey < 5
+        UNION ALL
+        SELECT 'INSERT' AS change_type, n_nationkey FROM nation WHERE n_nationkey >= 20)
+      SELECT change_type, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      FROM ch
+      GROUP BY change_type
+      ORDER BY change_type"""))
   )
 }

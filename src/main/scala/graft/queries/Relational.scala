@@ -400,6 +400,83 @@ object Relational {
               e.tns // 259200000000000 - f.first_tns // 259200000000000 AS week_offset
             FROM e JOIN f ON e.user_id = f.user_id)
       SELECT cohort_week, week_offset, COUNT(*) AS n_active
-      FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+      FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    // interval-containment join via bin discretization (Joins.rangeJoin):
+    // a theta BETWEEN join would plan as a nested loop; binning turns it
+    // into one equi-shuffle. Intervals = 6 h campaign windows anchored at
+    // each user-bucket's first event; oracle is DuckDB's native BETWEEN
+    // join over the identical interval table.
+    QueryDef("q15_range_join", (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("ts").as("tns"), col("value"), col("user_id"))
+      val iv = e.groupBy(pmod(col("user_id"), lit(64)).as("grp"))
+        .agg(min(col("tns")).as("lo"))
+        .withColumn("hi", col("lo") + lit(21600000000000L))
+      graft.operators.Joins
+        .rangeJoin(e.drop("user_id"), iv, "tns", "lo", "hi",
+          binWidth = 3600000000000L) // 1 h bins ~ span/6: 7 replicas/interval
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_events"),
+          d(sum(dec(col("value")))).as("sum_value"))
+        .orderBy(col("grp"))
+    }, Some("""
+      WITH e AS (SELECT CAST(epoch_ns(ts) AS BIGINT) AS tns, value, user_id FROM events),
+      iv AS (SELECT user_id % 64 AS grp, MIN(tns) AS lo,
+                    MIN(tns) + 21600000000000 AS hi
+             FROM e GROUP BY 1)
+      SELECT iv.grp, COUNT(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM e JOIN iv ON e.tns BETWEEN iv.lo AND iv.hi
+      GROUP BY iv.grp
+      ORDER BY iv.grp""")),
+
+    // skew-salted fact×dim join (Joins.saltedJoin): the salt is semantics-
+    // free, so the result must hash-match the plain DuckDB join — that
+    // identity IS the gate; the salting exists for the pathological hot-key
+    // case AQE's skew split can't reach.
+    QueryDef("q16_salted_join", (s, dir) => {
+      val l = tbl(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey").as("suppkey"),
+        col("s_nationkey"))
+      graft.operators.Joins.saltedJoin(l, sup, "suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          d(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))))
+            .as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""")),
+
+    // multi-level ROLLUP: subtotal + grand-total rows in one pass (Spark
+    // plans one Expand + single shuffle, not one scan per level). gid is
+    // derived from the null pattern in the oracle so the gate does not
+    // depend on DuckDB's GROUPING() bit order.
+    QueryDef("q17_rollup", (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          d(sum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(CASE WHEN l_returnflag IS NULL THEN 3
+                       WHEN l_linestatus IS NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS gid,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

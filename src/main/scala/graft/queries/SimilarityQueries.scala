@@ -284,7 +284,39 @@ object SimilarityQueries {
     }, Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 'true' AS recall_ok,
              'true' AS self_ok
-      FROM embeddings WHERE vec_id < 20"""))
+      FROM embeddings WHERE vec_id < 20""")),
+
+    // matryoshka stage-1: exact cosine top-k over the FIRST 16 of 64 dims —
+    // deterministic, so DuckDB (list_slice + list_dot_product) pins it
+    // bit-for-bit at 6 dp. The full truncate→overfetch→full-dim-re-rank
+    // pipeline (Similarity.matryoshkaTopK) is recall-pinned vs exact in
+    // MatryoshkaSpec; this gate hashes the stage the oracle can reproduce.
+    QueryDef("s12_matryoshka", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val queries = trunc.filter(col("vec_id") < 10)
+      val corpus = trunc.filter(col("vec_id") >= 10)
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS qid, list_slice(embedding, 1, 16) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS cid, list_slice(embedding, 1, 16) AS cv
+                 FROM embeddings WHERE vec_id >= 10),
+           p AS (
+             SELECT qid, cid,
+                    (SELECT SUM(a * b) FROM (SELECT UNNEST(qv) AS a, UNNEST(cv) AS b) z) /
+                    (sqrt((SELECT SUM(a * a) FROM (SELECT UNNEST(qv) AS a) za)) *
+                     sqrt((SELECT SUM(b * b) FROM (SELECT UNNEST(cv) AS b) zb))) AS cos
+             FROM q, c),
+           r AS (SELECT qid, cid, cos,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+                 FROM p)
+      SELECT qid, CAST(rank AS INTEGER) AS rank, cid, round(cos, 6) AS cosine
+      FROM r WHERE rank <= 5
+      ORDER BY qid, rank"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 
   /** DuckDB replica of [[graft.llm.Clustering.kMeans]] (dim=64, 6dp centroid

@@ -1050,6 +1050,30 @@ object Text {
                   THEN SUM(LEAST(4, GREATEST(1, body_len))) ELSE 0 END AS BIGINT) AS n_frames
       FROM kinds
       GROUP BY kind
-      ORDER BY kind"""))
+      ORDER BY kind""")),
+
+    // exact interpolated per-group quantiles of document length. Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the lower+(hi-lo)*frac
+    // interpolation; the chosen fractions are binary-exact so both engines
+    // produce bit-identical doubles. Exact percentile sorts each group —
+    // fine per-source; the corpus-scale path is approx_percentile (t-digest,
+    // mergeable map-side), pinned within tolerance by GroupQuantilesSpec.
+    QueryDef("t29_group_quantiles", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }, Some("""
+      SELECT source,
+             quantile_cont(n_chars, 0.25) AS p25,
+             quantile_cont(n_chars, 0.5) AS p50,
+             quantile_cont(n_chars, 0.75) AS p75,
+             COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

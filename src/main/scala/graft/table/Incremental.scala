@@ -54,6 +54,34 @@ object Incremental {
     }.distinctBy(_.file.path)
   }
 
+  /** Row-level changelog between two snapshots on the same lineage: every
+    * row of the `to` snapshot absent from `from` tagged `_change_type =
+    * 'INSERT'`, every row of `from` absent from `to` tagged `'DELETE'` —
+    * multiset semantics (a row appearing twice and deleted once emits one
+    * DELETE), the net-changes contract of a CDC changelog scan. Unlike
+    * `readAppends` this sees through CoW rewrites, equality/position
+    * deletes, and compaction, because it diffs the RESOLVED row sets of the
+    * two snapshots rather than walking manifest adds.
+    *
+    * Scale shape: two snapshot scans feeding one `exceptAll` per direction —
+    * each is a single hash shuffle on the full row (Spark plans except-all
+    * as an aggregate over a tagged union, partial map-side), no broadcast,
+    * no driver materialization. Compaction-only history (same rows, new
+    * files) correctly yields an empty changelog, where a manifest walk
+    * would re-emit every rewritten row.
+    */
+  def changelogBetween(spark: SparkSession, table: Table, fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame = {
+    val ancestors = Inspect.ancestorsOf(table, toSnapshotId)
+    require(ancestors.exists(_.snapshotId == fromSnapshotId),
+      s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
+    import org.apache.spark.sql.functions.lit
+    val before = SparkRead.read(spark, table.newScan.useSnapshot(fromSnapshotId))
+    val after = SparkRead.read(spark, table.newScan.useSnapshot(toSnapshotId))
+    after.exceptAll(before).withColumn("_change_type", lit("INSERT"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("DELETE")))
+  }
+
   /** Read the incremental append set as a DataFrame. */
   def readAppends(spark: SparkSession, table: Table, fromSnapshotId: Long,
       toSnapshotId: Long): DataFrame = {
