@@ -36,11 +36,24 @@ object QueryDef {
 object Q {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS): Spark is µs-only, so read ns as long
-      // (SURVEY §1.2) and convert explicitly where needed.
+      // events.ts convention: every query (and every DuckDB oracle, via
+      // epoch_ns(ts)) treats ts as an epoch-NANOSECOND long. The parquet
+      // has shipped it both as TIMESTAMP(NANOS) (readable only as ns-long,
+      // Spark being µs-only) and as TIMESTAMP(MICROS); normalize either
+      // encoding to the ns-long convention here so query code never cares.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    s.read.parquet(s"$dir/$name.parquet")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case TimestampNTZType | TimestampType =>
+          // NTZ→LTZ cast interprets in the session zone; all entry points
+          // (Verify/Bench/tests) pin spark.sql.session.timeZone=UTC, so
+          // this is the same naive-UTC epoch DuckDB's epoch_ns(ts) yields.
+          raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+        case _ => raw // already the ns-long encoding
+      }
+    } else s.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Exact 2-dp money/ratio arithmetic: the testdata doubles carry <=2dp. */

@@ -26,9 +26,9 @@ object SimilarityQueries {
            c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
            p AS (
              SELECT qid, cid,
-                    (SELECT SUM(a * b) FROM (SELECT UNNEST(qv) AS a, UNNEST(cv) AS b) z) /
-                    (sqrt((SELECT SUM(a * a) FROM (SELECT UNNEST(qv) AS a) za)) *
-                     sqrt((SELECT SUM(b * b) FROM (SELECT UNNEST(cv) AS b) zb))) AS cos
+                    (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(qv) AS a, UNNEST(cv) AS b) z) /
+                    (sqrt((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT UNNEST(qv) AS a) za)) *
+                     sqrt((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(cv) AS b) zb))) AS cos
              FROM q, c),
            r AS (SELECT qid, cid, cos,
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
@@ -136,9 +136,9 @@ object SimilarityQueries {
     }, Some("""
       WITH p AS (
         SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid, b.label AS nlabel,
-               (SELECT SUM(x * y) FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) z) /
-               (sqrt((SELECT SUM(x * x) FROM (SELECT UNNEST(a.embedding) AS x) za)) *
-                sqrt((SELECT SUM(y * y) FROM (SELECT UNNEST(b.embedding) AS y) zb))) AS cos
+               (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) z) /
+               (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) AS x) za)) *
+                sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT UNNEST(b.embedding) AS y) zb))) AS cos
         FROM embeddings a, embeddings b
         WHERE a.vec_id <> b.vec_id),
       r AS (
@@ -307,9 +307,9 @@ object SimilarityQueries {
                  FROM embeddings WHERE vec_id >= 10),
            p AS (
              SELECT qid, cid,
-                    (SELECT SUM(a * b) FROM (SELECT UNNEST(qv) AS a, UNNEST(cv) AS b) z) /
-                    (sqrt((SELECT SUM(a * a) FROM (SELECT UNNEST(qv) AS a) za)) *
-                     sqrt((SELECT SUM(b * b) FROM (SELECT UNNEST(cv) AS b) zb))) AS cos
+                    (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(qv) AS a, UNNEST(cv) AS b) z) /
+                    (sqrt((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT UNNEST(qv) AS a) za)) *
+                     sqrt((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(cv) AS b) zb))) AS cos
              FROM q, c),
            r AS (SELECT qid, cid, cos,
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
