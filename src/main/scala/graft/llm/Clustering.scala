@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Embedding-space clustering for semantic curation (SemDeDup-style): k-means
   * partitions the corpus, then near-duplicate pruning runs only WITHIN each
@@ -20,7 +21,12 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.DotProduct]]s, no shuffle, no explode; the update step
   * is ONE partial-agg shuffle of k groups × dim running means (rows never
   * multiply by dim). The driver holds k×dim doubles per iteration, nothing
-  * corpus-sized.
+  * corpus-sized. This shape is bounded to k ≤ ~1k: the argmin is a
+  * k-candidate expression tree and each iteration plants k×dim literals in
+  * the plan, both of which degrade past that. For the large-k regime
+  * (SemDeDup's k ~ √n) use [[Clustering.kMeansTwoLevel]], which keeps fine
+  * centroids in a DataFrame and reaches k = kCoarse·kFine ~ 10⁶ with the
+  * same determinism contract.
   */
 object Clustering {
 
@@ -72,15 +78,89 @@ object Clustering {
     df.withColumn("cluster", nearest(cents, col(vecCol)))
   }
 
+  /** Two-level k-means for the large-k regime [[kMeans]] cannot reach: a
+    * coarse [[kMeans]] partitions the corpus into `kCoarse` lists (the
+    * expression-tree argmin, bounded at kCoarse ≤ ~1k), then `kFine`
+    * centroids per list train WITHIN each list — effective k =
+    * kCoarse·kFine, up to ~10⁶, without ever building a 10⁶-term argmin
+    * expression or collecting k×dim doubles to the driver.
+    *
+    * The fine level is fully distributed: centroids live in a DataFrame
+    * (`__list`, `__fid`, centroid), never as driver literals —
+    *  - assignment joins vectors to their list's centroids on `__list`
+    *    (AQE broadcasts while the centroid set fits, and falls back to a
+    *    shuffle join co-partitioned on the list key beyond that) and takes
+    *    a `min_by` argmin per vector;
+    *  - the update step posexplodes the winner's dims into a
+    *    (list, fid, dim) aggregation — map-side partials bound the
+    *    exchange at k·dim groups, not corpus rows — and reassembles
+    *    per-centroid arrays with a sorted collect_list (k·dim rows total,
+    *    all executor-side).
+    * Determinism: smallest-id seeds per list (row_number over id), argmin
+    * ties break toward the lower fine index, and every centroid component
+    * rounds to `roundDp` decimals per iteration so partial-sum order
+    * cannot leak into assignments (the [[kMeans]] contract).
+    *
+    * Returns the input columns plus `list` (coarse), `fine` (within-list)
+    * and `cluster` = list·kFine + fine.
+    */
+  def kMeansTwoLevel(df: DataFrame, kCoarse: Int, kFine: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundDp: Int = 6): DataFrame = {
+    require(kCoarse > 0 && kFine > 0 && iters >= 0,
+      s"need kCoarse > 0, kFine > 0, iters >= 0; got $kCoarse/$kFine/$iters")
+    import graft.functions.VectorFunctions.dot
+    val listed = kMeans(df, kCoarse, iters, idCol, vecCol, roundDp)
+      .withColumnRenamed("cluster", "__list")
+    val vecs = listed.select(col(idCol), col("__list"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // seeds: the kFine smallest-id vectors of each list (deterministic)
+    val w = Window.partitionBy(col("__list")).orderBy(col(idCol))
+    var cents = vecs
+      .withColumn("__fid", row_number().over(w) - 1)
+      .filter(col("__fid") < kFine)
+      .select(col("__list"), col("__fid"), col("__v").as("__c"))
+      .localCheckpoint() // k rows; breaks lineage for the iteration loop
+    def assign(c: DataFrame): DataFrame =
+      vecs.join(c, Seq("__list"))
+        .withColumn("__d2", dot(col("__v"), col("__v"))
+          - lit(2.0) * dot(col("__v"), col("__c"))
+          + dot(col("__c"), col("__c")))
+        .groupBy(col(idCol), col("__list"))
+        .agg(min_by(col("__fid"), struct(col("__d2"), col("__fid"))).as("__fid"),
+          first(col("__v")).as("__v"))
+    for (_ <- 0 until iters) {
+      val upd = assign(cents)
+        .select(col("__list"), col("__fid"),
+          posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy(col("__list"), col("__fid"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__list"), col("__fid"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          e => round(e.getField("__m"), roundDp)).as("__c"))
+      // empty fine clusters keep their previous centroid
+      cents = cents.alias("o").join(upd.alias("n"), Seq("__list", "__fid"), "left")
+        .select(col("__list"), col("__fid"),
+          coalesce(col("n.__c"), col("o.__c")).as("__c"))
+        .localCheckpoint()
+    }
+    val fin = assign(cents)
+      .select(col(idCol), col("__list").as("list"), col("__fid").as("fine"))
+    df.join(fin, Seq(idCol))
+      .withColumn("cluster", col("list") * lit(kFine) + col("fine"))
+  }
+
   /** SemDeDup-style within-cluster near-duplicate pruning: drop every vector
     * that has a same-cluster neighbor with cosine > `tau` and a smaller id
     * (the smallest-id representative of each similarity neighborhood always
     * survives — deterministic, order-free).
     *
     * The pair join shuffles ONCE on `cluster`, so candidate pairs are
-    * co-located and bounded per cluster; at corpus scale k is chosen ~√n
-    * (SemDeDup's own regime) so cluster populations — and the quadratic
-    * term — stay capped, exactly why clustering precedes the pair scan.
+    * co-located and bounded per cluster. Cluster granularity caps the
+    * quadratic term: SemDeDup's own regime picks k ~ √n, which for a large
+    * corpus is beyond [[kMeans]]' expression-tree bound (k ≤ ~1k) — use
+    * [[kMeansTwoLevel]] there (effective k = kCoarse·kFine) and feed its
+    * `cluster` column straight in; this function only reads `cluster`.
     */
   def semanticDedup(assigned: DataFrame, tau: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -383,11 +383,24 @@ object Dedup {
     * counts drive span-removal / doc-drop policy decisions; emitting counts
     * (not rewritten text) keeps the operator engine-portable and oracle-able.
     *
-    * 100 TB shape: the n-gram explode is map-side (pure array expressions,
-    * no UDF); the only corpus-scale exchange is the gram-frequency count
-    * with map-side partials. Only grams that prove duplicated join back —
-    * the overwhelmingly-unique tail never re-shuffles — and the final
-    * per-doc position distinct+count is bounded by document length.
+    * 100 TB shape — the honest exchange inventory, all of them:
+    *  1. the gram-frequency count: one corpus-gram-scale shuffle with
+    *     map-side partials;
+    *  2. the duplicated-gram join-back: re-shuffles the gram stream AND the
+    *     duplicated-gram set on `gram` (in natural text the duplicated set
+    *     is a large fraction of distinct grams, so AQE will usually NOT
+    *     broadcast it — this is a sort-merge join and the second
+    *     corpus-scale exchange). The gram stream is persisted DISK_ONLY so
+    *     this consumer re-reads local blocks instead of re-exploding the
+    *     corpus (the t15/TF-IDF trade: sequential disk, zero storage-memory
+    *     pressure);
+    *  3. the per-doc `collect_list(start)` aggregation: one shuffle of the
+    *     MATCHED (doc, start) pairs — bounded by corpus positions, one
+    *     output row per doc.
+    * Token positions never explode: coverage is a sorted interval union
+    * ([start, start+n) merged in one `aggregate` expression over the
+    * per-doc start list), not a position explode + distinct — that removes
+    * the n× position-row exchange the round-9 shape paid.
     *
     * Output: (idCol, n_tokens, covered_tokens), one row per input document;
     * covered_tokens = 0 for documents with no duplicated span.
@@ -396,15 +409,33 @@ object Dedup {
       n: Int, minCount: Int = 2): DataFrame = {
     val grams = docs.select(col(idCol),
       posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("start", "gram")))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select(col("gram"))
+    // sorted interval union per doc: fold [s, s+n) intervals left-to-right,
+    // extending or skipping overlaps — covered positions counted without
+    // ever materializing them as rows
+    val nL = lit(n.toLong)
     val covered = grams.join(dup, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("start").cast("long"))).as("starts"))
       .select(col(idCol),
-        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
-      .distinct()
-      .groupBy(col(idCol)).agg(count(lit(1)).as("covered_tokens"))
-    docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+        aggregate(col("starts"),
+          struct(lit(0L).as("cov"), lit(Long.MinValue).as("end")),
+          (acc, s) => struct(
+            (acc.getField("cov") + when(s >= acc.getField("end"), nL)
+              .otherwise(greatest(s + nL - acc.getField("end"), lit(0L)))).as("cov"),
+            greatest(s + nL, acc.getField("end")).as("end")),
+          acc => acc.getField("cov")).as("covered_tokens"))
+    val res = docs
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .join(covered, Seq(idCol), "left")
       .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+    // eager-materialize + release (the simhash pattern): the gram cache must
+    // not outlive this call; localCheckpoint truncates lineage first so the
+    // returned frame never re-reads the unpersisted blocks
+    val out = res.localCheckpoint()
+    grams.unpersist()
+    out
   }
 }

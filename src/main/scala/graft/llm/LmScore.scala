@@ -31,17 +31,30 @@ object LmScore {
     val pairs = arrays_zip(
       slice(toks, lit(1), size(toks) - 1).as("w1"),
       slice(toks, lit(2), size(toks) - 1).as("w2"))
+    // The bigram stream feeds THREE consumers (context counts, bigram
+    // counts, the scoring join) — without a persist the corpus explodes
+    // three times. DISK_ONLY so a 100 TB bigram stream spills instead of
+    // evicting executor storage memory (the t15 TF-IDF pattern); released
+    // eagerly via the count-materialize + finally-unpersist below.
     val big = docs
       .select((col(idCol) +: keep.map(col)) :+ explode(pairs).as("bg"): _*)
       .select((col(idCol) +: keep.map(col)) :+
         col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
     val vocab = docs.select(explode(toks).as("w")).agg(countDistinct(col("w")))
       .head().getLong(0)
-    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val scored = big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("lp", log((col("n12") + lit(1.0)) / (col("n1") + lit(vocab.toDouble))))
       .groupBy((col(idCol) +: keep.map(col)): _*)
       .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_lp"))
+    // Materialize while the cache is live, then release it so the cached
+    // bigrams don't outlive this call (session-level storage leak). The
+    // localCheckpoint truncates lineage so the returned frame no longer
+    // references the unpersisted cache.
+    val out = scored.localCheckpoint()
+    big.unpersist()
+    out
   }
 }

@@ -289,8 +289,9 @@ object Similarity {
     * exchange (same partial-top-k path as the exact ranker). Encoding cost
     * (dim·ksub multiplies per row) is the one-time index build. Guarded by
     * [[BruteForceMaxQueries]] on the query side like the exact path; at
-    * larger query scale the same codes drop into the IVF list layout
-    * (IVF-PQ) — composition, not a new operator.
+    * larger query scale use [[ivfPqTopK]], which drops the same codes into
+    * the IVF list layout and replaces the broadcast crossJoin with a join
+    * on the list key.
     *
     * Output: (qid, rank, cid, cosine), rank 1..k by exact cosine.
     */
@@ -337,6 +338,96 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("cos").as("cosine"))
   }
 
+  /** IVF-PQ: the PQ codes dropped into the IVF list layout — the
+    * composition [[pqTopK]]'s scaladoc names, and the variant that serves
+    * LARGE query sets: corpus vectors are bucketed by nearest coarse
+    * centroid and encoded once as m residual-codebook indices (codes are
+    * dim·4/m× smaller than the floats — the in-memory serving layout), and
+    * queries meet only their `nprobe` probed lists through a JOIN on the
+    * list key — no crossJoin, no corpus-side broadcast, and therefore no
+    * [[BruteForceMaxQueries]] guard: both sides shuffle on `list`, average
+    * per-query ADC work is |corpus|·nprobe/nlist lookup-adds.
+    *
+    * Encoding is residual (FAISS IVFPQ): each corpus vector stores codes
+    * for v̂ − c_list, so the quantizer only has to cover the within-list
+    * offset, and dot(q̂, v̂) ≈ dot(q̂, c_list) + ADC(q̂-LUT, codes) — the
+    * first term is scalar per (query, list), the second is m lookups. The
+    * top `refine·k` ADC candidates per query re-rank by exact cosine on
+    * the original floats (bounded: |Q|·refine·k rows through two id
+    * joins), so output ordering is exact over the candidate set.
+    *
+    * Output: (qid, rank, cid, cosine), rank 1..k by exact cosine.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      refine: Int = 4, sampleSize: Int = 10000, iters: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    def sub(a: Array[Double], b: Array[Double]): Array[Double] =
+      Array.tabulate(a.length)(i => a(i) - b(i))
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cd = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val qd = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    // bounded, deterministic training sample (TakeOrdered — no global sort)
+    val sample = cd.sort(col("cid")).limit(sampleSize)
+      .select(col("cv")).collect().map(r => unitNorm(r.getSeq[Double](0).toArray))
+    val centroids = trainCentroids(sample, nlist, 5, seed)
+    val codebooks = Quantize.trainPqCodebooks(
+      sample.map(v => sub(v, centroids(nearestCentroids(v, centroids, 1).head))),
+      m, ksub, iters, seed)
+    // corpus side: one map — nearest list + residual codes, nothing else
+    // ever touches the full-width vector until the re-rank
+    val encodeU = udf((v: Seq[Double]) => {
+      val u = unitNorm(v.toArray)
+      val l = nearestCentroids(u, centroids, 1).head
+      (l, Quantize.pqEncode(sub(u, centroids(l)), codebooks))
+    })
+    val coded = cd.withColumn("lc", encodeU(col("cv")))
+      .select(col("cid"), col("lc._1").as("list"), col("lc._2").as("codes"))
+    // query side: nprobe rows per query, each carrying the scalar
+    // query·centroid term and the m·ksub ADC LUT for that query
+    val probeU = udf((v: Seq[Double]) => {
+      val u = unitNorm(v.toArray)
+      nearestCentroids(u, centroids, nprobe).toSeq.map { l =>
+        (l, dotArr(u, centroids(l)), Quantize.adcTable(u, codebooks).toSeq)
+      }
+    })
+    val qb = qd.withColumn("p", explode(probeU(col("qv"))))
+      .select(col("qid"), col("p._1").as("list"), col("p._2").as("qc"),
+        col("p._3").as("lut"))
+    val adcU = udf((lut: Seq[Double], codes: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j * ksub + codes(j)); j += 1 }
+      s
+    })
+    // each corpus vector lives in exactly one list, so (qid, cid) pairs are
+    // unique — no dedup aggregation needed before the partial top-k
+    val cand = topKPerKey(
+      coded.join(qb, Seq("list"))
+        .withColumn("adc", col("qc") + adcU(col("lut"), col("codes")))
+        .select(col("qid"), col("cid"), col("adc")),
+      "qid", col("adc").desc, col("cid").asc, refine * k)
+      .select(col("qid"), col("cid"))
+    // exact re-rank on the original floats; plain id joins (AQE broadcasts
+    // the k-bounded candidate side when it fits — no unconditional
+    // query-side broadcast, unlike the guarded pqTopK)
+    import graft.functions.VectorFunctions.{dot, norm}
+    val cvx = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvx"))
+      .withColumn("cn", norm(col("cvx")))
+    val qvx = queries.select(col(idCol).as("rqid"), col(vecCol).as("qvx"))
+      .withColumn("qn", norm(col("qvx")))
+    val rescored = cand.join(cvx, Seq("cid"))
+      .join(qvx, col("qid") === col("rqid"))
+      .withColumn("cos", dot(col("qvx"), col("cvx")) / (col("qn") * col("cn")))
+      .select(col("qid"), col("cid"), col("cos"))
+    topKPerKey(rescored, "qid", col("cos").desc, col("cid").asc, k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos").as("cosine"))
+  }
+
   /** Reciprocal-rank fusion of several (qid, cid, rank) top-k frames —
     * the standard score-free ensemble for hybrid retrieval (ANN + ANN, or
     * lexical + dense): fused(q, c) = Σ_r 1/(rrfK + rank_r(q, c)) over the
@@ -377,18 +468,24 @@ object Similarity {
     * vectors and a prefix slice; stage 2 touches only |Q|·k·overfetch rows,
     * joined back to the corpus by id (AQE broadcasts the candidate side).
     * Recall is governed by `overfetch` exactly like PQ's re-rank
-    * ([[pqTopK]]); `candidates` defaults to the exact truncated scorer but
-    * accepts any (qid, cid) generator (ivf/lsh over sliced vectors) for
-    * corpus-scale stage 1.
+    * ([[pqTopK]]); `candidates` defaults to the exact truncated scorer
+    * (guarded by [[BruteForceMaxQueries]]) but accepts any (qid, cid)
+    * generator for corpus-scale stage 1 — e.g. [[ivfTopK]] or [[lshTopK]]
+    * run over the same prefix slice, which is how the operator composes at
+    * 100 TB: the bucketed ANN does the corpus-scale winnowing on `dims/D`
+    * of the bytes, and only the k·overfetch survivors per query touch the
+    * full-width vectors.
     */
   def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       dims: Int, overfetch: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      candidates: Option[DataFrame] = None): DataFrame = {
     require(dims > 0 && overfetch > 0, "dims and overfetch must be positive")
     def truncated(df: DataFrame) =
       df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
-    val cand = bruteForceTopK(truncated(queries), truncated(corpus),
-        k * overfetch, idCol, vecCol)
+    val cand = candidates
+      .getOrElse(bruteForceTopK(truncated(queries), truncated(corpus),
+        k * overfetch, idCol, vecCol))
       .select(col("qid"), col("cid"))
     import graft.functions.VectorFunctions.{dot, norm}
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))

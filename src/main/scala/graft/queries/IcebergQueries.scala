@@ -2061,8 +2061,21 @@ object IcebergQueries {
         n.filter(col("n_nationkey") < 20))
       val snap1 = t1.metadata.currentSnapshotId.get
       val t2 = Writer.deleteWhere(s, t1, Expr.lt("n_nationkey", 5L))
+      val snap2 = t2.metadata.currentSnapshotId.get
       val t3 = Writer.append(s, t2, n.filter(col("n_nationkey") >= 20))
       val snap3 = t3.metadata.currentSnapshotId.get
+      // file-pruning contract: snap2→snap3 is a one-file append onto files
+      // snap3 still carries, so the changelog plan must read ONLY the
+      // appended file — zero before-side tasks, exactly the after-side
+      // files not in snap2's plan. A full two-snapshot diff here would be
+      // the 100 TB scale-killer the pruned plan exists to avoid.
+      val (bTasks, aTasks) =
+        graft.table.Incremental.changedTasksBetween(t3, snap2, snap3)
+      val snap2Paths = t3.newScan.useSnapshot(snap2).planFiles()
+        .map(_.file.path).toSet
+      require(bTasks.isEmpty && aTasks.nonEmpty &&
+        aTasks.forall(t => !snap2Paths.contains(t.file.path)),
+        s"changelog file pruning failed: before=${bTasks.size} after=${aTasks.size}")
       () => graft.table.Incremental.changelogBetween(s, t3, snap1, snap3)
         .groupBy(col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n"),

@@ -47,9 +47,14 @@ object Q {
       import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {
         case TimestampNTZType | TimestampType =>
-          // NTZ→LTZ cast interprets in the session zone; all entry points
-          // (Verify/Bench/tests) pin spark.sql.session.timeZone=UTC, so
-          // this is the same naive-UTC epoch DuckDB's epoch_ns(ts) yields.
+          // NTZ→LTZ cast interprets in the session zone; it is only a
+          // naive-UTC epoch (what DuckDB's epoch_ns(ts) yields) when the
+          // session zone is UTC. Every entry point (Verify/Bench/tests)
+          // pins it — assert, so an entry point that forgets fails loudly
+          // instead of silently shifting every events timestamp.
+          require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+            "events.ts normalization requires spark.sql.session.timeZone=UTC; " +
+              s"got ${s.conf.get("spark.sql.session.timeZone")}")
           raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
         case _ => raw // already the ns-long encoding
       }

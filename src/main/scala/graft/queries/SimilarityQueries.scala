@@ -259,6 +259,34 @@ object SimilarityQueries {
              'true' AS self_ok
       FROM embeddings WHERE vec_id < 20""")),
 
+    // IVF-PQ (Similarity.ivfPqTopK) — PQ codes in the IVF list layout, the
+    // large-query-set serving path (join on list, no crossJoin, no guard):
+    // recall@5 vs brute force pinned at 0.3 with margin (measures well
+    // above — residual encoding + exact re-rank), and every query must
+    // surface itself at rank 1: self shares its own list (probed first)
+    // and its ADC score dot(q̂,c)+ADC(q̂,r̂) is the table's best
+    // reconstruction of 1.0, so it survives refine into the exact re-rank
+    QueryDef("s14_ivfpq_ann", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfPqTopK(queries, emb, k = 5,
+        nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 8).persist()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
+      val hits = ann.select(col("qid"), col("cid"))
+        .intersect(exact.select(col("qid"), col("cid"))).count()
+      val total = exact.count()
+      val nq = queries.count()
+      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
+      ann.unpersist()
+      exact.unpersist()
+      import s.implicits._
+      Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
+        .toDF("n_queries", "recall_ok", "self_ok")
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 'true' AS recall_ok,
+             'true' AS self_ok
+      FROM embeddings WHERE vec_id < 20""")),
+
     // reciprocal-rank fusion of the two bucketed ANN paths (LSH + IVF,
     // k=10 each, fused to top-5): the ensemble's recall@5 vs brute force
     // must match-or-beat the WEAKER member's pin (it unions candidate
@@ -288,17 +316,38 @@ object SimilarityQueries {
 
     // matryoshka stage-1: exact cosine top-k over the FIRST 16 of 64 dims —
     // deterministic, so DuckDB (list_slice + list_dot_product) pins it
-    // bit-for-bit at 6 dp. The full truncate→overfetch→full-dim-re-rank
-    // pipeline (Similarity.matryoshkaTopK) is recall-pinned vs exact in
-    // MatryoshkaSpec; this gate hashes the stage the oracle can reproduce.
+    // bit-for-bit at 6 dp; this hashed frame is the stage the oracle can
+    // reproduce. On top of it the gate runs the FULL truncate→overfetch→
+    // full-dim-re-rank pipeline (Similarity.matryoshkaTopK) twice — default
+    // brute-force stage 1, and the scale path with stage 1 generated by IVF
+    // over the same 16-dim prefix (the `candidates` hook) — and pins each
+    // variant's recall@5 vs the exact full-dimension top-k. Prefix cosines
+    // on near-orthogonal random vectors are a weak proxy (~0.5 recall
+    // here); pinned at 0.3 with margin, like the other ANN gates.
     QueryDef("s12_matryoshka", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val trunc = emb.select(col("vec_id"),
+      def trunc16(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
         slice(col("embedding"), 1, 16).as("embedding"))
-      val queries = trunc.filter(col("vec_id") < 10)
-      val corpus = trunc.filter(col("vec_id") >= 10)
-      Similarity.bruteForceTopK(queries, corpus, k = 5)
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("qid"), col("cid")).persist()
+      val total = exact.count()
+      def recallOk(df: org.apache.spark.sql.DataFrame, floor: Double): String =
+        (df.select(col("qid"), col("cid")).intersect(exact).count().toDouble
+          / total >= floor).toString
+      val matOk = recallOk(
+        Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16), 0.3)
+      val ivfCand = Similarity.ivfTopK(trunc16(queries), trunc16(corpus),
+        k = 20, nlist = 8, nprobe = 4)
+      val ivfOk = recallOk(
+        Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16,
+          candidates = Some(ivfCand)), 0.3)
+      exact.unpersist()
+      Similarity.bruteForceTopK(trunc16(queries), trunc16(corpus), k = 5)
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .withColumn("mat_ok", lit(matOk))
+        .withColumn("ivf_ok", lit(ivfOk))
         .orderBy(col("qid"), col("rank"))
     }, Some("""
       WITH q AS (SELECT vec_id AS qid, list_slice(embedding, 1, 16) AS qv
@@ -314,9 +363,57 @@ object SimilarityQueries {
            r AS (SELECT qid, cid, cos,
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
                  FROM p)
-      SELECT qid, CAST(rank AS INTEGER) AS rank, cid, round(cos, 6) AS cosine
+      SELECT qid, CAST(rank AS INTEGER) AS rank, cid, round(cos, 6) AS cosine,
+             'true' AS mat_ok, 'true' AS ivf_ok
       FROM r WHERE rank <= 5
-      ORDER BY qid, rank"""))
+      ORDER BY qid, rank""")),
+
+    // two-level k-means (Clustering.kMeansTwoLevel) at effective k = 256
+    // (16 coarse lists × 16 fine centroids) — the large-k regime the
+    // expression-tree kMeans is bounded out of. The gate pins: (a) the
+    // cluster-id space stays within [kCoarse, kCoarse·kFine]; (b) an
+    // independent second run reproduces every assignment bit-for-bit (the
+    // determinism contract: smallest-id seeds, lower-index tie-breaks,
+    // rounded centroids); (c) clustering beats the one-centroid baseline —
+    // mean squared distance to the assigned fine centroid < mean squared
+    // distance to the global mean vector.
+    QueryDef("s13_kmeans_twolevel", (s, dir) => {
+      import graft.functions.VectorFunctions.dot
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def dims(c: org.apache.spark.sql.Column) =
+        posexplode(transform(c, x => x.cast("double")))
+      val run1 = Clustering.kMeansTwoLevel(emb, kCoarse = 16, kFine = 16,
+        iters = 2).persist()
+      val n = run1.count()
+      val nClusters = run1.select(countDistinct(col("cluster"))).head().getLong(0)
+      val clustersOk = nClusters >= 16 && nClusters <= 256
+      val run2 = Clustering.kMeansTwoLevel(emb, 16, 16, 2)
+      val detOk = run1.select(col("vec_id"), col("cluster"))
+        .except(run2.select(col("vec_id"), col("cluster"))).count() == 0
+      val cmean = run1.select(col("cluster"), dims(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d")).agg(avg(col("x")).as("m"))
+      val withinAvg = run1
+        .select(col("cluster"), col("vec_id"), dims(col("embedding")).as(Seq("d", "x")))
+        .join(cmean, Seq("cluster", "d"))
+        .groupBy(col("vec_id")).agg(sum(pow(col("x") - col("m"), 2)).as("d2"))
+        .agg(avg(col("d2"))).head().getDouble(0)
+      val g = emb.select(dims(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(avg(col("x")).as("m"))
+        .orderBy(col("d")).collect().map(_.getDouble(1))
+      val globalAvg = emb
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select((dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), typedLit(g.toSeq))
+          + lit(g.map(x => x * x).sum)).as("d2"))
+        .agg(avg(col("d2"))).head().getDouble(0)
+      run1.unpersist()
+      import s.implicits._
+      Seq((n, clustersOk.toString, detOk.toString, (withinAvg < globalAvg).toString))
+        .toDF("n_vectors", "clusters_ok", "det_ok", "quality_ok")
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, 'true' AS clusters_ok,
+             'true' AS det_ok, 'true' AS quality_ok
+      FROM embeddings"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 
   /** DuckDB replica of [[graft.llm.Clustering.kMeans]] (dim=64, 6dp centroid

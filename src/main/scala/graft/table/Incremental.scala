@@ -54,6 +54,29 @@ object Incremental {
     }.distinctBy(_.file.path)
   }
 
+  /** The scan tasks whose resolved rows can DIFFER between two snapshots:
+    * each side's plan minus the tasks with an identical signature on the
+    * other side. A task's resolved rows are a pure function of (data-file
+    * path, data sequence number, applied position-delete set incl. DV blob
+    * offsets, applied equality-delete set with sequences) — two snapshots
+    * sharing that whole signature produce identical rows for the file, so
+    * those rows cancel in a multiset diff and never need to be read.
+    * Multiset identity: resolved(after) = C + Ua and resolved(before) =
+    * C + Ub with C the common-signature rows, hence after∖before = Ua∖Ub
+    * and before∖after = Ub∖Ua. Delete files force their target data file's
+    * signature to change, so MoR deletes land in the diff set naturally.
+    */
+  def changedTasksBetween(table: Table, fromSnapshotId: Long,
+      toSnapshotId: Long): (Seq[FileScanTask], Seq[FileScanTask]) = {
+    def sig(t: FileScanTask) = (t.file.path, t.dataSequence,
+      t.posDeletes.map(d => (d.path, d.contentOffset)).toSet,
+      t.eqDeletes.map { case (d, seq) => (d.path, seq) }.toSet)
+    val before = table.newScan.useSnapshot(fromSnapshotId).planFiles()
+    val after = table.newScan.useSnapshot(toSnapshotId).planFiles()
+    val common = before.map(sig).toSet intersect after.map(sig).toSet
+    (before.filterNot(t => common(sig(t))), after.filterNot(t => common(sig(t))))
+  }
+
   /** Row-level changelog between two snapshots on the same lineage: every
     * row of the `to` snapshot absent from `from` tagged `_change_type =
     * 'INSERT'`, every row of `from` absent from `to` tagged `'DELETE'` —
@@ -63,12 +86,19 @@ object Incremental {
     * deletes, and compaction, because it diffs the RESOLVED row sets of the
     * two snapshots rather than walking manifest adds.
     *
-    * Scale shape: two snapshot scans feeding one `exceptAll` per direction —
-    * each is a single hash shuffle on the full row (Spark plans except-all
-    * as an aggregate over a tagged union, partial map-side), no broadcast,
-    * no driver materialization. Compaction-only history (same rows, new
-    * files) correctly yields an empty changelog, where a manifest walk
-    * would re-emit every rewritten row.
+    * Scale shape: the diff is pruned to CHANGED FILES before anything is
+    * read — [[changedTasksBetween]] drops every data file whose full
+    * signature (path, sequence, deletes) appears in both snapshots, since
+    * its rows are identical on both sides and cancel in the multiset diff.
+    * A one-file commit against a 100 TB table therefore reads one file per
+    * side, not two full table scans; what remains feeds one `exceptAll`
+    * per direction (a single hash shuffle with map-side partials over the
+    * changed-file rows only), no broadcast, no driver materialization.
+    * Compaction rewrites change file signatures, so both sides of the
+    * rewrite ARE read — and correctly yield an empty changelog, where a
+    * manifest walk would re-emit every rewritten row. Both sides read
+    * under the `to` snapshot's schema, so a schema-evolved history diffs
+    * on a consistent projection.
     */
   def changelogBetween(spark: SparkSession, table: Table, fromSnapshotId: Long,
       toSnapshotId: Long): DataFrame = {
@@ -76,8 +106,21 @@ object Incremental {
     require(ancestors.exists(_.snapshotId == fromSnapshotId),
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
     import org.apache.spark.sql.functions.lit
-    val before = SparkRead.read(spark, table.newScan.useSnapshot(fromSnapshotId))
-    val after = SparkRead.read(spark, table.newScan.useSnapshot(toSnapshotId))
+    val (beforeTasks, afterTasks) = changedTasksBetween(table, fromSnapshotId,
+      toSnapshotId)
+    val meta = table.metadata
+    val toSchemaId = meta.snapshotById(toSnapshotId)
+      .flatMap(_.schemaId).getOrElse(meta.currentSchemaId)
+    val schema = meta.schemaById(toSchemaId).getOrElse(meta.schema)
+    val ioOptions = table.refreshIoCredentials()
+    def readSide(tasks: Seq[FileScanTask]): DataFrame =
+      if (tasks.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          SchemaBridge.toSpark(schema))
+      else SparkRead.readTasks(spark, tasks, schema, table.nameMapping,
+        rowLineage = false, meta.specById, ioOptions)
+    val before = readSide(beforeTasks)
+    val after = readSide(afterTasks)
     after.exceptAll(before).withColumn("_change_type", lit("INSERT"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("DELETE")))
   }
