@@ -147,8 +147,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=sub1,sub2 restricts to queries whose name contains a
+    // substring — for clean solo re-measurement of one gate without paying
+    // (or perturbing) the other 125
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(subs) =>
+        val ss = subs.split(',').map(_.trim).filter(_.nonEmpty)
+        name => ss.exists(name.contains)
+      case None => _ => true
+    }
     val telemetryOut = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-    val results = SparkEntry.all.sortBy(_.name).map { qd =>
+    val results = SparkEntry.all.sortBy(_.name).filter(q => only(q.name)).map { qd =>
       val name = qd.name
       try {
         val run: () => org.apache.spark.sql.DataFrame = qd.stagedFn match {

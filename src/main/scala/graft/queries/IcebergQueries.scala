@@ -2089,6 +2089,60 @@ object IcebergQueries {
       SELECT change_type, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
       FROM ch
       GROUP BY change_type
+      ORDER BY change_type""")),
+
+    // streaming CDC: the file-pruned changelog reader as a Structured
+    // Streaming source (mode=changelog). Two AvailableNow runs share one
+    // checkpoint: run 1 delivers the full initial state tagged INSERT;
+    // then a CoW delete + an append commit, and run 2 must deliver EXACTLY
+    // the 5 DELETE + 5 INSERT net-change rows — the CoW rewrite's
+    // carried-over rows must NOT resurface (delta_only pins run 2 at 10
+    // rows), which is precisely what distinguishes a changelog stream from
+    // the append stream of i41.
+    QueryDef.staged("i62_streaming_changelog", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/cdc_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      Writer.append(s, cat.createTable("src", schema, PartitionSpec.Unpartitioned),
+        n.filter(col("n_nationkey") < 20))
+      val ckpt = s"$wh/_ckpt"
+      val outDir = s"$wh/_cdc_out"
+      def runOnce(): Seq[(Long, String)] = {
+        val q = s.readStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", "src")
+          .option("mode", "changelog").load()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("n_nationkey").cast("long"), col("_change_type"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      }
+      val run1 = runOnce() // full initial state, all INSERT
+      val t2 = Writer.deleteWhere(s, cat.loadTable("src"), Expr.lt("n_nationkey", 5L))
+      Writer.append(s, t2, n.filter(col("n_nationkey") >= 20))
+      val all = runOnce() // + net changes only: 5 DELETE + 5 INSERT
+      val delta = all.diff(run1)
+      val deltaOnly = run1.size == 20 && run1.forall(_._2 == "INSERT") &&
+        delta.size == 10 && delta.count(_._2 == "DELETE") == 5
+      import s.implicits._
+      val allDf = all.toDF("n_nationkey", "change_type")
+      () => allDf.groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+        .withColumn("delta_only", lit(deltaOnly.toString))
+        .orderBy(col("change_type"))
+    }, Some("""
+      WITH ch AS (
+        SELECT 'INSERT' AS change_type, n_nationkey FROM nation
+        UNION ALL
+        SELECT 'DELETE' AS change_type, n_nationkey FROM nation WHERE n_nationkey < 5)
+      SELECT change_type, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             'true' AS delta_only
+      FROM ch
+      GROUP BY change_type
       ORDER BY change_type"""))
   )
 }

@@ -371,12 +371,14 @@ object SimilarityQueries {
     // two-level k-means (Clustering.kMeansTwoLevel) at effective k = 256
     // (16 coarse lists × 16 fine centroids) — the large-k regime the
     // expression-tree kMeans is bounded out of. The gate pins: (a) the
-    // cluster-id space stays within [kCoarse, kCoarse·kFine]; (b) an
-    // independent second run reproduces every assignment bit-for-bit (the
-    // determinism contract: smallest-id seeds, lower-index tie-breaks,
-    // rounded centroids); (c) clustering beats the one-centroid baseline —
-    // mean squared distance to the assigned fine centroid < mean squared
-    // distance to the global mean vector.
+    // cluster-id space stays within [kCoarse, kCoarse·kFine]; (b) the
+    // coarse/fine/cluster columns obey cluster = list·kFine + fine for
+    // every row; (c) clustering beats the one-centroid baseline — mean
+    // squared distance to the assigned fine centroid < mean squared
+    // distance to the global mean vector. (Bit-for-bit determinism across
+    // independent runs is pinned by ClusteringSpec — re-running the whole
+    // pipeline in-gate would double the gate's cost for a claim the unit
+    // spec already holds.)
     QueryDef("s13_kmeans_twolevel", (s, dir) => {
       import graft.functions.VectorFunctions.dot
       val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -387,9 +389,8 @@ object SimilarityQueries {
       val n = run1.count()
       val nClusters = run1.select(countDistinct(col("cluster"))).head().getLong(0)
       val clustersOk = nClusters >= 16 && nClusters <= 256
-      val run2 = Clustering.kMeansTwoLevel(emb, 16, 16, 2)
-      val detOk = run1.select(col("vec_id"), col("cluster"))
-        .except(run2.select(col("vec_id"), col("cluster"))).count() == 0
+      val idsOk = run1.filter(
+        col("cluster") =!= col("list") * lit(16) + col("fine")).count() == 0
       val cmean = run1.select(col("cluster"), dims(col("embedding")).as(Seq("d", "x")))
         .groupBy(col("cluster"), col("d")).agg(avg(col("x")).as("m"))
       val withinAvg = run1
@@ -408,11 +409,11 @@ object SimilarityQueries {
         .agg(avg(col("d2"))).head().getDouble(0)
       run1.unpersist()
       import s.implicits._
-      Seq((n, clustersOk.toString, detOk.toString, (withinAvg < globalAvg).toString))
-        .toDF("n_vectors", "clusters_ok", "det_ok", "quality_ok")
+      Seq((n, clustersOk.toString, idsOk.toString, (withinAvg < globalAvg).toString))
+        .toDF("n_vectors", "clusters_ok", "ids_ok", "quality_ok")
     }, Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, 'true' AS clusters_ok,
-             'true' AS det_ok, 'true' AS quality_ok
+             'true' AS ids_ok, 'true' AS quality_ok
       FROM embeddings"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Dedup, Multimodal, Packing, Retrieval, TextStats}
+import graft.llm.{Chunking, ClassifierScore, Dedup, Multimodal, Packing, Retrieval, TextStats}
 import Q._
 
 /** LLM-corpus text operators over the `documents` table. Queries whose
@@ -1073,6 +1073,51 @@ object Text {
              quantile_cont(n_chars, 0.75) AS p75,
              COUNT(*) AS n_docs
       FROM documents
+      GROUP BY source
+      ORDER BY source""")),
+
+    // hashed linear classifier inference (ClassifierScore.scoreDocs) — the
+    // fastText-style quality-filter scoring step, map-side only. The gate
+    // feeds a deterministic pseudo-weight table (integer formula both
+    // engines compute exactly: w[b] = (((b+1)·2654435761) mod 1000 − 500)
+    // / 1000) so every per-document sigmoid score is pinned at 6 dp by the
+    // DuckDB replica of the same rolling-hash bucketing; per-source
+    // aggregates keep the gate row count stable while still covering every
+    // document's score.
+    QueryDef("t30_classifier_score", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val dims = 1024
+      val weights = Array.tabulate(dims)(b =>
+        ((((b + 1).toLong * 2654435761L) % 1000L) - 500L).toDouble / 1000.0)
+      ClassifierScore.scoreDocs(docs, weights, keep = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("score")), 4).as("avg_score"),
+          sum(when(col("score") > 0.5, 1L).otherwise(0L)).as("n_high"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      b AS (
+        SELECT doc_id, source,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 2147483647) % 1024 AS bkt
+        FROM t WHERE length(w) > 0),
+      d AS (
+        SELECT doc_id, source, COUNT(*) AS n_tokens,
+               round(1.0 / (1.0 + exp(-(SUM(
+                 ((((bkt + 1) * 2654435761) % 1000) - 500) / 1000.0
+               ) / COUNT(*)))), 6) AS score
+        FROM b GROUP BY doc_id, source)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             round(AVG(score), 4) AS avg_score,
+             CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      FROM d
       GROUP BY source
       ORDER BY source"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing

@@ -62,17 +62,33 @@ object SnapshotOffset {
   *   - `max-snapshots-per-trigger` (optional) cap on ancestry steps per
   *     micro-batch; the initial full-state batch is inherently one scan and
   *     is not paced
+  *   - `mode` (optional, default `append`): `append` streams only rows
+  *     ADDED by append snapshots ([[Incremental.readAppends]]);
+  *     `changelog` streams full CDC micro-batches — each batch is
+  *     [[Incremental.changelogBetween]] over the offset range, rows tagged
+  *     with a `_change_type` column (`INSERT`/`DELETE`, multiset
+  *     semantics), so CoW rewrites, MoR deletes, and compaction surface
+  *     correctly (a compaction-only range yields an empty batch). The
+  *     initial batch is the full table state tagged `INSERT`. Cost per
+  *     batch is O(changed files) via the file-signature pruning in
+  *     `changedTasksBetween` — exactly the incremental-consumption cost a
+  *     CDC consumer expects.
   */
 final class IcebergStreamSource(
     spark: SparkSession,
     catalog: Catalog,
     tableName: String,
     startingSnapshotId: Option[Long],
-    maxSnapshotsPerTrigger: Option[Int]) extends Source
+    maxSnapshotsPerTrigger: Option[Int],
+    changelog: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  override val schema: StructType =
-    SchemaBridge.toSpark(catalog.loadTable(tableName).schema)
+  override val schema: StructType = {
+    val base = SchemaBridge.toSpark(catalog.loadTable(tableName).schema)
+    if (changelog) base.add("_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false)
+    else base
+  }
 
   /** AvailableNow endpoint, latched once per run: `Some(headAtPrepare)`.
     * `None` = continuous trigger, follow the live current snapshot.
@@ -132,17 +148,20 @@ final class IcebergStreamSource(
     val fromId = start.map(SnapshotOffset.parse)
       .filter(_ != SnapshotOffset.Initial)
       .orElse(startingSnapshotId)
+    import org.apache.spark.sql.functions.lit
     val batch = fromId match {
       case Some(f) if f == endId =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(f) =>
-        Incremental.readAppends(spark, table, f, endId)
+        if (changelog) Incremental.changelogBetween(spark, table, f, endId)
+        else Incremental.readAppends(spark, table, f, endId)
       case None if endId == SnapshotOffset.Initial =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case None =>
-        SparkRead.read(spark, table.newScan.useSnapshot(endId))
+        val full = SparkRead.read(spark, table.newScan.useSnapshot(endId))
+        if (changelog) full.withColumn("_change_type", lit("INSERT")) else full
     }
     GraftSqlShim.asStreamingFrame(batch)
   }
@@ -176,11 +195,23 @@ final class IcebergSourceProvider extends StreamSourceProvider
     parameters.getOrElse(key,
       throw new IllegalArgumentException(s"graft-iceberg requires option '$key'"))
 
+  private def changelogMode(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("mode", "append") match {
+      case "append"    => false
+      case "changelog" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-iceberg: unknown mode '$other' (expected append|changelog)")
+    }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val cat = Catalogs.load(required(parameters, "catalog"))
     val name = required(parameters, "table")
-    (s"graft-iceberg:$name", SchemaBridge.toSpark(cat.loadTable(name).schema))
+    val base = SchemaBridge.toSpark(cat.loadTable(name).schema)
+    val out = if (changelogMode(parameters))
+      base.add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+    else base
+    (s"graft-iceberg:$name", out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -191,7 +222,8 @@ final class IcebergSourceProvider extends StreamSourceProvider
       Catalogs.load(required(parameters, "catalog")),
       required(parameters, "table"),
       parameters.get("starting-snapshot-id").map(_.toLong),
-      parameters.get("max-snapshots-per-trigger").map(_.toInt))
+      parameters.get("max-snapshots-per-trigger").map(_.toInt),
+      changelogMode(parameters))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode):

@@ -20,6 +20,28 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("classifier scoring: hand-computed sigmoid, empty docs null, hash stays in range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dims=2: bucket parity of the rolling hash; weights +1/-1 make the
+    // expected logit trivially hand-computable
+    val w = Array(1.0, -1.0)
+    // "a" -> hash 97 -> bucket 1 (weight -1); "b" -> 98 -> bucket 0 (+1)
+    val docs = Seq(
+      (1L, "a b b"),   // mean = (-1 + 1 + 1) / 3 = 1/3
+      (2L, ""),        // no tokens: null score
+      (3L, "a  a")     // double space: empty token filtered, mean = -1
+    ).toDF("doc_id", "text")
+    val out = graft.llm.ClassifierScore.scoreDocs(docs, w, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2.get === math.rint(sig(1.0 / 3) * 1e6) / 1e6)
+    assert(out(2L) === ((0L, None)))
+    assert(out(3L)._2.get === math.rint(sig(-1.0) * 1e6) / 1e6)
+  }
+
   test("bigramDocScore matches the hand-computed add-one model; 1-token docs are unscored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
