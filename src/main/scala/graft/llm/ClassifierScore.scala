@@ -46,11 +46,17 @@ object ClassifierScore {
     require(weights.nonEmpty, "empty weight table")
     val dims = weights.length
     val wLit = typedLit(weights.toSeq)
-    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    // stage the token array in its own projection: four downstream
+    // references (guard, fold, denominator, n_tokens) would otherwise each
+    // re-run split+filter per row (CollapseProject keeps expensive
+    // multiply-referenced projections staged — the s7 lesson)
+    val staged = docs.select((col(idCol) +: keep.map(col)) :+
+      filter(split(col(textCol), " "), t => length(t) > 0).as("__toks"): _*)
+    val toks = col("__toks")
     val sumW = aggregate(toks, lit(0.0), (acc, w) =>
       acc + element_at(wLit, (wordBucket(w, dims) + 1).cast("int")))
     val n = size(toks).cast("long")
-    docs.select((col(idCol) +: keep.map(col)) :+ n.as("n_tokens") :+
+    staged.select((col(idCol) +: keep.map(col)) :+ n.as("n_tokens") :+
       when(n > 0, round(
         lit(1.0) / (lit(1.0) + exp(-(sumW / n.cast("double") + lit(bias)))), 6))
         .as("score"): _*)

@@ -112,8 +112,14 @@ object Clustering {
     import graft.functions.VectorFunctions.dot
     val listed = kMeans(df, kCoarse, iters, idCol, vecCol, roundDp)
       .withColumnRenamed("cluster", "__list")
+    // the coarse assignment feeds every fine-level consumer (seeds + one
+    // assign per iteration + the final assign) — persist DISK_ONLY so the
+    // corpus runs the kCoarse-term argmin expression ONCE instead of
+    // 3+iters times (the t15 trade: local-disk blocks, no storage-memory
+    // pressure); released before returning
     val vecs = listed.select(col(idCol), col("__list"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // seeds: the kFine smallest-id vectors of each list (deterministic)
     val w = Window.partitionBy(col("__list")).orderBy(col(idCol))
     var cents = vecs
@@ -146,8 +152,13 @@ object Clustering {
     }
     val fin = assign(cents)
       .select(col(idCol), col("__list").as("list"), col("__fid").as("fine"))
-    df.join(fin, Seq(idCol))
+    val out = df.join(fin, Seq(idCol))
       .withColumn("cluster", col("list") * lit(kFine) + col("fine"))
+      // eager-materialize + release (the simhash pattern): the coarse
+      // assignment cache must not outlive this call
+      .localCheckpoint()
+    vecs.unpersist()
+    out
   }
 
   /** SemDeDup-style within-cluster near-duplicate pruning: drop every vector
