@@ -23,6 +23,7 @@ object Cli {
       |  list
       |  describe|snapshots|files|partitions <table>
       |  read <table> [n]
+      |  changelog <table> <from-snapshot-id> <to-snapshot-id> [n]
       |  branch|tag <table> <ref-name> [snapshot-id]   (default: current snapshot)
       |  rollback <table> <snapshot-id>
       |  upgrade <table> <format-version>
@@ -89,6 +90,12 @@ object Cli {
       case "read" =>
         val n = if (cargs.length > 1) cargs(1).toInt else 20
         graft.table.SparkRead.read(spark, cat.loadTable(cargs(0)).newScan).show(n, truncate = false)
+      case "changelog" =>
+        // row-level CDC between two snapshots on the same lineage; reads
+        // only the files whose signature changed (changedTasksBetween)
+        val n = if (cargs.length > 3) cargs(3).toInt else 20
+        graft.table.Incremental.changelogBetween(spark, cat.loadTable(cargs(0)),
+          cargs(1).toLong, cargs(2).toLong).show(n, truncate = false)
 
       // ---- refs ------------------------------------------------------------
       case "branch" | "tag" =>

@@ -36,6 +36,20 @@ object Similarity {
     */
   val BruteForceMaxQueries: Long = 100000L
 
+  /** Fan a SMALL stream side out to the session's parallelism before an
+    * O(|Q|·|C|) scoring pass: a corpus that arrives in fewer partitions
+    * than cores (one small parquet file is ONE partition) would run the
+    * whole pair loop on one core — the broadcast join adds no exchange
+    * that AQE could re-split. Conditional, so a corpus already wider than
+    * the core count (every real 100 TB input) never pays the extra
+    * exchange; the shuffle this adds is by construction of a
+    * fewer-partitions-than-cores frame, i.e. small.
+    */
+  private def fanOutSmall(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (qid, rank, cid, cosine).
     *
@@ -56,8 +70,8 @@ object Similarity {
     // — no casted copy of every vector
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    val c = fanOutSmall(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv"))))
     val pairs = c.crossJoin(broadcast(q))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("qid"), col("cid"), col("cos"))
@@ -316,7 +330,8 @@ object Similarity {
       while (j < codes.length) { s += lut(j * ksub + codes(j)); j += 1 }
       s
     })
-    val coded = cd.withColumn("codes", encodeU(col("cv"))).select("cid", "codes")
+    val coded = fanOutSmall(
+      cd.withColumn("codes", encodeU(col("cv"))).select("cid", "codes"))
     val qlut = qd.select(col("qid"), lutU(col("qv")).as("lut"))
     val cand = topKPerKey(
       coded.crossJoin(broadcast(qlut))

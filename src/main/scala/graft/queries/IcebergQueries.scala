@@ -1642,7 +1642,8 @@ object IcebergQueries {
       val t1 = Writer.append(s, cat.createTable("region_cli",
         SchemaBridge.fromSpark(r.schema), PartitionSpec.Unpartitioned), r)
       val s1 = t1.metadata.currentSnapshotId.get
-      Writer.append(s, cat.loadTable("region_cli"), r) // second snapshot to roll back over
+      val t2 = Writer.append(s, cat.loadTable("region_cli"), r) // second snapshot to roll back over
+      val s2 = t2.metadata.currentSnapshotId.get
       val cfg = java.nio.file.Paths.get(s"$wh.yaml")
       java.nio.file.Files.createDirectories(cfg.getParent)
       java.nio.file.Files.writeString(cfg,
@@ -1665,6 +1666,10 @@ object IcebergQueries {
         run(uri, "snapshots", "region_cli").contains(s1.toString),
         run(uri, "branch", "region_cli", "dev").contains("branch dev ->"),
         run(uri, "tag", "region_cli", "v1").contains("tag v1 ->"),
+        // CDC verb: the second append's 5 region rows surface as INSERTs
+        // (must run before rollback/expire prune s2 off the lineage)
+        run(uri, "changelog", "region_cli", s1.toString, s2.toString, "10")
+          .contains("INSERT"),
         run(uri, "rollback", "region_cli", s1.toString).contains("rolled back"),
         run(uri, "upgrade", "region_cli", "3").contains("format-version: 3"),
         run(uri, "expire", "region_cli",

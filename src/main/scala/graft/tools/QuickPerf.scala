@@ -20,6 +20,7 @@ object QuickPerf {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm-up
     if (name == "t9stages") { t9stages(spark, sfDir); spark.stop(); return }
+    if (name == "s6stages") { s6stages(spark, sfDir); spark.stop(); return }
     val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
@@ -27,6 +28,34 @@ object QuickPerf {
       println(f"[quickperf] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** Stage-level timing of the s6 kNN-agreement gate (exact vs IVF leg). */
+  private def s6stages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[s6stages] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val emb = graft.queries.Q.tbl(spark, sfDir, "embeddings")
+    time("emb count")(emb.count())
+    val exactTop = time("exact topk build+run") {
+      val t = graft.llm.Similarity.bruteForceTopK(emb, emb, k = 6).persist()
+      t.count(); t
+    }
+    time("exact agreement agg")(
+      graft.llm.Similarity.knnLabelAgreement(exactTop, emb).collect())
+    exactTop.unpersist()
+    val ivfTop = time("ivf topk build+run") {
+      val t = graft.llm.Similarity.ivfTopK(emb, emb, k = 6, nlist = 8, nprobe = 4).persist()
+      t.count(); t
+    }
+    time("ivf agreement agg")(
+      graft.llm.Similarity.knnLabelAgreement(ivfTop, emb).collect())
+    ivfTop.unpersist()
+    ()
   }
 
   /** Stage-level timing of the t9 near-dup pipeline. */

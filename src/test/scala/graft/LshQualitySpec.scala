@@ -129,6 +129,28 @@ class LshQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(4).getDouble(0) === 0.0)
   }
 
+  test("ivfPqTopK: exact duplicates surface at rank 1 with cosine 1.0") {
+    import spark.implicits._
+    // deterministic vectors; queries are exact copies of corpus vectors, so
+    // the re-ranked top-1 must be the twin at cosine 1.0 — residual PQ plus
+    // coarse probing must never lose an identical vector (it shares the
+    // query's list and its ADC score is the query's own reconstruction)
+    val r = new java.util.Random(11L)
+    val base = (0L until 60L).map(i => (i, Seq.fill(16)(r.nextGaussian().toFloat)))
+    val corpus = base.toDF("vec_id", "embedding")
+    val queries = base.take(10).map { case (i, v) => (i + 1000L, v) }
+      .toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqTopK(queries, corpus, k = 3,
+      nlist = 4, nprobe = 2, m = 4, ksub = 8, refine = 4, sampleSize = 60)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(top.size === 10)
+    top.foreach { case (qid, (cid, cos)) =>
+      assert(cid === qid - 1000L, s"query $qid matched $cid")
+      assert(math.abs(cos - 1.0) < 1e-9)
+    }
+  }
+
   test("bruteForceTopK rejects an oversized query side (lshTopK is the scale path)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
