@@ -2148,6 +2148,52 @@ object IcebergQueries {
              'true' AS delta_only
       FROM ch
       GROUP BY change_type
-      ORDER BY change_type"""))
+      ORDER BY change_type""")),
+
+    // z-order rewrite (Maintenance.rewriteDataFiles zorderBy — the
+    // rewrite_data_files(strategy=sort, sort_order=zorder(...)) layout
+    // action): a scrambled multi-file table is re-clustered on the Morton
+    // key over (l_orderkey, l_partkey). The gate pins the LAYOUT effect at
+    // plan level: before the rewrite a box predicate over both columns
+    // prunes nothing (round-robin layout — every file spans the full key
+    // space); after it, the same scan must plan strictly fewer files than
+    // the table holds, i.e. file min/max bounds tightened on BOTH columns
+    // at once — what a single-column sort cannot give. Row content must
+    // hash-match the source table (rewrite moves bytes, never changes
+    // rows).
+    QueryDef.staged("i63_zorder_rewrite", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/zord_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+          col("l_quantity"))
+      val schema = SchemaBridge.fromSpark(li.schema)
+      val t1 = Writer.append(s,
+        cat.createTable("li_z", schema, PartitionSpec.Unpartitioned,
+          properties = Map("write.target-file-size-bytes" -> "262144")),
+        li.repartition(8))
+      val box = Expr.and(Expr.lt("l_orderkey", 3750L), Expr.lt("l_partkey", 500L))
+      val before = t1.newScan.planFiles().size
+      val beforeBox = t1.newScan.withFilter(box).planFiles().size
+      val res = Maintenance.rewriteDataFiles(s, t1, rewriteAll = true,
+        zorderBy = Seq("l_orderkey", "l_partkey"))
+      val t2 = res.table
+      val after = t2.newScan.planFiles().size
+      val afterBox = t2.newScan.withFilter(box).planFiles().size
+      val layoutOk = beforeBox == before && after > 1 && afterBox < after
+      if (!layoutOk) System.err.println(
+        s"[i63] layout: before=$before beforeBox=$beforeBox after=$after afterBox=$afterBox")
+      () => SparkRead.read(s, t2.newScan)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .withColumn("zorder_pruned", lit(layoutOk.toString))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             'true' AS zorder_pruned
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""), repeatable = true) // thunk is a pure read; fixture/rewrite all in prep
   )
 }

@@ -38,9 +38,18 @@ object Maintenance {
     * as the reference's arrow path does). Consumers needing stable row ids
     * should pin a snapshot.
     */
+  /** `zorderBy`: non-empty = re-cluster the rewritten rows on a Morton
+    * (z-order) key over the named columns before writing — range
+    * partition + sort on the interleaved-bit key, so every rewritten
+    * file's min/max bounds are tight on ALL the named columns and a box
+    * predicate over any subset of them prunes files (the
+    * `rewrite_data_files(strategy => 'sort', sort_order => zorder(...))`
+    * layout action). Costs one min/max aggregation over the rewrite set
+    * plus the range exchange the clustered write needs anyway.
+    */
   def rewriteDataFiles(spark: SparkSession, table: Table,
       targetFileSizeBytes: Long = 0, minInputFiles: Int = 2,
-      rewriteAll: Boolean = false): CompactionResult = {
+      rewriteAll: Boolean = false, zorderBy: Seq[String] = Nil): CompactionResult = {
     val targetSize =
       if (targetFileSizeBytes > 0) targetFileSizeBytes
       else table.metadata.properties.get("write.target-file-size-bytes")
@@ -72,7 +81,25 @@ object Maintenance {
     val schema = table.schema
     val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping,
       specById = table.metadata.specById)
-    val newFiles = Writer.writeDataFiles(spark, table, compacted)
+    val clustered = if (zorderBy.isEmpty) compacted else {
+      import org.apache.spark.sql.functions.{col, max, min}
+      // per-column ranges for rank normalization: ONE agg (2 exprs per
+      // column), one driver-side row
+      val aggExprs = zorderBy.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val row = compacted.agg(aggExprs.head, aggExprs.tail: _*).head()
+      val mins = zorderBy.indices.map(i => row.getDouble(2 * i))
+      val maxs = zorderBy.indices.map(i => row.getDouble(2 * i + 1))
+      val zkey = graft.functions.ZOrder.zorderKey(zorderBy.map(col), mins, maxs)
+      // range partition + sort on the key: per-file key ranges are globally
+      // non-overlapping, so bounds on every participating column tighten;
+      // the projection dropping the key preserves the arranged order
+      compacted.withColumn("__zkey", zkey)
+        .repartitionByRange(col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey")
+    }
+    val newFiles = Writer.writeDataFiles(spark, table, clustered)
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = newFiles, removedPaths = rewrittenPaths,
       addedDeleteFiles = Nil, removedDeleteKeys = droppableDeletes,
