@@ -36,6 +36,36 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Temperature-scaled mixture weights — the standard source-balancing
+    * step BEFORE [[weightedResample]] (multilingual corpus sampling à la
+    * mBERT/XLM-R, GPT-3-style source mixing): given per-group sizes n_g,
+    * sampling weight w_g = n_g^T / Σ n_g^T. T = 1 keeps natural
+    * proportions; T → 0 flattens toward uniform, up-weighting small
+    * sources; the returned `rate` column rescales w_g into per-document
+    * replication epochs against a token budget (rate_g = w_g · budget /
+    * n_g), ready to feed `weightedResample`.
+    *
+    * Scale shape: one partial-agg shuffle of |groups| rows, then driver
+    * arithmetic over the group table (|groups| is mixture-spec sized —
+    * tens, not corpus-sized) folded back as one broadcastable frame.
+    * Doubles round to 6 dp so libm pow ULP differences cannot leak into
+    * the mixture spec.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, sizeExpr: Column,
+      temperature: Double, budget: Long): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val sizes = df.groupBy(col(groupCol)).agg(sum(sizeExpr).as("n_tokens"))
+    val powed = sizes.withColumn("__p", pow(col("n_tokens").cast("double"), lit(temperature)))
+    // Σ n^T over mixture-spec-sized groups: cheap second aggregation; kept
+    // in-plan (cross-joined scalar) so the whole thing stays one lazy frame
+    val total = powed.agg(sum(col("__p")).as("__tot"))
+    powed.crossJoin(total)
+      .withColumn("weight", round(col("__p") / col("__tot"), 6))
+      .withColumn("rate",
+        round(col("__p") / col("__tot") * lit(budget.toDouble) / col("n_tokens"), 6))
+      .select(col(groupCol), col("n_tokens"), col("weight"), col("rate"))
+  }
+
   /** Domain-mixture resampling: replicate or thin each document according
     * to a per-row rate (the "epochs" column of a training-mixture spec —
     * e.g. Wikipedia ×2.5, CommonCrawl ×0.5). A rate of 2.5 emits 2 copies

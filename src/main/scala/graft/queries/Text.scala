@@ -1119,6 +1119,30 @@ object Text {
              CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM d
       GROUP BY source
+      ORDER BY source""")),
+
+    // temperature-scaled mixture weights (Sampling.temperatureWeights) —
+    // the source-balancing arithmetic that feeds t18's resampler: w_g =
+    // n_g^T / Σ n_g^T at T=0.5 (flattens toward uniform, up-weighting
+    // small sources), rate_g = w_g·budget/n_g. Integer token counts pin
+    // the sizes; 6dp rounding on both engines absorbs libm pow ULPs.
+    QueryDef("t31_temperature_mix", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ntok = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1))
+        .cast("long")
+      graft.llm.Sampling.temperatureWeights(docs, "source", ntok,
+          temperature = 0.5, budget = 10000L)
+        .orderBy(col("source"))
+    }, Some("""
+      WITH sizes AS (
+        SELECT source,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      p AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM sizes),
+      t AS (SELECT SUM(pw) AS tot FROM p)
+      SELECT source, n_tokens, round(pw / tot, 6) AS weight,
+             round(pw / tot * 10000 / n_tokens, 6) AS rate
+      FROM p, t
       ORDER BY source"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
