@@ -93,6 +93,21 @@ class LshQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "operator leaked persisted blocks into the session CacheManager")
   }
 
+  test("round-10 persist-using operators leave no persisted blocks behind") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val df = corpus
+    Dedup.dupSpanCoverage(df, "doc_id", "text", n = 4).count()
+    graft.llm.LmScore.bigramDocScore(
+      df.withColumn("source", org.apache.spark.sql.functions.lit("s"))).count()
+    val r = new java.util.Random(3L)
+    val emb = (0L until 30L).map(i =>
+      (i, Seq.fill(4)(r.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    graft.llm.Clustering.kMeansTwoLevel(emb, kCoarse = 2, kFine = 2, iters = 1).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator leaked persisted blocks into the session CacheManager")
+  }
+
   test("cluster fixpoint merges chained near-dups one pass misses") {
     import spark.implicits._
     // chain a~b, b~c where a and c share little: long shared core with
