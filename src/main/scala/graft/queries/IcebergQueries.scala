@@ -2194,6 +2194,53 @@ object IcebergQueries {
              'true' AS zorder_pruned
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""), repeatable = true) // thunk is a pure read; fixture/rewrite all in prep
+      ORDER BY l_returnflag"""), repeatable = true), // thunk is a pure read; fixture/rewrite all in prep
+
+    // write-audit-publish: half the suppliers land on main, the other half
+    // are STAGED on an audit branch (Writer.append toBranch — the branch
+    // head is the snapshot parent, main and the current pointer don't
+    // move), audited through useRef, then published atomically with
+    // Evolve.fastForward("main", branch). The gate pins all three WAP
+    // properties in-prep: isolation (main doesn't see staged rows before
+    // publish), publish (main == full supplier after), and the
+    // diverged-branch guard (after main moves past the branch head, a
+    // reverse fast-forward of main to the now-stale branch must fail
+    // loudly, not silently drop commits).
+    QueryDef.staged("i64_wap_publish", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"wap_${UUID.randomUUID().toString.take(8)}"
+      val su = tbl(s, dir, "supplier")
+      val schema = SchemaBridge.fromSpark(su.schema)
+      val t1 = Writer.append(s,
+        cat.createTable(name, schema, PartitionSpec.Unpartitioned),
+        su.filter(col("s_suppkey") % 2 === 0))
+      val t2 = Evolve.setRef(t1, "audit", t1.metadata.currentSnapshotId.get, "branch")
+      val t3 = Writer.append(s, t2, su.filter(col("s_suppkey") % 2 =!= 0),
+        toBranch = Some("audit"))
+      val mainRows = SparkRead.read(s, t3.newScan).count()
+      val auditRows = SparkRead.read(s, t3.newScan.useRef("audit")).count()
+      require(mainRows < auditRows,
+        s"WAP isolation broken: main=$mainRows audit=$auditRows")
+      require(t3.metadata.currentSnapshotId == t1.metadata.currentSnapshotId,
+        "branch append moved the current-snapshot pointer")
+      val t4 = Evolve.fastForward(t3, "main", "audit")
+      // divergence guard: move main past the branch head, then a
+      // fast-forward of main back to the stale branch must be rejected
+      val t5 = Writer.append(s, t4, su.limit(0))
+      val diverged =
+        try { Evolve.fastForward(t5, "main", "audit"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("diverged") }
+      require(diverged, "diverged fast-forward was not rejected")
+      () => SparkRead.read(s, t5.newScan)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("s_acctbal")))).as("acctbal_sum"))
+        .orderBy(col("s_nationkey"))
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey"""), repeatable = true)
   )
 }

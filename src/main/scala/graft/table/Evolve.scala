@@ -247,6 +247,39 @@ object Evolve {
   def removeRef(table: Table, name: String): Table =
     commitMetadata(table, table.metadata.copy(refs = table.metadata.refs - name))
 
+  /** Fast-forward ref `target` to `source`'s head — the WAP publish step:
+    * stage appends on a branch ([[Writer.append]] `toBranch`), audit through
+    * `useRef`, then `fastForward("main", branch)` makes them current
+    * atomically. Requires `target` to be absent, equal to, or an ancestor of
+    * `source`'s head; anything else is not a fast-forward and fails loudly
+    * (same contract as engine fast-forward procedures over the reference's
+    * ref model, `table/metadata.go` refs).
+    */
+  def fastForward(table: Table, target: String, source: String): Table = {
+    val meta = table.metadata
+    val srcHead = meta.refs.getOrElse(source,
+      throw new IllegalArgumentException(s"ref '$source' does not exist")).snapshotId
+    meta.refs.get(target).map(_.snapshotId).foreach { th =>
+      require(th == srcHead ||
+          Inspect.ancestorsOf(table, srcHead).exists(_.snapshotId == th),
+        s"cannot fast-forward '$target' to '$source': " +
+          s"$th is not an ancestor of $srcHead (branches diverged)")
+    }
+    val movedRef = meta.refs.get(target) match {
+      case Some(r) => r.copy(snapshotId = srcHead)
+      case None    => SnapshotRef(srcHead, "branch", None, None, None)
+    }
+    val now = System.currentTimeMillis()
+    val base = meta.copy(
+      refs = meta.refs.updated(target, movedRef), lastUpdatedMs = now)
+    val updated =
+      if (target == "main") base.copy(
+        currentSnapshotId = Some(srcHead),
+        snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(srcHead, now))
+      else base
+    commitMetadata(table, updated)
+  }
+
   /** Set/overwrite table properties (reference `table/transaction.go`
     * SetProperties).
     */

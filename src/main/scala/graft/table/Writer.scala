@@ -78,11 +78,17 @@ object Writer {
 
   /** Append a DataFrame (fast-append snapshot, reference
     * `table/transaction.go:558-611`). Returns the updated table.
+    *
+    * `toBranch` stages the append on a named branch (WAP pattern): the new
+    * snapshot's parent is the BRANCH head and only that ref moves — main and
+    * the table's current-snapshot pointer are untouched until a
+    * [[Evolve.fastForward]] publish.
     */
-  def append(spark: SparkSession, table: Table, df: DataFrame): Table = {
+  def append(spark: SparkSession, table: Table, df: DataFrame,
+      toBranch: Option[String] = None): Table = {
     val files = writeDataFiles(spark, table, df)
     commitSnapshot(table, "append", addedFiles = files, removedPaths = Set.empty,
-      addedDeleteFiles = Nil)
+      addedDeleteFiles = Nil, toBranch = toBranch)
   }
 
   /** Copy-on-write DELETE WHERE (reference `table/transaction.go:1382-2120`):
@@ -1078,7 +1084,8 @@ object Writer {
       conflictCheck: Option[ConflictCheck] = None,
       removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
       extraProperties: Map[String, String] = Map.empty,
-      extraSummary: Map[String, String] = Map.empty): Table = {
+      extraSummary: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None): Table = {
     val props = table.metadata.properties
     def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
     val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
@@ -1094,9 +1101,10 @@ object Writer {
       val acc = new CommitAccumulator
       try {
         val committed = commitSnapshotOnce(t, operation, addedFiles, removedPaths,
-          addedDeleteFiles, removedDeleteKeys, extraProperties, extraSummary, acc)
+          addedDeleteFiles, removedDeleteKeys, extraProperties, extraSummary, acc,
+          toBranch)
         emitCommitReport(committed, operation, addedFiles, addedDeleteFiles,
-          acc, attempt + 1, System.nanoTime() - t0)
+          acc, attempt + 1, System.nanoTime() - t0, toBranch)
         return committed
       } catch {
         case _: graft.catalog.CommitConflict
@@ -1123,12 +1131,15 @@ object Writer {
     */
   private def emitCommitReport(t: Table, operation: String,
       addedFiles: Seq[DataFile], addedDeleteFiles: Seq[DataFile],
-      acc: CommitAccumulator, attempts: Int, elapsedNanos: Long): Unit = {
+      acc: CommitAccumulator, attempts: Int, elapsedNanos: Long,
+      toBranch: Option[String] = None): Unit = {
     try {
       val rep = t.reporter
       if (rep eq graft.metrics.NopReporter) return
       import graft.metrics.{CommitMetricsResult, CommitReport, CounterResult, TimerResult}
-      val snap = t.metadata.currentSnapshot.get
+      val snap = toBranch.flatMap(b => t.metadata.refs.get(b))
+        .flatMap(r => t.metadata.snapshotById(r.snapshotId))
+        .orElse(t.metadata.currentSnapshot).get
       val all = Manifests.readManifestList(snap.manifestList)
       val (dataM, delM) = all.partition(_.content == ManifestContent.Data)
       val removedData = acc.removedData.result()
@@ -1281,7 +1292,8 @@ object Writer {
       removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
       extraProperties: Map[String, String] = Map.empty,
       extraSummary: Map[String, String] = Map.empty,
-      acc: CommitAccumulator = new CommitAccumulator): Table = {
+      acc: CommitAccumulator = new CommitAccumulator,
+      toBranch: Option[String] = None): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -1290,7 +1302,17 @@ object Writer {
     val metadataDir = s"${meta.location}/metadata"
     val partType = spec.partitionType(schema)
 
-    val previousManifests: Seq[ManifestFile] = meta.currentSnapshot
+    // Branch-targeted commit (WAP staging): the parent is the BRANCH head,
+    // not main, and only the branch ref moves at the end. A branch that
+    // doesn't exist yet is created from the current table state, matching
+    // engine behavior for branch writes.
+    val branch = toBranch.getOrElse("main")
+    val parentSnapshotId: Option[Long] =
+      if (branch == "main") meta.currentSnapshotId
+      else meta.refs.get(branch).map(_.snapshotId).orElse(meta.currentSnapshotId)
+
+    val previousManifests: Seq[ManifestFile] = parentSnapshotId
+      .flatMap(meta.snapshotById)
       .map(s => Manifests.readManifestList(s.manifestList)).getOrElse(Nil)
 
     var manifests = Seq.newBuilder[ManifestFile]
@@ -1376,7 +1398,7 @@ object Writer {
     val allManifests = mergeAppendManifests(meta, manifests.result(), snapshotId,
       newSeq, metadataDir, acc)
     Manifests.writeManifestList(manifestListPath, allManifests, snapshotId,
-      meta.currentSnapshotId, newSeq)
+      parentSnapshotId, newSeq)
 
     val now = System.currentTimeMillis()
     // spec summary keys (reference `table/snapshots.go:61-88`); removed
@@ -1400,19 +1422,28 @@ object Writer {
         .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
       "total-records" -> dataManifests
         .map(m => m.addedRowsCount + m.existingRowsCount).sum.toString) ++ extraSummary
-    val snap = Snapshot(snapshotId, meta.currentSnapshotId, newSeq, now,
+    val snap = Snapshot(snapshotId, parentSnapshotId, newSeq, now,
       manifestListPath, summary, Some(meta.currentSchemaId))
 
-    val updated = meta.copy(
+    // moving a ref keeps its retention settings (min-snapshots-to-keep etc.)
+    val movedRef = meta.refs.get(branch) match {
+      case Some(r) => r.copy(snapshotId = snapshotId)
+      case None    => SnapshotRef(snapshotId, "branch")
+    }
+    val base = meta.copy(
       properties = meta.properties ++ extraProperties,
       lastSequenceNumber = newSeq,
       nextRowId = rowIdCursor,
       lastUpdatedMs = now,
-      currentSnapshotId = Some(snapshotId),
       snapshots = meta.snapshots :+ snap,
-      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
       metadataLog = meta.metadataLog :+ MetadataLogEntry(table.metadataPath, now),
-      refs = meta.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+      refs = meta.refs.updated(branch, movedRef))
+    // only a main-branch commit moves the table's current pointer/history
+    val updated =
+      if (branch == "main") base.copy(
+        currentSnapshotId = Some(snapshotId),
+        snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now))
+      else base
 
     table.catalog.commit(table.name, meta, updated, table.currentVersion)
     table.refresh()
