@@ -73,4 +73,33 @@ object Retrieval {
     Similarity.topKPerKey(scored, "qid", col("score").desc, col("doc_id").asc, k)
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Materialize an inverted index over the corpus: one row per word with
+    * document frequency `df`, collection frequency `cf`, and the head of
+    * the postings list — the top-`cap` doc ids by (tf desc, doc_id asc),
+    * comma-joined.
+    *
+    * Scale shape: two exchanges, both bounded. The token stream partial-
+    * aggregates map-side into (word, doc_id, tf) before the first shuffle;
+    * the per-word rollup then uses the k-bounded [[graft.functions.TopKByScore]]
+    * heap, so only `cap` postings per (word, map task) cross the second
+    * shuffle — a stop-word's billion-document postings list never
+    * materializes anywhere. Full (uncapped) postings at 100 TB should stay
+    * ROWS (the `tf` frame itself, sorted within word on write), never
+    * per-word arrays; the capped head is what serving-time index builds
+    * ship.
+    */
+  def invertedIndex(docs: DataFrame, cap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        graft.functions.TopKFunctions
+          .topKByScore(col("tf").cast("double"), col("doc_id"), cap).as("top"))
+      .withColumn("postings",
+        array_join(transform(col("top"), x => x.getField("cid")), ","))
+      .drop("top")
+  }
 }

@@ -291,6 +291,33 @@ object TextStats {
     * side never shuffles for the membership test — the only exchange is the
     * final per-group aggregation.
     */
+  /** Winsorized length filter: per-group exact token-count percentiles
+    * [lo, hi], then keep only documents whose length falls inside — the
+    * standard outlier-trimming curation step (drop boilerplate stubs and
+    * runaway concatenations per source/language).
+    *
+    * Output: the kept documents plus `ntok`, `p_lo`, `p_hi` columns.
+    *
+    * Scale shape: token counts are map-side `size(split(...))` — the text
+    * itself never shuffles. The percentile aggregation's state is bounded
+    * by the number of DISTINCT lengths per group (Spark's exact percentile
+    * buffers value→count, not rows), which for token counts is tiny; for
+    * an unbounded-domain metric swap in `percentile_approx`. The per-group
+    * bounds frame is |groups| rows, broadcast back — the only corpus-scale
+    * exchange is none at all: filter + count happen where the data sits.
+    */
+  def lengthTrim(docs: DataFrame, groupCol: String, lo: Double, hi: Double,
+      textCol: String = "text"): DataFrame = {
+    val withTok = docs.withColumn("ntok",
+      size(split(col(textCol), " ")).cast("long"))
+    val bounds = withTok.groupBy(col(groupCol))
+      .agg(expr(s"percentile(ntok, array($lo, $hi))").as("p"))
+      .select(col(groupCol), round(element_at(col("p"), 1), 6).as("p_lo"),
+        round(element_at(col("p"), 2), 6).as("p_hi"))
+    withTok.join(broadcast(bounds), Seq(groupCol))
+      .filter(col("ntok") >= col("p_lo") && col("ntok") <= col("p_hi"))
+  }
+
   def oovStats(docs: DataFrame, vocab: DataFrame, textCol: String,
       groupCol: String): DataFrame =
     docs.select(col(groupCol), explode(split(col(textCol), " ")).as("word"))

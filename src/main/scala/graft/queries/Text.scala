@@ -1143,6 +1143,47 @@ object Text {
       SELECT source, n_tokens, round(pw / tot, 6) AS weight,
              round(pw / tot * 10000 / n_tokens, 6) AS rate
       FROM p, t
-      ORDER BY source"""))
+      ORDER BY source""")),
+
+    // inverted-index materialization: per word, document frequency,
+    // collection frequency, and the postings-list head (top-5 docs by
+    // tf desc, doc_id asc — the TopKByScore bounded heap, so only 5
+    // postings per (word, map task) cross the rollup shuffle)
+    QueryDef("t32_inverted_index", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Retrieval.invertedIndex(docs, cap = 5)
+        .orderBy(col("word"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      tf AS (SELECT word, doc_id, COUNT(*) AS tf FROM w GROUP BY word, doc_id),
+      r AS (SELECT word, doc_id, tf,
+                   ROW_NUMBER() OVER (PARTITION BY word ORDER BY tf DESC, doc_id ASC) AS rk
+            FROM tf)
+      SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+             string_agg(CASE WHEN rk <= 5 THEN CAST(doc_id AS VARCHAR) END, ','
+                        ORDER BY rk) AS postings
+      FROM r
+      GROUP BY word
+      ORDER BY word""")),
+
+    // winsorized length filter: per-source exact p5/p95 token-count
+    // bounds, keep docs inside, report the trim per source
+    QueryDef("t33_length_trim", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextStats.lengthTrim(docs, "source", 0.05, 0.95)
+        .groupBy(col("source"), col("p_lo"), col("p_hi"))
+        .agg(count(lit(1)).as("kept"), sum(col("ntok")).as("kept_tokens"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS ntok FROM documents),
+      q AS (SELECT source, round(quantile_cont(ntok, 0.05), 6) AS p_lo,
+                   round(quantile_cont(ntok, 0.95), 6) AS p_hi
+            FROM tok GROUP BY source)
+      SELECT t.source, q.p_lo, q.p_hi, COUNT(*) AS kept,
+             CAST(SUM(t.ntok) AS BIGINT) AS kept_tokens
+      FROM tok t JOIN q ON t.source = q.source
+      WHERE t.ntok >= q.p_lo AND t.ntok <= q.p_hi
+      GROUP BY t.source, q.p_lo, q.p_hi
+      ORDER BY t.source"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

@@ -154,4 +154,34 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rate 0: empty, no crash from sequence(1, 0)
     assert(graft.llm.Sampling.weightedResample(docs, lit(0.0), "doc_id").count() === 0)
   }
+
+  test("inverted index: postings capped, tf-desc doc-asc order, df/cf exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a b b"), (3L, "a"), (4L, "a"), (5L, "a"), (6L, "a"))
+      .toDF("doc_id", "text")
+    val idx = graft.llm.Retrieval.invertedIndex(docs, cap = 3)
+      .collect().map(r => (r.getAs[String]("word"),
+        (r.getAs[Long]("df"), r.getAs[Long]("cf"), r.getAs[String]("postings")))).toMap
+    // 'a': df=6, cf=7; top-3 = doc 1 (tf 2) then tf-1 ties by doc id asc
+    assert(idx("a") === ((6L, 7L, "1,2,3")))
+    // 'b': df=2, cf=3; doc 2 (tf 2) before doc 1
+    assert(idx("b") === ((2L, 3L, "2,1")))
+  }
+
+  test("length trim: single-doc group survives its own degenerate bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "one two three", "a"), (2L, "one", "a"), (3L, "one two", "a"),
+      (4L, "solo doc here", "b"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextStats.lengthTrim(docs, "source", 0.25, 0.75)
+    // group b: p25 == p75 == 3 -> its only doc is kept, not trimmed away
+    assert(kept.filter(col("source") === "b").count() === 1)
+    // group a lengths (1,2,3): p25=1.5, p75=2.5 -> only the 2-token doc
+    assert(kept.filter(col("source") === "a").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
 }
