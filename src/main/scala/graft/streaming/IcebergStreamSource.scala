@@ -173,13 +173,19 @@ final class IcebergStreamSource(
 
 /** V1 sink adapter so `writeStream.format("graft-iceberg")` works
   * symmetrically; delegates to the idempotent [[IcebergSink]] commit
-  * (batch-id high-water mark in the snapshot summary).
+  * (batch-id high-water mark in the snapshot summary). `upsertKeys`
+  * non-empty switches each batch from append to a keyed row-delta MERGE.
   */
-final class IcebergStreamSink(catalog: Catalog, tableName: String)
+final class IcebergStreamSink(catalog: Catalog, tableName: String,
+    upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit =
-    IcebergSink.appendBatch(catalog, tableName,
-      GraftSqlShim.asBatchFrame(data), batchId)
+    if (upsertKeys.isEmpty)
+      IcebergSink.appendBatch(catalog, tableName,
+        GraftSqlShim.asBatchFrame(data), batchId)
+    else
+      IcebergSink.upsertBatch(catalog, tableName,
+        GraftSqlShim.asBatchFrame(data), batchId, upsertKeys)
   override def toString: String = s"IcebergStreamSink[$tableName]"
 }
 
@@ -227,8 +233,24 @@ final class IcebergSourceProvider extends StreamSourceProvider
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode):
-      org.apache.spark.sql.execution.streaming.Sink =
+      org.apache.spark.sql.execution.streaming.Sink = {
+    // sink-side mode: `append` (default) or `upsert` with `keys=a,b` —
+    // each micro-batch becomes one atomic keyed row-delta snapshot
+    val keys = parameters.getOrElse("sink-mode", "append") match {
+      case "append" => Nil
+      case "upsert" =>
+        val ks = parameters.getOrElse("keys",
+          throw new IllegalArgumentException(
+            "graft-iceberg sink-mode=upsert requires option 'keys'"))
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (ks.isEmpty) throw new IllegalArgumentException(
+          "graft-iceberg sink-mode=upsert requires a non-empty 'keys' list")
+        ks
+      case other => throw new IllegalArgumentException(
+        s"graft-iceberg: unknown sink-mode '$other' (expected append|upsert)")
+    }
     new IcebergStreamSink(
       Catalogs.load(required(parameters, "catalog")),
-      required(parameters, "table"))
+      required(parameters, "table"), keys)
+  }
 }

@@ -316,7 +316,8 @@ object Writer {
     * the batch's own inserts are never deleted by its own keys.
     */
   def rowDelta(spark: SparkSession, table: Table, addRows: DataFrame,
-      deleteKeys: DataFrame, equalityFieldNames: Seq[String]): Table = {
+      deleteKeys: DataFrame, equalityFieldNames: Seq[String],
+      extraSummary: Map[String, String] = Map.empty): Table = {
     val schema = table.schema
     val eqIds = resolveEqualityIds(schema, equalityFieldNames)
     val dataFiles = writeDataFiles(spark, table, addRows)
@@ -341,15 +342,18 @@ object Writer {
           isolationKey = "write.update.isolation-level"))
       else None
     commitSnapshot(table, op, dataFiles, Set.empty,
-      deleteFiles.filter(_.recordCount > 0), conflictCheck = check)
+      deleteFiles.filter(_.recordCount > 0), conflictCheck = check,
+      extraSummary = extraSummary)
   }
 
   /** MERGE-shaped upsert: each key in `updates` replaces any existing row
     * with that key; keys not present insert. One atomic snapshot.
     */
   def upsert(spark: SparkSession, table: Table, updates: DataFrame,
-      keyCols: Seq[String]): Table =
-    rowDelta(spark, table, updates, updates.select(keyCols.map(col): _*), keyCols)
+      keyCols: Seq[String],
+      extraSummary: Map[String, String] = Map.empty): Table =
+    rowDelta(spark, table, updates, updates.select(keyCols.map(col): _*),
+      keyCols, extraSummary)
 
   /** AddFiles import (reference `table/transaction.go` AddFiles +
     * `name_mapping.go:29-510`): register existing parquet files in the table

@@ -96,4 +96,24 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[Long]("n")).sum >= 2)
   }
+
+  test("upsert sink keeps the latest row per key, exactly-once on replay") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    catalog.createTable("stream_ups", SchemaBridge.fromSpark(v1.schema),
+      PartitionSpec.Unpartitioned)
+    IcebergSink.upsertBatch(catalog, "stream_ups", v1, 0L, Seq("id"))
+    // batch 1: update key 2, insert key 3
+    val v2 = Seq((2L, "b2"), (3L, "c")).toDF("id", "payload")
+    IcebergSink.upsertBatch(catalog, "stream_ups", v2, 1L, Seq("id"))
+    // replay of batch 1 must be a no-op
+    IcebergSink.upsertBatch(catalog, "stream_ups", v2, 1L, Seq("id"))
+    val t = catalog.loadTable("stream_ups")
+    val got = SparkRead.read(spark, t.newScan).as[(Long, String)].collect().sorted
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(t.metadata.snapshots.size === 2)
+    // empty batch: no snapshot, no high-water-mark regression
+    IcebergSink.upsertBatch(catalog, "stream_ups", v1.limit(0), 2L, Seq("id"))
+    assert(catalog.loadTable("stream_ups").metadata.snapshots.size === 2)
+  }
 }
