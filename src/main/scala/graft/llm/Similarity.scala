@@ -223,11 +223,26 @@ object Similarity {
     val rnd = new java.util.Random(seed)
     var centroids = Array.tabulate(math.min(nlist, data.length))(i =>
       data(if (i == 0) 0 else rnd.nextInt(data.length)).clone())
+    // allocation-free argmax: the training loop is driver-side
+    // samples × nlist × dim × iters — at nlist 32+ the boxed
+    // Seq-indexing + tuple-sort path in nearestCentroids costs seconds
+    def nearestOne(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var dot = 0.0; var j = 0
+        while (j < c.length) { dot += c(j) * v(j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = i }
+        i += 1
+      }
+      best
+    }
     for (_ <- 0 until iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](data(0).length))
       val counts = new Array[Int](centroids.length)
       data.foreach { v =>
-        val c = nearestCentroids(v, centroids, 1).head
+        val c = nearestOne(v, centroids)
         var j = 0
         while (j < v.length) { sums(c)(j) += v(j); j += 1 }
         counts(c) += 1

@@ -122,9 +122,12 @@ object SimilarityQueries {
       exactAgg.unpersist()
       // scale variant: the SAME aggregation over IVF (centroid-bucketed)
       // top-k — no all-pairs anywhere; agreement must land within 0.15 of
-      // exact, proving the operator composes with the ANN paths at scale
+      // exact, proving the operator composes with the ANN paths at scale.
+      // nprobe/nlist = 6/32: each query rescans ~19% of the corpus — a
+      // real ANN work regime (8/4 would scan HALF the corpus, an ANN in
+      // name only)
       val ivfTot = Similarity.knnLabelAgreement(
-        Similarity.ivfTopK(emb, emb, k = 6, nlist = 8, nprobe = 4), emb)
+        Similarity.ivfTopK(emb, emb, k = 6, nlist = 32, nprobe = 6), emb)
         .agg(sum(col("n")), sum(col("n_agree"))).collect()(0)
       val exactRate = eTot.getLong(1).toDouble / eTot.getLong(0)
       val ivfRate = ivfTot.getLong(1).toDouble / ivfTot.getLong(0)
