@@ -477,6 +477,41 @@ object Relational {
              COUNT(*) AS n_rows
       FROM lineitem
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
-      ORDER BY gid, l_returnflag, l_linestatus"""))
+      ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // sketch aggregates pinned against their exact contracts: HLL++
+    // distinct counts (mergeable, fixed memory — the only way COUNT
+    // DISTINCT works at 100 TB) must land within 5% of exact at rsd 2%,
+    // and approx_percentile (KLL-style, bounded buffer) must land inside
+    // the exact p45..p55 band. The gate emits the EXACT values (oracle-
+    // hashable) plus the sketch-contract flags; the sketches themselves
+    // are deterministic for fixed input
+    QueryDef("q18_approx_sketch", (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("hll"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+          expr("percentile(value, 0.45)").as("lo45"),
+          expr("percentile(value, 0.55)").as("hi55"),
+          count(lit(1)).as("n"))
+        .withColumn("hll_ok",
+          (abs(col("hll") - col("n_users")).cast("double") / col("n_users") <= 0.05)
+            .cast("string"))
+        .withColumn("ap50_ok",
+          (col("ap50") >= col("lo45") && col("ap50") <= col("hi55")).cast("string"))
+        .select(col("event_type"), col("n_users"), col("p50"), col("n"),
+          col("hll_ok"), col("ap50_ok"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS n_users,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             COUNT(*) AS n,
+             'true' AS hll_ok, 'true' AS ap50_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
