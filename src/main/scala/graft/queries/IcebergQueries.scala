@@ -2296,6 +2296,102 @@ object IcebergQueries {
              'true' AS upserted
       FROM customer
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // storage-partitioned join: customer and supplier land identity-
+    // partitioned on nationkey, read back through the DSv2 source that
+    // reports KeyGroupedPartitioning (graft-iceberg-spj), and the
+    // join+aggregate plan must contain NO hash exchange — each nation's
+    // partition pair joins where it sits and the per-key aggregate reuses
+    // the same grouping. At 100 TB this is the difference between moving
+    // both tables over the network and moving nothing. Broadcast is
+    // disabled in-prep so the zero-shuffle plan is provably SPJ, not a
+    // small-table accident; confs are restored before returning.
+    QueryDef.staged("i66_spj_join", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/spj_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val su = tbl(s, dir, "supplier")
+      val cSchema = SchemaBridge.fromSpark(c.schema)
+      val sSchema = SchemaBridge.fromSpark(su.schema)
+      Writer.append(s, cat.createTable("cust", cSchema,
+        PartitionSpec.builder(cSchema).add("c_nationkey", Transforms.Identity).build()), c)
+      Writer.append(s, cat.createTable("supp", sSchema,
+        PartitionSpec.builder(sSchema).add("s_nationkey", Transforms.Identity).build()), su)
+      val saved = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> s.conf.getOption(k)).toMap
+      val rows = try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def rd(name: String) = s.read.format("graft-iceberg-spj")
+          .option("catalog", wh).option("table", name).load()
+        val joined = rd("cust")
+          .join(rd("supp"), col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_pairs"),
+            d(sum(dec(col("c_acctbal") + col("s_acctbal")))).as("bal_sum"))
+        val collected = joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"i66: expected a shuffle-family join in\n$plan")
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"i66: SPJ failed — hash exchange in plan\n$plan")
+        collected
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+      () => {
+        import s.implicits._
+        rows.toSeq.map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+            r.getDouble(2), "true"))
+          .toDF("nationkey", "n_pairs", "bal_sum", "spj_ok")
+          .orderBy(col("nationkey"))
+      }
+    }, Some("""
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(c_acctbal + s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS spj_ok
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+      GROUP BY c_nationkey
+      ORDER BY nationkey"""), repeatable = true),
+
+    // MoR deletes on a PARTITIONED table — the regression gate for the
+    // global-delete-spec fix: a delete file recorded under the table's
+    // partitioned spec with a null tuple matches nothing, so position
+    // deletes, DVs, and equality deletes all silently no-opped on any
+    // partitioned table (the round-10 bug). Orders partitions by
+    // o_orderpriority; a positional MoR delete then an upsert (equality
+    // delete + insert) must both actually apply across partitions.
+    QueryDef.staged("i67_mor_partitioned", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"morp_${UUID.randomUUID().toString.take(8)}"
+      val o = tbl(s, dir, "orders")
+      val schema = SchemaBridge.fromSpark(o.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema,
+        PartitionSpec.builder(schema).add("o_orderpriority", Transforms.Identity).build()), o)
+      // MoR delete spans every priority partition
+      val t2 = Writer.deleteWhereMoR(s, t1, Expr.lt("o_custkey", 100L))
+      // upsert touches surviving rows in all partitions
+      val t3 = Writer.upsert(s, t2,
+        SparkRead.read(s, t2.newScan).filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+        Seq("o_orderkey"))
+      () => SparkRead.read(s, t3.newScan)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(dec(col("o_totalprice")))).as("price_sum"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice + CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      FROM orders
+      WHERE o_custkey >= 100
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""), repeatable = true)
   )
 }

@@ -283,11 +283,12 @@ private[table] final class DeleteIndex(
     val partKey = (dataSpecId, file.partition.map(norm))
 
     // file-referenced deletes (DVs + referenced parquet pos-deletes), in
-    // original commit order so "newest DV" stays well-defined
+    // original commit order so "newest DV" stays well-defined. The
+    // referenced data-file PATH is authoritative (spec: a DV applies to
+    // exactly its referenced file) — no partition check, which would
+    // wrongly drop global-spec DVs targeting partitioned data
     val ref = refDeletes.getOrElse(graft.io.FileIO.canonical(file.path), Nil)
-      .filter { case (delSeq, df, dSpecId, _) =>
-        delSeq >= dataSeq && samePartition(dSpecId, df, dataSpecId, file)
-      }
+      .filter { case (delSeq, _, _, _) => delSeq >= dataSeq }
     val (dvs, refParquet) = ref.partition(_._2.format == "PUFFIN")
 
     val pos: Seq[graft.format.DataFile] =
@@ -304,13 +305,6 @@ private[table] final class DeleteIndex(
     (pos, eq)
   }
 
-  private def samePartition(deleteSpecId: Int, deleteFile: graft.format.DataFile,
-      dataSpecId: Int, dataFile: graft.format.DataFile): Boolean = {
-    val dspec = meta.specById(deleteSpecId).getOrElse(PartitionSpec.Unpartitioned)
-    if (dspec.isUnpartitioned) true
-    else deleteSpecId == dataSpecId &&
-      deleteFile.partition.map(norm) == dataFile.partition.map(norm)
-  }
 }
 
 private[table] object DeleteIndex {

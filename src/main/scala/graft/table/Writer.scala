@@ -153,7 +153,7 @@ object Writer {
       moveFile(src, target)
       val (rowCount, size, _, _) = footerBasics(target)
       DataFile(DataFileContent.PositionDeletes, target, "PARQUET",
-        partition = Seq.fill(table.spec.fields.size)(null),
+        partition = Seq.empty, // global delete: unpartitioned spec (see commitSnapshotOnce)
         recordCount = rowCount, fileSize = size)
     }
     deleteTree(tmpDir)
@@ -163,7 +163,8 @@ object Writer {
       addedDeleteFiles = deleteFiles.filter(_.recordCount > 0),
       conflictCheck = Some(ConflictCheck(filter = filter,
         candidatePaths = candidates.map(_.file.path).toSet,
-        referencedDataFiles = candidates.map(_.file.path).toSet)))
+        referencedDataFiles = candidates.map(_.file.path).toSet)),
+      globalDeleteSpec = true)
   }
 
   /** Merge-on-read DELETE WHERE via v3 deletion vectors: one puffin file per
@@ -251,7 +252,7 @@ object Writer {
       .map(p => p -> graft.io.FileIO.size(p)).toMap
     val deleteFiles = blobMeta.map { case (file, puffinPath, off, len, card) =>
       DataFile(DataFileContent.PositionDeletes, puffinPath, "PUFFIN",
-        partition = Seq.fill(table.spec.fields.size)(null),
+        partition = Seq.empty, // global delete: unpartitioned spec (see commitSnapshotOnce)
         recordCount = card, fileSize = puffinSizes(puffinPath),
         referencedDataFile = Some(file),
         contentOffset = Some(off), contentSize = Some(len))
@@ -259,7 +260,8 @@ object Writer {
     commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles,
       conflictCheck = Some(ConflictCheck(filter = filter,
         candidatePaths = candidates.map(_.file.path).toSet,
-        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet)))
+        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet)),
+      globalDeleteSpec = true)
   }
 
   /** Equality-delete write (reference `table/equality_delete_writer.go`):
@@ -299,14 +301,15 @@ object Writer {
       moveFile(src, target)
       val (rowCount, size, _, _) = footerBasics(target)
       DataFile(DataFileContent.EqualityDeletes, target, "PARQUET",
-        partition = Seq.fill(table.spec.fields.size)(null),
+        partition = Seq.empty, // global delete: unpartitioned spec (see commitSnapshotOnce)
         recordCount = rowCount, fileSize = size, equalityIds = eqIds)
     }
     deleteTree(tmpDir)
-    // eq-deletes here are globally scoped (null partition tuple), so under
-    // serializable any concurrent data add conflicts
+    // eq-deletes here are globally scoped (unpartitioned delete spec), so
+    // under serializable any concurrent data add conflicts
     commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles.filter(_.recordCount > 0),
-      conflictCheck = Some(ConflictCheck(eqDeleteScope = Some(Nil))))
+      conflictCheck = Some(ConflictCheck(eqDeleteScope = Some(Nil))),
+      globalDeleteSpec = true)
   }
 
   /** RowDelta (reference `table/row_delta.go:65-290`): inserts + equality
@@ -330,7 +333,7 @@ object Writer {
       moveFile(src, target)
       val (rowCount, size, _, _) = footerBasics(target)
       DataFile(DataFileContent.EqualityDeletes, target, "PARQUET",
-        partition = Seq.fill(table.spec.fields.size)(null),
+        partition = Seq.empty, // global delete: unpartitioned spec (see commitSnapshotOnce)
         recordCount = rowCount, fileSize = size, equalityIds = eqIds)
     }
     deleteTree(tmpDir)
@@ -343,7 +346,7 @@ object Writer {
       else None
     commitSnapshot(table, op, dataFiles, Set.empty,
       deleteFiles.filter(_.recordCount > 0), conflictCheck = check,
-      extraSummary = extraSummary)
+      extraSummary = extraSummary, globalDeleteSpec = true)
   }
 
   /** MERGE-shaped upsert: each key in `updates` replaces any existing row
@@ -1089,7 +1092,8 @@ object Writer {
       removedDeleteKeys: Set[(String, Option[Long])] = Set.empty,
       extraProperties: Map[String, String] = Map.empty,
       extraSummary: Map[String, String] = Map.empty,
-      toBranch: Option[String] = None): Table = {
+      toBranch: Option[String] = None,
+      globalDeleteSpec: Boolean = false): Table = {
     val props = table.metadata.properties
     def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
     val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
@@ -1106,7 +1110,7 @@ object Writer {
       try {
         val committed = commitSnapshotOnce(t, operation, addedFiles, removedPaths,
           addedDeleteFiles, removedDeleteKeys, extraProperties, extraSummary, acc,
-          toBranch)
+          toBranch, globalDeleteSpec)
         emitCommitReport(committed, operation, addedFiles, addedDeleteFiles,
           acc, attempt + 1, System.nanoTime() - t0, toBranch)
         return committed
@@ -1297,7 +1301,8 @@ object Writer {
       extraProperties: Map[String, String] = Map.empty,
       extraSummary: Map[String, String] = Map.empty,
       acc: CommitAccumulator = new CommitAccumulator,
-      toBranch: Option[String] = None): Table = {
+      toBranch: Option[String] = None,
+      globalDeleteSpec: Boolean = false): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -1386,16 +1391,33 @@ object Writer {
         partitionSummaries(addedWithLineage, partType))
     }
 
+    // Global delete files (whole-table pos/eq-deletes, DV puffins) are
+    // recorded under an UNPARTITIONED spec: a delete manifest carrying the
+    // table's partitioned spec would scope each delete file to one
+    // partition tuple, and a null-filled tuple matches only null-partition
+    // data — the delete would silently apply to NOTHING. The unpartitioned
+    // spec is reused if the metadata already has one, else added in this
+    // same commit (spec-legal: delete manifests may use any registered
+    // spec).
+    val (deleteSpec, addedSpecs) =
+      if (!globalDeleteSpec || spec.isUnpartitioned) (spec, Nil)
+      else meta.partitionSpecs.find(_.fields.isEmpty) match {
+        case Some(s) => (s, Nil)
+        case None =>
+          val s = graft.format.PartitionSpec(
+            meta.partitionSpecs.map(_.specId).max + 1, Nil)
+          (s, Seq(s))
+      }
     if (addedDeleteFiles.nonEmpty) {
       val entries = addedDeleteFiles.map(f => ManifestEntry(ManifestEntryStatus.Added,
         Some(snapshotId), Some(newSeq), Some(newSeq), f))
       val p = s"$metadataDir/${UUID.randomUUID()}-d.avro"
-      val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId,
+      val len = Manifests.writeManifest(p, entries, schema, deleteSpec, snapshotId,
         content = ManifestContent.Deletes)
-      manifests += ManifestFile(p, len, spec.specId, ManifestContent.Deletes,
+      manifests += ManifestFile(p, len, deleteSpec.specId, ManifestContent.Deletes,
         newSeq, newSeq, snapshotId, entries.size, 0, 0,
         addedDeleteFiles.map(_.recordCount).sum, 0L, 0L,
-        partitionSummaries(addedDeleteFiles, partType))
+        partitionSummaries(addedDeleteFiles, deleteSpec.partitionType(schema)))
     }
 
     val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
@@ -1439,6 +1461,7 @@ object Writer {
       lastSequenceNumber = newSeq,
       nextRowId = rowIdCursor,
       lastUpdatedMs = now,
+      partitionSpecs = meta.partitionSpecs ++ addedSpecs,
       snapshots = meta.snapshots :+ snap,
       metadataLog = meta.metadataLog :+ MetadataLogEntry(table.metadataPath, now),
       refs = meta.refs.updated(branch, movedRef))

@@ -1,0 +1,50 @@
+package org.apache.spark.sql.graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Bridge into the `private[sql]` parquet read machinery for the DSv2
+  * storage-partitioned-join source ([[graft.sources.SpjSourceProvider]]):
+  * builds the same serializable `PartitionedFile => rows` closure Spark's
+  * own `FileSourceScanExec` ships to executors, so the SPJ scan reads
+  * parquet with the stock (vectorized, codegen'd) reader rather than a
+  * hand-rolled one.
+  */
+object ParquetRowReadBridge {
+
+  /** A serializable `(path, fileSize) => Iterator[InternalRow]` over files
+    * of `schema`. Built once on the driver; safe to capture in a
+    * `PartitionReaderFactory`.
+    */
+  def rowReader(spark: SparkSession, schema: StructType,
+      options: Map[String, String]): (String, Long) => Iterator[InternalRow] = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val hadoopConf = session.sessionState.newHadoopConfWithOptions(options)
+    // returning_batch=false: rows even under the vectorized reader — the
+    // DSv2 row-based PartitionReader consumes InternalRows
+    val opts = options + (org.apache.spark.sql.execution.datasources.FileFormat
+      .OPTION_RETURNING_BATCH -> "false")
+    val build = new ParquetFileFormat().buildReaderWithPartitionValues(
+      session, schema, new StructType(), schema, Nil, opts, hadoopConf)
+    (path: String, len: Long) => {
+      val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+        0L, len, Array.empty[String], 0L, len, Map.empty)
+      // the vectorized reader yields ColumnarBatch disguised as InternalRow
+      // (Spark's own columnar-scan hack); unwrap to rows either way
+      build(pf).flatMap { x =>
+        (x: Any) match {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow   => Iterator.single(r)
+        }
+      }
+    }
+  }
+}

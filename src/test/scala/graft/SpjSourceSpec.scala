@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.core.{Expr, SchemaBridge, Transforms}
+import graft.format.PartitionSpec
+import graft.table.Writer
+
+/** Storage-partitioned-join DSv2 source: content correctness, key-grouped
+  * plan shape, and the loud-refusal scope guards (identity-only, clean
+  * tables only).
+  */
+class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val wh = Files.createTempDirectory("graft-spj").toString
+  private lazy val catalog = new HadoopCatalog(wh)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rd(name: String) = spark.read.format("graft-iceberg-spj")
+    .option("catalog", wh).option("table", name).load()
+
+  test("round-trips identity-partitioned content; partitions group by key") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val schema = SchemaBridge.fromSpark(c.schema)
+    Writer.append(spark, catalog.createTable("cust_spj", schema,
+      PartitionSpec.builder(schema).add("c_nationkey", Transforms.Identity).build()), c)
+    val got = rd("cust_spj")
+    assert(got.count() === c.count())
+    assert(got.agg(sum(col("c_custkey"))).head.getLong(0) ===
+      c.agg(sum(col("c_custkey"))).head.getLong(0))
+    // one input partition per distinct nation
+    assert(got.rdd.getNumPartitions ===
+      c.select(col("c_nationkey")).distinct().count())
+  }
+
+  test("self-join on the partition key plans without a hash exchange") {
+    val j = rd("cust_spj").groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("bucket-partitioned tables are refused loudly, not silently mis-planned") {
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(n.schema)
+    Writer.append(spark, catalog.createTable("nat_bucket", schema,
+      PartitionSpec.builder(schema).add("n_nationkey", Transforms.Bucket(4)).build()), n)
+    val e = intercept[Exception](rd("nat_bucket").count())
+    assert(e.getMessage.contains("identity-partitioned"))
+  }
+
+  test("tables with MoR deletes are refused loudly") {
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(n.schema)
+    val t1 = Writer.append(spark, catalog.createTable("nat_mor", schema,
+      PartitionSpec.builder(schema).add("n_regionkey", Transforms.Identity).build()), n)
+    Writer.deleteWhereMoR(spark, t1, Expr.eq("n_nationkey", 3))
+    val e = intercept[Exception](rd("nat_mor").count())
+    assert(e.getMessage.contains("MoR deletes"))
+  }
+}
