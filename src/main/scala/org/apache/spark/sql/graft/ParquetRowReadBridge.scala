@@ -25,7 +25,9 @@ object ParquetRowReadBridge {
     * `PartitionReaderFactory`.
     */
   def rowReader(spark: SparkSession, schema: StructType,
-      options: Map[String, String]): (String, Long) => Iterator[InternalRow] = {
+      options: Map[String, String],
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil):
+      (String, Long) => Iterator[InternalRow] = {
     val session = spark.asInstanceOf[classic.SparkSession]
     val hadoopConf = session.sessionState.newHadoopConfWithOptions(options)
     // returning_batch=false: rows even under the vectorized reader — the
@@ -33,7 +35,7 @@ object ParquetRowReadBridge {
     val opts = options + (org.apache.spark.sql.execution.datasources.FileFormat
       .OPTION_RETURNING_BATCH -> "false")
     val build = new ParquetFileFormat().buildReaderWithPartitionValues(
-      session, schema, new StructType(), schema, Nil, opts, hadoopConf)
+      session, schema, new StructType(), schema, filters.toSeq, opts, hadoopConf)
     (path: String, len: Long) => {
       val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
         0L, len, Array.empty[String], 0L, len, Map.empty)

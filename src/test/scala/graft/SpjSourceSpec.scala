@@ -58,6 +58,23 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("column pruning reaches the scan; filters prune partitions and rows") {
+    val q = rd("cust_spj").filter(col("c_nationkey") === 3)
+      .select(col("c_custkey"))
+    val got = q.collect().map(_.getLong(0)).sorted
+    val want = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_nationkey") === 3).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    // the scan itself reads only the needed columns...
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).get
+    assert(!scanLine.contains("c_name"), scanLine)
+    // ...and the partition-key filter pruned the non-matching partitions
+    // at plan time (one surviving key-grouped partition)
+    assert(q.rdd.getNumPartitions === 1)
+  }
+
   test("bucket-partitioned tables are refused loudly, not silently mis-planned") {
     val n = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(n.schema)
