@@ -2392,6 +2392,69 @@ object IcebergQueries {
       FROM orders
       WHERE o_custkey >= 100
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""), repeatable = true)
+      ORDER BY o_orderpriority"""), repeatable = true),
+
+    // BUCKET storage-partitioned join through the V2 function catalog
+    // (GraftSpjCatalog): customer and orders land bucket[8]-partitioned on
+    // their join keys; Spark proves both scans co-partitioned by binding
+    // the bucket transform to the same canonical function (murmur3 seed 0,
+    // the write-side arithmetic) and plans the join + per-key aggregate
+    // with NO hash exchange. This is the 100 TB fact-fact layout: identity
+    // partitioning caps at key cardinality, bucketing holds the partition
+    // count fixed at any scale. Broadcast disabled in-prep; confs restored.
+    QueryDef.staged("i68_spj_bucket_join", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/spjb_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val cSchema = SchemaBridge.fromSpark(c.schema)
+      val oSchema = SchemaBridge.fromSpark(o.schema)
+      Writer.append(s, cat.createTable("cust_b", cSchema,
+        PartitionSpec.builder(cSchema).add("c_custkey", Transforms.Bucket(8)).build()), c)
+      Writer.append(s, cat.createTable("ord_b", oSchema,
+        PartitionSpec.builder(oSchema).add("o_custkey", Transforms.Bucket(8)).build()), o)
+      val saved = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.catalog.graft_spj_gate",
+        "spark.sql.catalog.graft_spj_gate.uri")
+        .map(k => k -> s.conf.getOption(k)).toMap
+      val rows = try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.catalog.graft_spj_gate",
+          classOf[graft.sources.GraftSpjCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_spj_gate.uri", wh)
+        val joined = s.table("graft_spj_gate.cust_b")
+          .join(s.table("graft_spj_gate.ord_b"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            d(sum(dec(col("o_totalprice")))).as("price_sum"))
+        val collected = joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"i68: expected a shuffle-family join in\n$plan")
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"i68: bucket SPJ failed — hash exchange in plan\n$plan")
+        collected
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+      () => {
+        import s.implicits._
+        rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), "true"))
+          .toDF("c_custkey", "n_orders", "price_sum", "spj_ok")
+          .orderBy(col("c_custkey"))
+      }
+    }, Some("""
+      SELECT c_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             'true' AS spj_ok
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey"""), repeatable = true)
   )
 }

@@ -64,26 +64,38 @@ final class SpjSourceProvider extends TableProvider with DataSourceRegister {
     new SpjTable(load(properties), schema)
 }
 
-final class SpjTable(table: GraftTable, sparkSchema: StructType)
+final class SpjTable(table: GraftTable, sparkSchema: StructType,
+    allowBucket: Boolean = false)
     extends V2Table with SupportsRead {
 
   private val spec = table.spec
-  require(spec.fields.nonEmpty && spec.fields.forall(_.transform == Transforms.Identity),
-    s"graft-iceberg-spj: table ${table.name} must be identity-partitioned " +
-      "(bucket SPJ needs a FunctionCatalog; use graft.table.SparkRead for general reads)")
+  require(spec.fields.nonEmpty,
+    s"graft-iceberg-spj: table ${table.name} must be partitioned " +
+      "(use graft.table.SparkRead for general reads)")
 
-  private val keyNames: Seq[String] =
-    spec.fields.map(f => table.schema.idToField(f.sourceId).name)
+  private val keyTransforms: Seq[Transform] = spec.fields.map { pf =>
+    val src = table.schema.idToField(pf.sourceId).name
+    pf.transform match {
+      case Transforms.Identity => Expressions.identity(src)
+      case Transforms.Bucket(n) if allowBucket => Expressions.bucket(n, src)
+      case Transforms.Bucket(_) => throw new IllegalArgumentException(
+        s"graft-iceberg-spj: bucket SPJ on ${table.name} needs the function " +
+          "catalog — register spark.sql.catalog.<name>=graft.sources.GraftSpjCatalog " +
+          "and read through spark.table(\"<name>.<table>\")")
+      case other => throw new IllegalArgumentException(
+        s"graft-iceberg-spj: table ${table.name} has unsupported partition " +
+          s"transform ${other.name}; use graft.table.SparkRead for general reads")
+    }
+  }
 
   override def name(): String = s"graft-spj:${table.name}"
   override def schema(): StructType = sparkSchema
-  override def partitioning(): Array[Transform] =
-    keyNames.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = keyTransforms.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SpjScanBuilder(table, sparkSchema, keyNames,
+    new SpjScanBuilder(table, sparkSchema, keyTransforms,
       options.asCaseSensitiveMap().asScala.toMap)
 }
 
@@ -97,7 +109,7 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType)
   * change results.
   */
 final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
-    keyNames: Seq[String], options: Map[String, String]) extends ScanBuilder
+    keyTransforms: Seq[Transform], options: Map[String, String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -120,7 +132,7 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SpjScan(table, required, keyNames, options,
+    new SpjScan(table, required, keyTransforms, options,
       pushed.flatMap(SpjScanBuilder.toExpr)
         .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
       pushed.toSeq)
@@ -161,7 +173,7 @@ object SpjScanBuilder {
 }
 
 final class SpjScan(table: GraftTable, sparkSchema: StructType,
-    keyNames: Seq[String], options: Map[String, String],
+    keyTransforms: Seq[Transform], options: Map[String, String],
     fileFilter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
     rowGroupFilters: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportPartitioning {
@@ -189,7 +201,7 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      keyNames.map(Expressions.identity(_): org.apache.spark.sql.connector.expressions.Expression).toArray,
+      keyTransforms.map(t => t: org.apache.spark.sql.connector.expressions.Expression).toArray,
       grouped.length)
 
   override def planInputPartitions(): Array[InputPartition] =

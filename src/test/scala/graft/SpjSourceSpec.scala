@@ -75,13 +75,38 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.rdd.getNumPartitions === 1)
   }
 
-  test("bucket-partitioned tables are refused loudly, not silently mis-planned") {
+  test("bucket tables via the bare provider point at the function catalog") {
     val n = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(n.schema)
     Writer.append(spark, catalog.createTable("nat_bucket", schema,
       PartitionSpec.builder(schema).add("n_nationkey", Transforms.Bucket(4)).build()), n)
+    // the TableProvider path has no FunctionCatalog, so Spark could never
+    // prove co-partitioning — refuse with directions, don't mis-plan
     val e = intercept[Exception](rd("nat_bucket").count())
-    assert(e.getMessage.contains("identity-partitioned"))
+    assert(e.getMessage.contains("function"))
+  }
+
+  test("bucket SPJ through the function catalog: co-bucketed join, no hash exchange") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val cS = SchemaBridge.fromSpark(c.schema)
+    val oS = SchemaBridge.fromSpark(o.schema)
+    Writer.append(spark, catalog.createTable("cust_b", cS,
+      PartitionSpec.builder(cS).add("c_custkey", Transforms.Bucket(8)).build()), c)
+    Writer.append(spark, catalog.createTable("ord_b", oS,
+      PartitionSpec.builder(oS).add("o_custkey", Transforms.Bucket(8)).build()), o)
+    spark.conf.set("spark.sql.catalog.spjcat", classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.uri", wh)
+    val j = spark.table("spjcat.cust_b")
+      .join(spark.table("spjcat.ord_b"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_orders"))
+    val got = j.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === want.toSeq)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
   test("tables with MoR deletes are refused loudly") {
