@@ -2455,6 +2455,42 @@ object IcebergQueries {
              'true' AS spj_ok
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       GROUP BY c_custkey
-      ORDER BY c_custkey"""), repeatable = true)
+      ORDER BY c_custkey"""), repeatable = true),
+
+    // metadata-only aggregates: COUNT(*) / COUNT(col) / MIN / MAX over the
+    // SPJ source answer ENTIRELY from manifest statistics (record counts,
+    // null/value counts, bounds) — the scan in the executed plan is the
+    // one-row SpjAggScan, zero data bytes read. At 100 TB a COUNT(*) is a
+    // manifest walk. Floating MIN/MAX requires the writer-proved zero NaN
+    // count (nan-counts property on), exactly the exactness condition the
+    // pushdown enforces.
+    QueryDef.staged("i69_agg_pushdown", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/aggp_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val o = tbl(s, dir, "orders")
+      val schema = SchemaBridge.fromSpark(o.schema)
+      Writer.append(s, cat.createTable("ord", schema,
+        PartitionSpec.builder(schema).add("o_orderpriority", Transforms.Identity).build(),
+        properties = Map("write.metadata.metrics.nan-counts.enabled" -> "true")), o)
+      val q = s.read.format("graft-iceberg-spj")
+        .option("catalog", wh).option("table", "ord").load()
+        .agg(count(lit(1)).as("n"), count(col("o_totalprice")).as("n_price"),
+          min(col("o_orderkey")).as("key_min"), max(col("o_orderkey")).as("key_max"),
+          min(col("o_totalprice")).as("price_min"), max(col("o_totalprice")).as("price_max"))
+      val rows = q.collect()
+      require(q.queryExecution.executedPlan.toString.contains("SpjAggScan"),
+        s"i69: aggregate not answered from metadata\n${q.queryExecution.executedPlan}")
+      () => {
+        import s.implicits._
+        rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), "true"))
+          .toDF("n", "n_price", "key_min", "key_max", "price_min", "price_max", "meta_only")
+      }
+    }, Some("""
+      SELECT COUNT(*) AS n, COUNT(o_totalprice) AS n_price,
+             MIN(o_orderkey) AS key_min, MAX(o_orderkey) AS key_max,
+             MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
+             'true' AS meta_only
+      FROM orders"""), repeatable = true)
   )
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table => V2Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.graft.ParquetRowReadBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -110,10 +110,27 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
   */
 final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
     keyTransforms: Seq[Transform], options: Map[String, String]) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  // COUNT/MIN/MAX from manifest stats — zero data bytes read; only when no
+  // filters are in play (ours are all residual, which a one-row complete
+  // result cannot satisfy) and every term is provably exact
+  private def probeAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggResult.isEmpty && pushed.isEmpty)
+      aggResult = SpjAggPushdown.tryPush(table, table.newScan.planFiles(), agg)
+    aggResult.isDefined
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    probeAgg(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    probeAgg(agg)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve table column order; an empty projection (COUNT(*)) keeps one
@@ -131,11 +148,14 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SpjScan(table, required, keyTransforms, options,
-      pushed.flatMap(SpjScanBuilder.toExpr)
-        .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
-      pushed.toSeq)
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => new SpjAggScan(aggSchema, row)
+    case None =>
+      new SpjScan(table, required, keyTransforms, options,
+        pushed.flatMap(SpjScanBuilder.toExpr)
+          .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
+        pushed.toSeq)
+  }
 }
 
 object SpjScanBuilder {

@@ -109,6 +109,35 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("COUNT/MIN/MAX answer from manifest stats without reading data") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val schema = SchemaBridge.fromSpark(c.schema)
+    // nan-counts on: float/double MIN/MAX only push when the writer proved
+    // the column NaN-free (parquet bounds exclude NaN)
+    Writer.append(spark, catalog.createTable("cust_agg", schema,
+      PartitionSpec.builder(schema).add("c_nationkey", Transforms.Identity).build(),
+      properties = Map("write.metadata.metrics.nan-counts.enabled" -> "true")), c)
+    val q = rd("cust_agg").agg(
+      count(lit(1)).as("n"), count(col("c_acctbal")).as("n_bal"),
+      min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"),
+      min(col("c_custkey")).as("k_lo"), max(col("c_custkey")).as("k_hi"))
+    val got = q.collect()(0)
+    val want = c.agg(count(lit(1)), count(col("c_acctbal")), min(col("c_acctbal")),
+      max(col("c_acctbal")), min(col("c_custkey")), max(col("c_custkey"))).collect()(0)
+    assert(got.toSeq === want.toSeq)
+    // the scan IS the answer: aggregate pushed completely, no parquet read
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SpjAggScan"), plan)
+
+    // a filtered aggregate must NOT push (our filters are all residual)
+    val qf = rd("cust_agg").filter(col("c_nationkey") === 3)
+      .agg(count(lit(1)).as("n"))
+    val gotF = qf.collect()(0).getLong(0)
+    val wantF = c.filter(col("c_nationkey") === 3).count()
+    assert(gotF === wantF)
+    assert(!qf.queryExecution.executedPlan.toString.contains("SpjAggScan"))
+  }
+
   test("tables with MoR deletes are refused loudly") {
     val n = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(n.schema)
