@@ -2168,13 +2168,25 @@ object IcebergQueries {
         .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
           col("l_quantity"))
       val schema = SchemaBridge.fromSpark(li.schema)
-      val t1 = Writer.append(s,
-        cat.createTable("li_z", schema, PartitionSpec.Unpartitioned,
-          properties = Map("write.target-file-size-bytes" -> "262144")),
+      val t0 = Writer.append(s,
+        cat.createTable("li_z", schema, PartitionSpec.Unpartitioned),
         li.repartition(8))
-      val box = Expr.and(Expr.lt("l_orderkey", 3750L), Expr.lt("l_partkey", 500L))
-      val before = t1.newScan.planFiles().size
-      val beforeBox = t1.newScan.withFilter(box).planFiles().size
+      // the probe box must be selective in BOTH z dimensions at every SF
+      // (a fixed literal degenerates: at sf0.001 every partkey is < 500 and
+      // z-interleaving then spreads the un-pruned dimension over all
+      // files) — derive it from the actual key ranges
+      val kr = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head
+      val box = Expr.and(Expr.lt("l_orderkey", kr.getLong(0) / 16),
+        Expr.lt("l_partkey", kr.getLong(1) / 4))
+      val tasks0 = t0.newScan.planFiles()
+      val before = tasks0.size
+      val beforeBox = t0.newScan.withFilter(box).planFiles().size
+      // target ~6 output files at ANY scale factor (a fixed byte target
+      // collapses to one file at tiny SF and the pruning claim is
+      // untestable): size the rewrite target from the measured input
+      val target = math.max(16384L, tasks0.map(_.file.fileSize).sum / 12)
+      val t1 = Evolve.setProperties(t0,
+        Map("write.target-file-size-bytes" -> target.toString))
       val res = Maintenance.rewriteDataFiles(s, t1, rewriteAll = true,
         zorderBy = Seq("l_orderkey", "l_partkey"))
       val t2 = res.table
@@ -2491,6 +2503,104 @@ object IcebergQueries {
              MIN(o_orderkey) AS key_min, MAX(o_orderkey) AS key_max,
              MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
              'true' AS meta_only
-      FROM orders"""), repeatable = true)
+      FROM orders"""), repeatable = true),
+
+    // the SQL DDL/DML surface (GraftSpjCatalog as a full TableCatalog): a
+    // user drives the table EXCLUSIVELY through spark.sql — CTAS with a
+    // partition transform, DELETE FROM (CoW with strict metadata-only
+    // classification), INSERT INTO ... SELECT — and the result matches the
+    // same mutations expressed relationally. The V1 write funnel routes
+    // SQL INSERT through the identical fanout/stats/commit path the
+    // programmatic API uses, so this is one surface, not two engines.
+    QueryDef.staged("i70_sql_dml", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/sql_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gsql_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val src = s"cust_src_${UUID.randomUUID().toString.take(8)}"
+      tbl(s, dir, "customer").createOrReplaceTempView(src)
+      s.sql(s"""CREATE TABLE $ctl.cust PARTITIONED BY (truncate(c_mktsegment, 1))
+        AS SELECT * FROM $src""")
+      s.sql(s"DELETE FROM $ctl.cust WHERE c_mktsegment = 'MACHINERY' OR c_acctbal < 0")
+      s.sql(s"""INSERT INTO $ctl.cust
+        SELECT * FROM $src WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 5000""")
+      () => s.sql(s"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      WHERE (c_mktsegment <> 'MACHINERY' AND c_acctbal >= 0)
+         OR (c_mktsegment = 'MACHINERY' AND c_acctbal >= 5000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // SQL time travel: VERSION AS OF (snapshot id AND tag name) and
+    // TIMESTAMP AS OF pin reads to historical snapshots after a DELETE
+    // moved the table on — four legs read through the same identifier with
+    // different pins, each resolving the snapshot's own state.
+    QueryDef.staged("i71_sql_time_travel", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/stt_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gstt_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val src = s"ord_src_${UUID.randomUUID().toString.take(8)}"
+      tbl(s, dir, "orders").createOrReplaceTempView(src)
+      s.sql(s"CREATE TABLE $ctl.ord AS SELECT * FROM $src")
+      val cat = new HadoopCatalog(wh)
+      val snap1 = cat.loadTable("ord").metadata.currentSnapshot.get
+      Evolve.setRef(cat.loadTable("ord"), "pre_delete", snap1.snapshotId, "tag")
+      s.sql(s"DELETE FROM $ctl.ord WHERE o_orderstatus = 'F'")
+      val ts1 = java.time.Instant.ofEpochMilli(snap1.timestampMs)
+      () => s.sql(s"""
+        SELECT 'a_current' AS leg, COUNT(*) AS n FROM $ctl.ord
+        UNION ALL
+        SELECT 'b_version_id' AS leg, COUNT(*) AS n
+          FROM $ctl.ord VERSION AS OF ${snap1.snapshotId}
+        UNION ALL
+        SELECT 'c_version_tag' AS leg, COUNT(*) AS n
+          FROM $ctl.ord VERSION AS OF 'pre_delete'
+        UNION ALL
+        SELECT 'd_timestamp' AS leg, COUNT(*) AS n
+          FROM $ctl.ord TIMESTAMP AS OF '$ts1'
+        ORDER BY leg""")
+    }, Some("""
+      SELECT 'a_current' AS leg, COUNT(*) AS n FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL SELECT 'b_version_id', COUNT(*) FROM orders
+      UNION ALL SELECT 'c_version_tag', COUNT(*) FROM orders
+      UNION ALL SELECT 'd_timestamp', COUNT(*) FROM orders
+      ORDER BY leg"""), repeatable = true),
+
+    // SQL schema evolution: ALTER TABLE add / rename / widen(int->bigint)
+    // through the catalog, then an INSERT under the NEW schema — old files
+    // resolve by field id (renamed + promoted columns read in place, added
+    // column nulls), no data rewrite anywhere.
+    QueryDef.staged("i72_sql_evolution", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/sev_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gsev_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val src = s"nat_src_${UUID.randomUUID().toString.take(8)}"
+      tbl(s, dir, "nation").createOrReplaceTempView(src)
+      s.sql(s"CREATE TABLE $ctl.nat AS SELECT * FROM $src")
+      s.sql(s"ALTER TABLE $ctl.nat ADD COLUMN flag DOUBLE")
+      s.sql(s"ALTER TABLE $ctl.nat RENAME COLUMN n_name TO nation_name")
+      s.sql(s"ALTER TABLE $ctl.nat ALTER COLUMN n_nationkey TYPE BIGINT")
+      s.sql(s"INSERT INTO $ctl.nat VALUES (CAST(999 AS BIGINT), 'ZETA', 9, 1.5)")
+      () => s.sql(s"""
+        SELECT COUNT(*) AS n_rows, COUNT(flag) AS n_flag,
+               CAST(SUM(LENGTH(nation_name)) AS BIGINT) AS len_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM $ctl.nat""")
+    }, Some("""
+      SELECT COUNT(*) + 1 AS n_rows, CAST(1 AS BIGINT) AS n_flag,
+             CAST(SUM(LENGTH(n_name)) + LENGTH('ZETA') AS BIGINT) AS len_name,
+             CAST(SUM(n_nationkey) + 999 AS BIGINT) AS key_sum
+      FROM nation"""), repeatable = true)
   )
 }

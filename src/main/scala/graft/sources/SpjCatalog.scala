@@ -1,35 +1,52 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table => V2Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.catalog.{Catalog => GraftCatalog, Catalogs}
+import graft.catalog.{Catalog => GraftCatalog, Catalogs, SqlCatalog}
 import graft.core.{SchemaBridge, Transforms}
+import graft.format.PartitionSpec
+import graft.table.Evolve
 
-/** V2 catalog plugin exposing graft tables for storage-partitioned joins —
-  * including on BUCKET transforms, which the bare `TableProvider` path
-  * cannot reach: Spark resolves a `bucket(n, col)` partition transform
-  * through the table's owning FunctionCatalog, and proves two scans
-  * co-partitioned only when both sides bind to the same canonical
-  * function. Register and read with:
+/** V2 catalog plugin: the full SQL surface over graft tables. Register with
   *
   * {{{
-  * spark.conf.set("spark.sql.catalog.spjcat", "graft.sources.GraftSpjCatalog")
-  * spark.conf.set("spark.sql.catalog.spjcat.uri", "<catalog uri>")
-  * spark.table("spjcat.orders_bucketed")    // SPJ-capable scan
+  * spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftSpjCatalog")
+  * spark.conf.set("spark.sql.catalog.g.uri", "<catalog uri>")
   * }}}
   *
-  * With both tables bucket[N]-partitioned on their join keys, the join
-  * plans with zero shuffles — the 100 TB fact-fact join layout (identity
-  * partitioning caps out at the key's cardinality; bucketing gives a
-  * bounded partition count at any cardinality). The catalog is a read
-  * facade: writes go through [[graft.table.Writer]], which owns the
-  * commit protocol.
+  * and every statement a Spark user expects works against `g.<table>`:
+  *
+  *   - `CREATE TABLE g.t (...) PARTITIONED BY (bucket(8, k), months(ts))`
+  *     — Spark partition transforms map onto the Iceberg spec; CTAS works
+  *     (create + insert).
+  *   - `INSERT INTO` / `INSERT OVERWRITE` — the V1 write funnel commits
+  *     append / atomic-replace snapshots through the full write path.
+  *   - `DELETE FROM ... WHERE` — copy-on-write with strict metadata-only
+  *     classification.
+  *   - `SELECT ... VERSION AS OF <snapshot-id | branch | tag>` and
+  *     `TIMESTAMP AS OF` — snapshot-pinned reads (reads resolve the
+  *     snapshot's own schema).
+  *   - `ALTER TABLE` add/rename/drop column, type widening, table
+  *     properties — routed through [[graft.table.Evolve]] (field-id-safe,
+  *     no file rewrites).
+  *   - `DROP TABLE` / `SHOW TABLES`.
+  *
+  * Reads claim storage-partitioned-join compatibility whenever provable:
+  * identity specs directly, bucket specs through this catalog's
+  * FunctionCatalog (Spark proves two scans co-partitioned only when both
+  * sides bind to the same canonical bucket function — with both tables
+  * bucket[N]-partitioned on the join keys the join plans with ZERO
+  * shuffles, the 100 TB fact-fact layout). Other specs read per-file
+  * partitions under UnknownPartitioning.
   */
 final class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
 
@@ -54,19 +71,125 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     cat.listTables().map(n => Identifier.of(Array.empty[String], n)).toArray
 
-  override def loadTable(ident: Identifier): V2Table = {
+  private def graftTable(ident: Identifier): graft.table.Table = {
     val name = flat(ident)
     if (!cat.tableExists(name)) throw new NoSuchTableException(ident)
-    val t = cat.loadTable(name)
-    new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true)
+    cat.loadTable(name)
   }
 
-  private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"$catName is a read (SPJ) facade; write through graft.table.Writer")
+  override def loadTable(ident: Identifier): V2Table = {
+    val t = graftTable(ident)
+    new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
+      strict = false, writable = true)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): V2Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+  /** `VERSION AS OF x`: a snapshot id (digits) or a branch/tag name. */
+  override def loadTable(ident: Identifier, version: String): V2Table = {
+    val t = graftTable(ident)
+    val snapId =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else t.metadata.refs.getOrElse(version, throw new IllegalArgumentException(
+        s"$catName.${ident.name}: no branch or tag '$version'")).snapshotId
+    pinned(ident, t, snapId)
+  }
+
+  /** `TIMESTAMP AS OF x`: Spark hands microseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): V2Table = {
+    val t = graftTable(ident)
+    val snap = t.metadata.snapshotAsOf(timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catName.${ident.name}: no snapshot at or before timestamp"))
+    pinned(ident, t, snap.snapshotId)
+  }
+
+  // time-travel reads resolve the SNAPSHOT's schema, not the current one
+  private def pinned(ident: Identifier, t: graft.table.Table, snapId: Long): V2Table = {
+    val snap = t.metadata.snapshotById(snapId).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catName.${ident.name}: no snapshot $snapId"))
+    val schema = snap.schemaId.flatMap(t.metadata.schemaById).getOrElse(t.schema)
+    new SpjTable(t, SchemaBridge.toSpark(schema), allowBucket = true,
+      strict = false, snapshotId = Some(snapId), writable = false)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): V2Table = {
+    val name = flat(ident)
+    if (cat.tableExists(name)) throw new TableAlreadyExistsException(ident)
+    val iceSchema = SchemaBridge.fromSpark(schema)
+    val spec = partitions.foldLeft(PartitionSpec.builder(iceSchema)) {
+      case (b, t) =>
+        val (col, tr) = GraftSpjCatalog.toGraftTransform(t)
+        b.add(col, tr)
+    }.build()
+    // Spark-managed keys (provider/location/owner/...) are not table props
+    val props = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val t = cat.createTable(name, iceSchema, spec, properties = props)
+    new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
+      strict = false, writable = true)
+  }
+
+  /** ALTER TABLE: schema changes ride the Evolve paths (new field ids,
+    * rename-in-place, no data rewrites — old files resolve by field id).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): V2Table = {
+    var t = graftTable(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"$catName: nested ADD COLUMN not supported (${add.fieldNames.mkString(".")})")
+        t = Evolve.addColumn(t, add.fieldNames.head,
+          SchemaBridge.fromSpark(StructType(Seq(
+            org.apache.spark.sql.types.StructField("c", add.dataType)))).fields.head.fieldType,
+          doc = Option(add.comment))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"$catName: nested RENAME COLUMN not supported")
+        t = Evolve.renameColumn(t, rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"$catName: nested DROP COLUMN not supported")
+        t = Evolve.dropColumn(t, del.fieldNames.head)
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames.length == 1,
+          s"$catName: nested ALTER COLUMN not supported")
+        t = Evolve.promoteColumn(t, up.fieldNames.head,
+          SchemaBridge.fromSpark(StructType(Seq(
+            org.apache.spark.sql.types.StructField("c", up.newDataType)))).fields.head.fieldType)
+      case set: TableChange.SetProperty =>
+        t = Evolve.setProperties(t, Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        t = Evolve.removeProperties(t, Seq(rm.property))
+      case other => throw new UnsupportedOperationException(
+        s"$catName: unsupported ALTER TABLE change ${other.getClass.getSimpleName}")
+    }
+    new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
+      strict = false, writable = true)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val name = flat(ident)
+    if (!cat.tableExists(name)) false
+    else { cat.dropTable(name); true }
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = cat match {
+    case h: graft.catalog.HadoopCatalog =>
+      val name = flat(ident)
+      if (!cat.tableExists(name)) false
+      else { h.purgeTable(name); true }
+    case _ => dropTable(ident) // non-filesystem catalogs: metadata drop only
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = cat match {
+    case s: SqlCatalog => s.renameTable(flat(oldIdent), flat(newIdent)); ()
+    case r: graft.rest.RestCatalog => r.renameTable(flat(oldIdent), flat(newIdent)); ()
+    case _ => throw new UnsupportedOperationException(
+      s"$catName: rename needs a SQL or REST catalog backend")
+  }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty[String], "bucket"))
@@ -74,6 +197,33 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") GraftBucketUnbound
     else throw new NoSuchFunctionException(ident)
+}
+
+object GraftSpjCatalog {
+  /** Spark DDL partition transform → (source column, graft transform). */
+  def toGraftTransform(t: Transform): (String, graft.core.Transform) = {
+    val refs = t.arguments.collect { case r: NamedReference => r.fieldNames.mkString(".") }
+    require(refs.length == 1,
+      s"partition transform ${t.name} must reference exactly one column")
+    val lits = t.arguments.collect { case l: V2Literal[_] => l.value }
+    def intArg: Int = lits.headOption match {
+      case Some(n: Number) => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"partition transform ${t.name} needs an integer argument, got $other")
+    }
+    t.name.toLowerCase match {
+      case "identity" => (refs.head, Transforms.Identity)
+      case "bucket" => (refs.head, Transforms.Bucket(intArg))
+      case "truncate" => (refs.head, Transforms.Truncate(intArg))
+      case "years" | "year" => (refs.head, Transforms.Years)
+      case "months" | "month" => (refs.head, Transforms.Months)
+      case "days" | "day" => (refs.head, Transforms.Days)
+      case "hours" | "hour" => (refs.head, Transforms.Hours)
+      case "void" => (refs.head, Transforms.Void)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other")
+    }
+  }
 }
 
 /** The Iceberg bucket transform as a V2 function: murmur3_x86_32(seed 0)

@@ -4,22 +4,23 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table => V2Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table => V2Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graft.ParquetRowReadBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.catalog.Catalogs
-import graft.core.{SchemaBridge, Transforms}
-import graft.table.{Table => GraftTable}
+import graft.core.{Expr, SchemaBridge, Transforms}
+import graft.table.{Table => GraftTable, Writer}
 
 /** DSv2 read over an identity-partitioned Iceberg table that reports
   * `KeyGroupedPartitioning` — the storage-partitioned-join path: two tables
@@ -42,6 +43,14 @@ import graft.table.{Table => GraftTable}
   * Column pruning and filter pushdown are full-fidelity: see
   * [[SpjScanBuilder]].
   *
+  * The same table class, loaded through [[GraftSpjCatalog]] (strict=false),
+  * is the full SQL DDL/DML surface: general reads over ANY partition spec
+  * (the SPJ claim is made only when provable — identity/bucket specs — and
+  * otherwise the scan plans per-file partitions under UnknownPartitioning),
+  * `INSERT INTO` (append snapshot), `INSERT OVERWRITE` (atomic replace),
+  * `DELETE FROM ... WHERE` (copy-on-write via the strict/inclusive
+  * classifiers), and time travel (`VERSION AS OF` / `TIMESTAMP AS OF`).
+  *
   * Reference basis: scan planning + partition tuples
   * (`table/scanner.go:809-950`); the key-grouped layout is the Spark-native
   * expression of the reference's partition-file grouping.
@@ -61,42 +70,161 @@ final class SpjSourceProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): V2Table =
-    new SpjTable(load(properties), schema)
+    new SpjTable(load(properties), schema, strict = true)
 }
 
+/** V2 table over a graft Iceberg table.
+  *
+  * `strict = true` (the bare `graft-iceberg-spj` format): SPJ fast path
+  * only — refuses non-identity transforms loudly (bucket with directions to
+  * the function catalog), so a user never silently loses the zero-shuffle
+  * plan they asked for.
+  *
+  * `strict = false` (the [[GraftSpjCatalog]] SQL path): general table —
+  * any spec reads (SPJ claimed only when provable), and when `writable`
+  * the table accepts `INSERT INTO` / `INSERT OVERWRITE` (V1 write funneled
+  * into [[Writer.append]] / [[Writer.overwriteAll]] — fanout, footer stats,
+  * commit protocol with retry/rebase all apply) and `DELETE FROM` (CoW
+  * [[Writer.deleteWhere]]; metadata-only when the strict evaluator proves
+  * whole files match). `snapshotId` pins time-travel reads; time-travel
+  * tables refuse writes.
+  */
 final class SpjTable(table: GraftTable, sparkSchema: StructType,
-    allowBucket: Boolean = false)
-    extends V2Table with SupportsRead {
+    allowBucket: Boolean = false, strict: Boolean = true,
+    snapshotId: Option[Long] = None, writable: Boolean = false)
+    extends V2Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val spec = table.spec
-  require(spec.fields.nonEmpty,
+  if (strict) require(spec.fields.nonEmpty,
     s"graft-iceberg-spj: table ${table.name} must be partitioned " +
       "(use graft.table.SparkRead for general reads)")
 
-  private val keyTransforms: Seq[Transform] = spec.fields.map { pf =>
-    val src = table.schema.idToField(pf.sourceId).name
-    pf.transform match {
-      case Transforms.Identity => Expressions.identity(src)
-      case Transforms.Bucket(n) if allowBucket => Expressions.bucket(n, src)
-      case Transforms.Bucket(_) => throw new IllegalArgumentException(
-        s"graft-iceberg-spj: bucket SPJ on ${table.name} needs the function " +
-          "catalog — register spark.sql.catalog.<name>=graft.sources.GraftSpjCatalog " +
-          "and read through spark.table(\"<name>.<table>\")")
-      case other => throw new IllegalArgumentException(
-        s"graft-iceberg-spj: table ${table.name} has unsupported partition " +
-          s"transform ${other.name}; use graft.table.SparkRead for general reads")
+  /** The SPJ partitioning claim — made only when every partition field is
+    * provably Spark-visible: identity always; bucket only with the owning
+    * FunctionCatalog (Spark must bind both join sides to the same canonical
+    * hash). Other transforms (time, truncate) read fine but claim nothing.
+    */
+  private val claimKeys: Option[Seq[Transform]] = {
+    if (spec.fields.isEmpty) None
+    else {
+      val mapped: Seq[Option[Transform]] = spec.fields.map { pf =>
+        val src = table.schema.idToField(pf.sourceId).name
+        pf.transform match {
+          case Transforms.Identity => Some(Expressions.identity(src))
+          case Transforms.Bucket(n) if allowBucket => Some(Expressions.bucket(n, src))
+          case Transforms.Bucket(_) if strict => throw new IllegalArgumentException(
+            s"graft-iceberg-spj: bucket SPJ on ${table.name} needs the function " +
+              "catalog — register spark.sql.catalog.<name>=graft.sources.GraftSpjCatalog " +
+              "and read through spark.table(\"<name>.<table>\")")
+          case other if strict => throw new IllegalArgumentException(
+            s"graft-iceberg-spj: table ${table.name} has unsupported partition " +
+              s"transform ${other.name}; use graft.table.SparkRead for general reads")
+          case _ => None
+        }
+      }
+      if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
     }
   }
 
   override def name(): String = s"graft-spj:${table.name}"
   override def schema(): StructType = sparkSchema
-  override def partitioning(): Array[Transform] = keyTransforms.toArray
+
+  /** Informational spec (DESCRIBE, write distribution hints): the full
+    * transform list, including the ones the scan does not claim for SPJ.
+    */
+  override def partitioning(): Array[Transform] = spec.fields.map { pf =>
+    val src = table.schema.idToField(pf.sourceId).name
+    pf.transform match {
+      case Transforms.Identity => Expressions.identity(src)
+      case Transforms.Bucket(n) => Expressions.bucket(n, src)
+      case Transforms.Years => Expressions.years(src)
+      case Transforms.Months => Expressions.months(src)
+      case Transforms.Days => Expressions.days(src)
+      case Transforms.Hours => Expressions.hours(src)
+      case other => Expressions.apply(other.name, Expressions.column(src))
+    }
+  }.toArray
+
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable && snapshotId.isEmpty)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SpjScanBuilder(table, sparkSchema, keyTransforms,
+    new SpjScanBuilder(table, sparkSchema, claimKeys, snapshotId,
       options.asCaseSensitiveMap().asScala.toMap)
+
+  private def requireWritable(op: String): Unit = {
+    if (!writable) throw new UnsupportedOperationException(
+      s"${name()}: $op needs the catalog path — register " +
+        "spark.sql.catalog.<name>=graft.sources.GraftSpjCatalog and target " +
+        "<name>.<table>")
+    if (snapshotId.nonEmpty) throw new UnsupportedOperationException(
+      s"${name()}: cannot $op a time-travel snapshot")
+  }
+
+  /** V1 write funnel: Spark resolves/casts the query to the table schema,
+    * then hands a DataFrame — append and overwrite-all both go through the
+    * full graft write path (AQE-rebalanced fanout, rolling target file
+    * size, footer stats, commit retry/rebase), so SQL INSERT produces
+    * exactly the files and snapshot the programmatic API does.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("write")
+    new WriteBuilder with SupportsOverwrite {
+      private var replaceAll = false
+      private var deleteFirst: Option[Expr] = None
+
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        val exprs = filters.map(f => SpjScanBuilder.toExpr(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"${name()}: cannot overwrite by filter $f")))
+        if (exprs.isEmpty || exprs.contains(Expr.AlwaysTrue)) replaceAll = true
+        else deleteFirst = Some(exprs.foldLeft(Expr.AlwaysTrue: Expr)(Expr.and))
+        this
+      }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              val fresh = table.refresh()
+              if (replaceAll) { Writer.overwriteAll(spark, fresh, data); () }
+              else deleteFirst match {
+                case Some(del) =>
+                  // filtered overwrite: CoW delete of the matching slice,
+                  // then append — two snapshots (delete is conflict-checked)
+                  val afterDelete = Writer.deleteWhere(spark, fresh, del)
+                  Writer.append(spark, afterDelete, data); ()
+                case None => Writer.append(spark, fresh, data); ()
+              }
+            }
+          }
+      }
+    }
+  }
+
+  /** SQL `DELETE FROM ... WHERE`: only predicates the expression bridge can
+    * translate are accepted (`canDeleteWhere` — Spark errors loudly on the
+    * rest instead of deleting the wrong rows); execution is the CoW path,
+    * so whole-file matches drop metadata-only and partial files rewrite
+    * without the matching rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && snapshotId.isEmpty &&
+      filters.forall(f => SpjScanBuilder.toExpr(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable("delete from")
+    val expr = filters.flatMap(SpjScanBuilder.toExpr)
+      .foldLeft(Expr.AlwaysTrue: Expr)(Expr.and)
+    Writer.deleteWhere(SparkSession.active, table.refresh(), expr)
+    ()
+  }
 }
 
 /** Column pruning + filter pushdown for the SPJ scan: required columns
@@ -109,7 +237,8 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
   * change results.
   */
 final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
-    keyTransforms: Seq[Transform], options: Map[String, String]) extends ScanBuilder
+    claimKeys: Option[Seq[Transform]], snapshotId: Option[Long],
+    options: Map[String, String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -117,12 +246,17 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
+  private def baseScan = {
+    val s = table.newScan
+    snapshotId.map(s.useSnapshot).getOrElse(s)
+  }
+
   // COUNT/MIN/MAX from manifest stats — zero data bytes read; only when no
   // filters are in play (ours are all residual, which a one-row complete
   // result cannot satisfy) and every term is provably exact
   private def probeAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (aggResult.isEmpty && pushed.isEmpty)
-      aggResult = SpjAggPushdown.tryPush(table, table.newScan.planFiles(), agg)
+      aggResult = SpjAggPushdown.tryPush(table, baseScan.planFiles(), agg)
     aggResult.isDefined
   }
   override def supportCompletePushDown(
@@ -151,7 +285,7 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
   override def build(): Scan = aggResult match {
     case Some((aggSchema, row)) => new SpjAggScan(aggSchema, row)
     case None =>
-      new SpjScan(table, required, keyTransforms, options,
+      new SpjScan(table, required, claimKeys, snapshotId, options,
         pushed.flatMap(SpjScanBuilder.toExpr)
           .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
         pushed.toSeq)
@@ -174,6 +308,8 @@ object SpjScanBuilder {
   }
 
   def toExpr(f: Filter): Option[Expr] = f match {
+    case org.apache.spark.sql.sources.AlwaysTrue() => Some(Expr.AlwaysTrue)
+    case org.apache.spark.sql.sources.AlwaysFalse() => Some(Expr.AlwaysFalse)
     case org.apache.spark.sql.sources.EqualTo(a, v) if lit(v) => Some(Expr.eq(a, v))
     case org.apache.spark.sql.sources.GreaterThan(a, v) if lit(v) => Some(Expr.gt(a, v))
     case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) if lit(v) => Some(Expr.gtEq(a, v))
@@ -193,7 +329,8 @@ object SpjScanBuilder {
 }
 
 final class SpjScan(table: GraftTable, sparkSchema: StructType,
-    keyTransforms: Seq[Transform], options: Map[String, String],
+    claimKeys: Option[Seq[Transform]], snapshotId: Option[Long],
+    options: Map[String, String],
     fileFilter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
     rowGroupFilters: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportPartitioning {
@@ -203,26 +340,37 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
 
   // planned once: partitioning metadata and input partitions must agree
   private lazy val grouped: Array[SpjInputPartition] = {
-    val tasks = table.newScan.withFilter(fileFilter).planFiles()
+    val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
+    val tasks = base.withFilter(fileFilter).planFiles()
     tasks.foreach { t =>
       require(t.posDeletes.isEmpty && t.eqDeletes.isEmpty,
         s"graft-iceberg-spj: ${t.file.path} carries MoR deletes; " +
           "delete application changes row counts after the partitioning " +
           "claim — compact first or use graft.table.SparkRead")
     }
-    tasks.groupBy(_.file.partition).toSeq
-      .map { case (partValues, ts) =>
-        SpjInputPartition(partValues.map(SpjScan.toCatalyst).toArray,
-          ts.map(t => (t.file.path, t.file.fileSize)).toArray)
-      }
-      .sortBy(_.key.toSeq.map(String.valueOf).mkString(" "))
-      .toArray
+    claimKeys match {
+      case Some(_) =>
+        tasks.groupBy(_.file.partition).toSeq
+          .map { case (partValues, ts) =>
+            SpjInputPartition(partValues.map(SpjScan.toCatalyst).toArray,
+              ts.map(t => (t.file.path, t.file.fileSize)).toArray)
+          }
+          .sortBy(_.key.toSeq.map(String.valueOf).mkString(" "))
+          .toArray
+      case None =>
+        // no partitioning claim to honor → one input partition per FILE
+        // for maximal parallelism (files are rolling-writer target-sized)
+        tasks.map(t => SpjInputPartition(Array.empty,
+          Array((t.file.path, t.file.fileSize)))).toArray
+    }
   }
 
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      keyTransforms.map(t => t: org.apache.spark.sql.connector.expressions.Expression).toArray,
+  override def outputPartitioning(): Partitioning = claimKeys match {
+    case Some(keys) => new KeyGroupedPartitioning(
+      keys.map(t => t: org.apache.spark.sql.connector.expressions.Expression).toArray,
       grouped.length)
+    case None => new UnknownPartitioning(grouped.length)
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     grouped.map(identity[InputPartition])

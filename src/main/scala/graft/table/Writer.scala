@@ -91,6 +91,27 @@ object Writer {
       addedDeleteFiles = Nil, toBranch = toBranch)
   }
 
+  /** Full-table overwrite in ONE snapshot (reference ReplaceFiles semantics,
+    * `table/transaction.go:612-700`): write the replacement data files, then
+    * commit an `overwrite` snapshot that adds them and removes every
+    * currently-live data file atomically — readers see either the old table
+    * or the new one, never an empty intermediate (which a delete-all +
+    * append pair would expose). Backs SQL `INSERT OVERWRITE` / `TRUNCATE`.
+    */
+  def overwriteAll(spark: SparkSession, table: Table, df: DataFrame): Table = {
+    SparkRead.configure(spark)
+    val files = writeDataFiles(spark, table, df)
+    val tasks = table.newScan.planFiles()
+    val live = tasks.map(_.file.path).toSet
+    // every live data file goes, so every attached delete file goes with it
+    val deleteKeys = tasks.flatMap(t =>
+      t.posDeletes.map(d => (d.path, d.contentOffset)) ++
+        t.eqDeletes.map(e => (e._1.path, e._1.contentOffset))).toSet
+    commitSnapshot(table, "overwrite", addedFiles = files,
+      removedPaths = live, addedDeleteFiles = Nil,
+      removedDeleteKeys = deleteKeys)
+  }
+
   /** Copy-on-write DELETE WHERE (reference `table/transaction.go:1382-2120`):
     * classify candidate files with the inclusive evaluator, rewrite the
     * partially-matching ones without matching rows, drop fully-rewritten

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.core.{SchemaBridge, Transforms}
+import graft.format.PartitionSpec
+import graft.table.{Evolve, Writer}
+
+/** The SQL DDL/DML surface through GraftSpjCatalog: CREATE TABLE with
+  * partition transforms, INSERT INTO / OVERWRITE, DELETE FROM, time travel,
+  * ALTER TABLE, CTAS — every statement a Spark SQL user would run against
+  * an Iceberg catalog, executed against graft's write/commit machinery.
+  */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val wh = Files.createTempDirectory("graft-sql").toString
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.g", classOf[graft.sources.GraftSpjCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.uri", wh)
+    s
+  }
+  private lazy val catalog = new HadoopCatalog(wh)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("CREATE TABLE with transforms; INSERT INTO; SELECT round-trips") {
+    spark.sql("""CREATE TABLE g.t_ddl (
+      id BIGINT, seg STRING, bal DOUBLE, day DATE
+    ) PARTITIONED BY (bucket(4, id), truncate(seg, 1))""")
+    // spec landed as declared
+    val t = catalog.loadTable("t_ddl")
+    assert(t.spec.fields.map(_.transform) ===
+      Seq(Transforms.Bucket(4), Transforms.Truncate(1)))
+    spark.sql("""INSERT INTO g.t_ddl VALUES
+      (1, 'AUTO', 10.5, DATE'2024-01-02'),
+      (2, 'BUILD', -3.25, DATE'2024-02-03'),
+      (3, 'AUTO', 7.0, NULL)""")
+    val got = spark.sql("SELECT id, seg, bal FROM g.t_ddl ORDER BY id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_.getString(1)).toSeq === Seq("AUTO", "BUILD", "AUTO"))
+    // appends accumulate
+    spark.sql("INSERT INTO g.t_ddl VALUES (4, 'CAR', 1.0, DATE'2024-03-04')")
+    assert(spark.sql("SELECT count(*) AS n FROM g.t_ddl").head.getLong(0) === 4L)
+  }
+
+  test("INSERT OVERWRITE replaces in ONE overwrite snapshot") {
+    spark.sql("CREATE TABLE g.t_ow (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.t_ow VALUES (1, 'a'), (2, 'b')")
+    val before = catalog.loadTable("t_ow").metadata.snapshots.length
+    spark.sql("INSERT OVERWRITE g.t_ow VALUES (9, 'z')")
+    val t = catalog.loadTable("t_ow")
+    assert(t.metadata.snapshots.length === before + 1) // atomic: one snapshot
+    assert(t.metadata.currentSnapshot.get.summary("operation") === "overwrite")
+    val got = spark.sql("SELECT k, v FROM g.t_ow").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z")))
+  }
+
+  test("DELETE FROM removes matching rows through the CoW path") {
+    spark.sql("CREATE TABLE g.t_del (k BIGINT, seg STRING) PARTITIONED BY (identity(seg))")
+    spark.sql("INSERT INTO g.t_del VALUES (1,'A'), (2,'A'), (3,'B'), (4,'C')")
+    spark.sql("DELETE FROM g.t_del WHERE seg = 'A' OR k = 4")
+    val got = spark.sql("SELECT k FROM g.t_del ORDER BY k").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(3L))
+    // whole-partition match dropped metadata-only: the delete snapshot
+    // added no data files (seg='A' files dropped, k=4 file rewritten empty)
+    val t = catalog.loadTable("t_del")
+    assert(t.metadata.currentSnapshot.get.summary("operation") === "overwrite")
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF pin snapshots; tags resolve by name") {
+    spark.sql("CREATE TABLE g.t_tt (k BIGINT)")
+    spark.sql("INSERT INTO g.t_tt VALUES (1), (2)")
+    val snap1 = catalog.loadTable("t_tt").metadata.currentSnapshot.get
+    spark.sql("INSERT INTO g.t_tt VALUES (3)")
+    Evolve.setRef(catalog.loadTable("t_tt"), "v1", snap1.snapshotId, "tag")
+
+    assert(spark.sql("SELECT count(*) AS n FROM g.t_tt").head.getLong(0) === 3L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM g.t_tt VERSION AS OF ${snap1.snapshotId}")
+      .head.getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM g.t_tt VERSION AS OF 'v1'")
+      .head.getLong(0) === 2L)
+    val ts = java.time.Instant.ofEpochMilli(snap1.timestampMs)
+    assert(spark.sql(s"SELECT count(*) AS n FROM g.t_tt TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) === 2L)
+    // a time-travel table refuses writes
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO g.t_tt VERSION AS OF ${snap1.snapshotId} VALUES (9)"))
+    assert(e.getMessage != null)
+  }
+
+  test("ALTER TABLE: add/rename/drop column, widen type, set properties") {
+    spark.sql("CREATE TABLE g.t_alter (a INT, b STRING)")
+    spark.sql("INSERT INTO g.t_alter VALUES (1, 'x')")
+    spark.sql("ALTER TABLE g.t_alter ADD COLUMN c DOUBLE")
+    spark.sql("ALTER TABLE g.t_alter RENAME COLUMN b TO label")
+    spark.sql("ALTER TABLE g.t_alter ALTER COLUMN a TYPE BIGINT")
+    spark.sql("ALTER TABLE g.t_alter SET TBLPROPERTIES ('commit.retry.num-retries'='7')")
+    // old file resolves by field id under the new schema
+    val got = spark.sql("SELECT a, label, c FROM g.t_alter").head
+    assert(got.getLong(0) === 1L && got.getString(1) === "x" && got.isNullAt(2))
+    spark.sql("INSERT INTO g.t_alter VALUES (CAST(2 AS BIGINT), 'y', 0.5)")
+    assert(spark.sql("SELECT count(*) AS n FROM g.t_alter").head.getLong(0) === 2L)
+    assert(catalog.loadTable("t_alter").metadata.properties("commit.retry.num-retries") === "7")
+    spark.sql("ALTER TABLE g.t_alter DROP COLUMN c")
+    assert(!spark.table("g.t_alter").columns.contains("c"))
+  }
+
+  test("CTAS, SHOW TABLES, DROP TABLE") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_src")
+    spark.sql("CREATE TABLE g.t_ctas AS SELECT n_nationkey, n_name FROM nation_src")
+    assert(spark.sql("SELECT count(*) AS n FROM g.t_ctas").head.getLong(0) === 25L)
+    assert(spark.sql("SHOW TABLES IN g").collect().map(_.getString(1)).contains("t_ctas"))
+    spark.sql("DROP TABLE g.t_ctas")
+    assert(!catalog.tableExists("t_ctas"))
+  }
+
+  test("general reads: unpartitioned tables plan per-file; time-transform specs read correctly") {
+    // unpartitioned, written as several files → per-file input partitions
+    val n = spark.read.parquet(s"$sf/customer.parquet").repartition(3)
+    val schema = SchemaBridge.fromSpark(n.schema)
+    Writer.append(spark, catalog.createTable("t_unpart", schema,
+      PartitionSpec.Unpartitioned), n)
+    val df = spark.table("g.t_unpart")
+    assert(df.count() === n.count())
+    assert(df.rdd.getNumPartitions >= 2) // parallel, not one lump
+
+    // months() spec reads fine (no SPJ claim, still correct)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val oS = SchemaBridge.fromSpark(o.schema)
+    Writer.append(spark, catalog.createTable("t_months", oS,
+      PartitionSpec.builder(oS).add("o_orderdate", Transforms.Months).build()), o)
+    // decimal sum: exact regardless of partition summation order
+    assert(spark.sql("SELECT sum(cast(o_totalprice AS DECIMAL(18,2))) AS s FROM g.t_months")
+      .head.getDecimal(0) ===
+      o.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head.getDecimal(0))
+  }
+}
