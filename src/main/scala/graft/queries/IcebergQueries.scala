@@ -2601,6 +2601,89 @@ object IcebergQueries {
       SELECT COUNT(*) + 1 AS n_rows, CAST(1 AS BIGINT) AS n_flag,
              CAST(SUM(LENGTH(n_name)) + LENGTH('ZETA') AS BIGINT) AS len_name,
              CAST(SUM(n_nationkey) + 999 AS BIGINT) AS key_sum
-      FROM nation"""), repeatable = true)
+      FROM nation"""), repeatable = true),
+
+    // SQL UPDATE through the group-based copy-on-write row-level operation:
+    // Spark rewrites the affected files' rows (matched rows transformed,
+    // carried rows preserved), the DSv2 batch write replaces exactly the
+    // scanned files in one conflict-validated overwrite snapshot. The
+    // predicate prunes at the FILE level (identity partition + stats), so
+    // only partitions/files that can contain matches rewrite.
+    QueryDef.staged("i73_sql_update", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/sup_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gsup_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val src = s"cu_src_${UUID.randomUUID().toString.take(8)}"
+      tbl(s, dir, "customer").createOrReplaceTempView(src)
+      s.sql(s"""CREATE TABLE $ctl.cust PARTITIONED BY (identity(c_mktsegment))
+        AS SELECT * FROM $src""")
+      s.sql(s"""UPDATE $ctl.cust SET c_acctbal = c_acctbal + 100
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0""")
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+                                THEN c_acctbal + 100 ELSE c_acctbal END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // SQL MERGE INTO (the CDC-apply statement): matched+condition DELETE,
+    // matched UPDATE, not-matched INSERT, all in one group-based CoW
+    // rewrite — one overwrite snapshot, bucket-partitioned target.
+    QueryDef.staged("i74_sql_merge", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/smg_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gsmg_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val src = s"or_src_${UUID.randomUUID().toString.take(8)}"
+      tbl(s, dir, "orders").createOrReplaceTempView(src)
+      s.sql(s"""CREATE TABLE $ctl.ord PARTITIONED BY (bucket(8, o_orderkey))
+        AS SELECT o_orderkey, o_orderstatus, o_totalprice FROM $src""")
+      s.sql(s"""
+        MERGE INTO $ctl.ord t
+        USING (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM $src WHERE o_orderkey % 7 = 0 AND o_orderkey > 0
+          UNION ALL
+          SELECT -o_orderkey AS k, o_totalprice AS p FROM $src WHERE o_orderkey % 13 = 0 AND o_orderkey > 0
+        ) s
+        ON t.o_orderkey = s.k
+        WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1000
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          VALUES (s.k, 'N', s.p)""")
+      () => s.sql(s"""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        FROM $ctl.ord
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }, Some("""
+      WITH src AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey > 0
+        UNION ALL
+        SELECT -o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey > 0
+      ),
+      merged AS (
+        SELECT t.o_orderkey, t.o_orderstatus,
+               CASE WHEN s.k IS NOT NULL THEN t.o_totalprice + 1000
+                    ELSE t.o_totalprice END AS price,
+               CASE WHEN s.k IS NOT NULL AND t.o_orderstatus = 'F' THEN 1 ELSE 0 END AS del
+        FROM orders t LEFT JOIN (SELECT k FROM src WHERE k > 0) s ON t.o_orderkey = s.k
+        UNION ALL
+        SELECT k, 'N', p, 0 FROM src WHERE k < 0
+      )
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      FROM merged WHERE del = 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""), repeatable = true)
   )
 }

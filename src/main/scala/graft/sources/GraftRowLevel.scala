@@ -1,0 +1,328 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.graft.{ParquetRowReadBridge, ParquetRowWriteBridge, RowFileWriter}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{Expr, IcebergSchema, SchemaBridge, Transform => GTransform}
+import graft.format.PartitionSpec
+import graft.table.{FileScanTask, Table => GraftTable, Writer}
+
+/** Group-based (copy-on-write) row-level operations: SQL `UPDATE`, `MERGE
+  * INTO`, and rewrite-path `DELETE` (predicates the metadata path can't
+  * translate). Spark's `RewriteUpdateTable` / `RewriteMergeIntoTable` /
+  * `RewriteDeleteFromTable` drive the protocol:
+  *
+  *   1. [[GraftCowScanBuilder]] — the operation scan. Pushed filters prune
+  *      at the FILE level only (a pruned file is left untouched; a kept
+  *      file is replaced whole, so every one of its rows must flow —
+  *      row-group or row filtering here would silently drop the
+  *      non-matching rows a CoW rewrite has to carry). The planned file
+  *      set is recorded on the operation.
+  *   2. Spark transforms the rows (CASE WHEN for UPDATE, the merge rows
+  *      processor for MERGE) and hands the FULL replacement rowset to
+  *   3. [[GraftReplaceBatchWrite]] — executor-side DSv2 data writers
+  *      (stock parquet writer via [[ParquetRowWriteBridge]], per-task
+  *      partition fanout with rolling target size); commit harvests footer
+  *      stats and commits ONE `overwrite` snapshot: new files in, scanned
+  *      files out, with the same conflict validation as the programmatic
+  *      CoW path — a concurrent writer touching the rewritten files forces
+  *      a retry/rebase, never a lost update.
+  *
+  * Scope guard: candidate files carrying MoR deletes refuse loudly (raw
+  * file rows would resurrect deleted rows) — compact first; SQL DML
+  * through this catalog is CoW end-to-end.
+  *
+  * Reference basis: the reference's row-delta/upsert transaction
+  * (`table/transaction.go:2340-2600`) expressed through Spark's native
+  * row-level-operation protocol.
+  */
+final class GraftRowLevelOperation(table: GraftTable, cmd: Command)
+    extends RowLevelOperation {
+
+  /** Candidate files planned by the operation scan; consumed at commit as
+    * the replaced set. Written once at plan time (driver), read at commit
+    * (driver).
+    */
+  @volatile private[sources] var scanned: Seq[FileScanTask] = Nil
+
+  override def command(): Command = cmd
+
+  /** `_file` engages Spark's projecting write task (without a metadata
+    * attribute, group-based plans hand the writer the raw rewrite rows,
+    * operation column included).
+    */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      SpjTable.FileColumnName))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(this, table,
+      SchemaBridge.toSpark(table.schema),
+      options.asCaseSensitiveMap().asScala.toMap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(GraftRowLevelOperation.this, table)
+      }
+    }
+}
+
+/** The CoW candidate scan: filters prune files (never row groups or rows),
+  * the surviving file set is recorded for the replacing commit, and every
+  * surviving row is read.
+  */
+final class GraftCowScanBuilder(op: GraftRowLevelOperation, table: GraftTable,
+    fullSchema: StructType, options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+  private var withFile: Boolean = false
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // group pruning only; Spark keeps row semantics above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (data, file) = SpjTable.splitRequested(fullSchema, requiredSchema)
+    required = data
+    withFile = file
+  }
+
+  override def build(): Scan = new GraftCowScan(op, table, required,
+    pushed.flatMap(SpjScanBuilder.toExpr)
+      .foldLeft(Expr.AlwaysTrue: Expr)(Expr.and),
+    options, withFile)
+}
+
+final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
+    sparkSchema: StructType, fileFilter: Expr, options: Map[String, String],
+    withFile: Boolean)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def readSchema(): StructType =
+    if (withFile) StructType(sparkSchema.fields :+
+      StructField(SpjTable.FileColumnName, StringType, nullable = false))
+    else sparkSchema
+  override def toBatch: Batch = this
+
+  // static candidates (pushed-filter file pruning), planned once
+  private lazy val allTasks: Seq[FileScanTask] = {
+    val tasks = table.newScan.withFilter(fileFilter).planFiles()
+    tasks.foreach { t =>
+      require(t.posDeletes.isEmpty && t.eqDeletes.isEmpty,
+        s"row-level rewrite of ${t.file.path}: file carries MoR deletes " +
+          "(raw rewrite would resurrect deleted rows) — compact first")
+    }
+    op.scanned = tasks
+    tasks
+  }
+
+  /** Runtime group filtering — the 100 TB lever for MERGE/UPDATE with no
+    * static predicate: Spark first runs the condition as a dynamic
+    * subquery over `_file` and hands back the matched-file set; only those
+    * files rewrite (and only those are removed at commit). Without this, a
+    * one-row MERGE would rewrite every candidate file.
+    */
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      SpjTable.FileColumnName))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val keep: Option[Set[String]] = predicates.collectFirst {
+      case p if p.name == "IN" &&
+          p.children.headOption.exists {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+              r.fieldNames.mkString(".") == SpjTable.FileColumnName
+            case _ => false
+          } =>
+        p.children.drop(1).collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value)
+        }.toSet
+    }
+    keep.foreach { paths =>
+      op.scanned = allTasks.filter(t => paths.contains(t.file.path))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    allTasks // force static planning if no runtime filter arrived
+    op.scanned.map(t => SpjInputPartition(Array.empty,
+      Array((t.file.path, t.file.fileSize))): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // no row-group filters: a kept file is replaced whole
+    val reader = ParquetRowReadBridge.rowReader(
+      SparkSession.active, sparkSchema, options, Nil)
+    new SpjReaderFactory(reader, withFile)
+  }
+}
+
+/** One written file, reported from the executor to the driver commit. */
+final case class GraftWrittenFile(path: String, partValues: Seq[Any], rows: Long)
+final case class GraftCommitMessage(files: Seq[GraftWrittenFile])
+    extends WriterCommitMessage
+
+/** Per-partition-field extractor, serialized to executors: source column
+  * ordinal + Spark type + the transform (value-level `apply`).
+  */
+final case class GraftPartExtractor(idx: Int, dt: DataType, transform: GTransform)
+
+final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val schema = table.schema
+    val sparkSchema = SchemaBridge.toSpark(schema)
+    val ioOpts = table.refreshIoCredentials()
+    val extractors = table.spec.fields.map { pf =>
+      val src = schema.idToField(pf.sourceId)
+      val idx = sparkSchema.fieldIndex(src.name)
+      GraftPartExtractor(idx, sparkSchema.fields(idx).dataType, pf.transform)
+    }
+    val targetBytes = table.metadata.properties
+      .get("write.target-file-size-bytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val maxRecords = math.max(1L,
+      (targetBytes / math.max(16, sparkSchema.defaultSize).toDouble).toLong)
+    new GraftCowWriterFactory(
+      ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
+      table.location, schema, table.spec, extractors, maxRecords)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
+    val removed = op.scanned
+    if (written.isEmpty && removed.isEmpty) return // no-op operation
+    val schema = table.schema
+    val props = table.metadata.properties
+    val omitBounds = props.contains(graft.encryption.ParquetEncryption.KeyIdProp)
+    // footer harvest: one footer per file, IO-bound — driver pool
+    import scala.collection.parallel.CollectionConverters._
+    val added = written.par
+      .map(f => Writer.harvestStats(f.path, schema, f.partValues,
+        omitBounds = omitBounds, props = props))
+      .seq.filter(_.recordCount > 0)
+    Writer.commitSnapshot(table, "overwrite",
+      addedFiles = added,
+      removedPaths = removed.map(_.file.path).toSet,
+      addedDeleteFiles = Nil,
+      conflictCheck = Some(Writer.ConflictCheck(
+        rewrittenFiles = removed.map(t => (t.file, t.specId)))))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftCommitMessage => m.files }.flatten
+      .foreach(f => graft.io.FileIO.delete(f.path))
+}
+
+final class GraftCowWriterFactory(
+    newWriter: String => RowFileWriter,
+    location: String, schema: IcebergSchema, spec: PartitionSpec,
+    extractors: Seq[GraftPartExtractor], maxRecords: Long)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftCowDataWriter(newWriter, location, schema, spec, extractors, maxRecords)
+}
+
+/** Task-local fanout writer: one rolling parquet writer per live partition
+  * value (the Iceberg fanout shape); rolls at the calibrated record target.
+  * Peak memory is (open partitions per task × row-group buffer) — at fleet
+  * scale pair with a cluster-by-partition distribution upstream.
+  */
+final class GraftCowDataWriter(
+    newWriter: String => RowFileWriter,
+    location: String, schema: IcebergSchema, spec: PartitionSpec,
+    extractors: Seq[GraftPartExtractor], maxRecords: Long)
+    extends DataWriter[InternalRow] {
+
+  private final class OpenFile(val partValues: Seq[Any], val path: String) {
+    val writer: RowFileWriter = newWriter(path)
+    var rows: Long = 0L
+  }
+
+  private val open = mutable.Map.empty[String, OpenFile]
+  private val finished = mutable.Buffer.empty[GraftWrittenFile]
+
+  private def jvmValue(row: InternalRow, e: GraftPartExtractor): Any =
+    if (row.isNullAt(e.idx)) null
+    else e.dt match {
+      case IntegerType | DateType => row.getInt(e.idx)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(e.idx)
+      case StringType => row.getUTF8String(e.idx).toString
+      case BooleanType => row.getBoolean(e.idx)
+      case DoubleType => row.getDouble(e.idx)
+      case FloatType => row.getFloat(e.idx)
+      case d: DecimalType =>
+        row.getDecimal(e.idx, d.precision, d.scale).toJavaBigDecimal
+      case BinaryType => row.getBinary(e.idx)
+      case other => throw new IllegalArgumentException(
+        s"partition source type $other unsupported in row-level write")
+    }
+
+  private def newPath(dir: String): String =
+    s"$location/data/$dir${UUID.randomUUID()}.parquet"
+
+  private def closeFile(f: OpenFile): Unit = {
+    f.writer.close()
+    finished += GraftWrittenFile(f.path, f.partValues, f.rows)
+  }
+
+  /** Carried rows arrive as (metadata, data) from the projecting write
+    * task; the `_file` metadata isn't needed here (the replaced set was
+    * recorded at plan time) — write the data row.
+    */
+  override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+
+  override def write(row: InternalRow): Unit = {
+    val partValues: Seq[Any] =
+      extractors.map(e => e.transform.apply(jvmValue(row, e), e.dt))
+    val dir =
+      if (spec.fields.isEmpty) ""
+      else spec.partitionToPath(partValues, schema) + "/"
+    val f = open.getOrElseUpdate(dir, new OpenFile(partValues, newPath(dir)))
+    f.writer.write(row)
+    f.rows += 1
+    if (f.rows >= maxRecords) { closeFile(f); open.remove(dir); () }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(closeFile)
+    open.clear()
+    GraftCommitMessage(finished.toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(f => scala.util.Try(f.writer.close()))
+    (open.values.map(_.path) ++ finished.map(_.path))
+      .foreach(p => scala.util.Try(graft.io.FileIO.delete(p)))
+    open.clear()
+  }
+
+  override def close(): Unit = ()
+}

@@ -7,11 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table => V2Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table => V2Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graft.ParquetRowReadBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
@@ -92,7 +92,15 @@ final class SpjSourceProvider extends TableProvider with DataSourceRegister {
 final class SpjTable(table: GraftTable, sparkSchema: StructType,
     allowBucket: Boolean = false, strict: Boolean = true,
     snapshotId: Option[Long] = None, writable: Boolean = false)
-    extends V2Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends V2Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file`: the data file each row came from — queryable directly
+    * (`SELECT _file, ...`) and the carrier that engages Spark's projecting
+    * write task for row-level operations.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(SpjTable.FileMetaColumn)
 
   private val spec = table.spec
   if (strict) require(spec.fields.nonEmpty,
@@ -225,6 +233,47 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     Writer.deleteWhere(SparkSession.active, table.refresh(), expr)
     ()
   }
+
+  /** SQL UPDATE / MERGE INTO / rewrite-path DELETE: group-based
+    * copy-on-write through [[GraftRowLevelOperation]] — Spark rewrites
+    * affected files' rows; the commit replaces exactly the scanned files in
+    * one conflict-validated `overwrite` snapshot.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable(info.command.toString.toLowerCase)
+    new RowLevelOperationBuilder {
+      override def build() = new GraftRowLevelOperation(table.refresh(), info.command)
+    }
+  }
+}
+
+object SpjTable {
+  val FileColumnName = "_file"
+
+  object FileMetaColumn extends MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "data file path of the row"
+  }
+
+  /** Split a requested schema into (data columns in table order, wants
+    * `_file`). The metadata column, when requested, must be LAST — Spark
+    * appends metadata columns after data columns; anything else would
+    * silently misalign the reader's row layout, so fail loudly.
+    */
+  def splitRequested(fullSchema: StructType, requested: StructType): (StructType, Boolean) = {
+    val withFile = requested.fieldNames.contains(FileColumnName)
+    if (withFile) require(requested.fieldNames.last == FileColumnName,
+      s"$FileColumnName must be the last requested column, got " +
+        requested.fieldNames.mkString(", "))
+    val keep = requested.fieldNames.toSet
+    val kept = StructType(fullSchema.fields.filter(f => keep(f.name)))
+    val data = if (kept.isEmpty && !withFile) StructType(fullSchema.fields.take(1)) else kept
+    (data, withFile)
+  }
 }
 
 /** Column pruning + filter pushdown for the SPJ scan: required columns
@@ -243,6 +292,7 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
+  private var withFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
@@ -266,14 +316,13 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     probeAgg(agg)
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table column order; an empty projection (COUNT(*)) keeps one
     // narrow column so the reader has a concrete schema to materialize
-    required = {
-      val keep = requiredSchema.fieldNames.toSet
-      val kept = StructType(fullSchema.fields.filter(f => keep(f.name)))
-      if (kept.isEmpty) StructType(fullSchema.fields.take(1)) else kept
-    }
+    val (data, file) = SpjTable.splitRequested(fullSchema, requiredSchema)
+    required = data
+    withFile = file
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -288,7 +337,7 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       new SpjScan(table, required, claimKeys, snapshotId, options,
         pushed.flatMap(SpjScanBuilder.toExpr)
           .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
-        pushed.toSeq)
+        pushed.toSeq, withFile = withFile)
   }
 }
 
@@ -332,10 +381,15 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     claimKeys: Option[Seq[Transform]], snapshotId: Option[Long],
     options: Map[String, String],
     fileFilter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
-    rowGroupFilters: Seq[Filter] = Nil)
+    rowGroupFilters: Seq[Filter] = Nil,
+    withFile: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning {
 
-  override def readSchema(): StructType = sparkSchema
+  override def readSchema(): StructType =
+    if (withFile) StructType(sparkSchema.fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.FileColumnName,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    else sparkSchema
   override def toBatch: Batch = this
 
   // planned once: partitioning metadata and input partitions must agree
@@ -378,7 +432,7 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val reader = ParquetRowReadBridge.rowReader(
       SparkSession.active, sparkSchema, options, rowGroupFilters)
-    new SpjReaderFactory(reader)
+    new SpjReaderFactory(reader, withFile)
   }
 }
 
@@ -405,13 +459,25 @@ final case class SpjInputPartition(key: Array[Any],
 }
 
 final class SpjReaderFactory(
-    reader: (String, Long) => Iterator[InternalRow])
+    reader: (String, Long) => Iterator[InternalRow],
+    withFile: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SpjInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = p.files.iterator.flatMap { case (path, len) => reader(path, len) }
+      private val it = p.files.iterator.flatMap { case (path, len) =>
+        val rows = reader(path, len)
+        if (!withFile) rows
+        else {
+          // append the `_file` metadata column (always last — the layout
+          // splitRequested pinned)
+          val fileRow = new GenericInternalRow(
+            Array[Any](UTF8String.fromString(path)))
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          rows.map(r => joined(r, fileRow))
+        }
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (it.hasNext) { current = it.next(); true } else false
