@@ -2684,6 +2684,45 @@ object IcebergQueries {
              CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
       FROM merged WHERE del = 0
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""), repeatable = true)
+      ORDER BY o_orderstatus"""), repeatable = true),
+
+    // SQL reads over merge-on-read state: DV puffin bitmaps and parquet
+    // positional deletes apply in the DSv2 reader (row positions from the
+    // parquet row-index generator, bitmaps LRU-cached executor-side), then
+    // SQL UPDATE rewrites the survivors — deleted rows never resurrect and
+    // the folded DVs leave with their files.
+    QueryDef.staged("i75_sql_mor_read", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/smr_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gsmr_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s,
+        cat.createTable("cust", schema, PartitionSpec.Unpartitioned), c.repartition(6))
+      // a v2 parquet pos-delete round, then two DV rounds (spec order: DVs
+      // written later supersede prior pos-deletes by merging them; the
+      // reverse — parquet pos-deletes landing on DV'd files — is invalid)
+      val t2 = Writer.deleteWhereMoR(s, t1, Expr.eq("c_mktsegment", "HOUSEHOLD"))
+      val t3 = Writer.deleteWhereDV(s, t2, Expr.eq("c_mktsegment", "MACHINERY"))
+      Writer.deleteWhereDV(s, t3, Expr.lt("c_acctbal", 0.0))
+      // SQL UPDATE on the MoR table: rewrite folds deletes into the files
+      s.sql(s"UPDATE $ctl.cust SET c_acctbal = c_acctbal + 1 WHERE c_mktsegment = 'BUILDING'")
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                                THEN c_acctbal + 1 ELSE c_acctbal END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      WHERE c_mktsegment NOT IN ('MACHINERY', 'HOUSEHOLD') AND c_acctbal >= 0
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -124,14 +124,12 @@ final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
     else sparkSchema
   override def toBatch: Batch = this
 
-  // static candidates (pushed-filter file pruning), planned once
+  // static candidates (pushed-filter file pruning), planned once. DV /
+  // positional deletes apply in the read (deleted rows never rewrite —
+  // no resurrection) and their delete files fold away at commit; equality
+  // deletes refuse loudly in SpjFileInfo.from.
   private lazy val allTasks: Seq[FileScanTask] = {
     val tasks = table.newScan.withFilter(fileFilter).planFiles()
-    tasks.foreach { t =>
-      require(t.posDeletes.isEmpty && t.eqDeletes.isEmpty,
-        s"row-level rewrite of ${t.file.path}: file carries MoR deletes " +
-          "(raw rewrite would resurrect deleted rows) — compact first")
-    }
     op.scanned = tasks
     tasks
   }
@@ -166,18 +164,18 @@ final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def parts: Array[SpjInputPartition] = {
     allTasks // force static planning if no runtime filter arrived
     op.scanned.map(t => SpjInputPartition(Array.empty,
-      Array((t.file.path, t.file.fileSize))): InputPartition).toArray
+      Array(SpjFileInfo.from(t, "row-level rewrite")))).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.map(identity[InputPartition])
+
+  override def createReaderFactory(): PartitionReaderFactory =
     // no row-group filters: a kept file is replaced whole
-    val reader = ParquetRowReadBridge.rowReader(
-      SparkSession.active, sparkSchema, options, Nil)
-    new SpjReaderFactory(reader, withFile)
-  }
+    SpjScan.readerFactory(parts, sparkSchema, options, Nil, withFile)
 }
 
 /** One written file, reported from the executor to the driver commit. */
@@ -226,10 +224,20 @@ final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable
       .map(f => Writer.harvestStats(f.path, schema, f.partValues,
         omitBounds = omitBounds, props = props))
       .seq.filter(_.recordCount > 0)
+    val removedPaths = removed.map(_.file.path).toSet
+    // deletion vectors reference exactly one data file — when that file is
+    // replaced, its DV folds away with it. Multi-file parquet pos-deletes
+    // may reference files outside the rewrite, so they stay (dangling
+    // entries for removed paths are inert; compaction folds them later).
+    val droppedDvs = removed.flatMap(_.posDeletes)
+      .filter(d => d.format == "PUFFIN" &&
+        d.referencedDataFile.exists(removedPaths.contains))
+      .map(d => (d.path, d.contentOffset)).toSet
     Writer.commitSnapshot(table, "overwrite",
       addedFiles = added,
-      removedPaths = removed.map(_.file.path).toSet,
+      removedPaths = removedPaths,
       addedDeleteFiles = Nil,
+      removedDeleteKeys = droppedDvs,
       conflictCheck = Some(Writer.ConflictCheck(
         rewrittenFiles = removed.map(t => (t.file, t.specId)))))
     ()

@@ -392,22 +392,19 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     else sparkSchema
   override def toBatch: Batch = this
 
-  // planned once: partitioning metadata and input partitions must agree
+  // planned once: partitioning metadata and input partitions must agree.
+  // DV / positional deletes apply per-row inside each partition (grouping
+  // by key is preserved — deletes only remove rows); equality deletes
+  // refuse loudly in SpjFileInfo.from.
   private lazy val grouped: Array[SpjInputPartition] = {
     val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
     val tasks = base.withFilter(fileFilter).planFiles()
-    tasks.foreach { t =>
-      require(t.posDeletes.isEmpty && t.eqDeletes.isEmpty,
-        s"graft-iceberg-spj: ${t.file.path} carries MoR deletes; " +
-          "delete application changes row counts after the partitioning " +
-          "claim — compact first or use graft.table.SparkRead")
-    }
     claimKeys match {
       case Some(_) =>
         tasks.groupBy(_.file.partition).toSeq
           .map { case (partValues, ts) =>
             SpjInputPartition(partValues.map(SpjScan.toCatalyst).toArray,
-              ts.map(t => (t.file.path, t.file.fileSize)).toArray)
+              ts.map(t => SpjFileInfo.from(t, "graft-iceberg-spj")).toArray)
           }
           .sortBy(_.key.toSeq.map(String.valueOf).mkString(" "))
           .toArray
@@ -415,7 +412,7 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
         // no partitioning claim to honor → one input partition per FILE
         // for maximal parallelism (files are rolling-writer target-sized)
         tasks.map(t => SpjInputPartition(Array.empty,
-          Array((t.file.path, t.file.fileSize)))).toArray
+          Array(SpjFileInfo.from(t, "graft-iceberg-spj")))).toArray
     }
   }
 
@@ -429,14 +426,45 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     grouped.map(identity[InputPartition])
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val reader = ParquetRowReadBridge.rowReader(
-      SparkSession.active, sparkSchema, options, rowGroupFilters)
-    new SpjReaderFactory(reader, withFile)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SpjScan.readerFactory(grouped, sparkSchema, options, rowGroupFilters, withFile)
 }
 
 object SpjScan {
+
+  /** Build the executor reader closures a partition set needs: the plain
+    * data reader always; the position-carrying data reader and the
+    * pos-delete-file reader only when some file actually carries deletes
+    * (zero overhead on clean tables).
+    */
+  def readerFactory(parts: Array[SpjInputPartition], dataSchema: StructType,
+      options: Map[String, String], rowGroupFilters: Seq[Filter],
+      withFile: Boolean): SpjReaderFactory = {
+    val spark = SparkSession.active
+    val anyDeletes = parts.exists(_.files.exists(_.deletes.nonEmpty))
+    val anyPosFiles = parts.exists(_.files.exists(
+      _.deletes.exists(_.posFiles.nonEmpty)))
+    val reader = ParquetRowReadBridge.rowReader(
+      spark, dataSchema, options, rowGroupFilters)
+    // row-group pruning composes with delete filtering: skipped row groups
+    // don't shift positions (the row-index generator honors row-group
+    // offsets), so surviving rows keep the absolute positions the delete
+    // sets refer to
+    val dataPos =
+      if (anyDeletes) Some(ParquetRowReadBridge.rowReaderWithPos(
+        spark, dataSchema, options, rowGroupFilters))
+      else None
+    val delSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val del =
+      if (anyPosFiles) Some(ParquetRowReadBridge.rowReader(
+        spark, delSchema, options, Nil))
+      else None
+    new SpjReaderFactory(reader, withFile, dataPos, del, dataSchema, options)
+  }
   /** Manifest-stored partition values → catalyst representations (the key
     * row Spark groups/compares on). Loud on anything exotic.
     */
@@ -453,29 +481,112 @@ object SpjScan {
   }
 }
 
+/** MoR deletes attached to one data file: deletion-vector blobs (puffin
+  * path, offset, length — bitmaps read and LRU-cached executor-side) and
+  * parquet positional-delete files (path, size — read executor-side,
+  * filtered to this data file). Equality deletes are not representable
+  * here; scans refuse them loudly toward [[graft.table.SparkRead]].
+  */
+final case class SpjFileDeletes(dvs: Array[(String, Long, Long)],
+    posFiles: Array[(String, Long)]) {
+  def isEmpty: Boolean = dvs.isEmpty && posFiles.isEmpty
+}
+
+final case class SpjFileInfo(path: String, len: Long,
+    deletes: Option[SpjFileDeletes])
+
+object SpjFileInfo {
+  /** Task → serializable file info; loud on equality deletes (their
+    * application needs the anti-join pipeline, not a position filter).
+    */
+  def from(t: graft.table.FileScanTask, context: String): SpjFileInfo = {
+    require(t.eqDeletes.isEmpty,
+      s"$context: ${t.file.path} carries equality deletes — " +
+        "compact first or read through graft.table.SparkRead")
+    val dvs = t.posDeletes.filter(_.format == "PUFFIN")
+      .map(d => (d.path, d.contentOffset.get, d.contentSize.get))
+      .distinct.toArray
+    val pos = t.posDeletes.filter(_.format != "PUFFIN")
+      .map(d => (d.path, d.fileSize)).distinct.toArray
+    val del = SpjFileDeletes(dvs, pos)
+    SpjFileInfo(t.file.path, t.file.fileSize,
+      if (del.isEmpty) None else Some(del))
+  }
+}
+
 final case class SpjInputPartition(key: Array[Any],
-    files: Array[(String, Long)]) extends InputPartition with HasPartitionKey {
+    files: Array[SpjFileInfo]) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
 }
 
+/** Executor-side row production: per file, either the plain reader or —
+  * when MoR deletes are attached — the position-carrying reader with a
+  * delete filter (DV bitmaps via the executor LRU cache, positional-delete
+  * parquet read and scoped to the file), positions stripped after the
+  * filter by a codegen'd projection. `_file`, when requested, is appended
+  * last.
+  */
 final class SpjReaderFactory(
     reader: (String, Long) => Iterator[InternalRow],
-    withFile: Boolean = false)
+    withFile: Boolean = false,
+    dataPosReader: Option[(String, Long) => Iterator[InternalRow]] = None,
+    delReader: Option[(String, Long) => Iterator[InternalRow]] = None,
+    dataSchema: StructType = new StructType(),
+    ioOptions: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
+
+  // read a pos-delete parquet (schema: file_path string, pos long) and
+  // collect the positions that target `dataPath`
+  private def posDeleteSet(files: Array[(String, Long)], dataPath: String): java.util.HashSet[java.lang.Long] = {
+    val out = new java.util.HashSet[java.lang.Long]()
+    val want = graft.io.FileIO.canonical(dataPath)
+    val rd = delReader.getOrElse(throw new IllegalStateException(
+      "pos-delete files present but no pos-delete reader was planned"))
+    files.foreach { case (p, len) =>
+      rd(p, len).foreach { r =>
+        if (graft.io.FileIO.canonical(r.getUTF8String(0).toString) == want) {
+          out.add(r.getLong(1)); ()
+        }
+      }
+    }
+    out
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SpjInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = p.files.iterator.flatMap { case (path, len) =>
-        val rows = reader(path, len)
-        if (!withFile) rows
+      private val it = p.files.iterator.flatMap { f =>
+        val base = f.deletes match {
+          case None => reader(f.path, f.len)
+          case Some(del) =>
+            val bitmaps = del.dvs.map { case (path, off, len) =>
+              graft.table.SparkRead.DvCache.get(path, off, len, ioOptions)
+            }
+            val posSet =
+              if (del.posFiles.isEmpty) null
+              else posDeleteSet(del.posFiles, f.path)
+            val posIdx = dataSchema.fields.length // trailing row-index col
+            import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+            val strip = UnsafeProjection.create(
+              dataSchema.fields.zipWithIndex.map { case (sf, i) =>
+                BoundReference(i, sf.dataType, sf.nullable)
+              }.toSeq)
+            dataPosReader.getOrElse(throw new IllegalStateException(
+              "MoR deletes present but no position reader was planned"))
+              .apply(f.path, f.len).filter { r =>
+              val pos = r.getLong(posIdx)
+              !bitmaps.exists(_.contains(pos)) &&
+                (posSet == null || !posSet.contains(pos))
+            }.map(strip)
+        }
+        if (!withFile) base
         else {
           // append the `_file` metadata column (always last — the layout
           // splitRequested pinned)
           val fileRow = new GenericInternalRow(
-            Array[Any](UTF8String.fromString(path)))
+            Array[Any](UTF8String.fromString(f.path)))
           val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-          rows.map(r => joined(r, fileRow))
+          base.map(r => joined(r, fileRow))
         }
       }
       private var current: InternalRow = _

@@ -367,7 +367,7 @@ object SparkRead {
     * files its tasks scan, so memory is bounded by the executor's working
     * set of DVs — never the table's full DV set, which lives nowhere whole.
     */
-  private[table] object DvCache {
+  private[graft] object DvCache {
     // access-ordered LRU, size-bounded: a long compaction over a DV-heavy
     // table evicts only the coldest bitmaps instead of thrashing the whole
     // cache (entries are immutable — eviction is re-read cost, never wrong)

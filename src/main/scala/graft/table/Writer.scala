@@ -153,6 +153,12 @@ object Writer {
     SparkRead.configure(spark)
     val candidates = table.newScan.withFilter(filter).planFiles()
     if (candidates.isEmpty) return table
+    // supersedence guard: a parquet pos-delete landing on a file that
+    // already carries a DV is IGNORED by every spec-compliant reader (the
+    // DV supersedes) — writing one would silently lose this delete. Route
+    // the whole call through the DV writer, which unions into existing DVs.
+    if (candidates.exists(_.posDeletes.exists(_.format == "PUFFIN")))
+      return deleteWhereDV(spark, table, filter)
     val schema = table.schema
     val readSchema = SchemaBridge.toSpark(schema)
     // one writer task per data file (not coalesce(1)): pos-delete files must

@@ -49,4 +49,22 @@ object ParquetRowReadBridge {
       }
     }
   }
+
+  /** Like [[rowReader]], but each row carries its in-file ROW POSITION as a
+    * trailing long column — the parquet readers materialize Spark's
+    * temporary row-index column natively (row-group offsets honored), which
+    * is what positional-delete / deletion-vector application filters on.
+    */
+  def rowReaderWithPos(spark: SparkSession, schema: StructType,
+      options: Map[String, String],
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil):
+      (String, Long) => Iterator[InternalRow] = {
+    // the column must be NULLABLE (the reader tolerates it missing from the
+    // file only then) and named with the temporary marker; the row-index
+    // generator then fills it with absolute in-file positions
+    val withPos = StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true))
+    rowReader(spark, withPos, options, filters)
+  }
 }

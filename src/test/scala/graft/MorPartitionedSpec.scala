@@ -41,6 +41,19 @@ class MorPartitionedSpec extends AnyFunSuite with BeforeAndAfterAll {
       nation)
   }
 
+  test("positional MoR delete after a DV routes through the DV writer (supersedence)") {
+    // a parquet pos-delete landing on a DV'd file is IGNORED by the
+    // supersede rule — the writer must union into the DV instead of
+    // silently losing the delete
+    val t1 = freshNation("morp_supersede")
+    val t2 = Writer.deleteWhereDV(spark, t1, Expr.lt("n_nationkey", 5))
+    val t3 = Writer.deleteWhereMoR(spark, t2, Expr.eq("n_nationkey", 7))
+    assert(SparkRead.read(spark, t3.newScan).count() === 19)
+    // no parquet pos-delete was written; the delete landed as a DV union
+    assert(t3.newScan.planFiles()
+      .forall(_.posDeletes.forall(_.format == "PUFFIN")))
+  }
+
   test("positional MoR delete applies on a partitioned table") {
     val t1 = freshNation("morp_pos")
     val t2 = Writer.deleteWhereMoR(spark, t1, Expr.lt("n_nationkey", 5))

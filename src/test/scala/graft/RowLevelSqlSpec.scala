@@ -135,6 +135,63 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 30).map(_.toDouble).sum + 200.0)
   }
 
+  test("SQL reads apply deletion vectors and positional deletes; eq-deletes refuse") {
+    import graft.core.{Expr, SchemaBridge}
+    import graft.format.PartitionSpec
+    import graft.table.Writer
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val schema = SchemaBridge.fromSpark(c.schema)
+    // DV table (two DVs on the same files must union)
+    val t1 = Writer.append(spark,
+      catalog.createTable("mor_dv", schema, PartitionSpec.Unpartitioned), c)
+    val t2 = Writer.deleteWhereDV(spark, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+    Writer.deleteWhereDV(spark, t2, Expr.lt("c_acctbal", 0.0))
+    val got = spark.sql(
+      "SELECT count(*) FROM g.mor_dv WHERE c_mktsegment = 'MACHINERY'").head.getLong(0)
+    assert(got === 0L)
+    assert(spark.sql("SELECT count(*) FROM g.mor_dv").head.getLong(0) ===
+      c.filter("c_mktsegment <> 'MACHINERY' AND c_acctbal >= 0").count())
+
+    // parquet positional deletes (v2 MoR)
+    val t3 = Writer.append(spark,
+      catalog.createTable("mor_pos", schema, PartitionSpec.Unpartitioned), c)
+    Writer.deleteWhereMoR(spark, t3, Expr.eq("c_mktsegment", "BUILDING"))
+    assert(spark.sql("SELECT count(*) FROM g.mor_pos").head.getLong(0) ===
+      c.filter("c_mktsegment <> 'BUILDING'").count())
+
+    // equality deletes still refuse loudly toward SparkRead
+    val t4 = Writer.append(spark,
+      catalog.createTable("mor_eq", schema, PartitionSpec.Unpartitioned), c)
+    Writer.equalityDelete(spark, t4, c.select("c_custkey").limit(5),
+      Seq("c_custkey"))
+    val e = intercept[Exception](spark.sql("SELECT count(*) FROM g.mor_eq").collect())
+    assert(e.getMessage != null)
+  }
+
+  test("UPDATE on a DV table: deleted rows stay deleted, DVs fold away") {
+    import graft.core.{Expr, SchemaBridge}
+    import graft.format.PartitionSpec
+    import graft.table.Writer
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val schema = SchemaBridge.fromSpark(c.schema)
+    val t1 = Writer.append(spark,
+      catalog.createTable("mor_up", schema, PartitionSpec.Unpartitioned), c)
+    Writer.deleteWhereDV(spark, t1, Expr.eq("c_mktsegment", "MACHINERY"))
+
+    spark.sql("UPDATE g.mor_up SET c_acctbal = 0 WHERE c_acctbal < 0")
+
+    // deleted segment did not resurrect; update applied to survivors only
+    assert(spark.sql(
+      "SELECT count(*) FROM g.mor_up WHERE c_mktsegment = 'MACHINERY'").head.getLong(0) === 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM g.mor_up WHERE c_acctbal < 0").head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM g.mor_up").head.getLong(0) ===
+      c.filter("c_mktsegment <> 'MACHINERY'").count())
+    // the rewrite folded the DVs away with their files
+    val t = catalog.loadTable("mor_up")
+    assert(t.newScan.planFiles().forall(_.posDeletes.isEmpty), "DVs survived the rewrite")
+  }
+
   test("time-travel tables refuse row-level DML") {
     spark.sql("CREATE TABLE g.tt (k BIGINT)")
     spark.sql("INSERT INTO g.tt VALUES (1)")

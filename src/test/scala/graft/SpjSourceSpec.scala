@@ -138,13 +138,23 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!qf.queryExecution.executedPlan.toString.contains("SpjAggScan"))
   }
 
-  test("tables with MoR deletes are refused loudly") {
+  test("MoR positional deletes apply inside SPJ partitions; eq-deletes refuse loudly") {
     val n = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(n.schema)
     val t1 = Writer.append(spark, catalog.createTable("nat_mor", schema,
       PartitionSpec.builder(schema).add("n_regionkey", Transforms.Identity).build()), n)
     Writer.deleteWhereMoR(spark, t1, Expr.eq("n_nationkey", 3))
-    val e = intercept[Exception](rd("nat_mor").count())
-    assert(e.getMessage.contains("MoR deletes"))
+    // deletes only remove rows, so the key-grouped claim still holds —
+    // the scan applies them per-row and stays partition-grouped
+    assert(rd("nat_mor").count() === 24)
+    assert(rd("nat_mor").filter(col("n_nationkey") === 3).count() === 0)
+
+    // equality deletes need the anti-join pipeline — refuse loudly
+    val t2 = Writer.append(spark, catalog.createTable("nat_eq", schema,
+      PartitionSpec.builder(schema).add("n_regionkey", Transforms.Identity).build()), n)
+    Writer.equalityDelete(spark, t2, n.select(col("n_nationkey")).limit(2),
+      Seq("n_nationkey"))
+    val e = intercept[Exception](rd("nat_eq").count())
+    assert(e.getMessage.contains("equality deletes"))
   }
 }
