@@ -89,4 +89,58 @@ object Sampling {
       .withColumn("epoch_copy", explode(sequence(lit(1L), col("__n"))))
       .drop("__n")
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): pick the k documents
+    * whose token distribution most resembles a TARGET slice of the corpus,
+    * under bag-of-words unigram models.
+    *
+    *   log w(doc) = Σ_{token ∈ doc ∩ vocab} log p_target(token) / p_source(token)
+    *
+    * with add-1 smoothing over a top-`vocabSize` target vocabulary. The
+    * paper's Gumbel-noise resampling is replaced by the deterministic
+    * top-k by (weight, id) — reproducible across engines (compose with
+    * [[weightedResample]] for the stochastic variant). Weights round to 6
+    * decimals so partial-aggregation order and `log` ulp differences
+    * between engines never flip a rank.
+    *
+    * Output: (idCol, log_w, rank), rank 1..k.
+    *
+    * Scale shape: the vocabulary and both count models are tiny
+    * (vocabSize rows) and BROADCAST; the corpus explodes to tokens once,
+    * joins map-side against the broadcast ratio table, and the only
+    * corpus-scale exchange is the per-doc partial-aggregated sum. The
+    * final top-k is `orderBy.limit` — TakeOrderedAndProject, a per-task
+    * k-heap + driver merge (a global row_number window would instead sort
+    * every doc in ONE partition); rank is then a window over k rows only.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, textCol: String,
+      idCol: String, vocabSize: Int, k: Int): DataFrame = {
+    val words = docs.select(col(idCol), isTarget.as("__t"),
+      explode(split(col(textCol), " ")).as("word"))
+
+    val targetCnt = words.filter(col("__t"))
+      .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+    val vocab = targetCnt
+      .orderBy(col("ct").desc, col("word").asc).limit(vocabSize)
+    val totT = words.filter(col("__t")).count()
+    val totS = words.count()
+
+    val sourceCnt = words.groupBy(col("word")).agg(count(lit(1)).as("cs"))
+    // V rows: log((ct+1)/(totT+V)) - log((cs+1)/(totS+V))
+    val ratio = vocab.join(sourceCnt, Seq("word"))
+      .select(col("word"),
+        (log((col("ct") + 1.0) / lit(totT.toDouble + vocabSize)) -
+          log((col("cs") + 1.0) / lit(totS.toDouble + vocabSize))).as("lr"))
+
+    val logw = words.join(broadcast(ratio), Seq("word"))
+      .groupBy(col(idCol)).agg(sum(col("lr")).as("__w"))
+    val scored = docs.select(col(idCol))
+      .join(logw, Seq(idCol), "left")
+      .select(col(idCol), round(coalesce(col("__w"), lit(0.0)), 6).as("log_w"))
+    scored
+      .orderBy(col("log_w").desc, col(idCol).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("log_w").desc, col(idCol).asc)))
+  }
 }

@@ -1184,6 +1184,41 @@ object Text {
       FROM tok t JOIN q ON t.source = q.source
       WHERE t.ntok >= q.p_lo AND t.ntok <= q.p_hi
       GROUP BY t.source, q.p_lo, q.p_hi
-      ORDER BY t.source"""))
+      ORDER BY t.source""")),
+
+    // DSIR importance selection: top-40 documents most resembling the
+    // English slice under smoothed unigram models over a top-50 target
+    // vocabulary — deterministic top-k (the paper's Gumbel resampling
+    // composes via weightedResample)
+    QueryDef("t34_dsir_select", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.llm.Sampling.dsirSelect(docs, col("lang") === "en", "text", "doc_id",
+        vocabSize = 50, k = 40)
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      tcnt AS (SELECT word, COUNT(*) AS ct FROM w WHERE lang = 'en' GROUP BY word),
+      v AS (SELECT word, ct FROM (
+              SELECT word, ct, ROW_NUMBER() OVER (ORDER BY ct DESC, word ASC) AS r
+              FROM tcnt)
+            WHERE r <= 50),
+      tot AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS tt,
+                     CAST(COUNT(*) AS DOUBLE) AS ts
+              FROM w),
+      scnt AS (SELECT word, COUNT(*) AS cs FROM w GROUP BY word),
+      ratio AS (SELECT v.word,
+                       ln((v.ct + 1.0) / (tot.tt + 50)) -
+                       ln((scnt.cs + 1.0) / (tot.ts + 50)) AS lr
+                FROM v JOIN scnt ON v.word = scnt.word CROSS JOIN tot),
+      logw AS (SELECT w.doc_id, SUM(r.lr) AS lw
+               FROM w JOIN ratio r ON w.word = r.word GROUP BY w.doc_id),
+      scored AS (SELECT d.doc_id, round(COALESCE(l.lw, 0.0), 6) AS log_w
+                 FROM documents d LEFT JOIN logw l ON d.doc_id = l.doc_id)
+      SELECT doc_id, log_w,
+             CAST(ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id ASC) AS INT) AS rank
+      FROM scored
+      ORDER BY log_w DESC, doc_id ASC
+      LIMIT 40"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

@@ -87,4 +87,25 @@ class ChunkQuantSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(o.toDouble - b) <= step / 2 + 1e-12)
     }
   }
+
+  test("dsirSelect ranks target-lookalike documents above dissimilar ones") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    // target (t=true) speaks "alpha beta"; doc 10 resembles it, doc 11
+    // speaks the off-distribution "zeta" dialect
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta beta gamma", true),
+      (10L, "alpha beta alpha", false),
+      (11L, "zeta zeta zeta eta", false),
+      (12L, "gamma alpha", false)
+    ).toDF("doc_id", "text", "is_t")
+    val sel = Sampling.dsirSelect(docs, col("is_t"), "text", "doc_id",
+      vocabSize = 4, k = 5).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // the lookalike outranks the off-distribution doc
+    assert(sel(10L) < sel(11L))
+    assert(sel(12L) < sel(11L))
+    // ranks are 1..k over all docs
+    assert(sel.values.toSeq.sorted === (1 to 5))
+  }
 }
