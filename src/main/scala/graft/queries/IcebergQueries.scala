@@ -2723,6 +2723,38 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment NOT IN ('MACHINERY', 'HOUSEHOLD') AND c_acctbal >= 0
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // SQL reads over EQUALITY-delete state (the streaming-upsert/CDC leftover
+    // shape): key sets load once per executor (LRU-cached), rows filter by
+    // null-safe key membership — including under a projection that drops the
+    // key column (the read schema widens for the filter, then projects back).
+    QueryDef.staged("i76_sql_eq_read", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/seq_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gseq_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s,
+        cat.createTable("cust", schema, PartitionSpec.Unpartitioned), c.repartition(4))
+      Writer.equalityDelete(s, t1,
+        c.filter(col("c_custkey") % 9 === 0).select(col("c_custkey")),
+        Seq("c_custkey"))
+      // projection WITHOUT the key column: the widened read still filters
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      WHERE c_custkey % 9 <> 0
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

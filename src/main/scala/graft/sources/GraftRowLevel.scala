@@ -40,9 +40,9 @@ import graft.table.{FileScanTask, Table => GraftTable, Writer}
   *      CoW path — a concurrent writer touching the rewritten files forces
   *      a retry/rebase, never a lost update.
   *
-  * Scope guard: candidate files carrying MoR deletes refuse loudly (raw
-  * file rows would resurrect deleted rows) — compact first; SQL DML
-  * through this catalog is CoW end-to-end.
+  * Candidate files carrying MoR deletes read through the delete-applying
+  * reader (live rows only — no resurrection); the rewrite folds covered
+  * DVs away and out-sequences old equality deletes.
   *
   * Reference basis: the reference's row-delta/upsert transaction
   * (`table/transaction.go:2340-2600`) expressed through Spark's native
@@ -124,10 +124,10 @@ final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
     else sparkSchema
   override def toBatch: Batch = this
 
-  // static candidates (pushed-filter file pruning), planned once. DV /
-  // positional deletes apply in the read (deleted rows never rewrite —
-  // no resurrection) and their delete files fold away at commit; equality
-  // deletes refuse loudly in SpjFileInfo.from.
+  // static candidates (pushed-filter file pruning), planned once. MoR
+  // deletes (DVs, positional, equality) apply in the read — deleted rows
+  // never rewrite, no resurrection; covered DVs fold away at commit, and
+  // old eq-deletes never apply to the rewritten files (higher sequence).
   private lazy val allTasks: Seq[FileScanTask] = {
     val tasks = table.newScan.withFilter(fileFilter).planFiles()
     op.scanned = tasks
@@ -175,7 +175,7 @@ final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
 
   override def createReaderFactory(): PartitionReaderFactory =
     // no row-group filters: a kept file is replaced whole
-    SpjScan.readerFactory(parts, sparkSchema, options, Nil, withFile)
+    SpjScan.readerFactory(table, parts, sparkSchema, options, Nil, withFile)
 }
 
 /** One written file, reported from the executor to the driver commit. */

@@ -38,8 +38,9 @@ import graft.table.{Table => GraftTable, Writer}
   * [[graft.table.SparkRead]] reader:
   *   - identity transforms only (bucket SPJ additionally needs a
   *     FunctionCatalog so Spark can prove both sides hash identically);
-  *   - clean tables only (no pos/eq-deletes/DVs — MoR delete application
-  *     would change row counts AFTER the partitioning claim).
+  *   - merge-on-read state applies in the reader: DV bitmaps, positional
+  *     deletes, and equality-delete key sets filter per-row (deletes only
+  *     remove rows, so key-grouped claims hold).
   * Column pruning and filter pushdown are full-fidelity: see
   * [[SpjScanBuilder]].
   *
@@ -393,9 +394,8 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
   override def toBatch: Batch = this
 
   // planned once: partitioning metadata and input partitions must agree.
-  // DV / positional deletes apply per-row inside each partition (grouping
-  // by key is preserved — deletes only remove rows); equality deletes
-  // refuse loudly in SpjFileInfo.from.
+  // MoR deletes (DVs, positional, equality) apply per-row inside each
+  // partition — grouping by key is preserved, deletes only remove rows.
   private lazy val grouped: Array[SpjInputPartition] = {
     val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
     val tasks = base.withFilter(fileFilter).planFiles()
@@ -427,33 +427,49 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     grouped.map(identity[InputPartition])
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SpjScan.readerFactory(grouped, sparkSchema, options, rowGroupFilters, withFile)
+    SpjScan.readerFactory(table, grouped, sparkSchema, options,
+      rowGroupFilters, withFile)
 }
 
 object SpjScan {
 
   /** Build the executor reader closures a partition set needs: the plain
-    * data reader always; the position-carrying data reader and the
-    * pos-delete-file reader only when some file actually carries deletes
-    * (zero overhead on clean tables).
+    * data reader always; delete-application machinery (position-carrying
+    * data reader over a schema widened with any equality-key columns,
+    * pos-delete and eq-delete file readers) only when some file actually
+    * carries deletes — zero overhead on clean tables.
     */
-  def readerFactory(parts: Array[SpjInputPartition], dataSchema: StructType,
-      options: Map[String, String], rowGroupFilters: Seq[Filter],
-      withFile: Boolean): SpjReaderFactory = {
+  def readerFactory(table: GraftTable, parts: Array[SpjInputPartition],
+      dataSchema: StructType, options: Map[String, String],
+      rowGroupFilters: Seq[Filter], withFile: Boolean): SpjReaderFactory = {
     val spark = SparkSession.active
     val anyDeletes = parts.exists(_.files.exists(_.deletes.nonEmpty))
     val anyPosFiles = parts.exists(_.files.exists(
       _.deletes.exists(_.posFiles.nonEmpty)))
+    val eqIdSets: Seq[Seq[Int]] = parts.flatMap(_.files)
+      .flatMap(_.deletes.toSeq.flatMap(_.eqFiles.map(_._3))).distinct.toSeq
     val reader = ParquetRowReadBridge.rowReader(
       spark, dataSchema, options, rowGroupFilters)
+    if (!anyDeletes)
+      return new SpjReaderFactory(reader, withFile)
+
+    // equality-key columns the pruned projection may lack: widen the
+    // delete-path read schema (appended AFTER the data columns, so the
+    // strip projection is a prefix take)
+    val eqFieldsById: Map[Int, org.apache.spark.sql.types.StructField] =
+      eqIdSets.flatten.distinct.map { id =>
+        id -> SchemaBridge.toSparkField(table.schema.idToField(id))
+      }.toMap
+    val present = dataSchema.fieldNames.toSet
+    val widened = StructType(dataSchema.fields ++
+      eqFieldsById.values.filterNot(f => present(f.name)).toSeq.sortBy(_.name))
+
     // row-group pruning composes with delete filtering: skipped row groups
     // don't shift positions (the row-index generator honors row-group
     // offsets), so surviving rows keep the absolute positions the delete
     // sets refer to
-    val dataPos =
-      if (anyDeletes) Some(ParquetRowReadBridge.rowReaderWithPos(
-        spark, dataSchema, options, rowGroupFilters))
-      else None
+    val dataPos = ParquetRowReadBridge.rowReaderWithPos(
+      spark, widened, options, rowGroupFilters)
     val delSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("file_path",
         org.apache.spark.sql.types.StringType, nullable = false),
@@ -463,7 +479,28 @@ object SpjScan {
       if (anyPosFiles) Some(ParquetRowReadBridge.rowReader(
         spark, delSchema, options, Nil))
       else None
-    new SpjReaderFactory(reader, withFile, dataPos, del, dataSchema, options)
+    // per distinct equality-id set: a reader over the key columns (in id
+    // order) and the matching (index, type) extractors into the widened
+    // data row
+    val eqReaders: Map[Seq[Int], (String, Long) => Iterator[InternalRow]] =
+      eqIdSets.map { ids =>
+        // read delete files by NAME: they may lack parquet field ids, and
+        // an id-carrying read schema makes the reader reject such files
+        val fields = ids.map(eqFieldsById).map(f =>
+          org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))
+        ids -> ParquetRowReadBridge.rowReader(
+          spark, StructType(fields), options, Nil)
+      }.toMap
+    val eqExtract: Map[Seq[Int], Array[(Int, org.apache.spark.sql.types.DataType)]] =
+      eqIdSets.map { ids =>
+        ids -> ids.map { id =>
+          val name = eqFieldsById(id).name
+          val idx = widened.fieldIndex(name)
+          (idx, widened.fields(idx).dataType)
+        }.toArray
+      }.toMap
+    new SpjReaderFactory(reader, withFile, Some(dataPos), del,
+      dataSchema, options, widened, eqReaders, eqExtract)
   }
   /** Manifest-stored partition values → catalyst representations (the key
     * row Spark groups/compares on). Loud on anything exotic.
@@ -482,33 +519,38 @@ object SpjScan {
 }
 
 /** MoR deletes attached to one data file: deletion-vector blobs (puffin
-  * path, offset, length — bitmaps read and LRU-cached executor-side) and
+  * path, offset, length — bitmaps read and LRU-cached executor-side),
   * parquet positional-delete files (path, size — read executor-side,
-  * filtered to this data file). Equality deletes are not representable
-  * here; scans refuse them loudly toward [[graft.table.SparkRead]].
+  * filtered to this data file), and equality-delete files (path, size,
+  * equality field ids — key sets read and LRU-cached executor-side; rows
+  * whose key tuple appears are dropped, null-safe per the spec). The
+  * planner already scoped applicability (sequence rules, DV supersedence).
+  *
+  * Scale note: equality key sets are held in executor memory per delete
+  * file — the CDC upsert pattern keeps them bounded and compaction folds
+  * them; for unbounded eq-delete backlogs use [[graft.table.SparkRead]]'s
+  * anti-join pipeline.
   */
 final case class SpjFileDeletes(dvs: Array[(String, Long, Long)],
-    posFiles: Array[(String, Long)]) {
-  def isEmpty: Boolean = dvs.isEmpty && posFiles.isEmpty
+    posFiles: Array[(String, Long)],
+    eqFiles: Array[(String, Long, Seq[Int])] = Array.empty) {
+  def isEmpty: Boolean = dvs.isEmpty && posFiles.isEmpty && eqFiles.isEmpty
 }
 
 final case class SpjFileInfo(path: String, len: Long,
     deletes: Option[SpjFileDeletes])
 
 object SpjFileInfo {
-  /** Task → serializable file info; loud on equality deletes (their
-    * application needs the anti-join pipeline, not a position filter).
-    */
   def from(t: graft.table.FileScanTask, context: String): SpjFileInfo = {
-    require(t.eqDeletes.isEmpty,
-      s"$context: ${t.file.path} carries equality deletes — " +
-        "compact first or read through graft.table.SparkRead")
     val dvs = t.posDeletes.filter(_.format == "PUFFIN")
       .map(d => (d.path, d.contentOffset.get, d.contentSize.get))
       .distinct.toArray
     val pos = t.posDeletes.filter(_.format != "PUFFIN")
       .map(d => (d.path, d.fileSize)).distinct.toArray
-    val del = SpjFileDeletes(dvs, pos)
+    val eqs = t.eqDeletes
+      .map { case (d, _) => (d.path, d.fileSize, d.equalityIds) }
+      .distinct.toArray
+    val del = SpjFileDeletes(dvs, pos, eqs)
     SpjFileInfo(t.file.path, t.file.fileSize,
       if (del.isEmpty) None else Some(del))
   }
@@ -519,11 +561,62 @@ final case class SpjInputPartition(key: Array[Any],
   override def partitionKey(): InternalRow = new GenericInternalRow(key)
 }
 
+/** Row values normalized to structurally-comparable JVM values, for
+  * equality-delete key tuples (UTF8String → String, byte[] → Seq, Decimal
+  * → BigDecimal). Null-safe: nulls compare equal per the spec's canonical
+  * key encoding.
+  */
+object SpjValues {
+  def normalize(row: InternalRow, idx: Int,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (row.isNullAt(idx)) null
+    else dt match {
+      case IntegerType | DateType => row.getInt(idx)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(idx)
+      case StringType => row.getUTF8String(idx).toString
+      case BooleanType => row.getBoolean(idx)
+      case DoubleType => row.getDouble(idx)
+      case FloatType => row.getFloat(idx)
+      case d: DecimalType =>
+        row.getDecimal(idx, d.precision, d.scale).toJavaBigDecimal
+      case BinaryType => row.getBinary(idx).toSeq
+      case other => throw new IllegalArgumentException(
+        s"equality-delete key type $other unsupported")
+    }
+  }
+}
+
+/** Executor-wide LRU of equality-delete key sets — each executor reads
+  * each eq-delete file once per (file, key-set) no matter how many data
+  * files it applies to (entries immutable; eviction is re-read cost).
+  */
+object EqDeleteCache {
+  private val MaxEntries = 256
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Seq[Int]), Set[List[Any]]](
+        32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[Int]), Set[List[Any]]]): Boolean =
+        size() > MaxEntries
+    })
+
+  def get(path: String, ids: Seq[Int], load: () => Set[List[Any]]): Set[List[Any]] = {
+    val key = (path, ids)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val v = load()
+    cache.put(key, v)
+    v
+  }
+}
+
 /** Executor-side row production: per file, either the plain reader or —
-  * when MoR deletes are attached — the position-carrying reader with a
-  * delete filter (DV bitmaps via the executor LRU cache, positional-delete
-  * parquet read and scoped to the file), positions stripped after the
-  * filter by a codegen'd projection. `_file`, when requested, is appended
+  * when MoR deletes are attached — the position-carrying reader over the
+  * eq-key-widened schema with a delete filter (DV bitmaps via the executor
+  * LRU cache, positional-delete parquet scoped to the file, equality-key
+  * membership against cached key sets), then a codegen'd prefix projection
+  * back to the requested columns. `_file`, when requested, is appended
   * last.
   */
 final class SpjReaderFactory(
@@ -532,7 +625,10 @@ final class SpjReaderFactory(
     dataPosReader: Option[(String, Long) => Iterator[InternalRow]] = None,
     delReader: Option[(String, Long) => Iterator[InternalRow]] = None,
     dataSchema: StructType = new StructType(),
-    ioOptions: Map[String, String] = Map.empty)
+    ioOptions: Map[String, String] = Map.empty,
+    widenedSchema: StructType = new StructType(),
+    eqReaders: Map[Seq[Int], (String, Long) => Iterator[InternalRow]] = Map.empty,
+    eqExtract: Map[Seq[Int], Array[(Int, org.apache.spark.sql.types.DataType)]] = Map.empty)
     extends PartitionReaderFactory {
 
   // read a pos-delete parquet (schema: file_path string, pos long) and
@@ -552,6 +648,21 @@ final class SpjReaderFactory(
     out
   }
 
+  private def eqKeySet(path: String, len: Long, ids: Seq[Int]): Set[List[Any]] =
+    EqDeleteCache.get(path, ids, () => {
+      val rd = eqReaders(ids)
+      val types = eqExtract(ids).map(_._2) // delete-file columns ride in id order
+      rd(path, len).map { r =>
+        var i = 0
+        val b = List.newBuilder[Any]
+        while (i < ids.length) {
+          b += SpjValues.normalize(r, i, types(i))
+          i += 1
+        }
+        b.result()
+      }.toSet
+    })
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SpjInputPartition]
     new PartitionReader[InternalRow] {
@@ -565,7 +676,12 @@ final class SpjReaderFactory(
             val posSet =
               if (del.posFiles.isEmpty) null
               else posDeleteSet(del.posFiles, f.path)
-            val posIdx = dataSchema.fields.length // trailing row-index col
+            // per eq-delete group: (data-row extractors, key set)
+            val eqGroups: Array[(Array[(Int, org.apache.spark.sql.types.DataType)], Set[List[Any]])] =
+              del.eqFiles.map { case (path, len, ids) =>
+                (eqExtract(ids), eqKeySet(path, len, ids))
+              }
+            val posIdx = widenedSchema.fields.length // trailing row-index col
             import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
             val strip = UnsafeProjection.create(
               dataSchema.fields.zipWithIndex.map { case (sf, i) =>
@@ -576,7 +692,11 @@ final class SpjReaderFactory(
               .apply(f.path, f.len).filter { r =>
               val pos = r.getLong(posIdx)
               !bitmaps.exists(_.contains(pos)) &&
-                (posSet == null || !posSet.contains(pos))
+                (posSet == null || !posSet.contains(pos)) &&
+                !eqGroups.exists { case (extract, keys) =>
+                  keys.contains(extract.map { case (idx, dt) =>
+                    SpjValues.normalize(r, idx, dt) }.toList)
+                }
             }.map(strip)
         }
         if (!withFile) base

@@ -135,7 +135,7 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 30).map(_.toDouble).sum + 200.0)
   }
 
-  test("SQL reads apply deletion vectors and positional deletes; eq-deletes refuse") {
+  test("SQL reads apply deletion vectors, positional and equality deletes") {
     import graft.core.{Expr, SchemaBridge}
     import graft.format.PartitionSpec
     import graft.table.Writer
@@ -159,13 +159,16 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM g.mor_pos").head.getLong(0) ===
       c.filter("c_mktsegment <> 'BUILDING'").count())
 
-    // equality deletes still refuse loudly toward SparkRead
+    // equality deletes apply via cached key sets (null-safe membership)
     val t4 = Writer.append(spark,
       catalog.createTable("mor_eq", schema, PartitionSpec.Unpartitioned), c)
-    Writer.equalityDelete(spark, t4, c.select("c_custkey").limit(5),
-      Seq("c_custkey"))
-    val e = intercept[Exception](spark.sql("SELECT count(*) FROM g.mor_eq").collect())
-    assert(e.getMessage != null)
+    val delKeys = c.select("c_custkey").orderBy("c_custkey").limit(5)
+    Writer.equalityDelete(spark, t4, delKeys, Seq("c_custkey"))
+    assert(spark.sql("SELECT count(*) FROM g.mor_eq").head.getLong(0) ===
+      c.count() - 5)
+    // ...and compose with a projection that does NOT include the key column
+    assert(spark.sql("SELECT count(c_mktsegment) FROM g.mor_eq").head.getLong(0) ===
+      c.count() - 5)
   }
 
   test("UPDATE on a DV table: deleted rows stay deleted, DVs fold away") {

@@ -138,7 +138,7 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!qf.queryExecution.executedPlan.toString.contains("SpjAggScan"))
   }
 
-  test("MoR positional deletes apply inside SPJ partitions; eq-deletes refuse loudly") {
+  test("MoR deletes (positional + equality) apply inside SPJ partitions") {
     val n = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(n.schema)
     val t1 = Writer.append(spark, catalog.createTable("nat_mor", schema,
@@ -149,12 +149,13 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rd("nat_mor").count() === 24)
     assert(rd("nat_mor").filter(col("n_nationkey") === 3).count() === 0)
 
-    // equality deletes need the anti-join pipeline — refuse loudly
+    // equality deletes: key-set membership filter in the reader
     val t2 = Writer.append(spark, catalog.createTable("nat_eq", schema,
       PartitionSpec.builder(schema).add("n_regionkey", Transforms.Identity).build()), n)
-    Writer.equalityDelete(spark, t2, n.select(col("n_nationkey")).limit(2),
+    Writer.equalityDelete(spark, t2,
+      n.filter(col("n_nationkey") < 2).select(col("n_nationkey")),
       Seq("n_nationkey"))
-    val e = intercept[Exception](rd("nat_eq").count())
-    assert(e.getMessage.contains("equality deletes"))
+    assert(rd("nat_eq").count() === 23)
+    assert(rd("nat_eq").filter(col("n_nationkey") < 2).count() === 0)
   }
 }
