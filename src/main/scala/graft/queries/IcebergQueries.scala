@@ -2755,6 +2755,42 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey % 9 <> 0
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // SQL stored procedures (Spark 4 native CALL binding): a full
+    // maintenance session — CTAS + two INSERTs fragment the table, CoW
+    // DELETE adds a fourth snapshot, rewrite_data_files bin-packs to ONE
+    // file (output partition count sized from bytes/target), expire
+    // collapses history to the live snapshot — all through
+    // `CALL <cat>.system.<proc>` with named/positional/default arguments.
+    QueryDef.staged("i77_sql_procedures", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/proc_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gproc_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"src_$ctl")
+      s.sql(s"CREATE TABLE $ctl.cust AS SELECT * FROM src_$ctl WHERE c_custkey % 3 = 0")
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM src_$ctl WHERE c_custkey % 3 = 1")
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM src_$ctl WHERE c_custkey % 3 = 2")
+      s.sql(s"DELETE FROM $ctl.cust WHERE c_custkey % 7 = 0")
+      s.sql(s"CALL $ctl.system.rewrite_data_files('cust', rewrite_all => true)")
+      s.sql(s"CALL $ctl.system.expire_snapshots('cust')")
+      val nFiles = cat.loadTable("cust").newScan.planFiles().length
+      val nAnc = s.sql(s"CALL $ctl.system.ancestors_of('cust')").count().toInt
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST($nFiles AS INT) AS n_files,
+               CAST($nAnc AS INT) AS n_live_ancestors
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(1 AS INT) AS n_files, CAST(1 AS INT) AS n_live_ancestors
+      FROM customer
+      WHERE c_custkey % 7 <> 0
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -4,8 +4,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table => V2Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table => V2Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,7 +49,8 @@ import graft.table.Evolve
   * shuffles, the 100 TB fact-fact layout). Other specs read per-file
   * partitions under UnknownPartitioning.
   */
-final class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
+final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var cat: GraftCatalog = _
@@ -197,6 +199,23 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") GraftBucketUnbound
     else throw new NoSuchFunctionException(ident)
+
+  /** `CALL <cat>.system.<proc>(...)`: the maintenance procedure surface
+    * ([[GraftProcedures]]) — Iceberg-conventional names over this
+    * catalog's tables.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty || (ident.namespace sameElements Array("system")),
+      s"$catName: procedures live in the 'system' namespace, got " +
+        ident.namespace.mkString("."))
+    GraftProcedures.load(ident.name, cat, catName).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$catName: no procedure ${ident.name} (have: " +
+          GraftProcedures.names.mkString(", ") + ")"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 }
 
 object GraftSpjCatalog {

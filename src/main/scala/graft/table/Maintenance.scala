@@ -81,7 +81,14 @@ object Maintenance {
     val schema = table.schema
     val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping,
       specById = table.metadata.specById)
-    val clustered = if (zorderBy.isEmpty) compacted else {
+    // the actual bin-pack: output partition count sized so each lands near
+    // target (coalesce merges read splits without a shuffle; the writer's
+    // calibrated maxRecordsPerFile still rolls any partition that runs
+    // over). Without this, output file count = input split count and
+    // fragments never merge.
+    val nOut = math.max(1, math.ceil(
+      selected.map(_.file.fileSize).sum.toDouble / targetSize).toInt)
+    val clustered = if (zorderBy.isEmpty) compacted.coalesce(nOut) else {
       import org.apache.spark.sql.functions.{col, max, min}
       // per-column ranges for rank normalization: ONE agg (2 exprs per
       // column), one driver-side row
@@ -95,7 +102,7 @@ object Maintenance {
       // non-overlapping, so bounds on every participating column tighten;
       // the projection dropping the key preserves the arranged order
       compacted.withColumn("__zkey", zkey)
-        .repartitionByRange(col("__zkey"))
+        .repartitionByRange(nOut, col("__zkey"))
         .sortWithinPartitions(col("__zkey"))
         .drop("__zkey")
     }
