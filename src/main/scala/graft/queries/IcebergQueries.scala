@@ -2791,6 +2791,34 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey % 7 <> 0
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Metadata tables on the SQL surface: `g.<table>.<snapshots|files|...>`
+    // — inspection frames as first-class relations (joinable, filterable).
+    // The row counts are metadata-derived (no data pass); record_count sums
+    // from manifests must equal the data row count DuckDB sees.
+    QueryDef.staged("i78_sql_meta_tables", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/meta_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gmeta_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"msrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.cust AS SELECT * FROM msrc_$ctl WHERE c_custkey % 2 = 0")
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM msrc_$ctl WHERE c_custkey % 2 = 1")
+      () => s.sql(s"""
+        SELECT
+          (SELECT count(*) FROM $ctl.cust.snapshots) AS n_snapshots,
+          (SELECT count(*) FROM $ctl.cust.history
+             WHERE is_current_ancestor) AS n_ancestors,
+          (SELECT count(*) FROM $ctl.cust.refs WHERE name = 'main') AS n_main,
+          (SELECT sum(record_count) FROM $ctl.cust.files) AS n_rows,
+          (SELECT sum(added_rows_count + existing_rows_count)
+             FROM $ctl.cust.manifests) AS n_manifest_rows""")
+    }, Some("""
+      SELECT CAST(2 AS BIGINT) AS n_snapshots, CAST(2 AS BIGINT) AS n_ancestors,
+             CAST(1 AS BIGINT) AS n_main,
+             (SELECT COUNT(*) FROM customer) AS n_rows,
+             (SELECT COUNT(*) FROM customer) AS n_manifest_rows"""),
+      repeatable = true)
   )
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table => V2Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.{Inspect, Table => GraftTable}
+
+/** Metadata tables on the SQL surface — `SELECT * FROM g.<table>.<meta>`
+  * for `snapshots, history, manifests, entries, files, partitions, refs`
+  * — the Iceberg inspection convention, routed through the catalog's
+  * multipart identifier (namespace = the data table, name = the metadata
+  * view) onto the [[graft.table.Inspect]] frames.
+  *
+  * Scale note: every Inspect frame is built from table METADATA (manifest
+  * lists and manifests the driver already parses to plan scans) — rows
+  * number in the thousands at 100 TB, not the data scale — so serving
+  * them as a driver-local scan adds no pass over data. Reference basis:
+  * metadata tables in `table/metadata.go` consumers / CLI `describe`
+  * paths.
+  */
+object GraftMetaTables {
+  val Names: Set[String] =
+    Set("snapshots", "history", "manifests", "entries", "files",
+      "partitions", "refs")
+
+  def frame(spark: SparkSession, t: GraftTable, meta: String): DataFrame =
+    meta match {
+      case "snapshots" => Inspect.snapshots(spark, t)
+      case "history" => Inspect.history(spark, t)
+      case "manifests" => Inspect.manifests(spark, t)
+      case "entries" => Inspect.entries(spark, t)
+      case "files" => Inspect.files(spark, t)
+      case "partitions" => Inspect.partitions(spark, t)
+      case "refs" => Inspect.refs(spark, t)
+    }
+}
+
+final class GraftMetaTable(tableName: String, meta: String, t: GraftTable)
+    extends V2Table with SupportsRead {
+
+  override def name(): String = s"$tableName.$meta"
+  override lazy val schema: StructType =
+    GraftMetaTables.frame(SparkSession.active, t, meta).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val df = GraftMetaTables.frame(SparkSession.active, t, meta)
+        GraftResultScan(df.schema, df.queryExecution.executedPlan.executeCollect())
+      }
+    }
+}

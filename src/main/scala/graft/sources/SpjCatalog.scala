@@ -80,6 +80,12 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def loadTable(ident: Identifier): V2Table = {
+    // metadata tables: `g.<table>.<snapshots|files|...>` parses as
+    // namespace=[table], name=meta — route to the Inspect frames
+    if (ident.namespace.length == 1 && GraftMetaTables.Names(ident.name) &&
+        cat.tableExists(ident.namespace.head))
+      return new GraftMetaTable(ident.namespace.head, ident.name,
+        cat.loadTable(ident.namespace.head))
     val t = graftTable(ident)
     new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
       strict = false, writable = true)

@@ -147,4 +147,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getDecimal(0) ===
       o.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head.getDecimal(0))
   }
+
+  test("metadata tables: g.<table>.<snapshots|files|history|refs|partitions>") {
+    spark.sql("CREATE TABLE g.t_meta (k BIGINT, seg STRING) PARTITIONED BY (identity(seg))")
+    spark.sql("INSERT INTO g.t_meta VALUES (1,'A'), (2,'B')")
+    spark.sql("INSERT INTO g.t_meta VALUES (3,'A')")
+
+    assert(spark.sql("SELECT * FROM g.t_meta.snapshots").count() === 2)
+    assert(spark.sql("SELECT * FROM g.t_meta.history").count() === 2)
+    assert(spark.sql("SELECT * FROM g.t_meta.refs WHERE name = 'main'").count() === 1)
+    // 3 rows across 3 files (A, B, then A again)
+    assert(spark.table("g.t_meta.files").count() === 3)
+    // partitions rolls up per partition value
+    val parts = spark.sql(
+      "SELECT * FROM g.t_meta.partitions ORDER BY partition").collect()
+    assert(parts.length === 2)
+    // joins/filters over metadata frames work like any table
+    val latest = spark.sql("""
+      SELECT s.snapshot_id FROM g.t_meta.snapshots s
+      JOIN g.t_meta.refs r ON s.snapshot_id = r.snapshot_id
+      WHERE r.name = 'main'""").head.getLong(0)
+    assert(latest === catalog.loadTable("t_meta").metadata.currentSnapshotId.get)
+
+    // a plain table named like a metadata suffix is not shadowed
+    spark.sql("CREATE TABLE g.files (k BIGINT)")
+    spark.sql("INSERT INTO g.files VALUES (42)")
+    assert(spark.sql("SELECT k FROM g.files").head.getLong(0) === 42L)
+  }
 }
