@@ -2819,6 +2819,46 @@ object IcebergQueries {
              CAST(1 AS BIGINT) AS n_main,
              (SELECT COUNT(*) FROM customer) AS n_rows,
              (SELECT COUNT(*) FROM customer) AS n_manifest_rows"""),
-      repeatable = true)
+      repeatable = true),
+
+    // The streaming SQL-table surface end-to-end: `readStream.table` plans
+    // snapshot-log micro-batches (first batch = table, later batches =
+    // appended files ONLY), a transform runs in-stream, and
+    // `writeStream.toTable` commits one exactly-once snapshot per epoch
+    // through the executor-side fanout writers. The checkpoint carries
+    // across two separate query runs — the second run reads just the
+    // incremental append.
+    QueryDef.staged("i79_stream_table", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/stt_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gstt_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"ssrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.src AS SELECT c_custkey, c_mktsegment, c_acctbal FROM ssrc_$ctl WHERE c_custkey % 2 = 0")
+      s.sql(s"CREATE TABLE $ctl.dst (c_custkey BIGINT, c_mktsegment STRING, bal2 DOUBLE)")
+      val ckpt = java.nio.file.Files.createTempDirectory("gstt").toString
+      def pump(): Unit = {
+        val q = s.readStream.table(s"$ctl.src")
+          .selectExpr("c_custkey", "c_mktsegment",
+            "CAST(c_acctbal AS DOUBLE) * 2 AS bal2")
+          .writeStream.option("checkpointLocation", ckpt)
+          .toTable(s"$ctl.dst")
+        q.processAllAvailable(); q.stop()
+      }
+      pump()
+      s.sql(s"INSERT INTO $ctl.src SELECT c_custkey, c_mktsegment, c_acctbal FROM ssrc_$ctl WHERE c_custkey % 2 = 1")
+      pump()
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(bal2 AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM $ctl.dst
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal * 2 AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

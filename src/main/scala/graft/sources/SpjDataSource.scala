@@ -157,7 +157,10 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     if (writable && snapshotId.isEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    else if (snapshotId.isEmpty)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -197,6 +200,10 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
       }
 
       override def build(): Write = new V1Write {
+        // `df.writeStream.toTable(...)`: epoch-per-snapshot streaming
+        // append (Complete mode → truncate → overwrite-per-epoch)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(table, replaceAll)
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -392,6 +399,15 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
         org.apache.spark.sql.types.StringType, nullable = false))
     else sparkSchema
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table(...)`: snapshot-log micro-batches. Pruned
+    * columns carry through (`sparkSchema` is already the pruned read
+    * schema); pushed file filters don't — appended files are planned from
+    * manifests per offset range, row filters re-apply in Spark's plan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SpjMicroBatchStream(table, sparkSchema, options)
 
   // planned once: partitioning metadata and input partitions must agree.
   // MoR deletes (DVs, positional, equality) apply per-row inside each
