@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -22,19 +22,59 @@ import graft.table.{Incremental, Table => GraftTable, Writer}
   * incremental IO only, the scale shape CDC consumers need at 100 TB.
   */
 final class SpjMicroBatchStream(table: GraftTable, sparkSchema: StructType,
-    options: Map[String, String]) extends MicroBatchStream {
+    options: Map[String, String]) extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   // the factory is built per batch AFTER planInputPartitions (Spark calls
   // them in order on the driver) — remember the planned set so the reader
   // carries exactly the delete state those files need
   @volatile private var planned: Array[SpjInputPartition] = Array.empty
 
+  private val maxFilesPerTrigger: Option[Int] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.toInt
+  }
+
   override def initialOffset(): Offset = SnapshotOffset(SnapshotOffset.Initial)
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: advance the end offset along the ancestry only as
+    * far as the file budget allows — at 100 TB a backlogged consumer pages
+    * through bounded micro-batches instead of planning one giant catch-up
+    * batch. Budget accounting uses each snapshot's `added-data-files`
+    * summary (metadata-only); always admits at least one snapshot so the
+    * stream progresses even past an oversized commit.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val t = table.refresh()
-    SnapshotOffset(t.metadata.currentSnapshotId.getOrElse(SnapshotOffset.Initial))
+    val headId = t.metadata.currentSnapshotId.getOrElse(SnapshotOffset.Initial)
+    val startId =
+      if (start == null) SnapshotOffset.Initial else SnapshotOffset.parse(start)
+    val capped = limit match {
+      case mf: ReadMaxFiles
+          if startId != SnapshotOffset.Initial && startId != headId &&
+            headId != SnapshotOffset.Initial =>
+        val pendingOldestFirst = graft.table.Inspect.ancestorsOf(t, headId)
+          .takeWhile(_.snapshotId != startId).reverse
+        var budget = mf.maxFiles().toLong
+        var end = startId
+        var full = false
+        for (s <- pendingOldestFirst if !full) {
+          val files = s.summary.get("added-data-files")
+            .flatMap(_.toLongOption).getOrElse(1L)
+          // offsets are contiguous: stop at the FIRST snapshot over budget
+          if (end == startId || files <= budget) { end = s.snapshotId; budget -= files }
+          else full = true
+        }
+        end
+      case _ => headId
+    }
+    SnapshotOffset(capped)
   }
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset.fromJson(json)

@@ -104,4 +104,30 @@ class StreamingTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect()
     assert(rows.toSeq === Seq((1L, 2L), (2L, 4L), (3L, 6L)))
   }
+
+  test("maxFilesPerTrigger paces catch-up into bounded micro-batches") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g.mft_src (id BIGINT)")
+    spark.sql("CREATE TABLE g.mft_dst (id BIGINT)")
+    spark.sql("INSERT INTO g.mft_src VALUES (0)")
+    val ckpt = Files.createTempDirectory("ckpt-mft").toString
+    // prime the checkpoint past the initial full-table batch
+    def run(): Long = {
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", "1")
+        .table("g.mft_src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable("g.mft_dst")
+      q.processAllAvailable()
+      val batches = q.lastProgress.batchId
+      q.stop()
+      batches
+    }
+    run()
+    // a 3-snapshot backlog (1 file each) must page through 3 batches
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO g.mft_src VALUES ($i)"))
+    val lastBatch = run()
+    assert(lastBatch >= 3, s"expected >=3 paced batches, got $lastBatch")
+    assert(spark.sql("SELECT count(*) FROM g.mft_dst").head.getLong(0) === 4)
+  }
 }
