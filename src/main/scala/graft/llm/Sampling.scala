@@ -143,4 +143,30 @@ object Sampling {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("log_w").desc, col(idCol).asc)))
   }
+
+  /** Deterministic epoch shuffle: a seeded, reproducible global training
+    * order. Every (seed, epoch) pair yields a different permutation, and
+    * re-running the job — on any cluster size, any engine — yields the
+    * SAME one: the order key is two LCG rounds over (id, seed, epoch)
+    * with engine-portable modular arithmetic (every intermediate stays
+    * far below 2^63, so ANSI engines that error on BIGINT overflow
+    * compute it too — same contract as [[lcg]]). Ties (the modulus is
+    * ~10^6) break by id, keeping the order total.
+    *
+    * Scale shape: one `orderBy` = a range exchange + per-partition sort —
+    * Spark's sampled range partitioner keeps output partitions even, so a
+    * 100 TB corpus shuffles once into a write-ready training order; no
+    * window function, no single-partition funnel. Downstream writers
+    * preserve the order per file (files themselves are ordered by their
+    * range bounds).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+      epoch: Int): DataFrame = {
+    require(seed >= 0 && epoch >= 0, "seed and epoch must be non-negative")
+    val m = lit(1000003L) // prime modulus keeps LCG cycles long
+    val mixed = (col(idCol) + lit(seed % 1000003L) * lit(31L) +
+      lit(epoch.toLong) * lit(7919L)) % m
+    val key = (mixed * lit(999983L) + lit(12345L)) % m
+    docs.orderBy(key.asc, col(idCol).asc)
+  }
 }

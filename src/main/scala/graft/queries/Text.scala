@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Chunking, ClassifierScore, Dedup, Multimodal, Packing, Retrieval, TextStats}
@@ -1219,6 +1220,28 @@ object Text {
              CAST(ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id ASC) AS INT) AS rank
       FROM scored
       ORDER BY log_w DESC, doc_id ASC
-      LIMIT 40"""))
+      LIMIT 40""")),
+
+    // deterministic epoch shuffle: the first 25 docs of epoch 2's training
+    // order under seed 42 — engine-portable LCG key, so DuckDB derives the
+    // identical permutation; different epochs permute differently (the
+    // same op is what a 100 TB pipeline runs as one range-exchange sort)
+    QueryDef("t35_epoch_shuffle", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.llm.Sampling.epochShuffle(docs.select("doc_id", "lang"),
+        "doc_id", seed = 42L, epoch = 2)
+        .limit(25)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(
+            ((col("doc_id") + lit(42L * 31L) + lit(2L * 7919L)) % 1000003L *
+              999983L + 12345L) % 1000003L,
+            col("doc_id"))))
+    }, Some("""
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY ((doc_id + 42*31 + 2*7919) % 1000003
+               * 999983 + 12345) % 1000003, doc_id) AS INT) AS pos
+      FROM documents
+      ORDER BY pos
+      LIMIT 25"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -23,7 +23,14 @@ import graft.table.{Incremental, Table => GraftTable, Writer}
   */
 final class SpjMicroBatchStream(table: GraftTable, sparkSchema: StructType,
     options: Map[String, String]) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: pin the head at prepare time so the run drains
+  // exactly the snapshots that existed when it started, then stops
+  @volatile private var preparedHead: Option[Option[Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    preparedHead = Some(table.refresh().metadata.currentSnapshotId)
 
   // the factory is built per batch AFTER planInputPartitions (Spark calls
   // them in order on the driver) — remember the planned set so the reader
@@ -48,7 +55,8 @@ final class SpjMicroBatchStream(table: GraftTable, sparkSchema: StructType,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val t = table.refresh()
-    val headId = t.metadata.currentSnapshotId.getOrElse(SnapshotOffset.Initial)
+    val headId = preparedHead.getOrElse(t.metadata.currentSnapshotId)
+      .getOrElse(SnapshotOffset.Initial)
     val startId =
       if (start == null) SnapshotOffset.Initial else SnapshotOffset.parse(start)
     val capped = limit match {

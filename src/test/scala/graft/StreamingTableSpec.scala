@@ -130,4 +130,18 @@ class StreamingTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastBatch >= 3, s"expected >=3 paced batches, got $lastBatch")
     assert(spark.sql("SELECT count(*) FROM g.mft_dst").head.getLong(0) === 4)
   }
+
+  test("Trigger.AvailableNow drains the pinned head and stops") {
+    spark.sql("CREATE TABLE g.an_src (id BIGINT)")
+    spark.sql("CREATE TABLE g.an_dst (id BIGINT)")
+    spark.sql("INSERT INTO g.an_src VALUES (1), (2)")
+    val q = spark.readStream.table("g.an_src")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-an").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g.an_dst")
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow query terminates on its own")
+    assert(spark.sql("SELECT count(*) FROM g.an_dst").head.getLong(0) === 2)
+  }
 }
