@@ -277,6 +277,29 @@ object TextStats {
     * web-scale distinct-word table never collapses into a single-partition
     * window sort; only the n surviving rows see the rank window.
     */
+  /** Adjacent-token-pair frequencies — the counting step of one BPE /
+    * WordPiece merge iteration (tokenizer training at corpus scale: the
+    * arg-max pair is the next merge rule). Pairs are built map-side with
+    * pure array expressions — `zip_with(slice(1..n-1), slice(2..n))` —
+    * so the text explodes exactly once to (tokens-1) pair rows; the only
+    * corpus-scale exchange is the partial-aggregated pair count, and the
+    * final top-k is `orderBy.limit` (per-task k-heap + driver merge, no
+    * global sort). Iterating merges re-runs this with the learned merges
+    * applied upstream.
+    */
+  def topTokenPairs(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val pairs = docs.select(explode(zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))).as("pair"))
+    val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("n").desc, col("pair").asc)))
+  }
+
   def topVocab(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnt = docs.select(explode(split(col(textCol), " ")).as("word"))

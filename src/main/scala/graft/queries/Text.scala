@@ -1242,6 +1242,23 @@ object Text {
                * 999983 + 12345) % 1000003, doc_id) AS INT) AS pos
       FROM documents
       ORDER BY pos
-      LIMIT 25"""))
+      LIMIT 25""")),
+
+    // adjacent-token-pair counting — one BPE merge iteration's statistics:
+    // map-side zip_with pair construction (one explode), one pair-count
+    // exchange, top-k via per-task heap
+    QueryDef("t36_bpe_pairs", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextStats.topTokenPairs(docs, "text", 30).orderBy(col("rank"))
+    }, Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      idx AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+      p AS (SELECT toks[i] || ' ' || toks[i+1] AS pair FROM idx),
+      cnt AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+      SELECT pair, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS INT) AS rank
+      FROM cnt
+      ORDER BY n DESC, pair ASC
+      LIMIT 30"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
