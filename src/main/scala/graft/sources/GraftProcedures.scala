@@ -34,7 +34,35 @@ object GraftProcedures {
     "rollback_to_snapshot", "rollback_to_timestamp", "expire_snapshots",
     "rewrite_data_files", "rewrite_manifests", "remove_orphan_files",
     "fast_forward", "create_branch", "create_tag", "drop_ref",
-    "ancestors_of", "compute_table_stats", "compute_partition_stats")
+    "ancestors_of", "compute_table_stats", "compute_partition_stats",
+    "add_partition_field", "drop_partition_field", "replace_sort_order")
+
+  /** `"bucket(8, k)"` / `"months(ts)"` / `"truncate(4, name)"` / `"k"` →
+    * (source column, transform) — the DDL spelling Spark users write in
+    * `PARTITIONED BY`.
+    */
+  def parseTransformField(s: String): (String, graft.core.Transform) = {
+    import graft.core.Transforms
+    val Fn = """(\w+)\s*\(([^)]*)\)""".r
+    s.trim match {
+      case Fn(fn, args0) =>
+        val args = args0.split(',').map(_.trim).filter(_.nonEmpty)
+        fn.toLowerCase match {
+          case "identity" => (args(0), Transforms.Identity)
+          case "bucket" => (args(1), Transforms.Bucket(args(0).toInt))
+          case "truncate" => (args(1), Transforms.Truncate(args(0).toInt))
+          case "years" | "year" => (args(0), Transforms.Years)
+          case "months" | "month" => (args(0), Transforms.Months)
+          case "days" | "day" => (args(0), Transforms.Days)
+          case "hours" | "hour" => (args(0), Transforms.Hours)
+          case "void" => (args(0), Transforms.Void)
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition transform $other")
+        }
+      case col if col.nonEmpty => (col, Transforms.Identity)
+      case _ => throw new IllegalArgumentException("empty partition field")
+    }
+  }
 
   def load(name: String, cat: GraftCatalog, catName: String): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat, catName)) else None
@@ -93,6 +121,12 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
       Array(in("table", StringType), inDef("columns", StringType, "NULL"))
     case "compute_partition_stats" =>
       Array(in("table", StringType))
+    case "add_partition_field" =>
+      Array(in("table", StringType), in("field", StringType))
+    case "drop_partition_field" =>
+      Array(in("table", StringType), in("name", StringType))
+    case "replace_sort_order" =>
+      Array(in("table", StringType), in("order", StringType))
   }
 
   private def load(input: InternalRow): GraftTable = {
@@ -207,6 +241,48 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
         rows(Seq("partition_stats_file" -> StringType),
           Seq(Array[Any](UTF8String.fromString(
             t2.metadata.partitionStatistics.last.path))))
+
+      // partition-spec evolution — not expressible in Spark's ALTER TABLE;
+      // old files keep reading under their original spec, new writes use
+      // the evolved one (the library's multi-spec planning)
+      case "add_partition_field" =>
+        val (colName, tr) =
+          GraftProcedures.parseTransformField(input.getUTF8String(1).toString)
+        val t2 = Evolve.updateSpec(t, b => {
+          val withExisting = t.spec.fields.foldLeft(b)((bb, pf) =>
+            bb.add(t.schema.idToField(pf.sourceId).name, pf.transform, pf.name))
+          withExisting.add(colName, tr)
+        })
+        rows(Seq("spec_id" -> IntegerType, "fields" -> StringType),
+          Seq(Array[Any](t2.spec.specId,
+            UTF8String.fromString(t2.spec.fields.map(_.name).mkString(", ")))))
+
+      case "drop_partition_field" =>
+        val t2 = Evolve.removeSpecFields(t,
+          Seq(input.getUTF8String(1).toString))
+        rows(Seq("spec_id" -> IntegerType, "fields" -> StringType),
+          Seq(Array[Any](t2.spec.specId,
+            UTF8String.fromString(t2.spec.fields.map(_.name).mkString(", ")))))
+
+      case "replace_sort_order" =>
+        // split on commas OUTSIDE parens (transforms carry their own commas)
+        val parts = input.getUTF8String(1).toString
+          .split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty)
+        val Part = """(?i)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+        val fields = parts.map { part =>
+          val Part(expr, dir, nulls) = part
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          // Iceberg default: ASC → nulls-first, DESC → nulls-last
+          val nullsFirst =
+            if (nulls == null) asc else nulls.equalsIgnoreCase("FIRST")
+          val (colName, tr) = GraftProcedures.parseTransformField(expr)
+          val src = t.schema.findField(colName).getOrElse(
+            throw new IllegalArgumentException(s"no such column $colName"))
+          graft.format.SortField(src.id, tr, asc, nullsFirst)
+        }.toSeq
+        val t2 = Evolve.replaceSortOrder(t, fields)
+        rows(Seq("order_id" -> IntegerType, "fields" -> IntegerType),
+          Seq(Array[Any](t2.metadata.defaultSortOrderId, fields.length)))
     }
     Collections.singletonList(out: Scan).iterator()
   }

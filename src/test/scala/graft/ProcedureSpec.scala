@@ -127,6 +127,35 @@ class ProcedureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(ps.getString(0)).exists)
   }
 
+  test("partition-spec evolution and sort order via procedures") {
+    spark.sql("CREATE TABLE g.pe (k BIGINT, seg STRING, ts TIMESTAMP)")
+    spark.sql("INSERT INTO g.pe VALUES (1, 'A', TIMESTAMP '2024-01-15 00:00:00')")
+
+    val r1 = spark.sql(
+      "CALL g.system.add_partition_field('pe', 'bucket(8, k)')").head
+    assert(r1.getString(1).contains("k_bucket"))
+    spark.sql("CALL g.system.add_partition_field('pe', 'months(ts)')")
+    // new writes land under the evolved spec; the old file reads under its own
+    spark.sql("INSERT INTO g.pe VALUES (2, 'B', TIMESTAMP '2024-02-15 00:00:00')")
+    assert(spark.sql("SELECT count(*) FROM g.pe").head.getLong(0) === 2)
+    val t = catalog.loadTable("pe")
+    assert(t.spec.fields.map(_.name).sorted === Seq("k_bucket", "ts_month"))
+    assert(t.newScan.planFiles().exists(_.file.path.contains("k_bucket=")))
+
+    val r2 = spark.sql(
+      "CALL g.system.drop_partition_field('pe', 'ts_month')").head
+    assert(r2.getString(1) === "k_bucket")
+    assert(spark.sql("SELECT count(*) FROM g.pe").head.getLong(0) === 2)
+
+    val r3 = spark.sql(
+      "CALL g.system.replace_sort_order('pe', 'seg ASC, truncate(2, seg) DESC NULLS LAST')").head
+    assert(r3.getInt(1) === 2)
+    val so = catalog.loadTable("pe").metadata
+    val order = so.sortOrders.find(_.orderId == so.defaultSortOrderId).get
+    assert(order.fields.map(f => (f.ascending, f.nullsFirst)) ===
+      Seq((true, true), (false, false)))
+  }
+
   test("unknown procedure and bad table fail loudly; procedures are listable") {
     val e1 = intercept[Exception](spark.sql("CALL g.system.nope()").collect())
     assert(e1.getMessage.contains("nope"))
