@@ -438,4 +438,27 @@ object Dedup {
     grams.unpersist()
     out
   }
+
+  /** Representative selection after clustering: keep exactly one document
+    * per cluster — the best-scoring one, ties broken by smallest id, so
+    * the surviving corpus is deterministic run-over-run. This is the
+    * curation step after [[minHashLsh]] (or SemDeDup): instead of an
+    * arbitrary survivor, keep the highest-quality member of each
+    * duplicate cluster.
+    *
+    * Scale shape: `row_number <= 1` compiles to Spark's rank-limit
+    * pushdown (Partial WindowGroupLimit → Exchange → Final): each map
+    * task forwards only its own best row per cluster, so the exchange
+    * carries ≤ |clusters·tasks| rows — the cluster bodies never travel.
+    */
+  def keepBestPerCluster(clustered: DataFrame, idCol: String,
+      clusterCol: String, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    clustered.withColumn("__score", score)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__score")
+  }
 }

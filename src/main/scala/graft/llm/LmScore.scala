@@ -57,4 +57,29 @@ object LmScore {
     big.unpersist()
     out
   }
+
+  /** CCNet-style perplexity bucketing: per group (language), split the
+    * scored documents into `buckets` equal-frequency tiers by LM score —
+    * bucket 1 = head (most fluent), bucket `n` = tail. The CCNet recipe
+    * keeps head+middle for pretraining and routes tail to re-filtering.
+    * Ordering is by `round(avg_lp, 6)` descending with id tie-break, so
+    * the tier assignment is deterministic and engine-portable (raw double
+    * ordering would let ULP noise flip boundary documents).
+    *
+    * Scale shape: one [[bigramDocScore]] pass, then an ntile window — an
+    * exchange on the group column plus a per-group sort of (id, score)
+    * pairs ONLY (text stays behind). Note the window partitions by
+    * language: a dominant language concentrates its (still narrow) rows
+    * onto one reducer — at extreme scale swap the exact ntile for
+    * per-group percentile thresholds and a broadcast bucket join.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", groupCol: String = "lang",
+      buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramDocScore(docs, idCol, textCol, keep = Seq(groupCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(round(col("avg_lp"), 6).desc, col(idCol).asc)
+    scored.withColumn("bucket", ntile(buckets).over(w))
+  }
 }

@@ -1259,6 +1259,69 @@ object Text {
              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS INT) AS rank
       FROM cnt
       ORDER BY n DESC, pair ASC
-      LIMIT 30"""))
+      LIMIT 30""")),
+
+    // cluster-representative dedup: after LSH clustering, keep exactly the
+    // best-scoring member per cluster (ties → min id). Invariant oracle
+    // over the doubled corpus: one survivor per cluster, the survivor
+    // carries its cluster's max score, and survivor count == cluster count
+    QueryDef("t37_cluster_rep", (s, dir) => {
+      val u = doubled(s, dir)
+      val cl = Dedup.minHashLsh(u, "doc_id", "text")
+      val score = (col("doc_id") % 7).cast("double")
+      val reps = Dedup.keepBestPerCluster(cl, "doc_id", "cluster_id", score)
+      val perCluster = cl
+        .select(col("cluster_id"), col("doc_id"), score.as("__s"))
+        .groupBy(col("cluster_id"))
+        .agg(max(col("__s")).as("best"),
+          min(struct(negate(col("__s")), col("doc_id"))).as("tie"))
+      val joined = reps.select(col("cluster_id"), col("doc_id"), score.as("__s"))
+        .join(perCluster, Seq("cluster_id"))
+      val nClusters = cl.select(col("cluster_id")).distinct().count()
+      val nReps = reps.count()
+      val allBest = joined.filter(col("__s") =!= col("best")).count() == 0
+      val allTie = joined.filter(col("doc_id") =!= col("tie").getField("doc_id")).count() == 0
+      s.createDataFrame(Seq((
+        (nReps == nClusters).toString, allBest.toString, allTie.toString)))
+        .toDF("one_per_cluster", "max_score_wins", "ties_by_min_id")
+    }, Some("""
+      SELECT 'true' AS one_per_cluster, 'true' AS max_score_wins,
+             'true' AS ties_by_min_id""")),
+
+    // CCNet perplexity tiers: per-language NTILE(3) over the bigram-LM doc
+    // scores (head / middle / tail) — the classic keep-head+middle signal
+    QueryDef("t38_ppl_buckets", (s, dir) => {
+      import graft.llm.LmScore
+      val docs = tbl(s, dir, "documents")
+      LmScore.perplexityBuckets(docs)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("avg_lp")), 4).as("mean_lp"))
+        .orderBy(col("lang"), col("bucket"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+      big AS (
+        SELECT doc_id, lang, words[i] AS w1, words[i+1] AS w2
+        FROM w, UNNEST(generate_series(1, len(words) - 1)) AS t(i)),
+      c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+      c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+      vocab AS (SELECT COUNT(DISTINCT words[i]) AS v
+        FROM w, UNNEST(generate_series(1, len(words))) AS t(i)),
+      scored AS (
+        SELECT b.doc_id, b.lang,
+               ln((c12.n12 + 1.0) / (c1.n1 + vocab.v)) AS lp
+        FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab),
+      perdoc AS (
+        SELECT doc_id, lang, AVG(lp) AS avg_lp
+        FROM scored GROUP BY doc_id, lang),
+      tiered AS (
+        SELECT lang, doc_id, avg_lp,
+               NTILE(3) OVER (PARTITION BY lang
+                 ORDER BY round(avg_lp, 6) DESC, doc_id ASC) AS bucket
+        FROM perdoc)
+      SELECT lang, CAST(bucket AS INT) AS bucket, COUNT(*) AS n_docs,
+             round(AVG(avg_lp), 4) AS mean_lp
+      FROM tiered
+      GROUP BY lang, bucket
+      ORDER BY lang, bucket"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
