@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table => V2Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graft.ParquetRowReadBridge
@@ -391,7 +391,36 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     fileFilter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
     rowGroupFilters: Seq[Filter] = Nil,
     withFile: Boolean = false)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
+
+  // Runtime (dynamic-partition-pruning) filters: Spark derives them from
+  // the other side of a join at execution time — a dim-side filter prunes
+  // fact FILES before any fact IO, the flagship 100 TB join shape. The
+  // filter lands in the same file-level expression pipeline as static
+  // pushdown (inclusive projection into partition space + file metrics),
+  // so EVERY spec transform prunes, not just identity. Pruning-only:
+  // Spark re-applies the join itself, so a too-wide file never yields
+  // wrong rows.
+  @volatile private var runtimeFilter: graft.core.Expr = graft.core.Expr.AlwaysTrue
+  @volatile private var plannedCache: Array[SpjInputPartition] = _
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only partition source columns the scan actually OUTPUTS — Spark
+    // resolves these against the scan's schema and fails hard on a
+    // reference a pruned projection dropped
+    val present = sparkSchema.fieldNames.toSet
+    table.spec.fields.map(pf => table.schema.idToField(pf.sourceId).name)
+      .distinct.filter(present).map(Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val exprs = filters.flatMap(SpjScanBuilder.toExpr)
+    if (exprs.nonEmpty) {
+      runtimeFilter = exprs.foldLeft(runtimeFilter)(graft.core.Expr.and)
+      plannedCache = null // re-plan with the tightened filter
+    }
+  }
 
   override def readSchema(): StructType =
     if (withFile) StructType(sparkSchema.fields :+
@@ -409,12 +438,33 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SpjMicroBatchStream(table, sparkSchema, options)
 
-  // planned once: partitioning metadata and input partitions must agree.
-  // MoR deletes (DVs, positional, equality) apply per-row inside each
-  // partition — grouping by key is preserved, deletes only remove rows.
-  private lazy val grouped: Array[SpjInputPartition] = {
+  /** Data files in the current plan — diagnostic: after a runtime filter
+    * fires this reflects the PRUNED set (Spark keeps the key-grouped
+    * partition COUNT by leaving pruned groups empty, so RDD partition
+    * counts can't show the pruning; file counts do).
+    */
+  def plannedFileCount: Int = {
+    val c = plannedCache
+    if (c == null) 0 else c.map(_.files.length).sum
+  }
+
+  // planned once per filter state: partitioning metadata and input
+  // partitions must agree (a runtime filter invalidates the cache and
+  // re-plans). MoR deletes (DVs, positional, equality) apply per-row
+  // inside each partition — grouping by key is preserved, deletes only
+  // remove rows.
+  private def grouped: Array[SpjInputPartition] = {
+    val cached = plannedCache
+    if (cached != null) return cached
+    val computed = planPartitions()
+    plannedCache = computed
+    computed
+  }
+
+  private def planPartitions(): Array[SpjInputPartition] = {
     val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
-    val tasks = base.withFilter(fileFilter).planFiles()
+    val tasks = base
+      .withFilter(graft.core.Expr.and(fileFilter, runtimeFilter)).planFiles()
     claimKeys match {
       case Some(_) =>
         tasks.groupBy(_.file.partition).toSeq
