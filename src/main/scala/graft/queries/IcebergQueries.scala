@@ -2859,6 +2859,57 @@ object IcebergQueries {
              CAST(SUM(CAST(c_acctbal * 2 AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
       FROM customer
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Runtime filtering (dynamic partition pruning): a broadcast dim-side
+    // filter prunes fact FILES at execution — the scan plans 5 partition
+    // files, the executed join reads 2. `files_read` is measured from the
+    // executed scan's post-filter plan, so the oracle row pins the pruning,
+    // not just the join answer.
+    QueryDef.staged("i80_dpp_join", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/dpp_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gdpp_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      Writer.append(s, cat.createTable("cust", schema,
+        PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build()), c)
+      require(cat.loadTable("cust").newScan.planFiles().length == 5)
+      () => {
+        // the filtering side needs a SELECTIVE predicate for the pruning
+        // rule to fire — a bare literal relation does not qualify
+        val dim = tbl(s, dir, "customer").select(col("c_mktsegment")).distinct()
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        val joined = s.table(s"$ctl.cust").join(broadcast(dim), "c_mktsegment")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
+        joined.collect() // run it, so the pruning subquery has a result
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec => scans(q.plan)
+          case b: BatchScanExec => Seq(b)
+          case other => other.children.flatMap(scans)
+        }
+        val filesRead = scans(joined.queryExecution.executedPlan)
+          .collectFirst { case b if b.runtimeFilters.nonEmpty =>
+            b.scan.asInstanceOf[graft.sources.SpjScan].plannedFileCount }
+          .getOrElse(-1)
+        joined.withColumn("files_read", lit(filesRead))
+          .orderBy(col("c_mktsegment"))
+      }
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             CAST(2 AS INT) AS files_read
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }
