@@ -392,7 +392,25 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     rowGroupFilters: Seq[Filter] = Nil,
     withFile: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Manifest-derived scan statistics (post static-pushdown file set) —
+    * without these a DSv2 scan defaults to "unknown = huge" and Spark
+    * never auto-broadcasts a small catalog table; with them a pruned dim
+    * scan broadcasts and the fact side gets runtime filtering too.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    grouped // ensure planned (fills the row/byte totals below)
+    val (bytes, rows) = plannedTotals
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+  @volatile private var plannedTotals: (Long, Long) = (0L, 0L)
 
   // Runtime (dynamic-partition-pruning) filters: Spark derives them from
   // the other side of a join at execution time — a dim-side filter prunes
@@ -465,6 +483,8 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
     val tasks = base
       .withFilter(graft.core.Expr.and(fileFilter, runtimeFilter)).planFiles()
+    plannedTotals = (tasks.map(_.file.fileSize).sum,
+      tasks.map(_.file.recordCount).sum)
     claimKeys match {
       case Some(_) =>
         tasks.groupBy(_.file.partition).toSeq

@@ -174,4 +174,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO g.files VALUES (42)")
     assert(spark.sql("SELECT k FROM g.files").head.getLong(0) === 42L)
   }
+
+  test("manifest-derived scan statistics: a small catalog table auto-broadcasts") {
+    spark.sql("CREATE TABLE g.stat_dim (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.stat_dim VALUES (1,'a'), (2,'b')")
+    spark.sql("CREATE TABLE g.stat_fact (k BIGINT, x DOUBLE)")
+    spark.sql("INSERT INTO g.stat_fact SELECT id % 2 + 1, id * 1.0 FROM range(1000)")
+
+    val j = spark.sql(
+      "SELECT f.k, d.v, f.x FROM g.stat_fact f JOIN g.stat_dim d ON f.k = d.k")
+    assert(j.collect().length === 1000)
+    // without estimateStatistics the DSv2 dim defaults to "unknown = huge"
+    // and this would plan a sort-merge join
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"expected broadcast join:\n${j.queryExecution.executedPlan}")
+  }
 }
