@@ -297,12 +297,24 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
     claimKeys: Option[Seq[Transform]], snapshotId: Option[Long],
     options: Map[String, String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var withFile: Boolean = false
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  /** LIMIT n truncates the planned FILE list once manifest row counts
+    * cover n — `SELECT * FROM t LIMIT 10` reads one file, not the table.
+    * Partial push: Spark keeps its own limit above the scan, so the file
+    * set only needs to GUARANTEE ≥ n live rows — which manifest counts do
+    * only on filter-free, delete-free scans; [[SpjScan]] checks both and
+    * skips truncation otherwise.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   private def baseScan = {
     val s = table.newScan
@@ -345,7 +357,8 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       new SpjScan(table, required, claimKeys, snapshotId, options,
         pushed.flatMap(SpjScanBuilder.toExpr)
           .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
-        pushed.toSeq, withFile = withFile)
+        pushed.toSeq, withFile = withFile,
+        pushedLimit = if (pushed.isEmpty) limit else None)
   }
 }
 
@@ -390,7 +403,8 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     options: Map[String, String],
     fileFilter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
     rowGroupFilters: Seq[Filter] = Nil,
-    withFile: Boolean = false)
+    withFile: Boolean = false,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -481,8 +495,24 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
 
   private def planPartitions(): Array[SpjInputPartition] = {
     val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
-    val tasks = base
+    val allTasks = base
       .withFilter(graft.core.Expr.and(fileFilter, runtimeFilter)).planFiles()
+    // pushed LIMIT: keep files only until manifest row counts cover it —
+    // safe only when nothing above the scan drops rows (no filters of any
+    // kind, no MoR deletes on the kept prefix)
+    val tasks = pushedLimit match {
+      case Some(n) if fileFilter == graft.core.Expr.AlwaysTrue &&
+          runtimeFilter == graft.core.Expr.AlwaysTrue &&
+          rowGroupFilters.isEmpty &&
+          allTasks.forall(t => t.posDeletes.isEmpty && t.eqDeletes.isEmpty) =>
+        var covered = 0L
+        allTasks.takeWhile { t =>
+          val need = covered < n
+          covered += t.file.recordCount
+          need
+        }
+      case _ => allTasks
+    }
     plannedTotals = (tasks.map(_.file.fileSize).sum,
       tasks.map(_.file.recordCount).sum)
     claimKeys match {

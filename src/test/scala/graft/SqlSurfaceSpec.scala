@@ -175,6 +175,40 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT k FROM g.files").head.getLong(0) === 42L)
   }
 
+  test("LIMIT pushdown truncates the file list; filters and deletes disable it") {
+    spark.sql("CREATE TABLE g.lim (k BIGINT)")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO g.lim SELECT id + ${i * 100} FROM range(100)"))
+    val totalFiles = catalog.loadTable("lim").newScan.planFiles().length
+    assert(totalFiles >= 4)
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.SpjScan = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan).head.scan.asInstanceOf[graft.sources.SpjScan]
+    }
+
+    val limited = spark.sql("SELECT k FROM g.lim LIMIT 10")
+    assert(limited.collect().length === 10)
+    assert(scanOf(limited).plannedFileCount === 1, "LIMIT 10 reads one file")
+
+    // a row filter makes manifest counts unable to guarantee coverage
+    val filtered = spark.sql("SELECT k FROM g.lim WHERE k % 2 = 0 LIMIT 10")
+    assert(filtered.collect().length === 10)
+    assert(scanOf(filtered).plannedFileCount === totalFiles,
+      "filters disable truncation")
+
+    // full scans are unaffected
+    assert(spark.sql("SELECT count(*) FROM g.lim").head.getLong(0) === 400)
+  }
+
   test("manifest-derived scan statistics: a small catalog table auto-broadcasts") {
     spark.sql("CREATE TABLE g.stat_dim (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.stat_dim VALUES (1,'a'), (2,'b')")
