@@ -2910,6 +2910,47 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Merge-on-read SQL DML: DELETE and UPDATE with write modes
+    // 'merge-on-read' go through the delta row-level operation — deletion
+    // vectors + insert files, ZERO data-file rewrites (pinned by
+    // mor_no_rewrite, computed from the surviving file set + DV count).
+    QueryDef.staged("i81_mor_dml", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/mor_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gmor_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"morsrc_$ctl")
+      val cols = tbl(s, dir, "customer").schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      s.sql(s"""CREATE TABLE $ctl.cust ($cols) TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read')""")
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM morsrc_$ctl")
+      val before = cat.loadTable("cust").newScan.planFiles().map(_.file.path).toSet
+      s.sql(s"DELETE FROM $ctl.cust WHERE c_custkey % 5 = 0")
+      s.sql(s"UPDATE $ctl.cust SET c_acctbal = c_acctbal + 10 WHERE c_mktsegment = 'BUILDING'")
+      val after = cat.loadTable("cust").newScan.planFiles()
+      val noRewrite = before.subsetOf(after.map(_.file.path).toSet) &&
+        after.flatMap(_.posDeletes).exists(_.format == "PUFFIN")
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$noRewrite' AS mor_no_rewrite
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                                THEN c_acctbal + 10 ELSE c_acctbal END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS mor_no_rewrite
+      FROM customer
+      WHERE c_custkey % 5 <> 0
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

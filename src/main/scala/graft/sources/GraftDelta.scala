@@ -1,0 +1,303 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.graft.ParquetRowWriteBridge
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{Expr, SchemaBridge}
+import graft.format.{DataFile, DataFileContent, DeletionVector, PositionBitmap, Puffin}
+import graft.table.{FileScanTask, Table => GraftTable, Writer}
+
+/** Merge-on-read SQL DML: `write.delete.mode / write.update.mode /
+  * write.merge.mode = 'merge-on-read'` routes DELETE / UPDATE / MERGE
+  * through Spark's delta-based row-level operation instead of the
+  * copy-on-write group rewrite. Matched rows are identified by
+  * (`_file`, `_pos`) — the scan reads candidates with positions (existing
+  * MoR state applied, so dead rows never re-match) — and each epoch
+  * commits ONE row-delta snapshot: deletion-vector puffins for the
+  * deleted positions plus ordinary data files for inserted rows. A
+  * one-row DELETE on a 100 TB table writes a few-KB DV instead of
+  * rewriting a 512 MB file; compaction folds DVs away later.
+  *
+  * Spec obligations honored (reference `table/dv/dv_writer.go`,
+  * `scanner.go:529-636`): the new DV for a file ORs in any prior DV and
+  * any applicable parquet pos-delete positions (a DV supersedes both at
+  * read time — skipping the fold would resurrect rows), and each data
+  * file's DV is written by exactly one task (Spark clusters delta writes
+  * by row id, and same-file positions land together).
+  */
+final class GraftDeltaOperation(table: GraftTable, cmd: Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+
+  @volatile private[sources] var scanned: Seq[FileScanTask] = Nil
+
+  override def command(): Command = cmd
+  override def description(): String = s"graft merge-on-read $cmd"
+
+  override def rowId(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      SpjTable.FileColumnName),
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        SpjTable.PosColumnName))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDeltaScanBuilder(this, table, SchemaBridge.toSpark(table.schema),
+      options.asCaseSensitiveMap().asScala.toMap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch(): DeltaBatchWrite =
+          new GraftDeltaBatchWrite(GraftDeltaOperation.this, table)
+      }
+    }
+}
+
+/** Candidate scan for the delta operation: pushed filters prune FILES;
+  * rows carry (`_file`, `_pos`) so matches identify their exact source
+  * position. Existing MoR deletes apply in the read.
+  */
+final class GraftDeltaScanBuilder(op: GraftDeltaOperation, table: GraftTable,
+    fullSchema: StructType, options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+  private var withFile: Boolean = true
+  private var withPos: Boolean = true
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // file pruning only; Spark re-evaluates rows above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (data, file, pos) = SpjTable.splitRequested(fullSchema, requiredSchema)
+    required = data
+    withFile = file
+    withPos = pos
+  }
+
+  override def build(): Scan = new GraftDeltaScan(op, table, required,
+    pushed.flatMap(SpjScanBuilder.toExpr)
+      .foldLeft(Expr.AlwaysTrue: Expr)(Expr.and),
+    options, withFile, withPos)
+}
+
+final class GraftDeltaScan(op: GraftDeltaOperation, table: GraftTable,
+    sparkSchema: StructType, fileFilter: Expr, options: Map[String, String],
+    withFile: Boolean, withPos: Boolean)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    var fields = sparkSchema.fields
+    if (withFile) fields = fields :+
+      StructField(SpjTable.FileColumnName, StringType, nullable = false)
+    if (withPos) fields = fields :+
+      StructField(SpjTable.PosColumnName, LongType, nullable = false)
+    StructType(fields)
+  }
+  override def toBatch: Batch = this
+
+  private lazy val parts: Array[SpjInputPartition] = {
+    val tasks = table.newScan.withFilter(fileFilter).planFiles()
+    op.scanned = tasks
+    tasks.map(t => SpjInputPartition(Array.empty,
+      Array(SpjFileInfo.from(t, "merge-on-read DML")))).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.map(identity[InputPartition])
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SpjScan.readerFactory(table, parts, sparkSchema, options, Nil,
+      withFile, withPos)
+}
+
+final case class GraftDvBlob(dataFile: String, puffinPath: String,
+    offset: Long, length: Long, cardinality: Long)
+final case class GraftDeltaCommitMessage(files: Seq[GraftWrittenFile],
+    dvBlobs: Seq[GraftDvBlob]) extends WriterCommitMessage
+
+final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
+    extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val schema = table.schema
+    val sparkSchema = SchemaBridge.toSpark(schema)
+    val ioOpts = table.refreshIoCredentials()
+    val extractors = table.spec.fields.map { pf =>
+      val src = schema.idToField(pf.sourceId)
+      val idx = sparkSchema.fieldIndex(src.name)
+      GraftPartExtractor(idx, sparkSchema.fields(idx).dataType, pf.transform)
+    }
+    val targetBytes = table.metadata.properties
+      .get("write.target-file-size-bytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val maxRecords = math.max(1L,
+      (targetBytes / math.max(16, sparkSchema.defaultSize).toDouble).toLong)
+    val inner = new GraftCowWriterFactory(
+      ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
+      table.location, schema, table.spec, extractors, maxRecords)
+
+    // prior delete state per candidate data file, shipped to executors so
+    // each task folds it into the superseding DV it writes
+    val existingDvs: Map[String, (String, Long, Long)] = op.scanned
+      .flatMap(t => t.posDeletes.filter(_.format == "PUFFIN"))
+      .flatMap(d => d.referencedDataFile.map(f =>
+        f -> ((d.path, d.contentOffset.get, d.contentSize.get)))).toMap
+    val existingPosFiles: Map[String, Seq[(String, Long)]] = op.scanned
+      .map(t => t.file.path ->
+        t.posDeletes.filter(_.format != "PUFFIN").map(d => (d.path, d.fileSize)))
+      .filter(_._2.nonEmpty).toMap
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val posDelReader = org.apache.spark.sql.graft.ParquetRowReadBridge.rowReader(
+      spark, delSchema, ioOpts, Nil)
+    new GraftDeltaWriterFactory(inner, existingDvs, existingPosFiles,
+      posDelReader, ioOpts, table.location)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+    val written = msgs.flatMap(_.files).toSeq
+    val blobs = msgs.flatMap(_.dvBlobs).toSeq
+    if (written.isEmpty && blobs.isEmpty) return
+    // one DV per data file is a spec invariant — Spark clusters delta
+    // writes by row id, but verify rather than assume
+    val dup = blobs.groupBy(_.dataFile).collect { case (f, bs) if bs.size > 1 => f }
+    require(dup.isEmpty,
+      s"multiple tasks wrote DVs for the same data file(s): ${dup.mkString(", ")}")
+
+    val schema = table.schema
+    val props = table.metadata.properties
+    val omitBounds = props.contains(graft.encryption.ParquetEncryption.KeyIdProp)
+    import scala.collection.parallel.CollectionConverters._
+    val added = written.par
+      .map(f => Writer.harvestStats(f.path, schema, f.partValues,
+        omitBounds = omitBounds, props = props))
+      .seq.filter(_.recordCount > 0)
+    val puffinSizes = blobs.map(_.puffinPath).distinct
+      .map(p => p -> graft.io.FileIO.size(p)).toMap
+    val deleteFiles = blobs.map { b =>
+      DataFile(DataFileContent.PositionDeletes, b.puffinPath, "PUFFIN",
+        partition = Seq.empty, // file-scoped DV rides the unpartitioned spec
+        recordCount = b.cardinality, fileSize = puffinSizes(b.puffinPath),
+        referencedDataFile = Some(b.dataFile),
+        contentOffset = Some(b.offset), contentSize = Some(b.length))
+    }
+    Writer.commitSnapshot(table, "overwrite",
+      addedFiles = added, removedPaths = Set.empty,
+      addedDeleteFiles = deleteFiles,
+      conflictCheck = Some(Writer.ConflictCheck(
+        candidatePaths = op.scanned.map(_.file.path).toSet,
+        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet,
+        isolationKey = "write.update.isolation-level")),
+      globalDeleteSpec = true)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftDeltaCommitMessage => m }.foreach { m =>
+      m.files.foreach(f => graft.io.FileIO.delete(f.path))
+      m.dvBlobs.map(_.puffinPath).distinct.foreach(graft.io.FileIO.delete)
+    }
+}
+
+final class GraftDeltaWriterFactory(
+    inner: GraftCowWriterFactory,
+    existingDvs: Map[String, (String, Long, Long)],
+    existingPosFiles: Map[String, Seq[(String, Long)]],
+    posDelReader: (String, Long) => Iterator[InternalRow],
+    ioOptions: Map[String, String],
+    location: String) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(
+      inner.createWriter(partitionId, taskId).asInstanceOf[GraftCowDataWriter],
+      existingDvs, existingPosFiles, posDelReader, ioOptions, location)
+}
+
+/** Task-local delta writer: inserted rows route through the fanout data
+  * writer; deleted (file, pos) ids accumulate into per-file roaring
+  * bitmaps (compressed — a 10M-position delete stays MBs, not a long[]),
+  * folded with any prior DV / parquet pos-delete state and flushed as ONE
+  * puffin file per task at commit.
+  */
+final class GraftDeltaWriter(
+    inserts: GraftCowDataWriter,
+    existingDvs: Map[String, (String, Long, Long)],
+    existingPosFiles: Map[String, Seq[(String, Long)]],
+    posDelReader: (String, Long) => Iterator[InternalRow],
+    ioOptions: Map[String, String],
+    location: String) extends DeltaWriter[InternalRow] {
+
+  private val bitmaps = mutable.Map.empty[String, PositionBitmap]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    bitmaps.getOrElseUpdate(file, new PositionBitmap).set(pos)
+  }
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  // unreachable: representUpdateAsDeleteAndInsert splits updates upstream
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = inserts.commit().asInstanceOf[GraftCommitMessage]
+    val dvBlobs: Seq[GraftDvBlob] =
+      if (bitmaps.isEmpty) Nil
+      else {
+        // supersede semantics: fold prior DV and parquet pos-delete
+        // positions for each touched file into its new DV
+        bitmaps.foreach { case (file, bm) =>
+          existingDvs.get(file).foreach { case (p, off, len) =>
+            val bytes = Puffin.readBlob(p, Puffin.BlobMetadata(
+              DeletionVector.BlobType, Nil, -1, -1, off, len, Map.empty))
+            bm.or(DeletionVector.deserialize(bytes))
+          }
+          existingPosFiles.get(file).foreach(_.foreach { case (p, sz) =>
+            posDelReader(p, sz).foreach { r =>
+              if (r.getUTF8String(0).toString == file) bm.set(r.getLong(1))
+            }
+          })
+        }
+        val puffinPath = s"$location/data/dv-${UUID.randomUUID()}.puffin"
+        val ordered = bitmaps.toSeq.sortBy(_._1)
+        val metas = Puffin.write(puffinPath, ordered.map { case (file, bm) =>
+          (DeletionVector.BlobType, DeletionVector.serialize(bm), Map(
+            "referenced-data-file" -> file,
+            "cardinality" -> bm.cardinality.toString))
+        })
+        ordered.zip(metas).map { case ((file, bm), meta) =>
+          GraftDvBlob(file, puffinPath, meta.offset, meta.length, bm.cardinality)
+        }
+      }
+    GraftDeltaCommitMessage(dataMsg.files, dvBlobs)
+  }
+
+  override def abort(): Unit = inserts.abort()
+  override def close(): Unit = inserts.close()
+}

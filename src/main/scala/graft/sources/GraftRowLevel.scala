@@ -101,7 +101,7 @@ final class GraftCowScanBuilder(op: GraftRowLevelOperation, table: GraftTable,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val (data, file) = SpjTable.splitRequested(fullSchema, requiredSchema)
+    val (data, file, _) = SpjTable.splitRequested(fullSchema, requiredSchema)
     required = data
     withFile = file
   }

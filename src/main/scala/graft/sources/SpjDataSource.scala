@@ -101,7 +101,7 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     * write task for row-level operations.
     */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(SpjTable.FileMetaColumn)
+    Array(SpjTable.FileMetaColumn, SpjTable.PosMetaColumn)
 
   private val spec = table.spec
   if (strict) require(spec.fields.nonEmpty,
@@ -242,22 +242,38 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     ()
   }
 
-  /** SQL UPDATE / MERGE INTO / rewrite-path DELETE: group-based
-    * copy-on-write through [[GraftRowLevelOperation]] — Spark rewrites
-    * affected files' rows; the commit replaces exactly the scanned files in
-    * one conflict-validated `overwrite` snapshot.
+  /** SQL UPDATE / MERGE INTO / rewrite-path DELETE. Mode per command from
+    * table properties (`write.{delete,update,merge}.mode`, Iceberg
+    * convention): `copy-on-write` (default) rewrites affected files via
+    * [[GraftRowLevelOperation]]; `merge-on-read` writes deletion vectors +
+    * insert files via [[GraftDeltaOperation]] — sparse DML on huge tables
+    * without rewriting anything.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable(info.command.toString.toLowerCase)
     new RowLevelOperationBuilder {
-      override def build() = new GraftRowLevelOperation(table.refresh(), info.command)
+      override def build() = {
+        val fresh = table.refresh()
+        val modeKey = info.command match {
+          case org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE =>
+            "write.delete.mode"
+          case org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE =>
+            "write.update.mode"
+          case _ => "write.merge.mode"
+        }
+        fresh.metadata.properties.getOrElse(modeKey, "copy-on-write") match {
+          case "merge-on-read" => new GraftDeltaOperation(fresh, info.command)
+          case _ => new GraftRowLevelOperation(fresh, info.command)
+        }
+      }
     }
   }
 }
 
 object SpjTable {
   val FileColumnName = "_file"
+  val PosColumnName = "_pos"
 
   object FileMetaColumn extends MetadataColumn {
     override def name(): String = FileColumnName
@@ -267,20 +283,29 @@ object SpjTable {
     override def comment(): String = "data file path of the row"
   }
 
+  object PosMetaColumn extends MetadataColumn {
+    override def name(): String = PosColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row position within the data file"
+  }
+
   /** Split a requested schema into (data columns in table order, wants
-    * `_file`). The metadata column, when requested, must be LAST — Spark
-    * appends metadata columns after data columns; anything else would
-    * silently misalign the reader's row layout, so fail loudly.
+    * `_file`, wants `_pos`). The scan's output layout is canonical
+    * regardless of request order: data columns, then `_file`, then
+    * `_pos` — `readSchema()` declares the same layout, so Spark's
+    * by-name projection realigns whatever order the plan asked in.
     */
-  def splitRequested(fullSchema: StructType, requested: StructType): (StructType, Boolean) = {
+  def splitRequested(fullSchema: StructType,
+      requested: StructType): (StructType, Boolean, Boolean) = {
     val withFile = requested.fieldNames.contains(FileColumnName)
-    if (withFile) require(requested.fieldNames.last == FileColumnName,
-      s"$FileColumnName must be the last requested column, got " +
-        requested.fieldNames.mkString(", "))
+    val withPos = requested.fieldNames.contains(PosColumnName)
     val keep = requested.fieldNames.toSet
     val kept = StructType(fullSchema.fields.filter(f => keep(f.name)))
-    val data = if (kept.isEmpty && !withFile) StructType(fullSchema.fields.take(1)) else kept
-    (data, withFile)
+    val data = if (kept.isEmpty && !withFile && !withPos)
+      StructType(fullSchema.fields.take(1)) else kept
+    (data, withFile, withPos)
   }
 }
 
@@ -302,6 +327,7 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
 
   private var required: StructType = fullSchema
   private var withFile: Boolean = false
+  private var withPos: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
@@ -339,9 +365,10 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table column order; an empty projection (COUNT(*)) keeps one
     // narrow column so the reader has a concrete schema to materialize
-    val (data, file) = SpjTable.splitRequested(fullSchema, requiredSchema)
+    val (data, file, pos) = SpjTable.splitRequested(fullSchema, requiredSchema)
     required = data
     withFile = file
+    withPos = pos
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -357,7 +384,7 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       new SpjScan(table, required, claimKeys, snapshotId, options,
         pushed.flatMap(SpjScanBuilder.toExpr)
           .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
-        pushed.toSeq, withFile = withFile,
+        pushed.toSeq, withFile = withFile, withPos = withPos,
         pushedLimit = if (pushed.isEmpty) limit else None)
   }
 }
@@ -404,6 +431,7 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     fileFilter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
     rowGroupFilters: Seq[Filter] = Nil,
     withFile: Boolean = false,
+    withPos: Boolean = false,
     pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering
@@ -454,11 +482,16 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     }
   }
 
-  override def readSchema(): StructType =
-    if (withFile) StructType(sparkSchema.fields :+
+  override def readSchema(): StructType = {
+    var fields = sparkSchema.fields
+    if (withFile) fields = fields :+
       org.apache.spark.sql.types.StructField(SpjTable.FileColumnName,
-        org.apache.spark.sql.types.StringType, nullable = false))
-    else sparkSchema
+        org.apache.spark.sql.types.StringType, nullable = false)
+    if (withPos) fields = fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.PosColumnName,
+        org.apache.spark.sql.types.LongType, nullable = false)
+    StructType(fields)
+  }
   override def toBatch: Batch = this
 
   /** `spark.readStream.table(...)`: snapshot-log micro-batches. Pruned
@@ -544,7 +577,7 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     SpjScan.readerFactory(table, grouped, sparkSchema, options,
-      rowGroupFilters, withFile)
+      rowGroupFilters, withFile, withPos)
 }
 
 object SpjScan {
@@ -557,7 +590,8 @@ object SpjScan {
     */
   def readerFactory(table: GraftTable, parts: Array[SpjInputPartition],
       dataSchema: StructType, options: Map[String, String],
-      rowGroupFilters: Seq[Filter], withFile: Boolean): SpjReaderFactory = {
+      rowGroupFilters: Seq[Filter], withFile: Boolean,
+      withPos: Boolean = false): SpjReaderFactory = {
     val spark = SparkSession.active
     val anyDeletes = parts.exists(_.files.exists(_.deletes.nonEmpty))
     val anyPosFiles = parts.exists(_.files.exists(
@@ -566,7 +600,7 @@ object SpjScan {
       .flatMap(_.deletes.toSeq.flatMap(_.eqFiles.map(_._3))).distinct.toSeq
     val reader = ParquetRowReadBridge.rowReader(
       spark, dataSchema, options, rowGroupFilters)
-    if (!anyDeletes)
+    if (!anyDeletes && !withPos)
       return new SpjReaderFactory(reader, withFile)
 
     // equality-key columns the pruned projection may lack: widen the
@@ -616,7 +650,7 @@ object SpjScan {
         }.toArray
       }.toMap
     new SpjReaderFactory(reader, withFile, Some(dataPos), del,
-      dataSchema, options, widened, eqReaders, eqExtract)
+      dataSchema, options, widened, eqReaders, eqExtract, withPos)
   }
   /** Manifest-stored partition values → catalyst representations (the key
     * row Spark groups/compares on). Loud on anything exotic.
@@ -744,7 +778,8 @@ final class SpjReaderFactory(
     ioOptions: Map[String, String] = Map.empty,
     widenedSchema: StructType = new StructType(),
     eqReaders: Map[Seq[Int], (String, Long) => Iterator[InternalRow]] = Map.empty,
-    eqExtract: Map[Seq[Int], Array[(Int, org.apache.spark.sql.types.DataType)]] = Map.empty)
+    eqExtract: Map[Seq[Int], Array[(Int, org.apache.spark.sql.types.DataType)]] = Map.empty,
+    withPos: Boolean = false)
     extends PartitionReaderFactory {
 
   // read a pos-delete parquet (schema: file_path string, pos long) and
@@ -783,46 +818,64 @@ final class SpjReaderFactory(
     val p = partition.asInstanceOf[SpjInputPartition]
     new PartitionReader[InternalRow] {
       private val it = p.files.iterator.flatMap { f =>
-        val base = f.deletes match {
-          case None => reader(f.path, f.len)
-          case Some(del) =>
-            val bitmaps = del.dvs.map { case (path, off, len) =>
-              graft.table.SparkRead.DvCache.get(path, off, len, ioOptions)
-            }
-            val posSet =
-              if (del.posFiles.isEmpty) null
-              else posDeleteSet(del.posFiles, f.path)
-            // per eq-delete group: (data-row extractors, key set)
-            val eqGroups: Array[(Array[(Int, org.apache.spark.sql.types.DataType)], Set[List[Any]])] =
-              del.eqFiles.map { case (path, len, ids) =>
-                (eqExtract(ids), eqKeySet(path, len, ids))
+        val needPosReader = withPos || f.deletes.nonEmpty
+        if (!needPosReader) {
+          val base = reader(f.path, f.len)
+          if (!withFile) base
+          else {
+            val fileRow = new GenericInternalRow(
+              Array[Any](UTF8String.fromString(f.path)))
+            val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+            base.map(r => joined(r, fileRow))
+          }
+        } else {
+          // pos-carrying read (widened with any eq-key columns, trailing
+          // row index); MoR deletes filter here, then the output projects
+          // back to data columns + the requested metadata columns
+          val posIdx = widenedSchema.fields.length
+          import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+          val strip = UnsafeProjection.create(
+            dataSchema.fields.zipWithIndex.map { case (sf, i) =>
+              BoundReference(i, sf.dataType, sf.nullable)
+            }.toSeq)
+          val stream = dataPosReader.getOrElse(throw new IllegalStateException(
+            "position reader was not planned")).apply(f.path, f.len)
+          val filtered = f.deletes match {
+            case None => stream
+            case Some(del) =>
+              val bitmaps = del.dvs.map { case (path, off, len) =>
+                graft.table.SparkRead.DvCache.get(path, off, len, ioOptions)
               }
-            val posIdx = widenedSchema.fields.length // trailing row-index col
-            import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-            val strip = UnsafeProjection.create(
-              dataSchema.fields.zipWithIndex.map { case (sf, i) =>
-                BoundReference(i, sf.dataType, sf.nullable)
-              }.toSeq)
-            dataPosReader.getOrElse(throw new IllegalStateException(
-              "MoR deletes present but no position reader was planned"))
-              .apply(f.path, f.len).filter { r =>
-              val pos = r.getLong(posIdx)
-              !bitmaps.exists(_.contains(pos)) &&
-                (posSet == null || !posSet.contains(pos)) &&
-                !eqGroups.exists { case (extract, keys) =>
-                  keys.contains(extract.map { case (idx, dt) =>
-                    SpjValues.normalize(r, idx, dt) }.toList)
+              val posSet =
+                if (del.posFiles.isEmpty) null
+                else posDeleteSet(del.posFiles, f.path)
+              // per eq-delete group: (data-row extractors, key set)
+              val eqGroups: Array[(Array[(Int, org.apache.spark.sql.types.DataType)], Set[List[Any]])] =
+                del.eqFiles.map { case (path, len, ids) =>
+                  (eqExtract(ids), eqKeySet(path, len, ids))
                 }
-            }.map(strip)
-        }
-        if (!withFile) base
-        else {
-          // append the `_file` metadata column (always last — the layout
-          // splitRequested pinned)
-          val fileRow = new GenericInternalRow(
-            Array[Any](UTF8String.fromString(f.path)))
-          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-          base.map(r => joined(r, fileRow))
+              stream.filter { r =>
+                val pos = r.getLong(posIdx)
+                !bitmaps.exists(_.contains(pos)) &&
+                  (posSet == null || !posSet.contains(pos)) &&
+                  !eqGroups.exists { case (extract, keys) =>
+                    keys.contains(extract.map { case (idx, dt) =>
+                      SpjValues.normalize(r, idx, dt) }.toList)
+                  }
+              }
+          }
+          val metaArity = (if (withFile) 1 else 0) + (if (withPos) 1 else 0)
+          if (metaArity == 0) filtered.map(strip)
+          else {
+            val meta = new GenericInternalRow(metaArity)
+            if (withFile) meta.update(0, UTF8String.fromString(f.path))
+            val posSlot = if (withFile) 1 else 0
+            val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+            filtered.map { r =>
+              if (withPos) meta.setLong(posSlot, r.getLong(posIdx))
+              joined(strip(r), meta)
+            }
+          }
         }
       }
       private var current: InternalRow = _

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.format.DataFileContent
+
+/** Merge-on-read SQL DML: `write.*.mode = 'merge-on-read'` routes
+  * DELETE / UPDATE / MERGE through the delta row-level operation —
+  * deletion vectors + insert files, no data-file rewrites.
+  */
+class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val wh = Files.createTempDirectory("graft-mordml").toString
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.g", classOf[graft.sources.GraftSpjCatalog].getName)
+    s.conf.set("spark.sql.catalog.g.uri", wh)
+    s
+  }
+  private lazy val catalog = new HadoopCatalog(wh)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def dataFilePaths(name: String): Set[String] =
+    catalog.loadTable(name).newScan.planFiles().map(_.file.path).toSet
+
+  private def dvCount(name: String): Int =
+    catalog.loadTable(name).newScan.planFiles()
+      .flatMap(_.posDeletes.filter(_.format == "PUFFIN")).distinct.length
+
+  test("MoR DELETE writes a DV, rewrites nothing") {
+    spark.sql("""CREATE TABLE g.md (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO g.md SELECT id, concat('v', id) FROM range(100)")
+    val before = dataFilePaths("md")
+
+    spark.sql("DELETE FROM g.md WHERE k % 10 = 3")
+
+    assert(spark.sql("SELECT count(*) FROM g.md").head.getLong(0) === 90)
+    assert(spark.sql("SELECT count(*) FROM g.md WHERE k % 10 = 3").head.getLong(0) === 0)
+    assert(dataFilePaths("md") === before, "no data file rewritten")
+    assert(dvCount("md") >= 1, "deletion vector(s) attached")
+    assert(catalog.loadTable("md").metadata.currentSnapshot.get
+      .summary("operation") === "overwrite")
+  }
+
+  test("second MoR DELETE supersedes the first DV (positions fold)") {
+    spark.sql("DELETE FROM g.md WHERE k % 10 = 7")
+    assert(spark.sql("SELECT count(*) FROM g.md").head.getLong(0) === 80)
+    // both delete rounds still apply
+    assert(spark.sql("SELECT count(*) FROM g.md WHERE k % 10 IN (3, 7)")
+      .head.getLong(0) === 0)
+  }
+
+  test("MoR UPDATE deletes old positions and inserts new rows") {
+    spark.sql("""CREATE TABLE g.mu (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO g.mu SELECT id, concat('v', id) FROM range(50)")
+    val before = dataFilePaths("mu")
+
+    spark.sql("UPDATE g.mu SET v = 'updated' WHERE k < 5")
+
+    assert(spark.sql("SELECT count(*) FROM g.mu").head.getLong(0) === 50)
+    assert(spark.sql("SELECT count(*) FROM g.mu WHERE v = 'updated'")
+      .head.getLong(0) === 5)
+    assert(before.subsetOf(dataFilePaths("mu")),
+      "original files survive; update adds insert files")
+    assert(dvCount("mu") >= 1)
+  }
+
+  test("MoR MERGE: matched rows update, unmatched insert, one snapshot") {
+    spark.sql("""CREATE TABLE g.mm (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO g.mm VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("CREATE TABLE g.mm_src (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO g.mm_src VALUES (2, 20.0), (9, 90.0)")
+    val snapsBefore = catalog.loadTable("mm").metadata.snapshots.length
+
+    spark.sql("""MERGE INTO g.mm t USING g.mm_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+
+    val got = spark.sql("SELECT k, v FROM g.mm ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (9L, 90.0)))
+    assert(catalog.loadTable("mm").metadata.snapshots.length === snapsBefore + 1)
+  }
+
+  test("compaction folds MoR DML state back into clean files") {
+    val res = graft.table.Maintenance.rewriteDataFiles(
+      spark, catalog.loadTable("md"), rewriteAll = true)
+    assert(res.removedDeleteFiles >= 1)
+    assert(spark.sql("SELECT count(*) FROM g.md").head.getLong(0) === 80)
+    assert(dvCount("md") === 0)
+  }
+
+  test("_file and _pos are queryable metadata columns on catalog reads") {
+    spark.sql("CREATE TABLE g.mc (k BIGINT)")
+    spark.sql("INSERT INTO g.mc VALUES (10), (11)")
+    val rows = spark.sql("SELECT k, _file, _pos FROM g.mc ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(10L, 11L))
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.map(_.getLong(2)).forall(_ >= 0L))
+  }
+}
