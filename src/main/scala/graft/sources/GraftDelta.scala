@@ -60,9 +60,28 @@ final class GraftDeltaOperation(table: GraftTable, cmd: Command)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new DeltaWrite {
+      override def build(): DeltaWrite = new DeltaWrite
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def toBatch(): DeltaBatchWrite =
           new GraftDeltaBatchWrite(GraftDeltaOperation.this, table)
+
+        // one DV per data file is a spec invariant: REQUIRE same-file
+        // deletes to land in one task (cluster by _file), positions
+        // ordered within — the shape the reference's dv_writer assumes.
+        // Inserts carry a null _file and co-cluster; the task-local
+        // fanout writer routes them per partition value regardless.
+        import org.apache.spark.sql.connector.expressions.{Expressions => VE}
+        override def requiredDistribution():
+            org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            Array(VE.column(SpjTable.FileColumnName)))
+        override def requiredOrdering():
+            Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array(
+            VE.sort(VE.column(SpjTable.FileColumnName),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+            VE.sort(VE.column(SpjTable.PosColumnName),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       }
     }
 }
