@@ -80,12 +80,31 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def loadTable(ident: Identifier): V2Table = {
-    // metadata tables: `g.<table>.<snapshots|files|...>` parses as
-    // namespace=[table], name=meta — route to the Inspect frames
-    if (ident.namespace.length == 1 && GraftMetaTables.Names(ident.name) &&
-        cat.tableExists(ident.namespace.head))
-      return new GraftMetaTable(ident.namespace.head, ident.name,
-        cat.loadTable(ident.namespace.head))
+    // multipart identifiers over a table: `g.<table>.<suffix>` parses as
+    // namespace=[table], name=suffix — metadata tables route to Inspect
+    // frames; `branch_<b>` reads the branch head and accepts INSERT INTO
+    // (appends commit to the branch); `tag_<t>` reads the tag, read-only
+    if (ident.namespace.length == 1 && cat.tableExists(ident.namespace.head)) {
+      val base = ident.namespace.head
+      if (GraftMetaTables.Names(ident.name))
+        return new GraftMetaTable(base, ident.name, cat.loadTable(base))
+      if (ident.name.startsWith("branch_") || ident.name.startsWith("tag_")) {
+        val t = cat.loadTable(base)
+        val (refName, wantType) =
+          if (ident.name.startsWith("branch_"))
+            (ident.name.stripPrefix("branch_"), "branch")
+          else (ident.name.stripPrefix("tag_"), "tag")
+        val ref = t.metadata.refs.getOrElse(refName,
+          throw new NoSuchTableException(ident))
+        require(ref.refType == wantType,
+          s"$catName.$base: ref '$refName' is a ${ref.refType}, not a $wantType")
+        return new SpjTable(t, SchemaBridge.toSpark(t.schema),
+          allowBucket = true, strict = false,
+          snapshotId = Some(ref.snapshotId),
+          writable = wantType == "branch",
+          branch = if (wantType == "branch") Some(refName) else None)
+      }
+    }
     val t = graftTable(ident)
     new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
       strict = false, writable = true)

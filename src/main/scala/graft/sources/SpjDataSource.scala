@@ -92,7 +92,8 @@ final class SpjSourceProvider extends TableProvider with DataSourceRegister {
   */
 final class SpjTable(table: GraftTable, sparkSchema: StructType,
     allowBucket: Boolean = false, strict: Boolean = true,
-    snapshotId: Option[Long] = None, writable: Boolean = false)
+    snapshotId: Option[Long] = None, writable: Boolean = false,
+    branch: Option[String] = None)
     extends V2Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -159,6 +160,9 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
         TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    else if (branch.isDefined && writable)
+      // branch identifier: reads pin the branch head, INSERT appends to it
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
     else if (snapshotId.isEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ)
@@ -172,8 +176,12 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
       s"${name()}: $op needs the catalog path — register " +
         "spark.sql.catalog.<name>=graft.sources.GraftSpjCatalog and target " +
         "<name>.<table>")
-    if (snapshotId.nonEmpty) throw new UnsupportedOperationException(
-      s"${name()}: cannot $op a time-travel snapshot")
+    if (snapshotId.nonEmpty && branch.isEmpty)
+      throw new UnsupportedOperationException(
+        s"${name()}: cannot $op a time-travel snapshot")
+    if (branch.isDefined && op != "write") throw new UnsupportedOperationException(
+      s"${name()}: branch identifiers support INSERT INTO only; " +
+        "use the library API or main for " + op)
   }
 
   /** V1 write funnel: Spark resolves/casts the query to the table schema,
@@ -188,9 +196,13 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
       private var replaceAll = false
       private var deleteFirst: Option[Expr] = None
 
-      override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def truncate(): WriteBuilder = {
+        require(branch.isEmpty, s"${name()}: cannot truncate a branch identifier")
+        replaceAll = true; this
+      }
 
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(branch.isEmpty, s"${name()}: cannot overwrite a branch identifier")
         val exprs = filters.map(f => SpjScanBuilder.toExpr(f).getOrElse(
           throw new UnsupportedOperationException(
             s"${name()}: cannot overwrite by filter $f")))
@@ -216,7 +228,8 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
                   // then append — two snapshots (delete is conflict-checked)
                   val afterDelete = Writer.deleteWhere(spark, fresh, del)
                   Writer.append(spark, afterDelete, data); ()
-                case None => Writer.append(spark, fresh, data); ()
+                case None =>
+                  Writer.append(spark, fresh, data, toBranch = branch); ()
               }
             }
           }

@@ -209,6 +209,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM g.lim").head.getLong(0) === 400)
   }
 
+  test("branch/tag identifiers: WAP via SQL (read branch, INSERT to branch, publish)") {
+    spark.sql("CREATE TABLE g.wap (k BIGINT)")
+    spark.sql("INSERT INTO g.wap VALUES (1)")
+    spark.sql("CALL g.system.create_branch('wap', 'audit')")
+    spark.sql("CALL g.system.create_tag('wap', 'v0')")
+
+    // stage on the branch through plain SQL; main is untouched
+    spark.sql("INSERT INTO g.wap.branch_audit VALUES (2), (3)")
+    assert(spark.sql("SELECT count(*) FROM g.wap").head.getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM g.wap.branch_audit").head.getLong(0) === 3)
+    assert(spark.sql("SELECT count(*) FROM g.wap.tag_v0").head.getLong(0) === 1)
+
+    // audit passed → publish
+    spark.sql("CALL g.system.fast_forward('wap', 'main', 'audit')")
+    assert(spark.sql("SELECT count(*) FROM g.wap").head.getLong(0) === 3)
+
+    // tags are read-only; unknown refs fail loudly
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO g.wap.tag_v0 VALUES (9)"))
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM g.wap.branch_nope").collect())
+    assert(e2.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("manifest-derived scan statistics: a small catalog table auto-broadcasts") {
     spark.sql("CREATE TABLE g.stat_dim (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.stat_dim VALUES (1,'a'), (2,'b')")
