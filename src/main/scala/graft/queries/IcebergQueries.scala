@@ -2951,6 +2951,36 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey % 5 <> 0
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Write-audit-publish entirely in SQL: stage on a branch via
+    // `INSERT INTO g.t.branch_audit`, audit through the branch identifier
+    // while main stays pinned, publish with the fast_forward procedure.
+    QueryDef.staged("i82_sql_wap", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/wap_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gwap_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"wapsrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.cust AS SELECT * FROM wapsrc_$ctl WHERE c_custkey % 2 = 0")
+      s.sql(s"CALL $ctl.system.create_branch('cust', 'audit')")
+      s.sql(s"INSERT INTO $ctl.cust.branch_audit SELECT * FROM wapsrc_$ctl WHERE c_custkey % 2 = 1")
+      val mainBefore = s.sql(s"SELECT count(*) FROM $ctl.cust").head.getLong(0)
+      val branchRows = s.sql(s"SELECT count(*) FROM $ctl.cust.branch_audit").head.getLong(0)
+      s.sql(s"CALL $ctl.system.fast_forward('cust', 'main', 'audit')")
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST($mainBefore AS BIGINT) AS staged_main_rows,
+               CAST($branchRows AS BIGINT) AS staged_branch_rows
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS staged_main_rows,
+             (SELECT COUNT(*) FROM customer) AS staged_branch_rows
+      FROM customer
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }
