@@ -2933,8 +2933,9 @@ object IcebergQueries {
       s.sql(s"DELETE FROM $ctl.cust WHERE c_custkey % 5 = 0")
       s.sql(s"UPDATE $ctl.cust SET c_acctbal = c_acctbal + 10 WHERE c_mktsegment = 'BUILDING'")
       val after = cat.loadTable("cust").newScan.planFiles()
+      // v2 table → parquet positional deletes (v3 would carry DV puffins)
       val noRewrite = before.subsetOf(after.map(_.file.path).toSet) &&
-        after.flatMap(_.posDeletes).exists(_.format == "PUFFIN")
+        after.flatMap(_.posDeletes).nonEmpty
       () => s.sql(s"""
         SELECT c_mktsegment, COUNT(*) AS n,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,

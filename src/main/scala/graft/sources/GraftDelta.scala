@@ -29,7 +29,9 @@ import graft.table.{FileScanTask, Table => GraftTable, Writer}
   * commits ONE row-delta snapshot: deletion-vector puffins for the
   * deleted positions plus ordinary data files for inserted rows. A
   * one-row DELETE on a 100 TB table writes a few-KB DV instead of
-  * rewriting a 512 MB file; compaction folds DVs away later.
+  * rewriting a 512 MB file; compaction folds DVs away later. The delete
+  * format follows the table's format version: v3 writes deletion-vector
+  * puffins, v2 writes spec-ordered parquet positional-delete files.
   *
   * Spec obligations honored (reference `table/dv/dv_writer.go`,
   * `scanner.go:529-636`): the new DV for a file ORs in any prior DV and
@@ -148,10 +150,15 @@ final class GraftDeltaScan(op: GraftDeltaOperation, table: GraftTable,
       withFile, withPos)
 }
 
-final case class GraftDvBlob(dataFile: String, puffinPath: String,
-    offset: Long, length: Long, cardinality: Long)
+/** One delete artifact a task produced: a DV blob inside a puffin file
+  * (v3 — dataFile/offset/length set) or a parquet pos-delete file (v2 —
+  * dataFile set only when the file covers exactly one data file).
+  */
+final case class GraftDeleteFileMsg(path: String, format: String,
+    dataFile: Option[String], offset: Option[Long], length: Option[Long],
+    count: Long)
 final case class GraftDeltaCommitMessage(files: Seq[GraftWrittenFile],
-    dvBlobs: Seq[GraftDvBlob]) extends WriterCommitMessage
+    deletes: Seq[GraftDeleteFileMsg]) extends WriterCommitMessage
 
 final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
     extends DeltaBatchWrite {
@@ -190,18 +197,24 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
       StructField("pos", LongType, nullable = false)))
     val posDelReader = org.apache.spark.sql.graft.ParquetRowReadBridge.rowReader(
       spark, delSchema, ioOpts, Nil)
+    // delete format follows the table's format version: v3 → deletion
+    // vectors (puffin, supersede-folded); v2 → parquet positional deletes
+    // (additive — readers union them, no fold obligation)
+    val useDv = table.metadata.formatVersion >= 3
+    val posDelWriter = ParquetRowWriteBridge.writerFactory(spark, delSchema, ioOpts)
     new GraftDeltaWriterFactory(inner, existingDvs, existingPosFiles,
-      posDelReader, ioOpts, table.location)
+      posDelReader, ioOpts, table.location, useDv, posDelWriter)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
     val written = msgs.flatMap(_.files).toSeq
-    val blobs = msgs.flatMap(_.dvBlobs).toSeq
-    if (written.isEmpty && blobs.isEmpty) return
+    val dels = msgs.flatMap(_.deletes).toSeq
+    if (written.isEmpty && dels.isEmpty) return
     // one DV per data file is a spec invariant — Spark clusters delta
     // writes by row id, but verify rather than assume
-    val dup = blobs.groupBy(_.dataFile).collect { case (f, bs) if bs.size > 1 => f }
+    val dup = dels.filter(_.format == "PUFFIN").groupBy(_.dataFile)
+      .collect { case (Some(f), bs) if bs.size > 1 => f }
     require(dup.isEmpty,
       s"multiple tasks wrote DVs for the same data file(s): ${dup.mkString(", ")}")
 
@@ -213,14 +226,14 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
       .map(f => Writer.harvestStats(f.path, schema, f.partValues,
         omitBounds = omitBounds, props = props))
       .seq.filter(_.recordCount > 0)
-    val puffinSizes = blobs.map(_.puffinPath).distinct
+    val fileSizes = dels.map(_.path).distinct
       .map(p => p -> graft.io.FileIO.size(p)).toMap
-    val deleteFiles = blobs.map { b =>
-      DataFile(DataFileContent.PositionDeletes, b.puffinPath, "PUFFIN",
-        partition = Seq.empty, // file-scoped DV rides the unpartitioned spec
-        recordCount = b.cardinality, fileSize = puffinSizes(b.puffinPath),
-        referencedDataFile = Some(b.dataFile),
-        contentOffset = Some(b.offset), contentSize = Some(b.length))
+    val deleteFiles = dels.map { b =>
+      DataFile(DataFileContent.PositionDeletes, b.path, b.format,
+        partition = Seq.empty, // file-/global-scoped: unpartitioned spec
+        recordCount = b.count, fileSize = fileSizes(b.path),
+        referencedDataFile = b.dataFile,
+        contentOffset = b.offset, contentSize = b.length)
     }
     Writer.commitSnapshot(table, "overwrite",
       addedFiles = added, removedPaths = Set.empty,
@@ -236,7 +249,7 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftDeltaCommitMessage => m }.foreach { m =>
       m.files.foreach(f => graft.io.FileIO.delete(f.path))
-      m.dvBlobs.map(_.puffinPath).distinct.foreach(graft.io.FileIO.delete)
+      m.deletes.map(_.path).distinct.foreach(p => graft.io.FileIO.delete(p))
     }
 }
 
@@ -246,12 +259,16 @@ final class GraftDeltaWriterFactory(
     existingPosFiles: Map[String, Seq[(String, Long)]],
     posDelReader: (String, Long) => Iterator[InternalRow],
     ioOptions: Map[String, String],
-    location: String) extends DeltaWriterFactory {
+    location: String,
+    useDv: Boolean,
+    posDelWriter: String => org.apache.spark.sql.graft.RowFileWriter)
+    extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(
       inner.createWriter(partitionId, taskId).asInstanceOf[GraftCowDataWriter],
-      existingDvs, existingPosFiles, posDelReader, ioOptions, location)
+      existingDvs, existingPosFiles, posDelReader, ioOptions, location,
+      useDv, posDelWriter)
 }
 
 /** Task-local delta writer: inserted rows route through the fanout data
@@ -266,7 +283,10 @@ final class GraftDeltaWriter(
     existingPosFiles: Map[String, Seq[(String, Long)]],
     posDelReader: (String, Long) => Iterator[InternalRow],
     ioOptions: Map[String, String],
-    location: String) extends DeltaWriter[InternalRow] {
+    location: String,
+    useDv: Boolean,
+    posDelWriter: String => org.apache.spark.sql.graft.RowFileWriter)
+    extends DeltaWriter[InternalRow] {
 
   private val bitmaps = mutable.Map.empty[String, PositionBitmap]
 
@@ -286,11 +306,12 @@ final class GraftDeltaWriter(
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = inserts.commit().asInstanceOf[GraftCommitMessage]
-    val dvBlobs: Seq[GraftDvBlob] =
+    val deletes: Seq[GraftDeleteFileMsg] =
       if (bitmaps.isEmpty) Nil
-      else {
-        // supersede semantics: fold prior DV and parquet pos-delete
-        // positions for each touched file into its new DV
+      else if (useDv) {
+        // v3: deletion vectors. Supersede semantics — fold prior DV and
+        // parquet pos-delete positions for each touched file into the new
+        // DV (a DV replaces both at read time)
         bitmaps.foreach { case (file, bm) =>
           existingDvs.get(file).foreach { case (p, off, len) =>
             val bytes = Puffin.readBlob(p, Puffin.BlobMetadata(
@@ -311,10 +332,29 @@ final class GraftDeltaWriter(
             "cardinality" -> bm.cardinality.toString))
         })
         ordered.zip(metas).map { case ((file, bm), meta) =>
-          GraftDvBlob(file, puffinPath, meta.offset, meta.length, bm.cardinality)
+          GraftDeleteFileMsg(puffinPath, "PUFFIN", Some(file),
+            Some(meta.offset), Some(meta.length), bm.cardinality)
         }
+      } else {
+        // v2: one parquet positional-delete file per task, rows ordered
+        // (file_path ASC, pos ASC) per spec; additive — no fold needed
+        val path = s"$location/data/pos-delete-${UUID.randomUUID()}.parquet"
+        val w = posDelWriter(path)
+        var count = 0L
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        bitmaps.toSeq.sortBy(_._1).foreach { case (file, bm) =>
+          row.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(file))
+          bm.positionsIterator.foreach { pos =>
+            row.setLong(1, pos)
+            w.write(row)
+            count += 1
+          }
+        }
+        w.close()
+        val single = if (bitmaps.size == 1) Some(bitmaps.head._1) else None
+        Seq(GraftDeleteFileMsg(path, "PARQUET", single, None, None, count))
       }
-    GraftDeltaCommitMessage(dataMsg.files, dvBlobs)
+    GraftDeltaCommitMessage(dataMsg.files, deletes)
   }
 
   override def abort(): Unit = inserts.abort()

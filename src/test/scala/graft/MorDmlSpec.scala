@@ -38,9 +38,15 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     catalog.loadTable(name).newScan.planFiles()
       .flatMap(_.posDeletes.filter(_.format == "PUFFIN")).distinct.length
 
+  private def upgradeV3(name: String): Unit = {
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable(name), 3)
+    ()
+  }
+
   test("MoR DELETE writes a DV, rewrites nothing") {
     spark.sql("""CREATE TABLE g.md (k BIGINT, v STRING)
       TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    upgradeV3("md")
     spark.sql("INSERT INTO g.md SELECT id, concat('v', id) FROM range(100)")
     val before = dataFilePaths("md")
 
@@ -62,9 +68,30 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getLong(0) === 0)
   }
 
+  test("v2 table: MoR DELETE writes spec-ordered parquet positional deletes") {
+    spark.sql("""CREATE TABLE g.m2 (k BIGINT)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO g.m2 SELECT id FROM range(40)")
+    val before = dataFilePaths("m2")
+    spark.sql("DELETE FROM g.m2 WHERE k % 4 = 1")
+    assert(spark.sql("SELECT count(*) FROM g.m2").head.getLong(0) === 30)
+    assert(dataFilePaths("m2") === before, "no data file rewritten")
+    val dels = catalog.loadTable("m2").newScan.planFiles()
+      .flatMap(_.posDeletes).distinct
+    assert(dels.nonEmpty && dels.forall(_.format == "PARQUET"),
+      s"v2 deletes must be parquet, got ${dels.map(_.format)}")
+    // rows in each delete file honor (file_path ASC, pos ASC) spec order
+    dels.map(_.path).distinct.foreach { p =>
+      val rows = spark.read.parquet(p)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows === rows.sorted, s"delete rows in $p not in spec order")
+    }
+  }
+
   test("MoR UPDATE deletes old positions and inserts new rows") {
     spark.sql("""CREATE TABLE g.mu (k BIGINT, v STRING)
       TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""")
+    upgradeV3("mu")
     spark.sql("INSERT INTO g.mu SELECT id, concat('v', id) FROM range(50)")
     val before = dataFilePaths("mu")
 
