@@ -26,6 +26,14 @@ import graft.functions.{DotProduct, TopKByScore}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL views over V2 ViewCatalogs. View DDL must be claimed at PARSE
+    // time: ResolveSessionCatalog throws MISSING_CATALOG_ABILITY.VIEWS for
+    // any non-session catalog and runs before injected resolution rules.
+    // Reads are claimed by a resolution rule (unknown relations stay
+    // unresolved, so running late is safe).
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftViewSqlParser(session, delegate))
+    ext.injectResolutionRule(session => graft.plans.ResolveGraftViews(session))
     ext.injectFunction((
       new FunctionIdentifier("iceberg_bucket"),
       new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),

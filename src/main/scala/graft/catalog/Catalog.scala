@@ -22,6 +22,11 @@ trait Catalog {
     */
   def commit(name: String, base: TableMetadata, updated: TableMetadata,
       expectedVersion: Int): String
+  /** View + UDF declaration store co-located with the tables; None when the
+    * backend has no warehouse to anchor one (reference: view support is
+    * per-catalog-backend, `catalog/catalog.go` ErrNoSuchView surface).
+    */
+  def viewStore: Option[MetaObjects] = None
 }
 
 /** URI-scheme registry (reference `catalog/registry.go`): `hadoop:<path>`

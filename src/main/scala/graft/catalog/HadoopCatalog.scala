@@ -20,6 +20,8 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
   // identical recorded paths (delete matching and DV keys compare strings)
   private val warehouse: String = FileIO.canonical(warehouseRaw)
 
+  override lazy val viewStore: Option[MetaObjects] = Some(new MetaObjects(warehouse))
+
   private def tableDir(name: String): String = s"$warehouse/$name"
   private def metadataDir(name: String): String = s"${tableDir(name)}/metadata"
   private def hintFile(name: String): String = s"${metadataDir(name)}/version-hint.text"

@@ -36,6 +36,8 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
 
   private val warehouse: String = FileIO.canonical(warehouseRaw)
 
+  override lazy val viewStore: Option[MetaObjects] = Some(new MetaObjects(warehouse))
+
   initSchema()
 
   // ---- naming ------------------------------------------------------------

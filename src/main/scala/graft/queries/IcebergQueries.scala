@@ -2982,6 +2982,41 @@ object IcebergQueries {
              (SELECT COUNT(*) FROM customer) AS staged_branch_rows
       FROM customer
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // SQL views (reference `view/view.go`, `view/metadata.go`): CREATE VIEW
+    // with column aliases, a second view stacked on the first (nested
+    // expansion at read time), CREATE OR REPLACE versioning, and the read
+    // through the outer view — all via spark.sql against the V2 ViewCatalog.
+    // Views are stored SQL text re-resolved per read: the oracle is the
+    // same composition inlined, so a wrong default-catalog qualification,
+    // broken alias projection, or stale-version read all hash-mismatch.
+    QueryDef.staged("i83_sql_views", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/vw_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gvw_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"vwsrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.cust AS SELECT * FROM vwsrc_$ctl")
+      // aliased base view; first version deliberately wrong, then replaced
+      // — the read must resolve the CURRENT version
+      s.sql(s"""CREATE VIEW $ctl.cust_stats (seg, n, bal) AS
+        SELECT c_mktsegment, COUNT(*), 0.0 FROM $ctl.cust GROUP BY c_mktsegment""")
+      s.sql(s"""CREATE OR REPLACE VIEW $ctl.cust_stats (seg, n, bal) AS
+        SELECT c_mktsegment, COUNT(*),
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        FROM $ctl.cust GROUP BY c_mktsegment""")
+      // view over the view: nested expansion + alias projection
+      s.sql(s"""CREATE VIEW $ctl.big_segs AS
+        SELECT seg, n, bal FROM $ctl.cust_stats WHERE n >= 10""")
+      () => s.sql(
+        s"SELECT seg, n, bal FROM $ctl.big_segs ORDER BY seg")
+    }, Some("""
+      SELECT seg, n, bal FROM (
+        SELECT c_mktsegment AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM customer GROUP BY c_mktsegment
+      ) WHERE n >= 10
+      ORDER BY seg"""), repeatable = true)
   )
 }

@@ -3,8 +3,8 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table => V2Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table => V2Table, TableCatalog, TableChange, View => V2View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.catalog.{Catalog => GraftCatalog, Catalogs, SqlCatalog}
+import graft.catalog.{Catalog => GraftCatalog, Catalogs, MetaObjects, SqlCatalog, ViewMetadata, ViewVersion}
 import graft.core.{SchemaBridge, Transforms}
 import graft.format.PartitionSpec
 import graft.table.Evolve
@@ -50,7 +50,7 @@ import graft.table.Evolve
   * partitions under UnknownPartitioning.
   */
 final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catName: String = _
   private var cat: GraftCatalog = _
@@ -241,6 +241,107 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  // --------------------------------------------------------------- ViewCatalog
+  // Versioned SQL-text views over the backing catalog's view store
+  // (reference `view/view.go`, `view/metadata.go`): Spark's V2 ViewCatalog
+  // surface on top, version history preserved across CREATE OR REPLACE.
+
+  private def viewObjects: MetaObjects = cat.viewStore.getOrElse(
+    throw new UnsupportedOperationException(
+      s"$catName: backing catalog does not store views"))
+
+  private def flatViewName(ident: Identifier): String = {
+    if (ident.namespace.nonEmpty && !(ident.namespace sameElements Array("default")))
+      throw new NoSuchViewException(ident)
+    ident.name
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    viewObjects.listViews().map(n => Identifier.of(Array.empty[String], n)).toArray
+
+  override def viewExists(ident: Identifier): Boolean =
+    try viewObjects.viewExists(flatViewName(ident))
+    catch { case _: NoSuchViewException => false }
+
+  override def loadView(ident: Identifier): V2View = {
+    val n = flatViewName(ident)
+    if (!viewObjects.viewExists(n)) throw new NoSuchViewException(ident)
+    new GraftV2View(n, viewObjects.loadView(n))
+  }
+
+  private def toVersion(info: ViewInfo): ViewVersion =
+    ViewVersion(0, System.currentTimeMillis(), info.sql,
+      defaultCatalog = Some(info.currentCatalog),
+      defaultNamespace = info.currentNamespace.toSeq,
+      schemaJson = Some(info.schema.json),
+      queryColumnNames = info.queryColumnNames.toSeq,
+      columnAliases = info.columnAliases.toSeq,
+      columnComments = Option(info.columnComments)
+        .map(_.toSeq.map(c => if (c == null) "" else c)).getOrElse(Nil))
+
+  override def createView(info: ViewInfo): V2View = {
+    val n = flatViewName(info.ident)
+    if (viewObjects.viewExists(n)) throw new ViewAlreadyExistsException(info.ident)
+    new GraftV2View(n, viewObjects.createViewVersioned(n, toVersion(info),
+      info.properties.asScala.toMap))
+  }
+
+  /** CREATE OR REPLACE: appends a new current version (history kept) rather
+    * than the interface default's drop+create.
+    */
+  override def replaceView(info: ViewInfo, orCreate: Boolean): V2View = {
+    val n = flatViewName(info.ident)
+    if (!viewObjects.viewExists(n)) {
+      if (!orCreate) throw new NoSuchViewException(info.ident)
+      return createView(info)
+    }
+    viewObjects.updateViewProperties(n, info.properties.asScala.toMap,
+      remove = viewObjects.loadView(n).properties.keys.toSeq)
+    new GraftV2View(n, viewObjects.replaceViewVersioned(n, toVersion(info)))
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): V2View = {
+    val n = flatViewName(ident)
+    if (!viewObjects.viewExists(n)) throw new NoSuchViewException(ident)
+    val set = changes.collect {
+      case s: ViewChange.SetProperty => s.property -> s.value }.toMap
+    val remove = changes.collect {
+      case r: ViewChange.RemoveProperty => r.property }
+    new GraftV2View(n, viewObjects.updateViewProperties(n, set, remove))
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val n = flatViewName(ident)
+    if (!viewObjects.viewExists(n)) false
+    else { viewObjects.dropView(n); true }
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val f = flatViewName(from)
+    if (!viewObjects.viewExists(f)) throw new NoSuchViewException(from)
+    if (viewObjects.viewExists(flatViewName(to)))
+      throw new ViewAlreadyExistsException(to)
+    viewObjects.renameView(f, flatViewName(to))
+    ()
+  }
+}
+
+/** Spark V2 View over stored graft view metadata. */
+final class GraftV2View(viewName: String, meta: ViewMetadata) extends V2View {
+  private def cur = meta.currentVersion
+  override def name(): String = viewName
+  override def query(): String = cur.sql
+  override def currentCatalog(): String = cur.defaultCatalog.orNull
+  override def currentNamespace(): Array[String] = cur.defaultNamespace.toArray
+  override def schema(): StructType = cur.schemaJson
+    .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+    .getOrElse(new StructType())
+  override def queryColumnNames(): Array[String] = cur.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = cur.columnAliases.toArray
+  override def columnComments(): Array[String] =
+    cur.columnComments.map(c => if (c.isEmpty) null else c).toArray
+  override def properties(): java.util.Map[String, String] = meta.properties.asJava
 }
 
 object GraftSpjCatalog {
