@@ -26,7 +26,7 @@ trait Catalog {
     * backend has no warehouse to anchor one (reference: view support is
     * per-catalog-backend, `catalog/catalog.go` ErrNoSuchView surface).
     */
-  def viewStore: Option[MetaObjects] = None
+  def viewStore: Option[ViewStore] = None
 }
 
 /** URI-scheme registry (reference `catalog/registry.go`): `hadoop:<path>`

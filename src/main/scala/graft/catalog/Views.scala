@@ -39,8 +39,34 @@ final case class ViewMetadata(name: String, location: String,
 final case class UdfDef(name: String, returnType: String, definition: String,
     parameters: Seq[(String, String)] = Nil, comment: Option[String] = None)
 
+/** What a view-bearing catalog backend exposes: versioned create/replace,
+  * property updates, rename, CRUD — implemented over the filesystem
+  * ([[MetaObjects]]) or the REST wire
+  * ([[graft.rest.RestCatalog]]'s view client), mirroring the reference's
+  * per-backend view support (`catalog/catalog.go` view surface,
+  * `catalog/rest/rest.go` ListViews/CreateView/UpdateView/...).
+  */
+trait ViewStore {
+  def createView(name: String, sql: String,
+      properties: Map[String, String] = Map.empty): ViewMetadata =
+    createViewVersioned(name,
+      ViewVersion(1, System.currentTimeMillis(), sql), properties)
+  def replaceView(name: String, sql: String): ViewMetadata =
+    replaceViewVersioned(name, ViewVersion(0, System.currentTimeMillis(), sql))
+  def createViewVersioned(name: String, version: ViewVersion,
+      properties: Map[String, String] = Map.empty): ViewMetadata
+  def replaceViewVersioned(name: String, version: ViewVersion): ViewMetadata
+  def updateViewProperties(name: String, set: Map[String, String],
+      remove: Seq[String] = Nil): ViewMetadata
+  def renameView(from: String, to: String): ViewMetadata
+  def viewExists(name: String): Boolean
+  def loadView(name: String): ViewMetadata
+  def dropView(name: String): Unit
+  def listViews(): Seq[String]
+}
+
 /** Filesystem-backed views + UDF declarations alongside the table catalog. */
-final class MetaObjects(warehouse: String) {
+final class MetaObjects(warehouse: String) extends ViewStore {
 
   private val mapper = new ObjectMapper()
 
@@ -48,12 +74,7 @@ final class MetaObjects(warehouse: String) {
 
   private def viewDir(name: String) = s"$warehouse/_views/$name"
 
-  def createView(name: String, sql: String,
-      properties: Map[String, String] = Map.empty): ViewMetadata =
-    createViewVersioned(name,
-      ViewVersion(1, System.currentTimeMillis(), sql), properties)
-
-  def createViewVersioned(name: String, version: ViewVersion,
+  override def createViewVersioned(name: String, version: ViewVersion,
       properties: Map[String, String] = Map.empty): ViewMetadata = {
     require(!viewExists(name), s"view $name already exists")
     val v = ViewMetadata(name, viewDir(name),
@@ -62,13 +83,10 @@ final class MetaObjects(warehouse: String) {
     v
   }
 
-  def replaceView(name: String, sql: String): ViewMetadata =
-    replaceViewVersioned(name, ViewVersion(0, System.currentTimeMillis(), sql))
-
   /** Appends a new current version (version history preserved, the
     * reference's view-metadata-builder semantics, `view/metadata_builder.go`).
     */
-  def replaceViewVersioned(name: String, version: ViewVersion): ViewMetadata = {
+  override def replaceViewVersioned(name: String, version: ViewVersion): ViewMetadata = {
     val cur = loadView(name)
     val nextId = cur.versions.map(_.versionId).max + 1
     val v = cur.copy(
@@ -80,7 +98,7 @@ final class MetaObjects(warehouse: String) {
   }
 
   /** Property-only metadata update — no new view version. */
-  def updateViewProperties(name: String, set: Map[String, String],
+  override def updateViewProperties(name: String, set: Map[String, String],
       remove: Seq[String] = Nil): ViewMetadata = {
     val cur = loadView(name)
     val v = cur.copy(properties = cur.properties -- remove ++ set,
@@ -94,7 +112,7 @@ final class MetaObjects(warehouse: String) {
     * catalog rejects renames for the same reason); a racing creator of the
     * target name loses via the create-no-replace CAS.
     */
-  def renameView(from: String, to: String): ViewMetadata = {
+  override def renameView(from: String, to: String): ViewMetadata = {
     val cur = loadView(from)
     require(!viewExists(to), s"view $to already exists")
     val v = cur.copy(name = to, location = viewDir(to), metadataSeq = 1)
@@ -103,75 +121,25 @@ final class MetaObjects(warehouse: String) {
     v
   }
 
-  def viewExists(name: String): Boolean =
+  override def viewExists(name: String): Boolean =
     FileIO.exists(s"${viewDir(name)}/view.json")
 
-  def loadView(name: String): ViewMetadata = {
+  override def loadView(name: String): ViewMetadata = {
     val p = s"${viewDir(name)}/view.json"
     require(FileIO.exists(p), s"no such view: $name")
-    val root = mapper.readTree(FileIO.readString(p))
-    def strSeq(n: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[String] =
-      Option(n.get(f)).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-    val versions = root.get("versions").elements().asScala.map(v => ViewVersion(
-      v.get("version-id").asInt, v.get("timestamp-ms").asLong,
-      v.get("sql").asText, v.get("dialect").asText,
-      Option(v.get("default-catalog")).map(_.asText),
-      strSeq(v, "default-namespace"),
-      Option(v.get("schema")).map(_.asText),
-      strSeq(v, "query-column-names"),
-      strSeq(v, "column-aliases"),
-      strSeq(v, "column-comments"))).toSeq
-    ViewMetadata(
-      root.get("name").asText, root.get("location").asText,
-      versions,
-      root.get("current-version-id").asInt,
-      Option(root.get("properties")).map(p2 =>
-        p2.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
-        .getOrElse(Map.empty),
-      // older files predate metadata-seq: versions.size reproduces the
-      // CAS file sequence they were written under
-      Option(root.get("metadata-seq")).map(_.asInt).getOrElse(versions.size))
+    ViewJson.fromJson(FileIO.readString(p))
   }
 
-  def dropView(name: String): Unit = {
+  override def dropView(name: String): Unit = {
     FileIO.deleteTree(viewDir(name))
     ()
   }
 
-  def listViews(): Seq[String] =
+  override def listViews(): Seq[String] =
     FileIO.listDirNames(s"$warehouse/_views").sorted
 
   private def writeView(v: ViewMetadata): Unit = {
-    val root = mapper.createObjectNode()
-    root.put("name", v.name)
-    root.put("location", v.location)
-    root.put("current-version-id", v.currentVersionId)
-    root.put("metadata-seq", v.metadataSeq)
-    val vs = root.putArray("versions")
-    v.versions.foreach { ver =>
-      val o = vs.addObject()
-      o.put("version-id", ver.versionId)
-      o.put("timestamp-ms", ver.timestampMs)
-      o.put("sql", ver.sql)
-      o.put("dialect", ver.dialect)
-      ver.defaultCatalog.foreach(o.put("default-catalog", _))
-      if (ver.defaultNamespace.nonEmpty) {
-        val a = o.putArray("default-namespace"); ver.defaultNamespace.foreach(a.add)
-      }
-      ver.schemaJson.foreach(o.put("schema", _))
-      if (ver.queryColumnNames.nonEmpty) {
-        val a = o.putArray("query-column-names"); ver.queryColumnNames.foreach(a.add)
-      }
-      if (ver.columnAliases.nonEmpty) {
-        val a = o.putArray("column-aliases"); ver.columnAliases.foreach(a.add)
-      }
-      if (ver.columnComments.nonEmpty) {
-        val a = o.putArray("column-comments"); ver.columnComments.foreach(a.add)
-      }
-    }
-    val props = root.putObject("properties")
-    v.properties.foreach { case (k, vv) => props.put(k, vv) }
-    val bytes = mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8)
+    val bytes = ViewJson.toJson(v).getBytes(StandardCharsets.UTF_8)
     // CAS via create-no-replace, same protocol as table commits
     val target = s"${viewDir(v.name)}/v${v.metadataSeq}.view.json"
     try FileIO.createNoReplace(target, bytes)
@@ -229,4 +197,82 @@ final class MetaObjects(warehouse: String) {
     FileIO.listFilesRecursive(s"$warehouse/_udfs")
       .map(f => f.path.substring(f.path.lastIndexOf('/') + 1))
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+}
+
+/** View-metadata JSON codec, shared by the filesystem store and the REST
+  * wire (both directions) so a view round-trips bit-identically through
+  * either backend.
+  */
+object ViewJson {
+
+  private val mapper = new ObjectMapper()
+
+  def versionNode(ver: ViewVersion): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("version-id", ver.versionId)
+    o.put("timestamp-ms", ver.timestampMs)
+    o.put("sql", ver.sql)
+    o.put("dialect", ver.dialect)
+    ver.defaultCatalog.foreach(o.put("default-catalog", _))
+    if (ver.defaultNamespace.nonEmpty) {
+      val a = o.putArray("default-namespace"); ver.defaultNamespace.foreach(a.add)
+    }
+    ver.schemaJson.foreach(o.put("schema", _))
+    if (ver.queryColumnNames.nonEmpty) {
+      val a = o.putArray("query-column-names"); ver.queryColumnNames.foreach(a.add)
+    }
+    if (ver.columnAliases.nonEmpty) {
+      val a = o.putArray("column-aliases"); ver.columnAliases.foreach(a.add)
+    }
+    if (ver.columnComments.nonEmpty) {
+      val a = o.putArray("column-comments"); ver.columnComments.foreach(a.add)
+    }
+    o
+  }
+
+  def versionFrom(v: com.fasterxml.jackson.databind.JsonNode): ViewVersion = {
+    def strSeq(f: String): Seq[String] =
+      Option(v.get(f)).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    ViewVersion(
+      v.get("version-id").asInt, v.get("timestamp-ms").asLong,
+      v.get("sql").asText, v.get("dialect").asText,
+      Option(v.get("default-catalog")).map(_.asText),
+      strSeq("default-namespace"),
+      Option(v.get("schema")).map(_.asText),
+      strSeq("query-column-names"),
+      strSeq("column-aliases"),
+      strSeq("column-comments"))
+  }
+
+  def toNode(v: ViewMetadata): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val root = mapper.createObjectNode()
+    root.put("name", v.name)
+    root.put("location", v.location)
+    root.put("current-version-id", v.currentVersionId)
+    root.put("metadata-seq", v.metadataSeq)
+    val vs = root.putArray("versions")
+    v.versions.foreach(ver => vs.add(versionNode(ver)))
+    val props = root.putObject("properties")
+    v.properties.foreach { case (k, vv) => props.put(k, vv) }
+    root
+  }
+
+  def toJson(v: ViewMetadata): String = mapper.writeValueAsString(toNode(v))
+
+  def fromNode(root: com.fasterxml.jackson.databind.JsonNode): ViewMetadata = {
+    val versions =
+      root.get("versions").elements().asScala.map(versionFrom).toSeq
+    ViewMetadata(
+      root.get("name").asText, root.get("location").asText,
+      versions,
+      root.get("current-version-id").asInt,
+      Option(root.get("properties")).map(p2 =>
+        p2.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty),
+      // older files predate metadata-seq: versions.size reproduces the
+      // CAS file sequence they were written under
+      Option(root.get("metadata-seq")).map(_.asInt).getOrElse(versions.size))
+  }
+
+  def fromJson(s: String): ViewMetadata = fromNode(mapper.readTree(s))
 }

@@ -359,6 +359,111 @@ final class RestCatalog(baseUriRaw: String,
     new Table(name, meta, path, this, catalogReporter = restReporter,
       ioCredentials = tableCreds)
   }
+
+  // ---- views (reference rest.go ListViews/CreateView/UpdateView/LoadView/
+  // DropView/CheckViewExists/RenameView) --------------------------------
+
+  override lazy val viewStore: Option[graft.catalog.ViewStore] =
+    Some(new RestViewStore)
+
+  private def viewsUri(ns: String): String =
+    s"$baseUri/v1/${prefix}namespaces/$ns/views"
+
+  /** View store over the REST wire: every mutation is one request; the
+    * server owns the CAS (409 → [[CommitConflict]], the same mapping as
+    * table commits).
+    */
+  private final class RestViewStore extends graft.catalog.ViewStore {
+    import graft.catalog.{ViewJson, ViewMetadata, ViewVersion}
+
+    private def viewUri(name: String): String = {
+      val (ns, v) = split(name)
+      s"${viewsUri(ns)}/$v"
+    }
+
+    private def metadataFrom(resp: HttpResponse[String]): ViewMetadata = {
+      require(resp.statusCode() == 200, errMsg(resp))
+      ViewJson.fromNode(mapper.readTree(resp.body()).get("metadata"))
+    }
+
+    private def commitOp(name: String, op: ObjectNode): ViewMetadata = {
+      val resp = request("POST", viewUri(name), Some(op))
+      if (resp.statusCode() == 409) throw new CommitConflict(errMsg(resp))
+      metadataFrom(resp)
+    }
+
+    override def createViewVersioned(name: String, version: ViewVersion,
+        properties: Map[String, String]): ViewMetadata = {
+      val (ns, v) = split(name)
+      ensureNamespace(ns)
+      val body = mapper.createObjectNode()
+      body.put("name", v)
+      body.set[ObjectNode]("view-version", ViewJson.versionNode(version))
+      val props = body.putObject("properties")
+      properties.foreach { case (k, vv) => props.put(k, vv) }
+      val resp = request("POST", viewsUri(ns), Some(body))
+      if (resp.statusCode() == 409)
+        throw new IllegalArgumentException(s"view $name already exists")
+      metadataFrom(resp)
+    }
+
+    override def replaceViewVersioned(name: String,
+        version: ViewVersion): ViewMetadata = {
+      val op = mapper.createObjectNode()
+      op.put("action", "replace-version")
+      op.set[ObjectNode]("view-version", ViewJson.versionNode(version))
+      commitOp(name, op)
+    }
+
+    override def updateViewProperties(name: String, set: Map[String, String],
+        remove: Seq[String]): ViewMetadata = {
+      val op = mapper.createObjectNode()
+      op.put("action", "update-properties")
+      val s = op.putObject("set")
+      set.foreach { case (k, vv) => s.put(k, vv) }
+      val r = op.putArray("remove")
+      remove.foreach(r.add)
+      commitOp(name, op)
+    }
+
+    override def renameView(from: String, to: String): ViewMetadata = {
+      val body = mapper.createObjectNode()
+      def ident(n: String): ObjectNode = {
+        val (ns, v) = split(n)
+        val o = mapper.createObjectNode()
+        val a = o.putArray("namespace"); if (ns != "default") a.add(ns)
+        o.put("name", v)
+        o
+      }
+      body.set[ObjectNode]("source", ident(from))
+      body.set[ObjectNode]("destination", ident(to))
+      val resp = request("POST", s"$baseUri/v1/${prefix}views/rename", Some(body))
+      require(resp.statusCode() == 200, errMsg(resp))
+      loadView(to)
+    }
+
+    override def viewExists(name: String): Boolean =
+      request("HEAD", viewUri(name), None).statusCode() == 204
+
+    override def loadView(name: String): ViewMetadata = {
+      val resp = request("GET", viewUri(name), None)
+      require(resp.statusCode() == 200, s"no such view: $name (${errMsg(resp)})")
+      metadataFrom(resp)
+    }
+
+    override def dropView(name: String): Unit = {
+      val resp = request("DELETE", viewUri(name), None)
+      require(resp.statusCode() == 204 || resp.statusCode() == 404, errMsg(resp))
+      ()
+    }
+
+    override def listViews(): Seq[String] = {
+      val resp = request("GET", viewsUri("default"), None)
+      require(resp.statusCode() == 200, errMsg(resp))
+      mapper.readTree(resp.body()).get("identifiers").elements().asScala
+        .map(_.get("name").asText).toSeq.sorted
+    }
+  }
 }
 
 /** A server-planned scan: decoded tasks, the schema they were planned

@@ -127,6 +127,16 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         loadCredentials(ex, ns, t)
       case ("POST", List("namespaces", ns, "tables", t, "metrics")) =>
         receiveMetrics(ex, ns, t)
+      case ("GET", List("namespaces", ns, "views")) => listViews(ex, ns)
+      case ("POST", List("namespaces", ns, "views")) => createView(ex, ns)
+      case ("GET", List("namespaces", ns, "views", v)) => loadView(ex, ns, v)
+      case ("HEAD", List("namespaces", ns, "views", v)) =>
+        if (views.viewExists(fullName(ns, v))) ex.sendResponseHeaders(204, -1)
+        else ex.sendResponseHeaders(404, -1)
+      case ("POST", List("namespaces", ns, "views", v)) => commitView(ex, ns, v)
+      case ("DELETE", List("namespaces", ns, "views", v)) =>
+        views.dropView(fullName(ns, v)); ex.sendResponseHeaders(204, -1)
+      case ("POST", List("views", "rename")) => renameView(ex)
       case _ => sendError(ex, 404, "NotFound", s"$method /${segs.mkString("/")}")
     }
   }
@@ -504,6 +514,93 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     metricsReports.add(full -> graft.metrics.Wire.fromJson(body))
     ex.sendResponseHeaders(204, -1)
+  }
+
+  // ---- views (spec view endpoints; reference rest.go:2013-2380) ---------
+
+  private def views: graft.catalog.ViewStore = backing.viewStore.getOrElse(
+    throw new IllegalArgumentException("backing catalog does not store views"))
+
+  private def viewResult(m: graft.catalog.ViewMetadata): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", s"${m.location}/v${m.metadataSeq}.view.json")
+    o.set[ObjectNode]("metadata", graft.catalog.ViewJson.toNode(m))
+    o
+  }
+
+  private def listViews(ex: HttpExchange, ns: String): Unit = {
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("identifiers")
+    views.listViews().foreach { n =>
+      val id = arr.addObject()
+      id.putArray("namespace")
+      id.put("name", n)
+      ()
+    }
+    sendJson(ex, 200, o)
+  }
+
+  private def createView(ex: HttpExchange, ns: String): Unit = {
+    val body = readJson(ex)
+    val name = fullName(ns, body.get("name").asText)
+    if (views.viewExists(name))
+      return sendError(ex, 409, "ViewAlreadyExistsException",
+        s"view $name already exists")
+    val version = graft.catalog.ViewJson.versionFrom(body.get("view-version"))
+    val props = Option(body.get("properties")).map(p =>
+      p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty[String, String])
+    sendJson(ex, 200, viewResult(views.createViewVersioned(name, version, props)))
+  }
+
+  private def loadView(ex: HttpExchange, ns: String, v: String): Unit = {
+    val name = fullName(ns, v)
+    if (!views.viewExists(name))
+      return sendError(ex, 404, "NoSuchViewException", s"no such view: $name")
+    sendJson(ex, 200, viewResult(views.loadView(name)))
+  }
+
+  /** `POST .../views/{v}`: commit — replace-version appends a new current
+    * version, update-properties mutates properties only. The store's CAS
+    * guards concurrent writers; a lost race surfaces as 409.
+    */
+  private def commitView(ex: HttpExchange, ns: String, v: String): Unit = {
+    val name = fullName(ns, v)
+    if (!views.viewExists(name))
+      return sendError(ex, 404, "NoSuchViewException", s"no such view: $name")
+    val body = readJson(ex)
+    val updated = body.get("action").asText match {
+      case "replace-version" =>
+        views.replaceViewVersioned(name,
+          graft.catalog.ViewJson.versionFrom(body.get("view-version")))
+      case "update-properties" =>
+        val set = Option(body.get("set")).map(p =>
+          p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+          .getOrElse(Map.empty[String, String])
+        val remove = Option(body.get("remove")).map(
+          _.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        views.updateViewProperties(name, set, remove)
+      case other => throw new IllegalArgumentException(
+        s"unknown view commit action: $other")
+    }
+    sendJson(ex, 200, viewResult(updated))
+  }
+
+  private def renameView(ex: HttpExchange): Unit = {
+    val body = readJson(ex)
+    def ident(n: com.fasterxml.jackson.databind.JsonNode): String = {
+      val nsArr = n.get("namespace").elements().asScala.map(_.asText).toSeq
+      fullName(if (nsArr.isEmpty) "default" else nsArr.mkString("."),
+        n.get("name").asText)
+    }
+    val from = ident(body.get("source"))
+    val to = ident(body.get("destination"))
+    if (!views.viewExists(from))
+      return sendError(ex, 404, "NoSuchViewException", s"no such view: $from")
+    if (views.viewExists(to))
+      return sendError(ex, 409, "ViewAlreadyExistsException",
+        s"view $to already exists")
+    sendJson(ex, 200, viewResult(views.renameView(from, to)))
   }
 
   private def loadResult(path: String, meta: TableMetadata): ObjectNode = {

@@ -247,7 +247,7 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
   // (reference `view/view.go`, `view/metadata.go`): Spark's V2 ViewCatalog
   // surface on top, version history preserved across CREATE OR REPLACE.
 
-  private def viewObjects: MetaObjects = cat.viewStore.getOrElse(
+  private def viewObjects: graft.catalog.ViewStore = cat.viewStore.getOrElse(
     throw new UnsupportedOperationException(
       s"$catName: backing catalog does not store views"))
 
