@@ -1322,6 +1322,55 @@ object Text {
              round(AVG(avg_lp), 4) AS mean_lp
       FROM tiered
       GROUP BY lang, bucket
-      ORDER BY lang, bucket"""))
+      ORDER BY lang, bucket""")),
+
+    // Cross-source n-gram overlap matrix (data-mixture contamination
+    // audit): pairwise distinct-5-gram Jaccard over all source pairs,
+    // zero-overlap pairs included (a complete matrix, not just hits). The
+    // distinct (source, gram) stream persists DISK_ONLY for its three
+    // consumers; the self-join's per-gram cost is sources-sharing-the-gram
+    // squared, never corpus-squared; output is sources² rows.
+    QueryDef("t39_source_overlap", (s, dir) => {
+      graft.llm.CorpusAudit.sourceOverlapMatrix(tbl(s, dir, "documents"), n = 5)
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+      g AS (SELECT DISTINCT source, array_to_string(words[i:i+4], ' ') AS gram
+            FROM w, UNNEST(generate_series(1, greatest(0, len(words) - 4))) AS t(i)),
+      s AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+      i AS (SELECT ga.source AS source_a, gb.source AS source_b, COUNT(*) AS n_common
+            FROM g ga JOIN g gb USING (gram) WHERE ga.source < gb.source
+            GROUP BY 1, 2)
+      SELECT sa.source AS source_a, sb.source AS source_b,
+             sa.n_grams AS n_a, sb.n_grams AS n_b,
+             COALESCE(i.n_common, 0) AS n_common,
+             round(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (sa.n_grams + sb.n_grams - COALESCE(i.n_common, 0)), 6) AS jaccard
+      FROM s sa JOIN s sb ON sa.source < sb.source
+      LEFT JOIN i ON i.source_a = sa.source AND i.source_b = sb.source
+      ORDER BY source_a, source_b""")),
+
+    // Per-source boilerplate shortlist (C4-style): top-5 most frequent
+    // 3-grams per source with occurrence and document frequency. One
+    // corpus-scale exchange (the partial-aggregated (source, gram) count);
+    // the top-k finisher is the two-stage partial rank, so only k rows per
+    // (source, input partition) reach the final exchange.
+    QueryDef("t40_boilerplate", (s, dir) => {
+      graft.llm.CorpusAudit.boilerplateGrams(tbl(s, dir, "documents"), n = 3, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("source"), col("rank"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+      g AS (SELECT source, doc_id, array_to_string(words[i:i+2], ' ') AS gram
+            FROM w, UNNEST(generate_series(1, greatest(0, len(words) - 2))) AS t(i)),
+      pd AS (SELECT source, doc_id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2, 3),
+      c AS (SELECT source, gram, CAST(SUM(tf) AS BIGINT) AS occurrences,
+                   COUNT(*) AS doc_freq
+            FROM pd GROUP BY 1, 2),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY occurrences DESC, gram ASC) AS rank FROM c)
+      SELECT source, rank, gram, occurrences, doc_freq
+      FROM r WHERE rank <= 5
+      ORDER BY source, rank"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
