@@ -102,4 +102,43 @@ object Retrieval {
         array_join(transform(col("top"), x => x.getField("cid")), ","))
       .drop("top")
   }
+
+  /** Per-query retrieval quality metrics — recall@k, MRR, nDCG@k — for any
+    * ranked (qid, cid, rank) prediction frame against a (qid, cid)
+    * relevance set: the evaluation step every retrieval/ANN pipeline runs
+    * (and the composition target: feed it [[Similarity.ivfTopK]] output to
+    * score an index against an exact ground truth).
+    *
+    * Scale: predictions are k rows per query and the relevance set is
+    * human-or-oracle-sized; the only exchanges are the (qid, cid) hit join
+    * and two per-qid partial aggregations — nothing corpus-scale. DCG uses
+    * plain conditional sums of ≤k log2 terms; 4dp rounding absorbs libm
+    * and sum-order ULPs (the t26 convention).
+    *
+    * Output: (qid, n_rel, hits, recall_at_k, mrr, ndcg) per query.
+    */
+  def retrievalMetrics(predictions: DataFrame, relevance: DataFrame,
+      k: Int): DataFrame = {
+    val rel = relevance.select(col("qid"), col("cid")).distinct()
+    val relSizes = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val marked = predictions.filter(col("rank") <= k)
+      .join(rel.withColumn("is_rel", lit(1)), Seq("qid", "cid"), "left")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0)))
+    val perq = marked.groupBy(col("qid")).agg(
+      sum(col("is_rel")).cast("long").as("hits"),
+      sum(when(col("is_rel") === 1, lit(1.0) / log2(col("rank") + 1))
+        .otherwise(lit(0.0))).as("dcg"),
+      min(when(col("is_rel") === 1, col("rank"))).as("first_rel_rank"))
+    relSizes.join(perq, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      // ideal DCG: the first min(k, n_rel) ranks all relevant — a
+      // deterministic in-order fold over a generated sequence
+      .withColumn("idcg", aggregate(
+        sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
+        lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1)))
+      .select(col("qid"), col("n_rel"), col("hits"),
+        round(col("hits") / col("n_rel"), 4).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 4).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4).as("ndcg"))
+  }
 }

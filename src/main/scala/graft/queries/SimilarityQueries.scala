@@ -417,7 +417,59 @@ object SimilarityQueries {
     }, Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, 'true' AS clusters_ok,
              'true' AS ids_ok, 'true' AS quality_ok
-      FROM embeddings"""))
+      FROM embeddings""")),
+
+    // Retrieval evaluation: recall@10 / MRR / nDCG@10 per query, exact
+    // hash-match. Predictions = exact top-10; relevance = the cosine≥0.3
+    // set (self + planted near-dups), taken as rank≤50 ∧ cosine≥0.3 so the
+    // oracle can mirror the semantics literally. The metrics operator
+    // itself consumes ANY (qid,cid,rank) frame — the ANN paths compose
+    // exactly as in s6. DCG/IDCG are ≤10-term log2 sums; 4dp rounding
+    // absorbs libm/sum-order ULPs (the t26 convention).
+    QueryDef("s15_retrieval_eval", (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 15)
+      val ranked = Similarity.bruteForceTopK(queries, emb, k = 50).persist()
+      val rel = ranked.filter(col("cosine") >= 0.3).select(col("qid"), col("cid"))
+      val pred = ranked.filter(col("rank") <= 10)
+        .select(col("qid"), col("cid"), col("rank"))
+      val out = graft.llm.Retrieval.retrievalMetrics(pred, rel, k = 10)
+        .orderBy(col("qid")).localCheckpoint()
+      ranked.unpersist()
+      out
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 15),
+           c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           p AS (
+             SELECT qid, cid,
+                    (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(qv) AS a, UNNEST(cv) AS b) z) /
+                    (sqrt((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT UNNEST(qv) AS a) za)) *
+                     sqrt((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(cv) AS b) zb))) AS cos
+             FROM q, c),
+           r AS (SELECT qid, cid, round(cos, 6) AS cosine,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+                 FROM p),
+           rel AS (SELECT qid, cid FROM r WHERE rank <= 50 AND cosine >= 0.3),
+           pred AS (SELECT qid, cid, rank FROM r WHERE rank <= 10),
+           m AS (SELECT pr.qid, pr.rank,
+                        CASE WHEN rl.cid IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+                 FROM pred pr LEFT JOIN rel rl ON pr.qid = rl.qid AND pr.cid = rl.cid),
+           pq AS (SELECT qid, CAST(SUM(is_rel) AS BIGINT) AS hits,
+                         SUM(CASE WHEN is_rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg,
+                         MIN(CASE WHEN is_rel = 1 THEN rank END) AS frank
+                  FROM m GROUP BY qid),
+           rs AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
+           ideal AS (SELECT s.m, SUM(1.0 / log2(t.i + 1)) AS idcg
+                     FROM generate_series(1, 10) s(m)
+                     JOIN generate_series(1, 10) t(i) ON t.i <= s.m
+                     GROUP BY s.m)
+      SELECT rs.qid, rs.n_rel, COALESCE(pq.hits, 0) AS hits,
+             round(CAST(COALESCE(pq.hits, 0) AS DOUBLE) / rs.n_rel, 4) AS recall_at_k,
+             round(COALESCE(1.0 / pq.frank, 0), 4) AS mrr,
+             round(COALESCE(pq.dcg, 0) / ideal.idcg, 4) AS ndcg
+      FROM rs JOIN ideal ON ideal.m = LEAST(10, rs.n_rel)
+      LEFT JOIN pq ON pq.qid = rs.qid
+      ORDER BY rs.qid"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 
   /** DuckDB replica of [[graft.llm.Clustering.kMeans]] (dim=64, 6dp centroid
