@@ -44,7 +44,9 @@ object Bench {
   // claims are argued from numbers, not just plans
   private val TelemetryQueries =
     Set("q2_join_agg", "t7_minhash_clusters", "t9_neardup_pairs", "s5_ann_ivf",
-      "t28_dup_spans", "s10_pq_ann", "s11_rrf_fusion", "t25_decontaminate_bloom")
+      "t28_dup_spans", "s10_pq_ann", "s11_rrf_fusion", "t25_decontaminate_bloom",
+      "t39_source_overlap", "t40_boilerplate", "s6_knn_agreement",
+      "s13_kmeans_twolevel")
 
   /** Other live Spark/sbt/scala JVMs on the box, excluding this process,
     * its ancestors (the sbt shell that forked us) and its descendants.

@@ -3017,6 +3017,55 @@ object IcebergQueries {
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         FROM customer GROUP BY c_mktsegment
       ) WHERE n >= 10
-      ORDER BY seg"""), repeatable = true)
+      ORDER BY seg"""), repeatable = true),
+
+    // Static-partition INSERT OVERWRITE: replace ONE partition's contents in
+    // ONE atomic overwrite snapshot (Writer.overwriteWhere — replacement
+    // files, strict metadata-only drops of fully-matching files, and
+    // removals in a single conflict-validated commit; readers never see the
+    // deleted-but-not-replaced intermediate a delete+append pair exposes).
+    // The gate also pins atomicity observably: snapshot count delta == 1 and
+    // untouched partitions keep their exact files.
+    QueryDef.staged("i84_sql_overwrite_partition", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/owp_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gowp_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"owpsrc_$ctl")
+      s.sql(s"""CREATE TABLE $ctl.cust PARTITIONED BY (c_mktsegment)
+        AS SELECT c_custkey, c_acctbal, c_mktsegment FROM owpsrc_$ctl""")
+      val cat = new HadoopCatalog(wh)
+      val before = cat.loadTable("cust")
+      val snapsBefore = before.metadata.snapshots.length
+      val otherFiles = before.newScan.planFiles()
+        .filter(t => String.valueOf(t.file.partition.head) != "BUILDING")
+        .map(_.file.path).toSet
+      s.sql(s"""INSERT OVERWRITE $ctl.cust PARTITION (c_mktsegment = 'BUILDING')
+        SELECT c_custkey, c_acctbal + 100.0 FROM owpsrc_$ctl
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0""")
+      val after = cat.loadTable("cust")
+      val oneSnap = after.metadata.snapshots.length == snapsBefore + 1
+      val othersIntact = after.newScan.planFiles()
+        .filter(t => String.valueOf(t.file.partition.head) != "BUILDING")
+        .map(_.file.path).toSet == otherFiles
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$oneSnap' AS one_snapshot, '$othersIntact' AS others_intact
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS one_snapshot, 'true' AS others_intact
+      FROM (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_mktsegment <> 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0, c_mktsegment FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

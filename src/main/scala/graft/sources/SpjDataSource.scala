@@ -224,10 +224,10 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
               if (replaceAll) { Writer.overwriteAll(spark, fresh, data); () }
               else deleteFirst match {
                 case Some(del) =>
-                  // filtered overwrite: CoW delete of the matching slice,
-                  // then append — two snapshots (delete is conflict-checked)
-                  val afterDelete = Writer.deleteWhere(spark, fresh, del)
-                  Writer.append(spark, afterDelete, data); ()
+                  // filtered overwrite (INSERT OVERWRITE ... PARTITION):
+                  // ONE atomic conflict-validated snapshot — readers never
+                  // see the deleted-but-not-replaced intermediate
+                  Writer.overwriteWhere(spark, fresh, data, del); ()
                 case None =>
                   Writer.append(spark, fresh, data, toBranch = branch); ()
               }
@@ -421,6 +421,11 @@ object SpjScanBuilder {
     case org.apache.spark.sql.sources.AlwaysTrue() => Some(Expr.AlwaysTrue)
     case org.apache.spark.sql.sources.AlwaysFalse() => Some(Expr.AlwaysFalse)
     case org.apache.spark.sql.sources.EqualTo(a, v) if lit(v) => Some(Expr.eq(a, v))
+    // null-safe equality: Spark emits <=> for static partition values
+    // (INSERT OVERWRITE ... PARTITION (p = v)); against a non-null literal
+    // it filters identically to eq (null rows match neither)
+    case org.apache.spark.sql.sources.EqualNullSafe(a, null) => Some(Expr.isNull(a))
+    case org.apache.spark.sql.sources.EqualNullSafe(a, v) if lit(v) => Some(Expr.eq(a, v))
     case org.apache.spark.sql.sources.GreaterThan(a, v) if lit(v) => Some(Expr.gt(a, v))
     case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) if lit(v) => Some(Expr.gtEq(a, v))
     case org.apache.spark.sql.sources.LessThan(a, v) if lit(v) => Some(Expr.lt(a, v))

@@ -145,6 +145,40 @@ object Writer {
         rewrittenFiles = candidates.map(t => (t.file, t.specId)))))
   }
 
+  /** Filtered overwrite in ONE snapshot (reference overwrite semantics,
+    * `table/transaction.go:612-700` applied to a predicate slice): remove
+    * everything matching `filter`, add `df`, atomically. Strict
+    * classification drops fully-matching files metadata-only; partially-
+    * matching files are rewritten without matching rows; the replacement
+    * data, the rewrites, and the removals all land in a single
+    * conflict-validated `overwrite` commit — a reader never observes the
+    * deleted-but-not-yet-replaced intermediate that a delete+append pair
+    * exposes. Backs SQL `INSERT OVERWRITE ... PARTITION (...)` (Spark
+    * plans static partition overwrite as OverwriteByExpression).
+    */
+  def overwriteWhere(spark: SparkSession, table: Table, df: DataFrame,
+      filter: Expr): Table = {
+    SparkRead.configure(spark)
+    val added = writeDataFiles(spark, table, df)
+    val candidates = table.newScan.withFilter(filter).planFiles()
+    val schema = table.schema
+    val strictFilter = Expr.rewriteNot(filter)
+    val (_, partial) = candidates.partition(t =>
+      Evaluators.fileMustMatch(schema, strictFilter, t.file))
+    val candidatePaths = candidates.map(_.file.path)
+    val rewritten =
+      if (partial.isEmpty) Nil
+      else writeDataFiles(spark, table,
+        SparkRead.readTasks(spark, partial, schema, table.nameMapping,
+          specById = table.metadata.specById)
+          .filter(!Expr.toColumn(filter)))
+    commitSnapshot(table, "overwrite", addedFiles = added ++ rewritten,
+      removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil,
+      conflictCheck = Some(ConflictCheck(filter = filter,
+        candidatePaths = candidatePaths.toSet,
+        rewrittenFiles = candidates.map(t => (t.file, t.specId)))))
+  }
+
   /** Merge-on-read DELETE WHERE: write positional delete files for matching
     * rows (reference `table/transaction.go:2121-2339`), leaving data files
     * in place.

@@ -234,6 +234,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.toLowerCase.contains("nope"))
   }
 
+  test("INSERT OVERWRITE PARTITION: one atomic snapshot, other partitions untouched") {
+    spark.sql("""CREATE TABLE g.t_owp (k BIGINT, seg STRING)
+      PARTITIONED BY (seg)""")
+    spark.sql("""INSERT INTO g.t_owp VALUES
+      (1, 'A'), (2, 'A'), (3, 'B'), (4, 'B'), (5, 'C')""")
+    val before = catalog.loadTable("t_owp")
+    val snapsBefore = before.metadata.snapshots.length
+    val bFilesBefore = before.newScan.planFiles()
+      .filter(_.file.partition.headOption.exists(v => String.valueOf(v) == "B"))
+      .map(_.file.path).toSet
+    assert(bFilesBefore.nonEmpty)
+
+    spark.sql("INSERT OVERWRITE g.t_owp PARTITION (seg = 'A') VALUES (10), (11)")
+
+    val after = catalog.loadTable("t_owp")
+    // atomicity: exactly ONE new snapshot, operation 'overwrite'
+    assert(after.metadata.snapshots.length === snapsBefore + 1,
+      "filtered overwrite must commit a single snapshot")
+    assert(after.metadata.currentSnapshot.get.summary.get("operation")
+      .contains("overwrite"))
+    // untouched partitions keep their exact files
+    val bFilesAfter = after.newScan.planFiles()
+      .filter(_.file.partition.headOption.exists(v => String.valueOf(v) == "B"))
+      .map(_.file.path).toSet
+    assert(bFilesAfter === bFilesBefore)
+    // content: A replaced, B/C intact
+    val rows = spark.sql("SELECT k, seg FROM g.t_owp ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((3L, "B"), (4L, "B"), (5L, "C"), (10L, "A"), (11L, "A")))
+  }
+
   test("manifest-derived scan statistics: a small catalog table auto-broadcasts") {
     spark.sql("CREATE TABLE g.stat_dim (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.stat_dim VALUES (1,'a'), (2,'b')")
