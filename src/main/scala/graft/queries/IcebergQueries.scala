@@ -3066,6 +3066,56 @@ object IcebergQueries {
         SELECT c_custkey, c_acctbal + 100.0, c_mktsegment FROM customer
         WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Dynamic partition overwrite (partitionOverwriteMode=dynamic): one
+    // INSERT OVERWRITE with rows spanning TWO segments replaces exactly
+    // those two partitions in one ReplacePartitions-style snapshot — no V1
+    // fallback exists for this plan, so the rows land through the
+    // executor-side DSv2 fanout writers. Atomicity and isolation pinned
+    // observably: snapshot delta == 1, untouched partitions keep files.
+    QueryDef.staged("i85_sql_overwrite_dynamic", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/dyn_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gdyn_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView(s"dynsrc_$ctl")
+      s.sql(s"""CREATE TABLE $ctl.cust PARTITIONED BY (c_mktsegment)
+        AS SELECT c_custkey, c_acctbal, c_mktsegment FROM dynsrc_$ctl""")
+      val cat = new HadoopCatalog(wh)
+      val before = cat.loadTable("cust")
+      val snapsBefore = before.metadata.snapshots.length
+      val untouched = before.newScan.planFiles()
+        .filterNot(t => Set("AUTOMOBILE", "MACHINERY")(String.valueOf(t.file.partition.head)))
+        .map(_.file.path).toSet
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"""INSERT OVERWRITE $ctl.cust
+        SELECT c_custkey, c_acctbal * 2.0, c_mktsegment FROM dynsrc_$ctl
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND c_custkey % 3 = 0""")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      val after = cat.loadTable("cust")
+      val oneSnap = after.metadata.snapshots.length == snapsBefore + 1
+      val othersIntact = after.newScan.planFiles()
+        .filterNot(t => Set("AUTOMOBILE", "MACHINERY")(String.valueOf(t.file.partition.head)))
+        .map(_.file.path).toSet == untouched
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$oneSnap' AS one_snapshot, '$othersIntact' AS others_intact
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS one_snapshot, 'true' AS others_intact
+      FROM (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_mktsegment NOT IN ('AUTOMOBILE', 'MACHINERY')
+        UNION ALL
+        SELECT c_custkey, c_acctbal * 2.0, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND c_custkey % 3 = 0)
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -188,10 +188,12 @@ final case class GraftCommitMessage(files: Seq[GraftWrittenFile])
   */
 final case class GraftPartExtractor(idx: Int, dt: DataType, transform: GTransform)
 
-final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable)
-    extends BatchWrite {
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+object GraftBatchWrites {
+  /** Executor-side partition-fanout writer factory over Spark's own
+    * parquet OutputWriter — shared by the CoW row-level replacement write
+    * and the dynamic-overwrite write.
+    */
+  def cowWriterFactory(table: GraftTable): DataWriterFactory = {
     val spark = SparkSession.active
     val schema = table.schema
     val sparkSchema = SchemaBridge.toSpark(schema)
@@ -211,19 +213,67 @@ final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable
       table.location, schema, table.spec, extractors, maxRecords)
   }
 
+  /** Footer-stats harvest of task-written files (driver IO pool). */
+  def harvest(table: GraftTable, written: Seq[GraftWrittenFile]): Seq[graft.format.DataFile] = {
+    val schema = table.schema
+    val props = table.metadata.properties
+    val omitBounds = props.contains(graft.encryption.ParquetEncryption.KeyIdProp)
+    import scala.collection.parallel.CollectionConverters._
+    written.par
+      .map(f => Writer.harvestStats(f.path, schema, f.partValues,
+        omitBounds = omitBounds, props = props))
+      .seq.filter(_.recordCount > 0)
+  }
+}
+
+/** SQL `INSERT OVERWRITE` under partitionOverwriteMode=dynamic: one
+  * `overwrite` snapshot replacing exactly the partitions present in the
+  * incoming rows (Iceberg ReplacePartitions semantics — see
+  * [[Writer.dynamicReplacement]] for the matching rules). Spark plans
+  * dynamic overwrite only through a real DSv2 BatchWrite (no V1 fallback
+  * exec exists), so the rows land through the executor-side fanout
+  * writers.
+  */
+final class GraftDynamicOverwriteBatchWrite(table: GraftTable)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftBatchWrites.cowWriterFactory(table)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
+    val added = GraftBatchWrites.harvest(table, written)
+    val (removedPaths, deleteKeys) =
+      if (table.spec.isUnpartitioned)
+        (table.newScan.planFiles().map(_.file.path).toSet,
+          table.newScan.planFiles().flatMap(t =>
+            t.posDeletes.map(d => (d.path, d.contentOffset)) ++
+              t.eqDeletes.map(e => (e._1.path, e._1.contentOffset))).toSet)
+      else Writer.dynamicReplacement(table, added.map(_.partition))
+    if (added.isEmpty && removedPaths.isEmpty) return
+    Writer.commitSnapshot(table, "overwrite", addedFiles = added,
+      removedPaths = removedPaths, addedDeleteFiles = Nil,
+      removedDeleteKeys = deleteKeys)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftCommitMessage => m.files }.flatten
+      .foreach(f => graft.io.FileIO.delete(f.path))
+}
+
+final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftBatchWrites.cowWriterFactory(table)
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
     val removed = op.scanned
     if (written.isEmpty && removed.isEmpty) return // no-op operation
-    val schema = table.schema
-    val props = table.metadata.properties
-    val omitBounds = props.contains(graft.encryption.ParquetEncryption.KeyIdProp)
     // footer harvest: one footer per file, IO-bound — driver pool
-    import scala.collection.parallel.CollectionConverters._
-    val added = written.par
-      .map(f => Writer.harvestStats(f.path, schema, f.partValues,
-        omitBounds = omitBounds, props = props))
-      .seq.filter(_.recordCount > 0)
+    val added = GraftBatchWrites.harvest(table, written)
     val removedPaths = removed.map(_.file.path).toSet
     // deletion vectors reference exactly one data file — when that file is
     // replaced, its DV folds away with it. Multi-file parquet pos-deletes

@@ -159,6 +159,10 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     if (writable && snapshotId.isEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+        // BATCH_WRITE satisfies the dynamic-overwrite capability check;
+        // append/filtered-overwrite still plan through the V1 funnel
+        // because build() returns a V1Write for them
+        TableCapability.BATCH_WRITE, TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
     else if (branch.isDefined && writable)
       // branch identifier: reads pin the branch head, INSERT appends to it
@@ -192,13 +196,20 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")
-    new WriteBuilder with SupportsOverwrite {
+    new WriteBuilder with SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var replaceAll = false
+      private var dynamic = false
       private var deleteFirst: Option[Expr] = None
 
       override def truncate(): WriteBuilder = {
         require(branch.isEmpty, s"${name()}: cannot truncate a branch identifier")
         replaceAll = true; this
+      }
+
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        require(branch.isEmpty, s"${name()}: cannot overwrite a branch identifier")
+        dynamic = true; this
       }
 
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
@@ -211,7 +222,15 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
         this
       }
 
-      override def build(): Write = new V1Write {
+      override def build(): Write =
+        if (dynamic) new Write {
+          // no V1 fallback exec exists for dynamic overwrite: rows land
+          // through the executor-side DSv2 fanout writers, one atomic
+          // ReplacePartitions-style snapshot at commit
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftDynamicOverwriteBatchWrite(table.refresh())
+        }
+        else new V1Write {
         // `df.writeStream.toTable(...)`: epoch-per-snapshot streaming
         // append (Complete mode → truncate → overwrite-per-epoch)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -221,7 +240,8 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val spark = data.sparkSession
               val fresh = table.refresh()
-              if (replaceAll) { Writer.overwriteAll(spark, fresh, data); () }
+              if (dynamic) { Writer.overwriteDynamic(spark, fresh, data); () }
+              else if (replaceAll) { Writer.overwriteAll(spark, fresh, data); () }
               else deleteFirst match {
                 case Some(del) =>
                   // filtered overwrite (INSERT OVERWRITE ... PARTITION):

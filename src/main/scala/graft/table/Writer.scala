@@ -145,6 +145,56 @@ object Writer {
         rewrittenFiles = candidates.map(t => (t.file, t.specId)))))
   }
 
+  /** Dynamic partition overwrite (Iceberg ReplacePartitions semantics):
+    * replace exactly the partitions PRESENT in `df`, atomically — write the
+    * replacement files, then one `overwrite` snapshot that adds them and
+    * removes every live data file (plus its attached delete files) whose
+    * partition tuple matches one of theirs. Partitions absent from `df` are
+    * untouched. Backs SQL `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`.
+    *
+    * Partition tuples are compared by their canonical Hive-style path key
+    * (the same serialization the fanout writer lays files out under), so
+    * fresh in-memory values and manifest-read values can't diverge by
+    * boxing. Files on an OLDER spec are rejected loudly — their tuples are
+    * not comparable against the current spec; compact first. Matches the
+    * reference's default ReplacePartitions behavior: no conflict
+    * validation — concurrent writers to DISJOINT partitions both win.
+    */
+  def overwriteDynamic(spark: SparkSession, table: Table, df: DataFrame): Table = {
+    SparkRead.configure(spark)
+    if (table.spec.isUnpartitioned) return overwriteAll(spark, table, df)
+    val added = writeDataFiles(spark, table, df)
+    val (removedPaths, deleteKeys) =
+      dynamicReplacement(table, added.map(_.partition))
+    commitSnapshot(table, "overwrite", addedFiles = added,
+      removedPaths = removedPaths,
+      addedDeleteFiles = Nil, removedDeleteKeys = deleteKeys)
+  }
+
+  /** The live files (and their attached delete files) a dynamic overwrite
+    * of `addedPartitions` must remove. Tuples are compared by canonical
+    * Hive-style path key; files on an older spec are rejected loudly.
+    */
+  def dynamicReplacement(table: Table, addedPartitions: Seq[Seq[Any]])
+      : (Set[String], Set[(String, Option[Long])]) = {
+    val schema = table.schema
+    val spec = table.spec
+    def key(values: Seq[Any]): String = spec.partitionToPath(values, schema)
+    val newKeys = addedPartitions.map(key).toSet
+    val tasks = table.newScan.planFiles()
+    val oldSpec = tasks.filter(_.specId != spec.specId)
+    require(oldSpec.isEmpty,
+      s"dynamic overwrite requires all data files on the current partition " +
+        s"spec ${spec.specId}; ${oldSpec.length} file(s) ride older specs — " +
+        "run rewrite_data_files first")
+    val replaced = tasks.filter(t => newKeys.contains(key(t.file.partition)))
+    val deleteKeys = replaced.flatMap(t =>
+      t.posDeletes.map(d => (d.path, d.contentOffset)) ++
+        t.eqDeletes.map(e => (e._1.path, e._1.contentOffset))).toSet
+    (replaced.map(_.file.path).toSet, deleteKeys)
+  }
+
   /** Filtered overwrite in ONE snapshot (reference overwrite semantics,
     * `table/transaction.go:612-700` applied to a predicate slice): remove
     * everything matching `filter`, add `df`, atomically. Strict

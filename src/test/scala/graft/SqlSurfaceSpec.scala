@@ -265,6 +265,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Seq((3L, "B"), (4L, "B"), (5L, "C"), (10L, "A"), (11L, "A")))
   }
 
+  test("dynamic INSERT OVERWRITE replaces only the partitions present in the data") {
+    spark.sql("""CREATE TABLE g.t_dyn (k BIGINT, seg STRING)
+      PARTITIONED BY (seg)""")
+    spark.sql("""INSERT INTO g.t_dyn VALUES
+      (1, 'A'), (2, 'B'), (3, 'C')""")
+    val before = catalog.loadTable("t_dyn")
+    val snapsBefore = before.metadata.snapshots.length
+    val cFiles = before.newScan.planFiles()
+      .filter(t => String.valueOf(t.file.partition.head) == "C")
+      .map(_.file.path).toSet
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE g.t_dyn VALUES (10, 'A'), (20, 'B')")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val after = catalog.loadTable("t_dyn")
+    assert(after.metadata.snapshots.length === snapsBefore + 1)
+    // C untouched (exact files), A/B replaced
+    assert(after.newScan.planFiles()
+      .filter(t => String.valueOf(t.file.partition.head) == "C")
+      .map(_.file.path).toSet === cFiles)
+    val rows = spark.sql("SELECT k, seg FROM g.t_dyn ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((3L, "C"), (10L, "A"), (20L, "B")))
+  }
+
   test("manifest-derived scan statistics: a small catalog table auto-broadcasts") {
     spark.sql("CREATE TABLE g.stat_dim (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.stat_dim VALUES (1,'a'), (2,'b')")
