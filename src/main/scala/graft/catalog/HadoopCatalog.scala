@@ -22,6 +22,22 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
 
   override lazy val viewStore: Option[MetaObjects] = Some(new MetaObjects(warehouse))
 
+  /** Where a table named `name` lives; used by staged (atomic) CTAS/RTAS
+    * to write data files into the final location before the CAS publish.
+    */
+  def tableLocation(name: String): String = tableDir(name)
+
+  /** Publish staged metadata as this table's next version in one CAS:
+    * version 0 → create (visible only after the hint lands), version N →
+    * atomic replace. The staged files were already written under
+    * [[tableLocation]]; nothing references them until this pointer swing.
+    */
+  def registerStagedMetadata(name: String, meta: TableMetadata,
+      expectedVersion: Int): Unit = {
+    commit(name, meta, meta, expectedVersion)
+    ()
+  }
+
   private def tableDir(name: String): String = s"$warehouse/$name"
   private def metadataDir(name: String): String = s"${tableDir(name)}/metadata"
   private def hintFile(name: String): String = s"${metadataDir(name)}/version-hint.text"

@@ -3116,6 +3116,40 @@ object IcebergQueries {
         SELECT c_custkey, c_acctbal * 2.0, c_mktsegment FROM customer
         WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND c_custkey % 3 = 0)
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Atomic RTAS: CREATE OR REPLACE TABLE ... AS SELECT through the
+    // staging catalog — replacement data files are written against
+    // in-memory buffered metadata (readers keep seeing the OLD table), and
+    // commitStagedChanges publishes in ONE catalog CAS: the version delta
+    // is exactly 1 and no intermediate (empty or half-written) state is
+    // ever addressable. The new schema/spec replace the old wholesale.
+    QueryDef.staged("i86_sql_rtas", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/rtas_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"grtas_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "nation").createOrReplaceTempView(s"rtassrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.nat AS SELECT n_nationkey, n_name FROM rtassrc_$ctl")
+      val cat = new HadoopCatalog(wh)
+      val vBefore = cat.currentVersion("nat").get
+      s.sql(s"""CREATE OR REPLACE TABLE $ctl.nat
+        PARTITIONED BY (n_regionkey)
+        AS SELECT n_nationkey, n_name, n_regionkey FROM rtassrc_$ctl
+        WHERE n_nationkey % 2 = 0""")
+      val oneCas = cat.currentVersion("nat").get == vBefore + 1
+      val partitioned = cat.loadTable("nat").spec.fields.nonEmpty
+      () => s.sql(s"""
+        SELECT n_regionkey, COUNT(*) AS n,
+               '$oneCas' AS one_cas, '$partitioned' AS partitioned
+        FROM $ctl.nat
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n,
+             'true' AS one_cas, 'true' AS partitioned
+      FROM nation WHERE n_nationkey % 2 = 0
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""), repeatable = true)
   )
 }

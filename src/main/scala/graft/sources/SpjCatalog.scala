@@ -50,7 +50,8 @@ import graft.table.Evolve
   * partitions under UnknownPartitioning.
   */
 final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
-    with ProcedureCatalog with ViewCatalog {
+    with ProcedureCatalog with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catName: String = _
   private var cat: GraftCatalog = _
@@ -242,6 +243,69 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 
+  // --------------------------------------------------- StagingTableCatalog
+  // Atomic CTAS / RTAS (`CREATE [OR REPLACE] TABLE ... AS SELECT`): data
+  // files are written into the FINAL table location against an in-memory
+  // buffered metadata, and commitStagedChanges publishes that metadata in
+  // one catalog CAS — readers see the old table (or no table) until the
+  // pointer swings, never an empty or half-written one. Backends without
+  // direct metadata registration (SQL/REST) fall back to eager create —
+  // the same visibility window the non-staged path always had.
+
+  import org.apache.spark.sql.connector.catalog.{StagedTable, TableInfo}
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, orReplace = false, mustExist = false)
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, orReplace = true, mustExist = true)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, orReplace = true, mustExist = false)
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageCreateOrReplace(ident, info.schema(), info.partitions(), info.properties())
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      orReplace: Boolean, mustExist: Boolean): StagedTable = {
+    val name = flat(ident)
+    val exists = cat.tableExists(name)
+    if (exists && !orReplace) throw new TableAlreadyExistsException(ident)
+    if (!exists && mustExist) throw new NoSuchTableException(ident)
+    val iceSchema = SchemaBridge.fromSpark(schema)
+    val spec = partitions.foldLeft(PartitionSpec.builder(iceSchema)) {
+      case (b, t) =>
+        val (col, tr) = GraftSpjCatalog.toGraftTransform(t)
+        b.add(col, tr)
+    }.build()
+    val props = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    cat match {
+      case h: graft.catalog.HadoopCatalog =>
+        GraftAtomicStagedTable(h, ident, name, iceSchema, spec, props, orReplace)
+      case _ =>
+        // eager fallback: create (dropping first on replace) now; the
+        // staged hooks only clean up on abort
+        if (exists) cat.dropTable(name)
+        val t = cat.createTable(name, iceSchema, spec, properties = props)
+        new GraftEagerStagedTable(cat, name,
+          new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
+            strict = false, writable = true))
+    }
+  }
+
   // --------------------------------------------------------------- ViewCatalog
   // Versioned SQL-text views over the backing catalog's view store
   // (reference `view/view.go`, `view/metadata.go`): Spark's V2 ViewCatalog
@@ -325,6 +389,122 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
     viewObjects.renameView(f, flatViewName(to))
     ()
   }
+}
+
+/** In-memory CAS catalog holding a staged table's metadata until publish:
+  * the write funnel commits manifests and snapshots into THIS buffer (the
+  * physical files land under the final table location, referenced by
+  * nothing), and the staging catalog publishes the buffered metadata to
+  * the real catalog in one CAS.
+  */
+private[sources] final class GraftBufferCatalog(tableName: String,
+    initial: graft.format.TableMetadata) extends GraftCatalog {
+  @volatile private[sources] var meta: graft.format.TableMetadata = initial
+  @volatile private[sources] var version: Int = 0
+
+  override def createTable(name: String, schema: graft.core.IcebergSchema,
+      spec: PartitionSpec, sortOrder: graft.format.SortOrder,
+      properties: Map[String, String]): graft.table.Table =
+    throw new UnsupportedOperationException("staged buffer: createTable")
+  override def loadTable(name: String): graft.table.Table =
+    // path encodes the CAS base version in the v<N>.metadata.json form
+    // Table parses (no file exists at it; the buffer is the source of truth)
+    new graft.table.Table(tableName, meta, s"staged/v$version.metadata.json", this)
+  override def dropTable(name: String): Unit =
+    throw new UnsupportedOperationException("staged buffer: dropTable")
+  override def tableExists(name: String): Boolean = name == tableName
+  override def listTables(): Seq[String] = Seq(tableName)
+  override def currentVersion(name: String): Option[Int] = Some(version)
+  override def commit(name: String, base: graft.format.TableMetadata,
+      updated: graft.format.TableMetadata, expectedVersion: Int): String =
+    synchronized {
+      if (version != expectedVersion)
+        throw new graft.catalog.CommitConflict(
+          s"staged buffer at version $version, expected $expectedVersion")
+      meta = updated
+      version += 1
+      s"staged/v$version.metadata.json"
+    }
+}
+
+/** Atomic staged CTAS/RTAS over a Hadoop-layout catalog: writes go through
+  * the ordinary SpjTable V1 funnel against the buffer, commitStagedChanges
+  * CAS-publishes the buffered metadata (create at version 0, replace at
+  * the current version), abortStagedChanges deletes the staged files.
+  */
+private[sources] final class GraftAtomicStagedTable(
+    h: graft.catalog.HadoopCatalog, ident: Identifier, tableName: String,
+    buffer: GraftBufferCatalog, orReplace: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private def inner = new SpjTable(buffer.loadTable(tableName),
+    SchemaBridge.toSpark(buffer.meta.schema), allowBucket = true,
+    strict = false, writable = true)
+
+  override def name(): String = tableName
+  override def schema(): StructType = inner.schema()
+  override def partitioning() = inner.partitioning()
+  override def properties() = inner.properties()
+  override def capabilities() = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    val exists = h.tableExists(tableName)
+    if (exists && !orReplace) throw new TableAlreadyExistsException(ident)
+    val expected = if (exists) h.currentVersion(tableName).getOrElse(0) else 0
+    h.registerStagedMetadata(tableName, buffer.meta, expected)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    // best-effort: unreference the staged data files; a fresh create also
+    // drops the whole directory (nothing else lives there yet)
+    if (buffer.version > 0)
+      buffer.loadTable(tableName).newScan.planFiles()
+        .foreach(t => try { graft.io.FileIO.delete(t.file.path); () }
+          catch { case _: Exception => () })
+    if (!h.tableExists(tableName))
+      try { graft.io.FileIO.deleteTree(h.tableLocation(tableName)); () }
+      catch { case _: Exception => () }
+  }
+}
+
+object GraftAtomicStagedTable {
+  def apply(h: graft.catalog.HadoopCatalog, ident: Identifier,
+      tableName: String, schema: graft.core.IcebergSchema,
+      spec: PartitionSpec, props: Map[String, String],
+      orReplace: Boolean): GraftAtomicStagedTable = {
+    val meta0 = graft.format.TableMetadata.empty(
+      h.tableLocation(tableName), schema, spec, properties = props)
+    new GraftAtomicStagedTable(h, ident, tableName,
+      new GraftBufferCatalog(tableName, meta0), orReplace)
+  }
+}
+
+/** Eager (non-atomic) staged table for backends without direct metadata
+  * registration: the table was created up front; the staged hooks only
+  * clean up on abort — exactly the visibility window the non-staged
+  * CTAS/RTAS path always had on these backends.
+  */
+private[sources] final class GraftEagerStagedTable(cat: GraftCatalog,
+    tableName: String, inner: SpjTable)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = inner.schema()
+  override def partitioning() = inner.partitioning()
+  override def properties() = inner.properties()
+  override def capabilities() = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit =
+    try { cat.dropTable(tableName); () } catch { case _: Exception => () }
 }
 
 /** Spark V2 View over stored graft view metadata. */

@@ -290,6 +290,29 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Seq((3L, "C"), (10L, "A"), (20L, "B")))
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT is one atomic metadata swing") {
+    spark.sql("CREATE TABLE g.t_rtas AS SELECT 1 AS k, 'old' AS v")
+    val vBefore = catalog.currentVersion("t_rtas").get
+    spark.sql("""CREATE OR REPLACE TABLE g.t_rtas
+      PARTITIONED BY (tag)
+      AS SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+      FROM range(6)""")
+    // single CAS publish: exactly one catalog version past the old table
+    assert(catalog.currentVersion("t_rtas").get === vBefore + 1)
+    val t = catalog.loadTable("t_rtas")
+    assert(t.spec.fields.map(_.transform) === Seq(Transforms.Identity))
+    val rows = spark.sql("SELECT k, tag FROM g.t_rtas ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === (0L to 5L).map(i => (i, if (i % 2 == 0) "even" else "odd")))
+    // plain atomic CTAS: staged create publishes at version 1
+    spark.sql("CREATE TABLE g.t_ctas2 AS SELECT 7 AS x")
+    assert(catalog.currentVersion("t_ctas2").get === 1)
+    assert(spark.sql("SELECT x FROM g.t_ctas2").head.getInt(0) === 7)
+    // REPLACE of a missing table fails; CREATE of an existing table fails
+    intercept[Exception](spark.sql("REPLACE TABLE g.t_missing AS SELECT 1 AS a"))
+    intercept[Exception](spark.sql("CREATE TABLE g.t_ctas2 AS SELECT 1 AS a"))
+  }
+
   test("manifest-derived scan statistics: a small catalog table auto-broadcasts") {
     spark.sql("CREATE TABLE g.stat_dim (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.stat_dim VALUES (1,'a'), (2,'b')")
