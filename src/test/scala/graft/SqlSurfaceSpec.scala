@@ -313,6 +313,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("CREATE TABLE g.t_ctas2 AS SELECT 1 AS a"))
   }
 
+  test("staged replace wins over a concurrent append (replace-transaction semantics)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE TABLE g.t_race AS SELECT 1 AS k")
+    val spjCat = spark.sessionState.catalogManager.catalog("g")
+      .asInstanceOf[graft.sources.GraftSpjCatalog]
+    val ident = Identifier.of(Array.empty[String], "t_race")
+    val staged = spjCat.stageReplace(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType),
+      Array.empty, new java.util.HashMap[String, String]())
+    // the table moves on while the replace is staged — a replace defines
+    // the COMPLETE new table state, so it publishes on top (the
+    // reference's replace-transaction semantics), not conflicts
+    spark.sql("INSERT INTO g.t_race VALUES (2)")
+    val vAfterInsert = catalog.currentVersion("t_race").get
+    staged.commitStagedChanges()
+    assert(catalog.currentVersion("t_race").get === vAfterInsert + 1)
+    // the staged (empty) contents replaced everything, concurrent rows gone
+    assert(spark.sql("SELECT count(*) FROM g.t_race").head.getLong(0) === 0L)
+  }
+
+  test("TRUNCATE TABLE empties via metadata-only delete") {
+    spark.sql("CREATE TABLE g.t_trunc (k BIGINT)")
+    spark.sql("INSERT INTO g.t_trunc VALUES (1), (2), (3)")
+    spark.sql("TRUNCATE TABLE g.t_trunc")
+    assert(spark.sql("SELECT count(*) FROM g.t_trunc").head.getLong(0) === 0L)
+    // table survives, schema intact, next insert works
+    spark.sql("INSERT INTO g.t_trunc VALUES (9)")
+    assert(spark.sql("SELECT k FROM g.t_trunc").head.getLong(0) === 9L)
+  }
+
   test("manifest-derived scan statistics: a small catalog table auto-broadcasts") {
     spark.sql("CREATE TABLE g.stat_dim (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.stat_dim VALUES (1,'a'), (2,'b')")
