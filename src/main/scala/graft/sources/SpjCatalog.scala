@@ -51,7 +51,8 @@ import graft.table.Evolve
   */
 final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
     with ProcedureCatalog with ViewCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catName: String = _
   private var cat: GraftCatalog = _
@@ -242,6 +243,48 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  // ----------------------------------------------------- SupportsNamespaces
+  // Minimal namespace surface over the flat backing catalogs: the single
+  // implicit `default` namespace (plus the empty root). `SHOW NAMESPACES`,
+  // `USE g.default`, and DESCRIBE NAMESPACE work; namespace DDL is
+  // rejected loudly rather than silently ignored.
+
+  import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException
+  import org.apache.spark.sql.connector.catalog.NamespaceChange
+
+  private def isKnownNamespace(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns sameElements Array("default"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isKnownNamespace(namespace)
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!isKnownNamespace(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!isKnownNamespace(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$catName: flat catalog — tables live in the implicit 'default' namespace")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catName: namespace properties not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catName: flat catalog — cannot drop the implicit 'default' namespace")
 
   // --------------------------------------------------- StagingTableCatalog
   // Atomic CTAS / RTAS (`CREATE [OR REPLACE] TABLE ... AS SELECT`): data

@@ -334,6 +334,18 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM g.t_race").head.getLong(0) === 0L)
   }
 
+  test("SHOW NAMESPACES / USE g.default on the flat catalog") {
+    val ns = spark.sql("SHOW NAMESPACES IN g").collect().map(_.getString(0)).toSeq
+    assert(ns === Seq("default"))
+    spark.sql("USE g.default")
+    try {
+      spark.sql("CREATE TABLE t_nsq (k BIGINT)")
+      spark.sql("INSERT INTO t_nsq VALUES (5)")
+      assert(spark.sql("SELECT k FROM g.t_nsq").head.getLong(0) === 5L)
+    } finally spark.sql("USE spark_catalog")
+    intercept[Exception](spark.sql("CREATE NAMESPACE g.other"))
+  }
+
   test("TRUNCATE TABLE empties via metadata-only delete") {
     spark.sql("CREATE TABLE g.t_trunc (k BIGINT)")
     spark.sql("INSERT INTO g.t_trunc VALUES (1), (2), (3)")
