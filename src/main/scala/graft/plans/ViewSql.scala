@@ -1,5 +1,7 @@
 package graft.plans
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, GetViewColumnByNameAndOrdinal, NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
@@ -120,6 +122,14 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
                 s"to ${newParts.mkString(".")}"))
             RenameGraftViewCommand(vc, ident, to)
           case _ => r
+        }
+
+      case d @ DescribeRelation(UnresolvedTableOrView(parts, _, _), partSpec,
+          isExtended, out) if partSpec.isEmpty =>
+        vcFor(parts) match {
+          case Some((vc, ident, _)) if vc.viewExists(ident) =>
+            DescribeGraftViewCommand(vc, ident, isExtended, out)
+          case _ => d
         }
 
       case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, out)
@@ -328,6 +338,30 @@ case class RenameGraftViewCommand(vc: ViewCatalog, from: Identifier,
   override def run(session: SparkSession): Seq[Row] = {
     vc.renameView(from, to)
     Nil
+  }
+}
+
+case class DescribeGraftViewCommand(vc: ViewCatalog, ident: Identifier,
+    isExtended: Boolean, override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = vc.loadView(ident)
+    val comments = Option(v.columnComments).getOrElse(Array.empty[String])
+    val cols = v.schema.fields.zipWithIndex.map { case (f, i) =>
+      Row(f.name, f.dataType.simpleString,
+        if (i < comments.length) comments(i) else null)
+    }.toSeq
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Name", v.name(), ""),
+      Row("Default Catalog", Option(v.currentCatalog).getOrElse(""), ""),
+      Row("Default Namespace", v.currentNamespace.mkString("."), ""),
+      Row("View Text", v.query, ""),
+      Row("Properties",
+        v.properties.asScala.map { case (k, vv) => s"$k=$vv" }
+          .toSeq.sorted.mkString(", "), ""))
   }
 }
 

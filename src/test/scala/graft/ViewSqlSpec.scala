@@ -124,6 +124,19 @@ class ViewSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("recursive"))
   }
 
+  test("DESCRIBE shows view columns; EXTENDED adds the view text") {
+    spark.sql("""CREATE VIEW g.v_desc (total COMMENT 'sum of v')
+      AS SELECT sum(v) FROM g.base""")
+    val basic = spark.sql("DESCRIBE g.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(basic === Seq(("total", "double", "sum of v")))
+    val ext = spark.sql("DESCRIBE EXTENDED g.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("View Text").contains("SELECT sum(v)"))
+    // the resolution context recorded at CREATE time (session default here)
+    assert(ext("Default Catalog") === "spark_catalog")
+  }
+
   test("ALTER VIEW RENAME TO moves metadata, old name gone") {
     spark.sql("CREATE VIEW g.v_old AS SELECT 42 AS answer")
     spark.sql("ALTER VIEW g.v_old RENAME TO g.v_new")
