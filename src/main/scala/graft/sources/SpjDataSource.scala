@@ -104,6 +104,18 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
   override def metadataColumns(): Array[MetadataColumn] =
     Array(SpjTable.FileMetaColumn, SpjTable.PosMetaColumn)
 
+  /** Table properties surface to SQL (`SHOW TBLPROPERTIES`,
+    * `SHOW CREATE TABLE`): the graft table's own properties plus the
+    * provider and current format version.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    table.metadata.properties.foreach { case (k, v) => m.put(k, v) }
+    m.put("provider", "graft-iceberg")
+    m.put("format-version", table.metadata.formatVersion.toString)
+    m
+  }
+
   private val spec = table.spec
   if (strict) require(spec.fields.nonEmpty,
     s"graft-iceberg-spj: table ${table.name} must be partitioned " +

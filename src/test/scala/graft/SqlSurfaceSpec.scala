@@ -346,6 +346,18 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("CREATE NAMESPACE g.other"))
   }
 
+  test("SHOW CREATE TABLE / SHOW TBLPROPERTIES render the catalog state") {
+    spark.sql("""CREATE TABLE g.t_show (k BIGINT, seg STRING)
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES ('write.target-file-size-bytes' = '1048576')""")
+    val ddl = spark.sql("SHOW CREATE TABLE g.t_show").head.getString(0)
+    assert(ddl.contains("t_show") && ddl.contains("k BIGINT"))
+    assert(ddl.toLowerCase.contains("bucket(4, k)"))
+    val props = spark.sql("SHOW TBLPROPERTIES g.t_show").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("write.target-file-size-bytes") === "1048576")
+  }
+
   test("TRUNCATE TABLE empties via metadata-only delete") {
     spark.sql("CREATE TABLE g.t_trunc (k BIGINT)")
     spark.sql("INSERT INTO g.t_trunc VALUES (1), (2), (3)")
