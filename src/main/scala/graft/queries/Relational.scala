@@ -512,6 +512,48 @@ object Relational {
              'true' AS hll_ok, 'true' AS ap50_ok
       FROM events
       GROUP BY event_type
-      ORDER BY event_type"""))
+      ORDER BY event_type""")),
+
+    // Column profiling (DuckDB SUMMARIZE shape): per-column row/non-null/
+    // distinct counts and min/max in ONE aggregation pass — exact distinct
+    // counts here (one Expand + one partial-agg shuffle); the operator's
+    // approx flag swaps HLL++ in for the 100 TB shape. The in-gate
+    // approx leg pins the HLL path within 5% of exact on every column.
+    // Profiled columns are int/string so min/max stringification is
+    // engine-portable (doubles would diverge on formatting, not value).
+    QueryDef("q19_profile", (s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+      val exact = Profile.profileTable(cust, cols)
+      val approx = Profile.profileTable(cust, cols, exact = false)
+        .select(col("col_name"), col("n_distinct").as("nd_approx"))
+      val approxOk = exact.join(approx, "col_name")
+        .filter(abs(col("nd_approx") - col("n_distinct")) >
+          col("n_distinct") * 0.05)
+        .count() == 0
+      exact.withColumn("approx_ok", lit(approxOk.toString))
+        .orderBy(col("col_name"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+               COUNT(c_custkey) AS n_non_null,
+               COUNT(DISTINCT c_custkey) AS n_distinct,
+               CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+               CAST(MAX(c_custkey) AS VARCHAR) AS max_value,
+               'true' AS approx_ok
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey),
+               COUNT(DISTINCT c_nationkey),
+               CAST(MIN(c_nationkey) AS VARCHAR),
+               CAST(MAX(c_nationkey) AS VARCHAR), 'true'
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment),
+               COUNT(DISTINCT c_mktsegment),
+               CAST(MIN(c_mktsegment) AS VARCHAR),
+               CAST(MAX(c_mktsegment) AS VARCHAR), 'true'
+        FROM customer)
+      ORDER BY col_name"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
