@@ -70,6 +70,32 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
   private def vcFor(parts: Seq[String]) =
     GraftViewSql.viewCatalogFor(session, parts)
 
+  /** Multipart name → (backing graft catalog, flat table name) when it
+    * lands on an existing table of a GraftSpjCatalog.
+    */
+  private def tableCatalogFor(parts: Seq[String])
+      : Option[(graft.catalog.Catalog, String)] = {
+    val cm = session.sessionState.catalogManager
+    def resolve(plugin: org.apache.spark.sql.connector.catalog.CatalogPlugin,
+        rest: Seq[String]): Option[(graft.catalog.Catalog, String)] =
+      plugin match {
+        case g: graft.sources.GraftSpjCatalog =>
+          val flat = rest match {
+            case Seq(n) => Some(n)
+            case Seq("default", n) => Some(n)
+            case _ => None
+          }
+          flat.filter(g.backing.tableExists).map(n => (g.backing, n))
+        case _ => None
+      }
+    parts match {
+      case head +: rest if rest.nonEmpty && cm.isCatalogRegistered(head) =>
+        resolve(cm.catalog(head), rest)
+      case Seq(_) => resolve(cm.currentCatalog, parts)
+      case _ => None
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case c @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
@@ -122,6 +148,25 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
                 s"to ${newParts.mkString(".")}"))
             RenameGraftViewCommand(vc, ident, to)
           case _ => r
+        }
+
+      // ANALYZE TABLE: Spark only supports the session catalog; route the
+      // statistics computation to graft's NDV/Puffin stats instead of
+      // failing. FOR COLUMNS limits the set; NOSCAN is metadata-only
+      // anyway (manifests already carry counts), so it degrades to a no-op
+      // statistics refresh of zero columns.
+      case at @ AnalyzeTable(UnresolvedTableOrView(parts, _, _), partSpec, noScan) =>
+        tableCatalogFor(parts) match {
+          case Some((cat, name)) if partSpec.isEmpty =>
+            AnalyzeGraftTableCommand(cat, name, columns = None, noScan = noScan)
+          case _ => at
+        }
+      case ac @ AnalyzeColumn(UnresolvedTableOrView(parts, _, _), cols, allCols) =>
+        tableCatalogFor(parts) match {
+          case Some((cat, name)) =>
+            AnalyzeGraftTableCommand(cat, name,
+              columns = if (allCols) None else cols, noScan = false)
+          case _ => ac
         }
 
       case d @ DescribeRelation(UnresolvedTableOrView(parts, _, _), partSpec,
@@ -337,6 +382,27 @@ case class RenameGraftViewCommand(vc: ViewCatalog, from: Identifier,
     to: Identifier) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     vc.renameView(from, to)
+    Nil
+  }
+}
+
+/** `ANALYZE TABLE [FOR COLUMNS ...]` on a graft table: computes NDV theta
+  * sketches and publishes a Puffin statistics file on the current snapshot
+  * (the same machinery as `CALL system.compute_table_stats`). NOSCAN is a
+  * no-op — manifest metadata already carries row/size counts.
+  */
+case class AnalyzeGraftTableCommand(cat: graft.catalog.Catalog, name: String,
+    columns: Option[Seq[String]], noScan: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (noScan) return Nil
+    val t = cat.loadTable(name)
+    import graft.core.IcebergTypes.{ListT, MapT, StructT, VariantT}
+    val cols = columns.getOrElse(
+      t.schema.fields.filterNot(_.fieldType match {
+        case _: StructT | _: ListT | _: MapT | VariantT => true
+        case _ => false
+      }).map(_.name).toSeq)
+    graft.table.Analyze.computeNdv(session, t, cols)
     Nil
   }
 }

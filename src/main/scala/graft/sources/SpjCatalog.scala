@@ -57,6 +57,11 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
   private var catName: String = _
   private var cat: GraftCatalog = _
 
+  /** The backing graft catalog (for statements — e.g. ANALYZE TABLE — that
+    * bypass the V2 table abstraction and talk to graft machinery directly).
+    */
+  private[graft] def backing: GraftCatalog = cat
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     cat = Catalogs.load(Option(options.get("uri")).getOrElse(

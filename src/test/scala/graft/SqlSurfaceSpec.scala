@@ -26,6 +26,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.conf.set("spark.sql.catalog.g", classOf[graft.sources.GraftSpjCatalog].getName)
@@ -356,6 +357,17 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val props = spark.sql("SHOW TBLPROPERTIES g.t_show").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(props("write.target-file-size-bytes") === "1048576")
+  }
+
+  test("ANALYZE TABLE computes NDV statistics onto the current snapshot") {
+    spark.sql("CREATE TABLE g.t_an AS SELECT id % 7 AS grp, id FROM range(100)")
+    spark.sql("ANALYZE TABLE g.t_an COMPUTE STATISTICS FOR COLUMNS grp")
+    val stats = catalog.loadTable("t_an").metadata.statistics
+    assert(stats.nonEmpty, "no statistics file published")
+    // FOR ALL COLUMNS covers both; NOSCAN is a no-op, not an error
+    spark.sql("ANALYZE TABLE g.t_an COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE g.t_an COMPUTE STATISTICS NOSCAN")
+    assert(catalog.loadTable("t_an").metadata.statistics.nonEmpty)
   }
 
   test("TRUNCATE TABLE empties via metadata-only delete") {
