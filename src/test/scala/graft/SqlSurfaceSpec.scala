@@ -370,6 +370,21 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.loadTable("t_an").metadata.statistics.nonEmpty)
   }
 
+  test("INSERT with column list, IF NOT EXISTS / IF EXISTS idioms") {
+    spark.sql("CREATE TABLE g.t_idiom (a BIGINT, b STRING, c DOUBLE)")
+    // column-list insert: unlisted columns fill with NULL
+    spark.sql("INSERT INTO g.t_idiom (b, a) VALUES ('x', 1)")
+    val r = spark.sql("SELECT a, b, c FROM g.t_idiom").head
+    assert(r.getLong(0) === 1L && r.getString(1) === "x" && r.isNullAt(2))
+    // IF NOT EXISTS: no error, no change
+    spark.sql("CREATE TABLE IF NOT EXISTS g.t_idiom (z BIGINT)")
+    assert(spark.table("g.t_idiom").columns.toSeq === Seq("a", "b", "c"))
+    // DROP IF EXISTS on a missing table: silent
+    spark.sql("DROP TABLE IF EXISTS g.t_nope")
+    spark.sql("DROP TABLE IF EXISTS g.t_idiom")
+    assert(!catalog.tableExists("t_idiom"))
+  }
+
   test("TRUNCATE TABLE empties via metadata-only delete") {
     spark.sql("CREATE TABLE g.t_trunc (k BIGINT)")
     spark.sql("INSERT INTO g.t_trunc VALUES (1), (2), (3)")
