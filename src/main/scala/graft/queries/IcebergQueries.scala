@@ -3150,6 +3150,70 @@ object IcebergQueries {
              'true' AS one_cas, 'true' AS partitioned
       FROM nation WHERE n_nationkey % 2 = 0
       GROUP BY n_regionkey
-      ORDER BY n_regionkey"""), repeatable = true)
+      ORDER BY n_regionkey"""), repeatable = true),
+
+    // Oversized equality-delete backlog through plain SQL SELECT: the scan
+    // builder measures Σ eq-delete bytes at plan time and, past the
+    // threshold, routes AROUND the executor key-set readers (an O(delete
+    // bytes) executor-memory cliff) into the distributed SparkRead
+    // anti-join pipeline — no executor ever materializes a delete key set,
+    // so a CDC backlog of any size reads with join-memory behavior. The
+    // reference's eq-delete reader is in-memory by design
+    // (table/equality_delete_reader.go:43-52); this gate pins that we
+    // do better. Asserts the plan carries the GraftEqDeleteAntiJoin V1
+    // relation, the route recorder agrees, and the default-threshold
+    // key-set route returns IDENTICAL rows — routing is a strategy choice,
+    // never a results change.
+    QueryDef.staged("i87_sql_eq_backlog", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/eqbl_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"geqbl_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      var t = Writer.append(s,
+        cat.createTable("cust", schema, PartitionSpec.Unpartitioned), c.repartition(4))
+      // a 4-round uncompacted eq-delete backlog (the CDC-backlog shape)
+      (0 until 4).foreach { k =>
+        t = Writer.equalityDelete(s, t,
+          c.filter(col("c_custkey") % 11 === k).select(col("c_custkey")),
+          Seq("c_custkey"))
+      }
+      val sql = s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""
+      val saved = s.conf.getOption("spark.graft.eqDeleteFallbackBytes")
+      val viaAntiJoin = try {
+        s.conf.set("spark.graft.eqDeleteFallbackBytes", "1024")
+        val q = s.sql(sql)
+        val rows = q.collect()
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("GraftEqDeleteAntiJoin"),
+          s"i87: expected the anti-join fallback relation in\n$plan")
+        require(graft.sources.SpjRouting.lastRoute(t.name).contains("anti-join"),
+          s"i87: route recorder says ${graft.sources.SpjRouting.lastRoute(t.name)}")
+        rows
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.graft.eqDeleteFallbackBytes", v)
+        case None => s.conf.unset("spark.graft.eqDeleteFallbackBytes")
+      }
+      // default threshold: the bounded-backlog key-set route, same rows
+      val viaKeySet = s.sql(sql).collect()
+      require(graft.sources.SpjRouting.lastRoute(t.name).contains("keyset"),
+        s"i87: route recorder says ${graft.sources.SpjRouting.lastRoute(t.name)}")
+      require(viaAntiJoin.toSeq == viaKeySet.toSeq,
+        "i87: anti-join route and key-set route disagree")
+      () => s.sql(sql)
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      WHERE c_custkey % 11 NOT IN (0, 1, 2, 3)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -423,14 +423,124 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Σ distinct eq-delete file bytes above which the scan abandons
+    * executor-side key sets for the distributed anti-join pipeline (see
+    * [[SpjAntiJoinScan]]). Key sets are O(delete bytes) of EXECUTOR MEMORY
+    * per file — fine for the bounded CDC-upsert pattern, an OOM for an
+    * uncompacted backlog. Option `eq-delete-fallback-bytes` or session conf
+    * `spark.graft.eqDeleteFallbackBytes`; default 64 MB.
+    */
+  private def eqFallbackBytes: Long =
+    options.get("eq-delete-fallback-bytes").map(_.toLong).getOrElse(
+      SparkSession.active.conf.getOption("spark.graft.eqDeleteFallbackBytes")
+        .map(_.toLong).getOrElse(64L * 1024 * 1024))
+
   override def build(): Scan = aggResult match {
     case Some((aggSchema, row)) => new SpjAggScan(aggSchema, row)
     case None =>
-      new SpjScan(table, required, claimKeys, snapshotId, options,
-        pushed.flatMap(SpjScanBuilder.toExpr)
-          .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and),
-        pushed.toSeq, withFile = withFile, withPos = withPos,
-        pushedLimit = if (pushed.isEmpty) limit else None)
+      val fileExpr = pushed.flatMap(SpjScanBuilder.toExpr)
+        .foldLeft(graft.core.Expr.AlwaysTrue: graft.core.Expr)(graft.core.Expr.and)
+      // plan HERE (once — SpjScan reuses the result) so the eq-delete
+      // backlog for this exact scan is measurable before choosing readers
+      val planned = baseScan.withFilter(fileExpr).planFiles()
+      val eqBytes = planned.flatMap(_.eqDeletes.map(_._1))
+        .distinctBy(_.path).map(_.fileSize).sum
+      if (eqBytes > eqFallbackBytes && !withFile && !withPos) {
+        // executor key sets would hold eqBytes of decoded keys in memory;
+        // route this scan through the SparkRead anti-join pipeline instead
+        // (unbounded backlog = shuffle-join territory, not hash-set
+        // territory). Row-level operations request `_file`/`_pos` and keep
+        // the key-set route: their group-filtered scans are file-scoped.
+        SpjRouting.record(table.name, "anti-join")
+        new SpjAntiJoinScan(table, snapshotId, planned, required, options)
+      } else {
+        if (planned.exists(_.eqDeletes.nonEmpty))
+          SpjRouting.record(table.name, "keyset")
+        new SpjScan(table, required, claimKeys, snapshotId, options,
+          fileExpr, pushed.toSeq, withFile = withFile, withPos = withPos,
+          pushedLimit = if (pushed.isEmpty) limit else None,
+          prePlanned = Some(planned))
+      }
+  }
+}
+
+/** Records, per graft table name, which equality-delete application route
+  * the most recently built scan chose: `"keyset"` (executor-cached key
+  * sets, the bounded-backlog fast path) or `"anti-join"` (the
+  * [[SpjAntiJoinScan]] fallback for oversized backlogs). Driver-side
+  * diagnostic — gates assert the routing decision through it.
+  */
+object SpjRouting {
+  private val routes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def record(table: String, route: String): Unit = { routes.put(table, route); () }
+  def lastRoute(table: String): Option[String] = Option(routes.get(table))
+}
+
+/** The oversized-equality-delete-backlog read: a V1 scan whose relation
+  * executes [[graft.table.SparkRead.readTasks]] — data files anti-joined
+  * against the delete files as a DISTRIBUTED join (null-safe on the
+  * equality ids, sequence-scoped by the planner), with parquet
+  * pos-deletes and DV bitmaps applied in the same pipeline. No executor
+  * ever materializes a delete key set: AQE picks the join strategy from
+  * the delete side's actual size, so a 10 GB CDC backlog reads with
+  * shuffle-join memory behavior instead of an executor OOM. This beats
+  * the reference's own documented weakness (its eq-delete reader is
+  * in-memory: `table/equality_delete_reader.go:43-52`).
+  *
+  * Chosen at plan time by [[SpjScanBuilder.build]] when Σ eq-delete bytes
+  * exceeds the fallback threshold; the file set was already pruned by the
+  * pushed filters, and Spark re-applies every filter above the scan (all
+  * pushdown is residual), so routing can never change results — only the
+  * execution strategy. Trade-offs vs the key-set route: no SPJ claim, no
+  * runtime file pruning, no parquet row-group pushdown — all dominated by
+  * not OOMing.
+  */
+final class SpjAntiJoinScan(table: GraftTable, snapshotId: Option[Long],
+    tasks: Seq[graft.table.FileScanTask], dataSchema: StructType,
+    options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.V1Scan {
+
+  override def readSchema(): StructType = dataSchema
+
+  override def description(): String =
+    s"GraftEqDeleteAntiJoin(${table.name}, files=${tasks.length})"
+
+  /** Streaming reads keep working on backlogged tables: micro-batches plan
+    * per offset range through the same stream source as [[SpjScan]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SpjMicroBatchStream(table, dataSchema, options)
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T = {
+    val tbl = table
+    val snapId = snapshotId
+    val planned = tasks
+    val out = dataSchema
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = out
+      override def toString: String = "GraftEqDeleteAntiJoin"
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        val spark = context.sparkSession
+        val meta = tbl.metadata
+        // time travel pins the snapshot's schema; current reads use the
+        // current schema (mirrors SparkRead.read's resolution)
+        val schemaId =
+          if (snapId.isDefined)
+            snapId.map(id => tbl.newScan.useSnapshot(id)).get
+              .snapshot.flatMap(_.schemaId).getOrElse(meta.currentSchemaId)
+          else meta.currentSchemaId
+        val gSchema = meta.schemaById(schemaId).getOrElse(meta.schema)
+        val df = graft.table.SparkRead.readTasks(spark, planned, gSchema,
+          tbl.nameMapping, rowLineage = false, specById = meta.specById,
+          ioOptions = tbl.refreshIoCredentials())
+        df.select(out.fieldNames.map(n => df.col(s"`$n`")).toSeq: _*).rdd
+      }
+    }.asInstanceOf[T]
   }
 }
 
@@ -482,7 +592,8 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     rowGroupFilters: Seq[Filter] = Nil,
     withFile: Boolean = false,
     withPos: Boolean = false,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    prePlanned: Option[Seq[graft.table.FileScanTask]] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -577,9 +688,15 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
   }
 
   private def planPartitions(): Array[SpjInputPartition] = {
-    val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
-    val allTasks = base
-      .withFilter(graft.core.Expr.and(fileFilter, runtimeFilter)).planFiles()
+    // the builder already planned this exact (static-filter) file set when
+    // it sized the eq-delete backlog — reuse it; a runtime filter tightens
+    // the plan and forces a fresh pass
+    val allTasks = prePlanned match {
+      case Some(ts) if runtimeFilter == graft.core.Expr.AlwaysTrue => ts
+      case _ =>
+        val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
+        base.withFilter(graft.core.Expr.and(fileFilter, runtimeFilter)).planFiles()
+    }
     // pushed LIMIT: keep files only until manifest row counts cover it —
     // safe only when nothing above the scan drops rows (no filters of any
     // kind, no MoR deletes on the kept prefix)
@@ -728,8 +845,9 @@ object SpjScan {
   *
   * Scale note: equality key sets are held in executor memory per delete
   * file — the CDC upsert pattern keeps them bounded and compaction folds
-  * them; for unbounded eq-delete backlogs use [[graft.table.SparkRead]]'s
-  * anti-join pipeline.
+  * them. Oversized backlogs never reach this path: the scan builder
+  * measures Σ eq-delete bytes at plan time and routes past-threshold scans
+  * through [[SpjAntiJoinScan]] (the distributed anti-join pipeline).
   */
 final case class SpjFileDeletes(dvs: Array[(String, Long, Long)],
     posFiles: Array[(String, Long)],
