@@ -3214,6 +3214,164 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey % 11 NOT IN (0, 1, 2, 3)
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // TIME-transform storage-partitioned join: two tables land
+    // days(o_orderdate)-partitioned, read through the V2 catalog whose
+    // FunctionCatalog now serves the time transforms (µs floor arithmetic,
+    // canonical name "graft.days(micros)"), and the join + per-day
+    // aggregate plan contains NO hash exchange — each day's partition pair
+    // joins where it sits. This extends the zero-shuffle SPJ layout from
+    // identity (i66) and bucket (i68) to the time-series layout every
+    // event/fact table at 100 TB actually uses. Broadcast disabled
+    // in-prep; confs restored.
+    QueryDef.staged("i88_spj_days_join", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/spjd_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val o = tbl(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("b_orderkey"),
+          col("o_orderdate").as("b_orderdate"),
+          col("o_totalprice").as("b_totalprice"))
+      val aSchema = SchemaBridge.fromSpark(a.schema)
+      val bSchema = SchemaBridge.fromSpark(b.schema)
+      Writer.append(s, cat.createTable("ord_a", aSchema,
+        PartitionSpec.builder(aSchema).add("o_orderdate", Transforms.Days).build()), a)
+      Writer.append(s, cat.createTable("ord_b", bSchema,
+        PartitionSpec.builder(bSchema).add("b_orderdate", Transforms.Days).build()), b)
+      val ctl = "graft_spjd_gate"
+      val saved = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        s"spark.sql.catalog.$ctl", s"spark.sql.catalog.$ctl.uri")
+        .map(k => k -> s.conf.getOption(k)).toMap
+      val rows = try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set(s"spark.sql.catalog.$ctl",
+          classOf[graft.sources.GraftSpjCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+        // group on the RAW join key: Spark proves ts-grouping is satisfied
+        // by the days(ts) key-grouping, so join AND aggregate are both
+        // exchange-free (TPC-H dates are midnight-only; ts ↔ date is 1:1,
+        // the date cast happens on the aggregated rows)
+        val joined = s.table(s"$ctl.ord_a")
+          .join(s.table(s"$ctl.ord_b"),
+            col("o_orderdate") === col("b_orderdate"))
+          .groupBy(col("o_orderdate"))
+          .agg(count(lit(1)).as("n_pairs"),
+            d(sum(dec(col("o_totalprice") + col("b_totalprice")))).as("price_sum"))
+          .select(col("o_orderdate").cast("date").as("d"),
+            col("n_pairs"), col("price_sum"))
+        val collected = joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"i88: expected a shuffle-family join in\n$plan")
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"i88: days SPJ failed — hash exchange in plan\n$plan")
+        collected
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+      () => {
+        import s.implicits._
+        rows.toSeq.map(r => (r.getDate(0), r.getLong(1), r.getDouble(2), "true"))
+          .toDF("d", "n_pairs", "price_sum", "spj_ok")
+          .orderBy(col("d"))
+      }
+    }, Some("""
+      SELECT CAST(a.o_orderdate AS DATE) AS d, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             'true' AS spj_ok
+      FROM orders a JOIN orders b ON a.o_orderdate = b.o_orderdate
+      WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1
+      GROUP BY a.o_orderdate
+      ORDER BY d"""), repeatable = true),
+
+    // Clustered write distribution on the DSv2 fanout writes: MERGE (CoW)
+    // and dynamic INSERT OVERWRITE on a months()-partitioned table (~80
+    // live partitions across 32 tasks) REQUIRE rows clustered by the
+    // partition transforms and sorted within tasks, so each task holds ONE
+    // open rolling writer instead of (partitions-per-task × row-group
+    // buffer) — the executor-memory bound that makes a multi-partition
+    // MERGE safe at fleet scale. Without the declared distribution the
+    // merge-join output is keyed by o_orderkey and every task would span
+    // ~all months (peak ≈ 80); the gate pins peak == 1 through the
+    // JVM-wide writer metric for BOTH writes, and the final table state
+    // hash-matches the oracle.
+    QueryDef.staged("i89_sql_write_distribution", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/wdist_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gwd_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      tbl(s, dir, "orders").createOrReplaceTempView(s"wdsrc_$ctl")
+      s.sql(s"""CREATE TABLE $ctl.ord PARTITIONED BY (months(o_orderdate)) AS
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM wdsrc_$ctl""")
+      import graft.sources.GraftCowWriterMetrics
+      GraftCowWriterMetrics.reset()
+      s.sql(s"""MERGE INTO $ctl.ord t USING (
+          SELECT o_orderkey, o_orderdate, o_totalprice + 10 AS o_totalprice
+          FROM wdsrc_$ctl WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_orderdate, o_totalprice
+          FROM wdsrc_$ctl WHERE o_orderkey % 7 = 0
+        ) u ON t.o_orderkey = u.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *""")
+      val mergePeak = GraftCowWriterMetrics.peakOpenWriters
+      require(mergePeak == 1,
+        s"i89: MERGE fanout held $mergePeak open writers per task (want 1 — " +
+          "clustered+sorted distribution not applied)")
+      val savedMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        GraftCowWriterMetrics.reset()
+        s.sql(s"""INSERT OVERWRITE TABLE $ctl.ord
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM wdsrc_$ctl WHERE year(o_orderdate) = 1995
+          DISTRIBUTE BY o_orderkey""")
+        val dynPeak = GraftCowWriterMetrics.peakOpenWriters
+        require(dynPeak == 1,
+          s"i89: dynamic overwrite fanout held $dynPeak open writers per task (want 1)")
+      } finally savedMode match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      () => s.sql(s"""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+               'true' AS clustered_ok
+        FROM $ctl.ord
+        GROUP BY 1
+        ORDER BY yr""")
+    }, Some("""
+      WITH merged AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS p
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderdate, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+      ),
+      final AS (
+        SELECT o_orderkey, o_orderdate, p FROM merged
+        WHERE year(o_orderdate)*12 + month(o_orderdate) NOT IN (
+          SELECT DISTINCT year(o_orderdate)*12 + month(o_orderdate)
+          FROM orders WHERE year(o_orderdate) = 1995)
+        UNION ALL
+        SELECT o_orderkey, o_orderdate, o_totalprice AS p
+        FROM orders WHERE year(o_orderdate) = 1995
+      )
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             'true' AS clustered_ok
+      FROM final
+      GROUP BY 1
+      ORDER BY yr"""), repeatable = true)
   )
 }

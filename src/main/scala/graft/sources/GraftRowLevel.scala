@@ -75,11 +75,46 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: Command)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with GraftPartitionClusteredWrite {
+        override def clusterTable: GraftTable = table
         override def toBatch: BatchWrite =
           new GraftReplaceBatchWrite(GraftRowLevelOperation.this, table)
       }
     }
+}
+
+/** Write distribution for the partition-fanout DSv2 writes (CoW row-level
+  * replacement, dynamic overwrite): REQUIRE rows clustered by the table's
+  * partition transforms and sorted by them within tasks. Without it a
+  * MERGE whose rows span many partitions per task holds (open partitions ×
+  * row-group buffer) of memory per task; with it each partition's rows
+  * land in one task as one contiguous run, so the fanout writer keeps ONE
+  * writer open (see [[GraftCowDataWriter]]'s close-on-partition-change) —
+  * the same guarantee [[GraftDeltaOperation]]'s delta write declares via
+  * `_file` clustering. Transforms resolve against the catalog's V2
+  * functions ([[GraftSpjCatalog.FunctionNames]]); fields whose transform
+  * or source type can't provably bind (void, unknown, ns-long time
+  * sources) contribute nothing, and a table with no provable field keeps
+  * an unspecified distribution rather than failing the write.
+  */
+trait GraftPartitionClusteredWrite
+    extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  def clusterTable: GraftTable
+
+  private lazy val cluster = GraftBatchWrites.clusteringTransforms(clusterTable)
+
+  override def requiredDistribution():
+      org.apache.spark.sql.connector.distributions.Distribution =
+    if (cluster.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      cluster.map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+
+  override def requiredOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    cluster.map(t => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      t, org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 }
 
 /** The CoW candidate scan: filters prune files (never row groups or rows),
@@ -206,11 +241,60 @@ object GraftBatchWrites {
     val targetBytes = table.metadata.properties
       .get("write.target-file-size-bytes").map(_.toLong)
       .getOrElse(512L * 1024 * 1024)
+    // same calibration as the V1 funnel: observed encoded bytes/row of the
+    // table's previous writes (schema width only on a fresh table — the
+    // under-target-erring side); wide-string tables roll on target, not
+    // on the in-memory width's gross overshoot
     val maxRecords = math.max(1L,
-      (targetBytes / math.max(16, sparkSchema.defaultSize).toDouble).toLong)
+      (targetBytes / Writer.estimatedRowBytes(table.location, sparkSchema)).toLong)
     new GraftCowWriterFactory(
       ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
-      table.location, schema, table.spec, extractors, maxRecords)
+      table.location, schema, table.spec, extractors, maxRecords,
+      // the owning writes declare a clustered+sorted distribution, so each
+      // partition arrives as one contiguous run — close on change
+      closeOnPartitionChange = true)
+  }
+
+  /** The table's partition transforms as V2 expressions, for write
+    * distributions — only fields Spark can provably resolve: identity
+    * always; bucket / time / truncate via the catalog's V2 functions when
+    * the source type binds. Void is a constant (clusters nothing); unknown
+    * and unbindable sources are skipped rather than failing the write.
+    */
+  def clusteringTransforms(table: GraftTable):
+      Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => VE, Transform => VT}
+    import graft.core.Transforms
+    val schema = table.schema
+    val sparkSchema = SchemaBridge.toSpark(schema)
+    def typeOf(name: String): Option[DataType] =
+      sparkSchema.fields.find(_.name == name).map(_.dataType)
+    table.spec.fields.flatMap { pf =>
+      val src = schema.idToField(pf.sourceId).name
+      def dateOrTs = typeOf(src).exists {
+        case DateType | TimestampType | TimestampNTZType => true; case _ => false
+      }
+      def tsOnly = typeOf(src).exists {
+        case TimestampType | TimestampNTZType => true; case _ => false
+      }
+      def bucketable = typeOf(src).exists {
+        case IntegerType | LongType | DateType | StringType => true; case _ => false
+      }
+      def truncable = typeOf(src).exists {
+        case IntegerType | LongType | StringType => true; case _ => false
+      }
+      (pf.transform match {
+        case Transforms.Identity => Some(VE.identity(src))
+        case Transforms.Bucket(n) if bucketable => Some(VE.bucket(n, src))
+        case Transforms.Years if dateOrTs => Some(VE.years(src))
+        case Transforms.Months if dateOrTs => Some(VE.months(src))
+        case Transforms.Days if dateOrTs => Some(VE.days(src))
+        case Transforms.Hours if tsOnly => Some(VE.hours(src))
+        case Transforms.Truncate(w) if truncable =>
+          Some(VE.apply("truncate", VE.literal(w), VE.column(src)))
+        case _ => None
+      }): Option[VT]
+    }.toArray
   }
 
   /** Footer-stats harvest of task-written files (driver IO pool). */
@@ -219,10 +303,14 @@ object GraftBatchWrites {
     val props = table.metadata.properties
     val omitBounds = props.contains(graft.encryption.ParquetEncryption.KeyIdProp)
     import scala.collection.parallel.CollectionConverters._
-    written.par
+    val out = written.par
       .map(f => Writer.harvestStats(f.path, schema, f.partValues,
         omitBounds = omitBounds, props = props))
       .seq.filter(_.recordCount > 0)
+    // feed the shared rolling calibration (same loop as the V1 funnel)
+    Writer.observeRowBytes(table.location,
+      out.map(_.recordCount).sum, out.map(_.fileSize).sum)
+    out
   }
 }
 
@@ -244,12 +332,13 @@ final class GraftDynamicOverwriteBatchWrite(table: GraftTable)
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
     val added = GraftBatchWrites.harvest(table, written)
     val (removedPaths, deleteKeys) =
-      if (table.spec.isUnpartitioned)
-        (table.newScan.planFiles().map(_.file.path).toSet,
-          table.newScan.planFiles().flatMap(t =>
+      if (table.spec.isUnpartitioned) {
+        val live = table.newScan.planFiles()
+        (live.map(_.file.path).toSet,
+          live.flatMap(t =>
             t.posDeletes.map(d => (d.path, d.contentOffset)) ++
               t.eqDeletes.map(e => (e._1.path, e._1.contentOffset))).toSet)
-      else Writer.dynamicReplacement(table, added.map(_.partition))
+      } else Writer.dynamicReplacement(table, added.map(_.partition))
     if (added.isEmpty && removedPaths.isEmpty) return
     Writer.commitSnapshot(table, "overwrite", addedFiles = added,
       removedPaths = removedPaths, addedDeleteFiles = Nil,
@@ -301,22 +390,48 @@ final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable
 final class GraftCowWriterFactory(
     newWriter: String => RowFileWriter,
     location: String, schema: IcebergSchema, spec: PartitionSpec,
-    extractors: Seq[GraftPartExtractor], maxRecords: Long)
+    extractors: Seq[GraftPartExtractor], maxRecords: Long,
+    closeOnPartitionChange: Boolean = false)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCowDataWriter(newWriter, location, schema, spec, extractors, maxRecords)
+    new GraftCowDataWriter(newWriter, location, schema, spec, extractors,
+      maxRecords, closeOnPartitionChange)
+}
+
+/** Peak concurrently-open writers across all [[GraftCowDataWriter]] tasks
+  * since the last reset — the memory-bound evidence for the clustered
+  * write distribution (local-mode JVM-wide; gates assert peak == 1 on a
+  * clustered+sorted multi-partition write).
+  */
+object GraftCowWriterMetrics {
+  private val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = peak.set(0)
+  def peakOpenWriters: Int = peak.get
+  private[sources] def observe(n: Int): Unit = {
+    var cur = peak.get
+    while (n > cur && !peak.compareAndSet(cur, n)) cur = peak.get
+  }
 }
 
 /** Task-local fanout writer: one rolling parquet writer per live partition
   * value (the Iceberg fanout shape); rolls at the calibrated record target.
-  * Peak memory is (open partitions per task × row-group buffer) — at fleet
-  * scale pair with a cluster-by-partition distribution upstream.
+  *
+  * `closeOnPartitionChange` (set by the batch writes, which declare a
+  * clustered + sorted distribution via [[GraftPartitionClusteredWrite]]):
+  * sorted input makes each partition one contiguous run, so the previous
+  * partition's writer closes the moment the value changes — peak memory is
+  * ONE row-group buffer per task regardless of how many partitions the
+  * task owns. Unsorted callers (the streaming epoch write, delta-write
+  * inserts clustered by `_file`) leave it off and keep the map-fanout
+  * bound of (open partitions per task × row-group buffer). Correct either
+  * way — a mis-set flag costs extra files, never rows.
   */
 final class GraftCowDataWriter(
     newWriter: String => RowFileWriter,
     location: String, schema: IcebergSchema, spec: PartitionSpec,
-    extractors: Seq[GraftPartExtractor], maxRecords: Long)
+    extractors: Seq[GraftPartExtractor], maxRecords: Long,
+    closeOnPartitionChange: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private final class OpenFile(val partValues: Seq[Any], val path: String) {
@@ -357,13 +472,19 @@ final class GraftCowDataWriter(
     */
   override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
 
+  private var lastDir: String = null
+
   override def write(row: InternalRow): Unit = {
     val partValues: Seq[Any] =
       extractors.map(e => e.transform.apply(jvmValue(row, e), e.dt))
     val dir =
       if (spec.fields.isEmpty) ""
       else spec.partitionToPath(partValues, schema) + "/"
+    if (closeOnPartitionChange && lastDir != null && lastDir != dir)
+      open.remove(lastDir).foreach(closeFile)
+    lastDir = dir
     val f = open.getOrElseUpdate(dir, new OpenFile(partValues, newPath(dir)))
+    GraftCowWriterMetrics.observe(open.size)
     f.writer.write(row)
     f.rows += 1
     if (f.rows >= maxRecords) { closeFile(f); open.remove(dir); () }

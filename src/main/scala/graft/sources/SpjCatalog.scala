@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Proc
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -226,11 +226,19 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty[String], "bucket"))
+    GraftSpjCatalog.FunctionNames
+      .map(n => Identifier.of(Array.empty[String], n))
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name == "bucket") GraftBucketUnbound
-    else throw new NoSuchFunctionException(ident)
+    ident.name match {
+      case "bucket" => GraftBucketUnbound
+      case "years" => new GraftTimeUnbound("years")
+      case "months" => new GraftTimeUnbound("months")
+      case "days" => new GraftTimeUnbound("days")
+      case "hours" => new GraftTimeUnbound("hours")
+      case "truncate" => GraftTruncateUnbound
+      case _ => throw new NoSuchFunctionException(ident)
+    }
 
   /** `CALL <cat>.system.<proc>(...)`: the maintenance procedure surface
     * ([[GraftProcedures]]) — Iceberg-conventional names over this
@@ -573,6 +581,16 @@ final class GraftV2View(viewName: String, meta: ViewMetadata) extends V2View {
 }
 
 object GraftSpjCatalog {
+  /** V2 functions this catalog serves — the full set of Spark-provable
+    * Iceberg partition transforms. Spark binds these to PROVE layout
+    * claims: storage-partitioned joins (two scans co-partitioned iff both
+    * sides bind the same canonical function) and write distributions
+    * (clustering MERGE / dynamic-overwrite rows by the partition
+    * transforms before the fanout writers).
+    */
+  val FunctionNames: Array[String] =
+    Array("bucket", "years", "months", "days", "hours", "truncate")
+
   /** Spark DDL partition transform → (source column, graft transform). */
   def toGraftTransform(t: Transform): (String, graft.core.Transform) = {
     val refs = t.arguments.collect { case r: NamedReference => r.fieldNames.mkString(".") }
@@ -645,4 +663,147 @@ object GraftBucketString extends ScalarFunction[Integer] {
     if (input.isNullAt(1)) null
     else Int.box(Transforms.bucketBytes(
       input.get(1, StringType).asInstanceOf[UTF8String].getBytes, input.getInt(0)))
+}
+
+/** Iceberg time transforms (`years`/`months`/`days`/`hours`) as V2
+  * functions — the same µs floor-division arithmetic as the write-side
+  * [[graft.core.Transforms]] `timeUnits`, so the function's layout claim
+  * is exactly what the fanout writer produced. Binds date (ordinal int;
+  * no `hours`) and timestamp / timestamp_ntz (µs long) sources; v3
+  * ns-long sources are deliberately NOT bindable (a bare long can't prove
+  * its unit), so claims over them are never made.
+  */
+final class GraftTimeUnbound(fnName: String) extends UnboundFunction {
+  override def name(): String = fnName
+  override def description(): String =
+    s"graft iceberg $fnName transform: epoch-µs floor arithmetic"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$fnName expects (value), got ${inputType.catalogString}")
+    inputType.fields(0).dataType match {
+      case DateType if fnName != "hours" => new GraftTimeFromDate(fnName)
+      // declared inputTypes must ECHO the bound type (tz and ntz share the
+      // µs arithmetic and canonical name, but declaring only one would make
+      // Spark inject a cast the sort-side type check rejects)
+      case t @ (TimestampType | TimestampNTZType) => new GraftTimeFromMicros(fnName, t)
+      case other => throw new UnsupportedOperationException(
+        s"graft $fnName over ${other.catalogString} not supported")
+    }
+  }
+}
+
+private object GraftTimeArith {
+  /** epoch-µs → transform unit (mirrors `Transforms.timeUnits`). */
+  def fromMicros(fnName: String, micros: Long): Int = {
+    val days = Math.floorDiv(micros, 86400000000L)
+    fnName match {
+      case "days" => days.toInt
+      case "hours" => Math.floorDiv(micros, 3600000000L).toInt
+      case _ => fromDays(fnName, days.toInt)
+    }
+  }
+  def fromDays(fnName: String, days: Int): Int = {
+    val date = java.time.LocalDate.ofEpochDay(days.toLong)
+    fnName match {
+      case "years" => date.getYear - 1970
+      case "months" => (date.getYear - 1970) * 12 + (date.getMonthValue - 1)
+      case "days" => days
+      case other => throw new IllegalStateException(s"time unit $other")
+    }
+  }
+  /** `days` results are date-typed per spec (int ordinal physically). */
+  def resultType(fnName: String): DataType =
+    if (fnName == "days") DateType else IntegerType
+}
+
+final class GraftTimeFromMicros(fnName: String, inputT: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(inputT)
+  override def resultType(): DataType = GraftTimeArith.resultType(fnName)
+  override def name(): String = fnName
+  override def canonicalName(): String = s"graft.$fnName(micros)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else Int.box(GraftTimeArith.fromMicros(fnName, input.getLong(0)))
+}
+
+final class GraftTimeFromDate(fnName: String) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(DateType)
+  override def resultType(): DataType = GraftTimeArith.resultType(fnName)
+  override def name(): String = fnName
+  override def canonicalName(): String = s"graft.$fnName(date)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else Int.box(GraftTimeArith.fromDays(fnName, input.getInt(0)))
+}
+
+/** Iceberg truncate[W] as a V2 function over (width, value) — int/long
+  * floor-to-width-multiple and string code-point prefix, the exact
+  * write-side arithmetic of [[graft.core.Transforms.Truncate]]. Decimal
+  * and binary sources stay unbindable (claims simply aren't made).
+  */
+object GraftTruncateUnbound extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "graft iceberg truncate transform: floor-to-width / code-point prefix"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate expects (width, value), got ${inputType.catalogString}")
+    inputType.fields(1).dataType match {
+      case IntegerType => GraftTruncateInt
+      case LongType => GraftTruncateLong
+      case StringType => GraftTruncateString
+      case other => throw new UnsupportedOperationException(
+        s"graft truncate over ${other.catalogString} not supported")
+    }
+  }
+}
+
+object GraftTruncateInt extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate(int)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(1)) null
+    else {
+      val w = input.getInt(0); val i = input.getInt(1)
+      Int.box(i - (((i % w) + w) % w))
+    }
+}
+
+object GraftTruncateLong extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate(long)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(1)) null
+    else {
+      val w = input.getInt(0).toLong; val l = input.getLong(1)
+      Long.box(l - (((l % w) + w) % w))
+    }
+}
+
+object GraftTruncateString extends ScalarFunction[UTF8String] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+  override def resultType(): DataType = StringType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate(string)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): UTF8String =
+    if (input.isNullAt(1)) null
+    else {
+      val w = input.getInt(0)
+      val s = input.get(1, StringType).asInstanceOf[UTF8String].toString
+      val cps = s.codePointCount(0, s.length)
+      UTF8String.fromString(
+        if (cps <= w) s else s.substring(0, s.offsetByCodePoints(0, w)))
+    }
 }

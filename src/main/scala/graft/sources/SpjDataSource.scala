@@ -122,22 +122,50 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
       "(use graft.table.SparkRead for general reads)")
 
   /** The SPJ partitioning claim — made only when every partition field is
-    * provably Spark-visible: identity always; bucket only with the owning
-    * FunctionCatalog (Spark must bind both join sides to the same canonical
-    * hash). Other transforms (time, truncate) read fine but claim nothing.
+    * provably Spark-visible: identity always; bucket, time transforms
+    * (`years`/`months`/`days`/`hours`) and `truncate` only with the owning
+    * FunctionCatalog (Spark must bind both join sides to the same
+    * canonical arithmetic) AND a source type the V2 function binds
+    * (ns-long time sources and decimal/binary bucket/truncate sources
+    * claim nothing — a claim that fails to bind would fail the query, not
+    * just lose the optimization).
     */
+  private def srcSparkType(name: String): Option[org.apache.spark.sql.types.DataType] =
+    sparkSchema.fields.find(_.name == name).map(_.dataType)
+
   private val claimKeys: Option[Seq[Transform]] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
     if (spec.fields.isEmpty) None
     else {
       val mapped: Seq[Option[Transform]] = spec.fields.map { pf =>
         val src = table.schema.idToField(pf.sourceId).name
+        def dateOrTs = srcSparkType(src).exists {
+          case DateType | TimestampType | TimestampNTZType => true; case _ => false
+        }
+        def tsOnly = srcSparkType(src).exists {
+          case TimestampType | TimestampNTZType => true; case _ => false
+        }
+        def bucketable = srcSparkType(src).exists {
+          case IntegerType | LongType | DateType | StringType => true; case _ => false
+        }
+        def truncable = srcSparkType(src).exists {
+          case IntegerType | LongType | StringType => true; case _ => false
+        }
         pf.transform match {
           case Transforms.Identity => Some(Expressions.identity(src))
-          case Transforms.Bucket(n) if allowBucket => Some(Expressions.bucket(n, src))
+          case Transforms.Bucket(n) if allowBucket && bucketable =>
+            Some(Expressions.bucket(n, src))
           case Transforms.Bucket(_) if strict => throw new IllegalArgumentException(
             s"graft-iceberg-spj: bucket SPJ on ${table.name} needs the function " +
               "catalog — register spark.sql.catalog.<name>=graft.sources.GraftSpjCatalog " +
               "and read through spark.table(\"<name>.<table>\")")
+          case Transforms.Years if allowBucket && dateOrTs => Some(Expressions.years(src))
+          case Transforms.Months if allowBucket && dateOrTs => Some(Expressions.months(src))
+          case Transforms.Days if allowBucket && dateOrTs => Some(Expressions.days(src))
+          case Transforms.Hours if allowBucket && tsOnly => Some(Expressions.hours(src))
+          case Transforms.Truncate(w) if allowBucket && truncable =>
+            Some(Expressions.apply("truncate",
+              Expressions.literal(w), Expressions.column(src)))
           case other if strict => throw new IllegalArgumentException(
             s"graft-iceberg-spj: table ${table.name} has unsupported partition " +
               s"transform ${other.name}; use graft.table.SparkRead for general reads")
@@ -163,6 +191,8 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
       case Transforms.Months => Expressions.months(src)
       case Transforms.Days => Expressions.days(src)
       case Transforms.Hours => Expressions.hours(src)
+      case Transforms.Truncate(w) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(src))
       case other => Expressions.apply(other.name, Expressions.column(src))
     }
   }.toArray
@@ -235,12 +265,15 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
       }
 
       override def build(): Write =
-        if (dynamic) new Write {
+        if (dynamic) new Write with GraftPartitionClusteredWrite {
           // no V1 fallback exec exists for dynamic overwrite: rows land
-          // through the executor-side DSv2 fanout writers, one atomic
-          // ReplacePartitions-style snapshot at commit
+          // through the executor-side DSv2 fanout writers (clustered +
+          // sorted by the partition transforms — one open writer per
+          // task), one atomic ReplacePartitions-style snapshot at commit
+          private val fresh = table.refresh()
+          override def clusterTable: GraftTable = fresh
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new GraftDynamicOverwriteBatchWrite(table.refresh())
+            new GraftDynamicOverwriteBatchWrite(fresh)
         }
         else new V1Write {
         // `df.writeStream.toTable(...)`: epoch-per-snapshot streaming

@@ -608,10 +608,8 @@ object Writer {
     val targetBytes = table.metadata.properties
       .get("write.target-file-size-bytes").map(_.toLong)
       .getOrElse(512L * 1024 * 1024)
-    val estRowBytes: Double = Option(observedRowBytes.get(table.location))
-      .map(_.doubleValue)
-      .getOrElse(math.max(16, sparkSchema.defaultSize).toDouble)
-    val maxRecords = math.max(1L, (targetBytes / estRowBytes).toLong)
+    val maxRecords = math.max(1L,
+      (targetBytes / estimatedRowBytes(table.location, sparkSchema)).toLong)
 
     // sort-order-aware clustered write (reference `table/sorting.go:32-476`
     // + `clustered_writer.go`): order-by columns from the table's default
@@ -757,9 +755,8 @@ object Writer {
     deleteTree(tmpDir)
     val out = files.filter(_.recordCount > 0)
     // feed the rolling calibration with this write's actual encoded width
-    val (rows, bytes) = (out.map(_.recordCount).sum, out.map(_.fileSize).sum)
-    if (rows > 0) observedRowBytes.put(table.location,
-      java.lang.Double.valueOf(bytes.toDouble / rows))
+    observeRowBytes(table.location,
+      out.map(_.recordCount).sum, out.map(_.fileSize).sum)
     out
   }
 
@@ -768,6 +765,24 @@ object Writer {
     */
   private val observedRowBytes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Encoded bytes/row estimate for a table: the observed width of its
+    * previous writes when available, else the schema's in-memory width
+    * (overshoots parquet's encoded width → files land UNDER target, the
+    * safe side). Shared by the V1 write funnel and the DSv2 executor-side
+    * fanout writers so both roll at the same calibrated record count.
+    */
+  private[graft] def estimatedRowBytes(location: String,
+      sparkSchema: org.apache.spark.sql.types.StructType): Double =
+    Option(observedRowBytes.get(location)).map(_.doubleValue)
+      .getOrElse(math.max(16, sparkSchema.defaultSize).toDouble)
+
+  /** Feed the calibration with a write's actual encoded width. */
+  private[graft] def observeRowBytes(location: String, rows: Long, bytes: Long): Unit =
+    if (rows > 0) {
+      observedRowBytes.put(location, java.lang.Double.valueOf(bytes.toDouble / rows))
+      ()
+    }
 
   /** Float/double columns addressable by Column path: top-level and
     * struct-nested (list/map elements aren't `col()`-addressable).
