@@ -27,8 +27,15 @@ import org.apache.spark.sql.functions._
 object ClassifierScore {
 
   /** Hash bucket of one token: fold (acc·31 + codepoint) mod 2³¹−1 over
-    * the characters, then mod `dims`. All int64 arithmetic — no engine
+    * the CODE POINTS, then mod `dims`. All int64 arithmetic — no engine
     * wraps, no sign surprises (unlike Java's overflowing hashCode).
+    *
+    * Code-point exactness holds for non-BMP text too: Spark's `split(w,
+    * "")` advances by code point (Java regex treats a surrogate pair as
+    * one match position, so "😀" stays whole) and `ascii` returns the
+    * full code point (128512, not a half surrogate) — the same fold
+    * DuckDB's `ord` over `string_split(w, '')` computes. Pinned by the
+    * t30 gate's astral-plane document and ClassifierScoreSpec.
     */
   def wordBucket(w: Column, dims: Int): Column =
     aggregate(split(w, ""), lit(0L),

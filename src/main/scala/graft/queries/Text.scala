@@ -1086,7 +1086,19 @@ object Text {
     // aggregates keep the gate row count stable while still covering every
     // document's score.
     QueryDef("t30_classifier_score", (s, dir) => {
+      import s.implicits._
+      // one pinned non-BMP document (emoji + astral math letters + CJK):
+      // the rolling hash folds CODE POINTS (verified: Spark's split("")
+      // keeps surrogate pairs whole and ascii() yields the code point), and
+      // this row makes the gate actually exercise it against DuckDB's
+      // ord()-based replica — BMP-only corpora can't catch surrogate drift
+      val emojiDoc = Seq((999999999L, "emoji",
+        "😀🚀 café こんにちは " +
+          "𝔘𝔫𝔦𝔠𝔬𝔡𝔢"))
+        .toDF("doc_id", "source", "text")
       val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(emojiDoc)
       val dims = 1024
       val weights = Array.tabulate(dims)(b =>
         ((((b + 1).toLong * 2654435761L) % 1000L) - 500L).toDouble / 1000.0)
@@ -1098,9 +1110,14 @@ object Text {
           sum(when(col("score") > 0.5, 1L).otherwise(0L)).as("n_high"))
         .orderBy(col("source"))
     }, Some("""
-      WITH t AS (
+      WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT 999999999, 'emoji',
+               '😀🚀 café こんにちは 𝔘𝔫𝔦𝔠𝔬𝔡𝔢'),
+      t AS (
         SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        FROM documents),
+        FROM corpus),
       b AS (
         SELECT doc_id, source,
                list_reduce(

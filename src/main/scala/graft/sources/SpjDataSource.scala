@@ -938,6 +938,62 @@ object SpjValues {
   }
 }
 
+/** Executor-wide LRU of parsed positional-delete parquet files — the full
+  * (referenced data file → deleted positions) map, parsed ONCE per
+  * (executor, delete file) no matter how many data files reference the
+  * delete file. Without it a partition-scoped pos-delete file referenced
+  * by K data files costs K full parquet reads per executor (the DV and
+  * eq-key caches already avoided this; this closes the last re-read).
+  * Entries are immutable; eviction only costs a re-read. `loads` counts
+  * loader invocations for the one-read-per-(executor, file) test.
+  */
+object PosDeleteCache {
+  private val MaxEntries = 64
+  private[graft] val loads = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.util.Map[String, java.util.HashSet[java.lang.Long]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.Map[String, java.util.HashSet[java.lang.Long]]]): Boolean =
+        size() > MaxEntries
+    })
+
+  // in-flight load de-duplication: K reader threads hitting the same
+  // uncached delete file must trigger ONE parse, with the other K-1
+  // joining the winner's future — without this, simultaneous first touches
+  // all miss and all parse (the whole cost the cache exists to avoid)
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[
+      java.util.Map[String, java.util.HashSet[java.lang.Long]]]]()
+
+  def get(path: String,
+      load: () => java.util.Map[String, java.util.HashSet[java.lang.Long]])
+      : java.util.Map[String, java.util.HashSet[java.lang.Long]] = {
+    val hit = cache.get(path)
+    if (hit != null) return hit
+    val fut = new java.util.concurrent.CompletableFuture[
+      java.util.Map[String, java.util.HashSet[java.lang.Long]]]()
+    val prior = inflight.putIfAbsent(path, fut)
+    if (prior != null) return prior.join()
+    try {
+      val again = cache.get(path) // won the slot after a racer completed
+      if (again != null) { fut.complete(again); return again }
+      loads.incrementAndGet()
+      val v = load()
+      cache.put(path, v)
+      fut.complete(v)
+      v
+    } catch {
+      case e: Throwable => fut.completeExceptionally(e); throw e
+    } finally {
+      inflight.remove(path)
+      ()
+    }
+  }
+
+  private[graft] def clear(): Unit = { cache.clear(); loads.set(0) }
+}
+
 /** Executor-wide LRU of equality-delete key sets — each executor reads
   * each eq-delete file once per (file, key-set) no matter how many data
   * files it applies to (entries immutable; eviction is re-read cost).
@@ -983,19 +1039,31 @@ final class SpjReaderFactory(
     withPos: Boolean = false)
     extends PartitionReaderFactory {
 
-  // read a pos-delete parquet (schema: file_path string, pos long) and
-  // collect the positions that target `dataPath`
+  // positions targeting `dataPath`, from pos-delete parquets (schema:
+  // file_path string, pos long). Each delete file parses ONCE per executor
+  // into a (referenced file → positions) map via [[PosDeleteCache]]; this
+  // lookup is then a hash probe regardless of how many data files share
+  // the delete file.
   private def posDeleteSet(files: Array[(String, Long)], dataPath: String): java.util.HashSet[java.lang.Long] = {
-    val out = new java.util.HashSet[java.lang.Long]()
     val want = graft.io.FileIO.canonical(dataPath)
     val rd = delReader.getOrElse(throw new IllegalStateException(
       "pos-delete files present but no pos-delete reader was planned"))
+    val out = new java.util.HashSet[java.lang.Long]()
     files.foreach { case (p, len) =>
-      rd(p, len).foreach { r =>
-        if (graft.io.FileIO.canonical(r.getUTF8String(0).toString) == want) {
-          out.add(r.getLong(1)); ()
+      val byFile = PosDeleteCache.get(p, () => {
+        val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+        rd(p, len).foreach { r =>
+          m.computeIfAbsent(
+              graft.io.FileIO.canonical(r.getUTF8String(0).toString),
+              _ => new java.util.HashSet[java.lang.Long]())
+            .add(r.getLong(1))
+          ()
         }
-      }
+        m
+      })
+      val s = byFile.get(want)
+      if (s != null) out.addAll(s)
+      ()
     }
     out
   }

@@ -1,0 +1,63 @@
+package graft
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.core.{Expr, SchemaBridge}
+import graft.format.PartitionSpec
+import graft.sources.PosDeleteCache
+import graft.table.Writer
+
+/** The pos-delete parse cache: a positional-delete parquet referenced by K
+  * data files must parse ONCE per executor (into the per-referenced-file
+  * position map), not K times — the same one-read guarantee the DV and
+  * eq-key caches already carry.
+  */
+class PosDeleteCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("shared pos-delete parquet parses once per executor, not once per data file") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = s"/root/repo/target/graft-wh/pdc_${UUID.randomUUID().toString.take(8)}"
+    val cat = new HadoopCatalog(wh)
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val schema = SchemaBridge.fromSpark(df.schema)
+    val t1 = Writer.append(spark,
+      cat.createTable("t", schema, PartitionSpec.Unpartitioned), df.repartition(4))
+    // one shuffle partition → ONE delete parquet referencing all 4 data files
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val t2 = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      Writer.deleteWhereMoR(spark, t1, Expr.lt("id", 100L))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    val tasks = t2.newScan.planFiles()
+    val delPaths = tasks.flatMap(_.posDeletes.filter(_.format != "PUFFIN").map(_.path)).distinct
+    assert(delPaths.length === 1, "fixture must share ONE delete parquet")
+    val referencing = tasks.count(_.posDeletes.exists(_.format != "PUFFIN"))
+    assert(referencing === 4, "all 4 data files must reference the delete file")
+
+    val ctl = s"gpdc_${UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$ctl",
+      classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+    PosDeleteCache.clear()
+    val rows = spark.table(s"$ctl.t").filter(col("id") >= 0).collect()
+    assert(rows.length === 900)
+    assert(PosDeleteCache.loads.get() === 1L,
+      s"delete parquet parsed ${PosDeleteCache.loads.get()} times for 4 referencing data files")
+  }
+}

@@ -80,4 +80,43 @@ class RollingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"file ${f.path} is ${f.fileSize}B = ${ratio}x of target")
     }
   }
+
+  test("DSv2 CoW rewrite rolls on the calibrated width for wide-string rows") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-rollc").toString
+    val catalog = new HadoopCatalog(wh)
+    val rnd = new scala.util.Random(13)
+    def payload(i: Int): String = {
+      val len = if (i % 10 == 0) 1000 else 10 + (i % 7) * 40
+      val sb = new StringBuilder(len)
+      (0 until len).foreach(_ => sb.append((33 + rnd.nextInt(94)).toChar))
+      sb.toString
+    }
+    val df = (0 until 60000).map(i => (i.toLong, payload(i))).toDF("id", "body")
+      .coalesce(1)
+    val schema = SchemaBridge.fromSpark(df.schema)
+    val target = 512L * 1024
+    val t0 = catalog.createTable("rollc", schema, PartitionSpec.Unpartitioned,
+      properties = Map("write.target-file-size-bytes" -> target.toString))
+    // the FIRST append sizes off the schema estimate (28 B/row vs ~220 B
+    // encoded) and lands fat ~8x-over files — and records the observed
+    // width. The SQL UPDATE (CoW rewrite through the DSv2 fanout writers)
+    // must roll those fat tasks at the CALIBRATED count, not repeat the
+    // schema-estimate overshoot.
+    Writer.append(spark, t0, df)
+    val ctl = "groll_cal"
+    spark.conf.set(s"spark.sql.catalog.$ctl",
+      classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+    spark.sql(s"UPDATE $ctl.rollc SET id = id + 1")
+    val files = catalog.loadTable("rollc").newScan.planFiles().map(_.file)
+    assert(files.size >= 3, s"expected rolled rewrite files, got ${files.size}")
+    // every full file (drop the per-task remainders) within 2x of target
+    val full = files.map(_.fileSize).sorted.reverse.dropRight(files.size / 2)
+    full.foreach { sz =>
+      val ratio = sz.toDouble / target
+      assert(ratio > 0.4 && ratio < 2.0,
+        s"rewritten file is ${sz}B = ${ratio}x of target — calibration not applied")
+    }
+  }
 }

@@ -42,6 +42,24 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._2.get === math.rint(sig(-1.0) * 1e6) / 1e6)
   }
 
+  test("wordBucket folds CODE POINTS: surrogate pairs hash as one value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // non-BMP tokens: emoji (U+1F600), astral math letter (U+1D518), plus
+    // BMP CJK — the bucket must equal the code-point fold an ord()-based
+    // engine (the DuckDB oracle) computes, never the half-surrogate fold
+    val words = Seq("a😀b", "𝔘nicode", "こん", "plain")
+    def expected(w: String): Long = {
+      var acc = 0L
+      w.codePoints().toArray.foreach(cp => acc = (acc * 31L + cp) % 2147483647L)
+      acc % 1024L
+    }
+    val got = words.toDF("w")
+      .select(col("w"), graft.llm.ClassifierScore.wordBucket(col("w"), 1024).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach(w => assert(got(w) === expected(w), s"token $w"))
+  }
+
   test("bigramDocScore matches the hand-computed add-one model; 1-token docs are unscored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
