@@ -46,7 +46,8 @@ object Bench {
     Set("q2_join_agg", "t7_minhash_clusters", "t9_neardup_pairs", "s5_ann_ivf",
       "t28_dup_spans", "s10_pq_ann", "s11_rrf_fusion", "t25_decontaminate_bloom",
       "t39_source_overlap", "t40_boilerplate", "s6_knn_agreement",
-      "s13_kmeans_twolevel")
+      "s13_kmeans_twolevel", "q18_approx_sketch", "s14_ivfpq_ann",
+      "s15_retrieval_eval")
 
   /** Other live Spark/sbt/scala JVMs on the box, excluding this process,
     * its ancestors (the sbt shell that forked us) and its descendants.

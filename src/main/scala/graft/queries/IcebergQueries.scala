@@ -3372,6 +3372,78 @@ object IcebergQueries {
              'true' AS clustered_ok
       FROM final
       GROUP BY 1
-      ORDER BY yr"""), repeatable = true)
+      ORDER BY yr"""), repeatable = true),
+
+    // Streaming CDC over MERGE-ON-READ deltas: i62 proved the changelog
+    // stream for CoW commits; here the committed changes are MoR delete
+    // artifacts — a v2 table takes a parquet positional delete AND an
+    // equality delete, a v3 table takes a deletion-vector puffin — and the
+    // `mode=changelog` stream must emit EXACTLY the net rows under
+    // streaming offsets across two AvailableNow runs: the delta batch is
+    // all-DELETE, one row per net-removed key, nothing resurfacing and no
+    // phantom INSERTs (the changelog reads each side RESOLVED, so delete
+    // artifacts subtract rather than appear as rows). Checkpoint recovery
+    // is exercised by the second run reusing the first's checkpoint.
+    QueryDef.staged("i90_streaming_mor_changelog", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/morcdc_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+
+      def runOnce(table: String, tag: String): Seq[(Long, String)] = {
+        val q = s.readStream.format("graft-iceberg")
+          .option("catalog", wh).option("table", table)
+          .option("mode", "changelog").load()
+          .writeStream.format("parquet").option("path", s"$wh/_out_$tag")
+          .option("checkpointLocation", s"$wh/_ckpt_$tag")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$wh/_out_$tag")
+          .select(col("n_nationkey").cast("long"), col("_change_type"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      }
+
+      // v2 leg: parquet pos-delete (keys < 5) + equality delete (10,11,12)
+      Writer.append(s, cat.createTable("m2", schema, PartitionSpec.Unpartitioned), n)
+      val run2a = runOnce("m2", "m2")
+      val t2 = Writer.deleteWhereMoR(s, cat.loadTable("m2"), Expr.lt("n_nationkey", 5L))
+      Writer.equalityDelete(s, t2,
+        n.filter(col("n_nationkey").isin(10, 11, 12)).select(col("n_nationkey")),
+        Seq("n_nationkey"))
+      val delta2 = runOnce("m2", "m2").diff(run2a)
+
+      // v3 leg: deletion-vector puffin (keys >= 20)
+      val t3 = Evolve.upgradeFormatVersion(
+        Writer.append(s, cat.createTable("m3", schema, PartitionSpec.Unpartitioned), n), 3)
+      val run3a = runOnce("m3", "m3")
+      Writer.deleteWhereDV(s, t3, Expr.gtEq("n_nationkey", 20L))
+      val delta3 = runOnce("m3", "m3").diff(run3a)
+
+      val netOnly =
+        run2a.size == 25 && run2a.forall(_._2 == "INSERT") &&
+        delta2.size == 8 && delta2.forall(_._2 == "DELETE") &&
+        run3a.size == 25 && run3a.forall(_._2 == "INSERT") &&
+        delta3.size == 5 && delta3.forall(_._2 == "DELETE")
+      import s.implicits._
+      val allDf = (delta2.map(r => ("v2", r._1, r._2)) ++
+          delta3.map(r => ("v3", r._1, r._2)))
+        .toDF("fmt", "n_nationkey", "change_type")
+      () => allDf.groupBy(col("fmt"), col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+        .withColumn("net_only", lit(netOnly.toString))
+        .orderBy(col("fmt"), col("change_type"))
+    }, Some("""
+      WITH ch AS (
+        SELECT 'v2' AS fmt, 'DELETE' AS change_type, n_nationkey FROM nation
+        WHERE n_nationkey < 5 OR n_nationkey IN (10, 11, 12)
+        UNION ALL
+        SELECT 'v3' AS fmt, 'DELETE' AS change_type, n_nationkey FROM nation
+        WHERE n_nationkey >= 20)
+      SELECT fmt, change_type, COUNT(*) AS n,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum, 'true' AS net_only
+      FROM ch
+      GROUP BY fmt, change_type
+      ORDER BY fmt, change_type"""))
   )
 }
