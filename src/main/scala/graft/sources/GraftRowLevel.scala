@@ -111,10 +111,16 @@ trait GraftPartitionClusteredWrite
     else org.apache.spark.sql.connector.distributions.Distributions.clustered(
       cluster.map(t => t: org.apache.spark.sql.connector.expressions.Expression))
 
+  /** Partition transforms first (one contiguous run per partition → one
+    * open writer), then the table's default sort order within each
+    * partition run — rewritten files keep the clustering a sorted table
+    * declared.
+    */
   override def requiredOrdering():
       Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     cluster.map(t => org.apache.spark.sql.connector.expressions.Expressions.sort(
-      t, org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      t, org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) ++
+      GraftBatchWrites.tableSortOrdering(clusterTable)
 }
 
 /** The CoW candidate scan: filters prune files (never row groups or rows),
@@ -255,46 +261,81 @@ object GraftBatchWrites {
       closeOnPartitionChange = true)
   }
 
+  /** One graft transform over a named source column as a provably-
+    * resolvable V2 expression: identity always; bucket / time / truncate
+    * via the catalog's V2 functions only when the source type binds
+    * (ns-long time sources and decimal/binary bucket/truncate sources
+    * yield None — a claim that fails to bind would fail the query).
+    */
+  def transformExpr(table: GraftTable, tr: GTransform, src: String):
+      Option[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => VE}
+    import graft.core.Transforms
+    val sparkSchema = SchemaBridge.toSpark(table.schema)
+    def typeOf: Option[DataType] =
+      sparkSchema.fields.find(_.name == src).map(_.dataType)
+    def dateOrTs = typeOf.exists {
+      case DateType | TimestampType | TimestampNTZType => true; case _ => false
+    }
+    def tsOnly = typeOf.exists {
+      case TimestampType | TimestampNTZType => true; case _ => false
+    }
+    def bucketable = typeOf.exists {
+      case IntegerType | LongType | DateType | StringType => true; case _ => false
+    }
+    def truncable = typeOf.exists {
+      case IntegerType | LongType | StringType => true; case _ => false
+    }
+    tr match {
+      case Transforms.Identity => Some(VE.identity(src))
+      case Transforms.Bucket(n) if bucketable => Some(VE.bucket(n, src))
+      case Transforms.Years if dateOrTs => Some(VE.years(src))
+      case Transforms.Months if dateOrTs => Some(VE.months(src))
+      case Transforms.Days if dateOrTs => Some(VE.days(src))
+      case Transforms.Hours if tsOnly => Some(VE.hours(src))
+      case Transforms.Truncate(w) if truncable =>
+        Some(VE.apply("truncate", VE.literal(w), VE.column(src)))
+      case _ => None
+    }
+  }
+
   /** The table's partition transforms as V2 expressions, for write
-    * distributions — only fields Spark can provably resolve: identity
-    * always; bucket / time / truncate via the catalog's V2 functions when
-    * the source type binds. Void is a constant (clusters nothing); unknown
-    * and unbindable sources are skipped rather than failing the write.
+    * distributions. Void is a constant (clusters nothing); unknown and
+    * unbindable sources are skipped rather than failing the write.
     */
   def clusteringTransforms(table: GraftTable):
       Array[org.apache.spark.sql.connector.expressions.Transform] = {
-    import org.apache.spark.sql.connector.expressions.{Expressions => VE, Transform => VT}
-    import graft.core.Transforms
     val schema = table.schema
-    val sparkSchema = SchemaBridge.toSpark(schema)
-    def typeOf(name: String): Option[DataType] =
-      sparkSchema.fields.find(_.name == name).map(_.dataType)
     table.spec.fields.flatMap { pf =>
-      val src = schema.idToField(pf.sourceId).name
-      def dateOrTs = typeOf(src).exists {
-        case DateType | TimestampType | TimestampNTZType => true; case _ => false
-      }
-      def tsOnly = typeOf(src).exists {
-        case TimestampType | TimestampNTZType => true; case _ => false
-      }
-      def bucketable = typeOf(src).exists {
-        case IntegerType | LongType | DateType | StringType => true; case _ => false
-      }
-      def truncable = typeOf(src).exists {
-        case IntegerType | LongType | StringType => true; case _ => false
-      }
-      (pf.transform match {
-        case Transforms.Identity => Some(VE.identity(src))
-        case Transforms.Bucket(n) if bucketable => Some(VE.bucket(n, src))
-        case Transforms.Years if dateOrTs => Some(VE.years(src))
-        case Transforms.Months if dateOrTs => Some(VE.months(src))
-        case Transforms.Days if dateOrTs => Some(VE.days(src))
-        case Transforms.Hours if tsOnly => Some(VE.hours(src))
-        case Transforms.Truncate(w) if truncable =>
-          Some(VE.apply("truncate", VE.literal(w), VE.column(src)))
-        case _ => None
-      }): Option[VT]
+      transformExpr(table, pf.transform, schema.idToField(pf.sourceId).name)
     }.toArray
+  }
+
+  /** The table's DEFAULT SORT ORDER as V2 sort expressions — appended
+    * after the partition clustering so CoW rewrites land sort-clustered
+    * files (the V1 append funnel already sorts; without this a MERGE
+    * would destroy the clustering a sorted table paid for). The list
+    * prefix-truncates at the first inexpressible field: sorting by later
+    * keys without an earlier one is not the declared order.
+    */
+  def tableSortOrdering(table: GraftTable):
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => VE, NullOrdering, SortDirection}
+    val schema = table.schema
+    table.metadata.sortOrders
+      .find(_.orderId == table.metadata.defaultSortOrderId)
+      .map { order =>
+        order.fields.iterator
+          .map { sf =>
+            schema.idToField.get(sf.sourceId)
+              .flatMap(f => transformExpr(table, sf.transform, f.name))
+              .map(e => VE.sort(e,
+                if (sf.ascending) SortDirection.ASCENDING else SortDirection.DESCENDING,
+                if (sf.nullsFirst) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST))
+          }
+          .takeWhile(_.isDefined).flatten.toArray
+      }
+      .getOrElse(Array.empty)
   }
 
   /** Footer-stats harvest of task-written files (driver IO pool). */

@@ -203,4 +203,28 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"UPDATE g.tt VERSION AS OF $snap SET k = 2"))
     assert(e.getMessage != null)
   }
+
+  test("CoW rewrite preserves the table's default sort order in rewritten files") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.Transforms
+    import graft.format.SortField
+    spark.sql("CREATE TABLE g.so (k BIGINT, v BIGINT)")
+    // scrambled insert, THEN declare sort order v DESC — the UPDATE's
+    // rewrite (not the original append) must impose it
+    spark.sql("""INSERT INTO g.so
+      SELECT CAST(id AS BIGINT), CAST(pmod(id * 48271, 9973) AS BIGINT)
+      FROM range(0, 5000)""")
+    val t = catalog.loadTable("so")
+    val vId = t.schema.fields.find(_.name == "v").get.id
+    graft.table.Evolve.replaceSortOrder(t,
+      Seq(SortField(vId, Transforms.Identity, ascending = false, nullsFirst = false)))
+    spark.sql("UPDATE g.so SET k = k + 1")
+    val files = catalog.loadTable("so").newScan.planFiles().map(_.file.path)
+    assert(files.nonEmpty)
+    files.foreach { p =>
+      val vs = spark.read.parquet(p).select(col("v")).collect().map(_.getLong(0))
+      assert(vs.sameElements(vs.sortBy(-(_: Long))),
+        s"file $p not sorted v DESC after CoW rewrite")
+    }
+  }
 }
