@@ -111,6 +111,24 @@ trait GraftPartitionClusteredWrite
     else org.apache.spark.sql.connector.distributions.Distributions.clustered(
       cluster.map(t => t: org.apache.spark.sql.connector.expressions.Expression))
 
+  /** Best-effort, not strict: AQE plans a REBALANCE instead of a rigid
+    * hash exchange, so one hot partition value (the classic write skew)
+    * splits across tasks instead of strangling a single task — the fanout
+    * writer is correct under any distribution, a split partition just
+    * writes one extra file. */
+  override def distributionStrictlyRequired(): Boolean = false
+
+  /** Size write tasks toward one target-size output file each: AQE
+    * coalesces/splits shuffle partitions to this advisory, so a MERGE's
+    * write stage produces ~(data bytes / target) balanced tasks rather
+    * than inheriting the join's partitioning. Only legal alongside a real
+    * distribution — 0 (unset) when the table clusters nothing. */
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (cluster.isEmpty) 0L
+    else clusterTable.metadata.properties
+      .get("write.target-file-size-bytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+
   /** Partition transforms first (one contiguous run per partition → one
     * open writer), then the table's default sort order within each
     * partition run — rewritten files keep the clustering a sorted table
