@@ -70,20 +70,29 @@ final class GraftDeltaOperation(table: GraftTable, cmd: Command)
         // one DV per data file is a spec invariant: REQUIRE same-file
         // deletes to land in one task (cluster by _file), positions
         // ordered within — the shape the reference's dv_writer assumes.
-        // Inserts carry a null _file and co-cluster; the task-local
-        // fanout writer routes them per partition value regardless.
+        // The partition transforms join the clustering so INSERT rows
+        // (null `_file` — they would otherwise all co-cluster into ONE
+        // task) fan out by partition value; delete rows are unaffected
+        // (all rows of a file share its partition, so (_file, transforms)
+        // groups exactly like _file alone). Ordering sorts the insert
+        // block by partition (NULLS_FIRST puts it first, one contiguous
+        // run per partition → close-on-change fanout), with `_pos` last —
+        // still strictly ascending within each file's delete block.
         import org.apache.spark.sql.connector.expressions.{Expressions => VE}
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            Array(VE.column(SpjTable.FileColumnName)))
+            (VE.column(SpjTable.FileColumnName) +:
+              GraftBatchWrites.clusteringTransforms(table).toSeq).toArray)
         override def requiredOrdering():
             Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array(
-            VE.sort(VE.column(SpjTable.FileColumnName),
-              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+          (VE.sort(VE.column(SpjTable.FileColumnName),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING) +:
+            GraftBatchWrites.clusteringTransforms(table).toSeq.map(t =>
+              VE.sort(t,
+                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) :+
             VE.sort(VE.column(SpjTable.PosColumnName),
-              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       }
     }
 }
@@ -176,11 +185,16 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
     val targetBytes = table.metadata.properties
       .get("write.target-file-size-bytes").map(_.toLong)
       .getOrElse(512L * 1024 * 1024)
+    // calibrated roll target (see Writer.estimatedRowBytes); insert rows
+    // arrive partition-sorted in one contiguous block (the required
+    // ordering), so the fanout closes on partition change — one open
+    // insert writer per task
     val maxRecords = math.max(1L,
-      (targetBytes / math.max(16, sparkSchema.defaultSize).toDouble).toLong)
+      (targetBytes / Writer.estimatedRowBytes(table.location, sparkSchema)).toLong)
     val inner = new GraftCowWriterFactory(
       ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
-      table.location, schema, table.spec, extractors, maxRecords)
+      table.location, schema, table.spec, extractors, maxRecords,
+      closeOnPartitionChange = true)
 
     // prior delete state per candidate data file, shipped to executors so
     // each task folds it into the superseding DV it writes
@@ -226,6 +240,8 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
       .map(f => Writer.harvestStats(f.path, schema, f.partValues,
         omitBounds = omitBounds, props = props))
       .seq.filter(_.recordCount > 0)
+    Writer.observeRowBytes(table.location,
+      added.map(_.recordCount).sum, added.map(_.fileSize).sum)
     val fileSizes = dels.map(_.path).distinct
       .map(p => p -> graft.io.FileIO.size(p)).toMap
     val deleteFiles = dels.map { b =>

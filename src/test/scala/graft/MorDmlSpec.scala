@@ -139,4 +139,30 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getString(1).endsWith(".parquet")))
     assert(rows.map(_.getLong(2)).forall(_ >= 0L))
   }
+
+  test("MoR MERGE inserts fan out by partition — one open writer, DV invariant holds") {
+    spark.sql("""CREATE TABLE g.mp (k BIGINT, seg BIGINT, v DOUBLE)
+      PARTITIONED BY (identity(seg))
+      TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""")
+    upgradeV3("mp")
+    // 12 partitions on 4 tasks: inserts span every partition
+    spark.sql("""INSERT INTO g.mp
+      SELECT id, pmod(id, 12), CAST(id AS DOUBLE) FROM range(0, 1200)""")
+    spark.sql("""SELECT CAST(id + 10000 AS BIGINT) AS k,
+        CAST(pmod(id, 12) AS BIGINT) AS seg, CAST(id AS DOUBLE) AS v
+      FROM range(0, 1200)
+      UNION ALL
+      SELECT CAST(id AS BIGINT), CAST(pmod(id, 12) AS BIGINT), CAST(-1 AS DOUBLE)
+      FROM range(0, 1200) WHERE id % 3 = 0""").createOrReplaceTempView("mp_src")
+    graft.sources.GraftCowWriterMetrics.reset()
+    spark.sql("""MERGE INTO g.mp t USING mp_src s ON t.k = s.k AND t.seg = s.seg
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)""")
+    // insert rows arrive clustered+sorted by partition → one open writer
+    // per task (the commit's own require() already pins one-DV-per-file)
+    assert(graft.sources.GraftCowWriterMetrics.peakOpenWriters === 1,
+      s"delta insert fanout held ${graft.sources.GraftCowWriterMetrics.peakOpenWriters} writers")
+    assert(spark.sql("SELECT count(*) FROM g.mp").head.getLong(0) === 2400L)
+    assert(spark.sql("SELECT count(*) FROM g.mp WHERE v = -1").head.getLong(0) === 400L)
+  }
 }
