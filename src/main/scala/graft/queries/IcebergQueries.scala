@@ -3444,6 +3444,58 @@ object IcebergQueries {
              CAST(SUM(n_nationkey) AS BIGINT) AS key_sum, 'true' AS net_only
       FROM ch
       GROUP BY fmt, change_type
-      ORDER BY fmt, change_type"""))
+      ORDER BY fmt, change_type""")),
+
+    // delete_files / all_manifests / all_data_files metadata tables on the
+    // SQL surface (the Iceberg inspection convention): after a MoR
+    // positional delete and an equality delete, `g.t.delete_files` lists
+    // exactly the live delete artifacts (content 1/2, equality ids on eq
+    // rows), `all_data_files` the lineage-wide data-file footprint, and
+    // `all_manifests` every snapshot's manifests with the referencing
+    // snapshot — all built from driver-parsed METADATA (no data pass).
+    // The data read itself stays hash-matched against DuckDB.
+    QueryDef.staged("i91_sql_meta_deletes", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/metad_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gmd_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s,
+        cat.createTable("cust", schema, PartitionSpec.Unpartitioned), c.repartition(4))
+      val t2 = Writer.deleteWhereMoR(s, t1, Expr.lt("c_acctbal", 0.0))
+      Writer.equalityDelete(s, t2,
+        c.filter(col("c_custkey") % 9 === 0).select(col("c_custkey")),
+        Seq("c_custkey"))
+      val tasks = cat.loadTable("cust").newScan.planFiles()
+      val wantDeletes = (tasks.flatMap(_.posDeletes.map(_.path)) ++
+        tasks.flatMap(_.eqDeletes.map(_._1.path))).distinct.size
+      val delRows = s.sql(
+        s"SELECT content, equality_ids FROM $ctl.cust.delete_files").collect()
+      val nDataFiles = tasks.map(_.file.path).distinct.size.toLong
+      val allData = s.sql(s"SELECT COUNT(*) FROM $ctl.cust.all_data_files").head.getLong(0)
+      val allMan = s.sql(s"SELECT COUNT(*) FROM $ctl.cust.all_manifests").head.getLong(0)
+      val curMan = s.sql(s"SELECT COUNT(*) FROM $ctl.cust.manifests").head.getLong(0)
+      val metaOk = delRows.length == wantDeletes &&
+        delRows.forall(r => r.getInt(0) == 1 || r.getInt(0) == 2) &&
+        delRows.filter(_.getInt(0) == 2).forall(_.getString(1).nonEmpty) &&
+        // append-only data lineage: the historical footprint IS the live set
+        allData == nDataFiles && allMan >= curMan
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$metaOk' AS meta_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS meta_ok
+      FROM customer
+      WHERE c_acctbal >= 0 AND c_custkey % 9 <> 0
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -26,7 +26,8 @@ import graft.table.{Inspect, Table => GraftTable}
 object GraftMetaTables {
   val Names: Set[String] =
     Set("snapshots", "history", "manifests", "entries", "files",
-      "partitions", "refs")
+      "partitions", "refs", "delete_files", "all_manifests",
+      "all_data_files")
 
   def frame(spark: SparkSession, t: GraftTable, meta: String): DataFrame =
     meta match {
@@ -37,6 +38,9 @@ object GraftMetaTables {
       case "files" => Inspect.files(spark, t)
       case "partitions" => Inspect.partitions(spark, t)
       case "refs" => Inspect.refs(spark, t)
+      case "delete_files" => Inspect.deleteFiles(spark, t)
+      case "all_manifests" => Inspect.allManifests(spark, t)
+      case "all_data_files" => Inspect.allDataFiles(spark, t)
     }
 }
 

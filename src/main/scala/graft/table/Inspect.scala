@@ -83,6 +83,65 @@ object Inspect {
     }.toDF("name", "type", "snapshot_id")
   }
 
+  /** Live DELETE artifacts of the current snapshot (Iceberg
+    * `delete_files` metadata table): positional-delete parquets, DV
+    * puffins, equality-delete files — straight from the delete manifests,
+    * metadata-scale.
+    */
+  def deleteFiles(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    currentManifests(table).filter(_.content == 1).flatMap { m =>
+      Manifests.readManifest(m.path)._1
+        .filter(e => e.status != ManifestEntryStatus.Deleted &&
+          e.file.content != DataFileContent.Data)
+        .map(e => (e.file.content, e.file.path, e.file.format,
+          e.file.partition.map(String.valueOf).mkString("/"),
+          e.file.recordCount, e.file.fileSize,
+          e.file.equalityIds.mkString(","),
+          e.file.referencedDataFile.orNull,
+          e.dataSequence.getOrElse(m.sequenceNumber)))
+    }.toDF("content", "file_path", "file_format", "partition", "record_count",
+      "file_size_in_bytes", "equality_ids", "referenced_data_file",
+      "sequence_number")
+  }
+
+  /** Manifests of EVERY snapshot (Iceberg `all_manifests`), deduplicated
+    * by path — lineage-wide inventory for audits and orphan triage.
+    */
+  def allManifests(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.metadata.snapshots
+      .flatMap(s => Manifests.readManifestList(s.manifestList)
+        .map(m => (s.snapshotId, m)))
+      .groupBy(_._2.path).map(_._2.head).toSeq
+      .map { case (snapId, m) =>
+        (m.path, m.length, m.specId, m.content, m.sequenceNumber,
+          m.addedSnapshotId, snapId)
+      }.toDF("path", "length", "partition_spec_id", "content",
+        "sequence_number", "added_snapshot_id", "reference_snapshot_id")
+  }
+
+  /** Data files referenced by ANY snapshot (Iceberg `all_data_files`),
+    * deduplicated by path — the full historical footprint (expired-but-
+    * referenced files included; orphan cleanup's complement).
+    */
+  def allDataFiles(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.metadata.snapshots
+      .flatMap(s => Manifests.readManifestList(s.manifestList))
+      .groupBy(_.path).map(_._2.head).toSeq
+      .filter(_.content == 0)
+      .flatMap(m => Manifests.readManifest(m.path)._1
+        .filter(e => e.status != ManifestEntryStatus.Deleted &&
+          e.file.content == DataFileContent.Data)
+        .map(e => (e.file.path, e.file.format,
+          e.file.partition.map(String.valueOf).mkString("/"),
+          e.file.recordCount, e.file.fileSize)))
+      .groupBy(_._1).map(_._2.head).toSeq
+      .toDF("file_path", "file_format", "partition", "record_count",
+        "file_size_in_bytes")
+  }
+
   /** Reverse-chronological ancestors of the current snapshot (reference
     * `table/snapshot_ancestry.go:37-150`); cycle-safe.
     */
