@@ -3496,6 +3496,45 @@ object IcebergQueries {
       FROM customer
       WHERE c_acctbal >= 0 AND c_custkey % 9 <> 0
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // position_deletes as a DISTRIBUTED queryable relation — the one
+    // inspection table that is data-scale (every deleted position is a
+    // row), so it must execute as a real scan, never a driver collect:
+    // parquet pos-deletes (v2 leg) read distributed, DV puffins (v3 leg)
+    // expand executor-side via the blob cache. One row per deleted
+    // position, count pinned against the delete predicate's row count;
+    // the plan must carry the GraftPositionDeletes V1 relation.
+    QueryDef.staged("i92_sql_position_deletes", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/posd_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gposd_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t2 = Writer.append(s,
+        cat.createTable("pd2", schema, PartitionSpec.Unpartitioned), c.repartition(4))
+      Writer.deleteWhereMoR(s, t2, Expr.lt("c_acctbal", 0.0))
+      val t3 = Evolve.upgradeFormatVersion(Writer.append(s,
+        cat.createTable("pd3", schema, PartitionSpec.Unpartitioned), c.repartition(4)), 3)
+      Writer.deleteWhereDV(s, t3, Expr.lt("c_acctbal", 0.0))
+      val probe = s.sql(s"SELECT file_path, pos FROM $ctl.pd2.position_deletes")
+      probe.collect()
+      require(probe.queryExecution.executedPlan.toString.contains("GraftPositionDeletes"),
+        s"i92: expected the distributed position_deletes relation in\n" +
+          probe.queryExecution.executedPlan)
+      () => s.sql(s"""
+        SELECT 'v2' AS fmt, COUNT(*) AS n_delete_rows, 'true' AS distributed
+        FROM $ctl.pd2.position_deletes
+        UNION ALL
+        SELECT 'v3', COUNT(*), 'true' FROM $ctl.pd3.position_deletes
+        ORDER BY fmt""")
+    }, Some("""
+      SELECT 'v2' AS fmt, COUNT(*) AS n_delete_rows, 'true' AS distributed
+      FROM customer WHERE c_acctbal < 0
+      UNION ALL
+      SELECT 'v3', COUNT(*), 'true' FROM customer WHERE c_acctbal < 0
+      ORDER BY fmt"""), repeatable = true)
   )
 }

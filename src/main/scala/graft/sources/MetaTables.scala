@@ -44,6 +44,53 @@ object GraftMetaTables {
     }
 }
 
+/** `g.<table>.position_deletes` — the one inspection relation that is
+  * DATA-scale, not metadata-scale (every deleted position is a row), so
+  * unlike [[GraftMetaTable]] it must never collect to the driver: the
+  * scan is a V1 relation executing [[graft.table.SparkRead
+  * .readPositionDeletes]] — parquet pos-deletes read distributed, DV
+  * bitmaps expanded executor-side via the blob cache, DV-superseded
+  * parquet rows excluded. Reference basis: the positional-delete scan
+  * mode (`table/arrow_scanner.go:1214-1287`) as a queryable relation.
+  */
+final class GraftPositionDeletesTable(tableName: String, t: GraftTable)
+    extends V2Table with SupportsRead {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def name(): String = s"$tableName.position_deletes"
+  override lazy val schema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = true),
+    StructField("pos", LongType, nullable = true),
+    StructField("delete_file_path", StringType, nullable = true)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = schema
+          override def description(): String =
+            s"GraftPositionDeletes($tableName)"
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T = {
+            val tbl = t
+            val out = schema
+            new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = out
+              override def toString: String = "GraftPositionDeletes"
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                graft.table.SparkRead.readPositionDeletes(
+                  context.sparkSession, tbl.newScan).rdd
+            }.asInstanceOf[T]
+          }
+        }
+    }
+}
+
 final class GraftMetaTable(tableName: String, meta: String, t: GraftTable)
     extends V2Table with SupportsRead {
 

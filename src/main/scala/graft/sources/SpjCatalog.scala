@@ -93,6 +93,8 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
     // (appends commit to the branch); `tag_<t>` reads the tag, read-only
     if (ident.namespace.length == 1 && cat.tableExists(ident.namespace.head)) {
       val base = ident.namespace.head
+      if (ident.name == "position_deletes")
+        return new GraftPositionDeletesTable(base, cat.loadTable(base))
       if (GraftMetaTables.Names(ident.name))
         return new GraftMetaTable(base, ident.name, cat.loadTable(base))
       if (ident.name.startsWith("branch_") || ident.name.startsWith("tag_")) {
