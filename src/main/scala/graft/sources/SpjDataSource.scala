@@ -997,6 +997,8 @@ object PosDeleteCache {
 /** Executor-wide LRU of equality-delete key sets — each executor reads
   * each eq-delete file once per (file, key-set) no matter how many data
   * files it applies to (entries immutable; eviction is re-read cost).
+  * In-flight loads de-duplicate: concurrent first touches join one parse
+  * (same discipline as [[PosDeleteCache]]).
   */
 object EqDeleteCache {
   private val MaxEntries = 256
@@ -1007,14 +1009,29 @@ object EqDeleteCache {
           e: java.util.Map.Entry[(String, Seq[Int]), Set[List[Any]]]): Boolean =
         size() > MaxEntries
     })
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[Int]), java.util.concurrent.CompletableFuture[Set[List[Any]]]]()
 
   def get(path: String, ids: Seq[Int], load: () => Set[List[Any]]): Set[List[Any]] = {
     val key = (path, ids)
     val hit = cache.get(key)
     if (hit != null) return hit
-    val v = load()
-    cache.put(key, v)
-    v
+    val fut = new java.util.concurrent.CompletableFuture[Set[List[Any]]]()
+    val prior = inflight.putIfAbsent(key, fut)
+    if (prior != null) return prior.join()
+    try {
+      val again = cache.get(key)
+      if (again != null) { fut.complete(again); return again }
+      val v = load()
+      cache.put(key, v)
+      fut.complete(v)
+      v
+    } catch {
+      case e: Throwable => fut.completeExceptionally(e); throw e
+    } finally {
+      inflight.remove(key)
+      ()
+    }
   }
 }
 
