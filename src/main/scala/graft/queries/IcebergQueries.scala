@@ -3535,6 +3535,61 @@ object IcebergQueries {
       FROM customer WHERE c_acctbal < 0
       UNION ALL
       SELECT 'v3', COUNT(*), 'true' FROM customer WHERE c_acctbal < 0
-      ORDER BY fmt"""), repeatable = true)
+      ORDER BY fmt"""), repeatable = true),
+
+    // rewrite_position_delete_files: two MoR delete rounds leave a
+    // multi-file pos-delete backlog; a CoW UPDATE of ONE partition then
+    // strands that partition's delete rows (its files were replaced —
+    // dangling state the replace commit deliberately leaves inert). The
+    // procedure compacts the live rows into ONE (file_path, pos)-ordered
+    // delete file and drops the dangling rows, in one snapshot. Pinned
+    // through the position_deletes relation: afterwards every delete row
+    // targets a LIVE data file and the live delete-file count is the
+    // added count; the data read hash-matches before semantics.
+    QueryDef.staged("i93_rewrite_pos_deletes", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/rpdf_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"grpdf_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t1 = Writer.append(s, cat.createTable("cust", schema,
+        PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build()), c)
+      val t2 = Writer.deleteWhereMoR(s, t1, Expr.lt("c_acctbal", 0.0))
+      Writer.deleteWhereMoR(s, t2,
+        Expr.and(Expr.gtEq("c_custkey", 100L), Expr.lt("c_custkey", 200L)))
+      // CoW rewrite of ONE partition strands its delete rows
+      s.sql(s"UPDATE $ctl.cust SET c_acctbal = c_acctbal + 5 WHERE c_mktsegment = 'BUILDING'")
+      val before = cat.loadTable("cust").newScan.planFiles()
+        .flatMap(_.posDeletes.filter(_.format != "PUFFIN").map(_.path)).distinct.size
+      val res = s.sql(
+        s"CALL $ctl.system.rewrite_position_delete_files('cust')").collect().head
+      val after = cat.loadTable("cust").newScan.planFiles()
+        .flatMap(_.posDeletes.filter(_.format != "PUFFIN").map(_.path)).distinct.size
+      // post-compaction: every delete row targets a live data file
+      val livePaths = cat.loadTable("cust").newScan.planFiles()
+        .map(_.file.path).toSet
+      val targets = s.sql(s"SELECT DISTINCT file_path FROM $ctl.cust.position_deletes")
+        .collect().map(_.getString(0)).toSet
+      val compactOk = before >= 2 && res.getInt(0) >= 2 && res.getInt(1) == 1 &&
+        after == 1 && targets.subsetOf(livePaths)
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$compactOk' AS compact_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                                THEN c_acctbal + 5 ELSE c_acctbal END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true' AS compact_ok
+      FROM customer
+      WHERE c_acctbal >= 0 AND (c_custkey < 100 OR c_custkey >= 200)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

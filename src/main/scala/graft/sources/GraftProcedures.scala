@@ -32,7 +32,8 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "rollback_to_snapshot", "rollback_to_timestamp", "expire_snapshots",
-    "rewrite_data_files", "rewrite_manifests", "remove_orphan_files",
+    "rewrite_data_files", "rewrite_position_delete_files",
+    "rewrite_manifests", "remove_orphan_files",
     "fast_forward", "create_branch", "create_tag", "drop_ref",
     "ancestors_of", "compute_table_stats", "compute_partition_stats",
     "add_partition_field", "drop_partition_field", "replace_sort_order")
@@ -101,6 +102,9 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
         inDef("min_input_files", IntegerType, "2"),
         inDef("rewrite_all", BooleanType, "false"),
         inDef("zorder_by", StringType, "NULL"))
+    case "rewrite_position_delete_files" =>
+      Array(in("table", StringType),
+        inDef("target_file_size_bytes", LongType, "0L"))
     case "rewrite_manifests" =>
       Array(in("table", StringType), inDef("target_count", IntegerType, "1"))
     case "remove_orphan_files" =>
@@ -170,6 +174,15 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
           "removed_delete_files" -> IntegerType),
           Seq(Array[Any](r.rewrittenDataFiles, r.addedDataFiles,
             r.removedDeleteFiles)))
+
+      case "rewrite_position_delete_files" =>
+        val r = Maintenance.rewritePositionDeleteFiles(SparkSession.active, t,
+          targetFileSizeBytes = input.getLong(1))
+        rows(Seq("rewritten_delete_files" -> IntegerType,
+          "added_delete_files" -> IntegerType,
+          "dropped_dangling_files" -> IntegerType),
+          Seq(Array[Any](r.rewrittenDeleteFiles, r.addedDeleteFiles,
+            r.droppedDanglingFiles)))
 
       case "rewrite_manifests" =>
         def manifestCount(tt: GraftTable): Int =

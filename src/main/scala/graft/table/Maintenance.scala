@@ -117,6 +117,90 @@ object Maintenance {
     CompactionResult(committed, selected.size, newFiles.size, droppableDeletes.size)
   }
 
+  final case class DeleteCompactionResult(
+      table: Table,
+      rewrittenDeleteFiles: Int,
+      addedDeleteFiles: Int,
+      droppedDanglingFiles: Int)
+
+  /** `rewrite_position_delete_files` (Iceberg convention): compact the
+    * parquet positional-delete files into few target-ordered files and
+    * drop DANGLING state — delete rows pointing at data files no longer
+    * live (left behind when a CoW rewrite replaced some of a shared
+    * delete file's targets), and DV puffins whose referenced file is gone.
+    * An uncompacted pos-delete backlog taxes every read (each data file
+    * probes every applicable delete file); this folds it to
+    * ~Σbytes/target files in ONE snapshot.
+    *
+    * Only POSITION deletes rewrite: their rows are (file_path, pos)-keyed,
+    * so taking the new commit's sequence number cannot widen what they
+    * delete (new data files have new paths) — re-sequencing an EQUALITY
+    * delete would change which rows it kills, so those are left for
+    * [[rewriteDataFiles]] to fold. Reference basis: the compaction
+    * surface of `table/rewrite_data_files.go` applied to delete state.
+    */
+  def rewritePositionDeleteFiles(spark: SparkSession, table: Table,
+      targetFileSizeBytes: Long = 0): DeleteCompactionResult = {
+    SparkRead.configure(spark)
+    val targetSize =
+      if (targetFileSizeBytes > 0) targetFileSizeBytes
+      else table.metadata.properties.get("write.target-file-size-bytes")
+        .map(_.toLong).getOrElse(512L * 1024 * 1024)
+    val livePaths = table.newScan.planFiles()
+      .map(t => graft.io.FileIO.canonical(t.file.path)).toSet
+    // ALL live delete entries from the delete manifests — a dangling
+    // delete file never surfaces through planFiles (nothing live
+    // references it), so the manifest walk is the source of truth
+    val deleteEntries: Seq[DataFile] = table.metadata.currentSnapshot
+      .map(s => Manifests.readManifestList(s.manifestList)).getOrElse(Nil)
+      .filter(_.content == 1)
+      .flatMap(m => Manifests.readManifest(m.path)._1
+        .filter(_.status != ManifestEntryStatus.Deleted).map(_.file))
+    val posParquet = deleteEntries
+      .filter(f => f.content == DataFileContent.PositionDeletes && f.format != "PUFFIN")
+      .distinctBy(_.path)
+    val danglingDvs = deleteEntries
+      .filter(f => f.content == DataFileContent.PositionDeletes && f.format == "PUFFIN")
+      .filter(d => d.referencedDataFile.exists(r =>
+        !livePaths(graft.io.FileIO.canonical(r))))
+      .distinctBy(d => (d.path, d.contentOffset))
+    if (posParquet.isEmpty && danglingDvs.isEmpty)
+      return DeleteCompactionResult(table, 0, 0, 0)
+
+    var added: Seq[DataFile] = Nil
+    if (posParquet.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      // live-target rows only, re-clustered (file_path, pos)-ordered into
+      // ~Σbytes/target output files — the spec's pos-delete layout
+      val liveDf = livePaths.toSeq.toDF("file_path")
+      val nOut = math.max(1, math.ceil(
+        posParquet.map(_.fileSize).sum.toDouble / targetSize).toInt)
+      val rows = spark.read.parquet(posParquet.map(_.path): _*)
+        .select(col("file_path"), col("pos"))
+        .join(liveDf, Seq("file_path"), "left_semi")
+        .repartition(nOut, col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+      val tmpDir = s"${table.location}/tmp-rewrite-deletes-${UUID.randomUUID()}"
+      rows.write.options(Writer.encryptionOptions(spark, table)).parquet(tmpDir)
+      added = Writer.listParquet(tmpDir).map { src =>
+        val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
+        Writer.moveFile(src, target)
+        val (rowCount, size, _, _) = Writer.footerBasics(target)
+        DataFile(DataFileContent.PositionDeletes, target, "PARQUET",
+          partition = Seq.empty, recordCount = rowCount, fileSize = size)
+      }.filter(_.recordCount > 0)
+      Writer.deleteTree(tmpDir)
+    }
+    val removedKeys = (posParquet ++ danglingDvs)
+      .map(f => (f.path, f.contentOffset)).toSet
+    val committed = Writer.commitSnapshot(table, "replace",
+      addedFiles = Nil, removedPaths = Set.empty,
+      addedDeleteFiles = added, removedDeleteKeys = removedKeys,
+      globalDeleteSpec = true)
+    DeleteCompactionResult(committed, posParquet.size, added.size, danglingDvs.size)
+  }
+
   final case class ExpireResult(
       table: Table,
       expiredSnapshots: Seq[Long],

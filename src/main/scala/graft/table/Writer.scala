@@ -539,7 +539,7 @@ object Writer {
     * `encryption.key-id`; empty (plaintext) otherwise. Applied per-write so
     * encryption stays table-scoped.
     */
-  private def encryptionOptions(spark: SparkSession, table: Table): Map[String, String] =
+  private[table] def encryptionOptions(spark: SparkSession, table: Table): Map[String, String] =
     graft.encryption.ParquetEncryption.writeOptions(spark, table.metadata.properties)
 
   /** Map the spec's `write.parquet.*` table properties onto the parquet-mr
@@ -1164,7 +1164,7 @@ object Writer {
     case _ => v
   }
 
-  private def footerBasics(path: String): (Long, Long, Int, Int) = {
+  private[table] def footerBasics(path: String): (Long, Long, Int, Int) = {
     val reader = graft.encryption.ParquetEncryption.openFooterReader(path)
     try {
       val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
@@ -1696,13 +1696,13 @@ object Writer {
     }
   }
 
-  private def listParquet(dir: String): Seq[String] =
+  private[table] def listParquet(dir: String): Seq[String] =
     graft.io.FileIO.listFilesRecursive(dir).map(_.path).filter(_.endsWith(".parquet"))
 
-  private def moveFile(src: String, target: String): Unit =
+  private[table] def moveFile(src: String, target: String): Unit =
     graft.io.FileIO.move(src, target)
 
-  private def deleteTree(dir: String): Unit = {
+  private[table] def deleteTree(dir: String): Unit = {
     graft.io.FileIO.deleteTree(dir)
     ()
   }
