@@ -82,7 +82,8 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try {
-      assert(q.awaitTermination(60000))
+      // generous: the full suite runs suites in parallel on a shared box
+      assert(q.awaitTermination(180000))
       // rows after s1 arrive, each append snapshot in its own micro-batch
       val got = spark.table("mem_b").select("id").collect().map(_.getLong(0)).sorted
       assert(got.toSeq === Seq(2L, 3L))
