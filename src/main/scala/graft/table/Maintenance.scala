@@ -168,32 +168,49 @@ object Maintenance {
       return DeleteCompactionResult(table, 0, 0, 0)
 
     var added: Seq[DataFile] = Nil
+    var supersededDvKeys: Set[(String, Option[Long])] = Set.empty
     if (posParquet.nonEmpty) {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
-      // live-target rows only, re-clustered (file_path, pos)-ordered into
-      // ~Σbytes/target output files — the spec's pos-delete layout
+      // live-target rows only
       val liveDf = livePaths.toSeq.toDF("file_path")
-      val nOut = math.max(1, math.ceil(
-        posParquet.map(_.fileSize).sum.toDouble / targetSize).toInt)
       val rows = spark.read.parquet(posParquet.map(_.path): _*)
         .select(col("file_path"), col("pos"))
         .join(liveDf, Seq("file_path"), "left_semi")
-        .repartition(nOut, col("file_path"))
-        .sortWithinPartitions("file_path", "pos")
-      val tmpDir = s"${table.location}/tmp-rewrite-deletes-${UUID.randomUUID()}"
-      rows.write.options(Writer.encryptionOptions(spark, table)).parquet(tmpDir)
-      added = Writer.listParquet(tmpDir).map { src =>
-        val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
-        Writer.moveFile(src, target)
-        val (rowCount, size, _, _) = Writer.footerBasics(target)
-        DataFile(DataFileContent.PositionDeletes, target, "PARQUET",
-          partition = Seq.empty, recordCount = rowCount, fileSize = size)
-      }.filter(_.recordCount > 0)
-      Writer.deleteTree(tmpDir)
+      if (table.metadata.formatVersion >= 3) {
+        // v3 forbids NEW parquet pos-delete files: fold the legacy backlog
+        // into per-file deletion vectors instead, OR-ing any existing DV
+        // for the same file (which the new blob then supersedes)
+        val dvByFile: Map[String, (String, Long, Long)] = deleteEntries
+          .filter(f => f.content == DataFileContent.PositionDeletes &&
+            f.format == "PUFFIN")
+          .flatMap(d => d.referencedDataFile.map(r =>
+            r -> ((d.path, d.contentOffset.get, d.contentSize.get)))).toMap
+        added = Writer.writeDvBlobs(spark, rows, dvByFile, table.location)
+        supersededDvKeys = added.flatMap(_.referencedDataFile)
+          .flatMap(dvByFile.get).map(d => (d._1, Option(d._2))).toSet
+      } else {
+        // v2: re-clustered (file_path, pos)-ordered parquet into
+        // ~Σbytes/target output files — the spec's pos-delete layout
+        val nOut = math.max(1, math.ceil(
+          posParquet.map(_.fileSize).sum.toDouble / targetSize).toInt)
+        val ordered = rows
+          .repartition(nOut, col("file_path"))
+          .sortWithinPartitions("file_path", "pos")
+        val tmpDir = s"${table.location}/tmp-rewrite-deletes-${UUID.randomUUID()}"
+        ordered.write.options(Writer.encryptionOptions(spark, table)).parquet(tmpDir)
+        added = Writer.listParquet(tmpDir).map { src =>
+          val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
+          Writer.moveFile(src, target)
+          val (rowCount, size, _, _) = Writer.footerBasics(target)
+          DataFile(DataFileContent.PositionDeletes, target, "PARQUET",
+            partition = Seq.empty, recordCount = rowCount, fileSize = size)
+        }.filter(_.recordCount > 0)
+        Writer.deleteTree(tmpDir)
+      }
     }
     val removedKeys = (posParquet ++ danglingDvs)
-      .map(f => (f.path, f.contentOffset)).toSet
+      .map(f => (f.path, f.contentOffset)).toSet ++ supersededDvKeys
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = Nil, removedPaths = Set.empty,
       addedDeleteFiles = added, removedDeleteKeys = removedKeys,

@@ -296,7 +296,6 @@ object Writer {
       .flatMap(t => t.posDeletes.filter(_.format == "PUFFIN"))
       .flatMap(d => d.referencedDataFile.map(f =>
         f -> ((d.path, d.contentOffset.get, d.contentSize.get)))).toMap
-    val bcDvs = spark.sparkContext.broadcast(existingDvs)
     val location = table.location
 
     import spark.implicits._
@@ -330,8 +329,36 @@ object Writer {
     // partial build, reduce-side OR-merge): a 10M-row delete never
     // materializes a 10M-element position array in any task's heap
     // (reference streams the same way, table/dv/dv_writer.go).
+    val deleteFiles = writeDvBlobs(spark, withExisting, existingDvs, location)
+    if (deleteFiles.isEmpty) return table
+    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles,
+      conflictCheck = Some(ConflictCheck(filter = filter,
+        candidatePaths = candidates.map(_.file.path).toSet,
+        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet)),
+      globalDeleteSpec = true)
+  }
+
+  /** Write deletion-vector puffins from a (file_path, pos) frame: shuffle
+    * positions per data file, each non-empty task writes ONE puffin
+    * holding the DV blobs for the files it owns — only blob metadata
+    * (path/offset/length/cardinality) returns to the driver, bounded by
+    * data-file count, never by delete row count. Positions fold
+    * incrementally into roaring bitmaps via a typed Aggregator (map-side
+    * partial build, reduce-side OR-merge): a 10M-row delete never
+    * materializes a 10M-element position array in any task's heap
+    * (reference streams the same way, table/dv/dv_writer.go). Any prior
+    * DV in `existingDvs` ORs into the new blob for its file (the
+    * supersedence fold). Shared by [[deleteWhereDV]] and
+    * [[Maintenance.rewritePositionDeleteFiles]]'s v3 branch.
+    */
+  private[table] def writeDvBlobs(spark: SparkSession,
+      positions: org.apache.spark.sql.DataFrame,
+      existingDvs: Map[String, (String, Long, Long)],
+      location: String): Seq[DataFile] = {
+    import spark.implicits._
+    val bcDvs = spark.sparkContext.broadcast(existingDvs)
     val blobMeta: Seq[(String, String, Long, Long, Long)] =
-      withExisting.as[(String, Long)]
+      positions.as[(String, Long)]
         .groupByKey(_._1)
         .agg(PositionBitmapAgg.toColumn.name("bitmap"))
         .mapPartitions { it =>
@@ -357,22 +384,17 @@ object Writer {
             }
           }
         }.collect().toSeq
-    if (blobMeta.isEmpty) return table
+    if (blobMeta.isEmpty) return Nil
 
     val puffinSizes = blobMeta.map(_._2).distinct
       .map(p => p -> graft.io.FileIO.size(p)).toMap
-    val deleteFiles = blobMeta.map { case (file, puffinPath, off, len, card) =>
+    blobMeta.map { case (file, puffinPath, off, len, card) =>
       DataFile(DataFileContent.PositionDeletes, puffinPath, "PUFFIN",
         partition = Seq.empty, // global delete: unpartitioned spec (see commitSnapshotOnce)
         recordCount = card, fileSize = puffinSizes(puffinPath),
         referencedDataFile = Some(file),
         contentOffset = Some(off), contentSize = Some(len))
     }
-    commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles,
-      conflictCheck = Some(ConflictCheck(filter = filter,
-        candidatePaths = candidates.map(_.file.path).toSet,
-        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet)),
-      globalDeleteSpec = true)
   }
 
   /** Equality-delete write (reference `table/equality_delete_writer.go`):

@@ -140,6 +140,24 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(2)).forall(_ >= 0L))
   }
 
+  test("rewrite_position_delete_files on v3 folds legacy parquet deletes into DVs") {
+    spark.sql("CREATE TABLE g.rv (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.rv SELECT id, concat('v', id) FROM range(200)")
+    // legacy v2 parquet pos-deletes, then the upgrade strands them
+    graft.table.Writer.deleteWhereMoR(spark, catalog.loadTable("rv"),
+      graft.core.Expr.lt("k", 50L))
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rv"), 3)
+    val r = graft.table.Maintenance.rewritePositionDeleteFiles(
+      spark, catalog.loadTable("rv"))
+    assert(r.rewrittenDeleteFiles >= 1 && r.addedDeleteFiles >= 1)
+    // v3 output is DVs, never new parquet pos-delete files
+    val dels = catalog.loadTable("rv").newScan.planFiles().flatMap(_.posDeletes)
+    assert(dels.nonEmpty && dels.forall(_.format == "PUFFIN"),
+      s"expected DV-only delete state, got ${dels.map(_.format).distinct}")
+    assert(spark.sql("SELECT count(*) FROM g.rv").head.getLong(0) === 150L)
+    assert(spark.sql("SELECT min(k) FROM g.rv").head.getLong(0) === 50L)
+  }
+
   test("MoR MERGE inserts fan out by partition — one open writer, DV invariant holds") {
     spark.sql("""CREATE TABLE g.mp (k BIGINT, seg BIGINT, v DOUBLE)
       PARTITIONED BY (identity(seg))
