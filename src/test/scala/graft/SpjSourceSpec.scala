@@ -200,4 +200,42 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spjScan.plannedFileCount === 1,
       "runtime filter prunes 5 partition files to 1")
   }
+
+  test("anti-join fallback composes with filters, projection, and time travel") {
+    import spark.implicits._
+    val ctl = "gspj_aj"
+    spark.conf.set(s"spark.sql.catalog.$ctl",
+      classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+    val df = (0L until 2000L).map(i => (i, i % 7, s"v$i")).toDF("id", "g", "v")
+    val t1 = Writer.append(spark,
+      catalog.createTable("aj", SchemaBridge.fromSpark(df.schema),
+        PartitionSpec.Unpartitioned), df.repartition(4))
+    val preDeleteSnap = t1.metadata.currentSnapshotId.get
+    var t = t1
+    (0 until 3).foreach { k =>
+      t = Writer.equalityDelete(spark, t,
+        df.filter(col("id") % 5 === k).select(col("id")), Seq("id"))
+    }
+    val saved = spark.conf.getOption("spark.graft.eqDeleteFallbackBytes")
+    try {
+      spark.conf.set("spark.graft.eqDeleteFallbackBytes", "64")
+      // residual filter + pruned projection re-apply above the fallback
+      val q = spark.sql(s"SELECT g, count(*) AS n FROM $ctl.aj " +
+        "WHERE id >= 1000 GROUP BY g ORDER BY g")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = (1000L until 2000L).filter(_ % 5 > 2).groupBy(_ % 7)
+        .map { case (g, xs) => g -> xs.size.toLong }
+      assert(got === want)
+      assert(q.queryExecution.executedPlan.toString.contains("GraftEqDeleteAntiJoin"))
+      // time travel to the pre-delete snapshot: the fallback is never taken
+      // (no deletes in that scan) and every row is visible
+      val tt = spark.sql(
+        s"SELECT count(*) FROM $ctl.aj VERSION AS OF $preDeleteSnap WHERE id >= 0")
+      assert(tt.head.getLong(0) === 2000L)
+    } finally saved match {
+      case Some(x) => spark.conf.set("spark.graft.eqDeleteFallbackBytes", x)
+      case None => spark.conf.unset("spark.graft.eqDeleteFallbackBytes")
+    }
+  }
 }
