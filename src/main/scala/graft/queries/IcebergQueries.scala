@@ -3590,6 +3590,179 @@ object IcebergQueries {
       FROM customer
       WHERE c_acctbal >= 0 AND (c_custkey < 100 OR c_custkey >= 200)
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // WAP via `spark.wap.id` (the Iceberg session-conf staging pattern,
+    // complementing i82's branch WAP): with write.wap.enabled on the
+    // table, INSERT INTO under spark.wap.id commits a STAGED snapshot —
+    // recorded in metadata, tagged wap.id, NO ref moved (readers keep the
+    // pre-insert answer) — then CALL publish_changes cherry-picks it onto
+    // main, stamping published-wap-id. The gate pins both halves:
+    // staged_main_rows proves invisibility before publish, the final
+    // frame + published_ok prove the publish.
+    QueryDef.staged("i94_sql_wap_id", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/wid_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gwid_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      c.createOrReplaceTempView(s"widsrc_$ctl")
+      val t0 = cat.createTable("cust", SchemaBridge.fromSpark(c.schema),
+        PartitionSpec.Unpartitioned,
+        properties = Map("write.wap.enabled" -> "true"))
+      Writer.append(s, t0, c.filter(col("c_custkey") % 2 === 0))
+      val wapId = s"audit_$ctl"
+      s.conf.set("spark.wap.id", wapId)
+      try s.sql(s"INSERT INTO $ctl.cust SELECT * FROM widsrc_$ctl WHERE c_custkey % 2 = 1")
+      finally s.conf.unset("spark.wap.id")
+      val stagedMain = s.sql(s"SELECT count(*) FROM $ctl.cust").head.getLong(0)
+      s.sql(s"CALL $ctl.system.publish_changes('cust', '$wapId')")
+      val publishedOk = cat.loadTable("cust").metadata.currentSnapshot
+        .exists(_.summary.get("published-wap-id").contains(wapId))
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST($stagedMain AS BIGINT) AS staged_main_rows,
+               '$publishedOk' AS published_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS staged_main_rows,
+             'true' AS published_ok
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // cherrypick_snapshot: re-apply an append ORPHANED by a rollback onto
+    // the current state — metadata-only (the data files re-reference, no
+    // rewrite), the new snapshot records source-snapshot-id, and the
+    // replayed rows hash-match the full table. rolled_back_rows pins that
+    // the rollback actually removed them first.
+    QueryDef.staged("i95_cherrypick", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/chp_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gchp_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val t0 = cat.createTable("cust", SchemaBridge.fromSpark(c.schema),
+        PartitionSpec.Unpartitioned)
+      val t1 = Writer.append(s, t0, c.filter(col("c_custkey") % 2 === 0))
+      val snapA = t1.metadata.currentSnapshotId.get
+      val t2 = Writer.append(s, t1, c.filter(col("c_custkey") % 2 === 1))
+      val snapB = t2.metadata.currentSnapshotId.get
+      Evolve.rollbackTo(t2, snapA) // B is now off the main lineage
+      val rolledBack = s.sql(s"SELECT count(*) FROM $ctl.cust").head.getLong(0)
+      s.sql(s"CALL $ctl.system.cherrypick_snapshot('cust', $snapB)")
+      val t3 = cat.loadTable("cust")
+      val sourceOk = t3.metadata.currentSnapshot
+        .exists(_.summary.get("source-snapshot-id").contains(snapB.toString))
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST($rolledBack AS BIGINT) AS rolled_back_rows,
+               '$sourceOk' AS source_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS rolled_back_rows,
+             'true' AS source_ok
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // snapshot procedure: register an EXISTING hive-partitioned parquet
+    // directory (field-ID-less files, `col=value` dirs) as a new table
+    // WITHOUT copying — schema inferred, identity spec from the dirs,
+    // files referenced in place, gc.enabled=false stamped so purge can
+    // never eat the source data. in_place + pruned_ok pin the no-copy
+    // import and that partition pruning works on the imported layout.
+    QueryDef.staged("i96_snapshot_import", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/snp_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gsnp_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val tmp = s"/root/repo/target/snap-import-${UUID.randomUUID().toString.take(8)}"
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+      try c.write.partitionBy("c_mktsegment").parquet(tmp)
+      finally s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val res = s.sql(s"CALL $ctl.system.snapshot('$tmp', 'cust')").collect().head
+      val t = cat.loadTable("cust")
+      val inPlace = res.getLong(0) > 0 &&
+        t.newScan.planFiles().forall(_.file.path.startsWith(tmp)) &&
+        t.metadata.properties.get("gc.enabled").contains("false")
+      val (_, metrics) = t.newScan
+        .withFilter(Expr.eq("c_mktsegment", "BUILDING")).planFilesWithMetrics()
+      val prunedOk = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
+      () => s.sql(s"""
+        SELECT c_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+               '$inPlace' AS in_place, '$prunedOk' AS pruned_ok
+        FROM $ctl.cust
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+             'true' AS in_place, 'true' AS pruned_ok
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""), repeatable = true),
+
+    // The lineage-wide inspection relations: metadata_log_entries (one row
+    // per metadata version, latest_snapshot_id resolved), all_delete_files
+    // / all_files / all_entries (every snapshot's state, not just the
+    // current one). History: create + 2 INSERTs + a MoR DELETE = 4
+    // metadata versions; the MoR delete guarantees live delete state so
+    // all_files genuinely unions both sides, and all_entries must see the
+    // full add ledger even though reads resolve fewer rows.
+    QueryDef.staged("i97_sql_meta_log", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/mlg_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gmlg_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      c.createOrReplaceTempView(s"mlgsrc_$ctl")
+      val t0 = cat.createTable("cust", SchemaBridge.fromSpark(c.schema),
+        PartitionSpec.Unpartitioned,
+        properties = Map("write.delete.mode" -> "merge-on-read"))
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM mlgsrc_$ctl WHERE c_custkey % 2 = 0")
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM mlgsrc_$ctl WHERE c_custkey % 2 = 1")
+      // % isn't a translatable source Filter, so Spark routes through the
+      // row-level operation — merge-on-read mode → real delete files
+      s.sql(s"DELETE FROM $ctl.cust WHERE c_custkey % 7 = 0")
+      val t = cat.loadTable("cust")
+      val metaRows = s.sql(
+        s"SELECT count(*) FROM $ctl.cust.metadata_log_entries").head.getLong(0)
+      val latestOk = s.sql(s"""SELECT latest_snapshot_id
+          FROM $ctl.cust.metadata_log_entries ORDER BY timestamp_ms DESC, file DESC
+          LIMIT 1""").head.getLong(0) == t.metadata.currentSnapshotId.get
+      val nData = s.sql(s"SELECT count(*) FROM $ctl.cust.all_data_files").head.getLong(0)
+      val nDel = s.sql(s"SELECT count(*) FROM $ctl.cust.all_delete_files").head.getLong(0)
+      val nAll = s.sql(s"SELECT count(*) FROM $ctl.cust.all_files").head.getLong(0)
+      val nEntries = s.sql(
+        s"SELECT count(DISTINCT file_path) FROM $ctl.cust.all_entries").head.getLong(0)
+      val ledgerOk = nDel >= 1 && nAll == nData + nDel && nEntries == nAll &&
+        metaRows == 4 && latestOk
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               '$ledgerOk' AS ledger_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true' AS ledger_ok
+      FROM customer
+      WHERE c_custkey % 7 <> 0
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

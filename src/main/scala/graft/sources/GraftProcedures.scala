@@ -34,9 +34,11 @@ object GraftProcedures {
     "rollback_to_snapshot", "rollback_to_timestamp", "expire_snapshots",
     "rewrite_data_files", "rewrite_position_delete_files",
     "rewrite_manifests", "remove_orphan_files",
-    "fast_forward", "create_branch", "create_tag", "drop_ref",
+    "fast_forward", "cherrypick_snapshot", "publish_changes",
+    "create_branch", "create_tag", "drop_ref",
     "ancestors_of", "compute_table_stats", "compute_partition_stats",
-    "add_partition_field", "drop_partition_field", "replace_sort_order")
+    "add_partition_field", "drop_partition_field", "replace_sort_order",
+    "snapshot")
 
   /** `"bucket(8, k)"` / `"months(ts)"` / `"truncate(4, name)"` / `"k"` →
     * (source column, transform) — the DDL spelling Spark users write in
@@ -114,6 +116,10 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
     case "fast_forward" =>
       Array(in("table", StringType), in("branch", StringType),
         in("source", StringType))
+    case "cherrypick_snapshot" =>
+      Array(in("table", StringType), in("snapshot_id", LongType))
+    case "publish_changes" =>
+      Array(in("table", StringType), in("wap_id", StringType))
     case "create_branch" | "create_tag" =>
       Array(in("table", StringType), in("name", StringType),
         inDef("snapshot_id", LongType, "NULL"))
@@ -131,6 +137,8 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
       Array(in("table", StringType), in("name", StringType))
     case "replace_sort_order" =>
       Array(in("table", StringType), in("order", StringType))
+    case "snapshot" =>
+      Array(in("source_location", StringType), in("table", StringType))
   }
 
   private def load(input: InternalRow): GraftTable = {
@@ -140,6 +148,17 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
+    // `snapshot` creates its table — arg0 is a source path, not a table
+    if (procName == "snapshot") {
+      val src = input.getUTF8String(0).toString
+      val dest = input.getUTF8String(1).toString
+      val t2 = graft.table.Writer.snapshotImport(SparkSession.active, cat, src, dest)
+      return Collections.singletonList(rows(
+        Seq("imported_files" -> LongType, "current_snapshot_id" -> LongType),
+        Seq(Array[Any](
+          t2.newScan.planFiles().size.toLong,
+          t2.metadata.currentSnapshotId.getOrElse(-1L)))): Scan).iterator()
+    }
     val t = load(input)
     val out: GraftResultScan = procName match {
 
@@ -207,6 +226,20 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
         rows(Seq("branch" -> StringType, "current_snapshot_id" -> LongType),
           Seq(Array[Any](UTF8String.fromString(target),
             t2.metadata.refs(target).snapshotId)))
+
+      case "cherrypick_snapshot" =>
+        val src = input.getLong(1)
+        val t2 = Evolve.cherrypick(t, src)
+        rows(Seq("source_snapshot_id" -> LongType,
+          "current_snapshot_id" -> LongType),
+          Seq(Array[Any](src, t2.metadata.currentSnapshotId.getOrElse(-1L))))
+
+      case "publish_changes" =>
+        val (src, t2) = Evolve.publishChanges(t,
+          input.getUTF8String(1).toString)
+        rows(Seq("source_snapshot_id" -> LongType,
+          "current_snapshot_id" -> LongType),
+          Seq(Array[Any](src, t2.metadata.currentSnapshotId.getOrElse(-1L))))
 
       case "create_branch" | "create_tag" =>
         val refType = if (procName == "create_branch") "branch" else "tag"

@@ -27,7 +27,8 @@ object GraftMetaTables {
   val Names: Set[String] =
     Set("snapshots", "history", "manifests", "entries", "files",
       "partitions", "refs", "delete_files", "all_manifests",
-      "all_data_files")
+      "all_data_files", "all_delete_files", "all_files", "all_entries",
+      "metadata_log_entries")
 
   def frame(spark: SparkSession, t: GraftTable, meta: String): DataFrame =
     meta match {
@@ -41,6 +42,10 @@ object GraftMetaTables {
       case "delete_files" => Inspect.deleteFiles(spark, t)
       case "all_manifests" => Inspect.allManifests(spark, t)
       case "all_data_files" => Inspect.allDataFiles(spark, t)
+      case "all_delete_files" => Inspect.allDeleteFiles(spark, t)
+      case "all_files" => Inspect.allFiles(spark, t)
+      case "all_entries" => Inspect.allEntries(spark, t)
+      case "metadata_log_entries" => Inspect.metadataLogEntries(spark, t)
     }
 }
 

@@ -115,8 +115,23 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
       }
     }
     val t = graftTable(ident)
-    new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
-      strict = false, writable = true)
+    // session-level WAP branch (Iceberg `spark.wap.branch`): plain reads
+    // and INSERTs of EVERY table route to the audit branch — reads pin its
+    // head when it exists (else the main state, until the first staged
+    // INSERT creates it), and publishing is `fast_forward('main', branch)`
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.wap.branch").filter(_.nonEmpty) match {
+      case Some(b) =>
+        val ref = t.metadata.refs.get(b)
+        ref.foreach(r => require(r.refType == "branch",
+          s"$catName: spark.wap.branch '$b' names a ${r.refType}, not a branch"))
+        new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
+          strict = false, snapshotId = ref.map(_.snapshotId),
+          writable = true, branch = Some(b))
+      case None =>
+        new SpjTable(t, SchemaBridge.toSpark(t.schema), allowBucket = true,
+          strict = false, writable = true)
+    }
   }
 
   /** `VERSION AS OF x`: a snapshot id (digits) or a branch/tag name. */

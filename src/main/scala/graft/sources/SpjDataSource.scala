@@ -285,6 +285,21 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val spark = data.sparkSession
               val fresh = table.refresh()
+              // `spark.wap.id` (Iceberg WAP staging): when the table opts
+              // in via write.wap.enabled, INSERT INTO commits a STAGED
+              // snapshot — recorded in metadata, tagged wap.id, no ref
+              // moved — published later by CALL publish_changes /
+              // cherrypick_snapshot. Append-only: cherry-pick can replay
+              // only appends, so staging an overwrite refuses loudly.
+              val wapId = spark.conf.getOption("spark.wap.id")
+                .filter(_.nonEmpty).filter(_ => fresh.metadata.properties
+                  .get("write.wap.enabled").contains("true"))
+              require(wapId.isEmpty || branch.isEmpty,
+                s"${name()}: spark.wap.id and a branch target cannot combine")
+              require(wapId.isEmpty ||
+                  (!replaceAll && deleteFirst.isEmpty && !dynamic),
+                s"${name()}: spark.wap.id stages INSERT INTO only " +
+                  "(overwrites cannot be cherry-picked)")
               if (dynamic) { Writer.overwriteDynamic(spark, fresh, data); () }
               else if (replaceAll) { Writer.overwriteAll(spark, fresh, data); () }
               else deleteFirst match {
@@ -293,8 +308,13 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
                   // ONE atomic conflict-validated snapshot — readers never
                   // see the deleted-but-not-replaced intermediate
                   Writer.overwriteWhere(spark, fresh, data, del); ()
-                case None =>
-                  Writer.append(spark, fresh, data, toBranch = branch); ()
+                case None => wapId match {
+                  case Some(id) =>
+                    Writer.append(spark, fresh, data,
+                      extraSummary = Map("wap.id" -> id), stageOnly = true); ()
+                  case None =>
+                    Writer.append(spark, fresh, data, toBranch = branch); ()
+                }
               }
             }
           }
@@ -478,7 +498,18 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       val planned = baseScan.withFilter(fileExpr).planFiles()
       val eqBytes = planned.flatMap(_.eqDeletes.map(_._1))
         .distinctBy(_.path).map(_.fileSize).sum
-      if (eqBytes > eqFallbackBytes && !withFile && !withPos) {
+      // imported (addFiles/snapshot) tables carry a name mapping: their
+      // files may lack field IDs, carry pre-rename column names, or omit
+      // hive-partition columns entirely — resolutions the stock
+      // name-based parquet reader can't do. Route those reads through the
+      // SparkRead pipeline (field-ID/name-mapping rebind + identity
+      // partition fill), same V1 escape hatch as the eq-delete fallback.
+      val needsNameResolution = table.metadata.properties
+        .contains(graft.format.NameMapping.PropertyKey)
+      if (needsNameResolution && !withFile && !withPos) {
+        SpjRouting.record(table.name, "name-mapping")
+        new SpjAntiJoinScan(table, snapshotId, planned, required, options)
+      } else if (eqBytes > eqFallbackBytes && !withFile && !withPos) {
         // executor key sets would hold eqBytes of decoded keys in memory;
         // route this scan through the SparkRead anti-join pipeline instead
         // (unbounded backlog = shuffle-join territory, not hash-set

@@ -304,6 +304,54 @@ object Evolve {
     * AssertRefSnapshotID requirement: a concurrent main-branch commit
     * changes the metadata version and the rollback retries/fails there.
     */
+  /** Cherry-pick: re-apply an APPEND snapshot that is not on the current
+    * lineage — a `wap.id`-staged commit, a branch head, or a commit
+    * orphaned by a rollback — onto the CURRENT table state as a new append
+    * snapshot (Iceberg `cherrypick_snapshot` semantics). Metadata-scale:
+    * only the source snapshot's own manifests are read; the data files are
+    * re-referenced, never rewritten. Appends are the only safely
+    * re-playable operation (their effect is exactly "these files exist";
+    * replays of overwrites/deletes depend on the states between the source
+    * and the head), so anything else refuses loudly.
+    */
+  def cherrypick(table: Table, snapshotId: Long): Table = {
+    val meta = table.metadata
+    val snap = meta.snapshotById(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
+    if (Inspect.ancestorsOfCurrent(table).exists(_.snapshotId == snapshotId))
+      return table // already part of the current lineage: no-op
+    val op = snap.summary.getOrElse("operation", "append")
+    require(op == "append",
+      s"cherry-pick supports append snapshots; snapshot $snapshotId is '$op'")
+    val added = Manifests.readManifestList(snap.manifestList)
+      .filter(_.addedSnapshotId == snapshotId)
+      .flatMap(m => Manifests.readManifest(m.path)._1
+        .filter(_.status == ManifestEntryStatus.Added).map(_.file))
+    val live = table.newScan.planFiles()
+      .map(t => graft.io.FileIO.canonical(t.file.path)).toSet
+    val fresh = added.filterNot(f => live(graft.io.FileIO.canonical(f.path)))
+    // every added file already live → the changes are already applied
+    // (e.g. a second publish of the same wap.id): idempotent no-op
+    if (fresh.isEmpty) return table
+    Writer.commitSnapshot(table, "append", addedFiles = fresh,
+      removedPaths = Set.empty, addedDeleteFiles = Nil,
+      extraSummary = Map("source-snapshot-id" -> snapshotId.toString) ++
+        snap.summary.get("wap.id").map("published-wap-id" -> _))
+  }
+
+  /** Publish a `wap.id`-staged snapshot (Iceberg `publish_changes`): find
+    * the snapshot whose summary carries `wap.id = wapId` and cherry-pick
+    * it onto main. Returns (sourceSnapshotId, updatedTable).
+    */
+  def publishChanges(table: Table, wapId: String): (Long, Table) = {
+    val staged = table.metadata.snapshots
+      .filter(_.summary.get("wap.id").contains(wapId))
+    require(staged.nonEmpty, s"no snapshot staged with wap.id '$wapId'")
+    require(staged.size == 1,
+      s"wap.id '$wapId' is ambiguous: ${staged.map(_.snapshotId).mkString(", ")}")
+    (staged.head.snapshotId, cherrypick(table, staged.head.snapshotId))
+  }
+
   def rollbackTo(table: Table, snapshotId: Long): Table = {
     val meta = table.metadata
     val current = meta.currentSnapshot.getOrElse(

@@ -142,6 +142,81 @@ object Inspect {
         "file_size_in_bytes")
   }
 
+  /** DELETE files referenced by ANY snapshot (Iceberg `all_delete_files`),
+    * deduplicated by (path, offset) so distinct DV blobs sharing a puffin
+    * file each surface — lineage-wide MoR-state inventory.
+    */
+  def allDeleteFiles(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.metadata.snapshots
+      .flatMap(s => Manifests.readManifestList(s.manifestList))
+      .groupBy(_.path).map(_._2.head).toSeq
+      .filter(_.content == ManifestContent.Deletes)
+      .flatMap(m => Manifests.readManifest(m.path)._1
+        .filter(e => e.status != ManifestEntryStatus.Deleted &&
+          e.file.content != DataFileContent.Data)
+        .map(e => (e.file.content, e.file.path, e.file.format,
+          e.file.partition.map(String.valueOf).mkString("/"),
+          e.file.recordCount, e.file.fileSize,
+          e.file.equalityIds.mkString(","),
+          e.file.referencedDataFile.orNull)))
+      .groupBy(r => (r._2, r._8)).map(_._2.head).toSeq
+      .toDF("content", "file_path", "file_format", "partition",
+        "record_count", "file_size_in_bytes", "equality_ids",
+        "referenced_data_file")
+  }
+
+  /** Manifest entries of EVERY snapshot's manifests (Iceberg
+    * `all_entries`), manifest-deduplicated — the raw add/existing/delete
+    * ledger across the whole lineage.
+    */
+  def allEntries(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    table.metadata.snapshots
+      .flatMap(s => Manifests.readManifestList(s.manifestList))
+      .groupBy(_.path).map(_._2.head).toSeq
+      .flatMap { m =>
+        Manifests.readManifest(m.path)._1.map(e =>
+          (e.status, e.snapshotId, e.dataSequence.getOrElse(m.sequenceNumber),
+            e.file.content, e.file.path, e.file.recordCount, e.file.fileSize))
+      }.toDF("status", "snapshot_id", "sequence_number", "content",
+        "file_path", "record_count", "file_size_in_bytes")
+  }
+
+  /** Data AND delete files of every snapshot (Iceberg `all_files`). */
+  def allFiles(spark: SparkSession, table: Table): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    allDataFiles(spark, table)
+      .withColumn("content", lit(DataFileContent.Data))
+      .select("content", "file_path", "file_format", "partition",
+        "record_count", "file_size_in_bytes")
+      .unionByName(allDeleteFiles(spark, table)
+        .select("content", "file_path", "file_format", "partition",
+          "record_count", "file_size_in_bytes"))
+  }
+
+  /** The table-metadata version history (Iceberg `metadata_log_entries`):
+    * one row per previous metadata file plus the current one, with the
+    * snapshot that was current when each was written.
+    */
+  def metadataLogEntries(spark: SparkSession, table: Table): DataFrame = {
+    import spark.implicits._
+    val meta = table.metadata
+    def latestAt(tsMs: Long): (Option[Long], Option[Int]) = {
+      val snap = meta.snapshotLog.filter(_.timestampMs <= tsMs)
+        .lastOption.flatMap(e => meta.snapshotById(e.snapshotId))
+      (snap.map(_.snapshotId), snap.flatMap(_.schemaId))
+    }
+    val prior = meta.metadataLog.map { e =>
+      val (snapId, schemaId) = latestAt(e.timestampMs)
+      (e.timestampMs, e.metadataFile, snapId, schemaId)
+    }
+    val current = (meta.lastUpdatedMs, table.metadataPath,
+      meta.currentSnapshotId, meta.currentSnapshot.flatMap(_.schemaId))
+    (prior :+ current)
+      .toDF("timestamp_ms", "file", "latest_snapshot_id", "latest_schema_id")
+  }
+
   /** Reverse-chronological ancestors of the current snapshot (reference
     * `table/snapshot_ancestry.go:37-150`); cycle-safe.
     */

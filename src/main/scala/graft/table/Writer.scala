@@ -83,12 +83,19 @@ object Writer {
     * snapshot's parent is the BRANCH head and only that ref moves — main and
     * the table's current-snapshot pointer are untouched until a
     * [[Evolve.fastForward]] publish.
+    *
+    * `stageOnly` records the snapshot in table metadata WITHOUT moving any
+    * ref (the `wap.id` staging pattern): no reader sees it until
+    * [[Evolve.cherrypick]] / `publish_changes` re-applies it onto main.
     */
   def append(spark: SparkSession, table: Table, df: DataFrame,
-      toBranch: Option[String] = None): Table = {
+      toBranch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty,
+      stageOnly: Boolean = false): Table = {
     val files = writeDataFiles(spark, table, df)
     commitSnapshot(table, "append", addedFiles = files, removedPaths = Set.empty,
-      addedDeleteFiles = Nil, toBranch = toBranch)
+      addedDeleteFiles = Nil, toBranch = toBranch, extraSummary = extraSummary,
+      stageOnly = stageOnly)
   }
 
   /** Full-table overwrite in ONE snapshot (reference ReplaceFiles semantics,
@@ -533,6 +540,37 @@ object Writer {
       .getOrElse(Map(NameMapping.PropertyKey -> NameMapping.fromSchema(schema).toJson))
     commitSnapshot(table, "append", files, Set.empty, Nil,
       extraProperties = mappingProp)
+  }
+
+  /** Iceberg `snapshot` procedure for a path source: create a NEW table
+    * whose data is an existing parquet directory, referencing the files in
+    * place — no copy, no rewrite (a zero-cost on-ramp for data that
+    * already lives in the lake). Schema is inferred from the files;
+    * hive-style `col=value` directories become an identity partition spec
+    * (the read path fills those columns from the directory values, which
+    * the files themselves omit). The snapshot table owns only its
+    * METADATA: `gc.enabled=false` is stamped so drop-with-purge and
+    * orphan cleanup never delete the source files out from under their
+    * original owner (Iceberg snapshot-table convention).
+    */
+  def snapshotImport(spark: SparkSession, catalog: graft.catalog.Catalog,
+      sourceDir: String, destName: String,
+      properties: Map[String, String] = Map.empty): Table = {
+    val df = spark.read.parquet(sourceDir)
+    val schema = SchemaBridge.fromSpark(df.schema)
+    val files = listParquet(sourceDir)
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    val dirSegs = files.head.split('/').dropRight(1).toSeq
+    val partCols = df.schema.fields.map(_.name)
+      .filter(n => dirSegs.exists(_.startsWith(s"$n=")))
+    val spec =
+      if (partCols.isEmpty) PartitionSpec.Unpartitioned
+      else partCols.foldLeft(PartitionSpec.builder(schema)) { (b, c) =>
+        b.add(c, Transforms.Identity)
+      }.build()
+    val t = catalog.createTable(destName, schema, spec,
+      properties = properties ++ Map("gc.enabled" -> "false"))
+    addFiles(spark, t, files)
   }
 
   /** Incremental (pos -> roaring bitmap) accumulation for the DV writer:
@@ -1241,7 +1279,8 @@ object Writer {
       extraProperties: Map[String, String] = Map.empty,
       extraSummary: Map[String, String] = Map.empty,
       toBranch: Option[String] = None,
-      globalDeleteSpec: Boolean = false): Table = {
+      globalDeleteSpec: Boolean = false,
+      stageOnly: Boolean = false): Table = {
     val props = table.metadata.properties
     def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
     val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
@@ -1258,7 +1297,7 @@ object Writer {
       try {
         val committed = commitSnapshotOnce(t, operation, addedFiles, removedPaths,
           addedDeleteFiles, removedDeleteKeys, extraProperties, extraSummary, acc,
-          toBranch, globalDeleteSpec)
+          toBranch, globalDeleteSpec, stageOnly)
         emitCommitReport(committed, operation, addedFiles, addedDeleteFiles,
           acc, attempt + 1, System.nanoTime() - t0, toBranch)
         return committed
@@ -1450,7 +1489,8 @@ object Writer {
       extraSummary: Map[String, String] = Map.empty,
       acc: CommitAccumulator = new CommitAccumulator,
       toBranch: Option[String] = None,
-      globalDeleteSpec: Boolean = false): Table = {
+      globalDeleteSpec: Boolean = false,
+      stageOnly: Boolean = false): Table = {
     val meta = table.metadata
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -1613,9 +1653,12 @@ object Writer {
       snapshots = meta.snapshots :+ snap,
       metadataLog = meta.metadataLog :+ MetadataLogEntry(table.metadataPath, now),
       refs = meta.refs.updated(branch, movedRef))
-    // only a main-branch commit moves the table's current pointer/history
+    // only a main-branch commit moves the table's current pointer/history;
+    // a stage-only (wap.id) commit records the snapshot without moving ANY
+    // ref — invisible to every reader until cherry-picked/published
     val updated =
-      if (branch == "main") base.copy(
+      if (stageOnly) base.copy(refs = meta.refs)
+      else if (branch == "main") base.copy(
         currentSnapshotId = Some(snapshotId),
         snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now))
       else base
