@@ -3763,6 +3763,73 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey % 7 <> 0
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // truncate[W] storage-partitioned join (completing the transform-SPJ
+    // set: identity i66, bucket i68, days i88): two tables co-partitioned
+    // on truncate[100](o_custkey) join AND aggregate on the RAW custkey
+    // with ZERO exchanges — Spark proves custkey-clustering from the
+    // truncate key-grouping via the catalog's V2 truncate function. The
+    // plan requires pin the zero-exchange claim; the answer hash-matches.
+    QueryDef.staged("i98_spj_truncate_join", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/spjt_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val o = tbl(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("b_orderkey"),
+          col("o_custkey").as("b_custkey"),
+          col("o_totalprice").as("b_totalprice"))
+      val aSchema = SchemaBridge.fromSpark(a.schema)
+      val bSchema = SchemaBridge.fromSpark(b.schema)
+      Writer.append(s, cat.createTable("ord_a", aSchema,
+        PartitionSpec.builder(aSchema).add("o_custkey", Transforms.Truncate(100)).build()), a)
+      Writer.append(s, cat.createTable("ord_b", bSchema,
+        PartitionSpec.builder(bSchema).add("b_custkey", Transforms.Truncate(100)).build()), b)
+      val ctl = "graft_spjt_gate"
+      val saved = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        s"spark.sql.catalog.$ctl", s"spark.sql.catalog.$ctl.uri")
+        .map(k => k -> s.conf.getOption(k)).toMap
+      val rows = try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set(s"spark.sql.catalog.$ctl",
+          classOf[graft.sources.GraftSpjCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+        val joined = s.table(s"$ctl.ord_a")
+          .join(s.table(s"$ctl.ord_b"),
+            col("o_custkey") === col("b_custkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_pairs"),
+            d(sum(dec(col("o_totalprice") + col("b_totalprice")))).as("price_sum"))
+        val collected = joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"i98: expected a shuffle-family join in\n$plan")
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"i98: truncate SPJ failed — hash exchange in plan\n$plan")
+        collected
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+      () => {
+        import s.implicits._
+        rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), "true"))
+          .toDF("ck", "n_pairs", "price_sum", "spj_ok")
+          .orderBy(col("ck"))
+      }
+    }, Some("""
+      SELECT a.o_custkey AS ck, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+             'true' AS spj_ok
+      FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+      WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1
+      GROUP BY a.o_custkey
+      ORDER BY ck"""), repeatable = true)
   )
 }

@@ -254,6 +254,12 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
       case "days" => new GraftTimeUnbound("days")
       case "hours" => new GraftTimeUnbound("hours")
       case "truncate" => GraftTruncateUnbound
+      // width-embedded single-arg variants (`truncate_<W>`): Spark's
+      // KeyGroupedPartitioning supports only single-REFERENCE transform
+      // expressions (bucket's width rides the special numBucketsOpt slot;
+      // a literal child disqualifies the claim outright), so SPJ claims
+      // for truncate[W] bind these instead of the 2-arg function
+      case GraftSpjCatalog.TruncateWidth(w) => GraftTruncateWidthUnbound(w.toInt)
       case _ => throw new NoSuchFunctionException(ident)
     }
 
@@ -608,6 +614,9 @@ object GraftSpjCatalog {
   val FunctionNames: Array[String] =
     Array("bucket", "years", "months", "days", "hours", "truncate")
 
+  /** `truncate_<W>` function-name pattern (see loadFunction). */
+  private[sources] val TruncateWidth = "truncate_(\\d{1,9})".r
+
   /** Spark DDL partition transform → (source column, graft transform). */
   def toGraftTransform(t: Transform): (String, graft.core.Transform) = {
     val refs = t.arguments.collect { case r: NamedReference => r.fieldNames.mkString(".") }
@@ -778,6 +787,70 @@ object GraftTruncateUnbound extends UnboundFunction {
         s"graft truncate over ${other.catalogString} not supported")
     }
   }
+}
+
+/** Width-embedded truncate (`truncate_<W>(value)`): the SPJ-claimable
+  * single-reference form of [[GraftTruncateUnbound]] — identical
+  * arithmetic, width in the NAME so canonical names unify exactly when
+  * widths match (truncate_100 two sides joins shuffle-free; truncate_100
+  * vs truncate_200 never unifies).
+  */
+final case class GraftTruncateWidthUnbound(w: Int) extends UnboundFunction {
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"graft iceberg truncate[$w] transform (width-embedded form)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate_$w expects (value), got ${inputType.catalogString}")
+    inputType.fields(0).dataType match {
+      case IntegerType => GraftTruncateWidthInt(w)
+      case LongType => GraftTruncateWidthLong(w)
+      case StringType => GraftTruncateWidthString(w)
+      case other => throw new UnsupportedOperationException(
+        s"graft truncate_$w over ${other.catalogString} not supported")
+    }
+  }
+}
+
+final case class GraftTruncateWidthInt(w: Int) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = s"truncate_$w"
+  override def canonicalName(): String = s"graft.truncate[$w](int)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else { val i = input.getInt(0); Int.box(i - (((i % w) + w) % w)) }
+}
+
+final case class GraftTruncateWidthLong(w: Int) extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = s"truncate_$w"
+  override def canonicalName(): String = s"graft.truncate[$w](long)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) null
+    else {
+      val wl = w.toLong; val l = input.getLong(0)
+      Long.box(l - (((l % wl) + wl) % wl))
+    }
+}
+
+final case class GraftTruncateWidthString(w: Int) extends ScalarFunction[UTF8String] {
+  override def inputTypes(): Array[DataType] = Array(StringType)
+  override def resultType(): DataType = StringType
+  override def name(): String = s"truncate_$w"
+  override def canonicalName(): String = s"graft.truncate[$w](string)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): UTF8String =
+    if (input.isNullAt(0)) null
+    else {
+      val s = input.get(0, StringType).asInstanceOf[UTF8String].toString
+      val cps = s.codePointCount(0, s.length)
+      UTF8String.fromString(
+        if (cps <= w) s else s.substring(0, s.offsetByCodePoints(0, w)))
+    }
 }
 
 object GraftTruncateInt extends ScalarFunction[Integer] {

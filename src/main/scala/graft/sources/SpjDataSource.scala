@@ -163,9 +163,13 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
           case Transforms.Months if allowBucket && dateOrTs => Some(Expressions.months(src))
           case Transforms.Days if allowBucket && dateOrTs => Some(Expressions.days(src))
           case Transforms.Hours if allowBucket && tsOnly => Some(Expressions.hours(src))
+          // width-embedded single-arg form: Spark's KeyGroupedPartitioning
+          // rejects any transform expression with a literal child
+          // (`KeyGroupedPartitioning.supportsExpressions` demands exactly
+          // one REFERENCE child; only bucket's width gets a special slot),
+          // so the claim binds `truncate_<W>(col)` from the FunctionCatalog
           case Transforms.Truncate(w) if allowBucket && truncable =>
-            Some(Expressions.apply("truncate",
-              Expressions.literal(w), Expressions.column(src)))
+            Some(Expressions.apply(s"truncate_$w", Expressions.column(src)))
           case other if strict => throw new IllegalArgumentException(
             s"graft-iceberg-spj: table ${table.name} has unsupported partition " +
               s"transform ${other.name}; use graft.table.SparkRead for general reads")

@@ -6,7 +6,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Transforms
-import graft.sources.{GraftTimeUnbound, GraftTruncateUnbound}
+import graft.sources.{GraftTimeUnbound, GraftTruncateUnbound, GraftTruncateWidthUnbound}
 
 /** The catalog's V2 functions make LAYOUT CLAIMS (storage-partitioned
   * joins, write distributions) about data the fanout writers placed via
@@ -103,6 +103,30 @@ class V2FunctionsSpec extends AnyFunSuite {
     for (s <- Seq("", "a", "abcdef", "a😀b😀c", "𝔘𝔫𝔦", "こんにちは"); w <- Seq(1, 2, 3, 10)) {
       assert(bs.produceResult(row(Int.box(w), UTF8String.fromString(s))).toString ===
         Transforms.Truncate(w).apply(s, StringType), s"truncate[$w]('$s')")
+    }
+  }
+
+  test("width-embedded truncate_<W> matches the 2-arg function and write transform") {
+    val rnd = new scala.util.Random(29)
+    val longs = Seq(0L, 1L, -1L, 99L, 100L, -100L, Long.MaxValue, Long.MinValue + 1) ++
+      Seq.fill(100)(rnd.nextLong())
+    for (w <- Seq(1, 7, 100, 4096)) {
+      val f = GraftTruncateWidthUnbound(w).bind(
+        StructType(Seq(StructField("v", LongType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long]]
+      longs.foreach { l =>
+        assert(f.produceResult(row(Long.box(l))) ===
+          Transforms.Truncate(w).apply(l, LongType), s"truncate_$w($l)")
+      }
+      // canonical names unify per width — the SPJ compatibility key
+      assert(f.canonicalName() === s"graft.truncate[$w](long)")
+      val fs = GraftTruncateWidthUnbound(w).bind(
+        StructType(Seq(StructField("v", StringType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[UTF8String]]
+      for (s <- Seq("", "a😀b😀c", "abcdef")) {
+        assert(fs.produceResult(row(UTF8String.fromString(s))).toString ===
+          Transforms.Truncate(w).apply(s, StringType), s"truncate_$w('$s')")
+      }
     }
   }
 }
