@@ -121,25 +121,51 @@ object Inspect {
         "sequence_number", "added_snapshot_id", "reference_snapshot_id")
   }
 
+  /** Distinct manifests across the WHOLE lineage — driver-side, but only
+    * the manifest LISTS are read here (one small avro per snapshot); the
+    * manifests themselves are parsed by the distributed walkers below.
+    */
+  private def lineageManifests(table: Table): Seq[ManifestFile] =
+    table.metadata.snapshots
+      .flatMap(s => Manifests.readManifestList(s.manifestList))
+      .groupBy(_.path).map(_._2.head).toSeq
+
+  /** Parse a lineage's manifests DISTRIBUTED: at 100 TB a long-lived
+    * table's history spans thousands of manifests × thousands of entries —
+    * a driver-side walk would hold millions of rows; here each executor
+    * task parses a slice of manifest files (same FileIO the delete-file
+    * readers already use executor-side) and only the projected columns
+    * flow. Current-snapshot frames (`files`, `entries`, ...) stay
+    * driver-built: planning parses those manifests anyway.
+    */
+  private def distributedEntries[T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+      spark: SparkSession, manifests: Seq[ManifestFile],
+      project: (Long, ManifestEntry) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    val slices = math.max(1, math.min(64, manifests.size))
+    val metas = manifests.map(m => (m.path, m.sequenceNumber))
+    spark.createDataset(spark.sparkContext.parallelize(metas, slices)
+      .flatMap { case (path, seq) =>
+        Manifests.readManifest(path)._1.iterator.flatMap(e => project(seq, e))
+      })
+  }
+
   /** Data files referenced by ANY snapshot (Iceberg `all_data_files`),
     * deduplicated by path — the full historical footprint (expired-but-
     * referenced files included; orphan cleanup's complement).
     */
   def allDataFiles(spark: SparkSession, table: Table): DataFrame = {
     import spark.implicits._
-    table.metadata.snapshots
-      .flatMap(s => Manifests.readManifestList(s.manifestList))
-      .groupBy(_.path).map(_._2.head).toSeq
-      .filter(_.content == 0)
-      .flatMap(m => Manifests.readManifest(m.path)._1
-        .filter(e => e.status != ManifestEntryStatus.Deleted &&
+    val dataManifests = lineageManifests(table).filter(_.content == ManifestContent.Data)
+    distributedEntries(spark, dataManifests, (_, e) =>
+      if (e.status != ManifestEntryStatus.Deleted &&
           e.file.content == DataFileContent.Data)
-        .map(e => (e.file.path, e.file.format,
+        Iterator.single((e.file.path, e.file.format,
           e.file.partition.map(String.valueOf).mkString("/"),
-          e.file.recordCount, e.file.fileSize)))
-      .groupBy(_._1).map(_._2.head).toSeq
+          e.file.recordCount, e.file.fileSize))
+      else Iterator.empty)
       .toDF("file_path", "file_format", "partition", "record_count",
         "file_size_in_bytes")
+      .dropDuplicates("file_path")
   }
 
   /** DELETE files referenced by ANY snapshot (Iceberg `all_delete_files`),
@@ -148,22 +174,20 @@ object Inspect {
     */
   def allDeleteFiles(spark: SparkSession, table: Table): DataFrame = {
     import spark.implicits._
-    table.metadata.snapshots
-      .flatMap(s => Manifests.readManifestList(s.manifestList))
-      .groupBy(_.path).map(_._2.head).toSeq
-      .filter(_.content == ManifestContent.Deletes)
-      .flatMap(m => Manifests.readManifest(m.path)._1
-        .filter(e => e.status != ManifestEntryStatus.Deleted &&
+    val delManifests = lineageManifests(table).filter(_.content == ManifestContent.Deletes)
+    distributedEntries(spark, delManifests, (_, e) =>
+      if (e.status != ManifestEntryStatus.Deleted &&
           e.file.content != DataFileContent.Data)
-        .map(e => (e.file.content, e.file.path, e.file.format,
+        Iterator.single((e.file.content, e.file.path, e.file.format,
           e.file.partition.map(String.valueOf).mkString("/"),
           e.file.recordCount, e.file.fileSize,
           e.file.equalityIds.mkString(","),
-          e.file.referencedDataFile.orNull)))
-      .groupBy(r => (r._2, r._8)).map(_._2.head).toSeq
+          e.file.referencedDataFile.orNull))
+      else Iterator.empty)
       .toDF("content", "file_path", "file_format", "partition",
         "record_count", "file_size_in_bytes", "equality_ids",
         "referenced_data_file")
+      .dropDuplicates("file_path", "referenced_data_file")
   }
 
   /** Manifest entries of EVERY snapshot's manifests (Iceberg
@@ -172,14 +196,10 @@ object Inspect {
     */
   def allEntries(spark: SparkSession, table: Table): DataFrame = {
     import spark.implicits._
-    table.metadata.snapshots
-      .flatMap(s => Manifests.readManifestList(s.manifestList))
-      .groupBy(_.path).map(_._2.head).toSeq
-      .flatMap { m =>
-        Manifests.readManifest(m.path)._1.map(e =>
-          (e.status, e.snapshotId, e.dataSequence.getOrElse(m.sequenceNumber),
-            e.file.content, e.file.path, e.file.recordCount, e.file.fileSize))
-      }.toDF("status", "snapshot_id", "sequence_number", "content",
+    distributedEntries(spark, lineageManifests(table), (seq, e) =>
+      Iterator.single((e.status, e.snapshotId, e.dataSequence.getOrElse(seq),
+        e.file.content, e.file.path, e.file.recordCount, e.file.fileSize)))
+      .toDF("status", "snapshot_id", "sequence_number", "content",
         "file_path", "record_count", "file_size_in_bytes")
   }
 
