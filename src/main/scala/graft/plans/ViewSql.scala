@@ -96,8 +96,71 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   }
 
+  // Iceberg SQL-extension statements Spark's grammar cannot parse at all —
+  // intercepted on RAW TEXT before delegation (the same parse-time-claim
+  // necessity as view DDL, see the class doc). Only fires when the name
+  // resolves to a graft table; otherwise the delegate raises its normal
+  // parse error.
+  private val WriteClause =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+(.+?)\s*;?\s*$""".r
+  private val SetIdFields =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
+  private val DropIdFields =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
+  private val OrderedBy = """(?is)^(?:LOCALLY\s+)?ORDERED\s+BY\s+(.+)$""".r
+
+  private def nameParts(raw: String): Seq[String] =
+    raw.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def extensionPlan(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case WriteClause(rawName, clause) =>
+      tableCatalogFor(nameParts(rawName)).flatMap { case (cat, name) =>
+        val c = clause.trim
+        val up = c.toUpperCase(java.util.Locale.ROOT)
+        val distPrefix = "DISTRIBUTED BY PARTITION"
+        if (up == "UNORDERED")
+          Some(AlterGraftWriteOrderCommand(cat, name,
+            order = None, clearOrder = true, distributed = false))
+        else if (up == distPrefix)
+          Some(AlterGraftWriteOrderCommand(cat, name,
+            order = None, clearOrder = false, distributed = true))
+        else {
+          val (dist, rest) =
+            if (up.startsWith(distPrefix))
+              (true, c.substring(distPrefix.length).trim)
+            else (false, c)
+          rest match {
+            case OrderedBy(orderText) =>
+              Some(AlterGraftWriteOrderCommand(cat, name,
+                order = Some(stripParens(orderText)), clearOrder = false,
+                distributed = dist))
+            case _ => None
+          }
+        }
+      }
+    case SetIdFields(rawName, fields) =>
+      tableCatalogFor(nameParts(rawName)).map { case (cat, name) =>
+        AlterGraftIdentifierFieldsCommand(cat, name,
+          fields.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq, drop = false)
+      }
+    case DropIdFields(rawName, fields) =>
+      tableCatalogFor(nameParts(rawName)).map { case (cat, name) =>
+        AlterGraftIdentifierFieldsCommand(cat, name,
+          fields.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq, drop = true)
+      }
+    case _ => None
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
+    extensionPlan(sqlText).getOrElse(delegate.parsePlan(sqlText) match {
       case c @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
           props, originalText, _, allowExisting, replace, _) =>
         vcFor(parts) match {
@@ -191,7 +254,7 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
         }
 
       case other => other
-    }
+    })
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -391,6 +454,54 @@ case class RenameGraftViewCommand(vc: ViewCatalog, from: Identifier,
   * (the same machinery as `CALL system.compute_table_stats`). NOSCAN is a
   * no-op — manifest metadata already carries row/size counts.
   */
+/** `ALTER TABLE t WRITE [DISTRIBUTED BY PARTITION] [LOCALLY] ORDERED BY
+  * ... | UNORDERED` (Iceberg SQL extension): replaces the table's default
+  * sort order (every subsequent append/rewrite applies it — the write
+  * funnel reads `defaultSortOrderId`) and records hash distribution
+  * intent as the `write.distribution-mode` property (the DSv2 writes
+  * already cluster by partition transforms).
+  */
+case class AlterGraftWriteOrderCommand(cat: graft.catalog.Catalog, name: String,
+    order: Option[String], clearOrder: Boolean, distributed: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    var t = cat.loadTable(name)
+    order match {
+      case Some(text) =>
+        t = graft.table.Evolve.replaceSortOrder(t,
+          graft.sources.GraftProcedures.parseSortOrder(t, text))
+      case None if clearOrder =>
+        t = graft.table.Evolve.replaceSortOrder(t, Nil)
+      case None => ()
+    }
+    if (distributed)
+      graft.table.Evolve.setProperties(t, Map("write.distribution-mode" -> "hash"))
+    Nil
+  }
+}
+
+/** `ALTER TABLE t SET|DROP IDENTIFIER FIELDS a, b` (Iceberg SQL
+  * extension): the natural-key columns equality deletes and upserts key
+  * on. DROP removes the listed columns from the current identifier set.
+  */
+case class AlterGraftIdentifierFieldsCommand(cat: graft.catalog.Catalog,
+    name: String, fields: Seq[String], drop: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = cat.loadTable(name)
+    val target =
+      if (!drop) fields
+      else {
+        val dropIds = fields.map(n => t.schema.findField(n).getOrElse(
+          throw new IllegalArgumentException(s"no such column $n")).id).toSet
+        t.schema.identifierFieldIds.filterNot(dropIds)
+          .map(id => t.schema.idToField(id).name)
+      }
+    graft.table.Evolve.setIdentifierFields(t, target)
+    Nil
+  }
+}
+
 case class AnalyzeGraftTableCommand(cat: graft.catalog.Catalog, name: String,
     columns: Option[Seq[String]], noScan: Boolean) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {

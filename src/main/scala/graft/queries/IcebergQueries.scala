@@ -3830,6 +3830,60 @@ object IcebergQueries {
       FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
       WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1
       GROUP BY a.o_custkey
-      ORDER BY ck"""), repeatable = true)
+      ORDER BY ck"""), repeatable = true),
+
+    // Iceberg SQL-extension DDL (parse-time interception — Spark's grammar
+    // has no WRITE ORDERED BY / IDENTIFIER FIELDS productions): replace
+    // the default sort order (subsequent INSERTs apply it in the write
+    // funnel), record DISTRIBUTED BY PARTITION as write.distribution-mode,
+    // and set/drop the natural-key identifier fields. Flags pin the
+    // metadata the DDL wrote; the hash-checked answer proves reads are
+    // undisturbed through the re-sorted, schema-bumped table.
+    QueryDef.staged("i99_sql_write_order", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/wor_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gwor_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      c.createOrReplaceTempView(s"worsrc_$ctl")
+      val t0 = cat.createTable("cust", SchemaBridge.fromSpark(c.schema),
+        PartitionSpec.Unpartitioned)
+      Writer.append(s, t0, c.filter(col("c_custkey") % 2 === 0))
+      s.sql(s"ALTER TABLE $ctl.cust WRITE ORDERED BY (c_acctbal DESC NULLS LAST, c_custkey)")
+      s.sql(s"ALTER TABLE $ctl.cust SET IDENTIFIER FIELDS c_custkey, c_name")
+      s.sql(s"ALTER TABLE $ctl.cust DROP IDENTIFIER FIELDS c_name")
+      // the INSERT after the DDL applies the new order in the write funnel
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM worsrc_$ctl WHERE c_custkey % 2 = 1")
+      val t1 = cat.loadTable("cust")
+      def orderNames(t: graft.table.Table) = t.metadata.sortOrders
+        .find(_.orderId == t.metadata.defaultSortOrderId).toSeq
+        .flatMap(_.fields.map(f =>
+          (t.schema.idToField(f.sourceId).name, f.ascending, f.nullsFirst)))
+      val orderOk = t1.metadata.defaultSortOrderId > 0 &&
+        orderNames(t1) == Seq(("c_acctbal", false, false), ("c_custkey", true, true))
+      val idOk = t1.schema.identifierFieldIds
+        .map(t1.schema.idToField(_).name) == Seq("c_custkey")
+      s.sql(s"ALTER TABLE $ctl.cust WRITE DISTRIBUTED BY PARTITION LOCALLY ORDERED BY c_custkey")
+      val t2 = cat.loadTable("cust")
+      val distOk = t2.metadata.properties.get("write.distribution-mode").contains("hash") &&
+        orderNames(t2) == Seq(("c_custkey", true, true))
+      s.sql(s"ALTER TABLE $ctl.cust WRITE UNORDERED")
+      val unorderedOk = orderNames(cat.loadTable("cust")).isEmpty
+      val flags = Seq(orderOk, idOk, distOk, unorderedOk).mkString(",")
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$flags' AS ddl_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true,true,true,true' AS ddl_ok
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

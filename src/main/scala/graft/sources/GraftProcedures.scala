@@ -69,6 +69,28 @@ object GraftProcedures {
 
   def load(name: String, cat: GraftCatalog, catName: String): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat, catName)) else None
+
+  /** Iceberg sort-order text (`a DESC NULLS LAST, truncate(4, b)`) →
+    * resolved [[graft.format.SortField]]s against the table schema —
+    * shared by the `replace_sort_order` procedure and the
+    * `ALTER TABLE ... WRITE ORDERED BY` SQL extension.
+    */
+  def parseSortOrder(t: GraftTable, text: String): Seq[graft.format.SortField] = {
+    // split on commas OUTSIDE parens (transforms carry their own commas)
+    val parts = text.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty)
+    val Part = """(?i)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+    parts.map { part =>
+      val Part(expr, dir, nulls) = part
+      val asc = dir == null || dir.equalsIgnoreCase("ASC")
+      // Iceberg default: ASC → nulls-first, DESC → nulls-last
+      val nullsFirst =
+        if (nulls == null) asc else nulls.equalsIgnoreCase("FIRST")
+      val (colName, tr) = parseTransformField(expr)
+      val src = t.schema.findField(colName).getOrElse(
+        throw new IllegalArgumentException(s"no such column $colName"))
+      graft.format.SortField(src.id, tr, asc, nullsFirst)
+    }.toSeq
+  }
 }
 
 /** One procedure: unbound and bound are the same object (parameters are
@@ -311,21 +333,8 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
             UTF8String.fromString(t2.spec.fields.map(_.name).mkString(", ")))))
 
       case "replace_sort_order" =>
-        // split on commas OUTSIDE parens (transforms carry their own commas)
-        val parts = input.getUTF8String(1).toString
-          .split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty)
-        val Part = """(?i)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
-        val fields = parts.map { part =>
-          val Part(expr, dir, nulls) = part
-          val asc = dir == null || dir.equalsIgnoreCase("ASC")
-          // Iceberg default: ASC → nulls-first, DESC → nulls-last
-          val nullsFirst =
-            if (nulls == null) asc else nulls.equalsIgnoreCase("FIRST")
-          val (colName, tr) = GraftProcedures.parseTransformField(expr)
-          val src = t.schema.findField(colName).getOrElse(
-            throw new IllegalArgumentException(s"no such column $colName"))
-          graft.format.SortField(src.id, tr, asc, nullsFirst)
-        }.toSeq
+        val fields = GraftProcedures.parseSortOrder(t,
+          input.getUTF8String(1).toString)
         val t2 = Evolve.replaceSortOrder(t, fields)
         rows(Seq("order_id" -> IntegerType, "fields" -> IntegerType),
           Seq(Array[Any](t2.metadata.defaultSortOrderId, fields.length)))

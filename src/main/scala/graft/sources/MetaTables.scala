@@ -30,6 +30,14 @@ object GraftMetaTables {
       "all_data_files", "all_delete_files", "all_files", "all_entries",
       "metadata_log_entries")
 
+  /** Lineage-wide frames built by Inspect's DISTRIBUTED manifest walk —
+    * served as V1 relations (executor rows flow straight into the query)
+    * instead of driver-collected LocalScans, so a long history never
+    * materializes on the driver.
+    */
+  val Distributed: Set[String] =
+    Set("all_data_files", "all_delete_files", "all_files", "all_entries")
+
   def frame(spark: SparkSession, t: GraftTable, meta: String): DataFrame =
     meta match {
       case "snapshots" => Inspect.snapshots(spark, t)
@@ -107,9 +115,25 @@ final class GraftMetaTable(tableName: String, meta: String, t: GraftTable)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = {
-        val df = GraftMetaTables.frame(SparkSession.active, t, meta)
-        GraftResultScan(df.schema, df.queryExecution.executedPlan.executeCollect())
-      }
+      override def build(): Scan =
+        if (GraftMetaTables.Distributed(meta))
+          new org.apache.spark.sql.connector.read.V1Scan {
+            override def readSchema(): StructType = GraftMetaTable.this.schema
+            override def description(): String = s"GraftMetaTable($tableName.$meta)"
+            override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan](
+                context: org.apache.spark.sql.SQLContext): T =
+              new org.apache.spark.sql.sources.BaseRelation
+                  with org.apache.spark.sql.sources.TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext = context
+                override def schema: StructType = GraftMetaTable.this.schema
+                override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                  GraftMetaTables.frame(context.sparkSession, t, meta).rdd
+              }.asInstanceOf[T]
+          }
+        else {
+          val df = GraftMetaTables.frame(SparkSession.active, t, meta)
+          GraftResultScan(df.schema, df.queryExecution.executedPlan.executeCollect())
+        }
     }
 }

@@ -323,8 +323,15 @@ object Evolve {
     val op = snap.summary.getOrElse("operation", "append")
     require(op == "append",
       s"cherry-pick supports append snapshots; snapshot $snapshotId is '$op'")
-    val added = Manifests.readManifestList(snap.manifestList)
+    val srcManifests = Manifests.readManifestList(snap.manifestList)
       .filter(_.addedSnapshotId == snapshotId)
+    // the re-commit records files under the CURRENT default spec — a file
+    // written under another spec would have its partition tuple decoded
+    // through the wrong transforms, so spec drift refuses loudly
+    srcManifests.foreach(m => require(m.specId == meta.defaultSpecId,
+      s"cannot cherry-pick snapshot $snapshotId: its files were written " +
+        s"under spec ${m.specId}, current default is ${meta.defaultSpecId}"))
+    val added = srcManifests
       .flatMap(m => Manifests.readManifest(m.path)._1
         .filter(_.status == ManifestEntryStatus.Added).map(_.file))
     val live = table.newScan.planFiles()

@@ -77,6 +77,20 @@ class WapImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .get("source-snapshot-id") === Some(snapB.toString))
   }
 
+  test("cherrypick refuses when the partition spec has drifted") {
+    import graft.core.Transforms
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("wap_drift", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation.filter(col("n_nationkey") < 10))
+    val snapA = t1.metadata.currentSnapshotId.get
+    val t2 = Writer.append(spark, t1, nation.filter(col("n_nationkey") >= 10))
+    val snapB = t2.metadata.currentSnapshotId.get
+    val t3 = Evolve.rollbackTo(t2, snapA)
+    val t4 = Evolve.updateSpec(t3, _.add("n_regionkey", Transforms.Identity))
+    val ex = intercept[IllegalArgumentException] { Evolve.cherrypick(t4, snapB) }
+    assert(ex.getMessage.contains("spec"))
+  }
+
   test("spark.wap.id stages SQL INSERT when the table opts in") {
     val ctl = "gwapid_t"
     spark.conf.set(s"spark.sql.catalog.$ctl",
