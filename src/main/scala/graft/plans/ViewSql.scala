@@ -108,6 +108,21 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DropIdFields =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
   private val OrderedBy = """(?is)^(?:LOCALLY\s+)?ORDERED\s+BY\s+(.+)$""".r
+  private val CreateRef =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(CREATE(?:\s+OR\s+REPLACE)?|REPLACE)\s+""" +
+      """(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w`]+)\s*(.*?)\s*;?\s*$""").r
+  private val DropRef =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?([\w`]+)\s*;?\s*$""".r
+  private val RefAsOf = """(?i)AS\s+OF\s+VERSION\s+(\d+)""".r
+  private val RefRetain = """(?i)RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES)""".r
+  private val RefSnapRetention =
+    """(?i)WITH\s+SNAPSHOT\s+RETENTION\s+(?:(\d+)\s+SNAPSHOTS\s*)?(?:(\d+)\s+DAYS)?""".r
+
+  private def retainMs(n: Long, unit: String): Long = unit.toUpperCase match {
+    case "DAYS" => n * 86400000L
+    case "HOURS" => n * 3600000L
+    case _ => n * 60000L
+  }
 
   private def nameParts(raw: String): Seq[String] =
     raw.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -155,6 +170,41 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
         AlterGraftIdentifierFieldsCommand(cat, name,
           fields.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq, drop = true)
+      }
+    case CreateRef(rawName, verb, kind, ifNotExists, refName, tail) =>
+      tableCatalogFor(nameParts(rawName)).flatMap { case (cat, name) =>
+        // consume each recognized option; anything left over is not ours —
+        // fall through so the delegate raises its normal parse error
+        var rest = tail
+        def take(r: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] = {
+          val m = r.findFirstMatchIn(rest)
+          m.foreach(mm => rest = (rest.substring(0, mm.start) + rest.substring(mm.end)).trim)
+          m
+        }
+        val asOf = take(RefAsOf).map(_.group(1).toLong)
+        val refAge = take(RefRetain).map(m => retainMs(m.group(1).toLong, m.group(2)))
+        val snapRet = take(RefSnapRetention).filter(m =>
+          m.group(1) != null || m.group(2) != null)
+        val minKeep = snapRet.flatMap(m => Option(m.group(1)).map(_.toInt))
+        val snapAge = snapRet.flatMap(m => Option(m.group(2)).map(_.toLong * 86400000L))
+        if (rest.nonEmpty) None
+        else {
+          val up = verb.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+          Some(AlterGraftRefCommand(cat, name,
+            refName.stripPrefix("`").stripSuffix("`"),
+            refType = kind.toLowerCase(java.util.Locale.ROOT),
+            allowExisting = up != "CREATE", requireExisting = up == "REPLACE",
+            ifNotExists = ifNotExists != null,
+            asOfVersion = asOf, maxRefAgeMs = refAge,
+            minSnapshotsToKeep = minKeep, maxSnapshotAgeMs = snapAge))
+        }
+      }
+    case DropRef(rawName, kind, ifExists, refName) =>
+      tableCatalogFor(nameParts(rawName)).map { case (cat, name) =>
+        DropGraftRefCommand(cat, name,
+          refName.stripPrefix("`").stripSuffix("`"),
+          refType = kind.toLowerCase(java.util.Locale.ROOT),
+          ifExists = ifExists != null)
       }
     case _ => None
   }
@@ -498,6 +548,65 @@ case class AlterGraftIdentifierFieldsCommand(cat: graft.catalog.Catalog,
           .map(id => t.schema.idToField(id).name)
       }
     graft.table.Evolve.setIdentifierFields(t, target)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] name
+  * [AS OF VERSION n] [RETAIN n DAYS|HOURS|MINUTES]
+  * [WITH SNAPSHOT RETENTION n SNAPSHOTS [n DAYS] | n DAYS]` and
+  * `ALTER TABLE t REPLACE BRANCH|TAG ...` (Iceberg SQL extensions):
+  * create or move a named ref with its retention policy — the same
+  * `Evolve.setRef` the `create_branch`/`create_tag` procedures call,
+  * plus retention, which only this DDL surface can express.
+  */
+case class AlterGraftRefCommand(cat: graft.catalog.Catalog, name: String,
+    refName: String, refType: String, allowExisting: Boolean,
+    requireExisting: Boolean, ifNotExists: Boolean, asOfVersion: Option[Long],
+    maxRefAgeMs: Option[Long], minSnapshotsToKeep: Option[Int],
+    maxSnapshotAgeMs: Option[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = cat.loadTable(name)
+    t.metadata.refs.get(refName) match {
+      case Some(_) if !allowExisting && ifNotExists => return Nil
+      case Some(_) if !allowExisting =>
+        throw new IllegalArgumentException(
+          s"ref '$refName' already exists on $name (use CREATE OR REPLACE)")
+      case Some(r) if r.refType != refType =>
+        throw new IllegalArgumentException(
+          s"ref '$refName' on $name is a ${r.refType}, not a $refType")
+      case None if requireExisting =>
+        throw new IllegalArgumentException(
+          s"cannot REPLACE $refType '$refName' on $name: no such ref")
+      case _ => ()
+    }
+    val snap = asOfVersion.orElse(t.metadata.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"$name has no snapshot to reference"))
+    graft.table.Evolve.setRef(t, refName, snap, refType,
+      minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP BRANCH|TAG [IF EXISTS] name` — refuses a
+  * type-mismatched drop (DROP TAG on a branch) and dropping `main`.
+  */
+case class DropGraftRefCommand(cat: graft.catalog.Catalog, name: String,
+    refName: String, refType: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    require(!(refType == "branch" && refName == "main"),
+      "cannot drop the main branch")
+    val t = cat.loadTable(name)
+    t.metadata.refs.get(refName) match {
+      case None if ifExists => ()
+      case None => throw new IllegalArgumentException(
+        s"no such $refType '$refName' on $name")
+      case Some(r) if r.refType != refType =>
+        throw new IllegalArgumentException(
+          s"ref '$refName' on $name is a ${r.refType}, not a $refType")
+      case Some(_) => graft.table.Evolve.removeRef(t, refName)
+    }
     Nil
   }
 }

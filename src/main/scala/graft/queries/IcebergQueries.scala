@@ -3884,6 +3884,58 @@ object IcebergQueries {
              'true,true,true,true' AS ddl_ok
       FROM customer
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Branch/tag DDL (Iceberg SQL extensions, parse-time interception like
+    // i99): CREATE BRANCH AS OF VERSION with full retention policy, CREATE
+    // TAG, idempotent IF NOT EXISTS / IF EXISTS, REPLACE moving a branch
+    // head, type-guarded DROP. Flags pin the refs metadata the DDL wrote
+    // (retention fields survive the round-trip); the hash-checked answer
+    // reads THROUGH the branch identifier after the REPLACE moved it to
+    // the current head — so branch routing and the DDL agree
+    QueryDef.staged("i100_sql_branch_ddl", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/brd_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gbrd_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val n = tbl(s, dir, "nation")
+      val t0 = cat.createTable("nat", SchemaBridge.fromSpark(n.schema),
+        PartitionSpec.Unpartitioned)
+      val t1 = Writer.append(s, t0, n.filter(col("n_nationkey") < 10))
+      val snapA = t1.metadata.currentSnapshotId.get
+      Writer.append(s, t1, n.filter(col("n_nationkey") >= 10))
+      s.sql(s"""ALTER TABLE $ctl.nat CREATE BRANCH b1 AS OF VERSION $snapA
+        RETAIN 7 DAYS WITH SNAPSHOT RETENTION 2 SNAPSHOTS 3 DAYS""")
+      s.sql(s"ALTER TABLE $ctl.nat CREATE TAG v1 RETAIN 120 HOURS")
+      s.sql(s"ALTER TABLE $ctl.nat CREATE BRANCH IF NOT EXISTS b1") // no-op
+      val refs1 = cat.loadTable("nat").metadata.refs
+      val bOk = refs1.get("b1").exists(r => r.refType == "branch" &&
+        r.snapshotId == snapA && r.maxRefAgeMs.contains(7L * 86400000L) &&
+        r.minSnapshotsToKeep.contains(2) &&
+        r.maxSnapshotAgeMs.contains(3L * 86400000L))
+      val tagOk = refs1.get("v1").exists(r => r.refType == "tag" &&
+        r.maxRefAgeMs.contains(120L * 3600000L))
+      val head = cat.loadTable("nat").metadata.currentSnapshotId.get
+      s.sql(s"ALTER TABLE $ctl.nat REPLACE BRANCH b1 AS OF VERSION $head")
+      val movedOk = cat.loadTable("nat").metadata.refs("b1").snapshotId == head
+      s.sql(s"ALTER TABLE $ctl.nat DROP TAG v1")
+      s.sql(s"ALTER TABLE $ctl.nat DROP BRANCH IF EXISTS nope") // no-op
+      val dropOk = !cat.loadTable("nat").metadata.refs.contains("v1")
+      val typeGuard = // DROP TAG on a branch must refuse
+        scala.util.Try(s.sql(s"ALTER TABLE $ctl.nat DROP TAG b1")).isFailure &&
+        cat.loadTable("nat").metadata.refs.contains("b1")
+      val flags = Seq(bOk, tagOk, movedOk, dropOk, typeGuard).mkString(",")
+      () => s.sql(s"""
+        SELECT n_regionkey, COUNT(n_nationkey) AS n, '$flags' AS ddl_ok
+        FROM $ctl.nat.branch_b1
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")
+    }, Some("""
+      SELECT n_regionkey, COUNT(n_nationkey) AS n,
+             'true,true,true,true,true' AS ddl_ok
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""), repeatable = true)
   )
 }
