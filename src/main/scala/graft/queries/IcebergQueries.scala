@@ -3936,6 +3936,55 @@ object IcebergQueries {
              'true,true,true,true,true' AS ddl_ok
       FROM nation
       GROUP BY n_regionkey
-      ORDER BY n_regionkey"""), repeatable = true)
+      ORDER BY n_regionkey"""), repeatable = true),
+
+    // Metadata-file retention (reference table/metadata.go:1031-1037,
+    // properties.go:82-86): write.metadata.previous-versions-max bounds the
+    // metadata-log a long-lived table accumulates (10⁵+ commits at 100 TB
+    // would otherwise dominate the json every reader parses first), and
+    // delete-after-commit reclaims the trimmed files. Five SQL INSERTs
+    // under max=2: the log holds exactly the two newest previous versions,
+    // the older metadata files are physically gone, and the table reads
+    // back whole — trimming history must never touch data
+    QueryDef.staged("i101_metadata_retention", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/mret_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gmret_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      c.createOrReplaceTempView(s"mretsrc_$ctl")
+      cat.createTable("cust", SchemaBridge.fromSpark(c.schema),
+        PartitionSpec.Unpartitioned,
+        properties = Map(
+          "write.metadata.previous-versions-max" -> "2",
+          "write.metadata.delete-after-commit.enabled" -> "true"))
+      val prevPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 5).foreach { i =>
+        prevPaths += cat.loadTable("cust").metadataPath
+        s.sql(s"INSERT INTO $ctl.cust SELECT * FROM mretsrc_$ctl WHERE c_custkey % 5 = $i")
+      }
+      val t = cat.loadTable("cust")
+      val logOk = t.metadata.metadataLog.map(_.metadataFile) ==
+        prevPaths.takeRight(2).toSeq
+      val deletedOk = prevPaths.dropRight(2).forall(p => !graft.io.FileIO.exists(p))
+      val keptOk = prevPaths.takeRight(2).forall(graft.io.FileIO.exists)
+      val metaRows = s.sql(
+        s"SELECT count(*) FROM $ctl.cust.metadata_log_entries").head.getLong(0)
+      val flags = Seq(logOk, deletedOk, keptOk, metaRows == 3L).mkString(",")
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(c_custkey) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$flags' AS retention_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(c_custkey) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true,true,true,true' AS retention_ok
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -240,13 +240,19 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
             throw new CommitConflict(s"requirement failed for $full: $msg"))
         }
         val applied0 = ups.foldLeft(t.metadata)(MetadataUpdate.apply)
+        val now = System.currentTimeMillis()
+        val (mlog, dropped) =
+          graft.table.MetadataLogPolicy.appended(applied0, t.metadataPath, now)
         val applied = applied0.copy(
-          lastUpdatedMs = math.max(applied0.lastUpdatedMs, System.currentTimeMillis()),
-          metadataLog = applied0.metadataLog :+
-            graft.format.MetadataLogEntry(t.metadataPath, System.currentTimeMillis()))
-        graft.catalog.StagedCommit(full, t.metadata, applied, t.currentVersion)
+          lastUpdatedMs = math.max(applied0.lastUpdatedMs, now),
+          metadataLog = mlog)
+        (graft.catalog.StagedCommit(full, t.metadata, applied, t.currentVersion),
+          (applied, dropped))
       }
-      tc.commitTransaction(staged)
+      tc.commitTransaction(staged.map(_._1))
+      staged.foreach { case (_, (applied, dropped)) =>
+        graft.table.MetadataLogPolicy.deleteTrimmed(applied, dropped)
+      }
       ex.sendResponseHeaders(204, -1)
     }
   }
@@ -421,11 +427,14 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       }
       val t = current.getOrElse(throw new NoSuchElementException(s"no such table: $full"))
       val applied0 = ups.foldLeft(t.metadata)(MetadataUpdate.apply)
+      val now = System.currentTimeMillis()
+      val (mlog, dropped) =
+        graft.table.MetadataLogPolicy.appended(applied0, t.metadataPath, now)
       val applied = applied0.copy(
-        lastUpdatedMs = math.max(applied0.lastUpdatedMs, System.currentTimeMillis()),
-        metadataLog = applied0.metadataLog :+
-          graft.format.MetadataLogEntry(t.metadataPath, System.currentTimeMillis()))
+        lastUpdatedMs = math.max(applied0.lastUpdatedMs, now),
+        metadataLog = mlog)
       val newPath = backing.commit(full, t.metadata, applied, t.currentVersion)
+      graft.table.MetadataLogPolicy.deleteTrimmed(applied, dropped)
       sendJson(ex, 200, loadResult(newPath, applied))
     }
   }

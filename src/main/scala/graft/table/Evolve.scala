@@ -14,6 +14,42 @@ object ColumnPosition {
   final case class After(anchor: String) extends ColumnPosition
 }
 
+/** Metadata-file history policy (reference `table/metadata.go:1031-1037`,
+  * `table/properties.go:82-86`): every commit records the previous
+  * metadata file in the metadata log, trimmed to max(1,
+  * `write.metadata.previous-versions-max`) entries — without the trim a
+  * long-lived table's metadata.json grows with every one of its commits
+  * (at 100 TB scale easily 10⁵+, dominating the file every reader must
+  * parse first). With `write.metadata.delete-after-commit.enabled` the
+  * trimmed-off metadata files are deleted once the commit lands, skipped
+  * when `gc.enabled` is false (registered / shared-history tables).
+  */
+object MetadataLogPolicy {
+  /** (kept log incl. the new entry, trimmed-off entries). */
+  def appended(meta: TableMetadata, prevPath: String, now: Long)
+      : (Seq[MetadataLogEntry], Seq[MetadataLogEntry]) = {
+    val maxEntries = math.max(1,
+      meta.properties.get("write.metadata.previous-versions-max")
+        .map(_.trim.toInt).getOrElse(100))
+    val full = meta.metadataLog :+ MetadataLogEntry(prevPath, now)
+    val dropCount = math.max(0, full.size - maxEntries)
+    (full.drop(dropCount), full.take(dropCount))
+  }
+
+  /** Delete trimmed-off metadata files — call only AFTER the commit that
+    * removed them from the log has landed (a failed commit must leave
+    * every previous version readable).
+    */
+  def deleteTrimmed(meta: TableMetadata, dropped: Seq[MetadataLogEntry]): Unit =
+    if (dropped.nonEmpty &&
+        meta.properties.get("write.metadata.delete-after-commit.enabled").contains("true") &&
+        !meta.properties.get("gc.enabled").contains("false"))
+      dropped.foreach { e =>
+        try { graft.io.FileIO.delete(e.metadataFile); () }
+        catch { case _: Exception => () } // best-effort, orphan cleanup sweeps stragglers
+      }
+}
+
 object Evolve {
 
   /** Add an optional column at the end of the schema (new field id). */
@@ -397,7 +433,11 @@ object Evolve {
   }
 
   private def commitMetadata(table: Table, updated: TableMetadata): Table = {
-    table.catalog.commit(table.name, table.metadata, updated, table.currentVersion)
+    val (mlog, dropped) = MetadataLogPolicy.appended(updated,
+      table.metadataPath, math.max(updated.lastUpdatedMs, System.currentTimeMillis()))
+    val withLog = updated.copy(metadataLog = mlog)
+    table.catalog.commit(table.name, table.metadata, withLog, table.currentVersion)
+    MetadataLogPolicy.deleteTrimmed(withLog, dropped)
     table.refresh()
   }
 }

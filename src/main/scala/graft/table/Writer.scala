@@ -1644,14 +1644,16 @@ object Writer {
       case Some(r) => r.copy(snapshotId = snapshotId)
       case None    => SnapshotRef(snapshotId, "branch")
     }
-    val base = meta.copy(
-      properties = meta.properties ++ extraProperties,
+    val withProps = meta.copy(properties = meta.properties ++ extraProperties)
+    val (mlog, mdropped) =
+      MetadataLogPolicy.appended(withProps, table.metadataPath, now)
+    val base = withProps.copy(
       lastSequenceNumber = newSeq,
       nextRowId = rowIdCursor,
       lastUpdatedMs = now,
       partitionSpecs = meta.partitionSpecs ++ addedSpecs,
       snapshots = meta.snapshots :+ snap,
-      metadataLog = meta.metadataLog :+ MetadataLogEntry(table.metadataPath, now),
+      metadataLog = mlog,
       refs = meta.refs.updated(branch, movedRef))
     // only a main-branch commit moves the table's current pointer/history;
     // a stage-only (wap.id) commit records the snapshot without moving ANY
@@ -1664,6 +1666,7 @@ object Writer {
       else base
 
     table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    MetadataLogPolicy.deleteTrimmed(updated, mdropped)
     table.refresh()
   }
 
