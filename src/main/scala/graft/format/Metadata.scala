@@ -36,6 +36,18 @@ final case class PartitionStatisticsFile(snapshotId: Long, path: String,
     fileSizeInBytes: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
 
+/** v3 table-encryption key entry (`encryption-keys` metadata list,
+  * reference `table/encryption.go:29-34`): the wrapped per-table key a
+  * KMS-holding writer stored, indexed by key-id.
+  */
+final case class EncryptionKey(keyId: String, encryptedKeyMetadata: String,
+    encryptedById: Option[String] = None,
+    properties: Map[String, String] = Map.empty) {
+  require(keyId.trim.nonEmpty, "encryption key-id must be non-empty")
+  require(encryptedKeyMetadata.trim.nonEmpty,
+    "encrypted-key-metadata must be non-empty")
+}
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -58,7 +70,8 @@ final case class TableMetadata(
     metadataLog: Seq[MetadataLogEntry],
     refs: Map[String, SnapshotRef],
     statistics: Seq[StatisticsFile] = Nil,
-    partitionStatistics: Seq[PartitionStatisticsFile] = Nil) {
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
+    encryptionKeys: Seq[EncryptionKey] = Nil) {
 
   def schema: IcebergSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): Option[IcebergSchema] = schemas.find(_.schemaId == id)
@@ -226,6 +239,22 @@ object TableMetadata {
         po.put("file-size-in-bytes", st.fileSizeInBytes)
       }
     }
+    // version-scoped: the field was introduced in v3 (reference
+    // metadata.go:2518 versionScopedField) — writing it to v1/v2 json
+    // would make the file unreadable to spec-compliant parsers
+    if (m.encryptionKeys.nonEmpty && m.formatVersion >= 3) {
+      val ea = root.putArray("encryption-keys")
+      m.encryptionKeys.foreach { k =>
+        val eo = ea.addObject()
+        eo.put("key-id", k.keyId)
+        eo.put("encrypted-key-metadata", k.encryptedKeyMetadata)
+        k.encryptedById.foreach(eo.put("encrypted-by-id", _))
+        if (k.properties.nonEmpty) {
+          val po = eo.putObject("properties")
+          k.properties.foreach { case (key, v) => po.put(key, v) }
+        }
+      }
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -333,7 +362,19 @@ object TableMetadata {
       partitionStatistics = Option(n.get("partition-statistics")).map(_.elements().asScala.map { st =>
         PartitionStatisticsFile(st.get("snapshot-id").asLong,
           st.get("statistics-path").asText, st.get("file-size-in-bytes").asLong)
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      encryptionKeys = Option(n.get("encryption-keys")).map { ks =>
+        require(n.get("format-version").asInt >= 3,
+          "encryption-keys is a v3 metadata field")
+        ks.elements().asScala.map { k =>
+          EncryptionKey(k.get("key-id").asText,
+            k.get("encrypted-key-metadata").asText,
+            Option(k.get("encrypted-by-id")).map(_.asText),
+            Option(k.get("properties")).map(p =>
+              p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+              .getOrElse(Map.empty))
+        }.toSeq
+      }.getOrElse(Nil))
   }
 
   private def specFromJson(o: JsonNode): PartitionSpec =

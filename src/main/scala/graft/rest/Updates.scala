@@ -89,6 +89,10 @@ object MetadataUpdate {
   final case class RemoveStatistics(snapshotId: Long) extends MetadataUpdate
   final case class SetPartitionStatistics(stats: PartitionStatisticsFile) extends MetadataUpdate
   final case class RemovePartitionStatistics(snapshotId: Long) extends MetadataUpdate
+  final case class RemovePartitionSpecs(specIds: Seq[Int]) extends MetadataUpdate
+  final case class RemoveSchemas(schemaIds: Seq[Int]) extends MetadataUpdate
+  final case class AddEncryptionKey(key: EncryptionKey) extends MetadataUpdate
+  final case class RemoveEncryptionKey(keyId: String) extends MetadataUpdate
 
   /** Apply one update to metadata (the server side of the protocol). The
     * side-effects the spec mandates ride along: `add-schema` advances
@@ -156,6 +160,19 @@ object MetadataUpdate {
         m.partitionStatistics.filterNot(_.snapshotId == st.snapshotId) :+ st)
     case RemovePartitionStatistics(id) =>
       m.copy(partitionStatistics = m.partitionStatistics.filterNot(_.snapshotId == id))
+    case RemovePartitionSpecs(ids) =>
+      require(!ids.contains(m.defaultSpecId),
+        s"cannot remove default partition spec ${m.defaultSpecId}")
+      m.copy(partitionSpecs = m.partitionSpecs.filterNot(s => ids.contains(s.specId)))
+    case RemoveSchemas(ids) =>
+      require(!ids.contains(m.currentSchemaId),
+        s"cannot remove current schema ${m.currentSchemaId}")
+      m.copy(schemas = m.schemas.filterNot(s => ids.contains(s.schemaId)))
+    case AddEncryptionKey(k) =>
+      m.copy(encryptionKeys =
+        m.encryptionKeys.filterNot(_.keyId == k.keyId) :+ k)
+    case RemoveEncryptionKey(id) =>
+      m.copy(encryptionKeys = m.encryptionKeys.filterNot(_.keyId == id))
   }
 
   /** Compute the (requirements, updates) a client must send so the server's
@@ -236,6 +253,20 @@ object MetadataUpdate {
     base.partitionStatistics.map(_.snapshotId)
       .filterNot(id => updated.partitionStatistics.exists(_.snapshotId == id))
       .foreach(id => up += RemovePartitionStatistics(id))
+
+    val droppedSpecs = base.partitionSpecs.map(_.specId)
+      .filterNot(id => updated.partitionSpecs.exists(_.specId == id))
+    if (droppedSpecs.nonEmpty) up += RemovePartitionSpecs(droppedSpecs)
+    val droppedSchemas = base.schemas.map(_.schemaId)
+      .filterNot(id => updated.schemas.exists(_.schemaId == id))
+    if (droppedSchemas.nonEmpty) up += RemoveSchemas(droppedSchemas)
+
+    updated.encryptionKeys
+      .filterNot(k => base.encryptionKeys.exists(b => b.keyId == k.keyId && b == k))
+      .foreach(k => up += AddEncryptionKey(k))
+    base.encryptionKeys.map(_.keyId)
+      .filterNot(id => updated.encryptionKeys.exists(_.keyId == id))
+      .foreach(id => up += RemoveEncryptionKey(id))
 
     // Pin the main branch head ONLY when this commit moves it: a property-
     // or stats-only commit pinned to main would conflict spuriously with a
@@ -363,6 +394,24 @@ object UpdateJson {
         n.put("file-size-in-bytes", st.fileSizeInBytes)
       case RemovePartitionStatistics(id) =>
         o.put("action", "remove-partition-statistics"); o.put("snapshot-id", id)
+      case RemovePartitionSpecs(ids) =>
+        o.put("action", "remove-partition-specs")
+        val a = o.putArray("spec-ids"); ids.foreach(a.add)
+      case RemoveSchemas(ids) =>
+        o.put("action", "remove-schemas")
+        val a = o.putArray("schema-ids"); ids.foreach(a.add)
+      case AddEncryptionKey(k) =>
+        o.put("action", "add-encryption-key")
+        val n = o.putObject("encryption-key")
+        n.put("key-id", k.keyId)
+        n.put("encrypted-key-metadata", k.encryptedKeyMetadata)
+        k.encryptedById.foreach(n.put("encrypted-by-id", _))
+        if (k.properties.nonEmpty) {
+          val p = n.putObject("properties")
+          k.properties.foreach { case (key, v) => p.put(key, v) }
+        }
+      case RemoveEncryptionKey(id) =>
+        o.put("action", "remove-encryption-key"); o.put("key-id", id)
     }
     o
   }
@@ -404,6 +453,18 @@ object UpdateJson {
           n.get("statistics-path").asText(), n.get("file-size-in-bytes").asLong()))
       case "remove-partition-statistics" =>
         RemovePartitionStatistics(o.get("snapshot-id").asLong())
+      case "remove-partition-specs" =>
+        RemovePartitionSpecs(o.get("spec-ids").elements().asScala.map(_.asInt()).toSeq)
+      case "remove-schemas" =>
+        RemoveSchemas(o.get("schema-ids").elements().asScala.map(_.asInt()).toSeq)
+      case "add-encryption-key" =>
+        val n = o.get("encryption-key")
+        AddEncryptionKey(EncryptionKey(
+          n.get("key-id").asText(), n.get("encrypted-key-metadata").asText(),
+          Option(n.get("encrypted-by-id")).map(_.asText()),
+          Option(n.get("properties")).map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)))
+      case "remove-encryption-key" => RemoveEncryptionKey(o.get("key-id").asText())
       case a => throw new IllegalArgumentException(s"unknown update action: $a")
     }
   }

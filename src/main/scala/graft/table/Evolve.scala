@@ -324,6 +324,56 @@ object Evolve {
       properties = table.metadata.properties ++ props,
       lastUpdatedMs = System.currentTimeMillis()))
 
+  /** Drop partition specs no live OR historical manifest references
+    * (reference `table/metadata.go:1287-1314` RemovePartitionSpecs, wire
+    * action `remove-partition-specs`): after spec evolution + full
+    * rewrites, dead specs otherwise ride in every metadata.json forever.
+    * Never drops the default spec; walks every reachable snapshot's
+    * manifest list (metadata-scale — one small avro per snapshot).
+    */
+  def removeUnusedSpecs(table: Table): Table = {
+    val meta = table.metadata
+    val used = meta.snapshots
+      .flatMap(s => Manifests.readManifestList(s.manifestList))
+      .map(_.specId).toSet + meta.defaultSpecId
+    val kept = meta.partitionSpecs.filter(s => used(s.specId))
+    if (kept.size == meta.partitionSpecs.size) table
+    else commitMetadata(table, meta.copy(partitionSpecs = kept,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Drop schemas no snapshot references (reference `table/metadata.go:
+    * 1316-1341` RemoveSchemas, wire action `remove-schemas`). Keeps the
+    * current schema and every snapshot's recorded write schema — those
+    * are what time travel resolves reads against.
+    */
+  def removeUnusedSchemas(table: Table): Table = {
+    val meta = table.metadata
+    val used = meta.snapshots.flatMap(_.schemaId).toSet + meta.currentSchemaId
+    val kept = meta.schemas.filter(s => used(s.schemaId))
+    if (kept.size == meta.schemas.size) table
+    else commitMetadata(table, meta.copy(schemas = kept,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Add or replace (by key-id) a v3 table-encryption key (reference
+    * `table/encryption.go:29-34`, wire `add-encryption-key`).
+    */
+  def addEncryptionKey(table: Table, key: EncryptionKey): Table = {
+    require(table.metadata.formatVersion >= 3,
+      "encryption-keys is a v3 metadata field; upgrade the table first")
+    commitMetadata(table, table.metadata.copy(
+      encryptionKeys = table.metadata.encryptionKeys
+        .filterNot(_.keyId == key.keyId) :+ key,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** Remove a table-encryption key by key-id (wire `remove-encryption-key`). */
+  def removeEncryptionKey(table: Table, keyId: String): Table =
+    commitMetadata(table, table.metadata.copy(
+      encryptionKeys = table.metadata.encryptionKeys.filterNot(_.keyId == keyId),
+      lastUpdatedMs = System.currentTimeMillis()))
+
   /** Remove table properties by key. */
   def removeProperties(table: Table, keys: Seq[String]): Table =
     commitMetadata(table, table.metadata.copy(

@@ -159,4 +159,70 @@ class EvolveSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t3 = Writer.append(spark, t2, nation.limit(3))
     assert(SparkRead.read(spark, t3.newScan).count() === 28)
   }
+
+  test("removeUnusedSpecs drops never-written specs, keeps referenced + default") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("ev_specrm", schema, PartitionSpec.Unpartitioned)
+    // evolve BEFORE any write: spec 0 is never referenced by a manifest
+    val t1 = Evolve.updateSpec(t0, _.add("n_regionkey", Transforms.Identity))
+    val t2 = Writer.append(spark, t1, nation)
+    assert(t2.metadata.partitionSpecs.map(_.specId).sorted === Seq(0, 1))
+    val t3 = Evolve.removeUnusedSpecs(t2)
+    assert(t3.metadata.partitionSpecs.map(_.specId) === Seq(1))
+    assert(SparkRead.read(spark, t3.newScan).count() === 25)
+    // all remaining specs in use -> no-op, no new metadata version
+    assert(Evolve.removeUnusedSpecs(t3).currentVersion === t3.currentVersion)
+  }
+
+  test("removeUnusedSchemas keeps snapshot write schemas and current") {
+    val t1 = freshNation("ev_schrm") // snapshot written under schema 0
+    val t2 = Evolve.addColumn(t1, "note", IcebergTypes.StringT)
+    assert(t2.metadata.schemas.map(_.schemaId).sorted === Seq(0, 1))
+    // schema 0 is still the first snapshot's write schema -> kept
+    assert(Evolve.removeUnusedSchemas(t2).metadata.schemas.size === 2)
+    // append under schema 1, then expire nothing: snapshot 1 still pins 0
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val t3 = Writer.append(spark, t2, nation.limit(2).withColumn("note", lit("x")))
+    assert(Evolve.removeUnusedSchemas(t3).metadata.schemas.size === 2)
+  }
+
+  test("encryption keys: v3 only, add/replace/remove, json round-trip") {
+    import graft.format.EncryptionKey
+    val t1 = freshNation("ev_enckey")
+    assert(intercept[IllegalArgumentException](
+      Evolve.addEncryptionKey(t1, EncryptionKey("k1", "bWV0YQ==")))
+      .getMessage.contains("v3"))
+    val t2 = Evolve.upgradeFormatVersion(t1, 3)
+    val t3 = Evolve.addEncryptionKey(t2,
+      EncryptionKey("k1", "bWV0YQ==", Some("kms-master"), Map("alg" -> "AES_GCM")))
+    // refresh re-parses metadata.json from disk: the round-trip is real
+    assert(t3.metadata.encryptionKeys ===
+      Seq(EncryptionKey("k1", "bWV0YQ==", Some("kms-master"), Map("alg" -> "AES_GCM"))))
+    val t4 = Evolve.addEncryptionKey(t3, EncryptionKey("k1", "bmV3"))
+    assert(t4.metadata.encryptionKeys === Seq(EncryptionKey("k1", "bmV3")))
+    val t5 = Evolve.removeEncryptionKey(t4, "k1")
+    assert(t5.metadata.encryptionKeys.isEmpty)
+  }
+
+  test("remove-spec/schema/encryption-key updates ride the wire and apply") {
+    import graft.rest.{MetadataUpdate, UpdateJson}
+    import graft.format.EncryptionKey
+    import MetadataUpdate._
+    val ups: Seq[MetadataUpdate] = Seq(
+      RemovePartitionSpecs(Seq(0, 2)), RemoveSchemas(Seq(1)),
+      AddEncryptionKey(EncryptionKey("k9", "Zm9v", None, Map("a" -> "b"))),
+      RemoveEncryptionKey("k9"))
+    ups.foreach { u =>
+      assert(UpdateJson.updateFromNode(UpdateJson.updateToNode(u)) === u)
+    }
+    // apply guards: default spec / current schema are irremovable
+    val t = freshNation("ev_wire").metadata
+    assert(intercept[IllegalArgumentException](
+      MetadataUpdate.apply(t, RemovePartitionSpecs(Seq(t.defaultSpecId))))
+      .getMessage.contains("default"))
+    assert(intercept[IllegalArgumentException](
+      MetadataUpdate.apply(t, RemoveSchemas(Seq(t.currentSchemaId))))
+      .getMessage.contains("current"))
+  }
 }
