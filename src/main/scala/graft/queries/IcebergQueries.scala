@@ -3985,6 +3985,106 @@ object IcebergQueries {
              'true,true,true,true' AS retention_ok
       FROM customer
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // AddFiles as a procedure (reference table/transaction.go AddFiles):
+    // zero-copy registration of in-place hive-layout parquet into an
+    // identity-partitioned table. The CALL harvests footer stats and a
+    // name mapping but never rewrites bytes; duplicate registration is
+    // refused (check_duplicate_files default); partition pruning works off
+    // the imported hive directory values
+    QueryDef.staged("i102_sql_add_files", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/adf_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gadf_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val tmp = s"/root/repo/target/add-files-${UUID.randomUUID().toString.take(8)}"
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+      try c.write.partitionBy("c_mktsegment").parquet(tmp)
+      finally s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      cat.createTable("cust",
+        schema, PartitionSpec.builder(schema)
+          .add("c_mktsegment", Transforms.Identity).build())
+      val res = s.sql(
+        s"CALL $ctl.system.add_files('cust', '$tmp')").collect().head
+      val t = cat.loadTable("cust")
+      val inPlace = res.getLong(0) > 0 &&
+        t.newScan.planFiles().forall(_.file.path.startsWith(tmp))
+      // re-registering the same files must refuse (duplicate guard)
+      val dupOk = scala.util.Try(
+        s.sql(s"CALL $ctl.system.add_files('cust', '$tmp')")).isFailure
+      val (_, metrics) = t.newScan
+        .withFilter(Expr.eq("c_mktsegment", "BUILDING")).planFilesWithMetrics()
+      val prunedOk = metrics.skippedDataFiles > 0 && metrics.resultDataFiles > 0
+      val flags = Seq(inPlace, dupOk, prunedOk).mkString(",")
+      () => s.sql(s"""
+        SELECT c_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+               '$flags' AS add_files_ok
+        FROM $ctl.cust
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+             'true,true,true' AS add_files_ok
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""), repeatable = true),
+
+    // Snapshot/metadata housekeeping procedures: set_current_snapshot can
+    // move main FORWARD to a non-ancestor (rollback_to_snapshot must
+    // refuse exactly that move); remove_unused_specs drops a never-written
+    // spec while the default + manifest-referenced specs survive;
+    // remove_unused_schemas drops a schema no snapshot pins while every
+    // snapshot's write schema survives (time travel resolves against them)
+    QueryDef.staged("i103_snapshot_mgmt", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/mgm_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gmgm_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val n = tbl(s, dir, "nation")
+      val t0 = cat.createTable("nat", SchemaBridge.fromSpark(n.schema),
+        PartitionSpec.Unpartitioned)
+      // schema 0 + spec 0 never see a snapshot: evolve BOTH before writing
+      val t1 = Evolve.addColumn(t0, "note", IcebergTypes.StringT)
+      val t2 = Evolve.updateSpec(t1, _.add("n_regionkey", Transforms.Identity))
+      val t3 = Writer.append(s, t2,
+        n.filter(col("n_nationkey") < 10).withColumn("note", lit("a")))
+      val snapA = t3.metadata.currentSnapshotId.get
+      val t4 = Writer.append(s, t3,
+        n.filter(col("n_nationkey") >= 10).withColumn("note", lit("b")))
+      val snapB = t4.metadata.currentSnapshotId.get
+      s.sql(s"CALL $ctl.system.rollback_to_snapshot('nat', ${snapA}L)")
+      // snapB is a DESCENDANT of current — rollback must refuse, set may
+      val rbRefused = scala.util.Try(
+        s.sql(s"CALL $ctl.system.rollback_to_snapshot('nat', ${snapB}L)")).isFailure
+      val fwd = s.sql(
+        s"CALL $ctl.system.set_current_snapshot('nat', ${snapB}L)").collect().head
+      val fwdOk = fwd.getLong(0) == snapA && fwd.getLong(1) == snapB
+      val spc = s.sql(
+        s"CALL $ctl.system.remove_unused_specs('nat')").collect().head
+      val specOk = spc.getString(0) == "0" && spc.getInt(1) == 1
+      val sch = s.sql(
+        s"CALL $ctl.system.remove_unused_schemas('nat')").collect().head
+      val schemaOk = sch.getString(0) == "0" && sch.getInt(1) == 1
+      val flags = Seq(rbRefused, fwdOk, specOk, schemaOk).mkString(",")
+      () => s.sql(s"""
+        SELECT n_regionkey, COUNT(n_nationkey) AS n, '$flags' AS mgmt_ok
+        FROM $ctl.nat
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")
+    }, Some("""
+      SELECT n_regionkey, COUNT(n_nationkey) AS n,
+             'true,true,true,true' AS mgmt_ok
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""), repeatable = true)
   )
 }

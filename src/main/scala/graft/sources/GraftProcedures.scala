@@ -38,7 +38,8 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref",
     "ancestors_of", "compute_table_stats", "compute_partition_stats",
     "add_partition_field", "drop_partition_field", "replace_sort_order",
-    "snapshot")
+    "snapshot", "add_files", "set_current_snapshot",
+    "remove_unused_specs", "remove_unused_schemas")
 
   /** `"bucket(8, k)"` / `"months(ts)"` / `"truncate(4, name)"` / `"k"` →
     * (source column, transform) — the DDL spelling Spark users write in
@@ -161,6 +162,15 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
       Array(in("table", StringType), in("order", StringType))
     case "snapshot" =>
       Array(in("source_location", StringType), in("table", StringType))
+    case "add_files" =>
+      Array(in("table", StringType), in("source_location", StringType),
+        inDef("check_duplicate_files", BooleanType, "true"))
+    case "set_current_snapshot" =>
+      Array(in("table", StringType),
+        inDef("snapshot_id", LongType, "NULL"),
+        inDef("ref", StringType, "NULL"))
+    case "remove_unused_specs" | "remove_unused_schemas" =>
+      Array(in("table", StringType))
   }
 
   private def load(input: InternalRow): GraftTable = {
@@ -338,6 +348,64 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
         val t2 = Evolve.replaceSortOrder(t, fields)
         rows(Seq("order_id" -> IntegerType, "fields" -> IntegerType),
           Seq(Array[Any](t2.metadata.defaultSortOrderId, fields.length)))
+
+      // AddFiles import: register in-place parquet (hive dirs ok on
+      // identity-partitioned tables) without rewriting — the zero-copy
+      // on-ramp for data already in the lake
+      case "add_files" =>
+        val src = input.getUTF8String(1).toString
+        val found = graft.table.Writer.listParquet(src)
+        require(found.nonEmpty, s"no parquet files under $src")
+        val files =
+          if (!input.getBoolean(2)) found
+          else {
+            val existing = t.newScan.planFiles().map(_.file.path).toSet
+            val dups = found.filter(existing)
+            require(dups.isEmpty,
+              s"${dups.length} file(s) already referenced by the table " +
+              s"(first: ${dups.head}); pass check_duplicate_files => false " +
+              "to skip this check")
+            found
+          }
+        val t2 = graft.table.Writer.addFiles(SparkSession.active, t, files)
+        rows(Seq("added_files_count" -> LongType,
+          "current_snapshot_id" -> LongType),
+          Seq(Array[Any](files.length.toLong,
+            t2.metadata.currentSnapshotId.getOrElse(-1L))))
+
+      case "set_current_snapshot" =>
+        require(input.isNullAt(1) != input.isNullAt(2),
+          "set_current_snapshot: pass exactly one of snapshot_id, ref")
+        val target =
+          if (!input.isNullAt(1)) input.getLong(1)
+          else {
+            val ref = input.getUTF8String(2).toString
+            t.metadata.refs.getOrElse(ref, throw new IllegalArgumentException(
+              s"$catName: no such ref $ref")).snapshotId
+          }
+        val prev = t.metadata.currentSnapshotId.getOrElse(-1L)
+        val t2 = Evolve.setCurrentSnapshot(t, target)
+        rows(Seq("previous_snapshot_id" -> LongType,
+          "current_snapshot_id" -> LongType),
+          Seq(Array[Any](prev, t2.metadata.currentSnapshotId.getOrElse(-1L))))
+
+      case "remove_unused_specs" =>
+        val before = t.metadata.partitionSpecs.map(_.specId)
+        val t2 = Evolve.removeUnusedSpecs(t)
+        val kept = t2.metadata.partitionSpecs.map(_.specId).toSet
+        rows(Seq("removed_spec_ids" -> StringType,
+          "kept_specs" -> IntegerType),
+          Seq(Array[Any](UTF8String.fromString(
+            before.filterNot(kept).mkString(",")), kept.size)))
+
+      case "remove_unused_schemas" =>
+        val before = t.metadata.schemas.map(_.schemaId)
+        val t2 = Evolve.removeUnusedSchemas(t)
+        val kept = t2.metadata.schemas.map(_.schemaId).toSet
+        rows(Seq("removed_schema_ids" -> StringType,
+          "kept_schemas" -> IntegerType),
+          Seq(Array[Any](UTF8String.fromString(
+            before.filterNot(kept).mkString(",")), kept.size)))
     }
     Collections.singletonList(out: Scan).iterator()
   }

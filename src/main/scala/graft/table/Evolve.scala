@@ -445,6 +445,29 @@ object Evolve {
     (staged.head.snapshotId, cherrypick(table, staged.head.snapshotId))
   }
 
+  /** Set the main branch to ANY live snapshot (reference
+    * `table/metadata.go` SetSnapshotRef on main; Iceberg's
+    * `set_current_snapshot` procedure): unlike [[rollbackTo]] the target
+    * need not be an ancestor — a staged WAP snapshot or another branch's
+    * head is legal. The snapshot must exist in the metadata.
+    */
+  def setCurrentSnapshot(table: Table, snapshotId: Long): Table = {
+    val meta = table.metadata
+    require(meta.snapshotById(snapshotId).isDefined,
+      s"snapshot $snapshotId not found in table metadata")
+    if (meta.currentSnapshotId.contains(snapshotId)) return table
+    val now = System.currentTimeMillis()
+    val mainRef = meta.refs.get("main") match {
+      case Some(r) => r.copy(snapshotId = snapshotId)
+      case None    => SnapshotRef(snapshotId, "branch", None, None, None)
+    }
+    commitMetadata(table, meta.copy(
+      currentSnapshotId = Some(snapshotId),
+      refs = meta.refs.updated("main", mainRef),
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
+      lastUpdatedMs = now))
+  }
+
   def rollbackTo(table: Table, snapshotId: Long): Table = {
     val meta = table.metadata
     val current = meta.currentSnapshot.getOrElse(

@@ -1764,7 +1764,7 @@ object Writer {
     }
   }
 
-  private[table] def listParquet(dir: String): Seq[String] =
+  private[graft] def listParquet(dir: String): Seq[String] =
     graft.io.FileIO.listFilesRecursive(dir).map(_.path).filter(_.endsWith(".parquet"))
 
   private[table] def moveFile(src: String, target: String): Unit =
