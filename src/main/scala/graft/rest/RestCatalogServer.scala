@@ -111,6 +111,14 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       case ("GET", List("namespaces")) => listNamespaces(ex)
       case ("POST", List("namespaces")) => createNamespace(ex)
       case ("GET", List("namespaces", ns)) => getNamespace(ex, ns)
+      case ("HEAD", List("namespaces", ns)) => // spec namespaceExists
+        val exists = backing match {
+          case sq: SqlCatalog => sq.namespaceExists(ns)
+          case _ => nsProps.containsKey(ns) || backing.listTables().exists(t =>
+            (if (t.contains('.')) t.substring(0, t.lastIndexOf('.')) else "default") == ns)
+        }
+        if (exists) ex.sendResponseHeaders(204, -1)
+        else ex.sendResponseHeaders(404, -1)
       case ("DELETE", List("namespaces", ns)) => dropNamespace(ex, ns)
       case ("POST", List("namespaces", ns, "properties")) => updateNamespace(ex, ns)
       case ("GET", List("namespaces", ns, "tables")) => listTables(ex, ns)
@@ -259,6 +267,33 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
 
   // ---- namespaces --------------------------------------------------------
 
+  /** Spec pagination (`pageToken` / `pageSize` query params, reference
+    * `rest.go:1181-1260`): listings sort by name, the page token is the
+    * LAST name of the previous page (opaque to clients — any
+    * monotonically-ordered cursor satisfies the spec), and
+    * `next-page-token` appears only while more remain. A catalog holding
+    * 10⁵ tables must never ship one giant listing response; without
+    * `pageSize` the full (bounded) listing returns in one page, token
+    * still honored.
+    */
+  private def paginated(ex: HttpExchange,
+      names: Seq[String]): (Seq[String], Option[String]) = {
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split('&').filter(_.contains('=')).map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i) ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      }.toMap
+    val sorted = names.sorted
+    val remaining = params.get("pageToken").filter(_.nonEmpty)
+      .map(t => sorted.dropWhile(_ <= t)).getOrElse(sorted)
+    params.get("pageSize").flatMap(_.toIntOption).filter(_ > 0) match {
+      case Some(sz) if remaining.length > sz =>
+        (remaining.take(sz), Some(remaining(sz - 1)))
+      case _ => (remaining, None)
+    }
+  }
+
   private def listNamespaces(ex: HttpExchange): Unit = {
     val names = backing match {
       case sq: SqlCatalog => sq.listNamespaces()
@@ -266,9 +301,11 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         (nsProps.keys.asScala.toSeq ++ backing.listTables().map(t =>
           if (t.contains('.')) t.substring(0, t.lastIndexOf('.')) else "default")).distinct.sorted
     }
+    val (page, next) = paginated(ex, names)
     val o = mapper.createObjectNode()
     val arr = o.putArray("namespaces")
-    names.foreach { n => val a = arr.addArray(); a.add(n); () }
+    page.foreach { n => val a = arr.addArray(); a.add(n); () }
+    next.foreach(o.put("next-page-token", _))
     sendJson(ex, 200, o)
   }
 
@@ -302,6 +339,12 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   }
 
   private def dropNamespace(ex: HttpExchange, ns: String): Unit = {
+    // spec: dropping a namespace that still holds tables is a 409
+    val nonEmpty = backing.listTables().exists(t =>
+      (if (t.contains('.')) t.substring(0, t.lastIndexOf('.')) else "default") == ns)
+    if (nonEmpty)
+      return sendError(ex, 409, "NamespaceNotEmptyException",
+        s"namespace $ns is not empty")
     backing match {
       case sq: SqlCatalog => sq.dropNamespace(ns)
       case _ => nsProps.remove(ns)
@@ -330,18 +373,20 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   // ---- tables ------------------------------------------------------------
 
   private def listTables(ex: HttpExchange, ns: String): Unit = {
-    val o = mapper.createObjectNode()
-    val arr = o.putArray("identifiers")
-    backing.listTables()
+    val inNs = backing.listTables()
       .map(t => if (t.contains('.'))
         (t.substring(0, t.lastIndexOf('.')), t.substring(t.lastIndexOf('.') + 1))
       else ("default", t))
       .filter(_._1 == ns)
-      .foreach { case (n, t) =>
-        val io = arr.addObject()
-        val na = io.putArray("namespace"); na.add(n)
-        io.put("name", t)
-      }
+    val (page, next) = paginated(ex, inNs.map(_._2))
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("identifiers")
+    page.foreach { t =>
+      val io = arr.addObject()
+      val na = io.putArray("namespace"); na.add(ns)
+      io.put("name", t)
+    }
+    next.foreach(o.put("next-page-token", _))
     sendJson(ex, 200, o)
   }
 
@@ -538,14 +583,16 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   }
 
   private def listViews(ex: HttpExchange, ns: String): Unit = {
+    val (page, next) = paginated(ex, views.listViews())
     val o = mapper.createObjectNode()
     val arr = o.putArray("identifiers")
-    views.listViews().foreach { n =>
+    page.foreach { n =>
       val id = arr.addObject()
       id.putArray("namespace")
       id.put("name", n)
       ()
     }
+    next.foreach(o.put("next-page-token", _))
     sendJson(ex, 200, o)
   }
 

@@ -53,6 +53,39 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!client.tableExists("smoke"))
   }
 
+  test("list endpoints paginate: pageSize pages chain via next-page-token") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val names = (0 until 5).map(i => f"pg_t$i")
+    names.foreach(n => client.createTable(n, schema, PartitionSpec.Unpartitioned))
+    try {
+      // raw page: exactly pageSize identifiers + a token while more remain
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(q: String) = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.uri}/v1/namespaces/default/tables$q"))
+          .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() === 200)
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      }
+      val p1 = get("?pageSize=2")
+      import scala.jdk.CollectionConverters._
+      def idents(n: com.fasterxml.jackson.databind.JsonNode) =
+        n.get("identifiers").elements().asScala.map(_.get("name").asText).toSeq
+      assert(idents(p1).size === 2)
+      val tok = p1.get("next-page-token").asText
+      assert(tok.nonEmpty)
+      val p2 = get(s"?pageSize=2&pageToken=$tok")
+      assert(idents(p2).size === 2)
+      assert(idents(p2).intersect(idents(p1)).isEmpty)
+      // a small-page client drains every page and sees the full listing
+      val paged = new RestCatalog(server.uri, listPageSize = 2)
+      assert(names.forall(paged.listTables().contains))
+      assert(paged.listTables() === paged.listTables().distinct)
+    } finally names.foreach(client.dropTable)
+  }
+
   test("full write path commits through requirements+updates") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)
