@@ -41,8 +41,23 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
   private def tableDir(name: String): String = s"$warehouse/$name"
   private def metadataDir(name: String): String = s"${tableDir(name)}/metadata"
   private def hintFile(name: String): String = s"${metadataDir(name)}/version-hint.text"
-  private def metadataFile(name: String, v: Int): String =
-    s"${metadataDir(name)}/v$v.metadata.json"
+
+  /** Write-side name: codec extension from `write.metadata.compression-codec`
+    * (reference `locations.go:55-82`). Version files always live under the
+    * catalog-managed `<table>/metadata` dir — the version-listing fallback
+    * and CAS both depend on that layout; `write.metadata.path` relocates
+    * auxiliary metadata (manifests, stats), not the catalog pointer chain.
+    */
+  private def metadataFile(name: String, v: Int,
+      props: Map[String, String]): String =
+    s"${metadataDir(name)}/${graft.table.Locations.metadataFileName(v, props)}"
+
+  /** Read-side resolve: the codec is whatever the committer used — sniff
+    * among the three spellings.
+    */
+  private def resolveMetadataFile(name: String, v: Int): Option[String] =
+    Seq(s"v$v.metadata.json", s"v$v.gz.metadata.json", s"v$v.zstd.metadata.json")
+      .map(fn => s"${metadataDir(name)}/$fn").find(FileIO.exists)
 
   def tableExists(name: String): Boolean = FileIO.exists(hintFile(name))
 
@@ -55,14 +70,15 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     require(!tableExists(name), s"table $name already exists")
     val meta = TableMetadata.empty(tableDir(name), schema, spec, sortOrder, properties)
     commitVersion(name, 1, meta)
-    new Table(name, meta, metadataFile(name, 1), this)
+    new Table(name, meta, metadataFile(name, 1, meta.properties), this)
   }
 
   def loadTable(name: String): Table = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
-    val path = metadataFile(name, v)
-    val meta = TableMetadata.fromJson(FileIO.readString(path))
+    val path = resolveMetadataFile(name, v).getOrElse(
+      throw new IllegalArgumentException(s"missing metadata v$v for $name"))
+    val meta = TableMetadata.fromJson(graft.table.Locations.readMetadataJson(path))
     new Table(name, meta, path, this)
   }
 
@@ -94,9 +110,7 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     // to listing vN.metadata.json files for the true max version
     fromHint.orElse {
       FileIO.listFilesRecursive(metadataDir(name))
-        .map(f => f.path.substring(f.path.lastIndexOf('/') + 1))
-        .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
-        .flatMap(n => n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption)
+        .flatMap(f => graft.table.Locations.metadataVersionOf(f.path))
         .maxOption
     }
   }
@@ -110,7 +124,7 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     if (cur != expectedVersion)
       throw new CommitConflict(s"expected version $expectedVersion but found $cur")
     commitVersion(name, expectedVersion + 1, updated)
-    metadataFile(name, expectedVersion + 1)
+    metadataFile(name, expectedVersion + 1, updated.properties)
   }
 
   /** All-or-nothing commit across tables: reserve every table's next
@@ -137,9 +151,9 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     val placed = Seq.newBuilder[String]
     try {
       commits.foreach { c =>
-        val path = metadataFile(c.name, c.expectedVersion + 1)
-        FileIO.createNoReplace(path,
-          TableMetadata.toJson(c.updated).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val path = metadataFile(c.name, c.expectedVersion + 1, c.updated.properties)
+        FileIO.createNoReplace(path, graft.table.Locations.encodeMetadata(
+          TableMetadata.toJson(c.updated), c.updated.properties))
         placed += path
       }
     } catch {
@@ -158,8 +172,9 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
   }
 
   private def commitVersion(name: String, version: Int, meta: TableMetadata): Unit = {
-    val bytes = TableMetadata.toJson(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    try FileIO.createNoReplace(metadataFile(name, version), bytes)
+    val bytes = graft.table.Locations.encodeMetadata(
+      TableMetadata.toJson(meta), meta.properties)
+    try FileIO.createNoReplace(metadataFile(name, version, meta.properties), bytes)
     catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.FileAlreadyExistsException =>

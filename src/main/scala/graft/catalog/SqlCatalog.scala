@@ -53,18 +53,17 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
     val (ns, tbl) = split(name)
     s"$warehouse/$ns/$tbl"
   }
-  private def metadataFile(name: String, v: Int): String =
-    s"${tableDir(name)}/metadata/v$v.metadata.json"
+  private def metadataFile(name: String, v: Int,
+      props: Map[String, String] = Map.empty): String =
+    s"${tableDir(name)}/metadata/" +
+      graft.table.Locations.metadataFileName(v, props)
 
-  /** Version is derived from the recorded location's `v<N>.metadata.json`
-    * (the Catalog trait speaks versions; the database speaks locations).
+  /** Version is derived from the recorded location's `v<N>[.codec]
+    * .metadata.json` (the Catalog trait speaks versions; the database
+    * speaks locations).
     */
-  private def versionOf(location: String): Option[Int] = {
-    val fn = location.substring(location.lastIndexOf('/') + 1)
-    if (fn.startsWith("v") && fn.endsWith(".metadata.json"))
-      fn.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
-    else None
-  }
+  private def versionOf(location: String): Option[Int] =
+    graft.table.Locations.metadataVersionOf(location)
 
   // ---- connections -------------------------------------------------------
 
@@ -128,8 +127,9 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
       properties: Map[String, String] = Map.empty): Table = {
     val (ns, tbl) = split(name)
     val meta = TableMetadata.empty(tableDir(name), schema, spec, sortOrder, properties)
-    val path = metadataFile(name, 1)
-    FileIO.writeString(path, TableMetadata.toJson(meta))
+    val path = metadataFile(name, 1, meta.properties)
+    FileIO.write(path, graft.table.Locations.encodeMetadata(
+      TableMetadata.toJson(meta), meta.properties))
     val inserted = withConn { c =>
       val ps = c.prepareStatement(
         """INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name,
@@ -150,7 +150,8 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
   def loadTable(name: String): Table = {
     val path = currentLocation(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
-    val meta = TableMetadata.fromJson(FileIO.readString(path))
+    val meta = TableMetadata.fromJson(
+      graft.table.Locations.readMetadataJson(path))
     new Table(name, meta, path, this)
   }
 
@@ -222,11 +223,11 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
 
   private def stageMetadataFile(name: String, updated: TableMetadata,
       expectedVersion: Int): String = {
-    val path = metadataFile(name, expectedVersion + 1)
+    val path = metadataFile(name, expectedVersion + 1, updated.properties)
     // create-no-replace pre-filters two racers targeting the same version
     // before either reaches the database
-    try FileIO.createNoReplace(path,
-      TableMetadata.toJson(updated).getBytes(StandardCharsets.UTF_8))
+    try FileIO.createNoReplace(path, graft.table.Locations.encodeMetadata(
+      TableMetadata.toJson(updated), updated.properties))
     catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -344,7 +345,8 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
       throw new IllegalArgumentException(
         s"unsupported metadata file name: $metadataLocation " +
           "(this catalog requires v<N>.metadata.json versioned locations)")
-    val meta = TableMetadata.fromJson(FileIO.readString(metadataLocation))
+    val meta = TableMetadata.fromJson(
+      graft.table.Locations.readMetadataJson(metadataLocation))
     val (ns, tbl) = split(name)
     if (!namespaceExists(ns) && !listNamespaces().contains(ns))
       throw new NoSuchElementException(s"no such namespace: $ns")

@@ -4085,6 +4085,127 @@ object IcebergQueries {
              'true,true,true,true' AS mgmt_ok
       FROM nation
       GROUP BY n_regionkey
-      ORDER BY n_regionkey"""), repeatable = true)
+      ORDER BY n_regionkey"""), repeatable = true),
+
+    // Object-storage file layout (reference table/locations.go:116-186):
+    // with write.object-storage.enabled every new data file name gains 20
+    // bits of murmur3 entropy split into 4/4/4/8-bit directories. At
+    // 100 TB this is what keeps S3 from throttling: a 1000-executor write
+    // funneling every PUT under one .../data/ prefix hits the per-prefix
+    // request cap; 2^20 hashed prefixes spread the load, and the fixed-
+    // width dirs keep orphan-cleanup listings shallow. Both write funnels
+    // must honor it (V1 append AND the DSv2 executor fanout), plus the
+    // hash-file join form (partitioned-paths=false) and the
+    // write.data.path relocation — and reads must be path-driven enough
+    // to never care.
+    QueryDef.staged("i104_object_storage", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/ost_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gost_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t0 = cat.createTable("cust", schema,
+        PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build(),
+        properties = Map("write.object-storage.enabled" -> "true"))
+      Writer.append(s, t0, c.filter(col("c_custkey") % 2 === 0))
+      c.filter(col("c_custkey") % 2 === 1).createOrReplaceTempView(s"ostsrc_$ctl")
+      s.sql(s"INSERT INTO $ctl.cust SELECT * FROM ostsrc_$ctl")
+      val files = cat.loadTable("cust").newScan.planFiles().map(_.file.path).toSeq
+      val layoutOk = files.nonEmpty && files.forall { p =>
+        val fn = p.substring(p.lastIndexOf('/') + 1)
+        p.contains("/data/c_mktsegment=") &&
+          p.contains(graft.table.Locations.entropyDirs(fn) + "/" + fn)
+      }
+      // sharding evidence: files actually spread across entropy prefixes
+      val prefixes = files.map { p =>
+        p.substring(p.indexOf("/data/")).split('/')
+          .find(seg => seg.length == 4 && seg.forall(ch => ch == '0' || ch == '1'))
+      }.distinct
+      val spreadOk = prefixes.flatten.size >= 2
+      // hash-file join form: no partition dirs in the leaf join
+      val t2 = cat.createTable("cust2", schema, PartitionSpec.Unpartitioned,
+        properties = Map(
+          "write.object-storage.enabled" -> "true",
+          "write.object-storage.partitioned-paths" -> "false"))
+      Writer.append(s, t2, c.limit(50))
+      val joinOk = cat.loadTable("cust2").newScan.planFiles().forall { t =>
+        val p = t.file.path
+        val leaf = p.substring(p.lastIndexOf('/') + 1) // "xxxxxxxx-uuid.parquet"
+        val fn = leaf.substring(leaf.indexOf('-') + 1)
+        p.contains(graft.table.Locations.entropyDirs(fn).replaceAll("/([01]{8})$", "/$1-") + fn)
+      }
+      // write.data.path relocation: data lands OUTSIDE <table>/data
+      val shared = s"$wh/_shared-data/cust3"
+      val t3 = cat.createTable("cust3", schema, PartitionSpec.Unpartitioned,
+        properties = Map("write.data.path" -> shared))
+      Writer.append(s, t3, c.limit(50))
+      val movedOk = cat.loadTable("cust3").newScan.planFiles()
+        .forall(_.file.path.startsWith(shared))
+      val flags = Seq(layoutOk, spreadOk, joinOk, movedOk).mkString(",")
+      () => s.sql(s"""
+        SELECT c_mktsegment, COUNT(c_custkey) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+               '$flags' AS layout_ok
+        FROM $ctl.cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(c_custkey) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true,true,true,true' AS layout_ok
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Compressed table metadata (reference locations.go:55-82,
+    // table.go:1289-1312): write.metadata.compression-codec=gzip|zstd
+    // names versions v<N>.gz|zstd.metadata.json and readers sniff the
+    // codec from the suffix. A 100 TB table's metadata.json carries 10⁵+
+    // snapshots/log entries — compression cuts the bytes every planner
+    // fetch pays by ~5-10x. Asserts the wire form (magic bytes), the
+    // catalog version walk across compressed names, and whole reads back
+    QueryDef.staged("i105_metadata_compression", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/mcc_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gmcc_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      n.createOrReplaceTempView(s"mccsrc_$ctl")
+      val legs = Seq(
+        ("gzip", ".gz.metadata.json", Array(0x1f, 0x8b).map(_.toByte)),
+        ("zstd", ".zstd.metadata.json", Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)))
+      val flags = legs.map { case (codec, suffix, magic) =>
+        cat.createTable(s"nat_$codec", schema, PartitionSpec.Unpartitioned,
+          properties = Map("write.metadata.compression-codec" -> codec))
+        s.sql(s"INSERT INTO $ctl.nat_$codec SELECT * FROM mccsrc_$ctl WHERE n_nationkey < 13")
+        s.sql(s"INSERT INTO $ctl.nat_$codec SELECT * FROM mccsrc_$ctl WHERE n_nationkey >= 13")
+        val t = cat.loadTable(s"nat_$codec")
+        val nameOk = t.metadataPath.endsWith(suffix) && t.currentVersion == 3
+        val raw = FileIO.readAllBytes(t.metadataPath)
+        val magicOk = raw.take(magic.length).sameElements(magic)
+        val parseOk = graft.table.Locations.readMetadataJson(t.metadataPath)
+          .contains("\"format-version\"")
+        nameOk && magicOk && parseOk
+      }.mkString(",")
+      () => s.sql(s"""
+        SELECT src, n_regionkey, n, '$flags' AS codec_ok FROM (
+          SELECT 'gzip' AS src, n_regionkey, COUNT(n_nationkey) AS n
+          FROM $ctl.nat_gzip GROUP BY n_regionkey
+          UNION ALL
+          SELECT 'zstd' AS src, n_regionkey, COUNT(n_nationkey) AS n
+          FROM $ctl.nat_zstd GROUP BY n_regionkey)
+        ORDER BY src, n_regionkey""")
+    }, Some("""
+      SELECT src, n_regionkey, n, 'true,true' AS codec_ok FROM (
+        SELECT 'gzip' AS src, n_regionkey, COUNT(n_nationkey) AS n
+        FROM nation GROUP BY n_regionkey
+        UNION ALL
+        SELECT 'zstd' AS src, n_regionkey, COUNT(n_nationkey) AS n
+        FROM nation GROUP BY n_regionkey)
+      ORDER BY src, n_regionkey"""), repeatable = true)
   )
 }

@@ -183,11 +183,7 @@ final class RestCatalog(baseUriRaw: String,
 
   def currentVersion(name: String): Option[Int] =
     if (!tableExists(name)) None
-    else {
-      val path = loadTable(name).metadataPath
-      val fn = path.substring(path.lastIndexOf('/') + 1)
-      fn.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
-    }
+    else graft.table.Locations.metadataVersionOf(loadTable(name).metadataPath)
 
   def commit(name: String, base: TableMetadata, updated: TableMetadata,
       expectedVersion: Int): String = {

@@ -194,7 +194,8 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
     val inner = new GraftCowWriterFactory(
       ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
       table.location, schema, table.spec, extractors, maxRecords,
-      closeOnPartitionChange = true)
+      closeOnPartitionChange = true,
+      tableProps = table.metadata.properties)
 
     // prior delete state per candidate data file, shipped to executors so
     // each task folds it into the superseding DV it writes
@@ -217,7 +218,8 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
     val useDv = table.metadata.formatVersion >= 3
     val posDelWriter = ParquetRowWriteBridge.writerFactory(spark, delSchema, ioOpts)
     new GraftDeltaWriterFactory(inner, existingDvs, existingPosFiles,
-      posDelReader, ioOpts, table.location, useDv, posDelWriter)
+      posDelReader, ioOpts, table.location, useDv, posDelWriter,
+      table.metadata.properties)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -277,14 +279,15 @@ final class GraftDeltaWriterFactory(
     ioOptions: Map[String, String],
     location: String,
     useDv: Boolean,
-    posDelWriter: String => org.apache.spark.sql.graft.RowFileWriter)
+    posDelWriter: String => org.apache.spark.sql.graft.RowFileWriter,
+    tableProps: Map[String, String] = Map.empty)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(
       inner.createWriter(partitionId, taskId).asInstanceOf[GraftCowDataWriter],
       existingDvs, existingPosFiles, posDelReader, ioOptions, location,
-      useDv, posDelWriter)
+      useDv, posDelWriter, tableProps)
 }
 
 /** Task-local delta writer: inserted rows route through the fanout data
@@ -301,7 +304,8 @@ final class GraftDeltaWriter(
     ioOptions: Map[String, String],
     location: String,
     useDv: Boolean,
-    posDelWriter: String => org.apache.spark.sql.graft.RowFileWriter)
+    posDelWriter: String => org.apache.spark.sql.graft.RowFileWriter,
+    tableProps: Map[String, String] = Map.empty)
     extends DeltaWriter[InternalRow] {
 
   private val bitmaps = mutable.Map.empty[String, PositionBitmap]
@@ -340,7 +344,8 @@ final class GraftDeltaWriter(
             }
           })
         }
-        val puffinPath = s"$location/data/dv-${UUID.randomUUID()}.puffin"
+        val puffinPath = graft.table.Locations.newDataLocation(location,
+          tableProps, "", s"dv-${UUID.randomUUID()}.puffin")
         val ordered = bitmaps.toSeq.sortBy(_._1)
         val metas = Puffin.write(puffinPath, ordered.map { case (file, bm) =>
           (DeletionVector.BlobType, DeletionVector.serialize(bm), Map(
@@ -354,7 +359,8 @@ final class GraftDeltaWriter(
       } else {
         // v2: one parquet positional-delete file per task, rows ordered
         // (file_path ASC, pos ASC) per spec; additive — no fold needed
-        val path = s"$location/data/pos-delete-${UUID.randomUUID()}.parquet"
+        val path = graft.table.Locations.newDataLocation(location,
+          tableProps, "", s"pos-delete-${UUID.randomUUID()}.parquet")
         val w = posDelWriter(path)
         var count = 0L
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)

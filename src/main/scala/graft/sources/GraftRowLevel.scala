@@ -276,7 +276,8 @@ object GraftBatchWrites {
       table.location, schema, table.spec, extractors, maxRecords,
       // the owning writes declare a clustered+sorted distribution, so each
       // partition arrives as one contiguous run — close on change
-      closeOnPartitionChange = true)
+      closeOnPartitionChange = true,
+      tableProps = table.metadata.properties)
   }
 
   /** One graft transform over a named source column as a provably-
@@ -450,12 +451,13 @@ final class GraftCowWriterFactory(
     newWriter: String => RowFileWriter,
     location: String, schema: IcebergSchema, spec: PartitionSpec,
     extractors: Seq[GraftPartExtractor], maxRecords: Long,
-    closeOnPartitionChange: Boolean = false)
+    closeOnPartitionChange: Boolean = false,
+    tableProps: Map[String, String] = Map.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(newWriter, location, schema, spec, extractors,
-      maxRecords, closeOnPartitionChange)
+      maxRecords, closeOnPartitionChange, tableProps)
 }
 
 /** Peak concurrently-open writers across all [[GraftCowDataWriter]] tasks
@@ -490,7 +492,8 @@ final class GraftCowDataWriter(
     newWriter: String => RowFileWriter,
     location: String, schema: IcebergSchema, spec: PartitionSpec,
     extractors: Seq[GraftPartExtractor], maxRecords: Long,
-    closeOnPartitionChange: Boolean = false)
+    closeOnPartitionChange: Boolean = false,
+    tableProps: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
 
   private final class OpenFile(val partValues: Seq[Any], val path: String) {
@@ -518,7 +521,8 @@ final class GraftCowDataWriter(
     }
 
   private def newPath(dir: String): String =
-    s"$location/data/$dir${UUID.randomUUID()}.parquet"
+    graft.table.Locations.newDataLocation(location, tableProps, dir,
+      s"${UUID.randomUUID()}.parquet")
 
   private def closeFile(f: OpenFile): Unit = {
     f.writer.close()

@@ -139,7 +139,8 @@ final class GraftStreamingWrite(table: GraftTable, truncate: Boolean)
       (targetBytes / math.max(16, sparkSchema.defaultSize).toDouble).toLong)
     val inner = new GraftCowWriterFactory(
       ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
-      table.location, schema, table.spec, extractors, maxRecords)
+      table.location, schema, table.spec, extractors, maxRecords,
+      tableProps = table.metadata.properties)
     new GraftStreamingWriterFactory(inner)
   }
 

@@ -97,7 +97,8 @@ object Analyze {
       (fieldId, bytes, ndv)
     }
 
-    val path = s"${meta.location}/metadata/stats-${UUID.randomUUID()}.puffin"
+    val path = s"${Locations.metadataPath(meta.location, meta.properties)}/" +
+      s"stats-${UUID.randomUUID()}.puffin"
     val metas = Puffin.writeBlobs(path, blobs.map { case (fieldId, bytes, ndv) =>
       Puffin.BlobSpec(NdvBlobType, bytes, Map("ndv" -> ndv.toString),
         fields = Seq(fieldId),
@@ -134,7 +135,8 @@ object Analyze {
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("no snapshot to analyze"))
     val rollup: DataFrame = Inspect.partitions(spark, table)
-    val dir = s"${meta.location}/metadata/partition-stats-${UUID.randomUUID()}"
+    val dir = s"${Locations.metadataPath(meta.location, meta.properties)}/" +
+      s"partition-stats-${UUID.randomUUID()}"
     rollup.coalesce(1).write.parquet(dir)
     val file = graft.io.FileIO.listFilesRecursive(dir)
       .find(_.path.endsWith(".parquet")).get

@@ -186,7 +186,8 @@ object Maintenance {
             f.format == "PUFFIN")
           .flatMap(d => d.referencedDataFile.map(r =>
             r -> ((d.path, d.contentOffset.get, d.contentSize.get)))).toMap
-        added = Writer.writeDvBlobs(spark, rows, dvByFile, table.location)
+        added = Writer.writeDvBlobs(spark, rows, dvByFile, table.location,
+          table.metadata.properties)
         supersededDvKeys = added.flatMap(_.referencedDataFile)
           .flatMap(dvByFile.get).map(d => (d._1, Option(d._2))).toSet
       } else {
@@ -200,7 +201,8 @@ object Maintenance {
         val tmpDir = s"${table.location}/tmp-rewrite-deletes-${UUID.randomUUID()}"
         ordered.write.options(Writer.encryptionOptions(spark, table)).parquet(tmpDir)
         added = Writer.listParquet(tmpDir).map { src =>
-          val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
+          val target = Locations.newDataLocation(table.location,
+            table.metadata.properties, "", s"delete-${UUID.randomUUID()}.parquet")
           Writer.moveFile(src, target)
           val (rowCount, size, _, _) = Writer.footerBasics(target)
           DataFile(DataFileContent.PositionDeletes, target, "PARQUET",
@@ -333,7 +335,7 @@ object Maintenance {
     if (dataManifests.size <= minAchievable) return table
 
     val schema = meta.schema
-    val metadataDir = s"${meta.location}/metadata"
+    val metadataDir = Locations.metadataPath(meta.location, meta.properties)
     val newSeq = meta.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
 
@@ -500,9 +502,13 @@ object Maintenance {
     val byPathKey: Map[String, Seq[(String, String, String)]] =
       referenced.toSeq.map(split).groupBy(_._3)
 
+    // scan the default layout AND any write.data.path/write.metadata.path
+    // override (files written before the property changed live in both)
     val all =
-      graft.io.FileIO.listFilesRecursive(s"${meta.location}/data") ++
-      graft.io.FileIO.listFilesRecursive(s"${meta.location}/metadata")
+      (Seq(s"${meta.location}/data", s"${meta.location}/metadata",
+        Locations.dataPath(meta.location, meta.properties),
+        Locations.metadataPath(meta.location, meta.properties))
+        .distinct.flatMap(graft.io.FileIO.listFilesRecursive))
 
     val keepSuffixes = Seq("version-hint.text")
     def isOrphan(path: String): Boolean = {

@@ -69,10 +69,10 @@ final class Table(
     * silently build on its version while carrying stale metadata (lost
     * update). Parsed from `v<N>.metadata.json`.
     */
-  val currentVersion: Int = {
-    val fn = metadataPath.substring(metadataPath.lastIndexOf('/') + 1)
-    fn.stripPrefix("v").stripSuffix(".metadata.json").toInt
-  }
+  val currentVersion: Int =
+    Locations.metadataVersionOf(metadataPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"unversioned metadata path: $metadataPath"))
 }
 
 /** One unit of read work: a data file + the delete artifacts that apply to it

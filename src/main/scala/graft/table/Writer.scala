@@ -267,7 +267,8 @@ object Writer {
     matched.write.options(encryptionOptions(spark, table)).parquet(tmpDir)
     val written = listParquet(tmpDir)
     val deleteFiles = written.map { src =>
-      val target = s"${table.location}/data/delete-${UUID.randomUUID()}.parquet"
+      val target = Locations.newDataLocation(table.location,
+        table.metadata.properties, "", s"delete-${UUID.randomUUID()}.parquet")
       moveFile(src, target)
       val (rowCount, size, _, _) = footerBasics(target)
       DataFile(DataFileContent.PositionDeletes, target, "PARQUET",
@@ -336,7 +337,8 @@ object Writer {
     // partial build, reduce-side OR-merge): a 10M-row delete never
     // materializes a 10M-element position array in any task's heap
     // (reference streams the same way, table/dv/dv_writer.go).
-    val deleteFiles = writeDvBlobs(spark, withExisting, existingDvs, location)
+    val deleteFiles = writeDvBlobs(spark, withExisting, existingDvs, location,
+      table.metadata.properties)
     if (deleteFiles.isEmpty) return table
     commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles,
       conflictCheck = Some(ConflictCheck(filter = filter,
@@ -361,7 +363,8 @@ object Writer {
   private[table] def writeDvBlobs(spark: SparkSession,
       positions: org.apache.spark.sql.DataFrame,
       existingDvs: Map[String, (String, Long, Long)],
-      location: String): Seq[DataFile] = {
+      location: String,
+      tableProps: Map[String, String]): Seq[DataFile] = {
     import spark.implicits._
     val bcDvs = spark.sparkContext.broadcast(existingDvs)
     val blobMeta: Seq[(String, String, Long, Long, Long)] =
@@ -380,7 +383,8 @@ object Writer {
           }.toSeq
           if (blobs.isEmpty) Iterator.empty
           else {
-            val puffinPath = s"$location/data/dv-${UUID.randomUUID()}.puffin"
+            val puffinPath = Locations.newDataLocation(location, tableProps,
+              "", s"dv-${UUID.randomUUID()}.puffin")
             val metas = Puffin.write(puffinPath, blobs.map { case (file, bm) =>
               (DeletionVector.BlobType, DeletionVector.serialize(bm), Map(
                 "referenced-data-file" -> file,
@@ -437,7 +441,8 @@ object Writer {
     keys.select(equalityFieldNames.map(col): _*).write
       .options(encryptionOptions(spark, table)).parquet(tmpDir)
     val deleteFiles = listParquet(tmpDir).map { src =>
-      val target = s"${table.location}/data/eq-delete-${UUID.randomUUID()}.parquet"
+      val target = Locations.newDataLocation(table.location,
+        table.metadata.properties, "", s"eq-delete-${UUID.randomUUID()}.parquet")
       moveFile(src, target)
       val (rowCount, size, _, _) = footerBasics(target)
       DataFile(DataFileContent.EqualityDeletes, target, "PARQUET",
@@ -469,7 +474,8 @@ object Writer {
     deleteKeys.select(equalityFieldNames.map(col): _*).write
       .options(encryptionOptions(spark, table)).parquet(tmpDir)
     val deleteFiles = listParquet(tmpDir).map { src =>
-      val target = s"${table.location}/data/eq-delete-${UUID.randomUUID()}.parquet"
+      val target = Locations.newDataLocation(table.location,
+        table.metadata.properties, "", s"eq-delete-${UUID.randomUUID()}.parquet")
       moveFile(src, target)
       val (rowCount, size, _, _) = footerBasics(target)
       DataFile(DataFileContent.EqualityDeletes, target, "PARQUET",
@@ -795,7 +801,8 @@ object Writer {
       }
       val partPath = if (spec.isUnpartitioned) ""
         else spec.partitionToPath(partValues, schema) + "/"
-      val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
+      val target = Locations.newDataLocation(table.location,
+        table.metadata.properties, partPath, s"${UUID.randomUUID()}.parquet")
       moveFile(src, target)
       val base = harvestStats(target, schema, partValues, omitBounds = omitBounds,
         props = table.metadata.properties)
@@ -1496,7 +1503,7 @@ object Writer {
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
     val schema = meta.schema
     val spec = meta.spec
-    val metadataDir = s"${meta.location}/metadata"
+    val metadataDir = Locations.metadataPath(meta.location, meta.properties)
     val partType = spec.partitionType(schema)
 
     // Branch-targeted commit (WAP staging): the parent is the BRANCH head,
