@@ -4206,6 +4206,64 @@ object IcebergQueries {
         UNION ALL
         SELECT 'zstd' AS src, n_regionkey, COUNT(n_nationkey) AS n
         FROM nation GROUP BY n_regionkey)
-      ORDER BY src, n_regionkey"""), repeatable = true)
+      ORDER BY src, n_regionkey"""), repeatable = true),
+
+    // Snapshot-summary wire parity (reference table/snapshots.go:60-180,
+    // 448-560): per-content delete splits (position vs equality) written
+    // setWhenPositive, totals rolled forward from the PARENT summary in
+    // O(1) per commit (never a manifest walk), and the changed-partition
+    // rollup — `changed-partition-count` always, `partitions.<path>`
+    // entries only while the changed set stays under
+    // write.summary.partition-limit, so a 10⁵-partition commit records a
+    // count and not 10⁵ metadata entries. Monitoring and incremental
+    // consumers read these without opening a single manifest
+    QueryDef.staged("i106_snapshot_summary", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/ssm_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t0 = cat.createTable("cust", schema,
+        PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build(),
+        properties = Map("write.summary.partition-limit" -> "10"))
+      val t1 = Writer.append(s, t0, c)
+      val sum1 = t1.metadata.currentSnapshot.get.summary
+      val nSegs = c.select("c_mktsegment").distinct.count()
+      val partKeys = sum1.keys.filter(_.startsWith("partitions.")).toSeq
+      val partOk = sum1.get("changed-partition-count").contains(nSegs.toString) &&
+        partKeys.size == nSegs.toInt &&
+        sum1("partitions.c_mktsegment=BUILDING").contains("added-data-files=") &&
+        sum1("partitions.c_mktsegment=BUILDING").contains("added-records=")
+      val bytes1 = t1.newScan.planFiles().map(_.file.fileSize).sum
+      val totalsOk = sum1.get("total-files-size").contains(bytes1.toString) &&
+        sum1.get("total-position-deletes").contains("0") &&
+        !sum1.contains("added-position-delete-files") // setWhenPositive
+      // MoR delete: pos-delete splits appear, totals roll forward
+      val t2 = Writer.deleteWhereMoR(s, t1, Expr.eq("c_custkey", 7L))
+      val sum2 = t2.metadata.currentSnapshot.get.summary
+      val posOk = sum2.get("added-position-delete-files").exists(_.toLong >= 1) &&
+        sum2.get("added-position-deletes").contains("1") &&
+        sum2.get("total-position-deletes").contains("1") &&
+        sum2.get("total-files-size").exists(_.toLong > bytes1)
+      // over-limit commit: count recorded, per-partition entries elided
+      val t3 = Evolve.setProperties(t2,
+        Map("write.summary.partition-limit" -> "2"))
+      val t4 = Writer.append(s, t3, c.filter(col("c_custkey") <= 40))
+      val sum4 = t4.metadata.currentSnapshot.get.summary
+      val elideOk = sum4.get("changed-partition-count").exists(_.toInt > 2) &&
+        !sum4.keys.exists(_.startsWith("partitions."))
+      val flags = Seq(partOk, totalsOk, posOk, elideOk).mkString(",")
+      () => SparkRead.read(s, cat.loadTable("cust").newScan)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_mktsegment"), col("n"), lit(flags).as("summary_ok"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, 'true,true,true,true' AS summary_ok
+      FROM (
+        SELECT * FROM customer WHERE c_custkey <> 7
+        UNION ALL
+        SELECT * FROM customer WHERE c_custkey <= 40)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

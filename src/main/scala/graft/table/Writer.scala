@@ -1625,8 +1625,84 @@ object Writer {
     // spec summary keys (reference `table/snapshots.go:61-88`); removed
     // files/records come from the manifest entries actually dropped above
     val removedData = acc.removedData.result()
+    val removedDeletes = acc.removedDeletes.result()
     val dataManifests = allManifests.filter(_.content == ManifestContent.Data)
     val deleteManifests = allManifests.filter(_.content == ManifestContent.Deletes)
+
+    // per-content delete splits + incremental totals (reference
+    // `snapshots.go:109-180,536-560` updateMetrics/updateSnapshotSummaries):
+    // totals roll forward from the PARENT snapshot's summary — O(1) per
+    // commit, never a manifest walk; split keys follow setWhenPositive
+    // (written only when > 0, the wire convention)
+    def deleteSplits(fs: Seq[DataFile]): (Long, Long, Long, Long) = {
+      val pos = fs.filter(_.content == DataFileContent.PositionDeletes)
+      val eq = fs.filter(_.content == DataFileContent.EqualityDeletes)
+      (pos.size.toLong, pos.map(_.recordCount).sum,
+        eq.size.toLong, eq.map(_.recordCount).sum)
+    }
+    val (addPosF, addPos, addEqF, addEq) = deleteSplits(addedDeleteFiles)
+    val (remPosF, remPos, remEqF, remEq) = deleteSplits(removedDeletes)
+    val parentSummary: Map[String, String] = parentSnapshotId
+      .flatMap(meta.snapshotById).map(_.summary).getOrElse(Map.empty)
+    def parentTotal(k: String): Long =
+      parentSummary.get(k).flatMap(_.toLongOption).getOrElse(0L)
+    val addedBytesAll = addedFiles.map(_.fileSize).sum +
+      addedDeleteFiles.map(_.fileSize).sum
+    val removedBytesAll = removedData.map(_.fileSize).sum +
+      removedDeletes.map(_.fileSize).sum
+    def whenPositive(k: String, v: Long): Map[String, String] =
+      if (v > 0) Map(k -> v.toString) else Map.empty
+
+    // changed-partition rollup (reference `snapshots.go:448-533`
+    // SnapshotSummaryCollector): per-partition deltas keyed by the hive
+    // path, emitted as `partitions.<path>` only while the changed set stays
+    // under write.summary.partition-limit — a 10⁵-partition commit records
+    // just the count, never 10⁵ summary entries in metadata.json
+    val partLimit = math.max(0, meta.properties
+      .get("write.summary.partition-limit").flatMap(_.toIntOption).getOrElse(0))
+    val partMetrics = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, Long]]
+    def bump(path: String, key: String, v: Long): Unit = if (v != 0) {
+      val m = partMetrics.getOrElseUpdate(path,
+        scala.collection.mutable.Map.empty)
+      m(key) = m.getOrElse(key, 0L) + v
+    }
+    // only files carrying the CURRENT spec's tuple arity roll up (files on
+    // retired specs would render a wrong path through this spec)
+    def partPathOf(f: DataFile): Option[String] =
+      if (f.partition.isEmpty || f.partition.length != partType.fields.length)
+        None
+      else Some(spec.partitionToPath(f.partition, schema))
+    addedFiles.foreach(f => partPathOf(f).foreach { p =>
+      bump(p, "added-data-files", 1)
+      bump(p, "added-records", f.recordCount)
+      bump(p, "added-files-size", f.fileSize)
+    })
+    addedDeleteFiles.foreach(f => partPathOf(f).foreach { p =>
+      bump(p, "added-delete-files", 1)
+      bump(p, "added-files-size", f.fileSize)
+      if (f.content == DataFileContent.PositionDeletes)
+        bump(p, "added-position-deletes", f.recordCount)
+      else bump(p, "added-equality-deletes", f.recordCount)
+    })
+    removedData.foreach(f => partPathOf(f).foreach { p =>
+      bump(p, "deleted-data-files", 1)
+      bump(p, "deleted-records", f.recordCount)
+      bump(p, "removed-files-size", f.fileSize)
+    })
+    removedDeletes.foreach(f => partPathOf(f).foreach { p =>
+      bump(p, "removed-delete-files", 1)
+      bump(p, "removed-files-size", f.fileSize)
+    })
+    val partitionProps: Map[String, String] =
+      whenPositive("changed-partition-count", partMetrics.size.toLong) ++ (
+        if (partMetrics.nonEmpty && partMetrics.size <= partLimit)
+          partMetrics.map { case (p, m) =>
+            s"partitions.$p" ->
+              m.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString(",")
+          }.toMap
+        else Map.empty)
+
     val summary = Map(
       "operation" -> operation,
       "added-data-files" -> addedFiles.size.toString,
@@ -1636,13 +1712,28 @@ object Writer {
       "deleted-data-files" -> removedPaths.size.toString,
       "deleted-records" -> removedData.map(_.recordCount).sum.toString,
       "removed-files-size" -> removedData.map(_.fileSize).sum.toString,
-      "removed-delete-files" -> acc.removedDeletes.result().size.toString,
+      "removed-delete-files" -> removedDeletes.size.toString,
       "total-data-files" -> dataManifests
         .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
       "total-delete-files" -> deleteManifests
         .map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
       "total-records" -> dataManifests
-        .map(m => m.addedRowsCount + m.existingRowsCount).sum.toString) ++ extraSummary
+        .map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
+      "total-files-size" ->
+        (parentTotal("total-files-size") + addedBytesAll - removedBytesAll).toString,
+      "total-position-deletes" ->
+        (parentTotal("total-position-deletes") + addPos - remPos).toString,
+      "total-equality-deletes" ->
+        (parentTotal("total-equality-deletes") + addEq - remEq).toString) ++
+      whenPositive("added-position-delete-files", addPosF) ++
+      whenPositive("added-position-deletes", addPos) ++
+      whenPositive("added-equality-delete-files", addEqF) ++
+      whenPositive("added-equality-deletes", addEq) ++
+      whenPositive("removed-position-delete-files", remPosF) ++
+      whenPositive("removed-position-deletes", remPos) ++
+      whenPositive("removed-equality-delete-files", remEqF) ++
+      whenPositive("removed-equality-deletes", remEq) ++
+      partitionProps ++ extraSummary
     val snap = Snapshot(snapshotId, parentSnapshotId, newSeq, now,
       manifestListPath, summary, Some(meta.currentSchemaId))
 
