@@ -1388,6 +1388,88 @@ object Text {
                    ORDER BY occurrences DESC, gram ASC) AS rank FROM c)
       SELECT source, rank, gram, occurrences, doc_freq
       FROM r WHERE rank <= 5
-      ORDER BY source, rank"""))
+      ORDER BY source, rank""")),
+
+    // Split hygiene (Splits.hashSplit / exactLeaks / pairLeaks): the
+    // train/valid/test boundary is where dedup mistakes become eval
+    // leakage. Naive id-keyed splitting scatters a duplicate family
+    // across splits; keying the SAME hash on a content fingerprint pins
+    // every exact duplicate to one split by construction. Corpus =
+    // documents + exact twins (id+10⁶): the gate pins both strategies'
+    // split sizes and leaked-text counts against DuckDB running the
+    // identical mod-prime LCG + code-point fold, and flags assert the
+    // twin-pair audit (naive leaks > 0, fingerprint leaks = 0). Split
+    // assignment is map-side-only at any scale; the audit shuffles md5
+    // keys, never document bodies.
+    QueryDef.staged("t41_split_hygiene", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val u = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val w = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+      val naive = graft.llm.Splits.hashSplit(u, col("doc_id"), w, seed = 42L)
+        .withColumn("strategy", lit("naive"))
+      val fp = graft.llm.Splits.hashSplit(
+        u, graft.llm.Splits.textKey(col("text")), w, seed = 42L)
+        .withColumn("strategy", lit("fingerprint"))
+      val twinPairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + lit(1000000L)).as("id_b"))
+      val naivePairLeaks = graft.llm.Splits.pairLeaks(twinPairs, naive, "doc_id").count()
+      val fpPairLeaks = graft.llm.Splits.pairLeaks(twinPairs, fp, "doc_id").count()
+      val flags = Seq(naivePairLeaks > 0, fpPairLeaks == 0L).mkString(",")
+      () => {
+        val both = naive.unionByName(fp)
+        val counts = both.groupBy("strategy", "split")
+          .agg(count(lit(1)).as("n_docs"))
+        val leaks = graft.llm.Splits.exactLeaks(both, "text", by = Seq("strategy"))
+        counts.join(leaks, Seq("strategy"), "left")
+          .select(col("strategy"), col("split"), col("n_docs"),
+            coalesce(col("leaked_texts"), lit(0L)).as("leaked_texts"),
+            lit(flags).as("split_ok"))
+          .orderBy(col("strategy"), col("split"))
+      }
+    }, Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      fp AS (
+        SELECT doc_id, text,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substring(text, 1, 64), ''),
+                     c -> CAST(ord(c) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 2147483647) AS fkey
+        FROM corpus),
+      y1 AS (
+        SELECT 'naive' AS strategy, doc_id, text,
+               ((doc_id % 1000003) * 999983 + 42) % 1000003 AS y
+        FROM corpus
+        UNION ALL
+        SELECT 'fingerprint', doc_id, text,
+               ((fkey % 1000003) * 999983 + 42) % 1000003
+        FROM fp),
+      assigned AS (
+        SELECT strategy, doc_id, text,
+               (((y * y + 12345) % 1000003) * 999983 + 42) % 1000003 AS b
+        FROM y1),
+      sp AS (
+        SELECT strategy, doc_id, text,
+               CASE WHEN b < 800002 THEN 'train'
+                    WHEN b < 900002 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM assigned),
+      counts AS (
+        SELECT strategy, split, COUNT(*) AS n_docs
+        FROM sp GROUP BY strategy, split),
+      lk AS (
+        SELECT strategy, COUNT(*) AS leaked_texts FROM (
+          SELECT strategy, md5(text) AS k
+          FROM sp GROUP BY strategy, md5(text)
+          HAVING COUNT(DISTINCT split) > 1)
+        GROUP BY strategy)
+      SELECT c.strategy, c.split, c.n_docs,
+             COALESCE(l.leaked_texts, 0) AS leaked_texts,
+             'true,true' AS split_ok
+      FROM counts c LEFT JOIN lk l ON c.strategy = l.strategy
+      ORDER BY c.strategy, c.split"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
