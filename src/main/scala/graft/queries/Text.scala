@@ -1470,6 +1470,86 @@ object Text {
              COALESCE(l.leaked_texts, 0) AS leaked_texts,
              'true,true' AS split_ok
       FROM counts c LEFT JOIN lk l ON c.strategy = l.strategy
-      ORDER BY c.strategy, c.split"""))
+      ORDER BY c.strategy, c.split""")),
+
+    // Distributed BPE training (BpeTrainer.train): the merge-learning
+    // loop behind GPT-2-style vocabularies, run as one corpus→word-count
+    // shuffle then vocab-bounded iterations (pair partial-agg +
+    // TakeOrdered(1) argmax — one row per merge reaches the driver).
+    // First three learned merges pinned rank-for-rank against DuckDB
+    // unrolling the identical greedy left-to-right rewrite as a
+    // string-accumulator list_reduce fold, plus the corpus token count
+    // and symbol vocabulary under the learned segmentation
+    QueryDef.staged("t42_bpe_train", (s, dir) => {
+      val (merges, words) = graft.llm.BpeTrainer.train(
+        tbl(s, dir, "documents"), "text", numMerges = 3)
+      val st = graft.llm.BpeTrainer.stats(words)
+      import s.implicits._
+      val mdf = merges.toDF()
+      () => mdf.crossJoin(st)
+        .select(col("rank"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("pairCount").as("pair_count"),
+          col("total_symbols"), col("vocab_symbols"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+      wc AS (SELECT word, COUNT(*) AS cnt FROM w WHERE length(word)>0 GROUP BY word),
+      s0 AS (SELECT word, cnt, list_append(string_split(word,''), '</w>') AS syms FROM wc),
+      p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc
+             FROM s0, unnest(generate_series(1, len(syms)-1)) t(i) GROUP BY 1,2),
+      m1 AS (SELECT 1 AS rank, a, b, pc FROM p1 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+      s1 AS (SELECT word, cnt, string_split(
+               CASE WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1)
+                    WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2)
+                    ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END, ' ') AS syms
+             FROM (SELECT word, cnt,
+               list_reduce(list_prepend('|', syms),
+                 (acc, x) -> CASE
+                   WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1) || '|' || x
+                   WHEN split_part(acc,'|',2)=m1.a AND x=m1.b THEN
+                     (CASE WHEN split_part(acc,'|',1)='' THEN '' ELSE split_part(acc,'|',1) || ' ' END) || m1.a || m1.b || '|'
+                   ELSE (CASE WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2) ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END) || '|' || x
+                 END) AS acc
+               FROM s0 CROSS JOIN m1)),
+      p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc
+             FROM s1, unnest(generate_series(1, len(syms)-1)) t(i) GROUP BY 1,2),
+      m2 AS (SELECT 2 AS rank, a, b, pc FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+      s2 AS (SELECT word, cnt, string_split(
+               CASE WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1)
+                    WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2)
+                    ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END, ' ') AS syms
+             FROM (SELECT word, cnt,
+               list_reduce(list_prepend('|', syms),
+                 (acc, x) -> CASE
+                   WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1) || '|' || x
+                   WHEN split_part(acc,'|',2)=m2.a AND x=m2.b THEN
+                     (CASE WHEN split_part(acc,'|',1)='' THEN '' ELSE split_part(acc,'|',1) || ' ' END) || m2.a || m2.b || '|'
+                   ELSE (CASE WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2) ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END) || '|' || x
+                 END) AS acc
+               FROM s1 CROSS JOIN m2)),
+      p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc
+             FROM s2, unnest(generate_series(1, len(syms)-1)) t(i) GROUP BY 1,2),
+      m3 AS (SELECT 3 AS rank, a, b, pc FROM p3 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+      s3 AS (SELECT word, cnt, string_split(
+               CASE WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1)
+                    WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2)
+                    ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END, ' ') AS syms
+             FROM (SELECT word, cnt,
+               list_reduce(list_prepend('|', syms),
+                 (acc, x) -> CASE
+                   WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1) || '|' || x
+                   WHEN split_part(acc,'|',2)=m3.a AND x=m3.b THEN
+                     (CASE WHEN split_part(acc,'|',1)='' THEN '' ELSE split_part(acc,'|',1) || ' ' END) || m3.a || m3.b || '|'
+                   ELSE (CASE WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2) ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END) || '|' || x
+                 END) AS acc
+               FROM s2 CROSS JOIN m3)),
+      st AS (SELECT CAST(SUM(len(syms)*cnt) AS BIGINT) AS total_symbols FROM s3),
+      vc AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_symbols
+             FROM (SELECT unnest(syms) AS sym FROM s3)),
+      ms AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+      SELECT CAST(rank AS INT) AS rank, a AS left_sym, b AS right_sym,
+             CAST(pc AS BIGINT) AS pair_count, total_symbols, vocab_symbols
+      FROM ms CROSS JOIN st CROSS JOIN vc
+      ORDER BY rank"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }
