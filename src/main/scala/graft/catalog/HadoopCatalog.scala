@@ -174,11 +174,25 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
   private def commitVersion(name: String, version: Int, meta: TableMetadata): Unit = {
     val bytes = graft.table.Locations.encodeMetadata(
       TableMetadata.toJson(meta), meta.properties)
-    try FileIO.createNoReplace(metadataFile(name, version, meta.properties), bytes)
+    val mine = metadataFile(name, version, meta.properties)
+    try FileIO.createNoReplace(mine, bytes)
     catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new CommitConflict(s"version $version already exists")
+    }
+    // Cross-codec CAS: two racers whose metadata carries DIFFERENT
+    // compression codecs reserve different file names for the same
+    // version, so create-no-replace alone can't arbitrate. Deterministic
+    // tie-break: the spelling earliest in resolveMetadataFile's
+    // preference order wins (readers resolve the same way); a loser
+    // rolls its own file back and raises the conflict.
+    resolveMetadataFile(name, version).foreach { winner =>
+      if (winner != mine) {
+        try { FileIO.delete(mine); () } catch { case _: Exception => () }
+        throw new CommitConflict(
+          s"version $version lost a cross-codec race to $winner")
+      }
     }
     // atomic hint replace: a plain truncating write lets concurrent readers
     // observe an empty file mid-update

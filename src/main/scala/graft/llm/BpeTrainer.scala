@@ -96,6 +96,26 @@ object BpeTrainer {
   /** Corpus stats under the learned segmentation: total emitted symbols
     * and distinct symbol vocabulary.
     */
+  /** Apply learned merges to a corpus — the tokenizer's encode path.
+    * Map-side only: the merge list rides as a broadcast-sized literal in
+    * the UDF closure (a vocabulary is KBs–MBs), each word re-derives its
+    * segmentation by replaying merges in rank order — exactly the
+    * segmentation training produced, so encode(train corpus) and the
+    * final training state agree token-for-token. At 100 TB this is a
+    * scan: no shuffle, no state.
+    */
+  def encode(docs: DataFrame, textCol: String, merges: Seq[Merge],
+      keep: Seq[String] = Nil): DataFrame = {
+    val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val enc = udf((text: String) =>
+      text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+        var syms: Seq[String] = w.split("").toSeq :+ EndOfWord
+        ordered.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+        syms
+      }.toSeq)
+    docs.select(keep.map(col) :+ enc(col(textCol)).as("tokens"): _*)
+  }
+
   def stats(words: DataFrame): DataFrame =
     words.agg(sum(size(col("syms")) * col("cnt")).as("total_symbols"))
       .crossJoin(words.select(explode(col("syms")).as("s"))

@@ -1550,6 +1550,82 @@ object Text {
       SELECT CAST(rank AS INT) AS rank, a AS left_sym, b AS right_sym,
              CAST(pc AS BIGINT) AS pair_count, total_symbols, vocab_symbols
       FROM ms CROSS JOIN st CROSS JOIN vc
-      ORDER BY rank"""))
+      ORDER BY rank""")),
+
+    // BPE encode (BpeTrainer.encode): apply the learned merges to the
+    // corpus — the tokenizer's serving path. Train (t42's loop) then
+    // encode; per-source token totals and distinct-token counts pinned
+    // against DuckDB replaying the same three merges and joining the
+    // unique-word segmentation back onto the corpus. Encode is a pure
+    // scan: the merge list is a broadcast-sized closure literal, no
+    // shuffle at any corpus size
+    QueryDef.staged("t43_bpe_encode", (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val (merges, _) = graft.llm.BpeTrainer.train(docs, "text", numMerges = 3)
+      val toks = graft.llm.BpeTrainer.encode(docs, "text", merges,
+        keep = Seq("source"))
+      () => toks.select(col("source"), explode(col("tokens")).as("sym"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("sym")).as("n_distinct_tokens"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH w AS (SELECT source, unnest(string_split(text,' ')) AS word FROM documents),
+      wc AS (SELECT word, COUNT(*) AS cnt FROM w WHERE length(word)>0 GROUP BY word),
+      s0 AS (SELECT word, cnt, list_append(string_split(word,''), '</w>') AS syms FROM wc),
+      p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc
+             FROM s0, unnest(generate_series(1, len(syms)-1)) t(i) GROUP BY 1,2),
+      m1 AS (SELECT a, b FROM p1 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+      s1 AS (SELECT word, cnt, string_split(
+               CASE WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1)
+                    WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2)
+                    ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END, ' ') AS syms
+             FROM (SELECT word, cnt,
+               list_reduce(list_prepend('|', syms),
+                 (acc, x) -> CASE
+                   WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1) || '|' || x
+                   WHEN split_part(acc,'|',2)=m1.a AND x=m1.b THEN
+                     (CASE WHEN split_part(acc,'|',1)='' THEN '' ELSE split_part(acc,'|',1) || ' ' END) || m1.a || m1.b || '|'
+                   ELSE (CASE WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2) ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END) || '|' || x
+                 END) AS acc
+               FROM s0 CROSS JOIN m1)),
+      p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc
+             FROM s1, unnest(generate_series(1, len(syms)-1)) t(i) GROUP BY 1,2),
+      m2 AS (SELECT a, b FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+      s2 AS (SELECT word, cnt, string_split(
+               CASE WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1)
+                    WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2)
+                    ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END, ' ') AS syms
+             FROM (SELECT word, cnt,
+               list_reduce(list_prepend('|', syms),
+                 (acc, x) -> CASE
+                   WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1) || '|' || x
+                   WHEN split_part(acc,'|',2)=m2.a AND x=m2.b THEN
+                     (CASE WHEN split_part(acc,'|',1)='' THEN '' ELSE split_part(acc,'|',1) || ' ' END) || m2.a || m2.b || '|'
+                   ELSE (CASE WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2) ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END) || '|' || x
+                 END) AS acc
+               FROM s1 CROSS JOIN m2)),
+      p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc
+             FROM s2, unnest(generate_series(1, len(syms)-1)) t(i) GROUP BY 1,2),
+      m3 AS (SELECT a, b FROM p3 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+      s3 AS (SELECT word, cnt, string_split(
+               CASE WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1)
+                    WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2)
+                    ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END, ' ') AS syms
+             FROM (SELECT word, cnt,
+               list_reduce(list_prepend('|', syms),
+                 (acc, x) -> CASE
+                   WHEN split_part(acc,'|',2)='' THEN split_part(acc,'|',1) || '|' || x
+                   WHEN split_part(acc,'|',2)=m3.a AND x=m3.b THEN
+                     (CASE WHEN split_part(acc,'|',1)='' THEN '' ELSE split_part(acc,'|',1) || ' ' END) || m3.a || m3.b || '|'
+                   ELSE (CASE WHEN split_part(acc,'|',1)='' THEN split_part(acc,'|',2) ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2) END) || '|' || x
+                 END) AS acc
+               FROM s2 CROSS JOIN m3)),
+      tok AS (SELECT cw.source, unnest(s3.syms) AS sym
+              FROM (SELECT source, word FROM w WHERE length(word)>0) cw
+              JOIN s3 ON cw.word = s3.word)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_distinct_tokens
+      FROM tok GROUP BY source ORDER BY source"""))
   ).map(_.copy(repeatable = true)) // pure parquet reads: Bench may re-run for steady-state timing
 }

@@ -157,4 +157,34 @@ class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     val done = Writer.equalityDelete(spark, stale2, keys, Seq("n_nationkey"))
     assert(done.metadata.currentSnapshotId.isDefined)
   }
+
+  test("cross-codec CAS: a gzip committer loses to an already-placed plain version") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_codec", schema, PartitionSpec.Unpartitioned)
+    // racer A already placed the PLAIN v2 file (simulated out-of-band);
+    // racer B commits the same version carrying codec=gzip — different
+    // file name, so create-no-replace alone can't arbitrate
+    val plainV2 = s"$warehouse/cc_codec/metadata/v2.metadata.json"
+    graft.io.FileIO.createNoReplace(plainV2,
+      graft.format.TableMetadata.toJson(t0.metadata).getBytes("UTF-8"))
+    val gz = t0.metadata.copy(properties =
+      t0.metadata.properties + ("write.metadata.compression-codec" -> "gzip"))
+    intercept[CommitConflict] { catalog.commit("cc_codec", t0.metadata, gz, 1) }
+    // the loser rolled back its own spelling; the winner's file survives
+    assert(!graft.io.FileIO.exists(
+      s"$warehouse/cc_codec/metadata/v2.gz.metadata.json"))
+    assert(graft.io.FileIO.exists(plainV2))
+    // once the winner PUBLISHES (hint -> 2), a rebased retry commits v3
+    // as gzip (an unpublished reservation conflicts until published or
+    // cleaned — the documented crash-window semantics)
+    graft.io.FileIO.replaceAtomic(
+      s"$warehouse/cc_codec/metadata/version-hint.text", "2".getBytes("UTF-8"))
+    val t2 = catalog.loadTable("cc_codec")
+    val t3 = graft.table.Evolve.setProperties(t2,
+      Map("write.metadata.compression-codec" -> "gzip"))
+    assert(t3.metadataPath.endsWith(".gz.metadata.json"))
+    assert(catalog.loadTable("cc_codec").metadata
+      .properties("write.metadata.compression-codec") === "gzip")
+  }
 }
