@@ -4264,6 +4264,49 @@ object IcebergQueries {
         UNION ALL
         SELECT * FROM customer WHERE c_custkey <= 40)
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Async REST scan planning (reference catalog/rest/scan_planning.go,
+    // spec planTableScan/fetchPlanningResult/fetchScanTasks): a wide plan
+    // returns {"status":"submitted","plan-id"} and completes via polling;
+    // the completed result inlines a bounded prefix of file-scan-tasks
+    // and shards the rest into opaque plan-task handles the client fans
+    // out — a 10⁶-file plan never ships as one response body, and typed
+    // 404s (NoSuchPlanIdException vs table-gone) tell retry-with-a-new-
+    // plan from abort. The gate drives submitted→poll→shard-drain and
+    // hash-matches the rows read through the async-planned tasks
+    QueryDef.staged("i107_rest_async_plan", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/apl_${UUID.randomUUID().toString.take(8)}"
+      val backing = new HadoopCatalog(wh)
+      val server = new graft.rest.RestCatalogServer(backing,
+        asyncPlanThreshold = 1, planTaskShardSize = 2).start()
+      val (tasks, schema, specById, polls, fetches) = try {
+        val client = new graft.rest.RestCatalog(server.uri)
+        val c = tbl(s, dir, "customer")
+        client.createTable("cust", SchemaBridge.fromSpark(c.schema),
+          PartitionSpec.Unpartitioned)
+        (0 until 3).foreach { i =>
+          Writer.append(s, client.loadTable("cust"),
+            c.filter(col("c_custkey") % 3 === i))
+        }
+        val planned = client.planScan("cust")
+        (planned.tasks, planned.schema,
+          client.loadTable("cust").metadata.specById _,
+          server.planPolls.get, server.taskFetches.get)
+      } finally server.stop()
+      val flags = Seq(polls >= 2, fetches >= 1, tasks.size == 3).mkString(",")
+      () => SparkRead.readTasks(s, tasks, schema, specById = specById)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_custkey")).as("n_keys"))
+        .select(col("c_mktsegment"), col("n"), col("n_keys"),
+          lit(flags).as("async_plan_ok"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
+             'true,true,true' AS async_plan_ok
+      FROM customer
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

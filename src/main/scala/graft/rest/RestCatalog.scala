@@ -256,19 +256,99 @@ final class RestCatalog(baseUriRaw: String,
     val resp = request("POST", s"${tablesUri(ns)}/$tbl/plan", Some(o))
     if (resp.statusCode() != 200)
       throw new IllegalStateException(s"planScan $name: ${errMsg(resp)}")
-    val body = mapper.readTree(resp.body())
+    var body = mapper.readTree(resp.body())
+    Option(body.get("status")).map(_.asText()).getOrElse("completed") match {
+      case "completed" => ()
+      case "submitted" =>
+        // async plan: poll until terminal (spec fetchPlanningResult;
+        // reference WaitForPlan, `scan_planning.go`)
+        body = pollPlan(ns, tbl, body.get("plan-id").asText())
+      case "failed" =>
+        throw new IllegalStateException(s"planScan $name: server reported failed")
+      case other =>
+        throw new IllegalStateException(s"planScan $name: unexpected status $other")
+    }
     val version = body.get("format-version").asInt()
     val schemaId = body.get("schema-id").asInt()
     val schema = t.metadata.schemaById(schemaId).getOrElse(t.schema)
     val dec = java.util.Base64.getDecoder
-    val tasks = body.get("plan-tasks").elements().asScala.map { to =>
-      val specId = to.get("spec-id").asInt()
-      val spec = t.metadata.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
-      graft.codec.TaskCodec.decode(dec.decode(to.get("task").asText()), spec, schema, version)._1
-    }.toSeq
-    PlannedScan(tasks, schema,
+    def decodeTasks(node: JsonNode): Seq[graft.table.FileScanTask] =
+      Option(node.get("file-scan-tasks")).map(_.elements().asScala.map { to =>
+        val specId = to.get("spec-id").asInt()
+        val spec = t.metadata.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
+        graft.codec.TaskCodec.decode(
+          dec.decode(to.get("task").asText()), spec, schema, version)._1
+      }.toSeq).getOrElse(Nil)
+    def handles(node: JsonNode): Seq[String] =
+      Option(node.get("plan-tasks"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    // drain shard handles breadth-first (fetchScanTasks may itself return
+    // more handles); the seen-set guards a buggy server from looping us
+    val tasks = Seq.newBuilder[graft.table.FileScanTask]
+    tasks ++= decodeTasks(body)
+    val queue = scala.collection.mutable.Queue(handles(body): _*)
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (queue.nonEmpty) {
+      val h = queue.dequeue()
+      require(seen.add(h), s"fetchScanTasks cycle: repeated plan-task $h")
+      val req = mapper.createObjectNode(); req.put("plan-task", h)
+      val r = request("POST", s"${tablesUri(ns)}/$tbl/tasks", Some(req))
+      if (r.statusCode() == 404 && errType(r) == "NoSuchPlanTaskException")
+        throw new NoSuchPlanTaskException(s"plan task expired: $h")
+      if (r.statusCode() != 200)
+        throw new IllegalStateException(s"fetchScanTasks $name: ${errMsg(r)}")
+      val shard = mapper.readTree(r.body())
+      tasks ++= decodeTasks(shard)
+      queue ++= handles(shard)
+    }
+    PlannedScan(tasks.result(), schema,
       new graft.io.PlanScopedCredentials(credentialsFrom(body), t.metadata.location))
   }
+
+  /** Poll `GET …/plan/{plan-id}` with linear backoff until completed.
+    * Typed outcomes mirror the reference (`scan_planning.go:50-120`):
+    * an expired plan-id (NoSuchPlanIdException 404) means
+    * retry-with-a-new-plan; cancelled and failed are terminal; an
+    * exhausted budget cancels the plan best-effort before raising (the
+    * WaitForPlan analogue).
+    */
+  private def pollPlan(ns: String, tbl: String, planId: String,
+      maxAttempts: Int = 20): JsonNode = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      Thread.sleep(math.min(200L, 10L * attempt))
+      val r = request("GET", s"${tablesUri(ns)}/$tbl/plan/$planId", None)
+      if (r.statusCode() == 404 && errType(r) == "NoSuchPlanIdException")
+        throw new PlanExpiredException(s"plan expired: $planId")
+      if (r.statusCode() != 200)
+        throw new IllegalStateException(s"fetchPlanningResult: ${errMsg(r)}")
+      val b = mapper.readTree(r.body())
+      b.get("status").asText() match {
+        case "submitted" => () // keep polling
+        case "completed" => return b
+        case "cancelled" => throw new PlanCancelledException(s"plan cancelled: $planId")
+        case "failed" => throw new IllegalStateException(s"plan failed: $planId")
+        case other => throw new IllegalStateException(s"unexpected plan status $other")
+      }
+    }
+    try { cancelPlan(s"$ns.$tbl", planId); () } catch { case _: Exception => () }
+    throw new IllegalStateException(
+      s"plan polling exhausted after $maxAttempts attempts: $planId")
+  }
+
+  /** `DELETE …/plan/{plan-id}` (spec cancelPlanning). */
+  def cancelPlan(name: String, planId: String): Unit = {
+    val (ns, tbl) = split(name)
+    val r = request("DELETE", s"${tablesUri(ns)}/$tbl/plan/$planId", None)
+    if (r.statusCode() == 404 && errType(r) == "NoSuchPlanIdException")
+      throw new PlanExpiredException(s"plan expired: $planId")
+    require(r.statusCode() == 204 || r.statusCode() == 200, errMsg(r))
+  }
+
+  private def errType(resp: HttpResponse[String]): String =
+    try mapper.readTree(resp.body()).get("error").get("type").asText()
+    catch { case _: Exception => "" }
 
   /** `GET .../tables/{t}/credentials` (spec loadCredentials): fresh
     * table-scoped storage credentials, the renewal path behind
@@ -499,6 +579,22 @@ final case class PlannedScan(
     tasks: Seq[FileScanTask],
     schema: IcebergSchema,
     credentials: graft.io.PlanScopedCredentials)
+
+/** An expired/unknown plan-id 404 (error.type NoSuchPlanIdException):
+  * retry-with-a-new-plan, distinct from a table-gone 404 (reference
+  * `scan_planning.go:50-58` ErrPlanExpired).
+  */
+final class PlanExpiredException(msg: String) extends RuntimeException(msg)
+
+/** Polling observed the plan cancelled — terminal, like the reference's
+  * ErrPlanCancelled.
+  */
+final class PlanCancelledException(msg: String) extends RuntimeException(msg)
+
+/** An expired plan-task handle 404 during shard fan-out (error.type
+  * NoSuchPlanTaskException, reference ErrNoSuchPlanTask).
+  */
+final class NoSuchPlanTaskException(msg: String) extends RuntimeException(msg)
 
 object RestCatalog {
   def fromUri(rest: String): RestCatalog = {

@@ -48,7 +48,19 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       * credentials to readers. None = no vending (storage is open or the
       * client has ambient access).
       */
-    vendCredentials: Option[String => Seq[graft.io.StorageCredential]] = None) {
+    vendCredentials: Option[String => Seq[graft.io.StorageCredential]] = None,
+    /** Async scan planning (reference `catalog/rest/scan_planning.go`,
+      * spec planTableScan): plans with at least this many tasks return
+      * `{"status":"submitted","plan-id":…}` and complete via
+      * `GET …/plan/{plan-id}` polling. Int.MaxValue = always inline.
+      */
+    asyncPlanThreshold: Int = Int.MaxValue,
+    /** When > 0, a completed plan carries at most this many inline
+      * file-scan-tasks; the rest shard into opaque `plan-tasks` handles
+      * served by `POST …/tasks` (spec fetchScanTasks) — a 10⁶-file plan
+      * never ships as one response body.
+      */
+    planTaskShardSize: Int = 0) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -57,6 +69,16 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   private val nsProps = new ConcurrentHashMap[String, Map[String, String]]()
   // live bearer tokens -> expiry epoch ms
   private val tokens = new ConcurrentHashMap[String, java.lang.Long]()
+
+  // async scan planning state: plan-id -> (completed result, polls left,
+  // status); plan-task handle -> shard result. Bounded by eviction on
+  // terminal fetch + cancel; counters observable by tests/gates.
+  private final class PendingPlan(val node: ObjectNode, var pollsLeft: Int,
+    var status: String)
+  private val plans = new ConcurrentHashMap[String, PendingPlan]()
+  private val planShards = new ConcurrentHashMap[String, ObjectNode]()
+  val planPolls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val taskFetches = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def boundPort: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$boundPort"
@@ -131,6 +153,9 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       case ("DELETE", List("namespaces", ns, "tables", t)) =>
         backing.dropTable(fullName(ns, t)); ex.sendResponseHeaders(204, -1)
       case ("POST", List("namespaces", ns, "tables", t, "plan")) => planScan(ex, ns, t)
+      case ("GET", List("namespaces", ns, "tables", t, "plan", id)) => planStatus(ex, id)
+      case ("DELETE", List("namespaces", ns, "tables", t, "plan", id)) => cancelPlan(ex, id)
+      case ("POST", List("namespaces", ns, "tables", t, "tasks")) => fetchScanTasks(ex)
       case ("GET", List("namespaces", ns, "tables", t, "credentials")) =>
         loadCredentials(ex, ns, t)
       case ("POST", List("namespaces", ns, "tables", t, "metrics")) =>
@@ -504,23 +529,102 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     val schemaId = scan.snapshot.flatMap(_.schemaId).getOrElse(t.metadata.currentSchemaId)
     val schema = t.metadata.schemaById(schemaId).getOrElse(t.schema)
     val o = mapper.createObjectNode()
+    o.put("status", "completed")
     o.put("format-version", t.metadata.formatVersion)
     o.put("schema-id", schemaId)
-    val arr = o.putArray("plan-tasks")
     val enc = java.util.Base64.getEncoder
-    tasks.foreach { task =>
+    def taskObj(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+        task: graft.table.FileScanTask): Unit = {
       val spec = t.metadata.specById(task.specId).getOrElse(PartitionSpec.Unpartitioned)
       val bytes = graft.codec.TaskCodec.encode(task, spec, schema,
         t.metadata.formatVersion, residual = scan.filter)
       val to = arr.addObject()
       to.put("spec-id", task.specId)
       to.put("task", enc.encodeToString(bytes))
+      ()
+    }
+    // inline up to the shard size; the remainder travels as opaque
+    // plan-task handles resolved by POST …/tasks (spec fetchScanTasks) —
+    // a wide plan never ships as one response body, and the client fans
+    // the shard fetches out
+    val (inline, sharded) =
+      if (planTaskShardSize > 0) tasks.splitAt(planTaskShardSize)
+      else (tasks, Seq.empty[graft.table.FileScanTask])
+    val arr = o.putArray("file-scan-tasks")
+    inline.foreach(taskObj(arr, _))
+    if (sharded.nonEmpty) {
+      val handles = o.putArray("plan-tasks")
+      sharded.grouped(planTaskShardSize).foreach { group =>
+        val handle = s"pt-${java.util.UUID.randomUUID()}"
+        val shard = mapper.createObjectNode()
+        val sarr = shard.putArray("file-scan-tasks")
+        group.foreach(taskObj(sarr, _))
+        planShards.put(handle, shard)
+        handles.add(handle)
+        ()
+      }
     }
     // plan-scoped storage credentials ride on the completed plan (reference
     // `catalog/rest/scan_planning.go:442-450`): the executors that run these
     // tasks need to open the files, and the server is who has storage access
     vendCredentials.foreach(v => credentialsNode(o, v(t.metadata.location)))
-    sendJson(ex, 200, o)
+    if (tasks.size >= asyncPlanThreshold) {
+      // async submit (spec planTableScan "submitted"): the result parks
+      // under a plan-id; at least one poll returns "submitted" before the
+      // completed payload, exercising the client's poll loop for real
+      val id = s"plan-${java.util.UUID.randomUUID()}"
+      plans.put(id, new PendingPlan(o, pollsLeft = 1, status = "submitted"))
+      val sub = mapper.createObjectNode()
+      sub.put("status", "submitted")
+      sub.put("plan-id", id)
+      sendJson(ex, 200, sub)
+    } else sendJson(ex, 200, o)
+  }
+
+  /** `GET …/plan/{plan-id}` (spec fetchPlanningResult): submitted until the
+    * poll budget drains, then the completed payload; a cancelled plan
+    * reports "cancelled"; an unknown or expired id is the TYPED 404 the
+    * reference's polling layer keys on (`scan_planning.go:50-120`:
+    * NoSuchPlanIdException → retry-with-a-new-plan, unlike a table-gone
+    * 404 which aborts).
+    */
+  private def planStatus(ex: HttpExchange, id: String): Unit = {
+    planPolls.incrementAndGet()
+    plans.get(id) match {
+      case null =>
+        sendError(ex, 404, "NoSuchPlanIdException", s"no such plan: $id")
+      case p if p.status == "cancelled" =>
+        val o = mapper.createObjectNode(); o.put("status", "cancelled")
+        sendJson(ex, 200, o)
+      case p if p.pollsLeft > 0 =>
+        p.pollsLeft -= 1
+        val o = mapper.createObjectNode(); o.put("status", "submitted")
+        sendJson(ex, 200, o)
+      case p => sendJson(ex, 200, p.node)
+    }
+  }
+
+  /** `DELETE …/plan/{plan-id}` (spec cancelPlanning): idempotent on a live
+    * plan; unknown id is the typed 404.
+    */
+  private def cancelPlan(ex: HttpExchange, id: String): Unit =
+    plans.get(id) match {
+      case null => sendError(ex, 404, "NoSuchPlanIdException", s"no such plan: $id")
+      case p => p.status = "cancelled"; ex.sendResponseHeaders(204, -1)
+    }
+
+  /** `POST …/tasks` (spec fetchScanTasks): resolve one opaque plan-task
+    * handle to its shard of file-scan-tasks. Unknown handle → typed 404
+    * (NoSuchPlanTaskException, distinct from table-gone).
+    */
+  private def fetchScanTasks(ex: HttpExchange): Unit = {
+    taskFetches.incrementAndGet()
+    val handle = Option(readJson(ex).get("plan-task")).map(_.asText()).getOrElse("")
+    planShards.get(handle) match {
+      case null =>
+        sendError(ex, 404, "NoSuchPlanTaskException", s"no such plan task: $handle")
+      case shard => sendJson(ex, 200, shard)
+    }
   }
 
   /** `GET .../tables/{t}/credentials` (spec loadCredentials): table-scoped

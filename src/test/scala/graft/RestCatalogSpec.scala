@@ -86,6 +86,75 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally names.foreach(client.dropTable)
   }
 
+  test("async scan planning: submitted -> poll -> completed, shard fan-out") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    // separate server over the same warehouse: every plan goes async and
+    // completed results inline at most 1 task, sharding the rest
+    val async = new RestCatalogServer(backing,
+      asyncPlanThreshold = 1, planTaskShardSize = 1).start()
+    try {
+      val ac = new RestCatalog(async.uri)
+      var t = client.createTable("asyncplan", schema, PartitionSpec.Unpartitioned)
+      (0 until 3).foreach { i =>
+        t = Writer.append(spark, client.loadTable("asyncplan"),
+          nation.filter(col("n_nationkey") % 3 === i))
+      }
+      val sync = client.planScan("asyncplan") // inline path, same table
+      val planned = ac.planScan("asyncplan")  // submitted -> poll -> shards
+      assert(planned.tasks.map(_.file.path).sorted ===
+        sync.tasks.map(_.file.path).sorted)
+      assert(planned.tasks.size === 3)
+      assert(async.planPolls.get >= 2)  // >=1 "submitted" + the completed fetch
+      assert(async.taskFetches.get >= 2) // 1 inline + 2 sharded
+      // rows through the async-planned tasks match a direct read
+      val rows = SparkRead.readTasks(spark, planned.tasks, planned.schema,
+        specById = client.loadTable("asyncplan").metadata.specById _).count()
+      assert(rows === 25L)
+    } finally async.stop()
+  }
+
+  test("plan cancel + typed 404s: plan-id and plan-task expiry are distinct") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val async = new RestCatalogServer(backing, asyncPlanThreshold = 1).start()
+    try {
+      val ac = new RestCatalog(async.uri)
+      client.createTable("cancelplan", schema, PartitionSpec.Unpartitioned)
+      Writer.append(spark, client.loadTable("cancelplan"), nation)
+      // submit raw so we hold the plan-id before any polling
+      val http = java.net.http.HttpClient.newHttpClient()
+      val sub = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(
+          s"${async.uri}/v1/namespaces/default/tables/cancelplan/plan"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}"))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(sub.statusCode() === 200)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val subBody = om.readTree(sub.body())
+      assert(subBody.get("status").asText() === "submitted")
+      val planId = subBody.get("plan-id").asText()
+      // cancel, then the status poll reports cancelled (terminal)
+      ac.cancelPlan("cancelplan", planId)
+      val st = http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+        s"${async.uri}/v1/namespaces/default/tables/cancelplan/plan/$planId"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(om.readTree(st.body()).get("status").asText() === "cancelled")
+      // unknown plan-id / plan-task map to their own exceptions
+      intercept[graft.rest.PlanExpiredException] {
+        ac.cancelPlan("cancelplan", "plan-nope")
+      }
+      val missing = http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+        s"${async.uri}/v1/namespaces/default/tables/cancelplan/tasks"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"plan-task":"pt-nope"}"""))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(missing.statusCode() === 404)
+      assert(om.readTree(missing.body()).get("error").get("type").asText() ===
+        "NoSuchPlanTaskException")
+    } finally async.stop()
+  }
+
   test("full write path commits through requirements+updates") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)
