@@ -128,8 +128,17 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
     val (ns, tbl) = split(name)
     val meta = TableMetadata.empty(tableDir(name), schema, spec, sortOrder, properties)
     val path = metadataFile(name, 1, meta.properties)
-    FileIO.write(path, graft.table.Locations.encodeMetadata(
+    // create-no-replace: a duplicate create must refuse WITHOUT touching
+    // the existing table's v1 file — a plain overwrite here followed by
+    // the duplicate-key cleanup below would delete the live table's
+    // metadata (caught by the catalog conformance battery)
+    try FileIO.createNoReplace(path, graft.table.Locations.encodeMetadata(
       TableMetadata.toJson(meta), meta.properties))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"table $name already exists")
+    }
     val inserted = withConn { c =>
       val ps = c.prepareStatement(
         """INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name,

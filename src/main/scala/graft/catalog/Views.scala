@@ -176,6 +176,11 @@ final class MetaObjects(warehouse: String) extends ViewStore {
 
   def functionExists(name: String): Boolean = FileIO.exists(udfPath(name))
 
+  /** Storage location of a function's metadata document (the REST load
+    * response's metadata-location).
+    */
+  def functionLocation(name: String): String = udfPath(name)
+
   def loadFunction(name: String): UdfDef = {
     val p = udfPath(name)
     require(FileIO.exists(p), s"no such function: $name")

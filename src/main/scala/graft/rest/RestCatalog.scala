@@ -350,6 +350,45 @@ final class RestCatalog(baseUriRaw: String,
     try mapper.readTree(resp.body()).get("error").get("type").asText()
     catch { case _: Exception => "" }
 
+  // ---- functions (spec listFunctions/loadFunction; reference
+  // rest.go:2419-2560 — no create or HEAD routes; existence = load) -------
+
+  /** Paginated function listing for a namespace. */
+  def listFunctions(ns: String = "default"): Seq[String] =
+    drainPages(s"$baseUri/v1/${prefix}namespaces/$ns/functions")
+      .flatMap(_.get("identifiers").elements().asScala.map(_.get("name").asText))
+      .sorted
+
+  /** Load a function's metadata. The 404 discriminates by error.type —
+    * a missing NAMESPACE must not report as a missing function
+    * (reference `rest.go:2504-2540`).
+    */
+  def loadFunction(name: String, ns: String = "default"): graft.catalog.UdfDef = {
+    val r = request("GET", s"$baseUri/v1/${prefix}namespaces/$ns/functions/" +
+      java.net.URLEncoder.encode(name, "UTF-8"), None)
+    if (r.statusCode() == 404) {
+      if (errType(r) == "NoSuchNamespaceException")
+        throw new NoSuchElementException(s"no such namespace: $ns")
+      throw new NoSuchElementException(s"no such function: $name")
+    }
+    require(r.statusCode() == 200, errMsg(r))
+    val body = mapper.readTree(r.body())
+    val m = body.get("metadata")
+    require(m != null && !m.isNull, "load function response is missing metadata")
+    graft.catalog.UdfDef(
+      m.get("name").asText, m.get("return-type").asText,
+      m.get("definition").asText,
+      Option(m.get("parameters")).map(_.elements().asScala.map(o =>
+        (o.get("name").asText, o.get("type").asText)).toSeq).getOrElse(Nil),
+      Option(m.get("comment")).map(_.asText))
+  }
+
+  /** Existence by loading (the spec defines no HEAD for functions). */
+  def functionExists(name: String, ns: String = "default"): Boolean =
+    try { loadFunction(name, ns); true }
+    catch { case e: NoSuchElementException
+      if e.getMessage.contains("function") => false }
+
   /** `GET .../tables/{t}/credentials` (spec loadCredentials): fresh
     * table-scoped storage credentials, the renewal path behind
     * [[graft.io.TableCredentials]] (reference `catalog/rest/rest.go:1153-1179`).

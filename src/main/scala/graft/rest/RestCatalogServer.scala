@@ -160,6 +160,8 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         loadCredentials(ex, ns, t)
       case ("POST", List("namespaces", ns, "tables", t, "metrics")) =>
         receiveMetrics(ex, ns, t)
+      case ("GET", List("namespaces", ns, "functions")) => listFunctions(ex, ns)
+      case ("GET", List("namespaces", ns, "functions", f)) => loadFunction(ex, ns, f)
       case ("GET", List("namespaces", ns, "views")) => listViews(ex, ns)
       case ("POST", List("namespaces", ns, "views")) => createView(ex, ns)
       case ("GET", List("namespaces", ns, "views", v)) => loadView(ex, ns, v)
@@ -672,6 +674,55 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     metricsReports.add(full -> graft.metrics.Wire.fromJson(body))
     ex.sendResponseHeaders(204, -1)
+  }
+
+  // ---- functions (spec function endpoints; reference rest.go:2419-2560,
+  // endpoints listFunctions/loadFunction — the spec defines no create or
+  // HEAD routes; existence is checked by loading) --------------------------
+
+  private def udfs: graft.catalog.MetaObjects = backing.viewStore match {
+    case Some(m: graft.catalog.MetaObjects) => m
+    case _ => throw new IllegalArgumentException(
+      "backing catalog does not store functions")
+  }
+
+  private def listFunctions(ex: HttpExchange, ns: String): Unit = {
+    val (page, next) = paginated(ex, udfs.listFunctions())
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("identifiers")
+    page.foreach { f =>
+      val id = arr.addObject()
+      val na = id.putArray("namespace"); na.add(ns)
+      id.put("name", f)
+      ()
+    }
+    next.foreach(o.put("next-page-token", _))
+    sendJson(ex, 200, o)
+  }
+
+  /** The load 404 distinguishes a missing namespace from a missing
+    * function by error.type (reference `rest.go:2504-2540` discriminates
+    * exactly this way — functions live in the default namespace of the
+    * flat store).
+    */
+  private def loadFunction(ex: HttpExchange, ns: String, fn: String): Unit = {
+    if (ns != "default")
+      return sendError(ex, 404, "NoSuchNamespaceException", s"no such namespace: $ns")
+    if (!udfs.functionExists(fn))
+      return sendError(ex, 404, "NoSuchFunctionException", s"no such function: $fn")
+    val d = udfs.loadFunction(fn)
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", udfs.functionLocation(fn))
+    val m = o.putObject("metadata")
+    m.put("name", d.name)
+    m.put("return-type", d.returnType)
+    m.put("definition", d.definition)
+    d.comment.foreach(m.put("comment", _))
+    val ps = m.putArray("parameters")
+    d.parameters.foreach { case (n, t) =>
+      val p = ps.addObject(); p.put("name", n); p.put("type", t); ()
+    }
+    sendJson(ex, 200, o)
   }
 
   // ---- views (spec view endpoints; reference rest.go:2013-2380) ---------

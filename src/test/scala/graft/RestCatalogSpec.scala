@@ -155,6 +155,31 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally async.stop()
   }
 
+  test("function endpoints: list paginates, load round-trips, typed 404s") {
+    val store = backing.viewStore.get.asInstanceOf[graft.catalog.MetaObjects]
+    val defs = (0 until 3).map(i => graft.catalog.UdfDef(
+      s"fn_rest$i", "double", s"SELECT x * $i",
+      parameters = Seq("x" -> "double"), comment = Some(s"c$i")))
+    defs.foreach(store.createFunction)
+    try {
+      assert(client.listFunctions().filter(_.startsWith("fn_rest")) ===
+        defs.map(_.name))
+      // a pageSize=1 client drains every page
+      val paged = new RestCatalog(server.uri, listPageSize = 1)
+      assert(paged.listFunctions().filter(_.startsWith("fn_rest")) ===
+        defs.map(_.name))
+      val loaded = client.loadFunction("fn_rest1")
+      assert(loaded === defs(1))
+      assert(client.functionExists("fn_rest2"))
+      assert(!client.functionExists("fn_nope"))
+      // a missing namespace is NOT reported as a missing function
+      val nsErr = intercept[NoSuchElementException] {
+        client.loadFunction("fn_rest1", ns = "nope")
+      }
+      assert(nsErr.getMessage.contains("namespace"))
+    } finally defs.foreach(d => store.dropFunction(d.name))
+  }
+
   test("full write path commits through requirements+updates") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)
