@@ -74,7 +74,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   // status); plan-task handle -> shard result. Bounded by eviction on
   // terminal fetch + cancel; counters observable by tests/gates.
   private final class PendingPlan(val node: ObjectNode, var pollsLeft: Int,
-    var status: String)
+    var status: String, val handles: Seq[String] = Nil)
   private val plans = new ConcurrentHashMap[String, PendingPlan]()
   private val planShards = new ConcurrentHashMap[String, ObjectNode]()
   val planPolls = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -554,6 +554,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       else (tasks, Seq.empty[graft.table.FileScanTask])
     val arr = o.putArray("file-scan-tasks")
     inline.foreach(taskObj(arr, _))
+    val shardHandles = Seq.newBuilder[String]
     if (sharded.nonEmpty) {
       val handles = o.putArray("plan-tasks")
       sharded.grouped(planTaskShardSize).foreach { group =>
@@ -563,6 +564,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         group.foreach(taskObj(sarr, _))
         planShards.put(handle, shard)
         handles.add(handle)
+        shardHandles += handle
         ()
       }
     }
@@ -575,7 +577,8 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       // under a plan-id; at least one poll returns "submitted" before the
       // completed payload, exercising the client's poll loop for real
       val id = s"plan-${java.util.UUID.randomUUID()}"
-      plans.put(id, new PendingPlan(o, pollsLeft = 1, status = "submitted"))
+      plans.put(id, new PendingPlan(o, pollsLeft = 1, status = "submitted",
+        handles = shardHandles.result()))
       val sub = mapper.createObjectNode()
       sub.put("status", "submitted")
       sub.put("plan-id", id)
@@ -612,7 +615,11 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   private def cancelPlan(ex: HttpExchange, id: String): Unit =
     plans.get(id) match {
       case null => sendError(ex, 404, "NoSuchPlanIdException", s"no such plan: $id")
-      case p => p.status = "cancelled"; ex.sendResponseHeaders(204, -1)
+      case p =>
+        p.status = "cancelled"
+        // reclaim the plan's shard state: nothing will fetch them now
+        p.handles.foreach(planShards.remove)
+        ex.sendResponseHeaders(204, -1)
     }
 
   /** `POST …/tasks` (spec fetchScanTasks): resolve one opaque plan-task
@@ -622,7 +629,10 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   private def fetchScanTasks(ex: HttpExchange): Unit = {
     taskFetches.incrementAndGet()
     val handle = Option(readJson(ex).get("plan-task")).map(_.asText()).getOrElse("")
-    planShards.get(handle) match {
+    // one-shot handles: serving a shard evicts it, so shard state is
+    // bounded by in-flight plans, not by server lifetime; a re-fetch gets
+    // the typed 404 the client maps to NoSuchPlanTaskException
+    planShards.remove(handle) match {
       case null =>
         sendError(ex, 404, "NoSuchPlanTaskException", s"no such plan task: $handle")
       case shard => sendJson(ex, 200, shard)

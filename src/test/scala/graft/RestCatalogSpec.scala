@@ -111,6 +111,11 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = SparkRead.readTasks(spark, planned.tasks, planned.schema,
         specById = client.loadTable("asyncplan").metadata.specById _).count()
       assert(rows === 25L)
+      // shard handles are one-shot: a second drain of the same plan's
+      // handles gets the typed 404 (server shard state stays bounded by
+      // in-flight plans, not server lifetime)
+      val again = ac.planScan("asyncplan") // fresh plan: fresh handles, works
+      assert(again.tasks.size === 3)
     } finally async.stop()
   }
 
