@@ -4307,6 +4307,47 @@ object IcebergQueries {
              'true,true,true' AS async_plan_ok
       FROM customer
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Full SQL surface over a REST catalog: spark.sql.catalog.<n>.uri =
+    // rest://host:port routes GraftSpjCatalog through the REST client —
+    // DDL (CTAS via the eager staged path), DML (INSERT), reads, time
+    // travel, and metadata tables all speak requirements+updates over
+    // HTTP while executors still read parquet directly. This is the
+    // deployment shape a 100 TB platform runs: one catalog service, many
+    // engines. (Also pins Catalogs.load("rest://…") host parsing — a
+    // bare host:port must re-gain `//` or java.net.URI goes opaque.)
+    QueryDef.staged("i108_sql_over_rest", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/sor_${UUID.randomUUID().toString.take(8)}"
+      val server = new graft.rest.RestCatalogServer(new HadoopCatalog(wh)).start()
+      val ctl = s"gsor_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri",
+        s"rest://127.0.0.1:${server.boundPort}")
+      val n = tbl(s, dir, "nation")
+      n.createOrReplaceTempView(s"sorsrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.nat AS SELECT * FROM sorsrc_$ctl WHERE n_nationkey < 10")
+      s.sql(s"INSERT INTO $ctl.nat SELECT * FROM sorsrc_$ctl WHERE n_nationkey >= 10")
+      val client = new graft.rest.RestCatalog(server.uri)
+      val versions = client.currentVersion("nat")
+      val snaps = s.sql(s"SELECT COUNT(*) FROM $ctl.nat.snapshots").head.getLong(0)
+      // ids are random longs: the FIRST snapshot is the parentless one
+      val firstSnap = s.sql(
+        s"SELECT snapshot_id FROM $ctl.nat.snapshots WHERE parent_id IS NULL")
+        .head.getLong(0)
+      val asOf = s.sql(
+        s"SELECT COUNT(*) FROM $ctl.nat VERSION AS OF $firstSnap").head.getLong(0)
+      val flags = Seq(versions.contains(3), snaps == 2L, asOf == 10L).mkString(",")
+      () => s.sql(s"""
+        SELECT n_regionkey, COUNT(n_nationkey) AS n, '$flags' AS rest_sql_ok
+        FROM $ctl.nat
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")
+    }, Some("""
+      SELECT n_regionkey, COUNT(n_nationkey) AS n,
+             'true,true,true' AS rest_sql_ok
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""), repeatable = true)
   )
 }

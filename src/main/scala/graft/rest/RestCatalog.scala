@@ -637,7 +637,10 @@ final class NoSuchPlanTaskException(msg: String) extends RuntimeException(msg)
 
 object RestCatalog {
   def fromUri(rest: String): RestCatalog = {
-    val uri = URI.create(if (rest.startsWith("http")) rest else s"http:$rest")
+    // the registry strips the `rest://` prefix, so a bare `host:port`
+    // arrives here: it must re-gain the `//` or java.net.URI parses an
+    // OPAQUE uri (null host) and the client dials nothing
+    val uri = URI.create(if (rest.startsWith("http")) rest else s"http://$rest")
     val cred = Option(uri.getUserInfo).flatMap { ui =>
       ui.split(":", 2) match {
         case Array(id, secret) => Some((id, secret))

@@ -94,7 +94,15 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   def start(): RestCatalogServer = {
     server.createContext("/v1/", handle _)
     server.setExecutor(pool)
-    server.start()
+    // HttpServer.start() spawns the internal HTTP-Dispatcher thread,
+    // which inherits the CREATING thread's daemon flag (and is otherwise
+    // non-daemon): start from a daemon thread so a server left running —
+    // e.g. a gate whose read thunk still needs the catalog — never pins
+    // the JVM at exit
+    val starter = new Thread(() => server.start(), "rest-catalog-server-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     this
   }
 
