@@ -95,4 +95,27 @@ class OrphanPrefixSpec extends AnyFunSuite with BeforeAndAfterAll {
       GatedFileSystem.revoke(tok)
     }
   }
+
+  test("orphan scan covers a write.data.path override root") {
+    val wh = java.nio.file.Files.createTempDirectory("orphan-override").toString
+    val cat = new HadoopCatalog(wh)
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "seg")
+    val shared = s"$wh/_shared/t2data"
+    val t = Writer.append(spark,
+      cat.createTable("t2", SchemaBridge.fromSpark(df.schema),
+        PartitionSpec.Unpartitioned,
+        properties = Map("write.data.path" -> shared)), df)
+    // live data sits OUTSIDE <table>/data; drop a stray next to it
+    assert(t.newScan.planFiles().forall(_.file.path.startsWith(shared)))
+    val stray = s"$shared/stray-not-referenced.parquet"
+    FileIO.writeString(stray, "junk")
+    val removed = Maintenance.removeOrphanFiles(
+      cat.loadTable("t2"), olderThanMs = System.currentTimeMillis() + 1000)
+    assert(removed.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
+      Seq("stray-not-referenced.parquet"))
+    assert(!FileIO.exists(stray))
+    // referenced files under the override root survive, reads stay whole
+    assert(SparkRead.read(spark, cat.loadTable("t2").newScan).count() === 2)
+  }
 }
