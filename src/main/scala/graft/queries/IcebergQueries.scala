@@ -4348,6 +4348,53 @@ object IcebergQueries {
              'true,true,true' AS rest_sql_ok
       FROM nation
       GROUP BY n_regionkey
-      ORDER BY n_regionkey"""), repeatable = true)
+      ORDER BY n_regionkey"""), repeatable = true),
+
+    // Maintenance × object-storage layout: MoR pos-deletes and
+    // compaction rewrites must land their NEW files under the hashed
+    // entropy prefixes too (a rewrite that silently reverts to one
+    // .../data/ prefix re-creates the hot-prefix problem maintenance is
+    // supposed to relieve). Delete → compact → every live file carries
+    // the layout, deletes are folded, and the read hash-matches
+    QueryDef.staged("i109_object_storage_maintenance", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/osm_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t0 = cat.createTable("cust", schema,
+        PartitionSpec.builder(schema).add("c_mktsegment", Transforms.Identity).build(),
+        properties = Map("write.object-storage.enabled" -> "true"))
+      val t1 = Writer.append(s, t0, c.filter(col("c_custkey") % 2 === 0))
+      val t2 = Writer.append(s, t1, c.filter(col("c_custkey") % 2 === 1))
+      val t3 = Writer.deleteWhereMoR(s, t2, Expr.eq("c_mktsegment", "MACHINERY"))
+      def entropyOk(paths: Seq[String]): Boolean = paths.nonEmpty && paths.forall { p =>
+        val fn = p.substring(p.lastIndexOf('/') + 1)
+        p.contains(graft.table.Locations.entropyDirs(fn))
+      }
+      val preTasks = t3.newScan.planFiles()
+      val delOk = entropyOk(preTasks.flatMap(_.posDeletes.map(_.path)).distinct)
+      val res = graft.table.Maintenance.rewriteDataFiles(s, t3, rewriteAll = true)
+      val post = res.table.newScan.planFiles()
+      val rewrittenOk = entropyOk(post.map(_.file.path)) &&
+        post.map(_.file.path).toSet != preTasks.map(_.file.path).toSet
+      // compaction folded the MoR deletes into the rewrite
+      val foldedOk = post.forall(t => t.posDeletes.isEmpty && t.eqDeletes.isEmpty)
+      val flags = Seq(delOk, rewrittenOk, foldedOk).mkString(",")
+      () => SparkRead.read(s, cat.loadTable("cust").newScan)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast("double").as("bal"))
+        .select(col("c_mktsegment"), col("n"), col("bal"),
+          lit(flags).as("osm_ok"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+             'true,true,true' AS osm_ok
+      FROM customer
+      WHERE c_mktsegment <> 'MACHINERY'
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }
