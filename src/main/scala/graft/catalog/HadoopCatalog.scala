@@ -52,12 +52,29 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
       props: Map[String, String]): String =
     s"${metadataDir(name)}/${graft.table.Locations.metadataFileName(v, props)}"
 
-  /** Read-side resolve: the codec is whatever the committer used — sniff
-    * among the three spellings.
+  /** Codec-independent version reservation: exactly one `v<N>.commit`
+    * marker can be created per version (create-no-replace), arbitrating
+    * racers whose DIFFERENT codecs reserve different metadata file names.
+    * Content = the winning spelling, so readers resolve it directly.
     */
-  private def resolveMetadataFile(name: String, v: Int): Option[String] =
-    Seq(s"v$v.metadata.json", s"v$v.gz.metadata.json", s"v$v.zstd.metadata.json")
-      .map(fn => s"${metadataDir(name)}/$fn").find(FileIO.exists)
+  private def markerFile(name: String, v: Int): String =
+    s"${metadataDir(name)}/v$v.commit"
+
+  /** Read-side resolve: prefer the spelling recorded by the version's
+    * commit marker (the arbitration winner); fall back to sniffing the
+    * three spellings for versions committed before markers existed.
+    */
+  private def resolveMetadataFile(name: String, v: Int): Option[String] = {
+    val recorded =
+      try {
+        if (!FileIO.exists(markerFile(name, v))) None
+        else Some(s"${metadataDir(name)}/${FileIO.readString(markerFile(name, v)).trim}")
+          .filter(FileIO.exists)
+      } catch { case _: Exception => None } // torn marker read: fall back to sniff
+    recorded.orElse(
+      Seq(s"v$v.metadata.json", s"v$v.gz.metadata.json", s"v$v.zstd.metadata.json")
+        .map(fn => s"${metadataDir(name)}/$fn").find(FileIO.exists))
+  }
 
   def tableExists(name: String): Boolean = FileIO.exists(hintFile(name))
 
@@ -149,20 +166,36 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
           s"${c.name}: expected version ${c.expectedVersion} but found $cur")
     }
     val placed = Seq.newBuilder[String]
+    def rollbackAll(msg: String): Nothing = {
+      placed.result().foreach { p =>
+        try { FileIO.delete(p); () } catch { case _: Exception => () }
+      }
+      throw new CommitConflict(msg)
+    }
     try {
       commits.foreach { c =>
-        val path = metadataFile(c.name, c.expectedVersion + 1, c.updated.properties)
+        val v = c.expectedVersion + 1
+        val path = metadataFile(c.name, v, c.updated.properties)
         FileIO.createNoReplace(path, graft.table.Locations.encodeMetadata(
           TableMetadata.toJson(c.updated), c.updated.properties))
         placed += path
+        // same cross-codec arbitration as commitVersion, per table
+        val other = Seq(s"v$v.metadata.json", s"v$v.gz.metadata.json",
+            s"v$v.zstd.metadata.json")
+          .map(fn => s"${metadataDir(c.name)}/$fn")
+          .find(p2 => p2 != path && FileIO.exists(p2))
+        if (other.isDefined)
+          rollbackAll(s"${c.name}: version $v lost a cross-codec race to ${other.get}; " +
+            "all reservations rolled back")
+        val baseName = path.substring(path.lastIndexOf('/') + 1)
+        FileIO.createNoReplace(markerFile(c.name, v),
+          baseName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        placed += markerFile(c.name, v)
       }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        placed.result().foreach { p =>
-          try { FileIO.delete(p); () } catch { case _: Exception => () }
-        }
-        throw new CommitConflict(
+        rollbackAll(
           "multi-table transaction lost a concurrent race; all reservations rolled back")
     }
     commits.foreach { c =>
@@ -183,21 +216,44 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     }
     // Cross-codec CAS: two racers whose metadata carries DIFFERENT
     // compression codecs reserve different file names for the same
-    // version, so create-no-replace alone can't arbitrate. Deterministic
-    // tie-break: the spelling earliest in resolveMetadataFile's
-    // preference order wins (readers resolve the same way); a loser
-    // rolls its own file back and raises the conflict.
-    resolveMetadataFile(name, version).foreach { winner =>
-      if (winner != mine) {
-        try { FileIO.delete(mine); () } catch { case _: Exception => () }
-        throw new CommitConflict(
-          s"version $version lost a cross-codec race to $winner")
-      }
-    }
+    // version, so the codec-file create-no-replace alone can't arbitrate
+    // (each sees only its own spelling succeed). Two-step arbitration:
+    // (1) a pre-existing OTHER spelling means an earlier reservation
+    // already holds this version — back off; (2) otherwise claim the
+    // single codec-independent v<N>.commit marker — exactly one
+    // create-no-replace wins, the loser rolls its codec file back. Both
+    // racers backing off at (1) is safe (retry rebases); two winners is
+    // impossible.
+    reserveVersionMarker(name, version, mine)
     // atomic hint replace: a plain truncating write lets concurrent readers
     // observe an empty file mid-update
     FileIO.replaceAtomic(hintFile(name),
       version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Arbitrate version ownership after `mine` was placed; rolls `mine`
+    * back and raises CommitConflict on loss. See commitVersion for the
+    * interleaving argument.
+    */
+  private def reserveVersionMarker(name: String, version: Int, mine: String): Unit = {
+    def rollback(reason: String): Nothing = {
+      try { FileIO.delete(mine); () } catch { case _: Exception => () }
+      throw new CommitConflict(s"version $version $reason")
+    }
+    val otherSpelling =
+      Seq(s"v$version.metadata.json", s"v$version.gz.metadata.json",
+          s"v$version.zstd.metadata.json")
+        .map(fn => s"${metadataDir(name)}/$fn")
+        .find(p => p != mine && FileIO.exists(p))
+    otherSpelling.foreach(w => rollback(s"lost a cross-codec race to $w"))
+    val baseName = mine.substring(mine.lastIndexOf('/') + 1)
+    try FileIO.createNoReplace(markerFile(name, version),
+      baseName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        rollback("lost the commit-marker race")
+    }
   }
 }
 

@@ -47,6 +47,12 @@ object MetadataLogPolicy {
       dropped.foreach { e =>
         try { graft.io.FileIO.delete(e.metadataFile); () }
         catch { case _: Exception => () } // best-effort, orphan cleanup sweeps stragglers
+        // the version's commit marker (Hadoop-catalog CAS arbitration) goes with it
+        graft.table.Locations.metadataVersionOf(e.metadataFile).foreach { v =>
+          val dir = e.metadataFile.substring(0, e.metadataFile.lastIndexOf('/'))
+          try { graft.io.FileIO.delete(s"$dir/v$v.commit"); () }
+          catch { case _: Exception => () }
+        }
       }
 }
 

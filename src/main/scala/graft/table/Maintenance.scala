@@ -170,22 +170,34 @@ object Maintenance {
     var added: Seq[DataFile] = Nil
     var supersededDvKeys: Set[(String, Option[Long])] = Set.empty
     if (posParquet.nonEmpty) {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, regexp_replace}
       import spark.implicits._
-      // live-target rows only
+      // live-target rows only. livePaths holds FileIO.canonical spellings,
+      // so the delete-row file_path column must be folded to the SAME form
+      // before the semi join — on scheme-prefixed locations (hdfs:///p,
+      // file:/p) the raw spelling never matches canonical and every live
+      // delete row would be misclassified dangling and dropped (rows
+      // previously deleted would resurrect). Column-side equivalent of
+      // FileIO.canonical: file: → rooted path; empty-authority
+      // scheme:///p|scheme:// → scheme:/p; real authorities untouched.
+      val canonPath = regexp_replace(
+        regexp_replace(col("file_path"), "^file:/*", "/"),
+        "^([A-Za-z][A-Za-z0-9+.-]*):(///+|//$)", "$1:/")
       val liveDf = livePaths.toSeq.toDF("file_path")
       val rows = spark.read.parquet(posParquet.map(_.path): _*)
-        .select(col("file_path"), col("pos"))
+        .select(canonPath.as("file_path"), col("pos"))
         .join(liveDf, Seq("file_path"), "left_semi")
       if (table.metadata.formatVersion >= 3) {
         // v3 forbids NEW parquet pos-delete files: fold the legacy backlog
         // into per-file deletion vectors instead, OR-ing any existing DV
         // for the same file (which the new blob then supersedes)
+        // keyed canonically to match the folded file_path column above
         val dvByFile: Map[String, (String, Long, Long)] = deleteEntries
           .filter(f => f.content == DataFileContent.PositionDeletes &&
             f.format == "PUFFIN")
           .flatMap(d => d.referencedDataFile.map(r =>
-            r -> ((d.path, d.contentOffset.get, d.contentSize.get)))).toMap
+            graft.io.FileIO.canonical(r) ->
+              ((d.path, d.contentOffset.get, d.contentSize.get)))).toMap
         added = Writer.writeDvBlobs(spark, rows, dvByFile, table.location,
           table.metadata.properties)
         supersededDvKeys = added.flatMap(_.referencedDataFile)

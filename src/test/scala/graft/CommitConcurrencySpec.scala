@@ -187,4 +187,62 @@ class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.loadTable("cc_codec").metadata
       .properties("write.metadata.compression-codec") === "gzip")
   }
+
+  test("cross-codec CAS: the v<N>.commit marker arbitrates when both spellings race") {
+    // The interleaving the codec-file check alone cannot catch: both racers
+    // pass the other-spelling-exists check before either file lands, so the
+    // single create-no-replace of v<N>.commit must decide. Simulate the
+    // loser's view: the marker is already claimed (winner between its marker
+    // claim and its hint publish), the winner's codec file not yet visible.
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_marker", schema, PartitionSpec.Unpartitioned)
+    graft.io.FileIO.createNoReplace(
+      s"$warehouse/cc_marker/metadata/v2.commit",
+      "v2.gz.metadata.json".getBytes("UTF-8"))
+    intercept[CommitConflict] { catalog.commit("cc_marker", t0.metadata, t0.metadata, 1) }
+    // the loser rolled back its plain spelling; nothing claims v2 but the marker
+    assert(!graft.io.FileIO.exists(s"$warehouse/cc_marker/metadata/v2.metadata.json"))
+  }
+
+  test("readers resolve the marker-recorded spelling, not sniff order") {
+    // A stale plain-spelling file (crashed pre-marker committer, or a loser
+    // whose rollback delete failed) must NOT shadow the committed gzip file:
+    // the marker records the winner and loadTable follows it.
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_mread", schema, PartitionSpec.Unpartitioned)
+    val t1 = graft.table.Evolve.setProperties(t0,
+      Map("write.metadata.compression-codec" -> "gzip")) // commits v2 as gzip
+    assert(t1.metadataPath.endsWith("v2.gz.metadata.json"))
+    // drop a bogus plain v2 AFTER the commit (sniff order would prefer it)
+    graft.io.FileIO.createNoReplace(
+      s"$warehouse/cc_mread/metadata/v2.metadata.json",
+      TableMetadata.toJson(t0.metadata).getBytes("UTF-8"))
+    val loaded = catalog.loadTable("cc_mread")
+    assert(loaded.metadataPath.endsWith("v2.gz.metadata.json"))
+    assert(loaded.metadata.properties.get("write.metadata.compression-codec")
+      .contains("gzip"))
+  }
+
+  test("multi-table transaction: lost race rolls back codec files AND markers") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val ta = catalog.createTable("cc_txn_a", schema, PartitionSpec.Unpartitioned)
+    val tb = catalog.createTable("cc_txn_b", schema, PartitionSpec.Unpartitioned)
+    // second table's version is already reserved by a concurrent committer
+    graft.io.FileIO.createNoReplace(
+      s"$warehouse/cc_txn_b/metadata/v2.commit",
+      "v2.gz.metadata.json".getBytes("UTF-8"))
+    intercept[CommitConflict] {
+      catalog.commitTransaction(Seq(
+        graft.catalog.StagedCommit("cc_txn_a", ta.metadata, ta.metadata, 1),
+        graft.catalog.StagedCommit("cc_txn_b", tb.metadata, tb.metadata, 1)))
+    }
+    // table A's reservation (file + marker) rolled back with table B's
+    assert(!graft.io.FileIO.exists(s"$warehouse/cc_txn_a/metadata/v2.metadata.json"))
+    assert(!graft.io.FileIO.exists(s"$warehouse/cc_txn_a/metadata/v2.commit"))
+    assert(!graft.io.FileIO.exists(s"$warehouse/cc_txn_b/metadata/v2.metadata.json"))
+    assert(catalog.loadTable("cc_txn_a").currentVersion === 1)
+  }
 }

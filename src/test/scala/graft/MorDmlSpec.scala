@@ -158,6 +158,45 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT min(k) FROM g.rv").head.getLong(0) === 50L)
   }
 
+  test("pos-delete rewrite matches scheme-spelled file_path against canonical live paths") {
+    // A delete writer on a scheme-prefixed location records file:/...-spelled
+    // targets while the maintenance walk canonicalizes live paths to /... —
+    // the rewrite's semi join must fold the column to the canonical form, or
+    // every live delete row is misclassified dangling and the deleted rows
+    // RESURRECT after the procedure.
+    spark.sql("""CREATE TABLE g.rcanon (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO g.rcanon SELECT id, concat('v', id) FROM range(200)")
+    graft.table.Writer.deleteWhereMoR(spark, catalog.loadTable("rcanon"),
+      graft.core.Expr.lt("k", 50L))
+    assert(spark.sql("SELECT count(*) FROM g.rcanon").head.getLong(0) === 150L)
+    // rewrite the pos-delete parquet in place with scheme-spelled targets
+    val posFiles = catalog.loadTable("rcanon").newScan.planFiles()
+      .flatMap(_.posDeletes.filter(_.format != "PUFFIN")).map(_.path).distinct
+    assert(posFiles.nonEmpty)
+    posFiles.foreach { pf =>
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val respelled = spark.read.parquet(pf)
+        .select(concat(lit("file:"), col("file_path")).as("file_path"), col("pos"))
+        .collect()
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft-respell").toString
+      respelled.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = graft.table.Writer.listParquet(tmp).head
+      graft.io.FileIO.delete(pf)
+      graft.io.FileIO.move(part, pf)
+    }
+    assert(spark.sql("SELECT count(*) FROM g.rcanon").head.getLong(0) === 150L)
+    val r = graft.table.Maintenance.rewritePositionDeleteFiles(
+      spark, catalog.loadTable("rcanon"))
+    assert(r.rewrittenDeleteFiles >= 1 && r.addedDeleteFiles >= 1,
+      s"expected a real rewrite, got $r")
+    // the deleted rows stay deleted — nothing resurrected
+    assert(spark.sql("SELECT count(*) FROM g.rcanon").head.getLong(0) === 150L)
+    assert(spark.sql("SELECT min(k) FROM g.rcanon").head.getLong(0) === 50L)
+  }
+
   test("MoR MERGE inserts fan out by partition — one open writer, DV invariant holds") {
     spark.sql("""CREATE TABLE g.mp (k BIGINT, seg BIGINT, v DOUBLE)
       PARTITIONED BY (identity(seg))
