@@ -11,14 +11,20 @@ import org.apache.spark.sql.SparkSession
   * services, OAuth handshakes, REST commits) UNTIMED and only the returned
   * query thunk is measured.
   *
-  * Queries marked `repeatable` (pure reads with no commit side effects) run
-  * TWICE: rep 1 = cold (includes whole-stage-codegen compilation and
-  * whatever GC/code-cache state earlier gates left behind), rep 2 = steady.
-  * `queries` carries the steady numbers — the round-over-round trend signal
-  * — and `queries_cold` the first-run numbers, so a regression in either
-  * startup cost or steady-state cost stays visible without one masking the
-  * other. Non-repeatable gates run once (their single number appears in
-  * both maps).
+  * Queries marked `repeatable` (pure reads with no commit side effects)
+  * run once cold (includes whole-stage-codegen compilation and whatever
+  * GC/code-cache state earlier gates left behind) then K steady reps
+  * (SPARK_GRAFT_BENCH_REPS, default 3). `queries` carries min(cold,
+  * steady reps) — the honest steady-state estimator for back-to-back
+  * identical executions — `queries_cold` the first-run numbers, and
+  * `queries_spread` max-min over the steady reps, so same-code run-to-run
+  * noise (which has produced false >2x cross-round signals on a shared
+  * box) is measured instead of mistaken for regressions. Gates whose min
+  * exceeds 1.5x the previous round's committed min (tools/bench_prior.json
+  * at the same scale factor) are re-measured with extra reps before the
+  * run is accepted; persistent offenders are named in `slow_vs_prior` and
+  * taint the run. Non-repeatable gates run once (their single number
+  * appears in both maps, spread 0).
   */
 object Bench {
 
@@ -104,6 +110,29 @@ object Bench {
     handles.filterNot(_.isAlive).map(_.pid)
   }
 
+  /** Previous round's committed per-gate steady minimums, used as the
+    * variance guard's reference. Only comparable at the SAME scale factor;
+    * absent file or sf mismatch disables the guard (first round at a new
+    * sf has no prior).
+    */
+  private def loadPriorMins(sfDir: String): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      "/root/repo/tools/bench_prior.json")
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists) return Map.empty
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val priorSf = node.path("sf").asText("")
+      val curSf = sfDir.stripSuffix("/").split('/').last
+      if (priorSf != curSf) return Map.empty
+      val qs = node.path("queries")
+      import scala.jdk.CollectionConverters._
+      qs.properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble(-1.0))
+        .filter(_._2 > 0).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -160,7 +189,13 @@ object Bench {
         name => ss.exists(name.contains)
       case None => _ => true
     }
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    val priorMins = loadPriorMins(sfDir)
+    if (priorMins.nonEmpty)
+      System.err.println(s"[bench] variance guard armed: ${priorMins.size} prior mins, $reps steady reps")
     val telemetryOut = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val slowVsPrior = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.all.sortBy(_.name).filter(q => only(q.name)).map { qd =>
       val name = qd.name
       try {
@@ -180,35 +215,61 @@ object Bench {
           Thread.sleep(500)
           telemetry.reset()
         }
-        val steady0 = if (qd.repeatable) timed(run) else cold
-        // a steady rep ABOVE the cold rep of the identical work is noise by
-        // construction (cold includes codegen/compile; the work didn't
-        // change) — GC or compilation storms, not a regression. On any
-        // significant inversion re-measure once; steady is the min of the
-        // observed reps, which for back-to-back identical executions is the
-        // honest steady-state estimator.
-        val steady =
-          if (qd.repeatable && steady0 > cold && steady0 - cold > 0.5) {
-            val retry = timed(run)
-            System.err.println(f"[bench] $name: steady $steady0%.2f above cold $cold%.2f — retried ($retry%.2f), keeping min")
-            math.min(math.min(steady0, retry), cold)
-          } else if (qd.repeatable) math.min(steady0, cold)
-          else steady0
-        if (wantTelemetry) {
+        // K steady reps: min over (cold ++ reps) is the honest steady
+        // estimator for back-to-back identical executions (cold includes
+        // codegen/compile, so it can only lower the min when a steady rep
+        // caught a GC or compilation storm); spread = max-min over the
+        // STEADY reps measures same-code run-to-run noise, which has
+        // produced false >2x cross-round signals on a shared box.
+        val steadyReps = scala.collection.mutable.ArrayBuffer.empty[Double]
+        if (qd.repeatable) {
+          // telemetry window = the FIRST steady rep only, keeping the
+          // shuffle/memory numbers comparable across rounds regardless of K
+          steadyReps += timed(run)
+          if (wantTelemetry) {
+            Thread.sleep(500)
+            telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)
+          }
+          (1 until reps).foreach(_ => steadyReps += timed(run))
+        } else if (wantTelemetry) {
           Thread.sleep(500)
           telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)
         }
-        (name, cold, steady)
+        def currentMin: Double =
+          if (steadyReps.isEmpty) cold else math.min(cold, steadyReps.min)
+        // variance guard: a min above 1.5x the previous round's committed
+        // min is either a real regression or a noisy run — re-measure
+        // before accepting, and name the gate if it persists
+        priorMins.get(name).foreach { prior =>
+          if (qd.repeatable) {
+            var extra = 0
+            while (currentMin > prior * 1.5 && extra < 2) {
+              System.err.println(f"[bench] $name: min $currentMin%.2f vs prior $prior%.2f — extra rep")
+              steadyReps += timed(run)
+              extra += 1
+            }
+          }
+          if (currentMin > prior * 1.5) {
+            val msg = f"slow-vs-prior:$name min $currentMin%.2fs vs committed $prior%.2fs"
+            System.err.println(s"[bench] $msg")
+            slowVsPrior += msg
+          }
+        }
+        val steady = currentMin
+        val spread = if (steadyReps.isEmpty) 0.0 else steadyReps.max - steadyReps.min
+        (name, cold, steady, spread)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name: ${e.getMessage}")
         // -1 sentinel: a failed query must be visible in the JSON, not look
         // like a fast success
-        (name, -1.0, -1.0)
+        (name, -1.0, -1.0, 0.0)
       }
     }
-    val qs = results.map { case (k, _, st) => s"\"" + k + "\":" + st }
+    val qs = results.map { case (k, _, st, _) => s"\"" + k + "\":" + st }
       .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, c, _) => s"\"" + k + "\":" + c }
+    val qsCold = results.map { case (k, c, _, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val qsSpread = results.map { case (k, _, _, sp) => s"\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val tele = telemetryOut.map { case (k, (sh, pm)) =>
       s"\"" + k + "\":{\"shuffle_bytes_written\":" + sh + ",\"peak_task_exec_mem_bytes\":" + pm + "}"
@@ -217,10 +278,14 @@ object Bench {
     // so a crash can never read as a speedup
     val total = results.map(_._3).filter(_ >= 0).sum
     // contamination scan #2: a foreign JVM may have appeared mid-run;
-    // tainted if EITHER scan saw one
+    // tainted if EITHER scan saw one — or if a gate stayed >1.5x its
+    // prior-round min after the extra reps (regression or dirty box:
+    // either way the number needs a named explanation before it's trusted)
     val taintAtEnd = foreignJvms()
-    val taintedBy = (taintAtStart ++ taintAtEnd).map(_._2).distinct
+    val taintedBy =
+      ((taintAtStart ++ taintAtEnd).map(_._2) ++ slowVsPrior).distinct
     val taintJson = taintedBy.map(jsonStr).mkString("[", ",", "]")
+    val slowJson = slowVsPrior.map(jsonStr).mkString("[", ",", "]")
     val killedJson = killedPids.mkString("[", ",", "]")
     // Key order matters downstream: the driver keeps only the LAST 2000
     // chars of output, so the trailing bytes must carry (a) the tail of the
@@ -229,7 +294,7 @@ object Bench {
     // front for head-readers and again at the very end for tail-captures
     // (duplicate JSON keys with identical values; last-wins parsers agree).
     val taint = s""""tainted":${taintedBy.nonEmpty},"tainted_by":$taintJson"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$taint,"killed_stale_jvms":$killedJson,"sf":"$sfDir","queries_cold":$qsCold,"telemetry":$tele,"queries":$qs,"steady_map":"queries","cold_map":"queries_cold",$taint,"value":$total}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$taint,"killed_stale_jvms":$killedJson,"sf":"$sfDir","bench_reps":$reps,"slow_vs_prior":$slowJson,"queries_cold":$qsCold,"queries_spread":$qsSpread,"telemetry":$tele,"queries":$qs,"steady_map":"queries","cold_map":"queries_cold",$taint,"value":$total}"""
     println(json)
     // belt-and-braces for the driver: also drop the line where a file reader
     // can find it even if stdout gets wrapped by the build tool
