@@ -40,6 +40,7 @@ object Catalogs {
   register("hadoop", path => new HadoopCatalog(path))
   register("sql", rest => SqlCatalog.fromUri(rest))
   register("rest", rest => graft.rest.RestCatalog.fromUri(rest))
+  register("hive", rest => HiveCatalog.fromUri(rest))
 
   def register(scheme: String, factory: String => Catalog): Unit = {
     factories.put(scheme, factory)

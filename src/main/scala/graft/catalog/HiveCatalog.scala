@@ -1,0 +1,474 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.hive.conf.HiveConf
+import org.apache.hadoop.hive.metastore.{HiveMetaStoreClient, IMetaStoreClient}
+import org.apache.hadoop.hive.metastore.api.{AlreadyExistsException, Database,
+  FieldSchema, LockComponent, LockLevel, LockRequest, LockResponse, LockState,
+  LockType, NoSuchObjectException, SerDeInfo, StorageDescriptor,
+  Table => HmsTable}
+
+import graft.core.{IcebergSchema, IcebergType, IcebergTypes, NestedField}
+import graft.format._
+import graft.io.FileIO
+import graft.table.Table
+
+/** Hive-metastore catalog (reference `catalog/hive/hive.go`): the CURRENT
+  * metadata pointer lives in the HMS table's `metadata_location` parameter,
+  * and commits are serialized by the metastore's EXCLUSIVE table lock —
+  * Hive's primary concurrent-writer signal (`hive.go:560-575`,
+  * `lock.go:52-150`). The commit sequence under the lock re-reads the table
+  * so the expected-pointer check can never act on state a concurrent commit
+  * changed while lock acquisition was waiting (`hive.go:446-447`,
+  * `hive.go:577-640`):
+  *
+  *  1. acquire EXCLUSIVE TABLE lock (poll `checkLock` while WAITING);
+  *  2. `get_table`, verify `metadata_location` still matches the commit's
+  *     base version — mismatch = lost race = CommitConflict (retryable);
+  *  3. write the new metadata file, `alter_table` flipping
+  *     `metadata_location` and recording `previous_metadata_location` from
+  *     the UNMODIFIED parameters (`schema.go:216-218` — a user property can
+  *     never replace the real previous pointer);
+  *  4. unlock (always, also on failure — an orphaned lock blocks every
+  *     later committer until the metastore's timeout).
+  *
+  * HMS object shape follows the reference (`schema.go:140-172`): an
+  * EXTERNAL_TABLE with `table_type=ICEBERG`, `EXTERNAL=TRUE`, the Iceberg
+  * storage-handler SerDe triple, and the current schema mirrored as Hive
+  * columns so plain HMS tooling can describe the table.
+  *
+  * Runs embedded (in-process HMS over Derby — Hive 2.x holds a single
+  * static PersistenceManagerFactory, so one embedded metastore per JVM;
+  * [[HiveCatalog.embedded]] caches accordingly) or against a remote
+  * `thrift://` URI. Table names are `ns.table`; bare names map to
+  * `default`.
+  */
+final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
+    extends Catalog {
+
+  import HiveCatalog._
+
+  private val warehouse: String = FileIO.canonical(warehouseRaw)
+
+  override lazy val viewStore: Option[MetaObjects] = Some(new MetaObjects(warehouse))
+
+  // HiveMetaStoreClient is not thread-safe; every RPC synchronizes on it
+  // INDIVIDUALLY (never across a poll loop, so a waiting lock acquirer
+  // can't deadlock the holder's unlock)
+  private val client: IMetaStoreClient = new HiveMetaStoreClient(conf)
+  private def rpc[A](f: IMetaStoreClient => A): A = client.synchronized(f(client))
+
+  private def split(name: String): (String, String) = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) ("default", name) else (name.substring(0, i), name.substring(i + 1))
+  }
+  private def join(ns: String, tbl: String): String =
+    if (ns == "default") tbl else s"$ns.$tbl"
+
+  private def tableDir(name: String): String = {
+    val (ns, tbl) = split(name)
+    s"$warehouse/$ns/$tbl"
+  }
+  private def metadataFile(name: String, v: Int,
+      props: Map[String, String]): String =
+    s"${tableDir(name)}/metadata/" +
+      graft.table.Locations.metadataFileName(v, props)
+
+  private def getHmsTable(name: String): Option[HmsTable] = {
+    val (ns, tbl) = split(name)
+    try Option(rpc(_.getTable(ns, tbl)))
+    catch { case _: NoSuchObjectException => None }
+  }
+
+  private def ensureDatabase(ns: String): Unit = {
+    try { rpc(_.getDatabase(ns)); () }
+    catch {
+      case _: NoSuchObjectException =>
+        val db = new Database(ns, "graft namespace", s"$warehouse/$ns",
+          new java.util.HashMap[String, String]())
+        try rpc(_.createDatabase(db))
+        catch { case _: AlreadyExistsException => () }
+    }
+  }
+
+  // ---- lock protocol (reference lock.go:52-150) ---------------------------
+
+  /** EXCLUSIVE TABLE-level lock; WAITING responses poll `checkLock` with
+    * doubling backoff until ACQUIRED or the deadline. A NOT_ACQUIRED or
+    * timeout raises CommitConflict (retryable — lock contention IS the
+    * concurrent-writer signal, `hive.go:562-566`).
+    */
+  private def acquireLock(ns: String, tbl: String): Long = {
+    val comp = new LockComponent(LockType.EXCLUSIVE, LockLevel.TABLE, ns)
+    comp.setTablename(tbl)
+    comp.setOperationType(org.apache.hadoop.hive.metastore.api.DataOperationType.NO_TXN)
+    val req = new LockRequest(java.util.List.of(comp),
+      sys.props.getOrElse("user.name", "graft"),
+      java.net.InetAddress.getLoopbackAddress.getHostName)
+    var resp: LockResponse = rpc(_.lock(req))
+    val deadline = System.nanoTime() + LockTimeoutMs * 1000000L
+    var sleepMs = 50L
+    while (resp.getState == LockState.WAITING && System.nanoTime() < deadline) {
+      Thread.sleep(sleepMs)
+      sleepMs = math.min(sleepMs * 2, 1000L)
+      resp = rpc(_.checkLock(resp.getLockid))
+    }
+    if (resp.getState != LockState.ACQUIRED) {
+      // a still-WAITING lock must be released or it queues behind forever
+      try { rpc(_.unlock(resp.getLockid)); () } catch { case _: Exception => () }
+      throw new CommitConflict(
+        s"failed to acquire Hive lock for $ns.$tbl (state ${resp.getState})")
+    }
+    resp.getLockid
+  }
+
+  private def withTableLock[A](ns: String, tbl: String)(f: => A): A = {
+    val lockId = acquireLock(ns, tbl)
+    try f
+    finally {
+      try { rpc(_.unlock(lockId)); () } catch { case _: Exception => () }
+    }
+  }
+
+  // ---- Catalog ------------------------------------------------------------
+
+  def tableExists(name: String): Boolean =
+    getHmsTable(name).exists(isIcebergTable)
+
+  def listTables(): Seq[String] = {
+    val dbs = rpc(_.getAllDatabases).asScala.toSeq
+    dbs.flatMap { db =>
+      val names = rpc(_.getAllTables(db)).asScala.toSeq
+      if (names.isEmpty) Nil
+      else rpc(_.getTableObjectsByName(db, names.asJava)).asScala
+        .filter(isIcebergTable).map(t => join(db, t.getTableName))
+    }.sorted
+  }
+
+  def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
+      sortOrder: SortOrder = SortOrder.Unsorted,
+      properties: Map[String, String] = Map.empty): Table = {
+    val (ns, tbl) = split(name)
+    ensureDatabase(ns)
+    if (tableExists(name))
+      throw new IllegalArgumentException(s"table $name already exists")
+    val meta = TableMetadata.empty(tableDir(name), schema, spec, sortOrder, properties)
+    val path = metadataFile(name, 1, meta.properties)
+    // create-no-replace: a duplicate create must refuse WITHOUT touching a
+    // live table's v1 file (same defect class the conformance battery
+    // caught in SqlCatalog)
+    try FileIO.createNoReplace(path, graft.table.Locations.encodeMetadata(
+      TableMetadata.toJson(meta), meta.properties))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(s"table $name already exists")
+    }
+    val hmsTable = constructHmsTable(ns, tbl, tableDir(name), path,
+      meta.schema, meta.properties)
+    try rpc(_.createTable(hmsTable))
+    catch {
+      case _: AlreadyExistsException =>
+        try { FileIO.delete(path); () } catch { case _: Exception => () }
+        throw new IllegalArgumentException(s"table $name already exists")
+    }
+    new Table(name, meta, path, this)
+  }
+
+  def loadTable(name: String): Table = {
+    val hms = getHmsTable(name).filter(isIcebergTable).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val path = metadataLocationOf(hms).getOrElse(
+      throw new IllegalStateException(s"table $name has no metadata_location"))
+    val meta = TableMetadata.fromJson(graft.table.Locations.readMetadataJson(path))
+    new Table(name, meta, path, this)
+  }
+
+  def dropTable(name: String): Unit = {
+    val (ns, tbl) = split(name)
+    // deleteData=false: metadata/data-file lifecycle is the engine's
+    // (purge respects gc.enabled), never HMS's
+    try rpc(_.dropTable(ns, tbl, false, true))
+    catch { case _: NoSuchObjectException => () }
+    FileIO.deleteTree(tableDir(name))
+    ()
+  }
+
+  def currentVersion(name: String): Option[Int] =
+    getHmsTable(name).flatMap(metadataLocationOf)
+      .flatMap(graft.table.Locations.metadataVersionOf)
+
+  /** CAS commit under the metastore's exclusive table lock. */
+  def commit(name: String, base: TableMetadata, updated: TableMetadata,
+      expectedVersion: Int): String = {
+    val (ns, tbl) = split(name)
+    withTableLock(ns, tbl) {
+      // re-read AFTER acquiring the lock: the pointer may have moved while
+      // this committer waited (reference hive.go:446-447)
+      val hms = getHmsTable(name).filter(isIcebergTable).getOrElse(
+        throw new CommitConflict(s"table $name disappeared during commit"))
+      val currentLoc = metadataLocationOf(hms).getOrElse(
+        throw new CommitConflict(s"table $name has no metadata_location"))
+      val currentV = graft.table.Locations.metadataVersionOf(currentLoc).getOrElse(0)
+      if (currentV != expectedVersion)
+        throw new CommitConflict(
+          s"expected version $expectedVersion but found $currentV")
+      val newPath = metadataFile(name, expectedVersion + 1, updated.properties)
+      try FileIO.createNoReplace(newPath, graft.table.Locations.encodeMetadata(
+        TableMetadata.toJson(updated), updated.properties))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new CommitConflict(
+            s"version ${expectedVersion + 1} already staged for $name")
+      }
+      try {
+        rpc(_.alter_table(ns, tbl,
+          updateHmsTableForCommit(hms, base, updated, newPath, tableDir(name))))
+      } catch {
+        case e: Exception =>
+          try { FileIO.delete(newPath); () } catch { case _: Exception => () }
+          throw new CommitConflict(s"failed to commit $name: ${e.getMessage}")
+      }
+      newPath
+    }
+  }
+
+  /** Lock-based rename (reference `hive.go:502-545`): both identities
+    * locked in deterministic order, the pointer re-verified under the
+    * locks, then `alter_table` moves the identity. Storage stays put —
+    * catalog identity != data location.
+    */
+  def renameTable(from: String, to: String): Table = {
+    val (fns, ftbl) = split(from)
+    val (tns, ttbl) = split(to)
+    ensureDatabase(tns)
+    if (tableExists(to))
+      throw new IllegalArgumentException(s"table $to already exists")
+    withTableLock(fns, ftbl) {
+      val hms = getHmsTable(from).filter(isIcebergTable).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $from"))
+      val renamed = new HmsTable(hms)
+      renamed.setDbName(tns)
+      renamed.setTableName(ttbl)
+      rpc(_.alter_table(fns, ftbl, renamed))
+    }
+    loadTable(to)
+  }
+
+  /** Register an existing metadata file under a new name (no rewrite; the
+    * HMS row simply points at the given location).
+    */
+  def registerTable(name: String, metadataLocation: String): Table = {
+    if (graft.table.Locations.metadataVersionOf(metadataLocation).isEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported metadata file name: $metadataLocation " +
+          "(this catalog requires v<N>.metadata.json versioned locations)")
+    val meta = TableMetadata.fromJson(
+      graft.table.Locations.readMetadataJson(metadataLocation))
+    val (ns, tbl) = split(name)
+    ensureDatabase(ns)
+    val hmsTable = constructHmsTable(ns, tbl, meta.location, metadataLocation,
+      meta.schema, meta.properties)
+    try rpc(_.createTable(hmsTable))
+    catch {
+      case _: AlreadyExistsException =>
+        throw new IllegalArgumentException(s"table $name already exists")
+    }
+    new Table(name, meta, metadataLocation, this)
+  }
+
+  // ---- namespaces ---------------------------------------------------------
+
+  def createNamespace(ns: String, props: Map[String, String] = Map.empty): Unit = {
+    val db = new Database(ns, "graft namespace", s"$warehouse/$ns",
+      props.asJava)
+    try rpc(_.createDatabase(db))
+    catch {
+      case _: AlreadyExistsException =>
+        throw new IllegalArgumentException(s"namespace $ns already exists")
+    }
+  }
+
+  def namespaceExists(ns: String): Boolean =
+    try { rpc(_.getDatabase(ns)); true }
+    catch { case _: NoSuchObjectException => false }
+
+  def listNamespaces(): Seq[String] = rpc(_.getAllDatabases).asScala.toSeq.sorted
+
+  def loadNamespaceProperties(ns: String): Map[String, String] =
+    try rpc(_.getDatabase(ns)).getParameters.asScala.toMap
+    catch { case _: NoSuchObjectException =>
+      throw new NoSuchElementException(s"no such namespace: $ns") }
+
+  def dropNamespace(ns: String): Unit = {
+    val inUse = try rpc(_.getAllTables(ns)).asScala.nonEmpty
+      catch { case _: NoSuchObjectException => false }
+    require(!inUse, s"namespace $ns still contains tables")
+    try rpc(_.dropDatabase(ns, false, true))
+    catch { case _: NoSuchObjectException => () }
+    ()
+  }
+
+  def close(): Unit = client.synchronized(client.close())
+}
+
+object HiveCatalog {
+
+  /** Property keys on the HMS table object (reference `options.go:34-47`). */
+  val TableTypeKey = "table_type"
+  val TableTypeIceberg = "ICEBERG"
+  val MetadataLocationKey = "metadata_location"
+  val PreviousMetadataLocationKey = "previous_metadata_location"
+  val ExternalKey = "EXTERNAL"
+  val StorageHandlerKey = "storage_handler"
+  val IcebergStorageHandler = "org.apache.iceberg.mr.hive.HiveIcebergStorageHandler"
+
+  private val LockTimeoutMs = 30000L
+
+  private[catalog] def isIcebergTable(t: HmsTable): Boolean =
+    Option(t).flatMap(t => Option(t.getParameters)).toSeq
+      .flatMap(_.asScala.get(TableTypeKey))
+      .exists(_.equalsIgnoreCase(TableTypeIceberg))
+
+  private[catalog] def metadataLocationOf(t: HmsTable): Option[String] =
+    Option(t.getParameters).flatMap(_.asScala.get(MetadataLocationKey))
+
+  /** Hive type string for an Iceberg type (reference `schema.go:54-89`;
+    * Hive LanguageManual Types). Types Hive can't express degrade to
+    * string/binary — the HMS columns are descriptive mirrors, never the
+    * source of truth (that's the metadata JSON).
+    */
+  private[catalog] def toHiveType(t: IcebergType): String = t match {
+    case IcebergTypes.BooleanT => "boolean"
+    case IcebergTypes.IntT => "int"
+    case IcebergTypes.LongT => "bigint"
+    case IcebergTypes.FloatT => "float"
+    case IcebergTypes.DoubleT => "double"
+    case IcebergTypes.DateT => "date"
+    case IcebergTypes.TimeT => "string" // Hive has no time type
+    case IcebergTypes.TimestampT | IcebergTypes.TimestampTzT |
+         IcebergTypes.TimestampNsT | IcebergTypes.TimestampTzNsT => "timestamp"
+    case IcebergTypes.StringT => "string"
+    case IcebergTypes.UuidT => "string"
+    case IcebergTypes.BinaryT => "binary"
+    case IcebergTypes.FixedT(len) => s"binary($len)"
+    case IcebergTypes.DecimalT(p, s) => s"decimal($p,$s)"
+    case IcebergTypes.StructT(fields) =>
+      fields.map(f => s"${f.name}:${toHiveType(f.fieldType)}")
+        .mkString("struct<", ",", ">")
+    case IcebergTypes.ListT(_, et, _) => s"array<${toHiveType(et)}>"
+    case IcebergTypes.MapT(_, kt, _, vt, _) =>
+      s"map<${toHiveType(kt)},${toHiveType(vt)}>"
+    case other => other.typeName // variant/unknown/geo: descriptive passthrough
+  }
+
+  private[catalog] def hiveColumns(schema: IcebergSchema): java.util.List[FieldSchema] =
+    schema.fields.map { f: NestedField =>
+      new FieldSchema(f.name, toHiveType(f.fieldType), f.doc.orNull)
+    }.asJava
+
+  private def icebergSd(location: String, schema: IcebergSchema): StorageDescriptor = {
+    val sd = new StorageDescriptor()
+    sd.setCols(hiveColumns(schema))
+    sd.setLocation(location)
+    sd.setInputFormat("org.apache.iceberg.mr.hive.HiveIcebergInputFormat")
+    sd.setOutputFormat("org.apache.iceberg.mr.hive.HiveIcebergOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib("org.apache.iceberg.mr.hive.HiveIcebergSerDe")
+    sd.setSerdeInfo(serde)
+    sd
+  }
+
+  private[catalog] def constructHmsTable(ns: String, tbl: String,
+      location: String, metadataLocation: String, schema: IcebergSchema,
+      props: Map[String, String]): HmsTable = {
+    val params = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => if (v.nonEmpty) params.put(k, v) }
+    params.remove(PreviousMetadataLocationKey)
+    params.put(TableTypeKey, TableTypeIceberg)
+    params.put(MetadataLocationKey, metadataLocation)
+    params.put(ExternalKey, "TRUE")
+    params.put(StorageHandlerKey, IcebergStorageHandler)
+    val t = new HmsTable()
+    t.setDbName(ns)
+    t.setTableName(tbl)
+    t.setTableType("EXTERNAL_TABLE")
+    t.setParameters(params)
+    t.setSd(icebergSd(location, schema))
+    t
+  }
+
+  /** Updated HMS object for a commit (reference `schema.go:196-236`):
+    * properties the PREVIOUS metadata owned are cleared before the staged
+    * ones land (HMS has no ownership marker for user parameters), and
+    * `previous_metadata_location` is read from the UNMODIFIED parameters so
+    * a user property can never replace the real previous pointer.
+    */
+  private[catalog] def updateHmsTableForCommit(existing: HmsTable,
+      base: TableMetadata, updated: TableMetadata, newMetadataLocation: String,
+      location: String): HmsTable = {
+    val t = new HmsTable(existing) // deep thrift copy
+    val params = new java.util.HashMap[String, String](
+      Option(existing.getParameters).getOrElse(new java.util.HashMap[String, String]()))
+    base.properties.keys.foreach(params.remove)
+    updated.properties.foreach { case (k, v) => if (v.nonEmpty) params.put(k, v) }
+    params.remove(PreviousMetadataLocationKey)
+    Option(existing.getParameters).flatMap(p => Option(p.get(MetadataLocationKey)))
+      .foreach(old => params.put(PreviousMetadataLocationKey, old))
+    params.put(TableTypeKey, TableTypeIceberg)
+    params.put(MetadataLocationKey, newMetadataLocation)
+    params.put(ExternalKey, "TRUE")
+    params.put(StorageHandlerKey, IcebergStorageHandler)
+    t.setParameters(params)
+    t.setSd(icebergSd(location, updated.schema))
+    t
+  }
+
+  // One embedded metastore per JVM: Hive 2.x ObjectStore holds a static
+  // PersistenceManagerFactory, so a second Derby URL in the same JVM would
+  // silently reuse the first database. The cache makes that explicit.
+  private val embeddedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HiveCatalog]()
+
+  /** Embedded in-process metastore over Derby at `metastoreDir`, metadata
+    * files under `warehouse`.
+    */
+  def embedded(metastoreDir: String, warehouse: String): HiveCatalog =
+    embeddedCache.computeIfAbsent(s"$metastoreDir|$warehouse", { _ =>
+      val conf = new HiveConf()
+      conf.set("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
+      conf.set("hive.metastore.uris", "")
+      conf.set("hive.metastore.warehouse.dir", warehouse)
+      conf.set("datanucleus.schema.autoCreateAll", "true")
+      conf.set("hive.metastore.schema.verification", "false")
+      // no pooling-jar dependency: TxnHandler accepts bonecp (absent from
+      // the classpath), dbcp, hikaricp, or none — and DataNucleus reads the
+      // same key ("None" spelling)
+      conf.set("datanucleus.connectionPoolingType", "None")
+      // the lock tables (HIVE_LOCKS etc.) live in the txn schema, which
+      // plain datanucleus autoCreate does not cover
+      try org.apache.hadoop.hive.metastore.txn.TxnDbUtil.prepDb(conf)
+      catch { case _: Exception => () } // already prepped
+      new HiveCatalog(conf, warehouse)
+    })
+
+  /** `hive:<metastoreDbDir>|<warehouse>` (embedded Derby) or
+    * `hive:thrift://host:port|<warehouse>` (remote HMS) — the factory
+    * behind the `hive` scheme in [[Catalogs]].
+    */
+  def fromUri(rest: String): HiveCatalog = {
+    val i = rest.lastIndexOf('|')
+    require(i > 0, s"hive catalog uri must be hive:<metastoreDirOrThriftUri>|<warehouse>, got $rest")
+    val (store, wh) = (rest.substring(0, i), rest.substring(i + 1))
+    if (store.startsWith("thrift://")) {
+      val conf = new HiveConf()
+      conf.set("hive.metastore.uris", store)
+      new HiveCatalog(conf, wh)
+    } else embedded(store, wh)
+  }
+}

@@ -4395,6 +4395,45 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY'
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // Full SQL surface over a Hive-metastore catalog (reference
+    // catalog/hive/hive.go): the CURRENT pointer is the HMS table's
+    // metadata_location parameter and commits serialize on the
+    // metastore's EXCLUSIVE table lock — the deployment shape of every
+    // HMS-backed lakehouse. Embedded in-process HMS over Derby (one per
+    // JVM — Hive 2.x holds a static PersistenceManagerFactory); DDL
+    // (CTAS), DML (INSERT), snapshots metadata table, and a stale-base
+    // CAS raced under the lock all run through spark.sql.catalog.<n>.uri
+    // = hive:<metastore>|<warehouse>.
+    QueryDef.staged("i110_hive_catalog_sql", (s, dir) => {
+      val root = s"/root/repo/target/graft-wh/hms_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"ghms_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", s"hive:$root/ms|$root/wh")
+      val n = tbl(s, dir, "nation")
+      n.createOrReplaceTempView(s"hmssrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.nat AS SELECT * FROM hmssrc_$ctl WHERE n_nationkey < 10")
+      s.sql(s"INSERT INTO $ctl.nat SELECT * FROM hmssrc_$ctl WHERE n_nationkey >= 10")
+      val cat = graft.catalog.HiveCatalog.embedded(s"$root/ms", s"$root/wh")
+      val versions = cat.currentVersion("nat")
+      val snaps = s.sql(s"SELECT COUNT(*) FROM $ctl.nat.snapshots").head.getLong(0)
+      // a stale-base commit must lose the lock-guarded pointer check
+      val t = cat.loadTable("nat")
+      val staleConflicts =
+        try { cat.commit("nat", t.metadata, t.metadata, versions.get - 1); false }
+        catch { case _: graft.catalog.CommitConflict => true }
+      val flags = Seq(versions.contains(3), snaps == 2L, staleConflicts).mkString(",")
+      () => s.sql(s"""
+        SELECT n_regionkey, COUNT(n_nationkey) AS n, '$flags' AS hive_sql_ok
+        FROM $ctl.nat
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")
+    }, Some("""
+      SELECT n_regionkey, COUNT(n_nationkey) AS n,
+             'true,true,true' AS hive_sql_ok
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""), repeatable = true)
   )
 }

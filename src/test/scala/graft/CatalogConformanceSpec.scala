@@ -45,7 +45,10 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sql" -> new SqlCatalog(
       s"jdbc:derby:${Files.createTempDirectory("graft-conf-sql")}/db;create=true",
       Files.createTempDirectory("graft-conf-sqlwh").toString),
-    "rest" -> new RestCatalog(restServer.uri))
+    "rest" -> new RestCatalog(restServer.uri),
+    "hive" -> graft.catalog.HiveCatalog.embedded(
+      Files.createTempDirectory("graft-conf-hivems").toString,
+      Files.createTempDirectory("graft-conf-hivewh").toString))
 
   override def afterAll(): Unit = {
     restServer.stop()
@@ -93,6 +96,43 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   for ((label, catThunk) <- Seq[(String, () => Catalog)](
     "hadoop" -> (() => backends(0)._2),
     "sql" -> (() => backends(1)._2),
-    "rest" -> (() => backends(2)._2)))
+    "rest" -> (() => backends(2)._2),
+    "hive" -> (() => backends(3)._2)))
     test(s"conformance battery: $label") { battery(label, catThunk()) }
+
+  test("hive: racing appends serialize on the metastore lock, both land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = backends(3)._2
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = cat.createTable("hive_race", schema, PartitionSpec.Unpartitioned)
+    val f1 = Future(Writer.append(spark, t0, nation.filter(col("n_nationkey") % 2 === 0)))
+    val f2 = Future(Writer.append(spark, t0, nation.filter(col("n_nationkey") % 2 =!= 0)))
+    Await.result(f1, 2.minutes); Await.result(f2, 2.minutes)
+    val t = cat.loadTable("hive_race")
+    assert(t.metadata.snapshots.size === 2)
+    assert(SparkRead.read(spark, t.newScan).count() === 25L)
+    cat.dropTable("hive_race")
+  }
+
+  test("hive: rename keeps storage, register points at existing metadata") {
+    val cat = backends(3)._2.asInstanceOf[graft.catalog.HiveCatalog]
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = cat.createTable("hive_rn", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, nation)
+    val loc0 = t1.metadata.location
+    val renamed = cat.renameTable("hive_rn", "hive_rn2")
+    assert(!cat.tableExists("hive_rn") && cat.tableExists("hive_rn2"))
+    assert(renamed.metadata.location === loc0, "rename must not move storage")
+    assert(SparkRead.read(spark, renamed.newScan).count() === 25L)
+    // a commit AFTER rename uses the recorded location, not a name-derived one
+    val t2 = Writer.append(spark, cat.loadTable("hive_rn2"), nation.limit(3))
+    assert(SparkRead.read(spark, cat.loadTable("hive_rn2").newScan).count() === 28L)
+    val reg = cat.registerTable("hive_reg", t2.metadataPath)
+    assert(SparkRead.read(spark, cat.loadTable("hive_reg").newScan).count() === 28L)
+    cat.dropTable("hive_rn2")
+  }
 }
