@@ -265,6 +265,7 @@ object ViewJson {
   def toJson(v: ViewMetadata): String = mapper.writeValueAsString(toNode(v))
 
   def fromNode(root: com.fasterxml.jackson.databind.JsonNode): ViewMetadata = {
+    if (root.has("view-uuid")) return fromSpecNode(root)
     val versions =
       root.get("versions").elements().asScala.map(versionFrom).toSeq
     ViewMetadata(
@@ -279,5 +280,82 @@ object ViewJson {
       Option(root.get("metadata-seq")).map(_.asInt).getOrElse(versions.size))
   }
 
+  /** Iceberg view-spec spelling (reference `view/metadata.go`, golden
+    * `view/testdata/view-metadata.json`): `view-uuid`/`format-version`,
+    * versions carrying `representations` (type/sql/dialect) and a
+    * `schema-id` into the top-level `schemas` list. Mapped into our model:
+    * the sql/dialect come from the first sql representation (spark
+    * preferred), the referenced schema is embedded per version, and the
+    * uuid survives in properties so a round-trip preserves identity.
+    */
+  private def fromSpecNode(root: com.fasterxml.jackson.databind.JsonNode): ViewMetadata = {
+    val schemasById: Map[Int, String] =
+      Option(root.get("schemas")).map(_.elements().asScala.map(s =>
+        s.get("schema-id").asInt -> s.toString).toMap).getOrElse(Map.empty)
+    val versions = root.get("versions").elements().asScala.map { v =>
+      val reps = Option(v.get("representations"))
+        .map(_.elements().asScala.filter(r => r.get("type").asText == "sql").toSeq)
+        .getOrElse(Nil)
+      val rep = reps.find(_.get("dialect").asText == "spark").orElse(reps.headOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"invalid view metadata: version ${v.get("version-id")} has no sql representation"))
+      ViewVersion(
+        v.get("version-id").asInt, v.get("timestamp-ms").asLong,
+        rep.get("sql").asText, rep.get("dialect").asText,
+        Option(v.get("default-catalog")).map(_.asText),
+        Option(v.get("default-namespace")).map(_.elements().asScala.map(_.asText).toSeq)
+          .getOrElse(Nil),
+        Option(v.get("schema-id")).map(_.asInt).flatMap(schemasById.get),
+        Nil, Nil, Nil)
+    }.toSeq
+    val location = root.get("location").asText
+    val currentId = root.get("current-version-id").asInt
+    if (!versions.exists(_.versionId == currentId))
+      throw new IllegalArgumentException(
+        s"invalid view metadata: current-version-id $currentId not in versions")
+    ViewMetadata(
+      location.substring(location.lastIndexOf('/') + 1), location,
+      versions, currentId,
+      Option(root.get("properties")).map(p2 =>
+        p2.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty) + ("view-uuid" -> root.get("view-uuid").asText),
+      versions.size)
+  }
+
   def fromJson(s: String): ViewMetadata = fromNode(mapper.readTree(s))
+}
+
+/** Iceberg UDF-spec metadata reader (reference `udf/udf.go`, golden
+  * `udf/testdata/udf-metadata-*.json`): a function file carries overloaded
+  * `definitions` (keyed by definition-id), each with parameters, a return
+  * type, and VERSIONED representations. Mapped into [[UdfDef]]s — one per
+  * definition, body = the current version's sql (spark dialect preferred).
+  */
+object UdfJson {
+  private val mapper = new ObjectMapper()
+
+  def fromJson(s: String): Seq[UdfDef] = {
+    val root = mapper.readTree(s)
+    require(root.has("function-uuid"), "invalid udf metadata: missing function-uuid")
+    val doc = Option(root.get("doc")).map(_.asText)
+    root.get("definitions").elements().asScala.map { d =>
+      val currentId = d.get("current-version-id").asInt
+      val cur = d.get("versions").elements().asScala
+        .find(_.get("version-id").asInt == currentId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"invalid udf metadata: current-version-id $currentId not in versions"))
+      val reps = cur.get("representations").elements().asScala
+        .filter(r => r.get("type").asText == "sql").toSeq
+      val rep = reps.find(_.get("dialect").asText == "spark").orElse(reps.headOption)
+        .getOrElse(throw new IllegalArgumentException(
+          "invalid udf metadata: version has no sql representation"))
+      UdfDef(
+        name = d.get("definition-id").asText,
+        returnType = d.get("return-type").asText,
+        definition = rep.get("sql").asText,
+        parameters = Option(d.get("parameters")).map(_.elements().asScala.map(p =>
+          p.get("name").asText -> p.get("type").asText).toSeq).getOrElse(Nil),
+        comment = Option(d.get("doc")).map(_.asText).orElse(doc))
+    }.toSeq
+  }
 }

@@ -275,12 +275,49 @@ object TableMetadata {
   def fromJson(json: String): TableMetadata = {
     val n = mapper.readTree(json)
     val formatVersion = n.get("format-version").asInt
-    val schemas: Seq[IcebergSchema] =
+    def invalid(msg: String): Nothing =
+      throw new IllegalArgumentException(s"invalid metadata: $msg")
+    // Schema resolution (reference `table/metadata.go` preValidate, golden
+    // corpus `TableMetadataV1NoValidSchema` / `V2CurrentSchemaNotFound` /
+    // `V2MissingSchemas`): v2+ requires the schemas list and a resolvable
+    // current-schema-id; v1 may instead carry the single inline `schema`,
+    // and a schemas list WITHOUT current-schema-id is only valid when the
+    // inline schema identifies the current entry by field equality.
+    val schemaList: Seq[IcebergSchema] =
       if (n.has("schemas")) n.get("schemas").elements().asScala.map(SchemaJson.schemaFromJsonNode).toSeq
-      else Seq(SchemaJson.schemaFromJsonNode(n.get("schema"))) // v1 single schema
-    val currentSchemaId =
-      if (n.has("current-schema-id")) n.get("current-schema-id").asInt
-      else schemas.head.schemaId
+      else Nil
+    val inlineSchema: Option[IcebergSchema] =
+      if (formatVersion == 1 && n.has("schema"))
+        Some(SchemaJson.schemaFromJsonNode(n.get("schema")))
+      else None
+    val (schemas: Seq[IcebergSchema], currentSchemaId: Int) =
+      if (schemaList.nonEmpty) {
+        Option(n.get("current-schema-id")).map(_.asInt) match {
+          case Some(id) =>
+            if (!schemaList.exists(_.schemaId == id))
+              invalid(s"current-schema-id $id can't be found in any schema")
+            (schemaList, id)
+          case None =>
+            inlineSchema.flatMap(inl =>
+              schemaList.find(_.fields == inl.fields)) match {
+              case Some(matched) => (schemaList, matched.schemaId)
+              case None =>
+                invalid("no valid schema configuration found in table metadata")
+            }
+        }
+      } else inlineSchema match {
+        case Some(s) => (Seq(s), s.schemaId)
+        case None =>
+          invalid("no valid schema configuration found in table metadata")
+      }
+    // v2+ structural requirements (golden corpus `V2MissingPartitionSpecs`,
+    // `V2MissingLastPartitionId`, `V2MissingSortOrder`)
+    if (formatVersion > 1) {
+      if (!n.has("partition-specs")) invalid("missing partition-specs")
+      if (!n.has("last-partition-id"))
+        invalid("last-partition-id must be set for FormatVersion > 1")
+      if (!n.has("sort-orders")) invalid("missing sort-orders")
+    }
     val specs: Seq[PartitionSpec] =
       if (n.has("partition-specs"))
         n.get("partition-specs").elements().asScala.map(specFromJson).toSeq
@@ -321,7 +358,10 @@ object TableMetadata {
         .getOrElse(schemas.map(_.highestFieldId).max),
       currentSchemaId = currentSchemaId,
       schemas = schemas,
-      defaultSpecId = Option(n.get("default-spec-id")).map(_.asInt).getOrElse(0),
+      // v1 without default-spec-id infers the MAX spec id (golden corpus
+      // `TableMetadataV1PartitionSpecsWithoutDefaultId`)
+      defaultSpecId = Option(n.get("default-spec-id")).map(_.asInt).getOrElse(
+        specs.map(_.specId).maxOption.getOrElse(0)),
       partitionSpecs = specs,
       lastPartitionId = Option(n.get("last-partition-id")).map(_.asInt).getOrElse(
         specs.flatMap(_.fields.map(_.fieldId)).foldLeft(PartitionSpec.StartFieldId - 1)(_ max _)),

@@ -543,9 +543,14 @@ object Maintenance {
         case PrefixMismatchMode.Delete => true
       }
     }
+    // v<N>.commit = the Hadoop catalog's version-reservation markers —
+    // catalog protocol state like version-hint.text, never orphans
+    // (metadata retention deletes them alongside their version file)
+    val commitMarker = raw"v\d+\.commit".r
     val orphans = all.filter { f =>
       !f.path.endsWith(".metadata.json") &&
       !keepSuffixes.exists(f.path.endsWith) &&
+      !commitMarker.matches(f.path.substring(f.path.lastIndexOf('/') + 1)) &&
       f.mtime < olderThanMs &&
       isOrphan(f.path)
     }.map(_.path)
