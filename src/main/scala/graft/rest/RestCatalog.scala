@@ -156,7 +156,14 @@ final class RestCatalog(baseUriRaw: String,
         "&pageToken=" + java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
       val sep = if (uri.contains('?')) "&" else "?"
       val r = request("GET", s"$uri$sep$q", None)
-      if (r.statusCode() != 200) return pages.result()
+      // a 404 mid-drain = the listed container is gone: empty, not an
+      // error. Anything else non-200 (auth failure, server error) must
+      // SURFACE — silently returning the partial page list would
+      // masquerade as an empty or truncated catalog.
+      if (r.statusCode() == 404) return pages.result()
+      if (r.statusCode() != 200)
+        throw new IllegalStateException(
+          s"list request failed: HTTP ${r.statusCode()} for $uri: ${r.body()}")
       val body = mapper.readTree(r.body())
       pages += body
       token = Option(body.get("next-page-token")).map(_.asText()).filter(_.nonEmpty)

@@ -60,7 +60,14 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       * served by `POST …/tasks` (spec fetchScanTasks) — a 10⁶-file plan
       * never ships as one response body.
       */
-    planTaskShardSize: Int = 0) {
+    planTaskShardSize: Int = 0,
+    /** How long parked async-plan state (and unfetched shard handles)
+      * survives without a terminal fetch or cancel: a client that submits
+      * a plan and dies must not grow server memory forever under client
+      * churn. Expired ids answer the same typed NoSuchPlanIdException 404
+      * as unknown ones.
+      */
+    planTtlMs: Long = 10 * 60 * 1000L) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -71,14 +78,29 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
   private val tokens = new ConcurrentHashMap[String, java.lang.Long]()
 
   // async scan planning state: plan-id -> (completed result, polls left,
-  // status); plan-task handle -> shard result. Bounded by eviction on
-  // terminal fetch + cancel; counters observable by tests/gates.
+  // status); plan-task handle -> shard result. Bounded three ways:
+  // terminal fetch evicts the plan, cancel evicts plan + shards, and a
+  // TTL sweep (run on every plan/shard access) reclaims state abandoned
+  // by clients that died mid-protocol. Counters observable by tests.
   private final class PendingPlan(val node: ObjectNode, var pollsLeft: Int,
-    var status: String, val handles: Seq[String] = Nil)
+    var status: String, val handles: Seq[String] = Nil,
+    val expiresAtMs: Long = Long.MaxValue)
   private val plans = new ConcurrentHashMap[String, PendingPlan]()
-  private val planShards = new ConcurrentHashMap[String, ObjectNode]()
+  private val planShards = new ConcurrentHashMap[String, (ObjectNode, Long)]()
+
+  private def sweepExpiredPlans(): Unit = {
+    val now = System.currentTimeMillis()
+    plans.forEach { (id, p) =>
+      if (p.expiresAtMs < now) { plans.remove(id); () }
+    }
+    planShards.forEach { (h, v) =>
+      if (v._2 < now) { planShards.remove(h); () }
+    }
+  }
   val planPolls = new java.util.concurrent.atomic.AtomicInteger(0)
   val taskFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  def pendingPlanCount: Int = plans.size
+  def pendingShardCount: Int = planShards.size
 
   def boundPort: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$boundPort"
@@ -570,7 +592,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         val shard = mapper.createObjectNode()
         val sarr = shard.putArray("file-scan-tasks")
         group.foreach(taskObj(sarr, _))
-        planShards.put(handle, shard)
+        planShards.put(handle, (shard, System.currentTimeMillis() + planTtlMs))
         handles.add(handle)
         shardHandles += handle
         ()
@@ -584,9 +606,11 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       // async submit (spec planTableScan "submitted"): the result parks
       // under a plan-id; at least one poll returns "submitted" before the
       // completed payload, exercising the client's poll loop for real
+      sweepExpiredPlans()
       val id = s"plan-${java.util.UUID.randomUUID()}"
       plans.put(id, new PendingPlan(o, pollsLeft = 1, status = "submitted",
-        handles = shardHandles.result()))
+        handles = shardHandles.result(),
+        expiresAtMs = System.currentTimeMillis() + planTtlMs))
       val sub = mapper.createObjectNode()
       sub.put("status", "submitted")
       sub.put("plan-id", id)
@@ -603,6 +627,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     */
   private def planStatus(ex: HttpExchange, id: String): Unit = {
     planPolls.incrementAndGet()
+    sweepExpiredPlans()
     plans.get(id) match {
       case null =>
         sendError(ex, 404, "NoSuchPlanIdException", s"no such plan: $id")
@@ -613,14 +638,21 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         p.pollsLeft -= 1
         val o = mapper.createObjectNode(); o.put("status", "submitted")
         sendJson(ex, 200, o)
-      case p => sendJson(ex, 200, p.node)
+      case p =>
+        // terminal fetch: the payload leaves with the response, so the
+        // parked plan is reclaimed here (its unfetched shard handles stay
+        // until fetched one-shot or TTL-swept — the client fans those out
+        // AFTER reading this payload)
+        plans.remove(id)
+        sendJson(ex, 200, p.node)
     }
   }
 
   /** `DELETE …/plan/{plan-id}` (spec cancelPlanning): idempotent on a live
     * plan; unknown id is the typed 404.
     */
-  private def cancelPlan(ex: HttpExchange, id: String): Unit =
+  private def cancelPlan(ex: HttpExchange, id: String): Unit = {
+    sweepExpiredPlans()
     plans.get(id) match {
       case null => sendError(ex, 404, "NoSuchPlanIdException", s"no such plan: $id")
       case p =>
@@ -629,6 +661,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
         p.handles.foreach(planShards.remove)
         ex.sendResponseHeaders(204, -1)
     }
+  }
 
   /** `POST …/tasks` (spec fetchScanTasks): resolve one opaque plan-task
     * handle to its shard of file-scan-tasks. Unknown handle → typed 404
@@ -636,6 +669,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     */
   private def fetchScanTasks(ex: HttpExchange): Unit = {
     taskFetches.incrementAndGet()
+    sweepExpiredPlans()
     val handle = Option(readJson(ex).get("plan-task")).map(_.asText()).getOrElse("")
     // one-shot handles: serving a shard evicts it, so shard state is
     // bounded by in-flight plans, not by server lifetime; a re-fetch gets
@@ -643,7 +677,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     planShards.remove(handle) match {
       case null =>
         sendError(ex, 404, "NoSuchPlanTaskException", s"no such plan task: $handle")
-      case shard => sendJson(ex, 200, shard)
+      case (shard, _) => sendJson(ex, 200, shard)
     }
   }
 

@@ -160,6 +160,46 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally async.stop()
   }
 
+  test("async-plan state is reclaimed: terminal fetch evicts, TTL sweeps abandons") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val async = new RestCatalogServer(backing, asyncPlanThreshold = 1,
+      planTaskShardSize = 1, planTtlMs = 300L).start()
+    try {
+      val ac = new RestCatalog(async.uri)
+      client.createTable("ttlplan", schema, PartitionSpec.Unpartitioned)
+      Writer.append(spark, client.loadTable("ttlplan"), nation)
+      // terminal fetch evicts: a completed planScan leaves no parked plan
+      val planned = ac.planScan("ttlplan")
+      assert(planned.tasks.nonEmpty)
+      assert(async.pendingPlanCount === 0,
+        "completed payload must evict the parked plan")
+      // abandoned plan: submit raw, never poll — the TTL sweep reclaims
+      // both the plan and its unfetched shard handles, and a post-expiry
+      // poll gets the typed 404. Second append → 2 tasks → 1 inline +
+      // 1 parked shard, so shard reclaim is actually exercised.
+      Writer.append(spark, client.loadTable("ttlplan"), nation.limit(5))
+      val http = java.net.http.HttpClient.newHttpClient()
+      val sub = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(
+          s"${async.uri}/v1/namespaces/default/tables/ttlplan/plan"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}"))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val planId = om.readTree(sub.body()).get("plan-id").asText()
+      assert(async.pendingPlanCount === 1 && async.pendingShardCount === 1)
+      Thread.sleep(400L)
+      val st = http.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+        s"${async.uri}/v1/namespaces/default/tables/ttlplan/plan/$planId"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(st.statusCode() === 404)
+      assert(om.readTree(st.body()).get("error").get("type").asText() ===
+        "NoSuchPlanIdException")
+      assert(async.pendingPlanCount === 0 && async.pendingShardCount === 0,
+        "abandoned plan + shard state must be TTL-reclaimed")
+    } finally async.stop()
+  }
+
   test("function endpoints: list paginates, load round-trips, typed 404s") {
     val store = backing.viewStore.get.asInstanceOf[graft.catalog.MetaObjects]
     val defs = (0 until 3).map(i => graft.catalog.UdfDef(
