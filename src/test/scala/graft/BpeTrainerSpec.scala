@@ -53,4 +53,51 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges.head.right === "</w>")
     assert(merges.head.pairCount === 3L)
   }
+
+  test("encode fast path reproduces full merge-list replay bit-for-bit") {
+    // adversarial merge lists: chained merges, merges that never fire,
+    // merge results colliding with later pair members, random soup
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    def randWord(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val words = Seq("", "a", "aa", "aaa", "aaaa", "abab", "abcabc",
+      "dcba", "aabbaabb") ++ (0 until 400).map(_ => randWord(1 + rnd.nextInt(12)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeTrainer.Merge]
+    var rank = 1
+    def add(l: String, r: String): Unit = {
+      merges += BpeTrainer.Merge(rank, l, r, 0L); rank += 1
+    }
+    add("a", "a"); add("b", "b"); add("a", "b"); add("aa", "a")
+    add("ab", "ab"); add("c", "</w>"); add("b", "c"); add("aa", "bb")
+    add("d", "c"); add("dc", "b"); add("dcb", "a"); add("aaa", "b")
+    // pad with random merges over the evolving symbol space
+    val symPool = scala.collection.mutable.ArrayBuffer(
+      "a", "b", "c", "d", "</w>", "aa", "bb", "ab", "bc", "dc")
+    (0 until 600).foreach { _ =>
+      val l = symPool(rnd.nextInt(symPool.length))
+      val r = symPool(rnd.nextInt(symPool.length))
+      add(l, r); symPool += (l + r)
+    }
+    val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right)).toSeq
+    val rankOf = BpeTrainer.ranksByPair(merges.toSeq)
+    val pairByRank = merges.map(m => m.rank -> ((m.left, m.right))).toMap
+    words.filter(_.nonEmpty).foreach { w =>
+      assert(BpeTrainer.segmentWord(w, rankOf, pairByRank) ===
+        BpeTrainer.segmentWordReplay(w, ordered),
+        s"divergence on word '$w'")
+    }
+    // the point of the fast path: cost scales with word length, not |merges|
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e6)
+    }
+    val bench = (0 until 2000).map(_ => randWord(8))
+    val (_, warm1) = time(bench.foreach(w => BpeTrainer.segmentWord(w, rankOf, pairByRank)))
+    val (_, warm2) = time(bench.foreach(w => BpeTrainer.segmentWordReplay(w, ordered)))
+    val (_, fastMs) = time(bench.foreach(w => BpeTrainer.segmentWord(w, rankOf, pairByRank)))
+    val (_, slowMs) = time(bench.foreach(w => BpeTrainer.segmentWordReplay(w, ordered)))
+    info(f"fast $fastMs%.1f ms vs replay $slowMs%.1f ms over 2000 words x ${merges.size} merges (warm $warm1%.1f/$warm2%.1f)")
+    assert(fastMs * 2 < slowMs,
+      f"fast path ($fastMs%.1f ms) should clearly beat replay ($slowMs%.1f ms) at ${merges.size} merges")
+  }
 }
