@@ -3172,14 +3172,25 @@ object IcebergQueries {
       val cat = new HadoopCatalog(wh)
       val c = tbl(s, dir, "customer")
       val schema = SchemaBridge.fromSpark(c.schema)
+      // route + backlog-size telemetry ships on the metrics wire (i40):
+      // a named reporter captures the supplementary ScanReport
+      val mem = new graft.metrics.InMemoryReporter
+      val repName = s"i87mem_${UUID.randomUUID().toString.take(8)}"
+      graft.metrics.Registry.register(repName, _ => mem)
       var t = Writer.append(s,
-        cat.createTable("cust", schema, PartitionSpec.Unpartitioned), c.repartition(4))
+        cat.createTable("cust", schema, PartitionSpec.Unpartitioned,
+          properties = Map(graft.metrics.Registry.ReporterImplKey -> repName)),
+        c.repartition(4))
       // a 4-round uncompacted eq-delete backlog (the CDC-backlog shape)
       (0 until 4).foreach { k =>
         t = Writer.equalityDelete(s, t,
           c.filter(col("c_custkey") % 11 === k).select(col("c_custkey")),
           Seq("c_custkey"))
       }
+      def lastRouteReport(): Map[String, String] = mem.reports.reverse
+        .collectFirst { case r: graft.metrics.ScanReport
+          if r.metadata.contains("eq-delete-route") => r.metadata }
+        .getOrElse(Map.empty)
       val sql = s"""
         SELECT c_mktsegment, COUNT(*) AS n,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
@@ -3196,6 +3207,13 @@ object IcebergQueries {
           s"i87: expected the anti-join fallback relation in\n$plan")
         require(graft.sources.SpjRouting.lastRoute(t.name).contains("anti-join"),
           s"i87: route recorder says ${graft.sources.SpjRouting.lastRoute(t.name)}")
+        // the metrics wire names the route and both sides of the cliff
+        val md = lastRouteReport()
+        require(md.get("eq-delete-route").contains("anti-join"),
+          s"i87: scan report route metadata = $md")
+        require(md.get("eq-delete-bytes").exists(_.toLong > 1024L) &&
+          md.get("eq-delete-fallback-bytes").contains("1024"),
+          s"i87: scan report backlog metadata = $md")
         rows
       } finally saved match {
         case Some(v) => s.conf.set("spark.graft.eqDeleteFallbackBytes", v)
@@ -3205,6 +3223,8 @@ object IcebergQueries {
       val viaKeySet = s.sql(sql).collect()
       require(graft.sources.SpjRouting.lastRoute(t.name).contains("keyset"),
         s"i87: route recorder says ${graft.sources.SpjRouting.lastRoute(t.name)}")
+      require(lastRouteReport().get("eq-delete-route").contains("keyset"),
+        s"i87: scan report route metadata = ${lastRouteReport()}")
       require(viaAntiJoin.toSeq == viaKeySet.toSeq,
         "i87: anti-join route and key-set route disagree")
       () => s.sql(sql)

@@ -511,7 +511,8 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       val needsNameResolution = table.metadata.properties
         .contains(graft.format.NameMapping.PropertyKey)
       if (needsNameResolution && !withFile && !withPos) {
-        SpjRouting.record(table.name, "name-mapping")
+        SpjRouting.record(table.name, "name-mapping", eqBytes)
+        emitRouteReport("name-mapping", eqBytes)
         new SpjAntiJoinScan(table, snapshotId, planned, required, options)
       } else if (eqBytes > eqFallbackBytes && !withFile && !withPos) {
         // executor key sets would hold eqBytes of decoded keys in memory;
@@ -519,16 +520,46 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
         // (unbounded backlog = shuffle-join territory, not hash-set
         // territory). Row-level operations request `_file`/`_pos` and keep
         // the key-set route: their group-filtered scans are file-scoped.
-        SpjRouting.record(table.name, "anti-join")
+        SpjRouting.record(table.name, "anti-join", eqBytes)
+        emitRouteReport("anti-join", eqBytes)
         new SpjAntiJoinScan(table, snapshotId, planned, required, options)
       } else {
-        if (planned.exists(_.eqDeletes.nonEmpty))
-          SpjRouting.record(table.name, "keyset")
+        if (planned.exists(_.eqDeletes.nonEmpty)) {
+          SpjRouting.record(table.name, "keyset", eqBytes)
+          emitRouteReport("keyset", eqBytes)
+        }
         new SpjScan(table, required, claimKeys, snapshotId, options,
           fileExpr, pushed.toSeq, withFile = withFile, withPos = withPos,
           pushedLimit = if (pushed.isEmpty) limit else None,
           prePlanned = Some(planned))
       }
+  }
+
+  /** Supplementary ScanReport naming the equality-delete application route
+    * and the measured backlog vs the routing threshold, so a 100 TB
+    * operator watching the i40 metrics wire can see cliff proximity (an
+    * upcoming route flip = time to run rewrite_position_delete_files /
+    * compaction) without reading query plans.
+    */
+  private def emitRouteReport(route: String, eqBytes: Long): Unit = {
+    try {
+      val rep = table.reporter
+      if (rep eq graft.metrics.NopReporter) return
+      val snap = snapshotId.flatMap(table.metadata.snapshotById)
+        .orElse(table.metadata.currentSnapshot)
+      graft.metrics.Reporter.safe(rep, graft.metrics.ScanReport(
+        tableName = table.name,
+        snapshotId = snap.map(_.snapshotId).getOrElse(-1L),
+        schemaId = table.metadata.currentSchemaId,
+        projectedFieldIds = Nil,
+        projectedFieldNames = Nil,
+        filterJson = "",
+        metrics = graft.metrics.ScanMetricsResult(),
+        metadata = Map(
+          "eq-delete-route" -> route,
+          "eq-delete-bytes" -> eqBytes.toString,
+          "eq-delete-fallback-bytes" -> eqFallbackBytes.toString)))
+    } catch { case _: Exception => () } // diagnostics never fail the scan
   }
 }
 
@@ -539,9 +570,15 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
   * diagnostic — gates assert the routing decision through it.
   */
 object SpjRouting {
-  private val routes = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def record(table: String, route: String): Unit = { routes.put(table, route); () }
-  def lastRoute(table: String): Option[String] = Option(routes.get(table))
+  private val routes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  def record(table: String, route: String, eqBytes: Long = -1L): Unit = {
+    routes.put(table, (route, eqBytes)); ()
+  }
+  def lastRoute(table: String): Option[String] =
+    Option(routes.get(table)).map(_._1)
+  def lastEqBytes(table: String): Option[Long] =
+    Option(routes.get(table)).map(_._2).filter(_ >= 0)
 }
 
 /** The oversized-equality-delete-backlog read: a V1 scan whose relation
