@@ -310,6 +310,10 @@ object SchemaJson {
         fo.put("required", f.required)
         fo.set[JsonNode]("type", typeToJson(f.fieldType, fo))
         f.doc.foreach(fo.put("doc", _))
+        // defaults must survive serialization or every commit silently
+        // strips them from evolved schemas (spec v3 default-value fields)
+        f.initialDefault.foreach(v => fo.set[JsonNode]("initial-default", valueNode(fo, v)))
+        f.writeDefault.foreach(v => fo.set[JsonNode]("write-default", valueNode(fo, v)))
         ()
       }
       o
@@ -359,6 +363,17 @@ object SchemaJson {
           n.get("value-required").asBoolean)
       case other => throw new IllegalArgumentException(s"unknown complex type $other")
     }
+  }
+
+  /** Inverse of [[jsonValue]] for default-value serialization. */
+  private def valueNode(o: ObjectNode, v: Any): JsonNode = v match {
+    case null => o.nullNode()
+    case b: Boolean => o.booleanNode(b)
+    case i: Int => o.numberNode(i.toLong)
+    case l: Long => o.numberNode(l)
+    case f: Float => o.numberNode(f.toDouble)
+    case d: Double => o.numberNode(d)
+    case other => o.textNode(other.toString)
   }
 
   private def jsonValue(n: JsonNode): Any =

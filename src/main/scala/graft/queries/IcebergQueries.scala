@@ -4454,6 +4454,44 @@ object IcebergQueries {
              'true,true,true' AS hive_sql_ok
       FROM nation
       GROUP BY n_regionkey
-      ORDER BY n_regionkey"""), repeatable = true)
+      ORDER BY n_regionkey"""), repeatable = true),
+
+    // v3 default values + the `unknown` type (reference `types.go:903`,
+    // SURVEY §1.2 default-fill contract): a column added with
+    // initial-default reads that value for rows written BEFORE the add; a
+    // writer that omits the column gets write-default; an unknown-typed
+    // column is never stored and always reads NULL. Defaults must survive
+    // the metadata round-trip of every subsequent commit (the
+    // serialization gap this gate caught: toJson dropped them).
+    QueryDef.staged("i111_v3_defaults_unknown", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/dflt_${UUID.randomUUID().toString.take(8)}"
+      val cat = new HadoopCatalog(wh)
+      val n = tbl(s, dir, "nation")
+      val schema = SchemaBridge.fromSpark(n.schema)
+      var t = Writer.append(s,
+        graft.table.Evolve.upgradeFormatVersion(
+          cat.createTable("nat", schema, PartitionSpec.Unpartitioned), 3),
+        n.filter(col("n_nationkey") < 13))
+      t = graft.table.Evolve.addColumn(t, "category", graft.core.IcebergTypes.StringT,
+        initialDefault = Some("unassigned"), writeDefault = Some("pending"))
+      t = graft.table.Evolve.addColumn(t, "future", graft.core.IcebergTypes.UnknownT)
+      // writer omits BOTH added columns: category fills with write-default,
+      // unknown is never stored
+      t = Writer.append(s, t, n.filter(col("n_nationkey") >= 13))
+      // defaults survived the commit round-trip (reloaded from disk JSON)
+      val reloaded = cat.loadTable("nat").schema.findField("category").get
+      require(reloaded.initialDefault.contains("unassigned") &&
+        reloaded.writeDefault.contains("pending"),
+        s"i111: defaults lost in metadata round-trip: $reloaded")
+      () => SparkRead.read(s, cat.loadTable("nat").newScan)
+        .select(col("n_nationkey"), col("n_name"), col("category"),
+          col("future").cast("string").as("future"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey < 13 THEN 'unassigned' ELSE 'pending' END AS category,
+             CAST(NULL AS VARCHAR) AS future
+      FROM nation
+      ORDER BY n_nationkey"""), repeatable = true)
   )
 }

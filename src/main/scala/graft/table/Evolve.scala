@@ -58,15 +58,21 @@ object MetadataLogPolicy {
 
 object Evolve {
 
-  /** Add an optional column at the end of the schema (new field id). */
+  /** Add an optional column at the end of the schema (new field id).
+    * `initialDefault` fills rows written BEFORE the add on read;
+    * `writeDefault` fills the column when a writer omits it (spec v3
+    * default-value contract, reference `types.go:903`).
+    */
   def addColumn(table: Table, name: String, t: IcebergType,
-      doc: Option[String] = None, initialDefault: Option[Any] = None): Table = {
+      doc: Option[String] = None, initialDefault: Option[Any] = None,
+      writeDefault: Option[Any] = None): Table = {
     val meta = table.metadata
     val schema = meta.schema
     require(schema.findField(name).isEmpty, s"column $name already exists")
     val newId = meta.lastColumnId + 1
     val newSchema = IcebergSchema(
-      schema.fields :+ NestedField(newId, name, t, required = false, doc, initialDefault),
+      schema.fields :+ NestedField(newId, name, t, required = false, doc,
+        initialDefault, writeDefault),
       schemaId = meta.schemas.map(_.schemaId).max + 1,
       identifierFieldIds = schema.identifierFieldIds)
     commitMetadata(table, meta.copy(

@@ -92,7 +92,16 @@ object SparkRead {
       specById: Int => Option[graft.format.PartitionSpec] = _ => None,
       ioOptions: Map[String, String] = Map.empty): DataFrame = {
     configure(spark)
-    val readSchema: StructType = SchemaBridge.toSpark(schema)
+    // v3 `unknown`-typed columns are never stored in data files (spec:
+    // always-null forward-compat placeholder, reference types.go:903) —
+    // strip them from the physical read schema and synthesize null columns
+    // after the union
+    val unknownFields = schema.fields.filter(_.fieldType == graft.core.IcebergTypes.UnknownT)
+    val storedSchema =
+      if (unknownFields.isEmpty) schema
+      else schema.copy(fields =
+        schema.fields.filterNot(_.fieldType == graft.core.IcebergTypes.UnknownT))
+    val readSchema: StructType = SchemaBridge.toSpark(storedSchema)
 
     // group tasks by identical (parquet pos-delete set, eq-delete set). DVs
     // are deliberately NOT part of the key: v3 gives each data file its own
@@ -121,10 +130,11 @@ object SparkRead {
           Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
       }
       subGroups.map { case (sub, idsPresent) => readSubGroup(spark, sub, idsPresent,
-        schema, readSchema, nameMapping, rowLineage, specById, ioOptions) }
+        storedSchema, readSchema, nameMapping, rowLineage, specById, ioOptions) }
     }
 
-    parts.reduce(_ unionByName _)
+    val stored = parts.reduce(_ unionByName _)
+    unknownFields.foldLeft(stored)((d, f) => d.withColumn(f.name, lit(null)))
   }
 
   private def readSubGroup(spark: SparkSession, groupTasks: Seq[FileScanTask],

@@ -651,9 +651,22 @@ object Writer {
     val sparkSchema = SchemaBridge.toSpark(schema)
     checkWriteCompat(schema, df)
 
-    // align input columns to table schema (names + types + field-id metadata)
-    val aligned = df.select(sparkSchema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+    // align input columns to table schema (names + types + field-id
+    // metadata); columns the caller omitted fill with their write-default
+    // (spec v3 default-value contract — checkWriteCompat already required
+    // presence for required defaultless fields). `unknown`-typed columns
+    // are never stored (parquet has no null type; the read path
+    // synthesizes them as null)
+    val unknownNames = schema.fields
+      .filter(_.fieldType == graft.core.IcebergTypes.UnknownT).map(_.name).toSet
+    val aligned = df.select(sparkSchema.fields
+      .filterNot(f => unknownNames.contains(f.name)).map { f =>
+        val base =
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(schema.fields.find(_.name == f.name)
+            .flatMap(_.writeDefault).orNull)
+        base.cast(f.dataType).as(f.name, f.metadata)
+      }: _*)
 
     val tmpDir = s"${table.location}/tmp-append-${UUID.randomUUID()}"
     val partColNames = spec.fields.map(pf => s"__part_${pf.name}")
@@ -877,7 +890,12 @@ object Writer {
   private def checkWriteCompat(schema: IcebergSchema, df: DataFrame): Unit = {
     val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val tableNames = schema.fields.map(_.name).toSet
+    // an optional column (or one carrying a write-default) may be absent
+    // from writer data — the writer fills the default (spec v3
+    // default-value contract); only required defaultless columns must come
+    // from the caller
     val missing = schema.fields.filterNot(f => incoming.contains(f.name))
+      .filter(f => f.required && f.writeDefault.isEmpty)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"write schema is missing table column(s): ${missing.map(_.name).mkString(", ")}")
@@ -898,7 +916,7 @@ object Writer {
           mt.copy(keyType = stripMeta(mt.keyType), valueType = stripMeta(mt.valueType))
         case other => other
       }
-    schema.fields.foreach { f =>
+    schema.fields.filter(f => incoming.contains(f.name)).foreach { f =>
       val in = stripMeta(incoming(f.name))
       val expected = stripMeta(SchemaBridge.toSparkType(f.fieldType))
       val ok = in == expected || ((in, expected) match {
