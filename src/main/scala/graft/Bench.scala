@@ -240,16 +240,21 @@ object Bench {
         // variance guard: a min above 1.5x the previous round's committed
         // min is either a real regression or a noisy run — re-measure
         // before accepting, and name the gate if it persists
+        // ratio alone would flag 0.1s absolute jitter on sub-second gates
+        // (scheduler/GC noise dwarfs their true cost); a regression worth
+        // tainting the run over must be BOTH >1.5x and >0.5s absolute
+        def slowVs(prior: Double): Boolean =
+          currentMin > prior * 1.5 && currentMin - prior > 0.5
         priorMins.get(name).foreach { prior =>
           if (qd.repeatable) {
             var extra = 0
-            while (currentMin > prior * 1.5 && extra < 2) {
+            while (slowVs(prior) && extra < 2) {
               System.err.println(f"[bench] $name: min $currentMin%.2f vs prior $prior%.2f — extra rep")
               steadyReps += timed(run)
               extra += 1
             }
           }
-          if (currentMin > prior * 1.5) {
+          if (slowVs(prior)) {
             val msg = f"slow-vs-prior:$name min $currentMin%.2fs vs committed $prior%.2fs"
             System.err.println(s"[bench] $msg")
             slowVsPrior += msg

@@ -53,13 +53,15 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
 
   private val warehouse: String = FileIO.canonical(warehouseRaw)
 
-  override lazy val viewStore: Option[MetaObjects] = Some(new MetaObjects(warehouse))
+  override lazy val viewStore: Option[MetaObjects] =
+    Some(new HmsViewStore(this, warehouse))
 
   // HiveMetaStoreClient is not thread-safe; every RPC synchronizes on it
   // INDIVIDUALLY (never across a poll loop, so a waiting lock acquirer
   // can't deadlock the holder's unlock)
   private val client: IMetaStoreClient = new HiveMetaStoreClient(conf)
-  private def rpc[A](f: IMetaStoreClient => A): A = client.synchronized(f(client))
+  private[catalog] def rpc[A](f: IMetaStoreClient => A): A =
+    client.synchronized(f(client))
 
   private def split(name: String): (String, String) = {
     val i = name.lastIndexOf('.')
@@ -313,7 +315,126 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
     ()
   }
 
+  /** Raw HMS object parameters (tables AND view projections) — the shape
+    * external HMS tooling sees; used by diagnostics and the conformance
+    * battery.
+    */
+  def hmsParameters(ns: String, tbl: String): Option[Map[String, String]] =
+    try Option(rpc(_.getTable(ns, tbl))).map(t =>
+      Option(t.getParameters).map(_.asScala.toMap).getOrElse(Map.empty))
+    catch { case _: NoSuchObjectException => None }
+
   def close(): Unit = client.synchronized(client.close())
+}
+
+/** Hive view store (reference `hive.go` view surface +
+  * `schema.go:101-138` constructHiveViewTable): the versioned view
+  * metadata files and their CAS live in storage (the [[MetaObjects]]
+  * protocol, shared with every other backend), and each view is
+  * PROJECTED into an HMS VIRTUAL_VIEW object — `table_type=ICEBERG_VIEW`,
+  * `metadata_location` at the current versioned file,
+  * `previous_metadata_location` from the unmodified parameters, the
+  * generic Hive SerDe triple (not the Iceberg storage handler), and the
+  * current SQL as ViewOriginalText — so plain HMS tooling lists and
+  * describes the views exactly as the reference publishes them.
+  */
+final class HmsViewStore(hive: HiveCatalog, warehouse: String)
+    extends MetaObjects(warehouse) {
+
+  import HiveCatalog._
+  import org.apache.hadoop.hive.metastore.api.{Table => HmsTable}
+
+  private def currentFile(v: ViewMetadata): String =
+    s"${viewDir(v.name)}/v${v.metadataSeq}.view.json"
+
+  private def viewObject(name: String): Option[HmsTable] =
+    try Option(hive.rpc(_.getTable("default", name)))
+      .filter(t => Option(t.getParameters).exists(
+        _.asScala.get(TableTypeKey).exists(_.equalsIgnoreCase("ICEBERG_VIEW"))))
+    catch { case _: NoSuchObjectException => None }
+
+  private def hmsView(name: String, v: ViewMetadata,
+      previous: Option[String]): HmsTable = {
+    val params = new java.util.HashMap[String, String]()
+    v.properties.foreach { case (k, pv) => if (pv.nonEmpty) params.put(k, pv) }
+    params.remove(PreviousMetadataLocationKey)
+    params.put(TableTypeKey, "ICEBERG_VIEW")
+    params.put(MetadataLocationKey, currentFile(v))
+    previous.foreach(params.put(PreviousMetadataLocationKey, _))
+    params.put(ExternalKey, "TRUE")
+    val t = new HmsTable()
+    t.setDbName("default")
+    t.setTableName(name)
+    t.setTableType("VIRTUAL_VIEW")
+    t.setViewOriginalText(v.currentVersion.sql)
+    t.setViewExpandedText(v.currentVersion.sql)
+    t.setParameters(params)
+    val sd = new StorageDescriptor()
+    sd.setCols(java.util.List.of())
+    sd.setLocation(v.location)
+    sd.setInputFormat("org.apache.hadoop.mapred.FileInputFormat")
+    sd.setOutputFormat("org.apache.hadoop.mapred.FileOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib("org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    sd.setSerdeInfo(serde)
+    t.setSd(sd)
+    t
+  }
+
+  /** Upsert the HMS projection after a file-CAS mutation landed: create
+    * when absent, alter (recording the previous pointer from the
+    * unmodified parameters) when present.
+    */
+  private def project(name: String, v: ViewMetadata): Unit =
+    viewObject(name) match {
+      case None =>
+        try hive.rpc(_.createTable(hmsView(name, v, previous = None)))
+        catch { case _: AlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"view $name collides with an existing HMS object") }
+      case Some(existing) =>
+        val prev = Option(existing.getParameters)
+          .flatMap(p => p.asScala.get(MetadataLocationKey))
+        hive.rpc(_.alter_table("default", name, hmsView(name, v, prev)))
+    }
+
+  override def createViewVersioned(name: String, version: ViewVersion,
+      properties: Map[String, String] = Map.empty): ViewMetadata = {
+    // the HMS namespace is shared with tables: refuse a view over an
+    // existing table/view name BEFORE the file CAS runs
+    if (viewObject(name).isDefined || hive.tableExists(name))
+      throw new IllegalArgumentException(s"view $name already exists")
+    val v = super.createViewVersioned(name, version, properties)
+    project(name, v)
+    v
+  }
+
+  override def replaceViewVersioned(name: String, version: ViewVersion): ViewMetadata = {
+    val v = super.replaceViewVersioned(name, version)
+    project(name, v)
+    v
+  }
+
+  override def updateViewProperties(name: String, set: Map[String, String],
+      remove: Seq[String] = Nil): ViewMetadata = {
+    val v = super.updateViewProperties(name, set, remove)
+    project(name, v)
+    v
+  }
+
+  override def renameView(from: String, to: String): ViewMetadata = {
+    val v = super.renameView(from, to)
+    project(to, v)
+    viewObject(from).foreach(_ =>
+      hive.rpc(_.dropTable("default", from, false, true)))
+    v
+  }
+
+  override def dropView(name: String): Unit = {
+    super.dropView(name)
+    viewObject(name).foreach(_ =>
+      hive.rpc(_.dropTable("default", name, false, true)))
+  }
 }
 
 object HiveCatalog {

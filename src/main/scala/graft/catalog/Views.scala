@@ -65,14 +65,17 @@ trait ViewStore {
   def listViews(): Seq[String]
 }
 
-/** Filesystem-backed views + UDF declarations alongside the table catalog. */
-final class MetaObjects(warehouse: String) extends ViewStore {
+/** Filesystem-backed views + UDF declarations alongside the table catalog.
+  * Open for extension: [[graft.catalog.HiveCatalog]]'s view store projects
+  * each view into an HMS VIRTUAL_VIEW object on top of this file CAS.
+  */
+class MetaObjects(warehouse: String) extends ViewStore {
 
   private val mapper = new ObjectMapper()
 
   // ------------------------------------------------------------------ views
 
-  private def viewDir(name: String) = s"$warehouse/_views/$name"
+  protected def viewDir(name: String) = s"$warehouse/_views/$name"
 
   override def createViewVersioned(name: String, version: ViewVersion,
       properties: Map[String, String] = Map.empty): ViewMetadata = {

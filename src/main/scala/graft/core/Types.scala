@@ -246,6 +246,15 @@ object SchemaBridge {
       case g: IcebergTypes.GeographyT => mb.putString("graft.type", g.typeName)
       case _ =>
     }
+    // v3 defaults ride as Spark's default-column metadata: the analyzer
+    // fills CURRENT_DEFAULT for INSERTs that omit the column, and the
+    // parquet readers fill EXISTS_DEFAULT for files that predate the add
+    def sqlLit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other => String.valueOf(other)
+    }
+    f.writeDefault.foreach(v => mb.putString("CURRENT_DEFAULT", sqlLit(v)))
+    f.initialDefault.foreach(v => mb.putString("EXISTS_DEFAULT", sqlLit(v)))
     StructField(f.name, toSparkType(f.fieldType), nullable = !f.required,
       metadata = mb.build())
   }

@@ -4492,6 +4492,44 @@ object IcebergQueries {
              CASE WHEN n_nationkey < 13 THEN 'unassigned' ELSE 'pending' END AS category,
              CAST(NULL AS VARCHAR) AS future
       FROM nation
+      ORDER BY n_nationkey"""), repeatable = true),
+
+    // Column defaults through the SQL DDL surface: ADD COLUMN ... DEFAULT
+    // maps to the spec's initial-default + write-default, ALTER COLUMN SET
+    // DEFAULT rewrites only write-default (initial-default is immutable —
+    // it describes rows that already exist), Spark's analyzer fills
+    // omitted INSERT columns from CURRENT_DEFAULT metadata, and reads of
+    // files that predate the add fill the initial default. Three row eras
+    // pin all three behaviors in one hash.
+    QueryDef.staged("i112_sql_column_defaults", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/cdef_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gcdef_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val n = tbl(s, dir, "nation")
+      n.createOrReplaceTempView(s"cdefsrc_$ctl")
+      s.sql(s"CREATE TABLE $ctl.nat AS SELECT * FROM cdefsrc_$ctl WHERE n_nationkey < 10")
+      s.sql(s"ALTER TABLE $ctl.nat ADD COLUMN category STRING DEFAULT 'unassigned'")
+      // analyzer fills the omitted column from CURRENT_DEFAULT
+      s.sql(s"""INSERT INTO $ctl.nat (n_nationkey, n_name, n_regionkey)
+        SELECT n_nationkey, n_name, n_regionkey FROM cdefsrc_$ctl
+        WHERE n_nationkey >= 10 AND n_nationkey < 20""")
+      s.sql(s"ALTER TABLE $ctl.nat ALTER COLUMN category SET DEFAULT 'pending'")
+      s.sql(s"""INSERT INTO $ctl.nat (n_nationkey, n_name, n_regionkey)
+        SELECT n_nationkey, n_name, n_regionkey FROM cdefsrc_$ctl
+        WHERE n_nationkey >= 20""")
+      // the metadata records both defaults; initial survived the SET
+      val f = new HadoopCatalog(wh).loadTable("nat").schema.findField("category").get
+      require(f.initialDefault.contains("unassigned") &&
+        f.writeDefault.contains("pending"),
+        s"i112: defaults after SET DEFAULT = $f")
+      () => s.sql(s"""
+        SELECT n_nationkey, n_name, category
+        FROM $ctl.nat ORDER BY n_nationkey""")
+    }, Some("""
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey < 20 THEN 'unassigned' ELSE 'pending' END AS category
+      FROM nation
       ORDER BY n_nationkey"""), repeatable = true)
   )
 }

@@ -186,16 +186,49 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
   /** ALTER TABLE: schema changes ride the Evolve paths (new field ids,
     * rename-in-place, no data rewrites — old files resolve by field id).
     */
+  /** Spark gates `ADD COLUMN ... DEFAULT` / `ALTER COLUMN ... SET DEFAULT`
+    * DDL on this capability; the literal maps to the spec's v3
+    * initial-default (rows written before the add) + write-default
+    * (writers that omit the column).
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** V2 literal -> external Scala value (defaults are stored as plain
+    * values in metadata JSON, not Catalyst internals like UTF8String).
+    */
+  private def literalValue(
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(l.value, l.dataType)
+
   override def alterTable(ident: Identifier, changes: TableChange*): V2Table = {
     var t = graftTable(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"$catName: nested ADD COLUMN not supported (${add.fieldNames.mkString(".")})")
+        val default = Option(add.defaultValue()).map(d => literalValue(d.getValue))
         t = Evolve.addColumn(t, add.fieldNames.head,
           SchemaBridge.fromSpark(StructType(Seq(
             org.apache.spark.sql.types.StructField("c", add.dataType)))).fields.head.fieldType,
-          doc = Option(add.comment))
+          doc = Option(add.comment),
+          initialDefault = default, writeDefault = default)
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          s"$catName: nested ALTER COLUMN not supported")
+        // SET DEFAULT changes what FUTURE writers fill — write-default
+        // only; initial-default is immutable once set (spec v3 contract)
+        val v = Option(ud.newCurrentDefault()).map(_.getExpression).flatMap {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            Some(literalValue(l))
+          case other => throw new UnsupportedOperationException(
+            s"$catName: non-literal column default $other")
+        }
+        t = Evolve.setWriteDefault(t, ud.fieldNames.head, v)
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           s"$catName: nested RENAME COLUMN not supported")

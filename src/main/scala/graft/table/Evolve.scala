@@ -82,6 +82,25 @@ object Evolve {
       lastUpdatedMs = System.currentTimeMillis()))
   }
 
+  /** Change (or clear, with None) a column's write-default — what writers
+    * that omit the column fill from now on. initial-default is immutable
+    * once set: it describes rows that already exist (spec v3 contract).
+    */
+  def setWriteDefault(table: Table, name: String, value: Option[Any]): Table = {
+    val meta = table.metadata
+    val schema = meta.schema
+    require(schema.findField(name).isDefined, s"no such column: $name")
+    val newSchema = IcebergSchema(
+      schema.fields.map(f =>
+        if (f.name == name) f.copy(writeDefault = value) else f),
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = schema.identifierFieldIds)
+    commitMetadata(table, meta.copy(
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
   /** Rename a column (same field id — files need no rewrite; the field-id
     * read path resolves old files).
     */

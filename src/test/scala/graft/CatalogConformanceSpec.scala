@@ -117,6 +117,37 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("hive_race")
   }
 
+  test("hive: views project into HMS VIRTUAL_VIEW objects") {
+    val cat = backends(3)._2.asInstanceOf[graft.catalog.HiveCatalog]
+    val store = cat.viewStore.get
+    store.createView("hv_view", "SELECT 1 AS one", Map("comment" -> "c"))
+    // the HMS projection external tooling sees (reference schema.go:101-138)
+    val params = cat.hmsParameters("default", "hv_view").get
+    assert(params("table_type") === "ICEBERG_VIEW")
+    assert(params("metadata_location").endsWith("v1.view.json"))
+    assert(params.get("comment") === Some("c"))
+    // views are not Iceberg TABLES: the table surface must not list them
+    assert(!cat.tableExists("hv_view"))
+    // replace records the previous pointer from the unmodified parameters
+    store.replaceView("hv_view", "SELECT 2 AS one")
+    val p2 = cat.hmsParameters("default", "hv_view").get
+    assert(p2("metadata_location").endsWith("v2.view.json"))
+    assert(p2("previous_metadata_location").endsWith("v1.view.json"))
+    assert(store.loadView("hv_view").currentVersion.sql === "SELECT 2 AS one")
+    // rename moves the projection; drop removes it
+    store.renameView("hv_view", "hv_view2")
+    assert(cat.hmsParameters("default", "hv_view").isEmpty)
+    assert(cat.hmsParameters("default", "hv_view2").isDefined)
+    store.dropView("hv_view2")
+    assert(cat.hmsParameters("default", "hv_view2").isEmpty)
+    // a view may not shadow an existing table name in the shared namespace
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    cat.createTable("hv_tbl", schema, PartitionSpec.Unpartitioned)
+    intercept[IllegalArgumentException](store.createView("hv_tbl", "SELECT 1"))
+    cat.dropTable("hv_tbl")
+  }
+
   test("hive: rename keeps storage, register points at existing metadata") {
     val cat = backends(3)._2.asInstanceOf[graft.catalog.HiveCatalog]
     val nation = spark.read.parquet(s"$sf/nation.parquet")
