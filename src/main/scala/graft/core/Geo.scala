@@ -26,50 +26,74 @@ object Geo {
   }
 
   /** Envelope (xmin, ymin, xmax, ymax) of a WKB geometry; None on
-    * non-geometry bytes (fail-open for filtering: caller decides).
+    * non-geometry bytes (fail-open for filtering: caller decides). Covers
+    * the full WKB surface — Point/LineString/Polygon plus Multi* and
+    * GeometryCollection (each element a complete WKB geometry with its
+    * own byte-order marker), in all of XY/XYZ/XYM/XYZM via EWKB flags or
+    * ISO type offsets — verified against parquet-java's footer bounds
+    * over the vendored parquet-testing corpus (GeoGoldenSpec).
     */
   def envelope(wkb: Array[Byte]): Option[(Double, Double, Double, Double)] = {
     if (wkb == null || wkb.length < 5) return None
     try {
-      val order = if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
-      val bb = ByteBuffer.wrap(wkb, 1, wkb.length - 1).order(order)
-      val rawType = bb.getInt
-      // EWKB/ISO flags: the masked-off dimensions still occupy bytes, so
-      // they must be consumed — not just ignored — or every later read is
-      // misaligned and the envelope is silently garbage
-      val hasSrid = (rawType & 0x20000000) != 0
-      val flagZ = (rawType & 0x80000000) != 0
-      val flagM = (rawType & 0x40000000) != 0
-      val base = rawType & 0x0fffffff // strip EWKB flag bits
-      val isoBlock = base / 1000 // ISO offsets: 1000 = Z, 2000 = M, 3000 = ZM
-      val dims = 2 +
-        (if (flagZ || isoBlock == 1 || isoBlock == 3) 1 else 0) +
-        (if (flagM || isoBlock == 2 || isoBlock == 3) 1 else 0)
-      if (hasSrid) bb.getInt // consume SRID
-      val geomType = base % 1000
-      geomType match {
-        case PointType =>
-          val x = bb.getDouble; val y = bb.getDouble
-          skipDims(bb, dims - 2)
-          // NaN vertices carry no envelope information (reference
-          // geo_codec.go update() skips them); a NaN point has no bounds
-          if (x.isNaN || y.isNaN) None else Some((x, y, x, y))
-        case LineStringType =>
-          val n = bb.getInt
-          envelopeOfCoords(bb, n, dims)
-        case PolygonType =>
-          val rings = bb.getInt
-          var env: Option[(Double, Double, Double, Double)] = None
-          var r = 0
-          while (r < rings) {
-            val n = bb.getInt
-            env = merge(env, envelopeOfCoords(bb, n, dims))
-            r += 1
-          }
-          env
-        case _ => None
-      }
+      val bb = ByteBuffer.wrap(wkb)
+      envelopeAt(bb, depth = 0)
     } catch { case _: Exception => None }
+  }
+
+  /** One WKB geometry starting at the buffer position's byte-order
+    * marker; advances the buffer past it (collection elements parse
+    * sequentially). Depth-bounded: WKB nests collections at most a few
+    * levels; a corrupt length field must not recurse unboundedly.
+    */
+  private def envelopeAt(bb: ByteBuffer,
+      depth: Int): Option[(Double, Double, Double, Double)] = {
+    if (depth > 8) return None
+    bb.order(if (bb.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val rawType = bb.getInt
+    // EWKB/ISO flags: the masked-off dimensions still occupy bytes, so
+    // they must be consumed — not just ignored — or every later read is
+    // misaligned and the envelope is silently garbage
+    val hasSrid = (rawType & 0x20000000) != 0
+    val flagZ = (rawType & 0x80000000) != 0
+    val flagM = (rawType & 0x40000000) != 0
+    val base = rawType & 0x0fffffff // strip EWKB flag bits
+    val isoBlock = base / 1000 // ISO offsets: 1000 = Z, 2000 = M, 3000 = ZM
+    val dims = 2 +
+      (if (flagZ || isoBlock == 1 || isoBlock == 3) 1 else 0) +
+      (if (flagM || isoBlock == 2 || isoBlock == 3) 1 else 0)
+    if (hasSrid) bb.getInt // consume SRID
+    base % 1000 match {
+      case PointType =>
+        val x = bb.getDouble; val y = bb.getDouble
+        skipDims(bb, dims - 2)
+        // NaN vertices carry no envelope information (reference
+        // geo_codec.go update() skips them); a NaN point has no bounds
+        if (x.isNaN || y.isNaN) None else Some((x, y, x, y))
+      case LineStringType =>
+        val n = bb.getInt
+        envelopeOfCoords(bb, n, dims)
+      case PolygonType =>
+        val rings = bb.getInt
+        var env: Option[(Double, Double, Double, Double)] = None
+        var r = 0
+        while (r < rings) {
+          val n = bb.getInt
+          env = merge(env, envelopeOfCoords(bb, n, dims))
+          r += 1
+        }
+        env
+      case t if t >= 4 && t <= 7 => // MultiPoint/-LineString/-Polygon/Collection
+        val n = bb.getInt
+        var env: Option[(Double, Double, Double, Double)] = None
+        var i = 0
+        while (i < n) {
+          env = merge(env, envelopeAt(bb, depth + 1))
+          i += 1
+        }
+        env
+      case _ => None
+    }
   }
 
   private def skipDims(bb: ByteBuffer, n: Int): Unit = {
