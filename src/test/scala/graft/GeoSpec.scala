@@ -33,6 +33,34 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Geo.envelope(Array[Byte](9, 9, 9)) === None)
   }
 
+  test("multi-geometries and collections merge element envelopes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def pt(x: Double, y: Double): Array[Byte] = Geo.encodePoint(x, y)
+    // MULTIPOINT(1 2, -5 9): type 4, two embedded point geometries
+    val mp = ByteBuffer.allocate(9 + 2 * 21).order(ByteOrder.LITTLE_ENDIAN)
+    mp.put(1.toByte); mp.putInt(4); mp.putInt(2)
+    mp.put(pt(1, 2)); mp.put(pt(-5, 9))
+    assert(Geo.envelope(mp.array) === Some((-5.0, 2.0, 1.0, 9.0)))
+    // GEOMETRYCOLLECTION(POINT(3 4), MULTIPOINT(10 -1)) — nested collection
+    val inner = ByteBuffer.allocate(9 + 21).order(ByteOrder.LITTLE_ENDIAN)
+    inner.put(1.toByte); inner.putInt(4); inner.putInt(1); inner.put(pt(10, -1))
+    val gc = ByteBuffer.allocate(9 + 21 + inner.capacity).order(ByteOrder.LITTLE_ENDIAN)
+    gc.put(1.toByte); gc.putInt(7); gc.putInt(2)
+    gc.put(pt(3, 4)); gc.put(inner.array)
+    assert(Geo.envelope(gc.array) === Some((3.0, -1.0, 10.0, 4.0)))
+    // mixed byte order inside a collection: BE point element
+    val bePt = ByteBuffer.allocate(21)
+    bePt.put(0.toByte); bePt.putInt(1); bePt.putDouble(100.0); bePt.putDouble(7.0)
+    val mixed = ByteBuffer.allocate(9 + 21 + 21).order(ByteOrder.LITTLE_ENDIAN)
+    mixed.put(1.toByte); mixed.putInt(7); mixed.putInt(2)
+    mixed.put(pt(0, 0)); mixed.put(bePt.array)
+    assert(Geo.envelope(mixed.array) === Some((0.0, 0.0, 100.0, 7.0)))
+    // empty multi has no envelope
+    val empty = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+    empty.put(1.toByte); empty.putInt(6); empty.putInt(0)
+    assert(Geo.envelope(empty.array) === None)
+  }
+
   test("ewkb srid and z/m flags consume their bytes") {
     // EWKB point with SRID flag: 0x20000001, srid=4326
     val bb = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
