@@ -225,6 +225,38 @@ class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("gzip"))
   }
 
+  test("cross-codec stress: concurrent racers with different codecs never both win") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_stress", schema, PartitionSpec.Unpartitioned)
+    (0 until 6).foreach { round =>
+      val base = catalog.loadTable("cc_stress")
+      val v = base.currentVersion
+      def attempt(codec: String): Option[String] = try {
+        val m = base.metadata.copy(properties = base.metadata.properties +
+          ("write.metadata.compression-codec" -> codec) +
+          (s"round" -> s"$round-$codec"))
+        Some(catalog.commit("cc_stress", base.metadata, m, v))
+      } catch { case _: CommitConflict => None }
+      val fa = Future(attempt("none"))
+      val fb = Future(attempt("gzip"))
+      val (ra, rb) = (Await.result(fa, 1.minute), Await.result(fb, 1.minute))
+      assert(!(ra.isDefined && rb.isDefined),
+        s"round $round: BOTH racers won version ${v + 1} ($ra / $rb)")
+      // whatever happened, the table stays loadable and consistent: the
+      // loaded metadata is exactly the winner's (or unchanged if both
+      // backed off)
+      val loaded = catalog.loadTable("cc_stress")
+      (ra.orElse(rb)) match {
+        case Some(winnerPath) =>
+          assert(loaded.metadataPath === winnerPath)
+          assert(loaded.currentVersion === v + 1)
+        case None =>
+          assert(loaded.currentVersion === v)
+      }
+    }
+  }
+
   test("multi-table transaction: lost race rolls back codec files AND markers") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)
