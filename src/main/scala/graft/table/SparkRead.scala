@@ -351,15 +351,13 @@ object SparkRead {
   }
 
   private def project(df: DataFrame, scan: Scan, schema: IcebergSchema): DataFrame = {
-    val withDefaults = schema.fields.foldLeft(df) { (d, f) =>
-      f.initialDefault match {
-        case Some(dv) if df.columns.contains(f.name) =>
-          d.withColumn(f.name, coalesce(col(f.name), lit(dv)))
-        case _ => d
-      }
-    }
-    if (scan.selected.isEmpty) withDefaults
-    else withDefaults.select(scan.selected.map(col): _*)
+    // initial-default fill happens PER FILE in the parquet reader (the
+    // read schema carries EXISTS_DEFAULT metadata, so only files that
+    // predate the column get the default) — a frame-level coalesce here
+    // would also rewrite EXPLICIT nulls written after the add, which the
+    // spec forbids (caught by DefaultValueSpec)
+    if (scan.selected.isEmpty) df
+    else df.select(scan.selected.map(col): _*)
   }
 
   /** `_metadata.file_path` is a URI (file:///...); manifests store plain
