@@ -296,8 +296,26 @@ object SchemaBridge {
           valueRequired = !m.valueContainsNull)
       case other => throw new IllegalArgumentException(s"cannot convert $other to iceberg")
     }
+    // Spark's CREATE TABLE ships column defaults as SQL-literal metadata;
+    // a table created with DEFAULT must not silently drop it. Inverse of
+    // toSparkField's sqlLit rendering — literals only (the analyzer has
+    // already constant-folded the DDL expression).
+    def parseDefault(f: StructField, key: String): Option[Any] =
+      if (!f.metadata.contains(key)) None
+      else {
+        val s = f.metadata.getString(key)
+        if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
+          Some(s.substring(1, s.length - 1).replace("''", "'"))
+        else if (s == "NULL" || s == "null") None
+        else if (s == "true" || s == "false") Some(s.toBoolean)
+        else s.toLongOption.map(v => v: Any)
+          .orElse(s.toDoubleOption.map(v => v: Any))
+          .orElse(Some(s)) // unparsed spelling kept verbatim
+      }
     val fields = st.fields.zip(topIds).map { case (f, id) =>
-      NestedField(id, f.name, convert(f.dataType), required = !f.nullable)
+      NestedField(id, f.name, convert(f.dataType), required = !f.nullable,
+        initialDefault = parseDefault(f, "EXISTS_DEFAULT"),
+        writeDefault = parseDefault(f, "CURRENT_DEFAULT"))
     }
     IcebergSchema(fields.toSeq, schemaId = 0)
   }

@@ -49,4 +49,20 @@ class DefaultValueSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> None,         // explicit null is NOT rewritten
       4L -> Some("wd")))  // omitted column: write-default at write time
   }
+
+  test("CREATE TABLE with an inline DEFAULT keeps it in the metadata") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdefault").toString
+    spark.conf.set("spark.sql.catalog.gdv", classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.uri", wh)
+    spark.sql("CREATE TABLE gdv.t (k BIGINT, tag STRING DEFAULT 'fresh', n INT DEFAULT 7)")
+    val f = new HadoopCatalog(wh).loadTable("t").schema
+    assert(f.findField("tag").get.writeDefault === Some("fresh"))
+    assert(f.findField("n").get.writeDefault === Some(7L))
+    // the analyzer fills omitted columns from the recorded default
+    spark.sql("INSERT INTO gdv.t (k) VALUES (1)")
+    spark.sql("INSERT INTO gdv.t VALUES (2, 'explicit', 9)")
+    val rows = spark.sql("SELECT k, tag, n FROM gdv.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq === Seq((1L, "fresh", 7), (2L, "explicit", 9)))
+  }
 }
