@@ -4443,7 +4443,16 @@ object IcebergQueries {
       val staleConflicts =
         try { cat.commit("nat", t.metadata, t.metadata, versions.get - 1); false }
         catch { case _: graft.catalog.CommitConflict => true }
-      val flags = Seq(versions.contains(3), snaps == 2L, staleConflicts).mkString(",")
+      // SQL views over the hive catalog project into HMS VIRTUAL_VIEW
+      // objects (the shape external HMS tooling sees)
+      s.sql(s"CREATE VIEW $ctl.natview AS SELECT n_regionkey, n_nationkey FROM $ctl.nat")
+      val viewRows = s.sql(s"SELECT COUNT(*) FROM $ctl.natview").head.getLong(0)
+      val hmsView = cat.hmsParameters("default", "natview")
+      val viewOk = viewRows == 25L &&
+        hmsView.exists(_.get("table_type").contains("ICEBERG_VIEW")) &&
+        hmsView.exists(_.contains("metadata_location"))
+      val flags = Seq(versions.contains(3), snaps == 2L, staleConflicts, viewOk)
+        .mkString(",")
       () => s.sql(s"""
         SELECT n_regionkey, COUNT(n_nationkey) AS n, '$flags' AS hive_sql_ok
         FROM $ctl.nat
@@ -4451,7 +4460,7 @@ object IcebergQueries {
         ORDER BY n_regionkey""")
     }, Some("""
       SELECT n_regionkey, COUNT(n_nationkey) AS n,
-             'true,true,true' AS hive_sql_ok
+             'true,true,true,true' AS hive_sql_ok
       FROM nation
       GROUP BY n_regionkey
       ORDER BY n_regionkey"""), repeatable = true),
