@@ -22,6 +22,16 @@ trait Catalog {
     */
   def commit(name: String, base: TableMetadata, updated: TableMetadata,
       expectedVersion: Int): String
+  /** Location-string CAS variant: backends whose current pointer IS a path
+    * string (Hive `metadata_location`) compare the full expected location —
+    * strictly stronger than the version number, catching a same-version
+    * pointer swap via register/manual edit (reference `hive.go:577-640`
+    * compares locations, never parsed versions). Default delegates to the
+    * version CAS for backends where the version IS the pointer.
+    */
+  def commit(name: String, base: TableMetadata, updated: TableMetadata,
+      expectedVersion: Int, expectedLocation: Option[String]): String =
+    commit(name, base, updated, expectedVersion)
   /** View + UDF declaration store co-located with the tables; None when the
     * backend has no warehouse to anchor one (reference: view support is
     * per-catalog-backend, `catalog/catalog.go` ErrNoSuchView surface).

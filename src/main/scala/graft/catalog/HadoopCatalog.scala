@@ -258,3 +258,12 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
 }
 
 final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+/** Commit outcome could not be determined (e.g. the metastore RPC failed
+  * AFTER it may have applied). NOT a [[CommitConflict]]: retrying could
+  * double-apply, so the retry loop must surface it to the operator
+  * (reference `hive.go:612-615` — alter failure is a plain failure, never
+  * mapped to the retryable conflict class).
+  */
+final class CommitStateUnknown(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)

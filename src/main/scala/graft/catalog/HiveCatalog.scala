@@ -63,7 +63,7 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
   private[catalog] def rpc[A](f: IMetaStoreClient => A): A =
     client.synchronized(f(client))
 
-  private def split(name: String): (String, String) = {
+  private[catalog] def split(name: String): (String, String) = {
     val i = name.lastIndexOf('.')
     if (i < 0) ("default", name) else (name.substring(0, i), name.substring(i + 1))
   }
@@ -85,7 +85,7 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
     catch { case _: NoSuchObjectException => None }
   }
 
-  private def ensureDatabase(ns: String): Unit = {
+  private[catalog] def ensureDatabase(ns: String): Unit = {
     try { rpc(_.getDatabase(ns)); () }
     catch {
       case _: NoSuchObjectException =>
@@ -127,11 +127,24 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
     resp.getLockid
   }
 
-  private def withTableLock[A](ns: String, tbl: String)(f: => A): A = {
-    val lockId = acquireLock(ns, tbl)
-    try f
-    finally {
-      try { rpc(_.unlock(lockId)); () } catch { case _: Exception => () }
+  private def withTableLock[A](ns: String, tbl: String)(f: => A): A =
+    withTableLocks(Seq((ns, tbl)))(f)
+
+  /** Lock several identities — ALWAYS in deterministic (db, table) order so
+    * two operations locking overlapping identity sets cannot deadlock
+    * (reference `hive.go:507-515` acquireLocks). All locks release in the
+    * finally, also on failure.
+    */
+  private def withTableLocks[A](idents: Seq[(String, String)])(f: => A): A = {
+    val ordered = idents.distinct.sorted
+    val lockIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      ordered.foreach { case (ns, tbl) => lockIds += acquireLock(ns, tbl) }
+      f
+    } finally {
+      lockIds.reverse.foreach { id =>
+        try { rpc(_.unlock(id)); () } catch { case _: Exception => () }
+      }
     }
   }
 
@@ -203,9 +216,28 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
     getHmsTable(name).flatMap(metadataLocationOf)
       .flatMap(graft.table.Locations.metadataVersionOf)
 
-  /** CAS commit under the metastore's exclusive table lock. */
   def commit(name: String, base: TableMetadata, updated: TableMetadata,
-      expectedVersion: Int): String = {
+      expectedVersion: Int): String =
+    commit(name, base, updated, expectedVersion, expectedLocation = None)
+
+  /** CAS commit under the metastore's exclusive table lock. The CAS compares
+    * the full `metadata_location` STRING when the committer supplies its base
+    * pointer (reference `hive.go:577-640` compares locations) — strictly
+    * stronger than the version number: a same-version pointer swap via
+    * register/manual edit is caught. Version compare is the fallback for
+    * callers without a base pointer.
+    *
+    * Failure handling after the new metadata file is written (reference
+    * `hive.go:612-615`): the file is NEVER deleted — if `alter_table` failed
+    * after applying (lost response on a remote HMS), the pointer references
+    * that file and deleting it would brick the table; an unreferenced file is
+    * orphan-cleanup's job. Only a concurrent-drop (`NoSuchObjectException`)
+    * maps to the retryable [[CommitConflict]]; any other alter failure is
+    * commit-state-unknown and surfaces as non-retryable
+    * [[CommitStateUnknown]].
+    */
+  override def commit(name: String, base: TableMetadata, updated: TableMetadata,
+      expectedVersion: Int, expectedLocation: Option[String]): String = {
     val (ns, tbl) = split(name)
     withTableLock(ns, tbl) {
       // re-read AFTER acquiring the lock: the pointer may have moved while
@@ -214,10 +246,18 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
         throw new CommitConflict(s"table $name disappeared during commit"))
       val currentLoc = metadataLocationOf(hms).getOrElse(
         throw new CommitConflict(s"table $name has no metadata_location"))
-      val currentV = graft.table.Locations.metadataVersionOf(currentLoc).getOrElse(0)
-      if (currentV != expectedVersion)
-        throw new CommitConflict(
-          s"expected version $expectedVersion but found $currentV")
+      expectedLocation match {
+        case Some(expected) =>
+          if (FileIO.canonical(currentLoc) != FileIO.canonical(expected))
+            throw new CommitConflict(
+              s"metadata_location changed: expected $expected but found $currentLoc")
+        case None =>
+          val currentV =
+            graft.table.Locations.metadataVersionOf(currentLoc).getOrElse(0)
+          if (currentV != expectedVersion)
+            throw new CommitConflict(
+              s"expected version $expectedVersion but found $currentV")
+      }
       val newPath = metadataFile(name, expectedVersion + 1, updated.properties)
       try FileIO.createNoReplace(newPath, graft.table.Locations.encodeMetadata(
         TableMetadata.toJson(updated), updated.properties))
@@ -231,9 +271,13 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
         rpc(_.alter_table(ns, tbl,
           updateHmsTableForCommit(hms, base, updated, newPath, tableDir(name))))
       } catch {
+        case e: NoSuchObjectException =>
+          throw new CommitConflict(s"table $name dropped during commit: ${e.getMessage}")
         case e: Exception =>
-          try { FileIO.delete(newPath); () } catch { case _: Exception => () }
-          throw new CommitConflict(s"failed to commit $name: ${e.getMessage}")
+          throw new CommitStateUnknown(
+            s"alter_table failed for $name; state unknown — metadata file " +
+              s"$newPath left in place (orphan cleanup reclaims it if the " +
+              "pointer never moved)", e)
       }
       newPath
     }
@@ -248,15 +292,35 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
     val (fns, ftbl) = split(from)
     val (tns, ttbl) = split(to)
     ensureDatabase(tns)
-    if (tableExists(to))
-      throw new IllegalArgumentException(s"table $to already exists")
-    withTableLock(fns, ftbl) {
-      val hms = getHmsTable(from).filter(isIcebergTable).getOrElse(
+    // pre-lock snapshot of the source pointer: re-verified under the locks
+    // so a commit that raced the lock wait turns into a typed conflict, not
+    // a silent rename of different table state (reference hive.go:498-545)
+    val preLockLoc = getHmsTable(from).filter(isIcebergTable)
+      .flatMap(metadataLocationOf).getOrElse(
         throw new IllegalArgumentException(s"no such table: $from"))
+    withTableLocks(Seq((fns, ftbl), (tns, ttbl))) {
+      if (getHmsTable(to).isDefined)
+        throw new IllegalArgumentException(s"table $to already exists")
+      val hms = getHmsTable(from).filter(isIcebergTable).getOrElse(
+        throw new CommitConflict(s"source table $from disappeared during rename"))
+      val lockedLoc = metadataLocationOf(hms).getOrElse(
+        throw new CommitConflict(s"source table $from lost its metadata_location"))
+      if (lockedLoc != preLockLoc)
+        throw new CommitConflict(
+          s"source table $from metadata location changed from $preLockLoc to $lockedLoc")
       val renamed = new HmsTable(hms)
       renamed.setDbName(tns)
       renamed.setTableName(ttbl)
-      rpc(_.alter_table(fns, ftbl, renamed))
+      try rpc(_.alter_table(fns, ftbl, renamed))
+      catch {
+        case e: AlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"table $to already exists: ${e.getMessage}")
+        case e: org.apache.hadoop.hive.metastore.api.InvalidOperationException
+            if Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) =>
+          throw new IllegalArgumentException(
+            s"table $to already exists: ${e.getMessage}")
+      }
     }
     loadTable(to)
   }
@@ -319,6 +383,18 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
     * external HMS tooling sees; used by diagnostics and the conformance
     * battery.
     */
+  /** Simulate an EXTERNAL pointer edit (HMS tooling / manual alter) by
+    * flipping `metadata_location` without going through the commit
+    * protocol — the conformance battery uses this to prove the
+    * location-string CAS catches same-version swaps a version compare
+    * cannot.
+    */
+  private[graft] def forceSetPointer(ns: String, tbl: String, loc: String): Unit = {
+    val hms = rpc(_.getTable(ns, tbl))
+    hms.getParameters.put(MetadataLocationKey, loc)
+    rpc(_.alter_table(ns, tbl, hms))
+  }
+
   def hmsParameters(ns: String, tbl: String): Option[Map[String, String]] =
     try Option(rpc(_.getTable(ns, tbl))).map(t =>
       Option(t.getParameters).map(_.asScala.toMap).getOrElse(Map.empty))
@@ -347,14 +423,20 @@ final class HmsViewStore(hive: HiveCatalog, warehouse: String)
   private def currentFile(v: ViewMetadata): String =
     s"${viewDir(v.name)}/v${v.metadataSeq}.view.json"
 
-  private def viewObject(name: String): Option[HmsTable] =
-    try Option(hive.rpc(_.getTable("default", name)))
+  // view names split db.name exactly like tables ('ns.v' projects into
+  // database ns, bare names into default) — a dotted name must never become
+  // a literal dotted table name inside the default database
+  private def viewObject(name: String): Option[HmsTable] = {
+    val (ns, v) = hive.split(name)
+    try Option(hive.rpc(_.getTable(ns, v)))
       .filter(t => Option(t.getParameters).exists(
         _.asScala.get(TableTypeKey).exists(_.equalsIgnoreCase("ICEBERG_VIEW"))))
     catch { case _: NoSuchObjectException => None }
+  }
 
   private def hmsView(name: String, v: ViewMetadata,
       previous: Option[String]): HmsTable = {
+    val (ns, vn) = hive.split(name)
     val params = new java.util.HashMap[String, String]()
     v.properties.foreach { case (k, pv) => if (pv.nonEmpty) params.put(k, pv) }
     params.remove(PreviousMetadataLocationKey)
@@ -363,8 +445,8 @@ final class HmsViewStore(hive: HiveCatalog, warehouse: String)
     previous.foreach(params.put(PreviousMetadataLocationKey, _))
     params.put(ExternalKey, "TRUE")
     val t = new HmsTable()
-    t.setDbName("default")
-    t.setTableName(name)
+    t.setDbName(ns)
+    t.setTableName(vn)
     t.setTableType("VIRTUAL_VIEW")
     t.setViewOriginalText(v.currentVersion.sql)
     t.setViewExpandedText(v.currentVersion.sql)
@@ -385,9 +467,11 @@ final class HmsViewStore(hive: HiveCatalog, warehouse: String)
     * when absent, alter (recording the previous pointer from the
     * unmodified parameters) when present.
     */
-  private def project(name: String, v: ViewMetadata): Unit =
+  private def project(name: String, v: ViewMetadata): Unit = {
+    val (ns, vn) = hive.split(name)
     viewObject(name) match {
       case None =>
+        hive.ensureDatabase(ns)
         try hive.rpc(_.createTable(hmsView(name, v, previous = None)))
         catch { case _: AlreadyExistsException =>
           throw new IllegalArgumentException(
@@ -395,8 +479,9 @@ final class HmsViewStore(hive: HiveCatalog, warehouse: String)
       case Some(existing) =>
         val prev = Option(existing.getParameters)
           .flatMap(p => p.asScala.get(MetadataLocationKey))
-        hive.rpc(_.alter_table("default", name, hmsView(name, v, prev)))
+        hive.rpc(_.alter_table(ns, vn, hmsView(name, v, prev)))
     }
+  }
 
   override def createViewVersioned(name: String, version: ViewVersion,
       properties: Map[String, String] = Map.empty): ViewMetadata = {
@@ -425,15 +510,17 @@ final class HmsViewStore(hive: HiveCatalog, warehouse: String)
   override def renameView(from: String, to: String): ViewMetadata = {
     val v = super.renameView(from, to)
     project(to, v)
+    val (fns, fvn) = hive.split(from)
     viewObject(from).foreach(_ =>
-      hive.rpc(_.dropTable("default", from, false, true)))
+      hive.rpc(_.dropTable(fns, fvn, false, true)))
     v
   }
 
   override def dropView(name: String): Unit = {
     super.dropView(name)
+    val (ns, vn) = hive.split(name)
     viewObject(name).foreach(_ =>
-      hive.rpc(_.dropTable("default", name, false, true)))
+      hive.rpc(_.dropTable(ns, vn, false, true)))
   }
 }
 

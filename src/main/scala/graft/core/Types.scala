@@ -310,7 +310,22 @@ object SchemaBridge {
         else if (s == "true" || s == "false") Some(s.toBoolean)
         else s.toLongOption.map(v => v: Any)
           .orElse(s.toDoubleOption.map(v => v: Any))
-          .orElse(Some(s)) // unparsed spelling kept verbatim
+          .orElse {
+            // typed literal spellings (DATE '…', TIMESTAMP '…'): keep the
+            // quoted payload — the single-value representation
+            val typed = raw"(?i)(DATE|TIMESTAMP|TIMESTAMP_NTZ)\s+'(.*)'".r
+            s match {
+              case typed(_, payload) => Some(payload)
+              case _ =>
+                // anything else is a non-literal DDL expression Spark kept
+                // verbatim (current_date(), rand()…) — recording it as a
+                // string default would write wrong values whenever a writer
+                // omits the column; reject, mirroring the ALTER COLUMN
+                // non-literal rejection in SpjCatalog.alterTable
+                throw new IllegalArgumentException(
+                  s"non-literal column default for ${f.name}: $s")
+            }
+          }
       }
     val fields = st.fields.zip(topIds).map { case (f, id) =>
       NestedField(id, f.name, convert(f.dataType), required = !f.nullable,

@@ -136,7 +136,11 @@ object BpeTrainer {
       Int.MaxValue
     }
     var syms: Seq[String] = w.split("").toSeq :+ EndOfWord
-    var last = 0
+    // Int.MinValue, not 0: training emits 1-based ranks, but encode()
+    // accepts arbitrary merge lists and external ones (HuggingFace
+    // merges.txt) are commonly 0-indexed — a 0-start would silently skip
+    // a rank-0 merge and diverge from segmentWordReplay
+    var last = Int.MinValue
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue

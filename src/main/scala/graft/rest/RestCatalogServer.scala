@@ -535,7 +535,8 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       val applied = applied0.copy(
         lastUpdatedMs = math.max(applied0.lastUpdatedMs, now),
         metadataLog = mlog)
-      val newPath = backing.commit(full, t.metadata, applied, t.currentVersion)
+      val newPath = backing.commit(full, t.metadata, applied, t.currentVersion,
+        Some(t.metadataPath))
       graft.table.MetadataLogPolicy.deleteTrimmed(applied, dropped)
       sendJson(ex, 200, loadResult(newPath, applied))
     }

@@ -112,7 +112,8 @@ object Analyze {
     val updated = meta.copy(
       statistics = meta.statistics.filterNot(_.snapshotId == snap.snapshotId) :+ statsFile,
       lastUpdatedMs = System.currentTimeMillis())
-    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    table.catalog.commit(table.name, meta, updated, table.currentVersion,
+      Some(table.metadataPath))
     table.refresh()
   }
 
@@ -145,7 +146,8 @@ object Analyze {
         .filterNot(_.snapshotId == snap.snapshotId) :+
         PartitionStatisticsFile(snap.snapshotId, file.path, file.size),
       lastUpdatedMs = System.currentTimeMillis())
-    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    table.catalog.commit(table.name, meta, updated, table.currentVersion,
+      Some(table.metadataPath))
     table.refresh()
   }
 }

@@ -540,7 +540,8 @@ object Evolve {
     val (mlog, dropped) = MetadataLogPolicy.appended(updated,
       table.metadataPath, math.max(updated.lastUpdatedMs, System.currentTimeMillis()))
     val withLog = updated.copy(metadataLog = mlog)
-    table.catalog.commit(table.name, table.metadata, withLog, table.currentVersion)
+    table.catalog.commit(table.name, table.metadata, withLog, table.currentVersion,
+      Some(table.metadataPath))
     MetadataLogPolicy.deleteTrimmed(withLog, dropped)
     table.refresh()
   }

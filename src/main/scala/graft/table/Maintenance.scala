@@ -324,7 +324,8 @@ object Maintenance {
       refs = liveRefs,
       snapshotLog = meta.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
       lastUpdatedMs = System.currentTimeMillis())
-    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    table.catalog.commit(table.name, meta, updated, table.currentVersion,
+      Some(table.metadataPath))
     graft.io.FileIO.deleteAll(toDelete)
     ExpireResult(table.refresh(), expired.map(_.snapshotId), toDelete)
   }
@@ -397,7 +398,8 @@ object Maintenance {
       snapshots = meta.snapshots :+ newSnap,
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
       refs = meta.refs.updated("main", SnapshotRef(snapshotId, "branch")))
-    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    table.catalog.commit(table.name, meta, updated, table.currentVersion,
+      Some(table.metadataPath))
     table.refresh()
   }
 

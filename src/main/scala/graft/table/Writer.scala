@@ -1781,7 +1781,8 @@ object Writer {
         snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now))
       else base
 
-    table.catalog.commit(table.name, meta, updated, table.currentVersion)
+    table.catalog.commit(table.name, meta, updated, table.currentVersion,
+      Some(table.metadataPath))
     MetadataLogPolicy.deleteTrimmed(updated, mdropped)
     table.refresh()
   }

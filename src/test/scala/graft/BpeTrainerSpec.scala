@@ -100,4 +100,19 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fastMs * 2 < slowMs,
       f"fast path ($fastMs%.1f ms) should clearly beat replay ($slowMs%.1f ms) at ${merges.size} merges")
   }
+
+  test("encode accepts 0-indexed merge ranks (external merges.txt convention)") {
+    // HuggingFace merges.txt is 0-indexed; a rank-0 first merge must fire
+    val merges = Seq(
+      BpeTrainer.Merge(0, "a", "b", 0L),
+      BpeTrainer.Merge(1, "ab", "c", 0L),
+      BpeTrainer.Merge(2, "abc", "</w>", 0L))
+    val rankOf = BpeTrainer.ranksByPair(merges)
+    val pairByRank = merges.map(m => m.rank -> ((m.left, m.right))).toMap
+    val ordered = merges.map(m => (m.left, m.right))
+    assert(BpeTrainer.segmentWord("abc", rankOf, pairByRank) === Seq("abc</w>"))
+    for (w <- Seq("abc", "ababc", "cab", "abcabc"))
+      assert(BpeTrainer.segmentWord(w, rankOf, pairByRank) ===
+        BpeTrainer.segmentWordReplay(w, ordered), s"divergence on '$w'")
+  }
 }

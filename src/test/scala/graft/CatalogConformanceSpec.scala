@@ -146,6 +146,70 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.createTable("hv_tbl", schema, PartitionSpec.Unpartitioned)
     intercept[IllegalArgumentException](store.createView("hv_tbl", "SELECT 1"))
     cat.dropTable("hv_tbl")
+    // a namespaced view projects into its OWN database, not a dotted name
+    // inside default
+    store.createView("hvns.nv", "SELECT 3 AS three")
+    assert(cat.hmsParameters("hvns", "nv").exists(
+      _("table_type") == "ICEBERG_VIEW"))
+    assert(cat.hmsParameters("default", "hvns.nv").isEmpty)
+    store.dropView("hvns.nv")
+    assert(cat.hmsParameters("hvns", "nv").isEmpty)
+  }
+
+  test("hive: location-string CAS catches a same-version pointer swap") {
+    val cat = backends(3)._2.asInstanceOf[graft.catalog.HiveCatalog]
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = cat.createTable("hive_swap", schema, PartitionSpec.Unpartitioned)
+    // an external tool swaps the pointer to a BYTE-IDENTICAL copy at a
+    // different location — same parsed version, so a version-number CAS
+    // cannot see it; the location-string CAS must
+    val swapDir = Files.createTempDirectory("graft-swap").toString
+    val swapPath = s"$swapDir/v1.metadata.json"
+    graft.io.FileIO.write(swapPath, graft.io.FileIO.readAllBytes(t0.metadataPath))
+    cat.forceSetPointer("default", "hive_swap", swapPath)
+    val ex = intercept[CommitConflict] {
+      cat.commit("hive_swap", t0.metadata, t0.metadata, expectedVersion = 1,
+        expectedLocation = Some(t0.metadataPath))
+    }
+    assert(ex.getMessage.contains("metadata_location changed"))
+    // the fallback version CAS is blind to the swap — proving the string
+    // compare is strictly stronger (this commit legitimately lands as v2)
+    cat.commit("hive_swap", t0.metadata, t0.metadata, expectedVersion = 1)
+    assert(cat.currentVersion("hive_swap") === Some(2))
+    cat.dropTable("hive_swap")
+  }
+
+  test("hive: concurrent renames into one destination — exactly one wins") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = backends(3)._2.asInstanceOf[graft.catalog.HiveCatalog]
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    cat.createTable("rn_src1", schema, PartitionSpec.Unpartitioned)
+    cat.createTable("rn_src2", schema, PartitionSpec.Unpartitioned)
+    def tryRename(from: String): Either[Throwable, Unit] =
+      try { cat.renameTable(from, "rn_dst"); Right(()) }
+      catch { case e: Throwable => Left(e) }
+    val fs = Seq("rn_src1", "rn_src2").map(f => Future(tryRename(f)))
+    val results = fs.map(Await.result(_, 2.minutes))
+    val (losers, winners) = results.partition(_.isLeft)
+    assert(winners.size === 1, s"exactly one rename must win, got $results")
+    assert(losers.size === 1)
+    // the loser surfaces the TYPED already-exists error, not a raw HMS fault
+    losers.head.left.foreach { e =>
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.isInstanceOf[graft.catalog.CommitConflict],
+        s"loser must get a typed error, got ${e.getClass}: ${e.getMessage}")
+      assert(e.getMessage.toLowerCase.contains("exist") ||
+        e.getMessage.toLowerCase.contains("conflict"))
+    }
+    assert(cat.tableExists("rn_dst"))
+    // exactly one source remains (the loser's)
+    assert(Seq("rn_src1", "rn_src2").count(cat.tableExists) === 1)
+    cat.dropTable("rn_dst")
+    Seq("rn_src1", "rn_src2").filter(cat.tableExists).foreach(cat.dropTable)
   }
 
   test("hive: rename keeps storage, register points at existing metadata") {

@@ -65,4 +65,22 @@ class DefaultValueSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(rows.toSeq === Seq((1L, "fresh", 7), (2L, "explicit", 9)))
   }
+
+  test("non-literal CREATE-time defaults are rejected, not stored verbatim") {
+    import org.apache.spark.sql.types._
+    // Spark keeps the original DDL text in CURRENT_DEFAULT; a function call
+    // must never be recorded as a literal string default
+    val md = new MetadataBuilder()
+      .putString("CURRENT_DEFAULT", "current_date()").build()
+    val st = StructType(Seq(
+      StructField("k", LongType), StructField("d", DateType, metadata = md)))
+    val ex = intercept[IllegalArgumentException](SchemaBridge.fromSpark(st))
+    assert(ex.getMessage.contains("non-literal"))
+    // but a typed DATE literal spelling parses to its payload
+    val md2 = new MetadataBuilder()
+      .putString("CURRENT_DEFAULT", "DATE '2020-01-01'").build()
+    val st2 = StructType(Seq(StructField("d", DateType, metadata = md2)))
+    assert(SchemaBridge.fromSpark(st2).findField("d").get.writeDefault ===
+      Some("2020-01-01"))
+  }
 }
