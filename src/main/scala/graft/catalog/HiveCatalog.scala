@@ -645,25 +645,67 @@ object HiveCatalog {
   /** Embedded in-process metastore over Derby at `metastoreDir`, metadata
     * files under `warehouse`.
     */
+  private def embeddedConf(metastoreDir: String, warehouse: String): HiveConf = {
+    val conf = new HiveConf()
+    conf.set("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
+    conf.set("hive.metastore.uris", "")
+    conf.set("hive.metastore.warehouse.dir", warehouse)
+    conf.set("datanucleus.schema.autoCreateAll", "true")
+    conf.set("hive.metastore.schema.verification", "false")
+    // no pooling-jar dependency: TxnHandler accepts bonecp (absent from
+    // the classpath), dbcp, hikaricp, or none — and DataNucleus reads the
+    // same key ("None" spelling)
+    conf.set("datanucleus.connectionPoolingType", "None")
+    // the lock tables (HIVE_LOCKS etc.) live in the txn schema, which
+    // plain datanucleus autoCreate does not cover
+    try org.apache.hadoop.hive.metastore.txn.TxnDbUtil.prepDb(conf)
+    catch { case _: Exception => () } // already prepped
+    conf
+  }
+
   def embedded(metastoreDir: String, warehouse: String): HiveCatalog =
     embeddedCache.computeIfAbsent(s"$metastoreDir|$warehouse", { _ =>
-      val conf = new HiveConf()
-      conf.set("javax.jdo.option.ConnectionURL",
-        s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
-      conf.set("hive.metastore.uris", "")
-      conf.set("hive.metastore.warehouse.dir", warehouse)
-      conf.set("datanucleus.schema.autoCreateAll", "true")
-      conf.set("hive.metastore.schema.verification", "false")
-      // no pooling-jar dependency: TxnHandler accepts bonecp (absent from
-      // the classpath), dbcp, hikaricp, or none — and DataNucleus reads the
-      // same key ("None" spelling)
-      conf.set("datanucleus.connectionPoolingType", "None")
-      // the lock tables (HIVE_LOCKS etc.) live in the txn schema, which
-      // plain datanucleus autoCreate does not cover
-      try org.apache.hadoop.hive.metastore.txn.TxnDbUtil.prepDb(conf)
-      catch { case _: Exception => () } // already prepped
-      new HiveCatalog(conf, warehouse)
+      new HiveCatalog(embeddedConf(metastoreDir, warehouse), warehouse)
     })
+
+  /** Start an in-process HMS Thrift server over the embedded Derby store
+    * and return its port — so the `thrift://` remote branch of [[fromUri]]
+    * (a REAL wire round-trip: client thrift marshal → TThreadPoolServer →
+    * handler) is exercisable without an external Hive deployment. The JVM's
+    * single static PersistenceManagerFactory applies: handlers share the
+    * first embedded Derby database, so run the server over the SAME
+    * `metastoreDir` as any embedded catalog in this JVM. Daemon thread;
+    * lives for the JVM.
+    */
+  private[graft] def startThriftServer(metastoreDir: String,
+      warehouse: String): Int = {
+    val conf = embeddedConf(metastoreDir, warehouse)
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val started = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val lock = new java.util.concurrent.locks.ReentrantLock()
+    val cond = lock.newCondition()
+    val t = new Thread(() =>
+      try org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
+        port, org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge,
+        conf, lock, cond, started)
+      catch { case e: Throwable =>
+        System.err.println(s"embedded HMS thrift server died: $e") },
+      s"graft-hms-thrift-$port")
+    t.setDaemon(true)
+    t.start()
+    lock.lock()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!started.get && System.nanoTime() < deadline)
+        cond.await(1, java.util.concurrent.TimeUnit.SECONDS)
+    } finally lock.unlock()
+    require(started.get, "embedded HMS thrift server failed to start")
+    port
+  }
 
   /** `hive:<metastoreDbDir>|<warehouse>` (embedded Derby) or
     * `hive:thrift://host:port|<warehouse>` (remote HMS) — the factory

@@ -46,9 +46,11 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"jdbc:derby:${Files.createTempDirectory("graft-conf-sql")}/db;create=true",
       Files.createTempDirectory("graft-conf-sqlwh").toString),
     "rest" -> new RestCatalog(restServer.uri),
-    "hive" -> graft.catalog.HiveCatalog.embedded(
-      Files.createTempDirectory("graft-conf-hivems").toString,
+    "hive" -> graft.catalog.HiveCatalog.embedded(hiveMsDir,
       Files.createTempDirectory("graft-conf-hivewh").toString))
+
+  private lazy val hiveMsDir =
+    Files.createTempDirectory("graft-conf-hivems").toString
 
   override def afterAll(): Unit = {
     restServer.stop()
@@ -154,6 +156,19 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.hmsParameters("default", "hvns.nv").isEmpty)
     store.dropView("hvns.nv")
     assert(cat.hmsParameters("hvns", "nv").isEmpty)
+  }
+
+  test("hive: battery over the thrift:// wire route") {
+    // the remote branch of HiveCatalog.fromUri — a real thrift round-trip
+    // through an in-process HMS server over the same Derby store (static
+    // PMF: one embedded metastore per JVM, so same metastoreDir)
+    backends(3)._2 // force the embedded catalog (and its Derby) up first
+    val msDir = hiveMsDir
+    val port = graft.catalog.HiveCatalog.startThriftServer(
+      msDir, Files.createTempDirectory("graft-conf-thriftwh").toString)
+    val cat = graft.catalog.HiveCatalog.fromUri(
+      s"thrift://localhost:$port|${Files.createTempDirectory("graft-conf-thriftwh2")}")
+    battery("thrift", cat)
   }
 
   test("hive: location-string CAS catches a same-version pointer swap") {
