@@ -4539,6 +4539,54 @@ object IcebergQueries {
       SELECT n_nationkey, n_name,
              CASE WHEN n_nationkey < 20 THEN 'unassigned' ELSE 'pending' END AS category
       FROM nation
-      ORDER BY n_nationkey"""), repeatable = true)
+      ORDER BY n_nationkey"""), repeatable = true),
+
+    // Async-plan TTL as the CLIENT observes it (spec fetchPlanningResult
+    // 404 semantics): a submitted-never-polled plan expires server-side
+    // (submit-and-die client churn must not grow server memory), and a
+    // late poll through the real client surfaces the typed
+    // PlanExpiredException (error.type NoSuchPlanIdException) — the
+    // retry-with-a-new-plan signal, distinct from table-gone — after
+    // which a fresh plan succeeds and reads the same rows
+    QueryDef.staged("i113_rest_plan_ttl", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/ttl_${UUID.randomUUID().toString.take(8)}"
+      val server = new graft.rest.RestCatalogServer(new HadoopCatalog(wh),
+        asyncPlanThreshold = 1, planTaskShardSize = 2, planTtlMs = 300L).start()
+      val (tasks, schema, specById, flags) = try {
+        val client = new graft.rest.RestCatalog(server.uri)
+        val n = tbl(s, dir, "nation")
+        client.createTable("nat", SchemaBridge.fromSpark(n.schema),
+          PartitionSpec.Unpartitioned)
+        (0 until 2).foreach { i =>
+          Writer.append(s, client.loadTable("nat"),
+            n.filter(col("n_nationkey") % 2 === i))
+        }
+        val submitted = client.submitPlan("nat")
+        val planId = submitted.get("plan-id").asText()
+        val wasAsync = submitted.get("status").asText() == "submitted"
+        Thread.sleep(400L) // past planTtlMs; sweep runs on next access
+        val lateExpired =
+          try { client.fetchPlanningResult("nat", planId); false }
+          catch { case _: graft.rest.PlanExpiredException => true }
+        // cancel of the expired id answers the SAME typed 404
+        val cancelExpired =
+          try { client.cancelPlan("nat", planId); false }
+          catch { case _: graft.rest.PlanExpiredException => true }
+        // expiry means retry-with-a-new-plan, and the retry must succeed
+        val planned = client.planScan("nat")
+        (planned.tasks, planned.schema,
+          client.loadTable("nat").metadata.specById _,
+          Seq(wasAsync, lateExpired, cancelExpired).mkString(","))
+      } finally server.stop()
+      () => SparkRead.readTasks(s, tasks, schema, specById = specById)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("n_regionkey"), col("n"), lit(flags).as("ttl_ok"))
+        .orderBy(col("n_regionkey"))
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n, 'true,true,true' AS ttl_ok
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""), repeatable = true)
   )
 }

@@ -255,15 +255,7 @@ final class RestCatalog(baseUriRaw: String,
       select: Seq[String] = Nil): PlannedScan = {
     val (ns, tbl) = split(name)
     val t = loadTable(name)
-    val o = mapper.createObjectNode()
-    if (filter != graft.core.Expr.AlwaysTrue)
-      o.set[JsonNode]("filter", mapper.readTree(ExprJson.toJson(filter)))
-    snapshotId.foreach(o.put("snapshot-id", _))
-    if (select.nonEmpty) { val a = o.putArray("select"); select.foreach(a.add) }
-    val resp = request("POST", s"${tablesUri(ns)}/$tbl/plan", Some(o))
-    if (resp.statusCode() != 200)
-      throw new IllegalStateException(s"planScan $name: ${errMsg(resp)}")
-    var body = mapper.readTree(resp.body())
+    var body = submitPlan(name, filter, snapshotId, select)
     Option(body.get("status")).map(_.asText()).getOrElse("completed") match {
       case "completed" => ()
       case "submitted" =>
@@ -310,6 +302,36 @@ final class RestCatalog(baseUriRaw: String,
     }
     PlannedScan(tasks.result(), schema,
       new graft.io.PlanScopedCredentials(credentialsFrom(body), t.metadata.location))
+  }
+
+  /** Spec planTableScan SUBMIT step only: POST the plan request and return
+    * the raw response body (`status: submitted` + `plan-id` on the async
+    * path, `completed` inline otherwise) WITHOUT polling — the building
+    * block the conformance gates use to drive the plan-TTL/expiry contract
+    * explicitly.
+    */
+  def submitPlan(name: String, filter: graft.core.Expr = graft.core.Expr.AlwaysTrue,
+      snapshotId: Option[Long] = None, select: Seq[String] = Nil): JsonNode = {
+    val (ns, tbl) = split(name)
+    val o = mapper.createObjectNode()
+    if (filter != graft.core.Expr.AlwaysTrue)
+      o.set[JsonNode]("filter", mapper.readTree(ExprJson.toJson(filter)))
+    snapshotId.foreach(o.put("snapshot-id", _))
+    if (select.nonEmpty) { val a = o.putArray("select"); select.foreach(a.add) }
+    val resp = request("POST", s"${tablesUri(ns)}/$tbl/plan", Some(o))
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(s"planScan $name: ${errMsg(resp)}")
+    mapper.readTree(resp.body())
+  }
+
+  /** Spec fetchPlanningResult through the real client: poll a submitted
+    * plan-id to a terminal state. An expired/unknown id surfaces the typed
+    * [[PlanExpiredException]] (NoSuchPlanIdException 404) — the
+    * retry-with-a-new-plan signal, distinct from table-gone.
+    */
+  def fetchPlanningResult(name: String, planId: String): JsonNode = {
+    val (ns, tbl) = split(name)
+    pollPlan(ns, tbl, planId)
   }
 
   /** Poll `GET …/plan/{plan-id}` with linear backoff until completed.
