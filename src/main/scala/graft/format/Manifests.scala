@@ -244,21 +244,33 @@ object Manifests {
       val buf = Seq.newBuilder[ManifestFile]
       while (reader.hasNext) {
         val r = reader.next()
+        // the wire varies by version AND writer vintage: v1 lists have no
+        // content/sequence fields at all (absent field ≠ null — avro-java
+        // THROWS on a name the writer schema lacks), and pre-1.4 Java
+        // Iceberg wrote added_DATA_files_count etc. — a reader that only
+        // knows the current spelling would silently decode those counts as
+        // 0 (reference manifest_test.go:999-1026 pins both as read
+        // contracts)
+        def first(names: String*): Option[Any] =
+          names.view.flatMap(opt(r, _)).headOption
         buf += ManifestFile(
           path = str(r.get("manifest_path")),
           length = lng(r.get("manifest_length")),
           specId = int(r.get("partition_spec_id")),
-          content = Option(r.get("content")).map(int).getOrElse(0),
-          sequenceNumber = Option(r.get("sequence_number")).map(lng).getOrElse(0L),
-          minSequenceNumber = Option(r.get("min_sequence_number")).map(lng).getOrElse(0L),
-          addedSnapshotId = Option(r.get("added_snapshot_id")).map(lng).getOrElse(-1L),
-          addedFilesCount = Option(r.get("added_files_count")).map(int).getOrElse(0),
-          existingFilesCount = Option(r.get("existing_files_count")).map(int).getOrElse(0),
-          deletedFilesCount = Option(r.get("deleted_files_count")).map(int).getOrElse(0),
-          addedRowsCount = Option(r.get("added_rows_count")).map(lng).getOrElse(0L),
-          existingRowsCount = Option(r.get("existing_rows_count")).map(lng).getOrElse(0L),
-          deletedRowsCount = Option(r.get("deleted_rows_count")).map(lng).getOrElse(0L),
-          partitions = Option(r.get("partitions")).map { arr =>
+          content = opt(r, "content").map(int).getOrElse(0),
+          sequenceNumber = opt(r, "sequence_number").map(lng).getOrElse(0L),
+          minSequenceNumber = opt(r, "min_sequence_number").map(lng).getOrElse(0L),
+          addedSnapshotId = opt(r, "added_snapshot_id").map(lng).getOrElse(-1L),
+          addedFilesCount =
+            first("added_files_count", "added_data_files_count").map(int).getOrElse(0),
+          existingFilesCount =
+            first("existing_files_count", "existing_data_files_count").map(int).getOrElse(0),
+          deletedFilesCount =
+            first("deleted_files_count", "deleted_data_files_count").map(int).getOrElse(0),
+          addedRowsCount = opt(r, "added_rows_count").map(lng).getOrElse(0L),
+          existingRowsCount = opt(r, "existing_rows_count").map(lng).getOrElse(0L),
+          deletedRowsCount = opt(r, "deleted_rows_count").map(lng).getOrElse(0L),
+          partitions = opt(r, "partitions").map { arr =>
             arr.asInstanceOf[java.util.List[GenericRecord]].asScala.map { s =>
               FieldSummary(
                 containsNull = s.get("contains_null").asInstanceOf[Boolean],
@@ -287,29 +299,32 @@ object Manifests {
         val partRec = df.get("partition").asInstanceOf[GenericRecord]
         val partVals = partRec.getSchema.getFields.asScala.map(f =>
           avroToValue(partRec.get(f.pos()))).toSeq
+        // v1 entry wire: no sequence-number fields, no data_file.content /
+        // equality_ids — absent fields (avro-java throws on unknown names)
+        // decode to the spec defaults, not errors
         buf += ManifestEntry(
           status = int(r.get("status")),
-          snapshotId = Option(r.get("snapshot_id")).map(lng),
-          dataSequence = Option(r.get("sequence_number")).map(lng),
-          fileSequence = Option(r.get("file_sequence_number")).map(lng),
+          snapshotId = opt(r, "snapshot_id").map(lng),
+          dataSequence = opt(r, "sequence_number").map(lng),
+          fileSequence = opt(r, "file_sequence_number").map(lng),
           file = DataFile(
-            content = Option(df.get("content")).map(int).getOrElse(0),
+            content = opt(df, "content").map(int).getOrElse(0),
             path = str(df.get("file_path")),
             format = str(df.get("file_format")),
             partition = partVals,
             recordCount = lng(df.get("record_count")),
             fileSize = lng(df.get("file_size_in_bytes")),
-            columnSizes = kvToMap(df.get("column_sizes")).map { case (k, v) => k -> lng(v) },
-            valueCounts = kvToMap(df.get("value_counts")).map { case (k, v) => k -> lng(v) },
-            nullCounts = kvToMap(df.get("null_value_counts")).map { case (k, v) => k -> lng(v) },
-            nanCounts = kvToMap(df.get("nan_value_counts")).map { case (k, v) => k -> lng(v) },
-            lowerBounds = kvToMap(df.get("lower_bounds")).map { case (k, v) => k -> bytes(v) },
-            upperBounds = kvToMap(df.get("upper_bounds")).map { case (k, v) => k -> bytes(v) },
-            splitOffsets = Option(df.get("split_offsets")).map(
+            columnSizes = kvToMap(opt(df, "column_sizes").orNull).map { case (k, v) => k -> lng(v) },
+            valueCounts = kvToMap(opt(df, "value_counts").orNull).map { case (k, v) => k -> lng(v) },
+            nullCounts = kvToMap(opt(df, "null_value_counts").orNull).map { case (k, v) => k -> lng(v) },
+            nanCounts = kvToMap(opt(df, "nan_value_counts").orNull).map { case (k, v) => k -> lng(v) },
+            lowerBounds = kvToMap(opt(df, "lower_bounds").orNull).map { case (k, v) => k -> bytes(v) },
+            upperBounds = kvToMap(opt(df, "upper_bounds").orNull).map { case (k, v) => k -> bytes(v) },
+            splitOffsets = opt(df, "split_offsets").map(
               _.asInstanceOf[java.util.List[Any]].asScala.map(lng).toSeq).getOrElse(Nil),
-            equalityIds = Option(df.get("equality_ids")).map(
+            equalityIds = opt(df, "equality_ids").map(
               _.asInstanceOf[java.util.List[Any]].asScala.map(int).toSeq).getOrElse(Nil),
-            sortOrderId = Option(df.get("sort_order_id")).map(int),
+            sortOrderId = opt(df, "sort_order_id").map(int),
             firstRowId = opt(df, "first_row_id").map(lng),
             referencedDataFile = opt(df, "referenced_data_file").map(str),
             contentOffset = opt(df, "content_offset").map(lng),
