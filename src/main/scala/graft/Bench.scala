@@ -53,7 +53,7 @@ object Bench {
       "t28_dup_spans", "s10_pq_ann", "s11_rrf_fusion", "t25_decontaminate_bloom",
       "t39_source_overlap", "t40_boilerplate", "s6_knn_agreement",
       "s13_kmeans_twolevel", "q18_approx_sketch", "s14_ivfpq_ann",
-      "s15_retrieval_eval")
+      "s15_retrieval_eval", "t37_cluster_rep", "s9_semantic_dedup")
 
   /** Other live Spark/sbt/scala JVMs on the box, excluding this process,
     * its ancestors (the sbt shell that forked us) and its descendants.
@@ -195,6 +195,9 @@ object Bench {
     if (priorMins.nonEmpty)
       System.err.println(s"[bench] variance guard armed: ${priorMins.size} prior mins, $reps steady reps")
     val telemetryOut = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    // operator-level scale counters (cc_rounds etc.) drained from the same
+    // first-steady-rep window as the listener counters
+    val scaleOut = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
     val slowVsPrior = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.all.sortBy(_.name).filter(q => only(q.name)).map { qd =>
       val name = qd.name
@@ -214,6 +217,7 @@ object Bench {
           // drain the cold rep's stragglers before the counters reset
           Thread.sleep(500)
           telemetry.reset()
+          graft.metrics.ScaleTelemetry.drain() // discard the cold rep's values
         }
         // K steady reps: min over (cold ++ reps) is the honest steady
         // estimator for back-to-back identical executions (cold includes
@@ -229,11 +233,13 @@ object Bench {
           if (wantTelemetry) {
             Thread.sleep(500)
             telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)
+            scaleOut(name) = graft.metrics.ScaleTelemetry.drain()
           }
           (1 until reps).foreach(_ => steadyReps += timed(run))
         } else if (wantTelemetry) {
           Thread.sleep(500)
           telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)
+          scaleOut(name) = graft.metrics.ScaleTelemetry.drain()
         }
         def currentMin: Double =
           if (steadyReps.isEmpty) cold else math.min(cold, steadyReps.min)
@@ -277,7 +283,10 @@ object Bench {
     val qsSpread = results.map { case (k, _, _, sp) => s"\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val tele = telemetryOut.map { case (k, (sh, pm)) =>
-      s"\"" + k + "\":{\"shuffle_bytes_written\":" + sh + ",\"peak_task_exec_mem_bytes\":" + pm + "}"
+      val scale = scaleOut.getOrElse(k, Map.empty)
+        .map { case (sk, sv) => s",\"$sk\":$sv" }.mkString
+      s"\"" + k + "\":{\"shuffle_bytes_written\":" + sh +
+        ",\"peak_task_exec_mem_bytes\":" + pm + scale + "}"
     }.mkString("{", ",", "}")
     // failed queries carry -1 markers; only successes count toward total,
     // so a crash can never read as a speedup

@@ -75,6 +75,8 @@ object Clustering {
         }
       cents = next
     }
+    graft.metrics.ScaleTelemetry.putNum("kmeans_iters", iters.toLong)
+    graft.metrics.ScaleTelemetry.putNum("kmeans_k", k.toLong)
     df.withColumn("cluster", nearest(cents, col(vecCol)))
   }
 

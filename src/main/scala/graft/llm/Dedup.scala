@@ -178,9 +178,13 @@ object Dedup {
       .select(col(idCol), explode(bandUdf(col("__sig"))).as("__bucket"))
       .persist()
 
-    def labelSum(l: DataFrame): Long =
-      Option(l.agg(sum(col("cluster_id"))).first().get(0))
-        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    // sum + count in ONE action: the sum is the convergence check, the
+    // count feeds the scale telemetry without an extra job per round
+    def labelSum(l: DataFrame): (Long, Long) = {
+      val r = l.agg(sum(col("cluster_id")), count(lit(1))).first()
+      (Option(r.get(0)).map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+        r.getLong(1))
+    }
 
     // localCheckpoint (not persist): truncates the logical plan each round,
     // keeping analyzer/optimizer cost flat — nested join-agg lineage over N
@@ -192,7 +196,13 @@ object Dedup {
       .localCheckpoint()
     // min-propagation labels only ever decrease, so the label sum strictly
     // decreases until the fixpoint — a scalar convergence check, no join
-    var prevSum = labelSum(labels)
+    var (prevSum, nDocs) = labelSum(labels)
+    // per-round shuffle volume ≈ the bucket rows each propagation joins
+    // (cheap: counted off the cached blocks); recorded with the round
+    // trajectory so a super-linear point on the scale curve is attributable
+    // to either chain depth (more rounds) or bucket growth (bigger rounds)
+    val bucketRows = buckets.count()
+    val roundSums = scala.collection.mutable.ArrayBuffer(prevSum)
     var iter = 1
     var converged = false
     while (!converged && iter < maxIters) {
@@ -209,15 +219,20 @@ object Dedup {
         .select(col(idCol),
           coalesce(col("__jump"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      val s = labelSum(next)
+      val (s, _) = labelSum(next)
       converged = s == prevSum
       labels = next
       prevSum = s
+      roundSums += s
       iter += 1
     }
     // labels is an EAGER localCheckpoint — buckets (and the signature UDF
     // behind it) are fully consumed, so release the cached blocks now
     buckets.unpersist()
+    graft.metrics.ScaleTelemetry.putNum("cc_rounds", iter.toLong)
+    graft.metrics.ScaleTelemetry.putNum("cc_docs", nDocs)
+    graft.metrics.ScaleTelemetry.putNum("cc_bucket_rows_per_round", bucketRows)
+    graft.metrics.ScaleTelemetry.put("cc_label_sums", roundSums.mkString("[", ",", "]"))
     labels
   }
 
