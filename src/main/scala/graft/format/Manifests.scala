@@ -99,7 +99,8 @@ object Manifests {
         {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
         {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
       ]},"element-id":508}],"default":null,"field-id":507},
-      {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":519}
+      {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":519},
+      {"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}
     ]}"""
 
   // ----------------------------------------------------------------- write
@@ -230,6 +231,7 @@ object Manifests {
         rec.put("partitions", arr)
       } else rec.put("partitions", null)
       rec.put("key_metadata", null)
+      rec.put("first_row_id", m.firstRowId.map(Long.box).orNull)
       writer.append(rec)
     }
     writer.close()
@@ -270,6 +272,7 @@ object Manifests {
           addedRowsCount = opt(r, "added_rows_count").map(lng).getOrElse(0L),
           existingRowsCount = opt(r, "existing_rows_count").map(lng).getOrElse(0L),
           deletedRowsCount = opt(r, "deleted_rows_count").map(lng).getOrElse(0L),
+          firstRowId = opt(r, "first_row_id").map(lng),
           partitions = opt(r, "partitions").map { arr =>
             arr.asInstanceOf[java.util.List[GenericRecord]].asScala.map { s =>
               FieldSummary(
@@ -282,6 +285,40 @@ object Manifests {
       }
       buf.result()
     } finally reader.close()
+  }
+
+  /** Read entries applying v3 first_row_id INHERITANCE (reference
+    * `manifest.go:920-935`, Java ManifestReader.idAssigner): when the
+    * manifest-list row carries a `first_row_id` and a live DATA entry's
+    * data_file lacks one, it inherits a running id starting at the
+    * manifest's, advancing by each live data file's record_count. DELETED
+    * entries are assigned nothing and consume nothing — the list writer
+    * reserved the manifest's range as added+existing rows, so a live file
+    * after a deleted one takes the deleted file's range rather than
+    * overflowing into the next manifest's.
+    */
+  def readManifest(path: String,
+      manifestFirstRowId: Option[Long]): (Seq[ManifestEntry], Int) = {
+    val (entries, specId) = readManifest(path)
+    manifestFirstRowId match {
+      case None => (entries, specId)
+      case Some(start) =>
+        var cursor = start
+        val assigned = entries.map { e =>
+          if (e.status == ManifestEntryStatus.Deleted ||
+              e.file.content != DataFileContent.Data ||
+              e.file.firstRowId.isDefined) e
+          else {
+            // cursor advances ONLY for files actually assigned (reference:
+            // "increment inside the null check") — an explicit id means the
+            // writer already placed that file outside this running block
+            val out = e.copy(file = e.file.copy(firstRowId = Some(cursor)))
+            cursor += e.file.recordCount
+            out
+          }
+        }
+        (assigned, specId)
+    }
   }
 
   /** Read manifest entries; partition values surface as Seq aligned with the

@@ -144,7 +144,11 @@ final case class ManifestFile(
     addedRowsCount: Long,
     existingRowsCount: Long,
     deletedRowsCount: Long,
-    partitions: Seq[FieldSummary])
+    partitions: Seq[FieldSummary],
+    // v3 row lineage (spec field 520): first _row_id assigned to this DATA
+    // manifest's rows; entries whose data_file.first_row_id is null inherit
+    // a running id from here (reference manifest.go:920-935)
+    firstRowId: Option[Long] = None)
 
 object ManifestContent {
   val Data = 0

@@ -180,7 +180,10 @@ final case class Scan(
     val perManifest = liveDataManifests.par.map { m =>
       val spec = meta.specById(m.specId).getOrElse(PartitionSpec.Unpartitioned)
       val pExpr = partExpr(m.specId)
-      val (entries, _) = Manifests.readManifest(m.path)
+      // v3 first_row_id inheritance: another engine's manifests may carry
+      // the id block at the MANIFEST-LIST level with null per-file ids
+      val (entries, _) = Manifests.readManifest(m.path,
+        m.firstRowId.filter(_ => m.content == graft.format.ManifestContent.Data))
       val live = entries
         .filter(_.status != ManifestEntryStatus.Deleted)
         .filter(e => e.file.content == DataFileContent.Data)

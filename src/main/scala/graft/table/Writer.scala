@@ -1585,6 +1585,7 @@ object Writer {
     // block carved from metadata next-row-id (spec field 142); readers
     // synthesize _row_id = first_row_id + position
     var rowIdCursor = meta.nextRowId
+    val lineageBlockStart = rowIdCursor
     val addedWithLineage = addedFiles.map { f =>
       if (f.content == DataFileContent.Data) {
         val assigned = f.copy(firstRowId = Some(rowIdCursor))
@@ -1601,7 +1602,11 @@ object Writer {
       manifests += ManifestFile(p, len, spec.specId, ManifestContent.Data,
         newSeq, newSeq, snapshotId, entries.size, 0, 0,
         addedWithLineage.map(_.recordCount).sum, 0L, 0L,
-        partitionSummaries(addedWithLineage, partType))
+        partitionSummaries(addedWithLineage, partType),
+        // spec field 520: the manifest-list row records the block start so
+        // a reader that drops per-file ids (or another engine's inheriting
+        // reader) reconstructs the same assignment
+        firstRowId = Some(lineageBlockStart))
     }
 
     // Global delete files (whole-table pos/eq-deletes, DV puffins) are

@@ -510,6 +510,59 @@ class ManifestGoldenSpec extends AnyFunSuite {
     } finally rdr.close()
   }
 
+  test("v3 first_row_id inheritance assigns running ids, skipping deleted entries") {
+    import graft.core._
+    val schema = IcebergSchema(Seq(
+      NestedField(1, "x", IcebergTypes.IntT, required = false)), schemaId = 0)
+    val spec = PartitionSpec.builder(schema).add("x", Transforms.Identity).build()
+    def df(path: String, count: Long) = DataFile(0, path, "PARQUET",
+      Seq(Int.box(1)), count, 1000L)
+    val dir = Files.createTempDirectory("graft-frid").toString
+
+    // reference TestV3DataManifestFirstRowIDInheritance: null per-file ids,
+    // manifest-level 1000 → 1000, then 1000+firstCount
+    val p1 = s"$dir/m1.avro"
+    Manifests.writeManifest(p1, Seq(
+      ManifestEntry(1, Some(entrySnapshotId), Some(1L), Some(1L), df("/data/file1.parquet", 10L)),
+      ManifestEntry(1, Some(entrySnapshotId), Some(1L), Some(1L), df("/data/file2.parquet", 20L))),
+      schema, spec, entrySnapshotId)
+    val (e1, _) = Manifests.readManifest(p1, manifestFirstRowId = Some(1000L))
+    assert(e1.map(_.file.firstRowId) === Seq(Some(1000L), Some(1010L)))
+    // without a manifest-level id nothing is synthesized
+    assert(Manifests.readManifest(p1)._1.forall(_.file.firstRowId.isEmpty))
+
+    // reference ...SkipsDeletedEntries: DELETED consumes no ids — live2
+    // takes the deleted file's range instead of overflowing the block
+    val p2 = s"$dir/m2.avro"
+    Manifests.writeManifest(p2, Seq(
+      ManifestEntry(0, Some(entrySnapshotId), Some(1L), Some(1L), df("/data/live1.parquet", 10L)),
+      ManifestEntry(2, Some(entrySnapshotId), Some(1L), Some(1L), df("/data/deleted.parquet", 50L)),
+      ManifestEntry(0, Some(entrySnapshotId), Some(1L), Some(1L), df("/data/live2.parquet", 10L))),
+      schema, spec, entrySnapshotId)
+    val (e2, _) = Manifests.readManifest(p2, manifestFirstRowId = Some(1000L))
+    assert(e2.map(_.file.firstRowId) === Seq(Some(1000L), None, Some(1010L)))
+
+    // explicit per-file ids are never overwritten and consume no cursor
+    val p3 = s"$dir/m3.avro"
+    Manifests.writeManifest(p3, Seq(
+      ManifestEntry(1, Some(entrySnapshotId), Some(1L), Some(1L),
+        df("/data/a.parquet", 10L).copy(firstRowId = Some(7777L))),
+      ManifestEntry(1, Some(entrySnapshotId), Some(1L), Some(1L), df("/data/b.parquet", 20L))),
+      schema, spec, entrySnapshotId)
+    val (e3, _) = Manifests.readManifest(p3, manifestFirstRowId = Some(1000L))
+    assert(e3.map(_.file.firstRowId) === Seq(Some(7777L), Some(1000L)))
+
+    // manifest-list row carries the block start (spec field 520) round-trip
+    val lp = s"$dir/snap.avro"
+    Manifests.writeManifestList(lp, Seq(
+      ManifestFile(p1, 1L, 0, 0, 1L, 1L, entrySnapshotId, 2, 0, 0, 30L, 0L, 0L,
+        Nil, firstRowId = Some(0L)),
+      ManifestFile(p2, 1L, 0, 0, 1L, 1L, entrySnapshotId, 3, 0, 0, 70L, 0L, 0L,
+        Nil)), entrySnapshotId, None, 1L)
+    assert(Manifests.readManifestList(lp).map(_.firstRowId) ===
+      Seq(Some(0L), None))
+  }
+
   test("our manifest-list wire resolves under the reference v2 reader schema") {
     val mf = ManifestFile(taxiManifestPath, 7989L, 2, 1, 3L, 3L, snapshotId,
       3, 0, 0, addedRows, 0L, 0L,
