@@ -105,9 +105,32 @@ object Manifests {
 
   // ----------------------------------------------------------------- write
 
-  /** Write one manifest file; returns its length in bytes. */
+  /** Map the Iceberg `write.avro.compression-codec` spellings to an Avro
+    * container codec (reference writes deflate unconditionally,
+    * `manifest.go:1367,1661`; Java Iceberg's property default is gzip, which
+    * IS avro deflate). Readers need nothing: the codec rides in the OCF
+    * header and DataFileReader auto-decompresses — including zstd files
+    * other engines write. At 100 TB a table carries 10⁴–10⁵ manifests and
+    * every planner reads them; 3–5× smaller manifest bytes is planning
+    * latency, not cosmetics.
+    */
+  private[graft] def avroCodec(name: String): org.apache.avro.file.CodecFactory =
+    name.toLowerCase match {
+      case "uncompressed" | "none" => org.apache.avro.file.CodecFactory.nullCodec()
+      case "gzip" | "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(-1)
+      case "zstd" | "zstandard" => org.apache.avro.file.CodecFactory.zstandardCodec(3)
+      case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+      case other => throw new IllegalArgumentException(
+        s"unsupported write.avro.compression-codec: $other")
+    }
+
+  val AvroCodecKey = "write.avro.compression-codec"
+  def codecFor(props: Map[String, String]): String =
+    props.getOrElse(AvroCodecKey, "gzip")
+
   def writeManifest(path: String, entries: Seq[ManifestEntry], schema: IcebergSchema,
-      spec: PartitionSpec, snapshotId: Long, content: Int = ManifestContent.Data): Long = {
+      spec: PartitionSpec, snapshotId: Long, content: Int = ManifestContent.Data,
+      codec: String = "gzip"): Long = {
     val partType = spec.partitionType(schema)
     val avroSchema = new Schema.Parser().parse(
       manifestEntrySchemaJson(partitionSchemaJson(partType)))
@@ -115,6 +138,7 @@ object Manifests {
     val partSchema = dataFileSchema.getField("partition").schema()
 
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.setCodec(avroCodec(codec))
     writer.setMeta("schema", SchemaJson.schemaToJson(schema))
     writer.setMeta("schema-id", schema.schemaId.toString)
     writer.setMeta("partition-spec", specFieldsJson(spec))
@@ -193,9 +217,11 @@ object Manifests {
 
   /** Write the manifest list for a snapshot. */
   def writeManifestList(path: String, manifests: Seq[ManifestFile],
-      snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long): Unit = {
+      snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long,
+      codec: String = "gzip"): Unit = {
     val avroSchema = new Schema.Parser().parse(manifestFileSchemaJson)
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.setCodec(avroCodec(codec))
     writer.setMeta("snapshot-id", snapshotId.toString)
     writer.setMeta("parent-snapshot-id", parentSnapshotId.map(_.toString).getOrElse("null"))
     writer.setMeta("sequence-number", sequenceNumber.toString)

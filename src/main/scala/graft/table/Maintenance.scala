@@ -373,7 +373,8 @@ object Maintenance {
       val size = math.max(1, math.ceil(allEntries.size.toDouble / perSpecTarget).toInt)
       allEntries.grouped(size).toSeq.map { entries =>
         val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
-        val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId)
+        val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId,
+          codec = Manifests.codecFor(meta.properties))
         ManifestFile(p, len, specId, ManifestContent.Data,
           snap.sequenceNumber, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
           snapshotId, 0, entries.size, 0,
@@ -384,7 +385,8 @@ object Maintenance {
 
     val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
     Manifests.writeManifestList(manifestListPath, merged ++ deleteManifests,
-      snapshotId, meta.currentSnapshotId, newSeq)
+      snapshotId, meta.currentSnapshotId, newSeq,
+      codec = Manifests.codecFor(meta.properties))
     val now = System.currentTimeMillis()
     val summary = Map("operation" -> "replace",
       "manifests-replaced" -> dataManifests.size.toString,

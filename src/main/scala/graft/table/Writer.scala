@@ -1569,7 +1569,7 @@ object Writer {
             val suffix = if (isData) "m" else "d"
             val p = s"$metadataDir/${UUID.randomUUID()}-$suffix.avro"
             val len = Manifests.writeManifest(p, kept, schema, mSpec, snapshotId,
-              content = m.content)
+              content = m.content, codec = Manifests.codecFor(meta.properties))
             manifests += ManifestFile(p, len, m.specId, m.content,
               m.sequenceNumber, kept.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
               snapshotId, 0, kept.size, entries.size - live.size,
@@ -1598,7 +1598,8 @@ object Writer {
       val entries = addedWithLineage.map(f => ManifestEntry(ManifestEntryStatus.Added,
         Some(snapshotId), Some(newSeq), Some(newSeq), f))
       val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
-      val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId)
+      val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId,
+        codec = Manifests.codecFor(meta.properties))
       manifests += ManifestFile(p, len, spec.specId, ManifestContent.Data,
         newSeq, newSeq, snapshotId, entries.size, 0, 0,
         addedWithLineage.map(_.recordCount).sum, 0L, 0L,
@@ -1631,7 +1632,7 @@ object Writer {
         Some(snapshotId), Some(newSeq), Some(newSeq), f))
       val p = s"$metadataDir/${UUID.randomUUID()}-d.avro"
       val len = Manifests.writeManifest(p, entries, schema, deleteSpec, snapshotId,
-        content = ManifestContent.Deletes)
+        content = ManifestContent.Deletes, codec = Manifests.codecFor(meta.properties))
       manifests += ManifestFile(p, len, deleteSpec.specId, ManifestContent.Deletes,
         newSeq, newSeq, snapshotId, entries.size, 0, 0,
         addedDeleteFiles.map(_.recordCount).sum, 0L, 0L,
@@ -1642,7 +1643,7 @@ object Writer {
     val allManifests = mergeAppendManifests(meta, manifests.result(), snapshotId,
       newSeq, metadataDir, acc)
     Manifests.writeManifestList(manifestListPath, allManifests, snapshotId,
-      parentSnapshotId, newSeq)
+      parentSnapshotId, newSeq, codec = Manifests.codecFor(meta.properties))
 
     val now = System.currentTimeMillis()
     // spec summary keys (reference `table/snapshots.go:61-88`); removed
@@ -1856,7 +1857,8 @@ object Writer {
             val (added, existing) =
               entries.partition(_.status == ManifestEntryStatus.Added)
             val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
-            val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId)
+            val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId,
+              codec = Manifests.codecFor(meta.properties))
             Some(ManifestFile(p, len, specId, ManifestContent.Data,
               newSeq, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
               snapshotId, added.size, existing.size, 0,

@@ -510,6 +510,52 @@ class ManifestGoldenSpec extends AnyFunSuite {
     } finally rdr.close()
   }
 
+  test("compressed manifest wire: zstd files read; our writer emits deflate") {
+    // reference TestNewManifestReaderZstdManifestEntriesV2: other engines
+    // write zstd-compressed manifest avro; the codec rides the OCF header
+    val schema = new Schema.Parser().parse(refEntryV2Schema)
+    val path = Files.createTempFile("graft-zstd", ".avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.zstandardCodec(3))
+    entryMeta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, path.toFile)
+    val r = new GenericData.Record(schema)
+    r.put("status", 1)
+    r.put("snapshot_id", Long.box(entrySnapshotId))
+    r.put("data_file", mkDataFile(schema.getField("data_file").schema(), entry0Path, withStats = true))
+    w.append(r); w.close()
+    val (entries, _) = Manifests.readManifest(path.toString)
+    assert(entries.head.file.path === entry0Path)
+    assert(entries.head.file.columnSizes === colSizes0)
+
+    // our writer compresses by default (reference writes deflate always);
+    // write.avro.compression-codec=uncompressed opts out
+    import graft.core._
+    val s2 = IcebergSchema(Seq(
+      NestedField(1, "x", IcebergTypes.IntT, required = false)), schemaId = 0)
+    val spec = PartitionSpec.Unpartitioned
+    val dir = Files.createTempDirectory("graft-codec").toString
+    def entryN(i: Int) = ManifestEntry(1, Some(1L), Some(1L), Some(1L),
+      DataFile(0, s"/data/f$i.parquet", "PARQUET", Nil, 10L, 1000L,
+        lowerBounds = Map(1 -> Array.fill(64)(0x41.toByte))))
+    val es = (0 until 50).map(entryN)
+    Manifests.writeManifest(s"$dir/c.avro", es, s2, spec, 1L)
+    Manifests.writeManifest(s"$dir/u.avro", es, s2, spec, 1L, codec = "uncompressed")
+    def codecOf(p: String): String = {
+      val rd = new DataFileReader(new java.io.File(p),
+        new GenericDatumReader[GenericRecord]())
+      try Option(rd.getMetaString("avro.codec")).getOrElse("null")
+      finally rd.close()
+    }
+    assert(codecOf(s"$dir/c.avro") === "deflate")
+    assert(codecOf(s"$dir/u.avro") === "null")
+    assert(new java.io.File(s"$dir/c.avro").length <
+      new java.io.File(s"$dir/u.avro").length)
+    // both spellings read back identically
+    assert(Manifests.readManifest(s"$dir/c.avro")._1.map(_.file.path) ===
+      Manifests.readManifest(s"$dir/u.avro")._1.map(_.file.path))
+  }
+
   test("v3 first_row_id inheritance assigns running ids, skipping deleted entries") {
     import graft.core._
     val schema = IcebergSchema(Seq(
