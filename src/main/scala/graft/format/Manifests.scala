@@ -265,10 +265,27 @@ object Manifests {
 
   // ------------------------------------------------------------------ read
 
+  /** Reject `format-version` metadata outside [1, 3]; a MISSING key is fine
+    * (optional for v1 per the spec — Java writes v1 files without it). A v4
+    * wire decoded as v3 would silently drop semantics, so fail loudly
+    * (reference manifest_test.go:1064-1080,1134-1160).
+    */
+  private def checkFormatVersion(meta: String => String): Unit =
+    Option(meta("format-version")).map(_.trim).filter(_.nonEmpty).foreach { v =>
+      val n = v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"unsupported manifest format version: $v"))
+      if (n < 1 || n > 3)
+        throw new IllegalArgumentException(s"unsupported manifest format version: $n")
+    }
+
   def readManifestList(path: String): Seq[ManifestFile] = {
     val reader = DataFileReader.openReader(new graft.io.FileIO.SeekableHadoopInput(path),
       new GenericDatumReader[GenericRecord]())
     try {
+      reader match {
+        case d: DataFileReader[_] => checkFormatVersion(d.getMetaString)
+        case _ => ()
+      }
       val buf = Seq.newBuilder[ManifestFile]
       while (reader.hasNext) {
         val r = reader.next()
@@ -354,6 +371,7 @@ object Manifests {
     val reader = new DataFileReader(new graft.io.FileIO.SeekableHadoopInput(path),
       new GenericDatumReader[GenericRecord]())
     try {
+      checkFormatVersion(reader.getMetaString)
       val specId = Option(reader.getMetaString("partition-spec-id")).map(_.toInt).getOrElse(0)
       val buf = Seq.newBuilder[ManifestEntry]
       while (reader.hasNext) {

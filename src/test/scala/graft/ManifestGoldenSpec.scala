@@ -510,6 +510,60 @@ class ManifestGoldenSpec extends AnyFunSuite {
     } finally rdr.close()
   }
 
+  test("format-version outside [1,3] rejected; missing key defaults fine") {
+    // reference manifest_test.go:1056-1160: -1/0/4 must fail loudly (a v4
+    // wire decoded as v3 silently drops semantics); missing = v1-era Java
+    for (bad <- Seq("-1", "0", "4")) {
+      val p = writeOcf(refListV2Schema, Map("format-version" -> bad), Nil)
+      val ex = intercept[IllegalArgumentException](Manifests.readManifestList(p))
+      assert(ex.getMessage.contains("unsupported manifest format version"))
+      val p2 = writeOcf(refEntryV1Schema, entryMeta + ("format-version" -> bad), Nil)
+      val ex2 = intercept[IllegalArgumentException](Manifests.readManifest(p2))
+      assert(ex2.getMessage.contains("unsupported manifest format version"))
+    }
+    val ok = writeOcf(refListV2Schema, Map.empty, Nil)
+    assert(Manifests.readManifestList(ok).isEmpty)
+    val ok2 = writeOcf(refEntryV1Schema, entryMeta, Nil)
+    assert(Manifests.readManifest(ok2)._1.isEmpty)
+  }
+
+  test("day-transform partition value reads the same from int and date encodings") {
+    // spec: day(...) result type is date, but engines in the wild write the
+    // partition field as PLAIN avro int too — both must surface the same
+    // day number (reference manifest_day_partition_test.go, iceberg-go#1200)
+    val dayValue = 19000 // 2022-01-08
+    def entrySchemaWith(partField: String): String =
+      refEntryV2Schema.replace(partSchemaJson,
+        s"""{"type":"record","name":"r102","fields":[
+          {"name":"ts_day","type":["null",$partField],"default":null,"field-id":1000}]}""")
+    val meta = entryMeta +
+      ("partition-spec" ->
+        """[{"source-id":1,"field-id":1000,"name":"ts_day","transform":"day"}]""") +
+      ("format-version" -> "2")
+    val decoded = Seq("\"int\"", """{"type":"int","logicalType":"date"}""").map { enc =>
+      val p = writeOcf(entrySchemaWith(enc), meta, Seq({ s =>
+        val r = new GenericData.Record(s)
+        r.put("status", 1)
+        r.put("snapshot_id", Long.box(42L))
+        val dfS = s.getField("data_file").schema()
+        val df = new GenericData.Record(dfS)
+        df.put("content", 0)
+        df.put("file_path", "s3://bucket/ns/t/data/00000-0-day.parquet")
+        df.put("file_format", "PARQUET")
+        val part = new GenericData.Record(dfS.getField("partition").schema())
+        part.put("ts_day", Int.box(dayValue))
+        df.put("partition", part)
+        df.put("record_count", 100L)
+        df.put("file_size_in_bytes", 1024L)
+        r.put("data_file", df)
+        r
+      }))
+      Manifests.readManifest(p)._1.head.file.partition.head
+    }
+    assert(decoded === Seq(dayValue, dayValue),
+      s"both avro encodings must normalize to the day number, got $decoded")
+  }
+
   test("compressed manifest wire: zstd files read; our writer emits deflate") {
     // reference TestNewManifestReaderZstdManifestEntriesV2: other engines
     // write zstd-compressed manifest avro; the codec rides the OCF header
