@@ -78,6 +78,28 @@ object Maintenance {
       case (key, dataPaths) if dataPaths.subsetOf(rewrittenPaths) => key
     }.toSet
 
+    // DEAD equality deletes (reference compaction/eq_delete_decision.go:140,
+    // the iceberg-go#946 CDC backlog): an eq-delete the scan attaches to
+    // ZERO live data files can never apply again — every future file
+    // commits at a higher data sequence, and eq-deletes only reach files
+    // with a LOWER one — yet attachment-based dropping alone never sees it
+    // (it appears under no task), so sustained CDC replication accretes one
+    // immortal delete file per commit and planning degrades linearly.
+    // Deadness is judged by the same DeleteIndex applicability the readers
+    // use (sequence + partition scope + bounds overlap), so collection can
+    // never widen what a delete removes.
+    val attachedDeleteKeys = deleteAttachment.keySet
+    val deadEqDeletes: Set[(String, Option[Long])] =
+      table.metadata.currentSnapshot
+        .map(s => Manifests.readManifestList(s.manifestList)).getOrElse(Nil)
+        .filter(_.content == ManifestContent.Deletes)
+        .flatMap(m => Manifests.readManifest(m.path)._1
+          .filter(_.status != ManifestEntryStatus.Deleted).map(_.file))
+        .filter(_.content == DataFileContent.EqualityDeletes)
+        .map(f => (f.path, f.contentOffset))
+        .filterNot(attachedDeleteKeys)
+        .toSet
+
     val schema = table.schema
     val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping,
       specById = table.metadata.specById)
@@ -109,12 +131,14 @@ object Maintenance {
     val newFiles = Writer.writeDataFiles(spark, table, clustered)
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = newFiles, removedPaths = rewrittenPaths,
-      addedDeleteFiles = Nil, removedDeleteKeys = droppableDeletes,
+      addedDeleteFiles = Nil,
+      removedDeleteKeys = droppableDeletes ++ deadEqDeletes,
       // a concurrent MoR delete landing on the files being compacted would
       // be dropped with them — rebase must refuse instead of losing it
       conflictCheck = Some(Writer.ConflictCheck(
         rewrittenFiles = selected.map(t => (t.file, t.specId)))))
-    CompactionResult(committed, selected.size, newFiles.size, droppableDeletes.size)
+    CompactionResult(committed, selected.size, newFiles.size,
+      (droppableDeletes ++ deadEqDeletes).size)
   }
 
   final case class DeleteCompactionResult(

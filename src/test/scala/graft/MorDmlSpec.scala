@@ -131,6 +131,47 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dvCount("md") === 0)
   }
 
+  test("compaction collects DEAD equality deletes (CDC backlog shape)") {
+    // reference compaction/eq_delete_decision.go + iceberg-go#946: an
+    // eq-delete applicable to NO live data file (here: committed before
+    // any data existed, so every file's sequence is >= its own) rides in
+    // every snapshot's manifests forever unless compaction collects it
+    import org.apache.spark.sql.functions.col
+    import graft.core.SchemaBridge
+    import graft.format.{ManifestContent, PartitionSpec}
+    import graft.table.Writer
+    spark.sql("SELECT 1").collect() // session up
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val t0 = catalog.createTable("dead_eq",
+      SchemaBridge.fromSpark(df.schema), PartitionSpec.Unpartitioned)
+    // seq 1: eq-delete on the EMPTY table — dead on arrival
+    val t1 = Writer.equalityDelete(spark, t0,
+      Seq(99L).toDF("k"), Seq("k"))
+    // seq 2: data; seq 3: a live eq-delete that folds during compaction
+    val t2 = Writer.append(spark, t1, df)
+    val t3 = Writer.equalityDelete(spark, t2, Seq(2L).toDF("k"), Seq("k"))
+    def eqDeleteFiles(t: graft.table.Table): Seq[String] =
+      t.metadata.currentSnapshot
+        .map(s => graft.format.Manifests.readManifestList(s.manifestList))
+        .getOrElse(Nil)
+        .filter(_.content == ManifestContent.Deletes)
+        .flatMap(m => graft.format.Manifests.readManifest(m.path)._1
+          .filter(_.status != graft.format.ManifestEntryStatus.Deleted)
+          .map(_.file))
+        .filter(_.content == graft.format.DataFileContent.EqualityDeletes)
+        .map(_.path).distinct
+    assert(eqDeleteFiles(t3).size === 2, "both delete files live pre-compaction")
+    val res = graft.table.Maintenance.rewriteDataFiles(spark, t3, rewriteAll = true)
+    assert(res.removedDeleteFiles >= 2,
+      s"dead + folded eq-deletes both collected, got ${res.removedDeleteFiles}")
+    assert(eqDeleteFiles(res.table).isEmpty,
+      "no eq-delete file survives the compaction")
+    val rows = graft.table.SparkRead.read(spark, res.table.newScan)
+      .select(col("k")).as[Long].collect().sorted
+    assert(rows.toSeq === Seq(1L, 3L), "fold applied, nothing resurrected")
+  }
+
   test("_file and _pos are queryable metadata columns on catalog reads") {
     spark.sql("CREATE TABLE g.mc (k BIGINT)")
     spark.sql("INSERT INTO g.mc VALUES (10), (11)")
