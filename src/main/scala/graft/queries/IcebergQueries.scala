@@ -4587,6 +4587,63 @@ object IcebergQueries {
       SELECT n_regionkey, COUNT(*) AS n, 'true,true,true' AS ttl_ok
       FROM nation
       GROUP BY n_regionkey
-      ORDER BY n_regionkey"""), repeatable = true)
+      ORDER BY n_regionkey"""), repeatable = true),
+
+    // Sustained CDC replication then ONE compaction (reference
+    // compaction/cdc_stress_test.go, issue #946): interleaved
+    // append+eq-delete commits accrete delete files — including a
+    // dead-on-arrival delete committed before any data — and a single
+    // rewrite must collapse the backlog to ZERO surviving eq-delete
+    // files (dead ones collected by applicability, folded ones by
+    // attachment) while the read hash-matches the survivor set. Without
+    // dead-delete collection every CDC commit leaves one immortal
+    // manifest entry and 100 TB planning degrades linearly with
+    // replication age.
+    QueryDef.staged("i114_cdc_compaction", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"cdc_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      var t = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
+      // dead on arrival: eq-delete before any data — applies to nothing
+      t = Writer.equalityDelete(s, t,
+        c.filter(col("c_custkey") % 11 === 0).select(col("c_custkey")), Seq("c_custkey"))
+      // CDC rounds: append slice k, then delete a subset of THAT slice
+      // (same-round append sequences below the delete, so it applies)
+      (0 until 3).foreach { k =>
+        t = Writer.append(s, t, c.filter(col("c_custkey") % 6 === k))
+        t = Writer.equalityDelete(s, t,
+          c.filter(col("c_custkey") % 6 === k && col("c_custkey") % 7 === 0)
+            .select(col("c_custkey")), Seq("c_custkey"))
+      }
+      def eqDeleteFiles(tb: graft.table.Table): Int = tb.metadata.currentSnapshot
+        .map(sn => graft.format.Manifests.readManifestList(sn.manifestList)).getOrElse(Nil)
+        .filter(_.content == graft.format.ManifestContent.Deletes)
+        .flatMap(m => graft.format.Manifests.readManifest(m.path)._1
+          .filter(_.status != graft.format.ManifestEntryStatus.Deleted).map(_.file))
+        .count(_.content == graft.format.DataFileContent.EqualityDeletes)
+      val backlogPre = eqDeleteFiles(t)
+      val res = Maintenance.rewriteDataFiles(s, t, rewriteAll = true)
+      val backlogPost = eqDeleteFiles(res.table)
+      require(backlogPre >= 4 && backlogPost == 0,
+        s"i114: eq-delete backlog $backlogPre must collapse to 0, got $backlogPost")
+      val tt = res.table
+      val flags = Seq(backlogPre >= 4, backlogPost == 0,
+        res.removedDeleteFiles >= backlogPre).mkString(",")
+      () => SparkRead.read(s, tt.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal_sum"))
+        .select(col("c_mktsegment"), col("n"), col("bal_sum"),
+          lit(flags).as("cdc_ok"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true,true,true' AS cdc_ok
+      FROM customer
+      WHERE c_custkey % 6 IN (0, 1, 2) AND NOT (c_custkey % 7 = 0)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }
