@@ -21,7 +21,17 @@ object Cli {
   private val usage =
     """usage: Cli (<warehouse-uri> | --catalog <name> [--config <path>]) <command> ...
       |  list
-      |  describe|snapshots|files|partitions <table>
+      |  describe|snapshots|files|partitions|refs|info <table>
+      |  schema <table> [--show-defaults]
+      |  spec|uuid|location <table>
+      |  properties get <table> [key]
+      |  properties set <table> <key> <value>
+      |  properties remove <table> <key>
+      |  create namespace <ns>
+      |  create table <name> --infer-schema <parquet-file> [--partition-spec f1,f2]
+      |  rewrite-manifests <table> [target-count]
+      |  partition-stats <table>
+      |  clean-orphan-files <table> <older-than-ms>
       |  read <table> [n]
       |  changelog <table> <from-snapshot-id> <to-snapshot-id> [n]
       |  branch|tag <table> <ref-name> [snapshot-id]   (default: current snapshot)
@@ -81,6 +91,104 @@ object Cli {
         println(s"partition-spec: ${t.spec.fields.map(f => s"${f.name}=${f.transform.name}").mkString(", ")}")
         println(s"refs: ${t.metadata.refs.map { case (n, r) => s"$n=${r.snapshotId}(${r.refType})" }.mkString(", ")}")
         println(s"properties: ${t.metadata.properties}")
+      case "schema" =>
+        // reference SchemaCmd [--show-defaults] (cmd/iceberg/schema_defaults.go)
+        val showDefaults = cargs.contains("--show-defaults")
+        val t = cat.loadTable(cargs(0))
+        t.schema.fields.foreach { f =>
+          val base = s"  ${f.id}: ${f.name}: " +
+            s"${if (f.required) "required" else "optional"} ${f.fieldType}"
+          val defaults = if (!showDefaults) "" else {
+            val parts = f.initialDefault.map(v => s"initial-default=$v").toSeq ++
+              f.writeDefault.map(v => s"write-default=$v")
+            if (parts.isEmpty) "" else parts.mkString(" (", ", ", ")")
+          }
+          println(base + defaults)
+        }
+      case "spec" =>
+        cat.loadTable(cargs(0)).spec.fields.foreach(f =>
+          println(s"  ${f.fieldId}: ${f.name}: ${f.transform.name}(${f.sourceId})"))
+      case "uuid" =>
+        println(cat.loadTable(cargs(0)).metadata.tableUuid)
+      case "location" =>
+        println(cat.loadTable(cargs(0)).location)
+      case "refs" =>
+        Inspect.refs(spark, cat.loadTable(cargs(0))).show(100, truncate = false)
+      case "info" =>
+        // single-screen summary (reference cmd/iceberg/info.go)
+        val t = cat.loadTable(cargs(0))
+        val snaps = t.metadata.snapshots
+        val files = t.newScan.planFiles()
+        println(s"table: ${t.name}  uuid: ${t.metadata.tableUuid}")
+        println(s"location: ${t.location}")
+        println(s"format-version: ${t.metadata.formatVersion}  " +
+          s"snapshots: ${snaps.size}  refs: ${t.metadata.refs.size}")
+        println(s"current-snapshot: ${t.metadata.currentSnapshotId.getOrElse("-")}")
+        println(s"live data files: ${files.size}  " +
+          s"rows: ${files.map(_.file.recordCount).sum}  " +
+          s"bytes: ${files.map(_.file.fileSize).sum}")
+        println(s"delete files attached: " +
+          s"${files.map(t => t.posDeletes.size + t.eqDeletes.size).sum}")
+      case "properties" =>
+        val t = cat.loadTable(cargs(1))
+        cargs(0) match {
+          case "get" =>
+            if (cargs.length > 2)
+              println(t.metadata.properties.getOrElse(cargs(2), ""))
+            else t.metadata.properties.toSeq.sortBy(_._1)
+              .foreach { case (k, v) => println(s"$k=$v") }
+          case "set" =>
+            Evolve.setProperties(t, Map(cargs(2) -> cargs(3)))
+            println(s"set ${cargs(2)}=${cargs(3)}")
+          case "remove" =>
+            Evolve.removeProperties(t, Seq(cargs(2)))
+            println(s"removed ${cargs(2)}")
+          case other =>
+            System.err.println(s"unknown properties verb: $other"); sys.exit(2)
+        }
+      case "create" =>
+        cargs(0) match {
+          case "namespace" =>
+            cat match {
+              case sc: graft.catalog.SqlCatalog => sc.createNamespace(cargs(1))
+              case hc: graft.catalog.HiveCatalog => hc.createNamespace(cargs(1))
+              case _ =>
+                System.err.println("this catalog has no namespace surface"); sys.exit(2)
+            }
+            println(s"created namespace ${cargs(1)}")
+          case "table" =>
+            // --infer-schema mirrors the reference CreateTableCmd: derive the
+            // iceberg schema from a parquet file's own schema
+            val name = cargs(1)
+            val idx = cargs.indexOf("--infer-schema")
+            require(idx >= 0 && cargs.length > idx + 1,
+              "create table requires --infer-schema <parquet-file>")
+            val sample = spark.read.parquet(cargs(idx + 1))
+            val schema = graft.core.SchemaBridge.fromSpark(sample.schema)
+            val specIdx = cargs.indexOf("--partition-spec")
+            val spec =
+              if (specIdx < 0) graft.format.PartitionSpec.Unpartitioned
+              else cargs(specIdx + 1).split(",").foldLeft(
+                graft.format.PartitionSpec.builder(schema)) {
+                  (b, f) => b.add(f.trim, graft.core.Transforms.Identity)
+                }.build()
+            cat.createTable(name, schema, spec)
+            println(s"created table $name")
+          case other =>
+            System.err.println(s"unknown create verb: $other"); sys.exit(2)
+        }
+      case "rewrite-manifests" =>
+        val target = if (cargs.length > 1) cargs(1).toInt else 1
+        val t = Maintenance.rewriteManifests(cat.loadTable(cargs(0)), target)
+        println(s"rewrote manifests for ${t.name}")
+      case "partition-stats" =>
+        val t = graft.table.Analyze.computePartitionStats(spark, cat.loadTable(cargs(0)))
+        t.metadata.partitionStatistics.foreach(p =>
+          println(s"snapshot ${p.snapshotId}: ${p.path}"))
+      case "clean-orphan-files" =>
+        val removed = Maintenance.removeOrphanFiles(
+          cat.loadTable(cargs(0)), olderThanMs = cargs(1).toLong)
+        println(s"removed ${removed.size} orphan files")
       case "snapshots" =>
         Inspect.snapshots(spark, cat.loadTable(cargs(0))).show(100, truncate = false)
       case "files" =>

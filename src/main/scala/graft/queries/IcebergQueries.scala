@@ -1680,6 +1680,28 @@ object IcebergQueries {
         run(uri, "register", "region_reg",
           cat.loadTable("region_ren").metadataPath).contains("registered"),
         run(uri, "read", "region_ren", "3").contains("AFRICA"),
+        // inspection verbs (reference SchemaCmd/SpecCmd/UuidCmd/LocationCmd/
+        // InfoCmd/RefsCmd/PropertiesCmd/PartitionStatsCmd and the
+        // maintenance verbs added alongside)
+        run(uri, "schema", "region_ren").contains("r_name"),
+        run(uri, "spec", "region_ren").trim.isEmpty, // unpartitioned
+        run(uri, "uuid", "region_ren").trim.matches("[0-9a-f-]{36}"),
+        run(uri, "location", "region_ren").contains("region"),
+        run(uri, "refs", "region_ren").contains("branch"),
+        run(uri, "info", "region_ren").contains("live data files"),
+        run(uri, "properties", "set", "region_ren", "owner", "cli").contains("set owner"),
+        run(uri, "properties", "get", "region_ren", "owner").trim == "cli",
+        { run(uri, "properties", "remove", "region_ren", "owner")
+          !cat.loadTable("region_ren").metadata.properties.contains("owner") },
+        run(uri, "rewrite-manifests", "region_ren").contains("rewrote"),
+        run(uri, "partition-stats", "region_ren").contains("snapshot"),
+        run(uri, "clean-orphan-files", "region_ren",
+          (System.currentTimeMillis() + 60000).toString).contains("orphan"),
+        { val src = s"${cat.loadTable("region_ren").location}/data"
+          val any = graft.table.Writer.listParquet(src).headOption
+          any.exists { p =>
+            run(uri, "create", "table", "region_new", "--infer-schema", p)
+              .contains("created table") && cat.tableExists("region_new") } },
         { run(uri, "drop", "region_reg"); !cat.tableExists("region_reg") },
         // rollback actually took effect: back to the single-append row count
         SparkRead.read(s, cat.loadTable("region_ren").newScan).count() == r.count())
