@@ -244,18 +244,20 @@ object Manifests {
       rec.put("added_rows_count", m.addedRowsCount)
       rec.put("existing_rows_count", m.existingRowsCount)
       rec.put("deleted_rows_count", m.deletedRowsCount)
-      if (m.partitions.nonEmpty) {
-        val arr = new GenericData.Array[GenericRecord](m.partitions.size, partsSchema)
-        m.partitions.foreach { s =>
-          val r = new GenericData.Record(summarySchema)
-          r.put("contains_null", s.containsNull)
-          r.put("contains_nan", s.containsNan.map(Boolean.box).orNull)
-          r.put("lower_bound", s.lowerBound.map(ByteBuffer.wrap).orNull)
-          r.put("upper_bound", s.upperBound.map(ByteBuffer.wrap).orNull)
-          arr.add(r)
-        }
-        rec.put("partitions", arr)
-      } else rec.put("partitions", null)
+      // ALWAYS the array branch, a present-but-empty [] for unpartitioned
+      // manifests — Avro null is legal under the union but ecosystem
+      // readers reject it (Redshift Spectrum, reference issue #1309 /
+      // ensurePartitionList in manifest.go; Java writes [] too)
+      val arr = new GenericData.Array[GenericRecord](m.partitions.size, partsSchema)
+      m.partitions.foreach { s =>
+        val r = new GenericData.Record(summarySchema)
+        r.put("contains_null", s.containsNull)
+        r.put("contains_nan", s.containsNan.map(Boolean.box).orNull)
+        r.put("lower_bound", s.lowerBound.map(ByteBuffer.wrap).orNull)
+        r.put("upper_bound", s.upperBound.map(ByteBuffer.wrap).orNull)
+        arr.add(r)
+      }
+      rec.put("partitions", arr)
       rec.put("key_metadata", null)
       rec.put("first_row_id", m.firstRowId.map(Long.box).orNull)
       writer.append(rec)

@@ -661,6 +661,15 @@ class ManifestGoldenSpec extends AnyFunSuite {
         Nil)), entrySnapshotId, None, 1L)
     assert(Manifests.readManifestList(lp).map(_.firstRowId) ===
       Seq(Some(0L), None))
+    // empty partition summaries encode as the ARRAY branch, never Avro null
+    // (Redshift Spectrum rejects null — reference issue #1309)
+    val rd = new DataFileReader(new java.io.File(lp),
+      new GenericDatumReader[GenericRecord]())
+    try while (rd.hasNext) {
+      val parts = rd.next().get("partitions")
+      assert(parts != null, "partitions must be a present empty array, not null")
+      assert(parts.asInstanceOf[java.util.List[_]].isEmpty)
+    } finally rd.close()
   }
 
   test("our manifest-list wire resolves under the reference v2 reader schema") {
