@@ -271,13 +271,20 @@ final class RestCatalog(baseUriRaw: String,
     val schemaId = body.get("schema-id").asInt()
     val schema = t.metadata.schemaById(schemaId).getOrElse(t.schema)
     val dec = java.util.Base64.getDecoder
-    def decodeTasks(node: JsonNode): Seq[graft.table.FileScanTask] =
-      Option(node.get("file-scan-tasks")).map(_.elements().asScala.map { to =>
+    // SPEC FileScanTask JSON (ScanTaskJson, per-envelope delete refs);
+    // `{spec-id, task: base64}` blobs from a pre-spec-wire server decode
+    // through the TaskCodec fallback
+    def decodeTasks(node: JsonNode): Seq[graft.table.FileScanTask] = {
+      val legacy = Option(node.get("file-scan-tasks"))
+        .exists(_.elements().asScala.exists(_.has("task")))
+      if (!legacy) ScanTaskJson.readTasks(node, t.metadata.specById, schema)
+      else Option(node.get("file-scan-tasks")).map(_.elements().asScala.map { to =>
         val specId = to.get("spec-id").asInt()
         val spec = t.metadata.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
         graft.codec.TaskCodec.decode(
           dec.decode(to.get("task").asText()), spec, schema, version)._1
       }.toSeq).getOrElse(Nil)
+    }
     def handles(node: JsonNode): Seq[String] =
       Option(node.get("plan-tasks"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)

@@ -565,34 +565,29 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     o.put("status", "completed")
     o.put("format-version", t.metadata.formatVersion)
     o.put("schema-id", schemaId)
-    val enc = java.util.Base64.getEncoder
-    def taskObj(arr: com.fasterxml.jackson.databind.node.ArrayNode,
-        task: graft.table.FileScanTask): Unit = {
-      val spec = t.metadata.specById(task.specId).getOrElse(PartitionSpec.Unpartitioned)
-      val bytes = graft.codec.TaskCodec.encode(task, spec, schema,
-        t.metadata.formatVersion, residual = scan.filter)
-      val to = arr.addObject()
-      to.put("spec-id", task.specId)
-      to.put("task", enc.encodeToString(bytes))
-      ()
-    }
-    // inline up to the shard size; the remainder travels as opaque
+    // the SPEC FileScanTask JSON wire (scan_task_decoder.go:40-177, Java
+    // ContentFileParser): data-file objects in plain JSON, one deduplicated
+    // delete-files array per ENVELOPE referenced by index — any
+    // spec-conformant engine can consume this plan. Inline tasks form one
+    // envelope; each plan-task shard is its own (references are
+    // envelope-scoped, so shards resolve independently).
+    // Inline up to the shard size; the remainder travels as opaque
     // plan-task handles resolved by POST …/tasks (spec fetchScanTasks) —
     // a wide plan never ships as one response body, and the client fans
-    // the shard fetches out
+    // the shard fetches out.
     val (inline, sharded) =
       if (planTaskShardSize > 0) tasks.splitAt(planTaskShardSize)
       else (tasks, Seq.empty[graft.table.FileScanTask])
-    val arr = o.putArray("file-scan-tasks")
-    inline.foreach(taskObj(arr, _))
+    ScanTaskJson.writeTasks(mapper, o, inline, t.metadata.specById,
+      schema, scan.filter)
     val shardHandles = Seq.newBuilder[String]
     if (sharded.nonEmpty) {
       val handles = o.putArray("plan-tasks")
       sharded.grouped(planTaskShardSize).foreach { group =>
         val handle = s"pt-${java.util.UUID.randomUUID()}"
         val shard = mapper.createObjectNode()
-        val sarr = shard.putArray("file-scan-tasks")
-        group.foreach(taskObj(sarr, _))
+        ScanTaskJson.writeTasks(mapper, shard, group, t.metadata.specById,
+          schema, scan.filter)
         planShards.put(handle, (shard, System.currentTimeMillis() + planTtlMs))
         handles.add(handle)
         shardHandles += handle

@@ -297,6 +297,55 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.size <= tasks.size)
   }
 
+  test("plan wire is the SPEC FileScanTask JSON (ContentFileParser shape)") {
+    // the raw HTTP body a Java/PyIceberg client would parse: data-file
+    // objects with kebab-case fields, {keys,values} parallel count maps,
+    // HEX bound strings, string content discriminators, and
+    // envelope-scoped delete-file-references indices
+    // (reference scan_task_decoder.go:40-177)
+    import scala.jdk.CollectionConverters._
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    val schema = SchemaBridge.fromSpark(region.schema)
+    val t0 = client.createTable("wire", schema, PartitionSpec.Unpartitioned)
+    val t1 = Writer.append(spark, t0, region)
+    Writer.deleteWhereDV(spark, t1, Expr.eq("r_name", "AFRICA"))
+    val raw = java.net.http.HttpClient.newHttpClient().send(
+      java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(
+          s"${server.uri}/v1/namespaces/default/tables/wire/plan"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}"))
+        .header("Content-Type", "application/json").build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(raw.statusCode() === 200)
+    val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw.body())
+    val tasks = body.get("file-scan-tasks")
+    assert(tasks != null && tasks.size() >= 1)
+    val task0 = tasks.get(0)
+    val df = task0.get("data-file")
+    assert(df != null, "spec wire carries data-file objects, not opaque blobs")
+    assert(!task0.has("task"), "no base64 blob field on the spec wire")
+    for (f <- Seq("spec-id", "content", "file-path", "file-format",
+        "file-size-in-bytes", "record-count", "partition"))
+      assert(df.has(f), s"data-file missing spec field $f")
+    assert(df.get("content").asText() === "data")
+    // count maps are parallel {keys, values} arrays
+    val vc = df.get("value-counts")
+    assert(vc != null && vc.has("keys") && vc.has("values"))
+    assert(vc.get("keys").size() === vc.get("values").size())
+    // bounds are hex strings, never base64
+    val lb = df.get("lower-bounds")
+    assert(lb.get("values").elements().asScala.forall(
+      _.asText().matches("[0-9a-f]*")))
+    // the DV rides the envelope delete-files array, referenced by index
+    val dels = body.get("delete-files")
+    assert(dels != null && dels.size() >= 1)
+    assert(dels.get(0).get("content").asText() === "position-deletes")
+    assert(dels.get(0).has("content-offset") && dels.get(0).has("referenced-data-file"))
+    val refs = task0.get("delete-file-references")
+    assert(refs != null && refs.elements().asScala.forall(r =>
+      r.asInt() >= 0 && r.asInt() < dels.size()))
+  }
+
   test("schema evolution travels as add-schema + set-current-schema") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)
