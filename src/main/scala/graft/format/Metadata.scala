@@ -23,7 +23,12 @@ final case class Snapshot(
     timestampMs: Long,
     manifestList: String,
     summary: Map[String, String],
-    schemaId: Option[Int])
+    schemaId: Option[Int],
+    // v3 row lineage (spec: REQUIRED on v3 snapshots — Java's builder
+    // rejects a v3 snapshot without them, reference snapshots.go:266-267,
+    // metadata.go:552-554): the row-id block this commit assigned
+    firstRowId: Option[Long] = None,
+    addedRows: Option[Long] = None)
 
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 
@@ -187,6 +192,8 @@ object TableMetadata {
       val sum = so.putObject("summary")
       s.summary.foreach { case (k, v) => sum.put(k, v) }
       s.schemaId.foreach(so.put("schema-id", _))
+      s.firstRowId.foreach(so.put("first-row-id", _))
+      s.addedRows.foreach(so.put("added-rows", _))
     }
     val slog = root.putArray("snapshot-log")
     m.snapshotLog.foreach { e =>
@@ -344,7 +351,9 @@ object TableMetadata {
           summary = Option(s.get("summary")).map(su =>
             su.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
             .getOrElse(Map.empty),
-          schemaId = Option(s.get("schema-id")).map(_.asInt))
+          schemaId = Option(s.get("schema-id")).map(_.asInt),
+          firstRowId = Option(s.get("first-row-id")).map(_.asLong),
+          addedRows = Option(s.get("added-rows")).map(_.asLong))
       }.toSeq else Nil
     val currentSnapshotId = Option(n.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
     TableMetadata(

@@ -524,6 +524,8 @@ object UpdateJson {
     val sum = so.putObject("summary")
     s.summary.foreach { case (k, v) => sum.put(k, v) }
     s.schemaId.foreach(so.put("schema-id", _))
+    s.firstRowId.foreach(so.put("first-row-id", _))
+    s.addedRows.foreach(so.put("added-rows", _))
     so
   }
 
@@ -536,7 +538,9 @@ object UpdateJson {
       manifestList = o.get("manifest-list").asText(),
       summary = Option(o.get("summary")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
-      schemaId = Option(o.get("schema-id")).map(_.asInt()))
+      schemaId = Option(o.get("schema-id")).map(_.asInt()),
+      firstRowId = Option(o.get("first-row-id")).map(_.asLong()),
+      addedRows = Option(o.get("added-rows")).map(_.asLong()))
 
   def statsToNode(st: StatisticsFile): ObjectNode = {
     val so = mapper.createObjectNode()

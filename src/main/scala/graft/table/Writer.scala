@@ -1758,8 +1758,17 @@ object Writer {
       whenPositive("removed-equality-delete-files", remEqF) ++
       whenPositive("removed-equality-deletes", remEq) ++
       partitionProps ++ extraSummary
+    // v3 row lineage on the snapshot wire: spec-strict readers REQUIRE
+    // first-row-id + added-rows on every v3 snapshot (Java rejects
+    // otherwise); a delete-only commit legally records added-rows 0 with
+    // the unchanged cursor
+    val lineage: (Option[Long], Option[Long]) =
+      if (meta.formatVersion >= 3)
+        (Some(lineageBlockStart), Some(rowIdCursor - lineageBlockStart))
+      else (None, None)
     val snap = Snapshot(snapshotId, parentSnapshotId, newSeq, now,
-      manifestListPath, summary, Some(meta.currentSchemaId))
+      manifestListPath, summary, Some(meta.currentSchemaId),
+      firstRowId = lineage._1, addedRows = lineage._2)
 
     // moving a ref keeps its retention settings (min-snapshots-to-keep etc.)
     val movedRef = meta.refs.get(branch) match {

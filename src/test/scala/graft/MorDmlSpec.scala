@@ -172,6 +172,38 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq === Seq(1L, 3L), "fold applied, nothing resurrected")
   }
 
+  test("v3 snapshots record first-row-id + added-rows on the metadata wire") {
+    // spec-strict v3 readers REQUIRE both (Java rejects a v3 snapshot
+    // without them); a delete-only commit records added-rows 0 at the
+    // unchanged cursor
+    import graft.core.SchemaBridge
+    import graft.format.PartitionSpec
+    import graft.table.Writer
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val t0 = graft.table.Evolve.upgradeFormatVersion(
+      catalog.createTable("rl_wire",
+        SchemaBridge.fromSpark(df.schema), PartitionSpec.Unpartitioned), 3)
+    assert(t0.metadata.formatVersion >= 3)
+    val t1 = Writer.append(spark, t0, df)
+    val s1 = t1.metadata.currentSnapshot.get
+    assert(s1.firstRowId === Some(0L) && s1.addedRows === Some(3L))
+    assert(t1.metadata.nextRowId === 3L)
+    val t2 = Writer.append(spark, t1, df.filter(org.apache.spark.sql.functions.col("k") === 1L))
+    val s2 = t2.metadata.currentSnapshot.get
+    assert(s2.firstRowId === Some(3L) && s2.addedRows === Some(1L))
+    // delete-only commit: block starts at the cursor, zero rows assigned
+    val t3 = Writer.equalityDelete(spark, t2, Seq(2L).toDF("k"), Seq("k"))
+    val s3 = t3.metadata.currentSnapshot.get
+    assert(s3.firstRowId === Some(4L) && s3.addedRows === Some(0L))
+    assert(t3.metadata.nextRowId === 4L)
+    // survives the metadata JSON round trip
+    val re = graft.format.TableMetadata.fromJson(
+      graft.format.TableMetadata.toJson(t3.metadata))
+    assert(re.currentSnapshot.get.firstRowId === Some(4L))
+    assert(re.currentSnapshot.get.addedRows === Some(0L))
+  }
+
   test("_file and _pos are queryable metadata columns on catalog reads") {
     spark.sql("CREATE TABLE g.mc (k BIGINT)")
     spark.sql("INSERT INTO g.mc VALUES (10), (11)")
