@@ -325,6 +325,15 @@ object TableMetadata {
         invalid("last-partition-id must be set for FormatVersion > 1")
       if (!n.has("sort-orders")) invalid("missing sort-orders")
     }
+    // v3 row lineage is not optional: without the cursor a writer cannot
+    // assign non-overlapping _row_id blocks (reference metadata.go
+    // checkNextRowID — "next-row-id is required for v3 tables"; negative
+    // values rejected there too)
+    if (formatVersion >= 3) {
+      if (!n.has("next-row-id")) invalid("next-row-id is required for v3 tables")
+      if (n.get("next-row-id").asLong < 0)
+        invalid(s"next-row-id must be non-negative, got ${n.get("next-row-id").asLong}")
+    }
     val specs: Seq[PartitionSpec] =
       if (n.has("partition-specs"))
         n.get("partition-specs").elements().asScala.map(specFromJson).toSeq

@@ -102,6 +102,20 @@ class GoldenMetadataSpec extends AnyFunSuite {
       s"$name: expected '$msgPart' in '${e.getMessage}'")
   }
 
+  test("V3 without next-row-id is rejected (row-lineage cursor required)") {
+    // reference metadata.go checkNextRowID: a v3 table without the cursor
+    // cannot assign non-overlapping _row_id blocks
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/TableMetadataV3WithPartitionStatistics.json")), "UTF-8")
+    assert(raw.contains("next-row-id"), "reference fixture carries the cursor")
+    val stripped = raw.replaceAll(""""next-row-id"\s*:\s*\d+\s*,?""", "")
+    val e = intercept[IllegalArgumentException](TableMetadata.fromJson(stripped))
+    assert(e.getMessage.contains("next-row-id is required"))
+    val negative = raw.replaceAll(""""next-row-id"\s*:\s*\d+""", """"next-row-id": -5""")
+    val e2 = intercept[IllegalArgumentException](TableMetadata.fromJson(negative))
+    assert(e2.getMessage.contains("non-negative"))
+  }
+
   test("V1 with no valid schema configuration is rejected") {
     rejects("TableMetadataV1NoValidSchema.json",
       "no valid schema configuration found in table metadata")
