@@ -277,4 +277,36 @@ class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!graft.io.FileIO.exists(s"$warehouse/cc_txn_b/metadata/v2.metadata.json"))
     assert(catalog.loadTable("cc_txn_a").currentVersion === 1)
   }
+
+  test("v3 row-id blocks never overlap under commit-conflict rebase") {
+    // reference rebuild_manifest_test.go TestRebuildFn_V3FirstRowIDDerived-
+    // FromFreshMeta + TestAddManifestsPresetAndNilFirstRowIDNoOverlap: the
+    // LOSER of a concurrent commit must re-derive its first-row-id from the
+    // fresh parent's next-row-id on rebase — a stale-base block would hand
+    // the same _row_id range to two snapshots' rows
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = graft.table.Evolve.upgradeFormatVersion(
+      catalog.createTable("cc_lineage", schema, PartitionSpec.Unpartitioned), 3)
+    val f1 = Future(Writer.append(spark, t0, nation.filter(col("n_nationkey") < 12)))
+    val f2 = Future(Writer.append(spark, t0, nation.filter(col("n_nationkey") >= 12)))
+    Await.result(f1, 2.minutes); Await.result(f2, 2.minutes)
+    val t = catalog.loadTable("cc_lineage")
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    assert(snaps.size === 2)
+    val blocks = snaps.map(s => (s.firstRowId.get, s.addedRows.get))
+    // contiguous, non-overlapping: each block starts where the previous ended
+    assert(blocks.head._1 === 0L)
+    assert(blocks(1)._1 === blocks.head._1 + blocks.head._2,
+      s"rebased snapshot must start at the fresh cursor, got $blocks")
+    assert(t.metadata.nextRowId === blocks(1)._1 + blocks(1)._2)
+    assert(blocks.map(_._2).sum === 25L)
+    // per-file ids mirror the snapshot blocks with no overlap either
+    val fileBlocks = t.newScan.planFiles()
+      .map(ft => (ft.file.firstRowId.get, ft.file.recordCount)).sortBy(_._1)
+    fileBlocks.sliding(2).foreach {
+      case Seq((a, n), (b, _)) => assert(a + n <= b, s"file blocks overlap: $fileBlocks")
+      case _ => ()
+    }
+  }
 }
