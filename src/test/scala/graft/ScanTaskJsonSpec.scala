@@ -1,0 +1,114 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.format.{DataFile, DataFileContent, PartitionSpec}
+import graft.rest.ScanTaskJson
+import graft.table.FileScanTask
+
+/** Unit coverage for the spec FileScanTask JSON wire beyond what the REST
+  * gates exercise: typed partition values (date / decimal / string /
+  * binary), hex bound round-trips, envelope-scoped delete dedup, and the
+  * wire-error contracts (out-of-range and unreferenced delete entries).
+  */
+class ScanTaskJsonSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private val schema = IcebergSchema(Seq(
+    NestedField(1, "d", IcebergTypes.DateT, required = false),
+    NestedField(2, "s", IcebergTypes.StringT, required = false),
+    NestedField(3, "m", IcebergTypes.DecimalT(10, 2), required = false),
+    NestedField(4, "b", IcebergTypes.BinaryT, required = false)), schemaId = 0)
+  private val spec = PartitionSpec.builder(schema)
+    .add("d", Transforms.Identity).add("s", Transforms.Identity)
+    .add("m", Transforms.Identity).add("b", Transforms.Identity).build()
+  private def specById(id: Int): Option[PartitionSpec] =
+    if (id == spec.specId) Some(spec) else None
+
+  private def roundTrip(tasks: Seq[FileScanTask]): Seq[FileScanTask] = {
+    val o = mapper.createObjectNode()
+    ScanTaskJson.writeTasks(mapper, o, tasks, specById, schema, Expr.AlwaysTrue)
+    ScanTaskJson.readTasks(o, specById, schema)
+  }
+
+  test("typed partition values and bounds survive the wire") {
+    val part = Seq(Int.box(19000), "seg-a",
+      new java.math.BigDecimal("12345.67"), Array[Byte](1, 2, 0xfe.toByte))
+    val df = DataFile(DataFileContent.Data, "/data/a.parquet", "PARQUET",
+      part, 100L, 1000L,
+      columnSizes = Map(1 -> 53L, 2 -> 99L),
+      lowerBounds = Map(2 -> Array[Byte](0x00, 0xab.toByte)),
+      upperBounds = Map(2 -> Array[Byte](0x7f, 0xff.toByte)),
+      splitOffsets = Seq(4L), sortOrderId = Some(0),
+      firstRowId = Some(1000L), specId = Some(spec.specId))
+    val out = roundTrip(Seq(FileScanTask(df, 0L, Nil, Nil, spec.specId))).head.file
+    assert(out.partition(0) === 19000)
+    assert(out.partition(1) === "seg-a")
+    assert(out.partition(2) === new java.math.BigDecimal("12345.67"))
+    assert(out.partition(3).asInstanceOf[Array[Byte]]
+      .sameElements(Array[Byte](1, 2, 0xfe.toByte)))
+    assert(out.columnSizes === Map(1 -> 53L, 2 -> 99L))
+    assert(out.lowerBounds(2).sameElements(Array[Byte](0x00, 0xab.toByte)))
+    assert(out.upperBounds(2).sameElements(Array[Byte](0x7f, 0xff.toByte)))
+    assert(out.splitOffsets === Seq(4L) && out.firstRowId === Some(1000L))
+  }
+
+  test("shared deletes dedup per envelope; refs resolve per task") {
+    def data(p: String) = DataFile(DataFileContent.Data, p, "PARQUET",
+      Seq(null, null, null, null), 10L, 100L, specId = Some(spec.specId))
+    val dv = DataFile(DataFileContent.PositionDeletes, "/del/dv.puffin", "PUFFIN",
+      Seq(null, null, null, null), 2L, 64L,
+      referencedDataFile = Some("/data/a.parquet"),
+      contentOffset = Some(4L), contentSize = Some(20L), specId = Some(spec.specId))
+    val eq = DataFile(DataFileContent.EqualityDeletes, "/del/eq.parquet", "PARQUET",
+      Seq(null, null, null, null), 3L, 80L, equalityIds = Seq(2),
+      specId = Some(spec.specId))
+    val tasks = Seq(
+      FileScanTask(data("/data/a.parquet"), 0L, Seq(dv), Seq((eq, 1L)), spec.specId),
+      FileScanTask(data("/data/b.parquet"), 0L, Nil, Seq((eq, 1L)), spec.specId))
+    val o = mapper.createObjectNode()
+    ScanTaskJson.writeTasks(mapper, o, tasks, specById, schema, Expr.AlwaysTrue)
+    // the shared eq-delete appears ONCE in the envelope
+    assert(o.get("delete-files").size() === 2)
+    val out = ScanTaskJson.readTasks(o, specById, schema)
+    assert(out.head.posDeletes.map(_.path) === Seq("/del/dv.puffin"))
+    assert(out.head.posDeletes.head.contentOffset === Some(4L))
+    assert(out.head.eqDeletes.map(_._1.path) === Seq("/del/eq.parquet"))
+    assert(out(1).posDeletes.isEmpty)
+    assert(out(1).eqDeletes.map(_._1.equalityIds) === Seq(Seq(2)))
+  }
+
+  test("wire errors: out-of-range and unreferenced delete entries rejected") {
+    val o = mapper.createObjectNode()
+    val df = DataFile(DataFileContent.Data, "/data/a.parquet", "PARQUET",
+      Seq(null, null, null, null), 10L, 100L, specId = Some(spec.specId))
+    ScanTaskJson.writeTasks(mapper, o, Seq(FileScanTask(df, 0L, Nil, Nil, spec.specId)),
+      specById, schema, Expr.AlwaysTrue)
+    // out-of-range reference
+    val bad = o.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    bad.get("file-scan-tasks").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .putArray("delete-file-references").add(0)
+    val e = intercept[IllegalArgumentException](
+      ScanTaskJson.readTasks(bad, specById, schema))
+    assert(e.getMessage.contains("out of range"))
+    // unreferenced delete entry (a server bug a client must not mask)
+    val bad2 = o.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val da = bad2.putArray("delete-files")
+    val stray = mapper.createObjectNode()
+    stray.put("spec-id", spec.specId)
+    stray.put("content", "equality-deletes")
+    stray.put("file-path", "/del/stray.parquet")
+    stray.put("file-format", "PARQUET")
+    stray.putArray("partition")
+    stray.put("file-size-in-bytes", 1L)
+    stray.put("record-count", 1L)
+    da.add(stray)
+    val e2 = intercept[IllegalArgumentException](
+      ScanTaskJson.readTasks(bad2, specById, schema))
+    assert(e2.getMessage.contains("referenced by no task"))
+  }
+}
