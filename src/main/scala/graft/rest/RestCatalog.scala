@@ -23,8 +23,10 @@ import graft.table.{FileScanTask, Table}
   * works unchanged over REST.
   *
   * `planScan` is the remote-planning path (reference
-  * `catalog/rest/scan_planning.go`): the server plans, tasks travel as
-  * [[graft.codec.TaskCodec]] payloads, and the local engine executes them.
+  * `catalog/rest/scan_planning.go`): the server plans, tasks travel as the
+  * SPEC FileScanTask JSON ([[ScanTaskJson]]; TaskCodec fallback for
+  * pre-spec servers), and the local engine executes them — applying the
+  * returned [[PlannedScan.residual]] row filter.
   *
   * With `credential` set ("client_id:client_secret", the reference's
   * `credential` property form), the client runs the OAuth2
@@ -308,7 +310,8 @@ final class RestCatalog(baseUriRaw: String,
       queue ++= handles(shard)
     }
     PlannedScan(tasks.result(), schema,
-      new graft.io.PlanScopedCredentials(credentialsFrom(body), t.metadata.location))
+      new graft.io.PlanScopedCredentials(credentialsFrom(body), t.metadata.location),
+      residual = filter)
   }
 
   /** Spec planTableScan SUBMIT step only: POST the plan request and return
@@ -653,7 +656,13 @@ final class RestCatalog(baseUriRaw: String,
 final case class PlannedScan(
     tasks: Seq[FileScanTask],
     schema: IcebergSchema,
-    credentials: graft.io.PlanScopedCredentials)
+    credentials: graft.io.PlanScopedCredentials,
+    /** Spec fileScanTask residual semantics: planning pruned FILES, and
+      * matching files still carry rows outside the filter — the consumer
+      * must apply this row filter (pass to SparkRead.readTasks(residual =
+      * …)). Defaults to the request filter per the spec's fallback rule.
+      */
+    residual: graft.core.Expr = graft.core.Expr.AlwaysTrue)
 
 /** An expired/unknown plan-id 404 (error.type NoSuchPlanIdException):
   * retry-with-a-new-plan, distinct from a table-gone 404 (reference

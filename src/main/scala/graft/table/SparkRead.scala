@@ -90,7 +90,8 @@ object SparkRead {
       nameMapping: Option[graft.format.NameMapping] = None,
       rowLineage: Boolean = false,
       specById: Int => Option[graft.format.PartitionSpec] = _ => None,
-      ioOptions: Map[String, String] = Map.empty): DataFrame = {
+      ioOptions: Map[String, String] = Map.empty,
+      residual: graft.core.Expr = graft.core.Expr.AlwaysTrue): DataFrame = {
     configure(spark)
     // v3 `unknown`-typed columns are never stored in data files (spec:
     // always-null forward-compat placeholder, reference types.go:903) —
@@ -134,7 +135,12 @@ object SparkRead {
     }
 
     val stored = parts.reduce(_ unionByName _)
-    unknownFields.foldLeft(stored)((d, f) => d.withColumn(f.name, lit(null)))
+    val full = unknownFields.foldLeft(stored)((d, f) => d.withColumn(f.name, lit(null)))
+    // residual ROW filter (spec fileScanTask residual-filter semantics):
+    // planning pruned FILES; matching files still carry non-matching rows.
+    // Lowered to a Catalyst Column so it pushes into the parquet scan.
+    if (residual == graft.core.Expr.AlwaysTrue) full
+    else full.filter(graft.core.Expr.toColumn(residual))
   }
 
   private def readSubGroup(spark: SparkSession, groupTasks: Seq[FileScanTask],

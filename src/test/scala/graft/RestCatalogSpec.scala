@@ -284,7 +284,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t1 = Writer.append(spark, t0, customer)
     val t2 = Writer.deleteWhereDV(spark, t1, Expr.eq("c_mktsegment", "MACHINERY"))
 
-    val PlannedScan(tasks, planSchema, _) = client.planScan("plan")
+    val PlannedScan(tasks, planSchema, _, _) = client.planScan("plan")
     assert(tasks.nonEmpty)
     assert(tasks.exists(_.posDeletes.exists(_.format == "PUFFIN")))
     val viaRest = SparkRead.readTasks(spark, tasks, planSchema,
@@ -292,9 +292,18 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = SparkRead.read(spark, t2.newScan).count()
     assert(viaRest === direct)
 
-    // filtered remote plan: server-side pruning applies the filter
-    val filtered = client.planScan("plan", Expr.eq("c_mktsegment", "BUILDING")).tasks
-    assert(filtered.size <= tasks.size)
+    // filtered remote plan: files prune server-side AND the residual row
+    // filter rides back for the read — matching files still carry rows
+    // outside the filter, which must not surface
+    val planned = client.planScan("plan", Expr.eq("c_mktsegment", "BUILDING"))
+    assert(planned.tasks.size <= tasks.size)
+    val viaFiltered = SparkRead.readTasks(spark, planned.tasks, planned.schema,
+      specById = t2.metadata.specById, residual = planned.residual)
+    val directFiltered = SparkRead.read(spark,
+      t2.newScan.withFilter(Expr.eq("c_mktsegment", "BUILDING"))).count()
+    assert(viaFiltered.count() === directFiltered)
+    assert(viaFiltered.select("c_mktsegment").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("BUILDING"))
   }
 
   test("plan wire is the SPEC FileScanTask JSON (ContentFileParser shape)") {
