@@ -50,36 +50,103 @@ object ScanTaskJson {
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   // ---- typed partition values (single-value JSON) -------------------------
+  //
+  // Temporal values use the spec's single-value ISO-8601 STRING form — the
+  // reference's decodePartitionLiteral (`scan_task_decoder.go:596-660`)
+  // unmarshals date/time/timestamp(_ns)(tz) into a string and casts via
+  // StringLiteral.To (`literals.go:973-1026`: date "2006-01-02", timestamp
+  // ISO no-zone, timestamptz ISO with offset). Numeric epoch forms are kept
+  // as a LENIENT READ fallback only (pre-spec graft peers emitted them).
+
+  private val microsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+  private val nanosFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS")
+  private val timeFmt = java.time.format.DateTimeFormatter
+    .ofPattern("HH:mm:ss.SSSSSS")
+
+  private def isoTimestamp(micros: Long, zoned: Boolean): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    val s = microsFmt.format(ldt)
+    if (zoned) s + "+00:00" else s
+  }
+
+  private def isoTimestampNs(nanos: Long, zoned: Boolean): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(nanos, 1000000000L),
+      Math.floorMod(nanos, 1000000000L).toInt, java.time.ZoneOffset.UTC)
+    val s = nanosFmt.format(ldt)
+    if (zoned) s + "+00:00" else s
+  }
+
+  private def timestampMicrosOf(v: Any): Long = v match {
+    case l: Long => l
+    case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(s"not a timestamp: $other")
+  }
 
   private def partValueNode(mapper: ObjectMapper, t: IcebergType, v: Any): JsonNode = {
     if (v == null) return mapper.nullNode()
+    val nf = mapper.getNodeFactory
     (t, v) match {
-      case (_, b: Boolean) => mapper.getNodeFactory.booleanNode(b)
-      case (_, i: Int) => mapper.getNodeFactory.numberNode(i)
-      case (_, l: Long) => mapper.getNodeFactory.numberNode(l)
-      case (_, f: Float) => mapper.getNodeFactory.numberNode(f)
-      case (_, d: Double) => mapper.getNodeFactory.numberNode(d)
-      case (DateT, d: java.sql.Date) =>
-        mapper.getNodeFactory.numberNode(d.toLocalDate.toEpochDay.toInt)
-      case (DateT, d: java.time.LocalDate) =>
-        mapper.getNodeFactory.numberNode(d.toEpochDay.toInt)
-      case (TimestampT | TimestampTzT, ts: java.sql.Timestamp) =>
-        mapper.getNodeFactory.numberNode(
-          ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
-      case (_, bd: java.math.BigDecimal) => mapper.getNodeFactory.textNode(bd.toPlainString)
-      case (BinaryT | FixedT(_), b: Array[Byte]) => mapper.getNodeFactory.textNode(hex(b))
-      case (_, s: String) => mapper.getNodeFactory.textNode(s)
-      case (_, other) => mapper.getNodeFactory.textNode(String.valueOf(other))
+      // temporal types FIRST: their internal rep is numeric (epoch day /
+      // micros / nanos) but the wire form is the ISO string
+      case (DateT, i: Int) => nf.textNode(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+      case (DateT, d: java.sql.Date) => nf.textNode(d.toLocalDate.toString)
+      case (DateT, d: java.time.LocalDate) => nf.textNode(d.toString)
+      case (TimeT, micros: Long) =>
+        nf.textNode(timeFmt.format(java.time.LocalTime.ofNanoOfDay(micros * 1000L)))
+      case (TimestampT, ts) => nf.textNode(isoTimestamp(timestampMicrosOf(ts), zoned = false))
+      case (TimestampTzT, ts) => nf.textNode(isoTimestamp(timestampMicrosOf(ts), zoned = true))
+      case (TimestampNsT, nanos: Long) => nf.textNode(isoTimestampNs(nanos, zoned = false))
+      case (TimestampTzNsT, nanos: Long) => nf.textNode(isoTimestampNs(nanos, zoned = true))
+      case (_, b: Boolean) => nf.booleanNode(b)
+      case (_, i: Int) => nf.numberNode(i)
+      case (_, l: Long) => nf.numberNode(l)
+      case (_, f: Float) => nf.numberNode(f)
+      case (_, d: Double) => nf.numberNode(d)
+      case (_, bd: java.math.BigDecimal) => nf.textNode(bd.toPlainString)
+      case (BinaryT | FixedT(_), b: Array[Byte]) => nf.textNode(hex(b))
+      case (_, s: String) => nf.textNode(s)
+      case (_, other) => nf.textNode(String.valueOf(other))
     }
   }
+
+  /** Parse an ISO timestamp string: offset form ("…+00:00"/"…Z") or local
+    * form, both accepted leniently in either timestamp flavor.
+    */
+  private def parseInstant(s: String): java.time.Instant =
+    try java.time.OffsetDateTime.parse(s).toInstant
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+    }
 
   private def partValueFrom(t: IcebergType, n: JsonNode): Any = {
     if (n == null || n.isNull) return null
     t match {
       case BooleanT => n.asBoolean()
-      case IntT | DateT => n.asInt()
-      case LongT | TimeT | TimestampT | TimestampTzT | TimestampNsT | TimestampTzNsT =>
-        n.asLong()
+      case IntT => n.asInt()
+      case DateT =>
+        if (n.isTextual) java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
+        else n.asInt()
+      case TimeT =>
+        if (n.isTextual) java.time.LocalTime.parse(n.asText()).toNanoOfDay / 1000L
+        else n.asLong()
+      case TimestampT | TimestampTzT =>
+        if (n.isTextual) {
+          val inst = parseInstant(n.asText())
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        } else n.asLong()
+      case TimestampNsT | TimestampTzNsT =>
+        if (n.isTextual) {
+          val inst = parseInstant(n.asText())
+          inst.getEpochSecond * 1000000000L + inst.getNano
+        } else n.asLong()
+      case LongT => n.asLong()
       case FloatT => n.floatValue()
       case DoubleT => n.asDouble()
       case StringT | UuidT => n.asText()

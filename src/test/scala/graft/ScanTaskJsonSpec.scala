@@ -56,6 +56,60 @@ class ScanTaskJsonSpec extends AnyFunSuite {
     assert(out.splitOffsets === Seq(4L) && out.firstRowId === Some(1000L))
   }
 
+  test("temporal partition values: spec ISO strings on the wire, both forms decode") {
+    // the reference's decodePartitionLiteral (scan_task_decoder.go:596-660)
+    // unmarshals date/time/timestamp values into STRINGS and casts via
+    // StringLiteral.To — a numeric epoch form is a wire error there, so our
+    // writer must emit the ISO form; our reader keeps numerics as a lenient
+    // fallback for pre-spec graft peers.
+    val tschema = IcebergSchema(Seq(
+      NestedField(1, "d", IcebergTypes.DateT, required = false),
+      NestedField(2, "t", IcebergTypes.TimeT, required = false),
+      NestedField(3, "ts", IcebergTypes.TimestampT, required = false),
+      NestedField(4, "tsz", IcebergTypes.TimestampTzT, required = false),
+      NestedField(5, "tsn", IcebergTypes.TimestampNsT, required = false)), schemaId = 0)
+    val tspec = PartitionSpec.builder(tschema)
+      .add("d", Transforms.Identity).add("t", Transforms.Identity)
+      .add("ts", Transforms.Identity).add("tsz", Transforms.Identity)
+      .add("tsn", Transforms.Identity).build()
+    def byId(id: Int) = if (id == tspec.specId) Some(tspec) else None
+
+    val micros = 1510871468123456L // 2017-11-16T22:31:08.123456Z
+    val nanos = micros * 1000L + 789L
+    val df = DataFile(DataFileContent.Data, "/data/t.parquet", "PARQUET",
+      Seq(Int.box(17486), Long.box(81068123456L), Long.box(micros),
+        Long.box(micros), Long.box(nanos)),
+      10L, 100L, specId = Some(tspec.specId))
+    val o = mapper.createObjectNode()
+    ScanTaskJson.writeTasks(mapper, o, Seq(FileScanTask(df, 0L, Nil, Nil, tspec.specId)),
+      byId, tschema, Expr.AlwaysTrue)
+    val part = o.get("file-scan-tasks").get(0).get("data-file").get("partition")
+    assert(part.get(0).asText() === "2017-11-16")
+    assert(part.get(1).asText() === "22:31:08.123456")
+    assert(part.get(2).asText() === "2017-11-16T22:31:08.123456")
+    assert(part.get(3).asText() === "2017-11-16T22:31:08.123456+00:00")
+    assert(part.get(4).asText() === "2017-11-16T22:31:08.123456789")
+
+    // spec string form decodes to the internal epoch values
+    val dec = ScanTaskJson.readTasks(o, byId, tschema).head.file.partition
+    assert(dec === Seq(17486, 81068123456L, micros, micros, nanos))
+
+    // "Z" zone spelling also accepted for the tz flavor
+    part.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .set(3, mapper.getNodeFactory.textNode("2017-11-16T22:31:08.123456Z"))
+    assert(ScanTaskJson.readTasks(o, byId, tschema).head.file.partition(3) === micros)
+
+    // lenient fallback: pre-spec numeric epoch forms still decode
+    val pa = part.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    pa.set(0, mapper.getNodeFactory.numberNode(17486))
+    pa.set(1, mapper.getNodeFactory.numberNode(81068123456L))
+    pa.set(2, mapper.getNodeFactory.numberNode(micros))
+    pa.set(3, mapper.getNodeFactory.numberNode(micros))
+    pa.set(4, mapper.getNodeFactory.numberNode(nanos))
+    val lenient = ScanTaskJson.readTasks(o, byId, tschema).head.file.partition
+    assert(lenient === Seq(17486, 81068123456L, micros, micros, nanos))
+  }
+
   test("shared deletes dedup per envelope; refs resolve per task") {
     def data(p: String) = DataFile(DataFileContent.Data, p, "PARQUET",
       Seq(null, null, null, null), 10L, 100L, specId = Some(spec.specId))
