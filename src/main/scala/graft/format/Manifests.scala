@@ -130,7 +130,7 @@ object Manifests {
 
   def writeManifest(path: String, entries: Seq[ManifestEntry], schema: IcebergSchema,
       spec: PartitionSpec, snapshotId: Long, content: Int = ManifestContent.Data,
-      codec: String = "gzip"): Long = {
+      codec: String = "gzip", formatVersion: Int = 2): Long = {
     val partType = spec.partitionType(schema)
     val avroSchema = new Schema.Parser().parse(
       manifestEntrySchemaJson(partitionSchemaJson(partType)))
@@ -143,7 +143,10 @@ object Manifests {
     writer.setMeta("schema-id", schema.schemaId.toString)
     writer.setMeta("partition-spec", specFieldsJson(spec))
     writer.setMeta("partition-spec-id", spec.specId.toString)
-    writer.setMeta("format-version", "2")
+    // stamp the TABLE's format version: a v3 manifest carries v3-only
+    // fields (first_row_id 142) that a version-strict reader projecting the
+    // v2 schema would silently drop
+    writer.setMeta("format-version", formatVersion.toString)
     writer.setMeta("content", if (content == ManifestContent.Data) "data" else "deletes")
     writer.create(avroSchema, graft.io.FileIO.create(path))
     entries.foreach { e =>
@@ -218,14 +221,14 @@ object Manifests {
   /** Write the manifest list for a snapshot. */
   def writeManifestList(path: String, manifests: Seq[ManifestFile],
       snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long,
-      codec: String = "gzip"): Unit = {
+      codec: String = "gzip", formatVersion: Int = 2): Unit = {
     val avroSchema = new Schema.Parser().parse(manifestFileSchemaJson)
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
     writer.setCodec(avroCodec(codec))
     writer.setMeta("snapshot-id", snapshotId.toString)
     writer.setMeta("parent-snapshot-id", parentSnapshotId.map(_.toString).getOrElse("null"))
     writer.setMeta("sequence-number", sequenceNumber.toString)
-    writer.setMeta("format-version", "2")
+    writer.setMeta("format-version", formatVersion.toString)
     writer.create(avroSchema, graft.io.FileIO.create(path))
     val partsSchema = avroSchema.getField("partitions").schema().getTypes.get(1)
     val summarySchema = partsSchema.getElementType

@@ -383,7 +383,10 @@ object Maintenance {
       .groupBy(_.specId)
       .map { case (specId, ms) =>
         specId -> ms.flatMap { m =>
-          val (entries, _) = Manifests.readManifest(m.path)
+          // materialize list-level inherited first_row_id as explicit
+          // per-file ids — the regrouped manifests lose their source list
+          // rows, and existing entries must preserve row ids (v3 spec)
+          val (entries, _) = Manifests.readManifest(m.path, m.firstRowId)
           entries.filter(_.status != ManifestEntryStatus.Deleted).map(e =>
             e.copy(status = ManifestEntryStatus.Existing,
               dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber))))
@@ -398,7 +401,8 @@ object Maintenance {
       allEntries.grouped(size).toSeq.map { entries =>
         val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
         val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId,
-          codec = Manifests.codecFor(meta.properties))
+          codec = Manifests.codecFor(meta.properties),
+          formatVersion = meta.formatVersion)
         ManifestFile(p, len, specId, ManifestContent.Data,
           snap.sequenceNumber, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
           snapshotId, 0, entries.size, 0,
@@ -410,13 +414,19 @@ object Maintenance {
     val manifestListPath = s"$metadataDir/snap-$snapshotId.avro"
     Manifests.writeManifestList(manifestListPath, merged ++ deleteManifests,
       snapshotId, meta.currentSnapshotId, newSeq,
-      codec = Manifests.codecFor(meta.properties))
+      codec = Manifests.codecFor(meta.properties),
+          formatVersion = meta.formatVersion)
     val now = System.currentTimeMillis()
     val summary = Map("operation" -> "replace",
       "manifests-replaced" -> dataManifests.size.toString,
       "manifests-created" -> merged.size.toString)
+    // v3 requires first-row-id/added-rows on every snapshot; a replace
+    // commit adds no rows, so the block is empty at the current cursor
+    // (same convention as Writer's delete-only commits)
     val newSnap = Snapshot(snapshotId, meta.currentSnapshotId, newSeq, now,
-      manifestListPath, summary, Some(meta.currentSchemaId))
+      manifestListPath, summary, Some(meta.currentSchemaId),
+      firstRowId = if (meta.formatVersion >= 3) Some(meta.nextRowId) else None,
+      addedRows = if (meta.formatVersion >= 3) Some(0L) else None)
     val updated = meta.copy(
       lastSequenceNumber = newSeq,
       lastUpdatedMs = now,

@@ -1551,7 +1551,11 @@ object Writer {
         if ((isData && removedPaths.isEmpty) || (!isData && removedDeleteKeys.isEmpty)) {
           manifests += m
         } else {
-          val (entries, _) = Manifests.readManifest(m.path)
+          // materialize list-level inherited first_row_id (field 520) as
+          // explicit per-file ids: the rewritten manifest loses its source
+          // list row, and the spec requires existing entries KEEP row ids
+          val (entries, _) = Manifests.readManifest(m.path,
+            if (isData) m.firstRowId else None)
           acc.entriesProcessed += entries.size
           val live = entries.filter(e => e.status != ManifestEntryStatus.Deleted && keep(e))
           val dropped = entries.filter(e => e.status != ManifestEntryStatus.Deleted && !keep(e))
@@ -1569,7 +1573,8 @@ object Writer {
             val suffix = if (isData) "m" else "d"
             val p = s"$metadataDir/${UUID.randomUUID()}-$suffix.avro"
             val len = Manifests.writeManifest(p, kept, schema, mSpec, snapshotId,
-              content = m.content, codec = Manifests.codecFor(meta.properties))
+              content = m.content, codec = Manifests.codecFor(meta.properties),
+          formatVersion = meta.formatVersion)
             manifests += ManifestFile(p, len, m.specId, m.content,
               m.sequenceNumber, kept.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
               snapshotId, 0, kept.size, entries.size - live.size,
@@ -1599,7 +1604,8 @@ object Writer {
         Some(snapshotId), Some(newSeq), Some(newSeq), f))
       val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
       val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId,
-        codec = Manifests.codecFor(meta.properties))
+        codec = Manifests.codecFor(meta.properties),
+          formatVersion = meta.formatVersion)
       manifests += ManifestFile(p, len, spec.specId, ManifestContent.Data,
         newSeq, newSeq, snapshotId, entries.size, 0, 0,
         addedWithLineage.map(_.recordCount).sum, 0L, 0L,
@@ -1632,7 +1638,8 @@ object Writer {
         Some(snapshotId), Some(newSeq), Some(newSeq), f))
       val p = s"$metadataDir/${UUID.randomUUID()}-d.avro"
       val len = Manifests.writeManifest(p, entries, schema, deleteSpec, snapshotId,
-        content = ManifestContent.Deletes, codec = Manifests.codecFor(meta.properties))
+        content = ManifestContent.Deletes, codec = Manifests.codecFor(meta.properties),
+          formatVersion = meta.formatVersion)
       manifests += ManifestFile(p, len, deleteSpec.specId, ManifestContent.Deletes,
         newSeq, newSeq, snapshotId, entries.size, 0, 0,
         addedDeleteFiles.map(_.recordCount).sum, 0L, 0L,
@@ -1643,7 +1650,8 @@ object Writer {
     val allManifests = mergeAppendManifests(meta, manifests.result(), snapshotId,
       newSeq, metadataDir, acc)
     Manifests.writeManifestList(manifestListPath, allManifests, snapshotId,
-      parentSnapshotId, newSeq, codec = Manifests.codecFor(meta.properties))
+      parentSnapshotId, newSeq, codec = Manifests.codecFor(meta.properties),
+          formatVersion = meta.formatVersion)
 
     val now = System.currentTimeMillis()
     // spec summary keys (reference `table/snapshots.go:61-88`); removed
@@ -1848,7 +1856,9 @@ object Writer {
           // (`table/snapshot_producers.go:359-527`).
           import scala.collection.parallel.CollectionConverters._
           val entries = group.par.map { m =>
-            val (es, _) = Manifests.readManifest(m.path)
+            // merged manifests must carry row ids explicitly: each source's
+            // list-level first_row_id inheritance dies with its list row
+            val (es, _) = Manifests.readManifest(m.path, m.firstRowId)
             // Entries appended by THIS commit keep status Added so that
             // incremental/CDC reads (Incremental.appendsBetween) still see
             // them (reference `snapshot_producers.go` createManifest keeps
@@ -1867,7 +1877,8 @@ object Writer {
               entries.partition(_.status == ManifestEntryStatus.Added)
             val p = s"$metadataDir/${UUID.randomUUID()}-m.avro"
             val len = Manifests.writeManifest(p, entries, schema, mSpec, snapshotId,
-              codec = Manifests.codecFor(meta.properties))
+              codec = Manifests.codecFor(meta.properties),
+          formatVersion = meta.formatVersion)
             Some(ManifestFile(p, len, specId, ManifestContent.Data,
               newSeq, entries.flatMap(_.dataSequence).foldLeft(Long.MaxValue)(_ min _),
               snapshotId, added.size, existing.size, 0,
