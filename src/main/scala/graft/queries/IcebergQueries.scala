@@ -4666,6 +4666,73 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey % 6 IN (0, 1, 2) AND NOT (c_custkey % 7 = 0)
       GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // PARTIAL-applicability compaction (the selective branch of reference
+    // compaction/eq_delete_decision.go): compaction scoped to ONE
+    // partition must collect the dead delete and the delete confined (by
+    // sequence) to the rewritten partition, while the delete still
+    // applicable to untouched partitions SURVIVES — dropping it would
+    // un-delete rows the reader still filters. The read hash-checks the
+    // survivor semantics end-to-end.
+    QueryDef.staged("i115_partial_compaction", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"pc_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val pspec = graft.format.PartitionSpec.builder(schema)
+        .add("c_mktsegment", graft.core.Transforms.Identity).build()
+      var t = cat.createTable(name, schema, pspec)
+      def eqDeleteKeys(tb: graft.table.Table): Set[String] = tb.metadata.currentSnapshot
+        .map(sn => graft.format.Manifests.readManifestList(sn.manifestList)).getOrElse(Nil)
+        .filter(_.content == graft.format.ManifestContent.Deletes)
+        .flatMap(m => graft.format.Manifests.readManifest(m.path)._1
+          .filter(_.status != graft.format.ManifestEntryStatus.Deleted).map(_.file))
+        .filter(_.content == graft.format.DataFileContent.EqualityDeletes)
+        .map(_.path).toSet
+      // dead on arrival: below every data sequence
+      t = Writer.equalityDelete(s, t,
+        s.range(1).select((col("id") - 10).as("c_custkey")), Seq("c_custkey"))
+      val deadSet = eqDeleteKeys(t)
+      // BUILDING rows first; D1 lands before the rest, so by sequence it
+      // reaches ONLY the BUILDING files
+      t = Writer.append(s, t, c.filter(col("c_mktsegment") === "BUILDING"))
+      t = Writer.equalityDelete(s, t,
+        c.filter(col("c_custkey") % 13 === 0).select(col("c_custkey")), Seq("c_custkey"))
+      val d1Set = eqDeleteKeys(t) -- deadSet
+      // remaining segments, then D2 above everything → reaches ALL files
+      t = Writer.append(s, t, c.filter(col("c_mktsegment") =!= "BUILDING"))
+      t = Writer.equalityDelete(s, t,
+        c.filter(col("c_custkey") % 17 === 0).select(col("c_custkey")), Seq("c_custkey"))
+      val d2Set = eqDeleteKeys(t) -- deadSet -- d1Set
+      // compact ONLY the BUILDING partition
+      val res = Maintenance.rewriteDataFiles(s, t, rewriteAll = true,
+        filter = graft.core.Expr.eq("c_mktsegment", "BUILDING"))
+      val remaining = eqDeleteKeys(res.table)
+      require(remaining == d2Set,
+        s"i115: survivor must be exactly the still-applicable delete set " +
+          s"(kept ${remaining.size}, expected ${d2Set.size})")
+      require(res.removedDeleteFiles == deadSet.size + d1Set.size,
+        s"i115: collected ${res.removedDeleteFiles}, " +
+          s"expected dead ${deadSet.size} + folded ${d1Set.size}")
+      val tt = res.table
+      val flags = Seq(remaining == d2Set, (remaining & d1Set).isEmpty,
+        (remaining & deadSet).isEmpty).mkString(",")
+      () => SparkRead.read(s, tt.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal_sum"))
+        .select(col("c_mktsegment"), col("n"), col("bal_sum"),
+          lit(flags).as("partial_ok"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             'true,true,true' AS partial_ok
+      FROM customer
+      WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 13 = 0)
+        AND NOT (c_custkey % 17 = 0)
+      GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

@@ -47,25 +47,23 @@ object Maintenance {
     * layout action). Costs one min/max aggregation over the rewrite set
     * plus the range exchange the clustered write needs anyway.
     */
+  /** `filter`: scopes which files are rewrite CANDIDATES (the reference's
+    * caller-chosen `CompactionTaskGroup`s / Java's `where =>` procedure
+    * arg). Delete-collection safety always surveys the FULL live task set:
+    * a delete attached to any out-of-scope file survives, and dead-delete
+    * judgment never narrows to the filtered view — so a partial compaction
+    * can only drop deletes whose every applicable file was rewritten or
+    * that apply to nothing (`eq_delete_decision.go` survivor survey).
+    */
   def rewriteDataFiles(spark: SparkSession, table: Table,
       targetFileSizeBytes: Long = 0, minInputFiles: Int = 2,
-      rewriteAll: Boolean = false, zorderBy: Seq[String] = Nil): CompactionResult = {
+      rewriteAll: Boolean = false, zorderBy: Seq[String] = Nil,
+      filter: Expr = Expr.AlwaysTrue): CompactionResult = {
     val targetSize =
       if (targetFileSizeBytes > 0) targetFileSizeBytes
       else table.metadata.properties.get("write.target-file-size-bytes")
         .map(_.toLong).getOrElse(512L * 1024 * 1024)
     val tasks = table.newScan.planFiles()
-    if (tasks.isEmpty) return CompactionResult(table, 0, 0, 0)
-
-    val byPartition = tasks.groupBy(_.file.partition.map(String.valueOf).mkString("/"))
-    val selected = byPartition.values.filter { group =>
-      rewriteAll ||
-        group.exists(t => t.posDeletes.nonEmpty || t.eqDeletes.nonEmpty) ||
-        group.count(_.file.fileSize < targetSize) >= minInputFiles
-    }.flatten.toSeq
-    if (selected.isEmpty) return CompactionResult(table, 0, 0, 0)
-
-    val rewrittenPaths = selected.map(_.file.path).toSet
 
     // a delete file may be attached to many data files (eq-deletes, parquet
     // pos-deletes); it can be dropped only when every data file it applies
@@ -74,9 +72,6 @@ object Maintenance {
       .flatMap(t => (t.posDeletes.map(d => (d.path, d.contentOffset)) ++
         t.eqDeletes.map(e => (e._1.path, e._1.contentOffset))).map(_ -> t.file.path))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val droppableDeletes = deleteAttachment.collect {
-      case (key, dataPaths) if dataPaths.subsetOf(rewrittenPaths) => key
-    }.toSet
 
     // DEAD equality deletes (reference compaction/eq_delete_decision.go:140,
     // the iceberg-go#946 CDC backlog): an eq-delete the scan attaches to
@@ -87,7 +82,9 @@ object Maintenance {
     // immortal delete file per commit and planning degrades linearly.
     // Deadness is judged by the same DeleteIndex applicability the readers
     // use (sequence + partition scope + bounds overlap), so collection can
-    // never widen what a delete removes.
+    // never widen what a delete removes. Computed BEFORE the no-rewrite
+    // early returns: a table whose rows are all deleted (CDC drain) has no
+    // scan tasks yet carries the full backlog.
     val attachedDeleteKeys = deleteAttachment.keySet
     val deadEqDeletes: Set[(String, Option[Long])] =
       table.metadata.currentSnapshot
@@ -99,6 +96,37 @@ object Maintenance {
         .map(f => (f.path, f.contentOffset))
         .filterNot(attachedDeleteKeys)
         .toSet
+
+    // nothing to rewrite: still collect the dead backlog, delete-only
+    def deadOnlyCommit(): CompactionResult =
+      if (deadEqDeletes.isEmpty) CompactionResult(table, 0, 0, 0)
+      else CompactionResult(
+        Writer.commitSnapshot(table, "replace", addedFiles = Nil,
+          removedPaths = Set.empty, addedDeleteFiles = Nil,
+          removedDeleteKeys = deadEqDeletes),
+        0, 0, deadEqDeletes.size)
+
+    if (tasks.isEmpty) return deadOnlyCommit()
+
+    // candidate scope: files the caller's filter selects (whole files —
+    // the filter NEVER drops rows during the rewrite read)
+    val inScope: Set[String] =
+      if (filter == Expr.AlwaysTrue) tasks.map(_.file.path).toSet
+      else table.newScan.withFilter(filter).planFiles().map(_.file.path).toSet
+
+    val byPartition = tasks.filter(t => inScope(t.file.path))
+      .groupBy(_.file.partition.map(String.valueOf).mkString("/"))
+    val selected = byPartition.values.filter { group =>
+      rewriteAll ||
+        group.exists(t => t.posDeletes.nonEmpty || t.eqDeletes.nonEmpty) ||
+        group.count(_.file.fileSize < targetSize) >= minInputFiles
+    }.flatten.toSeq
+    if (selected.isEmpty) return deadOnlyCommit()
+
+    val rewrittenPaths = selected.map(_.file.path).toSet
+    val droppableDeletes = deleteAttachment.collect {
+      case (key, dataPaths) if dataPaths.subsetOf(rewrittenPaths) => key
+    }.toSet
 
     val schema = table.schema
     val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping,

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.core.Expr
+import graft.format.{DataFileContent, ManifestContent, ManifestEntryStatus, Manifests, PartitionSpec}
+import graft.table.{Maintenance, Writer}
+
+/** Equality-delete collection during compaction beyond the full-rewrite
+  * gate (i114): the empty/no-selection table cases and PARTIAL-scope
+  * compaction, where deletes attached to untouched files must survive
+  * while folded and dead ones are collected — the survivor-survey
+  * semantics of the reference's `compaction/eq_delete_decision.go`.
+  */
+class DeadDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val wh = Files.createTempDirectory("graft-deaddel").toString
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private lazy val catalog = new HadoopCatalog(wh)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def eqDeletePaths(t: graft.table.Table): Set[String] =
+    t.metadata.currentSnapshot
+      .map(s => Manifests.readManifestList(s.manifestList)).getOrElse(Nil)
+      .filter(_.content == ManifestContent.Deletes)
+      .flatMap(m => Manifests.readManifest(m.path)._1
+        .filter(_.status != ManifestEntryStatus.Deleted).map(_.file))
+      .filter(_.content == DataFileContent.EqualityDeletes)
+      .map(_.path).toSet
+
+  private def schemaOf(cols: (String, String)*) = {
+    import org.apache.spark.sql.types._
+    graft.core.SchemaBridge.fromSpark(StructType(cols.map {
+      case (n, "bigint") => StructField(n, LongType)
+      case (n, "int") => StructField(n, IntegerType)
+      case (n, _) => StructField(n, StringType)
+    }))
+  }
+
+  test("empty table: dead eq-delete backlog is collected without any scan tasks") {
+    import spark.implicits._
+    var t = catalog.createTable("dd_empty", schemaOf("k" -> "bigint"),
+      PartitionSpec.Unpartitioned)
+    // CDC drain shape: deletes committed against a table that never had
+    // (or no longer has) any data — zero scan tasks, nonzero backlog
+    t = Writer.equalityDelete(spark, t, Seq(1L, 2L).toDF("k"), Seq("k"))
+    t = Writer.equalityDelete(spark, t, Seq(3L).toDF("k"), Seq("k"))
+    val backlog = eqDeletePaths(t).size
+    assert(backlog >= 2)
+    assert(t.newScan.planFiles().isEmpty)
+
+    val res = Maintenance.rewriteDataFiles(spark, t)
+    assert(res.removedDeleteFiles === backlog)
+    assert(res.rewrittenDataFiles === 0 && res.addedDataFiles === 0)
+    assert(eqDeletePaths(res.table).isEmpty)
+    assert(res.table.metadata.currentSnapshot.get.summary("operation") === "replace")
+  }
+
+  test("no group selected: dead delete still collected, live data untouched") {
+    import spark.implicits._
+    var t = catalog.createTable("dd_nosel", schemaOf("k" -> "bigint"),
+      PartitionSpec.Unpartitioned)
+    // dead on arrival: sequences BELOW the data that follows
+    t = Writer.equalityDelete(spark, t, Seq(999L).toDF("k"), Seq("k"))
+    t = Writer.append(spark, t, spark.range(100).toDF("k"))
+    val dataPaths = t.newScan.planFiles().map(_.file.path).toSet
+
+    // one healthy file, no deletes attached → no group selected
+    val res = Maintenance.rewriteDataFiles(spark, t, minInputFiles = 99)
+    assert(res.removedDeleteFiles === 1)
+    assert(res.rewrittenDataFiles === 0)
+    assert(eqDeletePaths(res.table).isEmpty)
+    assert(res.table.newScan.planFiles().map(_.file.path).toSet === dataPaths,
+      "data files untouched by the delete-only commit")
+    assert(graft.table.SparkRead.read(spark, res.table.newScan).count() === 100)
+  }
+
+  test("partial-scope compaction: deletes on untouched partitions survive") {
+    import spark.implicits._
+    val schema = schemaOf("k" -> "bigint", "p" -> "int")
+    val pspec = PartitionSpec.builder(schema).add("p", graft.core.Transforms.Identity).build()
+    var t = catalog.createTable("dd_part", schema, pspec)
+    // dead on arrival (below all data)
+    t = Writer.equalityDelete(spark, t, Seq(999L).toDF("k"), Seq("k"))
+    // sequence-confined attachment: D1 lands between the two appends, so
+    // it reaches only p=0 files; D2 lands after both, reaching all files
+    t = Writer.append(spark, t,
+      spark.range(50).toDF("k").withColumn("p", org.apache.spark.sql.functions.lit(0)))
+    t = Writer.equalityDelete(spark, t, Seq(5L).toDF("k"), Seq("k"))
+    t = Writer.append(spark, t,
+      spark.range(50, 100).toDF("k").withColumn("p", org.apache.spark.sql.functions.lit(1)))
+    t = Writer.equalityDelete(spark, t, Seq(55L).toDF("k"), Seq("k"))
+    assert(eqDeletePaths(t).size === 3)
+
+    // verify the planner's attachment matches the intent
+    val attach = t.newScan.planFiles().flatMap(ft =>
+      ft.eqDeletes.map(e => e._1.path -> ft.file.partition.head)).distinct
+    val attachedParts = attach.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(attachedParts.values.toSet === Set(Set(0), Set(0, 1)),
+      s"D1 reaches only p=0, D2 reaches both: $attachedParts")
+
+    // compact ONLY partition 0
+    val res = Maintenance.rewriteDataFiles(spark, t, rewriteAll = true,
+      filter = Expr.eq("p", 0))
+    val remaining = eqDeletePaths(res.table)
+    // dead one + the p=0-confined D1 collected; D2 (attached to the
+    // untouched p=1 file as well) SURVIVES
+    assert(res.removedDeleteFiles === 2, s"collected 2, kept ${remaining.size}")
+    assert(remaining.size === 1)
+    assert(attachedParts(remaining.head) === Set(0, 1),
+      "the survivor is the delete still applicable to the untouched partition")
+    // and it still applies on read: k=55 stays deleted, k=5 stays deleted
+    // (folded into the rewritten p=0 files)
+    val ks = graft.table.SparkRead.read(spark, res.table.newScan)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(5L) && !ks.contains(55L) && ks.size === 98)
+    // only p=0 was rewritten
+    val partsRewritten = res.table.newScan.planFiles()
+      .filter(ft => ft.file.partition.head == 1).map(_.file.path).toSet
+    val before = t.newScan.planFiles()
+      .filter(ft => ft.file.partition.head == 1).map(_.file.path).toSet
+    assert(partsRewritten === before, "p=1 files untouched")
+  }
+}
