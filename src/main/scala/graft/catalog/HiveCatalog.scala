@@ -63,6 +63,13 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
   private[catalog] def rpc[A](f: IMetaStoreClient => A): A =
     client.synchronized(f(client))
 
+  /** Test-only fault injector around the commit `alter_table` rpc: receives
+    * the real rpc as a thunk and may run it then throw (lost response),
+    * throw without running (failed before apply), or run tampering rpcs —
+    * exercising all three reconciliation outcomes.
+    */
+  @volatile private[graft] var commitAlterHook: (() => Unit) => Unit = f => f()
+
   private[catalog] def split(name: String): (String, String) = {
     val i = name.lastIndexOf('.')
     if (i < 0) ("default", name) else (name.substring(0, i), name.substring(i + 1))
@@ -259,25 +266,54 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
               s"expected version $expectedVersion but found $currentV")
       }
       val newPath = metadataFile(name, expectedVersion + 1, updated.properties)
-      try FileIO.createNoReplace(newPath, graft.table.Locations.encodeMetadata(
-        TableMetadata.toJson(updated), updated.properties))
+      val newBytes = graft.table.Locations.encodeMetadata(
+        TableMetadata.toJson(updated), updated.properties)
+      try FileIO.createNoReplace(newPath, newBytes)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
              _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw new CommitConflict(
-            s"version ${expectedVersion + 1} already staged for $name")
+          // a leftover from a prior unknown-outcome attempt at this same
+          // version: the CAS pre-check above (under the exclusive lock)
+          // proved the pointer is still at the base, so this path is
+          // UNREFERENCED — replacing it cannot invalidate a live pointer,
+          // and a late-applying ghost alter that references it afterwards
+          // lands on metadata describing the same base→v+1 transition
+          FileIO.write(newPath, newBytes)
       }
       try {
-        rpc(_.alter_table(ns, tbl,
-          updateHmsTableForCommit(hms, base, updated, newPath, tableDir(name))))
+        commitAlterHook(() => rpc(_.alter_table(ns, tbl,
+          updateHmsTableForCommit(hms, base, updated, newPath, tableDir(name)))))
       } catch {
         case e: NoSuchObjectException =>
           throw new CommitConflict(s"table $name dropped during commit: ${e.getMessage}")
         case e: Exception =>
-          throw new CommitStateUnknown(
-            s"alter_table failed for $name; state unknown — metadata file " +
-              s"$newPath left in place (orphan cleanup reclaims it if the " +
-              "pointer never moved)", e)
+          // Reconcile before surfacing (the reference stops at surfacing,
+          // hive.go:612-615 — this exceeds it in the safe direction): the
+          // exclusive lock is STILL HELD, so a re-read observes a stable
+          // pointer. Three outcomes:
+          //   pointer == newPath    → the alter applied, response was lost
+          //                           → the commit SUCCEEDED
+          //   pointer == base       → the alter did not apply → retryable
+          //                           (the staged file stays in place; a
+          //                           retry at this version re-stages it)
+          //   anything else / the re-read itself fails (dead channel)
+          //                         → genuinely unknown
+          val observed =
+            try getHmsTable(name).filter(isIcebergTable).flatMap(metadataLocationOf)
+            catch { case _: Exception => None }
+          observed.map(FileIO.canonical) match {
+            case Some(loc) if loc == FileIO.canonical(newPath) =>
+              newPath
+            case Some(loc) if loc == FileIO.canonical(currentLoc) =>
+              throw new CommitConflict(
+                s"alter_table failed for $name before applying " +
+                  s"(pointer still at $currentLoc): ${e.getMessage}")
+            case _ =>
+              throw new CommitStateUnknown(
+                s"alter_table failed for $name; state unknown — metadata file " +
+                  s"$newPath left in place (orphan cleanup reclaims it if the " +
+                  "pointer never moved)", e)
+          }
       }
       newPath
     }

@@ -195,6 +195,59 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("hive_swap")
   }
 
+  test("hive: unknown-outcome alter_table reconciles to success/retry/unknown") {
+    val cat = backends(3)._2.asInstanceOf[graft.catalog.HiveCatalog]
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = cat.createTable("hive_rec", schema, PartitionSpec.Unpartitioned)
+    try {
+      // 1. lost response AFTER apply: the rpc runs, the answer is lost —
+      //    reconciliation observes pointer == new path → commit SUCCEEDED
+      cat.commitAlterHook = { f =>
+        f(); throw new RuntimeException("connection reset by peer")
+      }
+      val p2 = cat.commit("hive_rec", t0.metadata, t0.metadata,
+        expectedVersion = 1, expectedLocation = Some(t0.metadataPath))
+      assert(cat.currentVersion("hive_rec") === Some(2))
+      assert(cat.hmsParameters("default", "hive_rec")
+        .flatMap(_.get("metadata_location")) === Some(p2))
+
+      // 2. failure BEFORE apply: pointer observed at the base → retryable
+      //    CommitConflict, and a plain retry at the SAME version lands over
+      //    the staged leftover file
+      cat.commitAlterHook = { _ => throw new RuntimeException("socket timeout") }
+      val t2 = cat.loadTable("hive_rec")
+      val e = intercept[CommitConflict] {
+        cat.commit("hive_rec", t2.metadata, t2.metadata,
+          expectedVersion = 2, expectedLocation = Some(t2.metadataPath))
+      }
+      assert(e.getMessage.contains("before applying"))
+      assert(cat.currentVersion("hive_rec") === Some(2), "pointer unmoved")
+      cat.commitAlterHook = f => f()
+      cat.commit("hive_rec", t2.metadata, t2.metadata,
+        expectedVersion = 2, expectedLocation = Some(t2.metadataPath))
+      assert(cat.currentVersion("hive_rec") === Some(3))
+
+      // 3. pointer observed at a THIRD location (tampered between apply
+      //    and observation) → genuinely unknown
+      val t3 = cat.loadTable("hive_rec")
+      val elsewhere = s"${t3.metadataPath}.elsewhere"
+      cat.commitAlterHook = { f =>
+        f()
+        cat.forceSetPointer("default", "hive_rec", elsewhere)
+        throw new RuntimeException("connection reset by peer")
+      }
+      val e2 = intercept[graft.catalog.CommitStateUnknown] {
+        cat.commit("hive_rec", t3.metadata, t3.metadata,
+          expectedVersion = 3, expectedLocation = Some(t3.metadataPath))
+      }
+      assert(e2.getMessage.contains("state unknown"))
+    } finally {
+      cat.commitAlterHook = f => f()
+      cat.dropTable("hive_rec")
+    }
+  }
+
   test("hive: concurrent renames into one destination — exactly one wins") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
