@@ -172,7 +172,7 @@ object Manifests {
       df.put("nan_value_counts", kvArray(avroSchema, "nan_value_counts", e.file.nanCounts.map { case (k, v) => k -> Long.box(v) }))
       df.put("lower_bounds", kvArray(avroSchema, "lower_bounds", e.file.lowerBounds.map { case (k, v) => k -> ByteBuffer.wrap(v) }))
       df.put("upper_bounds", kvArray(avroSchema, "upper_bounds", e.file.upperBounds.map { case (k, v) => k -> ByteBuffer.wrap(v) }))
-      df.put("key_metadata", null)
+      df.put("key_metadata", e.file.keyMetadata.map(ByteBuffer.wrap).orNull)
       df.put("split_offsets", if (e.file.splitOffsets.isEmpty) null else e.file.splitOffsets.map(Long.box).asJava)
       df.put("equality_ids", if (e.file.equalityIds.isEmpty) null else e.file.equalityIds.map(Int.box).asJava)
       df.put("sort_order_id", e.file.sortOrderId.map(Int.box).orNull)
@@ -412,6 +412,7 @@ object Manifests {
               _.asInstanceOf[java.util.List[Any]].asScala.map(int).toSeq).getOrElse(Nil),
             sortOrderId = opt(df, "sort_order_id").map(int),
             firstRowId = opt(df, "first_row_id").map(lng),
+            keyMetadata = opt(df, "key_metadata").map(bytes),
             referencedDataFile = opt(df, "referenced_data_file").map(str),
             contentOffset = opt(df, "content_offset").map(lng),
             contentSize = opt(df, "content_size_in_bytes").map(lng),

@@ -99,6 +99,10 @@ final case class DataFile(
     contentSize: Option[Long] = None,
     // v3 row lineage: first _row_id assigned to this file's rows at commit
     firstRowId: Option[Long] = None,
+    // per-file encryption key metadata (manifest field 131): opaque bytes
+    // another engine's encrypting writer stamped; carried losslessly so an
+    // encrypted table's manifests survive our rewrites and the plan wire
+    keyMetadata: Option[Array[Byte]] = None,
     // provenance, not manifest payload: the spec this file's partition tuple
     // was written under (tagged from the manifest header on read) — lets the
     // task codec reject a file whose literals would decode under the wrong

@@ -40,6 +40,11 @@ object ScanTaskJson {
     case "data" => DataFileContent.Data
     case "position-deletes" => DataFileContent.PositionDeletes
     case "equality-deletes" => DataFileContent.EqualityDeletes
+    // legacy Java enum spellings (reference
+    // TestDecodeScanTasksAcceptsLegacyJavaContentValues)
+    case "DATA" => DataFileContent.Data
+    case "POSITION_DELETES" => DataFileContent.PositionDeletes
+    case "EQUALITY_DELETES" => DataFileContent.EqualityDeletes
     case other => throw new IllegalArgumentException(s"unknown content: $other")
   }
 
@@ -208,6 +213,7 @@ object ScanTaskJson {
       val a = o.putArray("split-offsets"); f.splitOffsets.foreach(a.add)
     }
     f.sortOrderId.foreach(o.put("sort-order-id", _))
+    f.keyMetadata.foreach(km => o.put("key-metadata", hex(km)))
     if (f.content == DataFileContent.Data) {
       f.firstRowId.foreach(o.put("first-row-id", _))
       countMap(mapper, o, "column-sizes", f.columnSizes)
@@ -242,7 +248,10 @@ object ScanTaskJson {
     DataFile(
       content = contentId(o.get("content").asText()),
       path = o.get("file-path").asText(),
-      format = o.get("file-format").asText(),
+      // the Java parser writes FileFormat.name() (PARQUET); the Go encoder
+      // emits lowercase — normalize to our uppercase convention so format
+      // dispatch (PUFFIN DVs) works for either peer
+      format = o.get("file-format").asText().toUpperCase,
       partition = part,
       recordCount = o.get("record-count").asLong(),
       fileSize = o.get("file-size-in-bytes").asLong(),
@@ -262,6 +271,8 @@ object ScanTaskJson {
       contentOffset = optLong("content-offset"),
       contentSize = optLong("content-size-in-bytes"),
       firstRowId = optLong("first-row-id"),
+      keyMetadata = Option(o.get("key-metadata")).filterNot(_.isNull)
+        .map(n => unhex(n.asText())),
       specId = Some(specId))
   }
 
@@ -329,7 +340,15 @@ object ScanTaskJson {
           referenced(r) = true
         }
         val refFiles = refs.map(deletes)
-        val (eq, pos) = refFiles.partition(_.content == DataFileContent.EqualityDeletes)
+        val (eq, posRaw) = refFiles.partition(_.content == DataFileContent.EqualityDeletes)
+        // a puffin DV referenced by exactly this task may omit its
+        // referenced-data-file — the target is implied (reference
+        // TestDecodeScanTasksDerivesDeletionVectorTargetWhenOmitted)
+        val pos = posRaw.map { d =>
+          if (d.format == "PUFFIN" && d.referencedDataFile.isEmpty)
+            d.copy(referencedDataFile = Some(df.path))
+          else d
+        }
         FileScanTask(df, dataSequence = 0L, posDeletes = pos,
           eqDeletes = eq.map(f => (f, 1L)), specId = df.specId.getOrElse(0))
       }

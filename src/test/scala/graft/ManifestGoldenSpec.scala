@@ -610,6 +610,24 @@ class ManifestGoldenSpec extends AnyFunSuite {
       Manifests.readManifest(s"$dir/u.avro")._1.map(_.file.path))
   }
 
+  test("per-file key_metadata (field 131) survives the manifest round trip") {
+    import graft.core._
+    val schema = IcebergSchema(Seq(
+      NestedField(1, "x", IcebergTypes.IntT, required = false)), schemaId = 0)
+    val dir = Files.createTempDirectory("graft-keymeta").toString
+    val km = Array[Byte](0x0a, 0x0b, 0x7f, 0xff.toByte)
+    Manifests.writeManifest(s"$dir/m.avro", Seq(
+      ManifestEntry(1, Some(1L), Some(1L), Some(1L),
+        DataFile(0, "/data/enc.parquet", "PARQUET", Nil, 10L, 1000L,
+          keyMetadata = Some(km))),
+      ManifestEntry(1, Some(1L), Some(1L), Some(1L),
+        DataFile(0, "/data/plain.parquet", "PARQUET", Nil, 10L, 1000L))),
+      schema, PartitionSpec.Unpartitioned, 1L)
+    val (entries, _) = Manifests.readManifest(s"$dir/m.avro")
+    assert(entries.head.file.keyMetadata.get.sameElements(km))
+    assert(entries(1).file.keyMetadata.isEmpty)
+  }
+
   test("v3 first_row_id inheritance assigns running ids, skipping deleted entries") {
     import graft.core._
     val schema = IcebergSchema(Seq(

@@ -135,6 +135,152 @@ class ScanTaskJsonSpec extends AnyFunSuite {
     assert(out(1).eqDeletes.map(_._1.equalityIds) === Seq(Seq(2)))
   }
 
+  // ---- reference-authored fixtures ----------------------------------------
+  // The payload JSON below is transcribed VERBATIM from the reference
+  // decoder's own test corpus (catalog/rest/scan_task_decoder_test.go:35-97
+  // TestDecodeScanTasksFullPayload) — the fixture IS the spec; our client
+  // must decode it to the same FileScanTask the Go decoder produces.
+
+  private val refSchema = IcebergSchema(Seq(
+    NestedField(1, "id", IcebergTypes.LongT, required = true),
+    NestedField(2, "category", IcebergTypes.StringT, required = false),
+    NestedField(3, "event_date", IcebergTypes.DateT, required = false),
+    NestedField(4, "amount", IcebergTypes.DecimalT(9, 2), required = false),
+    NestedField(5, "code", IcebergTypes.FixedT(4), required = false),
+    NestedField(6, "event_time", IcebergTypes.TimestampTzNsT, required = false),
+    NestedField(7, "score", IcebergTypes.DoubleT, required = false),
+    NestedField(8, "lower_int", IcebergTypes.IntT, required = false),
+    NestedField(9, "upper_int", IcebergTypes.IntT, required = false)), schemaId = 10)
+  private val refSpec = PartitionSpec.builder(refSchema, specId = 7)
+    .add("id", Transforms.Identity, "id_part")
+    .add("event_date", Transforms.Identity, "date_part")
+    .add("code", Transforms.Identity, "code_part").build()
+  private def refSpecById(id: Int): Option[PartitionSpec] =
+    if (id == 7) Some(refSpec) else None
+
+  private val refFullPayload = """{
+		"file-scan-tasks": [{
+			"data-file": {
+				"spec-id": 7,
+				"partition": [34, "2026-07-17", "78797A21"],
+				"content": "data",
+				"file-path": "s3://bucket/table/data.parquet",
+				"file-format": "parquet",
+				"file-size-in-bytes": 4096,
+				"record-count": 100,
+				"key-metadata": "0A0B",
+				"split-offsets": [4, 128],
+				"sort-order-id": 3,
+				"first-row-id": 99,
+				"column-sizes": {"keys": [1, 2], "values": [800, 1200]},
+				"value-counts": {"keys": [1, 2], "values": [100, 100]},
+				"null-value-counts": {"keys": [1, 2], "values": [0, 1]},
+				"nan-value-counts": {"keys": [7], "values": [2]},
+				"lower-bounds": {
+					"keys": [8, 9],
+					"values": ["01000000", "02000000"]
+				},
+				"upper-bounds": {
+					"keys": [8, 9],
+					"values": ["05000000", "0A000000"]
+				}
+			},
+			"delete-file-references": [0, 1, 2],
+			"residual-filter": {"type": "eq", "term": "id", "value": 34}
+		}],
+		"delete-files": [
+			{
+				"spec-id": 7,
+				"partition": [34, "2026-07-17", "78797A21"],
+				"content": "position-deletes",
+				"file-path": "s3://bucket/table/pos-delete.parquet",
+				"file-format": "parquet",
+				"file-size-in-bytes": 512,
+				"record-count": 5
+			},
+			{
+				"spec-id": 7,
+				"partition": [34, "2026-07-17", "78797A21"],
+				"content": "equality-deletes",
+				"file-path": "s3://bucket/table/eq-delete.parquet",
+				"file-format": "parquet",
+				"file-size-in-bytes": 256,
+				"record-count": 3,
+				"equality-ids": [1, 2]
+			},
+			{
+				"spec-id": 7,
+				"partition": [34, "2026-07-17", "78797A21"],
+				"content": "position-deletes",
+				"file-path": "s3://bucket/table/deletes.puffin",
+				"file-format": "puffin",
+				"file-size-in-bytes": 1024,
+				"record-count": 7,
+				"referenced-data-file": "s3://bucket/table/data.parquet",
+				"content-offset": 25,
+				"content-size-in-bytes": 50
+			}
+		]
+	}"""
+
+  test("reference full-payload fixture decodes to the Go decoder's FileScanTask") {
+    val tasks = ScanTaskJson.readTasks(mapper.readTree(refFullPayload),
+      refSpecById, refSchema)
+    assert(tasks.size === 1)
+    val task = tasks.head
+    val f = task.file
+    assert(f.path === "s3://bucket/table/data.parquet")
+    assert(f.fileSize === 4096L && f.recordCount === 100L)
+    // partition: long identity 34, date "2026-07-17" → epoch day 20651,
+    // fixed[4] hex → the raw bytes "xyz!"
+    assert(f.partition(0) === 34L)
+    assert(f.partition(1) === 20651)
+    assert(f.partition(2).asInstanceOf[Array[Byte]]
+      .sameElements("xyz!".getBytes("UTF-8")))
+    assert(f.keyMetadata.get.sameElements(Array[Byte](0x0a, 0x0b)))
+    assert(f.splitOffsets === Seq(4L, 128L))
+    assert(f.sortOrderId === Some(3))
+    assert(f.firstRowId === Some(99L))
+    assert(f.columnSizes === Map(1 -> 800L, 2 -> 1200L))
+    assert(f.valueCounts === Map(1 -> 100L, 2 -> 100L))
+    assert(f.nullCounts === Map(1 -> 0L, 2 -> 1L))
+    assert(f.nanCounts === Map(7 -> 2L))
+    // bounds are hexadecimal RAW Iceberg binary, not typed JSON values
+    assert(f.lowerBounds(8).sameElements(Array[Byte](1, 0, 0, 0)))
+    assert(f.lowerBounds(9).sameElements(Array[Byte](2, 0, 0, 0)))
+    assert(f.upperBounds(8).sameElements(Array[Byte](5, 0, 0, 0)))
+    assert(f.upperBounds(9).sameElements(Array[Byte](10, 0, 0, 0)))
+    // three referenced deletes: parquet pos-delete, eq-delete, puffin DV
+    assert(task.posDeletes.map(_.path).toSet === Set(
+      "s3://bucket/table/pos-delete.parquet", "s3://bucket/table/deletes.puffin"))
+    assert(task.eqDeletes.map(_._1.path) === Seq("s3://bucket/table/eq-delete.parquet"))
+    assert(task.eqDeletes.head._1.equalityIds === Seq(1, 2))
+    val dv = task.posDeletes.find(_.format == "PUFFIN").get
+    assert(dv.referencedDataFile === Some("s3://bucket/table/data.parquet"))
+    assert(dv.contentOffset === Some(25L) && dv.contentSize === Some(50L))
+  }
+
+  test("legacy Java content spellings accepted (reference decoder contract)") {
+    // reference TestDecodeScanTasksAcceptsLegacyJavaContentValues
+    val doc = mapper.readTree(refFullPayload
+      .replace("\"content\": \"data\"", "\"content\": \"DATA\"")
+      .replace("\"content\": \"position-deletes\"", "\"content\": \"POSITION_DELETES\"")
+      .replace("\"content\": \"equality-deletes\"", "\"content\": \"EQUALITY_DELETES\""))
+    val tasks = ScanTaskJson.readTasks(doc, refSpecById, refSchema)
+    assert(tasks.size === 1)
+    assert(tasks.head.posDeletes.size === 2 && tasks.head.eqDeletes.size === 1)
+  }
+
+  test("puffin DV without referenced-data-file derives the task's target") {
+    // reference TestDecodeScanTasksDerivesDeletionVectorTargetWhenOmitted
+    val doc = mapper.readTree(refFullPayload.replace(
+      "\"referenced-data-file\": \"s3://bucket/table/data.parquet\",\n", ""))
+    assert(!doc.get("delete-files").get(2).has("referenced-data-file"))
+    val tasks = ScanTaskJson.readTasks(doc, refSpecById, refSchema)
+    val dv = tasks.head.posDeletes.find(_.format == "PUFFIN").get
+    assert(dv.referencedDataFile === Some("s3://bucket/table/data.parquet"))
+  }
+
   test("wire errors: out-of-range and unreferenced delete entries rejected") {
     val o = mapper.createObjectNode()
     val df = DataFile(DataFileContent.Data, "/data/a.parquet", "PARQUET",
