@@ -165,6 +165,30 @@ object Bench {
     if (taintAtStart.nonEmpty)
       System.err.println(s"[bench] WARNING: run is TAINTED — live foreign JVMs: ${taintAtStart.map(_._2).mkString("; ")}")
 
+    // hermetic scratch: prior sessions leave GBs of warehouse/fixture
+    // debris under target/ that measurably shifts IO-sensitive gates
+    // (BENCH_NOTES_r13: 2.6 GB of graft-wh debris moved i35 ~8%). Remove
+    // it BEFORE the warmup — never during timing — so every run measures
+    // against the same filesystem state. This run's own fixtures land in
+    // fresh UUID dirs underneath and are reaped by the NEXT run.
+    locally {
+      val t0 = System.nanoTime()
+      val target = new java.io.File("/root/repo/target")
+      val debris = Option(target.listFiles()).getOrElse(Array.empty).filter { f =>
+        val n = f.getName
+        n == "graft-wh" || n.startsWith("probe-import-") ||
+          n.startsWith("add-files-") || n.startsWith("hive-import-") ||
+          n.startsWith("snap-import-")
+      }
+      def treeSize(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(treeSize).sum
+      val bytes = debris.map(treeSize).sum
+      debris.foreach(d => graft.io.FileIO.deleteTree(d.getPath))
+      System.err.println(f"[bench] scratch reap: ${debris.length} roots, " +
+        f"${bytes / 1e6}%.0f MB, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
     // warm-up: JVM/codegen + build shared iceberg fixtures outside the loop
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()

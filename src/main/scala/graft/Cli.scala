@@ -19,7 +19,7 @@ import graft.table.{Evolve, Inspect, Maintenance}
 object Cli {
 
   private val usage =
-    """usage: Cli (<warehouse-uri> | --catalog <name> [--config <path>]) <command> ...
+    """usage: Cli (<warehouse-uri> | --catalog <name> [--config <path>]) [--output json] <command> ...
       |  list
       |  describe|snapshots|files|partitions|refs|info <table>
       |  schema <table> [--show-defaults]
@@ -66,8 +66,29 @@ object Cli {
         System.err.println(usage)
         sys.exit(2)
     }
+    // --output json: machine-readable output with the reference CLI's JSON
+    // field names (cmd/iceberg/output.go jsonOutput) so scripts written
+    // against the reference parse ours unchanged; default stays text
+    val outputJson = {
+      val i = rest.indexOf("--output")
+      if (i >= 0 && rest.length > i + 1) {
+        val mode = rest(i + 1)
+        rest = rest.patch(i, Nil, 2)
+        mode == "json"
+      } else false
+    }
     if (rest.isEmpty) { System.err.println(usage); sys.exit(2) }
     val command :: cargs = rest: @unchecked
+
+    lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def metaNode(t: graft.table.Table): com.fasterxml.jackson.databind.JsonNode =
+      mapper.readTree(graft.format.TableMetadata.toJson(t.metadata))
+    def findById(arr: com.fasterxml.jackson.databind.JsonNode, idField: String,
+        id: Long): com.fasterxml.jackson.databind.JsonNode = {
+      val it = arr.elements()
+      while (it.hasNext) { val n = it.next(); if (n.get(idField).asLong() == id) return n }
+      mapper.nullNode()
+    }
 
     lazy val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -77,8 +98,33 @@ object Cli {
       .getOrCreate()
 
     command match {
+      case "list" if outputJson =>
+        // reference jsonOutput.Identifiers: {"identifiers":[["ns","tbl"],…]}
+        val root = mapper.createObjectNode()
+        val ids = root.putArray("identifiers")
+        cat.listTables().foreach { n =>
+          val id = ids.addArray(); n.split('.').foreach(id.add); ()
+        }
+        println(mapper.writeValueAsString(root))
       case "list" =>
         cat.listTables().foreach(println)
+      case "describe" if outputJson =>
+        // reference jsonOutput.DescribeTable field names
+        val t = cat.loadTable(cargs(0))
+        val m = metaNode(t)
+        val root = mapper.createObjectNode()
+        root.set[com.fasterxml.jackson.databind.JsonNode]("metadata", m)
+        root.put("metadata-location", t.metadataPath)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("sort-order",
+          findById(m.get("sort-orders"), "order-id", m.get("default-sort-order-id").asLong()))
+        root.set[com.fasterxml.jackson.databind.JsonNode]("current-snapshot",
+          t.metadata.currentSnapshotId.map(id =>
+            findById(m.get("snapshots"), "snapshot-id", id)).getOrElse(mapper.nullNode()))
+        root.set[com.fasterxml.jackson.databind.JsonNode]("spec",
+          findById(m.get("partition-specs"), "spec-id", m.get("default-spec-id").asLong()))
+        root.set[com.fasterxml.jackson.databind.JsonNode]("schema",
+          findById(m.get("schemas"), "schema-id", m.get("current-schema-id").asLong()))
+        println(mapper.writeValueAsString(root))
       case "describe" =>
         val t = cat.loadTable(cargs(0))
         println(s"table: ${t.name}")
@@ -91,6 +137,12 @@ object Cli {
         println(s"partition-spec: ${t.spec.fields.map(f => s"${f.name}=${f.transform.name}").mkString(", ")}")
         println(s"refs: ${t.metadata.refs.map { case (n, r) => s"$n=${r.snapshotId}(${r.refType})" }.mkString(", ")}")
         println(s"properties: ${t.metadata.properties}")
+      case "schema" if outputJson =>
+        // reference jsonOutput.Schema: the raw schema JSON object
+        val t = cat.loadTable(cargs(0))
+        val m = metaNode(t)
+        println(mapper.writeValueAsString(
+          findById(m.get("schemas"), "schema-id", m.get("current-schema-id").asLong())))
       case "schema" =>
         // reference SchemaCmd [--show-defaults] (cmd/iceberg/schema_defaults.go)
         val showDefaults = cargs.contains("--show-defaults")
@@ -105,9 +157,20 @@ object Cli {
           }
           println(base + defaults)
         }
+      case "spec" if outputJson =>
+        // reference jsonOutput.Spec: the raw partition-spec JSON object
+        val t = cat.loadTable(cargs(0))
+        val m = metaNode(t)
+        println(mapper.writeValueAsString(
+          findById(m.get("partition-specs"), "spec-id", m.get("default-spec-id").asLong())))
       case "spec" =>
         cat.loadTable(cargs(0)).spec.fields.foreach(f =>
           println(s"  ${f.fieldId}: ${f.name}: ${f.transform.name}(${f.sourceId})"))
+      case "uuid" if outputJson =>
+        // reference jsonOutput.Uuid: {"uuid":"…"}
+        val root = mapper.createObjectNode()
+        root.put("uuid", cat.loadTable(cargs(0)).metadata.tableUuid)
+        println(mapper.writeValueAsString(root))
       case "uuid" =>
         println(cat.loadTable(cargs(0)).metadata.tableUuid)
       case "location" =>
@@ -132,6 +195,19 @@ object Cli {
       case "properties" =>
         val t = cat.loadTable(cargs(1))
         cargs(0) match {
+          case "get" if outputJson =>
+            if (cargs.length > 2) {
+              // reference jsonOutput.Text: {"data":"…"}
+              val root = mapper.createObjectNode()
+              root.put("data", t.metadata.properties.getOrElse(cargs(2), ""))
+              println(mapper.writeValueAsString(root))
+            } else {
+              // reference jsonOutput.DescribeProperties: the raw props map
+              val root = mapper.createObjectNode()
+              t.metadata.properties.toSeq.sortBy(_._1)
+                .foreach { case (k, v) => root.put(k, v) }
+              println(mapper.writeValueAsString(root))
+            }
           case "get" =>
             if (cargs.length > 2)
               println(t.metadata.properties.getOrElse(cargs(2), ""))
@@ -191,6 +267,19 @@ object Cli {
         println(s"removed ${removed.size} orphan files")
       case "snapshots" =>
         Inspect.snapshots(spark, cat.loadTable(cargs(0))).show(100, truncate = false)
+      case "files" if outputJson =>
+        // reference jsonOutput.Files: {"snapshot":{…}} for the current
+        // snapshot, {"snapshots":[…]} with --history
+        val t = cat.loadTable(cargs(0))
+        val m = metaNode(t)
+        val root = mapper.createObjectNode()
+        if (cargs.contains("--history"))
+          root.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", m.get("snapshots"))
+        else
+          root.set[com.fasterxml.jackson.databind.JsonNode]("snapshot",
+            t.metadata.currentSnapshotId.map(id =>
+              findById(m.get("snapshots"), "snapshot-id", id)).getOrElse(mapper.nullNode()))
+        println(mapper.writeValueAsString(root))
       case "files" =>
         Inspect.files(spark, cat.loadTable(cargs(0))).show(100, truncate = false)
       case "partitions" =>

@@ -1697,6 +1697,27 @@ object IcebergQueries {
         run(uri, "partition-stats", "region_ren").contains("snapshot"),
         run(uri, "clean-orphan-files", "region_ren",
           (System.currentTimeMillis() + 60000).toString).contains("orphan"),
+        // --output json: shapes pinned to the reference CLI's jsonOutput
+        // field names (cmd/iceberg/output.go:253-360) so scripts written
+        // against the reference parse ours unchanged
+        { val j = run(uri, "--output", "json", "list")
+          j.contains("\"identifiers\":[[") && j.contains("region_ren") },
+        { val j = run(uri, "--output", "json", "describe", "region_ren")
+          Seq("\"metadata\":", "\"metadata-location\":", "\"sort-order\":",
+            "\"current-snapshot\":", "\"spec\":", "\"schema\":").forall(j.contains) },
+        { val j = run(uri, "--output", "json", "files", "region_ren")
+          j.contains("\"snapshot\":") && j.contains("manifest-list") },
+        run(uri, "--output", "json", "files", "region_ren", "--history")
+          .contains("\"snapshots\":["),
+        run(uri, "--output", "json", "uuid", "region_ren")
+          .trim.matches("""\{"uuid":"[0-9a-f-]{36}"\}"""),
+        { run(uri, "properties", "set", "region_ren", "owner2", "x")
+          run(uri, "--output", "json", "properties", "get", "region_ren")
+            .contains("\"owner2\":\"x\"") },
+        run(uri, "--output", "json", "properties", "get", "region_ren", "owner2")
+          .trim == """{"data":"x"}""",
+        { val j = run(uri, "--output", "json", "schema", "region_ren")
+          j.contains("\"fields\":[") && j.contains("r_name") },
         { val src = s"${cat.loadTable("region_ren").location}/data"
           val any = graft.table.Writer.listParquet(src).headOption
           any.exists { p =>

@@ -95,29 +95,30 @@ object ScaleCurve {
       })
   }
 
-  def buildFixture(spark: SparkSession, src: String, out: String): Unit = {
+  def buildFixture(spark: SparkSession, src: String, out: String,
+      factor: Int = 10): Unit = {
     val fs = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(fs.resolve("_SUCCESS_SCALE10"))) return
+    if (java.nio.file.Files.exists(fs.resolve(s"_SUCCESS_SCALE$factor"))) return
     java.nio.file.Files.createDirectories(fs)
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docs10 = (0 until 10).map { k =>
+    val docsN = (0 until factor).map { k =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
       if (k == 0) d
       // perturb text so copies are near-dups at realistic rates, not
-      // 10-way exact duplicates that would distort dedup group sizes
+      // N-way exact duplicates that would distort dedup group sizes
       else d.withColumn("text", concat(col("text"), lit(s" c$k")))
         .withColumn("n_chars", col("n_chars") + lit(3L))
     }.reduce(_ unionByName _)
-    docs10.repartition(32).write.mode("overwrite")
+    docsN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
-    val embs10 = (0 until 10).map { k =>
+    val embsN = (0 until factor).map { k =>
       val e = embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
       if (k == 0) e
       else e.withColumn("embedding",
         transform(col("embedding"), x => x + lit(k * 1e-4f)))
     }.reduce(_ unionByName _)
-    embs10.repartition(32).write.mode("overwrite")
+    embsN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
     // remaining tables: symlink to the source fixture
     val srcDir = java.nio.file.Paths.get(src)
@@ -127,7 +128,7 @@ object ScaleCurve {
       if (!java.nio.file.Files.exists(target))
         java.nio.file.Files.createSymbolicLink(target, p)
     }
-    java.nio.file.Files.write(fs.resolve("_SUCCESS_SCALE10"),
+    java.nio.file.Files.write(fs.resolve(s"_SUCCESS_SCALE$factor"),
       Array.emptyByteArray)
   }
 
@@ -145,11 +146,19 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildFixture(spark, src, out)
+    // third scale point for the steepest curves: distinguishes the one-off
+    // shuffle-constant step (ratio flattens toward linear) from a genuine
+    // super-linear term (ratio keeps rising faster than data)
+    val out30 = out + "_30"
+    val ThirdPoint = Set("t7_minhash_clusters", "s13_kmeans_twolevel",
+      "i87_eqdelete_antijoin")
+    buildFixture(spark, src, out30, factor = 30)
 
-    def timed(run: () => DataFrame): Double = {
+    def timed(run: () => DataFrame): (Double, Map[String, String]) = {
+      graft.metrics.ScaleTelemetry.drain() // clear stale window
       val t0 = System.nanoTime()
       run().write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, graft.metrics.ScaleTelemetry.drain())
     }
     val defs: Seq[(String, String => () => DataFrame)] =
       graft.SparkEntry.all.filter(q => Ops.contains(q.name)).map { qd =>
@@ -160,20 +169,39 @@ object ScaleCurve {
           }
         }
       } ++ customOps(spark)
+    final case class Point(sec: Double, tele: Map[String, String])
+    def minPoint(a: Point, b: Point): Point = if (a.sec <= b.sec) a else b
     val results = defs.map { case (name, mk) =>
-      def runAt(dir: String): () => DataFrame = mk(dir)
+      def measure(dir: String, warm: Boolean): Point = {
+        val r = mk(dir)
+        if (warm) timed(r)
+        val (s1, m1) = timed(r); val (s2, m2) = timed(r)
+        minPoint(Point(s1, m1), Point(s2, m2))
+      }
       // warm codegen/JIT on the small scale, then min of 2 reps per scale
-      val r1 = runAt(src)
-      timed(r1)
-      val t1x = math.min(timed(r1), timed(r1))
-      val r10 = runAt(out)
-      val t10x = math.min(timed(r10), timed(r10))
-      val ratio = t10x / t1x
-      System.err.println(f"[scale] $name%-24s 1x=$t1x%6.2fs 10x=$t10x%6.2fs ratio=$ratio%5.2f")
-      (name, t1x, t10x, ratio)
+      val p1 = measure(src, warm = true)
+      val p10 = measure(out, warm = false)
+      val p30 = if (ThirdPoint(name)) Some(measure(out30, warm = false)) else None
+      val ratio = p10.sec / p1.sec
+      val r30 = p30.map(_.sec / p1.sec)
+      System.err.println(f"[scale] $name%-24s 1x=${p1.sec}%6.2fs " +
+        f"10x=${p10.sec}%6.2fs ratio=$ratio%5.2f" +
+        r30.map(r => f" 30x=${p30.get.sec}%6.2fs ratio30=$r%5.2f").getOrElse(""))
+      (name, p1, p10, p30, ratio, r30)
     }
-    val json = results.map { case (n, a, b, r) =>
-      f""""$n":{"t1x_sec":$a%.3f,"t10x_sec":$b%.3f,"ratio":$r%.2f}"""
+    def teleJson(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+    val json = results.map { case (n, p1, p10, p30, r, r30) =>
+      val third = (p30, r30) match {
+        case (Some(p), Some(rr)) =>
+          f""","t30x_sec":${p.sec}%.3f,"ratio30":$rr%.2f,"tele_30x":${teleJson(p.tele)}"""
+        case _ => ""
+      }
+      val tele =
+        if (p1.tele.isEmpty && p10.tele.isEmpty) ""
+        else s""","tele_1x":${teleJson(p1.tele)},"tele_10x":${teleJson(p10.tele)}"""
+      f""""$n":{"t1x_sec":${p1.sec}%.3f,"t10x_sec":${p10.sec}%.3f,"ratio":$r%.2f$third$tele}"""
     }.mkString("{\"metric\":\"scale_curve\",\"sf1x\":\"" + src + "\",", ",", "}")
     println(json)
     spark.stop()
