@@ -86,16 +86,51 @@ class MetaObjects(warehouse: String) extends ViewStore {
     v
   }
 
-  /** Appends a new current version (version history preserved, the
-    * reference's view-metadata-builder semantics, `view/metadata_builder.go`).
+  /** Appends a new current version (the reference's view-metadata-builder
+    * semantics, `view/metadata_builder.go`): an identical definition REUSES
+    * its existing version id instead of appending (reuseOrCreateNewVersionID
+    * `:502-513`); a replace that drops a dialect fails unless
+    * `replace.drop-dialect.allowed` (`Build` + checkIfDialectIsDropped);
+    * history is trimmed to `version.history.num-entries` (default 10) with
+    * the current version never expired (expireVersions).
     */
   override def replaceViewVersioned(name: String, version: ViewVersion): ViewMetadata = {
     val cur = loadView(name)
-    val nextId = cur.versions.map(_.versionId).max + 1
-    val v = cur.copy(
-      versions = cur.versions :+ version.copy(versionId = nextId),
-      currentVersionId = nextId,
-      metadataSeq = cur.metadataSeq + 1)
+    def dialectOf(d: String) = d.trim.toLowerCase
+    val curV = cur.currentVersion
+    if (dialectOf(curV.dialect) != dialectOf(version.dialect) &&
+        !cur.properties.get("replace.drop-dialect.allowed").exists(_.toBoolean))
+      throw new IllegalArgumentException(
+        "dropping dialects is not enabled for this view " +
+        s"(replace.drop-dialect.allowed=false): previous dialects: " +
+        s"[${curV.dialect}], new dialects: [${version.dialect}]")
+
+    // definition equality ignores versionId and timestamp, like Version.Equals
+    def sameDef(a: ViewVersion, b: ViewVersion): Boolean =
+      a.sql == b.sql && dialectOf(a.dialect) == dialectOf(b.dialect) &&
+        a.defaultCatalog == b.defaultCatalog &&
+        a.defaultNamespace == b.defaultNamespace &&
+        a.schemaJson == b.schemaJson &&
+        a.queryColumnNames == b.queryColumnNames &&
+        a.columnAliases == b.columnAliases &&
+        a.columnComments == b.columnComments
+
+    val v = cur.versions.find(sameDef(_, version)) match {
+      case Some(dup) =>
+        cur.copy(currentVersionId = dup.versionId, metadataSeq = cur.metadataSeq + 1)
+      case None =>
+        val nextId = cur.versions.map(_.versionId).max + 1
+        val appended = cur.versions :+ version.copy(versionId = nextId)
+        val keep = cur.properties.get("version.history.num-entries")
+          .flatMap(_.toIntOption).getOrElse(10)
+        require(keep >= 1,
+          s"version.history.num-entries must be positive, found $keep")
+        val retained =
+          if (appended.size <= keep) appended
+          else appended.sortBy(-_.versionId).take(keep).sortBy(_.versionId)
+        cur.copy(versions = retained, currentVersionId = nextId,
+          metadataSeq = cur.metadataSeq + 1)
+    }
     writeView(v)
     v
   }

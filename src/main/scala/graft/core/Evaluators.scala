@@ -123,8 +123,9 @@ object Evaluators {
         byName.get(ref) match {
           case None => true
           case Some((s, ft)) => predMightMatch(op, lits, ft,
-            lower = s.lowerBound.map(Literals.decode(ft, _)),
-            upper = s.upperBound.map(Literals.decode(ft, _)),
+            // malformed (wrong-length) bounds degrade to no-bound → keep
+            lower = s.lowerBound.flatMap(Literals.decodeChecked(ft, _)),
+            upper = s.upperBound.flatMap(Literals.decodeChecked(ft, _)),
             mayNull = s.containsNull,
             mayNan = s.containsNan.getOrElse(true),
             allNull = !s.lowerBound.isDefined && s.containsNull,
@@ -211,8 +212,9 @@ object Evaluators {
               case _ => false
             }
             predMightMatch(op, lits, ft,
-              lower = f.lowerBounds.get(id).map(Literals.decode(ft, _)),
-              upper = f.upperBounds.get(id).map(Literals.decode(ft, _)),
+              // malformed (wrong-length) bounds degrade to no-bound → keep
+              lower = f.lowerBounds.get(id).flatMap(Literals.decodeChecked(ft, _)),
+              upper = f.upperBounds.get(id).flatMap(Literals.decodeChecked(ft, _)),
               mayNull = nullCount.forall(_ > 0),
               mayNan = nanCount.forall(_ > 0),
               allNull = allNull, allNan = allNan)
@@ -260,7 +262,9 @@ object Evaluators {
             val ft = field.fieldType
             val bounds = scala.util.Try {
               def ap(b: Array[Byte]) =
-                tr.apply(Transforms.valueFor(tr, Literals.decode(ft, b), ft), srcType)
+                tr.apply(Transforms.valueFor(tr, Literals.decodeChecked(ft, b)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"malformed bound for $ft")), ft), srcType)
               (f.lowerBounds.get(id).map(ap), f.upperBounds.get(id).map(ap))
             }
             bounds.toOption.forall { case (lo, up) =>
@@ -419,7 +423,9 @@ object Evaluators {
             if (!noNulls || !noNans) false
             else scala.util.Try {
               def ap(b: Array[Byte]) =
-                tr.apply(Transforms.valueFor(tr, Literals.decode(ft, b), ft), srcType)
+                tr.apply(Transforms.valueFor(tr, Literals.decodeChecked(ft, b)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"malformed bound for $ft")), ft), srcType)
               (f.lowerBounds.get(id).map(ap), f.upperBounds.get(id).map(ap))
             }.toOption.exists { case (lo, up) =>
               transformedMustMatch(op, lits, lo, up)
@@ -458,8 +464,10 @@ object Evaluators {
               case FloatT | DoubleT => nanCount.contains(0L)
               case _ => true
             }
-            val lower = f.lowerBounds.get(id).map(Literals.decode(ft, _))
-            val upper = f.upperBounds.get(id).map(Literals.decode(ft, _))
+            // a malformed bound can't PROVE anything: decode to None, and
+            // every strict rule's `.exists` collapses to not-proven
+            val lower = f.lowerBounds.get(id).flatMap(Literals.decodeChecked(ft, _))
+            val upper = f.upperBounds.get(id).flatMap(Literals.decodeChecked(ft, _))
             def cmpLower(v: Any): Option[Int] = lower.map(l => Literals.compare(ft, l, v))
             def cmpUpper(v: Any): Option[Int] = upper.map(u => Literals.compare(ft, u, v))
 

@@ -48,6 +48,31 @@ object Literals {
     case other => throw new IllegalArgumentException(s"cannot encode $other")
   }
 
+  /** Length-validated decode for stats-pruning paths (reference
+    * `table/evaluators_invalid_bounds_test.go`: a bound whose byte length
+    * is wrong for its type — a corrupt manifest or a buggy external
+    * committer — must degrade to "no bound", never to a silently-misread
+    * value that prunes live data). Returns None when the bytes cannot be a
+    * spec encoding of `t`; widened encodings that real promotion produces
+    * (int-width bounds on long/double columns) stay accepted.
+    */
+  def decodeChecked(t: IcebergType, bytes: Array[Byte]): Option[Any] = {
+    if (bytes == null) return None
+    val lengthOk = t match {
+      case BooleanT => bytes.length == 1
+      case IntT | DateT | FloatT => bytes.length == 4
+      case LongT | TimeT | TimestampT | TimestampTzT | TimestampNsT |
+           TimestampTzNsT | DoubleT =>
+        bytes.length == 8 || bytes.length == 4 // 4 = pre-promotion bound
+      case UuidT => bytes.length == 16
+      case FixedT(n) => bytes.length == n
+      case DecimalT(_, _) => bytes.length >= 1
+      case _ => true
+    }
+    if (!lengthOk) None
+    else scala.util.Try(decode(t, bytes)).toOption
+  }
+
   def decode(t: IcebergType, bytes: Array[Byte]): Any = {
     if (bytes == null) return null
     t match {

@@ -507,12 +507,32 @@ final class RestCatalog(baseUriRaw: String,
       }
       http.send(req.build(), HttpResponse.BodyHandlers.ofString())
     }
-    val resp = send()
-    // expired/revoked token: refresh once and retry (reference refresh-on-401)
-    if (resp.statusCode() == 401 && credential.isDefined) {
-      bearer = Some(fetchToken())
-      send()
-    } else resp
+    def sendAuthed(): HttpResponse[String] = {
+      val resp = send()
+      // expired/revoked token: refresh once and retry (reference refresh-on-401)
+      if (resp.statusCode() == 401 && credential.isDefined) {
+        bearer = Some(fetchToken())
+        send()
+      } else resp
+    }
+    // 429/503 are the REST spec's transient-backpressure answers; the
+    // reference captures status + Retry-After into its error for the caller
+    // to honor (catalog/rest TestHandleNon200_CapturesStatusAndRetryAfter).
+    // We honor it here: bounded retries sleeping the server-named seconds
+    // (capped — a misbehaving server must not wedge the client) or a short
+    // exponential default when the header is absent.
+    var resp = sendAuthed()
+    var attempt = 0
+    while ((resp.statusCode() == 429 || resp.statusCode() == 503) && attempt < 3) {
+      val waitMs = Option(resp.headers().firstValue("Retry-After").orElse(null))
+        .flatMap(_.trim.toLongOption).filter(_ >= 0)
+        .map(s => math.min(s, 10L) * 1000L)
+        .getOrElse(250L << attempt)
+      Thread.sleep(waitMs)
+      resp = sendAuthed()
+      attempt += 1
+    }
+    resp
   }
 
   private def errMsg(resp: HttpResponse[String]): String =

@@ -1307,11 +1307,35 @@ object Writer {
       globalDeleteSpec: Boolean = false,
       stageOnly: Boolean = false): Table = {
     val props = table.metadata.properties
-    def propLong(k: String, d: Long): Long = props.get(k).map(_.toLong).getOrElse(d)
-    val maxRetries = propLong("commit.retry.num-retries", 4L).toInt
-    val minWait = propLong("commit.retry.min-wait-ms", 100L)
-    val maxWait = propLong("commit.retry.max-wait-ms", 60000L)
-    val deadline = System.currentTimeMillis() + propLong("commit.retry.total-timeout-ms", 1800000L)
+    // retry-config validation (reference `table/table.go:878-935`
+    // readRetryConfig): unparseable/negative spellings fall back to the
+    // default, zero waits take the default, and outright-unsafe values — a
+    // count beyond uint32, a duration that overflows the backoff arithmetic,
+    // min > max — are rejected before the first attempt instead of crashing
+    // a later Thread.sleep mid-retry with data already staged
+    val maxRetryDurationMs = Long.MaxValue / 1000000L // ns-representable ms
+    def propRaw(k: String): Option[Long] = props.get(k).flatMap(_.toLongOption)
+    def propDur(k: String, d: Long): Long = propRaw(k) match {
+      case Some(v) if v <= 0 => d
+      case Some(v) =>
+        require(v <= maxRetryDurationMs,
+          s"invalid retry property $k=$v: exceeds maximum duration of $maxRetryDurationMs ms")
+        v
+      case None => d
+    }
+    val maxRetries = propRaw("commit.retry.num-retries") match {
+      case Some(v) if v < 0 => 4
+      case Some(v) =>
+        require(v <= 0xFFFFFFFFL,
+          s"invalid retry property commit.retry.num-retries=$v: exceeds the maximum")
+        math.min(v, Int.MaxValue.toLong).toInt
+      case None => 4
+    }
+    val minWait = propDur("commit.retry.min-wait-ms", 100L)
+    val maxWait = propDur("commit.retry.max-wait-ms", 60000L)
+    require(minWait <= maxWait,
+      s"invalid retry properties: min-wait-ms $minWait exceeds max-wait-ms $maxWait")
+    val deadline = System.currentTimeMillis() + propDur("commit.retry.total-timeout-ms", 1800000L)
 
     val t0 = System.nanoTime()
     var t = table
@@ -1329,8 +1353,15 @@ object Writer {
       } catch {
         case _: graft.catalog.CommitConflict
             if attempt < maxRetries && System.currentTimeMillis() < deadline =>
-          val backoff = math.min(maxWait, minWait << math.min(attempt, 16))
-          Thread.sleep((backoff * (0.75 + 0.5 * scala.util.Random.nextDouble())).toLong)
+          // exponential backoff clamped to maxWait, shift capped so the
+          // arithmetic can't overflow, jitter floored at minWait so
+          // concurrent writers don't all sample ~0 and retry in lockstep
+          // (reference backoffDuration, table.go:937-980)
+          val shift = math.min(attempt, 62)
+          val ceiling =
+            if (minWait > (maxRetryDurationMs >> shift)) maxWait
+            else math.min(maxWait, minWait << shift)
+          Thread.sleep(minWait + scala.util.Random.nextLong(ceiling - minWait + 1))
           attempt += 1
           t = t.refresh()
       }

@@ -51,6 +51,42 @@ class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       t2.metadata.currentSnapshot.get.parentSnapshotId.get)
   }
 
+  // reference `table/table.go:878-935` readRetryConfig: junk retry
+  // properties must not crash a later Thread.sleep mid-retry — negatives
+  // and unparseable values fall back to defaults; unsafe values (overflow
+  // durations, min > max, count beyond uint32) reject up front
+  test("retry properties: negatives default, unsafe values reject up front") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+
+    // negative + unparseable spellings: commit succeeds on defaults
+    val ok = catalog.createTable("cc_retry_ok", schema, PartitionSpec.Unpartitioned,
+      properties = Map("commit.retry.min-wait-ms" -> "-5",
+        "commit.retry.num-retries" -> "junk",
+        "commit.retry.total-timeout-ms" -> "0"))
+    val t1 = Writer.append(spark, ok, nation)
+    assert(SparkRead.read(spark, t1.newScan).count() === 25)
+
+    // min > max: rejected before any attempt
+    val minMax = catalog.createTable("cc_retry_minmax", schema,
+      PartitionSpec.Unpartitioned,
+      properties = Map("commit.retry.min-wait-ms" -> "5000",
+        "commit.retry.max-wait-ms" -> "10"))
+    intercept[IllegalArgumentException](Writer.append(spark, minMax, nation))
+
+    // duration beyond the representable backoff range: rejected
+    val tooLong = catalog.createTable("cc_retry_dur", schema,
+      PartitionSpec.Unpartitioned,
+      properties = Map("commit.retry.max-wait-ms" -> Long.MaxValue.toString))
+    intercept[IllegalArgumentException](Writer.append(spark, tooLong, nation))
+
+    // count beyond uint32: rejected
+    val tooMany = catalog.createTable("cc_retry_count", schema,
+      PartitionSpec.Unpartitioned,
+      properties = Map("commit.retry.num-retries" -> "4294967296"))
+    intercept[IllegalArgumentException](Writer.append(spark, tooMany, nation))
+  }
+
   test("racing appends both land (one wins CAS, one rebases)") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)

@@ -132,4 +132,40 @@ class DeadDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(ft => ft.file.partition.head == 1).map(_.file.path).toSet
     assert(partsRewritten === before, "p=1 files untouched")
   }
+
+  // reference `table/dv_rewrite_test.go`
+  // TestRewriteDataFilesPreservesSiblingDeletionVector: a partial rewrite
+  // folds the in-scope files' DVs and drops them, but a DV attached to an
+  // out-of-scope sibling file must survive the commit and keep applying.
+  test("partial-scope compaction preserves sibling deletion vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val schema = schemaOf("k" -> "bigint", "p" -> "int")
+    val pspec = PartitionSpec.builder(schema).add("p", graft.core.Transforms.Identity).build()
+    var t = catalog.createTable("dd_dv", schema, pspec)
+    t = graft.table.Evolve.upgradeFormatVersion(t, 3)
+    t = Writer.append(spark, t, spark.range(50).toDF("k").withColumn("p", lit(0)))
+    t = Writer.append(spark, t, spark.range(50, 100).toDF("k").withColumn("p", lit(1)))
+    // one DV per partition's file
+    t = Writer.deleteWhereDV(spark, t, Expr.eq("k", 5L))
+    t = Writer.deleteWhereDV(spark, t, Expr.eq("k", 55L))
+    def dvs(x: graft.table.Table): Map[String, Set[String]] =
+      x.newScan.planFiles()
+        .flatMap(ft => ft.posDeletes.filter(_.format == "PUFFIN")
+          .map(d => d.path -> ft.file.partition.head.toString))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(dvs(t).nonEmpty && dvs(t).values.flatten.toSet === Set("0", "1"))
+    val p1Dvs = dvs(t).collect { case (p, parts) if parts == Set("1") => p }.toSet
+    assert(p1Dvs.nonEmpty, "a DV attached to the p=1 sibling exists")
+
+    val res = Maintenance.rewriteDataFiles(spark, t, rewriteAll = true,
+      filter = Expr.eq("p", 0))
+    val after = dvs(res.table)
+    assert(after.keySet === p1Dvs, s"only the sibling DV survives: $after")
+    // both deletes still hold: p=0's was folded into the rewrite, p=1's
+    // still applies through its surviving DV
+    val ks = graft.table.SparkRead.read(spark, res.table.newScan)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(5L) && !ks.contains(55L) && ks.size === 98)
+  }
 }

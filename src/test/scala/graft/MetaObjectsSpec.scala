@@ -45,6 +45,51 @@ class MetaObjectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!objects.viewExists("top_nations"))
   }
 
+  // reference `view/metadata_builder.go` semantics: identical-definition
+  // dedup (TestAddVersion_Deduplication), the dialect-drop guard
+  // (TestDroppingDialectFailsByDefault / DoesNotFailWhenAllowed), and
+  // version-history retention with the current version never expired
+  // (TestViewVersionHistoryIsCorrectlyRetained).
+  test("view replace: dedup, dialect-drop guard, history retention") {
+    import graft.catalog.ViewVersion
+    objects.createView("vb", "SELECT 1 AS a")
+
+    // replace with a NEW definition appends; replacing BACK with the
+    // original definition reuses version 1 instead of appending a third
+    objects.replaceView("vb", "SELECT 2 AS a")
+    val deduped = objects.replaceView("vb", "SELECT 1 AS a")
+    assert(deduped.versions.map(_.versionId) === Seq(1, 2))
+    assert(deduped.currentVersionId === 1)
+
+    // dropping the spark dialect for trino fails by default...
+    val err = intercept[IllegalArgumentException](
+      objects.replaceViewVersioned("vb",
+        ViewVersion(0, 1L, "SELECT 3 AS a", dialect = "trino")))
+    assert(err.getMessage.contains("replace.drop-dialect.allowed"))
+    // ...and is allowed once the property opts in
+    objects.updateViewProperties("vb", Map("replace.drop-dialect.allowed" -> "true"))
+    val trino = objects.replaceViewVersioned("vb",
+      ViewVersion(0, 1L, "SELECT 3 AS a", dialect = "trino"))
+    assert(trino.currentVersion.dialect === "trino")
+
+    // retention: with num-entries=3, old versions expire; current survives
+    objects.updateViewProperties("vb",
+      Map("version.history.num-entries" -> "3"))
+    var last = trino
+    for (i <- 10 to 15)
+      last = objects.replaceViewVersioned("vb",
+        ViewVersion(0, 1L, s"SELECT $i AS a", dialect = "trino"))
+    assert(last.versions.size === 3)
+    assert(last.versions.map(_.versionId).max === last.currentVersionId)
+    assert(last.currentVersion.sql === "SELECT 15 AS a")
+
+    // invalid retention rejects
+    objects.updateViewProperties("vb", Map("version.history.num-entries" -> "0"))
+    intercept[IllegalArgumentException](objects.replaceViewVersioned("vb",
+      ViewVersion(0, 1L, "SELECT 99 AS a", dialect = "trino")))
+    objects.dropView("vb")
+  }
+
   test("view declarations are runnable through spark.sql") {
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
       .createOrReplaceTempView("nation")

@@ -88,6 +88,43 @@ class MorDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // reference `table/mor_delete_pruning_test.go`: a MoR DELETE whose filter
+  // prunes a leading parquet row group must still delete the right PHYSICAL
+  // rows — a dense position counter over surviving groups would target the
+  // wrong row. Our positions come from Spark's `_metadata.row_index`, which
+  // is generated from parquet footer row-group offsets, so pruned groups
+  // don't shift it; this pins that end-to-end on both the write side (delete
+  // generation) and the read side (delete application under a row-group-
+  // pruning residual filter).
+  test("MoR DELETE across pruned row groups targets physical positions") {
+    spark.sql("""CREATE TABLE g.rg (k BIGINT, pad STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read',
+                     'write.parquet.row-group-size-bytes' = '4096')""")
+    // sorted single file -> tight per-row-group k ranges -> stats prune
+    spark.sql("""INSERT INTO g.rg
+      SELECT /*+ COALESCE(1) */ id, repeat('x', 64) FROM range(8000) ORDER BY id""")
+    val files = dataFilePaths("rg")
+    assert(files.size === 1, s"test needs one data file, got ${files.size}")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(files.head))
+    assert(footer.getBlocks.size() > 1,
+      s"test needs >1 row groups, got ${footer.getBlocks.size()}")
+
+    // matches only the LAST row group; the candidate scan prunes the rest
+    spark.sql("DELETE FROM g.rg WHERE k = 7997")
+
+    assert(spark.sql("SELECT count(*) FROM g.rg").head.getLong(0) === 7999)
+    assert(spark.sql("SELECT count(*) FROM g.rg WHERE k = 7997").head.getLong(0) === 0)
+    // the dense-counter victim (same position counted over surviving groups
+    // only) would be a low id — it must survive
+    assert(spark.sql("SELECT count(*) FROM g.rg WHERE k < 10").head.getLong(0) === 10)
+    // read side: a filter that prunes leading row groups still applies the
+    // delete to the right physical row
+    assert(spark.sql("SELECT count(*) FROM g.rg WHERE k >= 7000")
+      .head.getLong(0) === 999)
+  }
+
   test("MoR UPDATE deletes old positions and inserts new rows") {
     spark.sql("""CREATE TABLE g.mu (k BIGINT, v STRING)
       TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""")

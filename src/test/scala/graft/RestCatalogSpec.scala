@@ -560,4 +560,48 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       hc.unset(GatedFileSystem.TokenKey)
     }
   }
+
+  // the REST spec's transient-backpressure answers (reference
+  // TestHandleNon200_CapturesStatusAndRetryAfter): 429 honors the server's
+  // Retry-After seconds, 503 without the header takes a short default
+  // backoff; both resolve transparently for the caller
+  test("429/503 with Retry-After are retried transparently") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String,
+        headers: Map[String, String] = Map.empty): Unit = {
+      headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    srv.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val p = ex.getRequestURI.getPath
+        val n: Int = counts.merge(p, 1, (a, b) => a + b)
+        p match {
+          case "/v1/config" =>
+            if (n == 1) reply(ex, 429,
+              """{"error":{"message":"slow down","type":"SlowDown","code":429}}""",
+              Map("Retry-After" -> "0"))
+            else reply(ex, 200, """{"defaults":{},"overrides":{}}""")
+          case "/v1/namespaces" =>
+            if (n == 1) reply(ex, 503, "")
+            else reply(ex, 200, """{"namespaces":[["nsx"]]}""")
+          case other if other.startsWith("/v1/namespaces/nsx/tables") =>
+            reply(ex, 200, """{"identifiers":[]}""")
+          case _ => reply(ex, 404, "")
+        }
+      }
+    })
+    srv.start()
+    try {
+      val c = new RestCatalog(s"http://127.0.0.1:${srv.getAddress.getPort}")
+      assert(c.listTables() === Seq.empty)
+      assert(counts.get("/v1/config") === 2, "config retried after 429")
+      assert(counts.get("/v1/namespaces") === 2, "namespaces retried after 503")
+    } finally srv.stop(0)
+  }
 }
