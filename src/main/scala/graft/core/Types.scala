@@ -210,6 +210,18 @@ final case class IcebergSchema(
 object SchemaBridge {
   val FieldIdKey = "parquet.field.id"
 
+  /** v3 reserved row-lineage columns (reference `metadata_columns.go:41-52`):
+    * a lineage-preserving rewrite materializes them as real parquet columns
+    * under these reserved field ids; readers prefer the explicit value and
+    * synthesize `first_row_id + pos` only where it is null.
+    */
+  val RowIdCol = "_row_id"
+  val RowIdFieldId = 2147483540
+  val LastUpdatedSeqCol = "_last_updated_sequence_number"
+  val LastUpdatedSeqFieldId = 2147483539
+  val LineageCols: Seq[(String, Int)] =
+    Seq(RowIdCol -> RowIdFieldId, LastUpdatedSeqCol -> LastUpdatedSeqFieldId)
+
   def toSparkType(t: IcebergType): DataType = t match {
     case IcebergTypes.BooleanT => BooleanType
     case IcebergTypes.IntT => IntegerType

@@ -96,7 +96,12 @@ final case class TableMetadata(
     */
   def snapshotAsOf(timestampMs: Long): Option[Snapshot] = {
     val eligible = snapshotLog.filter(_.timestampMs <= timestampMs)
-    eligible.lastOption.flatMap(e => snapshotById(e.snapshotId))
+    // log entries can sit out of chronological order under commit clock
+    // skew; take the greatest eligible timestamp — not the last list
+    // position — with the FIRST entry winning ties (reference
+    // snapshotLogEntryAsOf, snapshots.go:427-446)
+    eligible.reduceOption((a, b) => if (b.timestampMs > a.timestampMs) b else a)
+      .flatMap(e => snapshotById(e.snapshotId))
   }
 }
 

@@ -134,6 +134,25 @@ object Puffin {
     } finally in.close()
   }
 
+  /** Read a deletion-vector-v1 blob through its FOOTER metadata — the route
+    * a foreign engine's Puffin file takes (reference
+    * `puffin/puffin_reader.go` ReadDV + `dv_header_validation_test.go`):
+    * the v3 spec pins a DV blob's snapshot-id and sequence-number to -1, so
+    * any other value means a non-conformant writer — reject rather than
+    * guess (snapshot-id checked first, matching the reference's order), and
+    * verify the payload cardinality against the footer's property.
+    */
+  def readDv(path: String, meta: BlobMetadata): PositionBitmap = {
+    require(meta.blobType == DeletionVector.BlobType,
+      s"not a deletion vector blob: ${meta.blobType}")
+    require(meta.snapshotId == -1L,
+      s"deletion vector blob must carry snapshot-id -1, got ${meta.snapshotId}")
+    require(meta.sequenceNumber == -1L,
+      s"deletion vector blob must carry sequence-number -1, got ${meta.sequenceNumber}")
+    val card = meta.properties.get("cardinality").flatMap(_.toLongOption).getOrElse(-1L)
+    DeletionVector.deserialize(readBlob(path, meta), card)
+  }
+
   def readBlob(path: String, meta: BlobMetadata): Array[Byte] =
     graft.io.FileIO.readRange(path, meta.offset, meta.length.toInt)
 }

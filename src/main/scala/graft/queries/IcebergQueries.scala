@@ -863,8 +863,10 @@ object IcebergQueries {
       val name = s"rl_${UUID.randomUUID().toString.take(8)}"
       val n = tbl(s, dir, "nation")
       val schema = SchemaBridge.fromSpark(n.schema)
-      val t1 = Writer.append(s, cat.createTable(name, schema, PartitionSpec.Unpartitioned),
-        n.filter(col("n_nationkey") % 2 === 0))
+      // lineage is a v3 feature — the scan REJECTS withRowLineage below v3
+      val t0 = graft.table.Evolve.upgradeFormatVersion(
+        cat.createTable(name, schema, PartitionSpec.Unpartitioned), 3)
+      val t1 = Writer.append(s, t0, n.filter(col("n_nationkey") % 2 === 0))
       val t2 = Writer.append(s, t1, n.filter(col("n_nationkey") % 2 =!= 0))
       () => SparkRead.read(s, t2.newScan.withRowLineage)
         .groupBy(col("_last_updated_sequence_number").as("seq"))

@@ -78,17 +78,24 @@ final class GraftDeltaOperation(table: GraftTable, cmd: Command)
         // block by partition (NULLS_FIRST puts it first, one contiguous
         // run per partition → close-on-change fanout), with `_pos` last —
         // still strictly ascending within each file's delete block.
+        // A pure DELETE's delta rows carry ONLY (operation, _file, _pos) —
+        // no data columns exist to evaluate partition transforms over, and
+        // demanding them fails analysis ("unable to resolve <part col>").
+        // Deletes need no fanout anyway: every row of a file shares its
+        // partition, so _file alone already groups them correctly.
         import org.apache.spark.sql.connector.expressions.{Expressions => VE}
+        private def fanout =
+          if (cmd == Command.DELETE) Nil
+          else GraftBatchWrites.clusteringTransforms(table).toSeq
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            (VE.column(SpjTable.FileColumnName) +:
-              GraftBatchWrites.clusteringTransforms(table).toSeq).toArray)
+            (VE.column(SpjTable.FileColumnName) +: fanout).toArray)
         override def requiredOrdering():
             Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           (VE.sort(VE.column(SpjTable.FileColumnName),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING) +:
-            GraftBatchWrites.clusteringTransforms(table).toSeq.map(t =>
+            fanout.map(t =>
               VE.sort(t,
                 org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) :+
             VE.sort(VE.column(SpjTable.PosColumnName),

@@ -230,21 +230,101 @@ object Evolve {
     * UnionByNameWith): new names become new optional columns with fresh ids;
     * existing names must be promotion-compatible; nothing is dropped.
     */
+  /** Merge an incoming schema into the table's by name — the
+    * `mergeSchema`-on-write contract (reference UnionByName,
+    * `table/update_schema.go` + its test matrix). One new schema version
+    * carries every change:
+    *
+    *  - missing columns (at ANY nesting depth — struct fields, list
+    *    elements, map values) are ADDED with fresh field ids, top-level
+    *    adds always optional;
+    *  - compatible type changes PROMOTE (int→long, float→double, decimal
+    *    precision widening), including list elements and map values;
+    *  - NARROWING incoming types are IGNORED (the table stays wider) —
+    *    re-writing old data with a narrower frame is not evolution;
+    *  - an optional incoming field RELAXES a required one; a required
+    *    incoming field never tightens an optional one;
+    *  - a non-empty incoming doc replaces; an absent doc never clears;
+    *  - map KEY changes reject (key ids are join identity), except a
+    *    narrowing incoming key which is ignored; cross-kind changes and
+    *    invalid promotions reject;
+    *  - an identical incoming schema is a NO-OP (no new schema version).
+    */
   def unionByName(table: Table, incoming: IcebergSchema): Table = {
-    var t = table
-    incoming.fields.foreach { in =>
-      t.metadata.schema.findField(in.name) match {
-        case None =>
-          t = addColumn(t, in.name, in.fieldType)
-        case Some(cur) if cur.fieldType == in.fieldType => // already compatible
-        case Some(cur) if IcebergTypes.promotable(cur.fieldType, in.fieldType) =>
-          t = promoteColumn(t, in.name, in.fieldType)
-        case Some(cur) =>
-          throw new IllegalArgumentException(
-            s"incompatible types for ${in.name}: ${cur.fieldType} vs ${in.fieldType}")
-      }
+    val meta = table.metadata
+    val schema = meta.schema
+    var nextId = meta.lastColumnId
+    def freshId(): Int = { nextId += 1; nextId }
+
+    // fresh ids for an entirely-new incoming subtree, parent before children
+    def retype(t: IcebergType): IcebergType = t match {
+      case IcebergTypes.StructT(fs) => IcebergTypes.StructT(fs.map { f =>
+        val id = freshId()
+        f.copy(id = id, fieldType = retype(f.fieldType))
+      })
+      case IcebergTypes.ListT(_, et, ereq) =>
+        val id = freshId()
+        IcebergTypes.ListT(id, retype(et), ereq)
+      case IcebergTypes.MapT(_, kt, _, vt, vreq) =>
+        val kid = freshId(); val vid = freshId()
+        IcebergTypes.MapT(kid, retype(kt), vid, retype(vt), vreq)
+      case leaf => leaf
     }
-    t
+
+    def mergeFields(cur: Seq[NestedField], in: Seq[NestedField],
+        path: String): Seq[NestedField] = {
+      val merged = cur.map { c =>
+        in.find(_.name == c.name) match {
+          case None => c
+          case Some(i) =>
+            val p = if (path.isEmpty) c.name else s"$path.${c.name}"
+            c.copy(
+              fieldType = mergeType(c.fieldType, i.fieldType, p),
+              doc = i.doc.filter(_.nonEmpty).orElse(c.doc),
+              required = c.required && i.required)
+        }
+      }
+      val added = in.filterNot(i => cur.exists(_.name == i.name)).map { i =>
+        NestedField(freshId(), i.name, retype(i.fieldType), required = false,
+          i.doc, i.initialDefault, i.writeDefault)
+      }
+      merged ++ added
+    }
+
+    def mergeType(cur: IcebergType, in: IcebergType, path: String): IcebergType =
+      (cur, in) match {
+        case (a, b) if a == b => a
+        case (IcebergTypes.StructT(cf), IcebergTypes.StructT(inf)) =>
+          IcebergTypes.StructT(mergeFields(cf, inf, path))
+        case (IcebergTypes.ListT(eid, et, ereq), IcebergTypes.ListT(_, iet, ireq)) =>
+          IcebergTypes.ListT(eid, mergeType(et, iet, s"$path.element"),
+            ereq && ireq)
+        case (IcebergTypes.MapT(kid, kt, vid, vt, vreq),
+              IcebergTypes.MapT(_, ikt, _, ivt, ivreq)) =>
+          // key ids are equality/join identity: widening the key rejects,
+          // a NARROWER incoming key is ignored (table keeps the wider key)
+          if (kt != ikt && !IcebergTypes.promotable(ikt, kt))
+            throw new IllegalArgumentException(
+              s"cannot alter map key type of $path: $kt vs $ikt")
+          IcebergTypes.MapT(kid, kt, vid,
+            mergeType(vt, ivt, s"$path.value"), vreq && ivreq)
+        case (a, b) if IcebergTypes.promotable(a, b) => b // widen
+        case (a, b) if IcebergTypes.promotable(b, a) => a // narrowing: ignore
+        case (a, b) =>
+          throw new IllegalArgumentException(
+            s"incompatible types for $path: $a vs $b")
+      }
+
+    val mergedFields = mergeFields(schema.fields, incoming.fields, "")
+    if (mergedFields == schema.fields) return table // identical → no-op
+    val newSchema = IcebergSchema(mergedFields,
+      schemaId = meta.schemas.map(_.schemaId).max + 1,
+      identifierFieldIds = schema.identifierFieldIds)
+    commitMetadata(table, meta.copy(
+      lastColumnId = nextId,
+      currentSchemaId = newSchema.schemaId,
+      schemas = meta.schemas :+ newSchema,
+      lastUpdatedMs = System.currentTimeMillis()))
   }
 
   /** Remove partition fields from the default spec by name: v2 semantics

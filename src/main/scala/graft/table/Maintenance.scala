@@ -32,11 +32,15 @@ object Maintenance {
     * bin-packing parallelism comes from Spark's own write tasks, so the
     * operator scales with cluster width, not file count on the driver.
     *
-    * Known limitation: rewritten files receive fresh first_row_id blocks,
-    * so v3 `_row_id` values are NOT stable across compaction (preserving
-    * them requires materializing the lineage column into rewritten files,
-    * as the reference's arrow path does). Consumers needing stable row ids
-    * should pin a snapshot.
+    * v3 row lineage is PRESERVED across compaction when every file in the
+    * rewrite scope carries it: the read pipeline synthesizes each row's
+    * `_row_id` / `_last_updated_sequence_number` and the writer
+    * materializes them as explicit parquet columns under the reserved
+    * field ids — the read rule is explicit-column-wins, so the fresh
+    * first_row_id blocks the commit still assigns are ignored row-wise
+    * (Java's accounting; reference `rewrite_data_files.go:330-390`,
+    * `snapshot_producers.go:1224-1231`). Mixed scopes (legacy files from
+    * before a v3 upgrade) degrade gracefully: lineage drops for the group.
     */
   /** `zorderBy`: non-empty = re-cluster the rewritten rows on a Morton
     * (z-order) key over the named columns before writing — range
@@ -129,8 +133,23 @@ object Maintenance {
     }.toSet
 
     val schema = table.schema
+    // v3 row-lineage preservation (reference rewrite_data_files.go:330-390):
+    // when EVERY selected file carries lineage, read with _row_id /
+    // _last_updated_sequence_number synthesized and write them through as
+    // explicit columns — row ids stay stable across compaction. A MIXED
+    // group (legacy files from before a v3 upgrade) degrades gracefully:
+    // preserving would emit nulls beside real ids in one output file,
+    // violating per-file uniqueness, so lineage drops for the whole group.
+    val preserveLineage = table.metadata.formatVersion >= 3 &&
+      selected.nonEmpty && selected.forall(_.file.firstRowId.isDefined)
+    if (!preserveLineage && table.metadata.formatVersion >= 3 &&
+        selected.exists(_.file.firstRowId.isDefined))
+      System.err.println("[compaction] mixed row lineage in rewrite scope; " +
+        "dropping _row_id on output (" +
+        s"${selected.count(_.file.firstRowId.isDefined)} lineage / " +
+        s"${selected.count(_.file.firstRowId.isEmpty)} legacy files)")
     val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping,
-      specById = table.metadata.specById)
+      rowLineage = preserveLineage, specById = table.metadata.specById)
     // the actual bin-pack: output partition count sized so each lands near
     // target (coalesce merges read splits without a shuffle; the writer's
     // calibrated maxRecordsPerFile still rolls any partition that runs

@@ -27,6 +27,11 @@ object SparkRead {
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // a requested field id absent from a file reads NULL — the Iceberg
+    // absent-column semantic (defaults fill afterwards). Also what lets the
+    // lineage read request the reserved _row_id id against files that never
+    // materialized it.
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     // shredded-layout variant interop: files written with the spec's
     // typed_value shredding (by us or another engine) must reconstruct into
     // VariantType transparently (default true; pinned for robustness)
@@ -150,8 +155,19 @@ object SparkRead {
       specById: Int => Option[graft.format.PartitionSpec] = _ => None,
       ioOptions: Map[String, String] = Map.empty): DataFrame = {
     {
+      // lineage-preserving rewrites materialize _row_id /
+      // _last_updated_sequence_number as REAL parquet columns under the
+      // reserved field ids; request them so explicit values win over
+      // synthesis (files without the columns read null — the synth path)
+      val lineageScanSchema =
+        if (!rowLineage) readSchema
+        else StructType(readSchema.fields ++ SchemaBridge.LineageCols.map {
+          case (n, id) => StructField(n, org.apache.spark.sql.types.LongType,
+            nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
+        })
       var df =
-        if (idsPresent) spark.read.options(ioOptions).schema(readSchema)
+        if (idsPresent) spark.read.options(ioOptions).schema(lineageScanSchema)
           .parquet(groupTasks.map(_.file.path): _*)
         else {
           val nm = nameMapping.get
@@ -245,18 +261,25 @@ object SparkRead {
 
       if (rowLineage) {
         // v3 lineage synthesis (reference table/arrow_scanner.go:896-984):
-        // _row_id = file first_row_id + position, _last_updated_sequence_
-        // number = data sequence. A broadcast JOIN against the per-file
-        // lineage frame (bounded: one row per scanned file) instead of a
-        // Scala UDF keeps the stage inside whole-stage codegen; evaluated
-        // after deletes so surviving rows keep their original positions.
+        // an EXPLICIT _row_id / _last_updated_sequence_number value read
+        // from the file (a lineage-preserving rewrite materialized it) WINS;
+        // where it is null, synthesize first_row_id + position / data
+        // sequence. A broadcast JOIN against the per-file lineage frame
+        // (bounded: one row per scanned file) instead of a Scala UDF keeps
+        // the stage inside whole-stage codegen; evaluated after deletes so
+        // surviving rows keep their original positions.
         import spark.implicits._
+        if (!df.columns.contains(SchemaBridge.RowIdCol))
+          df = df.withColumn(SchemaBridge.RowIdCol, lit(null).cast("long"))
+            .withColumn(SchemaBridge.LastUpdatedSeqCol, lit(null).cast("long"))
         val lm = groupTasks.flatMap(t =>
           t.file.firstRowId.map(fr => (t.file.path, fr, t.dataSequence)))
         val lmDf = broadcast(lm.toDF("__lineage_file", "__first_row_id", "__lineage_seq"))
         df = df.join(lmDf, col("__file") === col("__lineage_file"), "left")
-          .withColumn("_row_id", col("__first_row_id") + col("__pos"))
-          .withColumn("_last_updated_sequence_number", col("__lineage_seq"))
+          .withColumn(SchemaBridge.RowIdCol,
+            coalesce(col(SchemaBridge.RowIdCol), col("__first_row_id") + col("__pos")))
+          .withColumn(SchemaBridge.LastUpdatedSeqCol,
+            coalesce(col(SchemaBridge.LastUpdatedSeqCol), col("__lineage_seq")))
           .drop("__lineage_file", "__first_row_id", "__lineage_seq")
       }
 

@@ -107,7 +107,15 @@ final case class Scan(
     * `_last_updated_sequence_number` (reference `metadata_columns.go:40-128`,
     * synthesis `table/arrow_scanner.go:896-984`).
     */
-  def withRowLineage: Scan = copy(rowLineage = true)
+  def withRowLineage: Scan = {
+    // lineage columns exist only in the v3 data model; on v1/v2 every
+    // file's first_row_id is absent and the projection would silently
+    // yield nulls — reject instead (reference
+    // TestProjectionRowLineageRejectedOnV1V2)
+    require(table.metadata.formatVersion >= 3,
+      s"row lineage requires format version 3, table is v${table.metadata.formatVersion}")
+    copy(rowLineage = true)
+  }
 
   /** Snapshot resolution: explicit id > as-of timestamp > ref > current. */
   def snapshot: Option[Snapshot] = {
@@ -139,8 +147,18 @@ final case class Scan(
     table.refreshIoCredentials()
     val snap = snapshot.getOrElse(return (Nil, ScanMetrics()))
     val meta = table.metadata
-    val schema = meta.schemaById(snap.schemaId.getOrElse(meta.currentSchemaId))
-      .getOrElse(meta.schema)
+    // time-travel prunes with the SNAPSHOT's schema: current-schema bounds
+    // decoding over renamed/promoted columns mis-prunes history. A recorded
+    // but unknown schema-id is corrupt metadata — fail closed rather than
+    // silently plan with the wrong schema (reference
+    // TestTimeTravelUnknownSnapshotSchemaIDErrors); absent schema-id (old
+    // v1 writers) keeps the current-schema fallback.
+    val schema = snap.schemaId match {
+      case Some(sid) => meta.schemaById(sid).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot ${snap.snapshotId} references unknown schema-id $sid"))
+      case None => meta.schema
+    }
     val boundFilter = Expr.bindNames(Expr.rewriteNot(filter), schema, caseSensitive)
     // fail fast on references no schema field satisfies (reference
     // ExtractFieldIDs' unbound panic, visitors.go:524-526): a typo'd column

@@ -659,6 +659,19 @@ object Writer {
     // synthesizes them as null)
     val unknownNames = schema.fields
       .filter(_.fieldType == graft.core.IcebergTypes.UnknownT).map(_.name).toSet
+    // lineage-preserving rewrites carry _row_id /
+    // _last_updated_sequence_number through the write as REAL parquet
+    // columns under the v3 reserved field ids (reference
+    // rewrite_data_files.go WithPreserveRowLineage): readers prefer these
+    // explicit values over synthesis, which is what makes row ids stable
+    // across compaction
+    val lineagePassThrough = SchemaBridge.LineageCols
+      .filter { case (n, _) => df.columns.contains(n) }
+      .map { case (n, id) =>
+        col(n).cast(org.apache.spark.sql.types.LongType).as(n,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
+      }
     val aligned = df.select(sparkSchema.fields
       .filterNot(f => unknownNames.contains(f.name)).map { f =>
         val base =
@@ -666,7 +679,7 @@ object Writer {
           else lit(schema.fields.find(_.name == f.name)
             .flatMap(_.writeDefault).orNull)
         base.cast(f.dataType).as(f.name, f.metadata)
-      }: _*)
+      } ++ lineagePassThrough: _*)
 
     val tmpDir = s"${table.location}/tmp-append-${UUID.randomUUID()}"
     val partColNames = spec.fields.map(pf => s"__part_${pf.name}")
@@ -899,7 +912,11 @@ object Writer {
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"write schema is missing table column(s): ${missing.map(_.name).mkString(", ")}")
+    // the reserved lineage columns are legitimate pass-through on rewrite
+    // paths (writeDataFiles materializes them under the reserved field ids)
+    val reserved = SchemaBridge.LineageCols.map(_._1).toSet
     val unknown = incoming.keys.filterNot(tableNames.contains)
+      .filterNot(reserved.contains)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"write schema has column(s) not in the table: ${unknown.mkString(", ")}")
@@ -1020,6 +1037,10 @@ object Writer {
         val leaf = msgType.getType(pathInSchema.toIndexedSeq: _*)
         Option(leaf.getId).map(_.intValue)
           .orElse(schema.findField(pathInSchema.mkString(".")).map(_.id))
+          // ids outside the table schema (the reserved lineage columns a
+          // rewrite materialized, or stale ids from foreign files) have no
+          // manifest-stats home — skip, don't crash the bound encode
+          .filter(schema.idToField.contains)
       }
 
       val colSizes = scala.collection.mutable.Map.empty[Int, Long]
@@ -1622,6 +1643,13 @@ object Writer {
     // synthesize _row_id = first_row_id + position
     var rowIdCursor = meta.nextRowId
     val lineageBlockStart = rowIdCursor
+    // Lineage-preserving rewrites still receive fresh blocks here — that
+    // "wastes" id space but can't violate uniqueness, because the read rule
+    // is explicit-column-wins: rows in such files carry their ORIGINAL ids
+    // as a materialized column and the block is ignored row-wise. Java's
+    // ManifestListWriter.V3Writer uses the same accounting (reference
+    // snapshot_producers.go:1224-1231), and keeping first_row_id defined is
+    // what lets a SECOND compaction of those files still detect lineage.
     val addedWithLineage = addedFiles.map { f =>
       if (f.content == DataFileContent.Data) {
         val assigned = f.copy(firstRowId = Some(rowIdCursor))

@@ -64,6 +64,91 @@ class EvolveSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // the reference's UnionByName matrix (`table/update_schema_test.go`
+  // TestUnionByName*): recursive merge with nested adds, element/value
+  // promotion, narrowing ignored, docs updated-never-cleared, no-op
+  // identity, map-key guard — all in ONE schema version
+  test("union by name: recursive merge semantics") {
+    val nested = IcebergSchema(Seq(
+      NestedField(1, "id", IntT, required = true),
+      NestedField(2, "info", StructT(Seq(
+        NestedField(3, "a", IntT, required = true,
+          doc = Some("original doc")))), required = false),
+      NestedField(4, "tags", ListT(5, FloatT, elementRequired = false),
+        required = false),
+      NestedField(6, "attrs", MapT(7, StringT, 8, IntT, valueRequired = false),
+        required = false)))
+    val t0 = catalog.createTable("ev_union_rec", nested, PartitionSpec.Unpartitioned)
+    val lastId0 = t0.metadata.lastColumnId
+
+    // identical schema: NO-OP, no new schema version
+    val noop = Evolve.unionByName(t0, nested)
+    assert(noop.metadata.schemas.size === t0.metadata.schemas.size)
+
+    val incoming = IcebergSchema(Seq(
+      NestedField(1, "id", LongT, required = false), // promote + relax
+      NestedField(2, "info", StructT(Seq(
+        NestedField(3, "a", IntT, required = true, doc = Some("new doc")),
+        NestedField(9, "b", StringT, required = true))), // nested ADD
+        required = false),
+      NestedField(4, "tags", ListT(5, DoubleT, elementRequired = false),
+        required = false), // element promote
+      NestedField(6, "attrs", MapT(7, StringT, 8, LongT, valueRequired = false),
+        required = false), // value promote
+      NestedField(10, "extra", StructT(Seq(
+        NestedField(11, "x", IntT, required = true))), required = true)))
+    val t1 = Evolve.unionByName(t0, incoming)
+    val s = t1.schema
+    // one new schema version carries everything
+    assert(t1.metadata.schemas.size === t0.metadata.schemas.size + 1)
+    assert(s.findField("id").get.fieldType === LongT)
+    assert(!s.findField("id").get.required, "optional incoming relaxes required")
+    val info = s.findField("info").get.fieldType.asInstanceOf[StructT]
+    assert(info.fields.map(_.name) === Seq("a", "b"), "nested field added")
+    assert(info.fields.head.doc === Some("new doc"), "doc updated")
+    assert(info.fields(1).id > lastId0, "nested add gets a fresh field id")
+    assert(s.findField("tags").get.fieldType.asInstanceOf[ListT].element === DoubleT)
+    assert(s.findField("attrs").get.fieldType.asInstanceOf[MapT].value === LongT)
+    val extra = s.findField("extra").get
+    assert(!extra.required, "top-level adds are always optional")
+    assert(extra.fieldType.asInstanceOf[StructT].fields.head.id > lastId0)
+
+    // narrowing incoming types are IGNORED, not errors; absent docs don't
+    // clear; a required incoming field never tightens an optional one
+    val narrower = IcebergSchema(Seq(
+      NestedField(1, "id", IntT, required = true),
+      NestedField(4, "tags", ListT(5, FloatT, elementRequired = false),
+        required = false)))
+    val t2 = Evolve.unionByName(t1, narrower)
+    assert(t2.schema.findField("id").get.fieldType === LongT)
+    assert(!t2.schema.findField("id").get.required)
+    assert(t2.schema.findField("tags").get.fieldType
+      .asInstanceOf[ListT].element === DoubleT)
+    assert(t2.schema.findField("info").get.fieldType.asInstanceOf[StructT]
+      .fields.head.doc === Some("new doc"))
+
+    // map KEY widening rejects; a narrowing key is ignored
+    intercept[IllegalArgumentException](Evolve.unionByName(t2, IcebergSchema(Seq(
+      NestedField(6, "attrs", MapT(7, IntT, 8, LongT, valueRequired = false),
+        required = false)))))
+    // cross-kind change rejects
+    intercept[IllegalArgumentException](Evolve.unionByName(t2, IcebergSchema(Seq(
+      NestedField(2, "info", StringT, required = false)))))
+  }
+
+  // reference TestTimeTravelUnknownSnapshotSchemaIDErrors: a snapshot whose
+  // recorded schema-id resolves to nothing is corrupt metadata — planning
+  // with the current schema instead would decode bounds wrong and mis-prune
+  test("scan fails closed on a snapshot with an unknown schema-id") {
+    val t1 = freshNation("ev_badschema")
+    val snapId = t1.metadata.currentSnapshotId.get
+    val doctored = t1.metadata.copy(snapshots = t1.metadata.snapshots.map(s =>
+      if (s.snapshotId == snapId) s.copy(schemaId = Some(999)) else s))
+    val bad = new graft.table.Table("ev_badschema", doctored, t1.metadataPath, catalog)
+    val e = intercept[IllegalArgumentException](bad.newScan.planFiles())
+    assert(e.getMessage.contains("unknown schema-id"))
+  }
+
   test("identifier fields set and persist through metadata round-trip") {
     val t1 = freshNation("ev_ident")
     val t2 = Evolve.setIdentifierFields(t1, Seq("n_nationkey"))

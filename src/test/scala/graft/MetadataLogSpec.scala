@@ -36,6 +36,32 @@ class MetadataLogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def nation = spark.read.parquet(s"$sf/nation.parquet")
 
+  // reference TestSnapshotAsOfWithOutOfOrderSnapshotLog + equal-timestamps
+  // variant: commit clock skew can leave the snapshot log out of
+  // chronological order; as-of resolution must take the greatest eligible
+  // TIMESTAMP (first entry winning ties), not the last list position
+  test("snapshotAsOf handles out-of-order and equal-timestamp log entries") {
+    import graft.format.{Snapshot, SnapshotLogEntry, TableMetadata}
+    def snap(id: Long, ts: Long) = Snapshot(id, None, id, ts, s"/ml$id.avro",
+      Map("operation" -> "append"), schemaId = Some(0))
+    val schema = IcebergSchema(Seq(NestedField(1, "k", IcebergTypes.LongT, required = false)))
+    val base = TableMetadata.empty("/tmp/asof", schema, PartitionSpec.Unpartitioned)
+    val meta = base.copy(
+      snapshots = Seq(snap(1, 1000L), snap(2, 3000L), snap(3, 2000L)),
+      // out of chronological order: ts 3000 sits before ts 2000
+      snapshotLog = Seq(SnapshotLogEntry(1, 1000L), SnapshotLogEntry(2, 3000L),
+        SnapshotLogEntry(3, 2000L)))
+    assert(meta.snapshotAsOf(2500L).map(_.snapshotId) === Some(3L))
+    assert(meta.snapshotAsOf(5000L).map(_.snapshotId) === Some(2L),
+      "greatest eligible timestamp wins, not last log position")
+    assert(meta.snapshotAsOf(999L).isEmpty)
+    // equal timestamps: the FIRST log entry wins
+    val tied = base.copy(
+      snapshots = Seq(snap(7, 1000L), snap(8, 1000L)),
+      snapshotLog = Seq(SnapshotLogEntry(7, 1000L), SnapshotLogEntry(8, 1000L)))
+    assert(tied.snapshotAsOf(1000L).map(_.snapshotId) === Some(7L))
+  }
+
   test("metadata log trims to previous-versions-max and deletes trimmed files") {
     val schema = SchemaBridge.fromSpark(nation.schema)
     var t = catalog.createTable("mlog_trim", schema, PartitionSpec.Unpartitioned,

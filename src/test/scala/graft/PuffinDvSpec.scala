@@ -71,11 +71,36 @@ class PuffinDvSpec extends AnyFunSuite {
       val footer = Puffin.readFooter(s"$refDv/$f")
       assert(footer.nonEmpty, f)
       footer.filter(_.blobType == DeletionVector.BlobType).foreach { meta =>
-        val bm = DeletionVector.deserialize(Puffin.readBlob(s"$refDv/$f", meta))
+        val bm = Puffin.readDv(s"$refDv/$f", meta)
         val expected = meta.properties.get("cardinality").map(_.toLong)
         expected.foreach(c => assert(bm.cardinality === c, s"$f cardinality"))
       }
     }
+  }
+
+  // reference `puffin/dv_header_validation_test.go`: the v3 spec pins a DV
+  // blob's snapshot-id and sequence-number to -1; a footer claiming anything
+  // else is a non-conformant writer and must be rejected, snapshot-id first
+  test("footer DV read rejects snapshot-id / sequence-number != -1") {
+    val f = s"$refDv/single-blob-dv.puffin"
+    val meta = Puffin.readFooter(f)
+      .find(_.blobType == DeletionVector.BlobType).get
+    assert(meta.snapshotId === -1L && meta.sequenceNumber === -1L)
+
+    val badSnap = intercept[IllegalArgumentException](
+      Puffin.readDv(f, meta.copy(snapshotId = 42L)))
+    assert(badSnap.getMessage.contains("snapshot-id"))
+    val badSeq = intercept[IllegalArgumentException](
+      Puffin.readDv(f, meta.copy(sequenceNumber = 7L)))
+    assert(badSeq.getMessage.contains("sequence-number"))
+    // both wrong: the snapshot-id check fires first
+    val both = intercept[IllegalArgumentException](
+      Puffin.readDv(f, meta.copy(snapshotId = 42L, sequenceNumber = 7L)))
+    assert(both.getMessage.contains("snapshot-id"))
+    // a stats blob through the DV route is a type error
+    val notDv = intercept[IllegalArgumentException](
+      Puffin.readDv(f, meta.copy(blobType = "apache-datasketches-theta-v1")))
+    assert(notDv.getMessage.contains("not a deletion vector"))
   }
 
   test("golden: canonical empty puffin from apache/iceberg-java reads") {

@@ -133,4 +133,112 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         finally rd.close()
       }
   }
+
+  // reference `rewrite_data_files.go:330-390` + TestRewriteDataFiles
+  // PreservesRowIDThroughDeletionVector: when every file in the rewrite
+  // scope carries lineage, compaction materializes each surviving row's
+  // ORIGINAL _row_id as an explicit parquet column in the new files; the
+  // fresh first_row_id blocks the commit assigns are ignored row-wise
+  // because the read rule is explicit-column-wins
+  test("rewriteDataFiles preserves row ids (explicit columns win synthesis)") {
+    spark.sql("""CREATE TABLE g.rlc (k BIGINT, p INT) PARTITIONED BY (p)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlc"), 3)
+    spark.sql("INSERT INTO g.rlc SELECT id, CAST(id % 2 AS INT) FROM range(100)")
+    spark.sql("INSERT INTO g.rlc SELECT id + 100, CAST(id % 2 AS INT) FROM range(100)")
+    // a DV so compaction has deletes to fold (the reference test's shape)
+    spark.sql("DELETE FROM g.rlc WHERE k % 10 = 3")
+
+    def ids(): Map[Long, Long] = graft.table.SparkRead.read(spark,
+        catalog.loadTable("rlc").newScan.withRowLineage)
+      .selectExpr("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = ids()
+    assert(before.size === 180 && before.values.toSet.size === 180)
+
+    val res = graft.table.Maintenance.rewriteDataFiles(spark,
+      catalog.loadTable("rlc"), rewriteAll = true)
+    assert(res.rewrittenDataFiles > 0)
+
+    val after = ids()
+    assert(after === before, "every surviving row keeps its original _row_id")
+    // the new files materialize the lineage columns under the reserved ids
+    val newFile = res.table.newScan.planFiles().head.file.path
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(newFile))
+    val cols = footer.getFileMetaData.getSchema.getFields
+    import scala.jdk.CollectionConverters._
+    val rowIdField = cols.asScala.find(_.getName == "_row_id")
+    assert(rowIdField.isDefined, "_row_id is a real parquet column")
+    assert(rowIdField.get.getId.intValue === 2147483540)
+    // and manifest stats ignore the reserved ids (no bounds for 2147483540)
+    assert(!res.table.newScan.planFiles().head.file.lowerBounds.contains(2147483540))
+
+    // a SECOND compaction still preserves (outputs carry firstRowId blocks
+    // + explicit columns, so the all-files-have-lineage check keeps passing)
+    spark.sql("INSERT INTO g.rlc SELECT id + 200, CAST(id % 2 AS INT) FROM range(20)")
+    val afterInsert = ids()
+    val res2 = graft.table.Maintenance.rewriteDataFiles(spark,
+      catalog.loadTable("rlc"), rewriteAll = true)
+    assert(res2.rewrittenDataFiles > 0)
+    assert(ids() === afterInsert, "second-generation compaction preserves too")
+  }
+
+  // mixed scope: a file with NO lineage anywhere (the form a foreign
+  // pre-lineage manifest takes — no field 142, no list-level 520, e.g. rows
+  // awaiting lazy id assignment after a v1/v2→v3 migration) beside a
+  // lineage-carrying one — preserving would emit nulls beside real ids in
+  // one output, so lineage drops for the group and FRESH ids are assigned
+  // (the reference's graceful path, rewrite_data_files.go:331-360)
+  test("rewriteDataFiles drops lineage for mixed pre/post-upgrade scopes") {
+    spark.sql("CREATE TABLE g.rlm (k BIGINT)")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlm"), 3)
+    spark.sql("INSERT INTO g.rlm SELECT id FROM range(50)")
+    // strip BOTH the per-file ids and the list-level block from the first
+    // commit's manifest: firstRowId resolves to None at plan time
+    locally {
+      val t0 = catalog.loadTable("rlm")
+      val meta = t0.metadata
+      val snap = meta.currentSnapshot.get
+      val rows = Manifests.readManifestList(snap.manifestList)
+      val updated = rows.map { m =>
+        if (m.content != ManifestContent.Data) m
+        else {
+          val (entries, specId) = Manifests.readManifest(m.path)
+          val spec = meta.specById(specId).getOrElse(
+            graft.format.PartitionSpec.Unpartitioned)
+          Manifests.writeManifest(m.path, entries.map(e =>
+            e.copy(file = e.file.copy(firstRowId = None),
+              dataSequence = Some(e.dataSequence.getOrElse(m.sequenceNumber)))),
+            meta.schema, spec, m.addedSnapshotId,
+            formatVersion = meta.formatVersion)
+          m.copy(firstRowId = None)
+        }
+      }
+      Manifests.writeManifestList(snap.manifestList, updated, snap.snapshotId,
+        snap.parentSnapshotId, snap.sequenceNumber, formatVersion = 3)
+    }
+    spark.sql("INSERT INTO g.rlm SELECT id + 50 FROM range(50)") // lineage
+    val t = catalog.loadTable("rlm")
+    val files = t.newScan.planFiles().map(_.file)
+    assert(files.exists(_.firstRowId.isEmpty) && files.exists(_.firstRowId.isDefined),
+      "scope is genuinely mixed")
+
+    val res = graft.table.Maintenance.rewriteDataFiles(spark, t, rewriteAll = true)
+    assert(res.rewrittenDataFiles > 0)
+    // output rows read fine and get fresh synthesized ids (no explicit col)
+    val rows = graft.table.SparkRead.read(spark,
+        res.table.newScan.withRowLineage)
+      .selectExpr("k", "_row_id").collect()
+    assert(rows.length === 100)
+    assert(rows.map(_.getLong(1)).distinct.length === 100, "ids unique")
+    val newFile = res.table.newScan.planFiles().head.file.path
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(newFile))
+    import scala.jdk.CollectionConverters._
+    assert(!footer.getFileMetaData.getSchema.getFields.asScala
+      .exists(_.getName == "_row_id"), "mixed scope writes no lineage column")
+  }
 }
