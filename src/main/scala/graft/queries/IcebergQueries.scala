@@ -4756,6 +4756,57 @@ object IcebergQueries {
       WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 13 = 0)
         AND NOT (c_custkey % 17 = 0)
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // v3 lineage-stable compaction (reference rewrite_data_files.go:330-390):
+    // every surviving row keeps its ORIGINAL _row_id across rewriteDataFiles
+    // — materialized as an explicit parquet column under the reserved field
+    // id, preferred over synthesis on read. Flags: ids preserved 1:1, the
+    // folded DV was dropped, every compacted file carries the explicit
+    // lineage column.
+    QueryDef.staged("i116_lineage_compaction", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"lc_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t0 = graft.table.Evolve.upgradeFormatVersion(
+        cat.createTable(name, schema, PartitionSpec.Unpartitioned), 3)
+      val t1 = Writer.append(s, t0, c.filter(col("c_custkey") % 2 === 0))
+      val t2 = Writer.append(s, t1, c.filter(col("c_custkey") % 2 =!= 0))
+      val t3 = Writer.deleteWhereDV(s, t2,
+        graft.core.Expr.eq("c_mktsegment", "BUILDING"))
+      val before = SparkRead.read(s, t3.newScan.withRowLineage)
+        .selectExpr("c_custkey", "_row_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val res = Maintenance.rewriteDataFiles(s, t3, rewriteAll = true)
+      val tt = res.table
+      val after = SparkRead.read(s, tt.newScan.withRowLineage)
+        .selectExpr("c_custkey", "_row_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val explicitEverywhere = tt.newScan.planFiles().forall { ft =>
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          new org.apache.hadoop.conf.Configuration(),
+          new org.apache.hadoop.fs.Path(ft.file.path))
+        import scala.jdk.CollectionConverters._
+        footer.getFileMetaData.getSchema.getFields.asScala
+          .exists(f => f.getName == "_row_id" &&
+            Option(f.getId).exists(_.intValue == 2147483540))
+      }
+      val flags = Seq(after == before, res.removedDeleteFiles >= 1,
+        explicitEverywhere).mkString(",")
+      () => SparkRead.read(s, tt.newScan)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey").cast("long")).as("key_sum"))
+        .select(col("c_nationkey"), col("n"), col("key_sum"),
+          lit(flags).as("lineage_ok"))
+        .orderBy(col("c_nationkey"))
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             'true,true,true' AS lineage_ok
+      FROM customer
+      WHERE c_mktsegment <> 'BUILDING'
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""), repeatable = true)
   )
 }

@@ -202,14 +202,22 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
   }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
-    if (writable && snapshotId.isEmpty)
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    if (writable && snapshotId.isEmpty) {
+      val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
         // BATCH_WRITE satisfies the dynamic-overwrite capability check;
         // append/filtered-overwrite still plan through the V1 funnel
         // because build() returns a V1Write for them
         TableCapability.BATCH_WRITE, TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+      // `write.spark.accept-any-schema=true` (the Iceberg-Spark contract):
+      // let analysis admit a frame whose columns don't match the table, so
+      // the writer-side mergeSchema option can union-by-name evolve first
+      if (table.metadata.properties.get("write.spark.accept-any-schema")
+          .contains("true"))
+        caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      caps
+    }
     else if (branch.isDefined && writable)
       // branch identifier: reads pin the branch head, INSERT appends to it
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
@@ -288,7 +296,42 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val spark = data.sparkSession
-              val fresh = table.refresh()
+              // writer-side schema merge (`.option("mergeSchema","true")` /
+              // session conf, honored only when the table opted into
+              // accept-any-schema): union-by-name evolve FIRST — new
+              // columns add as optional, compatible types promote — then
+              // the write aligns to the evolved schema. One metadata
+              // commit, then the data commit.
+              val wantMerge =
+                Option(info.options().get("mergeSchema")).exists(_.toBoolean) ||
+                Option(info.options().get("merge-schema")).exists(_.toBoolean) ||
+                spark.conf.getOption("spark.sql.graft.mergeSchema")
+                  .exists(_.toBoolean)
+              val fresh0 = table.refresh()
+              val fresh =
+                if (!wantMerge) fresh0
+                else {
+                  require(fresh0.metadata.properties
+                      .get("write.spark.accept-any-schema").contains("true"),
+                    s"${name()}: mergeSchema requires the table property " +
+                      "write.spark.accept-any-schema=true")
+                  graft.table.Evolve.unionByName(fresh0,
+                    SchemaBridge.fromSpark(data.schema))
+                }
+              // ACCEPT_ANY_SCHEMA makes Spark skip output resolution for
+              // EVERY write to this table — a plain SQL `INSERT ... VALUES`
+              // arrives with its literal column names (col1, col2, …). A
+              // frame with the table's arity and NO name overlap is that
+              // positional shape: restore the by-position alignment Spark
+              // itself applies absent the capability. Frames sharing any
+              // real column name align by name downstream.
+              val tcols = fresh.schema.fields.map(_.name)
+              val data2 =
+                if (data.columns.length == tcols.length &&
+                    !data.columns.sameElements(tcols) &&
+                    data.columns.intersect(tcols).isEmpty)
+                  data.toDF(tcols: _*)
+                else data
               // `spark.wap.id` (Iceberg WAP staging): when the table opts
               // in via write.wap.enabled, INSERT INTO commits a STAGED
               // snapshot — recorded in metadata, tagged wap.id, no ref
@@ -304,20 +347,20 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
                   (!replaceAll && deleteFirst.isEmpty && !dynamic),
                 s"${name()}: spark.wap.id stages INSERT INTO only " +
                   "(overwrites cannot be cherry-picked)")
-              if (dynamic) { Writer.overwriteDynamic(spark, fresh, data); () }
-              else if (replaceAll) { Writer.overwriteAll(spark, fresh, data); () }
+              if (dynamic) { Writer.overwriteDynamic(spark, fresh, data2); () }
+              else if (replaceAll) { Writer.overwriteAll(spark, fresh, data2); () }
               else deleteFirst match {
                 case Some(del) =>
                   // filtered overwrite (INSERT OVERWRITE ... PARTITION):
                   // ONE atomic conflict-validated snapshot — readers never
                   // see the deleted-but-not-replaced intermediate
-                  Writer.overwriteWhere(spark, fresh, data, del); ()
+                  Writer.overwriteWhere(spark, fresh, data2, del); ()
                 case None => wapId match {
                   case Some(id) =>
-                    Writer.append(spark, fresh, data,
+                    Writer.append(spark, fresh, data2,
                       extraSummary = Map("wap.id" -> id), stageOnly = true); ()
                   case None =>
-                    Writer.append(spark, fresh, data, toBranch = branch); ()
+                    Writer.append(spark, fresh, data2, toBranch = branch); ()
                 }
               }
             }

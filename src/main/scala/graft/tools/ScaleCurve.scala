@@ -146,12 +146,13 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildFixture(spark, src, out)
-    // third scale point for the steepest curves: distinguishes the one-off
-    // shuffle-constant step (ratio flattens toward linear) from a genuine
-    // super-linear term (ratio keeps rising faster than data)
+    // third scale point: distinguishes the one-off shuffle-constant step
+    // (ratio flattens toward linear) from a genuine super-linear term
+    // (ratio keeps rising faster than data). r14 extends it from the three
+    // steepest curves to ALL NINE measured operators — the marginal
+    // 10×→30× cost for 3× data is the honest linearity witness.
     val out30 = out + "_30"
-    val ThirdPoint = Set("t7_minhash_clusters", "s13_kmeans_twolevel",
-      "i87_eqdelete_antijoin")
+    val ThirdPoint: String => Boolean = _ => true
     buildFixture(spark, src, out30, factor = 30)
 
     def timed(run: () => DataFrame): (Double, Map[String, String]) = {

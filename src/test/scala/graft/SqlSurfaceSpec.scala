@@ -409,4 +409,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       s"expected broadcast join:\n${j.queryExecution.executedPlan}")
   }
+
+  // the Iceberg-Spark mergeSchema-on-write contract: the table opts in via
+  // write.spark.accept-any-schema (analysis admits any frame), and a write
+  // carrying .option("mergeSchema","true") union-by-name evolves the schema
+  // FIRST (new columns optional, compatible types promoted) — one metadata
+  // commit, then the data commit (reference UnionByName, update_schema.go)
+  test("mergeSchema write evolves the table by union-by-name") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE g.ms (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.spark.accept-any-schema'='true')""")
+    spark.sql("INSERT INTO g.ms VALUES (1, 'a')")
+
+    Seq((2L, "b", 3.5)).toDF("k", "v", "score")
+      .writeTo("g.ms").option("mergeSchema", "true").append()
+
+    val rows = spark.sql("SELECT k, v, score FROM g.ms ORDER BY k").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(2), "pre-evolution row reads null for the new column")
+    assert(rows(1).getDouble(2) === 3.5)
+    // evolved column is optional
+    val f = catalog.loadTable("ms").schema.findField("score").get
+    assert(!f.required)
+
+    // accept-any-schema WITHOUT mergeSchema: analysis admits the frame but
+    // the write-compat check still refuses unknown columns — no silent drop
+    intercept[Exception](Seq((3L, "c", 1.0, 9)).toDF("k", "v", "score", "extra")
+      .writeTo("g.ms").append())
+
+    // mergeSchema against a table that did NOT opt in: refused
+    spark.sql("CREATE TABLE g.ms2 (k BIGINT)")
+    intercept[Exception](Seq((1L, 2.0)).toDF("k", "x")
+      .writeTo("g.ms2").option("mergeSchema", "true").append())
+  }
 }
