@@ -382,6 +382,19 @@ object Evolve {
       maxSnapshotAgeMs: Option[Long] = None,
       maxRefAgeMs: Option[Long] = None): Table = {
     val meta = table.metadata
+    // ref-name hygiene (reference cmd/iceberg/branch_tag.go validateRefName)
+    // + non-negative retention (TestRunBranchCreateRejectsNegativeRetention):
+    // a ref is a metadata KEY other engines must address verbatim
+    require(name.nonEmpty && name.trim == name,
+      "ref name must be non-empty and may not contain leading/trailing whitespace")
+    require(name != "." && name != "..", "ref name may not be '.' or '..'")
+    require(!name.exists(_.isControl), "ref name may not contain control characters")
+    require(minSnapshotsToKeep.forall(_ > 0),
+      s"min-snapshots-to-keep must be positive, got ${minSnapshotsToKeep.get}")
+    require(maxSnapshotAgeMs.forall(_ > 0),
+      s"max-snapshot-age-ms must be positive, got ${maxSnapshotAgeMs.get}")
+    require(maxRefAgeMs.forall(_ > 0),
+      s"max-ref-age-ms must be positive, got ${maxRefAgeMs.get}")
     require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
     require(refType == "branch" || (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
       "tags only support max-ref-age-ms retention (reference metadata.go ref validate)")
@@ -391,8 +404,12 @@ object Evolve {
       lastUpdatedMs = System.currentTimeMillis()))
   }
 
-  def removeRef(table: Table, name: String): Table =
+  def removeRef(table: Table, name: String): Table = {
+    // the main branch is the table's current pointer; removing it strands
+    // the table (Java UpdateSnapshotReferences rejects it the same way)
+    require(name != "main", "cannot remove the main branch")
     commitMetadata(table, table.metadata.copy(refs = table.metadata.refs - name))
+  }
 
   /** Fast-forward ref `target` to `source`'s head — the WAP publish step:
     * stage appends on a branch ([[Writer.append]] `toBranch`), audit through

@@ -117,4 +117,29 @@ class BranchWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mainLine = Inspect.ancestorsOfCurrent(t2).map(_.snapshotId)
     assert(!mainLine.contains(t2.metadata.refs("audit").snapshotId))
   }
+
+  // reference cmd/iceberg/branch_tag.go validateRefName +
+  // TestRunBranchCreateRejects{NegativeRetentionValues,InvalidRefName} /
+  // AllowsSlashStyleRefName; Java rejects removing the main branch
+  test("ref names and retention values validate; main branch is unremovable") {
+    val (t1, _) = freshNation("br_validate")
+    val head = t1.metadata.currentSnapshotId.get
+    intercept[IllegalArgumentException](Evolve.setRef(t1, "", head, "branch"))
+    intercept[IllegalArgumentException](Evolve.setRef(t1, " padded ", head, "branch"))
+    intercept[IllegalArgumentException](Evolve.setRef(t1, "..", head, "tag"))
+    intercept[IllegalArgumentException](Evolve.setRef(t1, "badname", head, "branch"))
+    intercept[IllegalArgumentException](
+      Evolve.setRef(t1, "b", head, "branch", minSnapshotsToKeep = Some(-1)))
+    intercept[IllegalArgumentException](
+      Evolve.setRef(t1, "b", head, "branch", maxSnapshotAgeMs = Some(-5L)))
+    intercept[IllegalArgumentException](
+      Evolve.setRef(t1, "t", head, "tag", maxRefAgeMs = Some(0L)))
+    // slash-style names are legal (release/2024 convention)
+    val t2 = Evolve.setRef(t1, "release/2026.08", head, "branch")
+    assert(t2.metadata.refs.contains("release/2026.08"))
+    val e = intercept[IllegalArgumentException](Evolve.removeRef(t2, "main"))
+    assert(e.getMessage.contains("main"))
+    assert(Evolve.removeRef(t2, "release/2026.08").metadata.refs
+      .get("release/2026.08").isEmpty)
+  }
 }
