@@ -495,9 +495,29 @@ object SchemaJson {
       while (it.hasNext) b += it.next().asInt
       b.result()
     }.getOrElse(Nil)
-    IcebergSchema(struct.fields,
+    val schema = IcebergSchema(struct.fields,
       schemaId = Option(n.get("schema-id")).map(_.asInt).getOrElse(0),
       identifierFieldIds = ids)
+    // duplicate field ids are corrupt metadata (reference
+    // TestUnmarshalSchemaRejectsDuplicateFieldIDs): the id→field index would
+    // silently pick one and every id-addressed read/prune goes wrong — fail
+    // the parse instead
+    val allIds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def collectIds(t: IcebergType): Unit = t match {
+      case IcebergTypes.StructT(fs) =>
+        fs.foreach { f => allIds += f.id; collectIds(f.fieldType) }
+      case IcebergTypes.ListT(eid, et, _) => allIds += eid; collectIds(et)
+      case IcebergTypes.MapT(kid, kt, vid, vt, _) =>
+        allIds += kid; collectIds(kt); allIds += vid; collectIds(vt)
+      case _ =>
+    }
+    collectIds(struct)
+    if (allIds.size != allIds.distinct.size) {
+      val dup = allIds.groupBy(identity).collect { case (id, vs) if vs.size > 1 => id }
+      throw new IllegalArgumentException(
+        s"schema contains duplicate field id(s): ${dup.toSeq.sorted.mkString(", ")}")
+    }
+    schema
   }
 
   def schemaFromJson(s: String): IcebergSchema =

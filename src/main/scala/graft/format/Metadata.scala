@@ -343,7 +343,8 @@ object TableMetadata {
       if (n.has("partition-specs"))
         n.get("partition-specs").elements().asScala.map(specFromJson).toSeq
       else if (n.has("partition-spec")) // v1 inline fields
-        Seq(PartitionSpec(0, n.get("partition-spec").elements().asScala.map(fieldFromJson).toSeq))
+        Seq(PartitionSpec(0,
+          fieldsFromJson(n.get("partition-spec").elements().asScala.toSeq)))
       else Seq(PartitionSpec.Unpartitioned)
     val sortOrders: Seq[SortOrder] =
       if (n.has("sort-orders")) n.get("sort-orders").elements().asScala.map { o =>
@@ -442,12 +443,28 @@ object TableMetadata {
 
   private def specFromJson(o: JsonNode): PartitionSpec =
     PartitionSpec(o.get("spec-id").asInt,
-      o.get("fields").elements().asScala.map(fieldFromJson).toSeq)
+      fieldsFromJson(o.get("fields").elements().asScala.toSeq))
 
-  private def fieldFromJson(f: JsonNode): PartitionField =
-    PartitionField(
-      sourceId = f.get("source-id").asInt,
-      fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(PartitionSpec.StartFieldId),
-      name = f.get("name").asText,
-      transform = Transforms.parse(f.get("transform").asText))
+  /** Legacy v1 spec JSON may omit (or null) partition field-ids; per the
+    * reference parser (partitions.go UnmarshalJSON,
+    * TestDeserializePartitionSpec{WithoutFieldIDs,WithPartiallyMissingFieldIDs,
+    * AssignsAfterExistingFieldIDs,WithNullFieldID}) explicit ids are kept and
+    * missing ones assign sequentially AFTER the highest of (999, explicit
+    * ids) — a fixed fallback would hand duplicate ids to multi-field specs.
+    */
+  private def fieldsFromJson(raw: Seq[JsonNode]): Seq[PartitionField] = {
+    def explicit(f: JsonNode): Option[Int] =
+      Option(f.get("field-id")).filterNot(_.isNull).map(_.asInt)
+    var next = math.max(PartitionSpec.StartFieldId - 1,
+      raw.flatMap(explicit).foldLeft(PartitionSpec.StartFieldId - 1)(math.max))
+    raw.map { f =>
+      val fid = explicit(f).getOrElse { next += 1; next }
+      PartitionField(
+        sourceId = f.get("source-id").asInt,
+        fieldId = fid,
+        name = f.get("name").asText,
+        transform = Transforms.parse(f.get("transform").asText))
+    }
+  }
+
 }

@@ -87,6 +87,61 @@ class GoldenMetadataSpec extends AnyFunSuite {
     assert(spec.fields.head.transform === graft.core.Transforms.Identity)
   }
 
+  // reference partitions.go UnmarshalJSON + TestDeserializePartitionSpec
+  // {WithoutFieldIDs,WithPartiallyMissingFieldIDs,AssignsAfterExisting
+  // FieldIDs,WithNullFieldID}: legacy v1 specs may omit (or null) field-ids;
+  // explicit ids KEEP, missing ones assign sequentially after the highest
+  // of (999, explicit) — a fixed fallback hands duplicates to multi-field
+  // specs
+  test("partition-spec fields without ids assign after the highest explicit id") {
+    def specOf(fieldsJson: String) = TableMetadata.fromJson(s"""{
+      "format-version": 1,
+      "table-uuid": "9c12d441-03fe-4693-9a96-a0705ddf69c1",
+      "location": "file:///tmp/t",
+      "last-updated-ms": 1,
+      "last-column-id": 3,
+      "schema": {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "x", "required": true, "type": "long"},
+        {"id": 2, "name": "y", "required": true, "type": "long"},
+        {"id": 3, "name": "z", "required": true, "type": "long"}]},
+      "partition-spec": [$fieldsJson],
+      "properties": {}
+    }""").spec
+
+    // all ids missing: 1000, 1001, ...
+    val s1 = specOf("""
+      {"source-id": 1, "name": "x", "transform": "identity"},
+      {"source-id": 2, "name": "y", "transform": "identity"}""")
+    assert(s1.fields.map(_.fieldId) === Seq(1000, 1001))
+
+    // partially missing + null: explicit kept, rest assign AFTER the max
+    val s2 = specOf("""
+      {"source-id": 1, "field-id": 1005, "name": "x", "transform": "identity"},
+      {"source-id": 2, "field-id": null, "name": "y", "transform": "identity"},
+      {"source-id": 3, "name": "z", "transform": "identity"}""")
+    assert(s2.fields.map(_.fieldId) === Seq(1005, 1006, 1007))
+    assert(s2.fields.map(_.fieldId).distinct.size === 3, "ids must be unique")
+  }
+
+  // reference TestUnmarshalSchemaRejectsDuplicateFieldIDs: duplicate ids are
+  // corrupt metadata — the id-addressed read/prune paths would silently pick
+  // one field; the parse must fail instead
+  test("schema JSON with duplicate field ids is rejected") {
+    val e = intercept[IllegalArgumentException](graft.core.SchemaJson.schemaFromJson("""
+      {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "a", "required": true, "type": "long"},
+        {"id": 1, "name": "b", "required": false, "type": "string"}]}"""))
+    assert(e.getMessage.contains("duplicate field id"))
+    // nested collisions detected too (struct child vs top-level)
+    val e2 = intercept[IllegalArgumentException](graft.core.SchemaJson.schemaFromJson("""
+      {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "a", "required": true, "type": "long"},
+        {"id": 2, "name": "s", "required": false, "type":
+          {"type": "struct", "fields": [
+            {"id": 1, "name": "inner", "required": false, "type": "int"}]}}]}"""))
+    assert(e2.getMessage.contains("duplicate field id"))
+  }
+
   test("V1 schemas without current-schema-id resolve via the inline schema") {
     val m = parse("TableMetadataV1SchemasWithoutCurrentId.json")
     assert(m.formatVersion === 1)
