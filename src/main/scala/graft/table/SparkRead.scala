@@ -115,22 +115,30 @@ object SparkRead {
     // data file (plan size O(files)). Instead DVs apply inside the group via
     // a broadcast per-file metadata map (reference arrow_scanner.go:533-618
     // applies DVs per-file inside one pipeline, never per-plan).
+    // ... plus file FORMAT: ORC and parquet files can't share one scan node
     val groups: Seq[Seq[FileScanTask]] =
       tasks.groupBy(t => (
         t.posDeletes.filter(_.format != "PUFFIN").map(d => (d.path, d.contentOffset)).toSet,
-        t.eqDeletes.map(_._1.path).toSet)).values.toSeq
+        t.eqDeletes.map(_._1.path).toSet,
+        t.file.format.toUpperCase)).values.toSeq
 
     // ID-presence for name-mapped tables resolves ONCE for the whole task
     // set (cache hits + one distributed probe job for misses) — never a
-    // serial per-file footer read on the driver
+    // serial per-file footer read on the driver (parquet only; ORC files
+    // read by name against the table schema)
+    val parquetPaths = tasks
+      .filter(_.file.format.equalsIgnoreCase("PARQUET")).map(_.file.path).distinct
     val presence: Map[String, Boolean] = nameMapping match {
       case None => Map.empty
-      case Some(_) => fieldIdPresence(spark, tasks.map(_.file.path).distinct)
+      case Some(_) if parquetPaths.isEmpty => Map.empty
+      case Some(_) => fieldIdPresence(spark, parquetPaths)
     }
 
     val parts = groups.flatMap { groupTasks =>
       val subGroups: Seq[(Seq[FileScanTask], Boolean)] = nameMapping match {
         case None => Seq((groupTasks, true))
+        case Some(_) if !groupTasks.head.file.format.equalsIgnoreCase("PARQUET") =>
+          Seq((groupTasks, true)) // ORC resolves by name below either way
         case Some(_) =>
           val (withIds, without) = groupTasks.partition(t => presence(t.file.path))
           Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
@@ -166,8 +174,24 @@ object SparkRead {
             nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
               .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
         })
+      // ORC data files (written by engines whose ORC path we interop with;
+      // the reference's own scanner is parquet-only — `arrow_scanner.go:1008`
+      // dispatches no other format): read by NAME against the table schema.
+      // Value-based features work unchanged (residuals, eq-delete
+      // anti-joins); POSITION-based features need Spark's `_metadata
+      // .row_index`, which the ORC source does not provide — reject loudly
+      // rather than fabricate positions.
+      val isOrc = groupTasks.head.file.format.equalsIgnoreCase("ORC")
+      if (isOrc) {
+        val posish = groupTasks.exists(_.posDeletes.nonEmpty)
+        require(!posish && !rowLineage,
+          "position-based features (positional deletes, deletion vectors, " +
+            "row lineage) are not supported over ORC data files")
+      }
       var df =
-        if (idsPresent) spark.read.options(ioOptions).schema(lineageScanSchema)
+        if (isOrc) spark.read.options(ioOptions).schema(readSchema)
+          .orc(groupTasks.map(_.file.path): _*)
+        else if (idsPresent) spark.read.options(ioOptions).schema(lineageScanSchema)
           .parquet(groupTasks.map(_.file.path): _*)
         else {
           val nm = nameMapping.get
@@ -212,8 +236,10 @@ object SparkRead {
         .distinctBy(d => (d.path, d.contentOffset))
       val posDeletes = groupTasks.head.posDeletes.filter(_.format != "PUFFIN")
       val eqDeletes = groupTasks.head.eqDeletes
+      // eq-deletes anti-join on VALUE columns — they don't need positions,
+      // which also keeps them working over ORC files (no row_index there)
       val needsPos =
-        dvDeletes.nonEmpty || posDeletes.nonEmpty || eqDeletes.nonEmpty || rowLineage
+        dvDeletes.nonEmpty || posDeletes.nonEmpty || rowLineage
       if (needsPos) {
         df = df.withColumn("__file", normalizePath(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))

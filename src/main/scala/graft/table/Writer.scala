@@ -536,7 +536,9 @@ object Writer {
             parsePartitionValue(seg.substring(srcName.length + 1), nf.fieldType)
           }
         }
-      harvestStats(p, schema, partValues,
+      if (p.endsWith(".orc"))
+        harvestStatsOrc(p, partValues)
+      else harvestStats(p, schema, partValues,
         omitBounds = table.metadata.properties
           .contains(graft.encryption.ParquetEncryption.KeyIdProp),
         props = table.metadata.properties)
@@ -1012,6 +1014,24 @@ object Writer {
     * column's value range at rest. The cost is file-level value pruning on
     * such tables (counts still prune nulls/NaNs); correctness is unaffected.
     */
+  /** Register an ORC data file (the manifest format the reference VALIDATES
+    * in AddDataFiles, `table/transaction.go:792` — though its own scanner
+    * never reads one; ours does, by name). Footer gives exact row count and
+    * length; column bounds are deliberately omitted — a stats-less DataFile
+    * can never mis-prune, and ORC column ids don't carry Iceberg field ids
+    * the way parquet footers do. Read-side columns resolve by NAME, so the
+    * file's column names must match the table schema's.
+    */
+  def harvestStatsOrc(path: String, partValues: Seq[Any]): DataFile = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(path),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try DataFile(DataFileContent.Data, graft.io.FileIO.canonical(path), "ORC",
+      partValues, reader.getNumberOfRows, reader.getContentLength)
+    finally reader.close()
+  }
+
   def harvestStats(path: String, schema: IcebergSchema, partValues: Seq[Any],
       omitBounds: Boolean = false,
       props: Map[String, String] = Map.empty): DataFile = {
