@@ -178,7 +178,7 @@ object Bench {
         val n = f.getName
         n == "graft-wh" || n.startsWith("probe-import-") ||
           n.startsWith("add-files-") || n.startsWith("hive-import-") ||
-          n.startsWith("snap-import-")
+          n.startsWith("snap-import-") || n.startsWith("orc-import-")
       }
       def treeSize(f: java.io.File): Long =
         if (f.isFile) f.length

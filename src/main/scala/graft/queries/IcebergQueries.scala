@@ -4807,6 +4807,40 @@ object IcebergQueries {
       FROM customer
       WHERE c_mktsegment <> 'BUILDING'
       GROUP BY c_nationkey
-      ORDER BY c_nationkey"""), repeatable = true)
+      ORDER BY c_nationkey"""), repeatable = true),
+
+    // ORC data-file interop (exceeds the reference: its AddDataFiles
+    // validates ORC entries, transaction.go:792, but its scanner reads
+    // parquet only, arrow_scanner.go:1008): import ORC files, apply an
+    // equality delete over them (value anti-join — no positions needed),
+    // aggregate. `orc_scan` pins that the rows really came off ORC files.
+    QueryDef.staged("i117_orc_import", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"orc_${UUID.randomUUID().toString.take(8)}"
+      val c = tbl(s, dir, "customer")
+      val tmp = s"/root/repo/target/orc-import-${UUID.randomUUID().toString.take(8)}"
+      c.repartition(4).write.orc(tmp)
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val t0 = cat.createTable(name, schema, PartitionSpec.Unpartitioned)
+      val paths = graft.io.FileIO.listFilesRecursive(tmp)
+        .map(_.path).filter(_.endsWith(".orc"))
+      val t1 = Writer.addFiles(s, t0, paths)
+      val t2 = Writer.equalityDelete(s, t1,
+        c.filter(col("c_custkey") % 19 === 0).select(col("c_custkey")),
+        Seq("c_custkey"))
+      val allOrc = t2.newScan.planFiles().map(_.file.format).toSet == Set("ORC")
+      () => SparkRead.read(s, t2.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey").cast("long")).as("key_sum"))
+        .withColumn("orc_scan", lit(allOrc.toString))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             'true' AS orc_scan
+      FROM customer
+      WHERE c_custkey % 19 <> 0
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }
