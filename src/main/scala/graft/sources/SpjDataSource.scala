@@ -1008,6 +1008,15 @@ final case class SpjFileInfo(path: String, len: Long,
 
 object SpjFileInfo {
   def from(t: graft.table.FileScanTask, context: String): SpjFileInfo = {
+    // the executor readers behind this route are parquet bridges; an ORC
+    // file reaching them (a position-carrying row-level op on an
+    // ORC-imported table — plain reads of imported tables take the V1
+    // name-mapping route) must fail HERE with a plain answer, not deep in
+    // a parquet footer parse
+    require(t.file.format.equalsIgnoreCase("PARQUET"),
+      s"$context: ${t.file.format} data file ${t.file.path} is not readable " +
+        "by this route; ORC tables support reads, filters, equality deletes " +
+        "and CoW rewrites, but not position-carrying row-level operations")
     val dvs = t.posDeletes.filter(_.format == "PUFFIN")
       .map(d => (d.path, d.contentOffset.get, d.contentSize.get))
       .distinct.toArray
