@@ -1194,6 +1194,12 @@ final class SpjReaderFactory(
       val byFile = PosDeleteCache.get(p, () => {
         val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
         rd(p, len).foreach { r =>
+          // a null file_path or pos means the delete file is corrupt; a
+          // skipped row would RESURRECT the row it should delete — fail
+          // closed (reference TestReadDeletesRejectsNullPos /
+          // RejectsMissingFilePath)
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            s"corrupt positional delete file $p: null file_path or pos")
           m.computeIfAbsent(
               graft.io.FileIO.canonical(r.getUTF8String(0).toString),
               _ => new java.util.HashSet[java.lang.Long]())

@@ -247,9 +247,22 @@ object SparkRead {
 
       if (posDeletes.nonEmpty) {
         // no broadcast hint: delete sets are unbounded, so let AQE pick the
-        // join strategy from the delete side's actual size at runtime
+        // join strategy from the delete side's actual size at runtime.
+        // Null file_path/pos rows mean the delete file is corrupt — an
+        // anti-join would silently NO-OP them and resurrect the rows they
+        // should delete, so fail closed (reference
+        // TestReadDeletesRejectsNullPos / RejectsMissingFilePath).
+        // the guard rides INSIDE the projected join key: a bare filter
+        // below the join gets outflanked by the inferred IsNotNull
+        // constraints on the equi-join keys, which push to the parquet scan
+        // and drop the corrupt row before any check sees it
+        val guardedPos = when(col("pos").isNull || col("file_path").isNull,
+          raise_error(lit("corrupt positional delete file: null file_path or pos"))
+            .cast("long"))
+          .otherwise(col("pos"))
         val delDf = spark.read.options(ioOptions).parquet(posDeletes.map(_.path): _*)
-          .select(normalizePath(col("file_path")).as("__file"), col("pos").as("__pos"))
+          .select(normalizePath(col("file_path")).as("__file"),
+            guardedPos.as("__pos"))
         df = df.join(delDf, Seq("__file", "__pos"), "left_anti")
       }
 

@@ -60,4 +60,51 @@ class PosDeleteCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PosDeleteCache.loads.get() === 1L,
       s"delete parquet parsed ${PosDeleteCache.loads.get()} times for 4 referencing data files")
   }
+
+  // reference TestReadDeletesRejectsNullPos / RejectsMissingFilePath: a
+  // null file_path or pos row in a delete parquet is corruption; skipping
+  // it would RESURRECT the row it should delete — both read routes must
+  // fail closed instead
+  test("corrupt pos-delete rows (null pos) fail the read, never no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = s"/root/repo/target/graft-wh/pdn_${UUID.randomUUID().toString.take(8)}"
+    val cat = new HadoopCatalog(wh)
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val schema = SchemaBridge.fromSpark(df.schema)
+    val t1 = Writer.append(spark,
+      cat.createTable("t", schema, PartitionSpec.Unpartitioned), df.coalesce(1))
+    val dataPath = t1.newScan.planFiles().head.file.path
+
+    // hand-craft a delete parquet with a NULL pos row
+    val delDir = s"$wh/corrupt-del"
+    Seq((dataPath, Some(3L)), (dataPath, None))
+      .toDF("file_path", "pos")
+      .coalesce(1).write.parquet(delDir)
+    val delFile = graft.io.FileIO.listFilesRecursive(delDir)
+      .map(_.path).filter(_.endsWith(".parquet")).head
+    val del = graft.format.DataFile(graft.format.DataFileContent.PositionDeletes,
+      delFile, "PARQUET", Nil, 2L, graft.io.FileIO.size(delFile))
+    val t2 = Writer.commitSnapshot(t1, "overwrite", addedFiles = Nil,
+      removedPaths = Set.empty, addedDeleteFiles = Seq(del))
+
+    // V1 route (anti-join)
+    val e1 = intercept[Exception](
+      graft.table.SparkRead.read(spark, t2.newScan).count())
+    assert(e1.toString.contains("corrupt positional delete") ||
+      Option(e1.getCause).exists(_.toString.contains("corrupt positional delete")),
+      s"unexpected: $e1")
+
+    // DSv2 executor route (PosDeleteCache parse)
+    val ctl = s"gpdn_${UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$ctl",
+      classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+    PosDeleteCache.clear()
+    val e2 = intercept[Exception](
+      spark.table(s"$ctl.t").filter(col("id") >= 0).collect())
+    assert(e2.toString.contains("corrupt positional delete") ||
+      Option(e2.getCause).exists(_.toString.contains("corrupt positional delete")),
+      s"unexpected: $e2")
+  }
 }
