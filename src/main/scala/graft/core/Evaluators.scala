@@ -478,7 +478,10 @@ object Evaluators {
                 case (Some(v), Some(n)) => v > 0 && v == n
                 case _ => false
               }
-              case Op.NotNan => noNans
+              // nulls match NotNan (they aren't NaN), so no-NaNs proves the
+              // whole file; an all-null column proves it even without
+              // nan-counts (reference strictMetricsEval VisitNotNan)
+              case Op.NotNan => noNans || allNull
               // a null (or NaN) row fails every value comparison, so strict
               // value predicates require provably-no-nulls/nans first
               case _ if !noNulls || !noNans => false

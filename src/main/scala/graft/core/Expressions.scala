@@ -321,7 +321,9 @@ object Expr {
     case Op.IsNull => c.isNull
     case Op.NotNull => c.isNotNull
     case Op.IsNan => isnan(c)
-    case Op.NotNan => !isnan(c)
+    // null matches NotNan in the Iceberg algebra (see evalRow); a bare
+    // `!isnan(c)` is null on null and would silently drop those rows
+    case Op.NotNan => c.isNull || !isnan(c)
     case Op.Lt => c < litVal(lits.head)
     case Op.LtEq => c <= litVal(lits.head)
     case Op.Gt => c > litVal(lits.head)
@@ -358,7 +360,11 @@ object Expr {
         case Op.IsNull => v == null
         case Op.NotNull => v != null
         case Op.IsNan => v != null && dblOf(v).exists(_.isNaN)
-        case Op.NotNan => v != null && !dblOf(v).exists(_.isNaN)
+        // NotNan is the exact complement of IsNan in the Iceberg algebra
+        // (reference visitors.go:299 `VisitNotNan = !VisitIsNan`): a NULL is
+        // not NaN, so it MATCHES NotNan — unlike SQL's `NOT isnan(x)`,
+        // which is null-valued on null and filters the row out
+        case Op.NotNan => v == null || !dblOf(v).exists(_.isNaN)
         case _ if v == null => false
         case Op.Lt => cmp(lits.head) < 0
         case Op.LtEq => cmp(lits.head) <= 0

@@ -4841,6 +4841,40 @@ object IcebergQueries {
       FROM customer
       WHERE c_custkey % 19 <> 0
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""), repeatable = true)
+      ORDER BY c_mktsegment"""), repeatable = true),
+
+    // NotNan is the exact complement of IsNan in the Iceberg algebra
+    // (reference visitors.go:299 VisitNotNan = !VisitIsNan): a NULL value
+    // MATCHES notNan — unlike SQL's `NOT isnan(x)`, which is null on null.
+    // Pins the scan residual (nulls returned), the inclusive/strict
+    // evaluators (no mis-prune, and the strict whole-file delete proof
+    // includes the null rows), and the CoW delete (nulls deleted, NaNs
+    // kept) — found by PruningFuzzSpec as a row-evaluator divergence.
+    QueryDef.staged("i118_notnan_nulls", (s, dir) => {
+      val cat = catalogFor(s, dir)
+      val name = s"nn_${UUID.randomUUID().toString.take(8)}"
+      val p = tbl(s, dir, "part")
+      val df = p.select(col("p_partkey"),
+        when(col("p_partkey") % 5 === 0, lit(null).cast("double"))
+          .when(col("p_partkey") % 5 === 1, lit(Double.NaN))
+          .otherwise(col("p_retailprice").cast("double")).as("score"))
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val t1 = Writer.append(s, cat.createTable(name, schema,
+        PartitionSpec.Unpartitioned,
+        properties = Map("write.metadata.metrics.nan-counts.enabled" -> "true")),
+        df.repartition(4))
+      val matched = SparkRead.read(s,
+        t1.newScan.withFilter(graft.core.Expr.notNan("score")))
+      val nMatch = matched.count()
+      val nullsKept = matched.filter(col("score").isNull).count()
+      val t2 = Writer.deleteWhere(s, t1, graft.core.Expr.notNan("score"))
+      val nLeft = SparkRead.read(s, t2.newScan).count()
+      import s.implicits._
+      () => Seq((nMatch, nullsKept, nLeft))
+        .toDF("n_match", "n_nulls_kept", "n_left")
+    }, Some("""
+      SELECT (SELECT COUNT(*) FROM part WHERE p_partkey % 5 <> 1) AS n_match,
+             (SELECT COUNT(*) FROM part WHERE p_partkey % 5 = 0) AS n_nulls_kept,
+             (SELECT COUNT(*) FROM part WHERE p_partkey % 5 = 1) AS n_left"""))
   )
 }
