@@ -26,7 +26,11 @@ final case class IcebergBucket(child: Expression, n: Int) extends UnaryExpressio
   override def prettyName: String = s"iceberg_bucket_$n"
 
   override protected def nullSafeEval(input: Any): Any = child.dataType match {
-    case LongType => BucketUtil.bucketLong(input.asInstanceOf[Long], n)
+    // date/timestamp Catalyst-internal values ARE the spec encodings
+    // (epoch days int, epoch micros long) — no tz-sensitive SQL cast needed
+    case LongType | TimestampType | TimestampNTZType =>
+      BucketUtil.bucketLong(input.asInstanceOf[Long], n)
+    case DateType => BucketUtil.bucketLong(input.asInstanceOf[Int].toLong, n)
     case StringType => BucketUtil.bucketUtf8(input.asInstanceOf[UTF8String], n)
     case BinaryType => BucketUtil.bucketBinary(input.asInstanceOf[Array[Byte]], n)
     case _: DecimalType => BucketUtil.bucketDecimal(input.asInstanceOf[Decimal], n)
@@ -34,14 +38,19 @@ final case class IcebergBucket(child: Expression, n: Int) extends UnaryExpressio
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = child.dataType match {
-      case LongType => "bucketLong"
-      case StringType => "bucketUtf8"
-      case BinaryType => "bucketBinary"
-      case _: DecimalType => "bucketDecimal"
+    child.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        defineCodeGen(ctx, ev, c => s"graft.core.BucketUtil.bucketLong($c, $n)")
+      case DateType =>
+        defineCodeGen(ctx, ev, c => s"graft.core.BucketUtil.bucketLong((long) $c, $n)")
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"graft.core.BucketUtil.bucketUtf8($c, $n)")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"graft.core.BucketUtil.bucketBinary($c, $n)")
+      case _: DecimalType =>
+        defineCodeGen(ctx, ev, c => s"graft.core.BucketUtil.bucketDecimal($c, $n)")
       case other => throw new IllegalStateException(s"bucket over $other unsupported")
     }
-    defineCodeGen(ctx, ev, c => s"graft.core.BucketUtil.$fn($c, $n)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): IcebergBucket =

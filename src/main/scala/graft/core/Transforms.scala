@@ -103,8 +103,13 @@ object Transforms {
       def bucketed(c: Column): Column =
         ColumnBridge.column(IcebergBucket(ColumnBridge.expression(c), n))
       t match {
-        case IntegerType | LongType | DateType => bucketed(src.cast(LongType))
-        case TimestampType | TimestampNTZType => bucketed(unix_micros(src))
+        case IntegerType | LongType => bucketed(src.cast(LongType))
+        // date/timestamp columns pass through UNCAST: their Catalyst
+        // internal values are already the spec encodings (epoch days /
+        // epoch micros) and IcebergBucket reads them directly — ANSI
+        // forbids the DATE→BIGINT SQL cast, and an NTZ→TIMESTAMP cast
+        // would silently shift by the session timezone
+        case DateType | TimestampType | TimestampNTZType => bucketed(src)
         case StringType | BinaryType => bucketed(src)
         case dt: DecimalType => bucketed(src.cast(dt))
         case other => throw new IllegalArgumentException(s"bucket over $other unsupported")
@@ -132,9 +137,28 @@ object Transforms {
     require(w > 0, s"truncate width must be > 0, got $w")
     val name = s"truncate[$w]"
     def toColumn(src: Column, t: DataType): Column = t match {
-      case IntegerType | LongType =>
+      // Integer truncate is WRAPPING 32-bit arithmetic in the reference
+      // (Go int32 / Java int both wrap near Int.MinValue, transforms.go:538)
+      // and in our driver-side apply; a plain long→int cast of the wrapped
+      // value throws CAST_OVERFLOW under ANSI. Compute in long (exact) and
+      // re-wrap explicitly so the writer column agrees with apply on every
+      // input instead of failing the write.
+      case IntegerType =>
         val ww = lit(w.toLong)
-        (src.cast(LongType) - (((src.cast(LongType) % ww) + ww) % ww)).cast(t)
+        val lsrc = src.cast(LongType)
+        val lres = lsrc - (((lsrc % ww) + ww) % ww)
+        when(lres < lit(Int.MinValue.toLong), lres + lit(1L << 32))
+          .otherwise(lres).cast(IntegerType)
+      // Long truncate wraps the same way at Long.MinValue; long arithmetic
+      // can't see past its own edge, so the subtraction runs in
+      // decimal(22,0) and re-wraps by 2^64 before casting back
+      case LongType =>
+        val ww = lit(w.toLong)
+        val adj = (((src % ww) + ww) % ww).cast(DecimalType(22, 0))
+        val dec = src.cast(DecimalType(22, 0)) - adj
+        val lMin = lit(new java.math.BigDecimal(Long.MinValue)).cast(DecimalType(22, 0))
+        val twoTo64 = lit(new java.math.BigDecimal(BigInteger.ONE.shiftLeft(64)))
+        when(dec < lMin, dec + twoTo64).otherwise(dec).cast(LongType)
       case StringType => substring(src, 1, w)
       case dt: DecimalType =>
         val f = udf((v: java.math.BigDecimal) =>

@@ -693,7 +693,12 @@ object GraftBucketUnbound extends UnboundFunction {
     require(inputType.fields.length == 2,
       s"bucket expects (numBuckets, value), got ${inputType.catalogString}")
     inputType.fields(1).dataType match {
-      case IntegerType | LongType | DateType => GraftBucketLong
+      case IntegerType | LongType => GraftBucketLong
+      // date/timestamp bind NATIVELY (internal days-int / micros-long are
+      // the spec encodings): declaring LongType would make Spark inject a
+      // DATE→BIGINT cast that ANSI analysis rejects
+      case DateType => GraftBucketDate
+      case t @ (TimestampType | TimestampNTZType) => new GraftBucketMicros(t)
       case StringType => GraftBucketString
       case other => throw new UnsupportedOperationException(
         s"graft bucket over ${other.catalogString} not supported for SPJ")
@@ -703,6 +708,28 @@ object GraftBucketUnbound extends UnboundFunction {
 
 object GraftBucketLong extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket(long)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(1)) null
+    else Int.box(Transforms.bucketLong(input.getLong(1), input.getInt(0)))
+}
+
+object GraftBucketDate extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, DateType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket(long)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(1)) null
+    else Int.box(Transforms.bucketLong(input.getInt(1).toLong, input.getInt(0)))
+}
+
+final class GraftBucketMicros(bound: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, bound)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.bucket(long)"
