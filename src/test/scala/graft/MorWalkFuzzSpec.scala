@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.core.{Expr, SchemaBridge, Transforms}
+import graft.format.PartitionSpec
+import graft.table.{Evolve, Maintenance, SparkRead, Table, Writer}
+
+/** Randomized MoR/CoW walk: a seeded random sequence of appends, upserts,
+  * CoW deletes, MoR positional deletes (parquet on v2, deletion vectors on
+  * v3), equality deletes, and compactions, with a driver-side model map
+  * applied in lockstep — after EVERY op the full table contents must equal
+  * the model. This exercises the delete-matching sequence rules
+  * (pos ≥ / eq > / DV supersedes), strict-vs-rewrite CoW classification,
+  * delete application across partitions, and compaction folding in
+  * combinations the scenario unit tests don't enumerate.
+  */
+class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val segs = Seq("A", "B", "C", "D")
+
+  private def walk(formatVersion: Int, partitioned: Boolean, seed: Long): Unit = {
+    import spark.implicits._
+    val r = new Random(seed)
+    val cat = new HadoopCatalog(Files.createTempDirectory(
+      s"graft-morwalk-v$formatVersion-$partitioned").toString)
+    val probe = Seq((0L, "A", 0)).toDF("id", "seg", "v")
+    val schema = SchemaBridge.fromSpark(probe.schema)
+    val spec =
+      if (partitioned) PartitionSpec.builder(schema)
+        .add("seg", Transforms.Identity).build()
+      else PartitionSpec.Unpartitioned
+    var t: Table = cat.createTable(s"w$formatVersion$partitioned", schema, spec)
+    if (formatVersion >= 3) t = Evolve.upgradeFormatVersion(t, 3)
+
+    val model = mutable.Map.empty[Long, (String, Int)]
+    var nextId = 1L
+    def freshRows(n: Int): Seq[(Long, String, Int)] = (0 until n).map { _ =>
+      val row = (nextId, segs(r.nextInt(segs.size)), r.nextInt(100))
+      nextId += 1
+      row
+    }
+
+    def verify(step: Int, op: String): Unit = {
+      val got = SparkRead.read(spark, t.refresh().newScan)
+        .select(col("id"), col("seg"), col("v"))
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      val want = model.toSeq.map { case (id, (s, v)) => (id, s, v) }.sortBy(_._1)
+      assert(got === want,
+        s"fv=$formatVersion partitioned=$partitioned seed=$seed step=$step op=$op: " +
+        s"table has ${got.size} rows, model ${want.size}\n" +
+        s"extra=${got.diff(want).take(5)}\nmissing=${want.diff(got).take(5)}")
+    }
+
+    (0 until 18).foreach { step =>
+      val op = r.nextInt(10) match {
+        case 0 | 1 => // append fresh rows
+          val rows = freshRows(5 + r.nextInt(20))
+          t = Writer.append(spark, t, rows.toDF("id", "seg", "v"))
+          rows.foreach { case (id, s, v) => model(id) = (s, v) }
+          "append"
+        case 2 => // upsert: mutate existing + insert fresh
+          val existing = r.shuffle(model.keys.toSeq).take(r.nextInt(6))
+            .map(id => (id, segs(r.nextInt(segs.size)), r.nextInt(100)))
+          val rows = existing ++ freshRows(r.nextInt(4))
+          if (rows.nonEmpty) {
+            t = Writer.upsert(spark, t, rows.toDF("id", "seg", "v"), Seq("id"))
+            rows.foreach { case (id, s, v) => model(id) = (s, v) }
+          }
+          "upsert"
+        case 3 => // CoW delete by id range
+          val a = r.nextLong(nextId.max(2L))
+          val b = a + 1 + r.nextInt(30)
+          t = Writer.deleteWhere(spark, t,
+            Expr.and(Expr.gtEq("id", a), Expr.lt("id", b)))
+          model.filterInPlace { case (id, _) => id < a || id >= b }
+          s"cow[$a,$b)"
+        case 4 => // CoW delete by segment
+          val s = segs(r.nextInt(segs.size))
+          t = Writer.deleteWhere(spark, t, Expr.eq("seg", s))
+          model.filterInPlace { case (_, (seg, _)) => seg != s }
+          s"cow seg=$s"
+        case 5 | 6 => // MoR positional delete (parquet pos on v2, DV on v3)
+          val a = r.nextLong(nextId.max(2L))
+          val b = a + 1 + r.nextInt(25)
+          val f = Expr.and(Expr.gtEq("id", a), Expr.lt("id", b))
+          t = if (formatVersion >= 3) Writer.deleteWhereDV(spark, t, f)
+            else Writer.deleteWhereMoR(spark, t, f)
+          model.filterInPlace { case (id, _) => id < a || id >= b }
+          s"mor[$a,$b)"
+        case 7 => // MoR delete on a value predicate
+          val x = r.nextInt(100)
+          val f = Expr.lt("v", x)
+          t = if (formatVersion >= 3) Writer.deleteWhereDV(spark, t, f)
+            else Writer.deleteWhereMoR(spark, t, f)
+          model.filterInPlace { case (_, (_, v)) => v >= x }
+          s"mor v<$x"
+        case 8 => // equality delete by key set
+          val ids = r.shuffle(model.keys.toSeq).take(r.nextInt(8))
+          if (ids.nonEmpty) {
+            t = Writer.equalityDelete(spark, t, ids.toDF("id"), Seq("id"))
+            ids.foreach(model.remove)
+          }
+          "eqdelete"
+        case 9 => // compaction folds the MoR debt
+          val res = Maintenance.rewriteDataFiles(spark, t, rewriteAll = true)
+          t = res.table
+          "compact"
+      }
+      verify(step, op)
+    }
+  }
+
+  test("random op walk matches the model: v2 unpartitioned") {
+    walk(formatVersion = 2, partitioned = false, seed = 1001L)
+  }
+  test("random op walk matches the model: v2 partitioned") {
+    walk(formatVersion = 2, partitioned = true, seed = 2002L)
+  }
+  test("random op walk matches the model: v3 (DV) unpartitioned") {
+    walk(formatVersion = 3, partitioned = false, seed = 3003L)
+  }
+  test("random op walk matches the model: v3 (DV) partitioned") {
+    walk(formatVersion = 3, partitioned = true, seed = 4004L)
+  }
+}
