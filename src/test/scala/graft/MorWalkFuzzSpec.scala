@@ -59,8 +59,11 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       row
     }
 
+    val history = mutable.Buffer.empty[(Long, Seq[(Long, String, Int)])]
+
     def verify(step: Int, op: String): Unit = {
-      val got = SparkRead.read(spark, t.refresh().newScan)
+      val head = t.refresh()
+      val got = SparkRead.read(spark, head.newScan)
         .select(col("id"), col("seg"), col("v"))
         .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
       val want = model.toSeq.map { case (id, (s, v)) => (id, s, v) }.sortBy(_._1)
@@ -68,6 +71,7 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"fv=$formatVersion partitioned=$partitioned seed=$seed step=$step op=$op: " +
         s"table has ${got.size} rows, model ${want.size}\n" +
         s"extra=${got.diff(want).take(5)}\nmissing=${want.diff(got).take(5)}")
+      head.metadata.currentSnapshotId.foreach(id => history += id -> want)
     }
 
     (0 until 18).foreach { step =>
@@ -127,6 +131,27 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       verify(step, op)
     }
+
+    // time travel: every historical snapshot must read the model AS OF then
+    // (delete applicability and sequence rules evaluated in the past, with
+    // later compactions and deletes piled on top of the same metadata)
+    import spark.implicits._
+    val tt = t.refresh()
+    history.foreach { case (snapId, want) =>
+      val got = SparkRead.read(spark, tt.newScan.useSnapshot(snapId))
+        .select(col("id"), col("seg"), col("v"))
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(got === want,
+        s"fv=$formatVersion partitioned=$partitioned seed=$seed: " +
+        s"time travel to $snapId diverged (${got.size} vs ${want.size} rows)")
+    }
+    // expiring everything but HEAD must not disturb the current contents
+    Maintenance.expireSnapshots(tt, olderThanMs = System.currentTimeMillis())
+    val afterExpire = SparkRead.read(spark, t.refresh().newScan)
+      .select(col("id"), col("seg"), col("v"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(afterExpire === history.last._2,
+      s"fv=$formatVersion partitioned=$partitioned seed=$seed: expire changed HEAD contents")
   }
 
   test("random op walk matches the model: v2 unpartitioned") {
