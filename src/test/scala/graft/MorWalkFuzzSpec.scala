@@ -145,6 +145,28 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"fv=$formatVersion partitioned=$partitioned seed=$seed: " +
         s"time travel to $snapId diverged (${got.size} vs ${want.size} rows)")
     }
+    // CDC: for random snapshot pairs the changelog must equal the model
+    // diff — INSERTs = rows in `to` absent from `from`, DELETEs the reverse
+    // (net-changes semantics: CoW rewrites and compactions emit nothing)
+    (0 until 6).foreach { _ =>
+      val i = r.nextInt(history.size)
+      val j = i + r.nextInt(history.size - i)
+      val (fromId, fromRows) = history(i)
+      val (toId, toRows) = history(j)
+      val got = graft.table.Incremental
+        .changelogBetween(spark, tt, fromId, toId)
+        .select(col("id"), col("seg"), col("v"), col("_change_type"))
+        .as[(Long, String, Int, String)].collect().sorted.toSeq
+      val want = (
+        toRows.diff(fromRows).map { case (a, b, c) => (a, b, c, "INSERT") } ++
+        fromRows.diff(toRows).map { case (a, b, c) => (a, b, c, "DELETE") }
+      ).sorted
+      assert(got === want,
+        s"fv=$formatVersion partitioned=$partitioned seed=$seed: " +
+        s"changelog $fromId->$toId diverged (${got.size} vs ${want.size})\n" +
+        s"extra=${got.diff(want).take(5)}\nmissing=${want.diff(got).take(5)}")
+    }
+
     // expiring everything but HEAD must not disturb the current contents
     Maintenance.expireSnapshots(tt, olderThanMs = System.currentTimeMillis())
     val afterExpire = SparkRead.read(spark, t.refresh().newScan)
