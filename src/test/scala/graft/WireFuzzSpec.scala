@@ -156,6 +156,50 @@ class WireFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- puffin DV wire: randomized position sets
+
+  test("puffin DV bitmaps round-trip randomized position sets") {
+    val dir = Files.createTempDirectory("graft-puffinfuzz").toString
+    val r = new Random(81818L)
+    (0 until 40).foreach { iter =>
+      val bm = new PositionBitmap
+      val positions = scala.collection.mutable.Set.empty[Long]
+      // sparse singles, dense runs, multi-bucket (>2^32) highs, edges
+      (0 until r.nextInt(200)).foreach { _ =>
+        val p = r.nextLong(1L << 40)
+        positions += p
+      }
+      val runStart = r.nextLong(1L << 20)
+      (runStart until runStart + r.nextInt(500)).foreach(positions += _)
+      if (r.nextBoolean()) positions += 0L
+      if (r.nextBoolean()) positions += (1L << 32) - 1
+      if (r.nextBoolean()) positions += (1L << 32)
+      positions.foreach(bm.set)
+      assert(bm.cardinality === positions.size.toLong)
+
+      // serialized-form round trip
+      val back = PositionBitmap.deserialize(bm.serialize())
+      assert(back.cardinality === positions.size.toLong, s"iter=$iter cardinality")
+      assert(back.positionsIterator.toSeq.sorted === positions.toSeq.sorted,
+        s"iter=$iter positions drifted through serialize/deserialize")
+      positions.take(20).foreach(p => assert(back.contains(p)))
+
+      // full puffin container round trip (DV blob rules: ids −1)
+      val p = s"$dir/dv$iter.puffin"
+      val props = Map("referenced-data-file" -> s"/w/data/f$iter.parquet",
+        "cardinality" -> positions.size.toString)
+      Puffin.writeBlobs(p, Seq(Puffin.BlobSpec(
+        "deletion-vector-v1", DeletionVector.serialize(bm), props)))
+      val metas = Puffin.readFooter(p)
+      assert(metas.size === 1)
+      assert(metas.head.snapshotId === -1L && metas.head.sequenceNumber === -1L)
+      assert(metas.head.properties === props)
+      val dv = Puffin.readDv(p, metas.head)
+      assert(dv.positionsIterator.toSeq.sorted === positions.toSeq.sorted,
+        s"iter=$iter positions drifted through the puffin container")
+    }
+  }
+
   // ---- spec FileScanTask JSON: randomized envelope round-trip
 
   test("spec scan-task JSON round-trips randomized tasks across partition types") {
