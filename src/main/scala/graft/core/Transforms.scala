@@ -150,15 +150,19 @@ object Transforms {
         when(lres < lit(Int.MinValue.toLong), lres + lit(1L << 32))
           .otherwise(lres).cast(IntegerType)
       // Long truncate wraps the same way at Long.MinValue; long arithmetic
-      // can't see past its own edge, so the subtraction runs in
-      // decimal(22,0) and re-wraps by 2^64 before casting back
+      // can't see past its own edge, so rows INSIDE the w-wide underflow
+      // window re-wrap through decimal(22,0) (+2^64) while every other row
+      // keeps the plain codegen'd long arithmetic (CASE WHEN evaluates only
+      // the matching branch, so the hot write path never touches decimal)
       case LongType =>
         val ww = lit(w.toLong)
-        val adj = (((src % ww) + ww) % ww).cast(DecimalType(22, 0))
-        val dec = src.cast(DecimalType(22, 0)) - adj
+        val adj = ((src % ww) + ww) % ww
+        val fast = src - adj
+        val dec = src.cast(DecimalType(22, 0)) - adj.cast(DecimalType(22, 0))
         val lMin = lit(new java.math.BigDecimal(Long.MinValue)).cast(DecimalType(22, 0))
         val twoTo64 = lit(new java.math.BigDecimal(BigInteger.ONE.shiftLeft(64)))
-        when(dec < lMin, dec + twoTo64).otherwise(dec).cast(LongType)
+        val wrapped = when(dec < lMin, dec + twoTo64).otherwise(dec).cast(LongType)
+        when(src < lit(Long.MinValue) + ww, wrapped).otherwise(fast)
       case StringType => substring(src, 1, w)
       case dt: DecimalType =>
         val f = udf((v: java.math.BigDecimal) =>
