@@ -347,6 +347,39 @@ class WireFuzzSpec extends AnyFunSuite {
     }),
     "n" -> (if (r.nextInt(4) == 0) null else Int.box(r.nextInt(21) - 10)))
 
+  test("transform and bbox predicates round-trip the expression JSON structurally") {
+    // TransformPredicate/BBoxPredicate evaluate inclusively in evalRow, so
+    // semantic comparison is vacuous for them — pin the STRUCTURE instead
+    // (the schema resolves the transform's Spark source type on decode)
+    val r = new Random(92929L)
+    val sparkT = org.apache.spark.sql.types.LongType
+    (0 until 500).foreach { iter =>
+      val tr = r.nextInt(5) match {
+        case 0 => Transforms.Bucket(1 + r.nextInt(64))
+        case 1 => Transforms.Truncate(1 + r.nextInt(16))
+        case 2 => Transforms.Years
+        case 3 => Transforms.Months
+        case 4 => Transforms.Days
+      }
+      val op = Seq(Op.Eq, Op.NotEq, Op.Lt, Op.LtEq, Op.Gt, Op.GtEq,
+        Op.In, Op.IsNull)(r.nextInt(8))
+      val lits: Seq[Any] = op match {
+        case Op.IsNull => Nil
+        case Op.In => Seq.fill(1 + r.nextInt(3))(Int.box(r.nextInt(100)))
+        case _ => Seq(Int.box(r.nextInt(100)))
+      }
+      val e = Expr.TransformPredicate(op, tr, "id", sparkT, lits)
+      val back = ExprJson.fromJson(ExprJson.toJson(e), Some(schema))
+      assert(back === e, s"iter=$iter transform predicate drifted: $back vs $e")
+
+      val bb = Expr.BBoxPredicate(r.nextBoolean(), "s",
+        r.nextDouble() * -10, r.nextDouble() * -10,
+        r.nextDouble() * 10, r.nextDouble() * 10)
+      val bbBack = ExprJson.fromJson(ExprJson.toJson(bb), Some(schema))
+      assert(bbBack === bb, s"iter=$iter bbox drifted: $bbBack vs $bb")
+    }
+  }
+
   test("expression JSON round-trips semantically over random rows") {
     val r = new Random(61616L)
     (0 until 3000).foreach { iter =>
