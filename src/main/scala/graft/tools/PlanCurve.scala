@@ -44,10 +44,13 @@ object PlanCurve {
   private val spec = PartitionSpec(0,
     Seq(PartitionField(2, 1000, "part", Transforms.Identity)))
 
-  /** Author a snapshot with n synthetic files, entriesPerManifest per
-    * manifest, partition-band-clustered; returns a plannable Table.
+  /** Author a snapshot with n synthetic data files + nDeletes delete files
+    * (half file-referenced positional, half global equality — the CDC
+    * backlog shape), entriesPerManifest per manifest,
+    * partition-band-clustered; returns a plannable Table.
     */
-  private def buildTable(wh: String, n: Int, entriesPerManifest: Int): (Table, Double) = {
+  private def buildTable(wh: String, n: Int, entriesPerManifest: Int,
+      nDeletes: Int = 0): (Table, Double) = {
     val dir = s"$wh/metadata"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val partType = spec.partitionType(schema)
@@ -75,8 +78,37 @@ object PlanCurve {
           entries.size, 0, 0, entries.map(_.file.recordCount).sum, 0L, 0L,
           graft.table.Writer.partitionSummaries(entries.map(_.file), partType))
     }.toSeq
-    val listPath = s"$dir/snap-$n-$entriesPerManifest.avro"
-    Manifests.writeManifestList(listPath, manifests, snapshotId, None, 1L)
+    val deleteManifests = if (nDeletes == 0) Nil else {
+      (0 until nDeletes).grouped(entriesPerManifest).zipWithIndex.map {
+        case (idxs, mi) =>
+          val entries = idxs.map { i =>
+            val part = (i.toLong * P / nDeletes).toInt
+            val pos = i % 2 == 0
+            ManifestEntry(ManifestEntryStatus.Added, Some(snapshotId),
+              Some(2L), Some(2L),
+              DataFile(
+                if (pos) DataFileContent.PositionDeletes
+                else DataFileContent.EqualityDeletes,
+                s"$wh/data/d$i.parquet", "PARQUET",
+                // pos deletes reference a data file; eq deletes scope to
+                // their partition (the CDC fanout-writer shape)
+                partition = Seq(Int.box(part)),
+                recordCount = 10L, fileSize = 4096L,
+                equalityIds = if (pos) Nil else Seq(1),
+                referencedDataFile =
+                  if (pos) Some(s"$wh/data/f${i % n}.parquet") else None))
+          }
+          val p = s"$dir/dm$mi-$n-$nDeletes.avro"
+          val len = Manifests.writeManifest(p, entries, schema, spec, snapshotId,
+            content = ManifestContent.Deletes)
+          ManifestFile(p, len, 0, ManifestContent.Deletes, 2L, 2L, snapshotId,
+            entries.size, 0, 0, entries.map(_.file.recordCount).sum, 0L, 0L,
+            graft.table.Writer.partitionSummaries(entries.map(_.file), partType))
+      }.toSeq
+    }
+    val listPath = s"$dir/snap-$n-$entriesPerManifest-$nDeletes.avro"
+    Manifests.writeManifestList(listPath, manifests ++ deleteManifests,
+      snapshotId, None, 2L)
     val authorSec = (System.nanoTime() - t0) / 1e9
     val meta = TableMetadata.empty(wh, schema, spec).copy(
       currentSnapshotId = Some(snapshotId),
@@ -117,6 +149,18 @@ object PlanCurve {
       (n, authorSec, full, mFull, part, mPart, point, mPoint)
     }
 
+    // delete-index dimension: planning cost vs delete-file count at a fixed
+    // 100k data files (the CDC-backlog shape: half file-referenced pos
+    // deletes, half partition-scoped eq deletes). DeleteIndex.build plus
+    // per-task matching is the added term — O(files·log(deletes)) by design
+    val deletePoints = Seq(0, 1000, 10000).map { nd =>
+      val (t, _) = buildTable(s"$wh/del$nd", 100000, 1000, nDeletes = nd)
+      val (full, m) = timePlan(t.newScan)
+      System.err.println(f"[pcurve] deletes=$nd%6d full=$full%7.3fs " +
+        f"(pos=${m.posDeleteFiles}%7d eq=${m.eqDeleteFiles}%7d attached)")
+      (nd, full, m)
+    }
+
     // manifest-layout contrast at the top scale
     val nTop = scales.last
     // epm=1000 repeats the top scale's layout in a warmer JVM: its delta vs
@@ -139,7 +183,10 @@ object PlanCurve {
     val layoutJson = layouts.map { case (epm, f, p) =>
       f""""epm$epm":{"full_sec":$f%.4f,"part_sec":$p%.4f}"""
     }.mkString(",")
-    println(s"""{"metric":"plan_curve","unit":"sec","scales":{$rowJson},"layouts_at_n$nTop":{$layoutJson}}""")
+    val deleteJson = deletePoints.map { case (nd, f, m) =>
+      f""""d$nd":{"full_sec":$f%.4f,"pos_attached":${m.posDeleteFiles},"eq_attached":${m.eqDeleteFiles}}"""
+    }.mkString(",")
+    println(s"""{"metric":"plan_curve","unit":"sec","scales":{$rowJson},"layouts_at_n$nTop":{$layoutJson},"deletes_at_n100000":{$deleteJson}}""")
 
     // leave no debris for the bench reap to pay for
     def rm(p: java.io.File): Unit = {
