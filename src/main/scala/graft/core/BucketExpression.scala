@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * row. Spark's own `hash()` is murmur3 seed 42 over Spark's internal row
   * encoding and is NOT spec-compatible.
   *
-  * Input must be pre-normalized by the caller: integers/dates/timestamps as
-  * LongType (µs for timestamps), strings as StringType, binary/fixed as
-  * BinaryType, decimals as DecimalType.
+  * Date/timestamp children are consumed directly as their Catalyst-internal
+  * encodings (epoch days int, epoch micros long) — no tz-sensitive SQL cast.
+  * Integers must still be pre-cast to LongType by the caller; strings arrive
+  * as StringType, binary/fixed as BinaryType, decimals as DecimalType.
   */
 final case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, s"bucket n must be > 0, got $n")
@@ -54,6 +55,43 @@ final case class IcebergBucket(child: Expression, n: Int) extends UnaryExpressio
   }
 
   override protected def withNewChildInternal(newChild: Expression): IcebergBucket =
+    copy(child = newChild)
+}
+
+/** Codegen'd `Math.floorDiv` over a column's Catalyst-internal epoch long.
+  *
+  * TIMESTAMP and TIMESTAMP_NTZ columns both carry epoch-micros longs
+  * internally (UTC-instant micros for the former, local-datetime micros for
+  * the latter) — exactly the µs domains the Iceberg time transforms floor
+  * from (reference `transforms.go:826-1230`). Reading the internal value
+  * sidesteps the session-timezone shift that `cast(TimestampType)` /
+  * `unix_micros` would introduce for NTZ sources, and the session-local
+  * rendering that `year()`/`cast(DateType)` would introduce for tz-aware
+  * sources; it also keeps the arithmetic in exact 64-bit integers instead of
+  * a lossy double round trip.
+  */
+final case class EpochFloorDiv(child: Expression, divisor: Long) extends UnaryExpression {
+  require(divisor > 0, s"divisor must be > 0, got $divisor")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"epoch_floordiv_$divisor"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"epoch_floordiv over $other unsupported (need long/timestamp/timestamp_ntz)")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Math.floorDiv(input.asInstanceOf[Long], divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.floorDiv($c, ${divisor}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): EpochFloorDiv =
     copy(child = newChild)
 }
 

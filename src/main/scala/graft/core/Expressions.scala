@@ -321,8 +321,11 @@ object Expr {
     case Op.IsNull => c.isNull
     case Op.NotNull => c.isNotNull
     case Op.IsNan => isnan(c)
-    // null matches NotNan in the Iceberg algebra (see evalRow); a bare
-    // `!isnan(c)` is null on null and would silently drop those rows
+    // null matches NotNan in the Iceberg algebra (see evalRow). Spark's
+    // isnan() is non-nullable (false on null input), so `!isnan(c)` already
+    // yields true on null; the explicit isNull guard is redundant but kept so
+    // the intended null-MATCHES semantics survive any future change to the
+    // isnan lowering
     case Op.NotNan => c.isNull || !isnan(c)
     case Op.Lt => c < litVal(lits.head)
     case Op.LtEq => c <= litVal(lits.head)
@@ -362,8 +365,9 @@ object Expr {
         case Op.IsNan => v != null && dblOf(v).exists(_.isNaN)
         // NotNan is the exact complement of IsNan in the Iceberg algebra
         // (reference visitors.go:299 `VisitNotNan = !VisitIsNan`): a NULL is
-        // not NaN, so it MATCHES NotNan — unlike SQL's `NOT isnan(x)`,
-        // which is null-valued on null and filters the row out
+        // not NaN, so it MATCHES NotNan. (Spark's isnan() happens to agree —
+        // it is false on null — but this evaluator states the algebra
+        // directly rather than leaning on that.)
         case Op.NotNan => v == null || !dblOf(v).exists(_.isNaN)
         case _ if v == null => false
         case Op.Lt => cmp(lits.head) < 0

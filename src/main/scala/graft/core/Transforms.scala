@@ -56,10 +56,37 @@ object Transforms {
     def resultType(t: DataType): DataType = t
   }
 
+  /** Floor a timestamp column to whole epoch units via the internal micros
+    * long — never through a session-timezone-sensitive cast. The driver-side
+    * `timeUnits` speaks UTC for instants and the raw local datetime for NTZ;
+    * the Catalyst-internal encodings are exactly those micros, so
+    * [[EpochFloorDiv]] keeps writer columns and driver-side apply in
+    * agreement under ANY session timezone (the silent-row-loss hazard
+    * TransformConsistencySpec's non-UTC cases pin).
+    */
+  private def epochUnits(src: Column, unitMicros: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(EpochFloorDiv(ColumnBridge.expression(src), unitMicros))
+  }
+
+  /** The UTC calendar date of a timestamp column (for year/month extraction).
+    * `cast(DateType)` / `year()` on a tz-aware timestamp render in the
+    * SESSION timezone; deriving the date from the floored UTC day ordinal is
+    * timezone-free. NTZ and DATE sources extract locally, which already
+    * matches the driver-side apply.
+    */
+  private def utcDate(src: Column, t: DataType): Column = t match {
+    case TimestampType =>
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        epochUnits(src, 86400000000L).cast(IntegerType))
+    case _ => src.cast(DateType)
+  }
+
   /** Years since 1970 (int). */
   case object Years extends Transform {
     val name = "year"
-    def toColumn(src: Column, t: DataType): Column = (year(src) - lit(1970)).cast(IntegerType)
+    def toColumn(src: Column, t: DataType): Column =
+      (year(utcDate(src, t)) - lit(1970)).cast(IntegerType)
     def apply(v: Any, t: DataType): Any = timeUnits(v, t, Years)
     def resultType(t: DataType): DataType = IntegerType
     override def preservesOrder = true
@@ -68,8 +95,10 @@ object Transforms {
   /** Months since 1970-01 (int). */
   case object Months extends Transform {
     val name = "month"
-    def toColumn(src: Column, t: DataType): Column =
-      ((year(src) - lit(1970)) * lit(12) + (month(src) - lit(1))).cast(IntegerType)
+    def toColumn(src: Column, t: DataType): Column = {
+      val d = utcDate(src, t)
+      ((year(d) - lit(1970)) * lit(12) + (month(d) - lit(1))).cast(IntegerType)
+    }
     def apply(v: Any, t: DataType): Any = timeUnits(v, t, Months)
     def resultType(t: DataType): DataType = IntegerType
     override def preservesOrder = true
@@ -78,8 +107,12 @@ object Transforms {
   /** Days since 1970-01-01; result is date-typed per spec (int ordinal here). */
   case object Days extends Transform {
     val name = "day"
-    def toColumn(src: Column, t: DataType): Column =
-      datediff(src.cast(DateType), lit("1970-01-01").cast(DateType)).cast(IntegerType)
+    def toColumn(src: Column, t: DataType): Column = t match {
+      case TimestampType | TimestampNTZType =>
+        epochUnits(src, 86400000000L).cast(IntegerType)
+      case _ =>
+        datediff(src.cast(DateType), lit("1970-01-01").cast(DateType)).cast(IntegerType)
+    }
     def apply(v: Any, t: DataType): Any = timeUnits(v, t, Days)
     def resultType(t: DataType): DataType = DateType
     override def preservesOrder = true
@@ -88,8 +121,12 @@ object Transforms {
   /** Hours since epoch (int); timestamps only. */
   case object Hours extends Transform {
     val name = "hour"
-    def toColumn(src: Column, t: DataType): Column =
-      floor(unix_micros(src.cast(TimestampType)).cast(DoubleType) / lit(3600000000.0d)).cast(IntegerType)
+    def toColumn(src: Column, t: DataType): Column = t match {
+      case TimestampType | TimestampNTZType =>
+        epochUnits(src, 3600000000L).cast(IntegerType)
+      case _ =>
+        epochUnits(src.cast(TimestampType), 3600000000L).cast(IntegerType)
+    }
     def apply(v: Any, t: DataType): Any = timeUnits(v, t, Hours)
     def resultType(t: DataType): DataType = IntegerType
     override def preservesOrder = true

@@ -42,9 +42,14 @@ class TransformConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- value pools (curated edges + random tail)
 
-  private def ints: Seq[Any] = Seq(0, 1, -1, 7, -7, Int.MaxValue, Int.MinValue + 1, null) ++
+  // MinValue and MinValue+w-1 (for every tested width w ∈ {1,2,5,16}) sit
+  // inside the w-wide underflow window where integer truncate WRAPS — the
+  // +2^32 / decimal +2^64 re-wrap branches in Truncate.toColumn
+  private def ints: Seq[Any] = Seq(0, 1, -1, 7, -7, Int.MaxValue,
+    Int.MinValue, Int.MinValue + 1, Int.MinValue + 4, Int.MinValue + 15, null) ++
     Seq.fill(60)(Int.box(rnd.nextInt()))
-  private def longs: Seq[Any] = Seq(0L, 1L, -1L, 86400L, Long.MaxValue, Long.MinValue + 1, null) ++
+  private def longs: Seq[Any] = Seq(0L, 1L, -1L, 86400L, Long.MaxValue,
+    Long.MinValue, Long.MinValue + 1, Long.MinValue + 4, Long.MinValue + 15, null) ++
     Seq.fill(60)(Long.box(rnd.nextLong()))
   private def strings: Seq[Any] = Seq("", "a", "ab", "abc", "abcdef",
     "ab😀xy", "😀😁😂", "éàü", "ab cd", null) ++
@@ -68,6 +73,21 @@ class TransformConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     LocalDateTime.of(2024, 2, 29, 23, 0, 0), null) ++
     Seq.fill(40)(LocalDateTime.of(1970, 1, 1, 0, 0, 0)
       .plusSeconds(rnd.nextLong() % 3000000000L).plusNanos((rnd.nextInt(1000000)) * 1000L))
+  // tz-aware instants: epoch edges, values whose UTC calendar date differs
+  // from the session-local one (the rows a session-tz-sensitive lowering
+  // mis-partitions), and a DST-transition morning
+  private def timestampsTz: Seq[Any] = Seq(
+    java.time.Instant.EPOCH,
+    java.time.Instant.EPOCH.minusNanos(1000),
+    java.time.Instant.parse("1969-12-31T23:59:59.999999Z"),
+    java.time.Instant.parse("2024-01-01T05:00:00Z"),  // 2023-12-31 21:00 in LA
+    java.time.Instant.parse("2024-06-30T22:30:00Z"),  // 2024-07-01 04:15 in Kathmandu
+    java.time.Instant.parse("2024-03-10T09:59:00Z"),  // PST→PDT jump morning
+    java.time.Instant.parse("1901-07-04T12:00:00Z"), null)
+    .map { case i: java.time.Instant => java.sql.Timestamp.from(i); case null => null } ++
+    Seq.fill(40)(java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusSeconds(rnd.nextLong() % 3000000000L)
+        .plusNanos((rnd.nextInt(1000000)) * 1000L)))
 
   /** Collect toColumn over the pool and compare to apply per row. */
   private def check(tr: Transform, sparkT: DataType, pool: Seq[Any]): Unit = {
@@ -164,7 +184,35 @@ class TransformConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(Transforms.Years, Transforms.Months, Transforms.Days).foreach { tr =>
       check(tr, DateType, dates)
       check(tr, TimestampNTZType, timestampsNtz)
+      check(tr, TimestampType, timestampsTz)
     }
     check(Transforms.Hours, TimestampNTZType, timestampsNtz)
+    check(Transforms.Hours, TimestampType, timestampsTz)
+  }
+
+  test("time and bucket transforms agree under non-UTC session timezones") {
+    // The driver-side apply speaks UTC for instants and the raw local
+    // datetime for NTZ; a toColumn lowering that routes through
+    // cast(TimestampType)/cast(DateType)/year() on the WRONG source type
+    // silently shifts by the session tz — files stamped under one partition,
+    // pruned under another. Kathmandu (+05:45) catches hour-level shifts LA
+    // (-08:00, whole hours) cannot.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      Seq("America/Los_Angeles", "Asia/Kathmandu").foreach { tz =>
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        Seq(Transforms.Years, Transforms.Months, Transforms.Days).foreach { tr =>
+          check(tr, DateType, dates)
+          check(tr, TimestampNTZType, timestampsNtz)
+          check(tr, TimestampType, timestampsTz)
+        }
+        check(Transforms.Hours, TimestampNTZType, timestampsNtz)
+        check(Transforms.Hours, TimestampType, timestampsTz)
+        val b = Transforms.Bucket(8)
+        check(b, DateType, dates)
+        check(b, TimestampNTZType, timestampsNtz)
+        check(b, TimestampType, timestampsTz)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 }
