@@ -134,48 +134,58 @@ object Maintenance {
 
     val schema = table.schema
     // v3 row-lineage preservation (reference rewrite_data_files.go:330-390):
-    // when EVERY selected file carries lineage, read with _row_id /
+    // files that carry lineage are read with _row_id /
     // _last_updated_sequence_number synthesized and write them through as
     // explicit columns — row ids stay stable across compaction. A MIXED
-    // group (legacy files from before a v3 upgrade) degrades gracefully:
-    // preserving would emit nulls beside real ids in one output file,
-    // violating per-file uniqueness, so lineage drops for the whole group.
-    val preserveLineage = table.metadata.formatVersion >= 3 &&
-      selected.nonEmpty && selected.forall(_.file.firstRowId.isDefined)
-    if (!preserveLineage && table.metadata.formatVersion >= 3 &&
-        selected.exists(_.file.firstRowId.isDefined))
-      System.err.println("[compaction] mixed row lineage in rewrite scope; " +
-        "dropping _row_id on output (" +
-        s"${selected.count(_.file.firstRowId.isDefined)} lineage / " +
-        s"${selected.count(_.file.firstRowId.isEmpty)} legacy files)")
-    val compacted = SparkRead.readTasks(spark, selected, schema, table.nameMapping,
-      rowLineage = preserveLineage, specById = table.metadata.specById)
-    // the actual bin-pack: output partition count sized so each lands near
-    // target (coalesce merges read splits without a shuffle; the writer's
-    // calibrated maxRecordsPerFile still rolls any partition that runs
-    // over). Without this, output file count = input split count and
-    // fragments never merge.
-    val nOut = math.max(1, math.ceil(
-      selected.map(_.file.fileSize).sum.toDouble / targetSize).toInt)
-    val clustered = if (zorderBy.isEmpty) compacted.coalesce(nOut) else {
-      import org.apache.spark.sql.functions.{col, max, min}
-      // per-column ranges for rank normalization: ONE agg (2 exprs per
-      // column), one driver-side row
-      val aggExprs = zorderBy.flatMap(c =>
-        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-      val row = compacted.agg(aggExprs.head, aggExprs.tail: _*).head()
-      val mins = zorderBy.indices.map(i => row.getDouble(2 * i))
-      val maxs = zorderBy.indices.map(i => row.getDouble(2 * i + 1))
-      val zkey = graft.functions.ZOrder.zorderKey(zorderBy.map(col), mins, maxs)
-      // range partition + sort on the key: per-file key ranges are globally
-      // non-overlapping, so bounds on every participating column tighten;
-      // the projection dropping the key preserves the arranged order
-      compacted.withColumn("__zkey", zkey)
-        .repartitionByRange(nOut, col("__zkey"))
-        .sortWithinPartitions(col("__zkey"))
-        .drop("__zkey")
+    // scope (legacy files from before a v3 upgrade) is SPLIT into two
+    // output groups rather than dropping lineage for everyone: the
+    // lineage-carrying subset rewrites with preservation, the legacy subset
+    // without (its outputs take fresh first_row_id blocks at commit). One
+    // mixed output file would put nulls beside real ids, violating per-file
+    // uniqueness — splitting keeps the spec promise for the rows that have
+    // ids at the cost of one extra output group.
+    val v3 = table.metadata.formatVersion >= 3
+    val rewriteGroups: Seq[(Seq[FileScanTask], Boolean)] =
+      if (!v3) Seq((selected, false))
+      else {
+        val (lineage, legacy) = selected.partition(_.file.firstRowId.isDefined)
+        if (legacy.nonEmpty && lineage.nonEmpty)
+          System.err.println("[compaction] mixed row lineage in rewrite scope; " +
+            s"splitting into ${lineage.size} lineage-preserving / " +
+            s"${legacy.size} legacy files")
+        Seq((lineage, true), (legacy, false)).filter(_._1.nonEmpty)
+      }
+    def rewriteGroup(group: Seq[FileScanTask], preserve: Boolean): Seq[DataFile] = {
+      val compacted = SparkRead.readTasks(spark, group, schema, table.nameMapping,
+        rowLineage = preserve, specById = table.metadata.specById)
+      // the actual bin-pack: output partition count sized so each lands near
+      // target (coalesce merges read splits without a shuffle; the writer's
+      // calibrated maxRecordsPerFile still rolls any partition that runs
+      // over). Without this, output file count = input split count and
+      // fragments never merge.
+      val nOut = math.max(1, math.ceil(
+        group.map(_.file.fileSize).sum.toDouble / targetSize).toInt)
+      val clustered = if (zorderBy.isEmpty) compacted.coalesce(nOut) else {
+        import org.apache.spark.sql.functions.{col, max, min}
+        // per-column ranges for rank normalization: ONE agg (2 exprs per
+        // column), one driver-side row
+        val aggExprs = zorderBy.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val row = compacted.agg(aggExprs.head, aggExprs.tail: _*).head()
+        val mins = zorderBy.indices.map(i => row.getDouble(2 * i))
+        val maxs = zorderBy.indices.map(i => row.getDouble(2 * i + 1))
+        val zkey = graft.functions.ZOrder.zorderKey(zorderBy.map(col), mins, maxs)
+        // range partition + sort on the key: per-file key ranges are globally
+        // non-overlapping, so bounds on every participating column tighten;
+        // the projection dropping the key preserves the arranged order
+        compacted.withColumn("__zkey", zkey)
+          .repartitionByRange(nOut, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      }
+      Writer.writeDataFiles(spark, table, clustered)
     }
-    val newFiles = Writer.writeDataFiles(spark, table, clustered)
+    val newFiles = rewriteGroups.flatMap { case (g, p) => rewriteGroup(g, p) }
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = newFiles, removedPaths = rewrittenPaths,
       addedDeleteFiles = Nil,

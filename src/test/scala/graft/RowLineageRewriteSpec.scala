@@ -188,10 +188,12 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
   // mixed scope: a file with NO lineage anywhere (the form a foreign
   // pre-lineage manifest takes — no field 142, no list-level 520, e.g. rows
   // awaiting lazy id assignment after a v1/v2→v3 migration) beside a
-  // lineage-carrying one — preserving would emit nulls beside real ids in
-  // one output, so lineage drops for the group and FRESH ids are assigned
-  // (the reference's graceful path, rewrite_data_files.go:331-360)
-  test("rewriteDataFiles drops lineage for mixed pre/post-upgrade scopes") {
+  // lineage-carrying one — the scope SPLITS into two output groups: the
+  // lineage subset rewrites with its ids preserved 1:1 (the spec promise
+  // for rows that have ids, reference rewrite_data_files.go:330-390), the
+  // legacy subset without (fresh blocks at commit). One mixed output file
+  // would put nulls beside real ids, violating per-file uniqueness.
+  test("rewriteDataFiles splits mixed pre/post-upgrade scopes, preserving carried ids") {
     spark.sql("CREATE TABLE g.rlm (k BIGINT)")
     graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlm"), 3)
     spark.sql("INSERT INTO g.rlm SELECT id FROM range(50)")
@@ -224,21 +226,37 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val files = t.newScan.planFiles().map(_.file)
     assert(files.exists(_.firstRowId.isEmpty) && files.exists(_.firstRowId.isDefined),
       "scope is genuinely mixed")
+    // the lineage-carrying subset's ids BEFORE the rewrite (k = 50..99);
+    // legacy rows read _row_id as NULL (no block to synthesize from)
+    def idMap(): Map[Long, Option[Long]] = graft.table.SparkRead.read(spark,
+        catalog.loadTable("rlm").newScan.withRowLineage)
+      .selectExpr("k", "_row_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val before = idMap()
+    val carriedBefore = before.filter(_._1 >= 50)
+    assert(carriedBefore.size === 50 && carriedBefore.values.forall(_.isDefined))
 
     val res = graft.table.Maintenance.rewriteDataFiles(spark, t, rewriteAll = true)
     assert(res.rewrittenDataFiles > 0)
-    // output rows read fine and get fresh synthesized ids (no explicit col)
-    val rows = graft.table.SparkRead.read(spark,
-        res.table.newScan.withRowLineage)
-      .selectExpr("k", "_row_id").collect()
-    assert(rows.length === 100)
-    assert(rows.map(_.getLong(1)).distinct.length === 100, "ids unique")
-    val newFile = res.table.newScan.planFiles().head.file.path
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-      new org.apache.hadoop.conf.Configuration(),
-      new org.apache.hadoop.fs.Path(newFile))
+    val after = idMap()
+    assert(after.size === 100)
+    assert(after.values.forall(_.isDefined),
+      "every row has an id after the rewrite (legacy group took fresh blocks)")
+    assert(after.values.flatten.toSet.size === 100, "ids unique across both groups")
+    // carried subset: ids preserved 1:1; legacy subset: fresh synthesized
+    assert(after.filter(_._1 >= 50) === carriedBefore,
+      "lineage-carrying rows keep their original _row_id through a mixed rewrite")
+    // the output groups are physically distinct: the lineage group's files
+    // carry the explicit _row_id parquet column, the legacy group's don't
     import scala.jdk.CollectionConverters._
-    assert(!footer.getFileMetaData.getSchema.getFields.asScala
-      .exists(_.getName == "_row_id"), "mixed scope writes no lineage column")
+    def hasRowIdCol(path: String): Boolean =
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        new org.apache.hadoop.conf.Configuration(),
+        new org.apache.hadoop.fs.Path(path))
+        .getFileMetaData.getSchema.getFields.asScala.exists(_.getName == "_row_id")
+    val outPaths = res.table.newScan.planFiles().map(_.file.path).distinct
+    assert(outPaths.exists(hasRowIdCol) && outPaths.exists(!hasRowIdCol(_)),
+      "split rewrite emits one lineage-columned group and one plain group")
   }
 }
