@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicInteger
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
@@ -11,7 +12,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.catalog.HadoopCatalog
+import graft.catalog.{Catalog, HadoopCatalog, SqlCatalog}
 import graft.core.SchemaBridge
 import graft.format.PartitionSpec
 import graft.table.{Maintenance, SparkRead, Writer}
@@ -23,6 +24,13 @@ import graft.table.{Maintenance, SparkRead, Writer}
   * midway. Invariant: no lost updates — the final table holds exactly the
   * union of every batch, one snapshot per commit, with strictly
   * monotonically increasing sequence numbers and distinct snapshot ids.
+  *
+  * The SAME walk runs over every CAS implementation that differs:
+  * HadoopCatalog's atomic version-hint rename, SqlCatalog's JDBC
+  * conditional UPDATE, and HiveCatalog's lock→verify→alter — the Hive run
+  * with fault injection (lost responses and pre-apply failures mid-race)
+  * so the unknown-outcome reconciliation path runs UNDER CONTENTION, not
+  * just in the orchestrated two-party test.
   */
 class ConcurrencyFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -35,60 +43,113 @@ class ConcurrencyFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("8 racing appenders + a racing compaction lose nothing") {
+  /** The race: `writers` appenders × `batches` batches from deliberately
+    * stale handles, one rewriteAll compaction midway. Asserts the full
+    * no-lost-updates / one-snapshot-per-commit / unique-monotone-sequence
+    * invariant set against whatever catalog backend is passed in.
+    */
+  private def raceWalk(cat: Catalog, tableName: String,
+      writers: Int = 8, batches: Int = 4,
+      retries: Int = 20, maxWaitMs: Int = 50): Unit = {
     import spark.implicits._
-    val cat = new HadoopCatalog(Files.createTempDirectory("graft-ccfuzz").toString)
     val probe = Seq((-1L, -1, -1)).toDF("id", "writer", "seq")
-    val t0 = cat.createTable("race", SchemaBridge.fromSpark(probe.schema),
+    val t0 = cat.createTable(tableName, SchemaBridge.fromSpark(probe.schema),
       PartitionSpec.Unpartitioned,
       properties = Map(
-        "commit.retry.num-retries" -> "20",
+        "commit.retry.num-retries" -> retries.toString,
         "commit.retry.min-wait-ms" -> "5",
-        "commit.retry.max-wait-ms" -> "50"))
+        "commit.retry.max-wait-ms" -> maxWaitMs.toString))
     Writer.append(spark, t0, probe) // seed so compaction has work
 
-    val writers = 8
-    val batchesPerWriter = 4
     val rowsPerBatch = 50
     val pool = Executors.newFixedThreadPool(writers + 1)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
     val appenders = (0 until writers).map { w =>
       Future {
-        (0 until batchesPerWriter).foreach { s =>
+        (0 until batches).foreach { s =>
           val rows = (0 until rowsPerBatch).map { i =>
             ((w.toLong << 32) | (s.toLong << 16) | i.toLong, w, s)
           }
           // stale handle on purpose: the commit loop must rebase
-          Writer.append(spark, cat.loadTable("race"),
+          Writer.append(spark, cat.loadTable(tableName),
             rows.toDF("id", "writer", "seq"))
         }
       }
     }
     val compactor = Future {
       Thread.sleep(300)
-      Maintenance.rewriteDataFiles(spark, cat.loadTable("race"), rewriteAll = true)
+      Maintenance.rewriteDataFiles(spark, cat.loadTable(tableName),
+        rewriteAll = true)
     }
     Await.result(Future.sequence(appenders :+ compactor.map(_ => ())), 10.minutes)
     pool.shutdown()
 
-    val t = cat.loadTable("race")
+    val t = cat.loadTable(tableName)
     val got = SparkRead.read(spark, t.newScan)
       .filter(col("id") =!= -1L).select(col("id")).as[Long].collect().sorted.toSeq
     val want = (for {
-      w <- 0 until writers; s <- 0 until batchesPerWriter; i <- 0 until rowsPerBatch
+      w <- 0 until writers; s <- 0 until batches; i <- 0 until rowsPerBatch
     } yield (w.toLong << 32) | (s.toLong << 16) | i.toLong).sorted
     assert(got.size === want.size,
       s"lost updates: ${want.size - got.size} rows missing of ${want.size}")
     assert(got === want)
 
     val snaps = t.metadata.snapshots
-    // every commit made a snapshot: 1 seed + 32 appends + 1 compaction
-    assert(snaps.size === 1 + writers * batchesPerWriter + 1,
+    // every commit made a snapshot: 1 seed + all appends + 1 compaction
+    assert(snaps.size === 1 + writers * batches + 1,
       s"expected one snapshot per commit, got ${snaps.size}")
     assert(snaps.map(_.snapshotId).distinct.size === snaps.size)
     val seqs = snaps.map(_.sequenceNumber)
     assert(seqs.distinct.size === seqs.size, "duplicate sequence numbers")
     assert(seqs.max === t.metadata.lastSequenceNumber)
+  }
+
+  test("hadoop: 8 racing appenders + a racing compaction lose nothing") {
+    raceWalk(new HadoopCatalog(
+      Files.createTempDirectory("graft-ccfuzz").toString), "race")
+  }
+
+  test("sql: the same race over the JDBC conditional-UPDATE CAS") {
+    raceWalk(new SqlCatalog(
+      s"jdbc:derby:${Files.createTempDirectory("graft-ccfuzz-sql")}/db;create=true",
+      Files.createTempDirectory("graft-ccfuzz-sqlwh").toString), "ccfuzz_race_sql")
+  }
+
+  test("hive: the same race over lock→verify→alter, with injected faults " +
+      "driving unknown-outcome reconciliation under contention") {
+    val cat = graft.catalog.HiveCatalog.embedded(
+      Files.createTempDirectory("graft-ccfuzz-hivems").toString,
+      Files.createTempDirectory("graft-ccfuzz-hivewh").toString)
+    val alterN = new AtomicInteger(0)
+    val lostResponses = new AtomicInteger(0)
+    val preApplyFailures = new AtomicInteger(0)
+    // every 4th alter applies then loses its response (reconciliation must
+    // observe pointer==newPath and call it SUCCESS under the held lock);
+    // every 9th fails before applying (reconciliation observes pointer at
+    // base → retryable CommitConflict → the retry loop re-stages). Both
+    // fire while 8 other writers contend for the same table lock.
+    cat.commitAlterHook = { f =>
+      val n = alterN.incrementAndGet()
+      if (n % 4 == 0) {
+        f()
+        lostResponses.incrementAndGet()
+        throw new RuntimeException("connection reset by peer (injected)")
+      } else if (n % 9 == 0) {
+        preApplyFailures.incrementAndGet()
+        throw new RuntimeException("socket timeout (injected)")
+      } else f()
+    }
+    try {
+      // smaller batch count + bigger retry budget: embedded-Derby HMS lock
+      // polling under 8-way contention is slow, and injected pre-apply
+      // failures consume retry attempts on top of genuine CAS conflicts
+      raceWalk(cat, "ccfuzz_race_hive", batches = 3,
+        retries = 40, maxWaitMs = 100)
+    } finally cat.commitAlterHook = f => f()
+    assert(lostResponses.get >= 1,
+      "the lost-response reconciliation branch must have run under contention")
+    assert(preApplyFailures.get >= 1,
+      "the pre-apply-failure reconciliation branch must have run under contention")
   }
 }

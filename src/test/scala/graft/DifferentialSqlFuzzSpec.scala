@@ -127,4 +127,68 @@ class DifferentialSqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(nonEmpty > 25, s"weak generator: only $nonEmpty non-empty results")
   }
+
+  // the same clause generator AFTER a mixed delete history: CoW rewrite,
+  // MoR positional deletes, a v3 deletion vector, and a global equality
+  // delete all live on the table at once, so pushdown/pruning/residual
+  // interplay WITH delete application gets the plain-Spark ground-truth
+  // treatment (MorWalkFuzz checks full contents, never filtered reads)
+  test("random WHERE clauses agree after a mixed CoW/pos-delete/DV/eq-delete history") {
+    val cat = new HadoopCatalog(wh)
+    val schema = SchemaBridge.fromSpark(raw.schema)
+    val spec = PartitionSpec.builder(schema)
+      .add("flag", Transforms.Identity)
+      .add("k", Transforms.Bucket(4))
+      .add("ship", Transforms.Years)
+      .build()
+    var t = cat.createTable("dfzd", schema, spec)
+    Seq(0, 1, 2, 3).foreach { i =>
+      t = Writer.append(spark, t, raw.filter(col("k") % 4 === i))
+    }
+    // ground truth mirrors each delete with SQL semantics: DELETE removes
+    // rows where the predicate is TRUE; null-valued predicates survive
+    var truth = raw
+    def erase(sqlPred: String): Unit =
+      truth = truth.where(s"NOT coalesce(($sqlPred), false)")
+
+    // 1. MoR positional deletes (v2 parquet pos-delete files)
+    t = Writer.deleteWhereMoR(spark, t, graft.core.Expr.eq("ln", 3))
+    erase("ln = 3")
+    // 2. global equality delete over sampled keys (lower-sequence rows die)
+    val rEq = new Random(4242L)
+    val eqKeys = Seq.fill(120)(rEq.nextInt(6200).toLong).distinct
+    import spark.implicits._
+    t = Writer.equalityDelete(spark, t, eqKeys.toDF("k"), Seq("k"))
+    erase(s"k IN (${eqKeys.mkString(",")})")
+    // 3. v3 upgrade, then a deletion vector (NaN-adjacent predicate: Spark
+    //    NaN-sorts-greatest semantics must agree end to end)
+    t = graft.table.Evolve.upgradeFormatVersion(t, 3)
+    t = Writer.deleteWhereDV(spark, t, graft.core.Expr.gt("qty", 45.0d))
+    erase("qty > 45.0D")
+    // 4. CoW delete: strict classification rewrites whole files
+    t = Writer.deleteWhere(spark, t,
+      graft.core.Expr.lt("ship", java.time.LocalDate.parse("1993-01-01")))
+    erase("ship < DATE'1993-01-01'")
+
+    val r = new Random(31337L)
+    truth.createOrReplaceTempView("dfzd_truth")
+    var nonEmpty = 0
+    (0 until 60).foreach { iter =>
+      val pred = genPred(r, 2)
+      val agg = "count(*) AS n, coalesce(sum(cast(hash(k, ln, qty, flag, ship) AS BIGINT)), 0) AS h"
+      val ours = spark.sql(s"SELECT $agg FROM g.dfzd WHERE $pred").head
+      val want = spark.sql(s"SELECT $agg FROM dfzd_truth WHERE $pred").head
+      assert(ours.getLong(0) === want.getLong(0),
+        s"iter=$iter row count diverged after deletes for WHERE $pred")
+      assert(ours.getLong(1) === want.getLong(1),
+        s"iter=$iter row content diverged after deletes for WHERE $pred")
+      if (want.getLong(0) > 0) nonEmpty += 1
+    }
+    assert(nonEmpty > 25, s"weak generator: only $nonEmpty non-empty results")
+    // the delete mix is genuinely live on the read path: both MoR delete
+    // shapes attach to current scan tasks
+    val tasks = cat.loadTable("dfzd").newScan.planFiles()
+    assert(tasks.exists(_.eqDeletes.nonEmpty), "eq-deletes attached")
+    assert(tasks.exists(_.posDeletes.nonEmpty), "pos-deletes/DVs attached")
+  }
 }
