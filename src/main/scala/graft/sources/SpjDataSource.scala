@@ -369,15 +369,28 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     }
   }
 
-  /** SQL `DELETE FROM ... WHERE`: only predicates the expression bridge can
-    * translate are accepted (`canDeleteWhere` — Spark errors loudly on the
-    * rest instead of deleting the wrong rows); execution is the CoW path,
-    * so whole-file matches drop metadata-only and partial files rewrite
-    * without the matching rows.
+  /** SQL `DELETE FROM ... WHERE`, metadata-only contract (Iceberg
+    * SparkTable.canDeleteWhere semantics): accept ONLY when the strict
+    * evaluator proves every matching file matches in FULL, so the delete is
+    * a pure manifest rewrite — no data IO at any scale. A partially-matching
+    * file falls back to Spark's row-level plan, which honors
+    * `write.delete.mode` (a MoR table writes a DV / pos-delete instead of
+    * rewriting the file) and preserves v3 row lineage. The previous
+    * translatability-only answer silently ran EVERY simple-predicate DELETE
+    * through the CoW rewrite — on a merge-on-read table a one-row delete
+    * rewrote a whole data file and destroyed every survivor's `_row_id`
+    * (caught by RowLineageRewriteSpec's pruned-row-group pin).
     */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    writable && snapshotId.isEmpty &&
-      filters.forall(f => SpjScanBuilder.toExpr(f).isDefined)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    if (!writable || snapshotId.nonEmpty) return false
+    val exprs = filters.map(SpjScanBuilder.toExpr)
+    if (exprs.exists(_.isEmpty)) return false
+    val expr = exprs.flatten.foldLeft(Expr.AlwaysTrue: Expr)(Expr.and)
+    val t = table.refresh()
+    val strict = Expr.rewriteNot(expr)
+    t.newScan.withFilter(expr).planFiles()
+      .forall(task => graft.core.Evaluators.fileMustMatch(t.schema, strict, task.file))
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("delete from")

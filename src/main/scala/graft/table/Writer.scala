@@ -138,13 +138,28 @@ object Writer {
       Evaluators.fileMustMatch(schema, strictFilter, t.file))
     val candidatePaths = candidates.map(_.file.path)
     // rewrite only partially-matching candidates, without the matching rows,
-    // reading through the MoR pipeline so already-deleted rows stay deleted
+    // reading through the MoR pipeline so already-deleted rows stay deleted.
+    // v3 row lineage survives the rewrite the same way compaction preserves
+    // it: lineage-carrying files read with _row_id synthesized and write it
+    // through as explicit columns (survivor rows are UNCHANGED rows, so
+    // their ids and last-updated sequence numbers are still theirs); a
+    // mixed scope splits into lineage/legacy output groups
     val newFiles =
       if (partial.isEmpty) Nil
-      else writeDataFiles(spark, table,
-        SparkRead.readTasks(spark, partial, schema, table.nameMapping,
-          specById = table.metadata.specById)
-          .filter(!Expr.toColumn(filter)))
+      else {
+        val groups: Seq[(Seq[FileScanTask], Boolean)] =
+          if (table.metadata.formatVersion < 3) Seq((partial, false))
+          else {
+            val (lin, leg) = partial.partition(_.file.firstRowId.isDefined)
+            Seq((lin, true), (leg, false)).filter(_._1.nonEmpty)
+          }
+        groups.flatMap { case (g, preserve) =>
+          writeDataFiles(spark, table,
+            SparkRead.readTasks(spark, g, schema, table.nameMapping,
+              rowLineage = preserve, specById = table.metadata.specById)
+              .filter(!Expr.toColumn(filter)))
+        }
+      }
     commitSnapshot(table, "overwrite", addedFiles = newFiles,
       removedPaths = candidatePaths.toSet, addedDeleteFiles = Nil,
       conflictCheck = Some(ConflictCheck(filter = filter,

@@ -185,6 +185,81 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids() === afterInsert, "second-generation compaction preserves too")
   }
 
+  // reference `table/row_lineage_prune_delete_test.go`: _row_id synthesis is
+  // first_row_id + PHYSICAL position. A scan whose filter prunes a leading
+  // parquet row group (and whose MoR deletes knock out rows) emits
+  // non-contiguous survivors — a dense position counter would stamp the
+  // wrong ids. Our __pos comes from `_metadata.row_index` (footer
+  // row-group offsets), pinned here end to end for BOTH delete shapes.
+  test("_row_id synthesis targets physical positions across pruned row groups") {
+    spark.sql("""CREATE TABLE g.rlp (k BIGINT, pad STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read',
+                     'write.parquet.row-group-size-bytes' = '4096')""")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlp"), 3)
+    // sorted single file → tight per-row-group k ranges → stats prune
+    spark.sql("""INSERT INTO g.rlp
+      SELECT /*+ COALESCE(1) */ id, repeat('x', 64) FROM range(8000) ORDER BY id""")
+    val t0 = catalog.loadTable("rlp")
+    val files = t0.newScan.planFiles().map(_.file)
+    assert(files.size === 1 && files.head.firstRowId === Some(0L))
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(files.head.path))
+    assert(footer.getBlocks.size() > 1,
+      s"test needs >1 row groups, got ${footer.getBlocks.size()}")
+
+    // v3 SQL DELETE → deletion vector; direct MoR delete → parquet
+    // pos-delete file: both shapes live on the one data file at once
+    spark.sql("DELETE FROM g.rlp WHERE k = 7997")
+    // the MoR mode was honored: the original file survives under a DV
+    locally {
+      val after = catalog.loadTable("rlp").newScan.planFiles()
+      assert(after.map(_.file.path) === files.map(_.path),
+        "merge-on-read DELETE must not rewrite the data file")
+      assert(after.head.posDeletes.exists(_.format == "PUFFIN"), "v3 DELETE wrote a DV")
+    }
+    graft.table.Writer.deleteWhereMoR(spark, catalog.loadTable("rlp"),
+      graft.core.Expr.eq("k", 7995L))
+
+    // the filter prunes every leading row group; sorted single-file insert
+    // means the correct _row_id IS k — any dense-counter drift shows up as
+    // a mismatch
+    val rows = graft.table.SparkRead.read(spark, catalog.loadTable("rlp")
+        .newScan.withFilter(graft.core.Expr.gtEq("k", 7000L)).withRowLineage)
+      .selectExpr("k", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 998, s"expected 998 survivors, got ${rows.length}")
+    assert(!rows.exists(r => r._1 == 7995L || r._1 == 7997L), "deleted rows gone")
+    val bad = rows.filter(r => r._1 != r._2)
+    assert(bad.isEmpty,
+      s"survivors must keep _row_id = physical ordinal under pruned groups; " +
+        s"${bad.length} mismatches, first 10: ${bad.take(10).mkString(",")}")
+  }
+
+  // CoW DELETE is a rewrite of the surviving rows — the spec's lineage
+  // promise (existing rows keep _row_id) applies exactly as it does to
+  // compaction, and the same explicit-column carry delivers it
+  test("CoW deleteWhere preserves surviving rows' _row_id on v3") {
+    spark.sql("CREATE TABLE g.rlcow (k BIGINT)")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlcow"), 3)
+    spark.sql("INSERT INTO g.rlcow SELECT id FROM range(100)")
+    def ids(): Map[Long, Long] = graft.table.SparkRead.read(spark,
+        catalog.loadTable("rlcow").newScan.withRowLineage)
+      .selectExpr("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = ids()
+    assert(before.size === 100)
+    // partial-file match → real rewrite, not metadata-only
+    val t1 = graft.table.Writer.deleteWhere(spark, catalog.loadTable("rlcow"),
+      graft.core.Expr.lt("k", 10L))
+    assert(t1.metadata.currentSnapshot.get.summary.get("operation")
+      .contains("overwrite"))
+    val after = ids()
+    assert(after.size === 90)
+    assert(after === before.filter(_._1 >= 10L),
+      "every surviving row keeps its original _row_id through a CoW delete")
+  }
+
   // mixed scope: a file with NO lineage anywhere (the form a foreign
   // pre-lineage manifest takes — no field 142, no list-level 520, e.g. rows
   // awaiting lazy id assignment after a v1/v2→v3 migration) beside a
