@@ -37,6 +37,33 @@ trait Catalog {
     * per-catalog-backend, `catalog/catalog.go` ErrNoSuchView surface).
     */
   def viewStore: Option[ViewStore] = None
+
+  /** Drop+recreate commit guard (the reference's table-uuid invariant,
+    * `refresh_uuid_test.go`, applied at the CAS): version numbers and the
+    * deterministic vN metadata paths the CAS compares can COLLIDE across
+    * table incarnations — drop the table, recreate it under the same name,
+    * advance it to the stale writer's expected version, and the bare CAS
+    * would let that writer clobber the new table with metadata derived from
+    * the dead one. The uuid cannot collide, so each backend's commit calls
+    * this with its freshly-read current pointer before flipping it. Either
+    * side missing a uuid (legacy v1 metadata) disables the check; an
+    * unreadable current pointer is left for the CAS itself to surface.
+    * Non-retryable by design: a retry would rebase onto the wrong table.
+    */
+  protected def requireSameIncarnation(name: String, base: TableMetadata,
+      currentLocation: Option[String]): Unit = {
+    if (base.tableUuid.isEmpty) return
+    currentLocation.foreach { loc =>
+      val cur =
+        try TableMetadata.fromJson(graft.table.Locations.readMetadataJson(loc))
+        catch { case _: Exception => return }
+      if (cur.tableUuid.nonEmpty && cur.tableUuid != base.tableUuid)
+        throw new IllegalStateException(
+          s"table $name uuid changed: expected ${base.tableUuid}, found " +
+            s"${cur.tableUuid} — the table was dropped and recreated; " +
+            "refusing to commit into the new incarnation")
+    }
+  }
 }
 
 /** URI-scheme registry (reference `catalog/registry.go`): `hadoop:<path>`

@@ -34,7 +34,11 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     */
   def registerStagedMetadata(name: String, meta: TableMetadata,
       expectedVersion: Int): Unit = {
-    commit(name, meta, meta, expectedVersion)
+    // a staged REPLACE is an INTENTIONAL new incarnation (fresh uuid over
+    // the old pointer) — the drop+recreate commit guard doesn't apply; the
+    // version CAS alone arbitrates against concurrent committers. Signaled
+    // by a base with no uuid, which disables the guard.
+    commit(name, meta.copy(tableUuid = ""), meta, expectedVersion)
     ()
   }
 
@@ -140,6 +144,8 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
     val cur = currentVersion(name).getOrElse(0)
     if (cur != expectedVersion)
       throw new CommitConflict(s"expected version $expectedVersion but found $cur")
+    // version numbers collide across drop+recreate incarnations; uuids don't
+    requireSameIncarnation(name, base, resolveMetadataFile(name, cur))
     commitVersion(name, expectedVersion + 1, updated)
     metadataFile(name, expectedVersion + 1, updated.properties)
   }

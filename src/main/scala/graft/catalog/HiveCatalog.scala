@@ -253,6 +253,9 @@ final class HiveCatalog(conf: HiveConf, warehouseRaw: String)
         throw new CommitConflict(s"table $name disappeared during commit"))
       val currentLoc = metadataLocationOf(hms).getOrElse(
         throw new CommitConflict(s"table $name has no metadata_location"))
+      // version numbers and deterministic vN paths collide across a
+      // drop+recreate; uuids don't — check BEFORE the pointer comparisons
+      requireSameIncarnation(name, base, Some(currentLoc))
       expectedLocation match {
         case Some(expected) =>
           if (FileIO.canonical(currentLoc) != FileIO.canonical(expected))

@@ -187,6 +187,8 @@ final class SqlCatalog(jdbcUrl: String, warehouseRaw: String,
     */
   def commit(name: String, base: TableMetadata, updated: TableMetadata,
       expectedVersion: Int): String = {
+    // version numbers collide across drop+recreate incarnations; uuids don't
+    requireSameIncarnation(name, base, currentLocation(name))
     val newPath = stageMetadataFile(name, updated, expectedVersion)
     val won = withConn(c => casUpdate(c, name, expectedVersion, newPath) == 1)
     if (!won) {

@@ -142,7 +142,9 @@ object TableMetadata {
   def toJson(m: TableMetadata): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", m.formatVersion)
-    root.put("table-uuid", m.tableUuid)
+    // a legacy metadata loaded without a uuid round-trips without one —
+    // writing "" would be worse than absence for spec readers
+    if (m.tableUuid.nonEmpty) root.put("table-uuid", m.tableUuid)
     root.put("location", m.location)
     root.put("last-sequence-number", m.lastSequenceNumber)
     root.put("next-row-id", m.nextRowId)
@@ -373,7 +375,10 @@ object TableMetadata {
     val currentSnapshotId = Option(n.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
     TableMetadata(
       formatVersion = formatVersion,
-      tableUuid = Option(n.get("table-uuid")).map(_.asText).getOrElse(UUID.randomUUID().toString),
+      // absent uuid (legacy v1) stays ABSENT ("") — synthesizing a random
+      // one here would make two loads of the same metadata disagree and
+      // trip the refresh drop+recreate guard on an unchanged table
+      tableUuid = Option(n.get("table-uuid")).map(_.asText).getOrElse(""),
       location = n.get("location").asText,
       lastSequenceNumber = Option(n.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
       nextRowId = Option(n.get("next-row-id")).map(_.asLong).getOrElse(0L),

@@ -630,6 +630,11 @@ object Evolve {
     if (version == meta.formatVersion) table
     else commitMetadata(table, meta.copy(
       formatVersion = version,
+      // table-uuid is required from v2: a legacy v1 metadata that carried
+      // none (kept absent on read so refresh uuid checks stay sound) gets
+      // one assigned at the upgrade boundary
+      tableUuid = if (meta.tableUuid.isEmpty)
+        java.util.UUID.randomUUID().toString else meta.tableUuid,
       lastUpdatedMs = System.currentTimeMillis()))
   }
 

@@ -46,7 +46,24 @@ final class Table(
     }
   }
 
-  def refresh(): Table = catalog.loadTable(name)
+  /** Reload from the catalog — with the reference's drop+recreate guard
+    * (`table.go` Refresh / `refresh_uuid_test.go`): a reload whose
+    * `table-uuid` differs from the in-hand metadata's is a DIFFERENT table
+    * wearing the same name (dropped and recreated underneath us), and the
+    * commit retry loop must refuse to rebase staged work onto it rather
+    * than silently committing into the new incarnation. Either side missing
+    * a uuid (legacy v1 metadata) disables the check, matching the
+    * reference's nil-uuid tolerance.
+    */
+  def refresh(): Table = {
+    val fresh = catalog.loadTable(name)
+    val (prev, cur) = (metadata.tableUuid, fresh.metadata.tableUuid)
+    if (prev.nonEmpty && cur.nonEmpty && prev != cur)
+      throw new IllegalStateException(
+        s"table $name uuid changed on refresh (expected $prev, found $cur): " +
+          "the table was dropped and recreated; refusing to rebase onto it")
+    fresh
+  }
 
   /** Resolve the vended credentials (re-fetching through the catalog if
     * expired) and register them with FileIO for this table's location, so

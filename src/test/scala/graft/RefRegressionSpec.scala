@@ -140,4 +140,55 @@ class RefRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drows.size === 150)
     assert(drows.forall { case (id, k) => id < 150L && k === id })
   }
+
+  // `table/refresh_uuid_test.go`: a DIFFERENT table-uuid under the same
+  // name is a drop+recreate race. Version numbers and deterministic vN
+  // metadata paths COLLIDE across incarnations (recreate + advance reaches
+  // the stale writer's expected version), so BOTH seams must refuse on
+  // uuid: the refresh the retry loop rebases through, and the catalog CAS
+  // itself. The swap is simulated by replacing the current pointer's
+  // metadata with a same-shape copy under a new uuid — exactly the
+  // observable a stale writer sees after drop+recreate+advance (a real
+  // drop also deletes the old manifests, which fails loudly for a
+  // different, earlier reason). Missing uuid on either side (legacy v1
+  // metadata) disables the check.
+  test("refresh and commit refuse a changed table uuid, tolerate missing ones") {
+    import spark.implicits._
+    val cat = new HadoopCatalog(Files.createTempDirectory("graft-ruid").toString)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val schema = SchemaBridge.fromSpark(df.schema)
+    val t0 = Writer.append(spark,
+      cat.createTable("ruid", schema, PartitionSpec.Unpartitioned), df)
+
+    // same incarnation: refresh picks up new state fine
+    Writer.append(spark, cat.loadTable("ruid"), df.limit(1))
+    val refreshed = t0.refresh()
+    assert(refreshed.metadata.tableUuid === t0.metadata.tableUuid)
+    assert(SparkRead.read(spark, refreshed.newScan).count() === 3)
+
+    // swap the current pointer's metadata for a new-incarnation copy
+    val live = cat.loadTable("ruid")
+    val swapped = live.metadata.copy(
+      tableUuid = java.util.UUID.randomUUID().toString)
+    graft.io.FileIO.write(live.metadataPath,
+      graft.format.TableMetadata.toJson(swapped).getBytes("UTF-8"))
+
+    // refresh refuses (the retry loop's rebase path)
+    val e = intercept[IllegalStateException](t0.refresh())
+    assert(e.getMessage.contains("uuid changed"))
+    assert(e.getMessage.contains("dropped and recreated"))
+    // the CAS refuses directly — the stale writer's expected version
+    // MATCHES (no conflict, no refresh), so only the uuid stands between
+    // it and clobbering the new incarnation
+    val vBefore = cat.currentVersion("ruid")
+    val e2 = intercept[IllegalStateException](Writer.append(spark, refreshed, df))
+    assert(e2.getMessage.contains("uuid changed"))
+    assert(cat.currentVersion("ruid") === vBefore,
+      "the refused commit must not advance the pointer")
+
+    // legacy metadata without a uuid: check disabled on either side
+    val legacy = new graft.table.Table("ruid",
+      refreshed.metadata.copy(tableUuid = ""), refreshed.metadataPath, cat)
+    assert(legacy.refresh().metadata.tableUuid === swapped.tableUuid)
+  }
 }
