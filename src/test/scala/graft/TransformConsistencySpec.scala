@@ -190,6 +190,44 @@ class TransformConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     check(Transforms.Hours, TimestampType, timestampsTz)
   }
 
+  test("hour-partitioned NTZ table writes and prunes end-to-end under Kathmandu tz") {
+    // the table-level proof for the EpochFloorDiv lowering: before it, the
+    // fanout writer stamped NTZ hour partitions shifted by the session tz
+    // (+05:45 here), so driver-side partition pruning — which floors the
+    // raw local-datetime micros — skipped the very files holding the rows
+    import spark.implicits._
+    import graft.catalog.HadoopCatalog
+    import graft.core.{Expr, SchemaBridge}
+    import graft.format.PartitionSpec
+    import graft.table.{SparkRead, Writer}
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try {
+      val cat = new HadoopCatalog(
+        java.nio.file.Files.createTempDirectory("graft-ntzhr").toString)
+      val df = (0 until 240).map { i =>
+        (i.toLong, LocalDateTime.of(1970, 1, 1, 0, 30).plusHours(i - 120L))
+      }.toDF("id", "ts")
+      val schema = SchemaBridge.fromSpark(df.schema)
+      val spec = PartitionSpec.builder(schema)
+        .add("ts", Transforms.Hours).build()
+      val t1 = Writer.append(spark, cat.createTable("ntzhr", schema, spec), df)
+      assert(SparkRead.read(spark, t1.newScan).count() === 240)
+      // pruning agrees with what the writer stamped: a half-open hour range
+      // on the source column projects to exactly the files it should
+      val lo = LocalDateTime.of(1970, 1, 1, 3, 0)
+      val hi = LocalDateTime.of(1970, 1, 1, 5, 0)
+      val scan = t1.newScan.withFilter(Expr.and(
+        Expr.gtEq("ts", lo), Expr.lt("ts", hi)))
+      val (tasks, m) = scan.planFilesWithMetrics()
+      assert(m.skippedDataFiles > 0 && tasks.nonEmpty, s"hour(ntz) pruning: $m")
+      val rows = SparkRead.read(spark, scan)
+      assert(rows.count() === 2) // 03:30 and 04:30
+      assert(rows.selectExpr("id").as[Long].collect().sorted ===
+        Array(123L, 124L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("time and bucket transforms agree under non-UTC session timezones") {
     // The driver-side apply speaks UTC for instants and the raw local
     // datetime for NTZ; a toColumn lowering that routes through
