@@ -119,6 +119,151 @@ object PlanCurve {
       new graft.catalog.HadoopCatalog(wh)), authorSec)
   }
 
+  /** Register a built synthetic table in its HadoopCatalog layout so the
+    * REST server's `backing.loadTable` finds it: write the v1 metadata JSON
+    * plus the advisory version hint (the sniff fallback would also resolve
+    * it, but the hint keeps loads one IO).
+    */
+  private def persistForCatalog(t: Table): Unit = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.metadataPath),
+      TableMetadata.toJson(t.metadata))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.metadataPath).getParent.resolve("version-hint.text"),
+      "1")
+  }
+
+  private def usedHeapMb(): Double = {
+    val rt = Runtime.getRuntime
+    System.gc(); Thread.sleep(100); System.gc(); Thread.sleep(50)
+    (rt.totalMemory - rt.freeMemory) / 1e6
+  }
+
+  /** REST distributed-plan route (the documented exit past the driver-side
+    * planning range): drive the synthetic table through RestCatalogServer's
+    * async submit/poll/shard wire and time each leg — submit (the server
+    * plans the FULL table and parks the shards inside this call), poll to
+    * completed, inline-envelope decode (= time-to-first-tasks: a consumer
+    * can dispatch work after this), then per-shard fetch+decode. Client
+    * memory is reported as retained-heap deltas: a STREAMING consumer
+    * (decode a shard, hand it off, drop it) holds one shard; a collect-all
+    * client and the local planner hold the whole task list.
+    */
+  private def restPlan(t: Table, name: String, backingWh: String,
+      shardSize: Int): Map[String, Double] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    persistForCatalog(t)
+    val backing = new graft.catalog.HadoopCatalog(backingWh)
+    val server = new graft.rest.RestCatalogServer(backing,
+      asyncPlanThreshold = 1, planTaskShardSize = shardSize).start()
+    try {
+      val mapper = new ObjectMapper()
+      val http = java.net.http.HttpClient.newHttpClient()
+      def req(method: String, path: String, body: Option[String]) = {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"${server.uri}/v1/$path"))
+          .header("Content-Type", "application/json")
+        val r = (method match {
+          case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+          case "GET" => b.GET()
+        }).build()
+        http.send(r, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val specById: Int => Option[PartitionSpec] = t.metadata.specById _
+      val schema = t.schema
+      // shard handles are ONE-SHOT (serving evicts, bounding server state),
+      // so each consumption mode drives its own plan submit
+      final case class Drained(tSubmit: Double, tPoll: Double, polls: Int,
+        tInlineDecode: Double, firstShardSec: Double, shardSecSum: Double,
+        shards: Int, maxShardBodyMb: Double, totalSec: Double, count: Long,
+        retained: scala.collection.mutable.ArrayBuffer[graft.table.FileScanTask])
+      def drain(retain: Boolean): Drained = {
+        val t0 = System.nanoTime()
+        val sub = req("POST", s"namespaces/default/tables/$name/plan", Some("{}"))
+        val tSubmit = (System.nanoTime() - t0) / 1e9
+        require(sub.statusCode == 200, s"submit: ${sub.statusCode} ${sub.body.take(200)}")
+        val subNode = mapper.readTree(sub.body)
+        require(subNode.path("status").asText == "submitted", "expected async submit")
+        val planId = subNode.path("plan-id").asText
+        // poll until completed (the server returns ≥1 "submitted" first)
+        var body: com.fasterxml.jackson.databind.JsonNode = null
+        val tPoll0 = System.nanoTime()
+        var polls = 0
+        while (body == null) {
+          val r = req("GET", s"namespaces/default/tables/$name/plan/$planId", None)
+          require(r.statusCode == 200, s"poll: ${r.statusCode}")
+          val n = mapper.readTree(r.body)
+          polls += 1
+          if (n.path("status").asText == "completed") body = n
+        }
+        val tPoll = (System.nanoTime() - tPoll0) / 1e9
+        val tDec0 = System.nanoTime()
+        val inline = graft.rest.ScanTaskJson.readTasks(body, specById, schema)
+        val tInlineDecode = (System.nanoTime() - tDec0) / 1e9
+        val handles = {
+          val h = body.path("plan-tasks")
+          if (h.isMissingNode) Nil
+          else { import scala.jdk.CollectionConverters._
+            h.elements().asScala.map(_.asText).toList }
+        }
+        val retained = scala.collection.mutable.ArrayBuffer.empty[graft.table.FileScanTask]
+        if (retain) retained ++= inline
+        var count = inline.size.toLong
+        var firstShardSec = 0.0
+        var shardSecSum = 0.0
+        var maxShardBodyMb = 0.0
+        handles.zipWithIndex.foreach { case (h, i) =>
+          val s0 = System.nanoTime()
+          val r = req("POST", s"namespaces/default/tables/$name/tasks",
+            Some(s"""{"plan-task":"$h"}"""))
+          require(r.statusCode == 200, s"shard: ${r.statusCode}")
+          val tasks = graft.rest.ScanTaskJson.readTasks(mapper.readTree(r.body), specById, schema)
+          val dt = (System.nanoTime() - s0) / 1e9
+          if (i == 0) firstShardSec = dt
+          shardSecSum += dt
+          maxShardBodyMb = math.max(maxShardBodyMb, r.body.length / 1e6)
+          count += tasks.size
+          if (retain) retained ++= tasks
+        }
+        Drained(tSubmit, tPoll, polls, tInlineDecode, firstShardSec,
+          shardSecSum, handles.size, maxShardBodyMb,
+          (System.nanoTime() - t0) / 1e9, count, retained)
+      }
+      // streaming consumer: decode a shard, hand it off, drop it
+      val h0 = usedHeapMb()
+      val s = drain(retain = false)
+      val hStream = usedHeapMb() - h0
+      // collect-all client: every decoded task retained at once
+      val h1 = usedHeapMb()
+      val c = drain(retain = true)
+      val hCollect = usedHeapMb() - h1
+      require(c.count == s.count,
+        s"rest plan task count unstable across submits: ${s.count} vs ${c.count}")
+      c.retained.clear()
+      // the local planner holds the same full task list on the driver —
+      // the baseline the shard wire's streaming consumer beats
+      val hBase2 = usedHeapMb()
+      val local = t.newScan.planFiles()
+      val hLocal = usedHeapMb() - hBase2
+      require(local.size.toLong == s.count,
+        s"rest plan diverges from local: rest=${s.count} local=${local.size}")
+      Map(
+        "submit_sec" -> s.tSubmit, "poll_sec" -> s.tPoll, "polls" -> s.polls.toDouble,
+        "inline_decode_sec" -> s.tInlineDecode,
+        "to_first_tasks_sec" -> (s.tSubmit + s.tPoll + s.tInlineDecode),
+        "first_shard_sec" -> s.firstShardSec,
+        "shards" -> s.shards.toDouble,
+        "shard_fetch_decode_avg_sec" ->
+          (if (s.shards == 0) 0.0 else s.shardSecSum / s.shards),
+        "max_shard_body_mb" -> s.maxShardBodyMb,
+        "total_sec" -> s.totalSec,
+        "stream_residual_heap_mb" -> hStream,
+        "collect_all_heap_mb" -> hCollect,
+        "local_plan_heap_mb" -> hLocal,
+        "tasks" -> s.count.toDouble)
+    } finally server.stop()
+  }
+
   private def timePlan(scan: Scan, reps: Int = 3): (Double, graft.table.ScanMetrics) = {
     var best = Double.MaxValue
     var m: graft.table.ScanMetrics = null
@@ -174,6 +319,20 @@ object PlanCurve {
       (epm, full, part)
     }
 
+    // REST distributed-plan exit — the >800k-file path PLAN_CURVE_r14 named
+    // as designed (gated i107/i113) but never MEASURED at plan scale
+    val restRows = Seq(100000, 300000).map { n =>
+      val (t, _) = buildTable(s"$wh/rest$n", n, 1000)
+      val m = restPlan(t, s"rest$n", wh, shardSize = 10000)
+      System.err.println(
+        f"[pcurve] rest n=$n%7d submit=${m("submit_sec")}%6.3fs poll=${m("poll_sec")}%6.3fs " +
+        f"firstTasks=${m("to_first_tasks_sec")}%6.3fs shards=${m("shards")}%3.0f " +
+        f"avgShard=${m("shard_fetch_decode_avg_sec")}%6.3fs total=${m("total_sec")}%7.3fs " +
+        f"heap stream=${m("stream_residual_heap_mb")}%6.1fMB collect=${m("collect_all_heap_mb")}%7.1fMB " +
+        f"local=${m("local_plan_heap_mb")}%7.1fMB")
+      (n, m)
+    }
+
     val rowJson = rows.map { case (n, a, f, mf, p, mp, pt, mpt) =>
       f""""n$n":{"author_sec":$a%.3f,"full_sec":$f%.4f,"full_tasks":${mf.resultDataFiles},""" +
       f""""part_sec":$p%.4f,"part_manifests_read":${mp.totalManifests - mp.skippedManifests},""" +
@@ -186,7 +345,11 @@ object PlanCurve {
     val deleteJson = deletePoints.map { case (nd, f, m) =>
       f""""d$nd":{"full_sec":$f%.4f,"pos_attached":${m.posDeleteFiles},"eq_attached":${m.eqDeleteFiles}}"""
     }.mkString(",")
-    println(s"""{"metric":"plan_curve","unit":"sec","scales":{$rowJson},"layouts_at_n$nTop":{$layoutJson},"deletes_at_n100000":{$deleteJson}}""")
+    val restJson = restRows.map { case (n, m) =>
+      s""""n$n":{""" + m.toSeq.sortBy(_._1).map { case (k, v) =>
+        f""""$k":$v%.4f""" }.mkString(",") + "}"
+    }.mkString(",")
+    println(s"""{"metric":"plan_curve","unit":"sec","scales":{$rowJson},"layouts_at_n$nTop":{$layoutJson},"deletes_at_n100000":{$deleteJson},"rest":{$restJson}}""")
 
     // leave no debris for the bench reap to pay for
     def rm(p: java.io.File): Unit = {
