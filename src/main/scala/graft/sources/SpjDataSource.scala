@@ -369,27 +369,35 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     }
   }
 
-  /** SQL `DELETE FROM ... WHERE`, metadata-only contract (Iceberg
-    * SparkTable.canDeleteWhere semantics): accept ONLY when the strict
-    * evaluator proves every matching file matches in FULL, so the delete is
-    * a pure manifest rewrite — no data IO at any scale. A partially-matching
-    * file falls back to Spark's row-level plan, which honors
-    * `write.delete.mode` (a MoR table writes a DV / pos-delete instead of
-    * rewriting the file) and preserves v3 row lineage. The previous
-    * translatability-only answer silently ran EVERY simple-predicate DELETE
-    * through the CoW rewrite — on a merge-on-read table a one-row delete
-    * rewrote a whole data file and destroyed every survivor's `_row_id`
-    * (caught by RowLineageRewriteSpec's pruned-row-group pin).
+  /** SQL `DELETE FROM ... WHERE`: the answer decides whether Spark runs
+    * the filter-based [[deleteWhere]] or builds a row-level plan.
+    *
+    * - `write.delete.mode = merge-on-read`: accept ONLY strict-evaluator-
+    *   proven full-file matches (the metadata-only contract of Iceberg's
+    *   SparkTable.canDeleteWhere) — a partially-matching file must fall to
+    *   the DELTA plan so the delete is a DV / pos-delete write, never a
+    *   file rewrite. The previous translatability-only answer silently ran
+    *   every simple-predicate DELETE through CoW — a one-row delete rewrote
+    *   a whole data file and destroyed every survivor's v3 `_row_id`
+    *   (caught by RowLineageRewriteSpec's pruned-row-group pin).
+    * - copy-on-write (the default): accept any translatable predicate —
+    *   [[graft.table.Writer.deleteWhere]] IS the complete CoW delete
+    *   (full-match files drop metadata-only, partial files rewrite without
+    *   the matching rows AND with `_row_id` carried through as explicit
+    *   columns), so the group-based rewrite plan would only add runtime
+    *   `_file` filtering for work the metadata classification already did.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     if (!writable || snapshotId.nonEmpty) return false
     val exprs = filters.map(SpjScanBuilder.toExpr)
     if (exprs.exists(_.isEmpty)) return false
-    val expr = exprs.flatten.foldLeft(Expr.AlwaysTrue: Expr)(Expr.and)
     val t = table.refresh()
-    val strict = Expr.rewriteNot(expr)
-    t.newScan.withFilter(expr).planFiles()
-      .forall(task => graft.core.Evaluators.fileMustMatch(t.schema, strict, task.file))
+    if (t.metadata.properties.get("write.delete.mode").contains("merge-on-read")) {
+      val expr = exprs.flatten.foldLeft(Expr.AlwaysTrue: Expr)(Expr.and)
+      val strict = Expr.rewriteNot(expr)
+      t.newScan.withFilter(expr).planFiles()
+        .forall(task => graft.core.Evaluators.fileMustMatch(t.schema, strict, task.file))
+    } else true
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {

@@ -236,6 +236,29 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${bad.length} mismatches, first 10: ${bad.take(10).mkString(",")}")
   }
 
+  // the SQL surface on a DEFAULT-mode (copy-on-write) v3 table: the
+  // partial-file DELETE rewrites survivors with their ids carried through
+  test("SQL DELETE on a CoW v3 table preserves surviving rows' _row_id") {
+    spark.sql("CREATE TABLE g.rlsql (k BIGINT)")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlsql"), 3)
+    spark.sql("INSERT INTO g.rlsql SELECT id FROM range(80)")
+    def ids(): Map[Long, Long] = graft.table.SparkRead.read(spark,
+        catalog.loadTable("rlsql").newScan.withRowLineage)
+      .selectExpr("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = ids()
+    // translatable partial predicate → Spark's metadata-delete rule calls
+    // deleteWhere, the lineage-carrying CoW path. (A predicate the filter
+    // bridge can't translate, e.g. `k % 7 = 3`, builds the group-based
+    // rewrite plan instead, which does not carry lineage yet — the
+    // remaining CoW-DML lineage boundary, shared with UPDATE/MERGE.)
+    spark.sql("DELETE FROM g.rlsql WHERE k < 10")
+    val after = ids()
+    assert(after.size === before.size - 10)
+    assert(after === before.filter(_._1 >= 10),
+      "SQL CoW DELETE keeps every survivor's original _row_id")
+  }
+
   // CoW DELETE is a rewrite of the surviving rows — the spec's lineage
   // promise (existing rows keep _row_id) applies exactly as it does to
   // compaction, and the same explicit-column carry delivers it
