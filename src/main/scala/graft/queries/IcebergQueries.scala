@@ -4875,6 +4875,52 @@ object IcebergQueries {
     }, Some("""
       SELECT (SELECT COUNT(*) FROM part WHERE p_partkey % 5 <> 1) AS n_match,
              (SELECT COUNT(*) FROM part WHERE p_partkey % 5 = 0) AS n_nulls_kept,
-             (SELECT COUNT(*) FROM part WHERE p_partkey % 5 = 1) AS n_left"""))
+             (SELECT COUNT(*) FROM part WHERE p_partkey % 5 = 1) AS n_left""")),
+
+    // v3 row lineage on the SQL surface: _row_id is a queryable metadata
+    // column, synthesized from first_row_id + physical position per file
+    // (sorted single-file inserts make the expected assignment a
+    // ROW_NUMBER in DuckDB), and a partial-file CoW DELETE carries the
+    // survivors' ids through the rewrite — so the post-delete SQL read
+    // still matches the pre-delete assignment
+    QueryDef.staged("i119_sql_row_lineage", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/rlsql_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"grl_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val src = s"nat_src_${UUID.randomUUID().toString.take(8)}"
+      tbl(s, dir, "nation").createOrReplaceTempView(src)
+      s.sql(s"CREATE TABLE $ctl.nat AS SELECT n_nationkey, n_name FROM $src WHERE 1=0")
+      graft.table.Evolve.upgradeFormatVersion(new HadoopCatalog(wh).loadTable("nat"), 3)
+      // one sorted file per insert → _row_id = block start + key rank
+      s.sql(s"""INSERT INTO $ctl.nat SELECT /*+ COALESCE(1) */ n_nationkey, n_name
+        FROM $src WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""")
+      s.sql(s"""INSERT INTO $ctl.nat SELECT /*+ COALESCE(1) */ n_nationkey, n_name
+        FROM $src WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey""")
+      // partial-file CoW DELETE: survivors must keep their assigned ids
+      s.sql(s"DELETE FROM $ctl.nat WHERE n_nationkey = 4")
+      // seq normalized to the first insert's sequence: the carry contract
+      // is "survivors keep their ORIGINAL last-updated sequence" (the
+      // rewrite's own sequence must NOT leak in), independent of how many
+      // sequence numbers table creation burned
+      () => s.sql(s"""
+        SELECT n_nationkey, _row_id AS rid,
+               _last_updated_sequence_number
+                 - MIN(_last_updated_sequence_number) OVER () AS seq0
+        FROM $ctl.nat ORDER BY n_nationkey""")
+    }, Some("""
+      WITH ev AS (SELECT n_nationkey,
+                    ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid,
+                    CAST(0 AS BIGINT) AS seq0
+                  FROM nation WHERE n_nationkey % 2 = 0),
+           od AS (SELECT n_nationkey,
+                    (SELECT COUNT(*) FROM nation WHERE n_nationkey % 2 = 0)
+                      + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid,
+                    CAST(1 AS BIGINT) AS seq0
+                  FROM nation WHERE n_nationkey % 2 = 1)
+      SELECT n_nationkey, rid, seq0
+      FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)
+      WHERE n_nationkey <> 4
+      ORDER BY n_nationkey"""), repeatable = true)
   )
 }

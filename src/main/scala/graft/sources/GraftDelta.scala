@@ -124,10 +124,10 @@ final class GraftDeltaScanBuilder(op: GraftDeltaOperation, table: GraftTable,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val (data, file, pos) = SpjTable.splitRequested(fullSchema, requiredSchema)
-    required = data
-    withFile = file
-    withPos = pos
+    val req = SpjTable.splitRequested(fullSchema, requiredSchema)
+    required = req.data
+    withFile = req.withFile
+    withPos = req.withPos
   }
 
   override def build(): Scan = new GraftDeltaScan(op, table, required,

@@ -160,9 +160,9 @@ final class GraftCowScanBuilder(op: GraftRowLevelOperation, table: GraftTable,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val (data, file, _) = SpjTable.splitRequested(fullSchema, requiredSchema)
-    required = data
-    withFile = file
+    val req = SpjTable.splitRequested(fullSchema, requiredSchema)
+    required = req.data
+    withFile = req.withFile
   }
 
   override def build(): Scan = new GraftCowScan(op, table, required,

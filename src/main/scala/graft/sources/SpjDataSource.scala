@@ -101,8 +101,14 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     * (`SELECT _file, ...`) and the carrier that engages Spark's projecting
     * write task for row-level operations.
     */
-  override def metadataColumns(): Array[MetadataColumn] =
-    Array(SpjTable.FileMetaColumn, SpjTable.PosMetaColumn)
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val base = Array[MetadataColumn](SpjTable.FileMetaColumn, SpjTable.PosMetaColumn)
+    // row lineage exists from format v3; advertising the columns below v3
+    // would promise ids the metadata cannot provide
+    if (table.metadata.formatVersion >= 3)
+      base ++ Array[MetadataColumn](SpjTable.RowIdMetaColumn, SpjTable.LastUpdatedMetaColumn)
+    else base
+  }
 
   /** Table properties surface to SQL (`SHOW TBLPROPERTIES`,
     * `SHOW CREATE TABLE`): the graft table's own properties plus the
@@ -440,6 +446,8 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
 object SpjTable {
   val FileColumnName = "_file"
   val PosColumnName = "_pos"
+  val RowIdColumnName: String = SchemaBridge.RowIdCol
+  val LastUpdatedColumnName: String = SchemaBridge.LastUpdatedSeqCol
 
   object FileMetaColumn extends MetadataColumn {
     override def name(): String = FileColumnName
@@ -457,21 +465,51 @@ object SpjTable {
     override def comment(): String = "row position within the data file"
   }
 
-  /** Split a requested schema into (data columns in table order, wants
-    * `_file`, wants `_pos`). The scan's output layout is canonical
-    * regardless of request order: data columns, then `_file`, then
-    * `_pos` — `readSchema()` declares the same layout, so Spark's
-    * by-name projection realigns whatever order the plan asked in.
+  /** v3 row lineage on the SQL surface: `SELECT _row_id, ... FROM t`.
+    * Explicit file columns win; otherwise synthesized first_row_id +
+    * position executor-side. Nullable: pre-upgrade files have no block.
     */
+  object RowIdMetaColumn extends MetadataColumn {
+    override def name(): String = RowIdColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = true
+    override def comment(): String = "v3 row lineage: stable row id"
+  }
+
+  object LastUpdatedMetaColumn extends MetadataColumn {
+    override def name(): String = LastUpdatedColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "v3 row lineage: sequence number of the committing snapshot that last updated the row"
+  }
+
+  /** Requested-schema split: data columns in table order + which metadata
+    * columns ride along. The scan's output layout is canonical regardless
+    * of request order: data columns, then `_file`, `_pos`, `_row_id`,
+    * `_last_updated_sequence_number` — `readSchema()` declares the same
+    * layout, so Spark's by-name projection realigns whatever order the
+    * plan asked in.
+    */
+  final case class RequestedMeta(data: StructType, withFile: Boolean,
+      withPos: Boolean, withRowId: Boolean, withLastUpd: Boolean) {
+    def anyMeta: Boolean = withFile || withPos || withRowId || withLastUpd
+    def lineage: Boolean = withRowId || withLastUpd
+  }
+
   def splitRequested(fullSchema: StructType,
-      requested: StructType): (StructType, Boolean, Boolean) = {
-    val withFile = requested.fieldNames.contains(FileColumnName)
-    val withPos = requested.fieldNames.contains(PosColumnName)
-    val keep = requested.fieldNames.toSet
-    val kept = StructType(fullSchema.fields.filter(f => keep(f.name)))
-    val data = if (kept.isEmpty && !withFile && !withPos)
+      requested: StructType): RequestedMeta = {
+    val names = requested.fieldNames.toSet
+    val withFile = names(FileColumnName)
+    val withPos = names(PosColumnName)
+    val withRowId = names(RowIdColumnName)
+    val withLastUpd = names(LastUpdatedColumnName)
+    val kept = StructType(fullSchema.fields.filter(f => names(f.name)))
+    val data = if (kept.isEmpty && !withFile && !withPos && !withRowId && !withLastUpd)
       StructType(fullSchema.fields.take(1)) else kept
-    (data, withFile, withPos)
+    RequestedMeta(data, withFile, withPos, withRowId, withLastUpd)
   }
 }
 
@@ -494,6 +532,8 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
   private var required: StructType = fullSchema
   private var withFile: Boolean = false
   private var withPos: Boolean = false
+  private var withRowId: Boolean = false
+  private var withLastUpd: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
@@ -531,10 +571,12 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve table column order; an empty projection (COUNT(*)) keeps one
     // narrow column so the reader has a concrete schema to materialize
-    val (data, file, pos) = SpjTable.splitRequested(fullSchema, requiredSchema)
-    required = data
-    withFile = file
-    withPos = pos
+    val req = SpjTable.splitRequested(fullSchema, requiredSchema)
+    required = req.data
+    withFile = req.withFile
+    withPos = req.withPos
+    withRowId = req.withRowId
+    withLastUpd = req.withLastUpd
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -574,11 +616,12 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       // partition fill), same V1 escape hatch as the eq-delete fallback.
       val needsNameResolution = table.metadata.properties
         .contains(graft.format.NameMapping.PropertyKey)
-      if (needsNameResolution && !withFile && !withPos) {
+      val anyMeta = withFile || withPos || withRowId || withLastUpd
+      if (needsNameResolution && !anyMeta) {
         SpjRouting.record(table.name, "name-mapping", eqBytes)
         emitRouteReport("name-mapping", eqBytes)
         new SpjAntiJoinScan(table, snapshotId, planned, required, options)
-      } else if (eqBytes > eqFallbackBytes && !withFile && !withPos) {
+      } else if (eqBytes > eqFallbackBytes && !anyMeta) {
         // executor key sets would hold eqBytes of decoded keys in memory;
         // route this scan through the SparkRead anti-join pipeline instead
         // (unbounded backlog = shuffle-join territory, not hash-set
@@ -594,6 +637,7 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
         }
         new SpjScan(table, required, claimKeys, snapshotId, options,
           fileExpr, pushed.toSeq, withFile = withFile, withPos = withPos,
+          withRowId = withRowId, withLastUpd = withLastUpd,
           pushedLimit = if (pushed.isEmpty) limit else None,
           prePlanned = Some(planned))
       }
@@ -761,6 +805,8 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     rowGroupFilters: Seq[Filter] = Nil,
     withFile: Boolean = false,
     withPos: Boolean = false,
+    withRowId: Boolean = false,
+    withLastUpd: Boolean = false,
     pushedLimit: Option[Int] = None,
     prePlanned: Option[Seq[graft.table.FileScanTask]] = None)
     extends Scan with Batch with SupportsReportPartitioning
@@ -820,6 +866,12 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     if (withPos) fields = fields :+
       org.apache.spark.sql.types.StructField(SpjTable.PosColumnName,
         org.apache.spark.sql.types.LongType, nullable = false)
+    if (withRowId) fields = fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.RowIdColumnName,
+        org.apache.spark.sql.types.LongType, nullable = true)
+    if (withLastUpd) fields = fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.LastUpdatedColumnName,
+        org.apache.spark.sql.types.LongType, nullable = true)
     StructType(fields)
   }
   override def toBatch: Batch = this
@@ -913,7 +965,7 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     SpjScan.readerFactory(table, grouped, sparkSchema, options,
-      rowGroupFilters, withFile, withPos)
+      rowGroupFilters, withFile, withPos, withRowId, withLastUpd)
 }
 
 object SpjScan {
@@ -927,8 +979,10 @@ object SpjScan {
   def readerFactory(table: GraftTable, parts: Array[SpjInputPartition],
       dataSchema: StructType, options: Map[String, String],
       rowGroupFilters: Seq[Filter], withFile: Boolean,
-      withPos: Boolean = false): SpjReaderFactory = {
+      withPos: Boolean = false, withRowId: Boolean = false,
+      withLastUpd: Boolean = false): SpjReaderFactory = {
     val spark = SparkSession.active
+    val needLineage = withRowId || withLastUpd
     val anyDeletes = parts.exists(_.files.exists(_.deletes.nonEmpty))
     val anyPosFiles = parts.exists(_.files.exists(
       _.deletes.exists(_.posFiles.nonEmpty)))
@@ -936,7 +990,7 @@ object SpjScan {
       .flatMap(_.deletes.toSeq.flatMap(_.eqFiles.map(_._3))).distinct.toSeq
     val reader = ParquetRowReadBridge.rowReader(
       spark, dataSchema, options, rowGroupFilters)
-    if (!anyDeletes && !withPos)
+    if (!anyDeletes && !withPos && !needLineage)
       return new SpjReaderFactory(reader, withFile)
 
     // equality-key columns the pruned projection may lack: widen the
@@ -947,8 +1001,19 @@ object SpjScan {
         id -> SchemaBridge.toSparkField(table.schema.idToField(id))
       }.toMap
     val present = dataSchema.fieldNames.toSet
-    val widened = StructType(dataSchema.fields ++
+    val widenedEq = StructType(dataSchema.fields ++
       eqFieldsById.values.filterNot(f => present(f.name)).toSeq.sortBy(_.name))
+    // explicit lineage columns (lineage-preserving rewrites materialized
+    // them): appended LAST so eq-extract indexes stay valid. Requested by
+    // NAME, no field ids — files without the column null-fill, and the
+    // per-row fallback synthesizes first_row_id + position
+    val widened =
+      if (!needLineage) widenedEq
+      else StructType(widenedEq.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(SpjTable.RowIdColumnName,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(SpjTable.LastUpdatedColumnName,
+          org.apache.spark.sql.types.LongType, nullable = true)))
 
     // row-group pruning composes with delete filtering: skipped row groups
     // don't shift positions (the row-index generator honors row-group
@@ -986,7 +1051,8 @@ object SpjScan {
         }.toArray
       }.toMap
     new SpjReaderFactory(reader, withFile, Some(dataPos), del,
-      dataSchema, options, widened, eqReaders, eqExtract, withPos)
+      dataSchema, options, widened, eqReaders, eqExtract, withPos,
+      withRowId, withLastUpd)
   }
   /** Manifest-stored partition values → catalyst representations (the key
     * row Spark groups/compares on). Loud on anything exotic.
@@ -1025,7 +1091,12 @@ final case class SpjFileDeletes(dvs: Array[(String, Long, Long)],
 }
 
 final case class SpjFileInfo(path: String, len: Long,
-    deletes: Option[SpjFileDeletes])
+    deletes: Option[SpjFileDeletes],
+    // v3 row-lineage synthesis inputs: the file's assigned first_row_id
+    // block (-1 = none, pre-upgrade file) and its data sequence number —
+    // readers compute _row_id = first_row_id + position where the file
+    // carries no explicit column
+    firstRowId: Long = -1L, dataSeq: Long = -1L)
 
 object SpjFileInfo {
   def from(t: graft.table.FileScanTask, context: String): SpjFileInfo = {
@@ -1048,7 +1119,9 @@ object SpjFileInfo {
       .distinct.toArray
     val del = SpjFileDeletes(dvs, pos, eqs)
     SpjFileInfo(t.file.path, t.file.fileSize,
-      if (del.isEmpty) None else Some(del))
+      if (del.isEmpty) None else Some(del),
+      firstRowId = t.file.firstRowId.getOrElse(-1L),
+      dataSeq = t.dataSequence)
   }
 }
 
@@ -1198,7 +1271,9 @@ final class SpjReaderFactory(
     widenedSchema: StructType = new StructType(),
     eqReaders: Map[Seq[Int], (String, Long) => Iterator[InternalRow]] = Map.empty,
     eqExtract: Map[Seq[Int], Array[(Int, org.apache.spark.sql.types.DataType)]] = Map.empty,
-    withPos: Boolean = false)
+    withPos: Boolean = false,
+    withRowId: Boolean = false,
+    withLastUpd: Boolean = false)
     extends PartitionReaderFactory {
 
   // positions targeting `dataPath`, from pos-delete parquets (schema:
@@ -1255,7 +1330,8 @@ final class SpjReaderFactory(
     val p = partition.asInstanceOf[SpjInputPartition]
     new PartitionReader[InternalRow] {
       private val it = p.files.iterator.flatMap { f =>
-        val needPosReader = withPos || f.deletes.nonEmpty
+        val needLineage = withRowId || withLastUpd
+        val needPosReader = withPos || needLineage || f.deletes.nonEmpty
         if (!needPosReader) {
           val base = reader(f.path, f.len)
           if (!withFile) base
@@ -1301,15 +1377,34 @@ final class SpjReaderFactory(
                   }
               }
           }
-          val metaArity = (if (withFile) 1 else 0) + (if (withPos) 1 else 0)
+          val metaArity = (if (withFile) 1 else 0) + (if (withPos) 1 else 0) +
+            (if (withRowId) 1 else 0) + (if (withLastUpd) 1 else 0)
           if (metaArity == 0) filtered.map(strip)
           else {
             val meta = new GenericInternalRow(metaArity)
             if (withFile) meta.update(0, UTF8String.fromString(f.path))
             val posSlot = if (withFile) 1 else 0
+            val rowIdSlot = posSlot + (if (withPos) 1 else 0)
+            val lastUpdSlot = rowIdSlot + (if (withRowId) 1 else 0)
+            // explicit lineage columns ride at the tail of the widened read
+            // schema (before the appended row index); explicit wins,
+            // synthesis only where the file carries a first_row_id block
+            val rowIdReadIdx =
+              if (needLineage) widenedSchema.fieldIndex(SpjTable.RowIdColumnName) else -1
+            val lastReadIdx =
+              if (needLineage) widenedSchema.fieldIndex(SpjTable.LastUpdatedColumnName) else -1
             val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
             filtered.map { r =>
               if (withPos) meta.setLong(posSlot, r.getLong(posIdx))
+              if (withRowId) meta.update(rowIdSlot,
+                if (!r.isNullAt(rowIdReadIdx)) java.lang.Long.valueOf(r.getLong(rowIdReadIdx))
+                else if (f.firstRowId >= 0)
+                  java.lang.Long.valueOf(f.firstRowId + r.getLong(posIdx))
+                else null)
+              if (withLastUpd) meta.update(lastUpdSlot,
+                if (!r.isNullAt(lastReadIdx)) java.lang.Long.valueOf(r.getLong(lastReadIdx))
+                else if (f.firstRowId >= 0) java.lang.Long.valueOf(f.dataSeq)
+                else null)
               joined(strip(r), meta)
             }
           }

@@ -236,6 +236,56 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${bad.length} mismatches, first 10: ${bad.take(10).mkString(",")}")
   }
 
+  // the lineage columns are SQL metadata columns on v3 tables (Iceberg
+  // convention: SELECT _row_id, _last_updated_sequence_number FROM t) —
+  // synthesized executor-side from first_row_id + physical position,
+  // explicit file columns winning after a lineage-preserving rewrite
+  test("_row_id / _last_updated_sequence_number are queryable metadata columns") {
+    spark.sql("CREATE TABLE g.rlmc (k BIGINT)")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlmc"), 3)
+    spark.sql("INSERT INTO g.rlmc SELECT id FROM range(30)")
+    spark.sql("INSERT INTO g.rlmc SELECT id + 30 FROM range(30)")
+    def sqlIds(): Map[Long, (Long, Long)] = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM g.rlmc")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ids = sqlIds()
+    assert(ids.size === 60)
+    assert(ids.values.map(_._1).toSet.size === 60, "row ids unique")
+    // second insert's rows carry a later last-updated sequence
+    val seqByInsert = ids.groupBy(_._1 < 30).map { case (first, m) =>
+      first -> m.values.map(_._2).toSet }
+    assert(seqByInsert(true).size === 1 && seqByInsert(false).size === 1)
+    assert(seqByInsert(true).head < seqByInsert(false).head)
+    // agreement with the V1 route's synthesis
+    val v1 = graft.table.SparkRead.read(spark,
+        catalog.loadTable("rlmc").newScan.withRowLineage)
+      .selectExpr("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.map { case (k, (id, _)) => k -> id } === v1)
+    // filters + MoR deletes compose: delete one row, filter past it
+    spark.sql("ALTER TABLE g.rlmc SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("DELETE FROM g.rlmc WHERE k = 40")
+    val after = spark.sql(
+      "SELECT k, _row_id FROM g.rlmc WHERE k >= 30")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size === 29 && !after.contains(40L))
+    assert(after === ids.collect { case (k, (id, _)) if k >= 30 && k != 40 => k -> id },
+      "survivors keep their ids through the DSv2 route under filter + DV")
+    // explicit columns win after a lineage-preserving compaction
+    graft.table.Maintenance.rewriteDataFiles(spark, catalog.loadTable("rlmc"),
+      rewriteAll = true)
+    val compacted = sqlIds()
+    assert(compacted.map { case (k, (id, _)) => k -> id } ===
+      ids.collect { case (k, (id, _)) if k != 40 => k -> id },
+      "compaction-preserved explicit ids surface through SQL")
+    // a v2 table does not advertise the columns
+    spark.sql("CREATE TABLE g.rlmc2 (k BIGINT)")
+    spark.sql("INSERT INTO g.rlmc2 VALUES (1)")
+    val e = intercept[Exception](
+      spark.sql("SELECT _row_id FROM g.rlmc2").collect())
+    assert(e.getMessage.contains("_row_id"))
+  }
+
   // the SQL surface on a DEFAULT-mode (copy-on-write) v3 table: the
   // partial-file DELETE rewrites survivors with their ids carried through
   test("SQL DELETE on a CoW v3 table preserves surviving rows' _row_id") {
