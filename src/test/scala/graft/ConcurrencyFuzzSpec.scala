@@ -105,6 +105,47 @@ class ConcurrencyFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqs.max === t.metadata.lastSequenceNumber)
   }
 
+  // reference `evaluator_race_test.go`: its cached evaluator closures
+  // raced on shared visitor receiver fields under concurrent planning.
+  // Our evaluators are pure functions (zero mutable state by construction)
+  // — this pins that the whole planning stack over ONE shared Table
+  // (manifest pruning, metrics eval, partition projection, delete
+  // attachment) stays safe and deterministic under 64-way concurrent use,
+  // the reference's production caller shape
+  // (classifyFilesForFilteredDeletions fanning one closure across an
+  // errgroup).
+  test("concurrent planFiles over one shared table is race-free and deterministic") {
+    import spark.implicits._
+    val cat = new HadoopCatalog(
+      Files.createTempDirectory("graft-evalrace").toString)
+    val df = (0 until 2000).map(i => (i.toLong, i % 16)).toDF("id", "b")
+    val schema = SchemaBridge.fromSpark(df.schema)
+    var t = cat.createTable("evr", schema,
+      PartitionSpec.builder(schema).add("b", graft.core.Transforms.Identity).build())
+    (0 until 4).foreach { i =>
+      t = Writer.append(spark, t, df.filter(col("id") % 4 === i))
+    }
+    t = Writer.deleteWhereMoR(spark, t, graft.core.Expr.eq("b", 3))
+    val shared = cat.loadTable("evr") // ONE table instance for every thread
+    val filter = graft.core.Expr.and(
+      graft.core.Expr.lt("id", 1500L), graft.core.Expr.gtEq("b", 2))
+    def signature(): (Int, Set[String], Int) = {
+      val tasks = shared.newScan.withFilter(filter).planFiles()
+      (tasks.size, tasks.map(_.file.path).toSet,
+        tasks.map(_.posDeletes.size).sum)
+    }
+    val expected = signature()
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = Await.result(
+      Future.sequence((0 until 64).map(_ => Future(signature()))), 2.minutes)
+    pool.shutdown()
+    assert(results.forall(_ == expected),
+      "every concurrent plan must equal the single-threaded plan")
+    assert(expected._1 > 0 && expected._3 > 0,
+      "the shared plan exercises pruning AND delete attachment")
+  }
+
   test("hadoop: 8 racing appenders + a racing compaction lose nothing") {
     raceWalk(new HadoopCatalog(
       Files.createTempDirectory("graft-ccfuzz").toString), "race")
