@@ -351,7 +351,16 @@ final class RestCatalog(baseUriRaw: String,
     * exhausted budget cancels the plan best-effort before raising (the
     * WaitForPlan analogue).
     */
-  private def pollPlan(ns: String, tbl: String, planId: String,
+  /** Transient statuses a poll GET retries (Java's idempotent-GET retry
+    * set, reference `wait_for_plan_test.go` Retries/Terminal matrix): the
+    * poll is idempotent, so request timeouts, backpressure and gateway
+    * flakes keep polling within the attempt budget — WITHOUT parsing the
+    * error body (a 500 with a malformed body retries too). Statuses
+    * outside the set (501, 505, ...) stay terminal.
+    */
+  private val pollRetryStatuses = Set(408, 429, 500, 502, 503, 504)
+
+  private[graft] def pollPlan(ns: String, tbl: String, planId: String,
       maxAttempts: Int = 20): JsonNode = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -360,16 +369,18 @@ final class RestCatalog(baseUriRaw: String,
       val r = request("GET", s"${tablesUri(ns)}/$tbl/plan/$planId", None)
       if (r.statusCode() == 404 && errType(r) == "NoSuchPlanIdException")
         throw new PlanExpiredException(s"plan expired: $planId")
-      if (r.statusCode() != 200)
-        throw new IllegalStateException(s"fetchPlanningResult: ${errMsg(r)}")
-      val b = mapper.readTree(r.body())
-      b.get("status").asText() match {
-        case "submitted" => () // keep polling
-        case "completed" => return b
-        case "cancelled" => throw new PlanCancelledException(s"plan cancelled: $planId")
-        case "failed" => throw new IllegalStateException(s"plan failed: $planId")
-        case other => throw new IllegalStateException(s"unexpected plan status $other")
-      }
+      if (!pollRetryStatuses(r.statusCode())) {
+        if (r.statusCode() != 200)
+          throw new IllegalStateException(s"fetchPlanningResult: ${errMsg(r)}")
+        val b = mapper.readTree(r.body())
+        b.get("status").asText() match {
+          case "submitted" => () // keep polling
+          case "completed" => return b
+          case "cancelled" => throw new PlanCancelledException(s"plan cancelled: $planId")
+          case "failed" => throw new IllegalStateException(s"plan failed: $planId")
+          case other => throw new IllegalStateException(s"unexpected plan status $other")
+        }
+      } // else transient (idempotent-GET retry set): burn an attempt, keep polling
     }
     try { cancelPlan(s"$ns.$tbl", planId); () } catch { case _: Exception => () }
     throw new IllegalStateException(

@@ -604,4 +604,45 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(counts.get("/v1/namespaces") === 2, "namespaces retried after 503")
     } finally srv.stop(0)
   }
+
+  // reference `wait_for_plan_test.go`: the plan poll is an idempotent GET,
+  // so Java's idempotent retry set (408/429/500/502/503/504) keeps polling
+  // — INCLUDING a 500 whose error body is not JSON — while statuses
+  // outside the set (501) stay terminal
+  test("plan polling retries the idempotent-GET status set, 501 is terminal") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    srv.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val p = ex.getRequestURI.getPath
+        if (p == "/v1/config") reply(ex, 200, """{"defaults":{},"overrides":{}}""")
+        else if (p == "/v1/namespaces/db/tables/tbl/plan/plan-1")
+          polls.incrementAndGet() match {
+            case 1 => reply(ex, 504, "")
+            case 2 => reply(ex, 500, "not json") // malformed body still retries
+            case 3 => reply(ex, 408, "")
+            case _ => reply(ex, 200, """{"status":"completed","plan-tasks":["t1"]}""")
+          }
+        else if (p == "/v1/namespaces/db/tables/tbl2/plan/plan-2")
+          reply(ex, 501, """{"error":{"message":"nope","type":"NotImplemented","code":501}}""")
+        else reply(ex, 404, "")
+      }
+    })
+    srv.start()
+    try {
+      val c = new RestCatalog(s"http://127.0.0.1:${srv.getAddress.getPort}")
+      val b = c.pollPlan("db", "tbl", "plan-1")
+      assert(b.get("status").asText === "completed")
+      assert(polls.get >= 4, s"transient statuses must burn polls, got ${polls.get}")
+      val e = intercept[IllegalStateException](c.pollPlan("db", "tbl2", "plan-2"))
+      assert(e.getMessage.contains("fetchPlanningResult"))
+    } finally srv.stop(0)
+  }
 }
