@@ -331,7 +331,9 @@ object Bench {
             case None       => () => qd.fn(spark, sfDir)
           }
           System.gc()
-          timed(run)
+          // two samples: flagged gates are exactly the ones a single noisy
+          // sample condemned, and the cost is bounded by the flag count
+          math.min(timed(run), timed(run))
         } catch { case _: Throwable => min0 }
       }.getOrElse(min0)
       val best = math.min(min0, again)
