@@ -617,10 +617,16 @@ final class SpjScanBuilder(table: GraftTable, fullSchema: StructType,
       val needsNameResolution = table.metadata.properties
         .contains(graft.format.NameMapping.PropertyKey)
       val anyMeta = withFile || withPos || withRowId || withLastUpd
-      if (needsNameResolution && !anyMeta) {
+      val metaReq = SpjTable.RequestedMeta(required, withFile, withPos,
+        withRowId, withLastUpd)
+      if (needsNameResolution) {
+        // imported files may carry pre-rename names the stock DSv2 reader
+        // silently null-fills — metadata-column requests ride the SAME V1
+        // name-mapping route (it computes file/pos/lineage natively)
+        // instead of mis-reading through SpjScan
         SpjRouting.record(table.name, "name-mapping", eqBytes)
         emitRouteReport("name-mapping", eqBytes)
-        new SpjAntiJoinScan(table, snapshotId, planned, required, options)
+        new SpjAntiJoinScan(table, snapshotId, planned, required, options, metaReq)
       } else if (eqBytes > eqFallbackBytes && !anyMeta) {
         // executor key sets would hold eqBytes of decoded keys in memory;
         // route this scan through the SparkRead anti-join pipeline instead
@@ -710,10 +716,27 @@ object SpjRouting {
   */
 final class SpjAntiJoinScan(table: GraftTable, snapshotId: Option[Long],
     tasks: Seq[graft.table.FileScanTask], dataSchema: StructType,
-    options: Map[String, String])
+    options: Map[String, String],
+    meta: SpjTable.RequestedMeta = SpjTable.RequestedMeta(
+      new StructType(), false, false, false, false))
     extends org.apache.spark.sql.connector.read.V1Scan {
 
-  override def readSchema(): StructType = dataSchema
+  override def readSchema(): StructType = {
+    var fields = dataSchema.fields
+    if (meta.withFile) fields = fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.FileColumnName,
+        org.apache.spark.sql.types.StringType, nullable = false)
+    if (meta.withPos) fields = fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.PosColumnName,
+        org.apache.spark.sql.types.LongType, nullable = false)
+    if (meta.withRowId) fields = fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.RowIdColumnName,
+        org.apache.spark.sql.types.LongType, nullable = true)
+    if (meta.withLastUpd) fields = fields :+
+      org.apache.spark.sql.types.StructField(SpjTable.LastUpdatedColumnName,
+        org.apache.spark.sql.types.LongType, nullable = true)
+    StructType(fields)
+  }
 
   override def description(): String =
     s"GraftEqDeleteAntiJoin(${table.name}, files=${tasks.length})"
@@ -731,27 +754,37 @@ final class SpjAntiJoinScan(table: GraftTable, snapshotId: Option[Long],
     val tbl = table
     val snapId = snapshotId
     val planned = tasks
-    val out = dataSchema
+    val outSchema = readSchema()
+    val m = meta
     new org.apache.spark.sql.sources.BaseRelation
         with org.apache.spark.sql.sources.TableScan {
       override def sqlContext: org.apache.spark.sql.SQLContext = context
-      override def schema: StructType = out
+      override def schema: StructType = outSchema
       override def toString: String = "GraftEqDeleteAntiJoin"
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
         val spark = context.sparkSession
-        val meta = tbl.metadata
+        val tm = tbl.metadata
         // time travel pins the snapshot's schema; current reads use the
         // current schema (mirrors SparkRead.read's resolution)
         val schemaId =
           if (snapId.isDefined)
             snapId.map(id => tbl.newScan.useSnapshot(id)).get
-              .snapshot.flatMap(_.schemaId).getOrElse(meta.currentSchemaId)
-          else meta.currentSchemaId
-        val gSchema = meta.schemaById(schemaId).getOrElse(meta.schema)
+              .snapshot.flatMap(_.schemaId).getOrElse(tm.currentSchemaId)
+          else tm.currentSchemaId
+        val gSchema = tm.schemaById(schemaId).getOrElse(tm.schema)
         val df = graft.table.SparkRead.readTasks(spark, planned, gSchema,
-          tbl.nameMapping, rowLineage = false, specById = meta.specById,
-          ioOptions = tbl.refreshIoCredentials())
-        df.select(out.fieldNames.map(n => df.col(s"`$n`")).toSeq: _*).rdd
+          tbl.nameMapping, rowLineage = m.lineage, specById = tm.specById,
+          ioOptions = tbl.refreshIoCredentials(),
+          keepFilePos = m.withFile || m.withPos)
+        // canonical output order: data cols, then the requested metadata
+        // columns (the V1 pipeline computes __file/__pos internally and
+        // _row_id/_last_updated under their public names)
+        val cols = outSchema.fieldNames.map {
+          case SpjTable.FileColumnName => df.col("__file").as(SpjTable.FileColumnName)
+          case SpjTable.PosColumnName => df.col("__pos").as(SpjTable.PosColumnName)
+          case n => df.col(s"`$n`")
+        }
+        df.select(cols.toSeq: _*).rdd
       }
     }.asInstanceOf[T]
   }

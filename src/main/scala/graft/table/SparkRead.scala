@@ -96,7 +96,12 @@ object SparkRead {
       rowLineage: Boolean = false,
       specById: Int => Option[graft.format.PartitionSpec] = _ => None,
       ioOptions: Map[String, String] = Map.empty,
-      residual: graft.core.Expr = graft.core.Expr.AlwaysTrue): DataFrame = {
+      residual: graft.core.Expr = graft.core.Expr.AlwaysTrue,
+      // keep the internal __file/__pos columns in the output (callers
+      // serving `_file`/`_pos` metadata columns through this V1 pipeline —
+      // e.g. name-mapped imported tables, whose renamed columns the stock
+      // DSv2 reader cannot resolve)
+      keepFilePos: Boolean = false): DataFrame = {
     configure(spark)
     // v3 `unknown`-typed columns are never stored in data files (spec:
     // always-null forward-compat placeholder, reference types.go:903) —
@@ -144,7 +149,8 @@ object SparkRead {
           Seq((withIds, true), (without, false)).filter(_._1.nonEmpty)
       }
       subGroups.map { case (sub, idsPresent) => readSubGroup(spark, sub, idsPresent,
-        storedSchema, readSchema, nameMapping, rowLineage, specById, ioOptions) }
+        storedSchema, readSchema, nameMapping, rowLineage, specById, ioOptions,
+        keepFilePos) }
     }
 
     val stored = parts.reduce(_ unionByName _)
@@ -161,7 +167,8 @@ object SparkRead {
       nameMapping: Option[graft.format.NameMapping],
       rowLineage: Boolean = false,
       specById: Int => Option[graft.format.PartitionSpec] = _ => None,
-      ioOptions: Map[String, String] = Map.empty): DataFrame = {
+      ioOptions: Map[String, String] = Map.empty,
+      keepFilePos: Boolean = false): DataFrame = {
     {
       // lineage-preserving rewrites materialize _row_id /
       // _last_updated_sequence_number as REAL parquet columns under the
@@ -184,9 +191,10 @@ object SparkRead {
       val isOrc = groupTasks.head.file.format.equalsIgnoreCase("ORC")
       if (isOrc) {
         val posish = groupTasks.exists(_.posDeletes.nonEmpty)
-        require(!posish && !rowLineage,
+        require(!posish && !rowLineage && !keepFilePos,
           "position-based features (positional deletes, deletion vectors, " +
-            "row lineage) are not supported over ORC data files")
+            "row lineage, _file/_pos metadata columns) are not supported " +
+            "over ORC data files")
       }
       var df =
         if (isOrc) spark.read.options(ioOptions).schema(readSchema)
@@ -239,7 +247,7 @@ object SparkRead {
       // eq-deletes anti-join on VALUE columns — they don't need positions,
       // which also keeps them working over ORC files (no row_index there)
       val needsPos =
-        dvDeletes.nonEmpty || posDeletes.nonEmpty || rowLineage
+        dvDeletes.nonEmpty || posDeletes.nonEmpty || rowLineage || keepFilePos
       if (needsPos) {
         df = df.withColumn("__file", normalizePath(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
@@ -322,7 +330,7 @@ object SparkRead {
           .drop("__lineage_file", "__first_row_id", "__lineage_seq")
       }
 
-      if (needsPos) df = df.drop("__file", "__pos")
+      if (needsPos && !keepFilePos) df = df.drop("__file", "__pos")
       df
     }
   }

@@ -156,4 +156,36 @@ class WapImportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT n_name FROM $ctl.snap_flat").collect().length === 25)
     assert(graft.sources.SpjRouting.lastRoute("snap_flat") === Some("name-mapping"))
   }
+
+  // a metadata-column request on a name-mapped imported table must ride
+  // the V1 name-mapping route too: SpjScan's stock name-based reader
+  // null-fills a RENAMED data column (the file says `old_id`, the table
+  // says `id`) — before this routing, `SELECT id, _file FROM t` returned
+  // NULL ids beside correct file paths, silent wrong results
+  test("metadata columns on a name-mapped imported table resolve renamed columns") {
+    import spark.implicits._
+    val ctl = "gnmmc"
+    val nwh = Files.createTempDirectory("graft-nmmc").toString
+    spark.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ctl.uri", nwh)
+    val pdir = Files.createTempDirectory("graft-nmmc-src").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("old_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(pdir)
+    val pfile = new java.io.File(pdir).listFiles()
+      .map(_.getAbsolutePath).filter(_.endsWith(".parquet")).head
+    spark.sql(s"CREATE TABLE $ctl.nmmc (id BIGINT, v STRING)")
+    val cat = new HadoopCatalog(nwh)
+    val nm = """[{"field-id":1,"names":["old_id","id"]},{"field-id":2,"names":["v"]}]"""
+    val t1 = Evolve.setProperties(cat.loadTable("nmmc"),
+      Map(graft.format.NameMapping.PropertyKey -> nm))
+    Writer.addFiles(spark, t1, Seq(pfile))
+    val rows = spark.sql(s"SELECT id, v, _file, _pos FROM $ctl.nmmc ORDER BY id")
+      .collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "renamed column resolves through the name mapping, never null-fills")
+    assert(rows.forall(r => r.getString(2).endsWith(".parquet")))
+    assert(rows.map(_.getLong(3)).toSeq === Seq(0L, 1L, 2L), "physical positions")
+    assert(graft.sources.SpjRouting.lastRoute("nmmc") === Some("name-mapping"))
+  }
 }
