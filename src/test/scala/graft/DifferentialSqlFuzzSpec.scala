@@ -191,4 +191,53 @@ class DifferentialSqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tasks.exists(_.eqDeletes.nonEmpty), "eq-deletes attached")
     assert(tasks.exists(_.posDeletes.nonEmpty), "pos-deletes/DVs attached")
   }
+
+  // the same clause generator across a COLUMN-RENAME boundary: half the
+  // files were written under the old names, half under the new — filters
+  // over the new names must rebind per file by FIELD ID
+  // (TranslateColumnNames) for pushdown, metrics pruning, partition
+  // projection, and residuals alike; a name-based rebind would silently
+  // skip (or mis-prune) the pre-rename files
+  test("random WHERE clauses agree across a mid-history column rename") {
+    val cat = new HadoopCatalog(wh)
+    spark.conf.set("spark.sql.catalog.gr", classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gr.uri", wh)
+    val schema = SchemaBridge.fromSpark(raw.schema)
+    val spec = PartitionSpec.builder(schema)
+      .add("flag", Transforms.Identity)
+      .add("k", Transforms.Bucket(4))
+      .add("ship", Transforms.Years)
+      .build()
+    var t = cat.createTable("dfzr", schema, spec)
+    Seq(0, 1).foreach { i =>
+      t = Writer.append(spark, t, raw.filter(col("k") % 4 === i))
+    }
+    spark.sql("ALTER TABLE gr.dfzr RENAME COLUMN flag TO fl")
+    spark.sql("ALTER TABLE gr.dfzr RENAME COLUMN k TO kk")
+    val renamed = raw.withColumnRenamed("flag", "fl").withColumnRenamed("k", "kk")
+    Seq(2, 3).foreach { i =>
+      Writer.append(spark, cat.loadTable("dfzr"),
+        renamed.filter(col("kk") % 4 === i))
+      ()
+    }
+    renamed.createOrReplaceTempView("dfzr_truth")
+    val r = new Random(271828L)
+    // generated clauses speak the NEW names ("flag" has no standalone k,
+    // so the boundary-anchored k replacement is unambiguous)
+    def renamePred(p: String): String =
+      p.replace("flag", "fl").replaceAll("\\bk\\b", "kk")
+    var nonEmpty = 0
+    (0 until 60).foreach { iter =>
+      val pred = renamePred(genPred(r, 2))
+      val agg = "count(*) AS n, coalesce(sum(cast(hash(kk, ln, qty, fl, ship) AS BIGINT)), 0) AS h"
+      val ours = spark.sql(s"SELECT $agg FROM gr.dfzr WHERE $pred").head
+      val want = spark.sql(s"SELECT $agg FROM dfzr_truth WHERE $pred").head
+      assert(ours.getLong(0) === want.getLong(0),
+        s"iter=$iter row count diverged across rename for WHERE $pred")
+      assert(ours.getLong(1) === want.getLong(1),
+        s"iter=$iter row content diverged across rename for WHERE $pred")
+      if (want.getLong(0) > 0) nonEmpty += 1
+    }
+    assert(nonEmpty > 25, s"weak generator: only $nonEmpty non-empty results")
+  }
 }
