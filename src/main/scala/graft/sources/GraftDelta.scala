@@ -56,16 +56,43 @@ final class GraftDeltaOperation(table: GraftTable, cmd: Command)
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
+  /** v3 lineage through the DELTA path: an update splits into delete +
+    * REINSERT, and the reinserted row is the same row — `_row_id` rides
+    * the metadata projection into [[GraftDeltaWriter.reinsert]] (preserve-
+    * on-reinsert flag), `_last_updated_sequence_number` is nulled there
+    * (re-stamped as the new file's data sequence at read). Pure DELETEs
+    * write no rows — no metadata needed, and keeping them lean avoids
+    * widening the delete-only delta plan.
+    */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.metadata.formatVersion >= 3 && cmd != Command.DELETE)
+      Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          SpjTable.RowIdColumnName),
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          SpjTable.LastUpdatedColumnName))
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDeltaScanBuilder(this, table, SchemaBridge.toSpark(table.schema),
       options.asCaseSensitiveMap().asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
+      // where _row_id / _last_updated_sequence_number sit in the delta
+      // metadata row (absent below v3 / on pure DELETEs)
+      private[sources] val lineageMetaIdx: Option[(Int, Int)] =
+        if (table.metadata.formatVersion >= 3 && info.metadataSchema().isPresent) {
+          val names = info.metadataSchema().get.fieldNames
+          val ri = names.indexOf(SpjTable.RowIdColumnName)
+          val li = names.indexOf(SpjTable.LastUpdatedColumnName)
+          if (ri >= 0 && li >= 0) Some((ri, li)) else None
+        } else None
       override def build(): DeltaWrite = new DeltaWrite
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def toBatch(): DeltaBatchWrite =
-          new GraftDeltaBatchWrite(GraftDeltaOperation.this, table)
+          new GraftDeltaBatchWrite(GraftDeltaOperation.this, table, lineageMetaIdx)
 
         // one DV per data file is a spec invariant: REQUIRE same-file
         // deletes to land in one task (cluster by _file), positions
@@ -116,6 +143,8 @@ final class GraftDeltaScanBuilder(op: GraftDeltaOperation, table: GraftTable,
   private var required: StructType = fullSchema
   private var withFile: Boolean = true
   private var withPos: Boolean = true
+  private var withRowId: Boolean = false
+  private var withLastUpd: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -128,17 +157,20 @@ final class GraftDeltaScanBuilder(op: GraftDeltaOperation, table: GraftTable,
     required = req.data
     withFile = req.withFile
     withPos = req.withPos
+    withRowId = req.withRowId
+    withLastUpd = req.withLastUpd
   }
 
   override def build(): Scan = new GraftDeltaScan(op, table, required,
     pushed.flatMap(SpjScanBuilder.toExpr)
       .foldLeft(Expr.AlwaysTrue: Expr)(Expr.and),
-    options, withFile, withPos)
+    options, withFile, withPos, withRowId, withLastUpd)
 }
 
 final class GraftDeltaScan(op: GraftDeltaOperation, table: GraftTable,
     sparkSchema: StructType, fileFilter: Expr, options: Map[String, String],
-    withFile: Boolean, withPos: Boolean)
+    withFile: Boolean, withPos: Boolean,
+    withRowId: Boolean = false, withLastUpd: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = {
@@ -147,6 +179,10 @@ final class GraftDeltaScan(op: GraftDeltaOperation, table: GraftTable,
       StructField(SpjTable.FileColumnName, StringType, nullable = false)
     if (withPos) fields = fields :+
       StructField(SpjTable.PosColumnName, LongType, nullable = false)
+    if (withRowId) fields = fields :+
+      StructField(SpjTable.RowIdColumnName, LongType, nullable = true)
+    if (withLastUpd) fields = fields :+
+      StructField(SpjTable.LastUpdatedColumnName, LongType, nullable = true)
     StructType(fields)
   }
   override def toBatch: Batch = this
@@ -163,7 +199,7 @@ final class GraftDeltaScan(op: GraftDeltaOperation, table: GraftTable,
 
   override def createReaderFactory(): PartitionReaderFactory =
     SpjScan.readerFactory(table, parts, sparkSchema, options, Nil,
-      withFile, withPos)
+      withFile, withPos, withRowId, withLastUpd)
 }
 
 /** One delete artifact a task produced: a DV blob inside a puffin file
@@ -176,7 +212,8 @@ final case class GraftDeleteFileMsg(path: String, format: String,
 final case class GraftDeltaCommitMessage(files: Seq[GraftWrittenFile],
     deletes: Seq[GraftDeleteFileMsg]) extends WriterCommitMessage
 
-final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
+final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable,
+    lineageMetaIdx: Option[(Int, Int)] = None)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -198,11 +235,24 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable)
     // insert writer per task
     val maxRecords = math.max(1L,
       (targetBytes / Writer.estimatedRowBytes(table.location, sparkSchema)).toLong)
+    // lineage carry (reinserted rows keep `_row_id`): widen the insert
+    // writer's schema with the reserved-id columns, same explicit-wins
+    // contract as the CoW replace write
+    val insertSchema = lineageMetaIdx match {
+      case Some(_) => StructType(sparkSchema.fields ++
+        SchemaBridge.LineageCols.map { case (n, id) =>
+          StructField(n, LongType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
+        })
+      case None => sparkSchema
+    }
     val inner = new GraftCowWriterFactory(
-      ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
+      ParquetRowWriteBridge.writerFactory(spark, insertSchema, ioOpts),
       table.location, schema, table.spec, extractors, maxRecords,
       closeOnPartitionChange = true,
-      tableProps = table.metadata.properties)
+      tableProps = table.metadata.properties,
+      lineageMetaIdx = lineageMetaIdx)
 
     // prior delete state per candidate data file, shipped to executors so
     // each task folds it into the superseding DV it writes
@@ -325,10 +375,19 @@ final class GraftDeltaWriter(
 
   override def insert(row: InternalRow): Unit = inserts.write(row)
 
+  /** The reinsert half of a split update: the SAME row at a new position —
+    * the metadata row carries its preserved `_row_id` (and a nulled
+    * `_last_updated_sequence_number`), which the fanout writer materializes
+    * as explicit reserved-id columns. True inserts route through
+    * [[insert]] with no metadata and take fresh ids.
+    */
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    inserts.write(meta, row)
+
   // unreachable: representUpdateAsDeleteAndInsert splits updates upstream
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
-    insert(row)
+    inserts.write(meta, row)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
@@ -61,12 +62,27 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: Command)
 
   /** `_file` engages Spark's projecting write task (without a metadata
     * attribute, group-based plans hand the writer the raw rewrite rows,
-    * operation column included).
+    * operation column included). On v3 tables the row-lineage columns ride
+    * the same metadata projection: Spark's rewrite rules preserve/null
+    * them per the [[SpjTable.RowIdMetaColumn]] /
+    * [[SpjTable.LastUpdatedMetaColumn]] flags (UPDATE keeps `_row_id`,
+    * re-stamps `_last_updated_sequence_number`; MERGE inserts get fresh
+    * ids), and [[GraftCowDataWriter]] materializes them as explicit
+    * reserved-id parquet columns — UPDATE/MERGE stop destroying survivor
+    * lineage.
     */
   override def requiredMetadataAttributes():
-      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val base = Array(org.apache.spark.sql.connector.expressions.Expressions.column(
       SpjTable.FileColumnName))
+    if (table.metadata.formatVersion >= 3)
+      base ++ Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          SpjTable.RowIdColumnName),
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          SpjTable.LastUpdatedColumnName))
+    else base
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCowScanBuilder(this, table,
@@ -75,11 +91,22 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: Command)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write
-          with GraftPartitionClusteredWrite {
-        override def clusterTable: GraftTable = table
-        override def toBatch: BatchWrite =
-          new GraftReplaceBatchWrite(GraftRowLevelOperation.this, table)
+      override def build(): Write = {
+        // lineage carry: Spark declares the metadata row's layout here —
+        // record where _row_id / _last_updated_sequence_number sit so the
+        // executor writer can pull them without name lookups per row
+        val metaIdx: Option[(Int, Int)] =
+          if (table.metadata.formatVersion >= 3 && info.metadataSchema().isPresent) {
+            val names = info.metadataSchema().get.fieldNames
+            val ri = names.indexOf(SpjTable.RowIdColumnName)
+            val li = names.indexOf(SpjTable.LastUpdatedColumnName)
+            if (ri >= 0 && li >= 0) Some((ri, li)) else None
+          } else None
+        new Write with GraftPartitionClusteredWrite {
+          override def clusterTable: GraftTable = table
+          override def toBatch: BatchWrite =
+            new GraftReplaceBatchWrite(GraftRowLevelOperation.this, table, metaIdx)
+        }
       }
     }
 }
@@ -152,6 +179,8 @@ final class GraftCowScanBuilder(op: GraftRowLevelOperation, table: GraftTable,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var withFile: Boolean = false
+  private var withRowId: Boolean = false
+  private var withLastUpd: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -163,24 +192,33 @@ final class GraftCowScanBuilder(op: GraftRowLevelOperation, table: GraftTable,
     val req = SpjTable.splitRequested(fullSchema, requiredSchema)
     required = req.data
     withFile = req.withFile
+    withRowId = req.withRowId
+    withLastUpd = req.withLastUpd
   }
 
   override def build(): Scan = new GraftCowScan(op, table, required,
     pushed.flatMap(SpjScanBuilder.toExpr)
       .foldLeft(Expr.AlwaysTrue: Expr)(Expr.and),
-    options, withFile)
+    options, withFile, withRowId, withLastUpd)
 }
 
 final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
     sparkSchema: StructType, fileFilter: Expr, options: Map[String, String],
-    withFile: Boolean)
+    withFile: Boolean, withRowId: Boolean = false,
+    withLastUpd: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-  override def readSchema(): StructType =
-    if (withFile) StructType(sparkSchema.fields :+
-      StructField(SpjTable.FileColumnName, StringType, nullable = false))
-    else sparkSchema
+  override def readSchema(): StructType = {
+    var fields = sparkSchema.fields
+    if (withFile) fields = fields :+
+      StructField(SpjTable.FileColumnName, StringType, nullable = false)
+    if (withRowId) fields = fields :+
+      StructField(SpjTable.RowIdColumnName, LongType, nullable = true)
+    if (withLastUpd) fields = fields :+
+      StructField(SpjTable.LastUpdatedColumnName, LongType, nullable = true)
+    StructType(fields)
+  }
   override def toBatch: Batch = this
 
   // static candidates (pushed-filter file pruning), planned once. MoR
@@ -233,8 +271,11 @@ final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
     parts.map(identity[InputPartition])
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // no row-group filters: a kept file is replaced whole
-    SpjScan.readerFactory(table, parts, sparkSchema, options, Nil, withFile)
+    // no row-group filters: a kept file is replaced whole. Lineage columns
+    // synthesize per file (explicit wins over first_row_id + position) —
+    // the values a rewrite must carry.
+    SpjScan.readerFactory(table, parts, sparkSchema, options, Nil, withFile,
+      withPos = false, withRowId = withRowId, withLastUpd = withLastUpd)
 }
 
 /** One written file, reported from the executor to the driver commit. */
@@ -252,10 +293,24 @@ object GraftBatchWrites {
     * parquet OutputWriter — shared by the CoW row-level replacement write
     * and the dynamic-overwrite write.
     */
-  def cowWriterFactory(table: GraftTable): DataWriterFactory = {
+  def cowWriterFactory(table: GraftTable,
+      lineageMetaIdx: Option[(Int, Int)] = None): DataWriterFactory = {
     val spark = SparkSession.active
     val schema = table.schema
     val sparkSchema = SchemaBridge.toSpark(schema)
+    // lineage carry (group-based UPDATE/MERGE on v3): the written files
+    // materialize _row_id / _last_updated_sequence_number as REAL parquet
+    // columns under the reserved field ids — the same explicit-wins
+    // contract the lineage-preserving deleteWhere/compaction writes use
+    val writeSchema = lineageMetaIdx match {
+      case Some(_) => StructType(sparkSchema.fields ++
+        SchemaBridge.LineageCols.map { case (n, id) =>
+          StructField(n, LongType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
+        })
+      case None => sparkSchema
+    }
     val ioOpts = table.refreshIoCredentials()
     val extractors = table.spec.fields.map { pf =>
       val src = schema.idToField(pf.sourceId)
@@ -272,12 +327,13 @@ object GraftBatchWrites {
     val maxRecords = math.max(1L,
       (targetBytes / Writer.estimatedRowBytes(table.location, sparkSchema)).toLong)
     new GraftCowWriterFactory(
-      ParquetRowWriteBridge.writerFactory(spark, sparkSchema, ioOpts),
+      ParquetRowWriteBridge.writerFactory(spark, writeSchema, ioOpts),
       table.location, schema, table.spec, extractors, maxRecords,
       // the owning writes declare a clustered+sorted distribution, so each
       // partition arrives as one contiguous run — close on change
       closeOnPartitionChange = true,
-      tableProps = table.metadata.properties)
+      tableProps = table.metadata.properties,
+      lineageMetaIdx = lineageMetaIdx)
   }
 
   /** One graft transform over a named source column as a provably-
@@ -411,11 +467,12 @@ final class GraftDynamicOverwriteBatchWrite(table: GraftTable)
       .foreach(f => graft.io.FileIO.delete(f.path))
 }
 
-final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable)
+final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable,
+    lineageMetaIdx: Option[(Int, Int)] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftBatchWrites.cowWriterFactory(table)
+    GraftBatchWrites.cowWriterFactory(table, lineageMetaIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
@@ -452,12 +509,13 @@ final class GraftCowWriterFactory(
     location: String, schema: IcebergSchema, spec: PartitionSpec,
     extractors: Seq[GraftPartExtractor], maxRecords: Long,
     closeOnPartitionChange: Boolean = false,
-    tableProps: Map[String, String] = Map.empty)
+    tableProps: Map[String, String] = Map.empty,
+    lineageMetaIdx: Option[(Int, Int)] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(newWriter, location, schema, spec, extractors,
-      maxRecords, closeOnPartitionChange, tableProps)
+      maxRecords, closeOnPartitionChange, tableProps, lineageMetaIdx)
 }
 
 /** Peak concurrently-open writers across all [[GraftCowDataWriter]] tasks
@@ -493,7 +551,8 @@ final class GraftCowDataWriter(
     location: String, schema: IcebergSchema, spec: PartitionSpec,
     extractors: Seq[GraftPartExtractor], maxRecords: Long,
     closeOnPartitionChange: Boolean = false,
-    tableProps: Map[String, String] = Map.empty)
+    tableProps: Map[String, String] = Map.empty,
+    lineageMetaIdx: Option[(Int, Int)] = None)
     extends DataWriter[InternalRow] {
 
   private final class OpenFile(val partValues: Seq[Any], val path: String) {
@@ -529,17 +588,41 @@ final class GraftCowDataWriter(
     finished += GraftWrittenFile(f.path, f.partValues, f.rows)
   }
 
-  /** Carried rows arrive as (metadata, data) from the projecting write
-    * task; the `_file` metadata isn't needed here (the replaced set was
-    * recorded at plan time) — write the data row.
+  /** Rows arrive as (metadata, data) from the projecting write task. The
+    * `_file` metadata isn't needed here (the replaced set was recorded at
+    * plan time); on v3 the `_row_id` / `_last_updated_sequence_number`
+    * slots ARE — Spark's rewrite rules preserved (carried + updated ids),
+    * nulled (re-stamped sequences, MERGE inserts), per the metadata-column
+    * flags, and the pair lands as explicit reserved-id columns the read
+    * path prefers over synthesis.
     */
-  override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    lineageMetaIdx match {
+      case Some((ri, li)) =>
+        val lineage = new GenericInternalRow(Array[Any](
+          if (meta.isNullAt(ri)) null else meta.getLong(ri),
+          if (meta.isNullAt(li)) null else meta.getLong(li)))
+        writeRow(row, new org.apache.spark.sql.catalyst.expressions.JoinedRow(row, lineage))
+      case None => write(row)
+    }
 
   private var lastDir: String = null
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row: InternalRow): Unit = writeRow(row,
+    lineageMetaIdx match {
+      // writer schema is lineage-widened: a row arriving without metadata
+      // still needs the two slots (null → synthesized at read)
+      case Some(_) => new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+        row, new GenericInternalRow(Array[Any](null, null)))
+      case None => row
+    })
+
+  /** `partSource` carries the data columns the partition extractors index;
+    * `out` is what lands in the file (possibly lineage-widened).
+    */
+  private def writeRow(partSource: InternalRow, out: InternalRow): Unit = {
     val partValues: Seq[Any] =
-      extractors.map(e => e.transform.apply(jvmValue(row, e), e.dt))
+      extractors.map(e => e.transform.apply(jvmValue(partSource, e), e.dt))
     val dir =
       if (spec.fields.isEmpty) ""
       else spec.partitionToPath(partValues, schema) + "/"
@@ -548,7 +631,7 @@ final class GraftCowDataWriter(
     lastDir = dir
     val f = open.getOrElseUpdate(dir, new OpenFile(partValues, newPath(dir)))
     GraftCowWriterMetrics.observe(open.size)
-    f.writer.write(row)
+    f.writer.write(out)
     f.rows += 1
     if (f.rows >= maxRecords) { closeFile(f); open.remove(dir); () }
   }

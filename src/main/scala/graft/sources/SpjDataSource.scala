@@ -393,11 +393,21 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     *   columns), so the group-based rewrite plan would only add runtime
     *   `_file` filtering for work the metadata classification already did.
     */
+  // the handle canDeleteWhere classified against, reused by deleteWhere so
+  // classification and execution see ONE snapshot (the commit's own
+  // retry/rebase absorbs any staleness between analysis and execution)
+  @volatile private var deleteClassified: GraftTable = _
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     if (!writable || snapshotId.nonEmpty) return false
     val exprs = filters.map(SpjScanBuilder.toExpr)
     if (exprs.exists(_.isEmpty)) return false
-    val t = table.refresh()
+    // a capability check must DECLINE, not crash: refresh can refuse a
+    // cross-incarnation pointer (drop+recreate uuid guard) — answer false
+    // and let the row-level plan's own refresh surface the real error with
+    // execution context
+    val t = try table.refresh() catch { case _: IllegalStateException => return false }
+    deleteClassified = t
     if (t.metadata.properties.get("write.delete.mode").contains("merge-on-read")) {
       val expr = exprs.flatten.foldLeft(Expr.AlwaysTrue: Expr)(Expr.and)
       val strict = Expr.rewriteNot(expr)
@@ -410,7 +420,9 @@ final class SpjTable(table: GraftTable, sparkSchema: StructType,
     requireWritable("delete from")
     val expr = filters.flatMap(SpjScanBuilder.toExpr)
       .foldLeft(Expr.AlwaysTrue: Expr)(Expr.and)
-    Writer.deleteWhere(SparkSession.active, table.refresh(), expr)
+    val t = { val c = deleteClassified; deleteClassified = null
+      if (c != null) c else table.refresh() }
+    Writer.deleteWhere(SparkSession.active, t, expr)
     ()
   }
 
@@ -475,6 +487,15 @@ object SpjTable {
       org.apache.spark.sql.types.LongType
     override def isNullable: Boolean = true
     override def comment(): String = "v3 row lineage: stable row id"
+    /** v3 contract for row-level plans: an UPDATE keeps the row's identity
+      * (preserve on update — group path; preserve on REINSERT — the delta
+      * path splits an update into delete + reinsert, and the reinserted
+      * row is the SAME row). A MERGE-inserted row is a NEW row: inserts
+      * carry no source metadata, so it takes a fresh id from the written
+      * file's lineage block at read regardless of these flags.
+      */
+    override def metadataInJSON(): String =
+      """{"__preserve_on_update": true, "__preserve_on_delete": true, "__preserve_on_reinsert": true}"""
   }
 
   object LastUpdatedMetaColumn extends MetadataColumn {
@@ -484,6 +505,14 @@ object SpjTable {
     override def isNullable: Boolean = true
     override def comment(): String =
       "v3 row lineage: sequence number of the committing snapshot that last updated the row"
+    /** NOT preserved on update: a group-based UPDATE/MERGE nulls the
+      * value for updated rows, and the null synthesizes at read as the
+      * rewritten file's data sequence — i.e. the committing snapshot's
+      * sequence, exactly the v3 re-stamp contract. Carried-over rows keep
+      * their explicit original.
+      */
+    override def metadataInJSON(): String =
+      """{"__preserve_on_update": false}"""
   }
 
   /** Requested-schema split: data columns in table order + which metadata
@@ -891,6 +920,73 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     }
   }
 
+  /** The claim actually reported to Spark, sound under PARTITION-SPEC
+    * EVOLUTION: `claimKeys` is derived from the CURRENT default spec, but a
+    * table's live files may have been written under older specs whose
+    * partition tuples carry different transforms (or a different arity) —
+    * grouping those raw tuples under the default-spec claim either crashes
+    * (arity mismatch) or silently co-groups values with DIFFERENT
+    * semantics (bucket2(k) beside bucket4(k)), and a zero-exchange join
+    * then drops matches. Mirrors iceberg-java's
+    * `SparkPartitioningAwareScan.groupingKeyType()`: the claim is narrowed
+    * to the default-spec fields present with an IDENTICAL (sourceId,
+    * transform) in EVERY spec contributing planned files; tasks group by
+    * that common key, projected per-spec from each file's own tuple
+    * positions. Single-spec tables keep the full claim; a bucket-width
+    * change or unpartitioned history empties the intersection and the scan
+    * degrades to one-partition-per-file under `UnknownPartitioning` —
+    * Spark shuffles, answers stay right. Decided ONCE from the static
+    * (pre-runtime-filter) file set so the reported partitioning never
+    * changes mid-execution; runtime filters only prune that set, so a
+    * static single-spec decision holds for every re-plan.
+    */
+  private lazy val effectiveClaim: Option[(Seq[Transform], Map[Int, Array[Int]])] =
+    claimKeys.flatMap { keys =>
+      val staticTasks = prePlanned.getOrElse {
+        val base = snapshotId.map(table.newScan.useSnapshot).getOrElse(table.newScan)
+        base.withFilter(fileFilter).planFiles()
+      }
+      val defSpec = table.spec
+      val specIds = staticTasks.map(_.specId).distinct
+      if (specIds.isEmpty || specIds == Seq(defSpec.specId))
+        Some((keys, Map(defSpec.specId -> defSpec.fields.indices.toArray)))
+      else {
+        val specs = specIds.map { id =>
+          id -> table.metadata.specById(id).getOrElse(graft.format.PartitionSpec.Unpartitioned)
+        }
+        // claimKeys(i) is positional with defSpec.fields(i) (the claim is
+        // all-or-none over the default spec's fields)
+        val keptIdx = defSpec.fields.indices.filter { i =>
+          val f = defSpec.fields(i)
+          specs.forall { case (_, sp) =>
+            sp.fields.exists(g => g.sourceId == f.sourceId && g.transform == f.transform)
+          }
+        }
+        if (keptIdx.isEmpty) None
+        else {
+          val kept = keptIdx.map(defSpec.fields)
+          val proj = specs.map { case (id, sp) =>
+            id -> kept.map(f => sp.fields.indexWhere(
+              g => g.sourceId == f.sourceId && g.transform == f.transform)).toArray
+          }.toMap
+          Some((keptIdx.map(keys), proj))
+        }
+      }
+    }
+
+  /** Project a task's raw partition tuple onto the claimed common key.
+    * A spec id outside the static plan would mean the claim was decided on
+    * a different file population than is being read — fail loudly rather
+    * than group unsoundly.
+    */
+  private def claimKey(proj: Map[Int, Array[Int]],
+      t: graft.table.FileScanTask): Seq[Any] = {
+    val idx = proj.getOrElse(t.specId, throw new IllegalStateException(
+      s"graft-iceberg-spj: task under spec ${t.specId} appeared after the " +
+        s"partitioning claim was fixed over specs ${proj.keys.toSeq.sorted.mkString(",")}"))
+    idx.toSeq.map(t.file.partition(_))
+  }
+
   override def readSchema(): StructType = {
     var fields = sparkSchema.fields
     if (withFile) fields = fields :+
@@ -969,9 +1065,9 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     }
     plannedTotals = (tasks.map(_.file.fileSize).sum,
       tasks.map(_.file.recordCount).sum)
-    claimKeys match {
-      case Some(_) =>
-        tasks.groupBy(_.file.partition).toSeq
+    effectiveClaim match {
+      case Some((_, proj)) =>
+        tasks.groupBy(claimKey(proj, _)).toSeq
           .map { case (partValues, ts) =>
             SpjInputPartition(partValues.map(SpjScan.toCatalyst).toArray,
               ts.map(t => SpjFileInfo.from(t, "graft-iceberg-spj")).toArray)
@@ -986,8 +1082,8 @@ final class SpjScan(table: GraftTable, sparkSchema: StructType,
     }
   }
 
-  override def outputPartitioning(): Partitioning = claimKeys match {
-    case Some(keys) => new KeyGroupedPartitioning(
+  override def outputPartitioning(): Partitioning = effectiveClaim match {
+    case Some((keys, _)) => new KeyGroupedPartitioning(
       keys.map(t => t: org.apache.spark.sql.connector.expressions.Expression).toArray,
       grouped.length)
     case None => new UnknownPartitioning(grouped.length)

@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+
+/** Differential DML fuzz over the SQL surface: random INSERT / DELETE /
+  * UPDATE / MERGE statements run through Spark's row-level plans (group-
+  * based CoW rewrites and delta-based MoR writes) against a lockstep
+  * driver-side model, asserting after EVERY statement:
+  *
+  *   1. full-table (id, seg, v) equality with the model — the statement
+  *      touched exactly the rows its predicate names, in both modes;
+  *   2. v3 row-lineage invariants: every `_row_id` non-null and DISTINCT;
+  *      every row that existed before the statement KEEPS its id (updates
+  *      preserve identity — through the ReplaceData metadata projection on
+  *      CoW and the delete+reinsert split on MoR); every row the statement
+  *      inserted takes a FRESH id (greater than any previously visible —
+  *      next-row-id is monotonic across commits).
+  *
+  * Reads-side fuzz (DifferentialSqlFuzzSpec) covers WHERE translation;
+  * this suite is the WRITE-side mirror the r15 verdict asked for.
+  */
+class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val segs = Seq("A", "B", "C", "D")
+
+  private def walk(mode: String, seed: Long): Unit = {
+    val r = new Random(seed)
+    val wh = Files.createTempDirectory(s"graft-dmlfuzz-$mode").toString
+    val ctl = s"dml${mode.take(3)}${math.abs(seed)}"
+    spark.conf.set(s"spark.sql.catalog.$ctl",
+      classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+    val t = s"$ctl.t"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, seg STRING, v INT) PARTITIONED BY (seg)")
+    graft.table.Evolve.upgradeFormatVersion(new HadoopCatalog(wh).loadTable("t"), 3)
+    spark.sql(s"""ALTER TABLE $t SET TBLPROPERTIES (
+      'write.update.mode' = '$mode',
+      'write.merge.mode' = '$mode',
+      'write.delete.mode' = '$mode')""")
+
+    val model = mutable.Map.empty[Long, (String, Int)]
+    var prevRids = Map.empty[Long, Long] // id -> _row_id after last statement
+    var nextId = 0L
+    def freshRows(n: Int): Seq[(Long, String, Int)] = (0 until n).map { _ =>
+      val row = (nextId, segs(r.nextInt(segs.size)), r.nextInt(100))
+      nextId += 1
+      row
+    }
+    def values(rows: Seq[(Long, String, Int)]): String =
+      rows.map { case (id, s, v) => s"($id, '$s', $v)" }.mkString(", ")
+
+    def randPred(): (String, (Long, String, Int) => Boolean) = r.nextInt(5) match {
+      case 0 =>
+        val a = r.nextLong(nextId.max(2L)); val b = a + 5 + r.nextInt(40)
+        (s"id >= $a AND id < $b", (id, _, _) => id >= a && id < b)
+      case 1 =>
+        val s0 = segs(r.nextInt(segs.size))
+        (s"seg = '$s0'", (_, s, _) => s == s0)
+      case 2 =>
+        val x = r.nextInt(100); (s"v < $x", (_, _, v) => v < x)
+      case 3 =>
+        val x = r.nextInt(100); val s0 = segs(r.nextInt(segs.size))
+        (s"v >= $x AND seg = '$s0'", (_, s, v) => v >= x && s == s0)
+      case 4 =>
+        val m = 2 + r.nextInt(3); val k = r.nextInt(m)
+        (s"id % $m = $k", (id, _, _) => id % m == k)
+    }
+
+    def verify(step: Int, op: String, inserted: Set[Long]): Unit = {
+      val rows = spark.sql(s"SELECT id, seg, v, _row_id FROM $t").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getInt(2),
+          if (x.isNullAt(3)) null else java.lang.Long.valueOf(x.getLong(3))))
+        .sortBy(_._1).toSeq
+      val got = rows.map { case (id, s, v, _) => (id, s, v) }
+      val want = model.toSeq.map { case (id, (s, v)) => (id, s, v) }.sortBy(_._1)
+      assert(got === want,
+        s"mode=$mode seed=$seed step=$step op=$op: contents diverged " +
+        s"(${got.size} vs ${want.size})\nextra=${got.diff(want).take(5)}\n" +
+        s"missing=${want.diff(got).take(5)}")
+      // lineage invariants
+      assert(rows.forall(_._4 != null),
+        s"mode=$mode seed=$seed step=$step op=$op: null _row_id")
+      val rids = rows.map(x => x._1 -> x._4.longValue).toMap
+      assert(rids.values.toSeq.distinct.size == rids.size,
+        s"mode=$mode seed=$seed step=$step op=$op: duplicate _row_id")
+      val prevValues = prevRids.values.toSet
+      rids.foreach { case (id, rid) =>
+        prevRids.get(id) match {
+          case Some(old) => assert(rid == old,
+            s"mode=$mode seed=$seed step=$step op=$op: id=$id changed " +
+            s"_row_id $old -> $rid (identity must survive the statement)")
+          case None =>
+            assert(inserted.contains(id),
+              s"mode=$mode seed=$seed step=$step op=$op: unexpected new id=$id")
+            assert(!prevValues.contains(rid),
+              s"mode=$mode seed=$seed step=$step op=$op: inserted id=$id " +
+              s"reused _row_id $rid")
+        }
+      }
+      prevRids = rids
+    }
+
+    // seed population: two inserts so ids span two files/lineage blocks
+    val init1 = freshRows(20)
+    spark.sql(s"INSERT INTO $t VALUES ${values(init1)}")
+    init1.foreach { case (id, s, v) => model(id) = (s, v) }
+    verify(-2, "seed-insert-1", init1.map(_._1).toSet)
+    val init2 = freshRows(20)
+    spark.sql(s"INSERT INTO $t VALUES ${values(init2)}")
+    init2.foreach { case (id, s, v) => model(id) = (s, v) }
+    verify(-1, "seed-insert-2", init2.map(_._1).toSet)
+
+    (0 until 12).foreach { step =>
+      val (op, inserted) = r.nextInt(6) match {
+        case 0 => // plain insert
+          val rows = freshRows(3 + r.nextInt(6))
+          spark.sql(s"INSERT INTO $t VALUES ${values(rows)}")
+          rows.foreach { case (id, s, v) => model(id) = (s, v) }
+          ("insert", rows.map(_._1).toSet)
+        case 1 => // DELETE
+          val (sql, f) = randPred()
+          spark.sql(s"DELETE FROM $t WHERE $sql")
+          model.filterInPlace { case (id, (s, v)) => !f(id, s, v) }
+          (s"delete[$sql]", Set.empty[Long])
+        case 2 => // UPDATE values only
+          val (sql, f) = randPred()
+          val d = 1 + r.nextInt(9)
+          spark.sql(s"UPDATE $t SET v = v + $d WHERE $sql")
+          model.mapValuesInPlace { case (id, (s, v)) =>
+            if (f(id, s, v)) (s, v + d) else (s, v) }
+          (s"update v[$sql]", Set.empty[Long])
+        case 3 => // UPDATE moving rows ACROSS partitions
+          val (sql, f) = randPred()
+          val s0 = segs(r.nextInt(segs.size))
+          spark.sql(s"UPDATE $t SET seg = '$s0' WHERE $sql")
+          model.mapValuesInPlace { case (id, (s, v)) =>
+            if (f(id, s, v)) (s0, v) else (s, v) }
+          (s"update seg[$sql]", Set.empty[Long])
+        case 4 => // MERGE: matched update + not-matched insert
+          val existing = r.shuffle(model.keys.toSeq).take(r.nextInt(5))
+            .map(id => (id, segs(r.nextInt(segs.size)), r.nextInt(100)))
+          val fresh = freshRows(r.nextInt(4))
+          val src = existing ++ fresh
+          if (src.isEmpty) ("merge-noop", Set.empty[Long])
+          else {
+            spark.sql(s"""MERGE INTO $t x
+              USING (SELECT * FROM VALUES ${values(src)} AS t0(id, seg, v)) s
+              ON x.id = s.id
+              WHEN MATCHED THEN UPDATE SET x.seg = s.seg, x.v = s.v
+              WHEN NOT MATCHED THEN INSERT (id, seg, v) VALUES (s.id, s.seg, s.v)""")
+            src.foreach { case (id, s, v) => model(id) = (s, v) }
+            ("merge-upsert", fresh.map(_._1).toSet)
+          }
+        case 5 => // MERGE with a conditional DELETE clause
+          val picked = r.shuffle(model.toSeq).take(2 + r.nextInt(5))
+            .map { case (id, (s, _)) => (id, s, r.nextInt(100)) }
+          if (picked.isEmpty) ("merge-noop", Set.empty[Long])
+          else {
+            spark.sql(s"""MERGE INTO $t x
+              USING (SELECT * FROM VALUES ${values(picked)} AS t0(id, seg, v)) s
+              ON x.id = s.id
+              WHEN MATCHED AND s.v < 50 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET x.v = s.v""")
+            picked.foreach { case (id, _, v) =>
+              if (v < 50) model.remove(id)
+              else model.get(id).foreach { case (s0, _) => model(id) = (s0, v) }
+            }
+            ("merge-delete", Set.empty[Long])
+          }
+      }
+      verify(step, op, inserted)
+    }
+  }
+
+  test("random DML walk matches the model: copy-on-write (group rewrites)") {
+    walk("copy-on-write", seed = 6001L)
+  }
+  test("random DML walk matches the model: merge-on-read (delta writes)") {
+    walk("merge-on-read", seed = 7007L)
+  }
+}

@@ -40,8 +40,9 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def walk(formatVersion: Int, partitioned: Boolean, seed: Long): Unit = {
     import spark.implicits._
     val r = new Random(seed)
-    val cat = new HadoopCatalog(Files.createTempDirectory(
-      s"graft-morwalk-v$formatVersion-$partitioned").toString)
+    val whPath = Files.createTempDirectory(
+      s"graft-morwalk-v$formatVersion-$partitioned").toString
+    val cat = new HadoopCatalog(whPath)
     val probe = Seq((0L, "A", 0)).toDF("id", "seg", "v")
     val schema = SchemaBridge.fromSpark(probe.schema)
     val spec =
@@ -75,7 +76,7 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     (0 until 18).foreach { step =>
-      val op = r.nextInt(10) match {
+      val op = r.nextInt(11) match {
         case 0 | 1 => // append fresh rows
           val rows = freshRows(5 + r.nextInt(20))
           t = Writer.append(spark, t, rows.toDF("id", "seg", "v"))
@@ -128,14 +129,47 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           val res = Maintenance.rewriteDataFiles(spark, t, rewriteAll = true)
           t = res.table
           "compact"
+        case 10 => // partition-spec evolution MID-WALK — the r15 blind spot
+          // that hid the SPJ wrong-answer bug: old files keep their spec,
+          // every later write/delete/compact spans spec populations, and
+          // partition-scoped delete matching must key per-spec
+          val which = r.nextInt(4)
+          val build: graft.format.PartitionSpec.Builder => graft.format.PartitionSpec.Builder =
+            which match {
+              case 0 => _.add("seg", Transforms.Identity)
+              case 1 => _.add("id", Transforms.Bucket(2 + 2 * r.nextInt(2)))
+              case 2 => _.add("seg", Transforms.Identity).add("id", Transforms.Bucket(4))
+              case 3 => identity // unpartitioned: DROP every field
+            }
+          t = Evolve.updateSpec(t, build)
+          s"evolve-spec#$which"
       }
       verify(step, op)
+    }
+
+    // the DSv2 catalog route over the walk's final — often MULTI-SPEC —
+    // state: the SPJ partitioning claim must narrow or drop soundly
+    // (effectiveClaim) and every delete shape must apply; same rows as the
+    // V1 route verify() trusted at every step
+    import spark.implicits._
+    locally {
+      val ctl = s"mw_${formatVersion}_${partitioned}_$seed"
+      spark.conf.set(s"spark.sql.catalog.$ctl",
+        classOf[graft.sources.GraftSpjCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$ctl.uri", whPath)
+      val got = spark.table(s"$ctl.w$formatVersion$partitioned")
+        .select(col("id"), col("seg"), col("v"))
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      val want = model.toSeq.map { case (id, (s, v)) => (id, s, v) }.sortBy(_._1)
+      assert(got === want,
+        s"fv=$formatVersion partitioned=$partitioned seed=$seed: DSv2 route " +
+        s"diverged from model (${got.size} vs ${want.size})\n" +
+        s"extra=${got.diff(want).take(5)}\nmissing=${want.diff(got).take(5)}")
     }
 
     // time travel: every historical snapshot must read the model AS OF then
     // (delete applicability and sequence rules evaluated in the past, with
     // later compactions and deletes piled on top of the same metadata)
-    import spark.implicits._
     val tt = t.refresh()
     history.foreach { case (snapId, want) =>
       val got = SparkRead.read(spark, tt.newScan.useSnapshot(snapId))
