@@ -133,6 +133,22 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** The committed box-probe time from the prior-refresh run. Deliberately
+    * NOT sf-gated: the probe is a fixed synthetic workload, so its ratio
+    * is comparable across any two runs on this box.
+    */
+  private def loadProbePrior(): Option[Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      "/root/repo/tools/bench_prior.json")
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists) return None
+      val v = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        .path("box_probe").asDouble(-1.0)
+      if (v > 0) Some(v) else None
+    } catch { case _: Throwable => None }
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -204,6 +220,44 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // whole-process CPU nanos (all executor threads) — per-gate wall/CPU
+    // divergence separates box contention (same CPU, stretched wall) from
+    // code cost (CPU grows with wall) in ONE run
+    def processCpuNs(): Long = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      }
+    } catch { case _: Throwable => -1L }
+    def loadAvg(): Double = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+
+    // Code-independent box probe: pure Spark over synthesized rows — zero
+    // graft code on its path, so its ratio vs the committed probe prior
+    // measures the BOX, not the code under test. This is what licenses the
+    // box-drift reclassification below: a genuine framework-wide code
+    // regression inflates every GATE ratio but cannot move the probe, so
+    // the calibrated factor stays ~1 and the taint stands.
+    def boxProbe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32)
+          .selectExpr("id", "xxhash64(id) % 1024 AS k",
+            "cast(id % 997 as double) AS v")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("v"),
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm (codegen)
+      Seq(once(), once(), once()).min
+    }
+    val loadAtStart = loadAvg()
+    val probeStart = boxProbe()
+    System.err.println(f"[bench] box probe (start): $probeStart%.3fs, loadavg $loadAtStart%.1f")
+
     // SPARK_GRAFT_ONLY=sub1,sub2 restricts to queries whose name contains a
     // substring — for clean solo re-measurement of one gate without paying
     // (or perturbing) the other 125
@@ -226,6 +280,10 @@ object Bench {
     // min/prior ratio for EVERY prior-carrying gate — the box-drift
     // reclassification below needs the whole distribution, not just flags
     val priorRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-gate process CPU seconds over the gate's TIMED window (all reps),
+    // and the matching wall sum — the in-run contention discriminator
+    val cpuByName = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val wallByName = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.all.sortBy(_.name).filter(q => only(q.name)).map { qd =>
       val name = qd.name
       try {
@@ -238,6 +296,7 @@ object Bench {
         // one — a full GC landing mid-measurement showed up as a phantom
         // 10x regression on an untouched query in a round-9 clean run
         System.gc()
+        val cpu0 = processCpuNs()
         val cold = timed(run)
         if (wantTelemetry) {
           // task-end events are async; give the listener bus a moment to
@@ -296,6 +355,11 @@ object Bench {
         }
         val steady = currentMin
         val spread = if (steadyReps.isEmpty) 0.0 else steadyReps.max - steadyReps.min
+        val cpu1 = processCpuNs()
+        if (cpu0 >= 0 && cpu1 >= 0) {
+          cpuByName(name) = (cpu1 - cpu0) / 1e9
+          wallByName(name) = cold + steadyReps.sum
+        }
         (name, cold, steady, spread)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name: ${e.getMessage}")
@@ -326,14 +390,27 @@ object Bench {
     val remeasured = slowCandidates.map { case (name, min0, prior) =>
       val again = SparkEntry.all.find(_.name == name).map { qd =>
         try {
-          val run: () => org.apache.spark.sql.DataFrame = qd.stagedFn match {
-            case Some(prep) => prep(spark, sfDir)
-            case None       => () => qd.fn(spark, sfDir)
-          }
           System.gc()
-          // two samples: flagged gates are exactly the ones a single noisy
-          // sample condemned, and the cost is bounded by the flag count
-          math.min(timed(run), timed(run))
+          // two samples for flagged gates — but ONE TIMED SAMPLE PER FRESH
+          // PREP: a non-repeatable staged thunk consumes its staging (the
+          // thunk side of an upsert/commit gate), so a second back-to-back
+          // run would time a stale no-op and could overwrite a real
+          // regression with a bogus fast number. Mirror the in-run
+          // extra-reps guard: repeatable thunks re-run; non-repeatable
+          // staged gates re-stage between samples; non-repeatable unstaged
+          // gates have no safe re-measure and keep their in-run number.
+          qd.stagedFn match {
+            case Some(prep) =>
+              if (qd.repeatable) {
+                val run = prep(spark, sfDir)
+                math.min(timed(run), timed(run))
+              } else math.min(timed(prep(spark, sfDir)), timed(prep(spark, sfDir)))
+            case None =>
+              if (qd.repeatable) {
+                val run = () => qd.fn(spark, sfDir)
+                math.min(timed(run), timed(run))
+              } else min0
+          }
         } catch { case _: Throwable => min0 }
       }.getOrElse(min0)
       val best = math.min(min0, again)
@@ -353,21 +430,43 @@ object Bench {
     // anomalies, but a shared box that is uniformly slow elevates EVERY
     // gate by a similar factor — on such a run single-gate flags are box
     // noise wearing a regression costume. The MEDIAN min/prior ratio across
-    // all prior-carrying gates estimates the box factor (median is robust:
-    // a few real regressions can't move it on a 190-gate distribution); a
-    // flagged gate stays a taint only if it rose well past the box factor,
-    // the rest are recorded as box_drift alongside the measured factor.
-    val boxFactor = {
+    // all prior-carrying gates estimates the drift — but a genuine
+    // framework-wide code regression would inflate that median too and
+    // launder itself. CALIBRATION: the pure-Spark box probe (zero graft
+    // code) ran at start and runs again here; its ratio vs the committed
+    // probe prior can only move with the BOX. The factor used to waive
+    // taint is min(gate median, probe ratio + slack) — drift must show in
+    // the code-independent signal before it clears a flag. With no probe
+    // prior yet, the uncalibrated median is hard-capped at 1.5 so it can
+    // never fully absorb a >1.5x uniform regression.
+    val probeEnd = boxProbe()
+    val loadAtEnd = loadAvg()
+    val probeNow = math.min(probeStart, probeEnd)
+    val probePrior = loadProbePrior()
+    val probeRatio = probePrior.map(p => probeNow / p)
+    val medianRatio =
       if (priorRatios.isEmpty) 1.0
-      else { val s = priorRatios.sorted; math.max(1.0, s(s.size / 2)) }
+      else { val s = priorRatios.sorted; s(s.size / 2) }
+    val boxFactor = probeRatio match {
+      // 15% slack: the probe is one narrow workload shape; gate-mix drift
+      // (IO vs CPU contention) legitimately spreads around it
+      case Some(r) => math.max(1.0, math.min(medianRatio, r * 1.15))
+      case None    => math.max(1.0, math.min(medianRatio, 1.5))
     }
+    System.err.println(f"[bench] box probe (end): $probeEnd%.3fs; gate-median ratio " +
+      f"$medianRatio%.3f, probe ratio ${probeRatio.getOrElse(-1.0)}%.3f → box factor $boxFactor%.3f")
     val (boxDrift, stillSlow) = remeasured.partition { case (_, min, prior) =>
       min <= prior * 1.5 * boxFactor || min - prior * boxFactor <= 0.5
     }
     boxDrift.foreach { case (n, min, prior) => System.err.println(
       f"[bench] $n min $min%.2fs vs prior $prior%.2fs reclassified: box factor $boxFactor%.2fx") }
     val slowVsPrior = stillSlow.map { case (n, min, prior) =>
-      f"slow-vs-prior:$n min $min%.2fs vs committed $prior%.2fs (box factor $boxFactor%.2fx)" }
+      // cite the gate's wall/CPU shape: under external contention CPU
+      // stays put while wall stretches (ratio falls vs a healthy parallel
+      // gate); a code regression grows CPU with wall
+      val cpuNote = (for { c <- cpuByName.get(n); w <- wallByName.get(n) if w > 0 }
+        yield f" cpu ${c}%.2fs over ${w}%.2fs wall (cpu/wall ${c / w}%.2f)").getOrElse("")
+      f"slow-vs-prior:$n min $min%.2fs vs committed $prior%.2fs (box factor $boxFactor%.2fx)$cpuNote" }
     // contamination scan #2: a foreign JVM may have appeared mid-run;
     // tainted if EITHER scan saw one — or if a gate stayed slow past the
     // box factor after the extra reps (a regression needs a named
@@ -405,8 +504,13 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_ONLY")) "/root/repo/target/bench_partial.json"
       else s"/root/repo/BENCH_DETAIL_r$round.json"
     val taint = s""""tainted":${taintedBy.nonEmpty},"tainted_by":$taintJson"""
-    val meta = s""""metric":"total","value":$total,"unit":"sec",$taint,"killed_stale_jvms":$killedJson,"sf":"$sfDir","bench_reps":$reps,"slow_vs_prior":$slowJson,"box_drift_factor":${f"$boxFactor%.3f"},"box_drift":$boxDriftJson"""
-    val detailJson = s"""{$meta,"queries":$qs2,"queries_cold":$qsCold,"queries_spread":$qsSpread,"telemetry":$tele,"steady_map":"queries","cold_map":"queries_cold"}"""
+    val probeMeta = s""""box_probe_sec":${f"$probeNow%.3f"},"box_probe_start":${f"$probeStart%.3f"},"box_probe_end":${f"$probeEnd%.3f"},"box_probe_prior":${probePrior.map(p => f"$p%.3f").getOrElse("null")},"box_probe_ratio":${probeRatio.map(r => f"$r%.3f").getOrElse("null")},"gate_median_ratio":${f"$medianRatio%.3f"},"loadavg_start":${f"$loadAtStart%.2f"},"loadavg_end":${f"$loadAtEnd%.2f"}"""
+    val meta = s""""metric":"total","value":$total,"unit":"sec",$taint,"killed_stale_jvms":$killedJson,"sf":"$sfDir","bench_reps":$reps,"slow_vs_prior":$slowJson,"box_drift_factor":${f"$boxFactor%.3f"},$probeMeta,"box_drift":$boxDriftJson"""
+    val qsCpu = cpuByName.map { case (k, c) => s"\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val qsWall = wallByName.map { case (k, w) => s"\"" + k + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val detailJson = s"""{$meta,"queries":$qs2,"queries_cold":$qsCold,"queries_spread":$qsSpread,"queries_cpu":$qsCpu,"queries_wall":$qsWall,"telemetry":$tele,"steady_map":"queries","cold_map":"queries_cold"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson)
     catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
     // belt-and-braces: the same full detail where a file reader can find it

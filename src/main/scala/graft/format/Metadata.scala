@@ -142,8 +142,13 @@ object TableMetadata {
   def toJson(m: TableMetadata): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", m.formatVersion)
-    // a legacy metadata loaded without a uuid round-trips without one —
-    // writing "" would be worse than absence for spec readers
+    // a legacy V1 metadata loaded without a uuid round-trips without one —
+    // writing "" would be worse than absence for spec readers. v2+ REQUIRES
+    // table-uuid: an empty uuid reaching serialization there means some
+    // path skipped the upgrade assignment — fail loudly at write time
+    // rather than emit spec-invalid metadata silently
+    require(m.formatVersion < 2 || m.tableUuid.nonEmpty,
+      s"format-version ${m.formatVersion} metadata requires table-uuid (none assigned)")
     if (m.tableUuid.nonEmpty) root.put("table-uuid", m.tableUuid)
     root.put("location", m.location)
     root.put("last-sequence-number", m.lastSequenceNumber)

@@ -86,7 +86,13 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     var status: String, val handles: Seq[String] = Nil,
     val expiresAtMs: Long = Long.MaxValue)
   private val plans = new ConcurrentHashMap[String, PendingPlan]()
-  private val planShards = new ConcurrentHashMap[String, (ObjectNode, Long)]()
+  // shards park as a SERIALIZE-AT-FETCH thunk, not a pre-built JSON tree:
+  // eager per-shard serialization inside submit was ~85% of time-to-first-
+  // tasks at 100k files (PLAN_CURVE_r15 item 3) and single-threaded; lazy
+  // thunks cut submit to the plan+inline cost and spread serialization
+  // across the 8-thread fetch fan-out. One-shot handles make each thunk
+  // run at most once.
+  private val planShards = new ConcurrentHashMap[String, (() => ObjectNode, Long)]()
 
   private def sweepExpiredPlans(): Unit = {
     val now = System.currentTimeMillis()
@@ -585,10 +591,14 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
       val handles = o.putArray("plan-tasks")
       sharded.grouped(planTaskShardSize).foreach { group =>
         val handle = s"pt-${java.util.UUID.randomUUID()}"
-        val shard = mapper.createObjectNode()
-        ScanTaskJson.writeTasks(mapper, shard, group, t.metadata.specById,
-          schema, scan.filter)
-        planShards.put(handle, (shard, System.currentTimeMillis() + planTtlMs))
+        val filter = scan.filter
+        val specById = t.metadata.specById _
+        val mk = () => {
+          val shard = mapper.createObjectNode()
+          ScanTaskJson.writeTasks(mapper, shard, group, specById, schema, filter)
+          shard
+        }
+        planShards.put(handle, (mk, System.currentTimeMillis() + planTtlMs))
         handles.add(handle)
         shardHandles += handle
         ()
@@ -673,7 +683,7 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     planShards.remove(handle) match {
       case null =>
         sendError(ex, 404, "NoSuchPlanTaskException", s"no such plan task: $handle")
-      case (shard, _) => sendJson(ex, 200, shard)
+      case (mkShard, _) => sendJson(ex, 200, mkShard())
     }
   }
 

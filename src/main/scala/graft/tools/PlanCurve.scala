@@ -229,6 +229,53 @@ object PlanCurve {
           shardSecSum, handles.size, maxShardBodyMb,
           (System.nanoTime() - t0) / 1e9, count, retained)
       }
+      // CONCURRENT fleet consumer: one submit, then the shard fetches fan
+      // out across `par` client threads (the shape a 1000-executor driver
+      // actually runs — r15's curve extrapolated this from the sequential
+      // client; this measures it, server contention included).
+      def drainConcurrent(par: Int): (Double, Double, Long, Int) = {
+        val t0 = System.nanoTime()
+        val sub = req("POST", s"namespaces/default/tables/$name/plan", Some("{}"))
+        require(sub.statusCode == 200, s"submit: ${sub.statusCode}")
+        val planId = mapper.readTree(sub.body).path("plan-id").asText
+        var body: com.fasterxml.jackson.databind.JsonNode = null
+        while (body == null) {
+          val r = req("GET", s"namespaces/default/tables/$name/plan/$planId", None)
+          require(r.statusCode == 200, s"poll: ${r.statusCode}")
+          val n = mapper.readTree(r.body)
+          if (n.path("status").asText == "completed") body = n
+        }
+        val inline = graft.rest.ScanTaskJson.readTasks(body, specById, schema)
+        val handles = {
+          val h = body.path("plan-tasks")
+          if (h.isMissingNode) Nil
+          else { import scala.jdk.CollectionConverters._
+            h.elements().asScala.map(_.asText).toList }
+        }
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        handles.foreach(queue.add)
+        val count = new java.util.concurrent.atomic.AtomicLong(inline.size.toLong)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        val f0 = System.nanoTime()
+        val futures = (0 until par).map { _ =>
+          pool.submit(new Runnable { def run(): Unit = {
+            var h = queue.poll()
+            while (h != null) {
+              val r = req("POST", s"namespaces/default/tables/$name/tasks",
+                Some(s"""{"plan-task":"$h"}"""))
+              require(r.statusCode == 200, s"shard: ${r.statusCode}")
+              val tasks = graft.rest.ScanTaskJson.readTasks(
+                mapper.readTree(r.body), specById, schema)
+              count.addAndGet(tasks.size.toLong)
+              h = queue.poll()
+            }
+          }})
+        }
+        futures.foreach(_.get)
+        pool.shutdown()
+        val fanoutSec = (System.nanoTime() - f0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, fanoutSec, count.get, handles.size)
+      }
       // streaming consumer: decode a shard, hand it off, drop it
       val h0 = usedHeapMb()
       val s = drain(retain = false)
@@ -240,6 +287,10 @@ object PlanCurve {
       require(c.count == s.count,
         s"rest plan task count unstable across submits: ${s.count} vs ${c.count}")
       c.retained.clear()
+      val fanPar = 8 // matches the server's handler pool — contention included
+      val (fanTotal, fanFetch, fanCount, fanShards) = drainConcurrent(fanPar)
+      require(fanCount == s.count,
+        s"concurrent drain diverges: $fanCount vs ${s.count}")
       // the local planner holds the same full task list on the driver —
       // the baseline the shard wire's streaming consumer beats
       val hBase2 = usedHeapMb()
@@ -257,6 +308,11 @@ object PlanCurve {
           (if (s.shards == 0) 0.0 else s.shardSecSum / s.shards),
         "max_shard_body_mb" -> s.maxShardBodyMb,
         "total_sec" -> s.totalSec,
+        "fanout_par" -> fanPar.toDouble,
+        "fanout_fetch_sec" -> fanFetch,
+        "fanout_total_sec" -> fanTotal,
+        "fanout_speedup" ->
+          (if (fanFetch > 0 && fanShards > 0) s.shardSecSum / fanFetch else 1.0),
         "stream_residual_heap_mb" -> hStream,
         "collect_all_heap_mb" -> hCollect,
         "local_plan_heap_mb" -> hLocal,
@@ -328,6 +384,8 @@ object PlanCurve {
         f"[pcurve] rest n=$n%7d submit=${m("submit_sec")}%6.3fs poll=${m("poll_sec")}%6.3fs " +
         f"firstTasks=${m("to_first_tasks_sec")}%6.3fs shards=${m("shards")}%3.0f " +
         f"avgShard=${m("shard_fetch_decode_avg_sec")}%6.3fs total=${m("total_sec")}%7.3fs " +
+        f"fanout${m("fanout_par")}%.0f fetch=${m("fanout_fetch_sec")}%6.3fs " +
+        f"(${m("fanout_speedup")}%4.1fx) total=${m("fanout_total_sec")}%7.3fs " +
         f"heap stream=${m("stream_residual_heap_mb")}%6.1fMB collect=${m("collect_all_heap_mb")}%7.1fMB " +
         f"local=${m("local_plan_heap_mb")}%7.1fMB")
       (n, m)
