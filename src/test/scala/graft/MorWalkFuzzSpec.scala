@@ -165,6 +165,33 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"fv=$formatVersion partitioned=$partitioned seed=$seed: DSv2 route " +
         s"diverged from model (${got.size} vs ${want.size})\n" +
         s"extra=${got.diff(want).take(5)}\nmissing=${want.diff(got).take(5)}")
+      // self-join under STORAGE-PARTITIONED-JOIN confs: whatever spec
+      // history the walk produced, the (possibly narrowed or dropped)
+      // partitioning claim must never lose matches — per-seg pair counts
+      // equal the model's n² exactly
+      val savedConf = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val l = spark.table(s"$ctl.w$formatVersion$partitioned").alias("l")
+        val rt = spark.table(s"$ctl.w$formatVersion$partitioned").alias("r")
+        val pairs = l.join(rt, col("l.seg") === col("r.seg"))
+          .groupBy(col("l.seg")).agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .as[(String, Long)].collect().toMap
+        val wantPairs = model.values.groupBy(_._1)
+          .map { case (s, rows) => s -> rows.size.toLong * rows.size }
+        assert(pairs === wantPairs,
+          s"fv=$formatVersion partitioned=$partitioned seed=$seed: SPJ-conf " +
+          s"self-join pair counts diverged\ngot=$pairs\nwant=$wantPairs")
+      } finally savedConf.foreach { case (k, v) =>
+        v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+      }
     }
 
     // time travel: every historical snapshot must read the model AS OF then
