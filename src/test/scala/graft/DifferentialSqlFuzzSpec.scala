@@ -240,4 +240,51 @@ class DifferentialSqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(nonEmpty > 25, s"weak generator: only $nonEmpty non-empty results")
   }
+
+  // the same clause generator across a PARTITION-SPEC-EVOLUTION boundary:
+  // half the files carry (flag, bucket4(k), years(ship)) tuples, half
+  // (bucket8(k), days(ship)) — per-spec inclusive projection must prune
+  // each manifest under ITS OWN spec (a default-spec-only projection
+  // over-prunes or mis-prunes the other population), with a MoR delete
+  // spanning the boundary so delete matching crosses specs too
+  test("random WHERE clauses agree across a partition-spec-evolution boundary") {
+    val cat = new HadoopCatalog(wh)
+    val schema = SchemaBridge.fromSpark(raw.schema)
+    val spec = PartitionSpec.builder(schema)
+      .add("flag", Transforms.Identity)
+      .add("k", Transforms.Bucket(4))
+      .add("ship", Transforms.Years)
+      .build()
+    var t = cat.createTable("dfze", schema, spec)
+    Seq(0, 1).foreach { i =>
+      t = Writer.append(spark, t, raw.filter(col("k") % 4 === i))
+    }
+    t = graft.table.Evolve.updateSpec(t,
+      _.add("k", Transforms.Bucket(8)).add("ship", Transforms.Days))
+    Seq(2, 3).foreach { i =>
+      t = Writer.append(spark, t, raw.filter(col("k") % 4 === i))
+    }
+    // a MoR delete planned under the NEW default spec, matching files of
+    // BOTH populations
+    t = Writer.deleteWhereMoR(spark, t, graft.core.Expr.eq("ln", 5))
+    val truth = raw.where("NOT coalesce((ln = 5), false)")
+    truth.createOrReplaceTempView("dfze_truth")
+    val r = new Random(161803L)
+    var nonEmpty = 0
+    (0 until 60).foreach { iter =>
+      val pred = genPred(r, 2)
+      val agg = "count(*) AS n, coalesce(sum(cast(hash(k, ln, qty, flag, ship) AS BIGINT)), 0) AS h"
+      val ours = spark.sql(s"SELECT $agg FROM g.dfze WHERE $pred").head
+      val want = spark.sql(s"SELECT $agg FROM dfze_truth WHERE $pred").head
+      assert(ours.getLong(0) === want.getLong(0),
+        s"iter=$iter row count diverged across spec evolution for WHERE $pred")
+      assert(ours.getLong(1) === want.getLong(1),
+        s"iter=$iter row content diverged across spec evolution for WHERE $pred")
+      if (want.getLong(0) > 0) nonEmpty += 1
+    }
+    assert(nonEmpty > 25, s"weak generator: only $nonEmpty non-empty results")
+    // both spec populations are live in the final plan
+    val specIds = cat.loadTable("dfze").newScan.planFiles().map(_.specId).distinct
+    assert(specIds.size === 2, s"expected 2 spec populations, got $specIds")
+  }
 }

@@ -300,8 +300,9 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // translatable partial predicate → Spark's metadata-delete rule calls
     // deleteWhere, the lineage-carrying CoW path. (A predicate the filter
     // bridge can't translate, e.g. `k % 7 = 3`, builds the group-based
-    // rewrite plan instead, which does not carry lineage yet — the
-    // remaining CoW-DML lineage boundary, shared with UPDATE/MERGE.)
+    // rewrite plan — which ALSO carries lineage since r16, via the
+    // preserve-flagged metadata projection; see the group-UPDATE pin
+    // below and gate i121.)
     spark.sql("DELETE FROM g.rlsql WHERE k < 10")
     val after = ids()
     assert(after.size === before.size - 10)
@@ -331,6 +332,63 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.size === 90)
     assert(after === before.filter(_._1 >= 10L),
       "every surviving row keeps its original _row_id through a CoW delete")
+  }
+
+  // the r15 boundary, closed: group-based row-level plans (the route
+  // UPDATE and untranslatable DELETEs take) carry lineage through the
+  // ReplaceData metadata projection. Composed here with the two hard
+  // dimensions at once — a MULTI-ROW-GROUP file (physical positions, not
+  // dense counters) carrying a DV (survivors only, no resurrection) —
+  // then stacked with a delta-path (merge-on-read) UPDATE whose
+  // delete+reinsert split must keep the same ids.
+  test("group UPDATE carries _row_id: multi-row-group file + DV, both write modes") {
+    spark.sql("""CREATE TABLE g.rlg (k BIGINT, pad STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read',
+                     'write.parquet.row-group-size-bytes' = '4096')""")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlg"), 3)
+    // sorted single file starting at block 0 → correct _row_id IS k
+    spark.sql("""INSERT INTO g.rlg
+      SELECT /*+ COALESCE(1) */ id, repeat('x', 64) FROM range(8000) ORDER BY id""")
+    val f0 = catalog.loadTable("rlg").newScan.planFiles().map(_.file)
+    assert(f0.size === 1 && f0.head.firstRowId === Some(0L))
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(f0.head.path))
+    assert(footer.getBlocks.size() > 1,
+      s"test needs >1 row groups, got ${footer.getBlocks.size()}")
+    // DV on the file (merge-on-read DELETE), then a GROUP-BASED CoW
+    // UPDATE: `k % 1000 = 7` is untranslatable to a source Filter, so the
+    // row-level plan (not the metadata-delete rule) runs the rewrite
+    spark.sql("DELETE FROM g.rlg WHERE k = 4000")
+    spark.sql("UPDATE g.rlg SET pad = 'u' WHERE k % 1000 = 7")
+    def check(tag: String, updated: Long => Boolean, mark: String): Unit = {
+      val rows = spark.sql("SELECT k, _row_id, pad FROM g.rlg").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.length === 7999, s"$tag: ${rows.length} rows")
+      assert(!rows.exists(_._1 == 4000L), s"$tag: DV row resurrected")
+      val bad = rows.filter(r => r._1 != r._2)
+      assert(bad.isEmpty,
+        s"$tag: survivors must keep _row_id = original physical ordinal; " +
+          s"${bad.length} drifted, first 5: ${bad.take(5).mkString(",")}")
+      assert(rows.filter(r => updated(r._1)).forall(_._3 == mark),
+        s"$tag: update content applied")
+    }
+    check("group-CoW", k => k % 1000 == 7, "u")
+    // the CoW rewrite folded the file's DV away with it
+    assert(catalog.loadTable("rlg").newScan.planFiles()
+      .forall(_.posDeletes.isEmpty), "rewrite folds the covered DV")
+    // same invariant through the DELTA (merge-on-read) UPDATE split
+    spark.sql("ALTER TABLE g.rlg SET TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    spark.sql("UPDATE g.rlg SET pad = 'm' WHERE k % 1000 = 13")
+    check("delta-MoR", k => k % 1000 == 13, "m")
+    // and the updated rows re-stamped their sequence in both passes
+    val seqs = spark.sql(
+      """SELECT k % 1000 AS b, MIN(_last_updated_sequence_number) AS lo,
+                MAX(_last_updated_sequence_number) AS hi
+         FROM g.rlg WHERE k % 1000 IN (7, 13, 21) GROUP BY 1""").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(seqs(21L)._2 < seqs(7L)._1, "CoW-updated rows re-stamped past untouched")
+    assert(seqs(7L)._2 < seqs(13L)._1, "MoR-updated rows re-stamped past CoW pass")
   }
 
   // mixed scope: a file with NO lineage anywhere (the form a foreign
