@@ -59,6 +59,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val model = mutable.Map.empty[Long, (String, Int)]
     var prevRids = Map.empty[Long, Long] // id -> _row_id after last statement
+    // snapshot history for the end-of-walk CDC sweep
+    val history = mutable.Buffer.empty[(Long, Seq[(Long, String, Int)])]
     var nextId = 0L
     def freshRows(n: Int): Seq[(Long, String, Int)] = (0 until n).map { _ =>
       val row = (nextId, segs(r.nextInt(segs.size)), r.nextInt(100))
@@ -117,6 +119,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }
       prevRids = rids
+      new HadoopCatalog(wh).loadTable("t").metadata.currentSnapshotId
+        .foreach(sid => history += sid -> want)
     }
 
     // seed population: two inserts so ids span two files/lineage blocks
@@ -188,6 +192,39 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           }
       }
       verify(step, op, inserted)
+    }
+
+    // CDC across the DML history: for random snapshot pairs, the changelog
+    // must equal the model diff under net-changes semantics — a lineage-
+    // carrying CoW UPDATE rewrites unmatched rows byte-identically, and
+    // those carried rows must CANCEL (no spurious change events), while
+    // updated rows emit DELETE(old)+INSERT(new) and MoR statements emit
+    // through their DVs/eq-deletes
+    locally {
+      import spark.implicits._
+      val tt = new HadoopCatalog(wh).loadTable("t")
+      val dedupHistory = history.distinctBy(_._1)
+      (0 until 5).foreach { _ =>
+        val i = r.nextInt(dedupHistory.size)
+        val j = i + r.nextInt(dedupHistory.size - i)
+        val (fromId, fromRows) = dedupHistory(i)
+        val (toId, toRows) = dedupHistory(j)
+        val got = graft.table.Incremental
+          .changelogBetween(spark, tt, fromId, toId)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("seg"),
+            org.apache.spark.sql.functions.col("v"),
+            org.apache.spark.sql.functions.col("_change_type"))
+          .as[(Long, String, Int, String)].collect().sorted.toSeq
+        val want = (
+          toRows.diff(fromRows).map { case (a, b, c) => (a, b, c, "INSERT") } ++
+          fromRows.diff(toRows).map { case (a, b, c) => (a, b, c, "DELETE") }
+        ).sorted
+        assert(got === want,
+          s"mode=$mode seed=$seed: changelog $fromId->$toId diverged " +
+          s"(${got.size} vs ${want.size})\nextra=${got.diff(want).take(5)}\n" +
+          s"missing=${want.diff(got).take(5)}")
+      }
     }
   }
 
