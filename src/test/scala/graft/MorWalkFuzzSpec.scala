@@ -165,6 +165,18 @@ class MorWalkFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"fv=$formatVersion partitioned=$partitioned seed=$seed: DSv2 route " +
         s"diverged from model (${got.size} vs ${want.size})\n" +
         s"extra=${got.diff(want).take(5)}\nmissing=${want.diff(got).take(5)}")
+      // v3: whatever mix of upserts, eq-deletes, DVs, compactions, and
+      // spec evolutions the walk produced, row ids stay assigned + unique
+      if (formatVersion >= 3) {
+        val rids = spark.table(s"$ctl.w$formatVersion$partitioned")
+          .select(col("id"), col("_row_id")).collect()
+          .map(x => (x.getLong(0), if (x.isNullAt(1)) null
+            else java.lang.Long.valueOf(x.getLong(1))))
+        assert(rids.forall(_._2 != null),
+          s"fv=$formatVersion partitioned=$partitioned seed=$seed: null _row_id")
+        assert(rids.map(_._2.longValue).distinct.length == rids.length,
+          s"fv=$formatVersion partitioned=$partitioned seed=$seed: duplicate _row_id")
+      }
       // self-join under STORAGE-PARTITIONED-JOIN confs: whatever spec
       // history the walk produced, the (possibly narrowed or dropped)
       // partitioning claim must never lose matches — per-seg pair counts

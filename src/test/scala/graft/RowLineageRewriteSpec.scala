@@ -389,6 +389,21 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(seqs(21L)._2 < seqs(7L)._1, "CoW-updated rows re-stamped past untouched")
     assert(seqs(7L)._2 < seqs(13L)._1, "MoR-updated rows re-stamped past CoW pass")
+    // EQUALITY deletes compose: the group rewrite reads through the
+    // eq-key route (schema widened with the key column beside the lineage
+    // request), drops the deleted row for good, and still carries every
+    // survivor's id
+    graft.table.Writer.equalityDelete(spark, catalog.loadTable("rlg"),
+      spark.range(1).selectExpr("CAST(6000 AS BIGINT) AS k"), Seq("k"))
+    spark.sql("ALTER TABLE g.rlg SET TBLPROPERTIES ('write.update.mode'='copy-on-write')")
+    spark.sql("UPDATE g.rlg SET pad = 'e' WHERE k % 1000 = 21")
+    val rows3 = spark.sql("SELECT k, _row_id FROM g.rlg").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows3.length === 7998, s"eq-composition: ${rows3.length} rows")
+    assert(!rows3.exists(_._1 == 6000L), "eq-deleted row resurrected by the rewrite")
+    val bad3 = rows3.filter(r => r._1 != r._2)
+    assert(bad3.isEmpty,
+      s"eq-composition: ids drifted, first 5: ${bad3.take(5).mkString(",")}")
   }
 
   // mixed scope: a file with NO lineage anywhere (the form a foreign
