@@ -406,6 +406,29 @@ class RowLineageRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"eq-composition: ids drifted, first 5: ${bad3.take(5).mkString(",")}")
   }
 
+  // a PRE-UPGRADE file's rows take their ids from upgrade-time block
+  // assignment (inheritance — no explicit column in the file); the group
+  // rewrite's metadata projection reads those SYNTHESIZED ids and must
+  // carry them exactly like explicit ones — a rewrite that only preserved
+  // physically-stored ids would silently re-block the whole migrated fleet
+  test("group UPDATE preserves ids inherited by a pre-upgrade file") {
+    spark.sql("CREATE TABLE g.rlpre (k BIGINT, p STRING)")
+    spark.sql("INSERT INTO g.rlpre SELECT id, 'a' FROM range(50)")
+    graft.table.Evolve.upgradeFormatVersion(catalog.loadTable("rlpre"), 3)
+    val before = spark.sql("SELECT k, _row_id FROM g.rlpre").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.size === 50 && before.values.toSeq.distinct.size === 50,
+      "upgrade-time inheritance assigns unique ids")
+    // untranslatable predicate → group-based rewrite of the whole file
+    spark.sql("UPDATE g.rlpre SET p = 'u' WHERE k % 7 = 3")
+    val after = spark.sql("SELECT k, _row_id, p FROM g.rlpre").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(after.length === 50)
+    assert(after.map(x => x._1 -> x._2).toMap === before,
+      "inherited ids must survive the rewrite unchanged")
+    assert(after.filter(_._1 % 7 == 3).forall(_._3 == "u"), "update applied")
+  }
+
   // mixed scope: a file with NO lineage anywhere (the form a foreign
   // pre-lineage manifest takes — no field 142, no list-level 520, e.g. rows
   // awaiting lazy id assignment after a v1/v2→v3 migration) beside a
