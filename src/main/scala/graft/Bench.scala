@@ -296,8 +296,18 @@ object Bench {
         // one — a full GC landing mid-measurement showed up as a phantom
         // 10x regression on an untouched query in a round-9 clean run
         System.gc()
-        val cpu0 = processCpuNs()
-        val cold = timed(run)
+        // CPU accumulated around the TIMED windows only — including the
+        // telemetry sleeps would bill listener-bus background CPU against
+        // a wall sum that excludes them, skewing the contention ratio
+        var cpuAcc = 0L
+        def timedC(r: () => org.apache.spark.sql.DataFrame): Double = {
+          val c0 = processCpuNs()
+          val t = timed(r)
+          val c1 = processCpuNs()
+          if (c0 >= 0 && c1 >= 0) cpuAcc += c1 - c0
+          t
+        }
+        val cold = timedC(run)
         if (wantTelemetry) {
           // task-end events are async; give the listener bus a moment to
           // drain the cold rep's stragglers before the counters reset
@@ -315,13 +325,13 @@ object Bench {
         if (qd.repeatable) {
           // telemetry window = the FIRST steady rep only, keeping the
           // shuffle/memory numbers comparable across rounds regardless of K
-          steadyReps += timed(run)
+          steadyReps += timedC(run)
           if (wantTelemetry) {
             Thread.sleep(500)
             telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)
             scaleOut(name) = graft.metrics.ScaleTelemetry.drain()
           }
-          (1 until reps).foreach(_ => steadyReps += timed(run))
+          (1 until reps).foreach(_ => steadyReps += timedC(run))
         } else if (wantTelemetry) {
           Thread.sleep(500)
           telemetryOut(name) = (telemetry.shuffleWrite.get, telemetry.peakExecMem.get)
@@ -342,7 +352,7 @@ object Bench {
             var extra = 0
             while (slowVs(prior) && extra < 2) {
               System.err.println(f"[bench] $name: min $currentMin%.2f vs prior $prior%.2f — extra rep")
-              steadyReps += timed(run)
+              steadyReps += timedC(run)
               extra += 1
             }
           }
@@ -355,9 +365,8 @@ object Bench {
         }
         val steady = currentMin
         val spread = if (steadyReps.isEmpty) 0.0 else steadyReps.max - steadyReps.min
-        val cpu1 = processCpuNs()
-        if (cpu0 >= 0 && cpu1 >= 0) {
-          cpuByName(name) = (cpu1 - cpu0) / 1e9
+        if (cpuAcc > 0) {
+          cpuByName(name) = cpuAcc / 1e9
           wallByName(name) = cold + steadyReps.sum
         }
         (name, cold, steady, spread)

@@ -4885,6 +4885,11 @@ object IcebergQueries {
     // still matches the pre-delete assignment
     QueryDef.staged("i119_sql_row_lineage", (s, dir) => {
       val wh = s"/root/repo/target/graft-wh/rlsql_${UUID.randomUUID().toString.take(8)}"
+      // per-prep random catalog name, DELIBERATELY not restored: the thunk
+      // reads through it after prep returns, and Spark caches catalog
+      // instances by name — a fixed name would pin a stale .uri across
+      // re-stagings. Growth is one conf entry per staging, reaped with the
+      // session.
       val ctl = s"grl_${UUID.randomUUID().toString.take(8)}"
       s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
@@ -5033,6 +5038,7 @@ object IcebergQueries {
     // untouched per original insert, 2 = update commit, 3 = merge commit.
     QueryDef.staged("i121_lineage_update_merge", (s, dir) => {
       val wh = s"/root/repo/target/graft-wh/rlum_${UUID.randomUUID().toString.take(8)}"
+      // per-prep random name, deliberately unrestored (see i119's note)
       val ctl = s"gum_${UUID.randomUUID().toString.take(8)}"
       s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)

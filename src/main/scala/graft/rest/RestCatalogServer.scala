@@ -683,7 +683,15 @@ final class RestCatalogServer(backing: Catalog, port: Int = 0,
     planShards.remove(handle) match {
       case null =>
         sendError(ex, 404, "NoSuchPlanTaskException", s"no such plan task: $handle")
-      case (mkShard, _) => sendJson(ex, 200, mkShard())
+      case entry @ (mkShard, _) =>
+        // serialize-at-fetch: if the thunk fails (transient — e.g. heap
+        // pressure while the fan-out serializes concurrently), the
+        // one-shot handle must survive for the client's retry; consuming
+        // it would turn a retryable 500 into a misleading terminal 404
+        val shard = try mkShard() catch {
+          case e: Throwable => planShards.put(handle, entry); throw e
+        }
+        sendJson(ex, 200, shard)
     }
   }
 

@@ -105,7 +105,14 @@ object MetadataUpdate {
     case AssignUuid(uuid) => m.copy(tableUuid = uuid)
     case UpgradeFormatVersion(v) =>
       require(v >= m.formatVersion, s"cannot downgrade format version to $v")
-      m.copy(formatVersion = v)
+      // table-uuid is required from v2 (serialization enforces it): a
+      // legacy uuid-less v1 table upgraded over the REST wire without an
+      // accompanying assign-uuid gets one at the boundary, same as
+      // Evolve.upgradeFormatVersion — otherwise the commit would fail at
+      // write time on every retry
+      m.copy(formatVersion = v,
+        tableUuid = if (v >= 2 && m.tableUuid.isEmpty)
+          java.util.UUID.randomUUID().toString else m.tableUuid)
     case AddSchema(s) =>
       val kept = m.schemas.filterNot(_.schemaId == s.schemaId) :+ s
       m.copy(schemas = kept, lastColumnId = math.max(m.lastColumnId, s.highestFieldId))

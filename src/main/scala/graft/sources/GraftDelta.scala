@@ -83,12 +83,7 @@ final class GraftDeltaOperation(table: GraftTable, cmd: Command)
       // where _row_id / _last_updated_sequence_number sit in the delta
       // metadata row (absent below v3 / on pure DELETEs)
       private[sources] val lineageMetaIdx: Option[(Int, Int)] =
-        if (table.metadata.formatVersion >= 3 && info.metadataSchema().isPresent) {
-          val names = info.metadataSchema().get.fieldNames
-          val ri = names.indexOf(SpjTable.RowIdColumnName)
-          val li = names.indexOf(SpjTable.LastUpdatedColumnName)
-          if (ri >= 0 && li >= 0) Some((ri, li)) else None
-        } else None
+        GraftBatchWrites.lineageMetaIdx(table, info)
       override def build(): DeltaWrite = new DeltaWrite
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def toBatch(): DeltaBatchWrite =
@@ -238,15 +233,8 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable,
     // lineage carry (reinserted rows keep `_row_id`): widen the insert
     // writer's schema with the reserved-id columns, same explicit-wins
     // contract as the CoW replace write
-    val insertSchema = lineageMetaIdx match {
-      case Some(_) => StructType(sparkSchema.fields ++
-        SchemaBridge.LineageCols.map { case (n, id) =>
-          StructField(n, LongType, nullable = true,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
-        })
-      case None => sparkSchema
-    }
+    val insertSchema = if (lineageMetaIdx.isDefined)
+      GraftBatchWrites.widenWithLineage(sparkSchema) else sparkSchema
     val inner = new GraftCowWriterFactory(
       ParquetRowWriteBridge.writerFactory(spark, insertSchema, ioOpts),
       table.location, schema, table.spec, extractors, maxRecords,

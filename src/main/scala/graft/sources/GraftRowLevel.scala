@@ -95,13 +95,7 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: Command)
         // lineage carry: Spark declares the metadata row's layout here —
         // record where _row_id / _last_updated_sequence_number sit so the
         // executor writer can pull them without name lookups per row
-        val metaIdx: Option[(Int, Int)] =
-          if (table.metadata.formatVersion >= 3 && info.metadataSchema().isPresent) {
-            val names = info.metadataSchema().get.fieldNames
-            val ri = names.indexOf(SpjTable.RowIdColumnName)
-            val li = names.indexOf(SpjTable.LastUpdatedColumnName)
-            if (ri >= 0 && li >= 0) Some((ri, li)) else None
-          } else None
+        val metaIdx = GraftBatchWrites.lineageMetaIdx(table, info)
         new Write with GraftPartitionClusteredWrite {
           override def clusterTable: GraftTable = table
           override def toBatch: BatchWrite =
@@ -289,6 +283,30 @@ final case class GraftCommitMessage(files: Seq[GraftWrittenFile])
 final case class GraftPartExtractor(idx: Int, dt: DataType, transform: GTransform)
 
 object GraftBatchWrites {
+  /** Where `_row_id` / `_last_updated_sequence_number` sit in a row-level
+    * write's metadata row — None below v3 or when the plan carries no
+    * metadata projection. ONE definition shared by the group (ReplaceData)
+    * and delta (WriteDelta) builders so the carry contract can't
+    * desynchronize between the two write paths.
+    */
+  def lineageMetaIdx(table: GraftTable, info: LogicalWriteInfo): Option[(Int, Int)] =
+    if (table.metadata.formatVersion >= 3 && info.metadataSchema().isPresent) {
+      val names = info.metadataSchema().get.fieldNames
+      val ri = names.indexOf(SpjTable.RowIdColumnName)
+      val li = names.indexOf(SpjTable.LastUpdatedColumnName)
+      if (ri >= 0 && li >= 0) Some((ri, li)) else None
+    } else None
+
+  /** A write schema widened with the reserved-id lineage columns (explicit
+    * values win over synthesis at read — the carry contract's storage).
+    */
+  def widenWithLineage(schema: StructType): StructType =
+    StructType(schema.fields ++ SchemaBridge.LineageCols.map { case (n, id) =>
+      StructField(n, LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
+    })
+
   /** Executor-side partition-fanout writer factory over Spark's own
     * parquet OutputWriter — shared by the CoW row-level replacement write
     * and the dynamic-overwrite write.
@@ -302,15 +320,8 @@ object GraftBatchWrites {
     // materialize _row_id / _last_updated_sequence_number as REAL parquet
     // columns under the reserved field ids — the same explicit-wins
     // contract the lineage-preserving deleteWhere/compaction writes use
-    val writeSchema = lineageMetaIdx match {
-      case Some(_) => StructType(sparkSchema.fields ++
-        SchemaBridge.LineageCols.map { case (n, id) =>
-          StructField(n, LongType, nullable = true,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong(SchemaBridge.FieldIdKey, id.toLong).build())
-        })
-      case None => sparkSchema
-    }
+    val writeSchema =
+      if (lineageMetaIdx.isDefined) widenWithLineage(sparkSchema) else sparkSchema
     val ioOpts = table.refreshIoCredentials()
     val extractors = table.spec.fields.map { pf =>
       val src = schema.idToField(pf.sourceId)
@@ -588,6 +599,14 @@ final class GraftCowDataWriter(
     finished += GraftWrittenFile(f.path, f.partValues, f.rows)
   }
 
+  // reusable row plumbing for the lineage-widened path: JoinedRow mutates
+  // in place and the parquet writer consumes each row before the next
+  // call, so per-row allocation here would be pure GC pressure at
+  // 100M-row rewrite scale
+  private val lineageJoin = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+  private val lineageSlot = new GenericInternalRow(2)
+  private val nullLineage = new GenericInternalRow(2)
+
   /** Rows arrive as (metadata, data) from the projecting write task. The
     * `_file` metadata isn't needed here (the replaced set was recorded at
     * plan time); on v3 the `_row_id` / `_last_updated_sequence_number`
@@ -599,10 +618,9 @@ final class GraftCowDataWriter(
   override def write(meta: InternalRow, row: InternalRow): Unit =
     lineageMetaIdx match {
       case Some((ri, li)) =>
-        val lineage = new GenericInternalRow(Array[Any](
-          if (meta.isNullAt(ri)) null else meta.getLong(ri),
-          if (meta.isNullAt(li)) null else meta.getLong(li)))
-        writeRow(row, new org.apache.spark.sql.catalyst.expressions.JoinedRow(row, lineage))
+        lineageSlot.update(0, if (meta.isNullAt(ri)) null else meta.getLong(ri))
+        lineageSlot.update(1, if (meta.isNullAt(li)) null else meta.getLong(li))
+        writeRow(row, lineageJoin(row, lineageSlot))
       case None => write(row)
     }
 
@@ -612,8 +630,7 @@ final class GraftCowDataWriter(
     lineageMetaIdx match {
       // writer schema is lineage-widened: a row arriving without metadata
       // still needs the two slots (null → synthesized at read)
-      case Some(_) => new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-        row, new GenericInternalRow(Array[Any](null, null)))
+      case Some(_) => lineageJoin(row, nullLineage)
       case None => row
     })
 

@@ -257,22 +257,25 @@ object PlanCurve {
         val count = new java.util.concurrent.atomic.AtomicLong(inline.size.toLong)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
         val f0 = System.nanoTime()
-        val futures = (0 until par).map { _ =>
-          pool.submit(new Runnable { def run(): Unit = {
-            var h = queue.poll()
-            while (h != null) {
-              val r = req("POST", s"namespaces/default/tables/$name/tasks",
-                Some(s"""{"plan-task":"$h"}"""))
-              require(r.statusCode == 200, s"shard: ${r.statusCode}")
-              val tasks = graft.rest.ScanTaskJson.readTasks(
-                mapper.readTree(r.body), specById, schema)
-              count.addAndGet(tasks.size.toLong)
-              h = queue.poll()
-            }
-          }})
-        }
-        futures.foreach(_.get)
-        pool.shutdown()
+        // non-daemon pool threads: shut down even when a worker fails, or
+        // the tool JVM hangs after the exception instead of exiting
+        try {
+          val futures = (0 until par).map { _ =>
+            pool.submit(new Runnable { def run(): Unit = {
+              var h = queue.poll()
+              while (h != null) {
+                val r = req("POST", s"namespaces/default/tables/$name/tasks",
+                  Some(s"""{"plan-task":"$h"}"""))
+                require(r.statusCode == 200, s"shard: ${r.statusCode}")
+                val tasks = graft.rest.ScanTaskJson.readTasks(
+                  mapper.readTree(r.body), specById, schema)
+                count.addAndGet(tasks.size.toLong)
+                h = queue.poll()
+              }
+            }})
+          }
+          futures.foreach(_.get)
+        } finally pool.shutdownNow()
         val fanoutSec = (System.nanoTime() - f0) / 1e9
         ((System.nanoTime() - t0) / 1e9, fanoutSec, count.get, handles.size)
       }

@@ -310,4 +310,24 @@ class EvolveSpec extends AnyFunSuite with BeforeAndAfterAll {
       MetadataUpdate.apply(t, RemoveSchemas(Seq(t.currentSchemaId))))
       .getMessage.contains("current"))
   }
+
+  test("REST upgrade-format-version backfills table-uuid for legacy v1 metadata") {
+    import graft.rest.MetadataUpdate
+    val base = freshNation("ev_uuid").metadata.copy(tableUuid = "", formatVersion = 1)
+    // the v2+ write guard fails loudly on a missing uuid...
+    assert(intercept[IllegalArgumentException](
+      graft.format.TableMetadata.toJson(base.copy(formatVersion = 2)))
+      .getMessage.contains("table-uuid"))
+    // ...so the REST upgrade action must assign one (parity with
+    // Evolve.upgradeFormatVersion) or a legacy uuid-less table could
+    // never be upgraded over the wire — every commit retry would crash
+    // at serialization
+    val up = MetadataUpdate.apply(base, MetadataUpdate.UpgradeFormatVersion(2))
+    assert(up.tableUuid.nonEmpty, "upgrade must backfill the uuid")
+    graft.format.TableMetadata.toJson(up) // must serialize
+    // an explicit uuid is never clobbered
+    val kept = MetadataUpdate.apply(base.copy(tableUuid = "u-1"),
+      MetadataUpdate.UpgradeFormatVersion(2))
+    assert(kept.tableUuid === "u-1")
+  }
 }
