@@ -5090,6 +5090,72 @@ object IcebergQueries {
       SELECT n_nationkey + 100, CAST(-1 AS BIGINT),
              CAST(3 AS BIGINT), true, true
       FROM nation WHERE n_nationkey IN (0, 1, 2)
-      ORDER BY n_nationkey"""), repeatable = true)
+      ORDER BY n_nationkey"""), repeatable = true),
+
+    // Partial-progress compaction on the SQL procedure surface (iceberg
+    // partial-progress.max-commits): `max_commits => 3` splits the
+    // rewrite into exactly 3 INDEPENDENT replace commits along bin-pack
+    // group boundaries (5 identity partitions x 2 files → 5 groups → 3
+    // byte-balanced batches), so each commit's conflict window covers one
+    // batch instead of the whole rewrite — the shape that matters when a
+    // 100 TB compaction races a live commit stream. Pinned here: exactly 3
+    // replace snapshots, the cross-batch eq-delete fully collected (drops
+    // with the LAST covering batch — never dangling, never re-applied),
+    // v3 `_row_id`s byte-identical to the single-commit semantics, and the
+    // final contents hash-checked against DuckDB.
+    QueryDef.staged("i122_partial_progress_compaction", (s, dir) => {
+      val wh = s"/root/repo/target/graft-wh/ppc_${UUID.randomUUID().toString.take(8)}"
+      val ctl = s"gppc_${UUID.randomUUID().toString.take(8)}"
+      s.conf.set(s"spark.sql.catalog.$ctl", classOf[graft.sources.GraftSpjCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+      val cat = new HadoopCatalog(wh)
+      val c = tbl(s, dir, "customer")
+      val schema = SchemaBridge.fromSpark(c.schema)
+      val pspec = graft.format.PartitionSpec.builder(schema)
+        .add("c_mktsegment", graft.core.Transforms.Identity).build()
+      var t = graft.table.Evolve.upgradeFormatVersion(
+        cat.createTable("cust", schema, pspec), 3)
+      t = Writer.append(s, t, c.filter(col("c_custkey") % 2 === 0))
+      t = Writer.append(s, t, c.filter(col("c_custkey") % 2 =!= 0))
+      // a global eq-delete above both appends: its attachment set spans
+      // every batch, so it must survive until the last covering commit
+      t = Writer.equalityDelete(s, t,
+        c.filter(col("c_custkey") % 11 === 0).select(col("c_custkey")),
+        Seq("c_custkey"))
+      val beforeIds = SparkRead.read(s, t.newScan.withRowLineage)
+        .selectExpr("c_custkey", "_row_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val snapsBefore = t.metadata.snapshots.size
+      s.sql(s"CALL $ctl.system.rewrite_data_files('cust', " +
+        "rewrite_all => true, max_commits => 3)")
+      val tt = cat.loadTable("cust")
+      val added = tt.metadata.snapshots.drop(snapsBefore)
+      require(added.size == 3,
+        s"i122: expected 3 partial commits, got ${added.size}")
+      require(added.forall(_.summary.get("operation").contains("replace")),
+        "i122: every partial commit must be a replace")
+      require(tt.newScan.planFiles().forall(ft =>
+        ft.eqDeletes.isEmpty && ft.posDeletes.isEmpty),
+        "i122: the cross-batch eq-delete must be collected by the end")
+      val afterIds = SparkRead.read(s, tt.newScan.withRowLineage)
+        .selectExpr("c_custkey", "_row_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(afterIds == beforeIds,
+        "i122: row ids must survive every partial commit")
+      () => SparkRead.read(s, tt.newScan)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal_sum"))
+        .select(col("c_mktsegment"), col("n"), col("bal_sum"),
+          lit("3,replace,collected,ids").as("pp_ok"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+             '3,replace,collected,ids' AS pp_ok
+      FROM customer
+      WHERE c_custkey % 11 <> 0
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""), repeatable = true)
   )
 }

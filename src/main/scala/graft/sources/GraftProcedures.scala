@@ -126,7 +126,10 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
         inDef("target_file_size_bytes", LongType, "0L"),
         inDef("min_input_files", IntegerType, "2"),
         inDef("rewrite_all", BooleanType, "false"),
-        inDef("zorder_by", StringType, "NULL"))
+        inDef("zorder_by", StringType, "NULL"),
+        // iceberg partial-progress.max-commits: >1 splits the rewrite into
+        // independent commits along bin-pack group boundaries
+        inDef("max_commits", IntegerType, "1"))
     case "rewrite_position_delete_files" =>
       Array(in("table", StringType),
         inDef("target_file_size_bytes", LongType, "0L"))
@@ -219,7 +222,8 @@ final class GraftProcedure(procName: String, cat: GraftCatalog, catName: String)
         val r = Maintenance.rewriteDataFiles(SparkSession.active, t,
           targetFileSizeBytes = input.getLong(1),
           minInputFiles = input.getInt(2),
-          rewriteAll = input.getBoolean(3), zorderBy = zorder)
+          rewriteAll = input.getBoolean(3), zorderBy = zorder,
+          maxCommits = input.getInt(5))
         rows(Seq("rewritten_data_files" -> IntegerType,
           "added_data_files" -> IntegerType,
           "removed_delete_files" -> IntegerType),

@@ -62,7 +62,7 @@ object Maintenance {
   def rewriteDataFiles(spark: SparkSession, table: Table,
       targetFileSizeBytes: Long = 0, minInputFiles: Int = 2,
       rewriteAll: Boolean = false, zorderBy: Seq[String] = Nil,
-      filter: Expr = Expr.AlwaysTrue): CompactionResult = {
+      filter: Expr = Expr.AlwaysTrue, maxCommits: Int = 1): CompactionResult = {
     val targetSize =
       if (targetFileSizeBytes > 0) targetFileSizeBytes
       else table.metadata.properties.get("write.target-file-size-bytes")
@@ -120,17 +120,13 @@ object Maintenance {
 
     val byPartition = tasks.filter(t => inScope(t.file.path))
       .groupBy(_.file.partition.map(String.valueOf).mkString("/"))
-    val selected = byPartition.values.filter { group =>
+    val selectedGroups: Seq[Seq[FileScanTask]] = byPartition.values.filter { group =>
       rewriteAll ||
         group.exists(t => t.posDeletes.nonEmpty || t.eqDeletes.nonEmpty) ||
         group.count(_.file.fileSize < targetSize) >= minInputFiles
-    }.flatten.toSeq
+    }.map(_.toSeq).toSeq
+    val selected = selectedGroups.flatten
     if (selected.isEmpty) return deadOnlyCommit()
-
-    val rewrittenPaths = selected.map(_.file.path).toSet
-    val droppableDeletes = deleteAttachment.collect {
-      case (key, dataPaths) if dataPaths.subsetOf(rewrittenPaths) => key
-    }.toSet
 
     val schema = table.schema
     // v3 row-lineage preservation (reference rewrite_data_files.go:330-390):
@@ -145,10 +141,10 @@ object Maintenance {
     // uniqueness — splitting keeps the spec promise for the rows that have
     // ids at the cost of one extra output group.
     val v3 = table.metadata.formatVersion >= 3
-    val rewriteGroups: Seq[(Seq[FileScanTask], Boolean)] =
-      if (!v3) Seq((selected, false))
+    def lineageSplit(scope: Seq[FileScanTask]): Seq[(Seq[FileScanTask], Boolean)] =
+      if (!v3) Seq((scope, false))
       else {
-        val (lineage, legacy) = selected.partition(_.file.firstRowId.isDefined)
+        val (lineage, legacy) = scope.partition(_.file.firstRowId.isDefined)
         if (legacy.nonEmpty && lineage.nonEmpty)
           System.err.println("[compaction] mixed row lineage in rewrite scope; " +
             s"splitting into ${lineage.size} lineage-preserving / " +
@@ -185,17 +181,59 @@ object Maintenance {
       }
       Writer.writeDataFiles(spark, table, clustered)
     }
-    val newFiles = rewriteGroups.flatMap { case (g, p) => rewriteGroup(g, p) }
-    val committed = Writer.commitSnapshot(table, "replace",
-      addedFiles = newFiles, removedPaths = rewrittenPaths,
-      addedDeleteFiles = Nil,
-      removedDeleteKeys = droppableDeletes ++ deadEqDeletes,
-      // a concurrent MoR delete landing on the files being compacted would
-      // be dropped with them — rebase must refuse instead of losing it
-      conflictCheck = Some(Writer.ConflictCheck(
-        rewrittenFiles = selected.map(t => (t.file, t.specId)))))
-    CompactionResult(committed, selected.size, newFiles.size,
-      (droppableDeletes ++ deadEqDeletes).size)
+    // PARTIAL PROGRESS (iceberg-java partial-progress.max-commits): split
+    // the selection into up to `maxCommits` INDEPENDENT commits along
+    // bin-pack group boundaries, greedily balanced by input bytes. At
+    // 100 TB this is the difference between one atomic commit whose
+    // conflict window spans the whole multi-hour rewrite (retried from
+    // scratch against a live commit stream) and N small commits each
+    // racing only its own batch — a mid-run failure abandons the REMAINING
+    // batches while completed ones stand (the rewrite is idempotent to
+    // re-run). maxCommits = 1 (the default) keeps the single-commit
+    // semantics byte-for-byte.
+    val batches: Seq[Seq[FileScanTask]] = {
+      val n = math.max(1, math.min(maxCommits, selectedGroups.size))
+      if (n == 1) Seq(selected)
+      else {
+        val bins = Array.fill(n)(Seq.newBuilder[FileScanTask])
+        val binBytes = Array.fill(n)(0L)
+        selectedGroups.sortBy(-_.map(_.file.fileSize).sum).foreach { g =>
+          val i = binBytes.indices.minBy(binBytes)
+          bins(i) ++= g
+          binBytes(i) += g.map(_.file.fileSize).sum
+        }
+        bins.map(_.result()).filter(_.nonEmpty).toSeq
+      }
+    }
+    var cur = table
+    var covered = Set.empty[String]
+    var dropped = Set.empty[(String, Option[Long])]
+    var totalNew = 0
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      val batchPaths = batch.map(_.file.path).toSet
+      covered ++= batchPaths
+      // a shared delete file drops with the LAST batch that completes its
+      // attachment set — until then the files of later batches still need
+      // it; the dead backlog rides the first commit
+      val batchDroppable = deleteAttachment.collect {
+        case (key, dataPaths) if dataPaths.subsetOf(covered) && !dropped(key) => key
+      }.toSet
+      dropped ++= batchDroppable
+      val removeKeys = batchDroppable ++ (if (i == 0) deadEqDeletes else Set.empty)
+      val newFiles = lineageSplit(batch).flatMap { case (g, p) => rewriteGroup(g, p) }
+      cur = Writer.commitSnapshot(cur, "replace",
+        addedFiles = newFiles, removedPaths = batchPaths,
+        addedDeleteFiles = Nil,
+        removedDeleteKeys = removeKeys,
+        // a concurrent MoR delete landing on the files being compacted
+        // would be dropped with them — rebase must refuse instead of
+        // losing it
+        conflictCheck = Some(Writer.ConflictCheck(
+          rewrittenFiles = batch.map(t => (t.file, t.specId)))))
+      totalNew += newFiles.size
+    }
+    CompactionResult(cur, selected.size, totalNew,
+      (dropped ++ deadEqDeletes).size)
   }
 
   final case class DeleteCompactionResult(

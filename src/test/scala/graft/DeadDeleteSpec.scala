@@ -168,4 +168,65 @@ class DeadDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("k").collect().map(_.getLong(0)).toSet
     assert(!ks.contains(5L) && !ks.contains(55L) && ks.size === 98)
   }
+
+  // partial progress (iceberg partial-progress.max-commits): the rewrite
+  // splits into independent commits along bin-pack group boundaries, so
+  // each commit's conflict window covers one batch, not the whole rewrite.
+  // Semantics pinned: one snapshot per batch, contents and v3 row ids
+  // unchanged, and a delete file shared across batches drops only with the
+  // LAST batch that completes its attachment set.
+  test("partial progress: maxCommits splits the rewrite into independent commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val schema = schemaOf("k" -> "bigint", "p" -> "int")
+    val pspec = PartitionSpec.builder(schema)
+      .add("p", graft.core.Transforms.Identity).build()
+    var t = catalog.createTable("dd_pp", schema, pspec)
+    t = graft.table.Evolve.upgradeFormatVersion(t, 3)
+    // 4 partitions × 2 files (two appends)
+    (0 until 2).foreach { r =>
+      t = Writer.append(spark, t, spark.range(r * 100L, r * 100L + 100L).toDF("k")
+        .withColumn("p", (col("k") % 4).cast("int")))
+    }
+    // a global eq-delete whose bounds overlap EVERY data file: its
+    // attachment set spans all batches, so it must survive until the last
+    t = Writer.equalityDelete(spark, t, Seq(3L, 107L).toDF("k"), Seq("k"))
+    assert(t.newScan.planFiles().forall(_.eqDeletes.nonEmpty),
+      "precondition: the eq-delete attaches to every file")
+    def contents(tt: graft.table.Table) =
+      graft.table.SparkRead.read(spark, tt.newScan)
+        .select(col("k"), col("p")).as[(Long, Int)].collect().sortBy(_._1).toSeq
+    def ids(tt: graft.table.Table) =
+      graft.table.SparkRead.read(spark, tt.newScan.withRowLineage)
+        .selectExpr("k", "_row_id").as[(Long, Long)].collect().toMap
+    val before = contents(t)
+    val beforeIds = ids(t)
+    val snapsBefore = t.metadata.snapshots.size
+    val res = Maintenance.rewriteDataFiles(spark, t, rewriteAll = true,
+      maxCommits = 3)
+    val t2 = res.table
+    // 4 bin-pack groups into 3 batches → exactly 3 replace commits
+    assert(t2.metadata.snapshots.size === snapsBefore + 3,
+      s"expected 3 partial commits, got ${t2.metadata.snapshots.size - snapsBefore}")
+    assert(t2.metadata.snapshots.takeRight(3)
+      .forall(_.summary.get("operation").contains("replace")))
+    // contents and v3 lineage byte-identical to the single-commit semantics
+    assert(contents(t2) === before)
+    assert(ids(t2) === beforeIds, "row ids must survive every batch")
+    // the cross-batch delete dropped with the last covering batch; nothing
+    // dangles and nothing re-applies
+    assert(eqDeletePaths(t2).isEmpty, "shared eq-delete collected at the end")
+    assert(t2.newScan.planFiles().forall(ft =>
+      ft.eqDeletes.isEmpty && ft.posDeletes.isEmpty))
+    assert(res.rewrittenDataFiles === 8)
+    // EVERY intermediate partial state is a correct table: rewritten files
+    // out-sequence the surviving eq-delete (no re-application), untouched
+    // files still apply it (no resurrection)
+    t2.metadata.snapshots.takeRight(3).foreach { s =>
+      val mid = graft.table.SparkRead.read(spark,
+          t2.newScan.useSnapshot(s.snapshotId))
+        .select(col("k"), col("p")).as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(mid === before, s"partial state ${s.snapshotId} diverged")
+    }
+  }
 }
