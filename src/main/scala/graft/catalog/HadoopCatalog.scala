@@ -80,10 +80,17 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
         .map(fn => s"${metadataDir(name)}/$fn").find(FileIO.exists))
   }
 
-  def tableExists(name: String): Boolean = FileIO.exists(hintFile(name))
+  /** The hint vanishes for an instant during a concurrent commit's
+    * delete+rename replace — existence falls back to the versioned
+    * metadata files so a mid-commit table never reads as dropped.
+    */
+  def tableExists(name: String): Boolean =
+    FileIO.exists(hintFile(name)) ||
+      FileIO.listFilesRecursive(metadataDir(name))
+        .exists(f => graft.table.Locations.metadataVersionOf(f.path).isDefined)
 
   def listTables(): Seq[String] =
-    FileIO.listDirNames(warehouse).filter(n => FileIO.exists(hintFile(n))).sorted
+    FileIO.listDirNames(warehouse).filter(tableExists).sorted
 
   def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
       sortOrder: SortOrder = SortOrder.Unsorted,
@@ -124,9 +131,18 @@ final class HadoopCatalog(warehouseRaw: String) extends TransactionalCatalog {
 
   def currentVersion(name: String): Option[Int] = {
     val fromHint =
-      if (!FileIO.exists(hintFile(name))) None
-      else FileIO.readString(hintFile(name)).trim
-        .toIntOption // empty/torn read during a concurrent hint replace
+      try {
+        if (!FileIO.exists(hintFile(name))) None
+        else FileIO.readString(hintFile(name)).trim
+          .toIntOption // empty/torn read during a concurrent hint replace
+      } catch {
+        // the hint can VANISH between the exists check and the read:
+        // replaceAtomic degrades to delete+rename on rename-no-replace
+        // backends, so a reader in that window treats the hint as
+        // advisory-absent (same as a torn read), never as an error
+        case _: java.io.FileNotFoundException => None
+        case _: java.nio.file.NoSuchFileException => None
+      }
     // the hint is advisory (reference hadoop catalog semantics): fall back
     // to listing vN.metadata.json files for the true max version
     fromHint.orElse {

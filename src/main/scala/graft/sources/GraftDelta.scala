@@ -45,6 +45,11 @@ final class GraftDeltaOperation(table: GraftTable, cmd: Command)
 
   @volatile private[sources] var scanned: Seq[FileScanTask] = Nil
 
+  /** Static pushed filter of the candidate scan — the commit's conflict-
+    * detection scope under serializable isolation.
+    */
+  @volatile private[sources] var scanFilter: Expr = Expr.AlwaysTrue
+
   override def command(): Command = cmd
   override def description(): String = s"graft merge-on-read $cmd"
 
@@ -185,6 +190,7 @@ final class GraftDeltaScan(op: GraftDeltaOperation, table: GraftTable,
   private lazy val parts: Array[SpjInputPartition] = {
     val tasks = table.newScan.withFilter(fileFilter).planFiles()
     op.scanned = tasks
+    op.scanFilter = fileFilter
     tasks.map(t => SpjInputPartition(Array.empty,
       Array(SpjFileInfo.from(t, "merge-on-read DML")))).toArray
   }
@@ -298,13 +304,30 @@ final class GraftDeltaBatchWrite(op: GraftDeltaOperation, table: GraftTable,
         referencedDataFile = b.dataFile,
         contentOffset = b.offset, contentSize = b.length)
     }
+    val useDv = table.metadata.formatVersion >= 3
     Writer.commitSnapshot(table, "overwrite",
       addedFiles = added, removedPaths = Set.empty,
       addedDeleteFiles = deleteFiles,
       conflictCheck = Some(Writer.ConflictCheck(
+        filter = op.scanFilter,
         candidatePaths = op.scanned.map(_.file.path).toSet,
         referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet,
-        isolationKey = "write.update.isolation-level")),
+        // UPDATE/MERGE re-insert the rows they read: a concurrent delete
+        // landing on the read files has killed a row whose replacement is
+        // in this commit — conflict under BOTH isolation levels (a pure
+        // DELETE is exempt: double-deleting a position is idempotent)
+        readFiles = if (op.command() != Command.DELETE)
+          op.scanned.map(t => (t.file, t.specId)) else Nil,
+        // pure v3 DELETE: this commit's DVs supersede prior DVs on the
+        // same files, so concurrent deletes there must conflict (v2
+        // pos-deletes are additive — readers union them — and need none)
+        dvReadFiles = if (op.command() == Command.DELETE && useDv) {
+          val refs = deleteFiles.flatMap(_.referencedDataFile).toSet
+          op.scanned.filter(t => refs.contains(t.file.path))
+            .map(t => (t.file, t.specId))
+        } else Nil,
+        serializableDataScope = true,
+        isolationKey = GraftBatchWrites.isolationKey(op.command()))),
       globalDeleteSpec = true)
     ()
   }

@@ -58,6 +58,12 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: Command)
     */
   @volatile private[sources] var scanned: Seq[FileScanTask] = Nil
 
+  /** Static pushed filter of the operation scan — the commit's conflict-
+    * detection scope (concurrent data adds matching it conflict under
+    * serializable isolation).
+    */
+  @volatile private[sources] var scanFilter: Expr = Expr.AlwaysTrue
+
   override def command(): Command = cmd
 
   /** `_file` engages Spark's projecting write task (without a metadata
@@ -222,6 +228,7 @@ final class GraftCowScan(op: GraftRowLevelOperation, table: GraftTable,
   private lazy val allTasks: Seq[FileScanTask] = {
     val tasks = table.newScan.withFilter(fileFilter).planFiles()
     op.scanned = tasks
+    op.scanFilter = fileFilter
     tasks
   }
 
@@ -283,6 +290,16 @@ final case class GraftCommitMessage(files: Seq[GraftWrittenFile])
 final case class GraftPartExtractor(idx: Int, dt: DataType, transform: GTransform)
 
 object GraftBatchWrites {
+  /** Isolation-level table property for a row-level command (reference
+    * `table/properties.go`: write.<op>.isolation-level, default
+    * serializable — one knob per DELETE/UPDATE/MERGE).
+    */
+  def isolationKey(cmd: Command): String = cmd match {
+    case Command.DELETE => "write.delete.isolation-level"
+    case Command.UPDATE => "write.update.isolation-level"
+    case _ => "write.merge.isolation-level"
+  }
+
   /** Where `_row_id` / `_last_updated_sequence_number` sit in a row-level
     * write's metadata row — None below v3 or when the plan carries no
     * metadata projection. ONE definition shared by the group (ReplaceData)
@@ -506,7 +523,11 @@ final class GraftReplaceBatchWrite(op: GraftRowLevelOperation, table: GraftTable
       addedDeleteFiles = Nil,
       removedDeleteKeys = droppedDvs,
       conflictCheck = Some(Writer.ConflictCheck(
-        rewrittenFiles = removed.map(t => (t.file, t.specId)))))
+        filter = op.scanFilter,
+        candidatePaths = op.scanned.map(_.file.path).toSet,
+        rewrittenFiles = removed.map(t => (t.file, t.specId)),
+        serializableDataScope = true,
+        isolationKey = GraftBatchWrites.isolationKey(op.command()))))
     ()
   }
 

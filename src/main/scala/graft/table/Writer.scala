@@ -1334,6 +1334,25 @@ object Writer {
     *    into partitions an eq-delete covers; `Some(Nil)` means
     *    global/unpartitioned scope, where ANY concurrent data add conflicts
     *    (`validateNoConflictingDataFilesInPartitions`).
+    *  - `readFiles` — BOTH isolation levels: an UPDATE/MERGE delta
+    *    re-inserts the rows it read from these files, so a concurrent
+    *    commit adding delete files that target them (DV, pos-delete, or
+    *    eq-delete) has deleted rows whose replacements this commit already
+    *    wrote — committing anyway loses that delete or this update
+    *    (`validateNoConflictingDeleteFiles`). Same matching rules as
+    *    `rewrittenFiles`.
+    *  - `dvReadFiles` — BOTH isolation levels, v3 pure DELETEs: this
+    *    commit's deletion vectors SUPERSEDE any prior DV on the same data
+    *    file (one-DV-per-file invariant), so a concurrent commit's DV or
+    *    pos-delete on these files would be silently dropped — its deleted
+    *    rows resurrect. Eq-deletes are exempt (sequence-based, never
+    *    superseded by a DV); v2 positional deletes are additive and need
+    *    no such check at all.
+    *  - `serializableDataScope` — serializable only: arms the
+    *    added-data-matching-filter check even when `filter` is AlwaysTrue
+    *    (an UNFILTERED row-level statement conflicts with any concurrent
+    *    data add under serializable; without the flag an empty filter
+    *    means "check not applicable", as for plain appends).
     *
     * `isolationKey` names the table property holding the isolation level for
     * this operation (`write.delete.isolation-level` /
@@ -1345,6 +1364,9 @@ object Writer {
       referencedDataFiles: Set[String] = Set.empty,
       rewrittenFiles: Seq[(DataFile, Int)] = Nil,
       eqDeleteScope: Option[Seq[(Int, Seq[Any])]] = None,
+      readFiles: Seq[(DataFile, Int)] = Nil,
+      dvReadFiles: Seq[(DataFile, Int)] = Nil,
+      serializableDataScope: Boolean = false,
       isolationKey: String = "write.delete.isolation-level")
 
   /** Fast-append / overwrite snapshot producer + Hadoop-catalog commit with
@@ -1516,41 +1538,62 @@ object Writer {
             s"cannot commit: ${gone.size} data file(s) referenced by this " +
             s"delete were rewritten by a concurrent commit, e.g. ${gone.head}")
       }
-      // serializable: no concurrently-added data may match the delete filter
-      if (serializable && c.filter != Expr.AlwaysTrue) {
+      // serializable: no concurrently-added data may match the statement's
+      // scope (an unfiltered scope is armed explicitly — see
+      // serializableDataScope — so plain appends stay exempt)
+      if (serializable &&
+          (c.filter != Expr.AlwaysTrue || c.serializableDataScope)) {
         val matching = t.newScan.withFilter(c.filter).planFiles().map(_.file.path).toSet
         val added = matching -- c.candidatePaths -- removedPaths
         if (added.nonEmpty)
           throw new ValidationException(
             s"cannot commit: ${added.size} concurrently added file(s) match " +
-            s"the delete filter ${Expr.sanitizedString(c.filter)}, " +
+            s"the operation filter ${Expr.sanitizedString(c.filter)}, " +
             s"e.g. ${added.head}")
       }
 
       val concurrent = concurrentSnapshotsSince(base, t)
       if (concurrent.nonEmpty) {
-        // no-new-deletes-for-rewritten-files: committing this rewrite would
-        // drop the old files the concurrent deletes target, resurrecting rows
-        if (c.rewrittenFiles.nonEmpty) {
-          val rewrittenPaths = c.rewrittenFiles.map(_._1.path).toSet
-          val rewrittenParts = c.rewrittenFiles
+        // a concurrent delete file targeting `files` conflicts: DVs and
+        // single-file pos-deletes match on the referenced path, multi-file
+        // pos-deletes on partition overlap, eq-deletes conservatively
+        // always (their predicate may cover any row)
+        def noNewDeletesTargeting(files: Seq[(DataFile, Int)], what: String,
+            includeEq: Boolean = true): Unit = {
+          val paths = files.map(_._1.path).toSet
+          val parts = files
             .map { case (f, specId) => (specId, f.partition.map(DeleteIndex.norm)) }.toSet
           addedEntriesIn(concurrent, ManifestContent.Deletes).foreach { case (snap, e, specId) =>
             val df = e.file
             val conflict = df.content match {
-              case DataFileContent.EqualityDeletes => true // predicate may cover any file
+              case DataFileContent.EqualityDeletes => includeEq // predicate may cover any file
               case _ => df.referencedDataFile match {
-                case Some(ref) => rewrittenPaths.contains(ref)
-                case None => rewrittenParts.contains(
+                case Some(ref) => paths.contains(ref)
+                case None => parts.contains(
                   (specId, df.partition.map(DeleteIndex.norm)))
               }
             }
             if (conflict)
               throw new ValidationException(
-                s"cannot commit rewrite: concurrent snapshot ${snap.snapshotId} " +
-                s"added delete file ${df.path} targeting rewritten data")
+                s"cannot commit $what: concurrent snapshot ${snap.snapshotId} " +
+                s"added delete file ${df.path} targeting its data files")
           }
         }
+        // no-new-deletes-for-rewritten-files: committing this rewrite would
+        // drop the old files the concurrent deletes target, resurrecting rows
+        if (c.rewrittenFiles.nonEmpty)
+          noNewDeletesTargeting(c.rewrittenFiles, "rewrite")
+        // no-new-deletes-for-read-files (UPDATE/MERGE delta, both isolation
+        // levels): this commit re-inserted the rows it read from these
+        // files, so a concurrent delete on them has already killed a row
+        // whose replacement is staged here — one of the two writes is lost
+        if (c.readFiles.nonEmpty)
+          noNewDeletesTargeting(c.readFiles, "row-level update")
+        // dv-supersede: this commit's DVs replace any prior DV on the same
+        // files — a concurrent delete there would be dropped, not merged
+        if (c.dvReadFiles.nonEmpty)
+          noNewDeletesTargeting(c.dvReadFiles, "deletion-vector write",
+            includeEq = false)
 
         // serializable eq-delete scope: concurrent adds into the partitions
         // an equality delete covers would escape the delete

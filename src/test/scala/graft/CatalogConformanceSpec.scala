@@ -298,4 +298,29 @@ class CatalogConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkRead.read(spark, cat.loadTable("hive_reg").newScan).count() === 28L)
     cat.dropTable("hive_rn2")
   }
+
+  test("hadoop: a vanished version hint (mid-replace window) falls back to listing") {
+    // replaceAtomic degrades to delete+rename on rename-no-replace
+    // backends, so a reader can land in the instant where the hint file
+    // does not exist. The hint is ADVISORY: version resolution, existence,
+    // and load must all fall back to the vN.metadata.json listing instead
+    // of crashing or reporting the table dropped (caught live by
+    // ConcurrencyFuzz's 8-appender race).
+    val wh = Files.createTempDirectory("graft-hintless").toString
+    val cat = new HadoopCatalog(wh)
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val t0 = cat.createTable("hintless",
+      SchemaBridge.fromSpark(nation.schema), PartitionSpec.Unpartitioned)
+    Writer.append(spark, t0, nation)
+    graft.io.FileIO.delete(s"$wh/hintless/metadata/version-hint.text")
+    assert(cat.currentVersion("hintless") === Some(2),
+      "version must resolve from the metadata-file listing")
+    assert(cat.tableExists("hintless"), "mid-replace table must not read as dropped")
+    assert(cat.listTables() === Seq("hintless"))
+    assert(SparkRead.read(spark, cat.loadTable("hintless").newScan).count() === 25L)
+    // and the NEXT commit re-publishes the hint
+    Writer.append(spark, cat.loadTable("hintless"), nation.limit(2))
+    assert(graft.io.FileIO.exists(s"$wh/hintless/metadata/version-hint.text"))
+    assert(cat.currentVersion("hintless") === Some(3))
+  }
 }

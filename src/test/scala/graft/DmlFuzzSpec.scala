@@ -234,4 +234,207 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("random DML walk matches the model: merge-on-read (delta writes)") {
     walk("merge-on-read", seed = 7007L)
   }
+
+  /** The walk above on an EVOLVING schema: a fixed ALTER backbone —
+    * add-with-DEFAULT → rename → promote INT→BIGINT → drop →
+    * re-add the SAME NAME (fresh field id; dropped values must not
+    * resurrect) — with random DML between, so every schema boundary is
+    * crossed by group CoW rewrites / MoR delta writes that must carry the
+    * evolved column by FIELD ID: carried rows write the initial-default
+    * explicitly, renamed columns rebind, promoted columns widen old INT
+    * files, and lineage survives every ALTER. SchemaWalkFuzz covers the
+    * native API + V1 read route; this is the SQL row-level mirror (the
+    * write-side analog of the spec-evolution blind spot that hid the r15
+    * SPJ bug).
+    */
+  private def walkEvolve(mode: String, seed: Long): Unit = {
+    val r = new Random(seed)
+    val wh = Files.createTempDirectory(s"graft-dmlevo-$mode").toString
+    val ctl = s"dmlevo${mode.take(3)}${math.abs(seed)}"
+    spark.conf.set(s"spark.sql.catalog.$ctl",
+      classOf[graft.sources.GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$ctl.uri", wh)
+    val t = s"$ctl.t"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, seg STRING, v INT) PARTITIONED BY (seg)")
+    graft.table.Evolve.upgradeFormatVersion(new HadoopCatalog(wh).loadTable("t"), 3)
+    spark.sql(s"""ALTER TABLE $t SET TBLPROPERTIES (
+      'write.update.mode' = '$mode',
+      'write.merge.mode' = '$mode',
+      'write.delete.mode' = '$mode')""")
+
+    // model: id -> (seg, v, extra) with extra normalized to j.l.Long/null;
+    // third slot is meaningful only while the extra column exists
+    val model = mutable.Map.empty[Long, (String, Int, Any)]
+    var extra: Option[String] = None // current extra-column name
+    var prevRids = Map.empty[Long, Long]
+    var nextId = 0L
+    def lv(x: Long): Any = java.lang.Long.valueOf(x)
+    def freshRows(n: Int): Seq[(Long, String, Int, Any)] = (0 until n).map { _ =>
+      val e: Any = if (extra.isEmpty || r.nextInt(4) == 0) null
+        else lv(r.nextInt(50).toLong)
+      val row = (nextId, segs(r.nextInt(segs.size)), r.nextInt(100), e)
+      nextId += 1
+      row
+    }
+    def sqlVal(e: Any): String =
+      if (e == null) "CAST(NULL AS BIGINT)" else e.toString
+    def values(rows: Seq[(Long, String, Int, Any)]): String = rows.map {
+      case (id, s, v, e) =>
+        if (extra.isEmpty) s"($id, '$s', $v)"
+        else s"($id, '$s', $v, ${sqlVal(e)})"
+    }.mkString(", ")
+    def cols: String = "id, seg, v" + extra.map(e => s", $e").getOrElse("")
+
+    def randPred(): (String, (Long, String, Int) => Boolean) = r.nextInt(4) match {
+      case 0 =>
+        val a = r.nextLong(nextId.max(2L)); val b = a + 5 + r.nextInt(40)
+        (s"id >= $a AND id < $b", (id, _, _) => id >= a && id < b)
+      case 1 =>
+        val s0 = segs(r.nextInt(segs.size))
+        (s"seg = '$s0'", (_, s, _) => s == s0)
+      case 2 =>
+        val x = r.nextInt(100); (s"v < $x", (_, _, v) => v < x)
+      case 3 =>
+        val m = 2 + r.nextInt(3); val k = r.nextInt(m)
+        (s"id % $m = $k", (id, _, _) => id % m == k)
+    }
+
+    def verify(step: Int, op: String, inserted: Set[Long]): Unit = {
+      val sel = s"SELECT $cols, _row_id FROM $t"
+      val rows = spark.sql(sel).collect().map { x =>
+        val e: Any = if (extra.isEmpty || x.isNullAt(3)) null
+          else lv(x.get(3) match {
+            case i: Int => i.toLong; case l: Long => l
+          })
+        val ridIdx = if (extra.isEmpty) 3 else 4
+        (x.getLong(0), x.getString(1), x.getInt(2), e,
+          if (x.isNullAt(ridIdx)) null
+          else java.lang.Long.valueOf(x.getLong(ridIdx)))
+      }.sortBy(_._1).toSeq
+      val got = rows.map { case (id, s, v, e, _) => (id, s, v, e) }
+      val want = model.toSeq.map { case (id, (s, v, e)) =>
+        (id, s, v, if (extra.isEmpty) null else e) }.sortBy(_._1)
+      assert(got === want,
+        s"mode=$mode seed=$seed step=$step op=$op extra=$extra: diverged " +
+        s"(${got.size} vs ${want.size})\nextra=${got.diff(want).take(5)}\n" +
+        s"missing=${want.diff(got).take(5)}")
+      assert(rows.forall(_._5 != null),
+        s"mode=$mode seed=$seed step=$step op=$op: null _row_id")
+      val rids = rows.map(x => x._1 -> x._5.longValue).toMap
+      assert(rids.values.toSeq.distinct.size == rids.size,
+        s"mode=$mode seed=$seed step=$step op=$op: duplicate _row_id")
+      val prevValues = prevRids.values.toSet
+      rids.foreach { case (id, rid) =>
+        prevRids.get(id) match {
+          case Some(old) => assert(rid == old,
+            s"mode=$mode seed=$seed step=$step op=$op: id=$id changed " +
+            s"_row_id $old -> $rid across a schema boundary")
+          case None =>
+            assert(inserted.contains(id),
+              s"mode=$mode seed=$seed step=$step op=$op: unexpected new id=$id")
+            assert(!prevValues.contains(rid),
+              s"mode=$mode seed=$seed step=$step op=$op: inserted id=$id " +
+              s"reused _row_id $rid")
+        }
+      }
+      prevRids = rids
+    }
+
+    def randomDml(step: Int): Unit = {
+      val (op, inserted) = r.nextInt(6) match {
+        case 0 =>
+          val rows = freshRows(3 + r.nextInt(5))
+          spark.sql(s"INSERT INTO $t ($cols) VALUES ${values(rows)}")
+          rows.foreach { case (id, s, v, e) => model(id) = (s, v, e) }
+          ("insert", rows.map(_._1).toSet)
+        case 1 =>
+          val (sql, f) = randPred()
+          spark.sql(s"DELETE FROM $t WHERE $sql")
+          model.filterInPlace { case (id, (s, v, _)) => !f(id, s, v) }
+          (s"delete[$sql]", Set.empty[Long])
+        case 2 if extra.nonEmpty => // UPDATE the evolved column itself
+          val (sql, f) = randPred()
+          val e = extra.get
+          spark.sql(s"UPDATE $t SET $e = v WHERE $sql")
+          model.mapValuesInPlace { case (id, (s, v, ex)) =>
+            if (f(id, s, v)) (s, v, lv(v.toLong)) else (s, v, ex) }
+          (s"update $e[$sql]", Set.empty[Long])
+        case 2 | 3 =>
+          val (sql, f) = randPred()
+          val s0 = segs(r.nextInt(segs.size))
+          spark.sql(s"UPDATE $t SET seg = '$s0' WHERE $sql")
+          model.mapValuesInPlace { case (id, (s, v, ex)) =>
+            if (f(id, s, v)) (s0, v, ex) else (s, v, ex) }
+          (s"update seg[$sql]", Set.empty[Long])
+        case 4 =>
+          val (sql, f) = randPred()
+          val d = 1 + r.nextInt(9)
+          spark.sql(s"UPDATE $t SET v = v + $d WHERE $sql")
+          model.mapValuesInPlace { case (id, (s, v, ex)) =>
+            if (f(id, s, v)) (s, v + d, ex) else (s, v, ex) }
+          (s"update v[$sql]", Set.empty[Long])
+        case 5 =>
+          val existing = r.shuffle(model.keys.toSeq).take(r.nextInt(5))
+            .map { id =>
+              val e: Any = if (extra.isEmpty || r.nextInt(4) == 0) null
+                else lv(r.nextInt(50).toLong)
+              (id, segs(r.nextInt(segs.size)), r.nextInt(100), e)
+            }
+          val fresh = freshRows(r.nextInt(4))
+          val src = existing ++ fresh
+          if (src.isEmpty) () else {
+            val srcCols = if (extra.isEmpty) "id, seg, v"
+              else s"id, seg, v, ${extra.get}"
+            spark.sql(s"""MERGE INTO $t x
+              USING (SELECT * FROM VALUES ${values(src)} AS t0($srcCols)) s
+              ON x.id = s.id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+            src.foreach { case (id, s, v, e) => model(id) = (s, v, e) }
+          }
+          ("merge-star", fresh.map(_._1).toSet)
+      }
+      verify(step, op, inserted)
+    }
+
+    // seed population
+    val init = freshRows(25)
+    spark.sql(s"INSERT INTO $t ($cols) VALUES ${values(init)}")
+    init.foreach { case (id, s, v, e) => model(id) = (s, v, e) }
+    verify(-1, "seed-insert", init.map(_._1).toSet)
+
+    (0 until 16).foreach {
+      case 3 => // ADD with DEFAULT: pre-add files fill 7 at read
+        spark.sql(s"ALTER TABLE $t ADD COLUMN ex INT DEFAULT 7")
+        extra = Some("ex")
+        model.mapValuesInPlace { case (_, (s, v, _)) => (s, v, lv(7L)) }
+        verify(3, "alter-add-default", Set.empty)
+      case 6 => // RENAME: later DML rebinds by the new name, data by id
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN ex TO exr")
+        extra = Some("exr")
+        verify(6, "alter-rename", Set.empty)
+      case 9 => // promote INT -> BIGINT over mixed-width files
+        spark.sql(s"ALTER TABLE $t ALTER COLUMN exr TYPE BIGINT")
+        verify(9, "alter-promote", Set.empty)
+      case 12 => // DROP: values must stop being visible everywhere
+        spark.sql(s"ALTER TABLE $t DROP COLUMN exr")
+        extra = None
+        model.mapValuesInPlace { case (_, (s, v, _)) => (s, v, null) }
+        verify(12, "alter-drop", Set.empty)
+      case 14 => // re-add the ORIGINAL name: fresh id — null-fill, never
+        // the dropped values (files still physically carry them)
+        spark.sql(s"ALTER TABLE $t ADD COLUMN ex BIGINT")
+        extra = Some("ex")
+        model.mapValuesInPlace { case (_, (s, v, _)) => (s, v, null) }
+        verify(14, "alter-readd", Set.empty)
+      case step => randomDml(step)
+    }
+  }
+
+  test("evolving-schema DML walk: copy-on-write") {
+    walkEvolve("copy-on-write", seed = 8101L)
+  }
+  test("evolving-schema DML walk: merge-on-read") {
+    walkEvolve("merge-on-read", seed = 9203L)
+  }
 }

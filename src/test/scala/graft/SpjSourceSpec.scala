@@ -238,4 +238,37 @@ class SpjSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       case None => spark.conf.unset("spark.graft.eqDeleteFallbackBytes")
     }
   }
+
+  test("null partition keys: grouping, aggregation, and joins match plain Spark") {
+    import spark.implicits._
+    // identity-partitioned on a NULLABLE column: the null rows form their
+    // own partition and their own SPJ key group. Nulls group together
+    // under GROUP BY, match nothing under =, match each other under <=>
+    val df = Seq(
+      (1L, Option(10L), "a"), (2L, Option.empty[Long], "b"),
+      (3L, Option(10L), "c"), (4L, Option.empty[Long], "d"),
+      (5L, Option(20L), "e"), (6L, Option.empty[Long], "f")
+    ).toDF("id", "k", "s")
+    val schema = SchemaBridge.fromSpark(df.schema)
+    Writer.append(spark, catalog.createTable("null_part", schema,
+      PartitionSpec.builder(schema).add("k", Transforms.Identity).build()), df)
+    val t = rd("null_part")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1))).sorted.toSeq
+    val g = t.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(norm(g.collect()) ===
+      norm(df.groupBy(col("k")).agg(count(lit(1)).as("n")).collect()))
+    // the grouped aggregate must not need a hash exchange even with a
+    // null key group present
+    assert(!g.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      g.queryExecution.executedPlan.toString)
+    val eq = t.alias("l").join(t.alias("r"), col("l.k") === col("r.k"))
+    assert(eq.count() ===
+      df.alias("l").join(df.alias("r"), col("l.k") === col("r.k")).count())
+    val nsf = t.alias("l").join(t.alias("r"), col("l.k") <=> col("r.k"))
+    assert(nsf.count() ===
+      df.alias("l").join(df.alias("r"), col("l.k") <=> col("r.k")).count())
+  }
 }
