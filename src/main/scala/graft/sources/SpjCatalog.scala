@@ -207,16 +207,32 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
 
   override def alterTable(ident: Identifier, changes: TableChange*): V2Table = {
     var t = graftTable(ident)
+    // metadata commits are single-shot CAS (Evolve.commitMetadata) — a
+    // data commit racing an ALTER fails the CAS. Re-apply the change on a
+    // refreshed handle (bounded), iceberg-java's metadata-commit retry: a
+    // conflicted change was NOT applied, so re-application is exact
+    def retried(apply: graft.table.Table => graft.table.Table): Unit = {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { t = apply(t); done = true }
+        catch {
+          case _: graft.catalog.CommitConflict if attempt < 3 =>
+            attempt += 1
+            t = graftTable(ident)
+        }
+      }
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"$catName: nested ADD COLUMN not supported (${add.fieldNames.mkString(".")})")
         val default = Option(add.defaultValue()).map(d => literalValue(d.getValue))
-        t = Evolve.addColumn(t, add.fieldNames.head,
+        retried(Evolve.addColumn(_, add.fieldNames.head,
           SchemaBridge.fromSpark(StructType(Seq(
             org.apache.spark.sql.types.StructField("c", add.dataType)))).fields.head.fieldType,
           doc = Option(add.comment),
-          initialDefault = default, writeDefault = default)
+          initialDefault = default, writeDefault = default))
       case ud: TableChange.UpdateColumnDefaultValue =>
         require(ud.fieldNames.length == 1,
           s"$catName: nested ALTER COLUMN not supported")
@@ -228,25 +244,25 @@ final class GraftSpjCatalog extends TableCatalog with FunctionCatalog
           case other => throw new UnsupportedOperationException(
             s"$catName: non-literal column default $other")
         }
-        t = Evolve.setWriteDefault(t, ud.fieldNames.head, v)
+        retried(Evolve.setWriteDefault(_, ud.fieldNames.head, v))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           s"$catName: nested RENAME COLUMN not supported")
-        t = Evolve.renameColumn(t, rn.fieldNames.head, rn.newName)
+        retried(Evolve.renameColumn(_, rn.fieldNames.head, rn.newName))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"$catName: nested DROP COLUMN not supported")
-        t = Evolve.dropColumn(t, del.fieldNames.head)
+        retried(Evolve.dropColumn(_, del.fieldNames.head))
       case up: TableChange.UpdateColumnType =>
         require(up.fieldNames.length == 1,
           s"$catName: nested ALTER COLUMN not supported")
-        t = Evolve.promoteColumn(t, up.fieldNames.head,
+        retried(Evolve.promoteColumn(_, up.fieldNames.head,
           SchemaBridge.fromSpark(StructType(Seq(
-            org.apache.spark.sql.types.StructField("c", up.newDataType)))).fields.head.fieldType)
+            org.apache.spark.sql.types.StructField("c", up.newDataType)))).fields.head.fieldType))
       case set: TableChange.SetProperty =>
-        t = Evolve.setProperties(t, Map(set.property -> set.value))
+        retried(Evolve.setProperties(_, Map(set.property -> set.value)))
       case rm: TableChange.RemoveProperty =>
-        t = Evolve.removeProperties(t, Seq(rm.property))
+        retried(Evolve.removeProperties(_, Seq(rm.property)))
       case other => throw new UnsupportedOperationException(
         s"$catName: unsupported ALTER TABLE change ${other.getClass.getSimpleName}")
     }

@@ -344,9 +344,22 @@ object Maintenance {
     }
     val removedKeys = (posParquet ++ danglingDvs)
       .map(f => (f.path, f.contentOffset)).toSet ++ supersededDvKeys
+    // the v3 branch writes DVs that SUPERSEDE the per-file delete state it
+    // folded at scan time — a delete committed concurrently on the same
+    // files would be dropped by this rewrite, so it must conflict
+    val dvGuard =
+      if (table.metadata.formatVersion >= 3 && added.nonEmpty) {
+        val refs = added.flatMap(_.referencedDataFile)
+          .map(graft.io.FileIO.canonical).toSet
+        val tasks = table.newScan.planFiles()
+          .filter(t => refs(graft.io.FileIO.canonical(t.file.path)))
+        Some(Writer.ConflictCheck(
+          dvReadFiles = tasks.map(t => (t.file, t.specId))))
+      } else None
     val committed = Writer.commitSnapshot(table, "replace",
       addedFiles = Nil, removedPaths = Set.empty,
       addedDeleteFiles = added, removedDeleteKeys = removedKeys,
+      conflictCheck = dvGuard,
       globalDeleteSpec = true)
     DeleteCompactionResult(committed, posParquet.size, added.size, danglingDvs.size)
   }

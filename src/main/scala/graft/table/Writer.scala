@@ -263,7 +263,10 @@ object Writer {
     // already carries a DV is IGNORED by every spec-compliant reader (the
     // DV supersedes) — writing one would silently lose this delete. Route
     // the whole call through the DV writer, which unions into existing DVs.
-    if (candidates.exists(_.posDeletes.exists(_.format == "PUFFIN")))
+    // v3 routes unconditionally: the spec forbids NEW parquet positional
+    // deletes at format-version 3 regardless of current delete state.
+    if (table.metadata.formatVersion >= 3 ||
+        candidates.exists(_.posDeletes.exists(_.format == "PUFFIN")))
       return deleteWhereDV(spark, table, filter)
     val schema = table.schema
     val readSchema = SchemaBridge.toSpark(schema)
@@ -358,7 +361,16 @@ object Writer {
     commitSnapshot(table, "delete", Nil, Set.empty, deleteFiles,
       conflictCheck = Some(ConflictCheck(filter = filter,
         candidatePaths = candidates.map(_.file.path).toSet,
-        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet)),
+        referencedDataFiles = deleteFiles.flatMap(_.referencedDataFile).toSet,
+        // each new DV SUPERSEDES the per-file DV it folded at scan time —
+        // a concurrent delete landing on the same files between scan and
+        // commit would be silently dropped, so it must conflict
+        dvReadFiles = {
+          val refs = deleteFiles.flatMap(_.referencedDataFile)
+            .map(graft.io.FileIO.canonical).toSet
+          candidates.filter(t => refs(graft.io.FileIO.canonical(t.file.path)))
+            .map(t => (t.file, t.specId))
+        })),
       globalDeleteSpec = true)
   }
 

@@ -124,6 +124,46 @@ class CommitConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkRead.read(spark, winner.refresh().newScan).count() === 20)
   }
 
+  test("concurrent v3 DV deletes from one base conflict, never supersede silently") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_dvrace", schema, PartitionSpec.Unpartitioned)
+    val up = graft.table.Evolve.upgradeFormatVersion(
+      Writer.append(spark, t0, nation), 3)
+    // the winner lands a DV; the stale-base loser folded only the delete
+    // state it saw at scan — its DV would SUPERSEDE (drop) the winner's
+    val winner = Writer.deleteWhereDV(spark, up, Expr.lt("n_nationkey", 5))
+    intercept[ValidationException] {
+      Writer.deleteWhereDV(spark, up, Expr.lt("n_nationkey", 10))
+    }
+    assert(SparkRead.read(spark, winner.refresh().newScan).count() === 20)
+    // from a FRESH handle the same delete folds the winner's DV and lands
+    val again = Writer.deleteWhereDV(spark, winner.refresh(),
+      Expr.lt("n_nationkey", 10))
+    assert(SparkRead.read(spark, again.newScan).count() === 15)
+  }
+
+  test("v3 pos-delete compaction racing a fresh DV delete conflicts, not drops") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = SchemaBridge.fromSpark(nation.schema)
+    val t0 = catalog.createTable("cc_dvcomp", schema, PartitionSpec.Unpartitioned)
+    // v2 history leaves a legacy parquet pos-delete backlog, then upgrade
+    val t1 = Writer.append(spark, t0, nation)
+    val t2 = Writer.deleteWhereMoR(spark, t1, Expr.lt("n_nationkey", 3))
+    val up = graft.table.Evolve.upgradeFormatVersion(t2, 3)
+    // a fresh DV delete lands AFTER the compactor's (stale) view
+    val winner = Writer.deleteWhereDV(spark, up, Expr.eq("n_nationkey", 10L))
+    // compacting the parquet backlog from the stale handle would write DVs
+    // that supersede the winner's — must conflict
+    intercept[ValidationException] {
+      graft.table.Maintenance.rewritePositionDeleteFiles(spark, up)
+    }
+    // fresh handle: the rewrite folds everything and all deletes survive
+    val res = graft.table.Maintenance.rewritePositionDeleteFiles(
+      spark, winner.refresh())
+    assert(SparkRead.read(spark, res.table.newScan).count() === 21) // 25-3-1
+  }
+
   test("append concurrent with a delete is allowed (no overlapping files)") {
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     val schema = SchemaBridge.fromSpark(nation.schema)

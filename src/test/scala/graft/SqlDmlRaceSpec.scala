@@ -146,6 +146,25 @@ class SqlDmlRaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ALTER TABLE racing INSERT: both land (metadata commit retries on a fresh base)") {
+    (0 until 3).foreach { round =>
+      val (t, _) = fresh("copy-on-write")
+      val (ra, rb) = race(
+        spark.sql(s"ALTER TABLE $t ADD COLUMN extra INT"),
+        spark.sql(s"INSERT INTO $t (id, seg, v) VALUES (900, 'A', 1), (901, 'B', 2)"))
+      // a schema change and a data commit touch disjoint state — neither
+      // may fail OR be lost: the ALTER re-applies on a refreshed handle
+      // when the CAS loses, the INSERT rebases through the writer retry
+      assert(ra.isSuccess,
+        s"round=$round ALTER failed: ${ra.failed.toOption.map(_.getMessage)}")
+      assert(rb.isSuccess,
+        s"round=$round INSERT failed: ${rb.failed.toOption.map(_.getMessage)}")
+      assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 82L)
+      assert(spark.sql(s"SELECT * FROM $t").columns.contains("extra"))
+      lineageDistinct(t)
+    }
+  }
+
   test("mixed modes: CoW UPDATE racing a MoR DELETE on overlapping rows") {
     // update.mode=copy-on-write but delete.mode=merge-on-read: whichever
     // direction wins, the loser must conflict — an UPDATE rebasing over a
