@@ -57,11 +57,13 @@ object Clustering {
   def kMeans(df: DataFrame, k: Int, iters: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", roundDp: Int = 6): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     var cents: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(cents.length == k, s"need at least $k rows to seed $k clusters")
+    // dimension read off the collected seeds — a separate head() job per
+    // call was pure scheduling overhead
+    val dim = cents(0).length
     val meanCols = (0 until dim).map(i =>
       avg(element_at(col("__v"), i + 1)).as(s"m$i"))
     for (_ <- 0 until iters) {
@@ -89,19 +91,20 @@ object Clustering {
     *
     * The fine level is fully distributed: centroids live in a DataFrame
     * (`__list`, `__fid`, centroid), never as driver literals —
-    *  - assignment joins vectors to their list's centroids on `__list`
-    *    (AQE broadcasts while the centroid set fits, and falls back to a
-    *    shuffle join co-partitioned on the list key beyond that) and takes
-    *    a `min_by` argmin per vector;
-    *  - the update step posexplodes the winner's dims into a
-    *    (list, fid, dim) aggregation — map-side partials bound the
-    *    exchange at k·dim groups, not corpus rows — and reassembles
-    *    per-centroid arrays with a sorted collect_list (k·dim rows total,
-    *    all executor-side).
+    *  - assignment is MAP-SIDE: the per-list centroids collapse to ONE
+    *    array row per list (kCoarse rows total, each kFine×dim), join onto
+    *    the corpus on `__list` (AQE broadcasts while the centroid set
+    *    fits, and falls back to a shuffle join on the list key beyond
+    *    that — the corpus moves at most once, never fanned out kFine-way),
+    *    and the argmin runs as one array expression per vector;
+    *  - the update step is ONE partial-aggregated exchange of
+    *    (list, fid) × dim running means (per-dim avg columns — rows never
+    *    multiply by dim, nothing posexplodes).
     * Determinism: smallest-id seeds per list (row_number over id), argmin
-    * ties break toward the lower fine index, and every centroid component
-    * rounds to `roundDp` decimals per iteration so partial-sum order
-    * cannot leak into assignments (the [[kMeans]] contract).
+    * ties break toward the lower fine index (array_position takes the
+    * FIRST index attaining the min), and every centroid component rounds
+    * to `roundDp` decimals per iteration so partial-sum order cannot leak
+    * into assignments (the [[kMeans]] contract).
     *
     * Returns the input columns plus `list` (coarse), `fine` (within-list)
     * and `cluster` = list·kFine + fine.
@@ -114,13 +117,20 @@ object Clustering {
     import graft.functions.VectorFunctions.dot
     val listed = kMeans(df, kCoarse, iters, idCol, vecCol, roundDp)
       .withColumnRenamed("cluster", "__list")
+    // fan a narrower-than-the-session input out once before caching: the
+    // whole fine level (assign expressions, update partials) inherits this
+    // partitioning, and a one-file corpus would otherwise run it on one
+    // core. No-op at real corpus widths.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (listed.rdd.getNumPartitions < par) listed.repartition(par) else listed
     // the coarse assignment feeds every fine-level consumer (seeds + one
     // assign per iteration + the final assign) — persist DISK_ONLY so the
     // corpus runs the kCoarse-term argmin expression ONCE instead of
     // 3+iters times (the t15 trade: local-disk blocks, no storage-memory
-    // pressure); released before returning
-    val vecs = listed.select(col(idCol), col("__list"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // pressure); released before returning. ALL caller columns ride along
+    // so the final assignment IS the output — no corpus-scale join back.
+    val vecs = spread
+      .withColumn("__v", transform(col(vecCol), x => x.cast("double")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // seeds: the kFine smallest-id vectors of each list (deterministic)
     val w = Window.partitionBy(col("__list")).orderBy(col(idCol))
@@ -129,33 +139,42 @@ object Clustering {
       .filter(col("__fid") < kFine)
       .select(col("__list"), col("__fid"), col("__v").as("__c"))
       .localCheckpoint() // k rows; breaks lineage for the iteration loop
+    val dim = cents.head().getSeq[Double](2).length
+    // per-list centroid array, fid-ordered (k rows -> kCoarse rows)
+    def centArrays(c: DataFrame): DataFrame =
+      c.groupBy(col("__list"))
+        .agg(transform(array_sort(collect_list(struct(col("__fid"), col("__c")))),
+          e => e.getField("__c")).as("__cs"))
+    // map-side argmin: d2 per fine centroid in one array expression; the
+    // FIRST index attaining the min wins, i.e. ties break to the lower fid
+    // (exactly the old min_by(struct(d2, fid)) order)
     def assign(c: DataFrame): DataFrame =
-      vecs.join(c, Seq("__list"))
-        .withColumn("__d2", dot(col("__v"), col("__v"))
-          - lit(2.0) * dot(col("__v"), col("__c"))
-          + dot(col("__c"), col("__c")))
-        .groupBy(col(idCol), col("__list"))
-        .agg(min_by(col("__fid"), struct(col("__d2"), col("__fid"))).as("__fid"),
-          first(col("__v")).as("__v"))
+      vecs.join(centArrays(c), Seq("__list"))
+        .withColumn("__d2s", transform(col("__cs"), cc =>
+          dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), cc)
+            + dot(cc, cc)))
+        .withColumn("__fid",
+          (array_position(col("__d2s"), array_min(col("__d2s"))) - 1).cast("int"))
+        .drop("__cs", "__d2s")
+    val meanCols = (0 until dim).map(i =>
+      avg(element_at(col("__v"), i + 1)).as(s"__m$i"))
     for (_ <- 0 until iters) {
       val upd = assign(cents)
-        .select(col("__list"), col("__fid"),
-          posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy(col("__list"), col("__fid"), col("__dim"))
-        .agg(avg(col("__x")).as("__m"))
         .groupBy(col("__list"), col("__fid"))
-        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
-          e => round(e.getField("__m"), roundDp)).as("__c"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .select(col("__list"), col("__fid"),
+          array((0 until dim).map(i => round(col(s"__m$i"), roundDp)): _*).as("__c"))
       // empty fine clusters keep their previous centroid
       cents = cents.alias("o").join(upd.alias("n"), Seq("__list", "__fid"), "left")
         .select(col("__list"), col("__fid"),
           coalesce(col("n.__c"), col("o.__c")).as("__c"))
         .localCheckpoint()
     }
-    val fin = assign(cents)
-      .select(col(idCol), col("__list").as("list"), col("__fid").as("fine"))
-    val out = df.join(fin, Seq(idCol))
+    val out = assign(cents)
+      .withColumnRenamed("__list", "list")
+      .withColumnRenamed("__fid", "fine")
       .withColumn("cluster", col("list") * lit(kFine) + col("fine"))
+      .drop("__v")
       // eager-materialize + release (the simhash pattern): the coarse
       // assignment cache must not outlive this call
       .localCheckpoint()

@@ -14,29 +14,41 @@ object CorpusAudit {
 
   /** Pairwise distinct-n-gram Jaccard between sources.
     *
-    * Corpus-scale exchanges, in full: (1) the gram explode distincts on
-    * (source, gram); (2) the self-join re-shuffles that distinct stream on
-    * gram. The distinct stream is persisted DISK_ONLY because three
-    * consumers read it (per-source sizes and both join sides); per-source
-    * sizes ride map-side partials. The join's per-gram cost is the square
-    * of the number of SOURCES sharing that gram (bounded by the source
-    * dimension, not the corpus), and the output is at most sources² rows —
-    * pairs with zero overlap are restored from the tiny sizes frame, so
-    * the matrix is complete. At 100 TB nothing here collects: the result
-    * is a |sources|²-row frame.
+    * ONE corpus-gram-scale exchange: grams aggregate straight to their
+    * distinct source SET (`collect_set`, partial-merged map-side and
+    * bounded by the source dimension, not the corpus). Per-source sizes
+    * and the pairwise intersection counts both derive from that set frame
+    * with map-side partials, so their exchanges carry at most
+    * |sources|/|sources|² rows per task — the old shape distinct'ed
+    * (source, gram) and then SELF-JOINED that stream on gram, i.e. three
+    * corpus-gram-scale exchanges. The set frame is persisted DISK_ONLY for
+    * its two consumers; pairs with zero overlap are restored from the tiny
+    * sizes frame, so the matrix is complete. At 100 TB nothing here
+    * collects: the result is a |sources|²-row frame.
     */
   def sourceOverlapMatrix(docs: DataFrame, n: Int,
       textCol: String = "text", sourceCol: String = "source"): DataFrame = {
-    val gs = docs
+    // fan a narrow input out so the gram explode + set partials parallelize
+    // (no-op at real corpus widths)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val gs = spread
       .select(col(sourceCol).as("source"),
         explode(Decontaminate.wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
+      .groupBy(col("gram")).agg(collect_set(col("source")).as("ss"))
       .persist(StorageLevel.DISK_ONLY)
-    val sizes = gs.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val inter = gs.join(
-        gs.select(col("source").as("source_b"), col("gram")), Seq("gram"))
-      .filter(col("source") < col("source_b"))
-      .groupBy(col("source").as("source_a"), col("source_b"))
+    val sizes = gs.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    // unordered source pairs from each gram's SORTED set (a < b), counted
+    // with map-side partials — per-gram cost is |sources-sharing-gram|²,
+    // same as the old self-join, without re-shuffling the gram stream
+    val sortedSs = array_sort(col("ss"))
+    val pairs = flatten(transform(sortedSs, (a, i) =>
+      transform(slice(sortedSs, i + lit(2), size(sortedSs)),
+        b => struct(a.as("source_a"), b.as("source_b")))))
+    val inter = gs.filter(size(col("ss")) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
     val a = sizes.select(col("source").as("source_a"), col("n_grams").as("n_a"))
     val b = sizes.select(col("source").as("source_b"), col("n_grams").as("n_b"))
@@ -69,7 +81,11 @@ object CorpusAudit {
   def boilerplateGrams(docs: DataFrame, n: Int, k: Int,
       idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val perDoc = docs
+    // fan a narrow input out so the gram explode + per-doc partials
+    // parallelize (no-op at real corpus widths)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val perDoc = spread
       .select(col(sourceCol).as("source"), col(idCol),
         explode(Decontaminate.wordNgrams(col(textCol), n)).as("gram"))
       .groupBy(col("source"), col(idCol), col("gram"))

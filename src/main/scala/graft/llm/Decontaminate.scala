@@ -56,7 +56,13 @@ object Decontaminate {
       math.max(benchGrams.count(), 1L), fpp)
     val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((g: String) => bfB.value.mightContain(g))
-    corpus
+    // fan a narrow corpus out first: the gram explode + Bloom probe +
+    // broadcast semi-join are all map-side, so a one-file corpus would run
+    // the whole prefilter on one core (no-op at real corpus widths)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    spread
       .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
       .filter(mightContain(col("gram")))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")

@@ -422,7 +422,11 @@ object Dedup {
     */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minCount: Int = 2): DataFrame = {
-    val grams = docs.select(col(idCol),
+    // fan a narrow input out before the gram explode so the gram stream's
+    // map-side partial aggregation parallelizes (no-op at real widths)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val grams = spread.select(col(idCol),
       posexplode(Decontaminate.wordNgrams(col(textCol), n)).as(Seq("start", "gram")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))

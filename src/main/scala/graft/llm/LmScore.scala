@@ -36,14 +36,18 @@ object LmScore {
     // three times. DISK_ONLY so a 100 TB bigram stream spills instead of
     // evicting executor storage memory (the t15 TF-IDF pattern); released
     // eagerly via the count-materialize + finally-unpersist below.
-    val big = docs
+    // fan a narrow input out so the bigram explode + count partials
+    // parallelize (no-op at real corpus widths)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val big = spread
       .select((col(idCol) +: keep.map(col)) :+ explode(pairs).as("bg"): _*)
       .select((col(idCol) +: keep.map(col)) :+
         col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
-    val vocab = docs.select(explode(toks).as("w")).agg(countDistinct(col("w")))
+    val vocab = spread.select(explode(toks).as("w")).agg(countDistinct(col("w")))
       .head().getLong(0)
     val scored = big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("lp", log((col("n12") + lit(1.0)) / (col("n1") + lit(vocab.toDouble))))

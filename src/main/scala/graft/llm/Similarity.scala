@@ -164,7 +164,13 @@ object Similarity {
       }.sortBy(_._1).take(probes)
       (base +: margins.map { case (_, i) => base ^ (1 << i) }).distinct.toArray
     })
-    val cb = cd.withColumn("bucket", bucketU(col("cv")))
+    // fan the corpus side out BEFORE bucketing + scoring: when AQE
+    // broadcasts the query side, the whole pipeline (bucket UDF + join +
+    // cosine + the (qid, cid) partial aggregation) inherits the corpus
+    // scan's partitioning — one small parquet file = ONE partition = a
+    // single-threaded scoring stage (measured: the whole leg serialized on
+    // one core). At real corpus widths fanOutSmall is a no-op.
+    val cb = fanOutSmall(cd).withColumn("bucket", bucketU(col("cv")))
     val qb = qd.withColumn("bucket", explode(probeU(col("qv"))))
     // no broadcast hint: the query side may be the whole corpus (self near-
     // dup search), so let AQE choose from its runtime size
@@ -287,7 +293,10 @@ object Similarity {
     val centroids = trainCentroids(sample, nlist, iters, seed)
     val assignU = udf((v: Seq[Double]) => nearestCentroids(v, centroids, 1).head)
     val probeU = udf((v: Seq[Double]) => nearestCentroids(v, centroids, nprobe))
-    val cb = cd.withColumn("list", assignU(col("cv")))
+    // fanOutSmall: same single-task-scoring fix as lshTopK — a one-file
+    // corpus otherwise runs the assignment UDF and the whole probe scoring
+    // on one core once AQE broadcasts the (small) probe side
+    val cb = fanOutSmall(cd).withColumn("list", assignU(col("cv")))
     val qb = qd.withColumn("list", explode(probeU(col("qv"))))
     val pairs = cb.join(qb, Seq("list"))
       .withColumn("cos", cosineCol(col("qv"), col("cv")))
@@ -345,8 +354,10 @@ object Similarity {
       while (j < codes.length) { s += lut(j * ksub + codes(j)); j += 1 }
       s
     })
-    val coded = fanOutSmall(
-      cd.withColumn("codes", encodeU(col("cv"))).select("cid", "codes"))
+    // fan out BEFORE the encode so the (expensive) PQ encoding UDF
+    // parallelizes on a narrow corpus scan too — no-op at real widths
+    val coded = fanOutSmall(cd)
+      .withColumn("codes", encodeU(col("cv"))).select("cid", "codes")
     val qlut = qd.select(col("qid"), lutU(col("qv")).as("lut"))
     val cand = topKPerKey(
       coded.crossJoin(broadcast(qlut))
@@ -416,7 +427,9 @@ object Similarity {
       val l = nearestCentroids(u, centroids, 1).head
       (l, Quantize.pqEncode(sub(u, centroids(l)), codebooks))
     })
-    val coded = cd.withColumn("lc", encodeU(col("cv")))
+    // fanOutSmall: parallelize the (expensive) residual encode and the ADC
+    // scoring on a narrow corpus scan — no-op at real corpus widths
+    val coded = fanOutSmall(cd).withColumn("lc", encodeU(col("cv")))
       .select(col("cid"), col("lc._1").as("list"), col("lc._2").as("codes"))
     // query side: nprobe rows per query, each carrying the scalar
     // query·centroid term and the m·ksub ADC LUT for that query

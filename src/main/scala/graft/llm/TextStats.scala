@@ -224,7 +224,12 @@ object TextStats {
     // (transform's lambda index is 0-based, element_at is 1-based)
     val bigrams = transform(slice(words, lit(1), total - 1),
       (w, i) => concat_ws(" ", w, element_at(words, i + 2)))
-    docs
+    // the per-row signal expressions (sort + linear scans per doc) are the
+    // cost here — fan a narrower-than-the-session input out so they don't
+    // run on one core (no-op at real corpus widths)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
       .withColumn("n_words", total.cast("long"))
       .withColumn("n_distinct_words", size(array_distinct(words)).cast("long"))
       .withColumn("top_word_freq", topFreq.cast("long"))

@@ -488,14 +488,19 @@ object Relational {
     // are deterministic for fixed input
     QueryDef("q18_approx_sketch", (s, dir) => {
       val ev = tbl(s, dir, "events")
+      // ONE exact-percentile buffer for all three fractions (percentile
+      // accepts an array): three separate aggregates each built their own
+      // per-group counts map over every row — identical values, 3x the
+      // aggregation work and memory (guide §1.2: per-task work)
       ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), 0.02).as("hll"),
-          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          expr("percentile(value, array(0.45, 0.5, 0.55))").as("pcts"),
           expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
-          expr("percentile(value, 0.45)").as("lo45"),
-          expr("percentile(value, 0.55)").as("hi55"),
           count(lit(1)).as("n"))
+        .withColumn("p50", round(element_at(col("pcts"), 2), 6))
+        .withColumn("lo45", element_at(col("pcts"), 1))
+        .withColumn("hi55", element_at(col("pcts"), 3))
         .withColumn("hll_ok",
           (abs(col("hll") - col("n_users")).cast("double") / col("n_users") <= 0.05)
             .cast("string"))

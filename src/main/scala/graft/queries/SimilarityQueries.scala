@@ -116,10 +116,12 @@ object SimilarityQueries {
       // aggregation; this is the oracle-checked probe (bounded by the
       // brute-force query-side guard — NOT the scale path)
       val exactAgg = Similarity.knnLabelAgreement(
-        Similarity.bruteForceTopK(emb, emb, k = 6), emb).persist()
+        Similarity.bruteForceTopK(emb, emb, k = 6), emb)
       val rows = exactAgg.orderBy(col("label")).collect()
-      val eTot = exactAgg.agg(sum(col("n")), sum(col("n_agree"))).collect()(0)
-      exactAgg.unpersist()
+      // totals are the per-label sums — fold them on the driver instead of
+      // re-running a second aggregation job over the pipeline
+      val (eN, eAgree) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+        (a + r.getLong(1), b + r.getLong(2)) }
       // scale variant: the SAME aggregation over IVF (centroid-bucketed)
       // top-k — no all-pairs anywhere; agreement must land within 0.15 of
       // exact, proving the operator composes with the ANN paths at scale.
@@ -129,7 +131,7 @@ object SimilarityQueries {
       val ivfTot = Similarity.knnLabelAgreement(
         Similarity.ivfTopK(emb, emb, k = 6, nlist = 32, nprobe = 6), emb)
         .agg(sum(col("n")), sum(col("n_agree"))).collect()(0)
-      val exactRate = eTot.getLong(1).toDouble / eTot.getLong(0)
+      val exactRate = eAgree.toDouble / eN
       val ivfRate = ivfTot.getLong(1).toDouble / ivfTot.getLong(0)
       val ivfOk = (math.abs(ivfRate - exactRate) <= 0.15).toString
       import s.implicits._
@@ -385,32 +387,44 @@ object SimilarityQueries {
     QueryDef("s13_kmeans_twolevel", (s, dir) => {
       import graft.functions.VectorFunctions.dot
       val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      def dims(c: org.apache.spark.sql.Column) =
-        posexplode(transform(c, x => x.cast("double")))
+      val dv = transform(col("embedding"), x => x.cast("double"))
       val run1 = Clustering.kMeansTwoLevel(emb, kCoarse = 16, kFine = 16,
-        iters = 2).persist()
-      val n = run1.count()
-      val nClusters = run1.select(countDistinct(col("cluster"))).head().getLong(0)
+        iters = 2)
+      // EVERY gate fact from ONE per-cluster aggregation (was ~6 jobs, two
+      // of them corpus×dim posexplode joins): per cluster collect n, the
+      // id-consistency violations, Σ|v|² and the per-dim means; then
+      // driver-side algebra over the ≤256 rows —
+      //   Σ_{v∈c} |v − m_c|² = Σ|v|² − n_c·|m_c|²   (m_c = mean of cluster)
+      //   global mean g = Σ n_c·m_c / N, E|v−g|² = Σ|v|²/N − |g|²
+      // The compared quantities are the same means-vs-means contrast as the
+      // old two-pass formulation (FP summation order differs; the gate
+      // output only carries the comparison booleans).
+      val dim = 64
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col("__v"), i + 1)).as(s"__m$i"))
+      val perCluster = run1
+        .select(col("cluster"), col("list"), col("fine"), dv.as("__v"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"),
+          (Seq(
+            sum(when(col("cluster") =!= col("list") * lit(16) + col("fine"), 1L)
+              .otherwise(0L)).as("__bad"),
+            sum(dot(col("__v"), col("__v"))).as("__v2")) ++ meanCols): _*)
+        .collect()
+      val n = perCluster.map(_.getLong(1)).sum
+      val nClusters = perCluster.length.toLong
       val clustersOk = nClusters >= 16 && nClusters <= 256
-      val idsOk = run1.filter(
-        col("cluster") =!= col("list") * lit(16) + col("fine")).count() == 0
-      val cmean = run1.select(col("cluster"), dims(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("cluster"), col("d")).agg(avg(col("x")).as("m"))
-      val withinAvg = run1
-        .select(col("cluster"), col("vec_id"), dims(col("embedding")).as(Seq("d", "x")))
-        .join(cmean, Seq("cluster", "d"))
-        .groupBy(col("vec_id")).agg(sum(pow(col("x") - col("m"), 2)).as("d2"))
-        .agg(avg(col("d2"))).head().getDouble(0)
-      val g = emb.select(dims(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("d")).agg(avg(col("x")).as("m"))
-        .orderBy(col("d")).collect().map(_.getDouble(1))
-      val globalAvg = emb
-        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-        .select((dot(col("v"), col("v"))
-          - lit(2.0) * dot(col("v"), typedLit(g.toSeq))
-          + lit(g.map(x => x * x).sum)).as("d2"))
-        .agg(avg(col("d2"))).head().getDouble(0)
-      run1.unpersist()
+      val idsOk = perCluster.map(_.getLong(2)).sum == 0L
+      val sumV2 = perCluster.map(_.getDouble(3)).sum
+      def means(r: org.apache.spark.sql.Row): Array[Double] =
+        Array.tabulate(dim)(i => r.getDouble(4 + i))
+      val withinAvg = perCluster.map { r =>
+        val m = means(r)
+        r.getDouble(3) - r.getLong(1) * m.map(x => x * x).sum
+      }.sum / n
+      val g = (0 until dim).map(i =>
+        perCluster.map(r => r.getLong(1) * r.getDouble(4 + i)).sum / n)
+      val globalAvg = sumV2 / n - g.map(x => x * x).sum
       import s.implicits._
       Seq((n, clustersOk.toString, idsOk.toString, (withinAvg < globalAvg).toString))
         .toDF("n_vectors", "clusters_ok", "ids_ok", "quality_ok")

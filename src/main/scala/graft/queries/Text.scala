@@ -302,8 +302,13 @@ object Text {
     // verification), pinned value-for-value against DuckDB's jaccard()
     // over a deterministic consecutive-id pair set
     QueryDef("t11_ngram_jaccard", (s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
+      val d0 = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      // fan the stream side out: the per-pair char-gram set expressions are
+      // the cost, and a one-file corpus runs them on one core after the
+      // broadcast join (no-op at real corpus widths)
+      val par = s.sparkContext.defaultParallelism
+      val d = if (d0.rdd.getNumPartitions < par) d0.repartition(par) else d0
+      val b = d0.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
       d.join(b, Seq("doc_id"))
         .select(col("doc_id"),
           round(Dedup.ngramJaccard(col("text"), col("text_b"), 1), 6).as("jac"))
@@ -347,7 +352,13 @@ object Text {
       val bench = docs.filter(col("doc_id") < 20)
         .select(explode(grams(8)).as("gram")).distinct()
       val corpus = docs.filter(col("doc_id") >= 20)
-      val contaminated = corpus
+      // fan the corpus out before the gram explode + broadcast semi-join —
+      // all map-side, so a one-file corpus runs it on one core (no-op at
+      // real corpus widths; same fix as Decontaminate.contaminatedIds)
+      val par = s.sparkContext.defaultParallelism
+      val spread =
+        if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+      val contaminated = spread
         .select(col("doc_id"), explode(grams(8)).as("gram"))
         .join(broadcast(bench), Seq("gram"), "left_semi")
         .select(col("doc_id")).distinct()
@@ -746,7 +757,13 @@ object Text {
     // DuckDB's RE2 — the patterns are deliberately dialect-portable — and
     // the driver hash-compares every redacted document verbatim.
     QueryDef("t21_pii_redact", (s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      // fan a narrow scan out before the regexp-replace chain — the heavy
+      // per-row work sits below the sort exchange and would otherwise run
+      // on one core (no-op at real corpus widths)
+      val docs0 = tbl(s, dir, "documents")
+      val par = s.sparkContext.defaultParallelism
+      val docs =
+        if (docs0.rdd.getNumPartitions < par) docs0.repartition(par) else docs0
       val aug = docs.select(col("doc_id"), concat(
         col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
@@ -1292,12 +1309,20 @@ object Text {
         .groupBy(col("cluster_id"))
         .agg(max(col("__s")).as("best"),
           min(struct(negate(col("__s")), col("doc_id"))).as("tie"))
+      // RIGHT join keeps every cluster, and ONE aggregation job answers all
+      // four facts (was four separate jobs re-running the window + joins)
       val joined = reps.select(col("cluster_id"), col("doc_id"), score.as("__s"))
-        .join(perCluster, Seq("cluster_id"))
-      val nClusters = cl.select(col("cluster_id")).distinct().count()
-      val nReps = reps.count()
-      val allBest = joined.filter(col("__s") =!= col("best")).count() == 0
-      val allTie = joined.filter(col("doc_id") =!= col("tie").getField("doc_id")).count() == 0
+        .join(perCluster, Seq("cluster_id"), "right")
+      val f = joined.agg(
+        countDistinct(col("cluster_id")),
+        count(col("__s")),
+        sum(when(col("__s") =!= col("best"), 1L).otherwise(0L)),
+        sum(when(col("doc_id") =!= col("tie").getField("doc_id"), 1L).otherwise(0L)))
+        .head()
+      val nClusters = f.getLong(0)
+      val nReps = f.getLong(1)
+      val allBest = f.getLong(2) == 0L
+      val allTie = f.getLong(3) == 0L
       s.createDataFrame(Seq((
         (nReps == nClusters).toString, allBest.toString, allTie.toString)))
         .toDF("one_per_cluster", "max_score_wins", "ties_by_min_id")
@@ -1562,7 +1587,14 @@ object Text {
     QueryDef.staged("t43_bpe_encode", (s, dir) => {
       val docs = tbl(s, dir, "documents")
       val (merges, _) = graft.llm.BpeTrainer.train(docs, "text", numMerges = 3)
-      val toks = graft.llm.BpeTrainer.encode(docs, "text", merges,
+      // fan the corpus out before the encode: encode + the symbol explode
+      // are map-side, so a one-file corpus would tokenize on one core
+      // (no-op at real corpus widths; the shuffle moves raw text, cheaper
+      // than the encoded symbol arrays)
+      val par = s.sparkContext.defaultParallelism
+      val spread =
+        if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+      val toks = graft.llm.BpeTrainer.encode(spread, "text", merges,
         keep = Seq("source"))
       () => toks.select(col("source"), explode(col("tokens")).as("sym"))
         .groupBy("source")
