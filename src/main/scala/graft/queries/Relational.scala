@@ -491,8 +491,15 @@ object Relational {
       // ONE exact-percentile buffer for all three fractions (percentile
       // accepts an array): three separate aggregates each built their own
       // per-group counts map over every row — identical values, 3x the
-      // aggregation work and memory (guide §1.2: per-task work)
-      ev.groupBy(col("event_type"))
+      // aggregation work and memory (guide §1.2: per-task work).
+      // Fan a narrow scan out first: the partial aggregation is
+      // object-hash (percentile counts map + HLL) — interpreted-heavy
+      // per row — and would otherwise run on one core (no-op at real
+      // scan widths). Exact percentile/count results are partition-order
+      // independent.
+      val par = s.sparkContext.defaultParallelism
+      val evs = if (ev.rdd.getNumPartitions < par) ev.repartition(par) else ev
+      evs.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), 0.02).as("hll"),
           expr("percentile(value, array(0.45, 0.5, 0.55))").as("pcts"),

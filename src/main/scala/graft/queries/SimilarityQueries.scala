@@ -13,6 +13,20 @@ import Q._
   */
 object SimilarityQueries {
 
+  /** (total, hits) for a recall gate in ONE job: both top-k frames are
+    * unique on (qid, cid) by construction, so a left join + two counts
+    * equals the old `intersect.count` + `count` pair — without the two
+    * distinct aggregations intersect plans, and one action instead of two.
+    */
+  private def recallStats(exact: org.apache.spark.sql.DataFrame,
+      ann: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = exact.select(col("qid"), col("cid"))
+      .join(ann.select(col("qid"), col("cid"), lit(1).as("__hit")),
+        Seq("qid", "cid"), "left")
+      .agg(count(lit(1)), count(col("__hit"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s2_cosine_topk_oracle", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -45,18 +59,15 @@ object SimilarityQueries {
     QueryDef("s3_ann_lsh", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      // Both top-k frames feed two eager counts each; persist so the LSH and
-      // brute-force pipelines run once, and release before returning (all
-      // actions complete inside this builder).
+      // the ANN frame feeds two eager actions (recall join + self check);
+      // persist so the LSH pipeline runs once, released before returning.
+      // The exact frame now has ONE consumer (recallStats) — no persist.
       val ann = Similarity.lshTopK(queries, emb, k = 5, nbits = 4, probes = 5).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
-      val hits = ann.select(col("qid"), col("cid"))
-        .intersect(exact.select(col("qid"), col("cid"))).count()
-      val total = exact.count()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      val (total, hits) = recallStats(exact, ann)
       val nq = queries.count()
       val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
       ann.unpersist()
-      exact.unpersist()
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.35).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -73,14 +84,11 @@ object SimilarityQueries {
       val queries = emb.filter(col("vec_id") < 20)
       val ann = Similarity.ivfTopK(queries, emb, k = 5,
         nlist = 8, nprobe = 4).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
-      val hits = ann.select(col("qid"), col("cid"))
-        .intersect(exact.select(col("qid"), col("cid"))).count()
-      val total = exact.count()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      val (total, hits) = recallStats(exact, ann)
       val nq = queries.count()
       val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
       ann.unpersist()
-      exact.unpersist()
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -248,14 +256,11 @@ object SimilarityQueries {
       val queries = emb.filter(col("vec_id") < 20)
       val ann = Similarity.pqTopK(queries, emb, k = 5,
         m = 8, ksub = 16, refine = 8).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
-      val hits = ann.select(col("qid"), col("cid"))
-        .intersect(exact.select(col("qid"), col("cid"))).count()
-      val total = exact.count()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      val (total, hits) = recallStats(exact, ann)
       val nq = queries.count()
       val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
       ann.unpersist()
-      exact.unpersist()
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -276,14 +281,11 @@ object SimilarityQueries {
       val queries = emb.filter(col("vec_id") < 20)
       val ann = Similarity.ivfPqTopK(queries, emb, k = 5,
         nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 8).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
-      val hits = ann.select(col("qid"), col("cid"))
-        .intersect(exact.select(col("qid"), col("cid"))).count()
-      val total = exact.count()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      val (total, hits) = recallStats(exact, ann)
       val nq = queries.count()
       val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
       ann.unpersist()
-      exact.unpersist()
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -303,14 +305,11 @@ object SimilarityQueries {
       val lsh = Similarity.lshTopK(queries, emb, k = 10, nbits = 4, probes = 5)
       val ivf = Similarity.ivfTopK(queries, emb, k = 10, nlist = 8, nprobe = 4)
       val fusedAll = Similarity.rrfFuse(Seq("lsh" -> lsh, "ivf" -> ivf), k = 5).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5).persist()
-      val hits = fusedAll.select(col("qid"), col("cid"))
-        .intersect(exact.select(col("qid"), col("cid"))).count()
-      val total = exact.count()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      val (total, hits) = recallStats(exact, fusedAll)
       val nq = queries.count()
       val selfOk = fusedAll.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
       fusedAll.unpersist()
-      exact.unpersist()
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -337,10 +336,10 @@ object SimilarityQueries {
       val corpus = emb.filter(col("vec_id") >= 10)
       val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
         .select(col("qid"), col("cid")).persist()
-      val total = exact.count()
-      def recallOk(df: org.apache.spark.sql.DataFrame, floor: Double): String =
-        (df.select(col("qid"), col("cid")).intersect(exact).count().toDouble
-          / total >= floor).toString
+      def recallOk(df: org.apache.spark.sql.DataFrame, floor: Double): String = {
+        val (total, hits) = recallStats(exact, df)
+        (hits.toDouble / total >= floor).toString
+      }
       val matOk = recallOk(
         Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16), 0.3)
       val ivfCand = Similarity.ivfTopK(trunc16(queries), trunc16(corpus),

@@ -510,7 +510,16 @@ object Text {
       def grams8 = graft.llm.Decontaminate.wordNgrams(col("text"), 8)
       val bench = tbl(s, dir, "documents").filter(col("doc_id") < 20)
         .select(explode(grams8).as("gram")).distinct()
-      val contaminated = deduped
+      // contamination is a pure function of a doc's TEXT, so probe the
+      // PRE-dedup quality frame: the anti-join below ignores hit ids that
+      // dedup dropped (they are absent from `deduped`), so the clean set is
+      // identical — and the dedup window subtree is no longer recomputed
+      // for this branch. The quality frame is scan-adjacent, so the narrow-
+      // input fan-out condition is decidable (and a no-op at real widths).
+      val par = s.sparkContext.defaultParallelism
+      val qSpread =
+        if (quality.rdd.getNumPartitions < par) quality.repartition(par) else quality
+      val contaminated = qSpread
         .select(col("doc_id"), explode(grams8).as("gram"))
         .join(broadcast(bench), Seq("gram"), "left_semi")
         .select(col("doc_id")).distinct()
