@@ -45,8 +45,11 @@ object LmScore {
       .select((col(idCol) +: keep.map(col)) :+
         col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    // the unigram-context table is the bigram table summed over w2 —
+    // exact integers, derived from the (much smaller) c12 frame instead of
+    // a second full pass over the corpus-scale bigram stream
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     val vocab = spread.select(explode(toks).as("w")).agg(countDistinct(col("w")))
       .head().getLong(0)
     val scored = big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
