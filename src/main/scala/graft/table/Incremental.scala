@@ -91,21 +91,28 @@ object Incremental {
     * signature (path, sequence, deletes) appears in both snapshots, since
     * its rows are identical on both sides and cancel in the multiset diff.
     * A one-file commit against a 100 TB table therefore reads one file per
-    * side, not two full table scans; what remains feeds one `exceptAll`
-    * per direction (a single hash shuffle with map-side partials over the
-    * changed-file rows only), no broadcast, no driver materialization.
-    * Compaction rewrites change file signatures, so both sides of the
-    * rewrite ARE read — and correctly yield an empty changelog, where a
-    * manifest walk would re-emit every rewritten row. Both sides read
-    * under the `to` snapshot's schema, so a schema-evolved history diffs
-    * on a consistent projection.
+    * side, not two full table scans; what remains feeds ONE signed
+    * aggregation: rows tag +1 (after) / -1 (before), group by every data
+    * column (one hash shuffle with map-side partials over the changed-file
+    * rows only), and the net count d replicates the row |d| times as
+    * INSERT (d > 0) or DELETE (d < 0). This is exactly the multiset
+    * identity the old `after.exceptAll(before) ∪ before.exceptAll(after)`
+    * pair computed — exceptAll keeps (c_after − c_before)⁺ copies per row —
+    * but each side is read ONCE instead of twice and the plan carries one
+    * exchange instead of two (each exceptAll planned its own
+    * aggregate+replicate over both inputs). No broadcast, no driver
+    * materialization. Compaction rewrites change file signatures, so both
+    * sides of the rewrite ARE read — and correctly yield an empty changelog
+    * (every group nets to d = 0), where a manifest walk would re-emit every
+    * rewritten row. Both sides read under the `to` snapshot's schema, so a
+    * schema-evolved history diffs on a consistent projection.
     */
   def changelogBetween(spark: SparkSession, table: Table, fromSnapshotId: Long,
       toSnapshotId: Long): DataFrame = {
     val ancestors = Inspect.ancestorsOf(table, toSnapshotId)
     require(ancestors.exists(_.snapshotId == fromSnapshotId),
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{abs, col, explode, lit, sequence, sum, when}
     val (beforeTasks, afterTasks) = changedTasksBetween(table, fromSnapshotId,
       toSnapshotId)
     val meta = table.metadata
@@ -121,8 +128,20 @@ object Incremental {
         rowLineage = false, meta.specById, ioOptions)
     val before = readSide(beforeTasks)
     val after = readSide(afterTasks)
-    after.exceptAll(before).withColumn("_change_type", lit("INSERT"))
-      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("DELETE")))
+    // groupBy uses null-safe grouping equality, matching exceptAll's
+    // null-safe row comparison; |d| per surviving group is the row's net
+    // multiplicity (bounded by its per-snapshot duplication, tiny for real
+    // CDC data), replicated via sequence+explode
+    val dataCols = after.columns.map(col)
+    after.withColumn("__cdc_sign", lit(1L))
+      .unionByName(before.withColumn("__cdc_sign", lit(-1L)))
+      .groupBy(dataCols: _*)
+      .agg(sum(col("__cdc_sign")).as("__cdc_d"))
+      .filter(col("__cdc_d") =!= 0L)
+      .withColumn("_change_type",
+        when(col("__cdc_d") > 0L, lit("INSERT")).otherwise(lit("DELETE")))
+      .withColumn("__cdc_r", explode(sequence(lit(1L), abs(col("__cdc_d")))))
+      .drop("__cdc_d", "__cdc_r")
   }
 
   /** Read the incremental append set as a DataFrame. */
