@@ -303,7 +303,9 @@ object Maintenance {
         regexp_replace(col("file_path"), "^file:/*", "/"),
         "^([A-Za-z][A-Za-z0-9+.-]*):(///+|//$)", "$1:/")
       val liveDf = livePaths.toSeq.toDF("file_path")
-      val rows = spark.read.parquet(posParquet.map(_.path): _*)
+      val rows = SparkRead.metadataParquet(spark,
+          posParquet.map(d => (d.path, d.fileSize)).distinctBy(_._1),
+          SparkRead.PosDeleteSchema)
         .select(canonPath.as("file_path"), col("pos"))
         .join(liveDf, Seq("file_path"), "left_semi")
       if (table.metadata.formatVersion >= 3) {

@@ -196,18 +196,21 @@ object SparkRead {
             "row lineage, _file/_pos metadata columns) are not supported " +
             "over ORC data files")
       }
+      // parquet reads go through MetadataRead: file statuses come from the
+      // manifests' (path, file_size_in_bytes), so no per-scan listing job
+      // re-stats the planned files (an O(files) pass per query otherwise)
+      val groupFiles = groupTasks.map(t => (t.file.path, t.file.fileSize))
       var df =
         if (isOrc) spark.read.options(ioOptions).schema(readSchema)
           .orc(groupTasks.map(_.file.path): _*)
-        else if (idsPresent) spark.read.options(ioOptions).schema(lineageScanSchema)
-          .parquet(groupTasks.map(_.file.path): _*)
+        else if (idsPresent)
+          MetadataRead.parquet(spark, groupFiles, lineageScanSchema, ioOptions)
         else {
           val nm = nameMapping.get
           val mappedSchema = StructType(schema.fields.map(f =>
             StructField(nm.idToName.getOrElse(f.id, f.name),
               SchemaBridge.toSparkType(f.fieldType), nullable = true)))
-          var raw = spark.read.options(ioOptions).schema(mappedSchema)
-            .parquet(groupTasks.map(_.file.path): _*)
+          var raw = MetadataRead.parquet(spark, groupFiles, mappedSchema, ioOptions)
           // hive-imported files omit identity partition source columns (the
           // value lives in the directory name): fill from the path segment,
           // distributed, O(1) plan size (iceberg constants-map semantics;
@@ -268,7 +271,11 @@ object SparkRead {
           raise_error(lit("corrupt positional delete file: null file_path or pos"))
             .cast("long"))
           .otherwise(col("pos"))
-        val delDf = spark.read.options(ioOptions).parquet(posDeletes.map(_.path): _*)
+        // explicit spec schema (file_path, pos): skips the inference footer
+        // read; missing columns surface as nulls and trip the corrupt-file
+        // guard exactly like inference-era analysis failures did
+        val delDf = MetadataRead.parquet(spark,
+          posDeletes.map(d => (d.path, d.fileSize)), PosDeleteSchema, ioOptions)
           .select(normalizePath(col("file_path")).as("__file"),
             guardedPos.as("__pos"))
         df = df.join(delDf, Seq("__file", "__pos"), "left_anti")
@@ -355,7 +362,8 @@ object SparkRead {
     val parquetDf =
       if (parquets.isEmpty) None
       else {
-        var df = spark.read.parquet(parquets.map(_.path).distinct: _*)
+        var df = MetadataRead.parquet(spark,
+          parquets.map(d => (d.path, d.fileSize)).distinctBy(_._1), PosDeleteSchema)
           .select(normalizePath(col("file_path")).as("file_path"), col("pos"),
             normalizePath(col("_metadata.file_path")).as("delete_file_path"))
         if (dvSuperseded.nonEmpty)
@@ -441,6 +449,21 @@ object SparkRead {
     * schemes fold to the single-slash form, the column twin of
     * [[graft.io.FileIO.canonical]].
     */
+  /** Listing-free parquet read over manifest-known (path, size) pairs —
+    * see [[MetadataRead.parquet]].
+    */
+  private[table] def metadataParquet(spark: SparkSession,
+      files: Seq[(String, Long)], schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    MetadataRead.parquet(spark, files, schema, options)
+
+  /** Spec-fixed positional-delete file schema (by-name resolution; the
+    * optional `row` payload column prunes away untouched).
+    */
+  private[table] val PosDeleteSchema: StructType = StructType(Seq(
+    StructField("file_path", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("pos", org.apache.spark.sql.types.LongType, nullable = true)))
+
   private def normalizePath(c: Column): Column =
     regexp_replace(
       regexp_replace(c, "^file:/*", "/"),

@@ -274,7 +274,8 @@ object Writer {
     // be sorted by (file_path, pos), which sortWithinPartitions preserves per
     // output file while keeping the write fully parallel (reference fanout
     // position writer `table/position_delta_writer.go`)
-    val matched = spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
+    val matched = SparkRead.metadataParquet(spark,
+        candidates.map(t => (t.file.path, t.file.fileSize)), readSchema)
       .filter(Expr.toColumn(filter))
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
@@ -329,7 +330,8 @@ object Writer {
     // (table/scanner.go:529-636), so the spec requires the writer to fold
     // every existing applicable pos-delete position into the new DV — else
     // previously-deleted rows resurrect the moment the DV lands
-    val newMatches = spark.read.schema(readSchema).parquet(candidates.map(_.file.path): _*)
+    val newMatches = SparkRead.metadataParquet(spark,
+        candidates.map(t => (t.file.path, t.file.fileSize)), readSchema)
       .filter(Expr.toColumn(filter))
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
@@ -340,7 +342,10 @@ object Writer {
       if (parquetDeletePaths.isEmpty) newMatches
       else {
         val candDf = candidates.map(_.file.path).toDF("file_path")
-        val existing = spark.read.parquet(parquetDeletePaths: _*)
+        val existing = SparkRead.metadataParquet(spark,
+            candidates.flatMap(_.posDeletes.filter(_.format == "PARQUET"))
+              .map(d => (d.path, d.fileSize)).distinctBy(_._1),
+            SparkRead.PosDeleteSchema)
           .select(regexp_replace(col("file_path"), "^file:/*", "/").as("file_path"),
             col("pos"))
           .join(candDf, Seq("file_path"), "left_semi")
