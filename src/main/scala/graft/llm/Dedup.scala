@@ -163,6 +163,9 @@ object Dedup {
     val rows = numPerm / bands
     val sigUdf = udf((t: String) =>
       if (t == null) Array.empty[Long] else minHashSignature(t, shingleK, numPerm))
+    // NOT fanned out: A/B'd twice (r16, r17 after the cache-race fix) — the
+    // wider signature stage wins ~0.4 s but the cached bucket frame inherits
+    // the width and every CC round's joins repay it (t37 warm 3.60 -> 3.79)
     val withSig = df.select(col(idCol), sigUdf(col(textCol)).as("__sig"))
     // band hash = murmur over the band's row values
     val bandUdf = udf((sig: Seq[Long]) =>
@@ -173,35 +176,41 @@ object Dedup {
         (bi.toLong << 32) | (Murmur3.hash(bb.array, 7).toLong & 0xffffffffL)
       }.toArray)
     // signatures are the expensive part — materialize buckets once and reuse
-    // across propagation rounds
+    // across propagation rounds. persist() alone is lazy: the FIRST consumer
+    // is a self-join whose two AQE shuffle stages materialize concurrently,
+    // racing the cache write and running the signature UDF twice. count()
+    // right here forces one materialization (and is the scale-telemetry
+    // bucket-row count anyway).
     val buckets = withSig
       .select(col(idCol), explode(bandUdf(col("__sig"))).as("__bucket"))
       .persist()
+    // per-round shuffle volume ≈ the bucket rows each propagation joins;
+    // recorded with the round trajectory so a super-linear point on the
+    // scale curve is attributable to either chain depth (more rounds) or
+    // bucket growth (bigger rounds)
+    val bucketRows = buckets.count()
 
-    // sum + count in ONE action: the sum is the convergence check, the
-    // count feeds the scale telemetry without an extra job per round
-    def labelSum(l: DataFrame): (Long, Long) = {
-      val r = l.agg(sum(col("cluster_id")), count(lit(1))).first()
-      (Option(r.get(0)).map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-        r.getLong(1))
+    // convergence sum + doc count ride the checkpoint action via observe()
+    // (CollectMetrics): zero extra jobs per round where a separate
+    // agg-and-first job ran before
+    def checkpointWithSum(l: DataFrame): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = l.observe(obs, sum(col("cluster_id")).as("__s"),
+        count(lit(1)).as("__n")).localCheckpoint()
+      val m = obs.get
+      (out, Option(m("__s")).map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+        m("__n").asInstanceOf[Number].longValue)
     }
 
     // localCheckpoint (not persist): truncates the logical plan each round,
     // keeping analyzer/optimizer cost flat — nested join-agg lineage over N
     // rounds otherwise makes planning itself quadratic in N
-    var labels = buckets
+    var (labels, prevSum, nDocs) = checkpointWithSum(buckets
       .join(buckets.groupBy(col("__bucket")).agg(min(col(idCol)).as("__bmin")), "__bucket")
       .groupBy(col(idCol))
-      .agg(min(col("__bmin")).as("cluster_id"))
-      .localCheckpoint()
+      .agg(min(col("__bmin")).as("cluster_id")))
     // min-propagation labels only ever decrease, so the label sum strictly
     // decreases until the fixpoint — a scalar convergence check, no join
-    var (prevSum, nDocs) = labelSum(labels)
-    // per-round shuffle volume ≈ the bucket rows each propagation joins
-    // (cheap: counted off the cached blocks); recorded with the round
-    // trajectory so a super-linear point on the scale curve is attributable
-    // to either chain depth (more rounds) or bucket growth (bigger rounds)
-    val bucketRows = buckets.count()
     val roundSums = scala.collection.mutable.ArrayBuffer(prevSum)
     var iter = 1
     var converged = false
@@ -215,11 +224,10 @@ object Dedup {
       // label, turning linear chain convergence into logarithmic
       val reps = propagated.select(col(idCol).as("cluster_id"),
         col("cluster_id").as("__jump"))
-      val next = propagated.join(reps, Seq("cluster_id"), "left")
+      val (next, s, _) = checkpointWithSum(propagated
+        .join(reps, Seq("cluster_id"), "left")
         .select(col(idCol),
-          coalesce(col("__jump"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val (s, _) = labelSum(next)
+          coalesce(col("__jump"), col("cluster_id")).as("cluster_id")))
       converged = s == prevSum
       labels = next
       prevSum = s
