@@ -122,25 +122,34 @@ object SimilarityQueries {
       val emb = tbl(s, dir, "embeddings")
       // exact variant: brute-force top-k feeds the shared agreement
       // aggregation; this is the oracle-checked probe (bounded by the
-      // brute-force query-side guard — NOT the scale path)
-      val exactAgg = Similarity.knnLabelAgreement(
-        Similarity.bruteForceTopK(emb, emb, k = 6), emb)
-      val rows = exactAgg.orderBy(col("label")).collect()
-      // totals are the per-label sums — fold them on the driver instead of
-      // re-running a second aggregation job over the pipeline
-      val (eN, eAgree) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
-        (a + r.getLong(1), b + r.getLong(2)) }
+      // brute-force query-side guard — NOT the scale path).
       // scale variant: the SAME aggregation over IVF (centroid-bucketed)
       // top-k — no all-pairs anywhere; agreement must land within 0.15 of
       // exact, proving the operator composes with the ANN paths at scale.
       // nprobe/nlist = 6/32: each query rescans ~19% of the corpus — a
       // real ANN work regime (8/4 would scan HALF the corpus, an ANN in
-      // name only)
-      val ivfTot = Similarity.knnLabelAgreement(
+      // name only).
+      // BOTH legs collect in ONE union-tagged action (was two sequential
+      // collects): the two independent subtrees' stages schedule
+      // concurrently inside the single job, so the exact leg back-fills
+      // cores the IVF leg leaves idle (guide §2.6), and one aggregation
+      // job runs where two ran. IVF totals fold from its per-label rows —
+      // Σ per-label (n, n_agree) is exactly the old direct total.
+      val exactAgg = Similarity.knnLabelAgreement(
+        Similarity.bruteForceTopK(emb, emb, k = 6), emb)
+        .withColumn("__leg", lit("e"))
+      val ivfAgg = Similarity.knnLabelAgreement(
         Similarity.ivfTopK(emb, emb, k = 6, nlist = 32, nprobe = 6), emb)
-        .agg(sum(col("n")), sum(col("n_agree"))).collect()(0)
+        .withColumn("__leg", lit("i"))
+      val allRows = exactAgg.unionByName(ivfAgg).collect()
+      val rows = allRows.filter(_.getString(3) == "e").sortBy(_.getInt(0))
+      val (eN, eAgree) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+        (a + r.getLong(1), b + r.getLong(2)) }
+      val (iN, iAgree) = allRows.filter(_.getString(3) == "i")
+        .foldLeft((0L, 0L)) { case ((a, b), r) =>
+          (a + r.getLong(1), b + r.getLong(2)) }
       val exactRate = eAgree.toDouble / eN
-      val ivfRate = ivfTot.getLong(1).toDouble / ivfTot.getLong(0)
+      val ivfRate = iAgree.toDouble / iN
       val ivfOk = (math.abs(ivfRate - exactRate) <= 0.15).toString
       import s.implicits._
       rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), ivfOk))
@@ -398,7 +407,10 @@ object SimilarityQueries {
       // The compared quantities are the same means-vs-means contrast as the
       // old two-pass formulation (FP summation order differs; the gate
       // output only carries the comparison booleans).
-      val dim = 64
+      // dimension read off the data (one limit-1 row, ~tens of ms), not
+      // hardcoded: the per-dim mean columns must match the fixture's real
+      // width or the variance algebra silently reads wrong positions
+      val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
       val meanCols = (0 until dim).map(i =>
         avg(element_at(col("__v"), i + 1)).as(s"__m$i"))
       val perCluster = run1
