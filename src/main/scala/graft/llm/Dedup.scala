@@ -264,7 +264,11 @@ object Dedup {
     val sigUdf = udf((t: String) =>
       if (t == null) Array.empty[Long] else minHashSignature(t, shingleK, numPerm))
     // materialized once: the signature UDF is the expensive stage, and the
-    // cap pre-count + bucket self-join would otherwise recompute it
+    // cap pre-count + bucket self-join would otherwise recompute it.
+    // (An eager count() to dodge the two-stage cache race — the minHashLsh
+    // fix — was A/B'd in r17 and lost here: one pass over this frame is
+    // cheap enough that the extra job costs more than the duplicate stage,
+    // t9 1.73 -> 1.96 s.)
     val withSig = df.select(col(idCol).as("id"),
       sigUdf(col(textCol)).as("sig")).persist()
     val bandUdf = udf((sig: Seq[Long]) =>

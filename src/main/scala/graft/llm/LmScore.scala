@@ -50,10 +50,16 @@ object LmScore {
     // exact integers, derived from the (much smaller) c12 frame instead of
     // a second full pass over the corpus-scale bigram stream
     val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    val vocab = spread.select(explode(toks).as("w")).agg(countDistinct(col("w")))
-      .head().getLong(0)
+    // vocabulary as a broadcast 1-row frame, not a collected literal: the
+    // old head() was its own full-corpus action serializing before the
+    // scoring job; as a crossJoin input its distinct-count subtree runs
+    // INSIDE the one scoring action, overlapping the bigram stages
+    // (identical value: exact long, cast to double in the same place)
+    val vocabDf = spread.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("__vocab"))
     val scored = big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .withColumn("lp", log((col("n12") + lit(1.0)) / (col("n1") + lit(vocab.toDouble))))
+      .crossJoin(broadcast(vocabDf))
+      .withColumn("lp", log((col("n12") + lit(1.0)) / (col("n1") + col("__vocab"))))
       .groupBy((col(idCol) +: keep.map(col)): _*)
       .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_lp"))
     // Materialize while the cache is live, then release it so the cached

@@ -499,12 +499,23 @@ object Relational {
       // independent.
       val par = s.sparkContext.defaultParallelism
       val evs = if (ev.rdd.getNumPartitions < par) ev.repartition(par) else ev
+      // countDistinct split into its own branch (joined back on the 5
+      // event_type rows, repartition exchange REUSED across branches):
+      // mixed distinct+non-distinct planning expands the grouping to
+      // (event_type, user_id) in phase 1, so every percentile counts-map
+      // and HLL buffer was built per user and merged across ~n_users
+      // groups; split, the heavy sketch buffers build once per partition
+      // and merge 32 ways, and the distinct branch aggregates bare
+      // (event_type, user_id) pairs
+      val distinctAgg = evs.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
       evs.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
+        .agg(
           approx_count_distinct(col("user_id"), 0.02).as("hll"),
           expr("percentile(value, array(0.45, 0.5, 0.55))").as("pcts"),
           expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
           count(lit(1)).as("n"))
+        .join(distinctAgg, Seq("event_type"))
         .withColumn("p50", round(element_at(col("pcts"), 2), 6))
         .withColumn("lo45", element_at(col("pcts"), 1))
         .withColumn("hi55", element_at(col("pcts"), 3))

@@ -343,20 +343,34 @@ object SimilarityQueries {
         slice(col("embedding"), 1, 16).as("embedding"))
       val queries = emb.filter(col("vec_id") < 10)
       val corpus = emb.filter(col("vec_id") >= 10)
+      // eager localCheckpoint: one materialization both recall legs read
+      // (a lazy persist would let the union action's two branches race the
+      // cache and run the brute-force pipeline twice); GC-freed, no
+      // unpersist bookkeeping
       val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
-        .select(col("qid"), col("cid")).persist()
-      def recallOk(df: org.apache.spark.sql.DataFrame, floor: Double): String = {
-        val (total, hits) = recallStats(exact, df)
-        (hits.toDouble / total >= floor).toString
-      }
-      val matOk = recallOk(
-        Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16), 0.3)
+        .select(col("qid"), col("cid")).localCheckpoint()
+      // BOTH recall legs in ONE union-tagged action (the s6 shape): the
+      // two matryoshka pipelines' stages schedule concurrently inside a
+      // single job, one aggregation action where two recallStats heads ran
+      def recallFrame(ann: org.apache.spark.sql.DataFrame, tag: String) =
+        exact.join(ann.select(col("qid"), col("cid"), lit(1).as("__hit")),
+          Seq("qid", "cid"), "left")
+          .agg(count(lit(1)).as("total"), count(col("__hit")).as("hits"))
+          .withColumn("__tag", lit(tag))
       val ivfCand = Similarity.ivfTopK(trunc16(queries), trunc16(corpus),
         k = 20, nlist = 8, nprobe = 4)
-      val ivfOk = recallOk(
-        Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16,
-          candidates = Some(ivfCand)), 0.3)
-      exact.unpersist()
+      val statRows = recallFrame(
+          Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16), "m")
+        .unionByName(recallFrame(
+          Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16,
+            candidates = Some(ivfCand)), "i"))
+        .collect()
+      def okFor(tag: String, floor: Double): String = {
+        val r = statRows.find(_.getString(2) == tag).get
+        (r.getLong(1).toDouble / r.getLong(0) >= floor).toString
+      }
+      val matOk = okFor("m", 0.3)
+      val ivfOk = okFor("i", 0.3)
       Similarity.bruteForceTopK(trunc16(queries), trunc16(corpus), k = 5)
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
         .withColumn("mat_ok", lit(matOk))
