@@ -27,6 +27,34 @@ object SimilarityQueries {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** All three facts of a standard ANN recall gate — (n_queries,
+    * recall total, recall hits, self-at-rank-1 matches) — in ONE
+    * union-tagged action where three ran (recall head + queries.count +
+    * self count). The ann frame is eagerly checkpointed so its pipeline
+    * runs once and its two consumers inside the single job can't race a
+    * lazy cache; the independent subtrees' stages schedule concurrently.
+    */
+  private def annGateStats(queries: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame,
+      annLazy: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+    val ann = annLazy.localCheckpoint()
+    val recall = exact.select(col("qid"), col("cid"))
+      .join(ann.select(col("qid"), col("cid"), lit(1).as("__hit")),
+        Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).as("a"), count(col("__hit")).as("b"))
+      .withColumn("__t", lit("r"))
+    val self = ann.agg(
+      coalesce(sum(when(col("rank") === 1 && col("qid") === col("cid"), 1L)
+        .otherwise(0L)), lit(0L)).as("a"), lit(0L).as("b"))
+      .withColumn("__t", lit("s"))
+    val nq = queries.agg(count(lit(1)).as("a"), lit(0L).as("b"))
+      .withColumn("__t", lit("q"))
+    val rows = recall.unionByName(self).unionByName(nq).collect()
+    def row(t: String) = rows.find(_.getString(2) == t).get
+    (row("q").getLong(0), row("r").getLong(0), row("r").getLong(1),
+      row("s").getLong(0))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s2_cosine_topk_oracle", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -59,15 +87,10 @@ object SimilarityQueries {
     QueryDef("s3_ann_lsh", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      // the ANN frame feeds two eager actions (recall join + self check);
-      // persist so the LSH pipeline runs once, released before returning.
-      // The exact frame now has ONE consumer (recallStats) — no persist.
-      val ann = Similarity.lshTopK(queries, emb, k = 5, nbits = 4, probes = 5).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
-      val (total, hits) = recallStats(exact, ann)
-      val nq = queries.count()
-      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
-      ann.unpersist()
+      val (nq, total, hits, selfMatches) = annGateStats(queries,
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Similarity.lshTopK(queries, emb, k = 5, nbits = 4, probes = 5))
+      val selfOk = selfMatches == nq
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.35).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -82,13 +105,10 @@ object SimilarityQueries {
     QueryDef("s5_ann_ivf", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      val ann = Similarity.ivfTopK(queries, emb, k = 5,
-        nlist = 8, nprobe = 4).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
-      val (total, hits) = recallStats(exact, ann)
-      val nq = queries.count()
-      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
-      ann.unpersist()
+      val (nq, total, hits, selfMatches) = annGateStats(queries,
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Similarity.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4))
+      val selfOk = selfMatches == nq
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -263,13 +283,10 @@ object SimilarityQueries {
     QueryDef("s10_pq_ann", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      val ann = Similarity.pqTopK(queries, emb, k = 5,
-        m = 8, ksub = 16, refine = 8).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
-      val (total, hits) = recallStats(exact, ann)
-      val nq = queries.count()
-      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
-      ann.unpersist()
+      val (nq, total, hits, selfMatches) = annGateStats(queries,
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Similarity.pqTopK(queries, emb, k = 5, m = 8, ksub = 16, refine = 8))
+      val selfOk = selfMatches == nq
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -288,13 +305,11 @@ object SimilarityQueries {
     QueryDef("s14_ivfpq_ann", (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      val ann = Similarity.ivfPqTopK(queries, emb, k = 5,
-        nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 8).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
-      val (total, hits) = recallStats(exact, ann)
-      val nq = queries.count()
-      val selfOk = ann.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
-      ann.unpersist()
+      val (nq, total, hits, selfMatches) = annGateStats(queries,
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Similarity.ivfPqTopK(queries, emb, k = 5,
+          nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 8))
+      val selfOk = selfMatches == nq
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -313,12 +328,10 @@ object SimilarityQueries {
       val queries = emb.filter(col("vec_id") < 20)
       val lsh = Similarity.lshTopK(queries, emb, k = 10, nbits = 4, probes = 5)
       val ivf = Similarity.ivfTopK(queries, emb, k = 10, nlist = 8, nprobe = 4)
-      val fusedAll = Similarity.rrfFuse(Seq("lsh" -> lsh, "ivf" -> ivf), k = 5).persist()
-      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
-      val (total, hits) = recallStats(exact, fusedAll)
-      val nq = queries.count()
-      val selfOk = fusedAll.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
-      fusedAll.unpersist()
+      val (nq, total, hits, selfMatches) = annGateStats(queries,
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Similarity.rrfFuse(Seq("lsh" -> lsh, "ivf" -> ivf), k = 5))
+      val selfOk = selfMatches == nq
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
