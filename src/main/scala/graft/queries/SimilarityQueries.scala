@@ -328,10 +328,16 @@ object SimilarityQueries {
       val queries = emb.filter(col("vec_id") < 20)
       val lsh = Similarity.lshTopK(queries, emb, k = 10, nbits = 4, probes = 5)
       val ivf = Similarity.ivfTopK(queries, emb, k = 10, nlist = 8, nprobe = 4)
-      val (nq, total, hits, selfMatches) = annGateStats(queries,
-        Similarity.bruteForceTopK(queries, emb, k = 5),
-        Similarity.rrfFuse(Seq("lsh" -> lsh, "ivf" -> ivf), k = 5))
-      val selfOk = selfMatches == nq
+      // NOT annGateStats (r17 A/B): the fused frame is heavy enough that
+      // eagerly checkpointing it serializes the whole fusion before the
+      // exact leg starts — in full-run context s11 regressed 1.24 -> 1.81;
+      // the r16 persist shape overlaps them and stays fastest
+      val fusedAll = Similarity.rrfFuse(Seq("lsh" -> lsh, "ivf" -> ivf), k = 5).persist()
+      val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      val (total, hits) = recallStats(exact, fusedAll)
+      val nq = queries.count()
+      val selfOk = fusedAll.filter(col("rank") === 1 && col("qid") === col("cid")).count() == nq
+      fusedAll.unpersist()
       import s.implicits._
       Seq((nq, (hits.toDouble / total >= 0.3).toString, selfOk.toString))
         .toDF("n_queries", "recall_ok", "self_ok")
@@ -356,34 +362,24 @@ object SimilarityQueries {
         slice(col("embedding"), 1, 16).as("embedding"))
       val queries = emb.filter(col("vec_id") < 10)
       val corpus = emb.filter(col("vec_id") >= 10)
-      // eager localCheckpoint: one materialization both recall legs read
-      // (a lazy persist would let the union action's two branches race the
-      // cache and run the brute-force pipeline twice); GC-freed, no
-      // unpersist bookkeeping
+      // NOT the union-tagged single action (r17 A/B): both matryoshka
+      // pipelines in one job regressed s12 in full-run context
+      // (1.58 -> 1.94) — the two legs contend rather than overlap; the
+      // r16 sequential persist shape stays fastest
       val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
-        .select(col("qid"), col("cid")).localCheckpoint()
-      // BOTH recall legs in ONE union-tagged action (the s6 shape): the
-      // two matryoshka pipelines' stages schedule concurrently inside a
-      // single job, one aggregation action where two recallStats heads ran
-      def recallFrame(ann: org.apache.spark.sql.DataFrame, tag: String) =
-        exact.join(ann.select(col("qid"), col("cid"), lit(1).as("__hit")),
-          Seq("qid", "cid"), "left")
-          .agg(count(lit(1)).as("total"), count(col("__hit")).as("hits"))
-          .withColumn("__tag", lit(tag))
+        .select(col("qid"), col("cid")).persist()
+      def recallOk(df: org.apache.spark.sql.DataFrame, floor: Double): String = {
+        val (total, hits) = recallStats(exact, df)
+        (hits.toDouble / total >= floor).toString
+      }
+      val matOk = recallOk(
+        Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16), 0.3)
       val ivfCand = Similarity.ivfTopK(trunc16(queries), trunc16(corpus),
         k = 20, nlist = 8, nprobe = 4)
-      val statRows = recallFrame(
-          Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16), "m")
-        .unionByName(recallFrame(
-          Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16,
-            candidates = Some(ivfCand)), "i"))
-        .collect()
-      def okFor(tag: String, floor: Double): String = {
-        val r = statRows.find(_.getString(2) == tag).get
-        (r.getLong(1).toDouble / r.getLong(0) >= floor).toString
-      }
-      val matOk = okFor("m", 0.3)
-      val ivfOk = okFor("i", 0.3)
+      val ivfOk = recallOk(
+        Similarity.matryoshkaTopK(queries, corpus, k = 5, dims = 16,
+          candidates = Some(ivfCand)), 0.3)
+      exact.unpersist()
       Similarity.bruteForceTopK(trunc16(queries), trunc16(corpus), k = 5)
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
         .withColumn("mat_ok", lit(matOk))
